@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Time-series / event-log query inventory over the `events` table:
+  * running windows, lag/delta, sessionization, tumbling time buckets,
+  * JSON extraction. All timestamps are compared at microsecond
+  * precision (see [[graft.core.Tables]] for the nanos handling).
+  */
+object Events {
+
+  private def dec(name: String, p: Int, s: Int): Column =
+    col(name).cast(DecimalType(p, s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Running (prefix) sum per user — exact decimal accumulation.
+    "q08_window_running" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("running_value",
+          sum(dec("value", 12, 2)).over(w).cast("double"))
+        .select("user_id", "event_id", "ts", "running_value")
+        .orderBy("user_id", "event_id")
+    },
+
+    // LAG + per-row delta.
+    "q09_window_lag" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("value_delta", col("value") - lag("value", 1).over(w))
+        .select("user_id", "event_id", "ts", "value", "value_delta")
+        .orderBy("user_id", "event_id")
+    },
+
+    // Sessionization: a >30min gap starts a new session (gap-and-island
+    // via lag + running sum over integer microseconds — deterministic).
+    "q21_sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("prev", lag("tsu", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(run))
+        .groupBy("user_id")
+        .agg(
+          max("session_id").cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Tumbling 1h windows per event type.
+    "q22_time_buckets" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour_ts"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec("value", 12, 2)).cast("double").as("total_value"))
+        .orderBy("hour_ts", "event_type")
+    },
+
+    // JSON property extraction from the string `props` column.
+    "q23_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q08_window_running" ->
+      """SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q09_window_lag" ->
+      """SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+        | value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS value_delta
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q21_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN LAG(tsu) OVER w IS NULL OR tsu - LAG(tsu) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), sessions AS (
+        |  SELECT user_id,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q22_time_buckets" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_ts, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q23_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+  )
+}
