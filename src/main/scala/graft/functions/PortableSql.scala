@@ -1,0 +1,141 @@
+package graft.functions
+
+/** Dialect-paired SQL fragment builders for the DuckDB-oracle gate.
+  *
+  * The driver compares Spark results to DuckDB by hashing EXACT values,
+  * floats included. For float pipelines (cosine similarity, quality
+  * scores) we get bit-exactness by generating BOTH engines' SQL from
+  * one template so each performs the exact same *sequence* of IEEE-754
+  * operations: identical fold order, identical literal placement.
+  * Every double op (+, *, /, sqrt) is correctly rounded per IEEE-754,
+  * so an identical op sequence yields identical bits.
+  *
+  * Hashes are portable too: engine-native hash functions differ
+  * (murmur3 vs DuckDB's), so both sides derive 60-bit integers from
+  * the first 15 hex chars of md5 — positive in a signed 64-bit lane on
+  * both engines.
+  *
+  * Reference behavior being reproduced: text dedup/fingerprinting ops
+  * extend pydala2's dedup machinery (reference `pydala/io.py:242-259`,
+  * `pydala/dataset.py:1549-1777`) to the document-pipeline domain.
+  */
+final case class SqlDialect(spark: Boolean) {
+
+  /** 60-bit portable hash: decimal value of md5's first 15 hex chars. */
+  def hash64(e: String): String =
+    if (spark) s"cast(conv(substr(md5($e),1,15),16,10) as bigint)"
+    else s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
+  /** Whitespace tokens of a string column, empties dropped. */
+  def tokens(c: String): String =
+    if (spark) s"filter(split(trim($c), '\\\\s+'), t -> t != '')"
+    else s"list_filter(regexp_split_to_array(trim($c), '\\s+'), t -> t != '')"
+
+  def transform(l: String, v: String, body: String): String =
+    if (spark) s"transform($l, $v -> $body)"
+    else s"list_transform($l, $v -> $body)"
+
+  def filterL(l: String, v: String, pred: String): String =
+    if (spark) s"filter($l, $v -> $pred)"
+    else s"list_filter($l, $v -> $pred)"
+
+  /** Left fold with explicit init — the sequential-order guarantee. */
+  def fold(l: String, init: String, acc: String, x: String, body: String): String =
+    if (spark) s"aggregate($l, $init, ($acc, $x) -> $body)"
+    else s"list_reduce(list_prepend($init, $l), ($acc, $x) -> $body)"
+
+  /** Inclusive integer range [a, b]. Callers must guarantee b >= a
+    * (Spark's sequence() counts DOWN when b < a; DuckDB's range() is
+    * empty — guard with a CASE at the call site).
+    */
+  def rangeIncl(a: String, b: String): String =
+    if (spark) s"sequence($a, $b)" else s"range(($a)::BIGINT, ($b)::BIGINT + 1)"
+
+  def size(l: String): String = if (spark) s"size($l)" else s"len($l)"
+
+  def arrMin(l: String): String = if (spark) s"array_min($l)" else s"list_min($l)"
+
+  /** 1-based slice of n elements starting at `start`. */
+  def slice(l: String, start: String, n: String): String =
+    if (spark) s"slice($l, $start, $n)"
+    else s"($l)[($start):(($start)+($n)-1)]"
+
+  /** Join array elements as strings (casts elements on the Spark side —
+    * concat_ws wants array<string>; DuckDB's array_to_string casts).
+    */
+  def strJoin(l: String, sep: String): String =
+    if (spark) s"concat_ws('$sep', transform($l, _v -> cast(_v as string)))"
+    else s"array_to_string($l, '$sep')"
+
+  def arrDistinct(l: String): String =
+    if (spark) s"array_distinct($l)" else s"list_distinct($l)"
+
+  def arrIntersect(a: String, b: String): String =
+    if (spark) s"array_intersect($a, $b)" else s"list_intersect($a, $b)"
+
+  def emptyStrArray: String =
+    if (spark) "cast(array() as array<string>)" else "[]::VARCHAR[]"
+
+  def shiftRight(e: String, i: String): String =
+    if (spark) s"shiftright($e, $i)" else s"(($e) >> ($i))"
+
+  def shiftLeft(e: String, i: String): String =
+    if (spark) s"shiftleft($e, $i)" else s"(($e) << ($i))"
+
+  def bxor(a: String, b: String): String =
+    if (spark) s"($a ^ $b)" else s"xor($a, $b)"   // DuckDB's ^ is POWER
+
+  def bitCount(e: String): String = s"bit_count($e)"
+
+  def longLit(v: Long): String =
+    if (spark) s"cast($v as bigint)" else s"$v::BIGINT"
+
+  def dblZero: String = if (spark) "cast(0 as double)" else "0.0::DOUBLE"
+
+  /** Replace ALL occurrences (DuckDB needs the 'g' flag). */
+  def regexReplaceAll(e: String, pat: String, rep: String): String =
+    if (spark) s"regexp_replace($e, '$pat', '$rep')"
+    else s"regexp_replace($e, '$pat', '$rep', 'g')"
+
+  def regexExtractAll(e: String, pat: String): String =
+    if (spark) s"regexp_extract_all($e, '$pat', 0)"
+    else s"regexp_extract_all($e, '$pat')"
+
+  /** 1-based element access. */
+  def idx(l: String, i: String): String =
+    if (spark) s"element_at($l, $i)" else s"list_extract($l, $i)"
+
+  def toDbl(e: String): String = s"CAST($e AS DOUBLE)"
+
+  // ---- composite fragments ----------------------------------------
+
+  /** k-token shingles joined by single spaces; empty when < k tokens. */
+  def shingles(toks: String, k: Int): String = {
+    val body =
+      if (spark) s"concat_ws(' ', ${slice(toks, "i", k.toString)})"
+      else s"array_to_string(${slice(toks, "i", k.toString)}, ' ')"
+    s"CASE WHEN ${size(toks)} < $k THEN $emptyStrArray ELSE " +
+      transform(rangeIncl("1", s"${size(toks)} - ${k - 1}"), "i", body) + " END"
+  }
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dot(a: String, b: String): String =
+    if (spark)
+      s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), $dblZero, (acc, v) -> acc + v)"
+    else
+      s"list_reduce(list_prepend($dblZero, list_transform(list_zip($a, $b), s -> (s[1]::DOUBLE) * (s[2]::DOUBLE))), (acc, v) -> acc + v)"
+
+  /** Sequential-fold squared L2 norm of a float array, in double. */
+  def norm2(a: String): String =
+    fold(transform(a, "x", if (spark) "cast(x as double) * cast(x as double)" else "(x::DOUBLE) * (x::DOUBLE)"),
+      dblZero, "acc", "v", "acc + v")
+
+  /** Cosine similarity — one division of two identically-derived doubles. */
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)}) / (sqrt(${norm2(a)}) * sqrt(${norm2(b)}))"
+}
+
+object PortableSql {
+  val Spark = SqlDialect(spark = true)
+  val Duck  = SqlDialect(spark = false)
+}

@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.{PortableSql, SqlDialect}
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline extension of the reference's dedup
+  * machinery (reference `pydala/io.py:242-259` keyed dedup,
+  * `pydala/dataset.py:2392-2488` global dedup).
+  *
+  * Every float output is produced by the SAME IEEE-754 op sequence on
+  * both engines (see [[graft.functions.SqlDialect]]); every hash is the
+  * portable md5-60-bit hash. That is what lets these "non-relational"
+  * ops still be DuckDB-oracle-checked bit-exactly.
+  *
+  * Scale notes (100 TB design):
+  *  - exact dedup = hash-groupBy: shuffles once on the digest, no
+  *    driver-side state.
+  *  - MinHash-LSH: per-doc work is a narrow map; candidate generation
+  *    shuffles (band-key) pairs only — never all-pairs. Band count
+  *    (8 bands × 2 rows of 16 minhashes) trades recall vs candidate
+  *    volume; at 100 TB you'd also salt very hot band keys.
+  *  - Jaccard verification joins only LSH candidates back to shingle
+  *    sets (two hash-join probes), so cost is O(candidates), not O(n²).
+  *  - SimHash uses explode + integer aggregation: associative integer
+  *    sums, no float order-dependence, map-side partial aggregation.
+  *  - The all-pairs q35 simhash-pair join is blocked by `lang`; at
+  *    scale you'd block by simhash band (rotate-and-sort) instead.
+  */
+object TextOps {
+
+  private val S = PortableSql.Spark
+  private val D = PortableSql.Duck
+
+  /** BPE-ish token pattern: letter runs, single digits, single
+    * non-alphanumerics. No backslash classes — identical semantics in
+    * Java regex and RE2.
+    */
+  private val BpePat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  private val StopList =
+    "('the','a','an','of','to','in','and','is','on','for')"
+
+  private val Markers: Seq[(String, String)] = Seq(
+    "en" -> "('the','a','is','and','of')",
+    "de" -> "('der','die','das','und','ist')",
+    "es" -> "('el','los','las','y','es')",
+    "fr" -> "('le','la','les','et','est')",
+    "zh" -> "('的','是','在','和','了')")
+
+  /** Identical-text formula on both engines → identical doubles. */
+  private val QualityFormula =
+    "0.35 * stop_ratio + 0.35 * (1.0 - punct_ratio) + " +
+      "0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 8.0 THEN 1.0 ELSE 0.0 END)"
+
+  /** Sum of token lengths. Folds over a pre-cast BIGINT list: DuckDB's
+    * list_reduce gets its init via list_prepend, which requires init
+    * and element types to unify.
+    */
+  private def tokenLenSum(d: SqlDialect): String = {
+    val lens = d.transform("toks", "t",
+      if (d.spark) "cast(length(t) as bigint)" else "length(t)::BIGINT")
+    d.fold(lens, d.longLit(0), "a", "c", "a + c")
+  }
+
+  private def predLangCase(s: String => String): String =
+    s"""CASE WHEN ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("es")} AND ${s("en")} >= ${s("fr")} AND ${s("en")} >= ${s("zh")} THEN 'en'
+       |     WHEN ${s("de")} >= ${s("es")} AND ${s("de")} >= ${s("fr")} AND ${s("de")} >= ${s("zh")} THEN 'de'
+       |     WHEN ${s("es")} >= ${s("fr")} AND ${s("es")} >= ${s("zh")} THEN 'es'
+       |     WHEN ${s("fr")} >= ${s("zh")} THEN 'fr'
+       |     ELSE 'zh' END""".stripMargin
+
+  // ---- shared fragment builders (dialect-paired) -------------------
+
+  private def fingerprint(d: SqlDialect, textE: String, maxLen: Option[Int]): String = {
+    val lenE = maxLen.map(m => s"least(length($textE), $m)").getOrElse(s"length($textE)")
+    val codes = d.transform(d.rangeIncl("1", lenE), "i", s"ascii(substr($textE, i, 1))")
+    val f = d.fold(codes, d.longLit(0), "a", "c", s"(a * 31 + c) % 1000000007")
+    s"CASE WHEN length($textE) = 0 THEN ${d.longLit(0)} ELSE $f END"
+  }
+
+  private def shingleSet(d: SqlDialect): String =
+    d.arrDistinct(d.shingles("toks", 3))
+
+  /** 16 portable minhashes over the distinct 3-shingle set `sh`. */
+  private def minhashes(d: SqlDialect): String =
+    d.transform(d.rangeIncl("0", "15"), "j",
+      d.arrMin(d.transform("sh", "s", d.hash64("concat(j, ':', s)"))))
+
+  /** 8 band keys (2 minhash rows each) with the band index embedded. */
+  private def bandKeys(d: SqlDialect): String =
+    d.transform(d.rangeIncl("0", "7"), "b",
+      s"concat(b, '|', ${d.strJoin(d.slice("mh", "b*2+1", "2"), ",")})")
+
+  private def docsWithToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("toks", expr(S.tokens("text")))
+
+  private val duckBase =
+    s"WITH base AS (SELECT doc_id, lang, text, ${D.tokens("text")} AS toks FROM documents)"
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    "q24_text_tokens" -> { (s, dir) =>
+      docsWithToks(s, dir).select(
+        col("doc_id"),
+        expr("size(toks)").cast("long").as("n_ws_tokens"),
+        expr(s"size(${S.regexExtractAll("text", BpePat)})").cast("long").as("n_bpe_tokens"),
+        expr(tokenLenSum(S)).as("sum_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword/punctuation/length signals.
+    "q25_text_quality" -> { (s, dir) =>
+      docsWithToks(s, dir)
+        .withColumn("n_tokens", expr("size(toks)").cast("long"))
+        .withColumn("sum_len", expr(tokenLenSum(S)))
+        .withColumn("stop_cnt", expr(s"size(${S.filterL("toks", "t", s"t IN $StopList")})").cast("long"))
+        .withColumn("punct_cnt",
+          expr(s"length(text) - length(${S.regexReplaceAll("text", "[.,!?;:]", "")})").cast("long"))
+        .withColumn("avg_token_len", expr("CAST(sum_len AS DOUBLE) / n_tokens"))
+        .withColumn("stop_ratio", expr("CAST(stop_cnt AS DOUBLE) / n_tokens"))
+        .withColumn("punct_ratio", expr("CAST(punct_cnt AS DOUBLE) / length(text)"))
+        .withColumn("quality_score", expr(QualityFormula))
+        .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio", "punct_ratio",
+          "quality_score")
+        .orderBy("doc_id")
+    },
+
+    // Language ID: marker-word scores with a deterministic argmax.
+    "q26_text_langid" -> { (s, dir) =>
+      val scored = Markers.foldLeft(docsWithToks(s, dir)) { case (df, (l, m)) =>
+        df.withColumn(s"s_$l",
+          expr(s"size(${S.filterL("toks", "t", s"t IN $m")})").cast("long"))
+      }
+      scored
+        .withColumn("pred_lang", expr(predLangCase(l => s"s_$l")))
+        .withColumn("is_match", expr("pred_lang = lang"))
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "s_zh", "pred_lang", "is_match")
+        .orderBy("doc_id")
+    },
+
+    // Rolling-hash document fingerprints (whole doc + 64-char prefix).
+    "q27_text_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr(fingerprint(S, "text", None)).as("fp"),
+        expr(fingerprint(S, "text", Some(64))).as("fp_prefix"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: one shuffle on the text digest.
+    "q28_dedup_exact" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(expr("md5(text)").as("h"))
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("rep_id")
+    },
+
+    // MinHash-LSH candidate pairs (the scale path: no all-pairs join).
+    "q29_minhash_lsh_pairs" -> { (s, dir) =>
+      val base = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 3"))
+        .withColumn("sh", expr(shingleSet(S)))
+        .withColumn("mh", expr(minhashes(S)))
+        .withColumn("bkeys", expr(bandKeys(S)))
+      val e = base.select(col("doc_id"), explode(col("bkeys")).as("bk"))
+      e.as("x").join(e.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Jaccard-scored dedup over LSH candidates: O(candidates), not O(n²).
+    "q30_dedup_jaccard" -> { (s, dir) =>
+      val base = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 3"))
+        .withColumn("sh", expr(shingleSet(S)))
+        .withColumn("mh", expr(minhashes(S)))
+        .withColumn("bkeys", expr(bandKeys(S)))
+      val e = base.select(col("doc_id"), explode(col("bkeys")).as("bk"))
+      val cand = e.as("x").join(e.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val shs = base.select(col("doc_id"), col("sh"))
+      cand
+        .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("n_inter", expr(s"size(${S.arrIntersect("sa.sh", "sb.sh")})").cast("long"))
+        .withColumn("n_union", expr("size(sa.sh) + size(sb.sh)").cast("long") - col("n_inter"))
+        .withColumn("jaccard", expr("CAST(n_inter AS DOUBLE) / n_union"))
+        .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Per-doc 32-bit SimHash via explode + integer aggregation
+    // (associative sums → deterministic, map-side combinable).
+    "q31_dedup_simhash" -> { (s, dir) =>
+      val tok = docsWithToks(s, dir).select(col("doc_id"), explode(col("toks")).as("t"))
+      val h = tok.select(col("doc_id"), expr(S.hash64("t")).as("h"))
+      val hv = h.select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 31)")).as("i"))
+      val v = hv.groupBy("doc_id", "i")
+        .agg(sum(expr(s"CASE WHEN (${S.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END")).as("v"))
+      v.groupBy("doc_id")
+        .agg(sum(expr(
+          s"CASE WHEN v > 0 THEN ${S.shiftLeft(S.longLit(1), "i")} ELSE ${S.longLit(0)} END"))
+          .cast("long").as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs (hamming ≤ 10), blocked by lang.
+    "q35_simhash_pairs" -> { (s, dir) =>
+      val tok = docsWithToks(s, dir)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+      val h = tok.select(col("doc_id"), col("lang"), expr(S.hash64("t")).as("h"))
+      val hv = h.select(col("doc_id"), col("lang"), col("h"),
+        explode(expr("sequence(0, 31)")).as("i"))
+      val v = hv.groupBy("doc_id", "lang", "i")
+        .agg(sum(expr(s"CASE WHEN (${S.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END")).as("v"))
+      val sim = v.groupBy("doc_id", "lang")
+        .agg(sum(expr(
+          s"CASE WHEN v > 0 THEN ${S.shiftLeft(S.longLit(1), "i")} ELSE ${S.longLit(0)} END"))
+          .cast("long").as("simhash"))
+      sim.as("a").join(sim.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          expr(s"CAST(${S.bitCount(S.bxor("a.simhash", "b.simhash"))} AS INT)"))
+        .filter(col("hamming") <= 10)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+
+  // ------------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q24_text_tokens" ->
+      s"""$duckBase
+         |SELECT doc_id,
+         | CAST(${D.size("toks")} AS BIGINT) AS n_ws_tokens,
+         | CAST(${D.size(D.regexExtractAll("text", BpePat))} AS BIGINT) AS n_bpe_tokens,
+         | CAST(${tokenLenSum(D)} AS BIGINT) AS sum_token_len
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q25_text_quality" ->
+      s"""$duckBase,
+         |m AS (
+         |  SELECT doc_id, text,
+         |    CAST(${D.size("toks")} AS BIGINT) AS n_tokens,
+         |    CAST(${tokenLenSum(D)} AS BIGINT) AS sum_len,
+         |    CAST(${D.size(D.filterL("toks", "t", s"t IN $StopList"))} AS BIGINT) AS stop_cnt,
+         |    CAST(length(text) - length(${D.regexReplaceAll("text", "[.,!?;:]", "")}) AS BIGINT) AS punct_cnt
+         |  FROM base),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+         |    CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+         |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio
+         |  FROM m)
+         |SELECT doc_id, n_tokens, avg_token_len, stop_ratio, punct_ratio,
+         | $QualityFormula AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q26_text_langid" -> {
+      val scoreCols = Markers.map { case (l, m) =>
+        s"CAST(${D.size(D.filterL("toks", "t", s"t IN $m"))} AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      s"""$duckBase,
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM base),
+         |p AS (
+         |  SELECT *, ${predLangCase(l => s"s_$l")} AS pred_lang FROM sc)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, pred_lang,
+         | pred_lang = lang AS is_match
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q27_text_fingerprint" ->
+      s"""SELECT doc_id,
+         | ${fingerprint(D, "text", None)} AS fp,
+         | ${fingerprint(D, "text", Some(64))} AS fp_prefix
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS rep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY rep_id""".stripMargin,
+
+    "q29_minhash_lsh_pairs" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q30_dedup_jaccard" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(${D.size(D.arrIntersect("sa.sh", "sb.sh"))} AS BIGINT) AS n_inter,
+         |    CAST(${D.size("sa.sh")} + ${D.size("sb.sh")} AS BIGINT) AS sz
+         |  FROM cand
+         |  JOIN f sa ON cand.doc_a = sa.doc_id
+         |  JOIN f sb ON cand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, n_inter, sz - n_inter AS n_union,
+         | CAST(n_inter AS DOUBLE) / (sz - n_inter) AS jaccard
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q31_dedup_simhash" ->
+      s"""$duckBase,
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+         |h AS (SELECT doc_id, ${D.hash64("t")} AS h FROM tok),
+         |hv AS (SELECT doc_id, h, i FROM h, (SELECT unnest(range(0, 32)) AS i) r),
+         |v AS (SELECT doc_id, i,
+         |        SUM(CASE WHEN (${D.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |      FROM hv GROUP BY doc_id, i)
+         |SELECT doc_id,
+         | CAST(SUM(CASE WHEN v > 0 THEN ${D.shiftLeft(D.longLit(1), "i")} ELSE ${D.longLit(0)} END) AS BIGINT) AS simhash
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q35_simhash_pairs" ->
+      s"""$duckBase,
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS t FROM base),
+         |h AS (SELECT doc_id, lang, ${D.hash64("t")} AS h FROM tok),
+         |hv AS (SELECT doc_id, lang, h, i FROM h, (SELECT unnest(range(0, 32)) AS i) r),
+         |v AS (SELECT doc_id, lang, i,
+         |        SUM(CASE WHEN (${D.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |      FROM hv GROUP BY doc_id, lang, i),
+         |sim AS (
+         |  SELECT doc_id, lang,
+         |    CAST(SUM(CASE WHEN v > 0 THEN ${D.shiftLeft(D.longLit(1), "i")} ELSE ${D.longLit(0)} END) AS BIGINT) AS simhash
+         |  FROM v GROUP BY doc_id, lang)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(${D.bitCount(D.bxor("a.simhash", "b.simhash"))} AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE ${D.bitCount(D.bxor("a.simhash", "b.simhash"))} <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}
