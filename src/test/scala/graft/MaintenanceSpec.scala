@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Maintenance
+import graft.sources._
+
+/** Pins the maintenance contract (reference
+  * tests/test_fsspeckit_maintenance.py): dry-run purity, compaction,
+  * repartition, dtype optimization, schema repair.
+  */
+class MaintenanceSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("compactByRows: merges small files; dry-run is pure") {
+    val dir = tmpDir("cmp")
+    val ds = new ParquetDataset(spark, dir)
+    (1 to 5).foreach { i =>
+      Seq((i, s"v$i")).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    }
+    assert(ds.files.size == 5)
+
+    val plan = Maintenance.compactByRows(ds, maxRowsPerFile = 1000, dryRun = true)
+    assert(plan.groups.size == 1 && plan.plannedFiles.size == 5)
+    assert(ds.files.size == 5) // dry run touched nothing
+
+    Maintenance.compactByRows(ds, maxRowsPerFile = 1000)
+    assert(ds.files.size == 1)
+    assert(ds.df.count() == 5)
+  }
+
+  test("compactPartitions: only multi-file small partitions rewrite; ordered") {
+    val dir = tmpDir("cmpp")
+    val ds = new ParquetDataset(spark, dir)
+    // partition a: two files; partition b: one file
+    Seq((3, "a"), (1, "a")).toDF("id", "cat").coalesce(1)
+      .write.partitionBy("cat").mode("append").parquet(dir)
+    Seq((2, "a")).toDF("id", "cat").coalesce(1)
+      .write.partitionBy("cat").mode("append").parquet(dir)
+    Seq((9, "b")).toDF("id", "cat").coalesce(1)
+      .write.partitionBy("cat").mode("append").parquet(dir)
+
+    val plan = Maintenance.compactPartitions(ds, maxRowsPerFile = 100,
+      sortBy = Seq(SortKey("id")))
+    assert(plan.groups.map(_.partition) == Seq("cat=a"))
+    val aFiles = ds.files.filter(_.contains("cat=a"))
+    assert(aFiles.size == 1)
+    // ordered rewrite: rows inside the compacted file are sorted
+    val ids = spark.read.parquet(aFiles.head).select("id").collect().map(_.getInt(0))
+    assert(ids.toSeq == Seq(1, 2, 3))
+    assert(ds.files.count(_.contains("cat=b")) == 1)
+  }
+
+  test("repartition: rewrite into a new hive layout with dateparts") {
+    val dir = tmpDir("rep")
+    val ds = new ParquetDataset(spark, dir)
+    Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+      (2, java.sql.Timestamp.valueOf("2024-02-20 00:00:00")))
+      .toDF("id", "ts").write.mode("append").parquet(dir)
+
+    Maintenance.repartition(ds, partitionBy = Seq("year", "month"),
+      datepartsFrom = Some("ts"), dateparts = Seq("year", "month"))
+    assert(ds.partitionColumns == Seq("year", "month"))
+    assert(ds.relFiles.exists(_.startsWith("year=2024/month=1/")))
+    assert(ds.relFiles.exists(_.startsWith("year=2024/month=2/")))
+    assert(ds.df.count() == 2)
+  }
+
+  test("optimizeDtypes: narrows types; dry-run returns plan only") {
+    val dir = tmpDir("opt")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1L, "42"), (2L, "7")).toDF("n", "s").write.mode("append").parquet(dir)
+
+    val plan = Maintenance.optimizeDtypes(ds, dryRun = true)
+    assert(plan.changes.map(c => c.column -> c.to).toMap ==
+      Map("n" -> "tinyint", "s" -> "tinyint"))
+    assert(ds.df.schema("n").dataType == LongType) // untouched
+
+    Maintenance.optimizeDtypes(ds)
+    val sch = ds.df.schema
+    assert(sch("n").dataType == ByteType && sch("s").dataType == ByteType)
+    assert(ds.df.count() == 2)
+  }
+
+  test("repairSchema: divergent files rewritten to the unified schema") {
+    val dir = tmpDir("rep2")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1, 1.5f)).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    Seq((2L, 2.5)).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+
+    val plan = Maintenance.repairSchema(ds, dryRun = true)
+    assert(plan.candidates.size == 1) // the (int,float) file diverges from (long,double)
+    Maintenance.repairSchema(ds)
+    val sch = spark.read.option("mergeSchema", "true").parquet(dir).schema
+    assert(sch("id").dataType == LongType && sch("v").dataType == DoubleType)
+    assert(ds.df.count() == 2)
+  }
+
+  test("vacuum removes data files and sidecar") {
+    val dir = tmpDir("vac")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    ds.updateStats()
+    assert(ds.stats.nonEmpty)
+    ds.vacuum()
+    assert(ds.isEmpty && ds.stats.isEmpty)
+  }
+
+  test("stats update reconciles added and removed files") {
+    val dir = tmpDir("recon")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1, "a")).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    ds.updateStats()
+    Seq((2, "b")).toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+    val first = ds.files.head
+    ds.updateStats()
+    assert(ds.stats.get.select("file_path").distinct().count() == 2)
+    FsUtil.delete(dir, Seq(first))
+    ds.updateStats()
+    assert(ds.stats.get.select("file_path").distinct().count() == 1)
+    // empty dataset removes the stale sidecar
+    FsUtil.delete(dir, ds.files)
+    ds.updateStats()
+    assert(ds.stats.isEmpty)
+  }
+
+  test("interval parsing") {
+    assert(Maintenance.parseInterval("1d") == 86400000000L)
+    assert(Maintenance.parseInterval("6h") == 6L * 3600000000L)
+  }
+}
