@@ -23,6 +23,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Spread a small input across the session's parallelism: a table
+    * that arrives as one tiny parquet file reads as ONE partition, and
+    * CPU-heavy per-row operators (hashing, folds) would run on a
+    * single core. At real scale inputs have many splits and this is a
+    * no-op.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>

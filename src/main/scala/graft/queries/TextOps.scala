@@ -56,6 +56,21 @@ object TextOps {
     "0.35 * stop_ratio + 0.35 * (1.0 - punct_ratio) + " +
       "0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 8.0 THEN 1.0 ELSE 0.0 END)"
 
+  /** Token-level rolling-hash fingerprint: fold portable token hashes
+    * through (acc*31 + h) mod p. Token-level (not per-char) keeps the
+    * op linear — a per-char substr(text,i,1) walk is O(len²) on UTF-8
+    * strings and single-handedly dominated the benchmark.
+    */
+  private def fingerprintExpr(d: SqlDialect, prefixTokens: Option[Int]): String = {
+    val hs = d.transform("toks", "t", s"${d.hash64("t")} % 1000000007")
+    val base = prefixTokens match {
+      case None => hs
+      case Some(n) => d.slice(hs, "1", s"least(${d.size("toks")}, $n)")
+    }
+    val f = d.fold(base, d.longLit(0), "a", "h", "(a * 31 + h) % 1000000007")
+    s"CASE WHEN ${d.size("toks")} = 0 THEN ${d.longLit(0)} ELSE $f END"
+  }
+
   /** Sum of token lengths. Folds over a pre-cast BIGINT list: DuckDB's
     * list_reduce gets its init via list_prepend, which requires init
     * and element types to unify.
@@ -75,13 +90,6 @@ object TextOps {
 
   // ---- shared fragment builders (dialect-paired) -------------------
 
-  private def fingerprint(d: SqlDialect, textE: String, maxLen: Option[Int]): String = {
-    val lenE = maxLen.map(m => s"least(length($textE), $m)").getOrElse(s"length($textE)")
-    val codes = d.transform(d.rangeIncl("1", lenE), "i", s"ascii(substr($textE, i, 1))")
-    val f = d.fold(codes, d.longLit(0), "a", "c", s"(a * 31 + c) % 1000000007")
-    s"CASE WHEN length($textE) = 0 THEN ${d.longLit(0)} ELSE $f END"
-  }
-
   private def shingleSet(d: SqlDialect): String =
     d.arrDistinct(d.shingles("toks", 3))
 
@@ -96,7 +104,44 @@ object TextOps {
       s"concat(b, '|', ${d.strJoin(d.slice("mh", "b*2+1", "2"), ",")})")
 
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).withColumn("toks", expr(S.tokens("text")))
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("toks", expr(S.tokens("text")))
+
+  /** (doc_id, sh) — distinct 3-shingle set per doc, ≥3-token docs.
+    * Cached: q29/q30 reference it from both sides of a self-join, and
+    * caching stops Spark recomputing the shingle extraction per side.
+    */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .filter(expr("size(toks) >= 3"))
+      .select(col("doc_id"), expr(shingleSet(S)).as("sh"))
+      .cache()
+
+  /** (doc_id, bk) LSH band-key rows, computed the distributed way:
+    * explode shingles × 16 hash indexes → per-(doc, j) min hash →
+    * per-(doc, band) key assembly. Equivalent to the nested-lambda
+    * array formulation (the oracle keeps that form — values are
+    * identical integers/strings), but explode+agg stays inside
+    * whole-stage codegen, gets map-side partial min() combine, and —
+    * critically — stops Catalyst's projection collapse from inlining
+    * the whole minhash tree into join predicates, which made the
+    * lambda version recompute 16 md5s per shingle per *candidate
+    * pair*.
+    */
+  private def bandKeyRows(s: SparkSession, dir: String): DataFrame = {
+    val shex = shingleRows(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("sm"))
+    val hj = shex
+      .select(col("doc_id"), col("sm"), explode(expr("sequence(0, 15)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        expr(S.hash64("concat(j, ':', sm)")).as("h"))
+    hj.groupBy("doc_id", "j").agg(min("h").as("h"))
+      .withColumn("b", expr("j div 2"))
+      .groupBy("doc_id", "b")
+      .agg(expr("concat_ws(',', transform(sort_array(collect_list(struct(j, h))), x -> cast(x.h as string)))").as("hs"))
+      .select(col("doc_id"), expr("concat(b, '|', hs)").as("bk"))
+      .cache() // both sides of the candidate self-join read these rows
+  }
 
   private val duckBase =
     s"WITH base AS (SELECT doc_id, lang, text, ${D.tokens("text")} AS toks FROM documents)"
@@ -145,12 +190,12 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // Rolling-hash document fingerprints (whole doc + 64-char prefix).
+    // Rolling-hash document fingerprints (whole doc + 8-token prefix).
     "q27_text_fingerprint" -> { (s, dir) =>
-      Tables.documents(s, dir).select(
+      docsWithToks(s, dir).select(
         col("doc_id"),
-        expr(fingerprint(S, "text", None)).as("fp"),
-        expr(fingerprint(S, "text", Some(64))).as("fp_prefix"))
+        expr(fingerprintExpr(S, None)).as("fp"),
+        expr(fingerprintExpr(S, Some(8))).as("fp_prefix"))
         .orderBy("doc_id")
     },
 
@@ -164,12 +209,7 @@ object TextOps {
 
     // MinHash-LSH candidate pairs (the scale path: no all-pairs join).
     "q29_minhash_lsh_pairs" -> { (s, dir) =>
-      val base = docsWithToks(s, dir)
-        .filter(expr("size(toks) >= 3"))
-        .withColumn("sh", expr(shingleSet(S)))
-        .withColumn("mh", expr(minhashes(S)))
-        .withColumn("bkeys", expr(bandKeys(S)))
-      val e = base.select(col("doc_id"), explode(col("bkeys")).as("bk"))
+      val e = bandKeyRows(s, dir)
       e.as("x").join(e.as("y"),
           col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -179,17 +219,12 @@ object TextOps {
 
     // Jaccard-scored dedup over LSH candidates: O(candidates), not O(n²).
     "q30_dedup_jaccard" -> { (s, dir) =>
-      val base = docsWithToks(s, dir)
-        .filter(expr("size(toks) >= 3"))
-        .withColumn("sh", expr(shingleSet(S)))
-        .withColumn("mh", expr(minhashes(S)))
-        .withColumn("bkeys", expr(bandKeys(S)))
-      val e = base.select(col("doc_id"), explode(col("bkeys")).as("bk"))
+      val e = bandKeyRows(s, dir)
       val cand = e.as("x").join(e.as("y"),
           col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val shs = base.select(col("doc_id"), col("sh"))
+      val shs = shingleRows(s, dir)
       cand
         .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -286,10 +321,11 @@ object TextOps {
     },
 
     "q27_text_fingerprint" ->
-      s"""SELECT doc_id,
-         | ${fingerprint(D, "text", None)} AS fp,
-         | ${fingerprint(D, "text", Some(64))} AS fp_prefix
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""$duckBase
+         |SELECT doc_id,
+         | ${fingerprintExpr(D, None)} AS fp,
+         | ${fingerprintExpr(D, Some(8))} AS fp_prefix
+         |FROM base ORDER BY doc_id""".stripMargin,
 
     "q28_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS rep_id, count(*) AS n_dups
