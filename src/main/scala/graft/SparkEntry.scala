@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Relational, TextOps, VectorOps}
+import graft.queries.{Events, Relational, Relational2, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,10 @@ object SparkEntry {
     queries("q05_local_supplier_volume")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ TextOps.queries ++ VectorOps.queries
+    Relational.queries ++ Relational2.queries ++ Events.queries ++
+      TextOps.queries ++ VectorOps.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ TextOps.oracles ++ VectorOps.oracles
+    Relational.oracles ++ Relational2.oracles ++ Events.oracles ++
+      TextOps.oracles ++ VectorOps.oracles
 }
