@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.functions.{PortableSql, SqlDialect}
+import graft.functions.{PortableSql, SqlDialect, VectorExpressions}
 
 /** Similarity search + embedding near-dup over the `embeddings` table
   * (64-dim float vectors).
@@ -71,12 +71,20 @@ object VectorOps {
     }.mkString(" + ") + " AS INT)"
 
   /** Embeddings with sqrt(L2-norm) precomputed once per row; cached —
-    * every similarity query reads it from both join sides.
+    * every similarity query reads it from both join sides. The norm
+    * and the per-pair dot use the codegen'd
+    * [[graft.functions.DotProductFloat]] expression (bit-identical to
+    * the HOF fold, ~an order of magnitude faster per pair).
     */
   private def withNorm(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(s, dir))
-      .withColumn("nrm", expr(s"sqrt(${S.norm2("embedding")})"))
+      .withColumn("nrm", VectorExpressions.norm(col("embedding")))
       .cache()
+
+  /** Codegen'd cosine between the two sides of an aliased self-join. */
+  private def cosCol: org.apache.spark.sql.Column =
+    VectorExpressions.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -90,7 +98,7 @@ object VectorOps {
         .select(
           col("a.vec_id").as("vec_a"),
           col("b.vec_id").as("vec_b"),
-          expr(s"(${S.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)").as("cos"))
+          cosCol.as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("vec_a", "vec_b")
     },
@@ -103,7 +111,7 @@ object VectorOps {
         .select(
           col("a.vec_id").as("qid"),
           col("b.vec_id").as("nb"),
-          expr(s"(${S.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)").as("cos"))
+          cosCol.as("cos"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
       j.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
@@ -122,7 +130,7 @@ object VectorOps {
         .select(
           col("a.vec_id").as("qid"),
           col("b.vec_id").as("nb"),
-          expr(s"(${S.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)").as("cos"))
+          cosCol.as("cos"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
       j.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)

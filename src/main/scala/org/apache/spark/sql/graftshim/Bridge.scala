@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made these converters
+  * `private[sql]`; a shim package under org.apache.spark.sql is the
+  * standard way for libraries to attach custom Catalyst expressions
+  * to the public Column API without a session-extension hook.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
