@@ -86,7 +86,71 @@ object VectorOps {
     VectorExpressions.dot(col("a.embedding"), col("b.embedding")) /
       (col("a.nrm") * col("b.nrm"))
 
+  /** Per-(label, pos) centroid means, order-free bit-exact: values
+    * are collected SORTED by vec_id and summed by a sequential fold,
+    * then divided once by the count — Spark's aggregation order no
+    * longer matters, so the oracle can reproduce the exact double.
+    */
+  private def centroidRows(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        (expr("aggregate(transform(sort_array(collect_list(struct(vec_id, v))), x -> cast(x.v as double)), cast(0 as double), (acc, x) -> acc + x)")
+          / count(lit(1))).as("c"))
+
+  /** (label, cvec: array<double>, cnrm) centroid vectors. */
+  private def centroidVecs(s: SparkSession, dir: String): DataFrame =
+    centroidRows(s, dir)
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+      .withColumn("cnrm", expr(
+        "sqrt(aggregate(transform(cvec, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"))
+      .cache()
+
+  /** dot(float vec, double centroid) with the portable op sequence. */
+  private def mixedCos: org.apache.spark.sql.Column =
+    expr("aggregate(zip_with(embedding, cvec, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)") /
+      (col("nrm") * col("cnrm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // IVF centroid construction: per-label mean vectors (the coarse
+    // quantizer a production IVF index trains with k-means; here the
+    // label IS the cell assignment, so means are exact and
+    // oracle-checkable).
+    "q46_label_centroids" -> { (s, dir) =>
+      centroidRows(s, dir)
+        .select(col("label"), col("pos"), col("c"))
+        .orderBy("label", "pos")
+    },
+
+    // IVF search: assign each query to its nearest centroid cell by
+    // cosine, then exact top-k only within that cell — the two-stage
+    // coarse→fine ANN shape. At 100 TB the cell search is a hash join
+    // on the cell id; only ~1/cells of the corpus is scanned.
+    "q47_embed_ivf_knn" -> { (s, dir) =>
+      val e = withNorm(s, dir)
+      val cents = centroidVecs(s, dir).withColumnRenamed("label", "clabel")
+      val q = e.filter(col("vec_id") < 20)
+      val assign = q.crossJoin(cents)
+        .withColumn("ccos", mixedCos)
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel").asc)))
+        .filter(col("crk") === 1)
+        .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+      val j = q.as("a")
+        .join(assign, col("a.vec_id") === col("qid"))
+        .join(e.as("b"),
+          col("b.label") === col("cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("qid"), col("b.vec_id").as("nb"), cosCol.as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
+      j.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "nb", "cos")
+        .orderBy("qid", "rank")
+    },
 
     // Embedding near-duplicate pairs (cosine ≥ 0.4). All-pairs is the
     // exact baseline; the LSH bucketing (q34) is the scale path.
@@ -139,7 +203,59 @@ object VectorOps {
     }
   )
 
+  /** Shared oracle CTE text for centroid construction (0-based pos to
+    * match Spark's posexplode).
+    */
+  private val duckCentroids =
+    s"""ex AS (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+       |         unnest(embedding) AS v
+       |  FROM embeddings),
+       |cmeans AS (
+       |  SELECT label, pos,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(v ORDER BY vec_id), x -> x::DOUBLE)), (acc, x) -> acc + x) / COUNT(*) AS c
+       |  FROM ex GROUP BY label, pos)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q46_label_centroids" ->
+      s"""WITH $duckCentroids
+         |SELECT label, CAST(pos AS INT) AS pos, c
+         |FROM cmeans ORDER BY label, pos""".stripMargin,
+
+    "q47_embed_ivf_knn" ->
+      s"""WITH $duckCentroids,
+         |cv AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY label),
+         |cv2 AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cv),
+         |e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${D.norm2("embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |asg AS (
+         |  SELECT vec_id AS qid, label AS cell FROM (
+         |    SELECT q.vec_id, cv2.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(q.embedding, cv2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |          / (q.nrm * cv2.cnrm)) DESC, cv2.label ASC) AS crk
+         |    FROM q, cv2) t
+         |  WHERE crk = 1),
+         |j AS (
+         |  SELECT asg.qid, b.vec_id AS nb,
+         |    (${D.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  FROM q a
+         |  JOIN asg ON a.vec_id = asg.qid
+         |  JOIN e b ON b.label = asg.cell AND a.vec_id != b.vec_id),
+         |r AS (
+         |  SELECT qid, nb, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC) AS rank
+         |  FROM j)
+         |SELECT qid, rank, nb, cos FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
     "q32_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          | ${D.cosine("a.embedding", "b.embedding")} AS cos
