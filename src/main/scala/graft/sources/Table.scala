@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin table handle preserving the reference's PydalaTable semantics
+  * (reference pydala/table.py:15-51): a unified lazy relation with
+  * sort / distinct / limit / select / filter helpers. The reference's
+  * backend conversions (to_polars / to_duckdb / to_arrow) all collapse
+  * into the one `DataFrame`; `collect`/`toLocalIterator` are the
+  * eager exports.
+  */
+final case class Table(df: DataFrame) {
+
+  def select(cols: String*): Table = Table(df.select(cols.map(col): _*))
+
+  /** SQL-string filter through Catalyst (sanitized). */
+  def filter(sql: String): Table = Table(df.filter(Sanitize(sql)))
+
+  /** "a desc, b" style sort, nulls last (pydala/dataset.py:111-113). */
+  def sort(spec: String): Table =
+    Table(df.orderBy(SortKey.parse(spec).map(_.toColumn): _*))
+
+  /** DISTINCT is applied BEFORE any ORDER BY the caller adds next —
+    * the reference pins this ordering guarantee
+    * (pydala/table.py:503-513).
+    */
+  def distinct(): Table = Table(df.dropDuplicates())
+
+  def distinct(subset: Seq[String]): Table = Table(df.dropDuplicates(subset))
+
+  def limit(n: Int): Table = Table(df.limit(n))
+
+  def count(): Long = df.count()
+
+  def collect(): Array[Row] = df.collect()
+
+  /** Incremental batch reader (reference to_batch_reader,
+    * pydala/table.py:538-589): a pull-based iterator that fetches one
+    * partition at a time — no full materialization on the driver.
+    */
+  def batchIterator(): Iterator[Row] = df.toLocalIterator().asScala
+
+  private implicit class JIter[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}
+
+/** CSV dataset (reference CSVDataset, pydala/dataset.py:2656-2700). */
+final class CsvDataset(val spark: SparkSession, val path: String,
+                       header: Boolean = true, inferSchema: Boolean = true) {
+  def df: DataFrame = spark.read
+    .option("header", header.toString)
+    .option("inferSchema", inferSchema.toString)
+    .csv(path)
+  def table: Table = Table(df)
+  /** Convert in place to a managed parquet dataset. */
+  def toParquet(dest: String, cfg: WriteConfig = WriteConfig()): ParquetDataset = {
+    WritePipeline.write(df, dest, cfg)
+    new ParquetDataset(spark, dest)
+  }
+}
+
+/** JSON dataset with optional dtype optimization on load (reference
+  * JSONDataset.load, pydala/dataset.py:2750-2774).
+  */
+final class JsonDataset(val spark: SparkSession, val path: String,
+                        optimizeDtypes: Boolean = false) {
+  def df: DataFrame = {
+    val raw = spark.read.json(path)
+    if (!optimizeDtypes) raw
+    else {
+      val prop = graft.functions.SchemaOps.optDtype(raw)
+      prop.foldLeft(raw) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+    }
+  }
+  def table: Table = Table(df)
+}

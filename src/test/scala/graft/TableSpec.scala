@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import graft.sources.{CsvDataset, JsonDataset, Table}
+
+/** Pins the Table/CSV/JSON surface (reference pydala/table.py,
+  * pydala/dataset.py:2656-2774).
+  */
+class TableSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("sort/filter/select/limit/distinct chain") {
+    val t = Table(Seq((3, "c"), (1, "a"), (2, "b"), (1, "a")).toDF("id", "v"))
+    val out = t.distinct().filter("id >= 1").sort("id desc").select("id", "v")
+      .limit(2).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((3, "c"), (2, "b")))
+    assert(t.distinct().count() == 3)
+  }
+
+  test("batch iterator streams without driver materialization") {
+    val t = Table((1 to 100).toDF("n"))
+    assert(t.batchIterator().map(_.getInt(0)).sum == 5050)
+  }
+
+  test("csv dataset reads with header + schema inference, converts to parquet") {
+    val dir = tmpDir("csv")
+    Files.writeString(Paths.get(s"$dir/data.csv"), "id,name,score\n1,a,1.5\n2,b,2.5\n")
+    val ds = new CsvDataset(spark, s"$dir/data.csv")
+    assert(ds.df.schema("id").dataType == IntegerType)
+    assert(ds.df.count() == 2)
+    val pq = ds.toParquet(tmpDir("csvpq"))
+    assert(pq.df.count() == 2)
+  }
+
+  test("json dataset with dtype optimization narrows numeric strings") {
+    val dir = tmpDir("json")
+    Files.writeString(Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": "42"}
+        |{"id": 2, "v": "7"}
+        |""".stripMargin)
+    val plain = new JsonDataset(spark, s"$dir/data.json")
+    assert(plain.df.schema("v").dataType == StringType)
+    val opt = new JsonDataset(spark, s"$dir/data.json", optimizeDtypes = true)
+    assert(opt.df.schema("v").dataType == ByteType)
+    assert(opt.df.select("v").collect().map(_.getByte(0)).sorted.toSeq == Seq(7, 42))
+  }
+}
