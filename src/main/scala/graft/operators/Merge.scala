@@ -84,10 +84,29 @@ object Merge {
       .drop("__ord", "__rn")
   }
 
+  /** The reference's delta pre-filter (_get_delta_other_df,
+    * pydala/dataset.py:808-863): bound the target's key read with
+    * `key BETWEEN src.min AND src.max OR key IS NULL` range predicates
+    * from the source — at scale this prunes target row groups before
+    * the anti-join probe even runs (the ranges push down to parquet).
+    */
+  private def deltaPrefilter(src: DataFrame, tgt: DataFrame,
+                             ks: Seq[String]): DataFrame = {
+    val aggs = ks.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    ks.zipWithIndex.foldLeft(tgt) { case (t, (k, i)) =>
+      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      if (mn == null || mx == null) t
+      else t.filter(col(k).isNull || col(k).between(lit(mn), lit(mx)))
+    }
+  }
+
   private def doInsert(ds: ParquetDataset, src: DataFrame,
                        ks: Seq[String], partCols: Seq[String]): MergeResult = {
-    // rename target keys so the join condition is unambiguous
-    val tgtKeys = ds.df.select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
+    // rename target keys so the join condition is unambiguous; the
+    // target read is range-bounded by the source's key min/max
+    val tgtKeys = deltaPrefilter(src, ds.df, ks)
+      .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
     val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
     val newRows = src.join(tgtKeys, cond, "left_anti").cache()
     val inserted = newRows.count()
