@@ -26,6 +26,19 @@ final case class SqlDialect(spark: Boolean) {
     if (spark) s"cast(conv(substr(md5($e),1,15),16,10) as bigint)"
     else s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
 
+  /** 60-bit lane of an already-computed md5 HEX STRING, starting at
+    * 1-based hex offset `off` (an SQL expression evaluating to 1 or
+    * 16) — one digest carries two independent lanes, halving md5
+    * calls on hot paths.
+    */
+  def hash64At(md5Hex: String, off: String): String =
+    if (spark) s"cast(conv(substr($md5Hex,$off,15),16,10) as bigint)"
+    else s"CAST(('0x' || substr($md5Hex,$off,15)) AS BIGINT)"
+
+  /** Integer division. */
+  def intDiv(a: String, b: String): String =
+    if (spark) s"($a div $b)" else s"($a // $b)"
+
   /** Whitespace tokens of a string column, empties dropped. */
   def tokens(c: String): String =
     if (spark) s"filter(split(trim($c), '\\\\s+'), t -> t != '')"

@@ -93,10 +93,14 @@ object TextOps {
   private def shingleSet(d: SqlDialect): String =
     d.arrDistinct(d.shingles("toks", 3))
 
-  /** 16 portable minhashes over the distinct 3-shingle set `sh`. */
+  /** 16 portable minhashes over the distinct 3-shingle set `sh`: hash
+    * j lives in lane j%2 of md5(j/2 ':' shingle) — two minhashes per
+    * digest, so 8 md5 calls per shingle instead of 16.
+    */
   private def minhashes(d: SqlDialect): String =
     d.transform(d.rangeIncl("0", "15"), "j",
-      d.arrMin(d.transform("sh", "s", d.hash64("concat(j, ':', s)"))))
+      d.arrMin(d.transform("sh", "s",
+        d.hash64At(s"md5(concat(${d.intDiv("j", "2")}, ':', s))", "1 + 15 * (j % 2)"))))
 
   /** 8 band keys (2 minhash rows each) with the band index embedded. */
   private def bandKeys(d: SqlDialect): String =
@@ -131,10 +135,15 @@ object TextOps {
   private def bandKeyRows(s: SparkSession, dir: String): DataFrame = {
     val shex = shingleRows(s, dir)
       .select(col("doc_id"), explode(col("sh")).as("sm"))
+    // one md5 per (shingle, digest-group g); lane split yields hashes
+    // j=2g and j=2g+1 — md5 is the dominant cost, so this halves it
     val hj = shex
-      .select(col("doc_id"), col("sm"), explode(expr("sequence(0, 15)")).as("j"))
-      .select(col("doc_id"), col("j"),
-        expr(S.hash64("concat(j, ':', sm)")).as("h"))
+      .select(col("doc_id"), col("sm"), explode(expr("sequence(0, 7)")).as("g"))
+      .select(col("doc_id"), col("g"), expr("md5(concat(g, ':', sm))").as("m"))
+      .select(col("doc_id"), explode(expr(
+        s"array(named_struct('j', g * 2, 'h', ${S.hash64At("m", "1")}), " +
+          s"named_struct('j', g * 2 + 1, 'h', ${S.hash64At("m", "16")}))")).as("jh"))
+      .select(col("doc_id"), col("jh.j").as("j"), col("jh.h").as("h"))
     hj.groupBy("doc_id", "j").agg(min("h").as("h"))
       .withColumn("b", expr("j div 2"))
       .groupBy("doc_id", "b")
