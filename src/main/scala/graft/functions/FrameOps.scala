@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+/** DataFrame helpers mirroring the reference's public polars helper
+  * re-exports (pydala/helpers/polars.py:2-15, pinned by
+  * tests/test_helpers_contract.py:89-227): drop_null_columns,
+  * explode_all, unnest_all, with_row_count, with_strftime_columns,
+  * with_truncated_columns. (cast_relaxed = SchemaOps.align, delta =
+  * left_anti join in Merge, opt_dtype = SchemaOps.optDtype,
+  * unify_schemas = SchemaOps.unify, partition_by = WritePipeline.)
+  */
+object FrameOps {
+
+  /** Drop columns whose values are ALL null — one aggregate pass. */
+  def dropNullColumns(df: DataFrame): DataFrame = {
+    if (df.columns.isEmpty) return df
+    val counts = df.select(df.columns.toSeq.map(c => count(col(c)).as(c)): _*).collect()(0)
+    val keep = df.columns.toSeq.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) > 0 => c
+    }
+    if (keep.size == df.columns.length) df else df.select(keep.map(col): _*)
+  }
+
+  /** Explode every top-level array column (sequentially — each explode
+    * multiplies rows like the reference's explode_all).
+    */
+  def explodeAll(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: ArrayType => d.withColumn(f.name, explode_outer(col(f.name)))
+        case _ => d
+      }
+    }
+
+  /** Recursively flatten struct columns to `parent_child` columns. */
+  def unnestAll(df: DataFrame, sep: String = "_"): DataFrame = {
+    def cols(prefix: String, alias: String, t: StructType): Seq[Column] =
+      t.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) s"`${f.name}`" else s"$prefix.`${f.name}`"
+        val name = if (alias.isEmpty) f.name else s"$alias$sep${f.name}"
+        f.dataType match {
+          case s: StructType => cols(path, name, s)
+          case _ => Seq(col(path).as(name))
+        }
+      }
+    val flat = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: StructType => cols(s"`${f.name}`", f.name, s)
+        case _ => Seq(col(s"`${f.name}`"))
+      }
+    }
+    if (df.schema.fields.exists(_.dataType.isInstanceOf[StructType]))
+      df.select(flat: _*)
+    else df
+  }
+
+  /** Add a deterministic 0-based row count in the order of `orderBy`
+    * (the reference's with_row_count; an explicit order key keeps it
+    * reproducible on a cluster).
+    */
+  def withRowCount(df: DataFrame, orderBy: Seq[String],
+                   name: String = "row_nr"): DataFrame = {
+    val w = Window.orderBy(orderBy.map(col): _*)
+    df.withColumn(name, row_number().over(w) - 1)
+  }
+
+  /** Derive formatted-string columns from a timestamp column
+    * (with_strftime_columns). Formats use Spark datetime patterns.
+    */
+  def withStrftimeColumns(df: DataFrame, tsCol: String,
+                          formats: Map[String, String]): DataFrame =
+    formats.foldLeft(df) { case (d, (name, fmt)) =>
+      d.withColumn(name, date_format(col(tsCol), fmt))
+    }
+
+  /** Derive truncated-timestamp columns (with_truncated_columns):
+    * units like "year"/"month"/"day"/"hour".
+    */
+  def withTruncatedColumns(df: DataFrame, tsCol: String,
+                           units: Seq[String]): DataFrame =
+    units.foldLeft(df) { (d, u) =>
+      d.withColumn(s"${tsCol}_$u", date_trunc(u, col(tsCol)))
+    }
+}
