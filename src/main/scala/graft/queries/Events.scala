@@ -69,6 +69,24 @@ object Events {
         .orderBy("hour_ts", "event_type")
     },
 
+    // Funnel: per user, first click followed by a purchase within 1h;
+    // count conversions and report the (integer-µs) time-to-convert.
+    "q49_event_funnel" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("tsu", expr("unix_micros(ts)"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("tsu").as("first_click"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu").as("buy_ts"))
+      clicks.join(buys, Seq("user_id"))
+        .filter(col("buy_ts") >= col("first_click") &&
+          col("buy_ts") - col("first_click") <= 3600000000L)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases_1h"),
+          (min("buy_ts") - min("first_click")).as("first_convert_us"))
+        .orderBy("user_id")
+    },
+
     // JSON property extraction from the string `props` column.
     "q23_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -120,6 +138,22 @@ object Events {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q49_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
+        |), clicks AS (
+        |  SELECT user_id, MIN(tsu) AS first_click FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id
+        |), buys AS (
+        |  SELECT user_id, tsu AS buy_ts FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, COUNT(*) AS n_purchases_1h,
+        |  MIN(b.buy_ts) - MIN(c.first_click) AS first_convert_us
+        |FROM clicks c JOIN buys b ON c.user_id = b.user_id
+        |WHERE b.buy_ts >= c.first_click AND b.buy_ts - c.first_click <= 3600000000
+        |GROUP BY c.user_id
+        |ORDER BY c.user_id""".stripMargin,
 
     "q23_json_extract" ->
       """SELECT event_id,

@@ -260,6 +260,20 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Top-20 bigrams per language: explode 2-shingles → count →
+    // windowed top-k. Integer counts; rank ties break on the bigram.
+    "q48_ngram_topk" -> { (s, dir) =>
+      val bi = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 2"))
+        .select(col("lang"), explode(expr(S.shingles("toks", 2))).as("bigram"))
+      val counts = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select("lang", "rk", "bigram", "n")
+        .orderBy("lang", "rk")
+    },
+
     // SimHash near-dup pairs (hamming ≤ 10), blocked by lang.
     "q35_simhash_pairs" -> { (s, dir) =>
       val tok = docsWithToks(s, dir)
@@ -379,6 +393,19 @@ object TextOps {
          |SELECT doc_id,
          | CAST(SUM(CASE WHEN v > 0 THEN ${D.shiftLeft(D.longLit(1), "i")} ELSE ${D.longLit(0)} END) AS BIGINT) AS simhash
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q48_ngram_topk" ->
+      s"""$duckBase,
+         |bi AS (
+         |  SELECT lang, unnest(${D.shingles("toks", 2)}) AS bigram
+         |  FROM base WHERE ${D.size("toks")} >= 2),
+         |c AS (SELECT lang, bigram, COUNT(*) AS n FROM bi GROUP BY lang, bigram),
+         |r AS (
+         |  SELECT lang, bigram, n,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rk
+         |  FROM c)
+         |SELECT lang, rk, bigram, n FROM r WHERE rk <= 20
+         |ORDER BY lang, rk""".stripMargin,
 
     "q35_simhash_pairs" ->
       s"""$duckBase,

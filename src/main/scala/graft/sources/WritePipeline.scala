@@ -48,7 +48,12 @@ final case class WriteConfig(
     datepartsFrom: Option[String] = None,
     dateparts: Seq[String] = Nil,
     maxRowsPerFile: Long = 10000000L,
-    compression: String = "zstd")
+    compression: String = "zstd",
+    /** Parquet row-group target in bytes. The reference sizes groups
+      * by exact row count (256k rows, pydala/dataset.py:887); Spark
+      * controls bytes — an accepted divergence (SURVEY §7.5).
+      */
+    rowGroupBytes: Option[Long] = None)
 
 object WritePipeline {
 
@@ -115,10 +120,11 @@ object WritePipeline {
     val before: Set[String] =
       if (cfg.mode == "overwrite") FsUtil.listParquet(path).toSet else Set.empty
 
-    val w = prepared.write
+    var w = prepared.write
       .mode("append")
       .option("compression", cfg.compression)
       .option("maxRecordsPerFile", cfg.maxRowsPerFile)
+    cfg.rowGroupBytes.foreach(n => w = w.option("parquet.block.size", n))
     (if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w)
       .parquet(path)
 
