@@ -16,6 +16,16 @@ final case class DtypeChange(column: String, from: String, to: String)
 final case class DtypePlan(changes: Seq[DtypeChange])
 final case class RepairPlan(targetSchema: String, candidates: Seq[String])
 
+/** A staged rewrite failed before the swap: the dataset's original
+  * files and sidecar are untouched; the payload says what was
+  * attempted — the reference's PartialWriteError recovery contract
+  * (pydala/io.py:41-64, pydala/dataset.py:172-203).
+  */
+final class StagedRewriteException(
+    val plannedFiles: Seq[String],
+    message: String,
+    cause: Throwable) extends RuntimeException(message, cause)
+
 /** Maintenance operators: compaction (rows / partitions / time window,
   * optionally ordered), repartitioning, dtype optimization, schema
   * repair, vacuum — reference pydala/dataset.py:1802-2603.
@@ -253,15 +263,25 @@ object Maintenance {
     plan
   }
 
-  /** Whole-dataset rewrite to a target schema (staging + swap). */
+  /** Whole-dataset rewrite to a target schema (staging + swap). A
+    * failure during staging deletes the temp dir and raises
+    * [[StagedRewriteException]] — originals and sidecar untouched.
+    */
   private def rewriteAll(ds: ParquetDataset, target: StructType): Unit = {
     val spark = ds.spark
     val parts = ds.partitionColumns
     val data = SchemaOps.align(ds.df, target)
     val tmp = s"${ds.path}/$TmpDir"
     FsUtil.deleteRecursively(tmp)
-    val w = data.write.mode("overwrite").option("compression", "zstd")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
+    try {
+      val w = data.write.mode("overwrite").option("compression", "zstd")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
+    } catch {
+      case e: Exception =>
+        FsUtil.deleteRecursively(tmp)
+        throw new StagedRewriteException(ds.relFiles,
+          s"staged rewrite failed before swap; dataset unchanged: ${e.getMessage}", e)
+    }
     val old = ds.files
     FsUtil.promote(tmp, ds.path)
     FsUtil.delete(ds.path, old)

@@ -126,6 +126,29 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(ds.stats.isEmpty)
   }
 
+  test("failed staged rewrite preserves data and sidecar (failure contract)") {
+    val dir = tmpDir("fail")
+    val ds = new ParquetDataset(spark, dir)
+    // 'n' holds values that CANNOT all cast to the type the sample
+    // suggests: head rows look tiny but a later value overflows byte
+    Seq.tabulate(5)(i => (i.toLong, i.toString)).toDF("n", "s")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((99999L, "99999")).toDF("n", "s")
+      .coalesce(1).write.mode("append").parquet(dir)
+    ds.updateStats()
+    val statsBefore = ds.stats.get.collect().length
+    val filesBefore = ds.relFiles
+
+    // strict mode detects the lossy cast up front and refuses
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.optimizeDtypes(ds, sampleRows = 5, strict = true)
+    }
+    assert(e.getMessage.contains("lossy"))
+    assert(ds.relFiles == filesBefore)
+    assert(ds.stats.get.collect().length == statsBefore)
+    assert(ds.df.count() == 6)
+  }
+
   test("interval parsing") {
     assert(Maintenance.parseInterval("1d") == 86400000000L)
     assert(Maintenance.parseInterval("6h") == 6L * 3600000000L)

@@ -28,6 +28,25 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("watermarked tumbling-window aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamIngest.windowedAgg(
+      mem.toDF().toDF("ts", "k", "v"), "ts", "k", "v", "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "a", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "a", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:11:00"), "a", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT k, n_events, total_value FROM winagg ORDER BY window.start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("a", 2L, 3.0), ("a", 1L, 4.0)))
+  }
+
   test("upsert ingestion merges batches on the key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("su")
