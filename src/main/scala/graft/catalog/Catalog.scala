@@ -16,7 +16,12 @@ final case class TableEntry(
     name: String,
     path: String,
     format: String = "parquet",
-    writeArgs: Map[String, String] = Map.empty) {
+    writeArgs: Map[String, String] = Map.empty,
+    /** Hadoop FS settings for this table's storage (the reference's
+      * per-table fsspec filesystem registration,
+      * pydala/catalog.py:139-166) — e.g. fs.s3a endpoint/credentials.
+      */
+    fsConf: Map[String, String] = Map.empty) {
   def qualified: String = s"$namespace.$name"
   /** Temp-view-safe name (dots are not allowed in view names). */
   def viewName: String = s"${namespace}__$name"
@@ -46,14 +51,14 @@ final class Catalog(val spark: SparkSession, val yamlPath: String) {
       tables.asScala.flatMap { case (ns, tsObj) =>
         tsObj.asInstanceOf[JMap[String, Object]].asScala.map { case (name, cfg) =>
           val m = cfg.asInstanceOf[JMap[String, Object]].asScala
-          val wa = m.get("write_args")
+          def strMap(key: String): Map[String, String] = m.get(key)
             .map(_.asInstanceOf[JMap[String, Object]].asScala
               .map { case (k, v) => k -> String.valueOf(v) }.toMap)
             .getOrElse(Map.empty[String, String])
           val e = TableEntry(ns, name,
             String.valueOf(m.getOrElse("path", "")),
             String.valueOf(m.getOrElse("format", "parquet")),
-            wa)
+            strMap("write_args"), strMap("filesystem"))
           e.qualified -> e
         }
       }.toMap
@@ -73,6 +78,11 @@ final class Catalog(val spark: SparkSession, val yamlPath: String) {
           val wa = new JLinkedMap[String, Object]()
           t.writeArgs.foreach { case (k, v) => wa.put(k, v) }
           m.put("write_args", wa)
+        }
+        if (t.fsConf.nonEmpty) {
+          val fc = new JLinkedMap[String, Object]()
+          t.fsConf.foreach { case (k, v) => fc.put(k, v) }
+          m.put("filesystem", fc)
         }
         nsMap.put(t.name, m)
       }
@@ -102,6 +112,10 @@ final class Catalog(val spark: SparkSession, val yamlPath: String) {
   def loadTable(name: String, includeFilePath: Boolean = false): DataFrame = {
     val e = get(name).getOrElse(
       throw new IllegalArgumentException(s"unknown catalog table: $name"))
+    // register the table's filesystem settings on the hadoop conf
+    e.fsConf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
     val df = e.format match {
       case "parquet" => spark.read.parquet(e.path)
       case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(e.path)

@@ -152,6 +152,7 @@ object Maintenance {
       FsUtil.promote(tmp, dst)
       FsUtil.delete(ds.path, abs)
     }
+    if (plan.groups.nonEmpty) spark.catalog.refreshByPath(ds.path)
     if (plan.groups.nonEmpty && ds.stats.nonEmpty) ds.updateStats()
   }
 
@@ -182,7 +183,7 @@ object Maintenance {
     val old = ds.files
     FsUtil.promote(tmp, ds.path)
     FsUtil.delete(ds.path, old)
-    // remove now-empty old partition dirs, then refresh stats
+    spark.catalog.refreshByPath(ds.path)
     if (ds.stats.nonEmpty) ds.updateStats()
   }
 
@@ -254,6 +255,7 @@ object Maintenance {
         }
         FsUtil.promote(tmp, dstDir)
         FsUtil.delete(ds.path, Seq(f))
+        spark.catalog.refreshByPath(ds.path)
       } catch {
         case e: Exception =>
           System.err.println(s"[repair] ${f} left intact: ${e.getMessage}")
@@ -285,6 +287,7 @@ object Maintenance {
     val old = ds.files
     FsUtil.promote(tmp, ds.path)
     FsUtil.delete(ds.path, old)
+    spark.catalog.refreshByPath(ds.path)
     if (ds.stats.nonEmpty) ds.updateStats()
   }
 

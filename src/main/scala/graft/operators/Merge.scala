@@ -174,6 +174,9 @@ object Merge {
       WritePipeline.write(newData, path,
         WriteConfig(mode = "append", partitionBy = partCols))
       FsUtil.delete(path, affectedAbs.toIndexedSeq)
+      // invalidate the cached listing: the files just deleted must not
+      // be served to the insert-remainder read below
+      spark.catalog.refreshByPath(path)
     }
 
     if (insertRemainder) {

@@ -81,6 +81,26 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
   def pruneFiles(filterSql: String): Seq[String] =
     ScanPruner.selectFiles(stats, relFiles, Sanitize(filterSql)).getOrElse(relFiles)
 
+  /** Dataset time range for a timestamp column, metadata-only from the
+    * sidecar (reference `SELECT MIN(ts.min), MAX(ts.max)`,
+    * pydala/dataset.py:2303-2307). Epoch-micros bounds, None when the
+    * sidecar or stats are missing.
+    */
+  def timeRange(column: String): Option[(Long, Long)] = stats.flatMap { s =>
+    val r = s.filter(col("column") === column && col("typ") === "timestamp")
+      .agg(min("min_num"), max("max_num")).collect()(0)
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else Some((r.getDouble(0).toLong, r.getDouble(1).toLong))
+  }
+
+  /** First timestamp column of the schema (reference timestamp-column
+    * autodetection, pydala/dataset.py:497-500).
+    */
+  def timestampColumn: Option[String] =
+    df.schema.fields.find(f =>
+      f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType).map(_.name)
+
   // ---- write --------------------------------------------------------
 
   /** Normalizing write (sort → dedupe → cast → dateparts → partitioned
@@ -96,10 +116,13 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
   def vacuum(): Unit = {
     FsUtil.delete(path, files)
     FsUtil.deleteRecursively(StatsSidecar.sidecarPath(path))
+    spark.catalog.refreshByPath(path)
   }
 
-  def deleteFiles(rel: Seq[String]): Unit =
+  def deleteFiles(rel: Seq[String]): Unit = {
     FsUtil.delete(path, rel.map(f => s"$path/$f"))
+    spark.catalog.refreshByPath(path)
+  }
 }
 
 /** Filter sanitization (reference pydala/helpers/security.py:118-140):

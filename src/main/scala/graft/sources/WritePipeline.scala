@@ -129,5 +129,8 @@ object WritePipeline {
       .parquet(path)
 
     if (cfg.mode == "overwrite") FsUtil.delete(path, before.toSeq)
+    // drop the session's cached file listing for this path — Spark's
+    // shared FileStatusCache otherwise serves the pre-write listing
+    df.sparkSession.catalog.refreshByPath(path)
   }
 }
