@@ -87,6 +87,28 @@ object Events {
         .orderBy("user_id")
     },
 
+    // As-of join: each click picks up the user's most recent prior
+    // (or simultaneous) purchase — graft.operators.AsofJoin composed
+    // from union + last-non-null window; DuckDB's native ASOF JOIN is
+    // the oracle.
+    "q50_asof_join" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("tsu", expr("unix_micros(ts)"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("tsu"))
+      // one purchase per (user, instant) keeps the as-of deterministic
+      val purch = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu").as("ptsu"))
+        .agg(max("event_id").as("pid"))
+        .select("user_id", "pid", "ptsu")
+      graft.operators.AsofJoin(clicks, purch, Seq("user_id"), "tsu", "ptsu",
+          Seq("pid", "ptsu"))
+        .select(
+          col("event_id"), col("user_id"),
+          col("pid").as("purchase_id"),
+          (col("tsu") - col("ptsu")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // JSON property extraction from the string `props` column.
     "q23_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -154,6 +176,21 @@ object Events {
         |WHERE b.buy_ts >= c.first_click AND b.buy_ts - c.first_click <= 3600000000
         |GROUP BY c.user_id
         |ORDER BY c.user_id""".stripMargin,
+
+    "q50_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
+        |), clicks AS (
+        |  SELECT user_id, event_id, tsu FROM e WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, tsu AS ptsu, MAX(event_id) AS pid FROM e
+        |  WHERE event_type = 'purchase' GROUP BY user_id, tsu
+        |)
+        |SELECT c.event_id, c.user_id, p.pid AS purchase_id,
+        |  c.tsu - p.ptsu AS gap_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.tsu >= p.ptsu
+        |ORDER BY event_id""".stripMargin,
 
     "q23_json_extract" ->
       """SELECT event_id,

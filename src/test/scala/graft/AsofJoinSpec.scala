@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics: latest right row with time <= left time, per
+  * key; null payload when nothing precedes.
+  */
+class AsofJoinSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("picks the latest preceding right row, inclusive at equal time") {
+    val left = Seq(("u1", 1L, 100L), ("u1", 2L, 250L), ("u2", 3L, 50L))
+      .toDF("k", "lid", "t")
+    val right = Seq(("u1", 10L, 100L), ("u1", 20L, 200L), ("u2", 30L, 60L))
+      .toDF("k", "rid", "rt")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid", "rt"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) null else r.getLong(3)))
+    // lid=1 at t=100 matches rid=10 (equal time inclusive);
+    // lid=2 at t=250 matches rid=20 (latest preceding);
+    // lid=3 at t=50 precedes u2's only right row → null
+    assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (3L, null)))
+  }
+
+  test("left rows and columns are preserved exactly") {
+    val left = Seq(("k", 1L, 5L, "extra")).toDF("k", "lid", "t", "note")
+    val right = Seq(("k", 9L, 1L)).toDF("k", "rid", "rt")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"))
+    assert(out.columns.toSeq == Seq("k", "lid", "t", "note", "rid"))
+    val r = out.collect()(0)
+    assert(r.getString(3) == "extra" && r.getLong(4) == 9L)
+  }
+}
