@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed point-in-interval join.
+  *
+  * A naive `points JOIN intervals ON p BETWEEN lo AND hi` without an
+  * equi key plans as a nested-loop join — O(|P|·|I|) and a broadcast
+  * of one whole side. This operator manufactures an equi key: each
+  * interval explodes into the fixed-width buckets it overlaps, each
+  * point maps to its bucket, and the join runs as a hash join on
+  * (bucket ++ extra keys) followed by the exact range refinement —
+  * the standard range-join optimization, expressed with public
+  * DataFrame ops.
+  *
+  * Bucket width tunes the trade: wider buckets → fewer interval
+  * replicas but more false candidates to refine. A good default is
+  * the median interval length.
+  *
+  * Scale: shuffle volume is |P| + Σ(interval_len/bucket) — linear,
+  * versus the nested-loop's quadratic compare count.
+  */
+object RangeJoin {
+
+  /** @param points    left side, one row per point
+    * @param intervals right side with [lo, hi] columns (inclusive)
+    * @param pointCol  numeric/timestamp point column name
+    * @param loCol     interval start column
+    * @param hiCol     interval end column
+    * @param bucket    bucket width in the point column's units
+    * @param keys      extra equi-join keys present on both sides
+    */
+  def apply(points: DataFrame, intervals: DataFrame,
+            pointCol: String, loCol: String, hiCol: String,
+            bucket: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+
+    val p = points.withColumn("__b", (col(pointCol).cast("long") / bucket).cast("long"))
+    val i = intervals.withColumn("__b",
+      explode(sequence(
+        (col(loCol).cast("long") / bucket).cast("long"),
+        (col(hiCol).cast("long") / bucket).cast("long"))))
+
+    val joinCols = keys :+ "__b"
+    p.join(i, joinCols)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+}

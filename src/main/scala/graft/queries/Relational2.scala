@@ -117,6 +117,25 @@ object Relational2 {
         .orderBy("o_orderstatus")
     },
 
+    // Interval/range join: follow-up orders by the same customer
+    // within 7 days. The equi key (custkey) makes this a hash join
+    // with a range residual; pure point-in-interval joins without an
+    // equi key go through graft.operators.RangeJoin's bucketing.
+    "q51_range_join" -> { (s, d) =>
+      val o1 = Tables.orders(s, d).select(
+        col("o_orderkey").as("k1"), col("o_custkey").as("c1"),
+        col("o_orderdate").as("d1"))
+      val o2 = Tables.orders(s, d).select(
+        col("o_orderkey").as("k2"), col("o_custkey").as("c2"),
+        col("o_orderdate").as("d2"))
+      o1.join(o2,
+          col("c1") === col("c2") && col("d2") > col("d1") &&
+            col("d2") <= col("d1") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("k1").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_followups"))
+        .orderBy("o_orderkey")
+    },
+
     // Array access parity on the embeddings table (no arithmetic:
     // stored floats compare bit-exactly).
     "q45_array_access" -> { (s, d) =>
@@ -198,6 +217,15 @@ object Relational2 {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q51_range_join" ->
+      """SELECT o1.o_orderkey, COUNT(*) AS n_followups
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        | AND o2.o_orderdate > o1.o_orderdate
+        | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o1.o_orderkey
+        |ORDER BY o1.o_orderkey""".stripMargin,
 
     "q45_array_access" ->
       """SELECT vec_id,

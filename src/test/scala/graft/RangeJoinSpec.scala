@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Bucketed range join: same result as the naive BETWEEN join, hash
+  * join plan instead of nested-loop.
+  */
+class RangeJoinSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("matches the naive between-join exactly") {
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 500).map(id => (id.toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "p")
+    val intervals = (1 to 80).map { id =>
+      val lo = rnd.nextInt(9500).toLong
+      (id.toLong, lo, lo + rnd.nextInt(800).toLong)
+    }.toDF("iid", "lo", "hi")
+
+    val fast = RangeJoin(points, intervals, "p", "lo", "hi", bucket = 256)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("extra equi keys restrict matches per key") {
+    val points = Seq(("a", 1L, 5L), ("b", 2L, 5L)).toDF("k", "pid", "p")
+    val intervals = Seq(("a", 10L, 0L, 9L)).toDF("k", "iid", "lo", "hi")
+    val out = RangeJoin(points, intervals, "p", "lo", "hi", bucket = 4, keys = Seq("k"))
+    assert(out.select("pid").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("hash-join plan, not nested loop") {
+    val points = (1 to 100).map(i => (i.toLong, i.toLong * 10)).toDF("pid", "p")
+    val intervals = Seq((1L, 0L, 500L)).toDF("iid", "lo", "hi")
+    val plan = RangeJoin(points, intervals, "p", "lo", "hi", bucket = 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+}
