@@ -274,6 +274,32 @@ object TextOps {
         .orderBy("lang", "rk")
     },
 
+    // Deterministic stratified sampling: portable-hash selection is
+    // reproducible across engines, runs, and cluster sizes — unlike
+    // rand() — and stratifies by taking a per-language rate. The
+    // filter is a narrow map: no shuffle, no driver state.
+    "q52_hash_sample" -> { (s, dir) =>
+      val rates = "CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 50 ELSE 10 END"
+      Tables.spread(Tables.documents(s, dir))
+        .filter(expr(s"${S.hash64("concat('sample:', doc_id)")} % 100 < $rates"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Text normalization / cleaning: lowercase, strip punctuation,
+    // collapse whitespace — the canonical pre-dedup scrub.
+    "q53_text_normalize" -> { (s, dir) =>
+      Tables.spread(Tables.documents(s, dir))
+        .select(
+          col("doc_id"),
+          expr(s"trim(${S.regexReplaceAll(
+            S.regexReplaceAll("lower(text)", "[.,!?;:]", ""), " +", " ")})")
+            .as("clean_text"),
+          expr(s"length(${S.regexReplaceAll("text", "[.,!?;:]", "")})")
+            .cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup pairs (hamming ≤ 10), blocked by lang.
     "q35_simhash_pairs" -> { (s, dir) =>
       val tok = docsWithToks(s, dir)
@@ -406,6 +432,18 @@ object TextOps {
          |  FROM c)
          |SELECT lang, rk, bigram, n FROM r WHERE rk <= 20
          |ORDER BY lang, rk""".stripMargin,
+
+    "q52_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${D.hash64("concat('sample:', doc_id)")} % 100 <
+         |  CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 50 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q53_text_normalize" ->
+      s"""SELECT doc_id,
+         | trim(${D.regexReplaceAll(D.regexReplaceAll("lower(text)", "[.,!?;:]", ""), " +", " ")}) AS clean_text,
+         | CAST(length(${D.regexReplaceAll("text", "[.,!?;:]", "")}) AS BIGINT) AS clean_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q35_simhash_pairs" ->
       s"""$duckBase,
