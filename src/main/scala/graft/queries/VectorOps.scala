@@ -152,6 +152,22 @@ object VectorOps {
         .orderBy("qid", "rank")
     },
 
+    // Symmetric int8 quantization: per-vector absmax scaling, the
+    // standard embedding compression. floor(x*scale + 0.5) avoids
+    // engine rounding-mode ambiguity; absmax via fold is exact (max
+    // is order-independent).
+    "q54_embed_quantize" -> { (s, dir) =>
+      Tables.spread(Tables.embeddings(s, dir))
+        .withColumn("amax", expr(
+          "aggregate(transform(embedding, x -> abs(cast(x as double))), cast(0 as double), (acc, v) -> greatest(acc, v))"))
+        .select(
+          col("vec_id"),
+          col("amax"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * (127.0 / amax) + 0.5) as int))")
+            .as("qvec"))
+        .orderBy("vec_id")
+    },
+
     // Embedding near-duplicate pairs (cosine ≥ 0.4). All-pairs is the
     // exact baseline; the LSH bucketing (q34) is the scale path.
     "q32_embed_neardup" -> { (s, dir) =>
@@ -255,6 +271,15 @@ object VectorOps {
          |  FROM j)
          |SELECT qid, rank, nb, cos FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+
+    "q54_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, x -> abs(x::DOUBLE))), (acc, v) -> greatest(acc, v)) AS amax
+        |  FROM embeddings)
+        |SELECT vec_id, amax,
+        | list_transform(embedding, x -> CAST(floor((x::DOUBLE) * (127.0 / amax) + 0.5) AS INTEGER)) AS qvec
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q32_embed_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
