@@ -59,4 +59,26 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowSpec), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+
+  final case class KeyedEvent(key: Long, value: Double)
+  final case class KeyedTotals(key: Long, n: Long, total: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-key
+    * totals that survive across micro-batches — the template for any
+    * bespoke streaming state machine (sessionization, CDC folding).
+    */
+  def statefulTotals(ds: Dataset[KeyedEvent]): Dataset[KeyedTotals] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[KeyedTotals]) =>
+          val prev = state.getOption.getOrElse(KeyedTotals(key, 0L, 0.0))
+          val next = events.foldLeft(prev) { (acc, e) =>
+            KeyedTotals(key, acc.n + 1, acc.total + e.value)
+          }
+          state.update(next)
+          Iterator(next)
+      }
+  }
 }

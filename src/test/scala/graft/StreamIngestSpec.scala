@@ -47,6 +47,27 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq(("a", 2L, 3.0), ("a", 1L, 4.0)))
   }
 
+  test("stateful per-key totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamIngest.{KeyedEvent, KeyedTotals}
+    val mem = MemoryStream[KeyedEvent]
+    val out = StreamIngest.statefulTotals(mem.toDS())
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("statefulx").start()
+    mem.addData(KeyedEvent(1, 2.0), KeyedEvent(1, 3.0), KeyedEvent(2, 1.0))
+    q.processAllAvailable()
+    mem.addData(KeyedEvent(1, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // last update per key reflects the running totals across batches
+    val last = spark.sql(
+      """SELECT key, n, total FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY n DESC) rk
+        |  FROM statefulx) WHERE rk = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last == Set((1L, 3L, 10.0), (2L, 1L, 1.0)))
+  }
+
   test("upsert ingestion merges batches on the key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("su")
