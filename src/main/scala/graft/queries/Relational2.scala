@@ -136,6 +136,20 @@ object Relational2 {
         .orderBy("o_orderkey")
     },
 
+    // Exact percentiles: both engines interpolate
+    // lo + (hi - lo) * frac over the sorted doubles — identical op
+    // sequence ⇒ identical bits.
+    "q55_percentiles" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
+        .orderBy("o_orderstatus")
+    },
+
     // Array access parity on the embeddings table (no arithmetic:
     // stored floats compare bit-exactly).
     "q45_array_access" -> { (s, d) =>
@@ -226,6 +240,16 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q55_percentiles" ->
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | min(o_totalprice) AS lo,
+        | max(o_totalprice) AS hi
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q45_array_access" ->
       """SELECT vec_id,
