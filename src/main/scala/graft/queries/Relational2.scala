@@ -15,6 +15,27 @@ object Relational2 {
   private def dec(name: String, p: Int, s: Int): Column =
     col(name).cast(DecimalType(p, s))
 
+  /** Moment statistics from exact decimal power sums (s1, s2, s3, n).
+    *
+    * The SAME formula text is evaluated by both engines over
+    * integer-exact aggregates (l_quantity is integral ≤50, so the
+    * power sums stay < 2^53 and the decimal→double casts are exact);
+    * every double op after that is the identical IEEE-754 sequence.
+    * sqrt(v)^3 is spelled sqrt·sqrt·sqrt — pow() is not guaranteed
+    * correctly rounded across libms, sqrt and * are.
+    */
+  private val MeanF = "CAST(s1 AS DOUBLE) / n"
+  private val VarSampF =
+    s"(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * ($MeanF)) / (n - 1)"
+  private val VarPopF =
+    s"(CAST(s2 AS DOUBLE) / n - ($MeanF) * ($MeanF))"
+  private val SkewF =
+    s"(CAST(s3 AS DOUBLE) / n - 3 * ($MeanF) * (CAST(s2 AS DOUBLE) / n) + " +
+      s"2 * ($MeanF) * ($MeanF) * ($MeanF)) / " +
+      s"(sqrt($VarPopF) * sqrt($VarPopF) * sqrt($VarPopF))"
+
+  private val QDec = "CAST(l_quantity AS DECIMAL(4,0))"
+
   /** Register the tables a spark.sql passthrough query needs. */
   private def reg(s: SparkSession, d: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
@@ -150,6 +171,77 @@ object Relational2 {
         .orderBy("o_orderstatus")
     },
 
+    // Merge-upsert semantics as a pure relational parity query:
+    // null-safe composite keys (Spark <=> / DuckDB IS NOT DISTINCT
+    // FROM), last-row-wins source dedup (row_number over seq desc),
+    // and the upsert union (updated ∪ inserted ∪ preserved). Pins the
+    // same contract graft.operators.Merge implements with physical
+    // file rewrites (MergeSpec); here it is oracle-hash-checked.
+    "q57_merge_upsert" -> { (s, d) =>
+      def target = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END").as("k2"),
+        col("o_totalprice"))
+      val t = target
+      val u1 = t.filter("o_orderkey % 13 = 1")
+        .select(col("o_orderkey"), col("k2"),
+          expr("o_totalprice * 2").as("price"), lit(1).as("seq"))
+      val u2 = t.filter("o_orderkey % 26 = 1")
+        .select(col("o_orderkey"), col("k2"),
+          expr("o_totalprice * 3").as("price"), lit(2).as("seq"))
+      val ins = t.filter("o_orderkey % 17 = 2")
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"), col("k2"),
+          col("o_totalprice").as("price"), lit(1).as("seq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey", "k2").orderBy(col("seq").desc)
+      val dedup = u1.union(u2).union(ins)
+        .withColumn("rn", row_number().over(w)).filter("rn = 1")
+        .select("o_orderkey", "k2", "price")
+      val tgt = target // fresh lineage: avoids the self-join detector
+      val keyCond =
+        dedup("o_orderkey") === tgt("o_orderkey") && dedup("k2") <=> tgt("k2")
+      val upserted = dedup.join(tgt, keyCond, "left")
+        .select(dedup("o_orderkey"), dedup("k2"), dedup("price"),
+          when(tgt("o_orderkey").isNull, lit("ins")).otherwise(lit("upd")).as("action"))
+      val kept = tgt.join(dedup, keyCond, "left_anti")
+        .select(col("o_orderkey"), col("k2"),
+          col("o_totalprice").as("price"), lit("keep").as("action"))
+      upserted.union(kept).orderBy("o_orderkey")
+    },
+
+    // Moment statistics (mean/variance/stddev/skewness) from exact
+    // decimal power sums — one shuffle, map-side partial agg; the
+    // double math happens once per group on the exact sums.
+    "q58_moment_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr(QDec)).as("s1"),
+          sum(expr(s"$QDec * $QDec")).as("s2"),
+          sum(expr(s"$QDec * $QDec * $QDec")).as("s3"))
+        .selectExpr("l_returnflag", "n",
+          s"$MeanF AS mean_qty",
+          s"$VarSampF AS var_qty",
+          s"sqrt($VarSampF) AS std_qty",
+          s"$SkewF AS skew_qty")
+        .orderBy("l_returnflag")
+    },
+
+    // Width-bucket profiling histogram: integer bins from one double
+    // division (identical op both engines), exact decimal totals.
+    "q59_histogram" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bin", expr("CAST(floor(o_totalprice / 25000.0) AS INT)"))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"),
+          sum(dec("o_totalprice", 18, 2)).cast("double").as("tot"))
+        .orderBy("bin")
+    },
+
     // Array access parity on the embeddings table (no arithmetic:
     // stored floats compare bit-exactly).
     "q45_array_access" -> { (s, d) =>
@@ -250,6 +342,62 @@ object Relational2 {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q57_merge_upsert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END AS k2,
+        |    o_totalprice
+        |  FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, k2, o_totalprice * 2 AS price, 1 AS seq
+        |  FROM t WHERE o_orderkey % 13 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, k2, o_totalprice * 3 AS price, 2 AS seq
+        |  FROM t WHERE o_orderkey % 26 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, k2, o_totalprice AS price, 1 AS seq
+        |  FROM t WHERE o_orderkey % 17 = 2),
+        |dedup AS (
+        |  SELECT o_orderkey, k2, price FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey, k2 ORDER BY seq DESC) AS rn
+        |    FROM src) WHERE rn = 1)
+        |SELECT d.o_orderkey, d.k2, d.price,
+        |  CASE WHEN t.o_orderkey IS NULL THEN 'ins' ELSE 'upd' END AS action
+        |FROM dedup d LEFT JOIN t
+        |  ON d.o_orderkey = t.o_orderkey AND d.k2 IS NOT DISTINCT FROM t.k2
+        |UNION ALL
+        |SELECT t.o_orderkey, t.k2, t.o_totalprice AS price, 'keep' AS action
+        |FROM t WHERE NOT EXISTS (
+        |  SELECT 1 FROM dedup d
+        |  WHERE d.o_orderkey = t.o_orderkey AND d.k2 IS NOT DISTINCT FROM t.k2)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q58_moment_stats" -> {
+      val sums =
+        s"""SELECT l_returnflag, count(*) AS n,
+           | SUM($QDec) AS s1,
+           | SUM($QDec * $QDec) AS s2,
+           | SUM($QDec * $QDec * $QDec) AS s3
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      s"""SELECT l_returnflag, n,
+         | $MeanF AS mean_qty,
+         | $VarSampF AS var_qty,
+         | sqrt($VarSampF) AS std_qty,
+         | $SkewF AS skew_qty
+         |FROM ($sums)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q59_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bin,
+        | count(*) AS n,
+        | min(o_totalprice) AS lo,
+        | max(o_totalprice) AS hi,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
 
     "q45_array_access" ->
       """SELECT vec_id,

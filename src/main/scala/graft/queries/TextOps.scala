@@ -320,6 +320,48 @@ object TextOps {
         .filter(col("hamming") <= 10)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Duplicate-cluster assembly: connected components over the LSH
+    // candidate graph via iterative min-label propagation — the step
+    // that turns near-dup PAIRS into actionable KEEP/DROP clusters.
+    // Each round is one shuffle (join + min-combine groupBy); rounds =
+    // graph diameter (dup clusters are tiny, so 2-3 in practice). The
+    // driver-side loop touches only a one-row convergence aggregate,
+    // never data rows; localCheckpoint caps lineage growth. At 100 TB
+    // you'd swap in large-star/small-star to bound component diameter,
+    // but the join shape is the same.
+    "q56_dup_components" -> { (s, dir) =>
+      val e = bandKeyRows(s, dir)
+      val cand = e.as("x").join(e.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val sym = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      var labels = sym.select(col("a").as("doc_id")).distinct()
+        .withColumn("comp", col("doc_id"))
+        .localCheckpoint()
+      // labels only ever decrease, so sum(comp) strictly drops while
+      // anything changed — a single-row convergence probe.
+      def total(): Long =
+        labels.agg(coalesce(sum("comp"), lit(0L))).first.getLong(0)
+      var prev = Long.MaxValue
+      var cur = total()
+      while (cur < prev) {
+        labels = sym.join(labels, sym("a") === labels("doc_id"))
+          .groupBy(col("b").as("doc_id"))
+          .agg(min("comp").as("nmin"))
+          .join(labels.withColumnRenamed("comp", "own"), "doc_id")
+          .select(col("doc_id"), least(col("own"), col("nmin")).as("comp"))
+          .localCheckpoint()
+        prev = cur
+        cur = total()
+      }
+      labels
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy("comp")))
+        .orderBy("doc_id")
     }
   )
 
@@ -461,6 +503,29 @@ object TextOps {
          | CAST(${D.bitCount(D.bxor("a.simhash", "b.simhash"))} AS INT) AS hamming
          |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE ${D.bitCount(D.bxor("a.simhash", "b.simhash"))} <= 10
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Transitive closure over the (tiny) candidate graph; min over
+    // reachable nodes = the component label the propagation converges
+    // to. Engine-independent by construction — components are a
+    // graph property, not an execution order.
+    "q56_dup_components" ->
+      s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+         |reach AS (
+         |  SELECT a AS node, b AS other FROM sym
+         |  UNION
+         |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a),
+         |lab AS (
+         |  SELECT node AS doc_id, least(node, min(other)) AS comp
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
+         |FROM lab ORDER BY doc_id""".stripMargin
   )
 }
