@@ -152,6 +152,29 @@ object TextOps {
       .cache() // both sides of the candidate self-join read these rows
   }
 
+  /** (doc_id, lang, simhash) — 32-bit SimHash per doc in ONE
+    * token-level shuffle. Per bit i the classic ±1 vote sum satisfies
+    * sum(±1) > 0 ⟺ 2·cnt_i > n_tokens where cnt_i counts set bits, so
+    * 32 integer count-aggregates replace the 32×-exploded (doc, bit)
+    * frame the previous formulation shuffled — same simhash integers,
+    * 1/32 the shuffle volume, and the bit assembly is one codegen'd
+    * projection over the per-doc aggregate row.
+    */
+  private def simhashRows(s: SparkSession, dir: String): DataFrame = {
+    val tok = docsWithToks(s, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+    val h = tok.select(col("doc_id"), col("lang"), expr(S.hash64("t")).as("h"))
+    val bitCnts = (0 until 32).map(i =>
+      sum(expr(s"CAST(${S.shiftRight("h", i.toString)} & 1 AS INT)")).as(s"c$i"))
+    val assembled = (0 until 32)
+      .map(i => s"CASE WHEN 2 * c$i > nt THEN ${S.shiftLeft(S.longLit(1), i.toString)} ELSE ${S.longLit(0)} END")
+      .mkString(" + ")
+    h.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("nt"), bitCnts: _*)
+      .select(col("doc_id"), col("lang"),
+        expr(assembled).cast("long").as("simhash"))
+  }
+
   private val duckBase =
     s"WITH base AS (SELECT doc_id, lang, text, ${D.tokens("text")} AS toks FROM documents)"
 
@@ -247,17 +270,7 @@ object TextOps {
     // Per-doc 32-bit SimHash via explode + integer aggregation
     // (associative sums → deterministic, map-side combinable).
     "q31_dedup_simhash" -> { (s, dir) =>
-      val tok = docsWithToks(s, dir).select(col("doc_id"), explode(col("toks")).as("t"))
-      val h = tok.select(col("doc_id"), expr(S.hash64("t")).as("h"))
-      val hv = h.select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 31)")).as("i"))
-      val v = hv.groupBy("doc_id", "i")
-        .agg(sum(expr(s"CASE WHEN (${S.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END")).as("v"))
-      v.groupBy("doc_id")
-        .agg(sum(expr(
-          s"CASE WHEN v > 0 THEN ${S.shiftLeft(S.longLit(1), "i")} ELSE ${S.longLit(0)} END"))
-          .cast("long").as("simhash"))
-        .orderBy("doc_id")
+      simhashRows(s, dir).select("doc_id", "simhash").orderBy("doc_id")
     },
 
     // Top-20 bigrams per language: explode 2-shingles → count →
@@ -302,17 +315,7 @@ object TextOps {
 
     // SimHash near-dup pairs (hamming ≤ 10), blocked by lang.
     "q35_simhash_pairs" -> { (s, dir) =>
-      val tok = docsWithToks(s, dir)
-        .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
-      val h = tok.select(col("doc_id"), col("lang"), expr(S.hash64("t")).as("h"))
-      val hv = h.select(col("doc_id"), col("lang"), col("h"),
-        explode(expr("sequence(0, 31)")).as("i"))
-      val v = hv.groupBy("doc_id", "lang", "i")
-        .agg(sum(expr(s"CASE WHEN (${S.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END")).as("v"))
-      val sim = v.groupBy("doc_id", "lang")
-        .agg(sum(expr(
-          s"CASE WHEN v > 0 THEN ${S.shiftLeft(S.longLit(1), "i")} ELSE ${S.longLit(0)} END"))
-          .cast("long").as("simhash"))
+      val sim = simhashRows(s, dir).cache() // both sides of the self-join
       sim.as("a").join(sim.as("b"),
           col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming",
@@ -339,8 +342,11 @@ object TextOps {
         .distinct()
       val sym = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
         .localCheckpoint()
-      var labels = sym.select(col("a").as("doc_id")).distinct()
-        .withColumn("comp", col("doc_id"))
+      // seed = identity labels after one propagation round: comp =
+      // min(self, direct neighbors) — saves a full loop iteration
+      var labels = sym.groupBy(col("b").as("doc_id"))
+        .agg(min("a").as("nmin"))
+        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("comp"))
         .localCheckpoint()
       // labels only ever decrease, so sum(comp) strictly drops while
       // anything changed — a single-row convergence probe.
