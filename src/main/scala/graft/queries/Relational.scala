@@ -257,6 +257,19 @@ object Relational {
         .filter(col("p_retailprice") > col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
         .orderBy("p_partkey")
+    },
+
+    // The reference's own quick-start query, routed through the
+    // managed-dataset layer (ParquetDataset → SQL-string filter via
+    // Sanitize → Table sort-spec parsing) instead of raw
+    // spark.read — so the dataset API itself sits in the oracle gate.
+    // Mirrors /root/reference/README.md:64-75.
+    "q61_dataset_api" -> { (s, d) =>
+      val ds = new graft.sources.ParquetDataset(s, s"$d/lineitem.parquet")
+      graft.sources.Table(ds.filter("l_returnflag IN ('A', 'R') AND l_quantity > 45"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .sort("l_orderkey, l_linenumber")
+        .df
     }
   )
 
@@ -414,6 +427,12 @@ object Relational {
         |      / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
         |  FROM part) t
         |WHERE p_retailprice > brand_avg
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q61_dataset_api" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R') AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }
