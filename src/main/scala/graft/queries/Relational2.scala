@@ -157,17 +157,43 @@ object Relational2 {
         .orderBy("o_orderkey")
     },
 
-    // Exact percentiles: both engines interpolate
-    // lo + (hi - lo) * frac over the sorted doubles — identical op
-    // sequence ⇒ identical bits.
+    // Exact percentiles via distributed sort + rank-window
+    // interpolation — NOT Spark's `percentile` UDAF, which buffers
+    // every group value in one aggregation buffer and cannot spill
+    // (fine at 150k rows, dead at 100 TB). Here the heavy op is a
+    // sort Spark already scales/spills, and the interpolation
+    // lo·(ceil(ps)−ps) + hi·(ps−floor(ps)) over double positions is
+    // bit-identical to DuckDB's quantile_cont (verified both
+    // fractional-position branches; position math must be DOUBLE —
+    // a bare 0.9 literal is DECIMAL on both engines).
     "q55_percentiles" -> { (s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_orderstatus")
+      import org.apache.spark.sql.expressions.Window
+      val byStatus = Window.partitionBy("o_orderstatus")
+      val g = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(byStatus.orderBy("o_totalprice")) - 1)
+        .withColumn("n", count(lit(1)).over(byStatus))
+      def bound(p: Double, edge: String => Column): Column =
+        max(when(col("rn") === edge(s"(n - 1) * CAST($p AS DOUBLE)"),
+          col("o_totalprice")))
+      def interp(p: Double, lo: String, hi: String): String = {
+        val ps = s"(n - 1) * CAST($p AS DOUBLE)"
+        s"CASE WHEN $lo = $hi THEN $lo ELSE " +
+          s"$lo * (ceil($ps) - $ps) + $hi * ($ps - floor($ps)) END"
+      }
+      g.groupBy("o_orderstatus")
         .agg(
-          expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          bound(0.5, e => expr(s"floor($e)")).as("lo5"),
+          bound(0.5, e => expr(s"ceil($e)")).as("hi5"),
+          bound(0.9, e => expr(s"floor($e)")).as("lo9"),
+          bound(0.9, e => expr(s"ceil($e)")).as("hi9"),
+          max("n").as("n"),
           min("o_totalprice").as("lo"),
           max("o_totalprice").as("hi"))
+        .selectExpr("o_orderstatus",
+          s"${interp(0.5, "lo5", "hi5")} AS p50",
+          s"${interp(0.9, "lo9", "hi9")} AS p90",
+          "lo", "hi")
         .orderBy("o_orderstatus")
     },
 
