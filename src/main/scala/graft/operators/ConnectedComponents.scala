@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the cluster-assembly step of a near-dup pipeline (LSH/SimHash
+  * candidate pairs → KEEP/DROP groups with a canonical member).
+  *
+  * Algorithm: iterative min-label propagation. Each round is one
+  * shuffle (edge⋈label hash join + min-combine aggregation); rounds =
+  * graph diameter. Labels are seeded with min(self, direct neighbors),
+  * which is exactly one propagation round for free. The driver loop
+  * reads only a one-row convergence aggregate (sum of labels, which
+  * strictly decreases while anything changes) — data rows never reach
+  * the driver — and `localCheckpoint` caps lineage growth per round.
+  *
+  * Scale: near-dup components are tiny and shallow (pairs/triples), so
+  * diameter ≈ 2-3 and this is 2-3 shuffles over the edge list. For
+  * adversarially long chains you'd switch to the large-star/small-star
+  * contraction of Kiveris et al. (same join shape, O(log n) rounds);
+  * the reference has no graph operator at all (SURVEY §2), so the
+  * simple propagation is the right first tool.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame of undirected edges; vertex
+    *              type must be orderable (labels are mins).
+    * @return (id, comp, csize): every vertex that appears in an edge,
+    *         its component label (= min vertex id in the component),
+    *         and the component size.
+    */
+  def apply(edges: DataFrame): DataFrame = {
+    val Array(srcC, dstC) = edges.columns
+    val cand = edges.select(col(srcC).as("a"), col(dstC).as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.groupBy(col("b").as("id"))
+      .agg(min("a").as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
+      .localCheckpoint()
+    def total(): Long =
+      labels.agg(coalesce(sum("comp"), lit(0L))).first.getLong(0)
+    var prev = Long.MaxValue
+    var cur = total()
+    while (cur < prev) {
+      labels = sym.join(labels, sym("a") === labels("id"))
+        .groupBy(col("b").as("id"))
+        .agg(min("comp").as("nmin"))
+        .join(labels.withColumnRenamed("comp", "own"), "id")
+        .select(col("id"), least(col("own"), col("nmin")).as("comp"))
+        .localCheckpoint()
+      prev = cur
+      cur = total()
+    }
+    labels.withColumn("csize", count(lit(1)).over(Window.partitionBy("comp")))
+  }
+}

@@ -268,6 +268,19 @@ object Relational2 {
         .orderBy("bin")
     },
 
+    // Relaxed union-by-name with missing columns — the reference's
+    // polars concat(how="diagonal_relaxed") used for multi-file
+    // JSON/CSV reads (pydala/catalog.py:416,455); absent columns are
+    // typed nulls on both engines.
+    "q62_union_relaxed" -> { (s, d) =>
+      val a = Tables.orders(s, d).filter("o_orderkey % 3 = 0")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val b = Tables.orders(s, d).filter("o_orderkey % 3 = 1")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    },
+
     // Array access parity on the embeddings table (no arithmetic:
     // stored floats compare bit-exactly).
     "q45_array_access" -> { (s, d) =>
@@ -424,6 +437,15 @@ object Relational2 {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q62_union_relaxed" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q45_array_access" ->
       """SELECT vec_id,

@@ -340,33 +340,8 @@ object TextOps {
           col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      val sym = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
-      // seed = identity labels after one propagation round: comp =
-      // min(self, direct neighbors) — saves a full loop iteration
-      var labels = sym.groupBy(col("b").as("doc_id"))
-        .agg(min("a").as("nmin"))
-        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("comp"))
-        .localCheckpoint()
-      // labels only ever decrease, so sum(comp) strictly drops while
-      // anything changed — a single-row convergence probe.
-      def total(): Long =
-        labels.agg(coalesce(sum("comp"), lit(0L))).first.getLong(0)
-      var prev = Long.MaxValue
-      var cur = total()
-      while (cur < prev) {
-        labels = sym.join(labels, sym("a") === labels("doc_id"))
-          .groupBy(col("b").as("doc_id"))
-          .agg(min("comp").as("nmin"))
-          .join(labels.withColumnRenamed("comp", "own"), "doc_id")
-          .select(col("doc_id"), least(col("own"), col("nmin")).as("comp"))
-          .localCheckpoint()
-        prev = cur
-        cur = total()
-      }
-      labels
-        .withColumn("csize",
-          count(lit(1)).over(Window.partitionBy("comp")))
+      graft.operators.ConnectedComponents(cand)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }
   )
