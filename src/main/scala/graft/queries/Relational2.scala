@@ -268,6 +268,28 @@ object Relational2 {
         .orderBy("bin")
     },
 
+    // Full SQL through the YAML catalog: referenced `tpch.*` tables
+    // are auto-registered as temp views before execution (reference
+    // Catalog.sql, pydala/catalog.py:530-557) — so the catalog layer
+    // itself sits in the oracle gate.
+    "q63_catalog_sql" -> { (s, d) =>
+      val yml = java.nio.file.Files.createTempFile("graft-cat", ".yaml")
+      val tables = Seq("orders", "customer", "nation").map(t =>
+        s"    $t:\n      path: $d/$t.parquet\n      format: parquet")
+        .mkString("\n")
+      java.nio.file.Files.writeString(yml, s"tables:\n  tpch:\n$tables\n")
+      val cat = new graft.catalog.Catalog(s, yml.toString)
+      cat.sql(
+        """SELECT n_name,
+          | COUNT(*) AS n_orders,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+          |FROM tpch.orders
+          |JOIN tpch.customer ON o_custkey = c_custkey
+          |JOIN tpch.nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name
+          |ORDER BY n_name""".stripMargin)
+    },
+
     // Relaxed union-by-name with missing columns — the reference's
     // polars concat(how="diagonal_relaxed") used for multi-file
     // JSON/CSV reads (pydala/catalog.py:416,455); absent columns are
@@ -437,6 +459,16 @@ object Relational2 {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q63_catalog_sql" ->
+      """SELECT n_name,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     "q62_union_relaxed" ->
       """SELECT * FROM (
