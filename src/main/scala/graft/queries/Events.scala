@@ -116,6 +116,30 @@ object Events {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")
+    },
+
+    // Weekly cohort retention: users active in week w AND w+1. The
+    // (user, week) frame is distinct'd once and cached — the activity
+    // count and the self-join read the same shuffle output. Week index
+    // is integer µs division (no timestamp arithmetic to diverge).
+    "q64_retention" -> { (s, d) =>
+      val w = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+        .cache()
+      val act = w.groupBy("wk").agg(count(lit(1)).as("n_active"))
+      val ret = w.as("a").join(w.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.wk") === col("a.wk") + 1)
+        .groupBy(col("a.wk").as("wk"))
+        .agg(count(lit(1)).as("n_retained"))
+      act.join(ret, Seq("wk"), "left")
+        .select(col("wk"), col("n_active"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          (coalesce(col("n_retained"), lit(0L)).cast("double") / col("n_active"))
+            .as("retention"))
+        .orderBy("wk")
     }
   )
 
@@ -196,6 +220,21 @@ object Events {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q64_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // 604800000000 AS wk
+        |  FROM events),
+        |act AS (SELECT wk, count(*) AS n_active FROM w GROUP BY wk),
+        |ret AS (
+        |  SELECT a.wk, count(*) AS n_retained
+        |  FROM w a JOIN w b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        |  GROUP BY a.wk)
+        |SELECT act.wk AS wk, n_active,
+        | coalesce(n_retained, 0) AS n_retained,
+        | CAST(coalesce(n_retained, 0) AS DOUBLE) / n_active AS retention
+        |FROM act LEFT JOIN ret ON act.wk = ret.wk
+        |ORDER BY act.wk""".stripMargin
   )
 }

@@ -1,0 +1,50 @@
+package graft
+
+/** Physical-plan shape assertions for the properties the 100 TB design
+  * depends on (docs/SCALE.md): predicate pushdown and column pruning
+  * reaching the parquet scan, dimension joins broadcasting, map-side
+  * partial aggregation, and whole-stage codegen on the hot path.
+  * Asserted on the REAL headline queries, not toy plans, so a
+  * formulation regression (e.g. a join silently turning into a
+  * shuffle) fails the suite, not just the benchmark.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan (q02)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    assert(p.contains("ReadSchema"), p)
+  }
+
+  test("dataset-API SQL-string filter pushes down too (q61)") {
+    val p = plan("q61_dataset_api")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact (q04)") {
+    val p = plan("q04_broadcast_join_agg")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("aggregations combine map-side before the shuffle (q01)") {
+    val p = plan("q01_pricing_summary")
+    // partial + final pair: at least two HashAggregate operators
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p)
+  }
+
+  test("the hot path stays inside whole-stage codegen (q01)") {
+    // AQE reveals codegen spans only in the final (executed) plan
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the `*(stageId)` prefix in the final plan
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
+  }
+}
