@@ -152,6 +152,21 @@ object TextOps {
       .cache() // both sides of the candidate self-join read these rows
   }
 
+  /** Per-doc quality signals + score (shared by q25 and the dedup
+    * keep-selection q65).
+    */
+  private def qualityRows(s: SparkSession, dir: String): DataFrame =
+    docsWithToks(s, dir)
+      .withColumn("n_tokens", expr("size(toks)").cast("long"))
+      .withColumn("sum_len", expr(tokenLenSum(S)))
+      .withColumn("stop_cnt", expr(s"size(${S.filterL("toks", "t", s"t IN $StopList")})").cast("long"))
+      .withColumn("punct_cnt",
+        expr(s"length(text) - length(${S.regexReplaceAll("text", "[.,!?;:]", "")})").cast("long"))
+      .withColumn("avg_token_len", expr("CAST(sum_len AS DOUBLE) / n_tokens"))
+      .withColumn("stop_ratio", expr("CAST(stop_cnt AS DOUBLE) / n_tokens"))
+      .withColumn("punct_ratio", expr("CAST(punct_cnt AS DOUBLE) / length(text)"))
+      .withColumn("quality_score", expr(QualityFormula))
+
   /** (doc_id, lang, simhash) — 32-bit SimHash per doc in ONE
     * token-level shuffle. Per bit i the classic ±1 vote sum satisfies
     * sum(±1) > 0 ⟺ 2·cnt_i > n_tokens where cnt_i counts set bits, so
@@ -194,16 +209,7 @@ object TextOps {
 
     // Quality scoring: stopword/punctuation/length signals.
     "q25_text_quality" -> { (s, dir) =>
-      docsWithToks(s, dir)
-        .withColumn("n_tokens", expr("size(toks)").cast("long"))
-        .withColumn("sum_len", expr(tokenLenSum(S)))
-        .withColumn("stop_cnt", expr(s"size(${S.filterL("toks", "t", s"t IN $StopList")})").cast("long"))
-        .withColumn("punct_cnt",
-          expr(s"length(text) - length(${S.regexReplaceAll("text", "[.,!?;:]", "")})").cast("long"))
-        .withColumn("avg_token_len", expr("CAST(sum_len AS DOUBLE) / n_tokens"))
-        .withColumn("stop_ratio", expr("CAST(stop_cnt AS DOUBLE) / n_tokens"))
-        .withColumn("punct_ratio", expr("CAST(punct_cnt AS DOUBLE) / length(text)"))
-        .withColumn("quality_score", expr(QualityFormula))
+      qualityRows(s, dir)
         .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio", "punct_ratio",
           "quality_score")
         .orderBy("doc_id")
@@ -343,6 +349,30 @@ object TextOps {
       graft.operators.ConnectedComponents(cand)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // The dedup DECISION: per duplicate cluster keep the
+    // highest-quality member (ties → lowest doc_id). Components come
+    // from the LSH candidate graph (q56), the score from the quality
+    // model (q25) — the end-to-end near-dup pipeline: shingle →
+    // minhash → band join → components → keep/drop.
+    "q65_dedup_keep" -> { (s, dir) =>
+      val e = bandKeyRows(s, dir)
+      val cand = e.as("x").join(e.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val comp = graft.operators.ConnectedComponents(cand)
+        .withColumnRenamed("id", "doc_id")
+      comp.join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("comp")
+            .orderBy(col("quality_score").desc, col("doc_id"))))
+        .filter("rk = 1")
+        .select(col("comp"), col("doc_id").as("keep_id"),
+          col("csize").as("n_members"),
+          col("quality_score").as("keep_quality"))
+        .orderBy("comp")
     }
   )
 
@@ -507,6 +537,48 @@ object TextOps {
          |  SELECT node AS doc_id, least(node, min(other)) AS comp
          |  FROM reach GROUP BY node)
          |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
-         |FROM lab ORDER BY doc_id""".stripMargin
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q65_dedup_keep" ->
+      s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+         |reach AS (
+         |  SELECT a AS node, b AS other FROM sym
+         |  UNION
+         |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a),
+         |lab AS (
+         |  SELECT node AS doc_id, least(node, min(other)) AS comp
+         |  FROM reach GROUP BY node),
+         |sz AS (
+         |  SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize FROM lab),
+         |qm AS (
+         |  SELECT doc_id, text,
+         |    CAST(${D.size("toks")} AS BIGINT) AS n_tokens,
+         |    CAST(${tokenLenSum(D)} AS BIGINT) AS sum_len,
+         |    CAST(${D.size(D.filterL("toks", "t", s"t IN $StopList"))} AS BIGINT) AS stop_cnt,
+         |    CAST(length(text) - length(${D.regexReplaceAll("text", "[.,!?;:]", "")}) AS BIGINT) AS punct_cnt
+         |  FROM base),
+         |qr AS (
+         |  SELECT doc_id,
+         |    CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+         |    CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+         |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio
+         |  FROM qm),
+         |qs AS (SELECT doc_id, $QualityFormula AS quality_score FROM qr)
+         |SELECT comp, doc_id AS keep_id, csize AS n_members,
+         | quality_score AS keep_quality
+         |FROM (
+         |  SELECT sz.doc_id, sz.comp, sz.csize, qs.quality_score,
+         |    row_number() OVER (
+         |      PARTITION BY sz.comp
+         |      ORDER BY qs.quality_score DESC, sz.doc_id) AS rk
+         |  FROM sz JOIN qs ON sz.doc_id = qs.doc_id)
+         |WHERE rk = 1 ORDER BY comp""".stripMargin
   )
 }
