@@ -65,6 +65,18 @@ object Merge {
     }
   }
 
+  /** Multi-source form: a list of sources is ONE logical batch
+    * (reference pydala/dataset.py:1636-1639) — relaxed union-by-name
+    * first, then a single merge, so last-row-wins dedup sees the later
+    * list elements as later rows.
+    */
+  def apply(ds: ParquetDataset, sources: Seq[DataFrame], keys: Seq[String],
+            strategy: String): MergeResult = {
+    require(sources.nonEmpty, "merge needs at least one source")
+    apply(ds, sources.reduce(_.unionByName(_, allowMissingColumns = true)),
+      keys, strategy)
+  }
+
   /** Omitted keys ⇒ all columns common to source and target
     * (pydala/dataset.py:1729-1744).
     */

@@ -37,6 +37,17 @@ class MergeSpec extends SparkSpecBase {
     assert(row.getString(1) == "last")
   }
 
+  test("multi-source list is one logical batch; later sources win") {
+    val ds = seed(tmpDir("mms"))
+    val s1 = Seq((5, "from-first", 1.0)).toDF("id", "name", "v")
+    val s2 = Seq((5, "from-second", 2.0), (6, "f", 60.0)).toDF("id", "name", "v")
+    val r = Merge(ds, Seq(s1, s2), Seq("id"), "insert")
+    assert(r.sourceCount == 2 && r.inserted == 2)
+    val row5 = ds.df.filter($"id" === 5).collect()(0)
+    assert(row5.getString(1) == "from-second") // last list element wins
+    assert(ds.df.count() == 6)
+  }
+
   test("update: rewrites only matching files, leaves others intact") {
     val ds = seed(tmpDir("mu"))
     val filesBefore = ds.relFiles
