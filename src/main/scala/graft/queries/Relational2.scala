@@ -268,6 +268,33 @@ object Relational2 {
         .orderBy("bin")
     },
 
+    // Pivot (long → wide): status counts per priority through the
+    // DataFrame pivot API; explicit value list keeps the plan a single
+    // pass (no distinct-values pre-query). Absent combinations are
+    // null in Spark's pivot and 0 under FILTER'd counts — coalesced.
+    "q66_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Unpivot / melt (wide → long), typed to double.
+    "q67_unpivot" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "attr", "val")
+        .orderBy("p_partkey", "attr")
+    },
+
     // Full SQL through the YAML catalog: referenced `tpch.*` tables
     // are auto-registered as temp views before execution (reference
     // Catalog.sql, pydala/catalog.py:530-557) — so the catalog layer
@@ -459,6 +486,22 @@ object Relational2 {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
+
+    "q66_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q67_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
 
     "q63_catalog_sql" ->
       """SELECT n_name,
