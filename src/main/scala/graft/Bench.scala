@@ -30,10 +30,11 @@ object Bench {
       catch { case _: Throwable => }
     }
     spark.sharedState.cacheManager.clearCache() // drop warm-dir caches
-    // min of two runs per query: the first measured query otherwise
-    // absorbs warm-up GC noise
+    // min of three runs per query: single runs vary ±30% from GC and
+    // stage-scheduling jitter at this scale; the min is the stable
+    // estimator of the plan's actual cost
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = (1 to 2).map { _ =>
+      val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
