@@ -37,25 +37,44 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full-scan aggregation with grouped sums/averages (TPC-H Q1 shape).
+    // All sums except sum_charge aggregate SCALED BIGINTs (cents /
+    // basis points): the decimal cast recovers the exact 2/4-decimal
+    // value, ×100/×10000 keeps it integral, and Spark's long sum is a
+    // codegen'd primitive — a DECIMAL(p>18) sum buffer is a boxed
+    // BigDecimal and dominated this query's runtime. sum_disc_price
+    // exceeds 2^53, so both engines rebuild the double from a hi/lo
+    // integer split (every operand exact, then an identical rounded
+    // multiply-add). sum_charge would overflow int64 (scale-10 rows ×
+    // 600k) and stays on the exact-decimal path.
     "q01_pricing_summary" -> { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02 00:00:00")))
+        .withColumn("qi", expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .withColumn("epi", expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .withColumn("di", expr("CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)"))
+        .withColumn("ti", expr("CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000 AS BIGINT)"))
+        .withColumn("dpi", expr("epi * (10000 - di)"))
+        // per-row scale-10 charge ≤ 6e15: fits int64; its SUM does
+        // not, so hi/lo parts are summed separately (each < 2^53)
+        .withColumn("ci", expr("epi * (10000 - di) * (10000 + ti)"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec("l_quantity", 12, 2)).cast("double").as("sum_qty"),
-          sum(dec("l_extendedprice", 12, 2)).cast("double").as("sum_base_price"),
-          sum(discPrice).cast("double").as("sum_disc_price"),
-          // Round the scale-10 sum to scale 6 first: with scale 6 the
-          // unscaled value fits in 2^53, so decimal→double is a single
-          // exactly-rounded IEEE division on both Spark and DuckDB; at
-          // scale 10 DuckDB's int128→double conversion loses low bits
-          // and can land on the adjacent double.
-          sum(discPrice * (one + dec("l_tax", 6, 4)))
-            .cast(DecimalType(38, 6)).cast("double").as("sum_charge"),
-          (sum(dec("l_quantity", 12, 2)).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(dec("l_extendedprice", 12, 2)).cast("double") / count(lit(1))).as("avg_price"),
-          (sum(dec("l_discount", 6, 4)).cast("double") / count(lit(1))).as("avg_disc"),
+          sum("qi").as("sq"),
+          sum("epi").as("sbp"),
+          sum("dpi").as("sdp"),
+          sum(expr("ci div 100000000")).as("chi"),
+          sum(expr("ci % 100000000")).as("clo"),
+          sum("di").as("sd"),
           count(lit(1)).as("count_order"))
+        .selectExpr("l_returnflag", "l_linestatus",
+          "CAST(sq AS DOUBLE) / 100.0 AS sum_qty",
+          "CAST(sbp AS DOUBLE) / 100.0 AS sum_base_price",
+          "(CAST(sdp div 1000000 AS DOUBLE) * 1000000.0 + CAST(sdp % 1000000 AS DOUBLE)) / 1000000.0 AS sum_disc_price",
+          "(CAST(chi AS DOUBLE) * 100000000.0 + CAST(clo AS DOUBLE)) / 10000000000.0 AS sum_charge",
+          "CAST(sq AS DOUBLE) / 100.0 / count_order AS avg_qty",
+          "CAST(sbp AS DOUBLE) / 100.0 / count_order AS avg_price",
+          "CAST(sd AS DOUBLE) / 10000.0 / count_order AS avg_disc",
+          "count_order")
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -275,18 +294,35 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
-        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-        | CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
-        | COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
+      """WITH r AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qi,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS epi,
+        |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS di,
+        |    CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000 AS BIGINT) AS ti
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'),
+        |r2 AS (
+        |  SELECT l_returnflag, l_linestatus, qi, epi, di,
+        |    epi * (10000 - di) AS dpi,
+        |    epi * (10000 - di) * (10000 + ti) AS ci
+        |  FROM r),
+        |a AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    SUM(qi) AS sq, SUM(epi) AS sbp, SUM(dpi) AS sdp,
+        |    SUM(ci // 100000000) AS chi, SUM(ci % 100000000) AS clo,
+        |    SUM(di) AS sd, COUNT(*) AS count_order
+        |  FROM r2 GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        | CAST(sq AS DOUBLE) / 100.0 AS sum_qty,
+        | CAST(sbp AS DOUBLE) / 100.0 AS sum_base_price,
+        | (CAST(sdp // 1000000 AS DOUBLE) * 1000000.0 + CAST(sdp % 1000000 AS DOUBLE)) / 1000000.0 AS sum_disc_price,
+        | (CAST(chi AS DOUBLE) * 100000000.0 + CAST(clo AS DOUBLE)) / 10000000000.0 AS sum_charge,
+        | CAST(sq AS DOUBLE) / 100.0 / count_order AS avg_qty,
+        | CAST(sbp AS DOUBLE) / 100.0 / count_order AS avg_price,
+        | CAST(sd AS DOUBLE) / 10000.0 / count_order AS avg_disc,
+        | count_order
+        |FROM a
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_filter_project" ->
