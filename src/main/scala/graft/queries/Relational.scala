@@ -104,14 +104,24 @@ object Relational {
 
     // Broadcast dimension join + agg by brand.
     "q04_broadcast_join_agg" -> { (s, d) =>
+      // scaled-int sums (see q01): per-row discounted price fits
+      // int64 at scale 6; revenue sums past 2^53, so hi/lo parts are
+      // summed separately and the double is rebuilt from exact parts
       Tables.lineitem(s, d)
+        .withColumn("qi", expr("CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .withColumn("dpi", expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * " +
+          "(10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))"))
         .join(broadcast(Tables.part(s, d)),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("n_items"),
-          sum(dec("l_quantity", 12, 2)).cast("double").as("sum_qty"),
-          sum(discPrice).cast("double").as("revenue"))
+          sum("qi").as("sq"),
+          sum(expr("dpi div 1000000")).as("rhi"),
+          sum(expr("dpi % 1000000")).as("rlo"))
+        .selectExpr("p_brand", "n_items",
+          "CAST(sq AS DOUBLE) / 100.0 AS sum_qty",
+          "(CAST(rhi AS DOUBLE) * 1000000.0 + CAST(rlo AS DOUBLE)) / 1000000.0 AS revenue")
         .orderBy("p_brand")
     },
 
@@ -122,6 +132,8 @@ object Relational {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
+        .withColumn("dpi", expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * " +
+          "(10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))"))
       val su = Tables.supplier(s, d)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -131,7 +143,10 @@ object Relational {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(discPrice).cast("double").as("revenue"))
+        .agg(sum(expr("dpi div 1000000")).as("rhi"),
+          sum(expr("dpi % 1000000")).as("rlo"))
+        .selectExpr("n_name",
+          "(CAST(rhi AS DOUBLE) * 1000000.0 + CAST(rlo AS DOUBLE)) / 1000000.0 AS revenue")
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -345,25 +360,43 @@ object Relational {
         |LIMIT 20""".stripMargin,
 
     "q04_broadcast_join_agg" ->
-      """SELECT p_brand,
-        | COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand
+      """WITH r AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qi,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |      (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS dpi
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT p_brand, COUNT(*) AS n_items, SUM(qi) AS sq,
+        |    SUM(dpi // 1000000) AS rhi, SUM(dpi % 1000000) AS rlo
+        |  FROM r JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand)
+        |SELECT p_brand, n_items,
+        | CAST(sq AS DOUBLE) / 100.0 AS sum_qty,
+        | (CAST(rhi AS DOUBLE) * 1000000.0 + CAST(rlo AS DOUBLE)) / 1000000.0 AS revenue
+        |FROM a
         |ORDER BY p_brand""".stripMargin,
 
     "q05_local_supplier_volume" ->
-      """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY n_name
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |      (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS dpi
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT n_name,
+        |    SUM(dpi // 1000000) AS rhi, SUM(dpi % 1000000) AS rlo
+        |  FROM li
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY n_name)
+        |SELECT n_name,
+        | (CAST(rhi AS DOUBLE) * 1000000.0 + CAST(rlo AS DOUBLE)) / 1000000.0 AS revenue
+        |FROM a
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q06_forecast_revenue" ->
