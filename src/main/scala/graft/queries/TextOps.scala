@@ -351,6 +351,29 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Edit-distance verification of LSH candidate pairs — the fuzzy
+    // confirmation step of a dedup pipeline, O(candidates) not O(n²).
+    // Distance runs on 40-char printable-ASCII prefixes: DuckDB's
+    // levenshtein is byte-level while Spark's is codepoint-level, so
+    // non-ASCII is stripped (identically) before comparing.
+    "q68_edit_distance" -> { (s, dir) =>
+      val e = bandKeyRows(s, dir)
+      val cand = e.as("x").join(e.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val pre = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          expr(s"substring(${S.regexReplaceAll("text", "[^ -~]", "")}, 1, 40)")
+            .as("pre"))
+      cand.join(pre.as("pa"), col("doc_a") === col("pa.doc_id"))
+        .join(pre.as("pb"), col("doc_b") === col("pb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(levenshtein(pa.pre, pb.pre) AS INT)").as("edit_dist"))
+        .withColumn("is_near", col("edit_dist") <= 5)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // The dedup DECISION: per duplicate cluster keep the
     // highest-quality member (ties → lowest doc_id). Components come
     // from the LSH candidate graph (q56), the score from the quality
@@ -538,6 +561,26 @@ object TextOps {
          |  FROM reach GROUP BY node)
          |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q68_edit_distance" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |pre AS (
+         |  SELECT doc_id,
+         |    substring(${D.regexReplaceAll("text", "[^ -~]", "")}, 1, 40) AS pre
+         |  FROM documents)
+         |SELECT doc_a, doc_b,
+         | CAST(levenshtein(pa.pre, pb.pre) AS INT) AS edit_dist,
+         | CAST(levenshtein(pa.pre, pb.pre) AS INT) <= 5 AS is_near
+         |FROM cand
+         |JOIN pre pa ON doc_a = pa.doc_id
+         |JOIN pre pb ON doc_b = pb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q65_dedup_keep" ->
       s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
