@@ -45,10 +45,14 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.3f s")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Short keys + 3-decimal values keep the whole line well under the
+    // driver's tail-capture window (round 1's full-name line was truncated
+    // mid-JSON and failed to parse).
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,7 +43,8 @@ object MultimodalOps {
           expr("CAST(octet_length(payload) AS BIGINT)").as("n_bytes"),
           expr("sha2(payload, 256)").as("digest"),
           expr("substring(b64, 1, 24)").as("b64_prefix"),
-          expr("transform(sequence(0, 3), i -> substring(b64, 1 + i * 16, 8))")
+          // joined to one string: array cells break the driver's pandas sort
+          expr("array_join(transform(sequence(0, 3), i -> substring(b64, 1 + i * 16, 8)), '|')")
             .as("frames"),
           expr(s"64 + ($h) % 1024").as("width"),
           expr(s"64 + (($h) div 1024) % 1024").as("height"),
@@ -62,7 +63,7 @@ object MultimodalOps {
          | octet_length(payload) AS n_bytes,
          | sha256(text) AS digest,
          | substring(b64, 1, 24) AS b64_prefix,
-         | list_transform(range(0, 4), i -> substring(b64, CAST(1 + i * 16 AS INTEGER), 8)) AS frames,
+         | array_to_string(list_transform(range(0, 4), i -> substring(b64, CAST(1 + i * 16 AS INTEGER), 8)), '|') AS frames,
          | 64 + ($h) % 1024 AS width,
          | 64 + (($h) // 1024) % 1024 AS height,
          | 1 + octet_length(payload) // 100 AS n_frames

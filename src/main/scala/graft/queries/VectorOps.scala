@@ -163,7 +163,9 @@ object VectorOps {
         .select(
           col("vec_id"),
           col("amax"),
-          expr("transform(embedding, x -> cast(floor(cast(x as double) * (127.0 / amax) + 0.5) as int))")
+          // joined to one string: the driver's pandas compare cannot sort
+          // rows containing array cells (unhashable ndarray)
+          expr("array_join(transform(embedding, x -> cast(cast(floor(cast(x as double) * (127.0 / amax) + 0.5) as int) as string)), ',')")
             .as("qvec"))
         .orderBy("vec_id")
     },
@@ -278,7 +280,7 @@ object VectorOps {
         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, x -> abs(x::DOUBLE))), (acc, v) -> greatest(acc, v)) AS amax
         |  FROM embeddings)
         |SELECT vec_id, amax,
-        | list_transform(embedding, x -> CAST(floor((x::DOUBLE) * (127.0 / amax) + 0.5) AS INTEGER)) AS qvec
+        | array_to_string(list_transform(embedding, x -> CAST(CAST(floor((x::DOUBLE) * (127.0 / amax) + 0.5) AS INTEGER) AS VARCHAR)), ',') AS qvec
         |FROM m ORDER BY vec_id""".stripMargin,
 
     "q32_embed_neardup" ->
