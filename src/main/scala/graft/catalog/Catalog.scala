@@ -137,20 +137,32 @@ final class Catalog(val spark: SparkSession, val yamlPath: String) {
   }
 
   /** Run SQL, auto-registering any referenced catalog tables first
-    * (reference pydala/catalog.py:530-557). Qualified `ns.table`
-    * references are rewritten to their view names.
+    * (reference pydala/catalog.py:530-557). The query is PARSED and
+    * relation identifiers are rewritten on the logical plan — a textual
+    * regex would also rewrite matches inside string literals (e.g.
+    * `WHERE status = 'orders'`); the reference uses a real SQL parser
+    * (sqlglot) for the same reason. CTE names shadow catalog tables
+    * naturally because only `UnresolvedRelation` nodes are touched and
+    * CTE resolution wins during analysis.
     */
   def sql(query: String): DataFrame = {
-    var q = query
-    for (name <- Catalog.referencedTables(query)) {
-      get(name).foreach { e =>
-        register(e.qualified)
-        // rewrite ns.table / bare-table references to the view name
-        q = q.replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(name) + "(?![\\w.])",
-          e.viewName)
-      }
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(query)
+    val cteNames: Set[String] = parsed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    val rewritten = parsed.transformUpWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        val ident = r.multipartIdentifier.mkString(".")
+        if (r.multipartIdentifier.size == 1 && cteNames.contains(ident.toLowerCase)) r
+        else get(ident) match {
+          case Some(e) =>
+            register(e.qualified)
+            r.copy(multipartIdentifier = Seq(e.viewName))
+          case None => r
+        }
     }
-    spark.sql(q)
+    org.apache.spark.sql.graftshim.Bridge.ofRows(spark, rewritten)
   }
 
   def createTable(namespace: String, name: String, path: String,

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * shuffle (edge⋈label hash join + min-combine aggregation); rounds =
   * graph diameter. Labels are seeded with min(self, direct neighbors),
   * which is exactly one propagation round for free. The driver loop
-  * reads only a one-row convergence aggregate (sum of labels, which
-  * strictly decreases while anything changes) — data rows never reach
-  * the driver — and `localCheckpoint` caps lineage growth per round.
+  * reads only a one-row convergence aggregate (the count of vertices
+  * whose label changed this round) — data rows never reach the
+  * driver — and `localCheckpoint` caps lineage growth per round.
+  * Convergence is structural, so labels may be ANY orderable type
+  * (strings included), not just numeric ids.
   *
   * Scale: near-dup components are tiny and shallow (pairs/triples), so
   * diameter ≈ 2-3 and this is 2-3 shuffles over the edge list. For
@@ -42,19 +44,18 @@ object ConnectedComponents {
       .agg(min("a").as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
       .localCheckpoint()
-    def total(): Long =
-      labels.agg(coalesce(sum("comp"), lit(0L))).first.getLong(0)
-    var prev = Long.MaxValue
-    var cur = total()
-    while (cur < prev) {
-      labels = sym.join(labels, sym("a") === labels("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val upd = sym.join(labels, sym("a") === labels("id"))
         .groupBy(col("b").as("id"))
         .agg(min("comp").as("nmin"))
         .join(labels.withColumnRenamed("comp", "own"), "id")
-        .select(col("id"), least(col("own"), col("nmin")).as("comp"))
+        .select(col("id"), col("own"), least(col("own"), col("nmin")).as("comp"))
         .localCheckpoint()
-      prev = cur
-      cur = total()
+      // structural convergence probe: a round with no label change is the
+      // fixed point, regardless of the label type
+      changed = upd.filter(col("comp") =!= col("own")).count()
+      labels = upd.select("id", "comp")
     }
     labels.withColumn("csize", count(lit(1)).over(Window.partitionBy("comp")))
   }

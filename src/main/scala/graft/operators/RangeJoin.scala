@@ -36,11 +36,16 @@ object RangeJoin {
             bucket: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
 
-    val p = points.withColumn("__b", (col(pointCol).cast("long") / bucket).cast("long"))
+    // Integral `div`, not double `/`: long→double loses bits past 2^53
+    // (e.g. nanosecond timestamps), which could place a point in a bucket
+    // its interval was never exploded into. `div` truncates toward zero,
+    // monotonically, so lo≤p≤hi still implies bucket(lo)≤bucket(p)≤bucket(hi)
+    // across the whole int64 domain.
+    def bucketOf(c: String): Column =
+      expr(s"cast(`$c` as bigint) div ${bucket}L")
+    val p = points.withColumn("__b", bucketOf(pointCol))
     val i = intervals.withColumn("__b",
-      explode(sequence(
-        (col(loCol).cast("long") / bucket).cast("long"),
-        (col(hiCol).cast("long") / bucket).cast("long"))))
+      explode(sequence(bucketOf(loCol), bucketOf(hiCol))))
 
     val joinCols = keys :+ "__b"
     p.join(i, joinCols)

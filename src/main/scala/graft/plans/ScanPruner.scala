@@ -114,6 +114,50 @@ object ScanPruner {
       (col("max_num") >= v || col("max_num").isNull)
   }
 
+  /** Exact-bigint lane predicate: integral columns (long/date/timestamp/
+    * bool) compare in the int64 domain, never through double — the
+    * double lane rounds past 2^53 and a rounded bound could prune a file
+    * whose true envelope contains matches.
+    */
+  private def intPred(op: Op, v: Long): Column = op match {
+    case Gt => col("max_int") > v || col("max_int").isNull
+    case Ge => col("max_int") >= v || col("max_int").isNull
+    case Lt => col("min_int") < v || col("min_int").isNull
+    case Le => col("min_int") <= v || col("min_int").isNull
+    case Eq => (col("min_int") <= v || col("min_int").isNull) &&
+      (col("max_int") >= v || col("max_int").isNull)
+  }
+
+  /** A fractional literal against an integral lane, translated to the
+    * equivalent exact integer comparison (x > 10.5 ⟺ x ≥ 11).
+    */
+  private def fracIntPred(op: Op, v: Double): Column = {
+    if (!java.lang.Double.isFinite(v) || math.abs(v) >= 9.0e18) return lit(true)
+    val lo = math.floor(v).toLong
+    val hi = math.ceil(v).toLong
+    op match {
+      case Gt => intPred(Ge, lo + 1)
+      case Ge => intPred(Ge, hi)
+      case Lt => intPred(Le, hi - 1)
+      case Le => intPred(Le, lo)
+      case Eq => lit(false) // no integer equals a strictly fractional value
+    }
+  }
+
+  private val IntLanes = Seq("long", "date", "timestamp", "bool")
+
+  private def integralValue(v: Any): Option[Long] = v match {
+    case b: java.lang.Byte => Some(b.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case i: java.lang.Integer => Some(i.toLong)
+    case l: java.lang.Long => Some(l)
+    case d: java.math.BigDecimal =>
+      try if (d.stripTrailingZeros.scale <= 0) Some(d.longValueExact) else None
+      catch { case _: ArithmeticException => None }
+    case d: org.apache.spark.sql.types.Decimal => integralValue(d.toJavaBigDecimal)
+    case _ => None
+  }
+
   private def strPred(op: Op, v: String): Column = op match {
     case Gt => col("max_str") > v || col("max_str").isNull
     case Ge => col("max_str") >= v || col("max_str").isNull
@@ -123,20 +167,38 @@ object ScanPruner {
       (col("max_str") >= v || col("max_str").isNull)
   }
 
-  /** Stats-row predicate for an atom, dispatching on the row's `typ`. */
+  /** Stats-row predicate for an atom, dispatching on the row's `typ`.
+    * Integral lanes always compare through `min_int`/`max_int` (exact
+    * for the full int64 domain); the double lane serves float/double
+    * columns, whose parquet stats are already exact doubles.
+    */
   def statsPredicate(a: Atom): Column = a.value match {
     case s: String =>
       parseTemporal(s) match {
         case Some((micros, days)) =>
-          when(col("typ") === "timestamp", numPred(a.op, micros.toDouble))
-            .when(col("typ") === "date", numPred(a.op, days.toDouble))
+          when(col("typ") === "timestamp", intPred(a.op, micros))
+            .when(col("typ") === "date", intPred(a.op, days))
             .otherwise(strPred(a.op, s))
         case None => strPred(a.op, s)
       }
-    case n: Number => numPred(a.op, n.doubleValue())
-    case b: Boolean => numPred(a.op, if (b) 1.0 else 0.0)
-    case d: java.math.BigDecimal => numPred(a.op, d.doubleValue())
-    case other => lit(true) // unknown literal kind: never prune on it
+    case b: Boolean =>
+      when(col("typ").isin(IntLanes: _*), intPred(a.op, if (b) 1L else 0L))
+        .otherwise(numPred(a.op, if (b) 1.0 else 0.0))
+    case v =>
+      integralValue(v) match {
+        case Some(l) =>
+          when(col("typ").isin(IntLanes: _*), intPred(a.op, l))
+            .otherwise(numPred(a.op, l.toDouble))
+        case None => v match {
+          case n: Number => // includes java.math.BigDecimal
+            when(col("typ").isin(IntLanes: _*), fracIntPred(a.op, n.doubleValue()))
+              .otherwise(numPred(a.op, n.doubleValue()))
+          case d: org.apache.spark.sql.types.Decimal =>
+            when(col("typ").isin(IntLanes: _*), fracIntPred(a.op, d.toDouble))
+              .otherwise(numPred(a.op, d.toDouble))
+          case _ => lit(true) // unknown literal kind: never prune on it
+        }
+      }
   }
 
   // ---- partition-value atoms ---------------------------------------
@@ -209,7 +271,12 @@ object ScanPruner {
     val survivors: Set[String] = statsDF match {
       case None => afterPart.toSet
       case Some(df) if statAtoms.isEmpty => afterPart.toSet
-      case Some(df) =>
+      case Some(df0) =>
+        // sidecars written before the exact-bigint lanes existed: treat the
+        // lanes as all-null (predicates fall back to "keep")
+        val df = if (df0.columns.contains("min_int")) df0
+          else df0.withColumn("min_int", lit(null).cast("long"))
+            .withColumn("max_int", lit(null).cast("long"))
         var rg = df.select("file_path", "row_group").distinct()
         statAtoms.zipWithIndex.foreach { case (a, i) =>
           val ok = df.filter(col("column") === a.column)

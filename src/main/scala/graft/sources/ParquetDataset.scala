@@ -87,10 +87,12 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
     * sidecar or stats are missing.
     */
   def timeRange(column: String): Option[(Long, Long)] = stats.flatMap { s =>
+    val exact = s.columns.contains("min_int")
+    val (lo, hi) = if (exact) ("min_int", "max_int") else ("min_num", "max_num")
     val r = s.filter(col("column") === column && col("typ") === "timestamp")
-      .agg(min("min_num"), max("max_num")).collect()(0)
+      .agg(min(lo).cast("long"), max(hi).cast("long")).collect()(0)
     if (r.isNullAt(0) || r.isNullAt(1)) None
-    else Some((r.getDouble(0).toLong, r.getDouble(1).toLong))
+    else Some((r.getLong(0), r.getLong(1)))
   }
 
   /** First timestamp column of the schema (reference timestamp-column
@@ -122,6 +124,9 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
   def deleteFiles(rel: Seq[String]): Unit = {
     FsUtil.delete(path, rel.map(f => s"$path/$f"))
     spark.catalog.refreshByPath(path)
+    // keep the sidecar in sync: count()/timeRange()/scan() prefer it, so a
+    // stale sidecar would keep serving rows for the files just deleted
+    if (stats.nonEmpty) updateStats()
   }
 }
 

@@ -16,10 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `_metadata` / `_file_metadata` sidecars and DuckDB metadata view
   * (pydala/metadata.py:261-262, 1130-1205).
   *
-  * min/max are stored in two lanes: `min_num`/`max_num` for numeric,
-  * boolean (0/1), date (days) and timestamp (epoch micros) columns;
-  * `min_str`/`max_str` for strings. `typ` records which lane applies
-  * and, for temporal types, the unit.
+  * min/max are stored in three lanes: `min_num`/`max_num` (double) for
+  * numeric, boolean (0/1), date (days) and timestamp (epoch micros)
+  * columns; `min_int`/`max_int` keep the EXACT bigint bounds for
+  * integral lanes (long/date/timestamp/bool) — the double lane rounds
+  * past 2^53 (e.g. nanosecond timestamps), and file pruning must never
+  * exclude a file because of that rounding; `min_str`/`max_str` for
+  * strings. `typ` records which lane applies and, for temporal types,
+  * the unit.
   */
 final case class ColStat(
     file_path: String, // dataset-relative
@@ -33,7 +37,9 @@ final case class ColStat(
     min_num: Option[Double],
     max_num: Option[Double],
     min_str: Option[String],
-    max_str: Option[String])
+    max_str: Option[String],
+    min_int: Option[Long],
+    max_int: Option[Long])
 
 /** Builds and reconciles the `_graft_stats.parquet` sidecar.
   *
@@ -77,42 +83,35 @@ object StatsSidecar {
           val has = stats != null && stats.hasNonNullValue
           val nulls = if (stats == null || stats.getNumNulls < 0) -1L else stats.getNumNulls
 
-          def num(f: Any => Double): (Option[Double], Option[Double]) =
+          // integral lanes go through Long EXACTLY; the double lane is a
+          // rounded convenience view (exact only below 2^53)
+          def ints(f: Any => Long): (Option[Long], Option[Long]) =
             if (has) (Some(f(stats.genericGetMin)), Some(f(stats.genericGetMax))) else (None, None)
 
-          val (typ, minNum, maxNum, minStr, maxStr) = pt.getPrimitiveTypeName match {
+          val (typ, minInt, maxInt, minStr, maxStr) = pt.getPrimitiveTypeName match {
             case INT32 =>
-              logical match {
-                case _: DateLogicalTypeAnnotation =>
-                  val (mn, mx) = num(_.asInstanceOf[Integer].toDouble)
-                  ("date", mn, mx, None, None)
-                case _ =>
-                  val (mn, mx) = num(_.asInstanceOf[Integer].toDouble)
-                  ("long", mn, mx, None, None)
-              }
+              val lane = if (logical.isInstanceOf[DateLogicalTypeAnnotation]) "date" else "long"
+              val (mn, mx) = ints(_.asInstanceOf[Integer].toLong)
+              (lane, mn, mx, None, None)
             case INT64 =>
               logical match {
                 case ts: TimestampLogicalTypeAnnotation =>
-                  val toMicros: Long => Double = ts.getUnit match {
-                    case TimeUnit.MILLIS => v => v * 1000.0
-                    case TimeUnit.MICROS => v => v.toDouble
-                    case TimeUnit.NANOS => v => (v / 1000L).toDouble
+                  val toMicros: Long => Long = ts.getUnit match {
+                    case TimeUnit.MILLIS => v => v * 1000L
+                    case TimeUnit.MICROS => v => v
+                    case TimeUnit.NANOS => v => v / 1000L
                   }
-                  val (mn, mx) = num(v => toMicros(v.asInstanceOf[java.lang.Long]))
+                  val (mn, mx) = ints(v => toMicros(v.asInstanceOf[java.lang.Long]))
                   ("timestamp", mn, mx, None, None)
                 case _ =>
-                  val (mn, mx) = num(_.asInstanceOf[java.lang.Long].toDouble)
+                  val (mn, mx) = ints(_.asInstanceOf[java.lang.Long].longValue())
                   ("long", mn, mx, None, None)
               }
-            case FLOAT =>
-              val (mn, mx) = num(_.asInstanceOf[java.lang.Float].toDouble)
-              ("double", mn, mx, None, None)
-            case DOUBLE =>
-              val (mn, mx) = num(_.asInstanceOf[java.lang.Double].doubleValue())
-              ("double", mn, mx, None, None)
             case BOOLEAN =>
-              val (mn, mx) = num(v => if (v.asInstanceOf[java.lang.Boolean]) 1.0 else 0.0)
+              val (mn, mx) = ints(v => if (v.asInstanceOf[java.lang.Boolean]) 1L else 0L)
               ("bool", mn, mx, None, None)
+            case FLOAT | DOUBLE =>
+              ("double", None, None, None, None)
             case BINARY if logical.isInstanceOf[StringLogicalTypeAnnotation] =>
               val (mn, mx) =
                 if (has)
@@ -123,8 +122,18 @@ object StatsSidecar {
             case other =>
               (other.toString.toLowerCase, None, None, None, None)
           }
+          val (minNum, maxNum) = pt.getPrimitiveTypeName match {
+            case FLOAT =>
+              val (mn, mx) = (if (has) Some(stats.genericGetMin.asInstanceOf[java.lang.Float].toDouble) else None,
+                if (has) Some(stats.genericGetMax.asInstanceOf[java.lang.Float].toDouble) else None)
+              (mn, mx)
+            case DOUBLE =>
+              (if (has) Some(stats.genericGetMin.asInstanceOf[java.lang.Double].doubleValue()) else None,
+                if (has) Some(stats.genericGetMax.asInstanceOf[java.lang.Double].doubleValue()) else None)
+            case _ => (minInt.map(_.toDouble), maxInt.map(_.toDouble))
+          }
           ColStat(rel, rg, blk.getRowCount, blk.getTotalByteSize, name, typ,
-            cc.getValueCount, nulls, minNum, maxNum, minStr, maxStr)
+            cc.getValueCount, nulls, minNum, maxNum, minStr, maxStr, minInt, maxInt)
         }
       }
     } finally reader.close()

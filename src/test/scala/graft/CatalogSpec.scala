@@ -47,6 +47,20 @@ class CatalogSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1, "a", 10.0), (2, "b", 20.0)))
   }
 
+  test("table names inside string literals are not rewritten") {
+    // plan-level identifier rewrite: a textual regex would corrupt the
+    // literal 't1' (and the alias-named column) into the view name
+    val cat = mkCatalog()
+    val out = cat.sql("SELECT id, v FROM main.t1 WHERE v <> 't1' ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a"), (2, "b")))
+    // CTE named like a catalog table shadows it
+    val cte = cat.sql(
+      "WITH t1 AS (SELECT 99 AS id) SELECT id FROM t1")
+      .collect().map(_.getInt(0))
+    assert(cte.toSeq == Seq(99))
+  }
+
   test("unqualified names resolve when unambiguous") {
     val cat = mkCatalog()
     assert(cat.loadTable("t1").count() == 2)

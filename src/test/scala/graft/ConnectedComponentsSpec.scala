@@ -38,4 +38,17 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     val got = comps(Seq.empty)
     assert(got.isEmpty)
   }
+
+  test("string vertex ids converge on a multi-round chain") {
+    // diameter-4 chain: >1 propagation round, so the convergence probe
+    // itself is exercised — must be structural, not a numeric label sum
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "x" -> "y")
+      .toDF("src", "dst")
+    val got = ConnectedComponents(edges).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "a" -> ("a", 5L), "b" -> ("a", 5L), "c" -> ("a", 5L),
+      "d" -> ("a", 5L), "e" -> ("a", 5L),
+      "x" -> ("x", 2L), "y" -> ("x", 2L)))
+  }
 }

@@ -34,6 +34,17 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(out.select("pid").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("values beyond 2^53 bucket exactly (nanosecond timestamps)") {
+    // double division would round trunc((2^62+999)/1000) into the wrong
+    // bucket and silently drop the match; integral `div` cannot
+    val base = 1L << 62
+    val points = Seq((1L, base + 999)).toDF("pid", "p")
+    val intervals = Seq((7L, base + 500, base + 1500)).toDF("iid", "lo", "hi")
+    val out = RangeJoin(points, intervals, "p", "lo", "hi", bucket = 1000)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 7L)))
+  }
+
   test("hash-join plan, not nested loop") {
     val points = (1 to 100).map(i => (i.toLong, i.toLong * 10)).toDF("pid", "p")
     val intervals = Seq((1L, 0L, 500L)).toDF("iid", "lo", "hi")

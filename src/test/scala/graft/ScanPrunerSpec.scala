@@ -76,6 +76,34 @@ class ScanPrunerSpec extends SparkSpecBase {
     assert(ds.scan("cat = 'a'").count() == 20)
   }
 
+  test("deleteFiles reconciles the sidecar (count/scan stay truthful)") {
+    val ds = mkDataset()
+    assert(ds.count() == 100)
+    val victims = ds.pruneFiles("id <= 30")
+    assert(victims.size == 1)
+    ds.deleteFiles(victims)
+    // a stale sidecar would keep serving the deleted file's 30 rows
+    assert(ds.count() == 70)
+    assert(ds.pruneFiles("id <= 30").isEmpty)
+    assert(ds.stats.get.select("file_path").distinct().count() == 2)
+  }
+
+  test("bigint bounds beyond 2^53 never mis-prune (exact int lanes)") {
+    val dir = tmpDir("scanbig")
+    val base = 1L << 62 // ulp(2^62) = 512: +200 rounds DOWN to +0 in double
+    Seq(base, base + 200).toDF("v").coalesce(1).write.mode("append").parquet(dir)
+    val ds = new ParquetDataset(spark, dir)
+    ds.updateStats()
+    // via the double lane, max would round to `base` and v > base+100
+    // would wrongly prune the file that contains base+200
+    assert(ds.pruneFiles(s"v > ${base + 100}").size == 1)
+    assert(ds.scan(s"v > ${base + 100}").count() == 2)
+    assert(ds.pruneFiles(s"v = ${base + 200}").size == 1)
+    assert(ds.pruneFiles(s"v > ${base + 200}").isEmpty)
+    // fractional literal against the integral lane: x > v ⟺ x ≥ ⌊v⌋+1
+    assert(ds.pruneFiles(s"v <= ${base + 100}.5").size == 1)
+  }
+
   test("files unknown to the sidecar survive (physical authoritative)") {
     val ds = mkDataset()
     // new file written after the stats refresh
