@@ -24,8 +24,15 @@ object Bench {
     // which is identical across scale factors, so the compile cost
     // lands outside the measured window (match DuckDB's warm-process
     // model — its oracle timings never pay a compiler either).
+    // dev loop: SPARK_GRAFT_ONLY=q46,q47 restricts the run (never set by
+    // the driver, which wants the full line)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(o => o.exists(name.startsWith))
+    }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
@@ -33,7 +40,7 @@ object Bench {
     // min of three runs per query: single runs vary ±30% from GC and
     // stage-scheduling jitter at this scale; the min is the stable
     // estimator of the plan's actual cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

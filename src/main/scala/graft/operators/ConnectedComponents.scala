@@ -37,21 +37,28 @@ object ConnectedComponents {
     val Array(srcC, dstC) = edges.columns
     val cand = edges.select(col(srcC).as("a"), col(dstC).as("b"))
       .filter(col("a") =!= col("b"))
-    val sym = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+    // both orientations from ONE pass over the (possibly expensive)
+    // upstream edge computation — a union of two branches would run it twice
+    val sym = cand.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = sym.groupBy(col("b").as("id"))
       .agg(min("a").as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     while (changed > 0) {
+      // lazy checkpoint: the convergence count below both materializes the
+      // round and reads the probe — one Spark job per round, not two
       val upd = sym.join(labels, sym("a") === labels("id"))
         .groupBy(col("b").as("id"))
         .agg(min("comp").as("nmin"))
         .join(labels.withColumnRenamed("comp", "own"), "id")
         .select(col("id"), col("own"), least(col("own"), col("nmin")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // structural convergence probe: a round with no label change is the
       // fixed point, regardless of the label type
       changed = upd.filter(col("comp") =!= col("own")).count()
