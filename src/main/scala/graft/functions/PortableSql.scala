@@ -64,6 +64,11 @@ final case class SqlDialect(spark: Boolean) {
   def rangeIncl(a: String, b: String): String =
     if (spark) s"sequence($a, $b)" else s"range(($a)::BIGINT, ($b)::BIGINT + 1)"
 
+  /** Inclusive stepped range [a, a+step, ... ≤ b]; b >= a required. */
+  def rangeStep(a: String, b: String, step: String): String =
+    if (spark) s"sequence($a, $b, $step)"
+    else s"range(($a)::BIGINT, ($b)::BIGINT + 1, $step)"
+
   def size(l: String): String = if (spark) s"size($l)" else s"len($l)"
 
   def arrMin(l: String): String = if (spark) s"array_min($l)" else s"list_min($l)"

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.PortableSql
+
+/** Corpus-preparation operators for a large-scale training-data
+  * pipeline: TF-IDF term weighting, sliding-window chunking,
+  * concat-and-split sequence packing, benchmark-contamination
+  * screening, per-class stratified caps, and vocabulary pruning.
+  * These extend the reference's dedup/maintenance machinery (which has
+  * no text pipeline of its own) in the same oracle-checked style: every
+  * double is produced by the identical IEEE-754 op sequence on both
+  * engines, every hash is the portable md5-60-bit hash.
+  *
+  * Scale notes (100 TB design):
+  *  - TF-IDF: two hash aggregations (doc-term, term) + a broadcastable
+  *    doc-count scalar; per-doc top-k is a bounded window. No all-pairs.
+  *  - Chunking: narrow per-row explode — no shuffle at all; chunk rows
+  *    stream straight to the sink.
+  *  - Packing: window cumsum per language partition. At 100 TB you pack
+  *    within shards (hash-prefix partitions) for the same determinism
+  *    without a global order.
+  *  - Contamination: the benchmark shingle set is tiny → broadcast hash
+  *    join against the corpus's exploded shingles; cost is one pass.
+  *  - Stratified cap / vocab prune: single hash-agg + bounded top-k.
+  */
+object PipelineOps {
+
+  private val S = PortableSql.Spark
+  private val D = PortableSql.Duck
+
+  /** (score literal chain shared verbatim by both engines.) */
+  private def tfidfScore(tf: String, nn: String, df: String): String =
+    s"(CAST($tf AS DOUBLE) * CAST($nn AS DOUBLE)) / CAST($df AS DOUBLE)"
+
+  private def docsWithToks(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("toks", expr(S.tokens("text")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-doc top-5 terms by rational TF-IDF (tf · N/df — the log-free
+    // variant keeps the score a two-op IEEE sequence, hence portable).
+    "q69_tfidf_topk" -> { (s, dir) =>
+      // tf feeds both the df aggregation and the scoring join — cache it;
+      // the per-term df frame is vocabulary-sized → broadcast
+      val tf = docsWithToks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        .cache()
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val nn = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+      val sc = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(nn))
+        .withColumn("score", expr(tfidfScore("tf", "nn", "df")))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("t").asc)
+      sc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("t").as("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // Sliding-window chunking: 64-token windows at stride 48 (16-token
+    // overlap) — the standard long-document split for training.
+    "q70_doc_chunks" -> { (s, dir) =>
+      docsWithToks(s, dir)
+        .withColumn("n", expr("size(toks)"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr(S.rangeStep("1", "n", "48"))).as("start"))
+        .select(
+          col("doc_id"),
+          expr("CAST((start - 1) div 48 AS BIGINT)").as("chunk_idx"),
+          expr(s"CAST(${S.size(S.slice("toks", "start", "64"))} AS BIGINT)").as("chunk_toks"),
+          expr(S.strJoin(S.slice("toks", "start", "64"), " ")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Concat-and-split sequence packing into 512-token bins per
+    // language: bin id = floor(tokens-before-this-doc / 512) — exactly
+    // the pretraining "concatenate then cut every B tokens" layout.
+    "q71_seq_packing" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docsWithToks(s, dir)
+        .withColumn("n", expr(s"CAST(size(toks) AS BIGINT)"))
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("bin", expr("CAST((cum - n) div 512 AS BIGINT)"))
+        .groupBy("lang", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("lang", "bin")
+    },
+
+    // Benchmark-contamination screen: docs sharing 8-gram shingles with
+    // the held-out set (doc_id % 97 == 0 stands in for the benchmark).
+    "q72_contamination" -> { (s, dir) =>
+      // cached: the benchmark and corpus branches both read these rows
+      val sh = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 8"))
+        .select(col("doc_id"),
+          explode(expr(S.arrDistinct(S.shingles("toks", 8)))).as("g"))
+        .select(col("doc_id"), expr(S.hash64("g")).as("gh"))
+        .cache()
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("gh").distinct()
+      val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+      val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = corpus.join(broadcast(bench), "gh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      hits.join(tot, "doc_id")
+        .withColumn("ratio", expr("CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)"))
+        .select("doc_id", "n_hit", "n_grams", "ratio")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic per-class cap: keep ≤50 docs per language, chosen
+    // by portable-hash order — a balanced, reproducible downsample.
+    "q73_stratified_cap" -> { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(col("hk").asc, col("doc_id").asc)
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("hk", expr(S.hash64("cast(doc_id as string)")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select("lang", "rk", "doc_id", "hk")
+        .orderBy("lang", "rk")
+    },
+
+    // Vocabulary pruning: document frequency with min_df ≥ 5 and
+    // max_df ≤ 80% of the corpus, top-100 terms by df.
+    "q74_vocab_prune" -> { (s, dir) =>
+      val dfreq = docsWithToks(s, dir)
+        .select(col("doc_id"), explode(expr(S.arrDistinct("toks"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      val nn = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+      dfreq.crossJoin(broadcast(nn))
+        .filter(col("df") >= 5 && col("df") * 5 <= col("nn") * 4)
+        .withColumn("doc_ratio", expr("CAST(df AS DOUBLE) / CAST(nn AS DOUBLE)"))
+        .orderBy(col("df").desc, col("t").asc)
+        .limit(100)
+        .select(col("t").as("term"), col("df"), col("doc_ratio"))
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q69_tfidf_topk" ->
+      s"""WITH tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM ex GROUP BY doc_id, t),
+         |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |nn AS (SELECT count(*) AS nn FROM documents),
+         |sc AS (
+         |  SELECT doc_id, t, ${tfidfScore("tf", "nn", "df")} AS score
+         |  FROM tf JOIN dfq USING (t) CROSS JOIN nn),
+         |r AS (
+         |  SELECT doc_id, t, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rank
+         |  FROM sc)
+         |SELECT doc_id, rank, t AS term, score FROM r WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q70_doc_chunks" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM
+         |    (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n, unnest(${D.rangeStep("1", "n", "48")}) AS start FROM tk)
+         |SELECT doc_id,
+         |  (start - 1) // 48 AS chunk_idx,
+         |  len(${D.slice("toks", "start", "64")}) AS chunk_toks,
+         |  ${D.strJoin(D.slice("toks", "start", "64"), " ")} AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q71_seq_packing" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, len(${D.tokens("text")})::BIGINT AS n FROM documents),
+         |cu AS (
+         |  SELECT doc_id, lang, n,
+         |    CAST(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM tk)
+         |SELECT lang, (cum - n) // 512 AS bin,
+         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cu GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q72_contamination" -> {
+      val sh =
+        s"""SELECT doc_id, ${D.hash64("g")} AS gh FROM (
+           |  SELECT doc_id, unnest(${D.arrDistinct(D.shingles("toks", 8))}) AS g FROM
+           |    (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents)
+           |  WHERE len(toks) >= 8) _g""".stripMargin
+      s"""WITH sh AS ($sh),
+         |bench AS (SELECT DISTINCT gh FROM sh WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_hit FROM corpus JOIN bench USING (gh)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_hit, n_grams,
+         |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS ratio
+         |FROM hits JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "q73_stratified_cap" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, ${D.hash64("CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, hk,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rk
+         |  FROM h)
+         |SELECT lang, rk, doc_id, hk FROM r WHERE rk <= 50
+         |ORDER BY lang, rk""".stripMargin,
+
+    "q74_vocab_prune" ->
+      s"""WITH tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(${D.arrDistinct("toks")}) AS t FROM tk),
+         |dfq AS (SELECT t, count(*) AS df FROM ex GROUP BY t),
+         |nn AS (SELECT count(*) AS nn FROM documents)
+         |SELECT t AS term, df, CAST(df AS DOUBLE) / CAST(nn AS DOUBLE) AS doc_ratio
+         |FROM dfq CROSS JOIN nn
+         |WHERE df >= 5 AND df * 5 <= nn * 4
+         |ORDER BY df DESC, t ASC LIMIT 100""".stripMargin)
+}
