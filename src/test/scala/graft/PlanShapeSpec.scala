@@ -39,6 +39,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p)
   }
 
+  test("tf-idf scoring join broadcasts the vocabulary side (q69)") {
+    val p = plan("q69_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contamination screen broadcasts the benchmark set (q72)") {
+    val p = plan("q72_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("chunking is a narrow map — no aggregation or join exchange (q70)") {
+    val p = plan("q70_doc_chunks")
+    // only the final presentation sort may exchange; the operator itself
+    // must not shuffle (no hash-partitioned exchange, no join)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("the hot path stays inside whole-stage codegen (q01)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
