@@ -34,7 +34,8 @@ object Tables {
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     name match {
       case "events" =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -44,6 +45,7 @@ object Tables {
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -21,9 +21,13 @@ package graft.functions
   */
 final case class SqlDialect(spark: Boolean) {
 
-  /** 60-bit portable hash: decimal value of md5's first 15 hex chars. */
+  /** 60-bit portable hash: decimal value of md5's first 15 hex chars.
+    * The Spark side calls the codegen'd native expression (identical
+    * value, no hex-string round-trip — see
+    * [[graft.functions.PortableHash64]]); DuckDB parses the hex.
+    */
   def hash64(e: String): String =
-    if (spark) s"cast(conv(substr(md5($e),1,15),16,10) as bigint)"
+    if (spark) s"portable_hash64($e)"
     else s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
 
   /** 60-bit lane of an already-computed md5 HEX STRING, starting at

@@ -139,10 +139,13 @@ object TextOps {
     // j=2g and j=2g+1 — md5 is the dominant cost, so this halves it
     val hj = shex
       .select(col("doc_id"), col("sm"), explode(expr("sequence(0, 7)")).as("g"))
-      .select(col("doc_id"), col("g"), expr("md5(concat(g, ':', sm))").as("m"))
+      // both 60-bit lanes from one digest via the codegen'd native
+      // expression — same values as md5-hex + conv, no hex round-trip
+      .select(col("doc_id"), col("g"),
+        expr("portable_md5_lanes(concat(g, ':', sm))").as("lanes"))
       .select(col("doc_id"), explode(expr(
-        s"array(named_struct('j', g * 2, 'h', ${S.hash64At("m", "1")}), " +
-          s"named_struct('j', g * 2 + 1, 'h', ${S.hash64At("m", "16")}))")).as("jh"))
+        "array(named_struct('j', g * 2, 'h', element_at(lanes, 1)), " +
+          "named_struct('j', g * 2 + 1, 'h', element_at(lanes, 2)))")).as("jh"))
       .select(col("doc_id"), col("jh.j").as("j"), col("jh.h").as("h"))
     hj.groupBy("doc_id", "j").agg(min("h").as("h"))
       .withColumn("b", expr("j div 2"))
