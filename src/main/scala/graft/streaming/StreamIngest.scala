@@ -60,6 +60,26 @@ object StreamIngest {
       .groupBy(window(col(tsCol), windowSpec), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
 
+  /** Streaming exact-dedup: drop rows whose dedup key (e.g. a content
+    * digest) was already seen within the watermark horizon — the
+    * streaming face of the batch hash-groupBy dedup. State is bounded
+    * by the watermark, so it runs indefinitely at ingest scale.
+    */
+  def dedupedStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                    watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Event-time session windows with a gap timeout — the streaming
+    * face of the batch sessionize operator (lag + cumulative-flag),
+    * expressed with the native session_window aggregation.
+    */
+  def sessionAgg(stream: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
   final case class KeyedEvent(key: Long, value: Double)
   final case class KeyedTotals(key: Long, n: Long, total: Double)
 

@@ -68,6 +68,49 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(last == Set((1L, 3L, 10.0), (2L, 1L, 1.0)))
   }
 
+  test("streaming dedup drops repeated digests within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamIngest.dedupedStream(
+      mem.toDF().toDF("ts", "digest"), "ts", Seq("digest"), "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedupstream").start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), "b"))
+    q.processAllAvailable()
+    // same digest again in a later micro-batch, still inside the horizon
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val digests = spark.sql("SELECT digest FROM dedupstream")
+      .collect().map(_.getString(0)).sorted
+    assert(digests.toSeq == Seq("a", "b"))
+  }
+
+  test("session windows close after the gap and count per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = StreamIngest.sessionAgg(
+      mem.toDF().toDF("ts", "k"), "ts", "k", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sessagg").start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "u"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), "u"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "u"))
+    q.processAllAvailable()
+    // advance the watermark past both session ends so append emits them
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "u"))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.sql(
+      "SELECT n_events FROM sessagg ORDER BY session_window.start")
+      .collect().map(_.getLong(0))
+    assert(sessions.toSeq == Seq(2L, 1L))
+  }
+
   test("upsert ingestion merges batches on the key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("su")
