@@ -38,12 +38,16 @@ object ConnectedComponents {
     val cand = edges.select(col(srcC).as("a"), col(dstC).as("b"))
       .filter(col("a") =!= col("b"))
     // both orientations from ONE pass over the (possibly expensive)
-    // upstream edge computation — a union of two branches would run it twice
+    // upstream edge computation — a union of two branches would run it twice.
+    // Re-partitioned on the probe key `a` BEFORE checkpointing: the
+    // checkpoint pins that partitioning, so every round's edge⋈label join
+    // reuses it instead of re-shuffling the (large) edge list per round.
     val sym = cand.select(explode(array(
         struct(col("a"), col("b")),
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
+      .repartition(col("a"))
       .localCheckpoint(eager = false)
     var labels = sym.groupBy(col("b").as("id"))
       .agg(min("a").as("nmin"))
