@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
@@ -47,6 +48,24 @@ object Relational2 {
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")
+    },
+
+    // Interval RANGE frame: trailing 30-day revenue per customer — the
+    // windowed-interval rollup the reference documents through DuckDB
+    // SQL (docs/user-guide/data-operations.md:151-169). The frame is
+    // keyed on exact epoch-microseconds so both engines evaluate
+    // identical integer bounds; the sum is decimal-exact.
+    "q75_window_range_interval" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("tsu"))
+        .rangeBetween(-2592000000000L, 0L) // 30 days in µs
+      Tables.orders(s, d)
+        // NTZ → instant under the UTC session tz, then exact micros
+        .withColumn("tsu", expr("unix_micros(cast(o_orderdate as timestamp))"))
+        .withColumn("trailing_30d",
+          sum(dec("o_totalprice", 12, 2)).over(w).cast("double"))
+        .select("o_orderkey", "o_custkey", "tsu", "trailing_30d")
+        .orderBy("o_orderkey")
     },
 
     // EXCEPT (distinct semantics).
@@ -354,6 +373,14 @@ object Relational2 {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q75_window_range_interval" ->
+      """SELECT o_orderkey, o_custkey, epoch_us(o_orderdate::TIMESTAMP) AS tsu,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate::TIMESTAMP)
+        |   RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q38_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
