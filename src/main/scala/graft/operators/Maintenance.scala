@@ -99,15 +99,19 @@ object Maintenance {
     val stats = StatsSidecar.collect(ds.spark, ds.path, ds.files)
       .filter(_.column == tsCol)
     if (stats.isEmpty) return CompactPlan(Nil)
-    val mins = stats.flatMap(_.min_num)
-    val maxs = stats.flatMap(_.max_num)
+    // exact bigint lanes: the double lanes round past 2^53 (nanosecond
+    // timestamps) and a rounded window bound could misassign files
+    def exactMin(s: graft.sources.ColStat) = s.min_int.orElse(s.min_num.map(_.toLong))
+    def exactMax(s: graft.sources.ColStat) = s.max_int.orElse(s.max_num.map(_.toLong))
+    val mins = stats.flatMap(exactMin)
+    val maxs = stats.flatMap(exactMax)
     if (mins.isEmpty || maxs.isEmpty) return CompactPlan(Nil)
-    val lo = mins.min.toLong
-    val hi = maxs.max.toLong
+    val lo = mins.min
+    val hi = maxs.max
     val rows = fileRows(ds)
 
-    val fileRange: Map[String, (Double, Double)] = stats.groupBy(_.file_path).map {
-      case (f, ss) => f -> (ss.flatMap(_.min_num).min, ss.flatMap(_.max_num).max)
+    val fileRange: Map[String, (Long, Long)] = stats.groupBy(_.file_path).map {
+      case (f, ss) => f -> (ss.flatMap(exactMin).min, ss.flatMap(exactMax).max)
     }
     val assigned = scala.collection.mutable.Set[String]()
     val groups = Iterator.iterate(lo)(_ + intervalMicros).takeWhile(_ <= hi).flatMap { start =>

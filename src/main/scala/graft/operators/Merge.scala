@@ -58,10 +58,14 @@ object Merge {
     require(ks.nonEmpty, "no common key columns between source and target")
     val src = dedupLastWins(source, ks).cache()
 
-    strategy match {
+    try strategy match {
       case "insert" => doInsert(ds, src, ks, partCols)
       case "update" => doUpdate(ds, src, ks, partCols, insertRemainder = false)
       case "upsert" => doUpdate(ds, src, ks, partCols, insertRemainder = true)
+    } finally {
+      // a long-lived session runs many merges — don't let per-merge
+      // caches accumulate executor memory
+      src.unpersist()
     }
   }
 
@@ -121,14 +125,16 @@ object Merge {
       .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
     val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
     val newRows = src.join(tgtKeys, cond, "left_anti").cache()
-    val inserted = newRows.count()
-    val before = ds.relFiles.toSet
-    if (inserted > 0)
-      ds.write(SchemaOps.align(newRows, ds.df.schema),
-        WriteConfig(mode = "append", partitionBy = partCols))
-    val after = ds.relFiles
-    MergeResult(src.count(), inserted, 0, Nil,
-      after.filterNot(before.contains), before.toSeq.sorted)
+    try {
+      val inserted = newRows.count()
+      val before = ds.relFiles.toSet
+      if (inserted > 0)
+        ds.write(SchemaOps.align(newRows, ds.df.schema),
+          WriteConfig(mode = "append", partitionBy = partCols))
+      val after = ds.relFiles
+      MergeResult(src.count(), inserted, 0, Nil,
+        after.filterNot(before.contains), before.toSeq.sorted)
+    } finally newRows.unpersist()
   }
 
   private def doUpdate(ds: ParquetDataset, src: DataFrame,
@@ -196,10 +202,12 @@ object Merge {
         .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
       val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
       val newRows = src.join(tgtKeys, cond, "left_anti").cache()
-      insertedCount = newRows.count()
-      if (insertedCount > 0)
-        WritePipeline.write(SchemaOps.align(newRows, ds.df.schema), path,
-          WriteConfig(mode = "append", partitionBy = partCols))
+      try {
+        insertedCount = newRows.count()
+        if (insertedCount > 0)
+          WritePipeline.write(SchemaOps.align(newRows, ds.df.schema), path,
+            WriteConfig(mode = "append", partitionBy = partCols))
+      } finally newRows.unpersist()
     }
 
     if (ds.stats.nonEmpty) ds.updateStats()

@@ -40,7 +40,8 @@ object Multimodal {
       */
     def decode(content: Array[Byte], w: Int, h: Int): Array[Float] = {
       val n = math.max(1, w * h)
-      Array.tabulate(n)(i => (content(i % content.length) & 0xff) / 255.0f)
+      if (content.isEmpty) new Array[Float](n) // empty blob → zero plane
+      else Array.tabulate(n)(i => (content(i % content.length) & 0xff) / 255.0f)
     }
 
     /** "Feature-extract": fixed-width pooled means over the plane. */
@@ -66,6 +67,8 @@ object Multimodal {
     /** "Frame-sample": deterministic byte-range slices as frames. */
     def sampleFrames(content: Array[Byte], nFrames: Int, every: Int): Seq[(Int, Array[Byte])] = {
       val step = math.max(1, every)
+      if (content.isEmpty) // empty blob → empty frames, same frame ids
+        return (0 until nFrames by step).map(f => (f, Array.emptyByteArray))
       (0 until nFrames by step).map { f =>
         val sz = math.max(1, content.length / math.max(1, nFrames))
         val from = math.min(content.length - 1, f * sz)

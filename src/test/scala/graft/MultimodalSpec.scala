@@ -60,4 +60,14 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
     assert(frames.forall(_.content.length == 4))
   }
+
+  test("empty blobs decode and frame-sample without crashing") {
+    val df = Seq((9L, "")).toDF("id", "txt")
+      .withColumn("blob", encode(col("txt"), "UTF-8"))
+    val m = Multimodal.fromBinary(df, "id", "blob", "image", 2, 2, nFrames = 2)
+    val dec = Multimodal.decode(m).collect().head
+    assert(dec.pixels.toSeq == Seq(0f, 0f, 0f, 0f))
+    val frames = Multimodal.sampleFrames(m, every = 1).collect()
+    assert(frames.length == 2 && frames.forall(_.content.isEmpty))
+  }
 }
