@@ -140,10 +140,34 @@ object Events {
           (coalesce(col("n_retained"), lit(0L)).cast("double") / col("n_active"))
             .as("retention"))
         .orderBy("wk")
+    },
+
+    // Zero-filled weekly spine: generate the full week range between the
+    // observed min and max and left-join the counts — gap weeks appear
+    // with an explicit 0 (the standard time-series densification).
+    "q78_date_spine" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 604800000000").as("wk"))
+        .cache()
+      val counts = e.groupBy("wk").agg(count(lit(1)).as("n_events"))
+      val spine = e.agg(min("wk").as("lo"), max("wk").as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("wk"))
+      spine.join(counts, Seq("wk"), "left")
+        .select(col("wk"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("wk")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_date_spine" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) // 604800000000 AS wk FROM events),
+        |c AS (SELECT wk, count(*) AS n_events FROM e GROUP BY wk),
+        |r AS (SELECT min(wk) AS lo, max(wk) AS hi FROM e),
+        |s AS (SELECT unnest(range(lo, hi + 1)) AS wk FROM r)
+        |SELECT s.wk AS wk, COALESCE(c.n_events, 0) AS n_events
+        |FROM s LEFT JOIN c USING (wk)
+        |ORDER BY wk""".stripMargin,
     "q08_window_running" ->
       """SELECT user_id, event_id, ts::TIMESTAMP AS ts,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (

@@ -68,6 +68,35 @@ object Relational2 {
         .orderBy("o_orderkey")
     },
 
+    // Market-basket co-purchase pairs: distinct (order, part) self-join
+    // on the order key → pair counts → deterministic top-100. The join
+    // is co-partitioned on the order key; at scale a viral order would
+    // be salted (graft.operators.Skew) before the pair explosion.
+    "q76_copurchase_pairs" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
+        .limit(100)
+    },
+
+    // ntile + percent_rank: distribution windows per nation. percent_rank
+    // is (rank-1)/(n-1) — one exactly-rounded division on both engines;
+    // the order key is unique so ranks are tie-free.
+    "q77_ntile_quartiles" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"))
+        .orderBy("c_custkey")
+    },
+
     // EXCEPT (distinct semantics).
     "q37_except" -> { (s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -373,6 +402,22 @@ object Relational2 {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q76_copurchase_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY p1, p2
+        |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
+
+    "q77_ntile_quartiles" ->
+      """SELECT c_custkey, c_nationkey,
+        | NTILE(4) OVER w AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q75_window_range_interval" ->
       """SELECT o_orderkey, o_custkey, epoch_us(o_orderdate::TIMESTAMP) AS tsu,
