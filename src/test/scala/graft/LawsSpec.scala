@@ -70,4 +70,38 @@ class LawsSpec extends SparkSpecBase {
     assert(r2.inserted == 0)
     assert(ds.df.count() == 3)
   }
+
+  test("scan pruning is sound on randomized data and predicates") {
+    // soundness law: for ANY supported predicate, scan(p).filter(p)
+    // returns exactly the rows df.filter(p) returns — pruning may keep
+    // extra files but must never drop a matching row. Randomized files
+    // (overlapping ranges, negatives, bigints past 2^53, strings, nulls)
+    // hunt the class of bug exact-lane pruning exists to prevent.
+    val rnd = new scala.util.Random(7)
+    val dir = tmpDir("law-prune")
+    val big = 1L << 61
+    (1 to 6).foreach { _ =>
+      val base = rnd.nextInt(2000) - 1000
+      val rows = (1 to 40).map { i =>
+        val v = base + rnd.nextInt(300)
+        val b = big + base * 1000L + rnd.nextInt(500)
+        val s = if (rnd.nextBoolean()) s"k${rnd.nextInt(50)}" else s"m${rnd.nextInt(50)}"
+        (v, b, if (rnd.nextInt(10) == 0) null else s, rnd.nextDouble() * 100 - 50)
+      }
+      rows.toDF("v", "b", "s", "d").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val ds = new ParquetDataset(spark, dir)
+    ds.updateStats()
+    val preds = Seq(
+      s"v > ${rnd.nextInt(600) - 300}", s"v <= ${rnd.nextInt(600) - 300}",
+      s"v = ${rnd.nextInt(600) - 300}", s"v >= -100 AND v < 200",
+      s"b > ${big - 500000}", s"b <= ${big + 200000}", s"b = ${big + 123}",
+      "s > 'k20'", "s <= 'm25'", "s = 'k7'",
+      "d > 0.5", "d <= -10.25", "v > 100 AND s < 'm0'")
+    preds.foreach { p =>
+      val expected = ds.df.filter(p).count()
+      val got = ds.scan(p).filter(p).count()
+      assert(got == expected, s"pruning dropped rows for [$p]: $got != $expected")
+    }
+  }
 }
