@@ -122,6 +122,7 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
   }
 
   def deleteFiles(rel: Seq[String]): Unit = {
+    rel.foreach(Sanitize.relPath)
     FsUtil.delete(path, rel.map(f => s"$path/$f"))
     spark.catalog.refreshByPath(path)
     // keep the sidecar in sync: count()/timeRange()/scan() prefer it, so a
@@ -143,5 +144,17 @@ object Sanitize {
     val quotes = cleaned.count(_ == '\'')
     require(quotes % 2 == 0, s"unbalanced quotes in filter: $sql")
     cleaned
+  }
+
+  /** Dataset-relative path guard (reference security.py:143-244): a
+    * user-supplied relative file name must stay inside the dataset
+    * root — no traversal segments, no NULs, no absolute paths.
+    */
+  def relPath(p: String): String = {
+    require(!p.contains("\u0000"), "NUL byte in path")
+    require(!p.startsWith("/") && !p.matches("^[A-Za-z]:.*"),
+      s"absolute path where dataset-relative expected: $p")
+    require(!p.split("[/\\\\]").contains(".."), s"path traversal rejected: $p")
+    p
   }
 }

@@ -133,4 +133,11 @@ object WritePipeline {
     // shared FileStatusCache otherwise serves the pre-write listing
     df.sparkSession.catalog.refreshByPath(path)
   }
+
+  /** List-of-sources write: each element is written as its own batch —
+    * the reference treats a list per-item on the WRITE path
+    * (pydala/dataset.py:954-962), unlike merge's one-logical-batch rule.
+    */
+  def writeAll(dfs: Seq[DataFrame], path: String, cfg: WriteConfig): Unit =
+    dfs.foreach(write(_, path, cfg))
 }

@@ -53,4 +53,23 @@ class WritePipelineSpec extends SparkSpecBase {
       WriteConfig(mode = "overwrite", partitionBy = Seq("cat")))
     assert(spark.read.parquet(dir).count() == 10)
   }
+
+  test("writeAll treats a list of sources per-item") {
+    val dir = tmpDir("wpall")
+    WritePipeline.writeAll(
+      Seq(Seq((1, "a")).toDF("id", "v"), Seq((2, "b")).toDF("id", "v")),
+      dir, WriteConfig())
+    assert(spark.read.parquet(dir).count() == 2)
+    // per-item batches → at least one file per element
+    assert(graft.sources.FsUtil.listParquet(dir).size >= 2)
+  }
+
+  test("deleteFiles rejects traversal and absolute paths") {
+    val dir = tmpDir("wpguard")
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val ds = new graft.sources.ParquetDataset(spark, dir)
+    intercept[IllegalArgumentException](ds.deleteFiles(Seq("../escape.parquet")))
+    intercept[IllegalArgumentException](ds.deleteFiles(Seq("/etc/passwd")))
+    assert(ds.df.count() == 1) // nothing was deleted
+  }
 }
