@@ -158,6 +158,31 @@ object VectorOps {
         .orderBy("qid", "rank")
     },
 
+    // IVF multi-probe: search the TWO nearest cells per query instead
+    // of one — the standard recall/latency knob (nprobe). Same join
+    // shape as q47; the scanned fraction doubles to ~2/cells.
+    "q79_embed_ivf_multiprobe" -> { (s, dir) =>
+      val e = withNorm(s, dir)
+      val cents = centroidVecs(s, dir).withColumnRenamed("label", "clabel")
+      val q = e.filter(col("vec_id") < 20)
+      val assign = q.crossJoin(cents)
+        .withColumn("ccos", mixedCos)
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel").asc)))
+        .filter(col("crk") <= 2)
+        .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+      val j = q.as("a")
+        .join(assign, col("a.vec_id") === col("qid"))
+        .join(e.as("b"),
+          col("b.label") === col("cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("qid"), col("b.vec_id").as("nb"), cosCol.as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
+      j.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "nb", "cos")
+        .orderBy("qid", "rank")
+    },
+
     // Symmetric int8 quantization: per-vector absmax scaling, the
     // standard embedding compression. floor(x*scale + 0.5) avoids
     // engine rounding-mode ambiguity; absmax via fold is exact (max
@@ -267,6 +292,40 @@ object VectorOps {
          |          / (q.nrm * cv2.cnrm)) DESC, cv2.label ASC) AS crk
          |    FROM q, cv2) t
          |  WHERE crk = 1),
+         |j AS (
+         |  SELECT asg.qid, b.vec_id AS nb,
+         |    (${D.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  FROM q a
+         |  JOIN asg ON a.vec_id = asg.qid
+         |  JOIN e b ON b.label = asg.cell AND a.vec_id != b.vec_id),
+         |r AS (
+         |  SELECT qid, nb, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC) AS rank
+         |  FROM j)
+         |SELECT qid, rank, nb, cos FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    "q79_embed_ivf_multiprobe" ->
+      s"""WITH $duckCentroids,
+         |cv AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY label),
+         |cv2 AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cv),
+         |e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${D.norm2("embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |asg AS (
+         |  SELECT vec_id AS qid, label AS cell FROM (
+         |    SELECT q.vec_id, cv2.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(q.embedding, cv2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |          / (q.nrm * cv2.cnrm)) DESC, cv2.label ASC) AS crk
+         |    FROM q, cv2) t
+         |  WHERE crk <= 2),
          |j AS (
          |  SELECT asg.qid, b.vec_id AS nb,
          |    (${D.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
