@@ -295,6 +295,61 @@ object Maintenance {
     if (ds.stats.nonEmpty) ds.updateStats()
   }
 
+  // ---- z-order clustering ------------------------------------------
+
+  /** Bit-spread a 32-bit value so its bits occupy even positions of a
+    * 64-bit lane (the classic Morton magic-mask ladder) — pure integer
+    * Column ops, fully codegen'd.
+    */
+  private def spreadBits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    var x = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Morton (Z-curve) key over two non-negative integer columns. */
+  def mortonKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.shiftleft
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+  }
+
+  /** Z-order rewrite: cluster the dataset along the space-filling curve
+    * of two integer columns so EVERY clustered column gets tight
+    * per-file min/max envelopes — multi-dimensional file pruning from
+    * the same stats sidecar (a linear sort only tightens its leading
+    * column). Staged + swapped like every rewrite. At scale this is a
+    * range-partitioned sort on the morton key: one shuffle, and the
+    * curve locality is preserved across output files.
+    */
+  def zorder(ds: ParquetDataset, colA: String, colB: String,
+             maxRowsPerFile: Long = 10000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = ds.spark
+    val data = ds.df.orderBy(mortonKey(col(colA), col(colB)))
+    val tmp = s"${ds.path}/$TmpDir"
+    FsUtil.deleteRecursively(tmp)
+    try {
+      data.write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", maxRowsPerFile)
+        .parquet(tmp)
+    } catch {
+      case e: Exception =>
+        FsUtil.deleteRecursively(tmp)
+        throw new StagedRewriteException(ds.relFiles,
+          s"z-order rewrite failed before swap; dataset unchanged: ${e.getMessage}", e)
+    }
+    val old = ds.files
+    FsUtil.promote(tmp, ds.path)
+    FsUtil.delete(ds.path, old)
+    spark.catalog.refreshByPath(ds.path)
+    if (ds.stats.nonEmpty) ds.updateStats()
+  }
+
   /** Parse "1d" / "6h" / "30m" / "10s" interval specs to micros. */
   def parseInterval(spec: String): Long = {
     val m = """(\d+)([dhms])""".r.findFirstMatchIn(spec.trim)

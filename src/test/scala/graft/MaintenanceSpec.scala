@@ -153,4 +153,36 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(Maintenance.parseInterval("1d") == 86400000000L)
     assert(Maintenance.parseInterval("6h") == 6L * 3600000000L)
   }
+
+  test("z-order clustering prunes on BOTH dimensions, linear sort on one") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    val grid = rnd.shuffle((0 until 64).flatMap(x => (0 until 64).map(y => (x, y))))
+
+    // linear layout: sorted by x only
+    val linDir = tmpDir("zlin")
+    grid.toDF("x", "y").orderBy(col("x"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 512).parquet(linDir)
+    val lin = new ParquetDataset(spark, linDir)
+    lin.updateStats()
+
+    // z-order layout: same data, morton-clustered
+    val zDir = tmpDir("zord")
+    grid.toDF("x", "y").write.mode("overwrite").parquet(zDir)
+    val zds = new ParquetDataset(spark, zDir)
+    zds.updateStats()
+    Maintenance.zorder(zds, "x", "y", maxRowsPerFile = 512)
+    assert(zds.df.count() == 4096) // rewrite lost nothing
+
+    // a y-only slab: the linear layout cannot prune it (every file spans
+    // all of y); the z-order layout keeps bounded y envelopes per file
+    val pred = "y >= 16 AND y < 24"
+    val linSurvivors = lin.pruneFiles(pred).size
+    val zSurvivors = zds.pruneFiles(pred).size
+    assert(linSurvivors == lin.relFiles.size, s"linear pruned unexpectedly: $linSurvivors")
+    assert(zSurvivors < linSurvivors,
+      s"z-order should prune: $zSurvivors vs $linSurvivors")
+    // and pruning stays sound
+    assert(zds.scan(pred).filter(pred).count() == 64 * 8)
+  }
 }
