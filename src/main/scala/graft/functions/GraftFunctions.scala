@@ -2,7 +2,9 @@ package graft.functions
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftshim.Bridge
 
 /** Session-level registration of graft's native SQL functions, so the
@@ -20,5 +22,25 @@ object GraftFunctions {
       Bridge.registerFunction(spark, "portable_md5_lanes",
         args => PortableMd5Lanes(args.head))
     }
+  }
+}
+
+/** The production injection point: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and every
+  * session (including ones the library never touches directly) gets
+  * graft's native functions at build time — no post-hoc registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("portable_hash64"),
+      new ExpressionInfo(classOf[PortableHash64].getName, "portable_hash64"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PortableHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("portable_md5_lanes"),
+      new ExpressionInfo(classOf[PortableMd5Lanes].getName, "portable_md5_lanes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PortableMd5Lanes(args.head)))
   }
 }

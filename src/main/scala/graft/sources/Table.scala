@@ -41,6 +41,14 @@ final case class Table(df: DataFrame) {
     */
   def batchIterator(): Iterator[Row] = df.toLocalIterator().asScala
 
+  /** SQL passthrough with this table registered under `name`
+    * (reference PydalaTable.sql, pydala/table.py:940-958).
+    */
+  def sql(query: String, name: String = "t"): DataFrame = {
+    df.createOrReplaceTempView(name)
+    df.sparkSession.sql(query)
+  }
+
   private implicit class JIter[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }

@@ -30,4 +30,13 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Apply the function injections of a [[SparkSessionExtensions]] to an
+    * already-built session — what `spark.sql.extensions` does at build
+    * time, exposed for tests and late binding.
+    */
+  def applyFunctionExtensions(spark: SparkSession,
+                              ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
 }

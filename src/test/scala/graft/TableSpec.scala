@@ -47,4 +47,27 @@ class TableSpec extends SparkSpecBase {
     assert(opt.df.schema("v").dataType == ByteType)
     assert(opt.df.select("v").collect().map(_.getByte(0)).sorted.toSeq == Seq(7, 42))
   }
+
+  test("sql passthrough registers the table under the given name") {
+    import spark.implicits._
+    val t = graft.sources.Table(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val out = t.sql("SELECT max(id) AS m FROM docs", name = "docs")
+      .collect().head.getInt(0)
+    assert(out == 2)
+  }
+
+  test("GraftExtensions injects native functions at session build") {
+    // a derived session picking up the extensions class resolves the
+    // native functions with no library-side registration call
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    val s2 = spark.newSession()
+    org.apache.spark.sql.graftshim.Bridge.applyFunctionExtensions(s2, ext)
+    val v = s2.sql("SELECT portable_hash64('abc') AS h").collect().head.getLong(0)
+    // == conv(substr(md5('abc'),1,15),16,10)
+    assert(v == java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("abc".getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16))
+  }
 }
