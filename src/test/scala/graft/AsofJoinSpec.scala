@@ -31,4 +31,29 @@ class AsofJoinSpec extends SparkSpecBase {
     val r = out.collect()(0)
     assert(r.getString(3) == "extra" && r.getLong(4) == 9L)
   }
+
+  test("forward direction picks the earliest following right row") {
+    val left = Seq(("u", 1L, 100L), ("u", 2L, 201L), ("u", 3L, 999L))
+      .toDF("k", "lid", "t")
+    val right = Seq(("u", 10L, 100L), ("u", 20L, 200L), ("u", 30L, 300L))
+      .toDF("k", "rid", "rt")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"),
+        direction = "forward")
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) null else r.getLong(3)))
+    // t=100 → rid=10 (inclusive); t=201 → rid=30 (next following);
+    // t=999 → nothing follows → null
+    assert(out.toSeq == Seq((1L, 10L), (2L, 30L), (3L, null)))
+  }
+
+  test("tolerance nulls out matches beyond the window") {
+    val left = Seq(("u", 1L, 100L), ("u", 2L, 500L)).toDF("k", "lid", "t")
+    val right = Seq(("u", 10L, 90L)).toDF("k", "rid", "rt")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"),
+        tolerance = Some(50L))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) null else r.getLong(3)))
+    // t=100 is 10 units after rt=90 (≤50 → match); t=500 is 410 after (> 50)
+    assert(out.toSeq == Seq((1L, 10L), (2L, null)))
+  }
 }
