@@ -52,4 +52,20 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")
   }
+
+  /** Auto-tuned variant: bucket width = the median interval length
+    * (clamped to ≥1), estimated with one cheap approx-percentile pass
+    * over the interval table — the default the class doc recommends,
+    * computed instead of guessed.
+    */
+  def auto(points: DataFrame, intervals: DataFrame,
+           pointCol: String, loCol: String, hiCol: String,
+           keys: Seq[String] = Nil): DataFrame = {
+    val med = intervals
+      .select((col(hiCol).cast("long") - col(loCol).cast("long")).as("__len"))
+      .agg(expr("approx_percentile(__len, 0.5)"))
+      .collect()(0)
+    val bucket = if (med.isNullAt(0)) 1L else math.max(1L, med.getLong(0))
+    apply(points, intervals, pointCol, loCol, hiCol, bucket, keys)
+  }
 }

@@ -45,6 +45,21 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 7L)))
   }
 
+  test("auto bucket width matches the naive join too") {
+    val rnd = new scala.util.Random(13)
+    val points = (1 to 200).map(id => (id.toLong, rnd.nextInt(5000).toLong))
+      .toDF("pid", "p")
+    val intervals = (1 to 40).map { id =>
+      val lo = rnd.nextInt(4800).toLong
+      (id.toLong, lo, lo + rnd.nextInt(400).toLong)
+    }.toDF("iid", "lo", "hi")
+    val fast = RangeJoin.auto(points, intervals, "p", "lo", "hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive)
+  }
+
   test("hash-join plan, not nested loop") {
     val points = (1 to 100).map(i => (i.toLong, i.toLong * 10)).toDF("pid", "p")
     val intervals = Seq((1L, 0L, 500L)).toDF("iid", "lo", "hi")
