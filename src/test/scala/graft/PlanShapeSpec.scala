@@ -57,6 +57,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    // the co-located-join path for repeated fact-fact joins: bucket both
+    // sides on the key at write, and the join plans with NO exchange —
+    // at 100 TB this turns every recurring key join into a local zip
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("key", "ov")
+      .write.bucketBy(4, "key").sortBy("key").saveAsTable("bkt_orders")
+    (1 to 3000).map(i => ((i % 1000 + 1).toLong, i.toLong)).toDF("key", "lv")
+      .write.bucketBy(4, "key").sortBy("key").saveAsTable("bkt_lineitem")
+    val joined = spark.table("bkt_orders").join(spark.table("bkt_lineitem"), "key")
+    joined.collect() // force the final (AQE-resolved) plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.count() == 3000)
+  }
+
   test("the hot path stays inside whole-stage codegen (q01)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)

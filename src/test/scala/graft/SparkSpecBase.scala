@@ -15,6 +15,8 @@ object SparkTestSession {
       // write timestamps as annotated INT64 micros (not legacy INT96)
       // so parquet footers carry usable min/max stats for pruning
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
