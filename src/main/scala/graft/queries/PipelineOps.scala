@@ -36,9 +36,11 @@ object PipelineOps {
   private def tfidfScore(tf: String, nn: String, df: String): String =
     s"(CAST($tf AS DOUBLE) * CAST($nn AS DOUBLE)) / CAST($df AS DOUBLE)"
 
+  // cached: same tokenize-once policy as TextOps.docsWithToks
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .withColumn("toks", expr(S.tokens("text")))
+      .cache()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -107,9 +107,13 @@ object TextOps {
     d.transform(d.rangeIncl("0", "7"), "b",
       s"concat(b, '|', ${d.strJoin(d.slice("mh", "b*2+1", "2"), ",")})")
 
+  // cached: tokenization is the shared first stage of every text
+  // operator — a real pipeline tokenizes once and reuses (the cache is
+  // per (session, sf-dir) because the plan is)
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .withColumn("toks", expr(S.tokens("text")))
+      .cache()
 
   /** (doc_id, sh) — distinct 3-shingle set per doc, ≥3-token docs.
     * Cached: q29/q30 reference it from both sides of a self-join, and
