@@ -57,6 +57,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("rank-filter top-n plans as a bounded-heap WindowGroupLimit (q07)") {
+    // Catalyst pushes `row_number <= k` into Partial+Final
+    // WindowGroupLimit: each map task keeps a k-bounded heap per key
+    // BEFORE the shuffle — the reason top-n stays declarative instead
+    // of a hand-built heap operator
+    val df = SparkEntry.queries("q07_window_topn")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial") && p.contains("Final"), p)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // the co-located-join path for repeated fact-fact joins: bucket both
     // sides on the key at write, and the join plans with NO exchange —
