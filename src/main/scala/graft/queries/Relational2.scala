@@ -68,6 +68,21 @@ object Relational2 {
         .orderBy("o_orderkey")
     },
 
+    // Multiple DISTINCT aggregates + FILTER clauses in one pass —
+    // Catalyst expands this into a single grouped plan (expand +
+    // partial aggs), no self-joins.
+    "q80_multi_distinct" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE)")
+            .as("qty_f"))
+        .orderBy("l_returnflag")
+    },
+
     // Market-basket co-purchase pairs: distinct (order, part) self-join
     // on the order key → pair counts → deterministic top-100. The join
     // is co-partitioned on the order key; at scale a viral order would
@@ -402,6 +417,16 @@ object Relational2 {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q80_multi_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q76_copurchase_pairs" ->
       """WITH li AS (
