@@ -83,6 +83,18 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Ordered string aggregation per group: the sort inside the
+    // aggregate makes the concatenation deterministic on both engines.
+    "q81_string_agg" -> { (s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          expr("concat_ws(',', sort_array(collect_list(n_name)))").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    },
+
     // Market-basket co-purchase pairs: distinct (order, part) self-join
     // on the order key → pair counts → deterministic top-100. The join
     // is co-partitioned on the order key; at scale a viral order would
@@ -417,6 +429,14 @@ object Relational2 {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q81_string_agg" ->
+      """SELECT r_name,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
 
     "q80_multi_distinct" ->
       """SELECT l_returnflag,
