@@ -159,6 +159,19 @@ object TextOps {
       .cache() // both sides of the candidate self-join read these rows
   }
 
+  /** LSH candidate pairs (doc_a < doc_b), deduped across bands —
+    * cached: five queries (candidates, jaccard, components, keep,
+    * edit-distance) start from exactly this frame.
+    */
+  private def candPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = bandKeyRows(s, dir)
+    e.as("x").join(e.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .cache()
+  }
+
   /** Per-doc quality signals + score (shared by q25 and the dedup
     * keep-selection q65).
     */
@@ -254,21 +267,12 @@ object TextOps {
 
     // MinHash-LSH candidate pairs (the scale path: no all-pairs join).
     "q29_minhash_lsh_pairs" -> { (s, dir) =>
-      val e = bandKeyRows(s, dir)
-      e.as("x").join(e.as("y"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+      candPairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
     // Jaccard-scored dedup over LSH candidates: O(candidates), not O(n²).
     "q30_dedup_jaccard" -> { (s, dir) =>
-      val e = bandKeyRows(s, dir)
-      val cand = e.as("x").join(e.as("y"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = candPairs(s, dir)
       val shs = shingleRows(s, dir)
       cand
         .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -348,11 +352,8 @@ object TextOps {
     // you'd swap in large-star/small-star to bound component diameter,
     // but the join shape is the same.
     "q56_dup_components" -> { (s, dir) =>
-      val e = bandKeyRows(s, dir)
-      val cand = e.as("x").join(e.as("y"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
+      val cand = candPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
       graft.operators.ConnectedComponents(cand)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
@@ -364,11 +365,7 @@ object TextOps {
     // levenshtein is byte-level while Spark's is codepoint-level, so
     // non-ASCII is stripped (identically) before comparing.
     "q68_edit_distance" -> { (s, dir) =>
-      val e = bandKeyRows(s, dir)
-      val cand = e.as("x").join(e.as("y"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = candPairs(s, dir)
       val pre = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"),
           expr(s"substring(${S.regexReplaceAll("text", "[^ -~]", "")}, 1, 40)")
@@ -387,11 +384,8 @@ object TextOps {
     // model (q25) — the end-to-end near-dup pipeline: shingle →
     // minhash → band join → components → keep/drop.
     "q65_dedup_keep" -> { (s, dir) =>
-      val e = bandKeyRows(s, dir)
-      val cand = e.as("x").join(e.as("y"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
+      val cand = candPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val comp = graft.operators.ConnectedComponents(cand)
         .withColumnRenamed("id", "doc_id")
       comp.join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
