@@ -71,6 +71,61 @@ class LawsSpec extends SparkSpecBase {
     assert(ds.df.count() == 3)
   }
 
+  test("as-of join equals the naive quadratic definition on random data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val left = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(5)}", i.toLong, rnd.nextInt(1000).toLong)).toDF("k", "lid", "t")
+    val right = (1 to 150).map(i =>
+      (s"k${rnd.nextInt(6)}", 1000L + i, rnd.nextInt(1000).toLong)).toDF("k", "rid", "rt")
+    // naive: max rt <= t per key, then the max rid at that rt (ties)
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("rt") <= col("t"), "left")
+      .groupBy(col("l.k").as("k"), col("lid"), col("t"))
+      .agg(max_by(col("rid"), struct(col("rt"), col("rid"))).as("rid"))
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val fast0 = graft.operators.AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"))
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // ties on rt are resolved arbitrarily by the carry; compare on keys
+    // where the naive answer is unique per (rt)
+    val rtCounts = right.groupBy("k", "rt").count()
+      .filter(col("count") > 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val leftRows = left.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    leftRows.foreach { case (k, lid, _) =>
+      val naiveRid = naive(lid)
+      val fastRid = fast0(lid)
+      // skip rows whose matched rt is duplicated (tie-break undefined)
+      val naiveRt = right.filter(col("rid") === naiveRid).collect()
+        .headOption.map(r => (r.getString(0), r.getLong(2)))
+      val tied = naiveRt.exists(rtCounts.contains)
+      if (!tied) assert(fastRid == naiveRid, s"lid=$lid: $fastRid != $naiveRid")
+      else assert(fastRid != -1L == (naiveRid != -1L)) // both match something
+    }
+  }
+
+  test("merge upsert equals the relational expected state on random data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val dir = tmpDir("law-merge-rnd")
+    val ds = new ParquetDataset(spark, dir)
+    val target = (1 to 200).map(i => (rnd.nextInt(120), s"t$i")).toDF("id", "v")
+      .dropDuplicates("id")
+    target.coalesce(2).write.mode("append").parquet(dir)
+    val source = (1 to 80).map(i => (rnd.nextInt(160), s"s$i")).toDF("id", "v")
+    // expected: per source key LAST row wins; matched target rows replaced,
+    // unmatched source rows appended, untouched target rows preserved
+    val srcLast = source.withColumn("ord", monotonically_increasing_id())
+      .groupBy("id").agg(max_by(col("v"), col("ord")).as("v"))
+    val expected = target.as("t").join(srcLast.as("s"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s.v"), col("t.v")).as("v"))
+      .unionByName(srcLast.join(target, Seq("id"), "left_anti"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    Merge(ds, source, Seq("id"), "upsert")
+    val got = ds.df.collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(got == expected)
+  }
+
   test("scan pruning is sound on randomized data and predicates") {
     // soundness law: for ANY supported predicate, scan(p).filter(p)
     // returns exactly the rows df.filter(p) returns — pruning may keep
