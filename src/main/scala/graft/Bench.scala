@@ -55,11 +55,13 @@ object Bench {
     // Short keys + 3-decimal values keep the whole line well under the
     // driver's tail-capture window (round 1's full-name line was truncated
     // mid-JSON and failed to parse).
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

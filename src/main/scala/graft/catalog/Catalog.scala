@@ -147,7 +147,10 @@ final class Catalog(val spark: SparkSession, val yamlPath: String) {
     */
   def sql(query: String): DataFrame = {
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(query)
-    val cteNames: Set[String] = parsed.collect {
+    // collectWithSubqueries: CTEs declared inside expression subqueries
+    // (IN/EXISTS bodies) must shadow catalog tables too — plain collect
+    // does not descend into subquery expressions while the rewrite does
+    val cteNames: Set[String] = parsed.collectWithSubqueries {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
         w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet

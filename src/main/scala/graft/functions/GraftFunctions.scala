@@ -13,7 +13,11 @@ import org.apache.spark.sql.graftshim.Bridge
   */
 object GraftFunctions {
 
-  private val done = ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: registration tracking must not pin discarded sessions
+  // (per-tenant session churn would otherwise leak sessionState)
+  private val done = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     if (done.add(spark)) {

@@ -45,21 +45,29 @@ object AsofJoin {
     }
 
     val lCols = left.columns.toSeq
-    // union schema: keys ++ __t ++ __side ++ __mtv ++ left cols ++ payload
+    // the WHOLE matched right row travels as ONE struct (__m): carrying
+    // payload columns independently could mix fields from different
+    // right rows when the nearest row holds nulls — merge_asof attaches
+    // one row, nulls included
+    val mType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("mtv", org.apache.spark.sql.types.LongType) +:
+        payload.map(p => right.schema(p).copy(name = p)))
+
+    // union schema: keys ++ __t ++ __side ++ __m ++ left cols
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1)) // left sorts AFTER right at equal time
-      .withColumn("__mtv", lit(null).cast("long"))
-      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__mtv")) ++
-        lCols.filterNot(keys.contains).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+      .withColumn("__m", lit(null).cast(mType))
+      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__m")) ++
+        lCols.filterNot(keys.contains).map(col): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .withColumn("__mtv", micros(col(rightTime), right.schema(rightTime).dataType))
-      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__mtv")) ++
-        lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+      .withColumn("__m", struct(
+        micros(col(rightTime), right.schema(rightTime).dataType).as("mtv") +:
+          payload.map(p => col(p).as(p)): _*))
+      .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__m")) ++
+        lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // backward scans time ascending (carry the latest preceding right
     // row); forward scans descending (carry the earliest following one).
@@ -69,23 +77,21 @@ object AsofJoin {
       .orderBy(if (backward) col("__t").asc else col("__t").desc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (payload.map(p => s"__p_$p") :+ "__mtv")
-      .foldLeft(lTagged.unionByName(rTagged)) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
 
     val ltv = micros(col("__t"), left.schema(leftTime).dataType)
     val keep: Column = tolerance match {
-      case None => col("__mtv").isNotNull
+      case None => col("__m").isNotNull
       case Some(tol) =>
-        val gap = if (backward) ltv - col("__mtv") else col("__mtv") - ltv
-        col("__mtv").isNotNull && gap <= tol
+        val gap = if (backward) ltv - col("__m.mtv") else col("__m.mtv") - ltv
+        col("__m").isNotNull && gap <= tol
     }
 
     carried.filter(col("__side") === 1)
       .select(keys.map(col) ++ lCols.filterNot(keys.contains).map(col) ++
         payload.map(p =>
-          when(keep, col(s"__p_$p"))
+          when(keep, col(s"__m.$p"))
             .otherwise(lit(null).cast(right.schema(p).dataType)).as(p)): _*)
   }
 }

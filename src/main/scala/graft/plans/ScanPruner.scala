@@ -155,6 +155,13 @@ object ScanPruner {
       try if (d.stripTrailingZeros.scale <= 0) Some(d.longValueExact) else None
       catch { case _: ArithmeticException => None }
     case d: org.apache.spark.sql.types.Decimal => integralValue(d.toJavaBigDecimal)
+    // integral-VALUED float literals (`1e1`, `10.0D`) must take the
+    // integral path: fracIntPred's Eq would prune every file
+    case d: java.lang.Double if java.lang.Double.isFinite(d) =>
+      try integralValue(new java.math.BigDecimal(d.doubleValue()))
+      catch { case _: NumberFormatException => None }
+    case f: java.lang.Float if java.lang.Float.isFinite(f) =>
+      integralValue(java.lang.Double.valueOf(f.doubleValue()))
     case _ => None
   }
 

@@ -36,11 +36,10 @@ object PipelineOps {
   private def tfidfScore(tf: String, nn: String, df: String): String =
     s"(CAST($tf AS DOUBLE) * CAST($nn AS DOUBLE)) / CAST($df AS DOUBLE)"
 
-  // cached: same tokenize-once policy as TextOps.docsWithToks
+  // one tokenize-once cache shared with the TextOps suite (same plan →
+  // Spark's cache manager serves one materialization)
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
-      .withColumn("toks", expr(S.tokens("text")))
-      .cache()
+    TextOps.docsWithToks(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -109,8 +109,9 @@ object TextOps {
 
   // cached: tokenization is the shared first stage of every text
   // operator — a real pipeline tokenizes once and reuses (the cache is
-  // per (session, sf-dir) because the plan is)
-  private def docsWithToks(s: SparkSession, dir: String): DataFrame =
+  // per (session, sf-dir) because the plan is). package-private: the
+  // PipelineOps suite shares the SAME plan so the cache dedups.
+  private[queries] def docsWithToks(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir))
       .withColumn("toks", expr(S.tokens("text")))
       .cache()

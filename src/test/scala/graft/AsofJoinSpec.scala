@@ -46,6 +46,21 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 10L), (2L, 30L), (3L, null)))
   }
 
+  test("payload fields come from the SAME matched row (null included)") {
+    // nearest preceding row holds a NULL payload: a per-column carry
+    // would reach past it to an out-of-tolerance older row; the struct
+    // carry must attach the matched row as-is
+    val left = Seq(("u", 1L, 100L)).toDF("k", "lid", "t")
+    val right = Seq(("u", Some(5L), 10L), ("u", None, 90L))
+      .toDF("k", "p", "rt")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("p"),
+        tolerance = Some(50L))
+      .collect().head
+    // matched row is rt=90 (gap 10 ≤ 50) whose payload IS null — not
+    // the rt=10 row's p=5
+    assert(out.isNullAt(out.fieldIndex("p")))
+  }
+
   test("tolerance nulls out matches beyond the window") {
     val left = Seq(("u", 1L, 100L), ("u", 2L, 500L)).toDF("k", "lid", "t")
     val right = Seq(("u", 10L, 90L)).toDF("k", "rid", "rt")

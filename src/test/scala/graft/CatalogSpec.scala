@@ -59,6 +59,12 @@ class CatalogSpec extends SparkSpecBase {
       "WITH t1 AS (SELECT 99 AS id) SELECT id FROM t1")
       .collect().map(_.getInt(0))
     assert(cte.toSeq == Seq(99))
+    // ...including CTEs declared INSIDE expression subqueries
+    val sub = cat.sql(
+      "SELECT id FROM main.t1 WHERE id IN " +
+        "(WITH t2 AS (SELECT 1 AS id) SELECT id FROM t2)")
+      .collect().map(_.getInt(0))
+    assert(sub.toSeq == Seq(1))
   }
 
   test("unqualified names resolve when unambiguous") {

@@ -91,14 +91,16 @@ class LawsSpec extends SparkSpecBase {
     val rtCounts = right.groupBy("k", "rt").count()
       .filter(col("count") > 1).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
+    // one collect up front: per-row filter().collect() would launch a
+    // Spark job per left row
+    val ridInfo: Map[Long, (String, Long)] = right.collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getLong(2))).toMap
     val leftRows = left.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     leftRows.foreach { case (k, lid, _) =>
       val naiveRid = naive(lid)
       val fastRid = fast0(lid)
       // skip rows whose matched rt is duplicated (tie-break undefined)
-      val naiveRt = right.filter(col("rid") === naiveRid).collect()
-        .headOption.map(r => (r.getString(0), r.getLong(2)))
-      val tied = naiveRt.exists(rtCounts.contains)
+      val tied = ridInfo.get(naiveRid).exists(rtCounts.contains)
       if (!tied) assert(fastRid == naiveRid, s"lid=$lid: $fastRid != $naiveRid")
       else assert(fastRid != -1L == (naiveRid != -1L)) // both match something
     }

@@ -104,6 +104,19 @@ class ScanPrunerSpec extends SparkSpecBase {
     assert(ds.pruneFiles(s"v <= ${base + 100}.5").size == 1)
   }
 
+  test("integral-valued float literals don't mis-prune equality") {
+    val dir = tmpDir("scandl")
+    Seq(5L, 10L, 20L).toDF("v").coalesce(1).write.mode("append").parquet(dir)
+    val ds = new ParquetDataset(spark, dir)
+    ds.updateStats()
+    // 1e1 / 10.0D parse as java Double; 10.0 IS integral → must keep
+    assert(ds.pruneFiles("v = 1e1").size == 1)
+    assert(ds.pruneFiles("v = 10.0D").size == 1)
+    assert(ds.scan("v = 1e1").filter("v = 1e1").count() == 1)
+    // strictly fractional equality on an integral lane prunes everything
+    assert(ds.pruneFiles("v = 10.5D").isEmpty)
+  }
+
   test("files unknown to the sidecar survive (physical authoritative)") {
     val ds = mkDataset()
     // new file written after the stats refresh
