@@ -146,26 +146,42 @@ final class Catalog(val spark: SparkSession, val yamlPath: String) {
     * CTE resolution wins during analysis.
     */
   def sql(query: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(query)
-    // collectWithSubqueries: CTEs declared inside expression subqueries
-    // (IN/EXISTS bodies) must shadow catalog tables too — plain collect
-    // does not descend into subquery expressions while the rewrite does
-    val cteNames: Set[String] = parsed.collectWithSubqueries {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-    val rewritten = parsed.transformUpWithSubqueries {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+    // scope-aware rewrite: a CTE name shadows a catalog table only
+    // INSIDE the WITH it is declared in (including expression
+    // subqueries); a flat name set would skip catalog references in
+    // disjoint scopes that merely share a name
+    def rewrite(plan: LogicalPlan, scope: Set[String]): LogicalPlan = plan match {
+      case w: UnresolvedWith =>
+        val inner = scope ++ w.cteRelations.map(_._1.toLowerCase)
+        w.copy(
+          child = rewrite(w.child, inner),
+          cteRelations = w.cteRelations.map { case (n, sub, maxRec) =>
+            (n, rewrite(sub, inner)
+              .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+              maxRec)
+          })
+      case r: UnresolvedRelation =>
         val ident = r.multipartIdentifier.mkString(".")
-        if (r.multipartIdentifier.size == 1 && cteNames.contains(ident.toLowerCase)) r
+        if (r.multipartIdentifier.size == 1 && scope.contains(ident.toLowerCase)) r
         else get(ident) match {
           case Some(e) =>
             register(e.qualified)
             r.copy(multipartIdentifier = Seq(e.viewName))
           case None => r
         }
+      case other =>
+        // recurse children first, then this node's OWN expression
+        // subqueries (node-local, so inner scopes are not revisited)
+        other.mapChildren(c => rewrite(c, scope))
+          .mapExpressions(_.transformUp {
+            case sub: SubqueryExpression => sub.withNewPlan(rewrite(sub.plan, scope))
+          })
     }
-    org.apache.spark.sql.graftshim.Bridge.ofRows(spark, rewritten)
+    org.apache.spark.sql.graftshim.Bridge.ofRows(spark, rewrite(parsed, Set.empty))
   }
 
   def createTable(namespace: String, name: String, path: String,

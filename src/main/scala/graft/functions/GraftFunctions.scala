@@ -19,12 +19,23 @@ object GraftFunctions {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  /** Arity guard: a bare args.head would surface as an anonymous
+    * NoSuchElementException during analysis.
+    */
+  private[functions] def one(
+      name: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(args.size == 1, s"$name expects exactly 1 argument, got ${args.size}")
+    args.head
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     if (done.add(spark)) {
       Bridge.registerFunction(spark, "portable_hash64",
-        args => PortableHash64(args.head))
+        args => PortableHash64(GraftFunctions.one("portable_hash64", args)))
       Bridge.registerFunction(spark, "portable_md5_lanes",
-        args => PortableMd5Lanes(args.head))
+        args => PortableMd5Lanes(GraftFunctions.one("portable_md5_lanes", args)))
     }
   }
 }
@@ -40,11 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("portable_hash64"),
       new ExpressionInfo(classOf[PortableHash64].getName, "portable_hash64"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PortableHash64(args.head)))
+        PortableHash64(GraftFunctions.one("portable_hash64", args))))
     ext.injectFunction((
       FunctionIdentifier("portable_md5_lanes"),
       new ExpressionInfo(classOf[PortableMd5Lanes].getName, "portable_md5_lanes"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PortableMd5Lanes(args.head)))
+        PortableMd5Lanes(GraftFunctions.one("portable_md5_lanes", args))))
   }
 }

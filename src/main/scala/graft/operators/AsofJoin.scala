@@ -41,6 +41,8 @@ object AsofJoin {
     def micros(c: Column, dt: DataType): Column = dt match {
       case TimestampType => unix_micros(c)
       case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(c).cast("long") // tolerance unit = days for date columns
       case _ => c.cast("long")
     }
 
@@ -50,7 +52,7 @@ object AsofJoin {
     // right rows when the nearest row holds nulls — merge_asof attaches
     // one row, nulls included
     val mType = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("mtv", org.apache.spark.sql.types.LongType) +:
+      org.apache.spark.sql.types.StructField("__mtv", org.apache.spark.sql.types.LongType) +:
         payload.map(p => right.schema(p).copy(name = p)))
 
     // union schema: keys ++ __t ++ __side ++ __m ++ left cols
@@ -64,7 +66,7 @@ object AsofJoin {
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__m", struct(
-        micros(col(rightTime), right.schema(rightTime).dataType).as("mtv") +:
+        micros(col(rightTime), right.schema(rightTime).dataType).as("__mtv") +:
           payload.map(p => col(p).as(p)): _*))
       .select(keys.map(col) ++ Seq(col("__t"), col("__side"), col("__m")) ++
         lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -84,7 +86,7 @@ object AsofJoin {
     val keep: Column = tolerance match {
       case None => col("__m").isNotNull
       case Some(tol) =>
-        val gap = if (backward) ltv - col("__m.mtv") else col("__m.mtv") - ltv
+        val gap = if (backward) ltv - col("__m.__mtv") else col("__m.__mtv") - ltv
         col("__m").isNotNull && gap <= tol
     }
 

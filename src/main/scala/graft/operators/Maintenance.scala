@@ -329,14 +329,17 @@ object Maintenance {
              maxRowsPerFile: Long = 10000000L): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = ds.spark
+    val parts = ds.partitionColumns
     val data = ds.df.orderBy(mortonKey(col(colA), col(colB)))
     val tmp = s"${ds.path}/$TmpDir"
     FsUtil.deleteRecursively(tmp)
     try {
-      data.write.mode("overwrite")
+      // hive layout preserved: z-ordering re-clusters WITHIN the
+      // existing partitioning, it must not flatten it
+      val w = data.write.mode("overwrite")
         .option("compression", "zstd")
         .option("maxRecordsPerFile", maxRowsPerFile)
-        .parquet(tmp)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
     } catch {
       case e: Exception =>
         FsUtil.deleteRecursively(tmp)

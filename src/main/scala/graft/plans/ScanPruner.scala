@@ -117,28 +117,43 @@ object ScanPruner {
   /** Exact-bigint lane predicate: integral columns (long/date/timestamp/
     * bool) compare in the int64 domain, never through double — the
     * double lane rounds past 2^53 and a rounded bound could prune a file
-    * whose true envelope contains matches.
+    * whose true envelope contains matches. Sidecars written before the
+    * exact lanes existed have all-null `min_int`/`max_int`: those rows
+    * FALL BACK to the double lane (exact below 2^53) rather than losing
+    * pruning entirely.
     */
-  private def intPred(op: Op, v: Long): Column = op match {
-    case Gt => col("max_int") > v || col("max_int").isNull
-    case Ge => col("max_int") >= v || col("max_int").isNull
-    case Lt => col("min_int") < v || col("min_int").isNull
-    case Le => col("min_int") <= v || col("min_int").isNull
-    case Eq => (col("min_int") <= v || col("min_int").isNull) &&
-      (col("max_int") >= v || col("max_int").isNull)
+  private def lanePresent: Column =
+    col("min_int").isNotNull || col("max_int").isNotNull
+
+  private def intPred(op: Op, v: Long): Column = {
+    val exact = op match {
+      case Gt => col("max_int") > v
+      case Ge => col("max_int") >= v
+      case Lt => col("min_int") < v
+      case Le => col("min_int") <= v
+      case Eq => col("min_int") <= v && col("max_int") >= v
+    }
+    when(lanePresent, exact).otherwise(numPred(op, v.toDouble))
   }
 
   /** A fractional literal against an integral lane, translated to the
-    * equivalent exact integer comparison (x > 10.5 ⟺ x ≥ 11).
+    * equivalent exact integer comparison (x > 10.5 ⟺ x ≥ 11). Bounds
+    * come from the EXACT BigDecimal — rounding the literal to double
+    * first can move it by up to an ulp and reintroduce the unsound
+    * pruning the integer lanes exist to prevent.
     */
-  private def fracIntPred(op: Op, v: Double): Column = {
-    if (!java.lang.Double.isFinite(v) || math.abs(v) >= 9.0e18) return lit(true)
-    val lo = math.floor(v).toLong
-    val hi = math.ceil(v).toLong
+  private def fracIntPred(op: Op, v: java.math.BigDecimal): Column = {
+    import java.math.RoundingMode
+    val lo =
+      try v.setScale(0, RoundingMode.FLOOR).longValueExact
+      catch { case _: ArithmeticException => return lit(true) } // out of int64
+    val hi =
+      try v.setScale(0, RoundingMode.CEILING).longValueExact
+      catch { case _: ArithmeticException => return lit(true) }
     op match {
-      case Gt => intPred(Ge, lo + 1)
+      case Gt => if (lo == Long.MaxValue) lit(false) else intPred(Ge, lo + 1)
       case Ge => intPred(Ge, hi)
-      case Lt => intPred(Le, hi - 1)
+      case Lt => if (hi == Long.MinValue) lit(false) else intPred(Le, hi - 1)
       case Le => intPred(Le, lo)
       case Eq => lit(false) // no integer equals a strictly fractional value
     }
@@ -196,15 +211,24 @@ object ScanPruner {
         case Some(l) =>
           when(col("typ").isin(IntLanes: _*), intPred(a.op, l))
             .otherwise(numPred(a.op, l.toDouble))
-        case None => v match {
-          case n: Number => // includes java.math.BigDecimal
-            when(col("typ").isin(IntLanes: _*), fracIntPred(a.op, n.doubleValue()))
-              .otherwise(numPred(a.op, n.doubleValue()))
-          case d: org.apache.spark.sql.types.Decimal =>
-            when(col("typ").isin(IntLanes: _*), fracIntPred(a.op, d.toDouble))
-              .otherwise(numPred(a.op, d.toDouble))
-          case _ => lit(true) // unknown literal kind: never prune on it
-        }
+        case None =>
+          // strictly-fractional numeric literal: keep its EXACT decimal
+          // value for the integral-lane floor/ceil translation
+          val bd: Option[java.math.BigDecimal] = v match {
+            case b: java.math.BigDecimal => Some(b)
+            case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+            case d: java.lang.Double if java.lang.Double.isFinite(d) =>
+              Some(new java.math.BigDecimal(d.doubleValue()))
+            case f: java.lang.Float if java.lang.Float.isFinite(f) =>
+              Some(new java.math.BigDecimal(f.doubleValue()))
+            case _ => None
+          }
+          bd match {
+            case Some(b) =>
+              when(col("typ").isin(IntLanes: _*), fracIntPred(a.op, b))
+                .otherwise(numPred(a.op, b.doubleValue()))
+            case None => lit(true) // unknown literal kind: never prune on it
+          }
       }
   }
 

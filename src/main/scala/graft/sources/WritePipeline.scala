@@ -137,7 +137,12 @@ object WritePipeline {
   /** List-of-sources write: each element is written as its own batch —
     * the reference treats a list per-item on the WRITE path
     * (pydala/dataset.py:954-962), unlike merge's one-logical-batch rule.
+    * `overwrite` applies to the LIST, not each element: the first item
+    * replaces the dataset, the rest append (otherwise only dfs.last
+    * would survive).
     */
   def writeAll(dfs: Seq[DataFrame], path: String, cfg: WriteConfig): Unit =
-    dfs.foreach(write(_, path, cfg))
+    dfs.zipWithIndex.foreach { case (d, i) =>
+      write(d, path, if (i == 0) cfg else cfg.copy(mode = "append"))
+    }
 }

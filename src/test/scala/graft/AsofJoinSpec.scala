@@ -61,6 +61,18 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out.isNullAt(out.fieldIndex("p")))
   }
 
+  test("date-typed time columns join (tolerance unit = days)") {
+    val left = Seq(("k", 1L, java.sql.Date.valueOf("2024-03-10")))
+      .toDF("k", "lid", "d")
+    val right = Seq(
+      ("k", 10L, java.sql.Date.valueOf("2024-03-01")),
+      ("k", 20L, java.sql.Date.valueOf("2024-03-08"))).toDF("k", "rid", "rd")
+    val out = AsofJoin(left, right, Seq("k"), "d", "rd", Seq("rid"),
+        tolerance = Some(5L))
+      .collect().head
+    assert(out.getLong(out.fieldIndex("rid")) == 20L) // 2 days back, ≤5
+  }
+
   test("tolerance nulls out matches beyond the window") {
     val left = Seq(("u", 1L, 100L), ("u", 2L, 500L)).toDF("k", "lid", "t")
     val right = Seq(("u", 10L, 90L)).toDF("k", "rid", "rt")

@@ -65,6 +65,13 @@ class CatalogSpec extends SparkSpecBase {
         "(WITH t2 AS (SELECT 1 AS id) SELECT id FROM t2)")
       .collect().map(_.getInt(0))
     assert(sub.toSeq == Seq(1))
+    // ...and the shadowing is SCOPED: the outer t1 (no CTE in scope)
+    // still resolves to the catalog table while the inner one is the CTE
+    val scoped = cat.sql(
+      "SELECT id FROM t1 WHERE id IN " +
+        "(WITH t1 AS (SELECT 2 AS id) SELECT id FROM t1)")
+      .collect().map(_.getInt(0))
+    assert(scoped.toSeq == Seq(2))
   }
 
   test("unqualified names resolve when unambiguous") {

@@ -62,6 +62,12 @@ class WritePipelineSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 2)
     // per-item batches → at least one file per element
     assert(graft.sources.FsUtil.listParquet(dir).size >= 2)
+    // overwrite applies to the LIST: first element replaces, rest append
+    WritePipeline.writeAll(
+      Seq(Seq((7, "x")).toDF("id", "v"), Seq((8, "y")).toDF("id", "v")),
+      dir, WriteConfig(mode = "overwrite"))
+    val ids = spark.read.parquet(dir).collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == Seq(7, 8))
   }
 
   test("deleteFiles rejects traversal and absolute paths") {
