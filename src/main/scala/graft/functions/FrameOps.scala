@@ -15,6 +15,34 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   */
 object FrameOps {
 
+  /** Anti-join delta (reference `Writer.delta`, pydala/io.py:364-379;
+    * public re-export pydala/helpers/polars.py:2-15, pinned
+    * tests/test_helpers_contract.py:131-148): rows of `df` with no
+    * match in `other`, keyed on `subset` (default: every column common
+    * to both), with null-safe key equality — the same contract the
+    * merge-insert path uses. Plans as a left-anti hash join; Catalyst
+    * broadcasts `other` when it is small.
+    */
+  def delta(df: DataFrame, other: DataFrame, subset: Seq[String] = Nil): DataFrame = {
+    val keys =
+      if (subset.nonEmpty) subset
+      else df.columns.toSeq.filter(other.columns.contains(_))
+    require(keys.nonEmpty, "delta: no common columns to compare on")
+    val l = df.alias("graft_delta_l")
+    val r = other.select(keys.map(other(_)): _*).alias("graft_delta_r")
+    val cond = keys.map(k =>
+      col(s"graft_delta_l.$k") <=> col(s"graft_delta_r.$k")).reduce(_ && _)
+    l.join(r, cond, "left_anti")
+  }
+
+  /** Relaxed cast to a target schema (reference `cast_relaxed`,
+    * pydala/helpers/polars.py:2-15): missing fields become typed nulls,
+    * mismatched types coerce, extra columns are kept. Alias of
+    * [[SchemaOps.align]] with `keepExtra = true`.
+    */
+  def castRelaxed(df: DataFrame, target: StructType): DataFrame =
+    SchemaOps.align(df, target, keepExtra = true)
+
   /** Drop columns whose values are ALL null — one aggregate pass. */
   def dropNullColumns(df: DataFrame): DataFrame = {
     if (df.columns.isEmpty) return df

@@ -145,6 +145,24 @@ object PipelineOps {
         .orderBy(col("df").desc, col("t").asc)
         .limit(100)
         .select(col("t").as("term"), col("df"), col("doc_ratio"))
+    },
+
+    // Deterministic train/val/test assignment: portable-hash mod 100
+    // buckets (90/5/5). Hash-based splits are stable across runs,
+    // engines, and cluster sizes — the reproducibility property a
+    // training pipeline needs — and the assignment itself is a narrow
+    // map (no shuffle; only the per-(lang, split) report aggregates).
+    "q84_split_assign" -> { (s, dir) =>
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("hk", expr(s"${S.hash64("concat('split:', doc_id)")} % 100"))
+        .withColumn("split", expr(
+          "CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("lang", "split")
     })
 
   val oracles: Map[String, String] = Map(
@@ -227,5 +245,19 @@ object PipelineOps {
          |SELECT t AS term, df, CAST(df AS DOUBLE) / CAST(nn AS DOUBLE) AS doc_ratio
          |FROM dfq CROSS JOIN nn
          |WHERE df >= 5 AND df * 5 <= nn * 4
-         |ORDER BY df DESC, t ASC LIMIT 100""".stripMargin)
+         |ORDER BY df DESC, t ASC LIMIT 100""".stripMargin,
+
+    "q84_split_assign" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    ${D.hash64("concat('split:', doc_id)")} % 100 AS hk
+         |  FROM documents),
+         |a AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM h)
+         |SELECT lang, split, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin)
 }

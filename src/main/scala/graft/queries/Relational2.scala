@@ -95,6 +95,23 @@ object Relational2 {
         .orderBy("r_name")
     },
 
+    // PII-style scrubbing: mask digits in the phone column, count the
+    // redactions, keep a last-4 audit tail — the regex-scrub shape a
+    // training-data pipeline runs over raw text (emails/phones/ids).
+    // Pure narrow projection: no shuffle, pushes the two read columns
+    // down to the scan.
+    "q83_pii_scrub" -> { (s, d) =>
+      val S = graft.functions.PortableSql.Spark
+      Tables.spread(Tables.customer(s, d))
+        .select(
+          col("c_custkey"),
+          expr(S.regexReplaceAll("c_name", "[0-9]", "#")).as("masked_name"),
+          expr(s"CAST(length(c_name) - length(${S.regexReplaceAll("c_name", "[0-9]", "")}) AS BIGINT)")
+            .as("n_digits"),
+          expr(s"right(${S.regexReplaceAll("c_name", "[^0-9]", "")}, 4)").as("last4"))
+        .orderBy("c_custkey")
+    },
+
     // Market-basket co-purchase pairs: distinct (order, part) self-join
     // on the order key → pair counts → deterministic top-100. The join
     // is co-partitioned on the order key; at scale a viral order would
@@ -437,6 +454,15 @@ object Relational2 {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+
+    "q83_pii_scrub" -> {
+      val D = graft.functions.PortableSql.Duck
+      s"""SELECT c_custkey,
+         | ${D.regexReplaceAll("c_name", "[0-9]", "#")} AS masked_name,
+         | CAST(length(c_name) - length(${D.regexReplaceAll("c_name", "[0-9]", "")}) AS BIGINT) AS n_digits,
+         | right(${D.regexReplaceAll("c_name", "[^0-9]", "")}, 4) AS last4
+         |FROM customer ORDER BY c_custkey""".stripMargin
+    },
 
     "q80_multi_distinct" ->
       """SELECT l_returnflag,

@@ -173,6 +173,15 @@ object TextOps {
       .cache()
   }
 
+  /** Marker-score columns + deterministic argmax prediction (shared by
+    * the per-doc report q26 and the confusion matrix q88).
+    */
+  private def langScored(s: SparkSession, dir: String): DataFrame =
+    Markers.foldLeft(docsWithToks(s, dir)) { case (df, (l, m)) =>
+      df.withColumn(s"s_$l",
+        expr(s"size(${S.filterL("toks", "t", s"t IN $m")})").cast("long"))
+    }.withColumn("pred_lang", expr(predLangCase(l => s"s_$l")))
+
   /** Per-doc quality signals + score (shared by q25 and the dedup
     * keep-selection q65).
     */
@@ -238,12 +247,7 @@ object TextOps {
 
     // Language ID: marker-word scores with a deterministic argmax.
     "q26_text_langid" -> { (s, dir) =>
-      val scored = Markers.foldLeft(docsWithToks(s, dir)) { case (df, (l, m)) =>
-        df.withColumn(s"s_$l",
-          expr(s"size(${S.filterL("toks", "t", s"t IN $m")})").cast("long"))
-      }
-      scored
-        .withColumn("pred_lang", expr(predLangCase(l => s"s_$l")))
+      langScored(s, dir)
         .withColumn("is_match", expr("pred_lang = lang"))
         .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "s_zh", "pred_lang", "is_match")
         .orderBy("doc_id")
@@ -398,6 +402,100 @@ object TextOps {
           col("csize").as("n_members"),
           col("quality_score").as("keep_quality"))
         .orderBy("comp")
+    },
+
+    // Within-document repetition: duplicate-token fraction + the most
+    // repeated token — the standard boilerplate/spam signal (repeated
+    // nav bars, SEO keyword stuffing). The ratio is one integer
+    // subtraction and one IEEE division; the top token is a bounded
+    // per-doc window (ties → lexicographically first).
+    "q82_repetition" -> { (s, dir) =>
+      val base = docsWithToks(s, dir).filter(expr("size(toks) > 0"))
+      val sizes = base.select(col("doc_id"),
+        expr("size(toks)").cast("long").as("n_toks"),
+        expr(s"size(${S.arrDistinct("toks")})").cast("long").as("n_distinct"))
+      val top = base.select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("top_n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("top_n").desc, col("t").asc)))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("t").as("top_tok"), col("top_n"))
+      sizes.join(top, "doc_id")
+        .withColumn("rep_ratio",
+          expr("CAST(n_toks - n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE)"))
+        .select("doc_id", "n_toks", "n_distinct", "rep_ratio", "top_tok", "top_n")
+        .orderBy("doc_id")
+    },
+
+    // Quality-band filtering: keep docs between the exact global p10
+    // and p90 of the quality score — the "drop the worst and the
+    // too-good-to-be-true" corpus trim. Exact two-sided interpolated
+    // quantiles (the q55 scheme) so the band edges bit-match the
+    // oracle's quantile_cont. The global row_number is a single-
+    // partition sort here; at 100 TB you'd swap in a sampled /
+    // approximate quantile and keep the same band filter.
+    "q85_quality_band" -> { (s, dir) =>
+      val q = qualityRows(s, dir).select("doc_id", "lang", "quality_score")
+      val g = q
+        .withColumn("rn",
+          row_number().over(Window.orderBy("quality_score", "doc_id")) - 1)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      def bound(p: Double, edge: String => String) =
+        max(when(expr(s"rn = ${edge(s"(n - 1) * CAST($p AS DOUBLE)")}"),
+          col("quality_score")))
+      def interp(p: Double, lo: String, hi: String): String = {
+        val ps = s"(n - 1) * CAST($p AS DOUBLE)"
+        s"CASE WHEN $lo = $hi THEN $lo ELSE " +
+          s"$lo * (ceil($ps) - $ps) + $hi * ($ps - floor($ps)) END"
+      }
+      val bounds = g.agg(
+        bound(0.1, e => s"floor($e)").as("lo1"),
+        bound(0.1, e => s"ceil($e)").as("hi1"),
+        bound(0.9, e => s"floor($e)").as("lo9"),
+        bound(0.9, e => s"ceil($e)").as("hi9"),
+        max("n").as("n"))
+        .selectExpr(
+          s"${interp(0.1, "lo1", "hi1")} AS p10",
+          s"${interp(0.9, "lo9", "hi9")} AS p90")
+      q.crossJoin(broadcast(bounds))
+        .filter(col("quality_score") >= col("p10") &&
+          col("quality_score") <= col("p90"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min("quality_score").as("lo_score"),
+          max("quality_score").as("hi_score"),
+          max("p10").as("p10"), max("p90").as("p90"))
+        .orderBy("lang")
+    },
+
+    // Mean frequency rank of a document's tokens — a log-free
+    // "how common are this doc's words" score (low = stock phrasing,
+    // high = rare vocabulary; the rational stand-in for unigram LM
+    // perplexity). Vocabulary ranks are a broadcast; the per-doc
+    // aggregate is integer sums + one final division.
+    "q87_token_rank" -> { (s, dir) =>
+      val tok = docsWithToks(s, dir).filter(expr("size(toks) > 0"))
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+      val rk = tok.groupBy("t").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", rank().over(Window.orderBy(col("n").desc, col("t").asc)))
+      tok.join(broadcast(rk.select("t", "rnk")), "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("rnk").as("sum_rank"))
+        .withColumn("avg_rank",
+          expr("CAST(sum_rank AS DOUBLE) / CAST(n_toks AS DOUBLE)"))
+        .select("doc_id", "n_toks", "sum_rank", "avg_rank")
+        .orderBy("doc_id")
+    },
+
+    // Language-ID confusion matrix: actual × predicted counts with
+    // per-actual-language fractions — the evaluation half of q26.
+    "q88_langid_confusion" -> { (s, dir) =>
+      langScored(s, dir)
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum("n").over(Window.partitionBy("lang")))
+        .withColumn("frac", expr("CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE)"))
+        .select("lang", "pred_lang", "n", "lang_total", "frac")
+        .orderBy("lang", "pred_lang")
     }
   )
 
@@ -624,6 +722,83 @@ object TextOps {
          |      PARTITION BY sz.comp
          |      ORDER BY qs.quality_score DESC, sz.doc_id) AS rk
          |  FROM sz JOIN qs ON sz.doc_id = qs.doc_id)
-         |WHERE rk = 1 ORDER BY comp""".stripMargin
+         |WHERE rk = 1 ORDER BY comp""".stripMargin,
+
+    "q82_repetition" ->
+      s"""$duckBase,
+         |nz AS (SELECT * FROM base WHERE ${D.size("toks")} > 0),
+         |sz AS (
+         |  SELECT doc_id,
+         |    CAST(${D.size("toks")} AS BIGINT) AS n_toks,
+         |    CAST(${D.size(D.arrDistinct("toks"))} AS BIGINT) AS n_distinct
+         |  FROM nz),
+         |ex AS (SELECT doc_id, unnest(toks) AS t FROM nz),
+         |c AS (SELECT doc_id, t, count(*) AS top_n FROM ex GROUP BY doc_id, t),
+         |r AS (
+         |  SELECT doc_id, t, top_n,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY top_n DESC, t ASC) AS rk
+         |  FROM c)
+         |SELECT sz.doc_id, n_toks, n_distinct,
+         | CAST(n_toks - n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS rep_ratio,
+         | r.t AS top_tok, r.top_n
+         |FROM sz JOIN r ON sz.doc_id = r.doc_id AND r.rk = 1
+         |ORDER BY sz.doc_id""".stripMargin,
+
+    "q85_quality_band" ->
+      s"""$duckBase,
+         |qm AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(${D.size("toks")} AS BIGINT) AS n_tokens,
+         |    CAST(${tokenLenSum(D)} AS BIGINT) AS sum_len,
+         |    CAST(${D.size(D.filterL("toks", "t", s"t IN $StopList"))} AS BIGINT) AS stop_cnt,
+         |    CAST(length(text) - length(${D.regexReplaceAll("text", "[.,!?;:]", "")}) AS BIGINT) AS punct_cnt
+         |  FROM base),
+         |qr AS (
+         |  SELECT doc_id, lang,
+         |    CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+         |    CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+         |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio
+         |  FROM qm),
+         |qs AS (SELECT doc_id, lang, $QualityFormula AS quality_score FROM qr),
+         |b AS (
+         |  SELECT quantile_cont(quality_score, 0.1) AS p10,
+         |         quantile_cont(quality_score, 0.9) AS p90
+         |  FROM qs)
+         |SELECT lang, count(*) AS n_kept,
+         | min(quality_score) AS lo_score, max(quality_score) AS hi_score,
+         | max(p10) AS p10, max(p90) AS p90
+         |FROM qs, b
+         |WHERE quality_score >= p10 AND quality_score <= p90
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q87_token_rank" ->
+      s"""$duckBase,
+         |ex AS (SELECT doc_id, unnest(toks) AS t FROM base WHERE ${D.size("toks")} > 0),
+         |f AS (SELECT t, count(*) AS n FROM ex GROUP BY t),
+         |rk AS (SELECT t, RANK() OVER (ORDER BY n DESC, t ASC) AS rnk FROM f),
+         |d AS (
+         |  SELECT doc_id, count(*) AS n_toks, CAST(sum(rnk) AS BIGINT) AS sum_rank
+         |  FROM ex JOIN rk USING (t) GROUP BY doc_id)
+         |SELECT doc_id, n_toks, sum_rank,
+         | CAST(sum_rank AS DOUBLE) / CAST(n_toks AS DOUBLE) AS avg_rank
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q88_langid_confusion" -> {
+      val scoreCols = Markers.map { case (l, m) =>
+        s"CAST(${D.size(D.filterL("toks", "t", s"t IN $m"))} AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      s"""$duckBase,
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    $scoreCols
+         |  FROM base),
+         |p AS (
+         |  SELECT *, ${predLangCase(l => s"s_$l")} AS pred_lang FROM sc),
+         |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY lang, pred_lang)
+         |SELECT lang, pred_lang, n,
+         | CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+         | CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE) AS frac
+         |FROM c ORDER BY lang, pred_lang""".stripMargin
+    }
   )
 }

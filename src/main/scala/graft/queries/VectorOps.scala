@@ -218,39 +218,66 @@ object VectorOps {
 
     // Brute-force cosine top-k for a bounded query set.
     "q33_embed_knn" -> { (s, dir) =>
-      val e = withNorm(s, dir)
-      val q = e.filter(col("vec_id") < 20)
-      val j = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("qid"),
-          col("b.vec_id").as("nb"),
-          cosCol.as("cos"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
-      j.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      top5(knnExactPairs(s, dir))
         .select("qid", "rank", "nb", "cos")
         .orderBy("qid", "rank")
     },
 
     // LSH-bucketed top-k: search only within the 4-bit SRP bucket.
     "q34_embed_lsh_knn" -> { (s, dir) =>
-      val e = withNorm(s, dir)
-        .withColumn("bucket", expr(bucketExpr(S, "embedding")))
-      val q = e.filter(col("vec_id") < 20)
-      val j = q.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("qid"),
-          col("b.vec_id").as("nb"),
-          cosCol.as("cos"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
-      j.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      top5(knnLshPairs(s, dir))
         .select("qid", "rank", "nb", "cos")
         .orderBy("qid", "rank")
+    },
+
+    // ANN evaluation: recall@5 of the LSH index against the exact
+    // brute-force top-5 — the metric that calibrates the planes /
+    // nprobe knobs before trusting the index at scale. Queries whose
+    // bucket missed everything score 0 via the left join.
+    "q86_knn_recall" -> { (s, dir) =>
+      val ex = top5(knnExactPairs(s, dir)).select("qid", "nb")
+      val ap = top5(knnLshPairs(s, dir)).select("qid", "nb")
+      val hits = ex.join(ap, Seq("qid", "nb"))
+        .groupBy("qid").agg(count(lit(1)).as("nh"))
+      ex.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .withColumn("n_hit", coalesce(col("nh"), lit(0L)))
+        .withColumn("recall", expr("CAST(n_hit AS DOUBLE) / CAST(5 AS DOUBLE)"))
+        .select("qid", "n_hit", "recall")
+        .orderBy("qid")
     }
   )
+
+  /** (qid, nb, cos) — all query-to-corpus pairs, brute force. */
+  private def knnExactPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+    q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("qid"),
+        col("b.vec_id").as("nb"),
+        cosCol.as("cos"))
+  }
+
+  /** (qid, nb, cos) — pairs within the 4-bit SRP bucket only. */
+  private def knnLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+      .withColumn("bucket", expr(bucketExpr(S, "embedding")))
+    val q = e.filter(col("vec_id") < 20)
+    q.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("qid"),
+        col("b.vec_id").as("nb"),
+        cosCol.as("cos"))
+  }
+
+  /** Bounded per-query top-5 (ties → lowest neighbor id). */
+  private def top5(j: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
+    j.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+  }
 
   /** Shared oracle CTE text for centroid construction (0-based pos to
     * match Spark's posexplode).
@@ -382,6 +409,39 @@ object VectorOps {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC) AS rank
          |  FROM j)
          |SELECT qid, rank, nb, cos FROM r WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin
+         |ORDER BY qid, rank""".stripMargin,
+
+    "q86_knn_recall" ->
+      s"""WITH jx AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         |    ${D.cosine("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |rx AS (
+         |  SELECT qid, nb,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC) AS rank
+         |  FROM jx),
+         |ex AS (SELECT qid, nb FROM rx WHERE rank <= 5),
+         |e AS (
+         |  SELECT vec_id, embedding, ${bucketExpr(D, "embedding")} AS bucket
+         |  FROM embeddings),
+         |jl AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         |    ${D.cosine("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |rl AS (
+         |  SELECT qid, nb,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC) AS rank
+         |  FROM jl),
+         |ap AS (SELECT qid, nb FROM rl WHERE rank <= 5),
+         |h AS (
+         |  SELECT ex.qid, count(*) AS nh
+         |  FROM ex JOIN ap ON ex.qid = ap.qid AND ex.nb = ap.nb
+         |  GROUP BY ex.qid),
+         |q AS (SELECT DISTINCT qid FROM ex)
+         |SELECT q.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+         | CAST(CAST(coalesce(nh, 0) AS BIGINT) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+         |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin
   )
 }

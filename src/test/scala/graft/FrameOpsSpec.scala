@@ -52,4 +52,37 @@ class FrameOpsSpec extends SparkSpecBase {
     assert(r.getString(1) == "2024-03")
     assert(r.getTimestamp(2).toString == "2024-03-05 10:00:00.0")
   }
+
+  test("delta keeps rows absent from other, null-safe, on a subset") {
+    val src = Seq((1L, Option("a"), 10), (2L, None, 20), (3L, Option("c"), 30))
+      .toDF("k", "s", "v")
+    val tgt = Seq((1L, Option("a"), 99), (2L, Option.empty[String], 99))
+      .toDF("k", "s", "x")
+    // null-safe: (2, null) matches (2, null) and is dropped
+    val out = FrameOps.delta(src, tgt, Seq("k", "s")).select("k").as[Long].collect()
+    assert(out.toSeq == Seq(3L))
+    // default subset = common columns (k, s) → same result
+    val out2 = FrameOps.delta(src, tgt).select("k").as[Long].collect()
+    assert(out2.toSeq == Seq(3L))
+  }
+
+  test("delta plans as a left-anti join (no row explosion)") {
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val tgt = Seq((1L, "a")).toDF("k", "s")
+    val p = FrameOps.delta(src, tgt).queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("castRelaxed coerces, fills missing with nulls, keeps extras") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1, "2.5", "keepme")).toDF("id", "num", "extra")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("num", DoubleType),
+      StructField("absent", StringType)))
+    val out = FrameOps.castRelaxed(df, target)
+    assert(out.columns.toSeq == Seq("id", "num", "absent", "extra"))
+    val r = out.collect()(0)
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 2.5 && r.isNullAt(2)
+      && r.getString(3) == "keepme")
+  }
 }

@@ -87,6 +87,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(joined.count() == 3000)
   }
 
+  test("pii scrub is a narrow pruned projection — no shuffle, no join (q83)") {
+    val p = plan("q83_pii_scrub")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    // column pruning: only the two referenced columns reach the scan
+    assert(p.contains("c_custkey") && !p.contains("c_acctbal"), p)
+  }
+
+  test("split assignment aggregates map-side, never joins (q84)") {
+    val p = plan("q84_split_assign")
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("quality-band bounds broadcast to the corpus filter (q85)") {
+    val p = plan("q85_quality_band")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("knn recall joins two bounded top-5 sets and spans [0,1] (q86)") {
+    val rows = SparkEntry.queries("q86_knn_recall")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val nHit = r.getAs[Long]("n_hit"); val rec = r.getAs[Double]("recall")
+      assert(nHit >= 0 && nHit <= 5)
+      assert(math.abs(rec - nHit / 5.0) < 1e-15)
+    }
+  }
+
   test("the hot path stays inside whole-stage codegen (q01)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
