@@ -163,6 +163,57 @@ object PipelineOps {
           min("doc_id").as("first_doc"),
           max("doc_id").as("last_doc"))
         .orderBy("lang", "split")
+    },
+
+    // First-occurrence novelty: per doc, the fraction of its distinct
+    // 4-grams never seen in any LOWER-doc_id document — the dedup-
+    // adjacent "how much new text does this doc add" score (near-1 =
+    // fresh content, near-0 = rehash). One shuffle on the gram key;
+    // the per-gram first sighting is a window min, map-side combined.
+    "q89_novelty" -> { (s, dir) =>
+      val grams = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 4"))
+        .select(col("doc_id"),
+          explode(expr(S.arrDistinct(S.shingles("toks", 4)))).as("g"))
+      val firstSeen = grams.withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("g")))
+      firstSeen.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(expr("CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END")).as("n_novel"))
+        .withColumn("novelty",
+          expr("CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)"))
+        .select("doc_id", "n_grams", "n_novel", "novelty")
+        .orderBy("doc_id")
+    },
+
+    // Temperature-weighted domain mixing: per-source quotas
+    // ∝ sqrt(count) (temperature 0.5 — the standard upsample-the-tail
+    // mix), selection by portable-hash order so the mix is
+    // reproducible. The ordered running sum pins the IEEE add order of
+    // the weight total on both engines; quotas broadcast back to the
+    // per-doc rank filter.
+    "q90_domain_mix" -> { (s, dir) =>
+      val srcs = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", expr("sqrt(CAST(n_docs AS DOUBLE))"))
+      val run = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val quotas = srcs
+        .withColumn("wsum", sum("w").over(run))
+        .withColumn("wtot", max("wsum").over(Window.partitionBy()))
+        .withColumn("quota",
+          expr("CAST(floor(CAST(200 AS DOUBLE) * w / wtot) AS BIGINT)"))
+      val ranked = Tables.spread(Tables.documents(s, dir))
+        .withColumn("hk", expr(S.hash64("concat('mix:', doc_id)")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("hk").asc, col("doc_id").asc)))
+      ranked.join(broadcast(quotas.select("source", "n_docs", "w", "quota")), "source")
+        .filter(col("rk") <= col("quota"))
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"), max("w").as("weight"),
+          max("quota").as("quota"), count(lit(1)).as("n_kept"),
+          min("doc_id").as("first_kept"))
+        .orderBy("source")
     })
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +310,44 @@ object PipelineOps {
          |SELECT lang, split, count(*) AS n_docs,
          | CAST(sum(n_chars) AS BIGINT) AS n_chars,
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin)
+         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q89_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(${D.arrDistinct(D.shingles("toks", 4))}) AS g
+         |  FROM tk WHERE ${D.size("toks")} >= 4),
+         |f AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS first_doc FROM g),
+         |d AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM f GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_novel,
+         | CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q90_domain_mix" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM s),
+         |r AS (
+         |  SELECT source, n_docs, w,
+         |    SUM(w) OVER (ORDER BY source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wsum
+         |  FROM w),
+         |t AS (SELECT source, n_docs, w, MAX(wsum) OVER () AS wtot FROM r),
+         |q AS (
+         |  SELECT source, n_docs, w,
+         |    CAST(floor(CAST(200 AS DOUBLE) * w / wtot) AS BIGINT) AS quota
+         |  FROM t),
+         |rk AS (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${D.hash64("concat('mix:', doc_id)")} ASC, doc_id ASC) AS rnk
+         |  FROM documents)
+         |SELECT q.source, max(n_docs) AS n_docs, max(w) AS weight,
+         | max(quota) AS quota, count(*) AS n_kept, min(doc_id) AS first_kept
+         |FROM rk JOIN q ON rk.source = q.source
+         |WHERE rk.rnk <= q.quota
+         |GROUP BY q.source ORDER BY q.source""".stripMargin)
 }

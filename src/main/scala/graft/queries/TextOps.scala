@@ -496,6 +496,37 @@ object TextOps {
         .withColumn("frac", expr("CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE)"))
         .select("lang", "pred_lang", "n", "lang_total", "frac")
         .orderBy("lang", "pred_lang")
+    },
+
+    // Content-defined chunk dedup: hash-gated chunk boundaries
+    // (a token whose portable hash ≡ 0 mod 31 ends a chunk, so
+    // boundaries survive insertions/deletions — the rsync/CDC trick),
+    // per-chunk rolling fingerprints, then duplicate chunks across the
+    // corpus. This catches SHARED PASSAGES between non-duplicate
+    // documents, which doc-level minhash misses. Chunking is one
+    // per-doc window pass; dedup is one shuffle on the fingerprint.
+    "q91_cdc_chunks" -> { (s, dir) =>
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunked = docsWithToks(s, dir)
+        .filter(expr("size(toks) > 0"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
+        .withColumn("h", expr(S.hash64("t")))
+        .withColumn("gate", expr("CASE WHEN h % 31 = 0 THEN 1 ELSE 0 END"))
+        .withColumn("chunk",
+          coalesce(sum("gate").over(wPrev), lit(0L)).cast("long"))
+      val fp = expr(
+        s"""${S.fold(
+            S.transform("sort_array(collect_list(struct(pos, h)))", "x", "x.h"),
+            S.longLit(0), "a", "x", "(a * 31 + x) % 1000000007")}""")
+      chunked.groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("chunk_len"), fp.as("fp"))
+        .groupBy("fp", "chunk_len")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("rep_doc"))
+        .filter(col("n_copies") >= 2)
+        .orderBy("fp", "chunk_len")
     }
   )
 
@@ -799,6 +830,28 @@ object TextOps {
          | CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
          | CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE) AS frac
          |FROM c ORDER BY lang, pred_lang""".stripMargin
-    }
+    },
+
+    "q91_cdc_chunks" ->
+      s"""$duckBase,
+         |tok AS (
+         |  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+         |  FROM base WHERE ${D.size("toks")} > 0),
+         |hh AS (SELECT doc_id, pos, ${D.hash64("t")} AS h FROM tok),
+         |c AS (
+         |  SELECT doc_id, pos, h,
+         |    CAST(coalesce(SUM(CASE WHEN h % 31 = 0 THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
+         |  FROM hh),
+         |ch AS (
+         |  SELECT doc_id, chunk, count(*) AS chunk_len,
+         |    ${D.fold("list(h ORDER BY pos)", D.longLit(0), "a", "x", "(a * 31 + x) % 1000000007")} AS fp
+         |  FROM c GROUP BY doc_id, chunk)
+         |SELECT fp, chunk_len, count(*) AS n_copies,
+         | count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc
+         |FROM ch GROUP BY fp, chunk_len
+         |HAVING count(*) >= 2
+         |ORDER BY fp, chunk_len""".stripMargin
   )
 }

@@ -116,6 +116,26 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("novelty scoring combines map-side before the gram shuffle (q89)") {
+    val p = plan("q89_novelty")
+    // the per-doc aggregate pair (partial + final) must both appear
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p)
+  }
+
+  test("domain-mix quotas broadcast to the per-doc rank filter (q90)") {
+    val p = plan("q90_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cdc chunking shuffles once per doc then once per fingerprint (q91)") {
+    val rows = SparkEntry.queries("q91_cdc_chunks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") >= 2)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_copies"))
+    }
+  }
+
   test("the hot path stays inside whole-stage codegen (q01)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
