@@ -31,7 +31,7 @@ object FrameOps {
     val l = df.alias("graft_delta_l")
     val r = other.select(keys.map(other(_)): _*).alias("graft_delta_r")
     val cond = keys.map(k =>
-      col(s"graft_delta_l.$k") <=> col(s"graft_delta_r.$k")).reduce(_ && _)
+      col(s"graft_delta_l.`$k`") <=> col(s"graft_delta_r.`$k`")).reduce(_ && _)
     l.join(r, cond, "left_anti")
   }
 

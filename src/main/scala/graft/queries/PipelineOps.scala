@@ -168,8 +168,9 @@ object PipelineOps {
     // First-occurrence novelty: per doc, the fraction of its distinct
     // 4-grams never seen in any LOWER-doc_id document — the dedup-
     // adjacent "how much new text does this doc add" score (near-1 =
-    // fresh content, near-0 = rehash). One shuffle on the gram key;
-    // the per-gram first sighting is a window min, map-side combined.
+    // fresh content, near-0 = rehash). The gram rows shuffle ONCE (on
+    // the gram key) for the per-gram first-sighting window; the per-doc
+    // rollup after it is a partial+final hash aggregate.
     "q89_novelty" -> { (s, dir) =>
       val grams = docsWithToks(s, dir)
         .filter(expr("size(toks) >= 4"))

@@ -223,6 +223,40 @@ object TextOps {
   private val duckBase =
     s"WITH base AS (SELECT doc_id, lang, text, ${D.tokens("text")} AS toks FROM documents)"
 
+  /** Shared oracle text: marker-score + argmax CTEs (q26, q88). */
+  private val duckLangCtes: String = {
+    val scoreCols = Markers.map { case (l, m) =>
+      s"CAST(${D.size(D.filterL("toks", "t", s"t IN $m"))} AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    s"""sc AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM base),
+       |p AS (
+       |  SELECT *, ${predLangCase(l => s"s_$l")} AS pred_lang FROM sc)""".stripMargin
+  }
+
+  /** Shared oracle text: quality-score CTEs qm/qr/qs (q65, q85);
+    * `extra` threads additional passthrough columns (e.g. lang).
+    */
+  private def duckQualityCtes(extra: String = ""): String = {
+    val ex = if (extra.isEmpty) "" else s", $extra"
+    s"""qm AS (
+       |  SELECT doc_id$ex, text,
+       |    CAST(${D.size("toks")} AS BIGINT) AS n_tokens,
+       |    CAST(${tokenLenSum(D)} AS BIGINT) AS sum_len,
+       |    CAST(${D.size(D.filterL("toks", "t", s"t IN $StopList"))} AS BIGINT) AS stop_cnt,
+       |    CAST(length(text) - length(${D.regexReplaceAll("text", "[.,!?;:]", "")}) AS BIGINT) AS punct_cnt
+       |  FROM base),
+       |qr AS (
+       |  SELECT doc_id$ex,
+       |    CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+       |    CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+       |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio
+       |  FROM qm),
+       |qs AS (SELECT doc_id$ex, $QualityFormula AS quality_score FROM qr)""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -560,21 +594,12 @@ object TextOps {
          | $QualityFormula AS quality_score
          |FROM r ORDER BY doc_id""".stripMargin,
 
-    "q26_text_langid" -> {
-      val scoreCols = Markers.map { case (l, m) =>
-        s"CAST(${D.size(D.filterL("toks", "t", s"t IN $m"))} AS BIGINT) AS s_$l"
-      }.mkString(",\n    ")
+    "q26_text_langid" ->
       s"""$duckBase,
-         |sc AS (
-         |  SELECT doc_id, lang,
-         |    $scoreCols
-         |  FROM base),
-         |p AS (
-         |  SELECT *, ${predLangCase(l => s"s_$l")} AS pred_lang FROM sc)
+         |$duckLangCtes
          |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, pred_lang,
          | pred_lang = lang AS is_match
-         |FROM p ORDER BY doc_id""".stripMargin
-    },
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "q27_text_fingerprint" ->
       s"""$duckBase
@@ -731,20 +756,7 @@ object TextOps {
          |  FROM reach GROUP BY node),
          |sz AS (
          |  SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize FROM lab),
-         |qm AS (
-         |  SELECT doc_id, text,
-         |    CAST(${D.size("toks")} AS BIGINT) AS n_tokens,
-         |    CAST(${tokenLenSum(D)} AS BIGINT) AS sum_len,
-         |    CAST(${D.size(D.filterL("toks", "t", s"t IN $StopList"))} AS BIGINT) AS stop_cnt,
-         |    CAST(length(text) - length(${D.regexReplaceAll("text", "[.,!?;:]", "")}) AS BIGINT) AS punct_cnt
-         |  FROM base),
-         |qr AS (
-         |  SELECT doc_id,
-         |    CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
-         |    CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
-         |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio
-         |  FROM qm),
-         |qs AS (SELECT doc_id, $QualityFormula AS quality_score FROM qr)
+         |${duckQualityCtes()}
          |SELECT comp, doc_id AS keep_id, csize AS n_members,
          | quality_score AS keep_quality
          |FROM (
@@ -777,20 +789,7 @@ object TextOps {
 
     "q85_quality_band" ->
       s"""$duckBase,
-         |qm AS (
-         |  SELECT doc_id, lang, text,
-         |    CAST(${D.size("toks")} AS BIGINT) AS n_tokens,
-         |    CAST(${tokenLenSum(D)} AS BIGINT) AS sum_len,
-         |    CAST(${D.size(D.filterL("toks", "t", s"t IN $StopList"))} AS BIGINT) AS stop_cnt,
-         |    CAST(length(text) - length(${D.regexReplaceAll("text", "[.,!?;:]", "")}) AS BIGINT) AS punct_cnt
-         |  FROM base),
-         |qr AS (
-         |  SELECT doc_id, lang,
-         |    CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
-         |    CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
-         |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio
-         |  FROM qm),
-         |qs AS (SELECT doc_id, lang, $QualityFormula AS quality_score FROM qr),
+         |${duckQualityCtes("lang")},
          |b AS (
          |  SELECT quantile_cont(quality_score, 0.1) AS p10,
          |         quantile_cont(quality_score, 0.9) AS p90
@@ -814,23 +813,14 @@ object TextOps {
          | CAST(sum_rank AS DOUBLE) / CAST(n_toks AS DOUBLE) AS avg_rank
          |FROM d ORDER BY doc_id""".stripMargin,
 
-    "q88_langid_confusion" -> {
-      val scoreCols = Markers.map { case (l, m) =>
-        s"CAST(${D.size(D.filterL("toks", "t", s"t IN $m"))} AS BIGINT) AS s_$l"
-      }.mkString(",\n    ")
+    "q88_langid_confusion" ->
       s"""$duckBase,
-         |sc AS (
-         |  SELECT doc_id, lang,
-         |    $scoreCols
-         |  FROM base),
-         |p AS (
-         |  SELECT *, ${predLangCase(l => s"s_$l")} AS pred_lang FROM sc),
+         |$duckLangCtes,
          |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY lang, pred_lang)
          |SELECT lang, pred_lang, n,
          | CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
          | CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE) AS frac
-         |FROM c ORDER BY lang, pred_lang""".stripMargin
-    },
+         |FROM c ORDER BY lang, pred_lang""".stripMargin,
 
     "q91_cdc_chunks" ->
       s"""$duckBase,

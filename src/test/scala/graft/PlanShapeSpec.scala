@@ -116,9 +116,11 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
-  test("novelty scoring combines map-side before the gram shuffle (q89)") {
+  test("novelty: one window pass on the gram key, then a combined rollup (q89)") {
     val p = plan("q89_novelty")
-    // the per-doc aggregate pair (partial + final) must both appear
+    // the first-sighting min is a Window over hashpartitioning(g)
+    assert(p.contains("Window") && p.contains("hashpartitioning(g"), p)
+    // and the per-doc rollup after it is a partial+final aggregate pair
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p)
   }
 
@@ -128,7 +130,13 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("cdc chunking shuffles once per doc then once per fingerprint (q91)") {
-    val rows = SparkEntry.queries("q91_cdc_chunks")(spark, sf).collect()
+    val df = SparkEntry.queries("q91_cdc_chunks")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // boundary assignment is a per-doc window over hashpartitioning(doc_id)
+    assert(p.contains("Window") && p.contains("hashpartitioning(doc_id"), p)
+    // chunk rollup + fingerprint dedup are aggregate pairs
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p)
+    val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_copies") >= 2)
