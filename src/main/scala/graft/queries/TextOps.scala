@@ -561,6 +561,124 @@ object TextOps {
           min("doc_id").as("rep_doc"))
         .filter(col("n_copies") >= 2)
         .orderBy("fp", "chunk_len")
+    },
+
+    // Robust length-outlier detection: per language, median and MAD
+    // (median absolute deviation) of the token count — both exact
+    // interpolated quantiles — and the count of docs beyond 3 MADs.
+    // The robust-statistics variant of the length filter every corpus
+    // pipeline runs (mean/stddev break under the very outliers being
+    // hunted).
+    "q92_length_outliers" -> { (s, dir) =>
+      def interp(p: String, lo: String, hi: String, n: String): String = {
+        val ps = s"($n - 1) * CAST($p AS DOUBLE)"
+        s"CASE WHEN $lo = $hi THEN $lo ELSE " +
+          s"$lo * (ceil($ps) - $ps) + $hi * ($ps - floor($ps)) END"
+      }
+      def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val byLang = Window.partitionBy("lang")
+        val g = df
+          .withColumn("v", col(valueCol).cast("double"))
+          .withColumn("rn", row_number().over(byLang.orderBy("v", "doc_id")) - 1)
+          .withColumn("n", count(lit(1)).over(byLang))
+        g.groupBy("lang").agg(
+          max(when(expr("rn = floor((n - 1) * CAST(0.5 AS DOUBLE))"), col("v"))).as("lo"),
+          max(when(expr("rn = ceil((n - 1) * CAST(0.5 AS DOUBLE))"), col("v"))).as("hi"),
+          max("n").as("n"))
+          .selectExpr("lang", s"${interp("0.5", "lo", "hi", "n")} AS $out")
+      }
+      val toks = docsWithToks(s, dir)
+        .select(col("doc_id"), col("lang"), expr("size(toks)").cast("long").as("n_tokens"))
+      val med = medianOf(toks, "n_tokens", "med")
+      val dev = toks.join(broadcast(med), "lang")
+        .withColumn("dev", expr("abs(CAST(n_tokens AS DOUBLE) - med)"))
+      val mad = medianOf(dev.withColumnRenamed("dev", "devv")
+        .select(col("doc_id"), col("lang"), col("devv")), "devv", "mad")
+      dev.join(broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), max("med").as("med"), max("mad").as("mad"),
+          sum(expr("CASE WHEN dev > CAST(3 AS DOUBLE) * mad THEN 1 ELSE 0 END"))
+            .as("n_outliers"))
+        .orderBy("lang")
+    },
+
+    // Lexical diversity via Gini impurity over the token distribution:
+    // 1 - Σ(c_i/n)² spelled as (n² - Σc²)/n² — all-integer numerators,
+    // one exactly-rounded division (the log-free alternative to token
+    // entropy, which no two libms round identically). Low = one token
+    // dominates (spam); high = diverse vocabulary.
+    "q93_gini_diversity" -> { (s, dir) =>
+      docsWithToks(s, dir)
+        .filter(expr("size(toks) > 0"))
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_toks"), sum(expr("c * c")).as("sum_c2"))
+        .withColumn("gini",
+          expr("CAST(n_toks * n_toks - sum_c2 AS DOUBLE) / CAST(n_toks * n_toks AS DOUBLE)"))
+        .select("doc_id", "n_toks", "sum_c2", "gini")
+        .orderBy("doc_id")
+    },
+
+    // Collocation mining by lift: (N · c_ab) / (c_a · c_b) over corpus
+    // bigrams with support ≥ 5 — the log-free PMI. Unigram counts
+    // broadcast to the bigram frame; integer products stay < 2^53 so
+    // both numerator and denominator are exact before the one division.
+    "q94_collocations" -> { (s, dir) =>
+      val tok = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 2"))
+      val uni = tok.select(explode(col("toks")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cu"))
+      val nTot = tok.select(explode(col("toks")).as("t"))
+        .agg(count(lit(1)).as("nn"))
+      val bi = tok
+        .select(explode(expr(S.shingles("toks", 2))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+        .withColumn("ta", expr("split_part(bigram, ' ', 1)"))
+        .withColumn("tb", expr("split_part(bigram, ' ', 2)"))
+      bi.join(broadcast(uni.withColumnRenamed("t", "ta").withColumnRenamed("cu", "ca")), "ta")
+        .join(broadcast(uni.withColumnRenamed("t", "tb").withColumnRenamed("cu", "cb")), "tb")
+        .crossJoin(broadcast(nTot))
+        .withColumn("lift", expr(
+          "(CAST(nn AS DOUBLE) * CAST(cab AS DOUBLE)) / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"))
+        .orderBy(col("lift").desc, col("bigram").asc)
+        .limit(50)
+        .select("bigram", "cab", "ca", "cb", "lift")
+    },
+
+    // Distribution drift: two-sample Kolmogorov-Smirnov distance of the
+    // quality score, each source vs the rest of the corpus — the
+    // monitoring op that catches a crawler or source gone bad. The
+    // empirical CDFs are step functions, so the sup is attained at a
+    // sample point: evaluate both CDFs at every distinct score (window
+    // cumsum per source partition) and take the max |diff| — counts and
+    // totals are integers, two divisions and a subtraction per point.
+    "q95_ks_drift" -> { (s, dir) =>
+      val q = qualityRows(s, dir).select(col("doc_id"), col("source"), col("quality_score"))
+      val srcs = q.select("source").distinct()
+      val tot = q.agg(count(lit(1)).as("nn"))
+      val perSrc = q.groupBy("source").agg(count(lit(1)).as("ns"))
+      val ex = srcs.withColumnRenamed("source", "s")
+        .crossJoin(q)
+        .withColumn("in_s", expr("CASE WHEN source = s THEN 1 ELSE 0 END"))
+      val wOrd = Window.partitionBy("s").orderBy("quality_score", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = ex
+        .withColumn("cin", sum("in_s").over(wOrd))
+        .withColumn("rn", count(lit(1)).over(wOrd))
+        // CDF is right-continuous: evaluate at the LAST row of each
+        // distinct score (ties collapse to the same threshold)
+        .groupBy("s", "quality_score")
+        .agg(max("cin").as("cin"), max("rn").as("rn"))
+      cum.join(broadcast(perSrc.withColumnRenamed("source", "s")), "s")
+        .crossJoin(broadcast(tot))
+        .withColumn("d", expr(
+          "abs(CAST(cin AS DOUBLE) / CAST(ns AS DOUBLE) - " +
+            "CAST(rn - cin AS DOUBLE) / CAST(nn - ns AS DOUBLE))"))
+        .groupBy("s").agg(max("ns").as("n_docs"), max("d").as("ks"))
+        .withColumnRenamed("s", "source")
+        .orderBy("source")
     }
   )
 
@@ -842,6 +960,87 @@ object TextOps {
          | count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc
          |FROM ch GROUP BY fp, chunk_len
          |HAVING count(*) >= 2
-         |ORDER BY fp, chunk_len""".stripMargin
+         |ORDER BY fp, chunk_len""".stripMargin,
+
+    "q92_length_outliers" ->
+      s"""$duckBase,
+         |tk AS (SELECT doc_id, lang, CAST(${D.size("toks")} AS BIGINT) AS n_tokens FROM base),
+         |md AS (
+         |  SELECT lang, quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS med
+         |  FROM tk GROUP BY lang),
+         |dv AS (
+         |  SELECT tk.doc_id, tk.lang, abs(CAST(n_tokens AS DOUBLE) - med) AS dev
+         |  FROM tk JOIN md ON tk.lang = md.lang),
+         |mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY lang)
+         |SELECT dv.lang, count(*) AS n_docs, max(md.med) AS med, max(mad.mad) AS mad,
+         | CAST(sum(CASE WHEN dev > CAST(3 AS DOUBLE) * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dv
+         |JOIN md ON dv.lang = md.lang
+         |JOIN mad ON dv.lang = mad.lang
+         |GROUP BY dv.lang ORDER BY dv.lang""".stripMargin,
+
+    "q93_gini_diversity" ->
+      s"""$duckBase,
+         |ex AS (SELECT doc_id, unnest(toks) AS t FROM base WHERE ${D.size("toks")} > 0),
+         |c AS (SELECT doc_id, t, count(*) AS c FROM ex GROUP BY doc_id, t),
+         |g AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_toks, sum_c2,
+         | CAST(n_toks * n_toks - sum_c2 AS DOUBLE) / CAST(n_toks * n_toks AS DOUBLE) AS gini
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q94_collocations" ->
+      s"""$duckBase,
+         |tk AS (SELECT toks FROM base WHERE ${D.size("toks")} >= 2),
+         |u AS (
+         |  SELECT t, count(*) AS cu
+         |  FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY t),
+         |nt AS (SELECT count(*) AS nn FROM (SELECT unnest(toks) AS t FROM tk)),
+         |b AS (
+         |  SELECT bigram, count(*) AS cab
+         |  FROM (SELECT unnest(${D.shingles("toks", 2)}) AS bigram FROM tk)
+         |  GROUP BY bigram HAVING count(*) >= 5),
+         |bj AS (
+         |  SELECT bigram, cab,
+         |    split_part(bigram, ' ', 1) AS ta, split_part(bigram, ' ', 2) AS tb
+         |  FROM b)
+         |SELECT bigram, cab, ua.cu AS ca, ub.cu AS cb,
+         | (CAST(nn AS DOUBLE) * CAST(cab AS DOUBLE)) / (CAST(ua.cu AS DOUBLE) * CAST(ub.cu AS DOUBLE)) AS lift
+         |FROM bj
+         |JOIN u ua ON bj.ta = ua.t
+         |JOIN u ub ON bj.tb = ub.t
+         |CROSS JOIN nt
+         |ORDER BY lift DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "q95_ks_drift" ->
+      s"""WITH base AS (SELECT doc_id, source, text, ${D.tokens("text")} AS toks FROM documents),
+         |${duckQualityCtes("source")},
+         |srcs AS (SELECT DISTINCT source AS s FROM qs),
+         |tot AS (SELECT count(*) AS nn FROM qs),
+         |ps AS (SELECT source AS s, count(*) AS ns FROM qs GROUP BY source),
+         |ex AS (
+         |  SELECT srcs.s, qs.doc_id, qs.quality_score,
+         |    CASE WHEN qs.source = srcs.s THEN 1 ELSE 0 END AS in_s
+         |  FROM srcs CROSS JOIN qs),
+         |cw AS (
+         |  SELECT s, quality_score,
+         |    SUM(in_s) OVER (PARTITION BY s ORDER BY quality_score, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cin,
+         |    COUNT(*) OVER (PARTITION BY s ORDER BY quality_score, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+         |  FROM ex),
+         |cum AS (
+         |  SELECT s, quality_score,
+         |    CAST(max(cin) AS BIGINT) AS cin, CAST(max(rn) AS BIGINT) AS rn
+         |  FROM cw GROUP BY s, quality_score),
+         |dd AS (
+         |  SELECT cum.s,
+         |    abs(CAST(cin AS DOUBLE) / CAST(ns AS DOUBLE) -
+         |      CAST(rn - cin AS DOUBLE) / CAST(nn - ns AS DOUBLE)) AS d, ns
+         |  FROM cum JOIN ps ON cum.s = ps.s CROSS JOIN tot)
+         |SELECT s AS source, max(ns) AS n_docs, max(d) AS ks
+         |FROM dd GROUP BY s ORDER BY source""".stripMargin
   )
 }

@@ -144,6 +144,23 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("collocation mining broadcasts the unigram counts (q94)") {
+    val p = plan("q94_collocations")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ks drift is windowed per source and bounded to [0,1] (q95)") {
+    val df = SparkEntry.queries("q95_ks_drift")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window") && p.contains("hashpartitioning(s"), p)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0, s"ks out of range: $ks")
+    }
+  }
+
   test("the hot path stays inside whole-stage codegen (q01)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
