@@ -137,7 +137,11 @@ object TextOps {
     * lambda version recompute 16 md5s per shingle per *candidate
     * pair*.
     */
-  private def bandKeyRows(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, j, h) — the 16 per-doc minhashes (j = 0..15), the shared
+    * substrate of the LSH band keys and the sketch-calibration q97.
+    * Cached: both consumers read every row.
+    */
+  private def minhash16(s: SparkSession, dir: String): DataFrame = {
     val shex = shingleRows(s, dir)
       .select(col("doc_id"), explode(col("sh")).as("sm"))
     // one md5 per (shingle, digest-group g); lane split yields hashes
@@ -152,7 +156,11 @@ object TextOps {
         "array(named_struct('j', g * 2, 'h', element_at(lanes, 1)), " +
           "named_struct('j', g * 2 + 1, 'h', element_at(lanes, 2)))")).as("jh"))
       .select(col("doc_id"), col("jh.j").as("j"), col("jh.h").as("h"))
-    hj.groupBy("doc_id", "j").agg(min("h").as("h"))
+    hj.groupBy("doc_id", "j").agg(min("h").as("h")).cache()
+  }
+
+  private def bandKeyRows(s: SparkSession, dir: String): DataFrame = {
+    minhash16(s, dir)
       .withColumn("b", expr("j div 2"))
       .groupBy("doc_id", "b")
       .agg(expr("concat_ws(',', transform(sort_array(collect_list(struct(j, h))), x -> cast(x.h as string)))").as("hs"))
@@ -679,6 +687,76 @@ object TextOps {
         .groupBy("s").agg(max("ns").as("n_docs"), max("d").as("ks"))
         .withColumnRenamed("s", "source")
         .orderBy("source")
+    },
+
+    // BM25-style relevance for a fixed query, with the rational idf
+    // (N - df + ½)/(df + ½) — BM25's log dropped so the score is a
+    // pure rational op chain (the ranking it induces per term is
+    // identical; the log only compresses). Per-term scores pivot to
+    // columns so the final sum has a PINNED add order.
+    "q96_bm25" -> { (s, dir) =>
+      val terms = Seq("scan", "merge", "window")
+      val k1 = "CAST(1.2 AS DOUBLE)"
+      val b = "CAST(0.75 AS DOUBLE)"
+      val half = "CAST(0.5 AS DOUBLE)"
+      val base = docsWithToks(s, dir)
+        .withColumn("dl", expr("size(toks)").cast("long"))
+      val stats = base.agg(count(lit(1)).as("nn"), sum("dl").as("sum_dl"))
+      val inList = terms.map(t => s"'$t'").mkString("(", ",", ")")
+      val tf = base
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+        .filter(s"t IN $inList")
+        .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "t")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", expr("CAST(sum_dl AS DOUBLE) / CAST(nn AS DOUBLE)"))
+        .withColumn("idf_r", expr(
+          s"(CAST(nn - df AS DOUBLE) + $half) / (CAST(df AS DOUBLE) + $half)"))
+        .withColumn("score", expr(
+          s"idf_r * (CAST(tf AS DOUBLE) * ($k1 + CAST(1 AS DOUBLE))) / " +
+            s"(CAST(tf AS DOUBLE) + $k1 * (CAST(1 AS DOUBLE) - $b + $b * (CAST(dl AS DOUBLE) / avgdl)))"))
+      val zero = "CAST(0 AS DOUBLE)"
+      val aggCols = terms.map(t =>
+        coalesce(max(when(col("t") === t, col("score"))), expr(zero)).as(s"s_$t"))
+      val pivoted = scored.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      pivoted
+        .withColumn("bm25", expr(terms.map(t => s"s_$t").mkString(" + ")))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .filter(col("rk") <= 20)
+        .select(Seq(col("rk"), col("doc_id")) ++
+          terms.map(t => col(s"s_$t")) :+ col("bm25"): _*)
+        .orderBy("rk")
+    },
+
+    // MinHash sketch calibration: for every LSH candidate pair, the
+    // signature-agreement Jaccard estimate (matching minhashes / 16)
+    // against the exact shingle Jaccard — the measurement that tells
+    // you whether 16 hashes / 8 bands is enough before trusting the
+    // sketch at corpus scale. All counts are integers; est, jaccard,
+    // and the error are three divisions and a subtraction.
+    "q97_sketch_calibration" -> { (s, dir) =>
+      val mh = minhash16(s, dir)
+      val cand = candPairs(s, dir)
+      val agree = cand
+        .join(mh.as("ma"), col("doc_a") === col("ma.doc_id"))
+        .join(mh.as("mb"),
+          col("doc_b") === col("mb.doc_id") && col("ma.j") === col("mb.j"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(expr("CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END")).as("n_agree"))
+      val shs = shingleRows(s, dir)
+      agree
+        .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("n_inter", expr(s"size(${S.arrIntersect("sa.sh", "sb.sh")})").cast("long"))
+        .withColumn("jaccard", expr(
+          "CAST(n_inter AS DOUBLE) / CAST(size(sa.sh) + size(sb.sh) - n_inter AS DOUBLE)"))
+        .withColumn("est", expr("CAST(n_agree AS DOUBLE) / CAST(16 AS DOUBLE)"))
+        .withColumn("abs_err", expr("abs(est - jaccard)"))
+        .select("doc_a", "doc_b", "n_agree", "est", "jaccard", "abs_err")
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -1041,6 +1119,72 @@ object TextOps {
          |      CAST(rn - cin AS DOUBLE) / CAST(nn - ns AS DOUBLE)) AS d, ns
          |  FROM cum JOIN ps ON cum.s = ps.s CROSS JOIN tot)
          |SELECT s AS source, max(ns) AS n_docs, max(d) AS ks
-         |FROM dd GROUP BY s ORDER BY source""".stripMargin
+         |FROM dd GROUP BY s ORDER BY source""".stripMargin,
+
+    "q96_bm25" -> {
+      val half = "CAST(0.5 AS DOUBLE)"
+      val score =
+        s"""((CAST(nn - df AS DOUBLE) + $half) / (CAST(df AS DOUBLE) + $half))
+           | * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) /
+           |  (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+           |    + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(nn AS DOUBLE)))))""".stripMargin
+      def pv(t: String) =
+        s"coalesce(max(CASE WHEN t = '$t' THEN score END), CAST(0 AS DOUBLE)) AS s_$t"
+      s"""$duckBase,
+         |bs AS (SELECT doc_id, toks, CAST(${D.size("toks")} AS BIGINT) AS dl FROM base),
+         |st AS (SELECT count(*) AS nn, CAST(sum(dl) AS BIGINT) AS sum_dl FROM bs),
+         |tf AS (
+         |  SELECT doc_id, dl, t, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM bs)
+         |  WHERE t IN ('scan','merge','window')
+         |  GROUP BY doc_id, dl, t),
+         |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |sc AS (
+         |  SELECT doc_id, t,
+         |    $score AS score
+         |  FROM tf JOIN dfq USING (t) CROSS JOIN st),
+         |pv AS (
+         |  SELECT doc_id,
+         |    ${pv("scan")},
+         |    ${pv("merge")},
+         |    ${pv("window")}
+         |  FROM sc GROUP BY doc_id),
+         |bb AS (SELECT *, s_scan + s_merge + s_window AS bm25 FROM pv),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk FROM bb)
+         |SELECT rk, doc_id, s_scan, s_merge, s_window, bm25
+         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
+
+    "q97_sketch_calibration" -> {
+      val nAgree = s"CAST(${D.size(D.filterL(D.rangeIncl("1", "16"), "i",
+        s"${D.idx("ma.mh", "i")} = ${D.idx("mb.mh", "i")}"))} AS BIGINT)"
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |ag AS (
+         |  SELECT doc_a, doc_b, $nAgree AS n_agree
+         |  FROM cand
+         |  JOIN m ma ON cand.doc_a = ma.doc_id
+         |  JOIN m mb ON cand.doc_b = mb.doc_id),
+         |jj AS (
+         |  SELECT doc_a, doc_b, n_agree,
+         |    CAST(${D.size(D.arrIntersect("sa.sh", "sb.sh"))} AS BIGINT) AS n_inter,
+         |    CAST(${D.size("sa.sh")} + ${D.size("sb.sh")} AS BIGINT) AS sz
+         |  FROM ag
+         |  JOIN f sa ON ag.doc_a = sa.doc_id
+         |  JOIN f sb ON ag.doc_b = sb.doc_id),
+         |rr AS (
+         |  SELECT doc_a, doc_b, n_agree,
+         |    CAST(n_agree AS DOUBLE) / CAST(16 AS DOUBLE) AS est,
+         |    CAST(n_inter AS DOUBLE) / CAST(sz - n_inter AS DOUBLE) AS jaccard
+         |  FROM jj)
+         |SELECT doc_a, doc_b, n_agree, est, jaccard, abs(est - jaccard) AS abs_err
+         |FROM rr ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }
