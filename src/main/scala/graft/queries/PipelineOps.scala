@@ -215,6 +215,30 @@ object PipelineOps {
           max("quota").as("quota"), count(lit(1)).as("n_kept"),
           min("doc_id").as("first_kept"))
         .orderBy("source")
+    },
+
+    // Packing efficiency: how full the q71 concat-and-split bins are —
+    // the metric that decides whether 512 is the right bin size. Fill
+    // ratio = tokens / (512 · bins); docs-per-bin is the fragmentation
+    // signal. Pure rollup of the packing layout: same window cumsum,
+    // one extra aggregate.
+    "q98_packing_efficiency" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docsWithToks(s, dir)
+        .withColumn("n", expr(s"CAST(size(toks) AS BIGINT)"))
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("bin", expr("CAST((cum - n) div 512 AS BIGINT)"))
+        .groupBy("lang")
+        .agg(
+          countDistinct("bin").as("n_bins"),
+          count(lit(1)).as("n_docs"),
+          sum("n").as("n_tokens"))
+        .withColumn("docs_per_bin",
+          expr("CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE)"))
+        .withColumn("fill_ratio",
+          expr("CAST(n_tokens AS DOUBLE) / CAST(512 * n_bins AS DOUBLE)"))
+        .orderBy("lang")
     })
 
   val oracles: Map[String, String] = Map(
@@ -350,5 +374,23 @@ object PipelineOps {
          | max(quota) AS quota, count(*) AS n_kept, min(doc_id) AS first_kept
          |FROM rk JOIN q ON rk.source = q.source
          |WHERE rk.rnk <= q.quota
-         |GROUP BY q.source ORDER BY q.source""".stripMargin)
+         |GROUP BY q.source ORDER BY q.source""".stripMargin,
+
+    "q98_packing_efficiency" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, len(${D.tokens("text")})::BIGINT AS n FROM documents),
+         |cu AS (
+         |  SELECT doc_id, lang, n,
+         |    CAST(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM tk),
+         |b AS (SELECT lang, n, (cum - n) // 512 AS bin FROM cu),
+         |g AS (
+         |  SELECT lang, count(DISTINCT bin) AS n_bins, count(*) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM b GROUP BY lang)
+         |SELECT lang, n_bins, n_docs, n_tokens,
+         | CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE) AS docs_per_bin,
+         | CAST(n_tokens AS DOUBLE) / CAST(512 * n_bins AS DOUBLE) AS fill_ratio
+         |FROM g ORDER BY lang""".stripMargin)
 }

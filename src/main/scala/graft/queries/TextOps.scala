@@ -190,6 +190,25 @@ object TextOps {
         expr(s"size(${S.filterL("toks", "t", s"t IN $m")})").cast("long"))
     }.withColumn("pred_lang", expr(predLangCase(l => s"s_$l")))
 
+  /** (doc_id, comp, csize) — connected components over the LSH
+    * candidate graph. MEMOIZED per (session, dir), not just plan-
+    * cached: the propagation loop runs eagerly on the driver (actions
+    * per round), so Spark's cache manager can never dedup it — without
+    * memoization each of q56/q65/q99/q100 would re-run the whole
+    * iteration.
+    */
+  private val compMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def componentRows(s: SparkSession, dir: String): DataFrame =
+    compMemo.getOrElseUpdate((s, dir), {
+      val cand = candPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.ConnectedComponents(cand)
+        .withColumnRenamed("id", "doc_id")
+        .cache()
+    })
+
   /** Per-doc quality signals + score (shared by q25 and the dedup
     * keep-selection q65).
     */
@@ -230,6 +249,26 @@ object TextOps {
 
   private val duckBase =
     s"WITH base AS (SELECT doc_id, lang, text, ${D.tokens("text")} AS toks FROM documents)"
+
+  /** Shared oracle text: shingle → minhash → band → candidate-pair →
+    * transitive-closure component CTEs (q56, q65, q99, q100). Requires
+    * a WITH RECURSIVE prefix.
+    */
+  private def duckComponentCtes: String =
+    s"""f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+       |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+       |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |reach AS (
+       |  SELECT a AS node, b AS other FROM sym
+       |  UNION
+       |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a),
+       |lab AS (
+       |  SELECT node AS doc_id, least(node, min(other)) AS comp
+       |  FROM reach GROUP BY node)""".stripMargin
 
   /** Shared oracle text: marker-score + argmax CTEs (q26, q88). */
   private val duckLangCtes: String = {
@@ -399,11 +438,7 @@ object TextOps {
     // you'd swap in large-star/small-star to bound component diameter,
     // but the join shape is the same.
     "q56_dup_components" -> { (s, dir) =>
-      val cand = candPairs(s, dir)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      graft.operators.ConnectedComponents(cand)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+      componentRows(s, dir).orderBy("doc_id")
     },
 
     // Edit-distance verification of LSH candidate pairs — the fuzzy
@@ -431,11 +466,8 @@ object TextOps {
     // model (q25) — the end-to-end near-dup pipeline: shingle →
     // minhash → band join → components → keep/drop.
     "q65_dedup_keep" -> { (s, dir) =>
-      val cand = candPairs(s, dir)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val comp = graft.operators.ConnectedComponents(cand)
-        .withColumnRenamed("id", "doc_id")
-      comp.join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
+      componentRows(s, dir)
+        .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
         .withColumn("rk", row_number().over(
           Window.partitionBy("comp")
             .orderBy(col("quality_score").desc, col("doc_id"))))
@@ -757,6 +789,73 @@ object TextOps {
         .withColumn("abs_err", expr("abs(est - jaccard)"))
         .select("doc_a", "doc_b", "n_agree", "est", "jaccard", "abs_err")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // End-to-end dedup impact report, one row: corpus totals, exact-dup
+    // surplus, LSH candidate volume, cluster counts, and what the q65
+    // keep rule would drop (docs and tokens) — the before/after numbers
+    // a pipeline run reports. Every input frame is a one-row aggregate;
+    // the heavy lifting reuses the cached LSH chain.
+    "q99_dedup_summary" -> { (s, dir) =>
+      val docs = docsWithToks(s, dir)
+      val totals = docs.agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(size(toks) AS BIGINT)")).as("n_tokens"))
+      val exactDups = Tables.documents(s, dir)
+        .groupBy(expr("md5(text)").as("h")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n - 1")).as("n_exact_dups"))
+      val cand = candPairs(s, dir)
+      val nPairs = cand.agg(count(lit(1)).as("n_lsh_pairs"))
+      val comp = componentRows(s, dir)
+      val compStats = comp.agg(count(lit(1)).as("n_clustered"),
+        countDistinct("comp").as("n_clusters"))
+      val dropStats = comp
+        .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("comp").orderBy(col("quality_score").desc, col("doc_id"))))
+        .filter(col("rk") > 1)
+        .join(docs.select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("nt")), "doc_id")
+        .agg(count(lit(1)).as("n_dropped"),
+          coalesce(sum("nt"), lit(0L)).as("tokens_dropped"))
+      totals.crossJoin(exactDups).crossJoin(nPairs)
+        .crossJoin(compStats).crossJoin(dropStats)
+    },
+
+    // The full corpus-prep pipeline in ONE declarative plan: quality
+    // gate at the exact global p10 → near-dup drop (q65 keep rule) →
+    // deterministic 90/5/5 split → per-(split, lang) doc/token report.
+    // This is the flagship composition: five operators (quality,
+    // quantile, LSH dedup, components, hash split) fused by Catalyst
+    // into a single job graph with the tokenize/LSH caches shared.
+    "q100_corpus_prep" -> { (s, dir) =>
+      val q = qualityRows(s, dir).select(col("doc_id"), col("lang"),
+        expr("CAST(size(toks) AS BIGINT)").as("nt"), col("quality_score"))
+      val g = q
+        .withColumn("rn",
+          row_number().over(Window.orderBy("quality_score", "doc_id")) - 1)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val ps = "(n - 1) * CAST(0.1 AS DOUBLE)"
+      val p10 = g.agg(
+        max(when(expr(s"rn = floor($ps)"), col("quality_score"))).as("lo"),
+        max(when(expr(s"rn = ceil($ps)"), col("quality_score"))).as("hi"),
+        max("n").as("n"))
+        .selectExpr(
+          s"CASE WHEN lo = hi THEN lo ELSE lo * (ceil($ps) - $ps) + hi * ($ps - floor($ps)) END AS p10")
+      val qual = q.crossJoin(broadcast(p10))
+        .filter(col("quality_score") >= col("p10"))
+      val losers = componentRows(s, dir)
+        .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("comp").orderBy(col("quality_score").desc, col("doc_id"))))
+        .filter(col("rk") > 1)
+        .select("doc_id")
+      qual.join(losers, Seq("doc_id"), "left_anti")
+        .withColumn("hk", expr(s"${S.hash64("concat('split:', doc_id)")} % 100"))
+        .withColumn("split", expr(
+          "CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("split", "lang")
     }
   )
 
@@ -897,20 +996,7 @@ object TextOps {
     // graph property, not an execution order.
     "q56_dup_components" ->
       s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
-         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
-         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
-         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
-         |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
-         |reach AS (
-         |  SELECT a AS node, b AS other FROM sym
-         |  UNION
-         |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a),
-         |lab AS (
-         |  SELECT node AS doc_id, least(node, min(other)) AS comp
-         |  FROM reach GROUP BY node)
+         |$duckComponentCtes
          |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
          |FROM lab ORDER BY doc_id""".stripMargin,
 
@@ -936,20 +1022,7 @@ object TextOps {
 
     "q65_dedup_keep" ->
       s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
-         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
-         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
-         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
-         |sym AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
-         |reach AS (
-         |  SELECT a AS node, b AS other FROM sym
-         |  UNION
-         |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a),
-         |lab AS (
-         |  SELECT node AS doc_id, least(node, min(other)) AS comp
-         |  FROM reach GROUP BY node),
+         |$duckComponentCtes,
          |sz AS (
          |  SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize FROM lab),
          |${duckQualityCtes()}
@@ -1185,6 +1258,61 @@ object TextOps {
          |  FROM jj)
          |SELECT doc_a, doc_b, n_agree, est, jaccard, abs(est - jaccard) AS abs_err
          |FROM rr ORDER BY doc_a, doc_b""".stripMargin
-    }
+    },
+
+    "q99_dedup_summary" ->
+      s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
+         |tot AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(${D.size("toks")}) AS BIGINT) AS n_tokens
+         |  FROM base),
+         |ed AS (
+         |  SELECT CAST(sum(n - 1) AS BIGINT) AS n_exact_dups
+         |  FROM (SELECT count(*) AS n FROM documents GROUP BY md5(text)) _e),
+         |$duckComponentCtes,
+         |np AS (SELECT count(*) AS n_lsh_pairs FROM cand),
+         |cs AS (
+         |  SELECT count(*) AS n_clustered, count(DISTINCT comp) AS n_clusters
+         |  FROM lab),
+         |${duckQualityCtes()},
+         |k AS (
+         |  SELECT lab.doc_id,
+         |    row_number() OVER (PARTITION BY comp
+         |      ORDER BY quality_score DESC, lab.doc_id) AS rk
+         |  FROM lab JOIN qs ON lab.doc_id = qs.doc_id),
+         |dr AS (
+         |  SELECT count(*) AS n_dropped,
+         |    CAST(coalesce(sum(${D.size("b2.toks")}), 0) AS BIGINT) AS tokens_dropped
+         |  FROM k JOIN base b2 ON k.doc_id = b2.doc_id WHERE rk > 1)
+         |SELECT tot.n_docs, tot.n_tokens, ed.n_exact_dups, np.n_lsh_pairs,
+         | cs.n_clustered, cs.n_clusters, dr.n_dropped, dr.tokens_dropped
+         |FROM tot, ed, np, cs, dr""".stripMargin,
+
+    "q100_corpus_prep" ->
+      s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
+         |${duckQualityCtes("lang")},
+         |bb AS (SELECT quantile_cont(quality_score, 0.1) AS p10 FROM qs),
+         |qual AS (
+         |  SELECT qs.doc_id, qs.lang, qs.quality_score
+         |  FROM qs, bb WHERE quality_score >= p10),
+         |$duckComponentCtes,
+         |k AS (
+         |  SELECT lab.doc_id,
+         |    row_number() OVER (PARTITION BY comp
+         |      ORDER BY quality_score DESC, lab.doc_id) AS rk
+         |  FROM lab JOIN qs ON lab.doc_id = qs.doc_id),
+         |losers AS (SELECT doc_id FROM k WHERE rk > 1),
+         |sv AS (
+         |  SELECT doc_id, lang, ${D.hash64("concat('split:', doc_id)")} % 100 AS hk
+         |  FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |sp AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM sv),
+         |tk2 AS (SELECT doc_id, CAST(${D.size("toks")} AS BIGINT) AS nt FROM base)
+         |SELECT split, lang, count(*) AS n_docs,
+         | CAST(sum(nt) AS BIGINT) AS n_tokens, min(sp.doc_id) AS first_doc
+         |FROM sp JOIN tk2 ON sp.doc_id = tk2.doc_id
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin
   )
 }
