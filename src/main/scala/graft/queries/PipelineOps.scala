@@ -218,26 +218,23 @@ object PipelineOps {
     },
 
     // Packing efficiency: how full the q71 concat-and-split bins are —
-    // the metric that decides whether 512 is the right bin size. Fill
-    // ratio = tokens / (512 · bins); docs-per-bin is the fragmentation
-    // signal. Pure rollup of the packing layout: same window cumsum,
-    // one extra aggregate.
+    // the metric that decides whether 512 is the right bin size. Bins
+    // consumed by the concat layout = ceil(total_tokens / 512), as
+    // pure integer arithmetic ((t + 511) div 512) — counting distinct
+    // START bins instead would overstate fill (a >512-token doc spans
+    // bins it doesn't start). Fill ratio = tokens / (512 · bins);
+    // docs-per-bin is the fragmentation signal. One hash aggregate.
     "q98_packing_efficiency" -> { (s, dir) =>
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docsWithToks(s, dir)
         .withColumn("n", expr(s"CAST(size(toks) AS BIGINT)"))
-        .withColumn("cum", sum("n").over(w))
-        .withColumn("bin", expr("CAST((cum - n) div 512 AS BIGINT)"))
         .groupBy("lang")
-        .agg(
-          countDistinct("bin").as("n_bins"),
-          count(lit(1)).as("n_docs"),
-          sum("n").as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        .withColumn("n_bins", expr("(n_tokens + 511) div 512"))
         .withColumn("docs_per_bin",
           expr("CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE)"))
         .withColumn("fill_ratio",
           expr("CAST(n_tokens AS DOUBLE) / CAST(512 * n_bins AS DOUBLE)"))
+        .select("lang", "n_bins", "n_docs", "n_tokens", "docs_per_bin", "fill_ratio")
         .orderBy("lang")
     })
 
@@ -379,18 +376,12 @@ object PipelineOps {
     "q98_packing_efficiency" ->
       s"""WITH tk AS (
          |  SELECT doc_id, lang, len(${D.tokens("text")})::BIGINT AS n FROM documents),
-         |cu AS (
-         |  SELECT doc_id, lang, n,
-         |    CAST(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         |  FROM tk),
-         |b AS (SELECT lang, n, (cum - n) // 512 AS bin FROM cu),
          |g AS (
-         |  SELECT lang, count(DISTINCT bin) AS n_bins, count(*) AS n_docs,
-         |    CAST(sum(n) AS BIGINT) AS n_tokens
-         |  FROM b GROUP BY lang)
+         |  SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM tk GROUP BY lang),
+         |gb AS (SELECT *, (n_tokens + 511) // 512 AS n_bins FROM g)
          |SELECT lang, n_bins, n_docs, n_tokens,
          | CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE) AS docs_per_bin,
          | CAST(n_tokens AS DOUBLE) / CAST(512 * n_bins AS DOUBLE) AS fill_ratio
-         |FROM g ORDER BY lang""".stripMargin)
+         |FROM gb ORDER BY lang""".stripMargin)
 }

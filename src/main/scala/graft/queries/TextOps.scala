@@ -209,6 +209,20 @@ object TextOps {
         .cache()
     })
 
+  /** componentRows + the q65 keep rule: rk = 1 is the cluster member
+    * to keep (highest quality, ties → lowest doc_id). One shared
+    * cached frame — q65, q99, and q100 all rank the same clustering,
+    * and the plan is identical on every call (the parent frame is
+    * memoized) so Spark's cache manager serves one materialization.
+    */
+  private def rankedComponents(s: SparkSession, dir: String): DataFrame =
+    componentRows(s, dir)
+      .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("comp")
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .cache()
+
   /** Per-doc quality signals + score (shared by q25 and the dedup
     * keep-selection q65).
     */
@@ -269,6 +283,16 @@ object TextOps {
        |lab AS (
        |  SELECT node AS doc_id, least(node, min(other)) AS comp
        |  FROM reach GROUP BY node)""".stripMargin
+
+  /** Shared oracle text: the q65 keep-rule ranking over lab ⋈ qs
+    * (requires duckComponentCtes and duckQualityCtes upstream).
+    */
+  private val duckKeepCte: String =
+    """k AS (
+      |  SELECT lab.doc_id,
+      |    row_number() OVER (PARTITION BY comp
+      |      ORDER BY quality_score DESC, lab.doc_id) AS rk
+      |  FROM lab JOIN qs ON lab.doc_id = qs.doc_id)""".stripMargin
 
   /** Shared oracle text: marker-score + argmax CTEs (q26, q88). */
   private val duckLangCtes: String = {
@@ -466,11 +490,7 @@ object TextOps {
     // model (q25) — the end-to-end near-dup pipeline: shingle →
     // minhash → band join → components → keep/drop.
     "q65_dedup_keep" -> { (s, dir) =>
-      componentRows(s, dir)
-        .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("comp")
-            .orderBy(col("quality_score").desc, col("doc_id"))))
+      rankedComponents(s, dir)
         .filter("rk = 1")
         .select(col("comp"), col("doc_id").as("keep_id"),
           col("csize").as("n_members"),
@@ -800,7 +820,7 @@ object TextOps {
       val docs = docsWithToks(s, dir)
       val totals = docs.agg(count(lit(1)).as("n_docs"),
         sum(expr("CAST(size(toks) AS BIGINT)")).as("n_tokens"))
-      val exactDups = Tables.documents(s, dir)
+      val exactDups = docs
         .groupBy(expr("md5(text)").as("h")).agg(count(lit(1)).as("n"))
         .agg(sum(expr("n - 1")).as("n_exact_dups"))
       val cand = candPairs(s, dir)
@@ -808,10 +828,7 @@ object TextOps {
       val comp = componentRows(s, dir)
       val compStats = comp.agg(count(lit(1)).as("n_clustered"),
         countDistinct("comp").as("n_clusters"))
-      val dropStats = comp
-        .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("comp").orderBy(col("quality_score").desc, col("doc_id"))))
+      val dropStats = rankedComponents(s, dir)
         .filter(col("rk") > 1)
         .join(docs.select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("nt")), "doc_id")
         .agg(count(lit(1)).as("n_dropped"),
@@ -842,10 +859,7 @@ object TextOps {
           s"CASE WHEN lo = hi THEN lo ELSE lo * (ceil($ps) - $ps) + hi * ($ps - floor($ps)) END AS p10")
       val qual = q.crossJoin(broadcast(p10))
         .filter(col("quality_score") >= col("p10"))
-      val losers = componentRows(s, dir)
-        .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("comp").orderBy(col("quality_score").desc, col("doc_id"))))
+      val losers = rankedComponents(s, dir)
         .filter(col("rk") > 1)
         .select("doc_id")
       qual.join(losers, Seq("doc_id"), "left_anti")
@@ -1275,11 +1289,7 @@ object TextOps {
          |  SELECT count(*) AS n_clustered, count(DISTINCT comp) AS n_clusters
          |  FROM lab),
          |${duckQualityCtes()},
-         |k AS (
-         |  SELECT lab.doc_id,
-         |    row_number() OVER (PARTITION BY comp
-         |      ORDER BY quality_score DESC, lab.doc_id) AS rk
-         |  FROM lab JOIN qs ON lab.doc_id = qs.doc_id),
+         |$duckKeepCte,
          |dr AS (
          |  SELECT count(*) AS n_dropped,
          |    CAST(coalesce(sum(${D.size("b2.toks")}), 0) AS BIGINT) AS tokens_dropped
@@ -1296,11 +1306,7 @@ object TextOps {
          |  SELECT qs.doc_id, qs.lang, qs.quality_score
          |  FROM qs, bb WHERE quality_score >= p10),
          |$duckComponentCtes,
-         |k AS (
-         |  SELECT lab.doc_id,
-         |    row_number() OVER (PARTITION BY comp
-         |      ORDER BY quality_score DESC, lab.doc_id) AS rk
-         |  FROM lab JOIN qs ON lab.doc_id = qs.doc_id),
+         |$duckKeepCte,
          |losers AS (SELECT doc_id FROM k WHERE rk > 1),
          |sv AS (
          |  SELECT doc_id, lang, ${D.hash64("concat('split:', doc_id)")} % 100 AS hk
