@@ -236,6 +236,33 @@ object PipelineOps {
           expr("CAST(n_tokens AS DOUBLE) / CAST(512 * n_bins AS DOUBLE)"))
         .select("lang", "n_bins", "n_docs", "n_tokens", "docs_per_bin", "fill_ratio")
         .orderBy("lang")
+    },
+
+    // Approximate statistics — the sketches that replace exact
+    // aggregation once cardinalities stop fitting in memory: HLL++
+    // distinct counts (constant space, merge-associative) and
+    // Greenwald-Khanna quantiles, side by side with their exact
+    // counterparts so the error is visible. Deliberately has NO DuckDB
+    // oracle (sketch internals aren't bit-stable across engines) — the
+    // driver records the weaker rows-only check, which is the correct
+    // contract for approximate operators.
+    "q101_approx_stats" -> { (s, dir) =>
+      val base = docsWithToks(s, dir)
+      val perDoc = base.select(col("lang"),
+        expr("CAST(size(toks) AS BIGINT)").as("nt"))
+      val tokens = base.select(col("lang"), explode(col("toks")).as("t"))
+      val d = tokens.groupBy("lang").agg(
+        countDistinct("t").as("distinct_exact"),
+        approx_count_distinct("t", 0.01).as("distinct_hll"))
+      val m = perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile_approx(nt, 0.5, 1000)").as("median_len_approx"))
+      d.join(m, "lang")
+        .withColumn("hll_rel_err", expr(
+          "abs(CAST(distinct_hll AS DOUBLE) - CAST(distinct_exact AS DOUBLE)) / CAST(distinct_exact AS DOUBLE)"))
+        .select("lang", "n_docs", "distinct_exact", "distinct_hll",
+          "hll_rel_err", "median_len_approx")
+        .orderBy("lang")
     })
 
   val oracles: Map[String, String] = Map(

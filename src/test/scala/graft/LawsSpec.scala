@@ -161,4 +161,25 @@ class LawsSpec extends SparkSpecBase {
       assert(got == expected, s"pruning dropped rows for [$p]: $got != $expected")
     }
   }
+
+  test("delta equals the set-difference definition on random data with nulls") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      (if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(8).toLong),
+        if (rnd.nextInt(4) == 0) None else Some(s"s${rnd.nextInt(5)}"),
+        s"$tag$i")
+    }.toDF("k", "s", "payload")
+    val src = mk(120, "a")
+    val tgt = mk(80, "b")
+    // naive: null-safe key-tuple membership, computed driver-side
+    val tgtKeys = tgt.select("k", "s").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    val expected = src.collect()
+      .filter(r => !tgtKeys.contains((Option(r.get(0)), Option(r.get(1)))))
+      .map(_.getString(2)).sorted.toSeq
+    val got = graft.functions.FrameOps.delta(src, tgt, Seq("k", "s"))
+      .select("payload").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == expected, s"delta mismatch: got=${got.size} exp=${expected.size}")
+  }
 }
