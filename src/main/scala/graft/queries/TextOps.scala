@@ -687,8 +687,11 @@ object TextOps {
     "q94_collocations" -> { (s, dir) =>
       val tok = docsWithToks(s, dir)
         .filter(expr("size(toks) >= 2"))
+      // cached: the ta- and tb-side broadcasts would otherwise each
+      // re-run the vocabulary aggregation
       val uni = tok.select(explode(col("toks")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("cu"))
+        .cache()
       val nTot = tok.select(explode(col("toks")).as("t"))
         .agg(count(lit(1)).as("nn"))
       val bi = tok

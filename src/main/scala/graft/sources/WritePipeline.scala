@@ -70,6 +70,23 @@ object WritePipeline {
     "hour" -> (c => hour(c)),
     "minute" -> (c => minute(c)))
 
+  /** Bucketed managed-table write — the co-located-join layout for
+    * recurring key joins: two tables bucketed on the same key join
+    * with NO shuffle exchange (pinned by PlanShapeSpec). Bucketing
+    * rides the session catalog (`saveAsTable`), not a bare path —
+    * Spark's analogue of pre-partitioning the reference lacks. At
+    * 100 TB this turns every recurring fact-fact join into a local
+    * zip of pre-sorted buckets.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil,
+                    mode: String = "overwrite"): Unit = {
+    require(keys.nonEmpty, "writeBucketed: at least one bucket key")
+    var w = df.write.mode(mode).bucketBy(buckets, keys.head, keys.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** prepare = sort → unique (first-occurrence-wins in the sorted
     * order, matching polars maintain_order=True) → schema align →
     * dateparts. Pure transformation: performs no I/O (pinned by the

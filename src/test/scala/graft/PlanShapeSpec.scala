@@ -76,10 +76,12 @@ class PlanShapeSpec extends SparkSpecBase {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
-    (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("key", "ov")
-      .write.bucketBy(4, "key").sortBy("key").saveAsTable("bkt_orders")
-    (1 to 3000).map(i => ((i % 1000 + 1).toLong, i.toLong)).toDF("key", "lv")
-      .write.bucketBy(4, "key").sortBy("key").saveAsTable("bkt_lineitem")
+    graft.sources.WritePipeline.writeBucketed(
+      (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("key", "ov"),
+      "bkt_orders", Seq("key"), 4, Seq("key"))
+    graft.sources.WritePipeline.writeBucketed(
+      (1 to 3000).map(i => ((i % 1000 + 1).toLong, i.toLong)).toDF("key", "lv"),
+      "bkt_lineitem", Seq("key"), 4, Seq("key"))
     val joined = spark.table("bkt_orders").join(spark.table("bkt_lineitem"), "key")
     joined.collect() // force the final (AQE-resolved) plan
     val plan = joined.queryExecution.executedPlan.toString
