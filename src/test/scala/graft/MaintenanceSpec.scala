@@ -52,6 +52,32 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(ds.files.count(_.contains("cat=b")) == 1)
   }
 
+  test("compactByTimeperiod: one group per interval window; dry-run pure") {
+    val dir = tmpDir("cmpt")
+    val ds = new ParquetDataset(spark, dir)
+    def part(day: Int, hour: Int): Unit =
+      Seq((day * 10 + hour, java.sql.Timestamp.valueOf(f"2024-03-0$day $hour%02d:00:00")))
+        .toDF("id", "ts").coalesce(1).write.mode("append").parquet(dir)
+    part(1, 1); part(1, 2); part(2, 1); part(2, 2)
+    assert(ds.files.size == 4)
+
+    val dayMicros = Maintenance.parseInterval("1d")
+    val plan = Maintenance.compactByTimeperiod(ds, "ts", dayMicros, dryRun = true)
+    assert(plan.groups.size == 2, plan)
+    assert(plan.plannedFiles.toSet.size == 4)
+    assert(ds.files.size == 4) // dry run touched nothing
+
+    Maintenance.compactByTimeperiod(ds, "ts", dayMicros)
+    assert(ds.files.size == 2)
+    assert(ds.df.count() == 4)
+    // each surviving file holds exactly one window's rows, time-sorted
+    ds.files.foreach { f =>
+      val days = spark.read.parquet(f).select(dayofmonth(col("ts"))).collect()
+        .map(_.getInt(0)).toSet
+      assert(days.size == 1, s"$f spans days $days")
+    }
+  }
+
   test("repartition: rewrite into a new hive layout with dateparts") {
     val dir = tmpDir("rep")
     val ds = new ParquetDataset(spark, dir)
