@@ -26,6 +26,11 @@ final case class SqlDialect(spark: Boolean) {
     * value, no hex-string round-trip — see
     * [[graft.functions.PortableHash64]]); DuckDB parses the hex.
     */
+  /** The q84/q100 split bucket: portable hash of the salted doc id,
+    * mod 100.
+    */
+  def splitBucket: String = s"${hash64("concat('split:', doc_id)")} % 100"
+
   def hash64(e: String): String =
     if (spark) s"portable_hash64($e)"
     else s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
@@ -160,4 +165,29 @@ final case class SqlDialect(spark: Boolean) {
 object PortableSql {
   val Spark = SqlDialect(spark = true)
   val Duck  = SqlDialect(spark = false)
+
+  /** Two-sided interpolated-quantile formula over the rank-window
+    * bounds `lo`/`hi` at position `(n-1)·p` — the ONE op sequence that
+    * bit-matches DuckDB's `quantile_cont` (the naive `lo + (hi-lo)·f`
+    * does not; see q55). Every exact-quantile query (q55, q85, q92,
+    * q100) must use this builder so the load-bearing sequence lives in
+    * one place.
+    */
+  def interpQuantile(p: String, lo: String, hi: String, n: String): String = {
+    val ps = s"($n - 1) * CAST($p AS DOUBLE)"
+    s"CASE WHEN $lo = $hi THEN $lo ELSE " +
+      s"$lo * (ceil($ps) - $ps) + $hi * ($ps - floor($ps)) END"
+  }
+
+  /** Rank position `(n-1)·p` (the argument quantile bounds are taken
+    * at the floor/ceil of).
+    */
+  def quantilePos(p: String, n: String): String =
+    s"($n - 1) * CAST($p AS DOUBLE)"
+
+  /** Deterministic 90/5/5 split over the portable-hash bucket `hk`
+    * (identical text on both engines — q84 and q100 must agree).
+    */
+  val SplitCase: String =
+    "CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END"
 }

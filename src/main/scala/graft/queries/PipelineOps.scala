@@ -154,9 +154,8 @@ object PipelineOps {
     // map (no shuffle; only the per-(lang, split) report aggregates).
     "q84_split_assign" -> { (s, dir) =>
       Tables.spread(Tables.documents(s, dir))
-        .withColumn("hk", expr(s"${S.hash64("concat('split:', doc_id)")} % 100"))
-        .withColumn("split", expr(
-          "CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END"))
+        .withColumn("hk", expr(S.splitBucket))
+        .withColumn("split", expr(PortableSql.SplitCase))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("n_chars"),
@@ -350,11 +349,11 @@ object PipelineOps {
     "q84_split_assign" ->
       s"""WITH h AS (
          |  SELECT lang, doc_id, n_chars,
-         |    ${D.hash64("concat('split:', doc_id)")} % 100 AS hk
+         |    ${D.splitBucket} AS hk
          |  FROM documents),
          |a AS (
          |  SELECT lang, doc_id, n_chars,
-         |    CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END AS split
+         |    ${PortableSql.SplitCase} AS split
          |  FROM h)
          |SELECT lang, split, count(*) AS n_docs,
          | CAST(sum(n_chars) AS BIGINT) AS n_chars,

@@ -268,11 +268,8 @@ object Relational2 {
       def bound(p: Double, edge: String => Column): Column =
         max(when(col("rn") === edge(s"(n - 1) * CAST($p AS DOUBLE)"),
           col("o_totalprice")))
-      def interp(p: Double, lo: String, hi: String): String = {
-        val ps = s"(n - 1) * CAST($p AS DOUBLE)"
-        s"CASE WHEN $lo = $hi THEN $lo ELSE " +
-          s"$lo * (ceil($ps) - $ps) + $hi * ($ps - floor($ps)) END"
-      }
+      def interp(p: Double, lo: String, hi: String): String =
+        graft.functions.PortableSql.interpQuantile(p.toString, lo, hi, "n")
       g.groupBy("o_orderstatus")
         .agg(
           bound(0.5, e => expr(s"floor($e)")).as("lo5"),

@@ -200,7 +200,10 @@ object TextOps {
   private val compMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def componentRows(s: SparkSession, dir: String): DataFrame =
+  private def componentRows(s: SparkSession, dir: String): DataFrame = {
+    // evict entries of stopped sessions so the memo can't pin dead
+    // sessions (and their cached RDDs) for the JVM lifetime
+    compMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     compMemo.getOrElseUpdate((s, dir), {
       val cand = candPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -208,6 +211,7 @@ object TextOps {
         .withColumnRenamed("id", "doc_id")
         .cache()
     })
+  }
 
   /** componentRows + the q65 keep rule: rk = 1 is the cluster member
     * to keep (highest quality, ties → lowest doc_id). One shared
@@ -537,11 +541,8 @@ object TextOps {
       def bound(p: Double, edge: String => String) =
         max(when(expr(s"rn = ${edge(s"(n - 1) * CAST($p AS DOUBLE)")}"),
           col("quality_score")))
-      def interp(p: Double, lo: String, hi: String): String = {
-        val ps = s"(n - 1) * CAST($p AS DOUBLE)"
-        s"CASE WHEN $lo = $hi THEN $lo ELSE " +
-          s"$lo * (ceil($ps) - $ps) + $hi * ($ps - floor($ps)) END"
-      }
+      def interp(p: Double, lo: String, hi: String): String =
+        PortableSql.interpQuantile(p.toString, lo, hi, "n")
       val bounds = g.agg(
         bound(0.1, e => s"floor($e)").as("lo1"),
         bound(0.1, e => s"ceil($e)").as("hi1"),
@@ -630,11 +631,8 @@ object TextOps {
     // pipeline runs (mean/stddev break under the very outliers being
     // hunted).
     "q92_length_outliers" -> { (s, dir) =>
-      def interp(p: String, lo: String, hi: String, n: String): String = {
-        val ps = s"($n - 1) * CAST($p AS DOUBLE)"
-        s"CASE WHEN $lo = $hi THEN $lo ELSE " +
-          s"$lo * (ceil($ps) - $ps) + $hi * ($ps - floor($ps)) END"
-      }
+      def interp(p: String, lo: String, hi: String, n: String): String =
+        PortableSql.interpQuantile(p, lo, hi, n)
       def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
         val byLang = Window.partitionBy("lang")
         val g = df
@@ -692,8 +690,9 @@ object TextOps {
       val uni = tok.select(explode(col("toks")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("cu"))
         .cache()
-      val nTot = tok.select(explode(col("toks")).as("t"))
-        .agg(count(lit(1)).as("nn"))
+      // total tokens from the (tiny, cached) vocabulary frame — a second
+      // corpus-wide explode just to count would be a wasted full pass
+      val nTot = uni.agg(sum("cu").as("nn"))
       val bi = tok
         .select(explode(expr(S.shingles("toks", 2))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cab"))
@@ -853,22 +852,21 @@ object TextOps {
         .withColumn("rn",
           row_number().over(Window.orderBy("quality_score", "doc_id")) - 1)
         .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      val ps = "(n - 1) * CAST(0.1 AS DOUBLE)"
+      val ps = PortableSql.quantilePos("0.1", "n")
       val p10 = g.agg(
         max(when(expr(s"rn = floor($ps)"), col("quality_score"))).as("lo"),
         max(when(expr(s"rn = ceil($ps)"), col("quality_score"))).as("hi"),
         max("n").as("n"))
         .selectExpr(
-          s"CASE WHEN lo = hi THEN lo ELSE lo * (ceil($ps) - $ps) + hi * ($ps - floor($ps)) END AS p10")
+          s"${PortableSql.interpQuantile("0.1", "lo", "hi", "n")} AS p10")
       val qual = q.crossJoin(broadcast(p10))
         .filter(col("quality_score") >= col("p10"))
       val losers = rankedComponents(s, dir)
         .filter(col("rk") > 1)
         .select("doc_id")
       qual.join(losers, Seq("doc_id"), "left_anti")
-        .withColumn("hk", expr(s"${S.hash64("concat('split:', doc_id)")} % 100"))
-        .withColumn("split", expr(
-          "CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END"))
+        .withColumn("hk", expr(S.splitBucket))
+        .withColumn("split", expr(PortableSql.SplitCase))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
           min("doc_id").as("first_doc"))
@@ -1312,11 +1310,11 @@ object TextOps {
          |$duckKeepCte,
          |losers AS (SELECT doc_id FROM k WHERE rk > 1),
          |sv AS (
-         |  SELECT doc_id, lang, ${D.hash64("concat('split:', doc_id)")} % 100 AS hk
+         |  SELECT doc_id, lang, ${D.splitBucket} AS hk
          |  FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
          |sp AS (
          |  SELECT doc_id, lang,
-         |    CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val' ELSE 'test' END AS split
+         |    ${PortableSql.SplitCase} AS split
          |  FROM sv),
          |tk2 AS (SELECT doc_id, CAST(${D.size("toks")} AS BIGINT) AS nt FROM base)
          |SELECT split, lang, count(*) AS n_docs,
