@@ -53,6 +53,34 @@ object RangeJoin {
       .drop("__b")
   }
 
+  /** Bucketed interval-overlap join: pairs where
+    * `a.lo <= b.hi AND b.lo <= a.hi` (inclusive overlap). Both sides
+    * explode into the buckets they cover; overlapping intervals share
+    * at least one bucket, so candidates meet in a hash join on
+    * (bucket ++ keys). A pair sharing k buckets would surface k times —
+    * instead of a distinct() shuffle, each pair is kept ONLY at the
+    * bucket equal to the later of the two start buckets (which both
+    * ranges contain exactly once when they overlap): one surviving
+    * copy, zero dedup shuffle.
+    *
+    * Interval column names must differ across the two sides; `keys`
+    * are equi-join columns present on both.
+    */
+  def overlap(left: DataFrame, right: DataFrame,
+              loL: String, hiL: String, loR: String, hiR: String,
+              bucket: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    def bucketOf(c: String): Column =
+      expr(s"cast(`$c` as bigint) div ${bucket}L")
+    val l = left.withColumn("__b", explode(sequence(bucketOf(loL), bucketOf(hiL))))
+    val r = right.withColumn("__b", explode(sequence(bucketOf(loR), bucketOf(hiR))))
+    val joinCols = keys :+ "__b"
+    l.join(r, joinCols)
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(col("__b") === greatest(bucketOf(loL), bucketOf(loR)))
+      .drop("__b")
+  }
+
   /** Auto-tuned variant: bucket width = the median interval length
     * (clamped to ≥1), estimated with one cheap approx-percentile pass
     * over the interval table — the default the class doc recommends,

@@ -112,6 +112,30 @@ object Relational2 {
         .orderBy("c_custkey")
     },
 
+    // Temporal entity-resolution shape: pairs of orders (same
+    // customer) whose 7-day windows intersect, via the bucketed
+    // interval-overlap join — an equi hash join on (customer, bucket),
+    // never a nested loop, and each pair survives exactly once without
+    // a distinct() (kept only at the later start bucket).
+    "q102_order_overlap" -> { (s, d) =>
+      val dayUs = 86400000000L
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("ck"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("lo"))
+        .withColumn("hi", col("lo") + lit(6 * dayUs))
+      val a = o.select(col("ck"), col("o_orderkey").as("ok_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = o.select(col("ck"), col("o_orderkey").as("ok_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+      graft.operators.RangeJoin.overlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+          bucket = 7 * dayUs, keys = Seq("ck"))
+        .filter(col("ok_a") < col("ok_b"))
+        .withColumn("overlap_days", expr(
+          "CAST((least(hi_a, hi_b) - greatest(lo_a, lo_b)) div 86400000000 AS BIGINT) + 1"))
+        .select("ck", "ok_a", "ok_b", "overlap_days")
+        .orderBy("ck", "ok_a", "ok_b")
+    },
+
     // Market-basket co-purchase pairs: distinct (order, part) self-join
     // on the order key → pair counts → deterministic top-100. The join
     // is co-partitioned on the order key; at scale a viral order would
@@ -494,6 +518,18 @@ object Relational2 {
         |   RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q102_order_overlap" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey,
+        |    epoch_us(o_orderdate::TIMESTAMP) AS lo,
+        |    epoch_us(o_orderdate::TIMESTAMP) + 518400000000 AS hi
+        |  FROM orders)
+        |SELECT a.ck, a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+        | (least(a.hi, b.hi) - greatest(a.lo, b.lo)) // 86400000000 + 1 AS overlap_days
+        |FROM o a JOIN o b ON a.ck = b.ck AND a.o_orderkey < b.o_orderkey
+        |  AND a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY a.ck, ok_a, ok_b""".stripMargin,
 
     "q38_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders

@@ -67,4 +67,35 @@ class RangeJoinSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), plan)
   }
+
+  test("overlap matches the naive quadratic overlap join, one row per pair") {
+    val rnd = new scala.util.Random(41)
+    val mk = (tag: String) => (1 to 120).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (s"k${rnd.nextInt(3)}", s"$tag$i", lo, lo + rnd.nextInt(60))
+    }
+    val a = mk("a").toDF("k", "ida", "lo_a", "hi_a")
+    val b = mk("b").toDF("k", "idb", "lo_b", "hi_b")
+    val naive = a.as("x").join(b.as("y"),
+        col("x.k") === col("y.k") &&
+          col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("ida", "idb").collect().map(r => (r.getString(0), r.getString(1)))
+    // several bucket widths, incl. ones smaller than the intervals
+    // (multi-bucket pairs must still surface exactly once)
+    Seq(7L, 25L, 64L, 1000L).foreach { w =>
+      val got = RangeJoin.overlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+          bucket = w, keys = Seq("k"))
+        .select("ida", "idb").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.length == got.distinct.length, s"dup pairs at bucket=$w")
+      assert(got.sorted.toSeq == naive.sorted.toSeq, s"mismatch at bucket=$w")
+    }
+  }
+
+  test("overlap plans as a hash join, not a nested loop") {
+    val a = (1 to 50).map(i => (i.toLong, i.toLong + 5)).toDF("lo_a", "hi_a")
+    val b = (1 to 50).map(i => (i.toLong + 2, i.toLong + 9)).toDF("lo_b", "hi_b")
+    val plan = RangeJoin.overlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucket = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
 }
