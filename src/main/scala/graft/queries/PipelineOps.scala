@@ -250,9 +250,16 @@ object PipelineOps {
       val perDoc = base.select(col("lang"),
         expr("CAST(size(toks) AS BIGINT)").as("nt"))
       val tokens = base.select(col("lang"), explode(col("toks")).as("t"))
-      val d = tokens.groupBy("lang").agg(
-        countDistinct("t").as("distinct_exact"),
-        approx_count_distinct("t", 0.01).as("distinct_hll"))
+      // the exact and HLL distinct counts aggregate SEPARATELY: mixed
+      // into one agg, Catalyst routes the HLL through the distinct-
+      // expand path and materializes one full sketch per (lang, token)
+      // group — ~vocab-size × 2^p buffer bytes — instead of one sketch
+      // per lang per map task
+      val hll = tokens.groupBy("lang")
+        .agg(approx_count_distinct("t", 0.05).as("distinct_hll"))
+      val d = tokens.select("lang", "t").distinct()
+        .groupBy("lang").agg(count(lit(1)).as("distinct_exact"))
+        .join(hll, "lang")
       val m = perDoc.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         expr("percentile_approx(nt, 0.5, 1000)").as("median_len_approx"))
