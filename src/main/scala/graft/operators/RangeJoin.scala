@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Bucket index via integral `div`, not double `/`: long→double
+    * loses bits past 2^53 (e.g. nanosecond timestamps), which could
+    * place a value in a bucket its interval was never exploded into.
+    * `div` truncates monotonically, so lo ≤ x ≤ hi always implies
+    * bucket(lo) ≤ bucket(x) ≤ bucket(hi) across the whole int64
+    * domain — the property both the point-join containment and the
+    * overlap join's keep-at-later-start-bucket dedup depend on.
+    */
+  private def bucketOf(c: String, bucket: Long): Column =
+    expr(s"cast(`$c` as bigint) div ${bucket}L")
+
   /** @param points    left side, one row per point
     * @param intervals right side with [lo, hi] columns (inclusive)
     * @param pointCol  numeric/timestamp point column name
@@ -35,17 +46,9 @@ object RangeJoin {
             pointCol: String, loCol: String, hiCol: String,
             bucket: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
-
-    // Integral `div`, not double `/`: long→double loses bits past 2^53
-    // (e.g. nanosecond timestamps), which could place a point in a bucket
-    // its interval was never exploded into. `div` truncates toward zero,
-    // monotonically, so lo≤p≤hi still implies bucket(lo)≤bucket(p)≤bucket(hi)
-    // across the whole int64 domain.
-    def bucketOf(c: String): Column =
-      expr(s"cast(`$c` as bigint) div ${bucket}L")
-    val p = points.withColumn("__b", bucketOf(pointCol))
+    val p = points.withColumn("__b", bucketOf(pointCol, bucket))
     val i = intervals.withColumn("__b",
-      explode(sequence(bucketOf(loCol), bucketOf(hiCol))))
+      explode(sequence(bucketOf(loCol, bucket), bucketOf(hiCol, bucket))))
 
     val joinCols = keys :+ "__b"
     p.join(i, joinCols)
@@ -70,14 +73,14 @@ object RangeJoin {
               loL: String, hiL: String, loR: String, hiR: String,
               bucket: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
-    def bucketOf(c: String): Column =
-      expr(s"cast(`$c` as bigint) div ${bucket}L")
-    val l = left.withColumn("__b", explode(sequence(bucketOf(loL), bucketOf(hiL))))
-    val r = right.withColumn("__b", explode(sequence(bucketOf(loR), bucketOf(hiR))))
+    val l = left.withColumn("__b",
+      explode(sequence(bucketOf(loL, bucket), bucketOf(hiL, bucket))))
+    val r = right.withColumn("__b",
+      explode(sequence(bucketOf(loR, bucket), bucketOf(hiR, bucket))))
     val joinCols = keys :+ "__b"
     l.join(r, joinCols)
       .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
-      .filter(col("__b") === greatest(bucketOf(loL), bucketOf(loR)))
+      .filter(col("__b") === greatest(bucketOf(loL, bucket), bucketOf(loR, bucket)))
       .drop("__b")
   }
 

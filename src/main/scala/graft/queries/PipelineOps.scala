@@ -255,6 +255,10 @@ object PipelineOps {
       // expand path and materializes one full sketch per (lang, token)
       // group — ~vocab-size × 2^p buffer bytes — instead of one sketch
       // per lang per map task
+      // rsd 0.05 (the library default): at 0.01 the per-task sketches
+      // are 25× larger and the isolated bench doubles, while a visible
+      // (nonzero) error next to the exact count is exactly what this
+      // query exists to show
       val hll = tokens.groupBy("lang")
         .agg(approx_count_distinct("t", 0.05).as("distinct_hll"))
       val d = tokens.select("lang", "t").distinct()
