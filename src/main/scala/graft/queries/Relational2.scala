@@ -112,6 +112,19 @@ object Relational2 {
         .orderBy("c_custkey")
     },
 
+    // Hot-key aggregation through the salting operator: partial sums
+    // over (key, salt) spread a skewed key across 16 reducers, the
+    // final combine is per-key-tiny. Values are integer-valued doubles
+    // (l_quantity ≤ 50, totals < 2^53), so every addition is exact and
+    // the salted result equals the plain GROUP BY bit-for-bit — which
+    // is precisely what the oracle checks.
+    "q103_skew_salted" -> { (s, d) =>
+      graft.operators.Skew.saltedSumCount(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        Seq("l_returnflag"), "l_quantity", salts = 16)
+        .orderBy("l_returnflag")
+    },
+
     // Temporal entity-resolution shape: pairs of orders (same
     // customer) whose 7-day windows intersect, via the bucketed
     // interval-overlap join — an equi hash join on (customer, bucket),
@@ -518,6 +531,12 @@ object Relational2 {
         |   RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q103_skew_salted" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q102_order_overlap" ->
       """WITH o AS (
