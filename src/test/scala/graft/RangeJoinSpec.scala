@@ -70,8 +70,11 @@ class RangeJoinSpec extends SparkSpecBase {
 
   test("overlap matches the naive quadratic overlap join, one row per pair") {
     val rnd = new scala.util.Random(41)
+    // bounds span negative values: `div` truncates toward zero, and the
+    // keep-at-later-start-bucket dedup relies only on its monotonicity,
+    // which must hold on both sides of zero
     val mk = (tag: String) => (1 to 120).map { i =>
-      val lo = rnd.nextInt(1000).toLong
+      val lo = (rnd.nextInt(1000) - 500).toLong
       (s"k${rnd.nextInt(3)}", s"$tag$i", lo, lo + rnd.nextInt(60))
     }
     val a = mk("a").toDF("k", "ida", "lo_a", "hi_a")
