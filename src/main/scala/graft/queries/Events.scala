@@ -57,6 +57,37 @@ object Events {
         .orderBy("user_id")
     },
 
+    // Peak concurrent sessions per day via the classic +1/−1 sweep:
+    // sessions (30-min-gap, as in q21) become (start, +1) and
+    // (end+1µs, −1) points; a running sum over the global (t, delta)
+    // order is the live-concurrency curve, and its per-day max is the
+    // capacity-planning number. All integers; ties are pinned by
+    // sorting −1 before +1 at equal timestamps on both engines. The
+    // sweep is two rows per SESSION (≪ events); at 100 TB you'd sweep
+    // within day shards — concurrency curves are per-window anyway.
+    "q104_peak_concurrency" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("prev", lag("tsu", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(min("tsu").as("st"), max("tsu").as("en"))
+      val sweep = sess.select(col("st").as("t"), lit(1).as("delta"))
+        .unionAll(sess.select((col("en") + 1).as("t"), lit(-1).as("delta")))
+      val wg = Window.orderBy(col("t").asc, col("delta").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sweep.withColumn("cur", sum("delta").over(wg))
+        .withColumn("day", expr("CAST(t div 86400000000 AS BIGINT)"))
+        .groupBy("day")
+        .agg(max("cur").cast("long").as("peak"), count(lit(1)).as("n_points"))
+        .orderBy("day")
+    },
+
     // Tumbling 1h windows per event type.
     "q22_time_buckets" -> { (s, d) =>
       Tables.events(s, d)
@@ -200,6 +231,34 @@ object Events {
         |FROM sessions
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q104_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN LAG(tsu) OVER w IS NULL OR tsu - LAG(tsu) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), g AS (
+        |  SELECT user_id, tsu,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, session_id, min(tsu) AS st, max(tsu) AS en
+        |  FROM g GROUP BY user_id, session_id
+        |), sw AS (
+        |  SELECT st AS t, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT en + 1 AS t, -1 AS delta FROM sess
+        |), c AS (
+        |  SELECT t, delta,
+        |    CAST(SUM(delta) OVER (ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur
+        |  FROM sw)
+        |SELECT t // 86400000000 AS day, max(cur) AS peak, count(*) AS n_points
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
 
     "q22_time_buckets" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_ts, event_type,
