@@ -162,6 +162,26 @@ object Events {
         .orderBy("event_id")
     },
 
+    // Forward as-of: each click matched to the NEXT purchase — the
+    // time-to-conversion join. Same operator, direction flipped; the
+    // oracle flips the ASOF inequality.
+    "q106_asof_forward" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("tsu", expr("unix_micros(ts)"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("tsu"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu").as("ptsu"))
+        .agg(max("event_id").as("pid"))
+        .select("user_id", "pid", "ptsu")
+      graft.operators.AsofJoin(clicks, purch, Seq("user_id"), "tsu", "ptsu",
+          Seq("pid", "ptsu"), direction = "forward")
+        .select(
+          col("event_id"), col("user_id"),
+          col("pid").as("purchase_id"),
+          (col("ptsu") - col("tsu")).as("wait_us"))
+        .orderBy("event_id")
+    },
+
     // JSON property extraction from the string `props` column.
     "q23_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -335,6 +355,21 @@ object Events {
         |  CASE WHEN c.tsu - p.ptsu <= 3600000000 THEN c.tsu - p.ptsu END AS gap_us
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tsu >= p.ptsu
+        |ORDER BY event_id""".stripMargin,
+
+    "q106_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
+        |), clicks AS (
+        |  SELECT user_id, event_id, tsu FROM e WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, tsu AS ptsu, MAX(event_id) AS pid FROM e
+        |  WHERE event_type = 'purchase' GROUP BY user_id, tsu
+        |)
+        |SELECT c.event_id, c.user_id, p.pid AS purchase_id,
+        |  p.ptsu - c.tsu AS wait_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.tsu <= p.ptsu
         |ORDER BY event_id""".stripMargin,
 
     "q23_json_extract" ->
