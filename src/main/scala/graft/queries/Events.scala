@@ -16,6 +16,66 @@ object Events {
   private def dec(name: String, p: Int, s: Int): Column =
     col(name).cast(DecimalType(p, s))
 
+  /** (user_id, event_id, tsu, session_id) — the 30-min-gap
+    * sessionization (gap-and-island over integer microseconds), shared
+    * by q21 and the concurrency sweep q104; its oracle twin is
+    * [[duckSessionCtes]].
+    */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("tsu", expr("unix_micros(ts)"))
+      .withColumn("prev", lag("tsu", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(run))
+      .select("user_id", "event_id", "tsu", "session_id")
+  }
+
+  /** Shared oracle text: e → flagged → g session CTEs (q21, q104). */
+  private val duckSessionCtes: String =
+    """e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, tsu,
+      |    CASE WHEN LAG(tsu) OVER w IS NULL OR tsu - LAG(tsu) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+      |), g AS (
+      |  SELECT user_id, tsu,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)""".stripMargin
+
+  /** clicks (user_id, event_id, tsu) and purchases deduped to one row
+    * per (user, instant) — the shared operands of the as-of family
+    * (q50, q105, q106); oracle twin [[duckClickPurchCtes]].
+    */
+  private def clicksAndPurchases(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = Tables.events(s, d).withColumn("tsu", expr("unix_micros(ts)"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("tsu"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tsu").as("ptsu"))
+      .agg(max("event_id").as("pid"))
+      .select("user_id", "pid", "ptsu")
+    (clicks, purch)
+  }
+
+  /** Shared oracle text: e → clicks → purch CTEs (q50, q105, q106). */
+  private val duckClickPurchCtes: String =
+    """e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
+      |), clicks AS (
+      |  SELECT user_id, event_id, tsu FROM e WHERE event_type = 'click'
+      |), purch AS (
+      |  SELECT user_id, tsu AS ptsu, MAX(event_id) AS pid FROM e
+      |  WHERE event_type = 'purchase' GROUP BY user_id, tsu
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Running (prefix) sum per user — exact decimal accumulation.
     "q08_window_running" -> { (s, d) =>
@@ -41,15 +101,7 @@ object Events {
     // Sessionization: a >30min gap starts a new session (gap-and-island
     // via lag + running sum over integer microseconds — deterministic).
     "q21_sessionize" -> { (s, d) =>
-      val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("tsu", expr("unix_micros(ts)"))
-        .withColumn("prev", lag("tsu", 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum("new_session").over(run))
+      sessionized(s, d)
         .groupBy("user_id")
         .agg(
           max("session_id").cast("long").as("n_sessions"),
@@ -66,19 +118,14 @@ object Events {
     // sweep is two rows per SESSION (≪ events); at 100 TB you'd sweep
     // within day shards — concurrency curves are per-window anyway.
     "q104_peak_concurrency" -> { (s, d) =>
-      val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = Tables.events(s, d)
-        .withColumn("tsu", expr("unix_micros(ts)"))
-        .withColumn("prev", lag("tsu", 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum("new_session").over(run))
+      val sess = sessionized(s, d)
         .groupBy("user_id", "session_id")
         .agg(min("tsu").as("st"), max("tsu").as("en"))
-      val sweep = sess.select(col("st").as("t"), lit(1).as("delta"))
-        .unionAll(sess.select((col("en") + 1).as("t"), lit(-1).as("delta")))
+      // one pass: exploding both sweep points from each session row
+      // avoids executing the sessionization once per union branch
+      val sweep = sess.select(explode(expr(
+          "array(named_struct('t', st, 'delta', 1), named_struct('t', en + 1, 'delta', -1))")).as("p"))
+        .select(col("p.t").as("t"), col("p.delta").as("delta"))
       val wg = Window.orderBy(col("t").asc, col("delta").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       sweep.withColumn("cur", sum("delta").over(wg))
@@ -123,14 +170,7 @@ object Events {
     // from union + last-non-null window; DuckDB's native ASOF JOIN is
     // the oracle.
     "q50_asof_join" -> { (s, d) =>
-      val e = Tables.events(s, d).withColumn("tsu", expr("unix_micros(ts)"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("tsu"))
-      // one purchase per (user, instant) keeps the as-of deterministic
-      val purch = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("tsu").as("ptsu"))
-        .agg(max("event_id").as("pid"))
-        .select("user_id", "pid", "ptsu")
+      val (clicks, purch) = clicksAndPurchases(s, d)
       graft.operators.AsofJoin(clicks, purch, Seq("user_id"), "tsu", "ptsu",
           Seq("pid", "ptsu"))
         .select(
@@ -146,13 +186,7 @@ object Events {
     // union + last(ignoreNulls) carry as q50; the tolerance is one
     // extra comparison per row.
     "q105_asof_tolerance" -> { (s, d) =>
-      val e = Tables.events(s, d).withColumn("tsu", expr("unix_micros(ts)"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("tsu"))
-      val purch = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("tsu").as("ptsu"))
-        .agg(max("event_id").as("pid"))
-        .select("user_id", "pid", "ptsu")
+      val (clicks, purch) = clicksAndPurchases(s, d)
       graft.operators.AsofJoin(clicks, purch, Seq("user_id"), "tsu", "ptsu",
           Seq("pid", "ptsu"), tolerance = Some(3600000000L))
         .select(
@@ -166,13 +200,7 @@ object Events {
     // time-to-conversion join. Same operator, direction flipped; the
     // oracle flips the ASOF inequality.
     "q106_asof_forward" -> { (s, d) =>
-      val e = Tables.events(s, d).withColumn("tsu", expr("unix_micros(ts)"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), col("tsu"))
-      val purch = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("tsu").as("ptsu"))
-        .agg(max("event_id").as("pid"))
-        .select("user_id", "pid", "ptsu")
+      val (clicks, purch) = clicksAndPurchases(s, d)
       graft.operators.AsofJoin(clicks, purch, Seq("user_id"), "tsu", "ptsu",
           Seq("pid", "ptsu"), direction = "forward")
         .select(
@@ -256,38 +284,14 @@ object Events {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q21_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu FROM events
-        |), flagged AS (
-        |  SELECT user_id, event_id, tsu,
-        |    CASE WHEN LAG(tsu) OVER w IS NULL OR tsu - LAG(tsu) OVER w > 1800000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
-        |), sessions AS (
-        |  SELECT user_id,
-        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM flagged
-        |)
-        |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
-        |FROM sessions
-        |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin,
+      s"""WITH $duckSessionCtes
+         |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+         |FROM g
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
 
     "q104_peak_concurrency" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu FROM events
-        |), flagged AS (
-        |  SELECT user_id, event_id, tsu,
-        |    CASE WHEN LAG(tsu) OVER w IS NULL OR tsu - LAG(tsu) OVER w > 1800000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
-        |), g AS (
-        |  SELECT user_id, tsu,
-        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM flagged
-        |), sess AS (
+      s"""WITH $duckSessionCtes, sess AS (
         |  SELECT user_id, session_id, min(tsu) AS st, max(tsu) AS en
         |  FROM g GROUP BY user_id, session_id
         |), sw AS (
@@ -327,30 +331,16 @@ object Events {
         |ORDER BY c.user_id""".stripMargin,
 
     "q50_asof_join" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
-        |), clicks AS (
-        |  SELECT user_id, event_id, tsu FROM e WHERE event_type = 'click'
-        |), purch AS (
-        |  SELECT user_id, tsu AS ptsu, MAX(event_id) AS pid FROM e
-        |  WHERE event_type = 'purchase' GROUP BY user_id, tsu
-        |)
-        |SELECT c.event_id, c.user_id, p.pid AS purchase_id,
+      s"""WITH $duckClickPurchCtes
+         |SELECT c.event_id, c.user_id, p.pid AS purchase_id,
         |  c.tsu - p.ptsu AS gap_us
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tsu >= p.ptsu
         |ORDER BY event_id""".stripMargin,
 
     "q105_asof_tolerance" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
-        |), clicks AS (
-        |  SELECT user_id, event_id, tsu FROM e WHERE event_type = 'click'
-        |), purch AS (
-        |  SELECT user_id, tsu AS ptsu, MAX(event_id) AS pid FROM e
-        |  WHERE event_type = 'purchase' GROUP BY user_id, tsu
-        |)
-        |SELECT c.event_id, c.user_id,
+      s"""WITH $duckClickPurchCtes
+         |SELECT c.event_id, c.user_id,
         |  CASE WHEN c.tsu - p.ptsu <= 3600000000 THEN p.pid END AS purchase_id,
         |  CASE WHEN c.tsu - p.ptsu <= 3600000000 THEN c.tsu - p.ptsu END AS gap_us
         |FROM clicks c ASOF LEFT JOIN purch p
@@ -358,15 +348,8 @@ object Events {
         |ORDER BY event_id""".stripMargin,
 
     "q106_asof_forward" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
-        |), clicks AS (
-        |  SELECT user_id, event_id, tsu FROM e WHERE event_type = 'click'
-        |), purch AS (
-        |  SELECT user_id, tsu AS ptsu, MAX(event_id) AS pid FROM e
-        |  WHERE event_type = 'purchase' GROUP BY user_id, tsu
-        |)
-        |SELECT c.event_id, c.user_id, p.pid AS purchase_id,
+      s"""WITH $duckClickPurchCtes
+         |SELECT c.event_id, c.user_id, p.pid AS purchase_id,
         |  p.ptsu - c.tsu AS wait_us
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tsu <= p.ptsu
