@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the LAST stdout line of `runMain graft.Bench` as a
+// JSON metric. Two things used to corrupt that: sbt's logger wraps forked
+// output in "[info] " prefixes, and sbt appends a "[success] Total time"
+// line after the task. StdoutOutput passes the forked process's streams
+// through verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +33,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full 106-query bench at sf0.1 on local[32] holds
+  // ~15 shared cached frames; an 8g heap put the suite under enough GC
+  // pressure to regress unrelated window queries 3.8x round-over-round.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

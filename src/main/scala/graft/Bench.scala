@@ -37,6 +37,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     spark.sharedState.cacheManager.clearCache() // drop warm-dir caches
+    graft.core.Tables.dropMemos(spark) // and the memo maps pointing at them
     // min of three runs per query: single runs vary ±30% from GC and
     // stage-scheduling jitter at this scale; the min is the stable
     // estimator of the plan's actual cost
@@ -61,7 +62,19 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: the driver parses the last stdout line, but two
+    // rounds of bench data were lost to log-prefix wrapping — so the
+    // same JSON also lands in a well-known file next to the build.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Silence shutdown chatter (CacheManager WARNs etc.) so nothing can
+    // interleave with or follow the metric line, then emit it last.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -27,21 +27,53 @@ object Tables {
     * that arrives as one tiny parquet file reads as ONE partition, and
     * CPU-heavy per-row operators (hashing, folds) would run on a
     * single core. At real scale inputs have many splits and this is a
-    * no-op.
+    * no-op. The guard reads `inputFiles` (a listing on the analyzed
+    * plan) rather than `df.rdd.getNumPartitions`, which would force a
+    * physical-plan + RDD lineage materialization on every call and
+    * bypass AQE's view of the exchange. Callers should project the
+    * columns they need BEFORE spreading — the round-robin exchange
+    * shuffles whole rows, and a dragged-along `text` column is the
+    * bulk of the table.
     */
   def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    if (df.inputFiles.length < want) df.repartition(want) else df
+  }
+
+  /** Memoized nanos→µs-converted `events` frames, keyed per
+    * (session, sfDir): the conversion sits under EVERY event query, and
+    * re-reading + re-dividing per call showed up as whole-query
+    * regressions once the suite grew. MEMORY_AND_DISK so eviction
+    * under pressure degrades to disk reads instead of evicting hotter
+    * caches.
+    */
+  private val eventsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist and forget every memoized frame for `spark` (all table
+    * dirs). Bench calls this at its warm→measured phase boundary —
+    * `clearCache()` alone drops the storage but leaves the memo maps
+    * pointing at unpersisted frames, which would silently recompute
+    * (events) or pin dead plans for the JVM lifetime.
+    */
+  def dropMemos(spark: SparkSession): Unit = {
+    eventsMemo.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else !s.sparkContext.isStopped
+    }
+    graft.queries.TextOps.dropMemos(spark)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     name match {
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read
-          .parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        eventsMemo.getOrElseUpdate((spark, sfDir), {
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read
+            .parquet(s"$sfDir/events.parquet")
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        })
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }

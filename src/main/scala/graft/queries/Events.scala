@@ -77,14 +77,22 @@ object Events {
       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Running (prefix) sum per user — exact decimal accumulation.
+    // Running (prefix) sum per user. Accumulates SCALED BIGINT cents:
+    // a DECIMAL(12,2) running sum widens to precision 22, whose window
+    // buffer is a boxed BigDecimal updated per row per frame step — the
+    // same trap q01's group-aggs hit. The long sum is a codegen'd
+    // primitive; the double is rebuilt from an exact hi/lo split with
+    // the identical formula on both engines (value ≥ 0, so Spark `div`
+    // and DuckDB `//` agree).
     "q08_window_running" -> { (s, d) =>
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
+        .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .withColumn("rc", sum("vc").over(w))
         .withColumn("running_value",
-          sum(dec("value", 12, 2)).over(w).cast("double"))
+          expr("(CAST(rc div 1000000 AS DOUBLE) * 1000000.0 + CAST(rc % 1000000 AS DOUBLE)) / 100.0"))
         .select("user_id", "event_id", "ts", "running_value")
         .orderBy("user_id", "event_id")
     },
@@ -270,11 +278,18 @@ object Events {
         |FROM s LEFT JOIN c USING (wk)
         |ORDER BY wk""".stripMargin,
     "q08_window_running" ->
-      """SELECT user_id, event_id, ts::TIMESTAMP AS ts,
-        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
-        |   PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-        |FROM events
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+        |  FROM v)
+        |SELECT user_id, event_id, ts,
+        |  (CAST(rc // 1000000 AS DOUBLE) * 1000000.0 + CAST(rc % 1000000 AS DOUBLE)) / 100.0 AS running_value
+        |FROM r
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q09_window_lag" ->

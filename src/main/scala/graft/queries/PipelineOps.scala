@@ -124,7 +124,7 @@ object PipelineOps {
     "q73_stratified_cap" -> { (s, dir) =>
       val w = Window.partitionBy("lang")
         .orderBy(col("hk").asc, col("doc_id").asc)
-      Tables.spread(Tables.documents(s, dir))
+      Tables.spread(Tables.documents(s, dir).select("lang", "doc_id"))
         .withColumn("hk", expr(S.hash64("cast(doc_id as string)")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 50)
@@ -153,7 +153,7 @@ object PipelineOps {
     // training pipeline needs — and the assignment itself is a narrow
     // map (no shuffle; only the per-(lang, split) report aggregates).
     "q84_split_assign" -> { (s, dir) =>
-      Tables.spread(Tables.documents(s, dir))
+      Tables.spread(Tables.documents(s, dir).select("doc_id", "lang", "n_chars"))
         .withColumn("hk", expr(S.splitBucket))
         .withColumn("split", expr(PortableSql.SplitCase))
         .groupBy("lang", "split")
@@ -203,7 +203,7 @@ object PipelineOps {
         .withColumn("wtot", max("wsum").over(Window.partitionBy()))
         .withColumn("quota",
           expr("CAST(floor(CAST(200 AS DOUBLE) * w / wtot) AS BIGINT)"))
-      val ranked = Tables.spread(Tables.documents(s, dir))
+      val ranked = Tables.spread(Tables.documents(s, dir).select("source", "doc_id"))
         .withColumn("hk", expr(S.hash64("concat('mix:', doc_id)")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("source").orderBy(col("hk").asc, col("doc_id").asc)))

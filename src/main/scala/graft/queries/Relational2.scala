@@ -102,7 +102,7 @@ object Relational2 {
     // down to the scan.
     "q83_pii_scrub" -> { (s, d) =>
       val S = graft.functions.PortableSql.Spark
-      Tables.spread(Tables.customer(s, d))
+      Tables.spread(Tables.customer(s, d).select("c_custkey", "c_name"))
         .select(
           col("c_custkey"),
           expr(S.regexReplaceAll("c_name", "[0-9]", "#")).as("masked_name"),

@@ -200,6 +200,13 @@ object TextOps {
   private val compMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Unpersist and forget the memoized component frames for `spark`
+    * (see [[graft.core.Tables.dropMemos]]). */
+  private[graft] def dropMemos(spark: SparkSession): Unit =
+    compMemo.filterInPlace { case ((s, _), df) =>
+      if (s eq spark) { df.unpersist(); false } else !s.sparkContext.isStopped
+    }
+
   private def componentRows(s: SparkSession, dir: String): DataFrame = {
     // evict entries of stopped sessions so the memo can't pin dead
     // sessions (and their cached RDDs) for the JVM lifetime
