@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Maintenance, Merge}
+import graft.sources.{CsvDataset, JsonDataset, ParquetDataset, SortKey, UniqueOn, WriteConfig, WritePipeline}
+
+/** Dataset-lifecycle round trips, oracle-gated.
+  *
+  * Every other oracle query is a pure relational read; these five put
+  * the FILE layer — the normalizing write pipeline, compaction, keyed
+  * merge with copy-on-write rewrites, and the CSV/JSON sources — under
+  * the same DuckDB hash gate. Each query materializes a derived table
+  * into a fresh temp directory, runs the lifecycle operation against
+  * the physical files, then reads the dataset back and returns a
+  * deterministic relation; the oracle computes the relational
+  * equivalent directly from the source parquet (the write→maintain→
+  * read-back plumbing must be value-preserving for the hashes to
+  * meet). Reference behaviors gated here: pydala/io.py:381-437
+  * (prepare), pydala/dataset.py:1549-1777 (merge), 1802-2391
+  * (compaction), 2656-2774 (CSV/JSON datasets).
+  *
+  * Scale notes: the temp-dir writes are ordinary partitioned parquet
+  * writes (one range/hash exchange each, zstd, bounded file sizes);
+  * compaction planning is footer-metadata only; merge rewrites touch
+  * only matched files. Runtime `require`s pin the PHYSICAL effects
+  * (file counts shrink, rewrites happened) that the value hash alone
+  * cannot see.
+  */
+object Lifecycle {
+
+  private def tmpDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    // lifecycle scratch: the JVM cleans it on exit; nothing outside
+    // /tmp is ever touched
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // WritePipeline round trip: sort → unique(first-in-sort-order) →
+    // datepart derivation → hive-partitioned write → sidecar build →
+    // read-back aggregate. The doubled-price duplicates must lose to
+    // the originals under the (key asc, price asc) sort, and the
+    // derived `year` must survive as a partition column.
+    "q107_write_roundtrip" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val dupes = base.filter("o_orderkey % 10 = 0")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val dir = tmpDir("q107")
+      val ds = new ParquetDataset(s, dir)
+      ds.write(base.unionAll(dupes), WriteConfig(
+        mode = "overwrite",
+        partitionBy = Seq("year"),
+        sortBy = SortKey.parse("o_orderkey, o_totalprice"),
+        unique = UniqueOn(Seq("o_orderkey")),
+        datepartsFrom = Some("o_orderdate"),
+        dateparts = Seq("year", "month")))
+      // physical effects the value hash can't see: hive layout + sidecar
+      require(ds.partitionColumns == Seq("year"),
+        s"q107: expected hive year= layout, got ${ds.partitionColumns}")
+      require(ds.stats.nonEmpty, "q107: sidecar missing after overwrite write")
+      ds.df.groupBy(col("year").cast("int").as("year"),
+          col("month").cast("int").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("year", "month")
+    },
+
+    // Compaction round trip: a deliberately fragmented write (500-row
+    // files per status partition) compacted back to one file per
+    // partition; the data must be byte-identical through the staged
+    // rewrite + swap, and the file count must actually shrink.
+    "q108_compact_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q108")
+      WritePipeline.write(
+        Tables.orders(s, d).filter("o_orderkey % 3 = 0")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        dir,
+        WriteConfig(partitionBy = Seq("o_orderstatus"), maxRowsPerFile = 1000L))
+      val ds = new ParquetDataset(s, dir)
+      val before = ds.files.size
+      val plan = Maintenance.compactPartitions(ds)
+      require(plan.groups.nonEmpty, s"q108: nothing planned over $before files")
+      require(ds.files.size < before,
+        s"q108: compaction did not shrink file count ($before -> ${ds.files.size})")
+      ds.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("lo_key"),
+          max("o_orderkey").as("hi_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Keyed-merge round trip: upsert a batch with duplicate source
+    // keys (last row wins), updates (price doubled/tripled), and
+    // inserts (key+10M) into a status-partitioned target, then read
+    // the merged dataset back in full. Same contract as q57, but
+    // through the copy-on-write FILE path instead of pure relations.
+    // The target is written key-sorted (files get tight key ranges)
+    // and the update keys are bounded to the low range, so only a
+    // strict subset of files may be rewritten — pinned by `require`.
+    "q109_merge_roundtrip" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val dir = tmpDir("q109")
+      val ds = new ParquetDataset(s, dir)
+      ds.write(
+        orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("price")),
+        WriteConfig(mode = "overwrite", partitionBy = Seq("o_orderstatus"),
+          sortBy = SortKey.parse("o_orderkey"),
+          // several key-ranged files per partition even after AQE
+          // coalesces the tiny sorted exchange to one task — the
+          // preserved-files invariant below needs real file granularity
+          maxRowsPerFile = 2000L))
+      def slice(filter: String, mul: Int) = orders.filter(filter)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * mul).as("price"))
+      val u1 = slice("o_orderkey % 13 = 1 AND o_orderkey <= 5000", 2)
+      val u2 = slice("o_orderkey % 26 = 1 AND o_orderkey <= 5000", 3) // later batch wins
+      val ins = orders.filter("o_orderkey % 17 = 2")
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice").as("price"))
+      val res = Merge(ds, Seq(u1, u2, ins), Seq("o_orderkey"), "upsert")
+      require(res.updated > 0 && res.inserted > 0,
+        s"q109: merge was a no-op ($res)")
+      require(res.rewrittenFiles.nonEmpty && res.preservedFiles.nonEmpty,
+        s"q109: copy-on-write should rewrite SOME files, not none/all ($res)")
+      ds.df.select("o_orderkey", "o_orderstatus", "price")
+        .orderBy("o_orderkey")
+    },
+
+    // CSV source round trip: parquet → headered CSV → schema-inferred
+    // CsvDataset read-back. The constructed c_label embeds a comma so
+    // the writer MUST quote it; identity against the original table
+    // gates quoting, header handling, and numeric text round-tripping
+    // (Java shortest-repr doubles parse back bit-exact).
+    "q110_csv_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q110")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+          concat(col("c_name"), lit(", "), col("c_mktsegment")).as("c_label"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      new CsvDataset(s, dir).df
+        .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("int").as("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"),
+          col("c_mktsegment"), col("c_label"))
+        .orderBy("c_custkey")
+    },
+
+    // JSON source round trip: parquet → JSON lines → schema-inferred
+    // JsonDataset read-back; dates travel as ISO strings (JSON has no
+    // date type), numerics as JSON numbers.
+    "q111_json_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q111")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          // via DATE: both engines print yyyy-MM-dd; a raw timestamp
+          // cast differs in fractional-second trimming between engines
+          col("o_orderdate").cast("date").cast("string").as("odate"),
+          col("o_totalprice"))
+        .write.mode("overwrite").json(dir)
+      new JsonDataset(s, dir).df
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_orderstatus"), col("odate"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q107_write_roundtrip" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderdate, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |), dedup AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY o_totalprice ASC) AS rn
+        |  FROM src
+        |)
+        |SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |       CAST(month(o_orderdate) AS INT) AS month,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM dedup WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q108_compact_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       MIN(o_orderkey) AS lo_key,
+        |       MAX(o_orderkey) AS hi_key,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q109_merge_roundtrip" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS price, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 13 = 1 AND o_orderkey <= 5000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 3, 2
+        |  FROM orders WHERE o_orderkey % 26 = 1 AND o_orderkey <= 5000
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice, 3
+        |  FROM orders WHERE o_orderkey % 17 = 2
+        |), d AS (
+        |  SELECT o_orderkey, o_orderstatus, price FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM u)
+        |  WHERE rn = 1
+        |)
+        |SELECT o_orderkey, o_orderstatus, price FROM d
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q110_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       c_name || ', ' || c_mktsegment AS c_label
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q111_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+        |       o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}
