@@ -156,14 +156,22 @@ final class Catalog(val spark: SparkSession, val yamlPath: String) {
     // disjoint scopes that merely share a name
     def rewrite(plan: LogicalPlan, scope: Set[String]): LogicalPlan = plan match {
       case w: UnresolvedWith =>
-        val inner = scope ++ w.cteRelations.map(_._1.toLowerCase)
-        w.copy(
-          child = rewrite(w.child, inner),
-          cteRelations = w.cteRelations.map { case (n, sub, maxRec) =>
-            (n, rewrite(sub, inner)
-              .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
-              maxRec)
-          })
+        // CTEs resolve in declaration order with no forward references:
+        // definition i sees only definitions < i (plus itself under
+        // WITH RECURSIVE); a flat all-names scope would wrongly shadow
+        // a catalog table referenced by an EARLIER definition that a
+        // LATER definition happens to be named after. The main child
+        // sees every definition.
+        var seen = scope
+        val defs = w.cteRelations.map { case (n, sub, maxRec) =>
+          val defScope = if (w.allowRecursion) seen + n.toLowerCase else seen
+          val out = (n, rewrite(sub, defScope)
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+            maxRec)
+          seen += n.toLowerCase
+          out
+        }
+        w.copy(child = rewrite(w.child, seen), cteRelations = defs)
       case r: UnresolvedRelation =>
         val ident = r.multipartIdentifier.mkString(".")
         if (r.multipartIdentifier.size == 1 && scope.contains(ident.toLowerCase)) r

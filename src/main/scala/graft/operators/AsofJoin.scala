@@ -38,6 +38,23 @@ object AsofJoin {
       s"direction must be backward|forward, got: $direction")
     val backward = direction == "backward"
 
+    // a tolerance compares leftTime and rightTime gaps in each column's
+    // NATIVE units (micros for timestamps, days for dates, raw for
+    // numerics) — a mixed pairing would silently compare micros against
+    // days instead of failing
+    def unitFamily(dt: DataType): String = dt match {
+      case TimestampType | TimestampNTZType => "timestamp(micros)"
+      case org.apache.spark.sql.types.DateType => "date(days)"
+      case _ => "numeric(raw)"
+    }
+    tolerance.foreach { _ =>
+      val (lf, rf) = (unitFamily(left.schema(leftTime).dataType),
+        unitFamily(right.schema(rightTime).dataType))
+      require(lf == rf,
+        s"asof tolerance: time columns have mismatched unit families — " +
+          s"$leftTime is $lf, $rightTime is $rf; cast one side first")
+    }
+
     def micros(c: Column, dt: DataType): Column = dt match {
       case TimestampType => unix_micros(c)
       case TimestampNTZType => unix_micros(c.cast(TimestampType))

@@ -73,6 +73,25 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out.getLong(out.fieldIndex("rid")) == 20L) // 2 days back, ≤5
   }
 
+  test("tolerance with mismatched time-unit families is rejected") {
+    // timestamp micros vs date days: the gap check would silently
+    // compare across units — must throw, not mismatch quietly
+    val left = Seq(("k", 1L, java.sql.Timestamp.valueOf("2024-03-10 00:00:00")))
+      .toDF("k", "lid", "t")
+    val right = Seq(("k", 10L, java.sql.Date.valueOf("2024-03-09")))
+      .toDF("k", "rid", "rd")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin(left, right, Seq("k"), "t", "rd", Seq("rid"),
+        tolerance = Some(86400000000L))
+    }
+    assert(e.getMessage.contains("unit families"))
+    // numeric vs timestamp likewise
+    intercept[IllegalArgumentException] {
+      AsofJoin(right.withColumnRenamed("rd", "n").withColumn("n", $"rid"),
+        left, Seq("k"), "n", "t", Seq("lid"), tolerance = Some(1L))
+    }
+  }
+
   test("tolerance nulls out matches beyond the window") {
     val left = Seq(("u", 1L, 100L), ("u", 2L, 500L)).toDF("k", "lid", "t")
     val right = Seq(("u", 10L, 90L)).toDF("k", "rid", "rt")

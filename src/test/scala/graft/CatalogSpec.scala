@@ -74,6 +74,23 @@ class CatalogSpec extends SparkSpecBase {
     assert(scoped.toSeq == Seq(2))
   }
 
+  test("CTE scope is declaration-ordered: no forward shadowing") {
+    // `a` is declared BEFORE the CTE named t1, so the t1 it references
+    // is the catalog table (Spark resolves CTEs in order with no
+    // forward references); only the main child sees the CTE
+    val cat = mkCatalog()
+    val out = cat.sql(
+      "WITH a AS (SELECT id FROM t1), t1 AS (SELECT 99 AS id) " +
+        "SELECT (SELECT count(*) FROM a) AS na, (SELECT max(id) FROM t1) AS m")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((2L, 99)))
+    // a LATER definition referencing an EARLIER one still sees the CTE
+    val chained = cat.sql(
+      "WITH b AS (SELECT 7 AS id), c AS (SELECT id + 1 AS id FROM b) " +
+        "SELECT id FROM c").collect().map(_.getInt(0))
+    assert(chained.toSeq == Seq(8))
+  }
+
   test("unqualified names resolve when unambiguous") {
     val cat = mkCatalog()
     assert(cat.loadTable("t1").count() == 2)
