@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   * explode_all, unnest_all, with_row_count, with_strftime_columns,
   * with_truncated_columns. (cast_relaxed = SchemaOps.align, delta =
   * left_anti join in Merge, opt_dtype = SchemaOps.optDtype,
-  * unify_schemas = SchemaOps.unify, partition_by = WritePipeline.)
+  * unify_schemas = SchemaOps.unify, partition_by = [[partitionBy]].)
   */
 object FrameOps {
 
@@ -113,4 +113,33 @@ object FrameOps {
     units.foldLeft(df) { (d, u) =>
       d.withColumn(s"${tsCol}_$u", date_trunc(u, col(tsCol)))
     }
+
+  /** Split a frame into one lazy frame per distinct partition-column
+    * value combination (reference `partition_by`,
+    * pydala/helpers/polars.py:2-15, pinned by
+    * tests/test_helpers_contract.py:198-215): each entry is the
+    * partition-value map plus the matching rows WITHOUT the partition
+    * columns; no columns → one entry with an empty map.
+    *
+    * The distinct key set is collected to the driver — this is a
+    * dimensional-split API (like the reference's, which materializes
+    * every frame); `maxPartitions` guards against calling it on a
+    * high-cardinality key. For data-scale splits use the write path's
+    * hive `partitionBy`, which never drives through the driver.
+    */
+  def partitionBy(df: DataFrame, columns: Seq[String],
+                  maxPartitions: Int = 10000): Seq[(Map[String, Any], DataFrame)] = {
+    if (columns.isEmpty) return Seq(Map.empty[String, Any] -> df)
+    val keys = df.select(columns.map(col): _*).distinct().limit(maxPartitions + 1).collect()
+    require(keys.length <= maxPartitions,
+      s"partitionBy: more than $maxPartitions distinct keys over ${columns.mkString(",")}")
+    val rest = df.columns.toSeq.filterNot(columns.contains)
+    keys.toSeq.map { row =>
+      val kv = columns.zipWithIndex.map { case (c, i) => c -> row.get(i) }.toMap
+      val pred = columns.zipWithIndex.map { case (c, i) =>
+        if (row.isNullAt(i)) col(c).isNull else col(c) <=> lit(row.get(i))
+      }.reduce(_ && _)
+      kv -> df.filter(pred).select(rest.map(col): _*)
+    }
+  }
 }

@@ -170,6 +170,36 @@ object Lifecycle {
           col("o_orderstatus"), col("odate"),
           col("o_totalprice").cast("double").as("o_totalprice"))
         .orderBy("o_orderkey")
+    },
+
+    // Timezone-converted write with datepart partitions: event
+    // instants are stripped to America/New_York wall clocks
+    // (WriteConfig tz/removeTz, the reference's ts_unit/tz/remove_tz
+    // args, pydala/io.py:325-351), partitioned by the DERIVED local
+    // date — UTC midnights land in the previous New-York day, so the
+    // partition layout itself proves the zone conversion ran before
+    // datepart derivation.
+    "q112_tz_write_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q112")
+      val ds = new ParquetDataset(s, dir)
+      ds.write(
+        Tables.events(s, d).select(col("event_id"), col("ts"),
+          col("user_id"), col("value")),
+        WriteConfig(mode = "overwrite", partitionBy = Seq("year", "month", "day"),
+          datepartsFrom = Some("ts"), dateparts = Seq("year", "month", "day"),
+          tz = Some("America/New_York"), removeTz = true))
+      require(ds.partitionColumns == Seq("year", "month", "day"),
+        s"q112: expected derived-date layout, got ${ds.partitionColumns}")
+      ds.df.groupBy(col("year").cast("int").as("year"),
+          col("month").cast("int").as("month"),
+          col("day").cast("int").as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          // double→decimal rounds identically on both engines; a raw
+          // double→bigint cast would truncate in Spark and round in DuckDB
+          sum(expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
+            .as("value_milli"))
+        .orderBy("year", "month", "day")
     }
   )
 
@@ -233,6 +263,20 @@ object Lifecycle {
       """SELECT o_orderkey, o_orderstatus,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
         |       o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q112_tz_write_roundtrip" ->
+      """WITH loc AS (
+        |  SELECT user_id, value,
+        |    timezone('America/New_York', timezone('UTC', ts::TIMESTAMP)) AS lts
+        |  FROM events
+        |)
+        |SELECT CAST(year(lts) AS INT) AS year,
+        |       CAST(month(lts) AS INT) AS month,
+        |       CAST(dayofmonth(lts) AS INT) AS day,
+        |       COUNT(*) AS n,
+        |       COUNT(DISTINCT user_id) AS users,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM loc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -53,7 +53,22 @@ final case class WriteConfig(
       * by exact row count (256k rows, pydala/dataset.py:887); Spark
       * controls bytes — an accepted divergence (SURVEY §7.5).
       */
-    rowGroupBytes: Option[Long] = None)
+    rowGroupBytes: Option[Long] = None,
+    /** Parquet timestamp unit for the written files ("us" | "ms" |
+      * "int96") — the reference's `ts_unit` (pydala/dataset.py:891);
+      * "ms" truncates like the reference allows (pydala/io.py:106).
+      */
+    tsUnit: Option[String] = None,
+    /** Time zone for [[removeTz]] / localization — the reference's
+      * `tz` arg. With `removeTz=true`, TIMESTAMP columns are written
+      * as TIMESTAMP_NTZ wall clocks rendered in this zone (default
+      * UTC, matching the reference's arrow zone-drop); with
+      * `removeTz=false`, TIMESTAMP_NTZ columns are interpreted as wall
+      * clocks IN this zone and written as instants.
+      */
+    tz: Option[String] = None,
+    /** Strip zones (reference `remove_tz`, pydala/schema.py:74). */
+    removeTz: Boolean = false)
 
 object WritePipeline {
 
@@ -120,6 +135,15 @@ object WritePipeline {
       case None => out
     }
 
+    // tz conversion BEFORE dateparts: a partition derived from a
+    // tz-converted write must reflect the converted wall clock
+    // (reference convert_timestamp runs in write prepare,
+    // pydala/io.py:346-351)
+    if (cfg.removeTz)
+      out = graft.functions.TsConvert.strip(out, cfg.tz.getOrElse("UTC"))
+    else for (t <- cfg.tz)
+      out = graft.functions.TsConvert.localize(out, t)
+
     for (tsCol <- cfg.datepartsFrom; dp <- cfg.dateparts) {
       val fn = DatepartFns.getOrElse(dp,
         throw new IllegalArgumentException(s"unknown datepart: $dp"))
@@ -142,8 +166,15 @@ object WritePipeline {
       .option("compression", cfg.compression)
       .option("maxRecordsPerFile", cfg.maxRowsPerFile)
     cfg.rowGroupBytes.foreach(n => w = w.option("parquet.block.size", n))
-    (if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w)
+    // the parquet unit is a session conf, not a writer option — scope
+    // it to this write and restore whatever the session had
+    val unitKey = "spark.sql.parquet.outputTimestampType"
+    val prevUnit = cfg.tsUnit.map(_ => df.sparkSession.conf.get(unitKey))
+    cfg.tsUnit.foreach(u => df.sparkSession.conf.set(
+      unitKey, graft.functions.TsConvert.outputTimestampType(u)))
+    try (if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w)
       .parquet(path)
+    finally prevUnit.foreach(df.sparkSession.conf.set(unitKey, _))
 
     if (cfg.mode == "overwrite") FsUtil.delete(path, before.toSeq)
     // drop the session's cached file listing for this path — Spark's
