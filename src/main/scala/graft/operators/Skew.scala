@@ -41,4 +41,50 @@ object Skew {
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Skew-aware unordered within-key pairs: self-join `df` on `key`,
+    * emitting (key, item_1, item_2) with item_1 < item_2 — the
+    * co-occurrence explosion behind market-basket / co-purchase
+    * queries. A key with K items yields K·(K−1)/2 rows, ALL produced
+    * by one reducer in a plain self-join, so one viral key stalls the
+    * stage no matter how many executors exist (and AQE's skew split
+    * cannot divide a single key's build side).
+    *
+    * A one-row stats probe (map-side partial max — cheap next to the
+    * pair explosion) picks the plan: below `hotThreshold` the plain
+    * co-partitioned self-join runs untouched; above it, only the hot
+    * keys' rows take the salted path ([[saltedJoin]]: one side salted
+    * into `salts` lanes, the other replicated ×salts — affordable
+    * precisely because it is limited to the hot slice), the cold
+    * majority still takes the plain join, and the two pair sets union.
+    * Output is identical either way; callers should cache `df` since
+    * the probe and the join both traverse it.
+    */
+  def selfPairs(df: DataFrame, key: String, item: String,
+                hotThreshold: Long = 100000L, salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    def pairs(rel: DataFrame, salted: Boolean): DataFrame = {
+      val joined =
+        if (salted) saltedJoin(
+          rel.select(col(key), col(item).as(s"${item}_1")),
+          rel.select(col(key), col(item).as(s"${item}_2")),
+          Seq(key), salts)
+        else rel.select(col(key), col(item).as(s"${item}_1"))
+          .join(rel.select(col(key), col(item).as(s"${item}_2")), Seq(key))
+      joined.filter(col(s"${item}_1") < col(s"${item}_2"))
+        .select(col(key), col(s"${item}_1"), col(s"${item}_2"))
+    }
+    val maxRow = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .agg(max("__n")).collect()(0)
+    val maxCnt = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxCnt <= hotThreshold) pairs(df, salted = false)
+    else {
+      val hotKeys = broadcast(
+        df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > hotThreshold).select(col(key)))
+      val hot = df.join(hotKeys, Seq(key), "left_semi")
+      val cold = df.join(hotKeys, Seq(key), "left_anti")
+      pairs(cold, salted = false).unionAll(pairs(hot, salted = true))
+    }
+  }
 }

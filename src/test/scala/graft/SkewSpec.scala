@@ -39,4 +39,34 @@ class SkewSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(salted == plain)
   }
+
+  private def naivePairs(df: org.apache.spark.sql.DataFrame) =
+    df.as("a").join(df.as("b"),
+        col("a.k") === col("b.k") && col("a.v") < col("b.v"))
+      .select(col("a.k"), col("a.v").as("v_1"), col("b.v").as("v_2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("selfPairs equals the naive self-join, hot path engaged") {
+    // one viral key with 60 items (> threshold 10) + a cold tail:
+    // the probe must route k=hot through the salted branch and the
+    // pair set must still be identical, each unordered pair once
+    val rows = (1 to 60).map(i => ("hot", i.toLong)) ++
+      (1 to 30).map(i => (s"k${i % 7}", (100 + i).toLong))
+    val df = rows.toDF("k", "v").cache()
+    val got = Skew.selfPairs(df, "k", "v", hotThreshold = 10L, salts = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naivePairs(df))
+    assert(got.count(_._1 == "hot") == 60 * 59 / 2)
+    df.unpersist()
+  }
+
+  test("selfPairs below threshold takes the plain single-join plan") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    val out = Skew.selfPairs(df, "k", "v", hotThreshold = 10L)
+    // no salted branch: the plan carries no salt column and no union
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__salt") && !plan.toLowerCase.contains("union"))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("a", 1L, 2L)))
+  }
 }
