@@ -136,14 +136,46 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
   */
 object Sanitize {
   def apply(sql: String): String = {
-    val cleaned = sql
-      .replaceAll("--.*", "")
-      .replaceAll("/\\*.*?\\*/", "")
+    val cleaned = stripComments(sql)
       .replace("\u0000", "")
       .trim
     val quotes = cleaned.count(_ == '\'')
     require(quotes % 2 == 0, s"unbalanced quotes in filter: $sql")
     cleaned
+  }
+
+  /** Quote-aware comment strip: line/block comment markers INSIDE a
+    * string literal are data, not comments — a blind regex corrupted
+    * `name = 'a--b'` to `name = 'a` and then rejected it for the
+    * unbalanced quote it had just created. (The reference's sanitizer
+    * shares the naive regex; this is a deliberate divergence.)
+    * Escaped quotes follow the SQL `''` doubling convention, which a
+    * quote-parity scan handles for free (each half toggles once).
+    */
+  private def stripComments(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    var inQuote = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        out.append(c)
+        if (c == '\'') inQuote = false
+        i += 1
+      } else if (c == '\'') {
+        out.append(c); inQuote = true; i += 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        // line comment: drop to end of line (newline itself survives)
+        val nl = sql.indexOf('\n', i)
+        i = if (nl < 0) sql.length else nl
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        i = if (end < 0) sql.length else end + 2
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   /** Dataset-relative path guard (reference security.py:143-244): a

@@ -20,6 +20,23 @@ class TableSpec extends SparkSpecBase {
     assert(t.distinct().count() == 3)
   }
 
+  test("filter sanitization is quote-aware") {
+    import graft.sources.Sanitize
+    // comment markers inside string literals are data, not comments
+    assert(Sanitize("v = 'a--b'") == "v = 'a--b'")
+    assert(Sanitize("v = 'x/*y*/z'") == "v = 'x/*y*/z'")
+    // real comments outside literals still stripped
+    assert(Sanitize("id > 1 -- trailing note") == "id > 1")
+    assert(Sanitize("id > 1 /* note */ AND id < 9") == "id > 1  AND id < 9")
+    // multi-line: the comment ends at the newline, the rest survives
+    assert(Sanitize("id > 1 -- note\nAND id < 9") == "id > 1 \nAND id < 9")
+    // genuinely unbalanced quotes still rejected
+    intercept[IllegalArgumentException](Sanitize("v = 'oops"))
+    // end-to-end through Table.filter
+    val t = Table(Seq((1, "a--b"), (2, "plain")).toDF("id", "v"))
+    assert(t.filter("v = 'a--b'").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("batch iterator streams without driver materialization") {
     val t = Table((1 to 100).toDF("n"))
     assert(t.batchIterator().map(_.getInt(0)).sum == 5050)
