@@ -67,9 +67,18 @@ object Bench {
     // Belt and braces: the driver parses the last stdout line, but two
     // rounds of bench data were lost to log-prefix wrapping — so the
     // same JSON also lands in a well-known file next to the build.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ONLY full runs write it: a SPARK_GRAFT_ONLY dev loop would leave
+    // a partial-suite file that a later fallback read would mistake
+    // for the real totals. And never let a file-system error take the
+    // primary stdout channel down with it.
+    if (only.isEmpty) try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] bench_out.json not written: ${e.getMessage}")
+    }
     // Silence shutdown chatter (CacheManager WARNs etc.) so nothing can
     // interleave with or follow the metric line, then emit it last.
     spark.sparkContext.setLogLevel("OFF")

@@ -24,20 +24,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Spread a small input across the session's parallelism: a table
-    * that arrives as one tiny parquet file reads as ONE partition, and
-    * CPU-heavy per-row operators (hashing, folds) would run on a
-    * single core. At real scale inputs have many splits and this is a
-    * no-op. The guard reads `inputFiles` (a listing on the analyzed
-    * plan) rather than `df.rdd.getNumPartitions`, which would force a
-    * physical-plan + RDD lineage materialization on every call and
-    * bypass AQE's view of the exchange. Callers should project the
-    * columns they need BEFORE spreading — the round-robin exchange
+    * that arrives as a few tiny parquet files reads as one or two scan
+    * partitions (Spark packs small files by BYTES up to
+    * maxPartitionBytes, so a file count alone over- and under-counts
+    * both ways: 40 tiny files pack into 1 partition; 1 big file
+    * splits into many). The guard estimates the scan's partition
+    * count from the plan's size statistics — metadata only, no
+    * physical plan or RDD lineage materialization, so AQE's view of
+    * the exchange is untouched. At real scale the estimate clears
+    * `defaultParallelism` and this is a no-op. Callers should project
+    * the columns they need BEFORE spreading — the round-robin exchange
     * shuffles whole rows, and a dragged-along `text` column is the
     * bulk of the table.
     */
   def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < want) df.repartition(want) else df
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = (bytes / maxPart).toLong + 1
+    if (estParts < want) df.repartition(want) else df
   }
 
   /** Memoized nanos→µs-converted `events` frames, keyed per
@@ -50,6 +56,19 @@ object Tables {
   private val eventsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Generic memoized-and-persisted frame, keyed per (session, tag) —
+    * for query-local frames that a stats probe and the returned plan
+    * BOTH traverse (a bare .cache() inside a query fn is never
+    * unpersisted and pins storage for the session's lifetime; this
+    * map is drained by [[dropMemos]] at Bench's phase boundary).
+    */
+  private val frameMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def memo(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
+    frameMemo.getOrElseUpdate((spark, tag),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Unpersist and forget every memoized frame for `spark` (all table
     * dirs). Bench calls this at its warm→measured phase boundary —
     * `clearCache()` alone drops the storage but leaves the memo maps
@@ -57,9 +76,9 @@ object Tables {
     * (events) or pin dead plans for the JVM lifetime.
     */
   def dropMemos(spark: SparkSession): Unit = {
-    eventsMemo.filterInPlace { case ((s, _), df) =>
+    Seq(eventsMemo, frameMemo).foreach(_.filterInPlace { case ((s, _), df) =>
       if (s eq spark) { df.unpersist(); false } else !s.sparkContext.isStopped
-    }
+    })
     graft.queries.TextOps.dropMemos(spark)
   }
 

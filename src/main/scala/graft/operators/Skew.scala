@@ -14,11 +14,21 @@ object Skew {
     * combine over the (now tiny) per-key partials. Correct for any
     * commutative-associative aggregate; exposed for sum/count.
     */
+  /** Deterministic per-row salt from the row's own content: a salt
+    * derived from `monotonically_increasing_id` changes when a lost
+    * map task recomputes under a different partition layout, and a
+    * changed shuffle key after partial stage retry means duplicated or
+    * dropped rows downstream. Hashing the visible columns is
+    * recomputation-stable; identical rows sharing a lane only softens
+    * the spread, never correctness.
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      salts: Int = 16): DataFrame = {
     require(salts > 0)
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val salted = df.withColumn("__salt", rowSalt(df, salts))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -35,8 +45,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
-    val b = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val b = big.withColumn("__salt", rowSalt(big, salts))
     val s = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
@@ -74,14 +83,18 @@ object Skew {
       joined.filter(col(s"${item}_1") < col(s"${item}_2"))
         .select(col(key), col(s"${item}_1"), col(s"${item}_2"))
     }
-    val maxRow = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-      .agg(max("__n")).collect()(0)
-    val maxCnt = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxCnt <= hotThreshold) pairs(df, salted = false)
+    // ONE aggregation serves both the max probe and the hot-key list;
+    // the hot keys are collected while small by definition (they
+    // exceed the threshold, so there are at most |df|/threshold of
+    // them) and re-enter the plan as a local relation — the returned
+    // lazy plan never recomputes the probe aggregation
+    val hotRows = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold).select(col(key)).collect()
+    if (hotRows.isEmpty) pairs(df, salted = false)
     else {
-      val hotKeys = broadcast(
-        df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > hotThreshold).select(col(key)))
+      val hotKeys = broadcast(df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(df.schema(key)))))
       val hot = df.join(hotKeys, Seq(key), "left_semi")
       val cold = df.join(hotKeys, Seq(key), "left_anti")
       pairs(cold, salted = false).unionAll(pairs(hot, salted = true))

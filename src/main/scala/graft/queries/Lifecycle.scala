@@ -30,11 +30,26 @@ import graft.sources.{CsvDataset, JsonDataset, ParquetDataset, SortKey, UniqueOn
   */
 object Lifecycle {
 
+  /** Scratch dirs filled with parquet after creation — File.deleteOnExit
+    * cannot remove non-empty directories, so a shutdown hook deletes
+    * them recursively (a bench run creates ~24 of these; leaking full
+    * dataset copies into /tmp across rounds would eventually fill the
+    * disk). Nothing outside /tmp is ever touched.
+    */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { p =>
+        try {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        } catch { case _: Exception => } // best-effort cleanup
+      }))
+  }
+
   private def tmpDir(tag: String): String = {
     val p = java.nio.file.Files.createTempDirectory(s"graft-$tag")
-    // lifecycle scratch: the JVM cleans it on exit; nothing outside
-    // /tmp is ever touched
-    p.toFile.deleteOnExit()
+    scratchDirs.add(p)
     p.toString
   }
 

@@ -156,12 +156,14 @@ object Relational2 {
     // cold majority keeps the plain co-partitioned join — identical
     // output either way (pinned by SkewSpec's equality law).
     "q76_copurchase_pairs" -> { (s, d) =>
-      // cache shared by the stats probe and the join that follows it
-      // (identical plans dedupe in the CacheManager across bench
-      // iterations; Bench clears storage at its phase boundary)
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct().cache()
+      // memoized cache shared by the stats probe and the join that
+      // follows it — drained by Tables.dropMemos, so it cannot pin
+      // storage for the rest of a long Verify/Bench session
+      val li = Tables.memo(s, s"$d#q76pairs") {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+      }
       graft.operators.Skew.selfPairs(li, "ok", "pk", hotThreshold = 1000L)
         .groupBy(col("pk_1").as("p1"), col("pk_2").as("p2"))
         .agg(count(lit(1)).as("n_orders"))

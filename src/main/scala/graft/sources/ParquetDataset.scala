@@ -145,25 +145,27 @@ object Sanitize {
   }
 
   /** Quote-aware comment strip: line/block comment markers INSIDE a
-    * string literal are data, not comments — a blind regex corrupted
+    * quoted region are data, not comments — a blind regex corrupted
     * `name = 'a--b'` to `name = 'a` and then rejected it for the
     * unbalanced quote it had just created. (The reference's sanitizer
-    * shares the naive regex; this is a deliberate divergence.)
-    * Escaped quotes follow the SQL `''` doubling convention, which a
-    * quote-parity scan handles for free (each half toggles once).
+    * shares the naive regex; this is a deliberate divergence.) All
+    * three SQL quoting forms are tracked: string literals ('…'),
+    * backtick identifiers (`…`), and double-quoted identifiers ("…").
+    * Escaped quotes follow the doubling convention, which a parity
+    * scan handles for free (each half toggles once).
     */
   private def stripComments(sql: String): String = {
     val out = new StringBuilder(sql.length)
     var i = 0
-    var inQuote = false
+    var quote: Char = 0 // 0 = outside any quoted region
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inQuote) {
+      if (quote != 0) {
         out.append(c)
-        if (c == '\'') inQuote = false
+        if (c == quote) quote = 0
         i += 1
-      } else if (c == '\'') {
-        out.append(c); inQuote = true; i += 1
+      } else if (c == '\'' || c == '`' || c == '"') {
+        out.append(c); quote = c; i += 1
       } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         // line comment: drop to end of line (newline itself survives)
         val nl = sql.indexOf('\n', i)

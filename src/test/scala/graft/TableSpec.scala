@@ -30,6 +30,9 @@ class TableSpec extends SparkSpecBase {
     assert(Sanitize("id > 1 /* note */ AND id < 9") == "id > 1  AND id < 9")
     // multi-line: the comment ends at the newline, the rest survives
     assert(Sanitize("id > 1 -- note\nAND id < 9") == "id > 1 \nAND id < 9")
+    // ...and inside backtick / double-quoted IDENTIFIERS too
+    assert(Sanitize("`a--b` = 1") == "`a--b` = 1")
+    assert(Sanitize("\"a/*b*/c\" = 1") == "\"a/*b*/c\" = 1")
     // genuinely unbalanced quotes still rejected
     intercept[IllegalArgumentException](Sanitize("v = 'oops"))
     // end-to-end through Table.filter
