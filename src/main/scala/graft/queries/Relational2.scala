@@ -171,6 +171,20 @@ object Relational2 {
         .limit(100)
     },
 
+    // Link-importance scoring (PageRank, 3 damped rounds) over the
+    // symmetric part↔supplier supply graph — the quality-weighting
+    // signal web-corpus pipelines attach before sampling. Bit-exact
+    // because ALL arithmetic is scaled-integer (see operators.PageRank);
+    // the oracle unrolls the identical recurrence.
+    "q113_pagerank" -> { (s, d) =>
+      val fwd = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.run(edges, iterations = 3)
+        .orderBy("node")
+    },
+
     // ntile + percent_rank: distribution windows per nation. percent_rank
     // is (rank-1)/(n-1) — one exactly-rounded division on both engines;
     // the order key is unique so ranks are tie-free.
@@ -521,6 +535,32 @@ object Relational2 {
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY p1, p2
         |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
+
+    "q113_pagerank" ->
+      """WITH f AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |p AS (SELECT COUNT(*) AS n FROM nodes),
+        |b AS (SELECT ((1000000000000 // n) * 15) // 100 AS base FROM p),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg ON e.src = deg.src),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, p),
+        |i1 AS (SELECT ed.dst AS node, SUM(r0.r // ed.d) AS fl
+        |       FROM r0 JOIN ed ON r0.node = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT nodes.node, base + (85 * COALESCE(i1.fl, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN b LEFT JOIN i1 ON nodes.node = i1.node),
+        |i2 AS (SELECT ed.dst AS node, SUM(r1.r // ed.d) AS fl
+        |       FROM r1 JOIN ed ON r1.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT nodes.node, base + (85 * COALESCE(i2.fl, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN b LEFT JOIN i2 ON nodes.node = i2.node),
+        |i3 AS (SELECT ed.dst AS node, SUM(r2.r // ed.d) AS fl
+        |       FROM r2 JOIN ed ON r2.node = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT nodes.node, base + (85 * COALESCE(i3.fl, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN b LEFT JOIN i3 ON nodes.node = i3.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_ppt FROM r3
+        |ORDER BY node""".stripMargin,
 
     "q77_ntile_quartiles" ->
       """SELECT c_custkey, c_nationkey,
