@@ -80,6 +80,28 @@ object StreamIngest {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Watermarked stream-stream interval join — streaming enrichment
+    * (e.g. click ← impression within an attribution window). Both
+    * sides carry watermarks and the join condition bounds the right
+    * time inside [left − before, left + after], so each side's state
+    * store retains only the interval plus the watermark slack: the
+    * join runs indefinitely with bounded state, the streaming analogue
+    * of the batch RangeJoin/AsofJoin pair.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keys: Seq[String], leftTs: String, rightTs: String,
+                   before: String, after: String,
+                   watermark: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond =
+      col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after")
+    l.join(r, keyCond && timeCond)
+  }
+
   final case class KeyedEvent(key: Long, value: Double)
   final case class KeyedTotals(key: Long, n: Long, total: Double)
 

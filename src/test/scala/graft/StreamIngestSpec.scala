@@ -111,6 +111,37 @@ class StreamIngestSpec extends SparkSpecBase {
     assert(sessions.toSeq == Seq(2L, 1L))
   }
 
+  test("stream-stream interval join matches within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val joined = StreamIngest.intervalJoin(
+      clicks.toDF().toDF("cts", "k", "click_id"),
+      buys.toDF().toDF("bts", "k", "buy_id"),
+      Seq("k"), "cts", "bts", before = "0 minutes", after = "60 minutes",
+      watermark = "2 hours")
+    val q = joined.selectExpr("click_id", "buy_id").writeStream
+      .outputMode("append").format("memory").queryName("ivj").start()
+    clicks.addData(
+      (ts("2024-01-01 10:00:00"), "u", 1L),
+      (ts("2024-01-01 12:00:00"), "u", 2L))
+    buys.addData(
+      (ts("2024-01-01 10:30:00"), "u", 100L), // ← click 1 (+30 min)
+      (ts("2024-01-01 11:30:00"), "u", 101L), // ← nothing (click 1 +90)
+      (ts("2024-01-01 12:10:00"), "u", 102L)) // ← click 2 (+10 min)
+    q.processAllAvailable()
+    // advance both watermarks so the append-mode join finalizes
+    // (distinct keys: the sentinels must not join each other)
+    clicks.addData((ts("2024-01-01 16:00:00"), "z1", 9L))
+    buys.addData((ts("2024-01-01 16:00:00"), "z2", 9L))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT click_id, buy_id FROM ivj ORDER BY click_id, buy_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 100L), (2L, 102L)))
+  }
+
   test("upsert ingestion merges batches on the key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("su")
