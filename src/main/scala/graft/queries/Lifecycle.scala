@@ -122,9 +122,13 @@ object Lifecycle {
       val orders = Tables.orders(s, d)
       val dir = tmpDir("q109")
       val ds = new ParquetDataset(s, dir)
-      ds.write(
+      // no sidecar here (q107 gates sidecar creation): with one, the
+      // write AND the merge would each pay a full footer sweep that
+      // adds nothing to what this query pins
+      WritePipeline.write(
         orders.select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").as("price")),
+        dir,
         WriteConfig(mode = "overwrite", partitionBy = Seq("o_orderstatus"),
           sortBy = SortKey.parse("o_orderkey"),
           // several key-ranged files per partition even after AQE
