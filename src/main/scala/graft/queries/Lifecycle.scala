@@ -219,6 +219,87 @@ object Lifecycle {
           sum(expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
             .as("value_milli"))
         .orderBy("year", "month", "day")
+    },
+
+    // Catalog mutation round trip: createTable persists write_args to
+    // YAML, writeTable applies them (hive partition_by), and a FRESH
+    // catalog instance reloaded from the YAML serves the table through
+    // sql() — so registration, write-back, and the write-args contract
+    // (pydala/catalog.py:571-781) all sit under the hash gate.
+    "q114_catalog_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q114")
+      val yml = java.nio.file.Files.createTempFile("graft-q114", ".yaml")
+      java.nio.file.Files.writeString(yml, "tables: {}\n")
+      val cat = new graft.catalog.Catalog(s, yml.toString)
+      cat.createTable("tmp", "orders_cat", dir,
+        writeArgs = Map("partition_by" -> "o_orderstatus"))
+      cat.writeTable("tmp.orders_cat",
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")))
+      // the persisted write_args must have produced a hive layout
+      require(new ParquetDataset(s, dir).partitionColumns == Seq("o_orderstatus"),
+        "q114: partition_by write_arg not applied")
+      val reloaded = new graft.catalog.Catalog(s, yml.toString)
+      require(reloaded.tableNames.contains("tmp.orders_cat"),
+        "q114: YAML write-back lost the table")
+      reloaded.sql(
+        """SELECT o_orderstatus,
+          | COUNT(*) AS n,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM tmp.orders_cat
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // optimize_dtypes round trip: a stringly-typed copy is narrowed in
+    // place (strict mode verifies no cast nulls a value before the
+    // staged swap publishes) and read back — values must survive the
+    // string→numeric rewrite bit-exactly. Read-back casts normalize
+    // the inferred width (smallint/int/bigint varies with scale
+    // factor; the VALUE contract is what the oracle checks, the
+    // narrowing itself is pinned by the require and MaintenanceSpec).
+    "q115_optimize_dtypes_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q115")
+      WritePipeline.write(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_totalprice").cast("string").as("price_str")),
+        dir, WriteConfig())
+      val ds = new ParquetDataset(s, dir)
+      val plan = Maintenance.optimizeDtypes(ds, strict = true)
+      require(plan.changes.nonEmpty, "q115: nothing narrowed")
+      val back = ds.df
+      require(back.schema("key_str").dataType !=
+        org.apache.spark.sql.types.StringType, "q115: key_str still string")
+      back.select(col("o_orderkey"),
+          col("key_str").cast("bigint").as("key2"),
+          col("price_str").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    },
+
+    // repair_schema round trip: two file generations with divergent
+    // physical schemas (int vs bigint key; a column missing from the
+    // first) are unified in place, each candidate file rewritten in
+    // isolation; the read-back union must match the logical content
+    // with typed nulls for the absent column.
+    "q116_repair_schema_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q116")
+      val o = Tables.orders(s, d)
+      o.filter("o_orderkey % 2 = 0")
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_totalprice").as("price"))
+        .coalesce(2).write.mode("overwrite").parquet(dir)
+      o.filter("o_orderkey % 2 = 1")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          (col("o_orderkey") % 7).cast("int").as("bonus"))
+        .coalesce(2).write.mode("append").parquet(dir)
+      val ds = new ParquetDataset(s, dir)
+      val plan = Maintenance.repairSchema(ds)
+      require(plan.candidates.nonEmpty, "q116: no divergent files found")
+      val back = ds.df
+      require(back.schema("k").dataType == org.apache.spark.sql.types.LongType,
+        s"q116: key not promoted, got ${back.schema("k").dataType}")
+      back.select(col("k"), col("price"), col("bonus").cast("int").as("bonus"))
+        .orderBy("k")
     }
   )
 
@@ -296,6 +377,25 @@ object Lifecycle {
         |       COUNT(*) AS n,
         |       COUNT(DISTINCT user_id) AS users,
         |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)) AS BIGINT) AS value_milli
-        |FROM loc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM loc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q114_catalog_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q115_optimize_dtypes_roundtrip" ->
+      """SELECT o_orderkey, o_orderkey AS key2, o_totalprice AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q116_repair_schema_roundtrip" ->
+      """SELECT k, price, CAST(bonus AS INT) AS bonus FROM (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, NULL AS bonus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderkey % 7
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |ORDER BY k""".stripMargin
   )
 }
