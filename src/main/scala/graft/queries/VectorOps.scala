@@ -230,6 +230,36 @@ object VectorOps {
         .orderBy("qid", "rank")
     },
 
+    // Semantic dedup (SemDeDup-style): near-duplicate pairs are
+    // searched only WITHIN a cluster (here the label cell, the same
+    // coarse quantizer the IVF queries use), and each duplicate pair
+    // drops its less-central member (lower cosine to the cluster
+    // centroid; ties break to the higher id). At 100 TB this is the
+    // point of the technique: pairwise work is |cluster|² instead of
+    // N², embarrassingly parallel across cells — the exact shape of
+    // the published SemDeDup recipe for pretraining corpora.
+    "q117_semantic_dedup" -> { (s, dir) =>
+      val cents = centroidVecs(s, dir).withColumnRenamed("label", "clabel")
+      val cen = withNorm(s, dir).join(cents, col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+          mixedCos.as("cc"))
+      val pairs = cen.as("a").join(cen.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosCol >= 0.4)
+        .select(col("a.label").as("label"),
+          when(col("a.cc") < col("b.cc") ||
+              (col("a.cc") === col("b.cc") && col("a.vec_id") > col("b.vec_id")),
+            col("a.vec_id")).otherwise(col("b.vec_id")).as("dropped"))
+      val drops = pairs.groupBy("label").agg(
+        count(lit(1)).as("np"), countDistinct(col("dropped")).as("nd"))
+      cen.groupBy("label").agg(count(lit(1)).as("n_docs"))
+        .join(drops, Seq("label"), "left")
+        .select(col("label"), col("n_docs"),
+          coalesce(col("np"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"))
+        .orderBy("label")
+    },
+
     // ANN evaluation: recall@5 of the LSH index against the exact
     // brute-force top-5 — the metric that calibrates the planes /
     // nprobe knobs before trusting the index at scale. Queries whose
@@ -442,6 +472,40 @@ object VectorOps {
          |q AS (SELECT DISTINCT qid FROM ex)
          |SELECT q.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
          | CAST(CAST(coalesce(nh, 0) AS BIGINT) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
-         |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin
+         |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
+
+    "q117_semantic_dedup" ->
+      s"""WITH $duckCentroids,
+         |cv AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY label),
+         |cv2 AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cv),
+         |e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${D.norm2("embedding")}) AS nrm
+         |  FROM embeddings),
+         |cen AS (
+         |  SELECT e.vec_id, e.label, e.embedding, e.nrm,
+         |    (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(e.embedding, cv2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |      / (e.nrm * cv2.cnrm)) AS cc
+         |  FROM e JOIN cv2 ON e.label = cv2.label),
+         |p AS (
+         |  SELECT a.label,
+         |    CASE WHEN a.cc < b.cc OR (a.cc = b.cc AND a.vec_id > b.vec_id)
+         |         THEN a.vec_id ELSE b.vec_id END AS dropped
+         |  FROM cen a JOIN cen b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE (${D.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) >= 0.4),
+         |d AS (
+         |  SELECT label, COUNT(*) AS np, COUNT(DISTINCT dropped) AS nd
+         |  FROM p GROUP BY label),
+         |n AS (SELECT label, COUNT(*) AS n_docs FROM cen GROUP BY label)
+         |SELECT n.label, n.n_docs,
+         |  CAST(COALESCE(d.np, 0) AS BIGINT) AS n_dup_pairs,
+         |  CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dropped
+         |FROM n LEFT JOIN d ON n.label = d.label
+         |ORDER BY n.label""".stripMargin
   )
 }
