@@ -108,6 +108,33 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("semantic dedup pairs join on the cluster key — never cartesian (q117)") {
+    val p = plan("q117_semantic_dedup")
+    // the pair search must be an equi-join keyed on label (bucketed by
+    // cluster); an all-pairs cartesian would be the N² anti-pattern
+    // the technique exists to avoid
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pagerank rounds are equi-joins + aggregations — no cartesian (q113)") {
+    val p = plan("q113_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p) // map-side partials
+  }
+
+  test("tz-converted write prep is narrow — conversion never shuffles (q112 read-back agg)") {
+    // the strip/localize pair is a codegen'd projection; assert on the
+    // prepared frame the write consumes, not the post-write aggregate
+    val prep = graft.sources.WritePipeline.prepare(
+      graft.core.Tables.events(spark, sf).select("event_id", "ts"),
+      graft.sources.WriteConfig(tz = Some("America/New_York"), removeTz = true,
+        datepartsFrom = Some("ts"), dateparts = Seq("year")))
+    val p = prep.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("convert_timezone") || p.contains("converttimezone"), p)
+  }
+
   test("knn recall joins two bounded top-5 sets and spans [0,1] (q86)") {
     val rows = SparkEntry.queries("q86_knn_recall")(spark, sf).collect()
     assert(rows.length == 20)
