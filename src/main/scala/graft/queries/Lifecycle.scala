@@ -228,7 +228,9 @@ object Lifecycle {
     // (pydala/catalog.py:571-781) all sit under the hash gate.
     "q114_catalog_roundtrip" -> { (s, d) =>
       val dir = tmpDir("q114")
-      val yml = java.nio.file.Files.createTempFile("graft-q114", ".yaml")
+      // the YAML lives inside the tracked scratch dir so the shutdown
+      // hook reaps it with the data
+      val yml = java.nio.file.Paths.get(tmpDir("q114y"), "catalog.yaml")
       java.nio.file.Files.writeString(yml, "tables: {}\n")
       val cat = new graft.catalog.Catalog(s, yml.toString)
       cat.createTable("tmp", "orders_cat", dir,
