@@ -302,6 +302,34 @@ object Lifecycle {
         s"q116: key not promoted, got ${back.schema("k").dataType}")
       back.select(col("k"), col("price"), col("bonus").cast("int").as("bonus"))
         .orderBy("k")
+    },
+
+    // Bucketed co-located join round trip: both sides written through
+    // writeBucketed on the join key (the recurring-join layout,
+    // Spark's analogue of pre-partitioning), then joined WITHOUT a
+    // shuffle exchange — the plan is require-pinned, the values are
+    // hash-gated. At 100 TB this layout turns every recurring
+    // fact-fact join into a local zip of pre-sorted buckets.
+    "q118_bucketed_join" -> { (s, d) =>
+      WritePipeline.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        "graft_q118_orders", Seq("o_custkey"), buckets = 8,
+        sortCols = Seq("o_custkey"))
+      WritePipeline.writeBucketed(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "graft_q118_customer", Seq("c_custkey"), buckets = 8,
+        sortCols = Seq("c_custkey"))
+      val joined = s.table("graft_q118_orders").join(
+        s.table("graft_q118_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"q118: bucketed join must not shuffle:\n$plan")
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -398,6 +426,13 @@ object Lifecycle {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderkey % 7
         |  FROM orders WHERE o_orderkey % 2 = 1)
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    "q118_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
