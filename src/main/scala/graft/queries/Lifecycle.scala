@@ -91,11 +91,14 @@ object Lifecycle {
     // rewrite + swap, and the file count must actually shrink.
     "q108_compact_roundtrip" -> { (s, d) =>
       val dir = tmpDir("q108")
-      WritePipeline.write(
-        Tables.orders(s, d).filter("o_orderkey % 3 = 0")
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
-        dir,
-        WriteConfig(partitionBy = Seq("o_orderstatus"), maxRowsPerFile = 1000L))
+      val src = Tables.orders(s, d).filter("o_orderkey % 3 = 0")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // scale-adaptive fragmentation: ~12 files at EVERY scale factor,
+      // so compaction always has multi-file partitions to merge and
+      // the write never degenerates into hundreds of tiny files
+      val frag = math.max(50L, src.count() / 12)
+      WritePipeline.write(src, dir,
+        WriteConfig(partitionBy = Seq("o_orderstatus"), maxRowsPerFile = frag))
       val ds = new ParquetDataset(s, dir)
       val before = ds.files.size
       val plan = Maintenance.compactPartitions(ds)
@@ -122,6 +125,11 @@ object Lifecycle {
       val orders = Tables.orders(s, d)
       val dir = tmpDir("q109")
       val ds = new ParquetDataset(s, dir)
+      // the update keys live in the lowest key QUARTER (floor(max/4),
+      // data-relative so every scale factor leaves upper-range files
+      // untouched) and the target is key-sorted into ~12 files — the
+      // strict-subset rewrite invariant below needs both
+      val total = orders.count()
       // no sidecar here (q107 gates sidecar creation): with one, the
       // write AND the merge would each pay a full footer sweep that
       // adds nothing to what this query pins
@@ -131,15 +139,14 @@ object Lifecycle {
         dir,
         WriteConfig(mode = "overwrite", partitionBy = Seq("o_orderstatus"),
           sortBy = SortKey.parse("o_orderkey"),
-          // several key-ranged files per partition even after AQE
-          // coalesces the tiny sorted exchange to one task — the
-          // preserved-files invariant below needs real file granularity
-          maxRowsPerFile = 2000L))
+          maxRowsPerFile = math.max(50L, total / 12)))
       def slice(filter: String, mul: Int) = orders.filter(filter)
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("o_totalprice") * mul).as("price"))
-      val u1 = slice("o_orderkey % 13 = 1 AND o_orderkey <= 5000", 2)
-      val u2 = slice("o_orderkey % 26 = 1 AND o_orderkey <= 5000", 3) // later batch wins
+      val bound = "(SELECT MAX(o_orderkey) DIV 4 FROM __graft_orders)"
+      orders.createOrReplaceTempView("__graft_orders")
+      val u1 = slice(s"o_orderkey % 13 = 1 AND o_orderkey <= $bound", 2)
+      val u2 = slice(s"o_orderkey % 26 = 1 AND o_orderkey <= $bound", 3) // later batch wins
       val ins = orders.filter("o_orderkey % 17 = 2")
         .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
           col("o_orderstatus"), col("o_totalprice").as("price"))
@@ -311,6 +318,14 @@ object Lifecycle {
     // hash-gated. At 100 TB this layout turns every recurring
     // fact-fact join into a local zip of pre-sorted buckets.
     "q118_bucketed_join" -> { (s, d) =>
+      // saveAsTable(overwrite) refuses a LOCATION left behind by a
+      // previous JVM whose in-memory catalog forgot the table — clear
+      // both stale locations (and any stale registration) first
+      Seq("graft_q118_orders", "graft_q118_customer").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sources.FsUtil.deleteRecursively(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$t")
+      }
       WritePipeline.writeBucketed(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice")),
@@ -363,12 +378,15 @@ object Lifecycle {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q109_merge_roundtrip" ->
-      """WITH u AS (
+      """WITH bnd AS (SELECT MAX(o_orderkey) // 4 AS b FROM orders),
+        |u AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS price, 1 AS seq
-        |  FROM orders WHERE o_orderkey % 13 = 1 AND o_orderkey <= 5000
+        |  FROM orders WHERE o_orderkey % 13 = 1
+        |    AND o_orderkey <= (SELECT b FROM bnd)
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, o_totalprice * 3, 2
-        |  FROM orders WHERE o_orderkey % 26 = 1 AND o_orderkey <= 5000
+        |  FROM orders WHERE o_orderkey % 26 = 1
+        |    AND o_orderkey <= (SELECT b FROM bnd)
         |  UNION ALL
         |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice, 3
         |  FROM orders WHERE o_orderkey % 17 = 2
