@@ -40,6 +40,36 @@ class TableSpec extends SparkSpecBase {
     assert(t.filter("v = 'a--b'").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("sanitizer law: no comment markers survive outside quotes; idempotent") {
+    import graft.sources.Sanitize
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab '-/*\n`\"=1".toCharArray
+    def randSql() = Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    def markersOutsideQuotes(s: String): Boolean = {
+      var i = 0; var q: Char = 0
+      while (i < s.length - 1) {
+        val c = s.charAt(i)
+        if (q != 0) { if (c == q) q = 0 }
+        else if (c == '\'' || c == '`' || c == '"') q = c
+        else if ((c == '-' && s.charAt(i + 1) == '-') ||
+                 (c == '/' && s.charAt(i + 1) == '*')) return true
+        i += 1
+      }
+      false
+    }
+    var checked = 0
+    for (_ <- 1 to 2000) {
+      val in = randSql()
+      try {
+        val out = Sanitize(in)
+        assert(!markersOutsideQuotes(out), s"markers survive: ${in.replace("\n", "\\n")} -> $out")
+        assert(Sanitize(out) == out, s"not idempotent: $in")
+        checked += 1
+      } catch { case _: IllegalArgumentException => } // unbalanced → rejected, fine
+    }
+    assert(checked > 200) // the law actually exercised accepted inputs
+  }
+
   test("batch iterator streams without driver materialization") {
     val t = Table((1 to 100).toDF("n"))
     assert(t.batchIterator().map(_.getInt(0)).sum == 5050)
