@@ -49,6 +49,40 @@ class PageRankSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("random digraphs match an exact in-memory reference (dangling nodes included)") {
+    // the oracle graph (symmetric bipartite) has no dangling nodes and
+    // no self-referential quirks — this law walks random shapes with
+    // both, against a naive sequential implementation of the SAME
+    // integer recurrence
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(30)
+      val edges = Seq.fill(40 + rnd.nextInt(80))(
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+        .filter { case (a, b) => a != b }
+      val iters = 1 + rnd.nextInt(4)
+      val expected = naivePageRank(edges, iters)
+      val got = ranks(edges, iters)
+      assert(got == expected, s"trial $trial (n=$n iters=$iters)")
+    }
+  }
+
+  /** Sequential exact-Long reference of PageRank's recurrence. */
+  private def naivePageRank(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outdeg = e.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val base = ((PageRank.Scale / n) * 15) / 100
+    var rank = nodes.map(_ -> PageRank.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((s, d) <- e) inflow(d) += rank(s) / outdeg(s)
+      rank = nodes.map(nd => nd -> (base + (85L * inflow(nd)) / 100)).toMap
+    }
+    rank
+  }
+
   test("zero iterations returns the uniform prior; empty graph is empty") {
     val r = ranks(Seq(("a", "b")), 0)
     assert(r == Map("a" -> 500000000000L, "b" -> 500000000000L))

@@ -51,6 +51,20 @@ class TsConvertSpec extends SparkSpecBase {
     assert(back.select($"ts").head().getTimestamp(0) == instant)
   }
 
+  test("strip∘localize is the identity for random instants across zones") {
+    val rnd = new scala.util.Random(11)
+    val zones = Seq("UTC", "America/New_York", "Asia/Tokyo", "Europe/Berlin",
+      "Australia/Adelaide") // incl. a half-hour-offset zone
+    val instants = Seq.fill(40)(
+      new Timestamp(rnd.between(0L, 253402300799L) * 1000L)) // 1970..9999
+    val df = instants.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "ts")
+    for (z <- zones) {
+      val back = TsConvert.localize(TsConvert.strip(df, z), z)
+        .orderBy("id").collect().map(_.getTimestamp(1))
+      assert(back.toSeq == instants, s"zone $z")
+    }
+  }
+
   test("malformed zone ids are rejected before reaching SQL") {
     val df = Seq((1, instant)).toDF("id", "ts")
     intercept[IllegalArgumentException] {
