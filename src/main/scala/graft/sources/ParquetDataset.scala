@@ -171,6 +171,11 @@ object Sanitize {
         val nl = sql.indexOf('\n', i)
         i = if (nl < 0) sql.length else nl
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        // a removed block comment leaves a SPACE: plain removal would
+        // join its neighbors and could SYNTHESIZE a marker the scan
+        // already passed (`-/**/-` → `--`), re-opening the bypass this
+        // function exists to close
+        out.append(' ')
         val end = sql.indexOf("*/", i + 2)
         i = if (end < 0) sql.length else end + 2
       } else {

@@ -99,7 +99,12 @@ object StreamIngest {
     val timeCond =
       col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after")
+    // clean output schema: the key columns would otherwise appear
+    // twice (l.k and r.k) and any downstream reference to them throws
+    // AMBIGUOUS_REFERENCE
     l.join(r, keyCond && timeCond)
+      .select(left.columns.map(c => col(s"l.$c")) ++
+        right.columns.filterNot(keys.contains).map(c => col(s"r.$c")): _*)
   }
 
   final case class KeyedEvent(key: Long, value: Double)

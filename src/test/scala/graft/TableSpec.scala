@@ -27,7 +27,11 @@ class TableSpec extends SparkSpecBase {
     assert(Sanitize("v = 'x/*y*/z'") == "v = 'x/*y*/z'")
     // real comments outside literals still stripped
     assert(Sanitize("id > 1 -- trailing note") == "id > 1")
-    assert(Sanitize("id > 1 /* note */ AND id < 9") == "id > 1  AND id < 9")
+    assert(Sanitize("id > 1 /* note */ AND id < 9") == "id > 1   AND id < 9")
+    // removal must not SYNTHESIZE a marker from the joined neighbors
+    assert(Sanitize("x = 1 -/**/- AND v = 'a'") == "x = 1 - - AND v = 'a'")
+    assert(Sanitize(Sanitize("x = 1 -/**/- AND v = 'a'"))
+      == Sanitize("x = 1 -/**/- AND v = 'a'"))
     // multi-line: the comment ends at the newline, the rest survives
     assert(Sanitize("id > 1 -- note\nAND id < 9") == "id > 1 \nAND id < 9")
     // ...and inside backtick / double-quoted IDENTIFIERS too
