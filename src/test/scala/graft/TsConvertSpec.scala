@@ -51,14 +51,23 @@ class TsConvertSpec extends SparkSpecBase {
     assert(back.select($"ts").head().getTimestamp(0) == instant)
   }
 
-  test("strip∘localize is the identity for random instants across zones") {
+  test("strip∘localize is the identity for unambiguous instants across zones") {
+    // the identity cannot hold inside a DST fall-back overlap (two
+    // instants share one wall clock; localize must pick one), so
+    // ambiguous wall times are excluded BY RULE — not by seed luck
     val rnd = new scala.util.Random(11)
     val zones = Seq("UTC", "America/New_York", "Asia/Tokyo", "Europe/Berlin",
       "Australia/Adelaide") // incl. a half-hour-offset zone
-    val instants = Seq.fill(40)(
+    val raw = Seq.fill(60)(
       new Timestamp(rnd.between(0L, 253402300799L) * 1000L)) // 1970..9999
-    val df = instants.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "ts")
     for (z <- zones) {
+      val zid = java.time.ZoneId.of(z)
+      val instants = raw.filter { t =>
+        val wall = t.toInstant.atZone(zid).toLocalDateTime
+        zid.getRules.getValidOffsets(wall).size == 1
+      }
+      assert(instants.size >= 40, s"zone $z: too few unambiguous samples")
+      val df = instants.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "ts")
       val back = TsConvert.localize(TsConvert.strip(df, z), z)
         .orderBy("id").collect().map(_.getTimestamp(1))
       assert(back.toSeq == instants, s"zone $z")
