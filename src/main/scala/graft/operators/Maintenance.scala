@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.functions.SchemaOps
@@ -195,19 +196,40 @@ object Maintenance {
 
   /** Sample-based narrowing (reference optimize_dtypes,
     * pydala/dataset.py:2490-2603). `strict` verifies that no cast
-    * nulls out a value before publishing.
+    * nulls out a value before publishing. The optional `tz`/`removeTz`
+    * pair normalizes timestamp columns in the SAME rewrite (the
+    * reference's ts unit/tz args on this path, pydala/io.py:325-351):
+    * `removeTz=true` strips instants to wall clocks rendered in `tz`
+    * (default UTC); `removeTz=false` with `tz` localizes NTZ wall
+    * clocks into instants. See [[graft.functions.TsConvert]].
     */
   def optimizeDtypes(ds: ParquetDataset, sampleRows: Int = 10000,
                      strict: Boolean = true,
-                     dryRun: Boolean = false): DtypePlan = {
-    val d = ds.df
+                     dryRun: Boolean = false,
+                     tz: Option[String] = None,
+                     removeTz: Boolean = false): DtypePlan = {
+    val raw = ds.df
+    // tz normalization is an EXPRESSION, not a schema cast: a plain
+    // TIMESTAMP↔NTZ cast renders wall clocks in the session zone,
+    // while strip/localize honor the requested zone
+    val tsConvert: DataFrame => DataFrame =
+      if (removeTz) graft.functions.TsConvert.strip(_, tz.getOrElse("UTC"))
+      else tz.map(t => (df: DataFrame) => graft.functions.TsConvert.localize(df, t))
+        .getOrElse(identity[DataFrame] _)
+    val d = tsConvert(raw)
+    val tsChanges = raw.schema.fields.flatMap { f =>
+      val to = d.schema(f.name).dataType
+      if (to != f.dataType)
+        Some(DtypeChange(f.name, f.dataType.simpleString, to.simpleString))
+      else None
+    }.toSeq
     val proposal = SchemaOps.optDtype(d, sampleRows, exclude = ds.partitionColumns)
-    val plan = DtypePlan(proposal.toSeq.sortBy(_._1).map { case (c, t) =>
+    val plan = DtypePlan(tsChanges ++ proposal.toSeq.sortBy(_._1).map { case (c, t) =>
       DtypeChange(c, d.schema(c).dataType.simpleString, t.simpleString)
     })
-    if (dryRun || proposal.isEmpty) return plan
+    if (dryRun || (proposal.isEmpty && tsChanges.isEmpty)) return plan
 
-    if (strict) {
+    if (strict && proposal.nonEmpty) {
       val viol = proposal.map { case (c, t) =>
         // try_cast: ANSI mode throws on lossy casts instead of nulling
         count(when(col(c).isNotNull &&
@@ -223,7 +245,7 @@ object Maintenance {
     val target = StructType(d.schema.fields.map { f =>
       proposal.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)
     })
-    rewriteAll(ds, target)
+    rewriteAll(ds, target, tsConvert)
     plan
   }
 
@@ -269,14 +291,17 @@ object Maintenance {
     plan
   }
 
-  /** Whole-dataset rewrite to a target schema (staging + swap). A
-    * failure during staging deletes the temp dir and raises
-    * [[StagedRewriteException]] — originals and sidecar untouched.
+  /** Whole-dataset rewrite to a target schema (staging + swap),
+    * optionally through a row `transform` applied BEFORE the schema
+    * align (tz normalization). A failure during staging deletes the
+    * temp dir and raises [[StagedRewriteException]] — originals and
+    * sidecar untouched.
     */
-  private def rewriteAll(ds: ParquetDataset, target: StructType): Unit = {
+  private def rewriteAll(ds: ParquetDataset, target: StructType,
+                         transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): Unit = {
     val spark = ds.spark
     val parts = ds.partitionColumns
-    val data = SchemaOps.align(ds.df, target)
+    val data = SchemaOps.align(transform(ds.df), target)
     val tmp = s"${ds.path}/$TmpDir"
     FsUtil.deleteRecursively(tmp)
     try {

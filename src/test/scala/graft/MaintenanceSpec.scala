@@ -110,6 +110,27 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(ds.df.count() == 2)
   }
 
+  test("optimizeDtypes: removeTz strips instants to wall clocks in the given zone") {
+    val dir = tmpDir("opttz")
+    val ds = new ParquetDataset(spark, dir)
+    val t = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T03:00:00Z"))
+    Seq((1L, t)).toDF("id", "ts").write.mode("append").parquet(dir)
+
+    val plan = Maintenance.optimizeDtypes(ds, tz = Some("America/New_York"),
+      removeTz = true, dryRun = true)
+    assert(plan.changes.exists(c => c.column == "ts" && c.to == "timestamp_ntz"))
+    assert(ds.df.schema("ts").dataType == TimestampType) // dry run untouched
+
+    Maintenance.optimizeDtypes(ds, tz = Some("America/New_York"), removeTz = true)
+    val back = ds.df
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // 03:00 UTC renders as the previous evening in New York — the
+    // requested zone, NOT the (UTC) session zone
+    assert(back.selectExpr("cast(ts as string)").head().getString(0)
+      == "2023-12-31 22:00:00")
+  }
+
   test("repairSchema: divergent files rewritten to the unified schema") {
     val dir = tmpDir("rep2")
     val ds = new ParquetDataset(spark, dir)
