@@ -369,6 +369,58 @@ object Lifecycle {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("c_mktsegment")
+    },
+
+    // Z-order round trip: the Morton-curve rewrite re-clusters the
+    // files (multi-dimensional min/max envelopes for the stats
+    // sidecar) but must be value-preserving through the staged swap —
+    // the read-back is hash-gated against the untouched source, and
+    // the clustering effect itself is pinned by requiring the leading
+    // file's envelope to shrink on BOTH clustered columns.
+    "q119_zorder_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q119")
+      WritePipeline.write(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        dir, WriteConfig(maxRowsPerFile = math.max(50L, ordersCount(s, d) / 8)))
+      val ds = new ParquetDataset(s, dir)
+      Maintenance.zorder(ds, "o_orderkey", "o_custkey",
+        maxRowsPerFile = math.max(50L, ordersCount(s, d) / 8))
+      val perFile = ds.df
+        .withColumn("__f", input_file_name())
+        .groupBy("__f").agg(
+          (max("o_orderkey") - min("o_orderkey")).as("kspan"),
+          (max("o_custkey") - min("o_custkey")).as("cspan"))
+        .agg(min("kspan").cast("long"), min("cspan").cast("long")).collect()(0)
+      val total = ordersCount(s, d)
+      require(perFile.getLong(0) < total / 2 && perFile.getLong(1) < total / 2,
+        s"q119: z-order produced no envelope tightening ($perFile)")
+      ds.df.groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("bucket")
+    },
+
+    // delete_files round trip: drop one hive partition's files through
+    // the managed API (path-sanitized, sidecar reconciled) and read
+    // back — the oracle is the source MINUS the deleted partition.
+    "q120_delete_files_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q120")
+      WritePipeline.write(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        dir, WriteConfig(partitionBy = Seq("o_orderstatus")))
+      val ds = new ParquetDataset(s, dir)
+      val doomed = ds.relFiles.filter(_.startsWith("o_orderstatus=P/"))
+      require(doomed.nonEmpty, "q120: expected a P partition to delete")
+      ds.deleteFiles(doomed)
+      require(!ds.relFiles.exists(_.startsWith("o_orderstatus=P/")),
+        "q120: P partition files survived deleteFiles")
+      ds.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("lo_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -475,6 +527,20 @@ object Lifecycle {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q119_zorder_roundtrip" ->
+      """SELECT o_orderkey % 10 AS bucket,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q120_delete_files_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       MIN(o_orderkey) AS lo_key,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
