@@ -29,7 +29,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(o => o.exists(name.startsWith))
+      only.forall(o => o.contains(name.takeWhile(_ != '_')))
     }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     selected.foreach { case (_, fn) =>

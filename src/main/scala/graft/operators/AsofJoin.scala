@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
   * (keys, time), no join explosion, no per-key driver loops. At 100 TB
   * this is a single sort-shuffle of |L|+|R| rows; the window is
   * pipelined within each key partition. Forward direction is the same
-  * plan over the reversed time order.
+  * plan over the reversed time order. Nearest direction carries BOTH
+  * the latest-preceding and earliest-following right rows over the
+  * same hash exchange (two sorted window passes, one shuffle) and
+  * picks the smaller absolute gap per left row, ties to backward —
+  * pandas' merge_asof(direction='nearest').
   *
   * Right columns come back null when no right row qualifies (left-asof
   * semantics, same as DuckDB's ASOF LEFT JOIN).
@@ -34,8 +38,8 @@ object AsofJoin {
             direction: String = "backward",
             tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
-    require(Seq("backward", "forward").contains(direction),
-      s"direction must be backward|forward, got: $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got: $direction")
     val backward = direction == "backward"
 
     // a tolerance compares leftTime and rightTime gaps in each column's
@@ -92,25 +96,46 @@ object AsofJoin {
     // row); forward scans descending (carry the earliest following one).
     // Right sorts before left at equal times either way — "at or
     // before/after" is inclusive.
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(if (backward) col("__t").asc else col("__t").desc, col("__side").asc)
+    def carryWindow(asc: Boolean) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (asc) col("__t").asc else col("__t").desc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = lTagged.unionByName(rTagged)
-      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
-
+    val unioned = lTagged.unionByName(rTagged)
     val ltv = micros(col("__t"), left.schema(leftTime).dataType)
-    val keep: Column = tolerance match {
-      case None => col("__m").isNotNull
+
+    // qualifies = a carried row exists and (when bounded) its gap on
+    // that side is within tolerance
+    def keepOf(m: Column, back: Boolean): Column = tolerance match {
+      case None => m.isNotNull
       case Some(tol) =>
-        val gap = if (backward) ltv - col("__m.__mtv") else col("__m.__mtv") - ltv
-        col("__m").isNotNull && gap <= tol
+        val gap = if (back) ltv - m.getField("__mtv") else m.getField("__mtv") - ltv
+        m.isNotNull && gap <= tol
     }
 
-    carried.filter(col("__side") === 1)
+    val withMatch: DataFrame = direction match {
+      case "nearest" =>
+        // both carries share the hash exchange on `keys`; Spark plans
+        // one shuffle + two in-partition sorts (asc, desc)
+        val carried = unioned
+          .withColumn("__mb", last(col("__m"), ignoreNulls = true).over(carryWindow(asc = true)))
+          .withColumn("__mf", last(col("__m"), ignoreNulls = true).over(carryWindow(asc = false)))
+        val kb = keepOf(col("__mb"), back = true)
+        val kf = keepOf(col("__mf"), back = false)
+        val nearer = // tie (equal gap) keeps the backward row
+          ltv - col("__mb").getField("__mtv") <= col("__mf").getField("__mtv") - ltv
+        carried.withColumn("__m",
+          when(kb && kf, when(nearer, col("__mb")).otherwise(col("__mf")))
+            .when(kb, col("__mb"))
+            .when(kf, col("__mf")))
+      case _ =>
+        unioned
+          .withColumn("__m", last(col("__m"), ignoreNulls = true).over(carryWindow(asc = backward)))
+          .withColumn("__m", when(keepOf(col("__m"), back = backward), col("__m")))
+    }
+
+    withMatch.filter(col("__side") === 1)
       .select(keys.map(col) ++ lCols.filterNot(keys.contains).map(col) ++
         payload.map(p =>
-          when(keep, col(s"__m.$p"))
-            .otherwise(lit(null).cast(right.schema(p).dataType)).as(p)): _*)
+          col("__m").getField(p).cast(right.schema(p).dataType).as(p)): _*)
   }
 }

@@ -218,6 +218,23 @@ object Events {
         .orderBy("event_id")
     },
 
+    // Nearest as-of: each click matched to the closest purchase in
+    // EITHER direction (ties to the preceding one) — merge_asof
+    // direction='nearest'. One hash exchange carries both the
+    // latest-preceding and earliest-following candidates (two sorted
+    // window passes); the oracle computes both DuckDB ASOF joins and
+    // picks the smaller gap with the same tie rule.
+    "q124_asof_nearest" -> { (s, d) =>
+      val (clicks, purch) = clicksAndPurchases(s, d)
+      graft.operators.AsofJoin(clicks, purch, Seq("user_id"), "tsu", "ptsu",
+          Seq("pid", "ptsu"), direction = "nearest")
+        .select(
+          col("event_id"), col("user_id"),
+          col("pid").as("purchase_id"),
+          abs(col("tsu") - col("ptsu")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // JSON property extraction from the string `props` column.
     "q23_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -369,6 +386,24 @@ object Events {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tsu <= p.ptsu
         |ORDER BY event_id""".stripMargin,
+
+    "q124_asof_nearest" ->
+      s"""WITH $duckClickPurchCtes,
+         |b AS (
+         |  SELECT c.event_id, c.user_id, c.tsu, p.pid AS bpid, p.ptsu AS bptsu
+         |  FROM clicks c ASOF LEFT JOIN purch p
+         |    ON c.user_id = p.user_id AND c.tsu >= p.ptsu),
+         |f AS (
+         |  SELECT c.event_id, p.pid AS fpid, p.ptsu AS fptsu
+         |  FROM clicks c ASOF LEFT JOIN purch p
+         |    ON c.user_id = p.user_id AND c.tsu <= p.ptsu)
+         |SELECT b.event_id, b.user_id,
+         |  CASE WHEN bpid IS NOT NULL AND (fpid IS NULL OR b.tsu - bptsu <= fptsu - b.tsu)
+         |       THEN bpid ELSE fpid END AS purchase_id,
+         |  CASE WHEN bpid IS NOT NULL AND (fpid IS NULL OR b.tsu - bptsu <= fptsu - b.tsu)
+         |       THEN b.tsu - bptsu ELSE fptsu - b.tsu END AS gap_us
+         |FROM b JOIN f ON b.event_id = f.event_id
+         |ORDER BY b.event_id""".stripMargin,
 
     "q23_json_extract" ->
       """SELECT event_id,

@@ -119,6 +119,30 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Bloom-prefiltered contamination screen (the 100 TB shape of
+    // q72): the benchmark 4-gram set becomes a driver-built Bloom
+    // filter probed INSIDE the corpus scan by a codegen'd expression —
+    // ~99% of corpus grams die before any join — and the broadcast
+    // exact join only confirms the survivors (false positives are
+    // removed there, so the result is exact, not approximate).
+    "q121_bloom_contamination" -> { (s, dir) =>
+      val sh = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 4"))
+        .select(col("doc_id"),
+          explode(expr(S.arrDistinct(S.shingles("toks", 4)))).as("g"))
+        .select(col("doc_id"), expr(S.hash64("g")).as("gh"))
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("gh").distinct()
+        .cache() // read 3×: count, bloom build, confirm join
+      // two sketch-sized driver results (a count and a bloom), never rows
+      val bloom = graft.functions.BloomExpressions
+        .buildLong(bench, "gh", expectedItems = bench.count(), fpp = 0.01)
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .filter(graft.functions.BloomExpressions.mightContain(bloom, col("gh")))
+        .join(broadcast(bench), "gh") // exact confirm — kills bloom FPs
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic per-class cap: keep ≤50 docs per language, chosen
     // by portable-hash order — a balanced, reproducible downsample.
     "q73_stratified_cap" -> { (s, dir) =>
@@ -145,6 +169,32 @@ object PipelineOps {
         .orderBy(col("df").desc, col("t").asc)
         .limit(100)
         .select(col("t").as("term"), col("df"), col("doc_ratio"))
+    },
+
+    // Deterministic rate-resampling to a uniform language mix: each
+    // language keeps docs whose hash bucket falls under
+    // min(1, target/count) scaled to basis points — the
+    // temperature-flattening step of corpus mixing. Integer thresholds
+    // end-to-end (N div k, 10000·target div count), so the sample is
+    // reproducible on any engine and cluster size; the per-doc keep
+    // test is a narrow map against a broadcast threshold table.
+    // Distinct from q73: that keeps a top-k per class (hard cap), this
+    // thins by RATE — the whole-corpus mix shaper.
+    "q126_mix_resample" -> { (s, dir) =>
+      val docs = Tables.spread(Tables.documents(s, dir).select("doc_id", "lang"))
+        .withColumn("hk", expr(s"${S.hash64("concat('mix:', doc_id)")} % 10000"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val tot = docs.agg(count(lit(1)).as("nn"),
+        count_distinct(col("lang")).as("k"))
+      val thr = counts.crossJoin(broadcast(tot))
+        .withColumn("thr", expr("least(10000, (10000 * (nn div k)) div cnt)"))
+      val kept = docs.join(broadcast(thr.select("lang", "thr")), "lang")
+        .filter(col("hk") < col("thr"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      thr.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("cnt"), col("thr"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
     },
 
     // Deterministic train/val/test assignment: portable-hash mod 100
@@ -335,6 +385,42 @@ object PipelineOps {
          |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS ratio
          |FROM hits JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+
+    // the oracle has no bloom — the bloom is a pure pre-filter whose
+    // false positives the exact confirm join removes, so both engines
+    // compute the identical exact relation
+    "q121_bloom_contamination" -> {
+      val sh =
+        s"""SELECT doc_id, ${D.hash64("g")} AS gh FROM (
+           |  SELECT doc_id, unnest(${D.arrDistinct(D.shingles("toks", 4))}) AS g FROM
+           |    (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents)
+           |  WHERE len(toks) >= 4) _g""".stripMargin
+      s"""WITH sh AS ($sh),
+         |bench AS (SELECT DISTINCT gh FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_hit
+         |FROM sh JOIN bench USING (gh)
+         |WHERE doc_id % 97 != 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q126_mix_resample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    ${D.hash64("concat('mix:', doc_id)")} % 10000 AS hk
+         |  FROM documents),
+         |c AS (SELECT lang, count(*) AS cnt FROM d GROUP BY lang),
+         |t AS (SELECT count(*) AS nn, count(DISTINCT lang) AS k FROM d),
+         |thr AS (
+         |  SELECT lang, cnt,
+         |    least(10000, (10000 * (nn // k)) // cnt) AS thr
+         |  FROM c CROSS JOIN t),
+         |kept AS (
+         |  SELECT d.lang, count(*) AS n_kept
+         |  FROM d JOIN thr ON d.lang = thr.lang AND d.hk < thr.thr
+         |  GROUP BY d.lang)
+         |SELECT thr.lang AS lang, cnt, thr, coalesce(n_kept, 0) AS n_kept
+         |FROM thr LEFT JOIN kept ON thr.lang = kept.lang
+         |ORDER BY lang""".stripMargin,
 
     "q73_stratified_cap" ->
       s"""WITH h AS (

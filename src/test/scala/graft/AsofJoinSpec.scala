@@ -46,6 +46,40 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 10L), (2L, 30L), (3L, null)))
   }
 
+  test("nearest picks the smaller gap either side, ties to backward") {
+    val left = Seq(("u", 1L, 100L), ("u", 2L, 205L), ("u", 3L, 195L))
+      .toDF("k", "lid", "t")
+    val right = Seq(("u", 10L, 90L), ("u", 20L, 300L)).toDF("k", "rid", "rt")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"),
+        direction = "nearest")
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) null else r.getLong(3)))
+    // t=100: gaps 10 back vs 200 fwd → rid=10; t=205: 115 vs 95 → rid=20;
+    // t=195: 105 vs 105 — tie goes backward → rid=10
+    assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 10L)))
+  }
+
+  test("nearest applies the tolerance on each side independently") {
+    val left = Seq(("u", 1L, 100L), ("u", 2L, 500L)).toDF("k", "lid", "t")
+    val right = Seq(("u", 10L, 89L), ("u", 20L, 104L)).toDF("k", "rid", "rt")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"),
+        direction = "nearest", tolerance = Some(5L))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) null else r.getLong(3)))
+    // t=100: backward gap 11 > 5 (disqualified), forward gap 4 ≤ 5 →
+    // rid=20; t=500: neither side within 5 → null
+    assert(out.toSeq == Seq((1L, 20L), (2L, null)))
+  }
+
+  test("nearest with both sides in tolerance still picks by gap") {
+    // backward gap 7 and forward gap 4, both ≤ 10 → forward wins
+    val left = Seq(("u", 1L, 100L)).toDF("k", "lid", "t")
+    val right = Seq(("u", 10L, 93L), ("u", 20L, 104L)).toDF("k", "rid", "rt")
+    val out = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"),
+        direction = "nearest", tolerance = Some(10L)).collect().head
+    assert(out.getLong(out.fieldIndex("rid")) == 20L)
+  }
+
   test("payload fields come from the SAME matched row (null included)") {
     // nearest preceding row holds a NULL payload: a per-column carry
     // would reach past it to an out-of-tolerance older row; the struct

@@ -106,6 +106,38 @@ class LawsSpec extends SparkSpecBase {
     }
   }
 
+  test("nearest as-of equals the naive min-|gap| definition on random data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(29)
+    val left = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(5)}", i.toLong, rnd.nextInt(1000).toLong)).toDF("k", "lid", "t")
+    val right = (1 to 150).map(i =>
+      (s"k${rnd.nextInt(6)}", 1000L + i, rnd.nextInt(1000).toLong)).toDF("k", "rid", "rt")
+    // naive: min |rt - t| per key; at equal gap the smaller rt (= the
+    // backward candidate) wins — the operator's documented tie rule
+    val naive = left.as("l").join(right.as("r"), col("l.k") === col("r.k"), "left")
+      .withColumn("gap", abs(col("rt") - col("t")))
+      .groupBy(col("l.k").as("k"), col("lid"), col("t"))
+      .agg(min_by(col("rid"), struct(col("gap"), col("rt"))).as("rid"))
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val fast = graft.operators.AsofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"),
+        direction = "nearest")
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // rows whose matched (k, rt) is duplicated have an undefined
+    // tie-break within the instant — compare match/no-match only there
+    val rtCounts = right.groupBy("k", "rt").count()
+      .filter(col("count") > 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val ridInfo: Map[Long, (String, Long)] = right.collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getLong(2))).toMap
+    left.collect().map(r => r.getLong(1)).foreach { lid =>
+      val (naiveRid, fastRid) = (naive(lid), fast(lid))
+      val tied = ridInfo.get(naiveRid).exists(rtCounts.contains)
+      if (!tied) assert(fastRid == naiveRid, s"lid=$lid: $fastRid != $naiveRid")
+      else assert(fastRid != -1L == (naiveRid != -1L))
+    }
+  }
+
   test("merge upsert equals the relational expected state on random data") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(23)
