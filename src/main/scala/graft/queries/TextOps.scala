@@ -589,6 +589,62 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Cross-document boilerplate removal at segment granularity (the
+    // CCNet paragraph-dedup shape): docs split into consecutive
+    // 8-token segments; a segment whose hash appears in ≥2 distinct
+    // docs is template text. Emits per-doc segment counts and the
+    // cleaned text with boilerplate segments dropped. The frequency
+    // pass shuffles segment HASHES (never strings); the boilerplate
+    // set is small by definition → broadcast back; the rebuild is one
+    // doc-keyed aggregation.
+    "q122_boilerplate_segments" -> { (s, dir) =>
+      val segs = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 8"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(S.rangeIncl("1", "size(toks) div 8"))).as("idx"))
+        .select(col("doc_id"), col("idx"),
+          expr(S.strJoin(S.slice("toks", "8*(idx-1)+1", "8"), " ")).as("seg"))
+        .withColumn("h", expr(S.hash64("seg")))
+      val boiler = segs.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select(col("h"), lit(true).as("b"))
+      segs.join(broadcast(boiler), Seq("h"), "left")
+        .withColumn("b", coalesce(col("b"), lit(false)))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_seg"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("n_boiler"),
+          concat_ws(" ", expr(
+            "transform(sort_array(collect_list(CASE WHEN NOT b THEN named_struct('idx', idx, 'seg', seg) END)), x -> x.seg)"))
+            .as("cleaned_text"))
+        .orderBy("doc_id")
+    },
+
+    // Out-of-vocabulary rate: the gibberish filter — vocabulary =
+    // tokens seen ≥5 times corpus-wide; per doc, the fraction of
+    // token occurrences outside it. Integer counts end-to-end with
+    // one final division. At 100 TB the ≥5 vocabulary is the heavy
+    // object, but the per-doc join is against its COMPLEMENT'S
+    // membership: rare-token lookups hash-join the (small) OOV side
+    // only after the vocab agg — here the vocab is broadcast.
+    "q123_oov_rate" -> { (s, dir) =>
+      val tok = docsWithToks(s, dir).filter(expr("size(toks) > 0"))
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .select(col("t"), lit(true).as("iv"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_toks"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          expr("CAST(n_oov AS DOUBLE) / CAST(n_toks AS DOUBLE)"))
+        .select("doc_id", "n_toks", "n_oov", "oov_rate")
+        .orderBy("doc_id")
+    },
+
     // Language-ID confusion matrix: actual × predicted counts with
     // per-actual-language fractions — the evaluation half of q26.
     "q88_langid_confusion" -> { (s, dir) =>
@@ -1103,6 +1159,32 @@ object TextOps {
          |SELECT doc_id, n_toks, sum_rank,
          | CAST(sum_rank AS DOUBLE) / CAST(n_toks AS DOUBLE) AS avg_rank
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q122_boilerplate_segments" ->
+      s"""$duckBase,
+         |seg AS (
+         |  SELECT doc_id, i AS idx,
+         |    array_to_string(toks[(8*(i-1)+1):(8*(i-1)+8)], ' ') AS seg
+         |  FROM base, LATERAL unnest(range(1::BIGINT, (${D.size("toks")} // 8)::BIGINT + 1)) AS u(i)
+         |  WHERE ${D.size("toks")} >= 8),
+         |sh AS (SELECT doc_id, idx, seg, ${D.hash64("seg")} AS h FROM seg),
+         |boiler AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |fl AS (SELECT doc_id, idx, seg, h IN (SELECT h FROM boiler) AS b FROM sh)
+         |SELECT doc_id, count(*) AS n_seg,
+         |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  coalesce(string_agg(CASE WHEN NOT b THEN seg END, ' ' ORDER BY idx), '') AS cleaned_text
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q123_oov_rate" ->
+      s"""$duckBase,
+         |ex AS (SELECT doc_id, unnest(toks) AS t FROM base WHERE ${D.size("toks")} > 0),
+         |v AS (SELECT t FROM ex GROUP BY t HAVING count(*) >= 5),
+         |fl AS (SELECT doc_id, t IN (SELECT t FROM v) AS iv FROM ex)
+         |SELECT doc_id, count(*) AS n_toks,
+         |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |  CAST(CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q88_langid_confusion" ->
       s"""$duckBase,
