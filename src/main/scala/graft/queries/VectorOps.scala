@@ -132,6 +132,38 @@ object VectorOps {
         .orderBy("label", "pos")
     },
 
+    // One Lloyd (k-means) refinement of the IVF coarse quantizer:
+    // every vector re-assigns to its nearest current centroid by
+    // cosine (narrow map against the broadcast centroid table — the
+    // E step), then cells re-mean over their new members (the M
+    // step). Production IVF training is exactly this loop; one
+    // oracle-gated iteration pins the whole step's semantics. The
+    // re-mean uses the order-pinned running-window fold (same as
+    // q46) so the doubles are bit-exact, not merely close — a real
+    // deployment would use plain avg() and tolerance.
+    "q125_kmeans_refine" -> { (s, dir) =>
+      val e = withNorm(s, dir)
+      val cents = centroidVecs(s, dir).withColumnRenamed("label", "clabel")
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", mixedCos)
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel").asc)))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("clabel").as("cell"), col("embedding"))
+      val w = Window.partitionBy("cell", "pos").orderBy("vec_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      assign
+        .select(col("vec_id"), col("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("run", sum(col("v").cast("double")).over(w))
+        .groupBy("cell", "pos")
+        .agg(
+          (max_by(col("run"), col("vec_id")) / count(lit(1))).as("c"),
+          count(lit(1)).as("n_assigned"))
+        .select(col("cell"), col("pos"), col("c"), col("n_assigned"))
+        .orderBy("cell", "pos")
+    },
+
     // IVF search: assign each query to its nearest centroid cell by
     // cosine, then exact top-k only within that cell — the two-stage
     // coarse→fine ANN shape. At 100 TB the cell search is a hash join
@@ -328,6 +360,34 @@ object VectorOps {
       s"""WITH $duckCentroids
          |SELECT label, CAST(pos AS INT) AS pos, c
          |FROM cmeans ORDER BY label, pos""".stripMargin,
+
+    "q125_kmeans_refine" ->
+      s"""WITH $duckCentroids,
+         |cv AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY label),
+         |cv2 AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cv),
+         |e AS (
+         |  SELECT vec_id, embedding, sqrt(${D.norm2("embedding")}) AS nrm
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, label AS cell, embedding FROM (
+         |    SELECT e.vec_id, cv2.label, e.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(e.embedding, cv2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |          / (e.nrm * cv2.cnrm)) DESC, cv2.label ASC) AS crk
+         |    FROM e, cv2) t
+         |  WHERE crk = 1),
+         |ex2 AS (
+         |  SELECT vec_id, cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM asg)
+         |SELECT cell, CAST(pos AS INT) AS pos,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(v ORDER BY vec_id), x -> x::DOUBLE)), (acc, x) -> acc + x) / COUNT(*) AS c,
+         |  count(*) AS n_assigned
+         |FROM ex2 GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
 
     "q47_embed_ivf_knn" ->
       s"""WITH $duckCentroids,
