@@ -54,10 +54,19 @@ object PageRank {
 
     // degree-annotated edges, materialized once for all rounds
     // (aliases: deg derives from e, and an unqualified join of the two
-    // trips the ambiguous-self-join detector)
+    // trips the ambiguous-self-join detector). The explicit
+    // repartition by `src` before the checkpoint materializes the RDD
+    // in evenly-sized hash buckets on the iteration join key — without
+    // it the checkpoint freezes whatever (possibly skewed, possibly
+    // single-partition after AQE coalescing) layout the degree join
+    // ended on, and every round inherits that skew. Under AQE the
+    // checkpoint's partitioning isn't visible to downstream planning,
+    // so rounds still shuffle their |V|-row rank side — but the |E|-row
+    // edge table is never reshuffled (pinned by PlanShapeSpec).
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val eDeg = e.as("e").join(deg.as("g"), col("e.src") === col("g.src"))
       .select(col("e.src"), col("e.dst"), col("g.__deg"))
+      .repartition(col("src"))
       .localCheckpoint()
     val base = ((Scale / n) * (den - num)) / den // teleport mass per node
 

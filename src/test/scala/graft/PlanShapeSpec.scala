@@ -123,6 +123,61 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p) // map-side partials
   }
 
+  test("bloom contamination probes inside the scan, then broadcasts the confirm (q121)") {
+    val p = plan("q121_bloom_contamination")
+    // the codegen'd bloom probe must appear as a plain Filter predicate
+    // (scan side), and the exact confirm as a broadcast join — the
+    // corpus gram stream is never shuffled for the screen itself
+    assert(p.contains("bloom_might_contain_long"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.indexOf("bloom_might_contain_long") > p.indexOf("BroadcastHashJoin"),
+      "bloom probe should sit BELOW the confirm join (printed after it):\n" + p)
+  }
+
+  test("boilerplate screen broadcasts the template set back to the corpus (q122)") {
+    val p = plan("q122_boilerplate_segments")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("oov scoring broadcasts the vocabulary (q123)") {
+    val p = plan("q123_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("nearest as-of runs both direction windows over ONE hash exchange (q124)") {
+    val p = plan("q124_asof_nearest")
+    // the union shuffles once on user_id; the two carries are two Sort
+    // + Window passes over that one exchange. Other hash exchanges:
+    // the purchase dedup aggregation. A per-direction shuffle would
+    // push the count past 2.
+    val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(hashEx <= 2, s"expected <=2 hash exchanges (purch dedup + window), got $hashEx:\n$p")
+    assert("Window".r.findAllMatchIn(p).size >= 2, p)
+  }
+
+  test("kmeans refine assigns via a broadcast of the centroid table (q125)") {
+    val p = plan("q125_kmeans_refine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mix resampling filters against broadcast thresholds (q126)") {
+    val p = plan("q126_mix_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pagerank rounds never reshuffle the edge table") {
+    // eDeg is materialized once, evenly hash-partitioned on src; each
+    // round may broadcast it (small sf) or probe it in place, but must
+    // not add a per-round shuffle of the edges. The post-checkpoint
+    // plan's only SHUFFLE exchanges are the inflow aggregation (by
+    // dst), the |V|-row nodes join, and the final sort — broadcast
+    // exchanges are sketch-sized and don't count
+    val p = plan("q113_pagerank")
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllMatchIn(p).size
+    assert(shuffles <= 3, s"expected <=3 shuffle exchanges, got $shuffles:\n$p")
+  }
+
   test("tz-converted write prep is narrow — conversion never shuffles (q112 read-back agg)") {
     // the strip/localize pair is a codegen'd projection; assert on the
     // prepared frame the write consumes, not the post-write aggregate
