@@ -28,9 +28,7 @@ object Bench {
     // the driver, which wants the full line)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(o => o.contains(name.takeWhile(_ != '_')))
-    }
+    val selected = SparkEntry.selectQueries(only)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -26,4 +26,16 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Events.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
       PipelineOps.oracles ++ Lifecycle.oracles
+
+  /** Dev-loop selection shared by Bench and Verify: each
+    * SPARK_GRAFT_ONLY element matches a query by its id prefix
+    * ("q121") or its full name ("q121_bloom_contamination") — never
+    * by bare startsWith, which would over-match (q12 → q120-q126).
+    */
+  def selectQueries(only: Option[Set[String]])
+      : Map[String, (SparkSession, String) => DataFrame] =
+    queries.filter { case (name, _) =>
+      only.forall(_.exists(sel =>
+        sel == name || sel == name.takeWhile(_ != '_')))
+    }
 }
