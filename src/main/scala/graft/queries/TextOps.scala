@@ -645,6 +645,27 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // One BPE training round: adjacent character-pair frequencies
+    // weighted by word frequency, top-20 merge candidates. Real BPE
+    // trainers run on the WORD-COUNT table (vocabulary-sized), not the
+    // corpus — the corpus is touched once for the word counts and
+    // every merge round after that is vocab-sized work. Overlapping
+    // pairs count per occurrence ("aaa" → "aa" twice), matching the
+    // standard algorithm. Integer counts end-to-end.
+    "q127_bpe_merge_step" -> { (s, dir) =>
+      val wc = docsWithToks(s, dir)
+        .select(explode(col("toks")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("wc"))
+      wc.filter(length(col("t")) >= 2)
+        .select(col("t"), col("wc"),
+          explode(expr(S.rangeIncl("1", "length(t) - 1"))).as("i"))
+        .select(expr("substr(t, i, 2)").as("pair"), col("wc"))
+        .groupBy("pair").agg(sum("wc").as("total"))
+        .orderBy(col("total").desc, col("pair").asc)
+        .limit(20)
+        .select(col("pair"), col("total"))
+    },
+
     // Language-ID confusion matrix: actual × predicted counts with
     // per-actual-language fractions — the evaluation half of q26.
     "q88_langid_confusion" -> { (s, dir) =>
@@ -1185,6 +1206,19 @@ object TextOps {
          |  CAST(CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS oov_rate
          |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q127_bpe_merge_step" ->
+      s"""$duckBase,
+         |wc AS (
+         |  SELECT t, count(*) AS wc
+         |  FROM (SELECT unnest(toks) AS t FROM base) _t GROUP BY t),
+         |pr AS (
+         |  SELECT substr(t, i, 2) AS pair, wc
+         |  FROM wc, LATERAL unnest(${D.rangeIncl("1", "length(t) - 1")}) AS u(i)
+         |  WHERE length(t) >= 2)
+         |SELECT pair, CAST(sum(wc) AS BIGINT) AS total
+         |FROM pr GROUP BY pair
+         |ORDER BY total DESC, pair ASC LIMIT 20""".stripMargin,
 
     "q88_langid_confusion" ->
       s"""$duckBase,

@@ -164,6 +164,25 @@ object VectorOps {
         .orderBy("cell", "pos")
     },
 
+    // Label-noise screening: each vector's cosine to ITS OWN label
+    // centroid, worst 3 per label — the embedding-space mislabeled-
+    // example detector run before training on weakly-labeled data.
+    // One broadcast join on the label + a bounded per-label heap
+    // (WindowGroupLimit); the corpus is scanned once, nothing
+    // corpus-sized shuffles.
+    "q128_label_outliers" -> { (s, dir) =>
+      val e = withNorm(s, dir)
+      val cents = centroidVecs(s, dir)
+      val w = Window.partitionBy("label")
+        .orderBy(col("ccos").asc, col("vec_id").asc)
+      e.join(broadcast(cents), "label")
+        .withColumn("ccos", mixedCos)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("label"), col("rank"), col("vec_id"), col("ccos"))
+        .orderBy("label", "rank")
+    },
+
     // IVF search: assign each query to its nearest centroid cell by
     // cosine, then exact top-k only within that cell — the two-stage
     // coarse→fine ANN shape. At 100 TB the cell search is a hash join
@@ -388,6 +407,29 @@ object VectorOps {
          |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(v ORDER BY vec_id), x -> x::DOUBLE)), (acc, x) -> acc + x) / COUNT(*) AS c,
          |  count(*) AS n_assigned
          |FROM ex2 GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
+
+    "q128_label_outliers" ->
+      s"""WITH $duckCentroids,
+         |cv AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY label),
+         |cv2 AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cv),
+         |e AS (
+         |  SELECT vec_id, label, embedding, sqrt(${D.norm2("embedding")}) AS nrm
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT e.vec_id, e.label,
+         |    (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(e.embedding, cv2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |      / (e.nrm * cv2.cnrm)) AS ccos
+         |  FROM e JOIN cv2 USING (label)),
+         |r AS (
+         |  SELECT label, vec_id, ccos,
+         |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY ccos ASC, vec_id ASC) AS rank
+         |  FROM sc)
+         |SELECT label, rank, vec_id, ccos FROM r WHERE rank <= 3
+         |ORDER BY label, rank""".stripMargin,
 
     "q47_embed_ivf_knn" ->
       s"""WITH $duckCentroids,

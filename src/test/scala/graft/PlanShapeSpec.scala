@@ -166,6 +166,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bpe merge round aggregates map-side at both stages (q127)") {
+    val p = plan("q127_bpe_merge_step")
+    // word counts + pair counts, each partial+final
+    assert("HashAggregate".r.findAllMatchIn(p).size >= 4, p)
+    assert(!p.contains("Join"), p) // vocab-sized work, no join at all
+  }
+
+  test("label-noise screen broadcasts centroids and bounds the heap (q128)") {
+    val p = plan("q128_label_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("pagerank rounds never reshuffle the edge table") {
     // eDeg is materialized once, evenly hash-partitioned on src; each
     // round may broadcast it (small sf) or probe it in place, but must
