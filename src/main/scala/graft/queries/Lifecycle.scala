@@ -64,6 +64,19 @@ object Lifecycle {
     countMemo.getOrElseUpdate((s, d), Tables.orders(s, d).count())
   }
 
+  /** floor(max(o_orderkey)/4) per (session, sfDir), memoized — q109's
+    * data-relative update bound. As a scalar SUBQUERY it would
+    * re-execute inside every action the merge runs (delta prefilter,
+    * match scan, rewrite); as a literal it is one job per session.
+    */
+  private val maxKeyMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def ordersKeyBound(s: SparkSession, d: String): Long = {
+    maxKeyMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    maxKeyMemo.getOrElseUpdate((s, d),
+      Tables.orders(s, d).agg(max("o_orderkey")).collect()(0).getLong(0) / 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // WritePipeline round trip: sort → unique(first-in-sort-order) →
@@ -155,8 +168,7 @@ object Lifecycle {
       def slice(filter: String, mul: Int) = orders.filter(filter)
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("o_totalprice") * mul).as("price"))
-      val bound = "(SELECT MAX(o_orderkey) DIV 4 FROM __graft_orders)"
-      orders.createOrReplaceTempView("__graft_orders")
+      val bound = ordersKeyBound(s, d)
       val u1 = slice(s"o_orderkey % 13 = 1 AND o_orderkey <= $bound", 2)
       val u2 = slice(s"o_orderkey % 26 = 1 AND o_orderkey <= $bound", 3) // later batch wins
       val ins = orders.filter("o_orderkey % 17 = 2")
