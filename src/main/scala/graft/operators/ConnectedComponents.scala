@@ -20,10 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: near-dup components are tiny and shallow (pairs/triples), so
   * diameter ≈ 2-3 and this is 2-3 shuffles over the edge list. For
-  * adversarially long chains you'd switch to the large-star/small-star
-  * contraction of Kiveris et al. (same join shape, O(log n) rounds);
-  * the reference has no graph operator at all (SURVEY §2), so the
-  * simple propagation is the right first tool.
+  * adversarially long chains use [[largeSmallStar]] (same join shape,
+  * O(log n) rounds); the reference has no graph operator at all
+  * (SURVEY §2), so the simple propagation is the right first tool.
   */
 object ConnectedComponents {
 
@@ -80,6 +79,80 @@ object ConnectedComponents {
     }
     if (sys.env.contains("GRAFT_DEBUG"))
       System.err.println(s"[components] converged after $rounds rounds")
+    labels.withColumn("csize", count(lit(1)).over(Window.partitionBy("comp")))
+  }
+
+  /** Large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the variant for
+    * ADVERSARIALLY DEEP graphs. Min-label propagation above pays
+    * O(diameter-ish) rounds; on a million-node path that is dozens of
+    * shuffles. Each L/S round here is the same join-plus-aggregation
+    * shape but contracts the graph toward stars, converging in
+    * O(log n) rounds on any topology. Near-dup candidate graphs are
+    * shallow, so [[apply]] stays the default; switch here when
+    * components can chain (CDC passage graphs, reply/quote chains).
+    *
+    * Same contract as [[apply]]: (id, comp, csize) for every vertex
+    * on an edge, comp = min vertex id of the component, any orderable
+    * vertex type.
+    */
+  def largeSmallStar(edges: DataFrame): DataFrame = {
+    val Array(srcC, dstC) = edges.columns
+    var e = edges.select(col(srcC).as("u"), col(dstC).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    // large-star: every neighbor LARGER than u re-attaches to the min
+    // of u's closed neighborhood; processed from both endpoints
+    def largeStar(in: DataFrame): DataFrame = {
+      val nb = in.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val m = nb.groupBy("u").agg(min("v").as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      nb.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: orient every edge toward its larger endpoint; each
+    // node and its smaller neighbors all re-attach to the minimum
+    def smallStar(in: DataFrame): DataFrame = {
+      val or = in.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+      val m = or.groupBy("u").agg(min("v").as("m")) // all v < u, so m < u
+      or.join(m, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      // fixed point = edge SET unchanged (stars map to themselves);
+      // two one-row counts — no data rows reach the driver
+      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      rounds += 1
+      require(rounds <= 60, "large/small-star failed to converge — cyclic labels?")
+    }
+    if (sys.env.contains("GRAFT_DEBUG"))
+      System.err.println(s"[components/lss] converged after $rounds rounds")
+
+    // star form: every edge is (child, root); roots appear only as v
+    val labels = e.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("comp")).distinct())
+      .distinct()
     labels.withColumn("csize", count(lit(1)).over(Window.partitionBy("comp")))
   }
 }

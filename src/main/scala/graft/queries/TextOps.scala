@@ -476,6 +476,19 @@ object TextOps {
       componentRows(s, dir).orderBy("doc_id")
     },
 
+    // Same clustering through the OTHER components engine: the
+    // large-star/small-star contraction (O(log n) rounds on any
+    // topology — the deep-chain-safe variant). Identical (id, comp,
+    // csize) contract, so the q56 oracle gates both engines' results
+    // against each other and against DuckDB's recursive closure.
+    "q129_components_contraction" -> { (s, dir) =>
+      val cand = candPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.ConnectedComponents.largeSmallStar(cand)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Edit-distance verification of LSH candidate pairs — the fuzzy
     // confirmation step of a dedup pipeline, O(candidates) not O(n²).
     // Distance runs on 40-char printable-ASCII prefixes: DuckDB's
@@ -1094,6 +1107,12 @@ object TextOps {
     // to. Engine-independent by construction — components are a
     // graph property, not an execution order.
     "q56_dup_components" ->
+      s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
+         |$duckComponentCtes
+         |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q129_components_contraction" ->
       s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
          |$duckComponentCtes
          |SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS csize
