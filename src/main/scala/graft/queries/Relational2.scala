@@ -463,6 +463,32 @@ object Relational2 {
           |ORDER BY n_name""".stripMargin)
     },
 
+    // WITH RECURSIVE through the catalog: a binary-tree walk over
+    // customer keys (children 2k and 2k+1 from root 1), grouped by
+    // depth. Spark 4 executes recursive CTEs natively (iterative
+    // union steps); the catalog rewrite must leave the CTE's
+    // SELF-reference alone inside its own definition while still
+    // resolving `tpch.customer` in the recursive term — exactly the
+    // scoping subtlety this gates. The reference delegates SQL to an
+    // engine with recursive CTEs, so parity requires them here too.
+    "q130_recursive_sql" -> { (s, d) =>
+      val yml = java.nio.file.Files.createTempFile("graft-cat-rec", ".yaml")
+      java.nio.file.Files.writeString(yml,
+        s"tables:\n  tpch:\n    customer:\n      path: $d/customer.parquet\n      format: parquet\n")
+      val cat = new graft.catalog.Catalog(s, yml.toString)
+      cat.sql(
+        """WITH RECURSIVE tree(k, depth) AS (
+          |  SELECT CAST(1 AS BIGINT), 0
+          |  UNION ALL
+          |  SELECT c.c_custkey, t.depth + 1
+          |  FROM tree t JOIN tpch.customer c
+          |    ON c.c_custkey = t.k * 2 OR c.c_custkey = t.k * 2 + 1
+          |  WHERE t.depth < 20
+          |)
+          |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+          |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
     // Relaxed union-by-name with missing columns — the reference's
     // polars concat(how="diagonal_relaxed") used for multi-file
     // JSON/CSV reads (pydala/catalog.py:416,455); absent columns are
@@ -753,6 +779,18 @@ object Relational2 {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    "q130_recursive_sql" ->
+      """WITH RECURSIVE tree(k, depth) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM tree t JOIN customer c
+        |    ON c.c_custkey = t.k * 2 OR c.c_custkey = t.k * 2 + 1
+        |  WHERE t.depth < 20
+        |)
+        |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
 
     "q62_union_relaxed" ->
       """SELECT * FROM (

@@ -91,6 +91,27 @@ class CatalogSpec extends SparkSpecBase {
     assert(chained.toSeq == Seq(8))
   }
 
+  test("recursive CTE: self-reference is never rewritten, catalog tables inside are") {
+    // a catalog table named like the CTE must NOT capture the
+    // recursive self-reference — while the same recursive term still
+    // resolves OTHER catalog names; this is the allowRecursion branch
+    // of the scope builder
+    val cat = mkCatalog()
+    val dataDir = tmpDir("catrec")
+    Seq((1, "x")).toDF("id", "v").write.parquet(s"$dataDir/tree")
+    cat.createTable("main", "tree", s"$dataDir/tree")
+    val out = cat.sql(
+      """WITH RECURSIVE tree(n) AS (
+        |  SELECT 1 UNION ALL
+        |  SELECT n + id FROM tree JOIN main.t1 ON id = 1 WHERE n < 4
+        |)
+        |SELECT SUM(n) AS s FROM tree""".stripMargin)
+      .collect()
+    // 1+2+3+4 = 10: recursion ran over the CTE, not the 1-row
+    // catalog table named `tree`
+    assert(out.head.getLong(0) == 10L)
+  }
+
   test("unqualified names resolve when unambiguous") {
     val cat = mkCatalog()
     assert(cat.loadTable("t1").count() == 2)
