@@ -315,6 +315,51 @@ object Relational2 {
     // bit-identical to DuckDB's quantile_cont (verified both
     // fractional-position branches; position math must be DOUBLE —
     // a bare 0.9 literal is DECIMAL on both engines).
+    // Approximate-quantile calibration: Spark's GK sketch
+    // (approx_percentile at accuracy 1000) must land within its
+    // contractual rank error ε·n of each target rank — checked
+    // Spark-side against strict/inclusive rank counts of the sketch's
+    // answers, emitted as booleans the oracle pins to TRUE. The EXACT
+    // quantiles are computed by both engines (the portable interp
+    // sequence), so the row also hash-gates the exact path. This is
+    // the q101 family made oracle-checkable: the sketch's VALUE has no
+    // deterministic oracle, its ERROR BOUND does. At 100 TB the
+    // sketch is the only viable global quantile (exact needs a global
+    // sort); this gate is what licenses swapping it in.
+    "q131_approx_quantile_bound" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ps = Seq("10" -> 0.1, "50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
+      val acc = 1000 // ε = 1/acc of rank
+      val data = Tables.orders(s, d).select(col("o_totalprice").as("x"))
+      val appr = data.agg(expr(
+          s"approx_percentile(x, array(${ps.map(_._2).mkString(",")}), $acc)").as("qs"))
+        .select(ps.zipWithIndex.map { case ((t, _), i) =>
+          expr(s"element_at(qs, ${i + 1})").as(s"a$t") }: _*)
+      val countAggs = count(lit(1)).as("n") +: ps.flatMap { case (t, _) => Seq(
+        sum(when(col("x") < col(s"a$t"), 1L).otherwise(0L)).as(s"lt$t"),
+        sum(when(col("x") <= col(s"a$t"), 1L).otherwise(0L)).as(s"le$t")) }
+      val counts = data.crossJoin(broadcast(appr))
+        .agg(countAggs.head, countAggs.tail: _*)
+      val g = data
+        .withColumn("rn", row_number().over(Window.orderBy("x")) - 1)
+        .withColumn("nn", count(lit(1)).over())
+      def bound(p: Double, edge: String): Column =
+        max(when(col("rn") === expr(s"$edge((nn - 1) * CAST($p AS DOUBLE))"), col("x")))
+      val exactAggs = ps.flatMap { case (t, p) =>
+        Seq(bound(p, "floor").as(s"lo$t"), bound(p, "ceil").as(s"hi$t")) }
+      val exact = g.agg(exactAggs.head, exactAggs.tail: _*)
+      // the sketch value's equal-run [lt, le] must intersect the
+      // target rank's ±ε·n window (+1 for the zero-index edge)
+      val within = ps.map { case (t, p) =>
+        expr(s"lt$t <= $p * n + n / $acc + 1 AND le$t >= $p * n - n / $acc - 1")
+          .as(s"w$t") }
+      val exactQ = ps.map { case (t, p) =>
+        expr(graft.functions.PortableSql.interpQuantile(
+          p.toString, s"lo$t", s"hi$t", "n")).as(s"q$t") }
+      counts.crossJoin(broadcast(exact))
+        .select(col("n") +: (exactQ ++ within): _*)
+    },
+
     "q55_percentiles" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val byStatus = Window.partitionBy("o_orderstatus")
@@ -687,6 +732,18 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    // the oracle computes the exact quantiles and pins the sketch's
+    // error-bound booleans to TRUE — the bound, not the sketch value,
+    // is the deterministic contract
+    "q131_approx_quantile_bound" ->
+      """SELECT count(*) AS n,
+        | quantile_cont(o_totalprice, 0.1) AS q10,
+        | quantile_cont(o_totalprice, 0.5) AS q50,
+        | quantile_cont(o_totalprice, 0.9) AS q90,
+        | quantile_cont(o_totalprice, 0.99) AS q99,
+        | TRUE AS w10, TRUE AS w50, TRUE AS w90, TRUE AS w99
+        |FROM orders""".stripMargin,
 
     "q55_percentiles" ->
       """SELECT o_orderstatus,

@@ -489,6 +489,44 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Incremental-ingest dedup — the production shape: dedupe a NEW
+    // batch (doc_id % 3 = 0) against the EXISTING corpus only, never
+    // all-pairs over history. Exact text-hash semi-join first, then
+    // LSH band-key candidates restricted to (incoming × existing),
+    // Jaccard-verified with an integer cross-multiplied threshold
+    // (n_inter·5 ≥ n_union·2 ⇔ J ≥ 0.4 — no float compare to
+    // diverge). At 100 TB the existing side's hashes and band keys
+    // are precomputed artifacts maintained at write time (the
+    // sidecar pattern); incremental cost is |batch| hashing plus
+    // candidate-bounded verification.
+    "q132_incremental_dedup" -> { (s, dir) =>
+      val th = docsWithToks(s, dir)
+        .select(col("doc_id"), expr(S.hash64("text")).as("th"))
+      val exTh = th.filter(col("doc_id") % 3 =!= 0).select("th").distinct()
+      val inc = th.filter(col("doc_id") % 3 === 0)
+      val exactDup = inc.join(broadcast(exTh), Seq("th"), "left_semi")
+        .select("doc_id")
+      val bk = bandKeyRows(s, dir)
+      val cand = bk.filter(col("doc_id") % 3 === 0).as("x")
+        .join(bk.filter(col("doc_id") % 3 =!= 0).as("y"), col("x.bk") === col("y.bk"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val shs = shingleRows(s, dir)
+      val nearDup = cand
+        .join(shs.as("sa"), col("a") === col("sa.doc_id"))
+        .join(shs.as("sb"), col("b") === col("sb.doc_id"))
+        .withColumn("n_inter", expr(s"size(${S.arrIntersect("sa.sh", "sb.sh")})").cast("long"))
+        .withColumn("n_union", expr("size(sa.sh) + size(sb.sh)").cast("long") - col("n_inter"))
+        .filter(col("n_inter") * 5 >= col("n_union") * 2)
+        .select(col("a").as("doc_id")).distinct()
+      inc.select("doc_id")
+        .join(broadcast(exactDup.withColumn("de", lit(true))), Seq("doc_id"), "left")
+        .join(broadcast(nearDup.withColumn("dn", lit(true))), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("CASE WHEN de THEN 'dup_exact' WHEN dn THEN 'dup_near' ELSE 'kept' END")
+            .as("status"))
+        .orderBy("doc_id")
+    },
+
     // Edit-distance verification of LSH candidate pairs — the fuzzy
     // confirmation step of a dedup pipeline, O(candidates) not O(n²).
     // Distance runs on 40-char printable-ASCII prefixes: DuckDB's
@@ -1225,6 +1263,35 @@ object TextOps {
          |  CAST(CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS oov_rate
          |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q132_incremental_dedup" ->
+      s"""$duckBase,
+         |th AS (SELECT doc_id, ${D.hash64("text")} AS th FROM base),
+         |ex AS (SELECT DISTINCT th FROM th WHERE doc_id % 3 != 0),
+         |inc AS (SELECT doc_id, th FROM th WHERE doc_id % 3 = 0),
+         |de AS (SELECT doc_id FROM inc WHERE th IN (SELECT th FROM ex)),
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM e x JOIN e y ON x.bk = y.bk
+         |  WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 != 0),
+         |nd AS (
+         |  SELECT DISTINCT a AS doc_id FROM (
+         |    SELECT a,
+         |      CAST(${D.size(D.arrIntersect("sa.sh", "sb.sh"))} AS BIGINT) AS n_inter,
+         |      CAST(${D.size("sa.sh")} + ${D.size("sb.sh")} AS BIGINT)
+         |        - CAST(${D.size(D.arrIntersect("sa.sh", "sb.sh"))} AS BIGINT) AS n_union
+         |    FROM cand
+         |    JOIN f sa ON cand.a = sa.doc_id
+         |    JOIN f sb ON cand.b = sb.doc_id) _v
+         |  WHERE n_inter * 5 >= n_union * 2)
+         |SELECT i.doc_id,
+         |  CASE WHEN i.doc_id IN (SELECT doc_id FROM de) THEN 'dup_exact'
+         |       WHEN i.doc_id IN (SELECT doc_id FROM nd) THEN 'dup_near'
+         |       ELSE 'kept' END AS status
+         |FROM inc i ORDER BY i.doc_id""".stripMargin,
 
     "q127_bpe_merge_step" ->
       s"""$duckBase,
