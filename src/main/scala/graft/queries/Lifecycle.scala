@@ -47,7 +47,7 @@ object Lifecycle {
       }))
   }
 
-  private def tmpDir(tag: String): String = {
+  private[queries] def tmpDir(tag: String): String = {
     val p = java.nio.file.Files.createTempDirectory(s"graft-$tag")
     scratchDirs.add(p)
     p.toString

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sources.{ParquetDataset, WriteConfig}
+import graft.streaming.StreamIngest
+
+/** Structured Streaming round trips, oracle-gated.
+  *
+  * StreamIngest was previously spec-only (MemoryStream unit tests);
+  * these queries put the streaming paths under the same DuckDB hash
+  * gate as everything else. Each stages a source table as several
+  * parquet files, streams them back with `maxFilesPerTrigger=1` (so
+  * the run genuinely crosses micro-batch boundaries), lands the
+  * result through the streaming sink under test, and returns a
+  * deterministic batch aggregate of the read-back — the oracle
+  * computes the relational equivalent straight from the source
+  * parquet, so the stream must be exactly-once and value-preserving
+  * for the hashes to meet.
+  *
+  * Determinism notes: `Trigger` defaults + `processAllAvailable()`
+  * drain a static directory deterministically; the dedup gate uses a
+  * watermark delay far wider than the data's time span, so state is
+  * never evicted mid-run and cross-batch duplicates are always
+  * caught; the CDC gate back-dates the base files' mtimes so the
+  * FileStreamSource (oldest-first) provably replays base before
+  * updates. No wall-clock values are read — event time comes from
+  * the data.
+  *
+  * Scale notes: the streamed work per batch IS the batch pipeline
+  * (same write/merge code), so all batch-path properties (bounded
+  * file sizes, broadcast merge probes, sidecar maintenance) carry
+  * over; checkpointed offsets give exactly-once across restarts. At
+  * production rates the same topology runs with a real trigger
+  * interval — nothing here depends on AvailableNow semantics.
+  */
+object StreamOps {
+
+  private def streamOf(s: SparkSession, stage: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+
+  /** Drain `q`, assert it actually ran ≥ `minBatches` non-empty
+    * micro-batches (otherwise the "streaming" gate silently degrades
+    * to a single batch and proves nothing), then stop it.
+    */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                    tag: String, minBatches: Int): Unit = {
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    require(batches >= minBatches,
+      s"$tag: expected >= $minBatches non-empty micro-batches, got $batches")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Streaming append ingestion: orders staged as 4 files → 4
+    // micro-batches, each landed through the normalizing batch
+    // WritePipeline (sidecar included). The read-back aggregate must
+    // equal the batch answer — exactly-once, no loss, no dup.
+    "q133_stream_append" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q133s")
+      val out = Lifecycle.tmpDir("q133o")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      src.repartition(4).write.mode("overwrite").parquet(stage)
+      val q = StreamIngest.append(
+        streamOf(s, stage, src.schema), out,
+        WriteConfig(), Lifecycle.tmpDir("q133c"))
+      drain(q, "q133", 2)
+      val ds = new ParquetDataset(s, out)
+      require(ds.stats.nonEmpty, "q133: sidecar missing after streamed appends")
+      ds.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Streaming exact-dedup: every event duplicated, shuffled across
+    // 4 staged files so most duplicate pairs land in DIFFERENT
+    // micro-batches, then dropped by keyed state. The watermark delay
+    // (3650 days) exceeds the data's whole time span, so no state is
+    // evicted mid-run and the output must be exactly the distinct
+    // events — cross-batch state is what's under test.
+    "q134_stream_dedup" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q134s")
+      val out = Lifecycle.tmpDir("q134o")
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+      ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(stage)
+      val dedup = StreamIngest.dedupedStream(
+        streamOf(s, stage, ev.schema), "ts", Seq("event_id"), "3650 days")
+      val q = dedup.writeStream.outputMode("append")
+        .option("checkpointLocation", Lifecycle.tmpDir("q134c"))
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start()
+      drain(q, "q134", 2)
+      s.read.parquet(out)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy("user_id")
+    },
+
+    // Streaming CDC upsert: base orders replay first (mtimes
+    // back-dated 60 s so the oldest-first FileStreamSource provably
+    // orders base before updates), then an update batch triples the
+    // price of every key ≡ 0 (mod 7); keyed last-row-wins merge must
+    // leave exactly the updated state.
+    "q135_stream_upsert" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q135s")
+      val out = Lifecycle.tmpDir("q135o")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      src.repartition(2).write.mode("overwrite").parquet(stage)
+      val backdate = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L)
+      java.nio.file.Files.list(java.nio.file.Paths.get(stage)).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p, backdate); ()
+      }
+      src.filter("o_orderkey % 7 = 0")
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .coalesce(1).write.mode("append").parquet(stage)
+      val q = StreamIngest.upsert(
+        streamOf(s, stage, src.schema), out, Seq("o_orderkey"),
+        Lifecycle.tmpDir("q135c"))
+      drain(q, "q135", 3)
+      new ParquetDataset(s, out).df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q133_stream_append" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q134_stream_dedup" ->
+      """SELECT user_id,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q135_stream_upsert" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+        |                    THEN o_totalprice * 3
+        |                    ELSE o_totalprice END
+        |          AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -30,7 +30,12 @@ object StreamIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        WritePipeline.write(batch.toDF(), path, cfg)
+        val ds = new ParquetDataset(batch.sparkSession, path)
+        ds.write(batch.toDF(), cfg)
+        // batch append only refreshes an EXISTING sidecar; a stream-fed
+        // dataset must be indistinguishable from a batch-fed one, so
+        // bootstrap it on the first micro-batch (incremental after)
+        if (ds.stats.isEmpty) { ds.updateStats(); () }
       }
       .start()
 
