@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting via degree-oriented wedge joins —
+  * the clustering-structure primitive for similarity/co-occurrence
+  * graphs (a near-dup graph with many triangles is a mass-duplicated
+  * cluster; one with few is chains of borderline pairs).
+  *
+  * Algorithm (compact-forward): canonicalize the undirected edge set,
+  * orient every edge from the (degree, id)-smaller endpoint to the
+  * larger, generate wedges only around each edge's source, and close
+  * them against the canonical edge set. Each triangle has exactly one
+  * vertex from which both others are out-neighbors under the total
+  * (degree, id) order, so every triangle is produced exactly once.
+  *
+  * Scale: orientation bounds every out-degree by O(sqrt(m)) on any
+  * graph (a vertex with out-degree t has t neighbors of degree >= its
+  * own, so t(t+1)/2 <= m), which bounds total wedge work by O(m^1.5)
+  * — the hub explosion of the naive formulation (hub degree squared)
+  * cannot happen. All three steps are equi-joins on edge keys: plain
+  * shuffles, no driver materialization, AQE-friendly.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts. `edges` needs `src` and
+    * `dst` columns; direction, duplicates, and self-loops are
+    * normalized away. Nodes in no triangle are absent from the output.
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+    val deg = canon.select(col("a").as("v"))
+      .unionAll(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+    val oriented = canon
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .selectExpr(
+        "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo",
+        "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi")
+
+    // wedges around lo (id-ordered arms so the closure probe is the
+    // canonical (a < b) form), closed against the canonical edge set
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
+    val closed = wedges.join(canon,
+      col("y") === col("a") && col("z") === col("b"))
+
+    closed.select(col("x").as("node"))
+      .unionAll(closed.select(col("y").as("node")))
+      .unionAll(closed.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+}

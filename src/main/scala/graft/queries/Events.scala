@@ -235,6 +235,33 @@ object Events {
         .orderBy("event_id")
     },
 
+    // Time-series regularization: zero-fill missing (user, day) cells
+    // against a date spine and carry the last observed daily max
+    // forward across gaps — the resample-to-grid shape that precedes
+    // any per-entity trend feature. The spine is data-relative (one
+    // 2-column aggregate broadcast), the grid is users × days (tiny
+    // next to the event table), and the fill is one partitioned
+    // window — no driver loops, no per-day queries.
+    "q138_gap_fill" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).filter("user_id % 10 = 0")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(15,3)").as("v"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"), max("v").as("vmax"))
+      val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val grid = ev.select("user_id").distinct().crossJoin(broadcast(spine))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("vmax").cast("double").as("vmax"),
+          last(col("vmax"), ignoreNulls = true)
+            .over(Window.partitionBy("user_id").orderBy("day"))
+            .cast("double").as("filled"))
+        .orderBy("user_id", "day")
+    },
+
     // JSON property extraction from the string `props` column.
     "q23_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -404,6 +431,29 @@ object Events {
          |       THEN b.tsu - bptsu ELSE fptsu - b.tsu END AS gap_us
          |FROM b JOIN f ON b.event_id = f.event_id
          |ORDER BY b.event_id""".stripMargin,
+
+    "q138_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(15,3)) AS v
+        |  FROM events WHERE user_id % 10 = 0),
+        |daily AS (
+        |  SELECT user_id, day, count(*) AS n, max(v) AS vmax
+        |  FROM ev GROUP BY user_id, day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |g AS (
+        |  SELECT u.user_id, s.day
+        |  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN spine s)
+        |SELECT g.user_id, g.day,
+        |  COALESCE(d.n, 0) AS n,
+        |  CAST(d.vmax AS DOUBLE) AS vmax,
+        |  CAST(last_value(d.vmax IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.day) AS DOUBLE) AS filled
+        |FROM g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
 
     "q23_json_extract" ->
       """SELECT event_id,

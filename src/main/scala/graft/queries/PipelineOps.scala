@@ -323,6 +323,36 @@ object PipelineOps {
         .select("lang", "n_docs", "distinct_exact", "distinct_hll",
           "hll_rel_err", "median_len_approx")
         .orderBy("lang")
+    },
+
+    // Mixture scheduling: square-root token-weighted sampling quotas
+    // per source and the implied repeat factor (epochs, in exact
+    // milli-units via integer division) against a fixed token budget —
+    // the arithmetic that turns "domain weights" into a concrete
+    // sampling plan. sqrt/mul/div are single correctly-rounded IEEE
+    // ops (the q90 precedent), floor + integer division keep every
+    // output exact. One tiny aggregate per source — nothing here
+    // touches row-level data after the first groupBy.
+    "q140_mixture_epochs" -> { (s, dir) =>
+      val budget = 1000000L
+      val src = docsWithToks(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CAST(size(toks) AS BIGINT)")).as("n_tokens"))
+        .withColumn("w", expr("sqrt(CAST(n_tokens AS DOUBLE))"))
+      // wtot via the source-ORDERED running sum (the q90 precedent):
+      // an unordered float total is summation-order-dependent
+      val run = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      src
+        .withColumn("wsum", sum("w").over(run))
+        .withColumn("wtot", max("wsum").over(Window.partitionBy()))
+        .withColumn("quota_tokens",
+          expr(s"CAST(floor(CAST($budget AS DOUBLE) * w / wtot) AS BIGINT)"))
+        .withColumn("epochs_milli",
+          expr("quota_tokens * 1000 div n_tokens"))
+        .select("source", "n_docs", "n_tokens", "quota_tokens", "epochs_milli")
+        .orderBy("source")
     })
 
   val oracles: Map[String, String] = Map(
@@ -506,5 +536,26 @@ object PipelineOps {
          |SELECT lang, n_bins, n_docs, n_tokens,
          | CAST(n_docs AS DOUBLE) / CAST(n_bins AS DOUBLE) AS docs_per_bin,
          | CAST(n_tokens AS DOUBLE) / CAST(512 * n_bins AS DOUBLE) AS fill_ratio
-         |FROM gb ORDER BY lang""".stripMargin)
+         |FROM gb ORDER BY lang""".stripMargin,
+
+    "q140_mixture_epochs" ->
+      s"""WITH tk AS (
+         |  SELECT source, len(${D.tokens("text")})::BIGINT AS nt FROM documents),
+         |g AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM tk GROUP BY source),
+         |w AS (
+         |  SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS wt FROM g),
+         |r AS (
+         |  SELECT *, SUM(wt) OVER (ORDER BY source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wsum
+         |  FROM w),
+         |q AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(floor(CAST(1000000 AS DOUBLE) * wt
+         |      / MAX(wsum) OVER ()) AS BIGINT) AS quota_tokens
+         |  FROM r)
+         |SELECT source, n_docs, n_tokens, quota_tokens,
+         |  quota_tokens * 1000 // n_tokens AS epochs_milli
+         |FROM q ORDER BY source""".stripMargin)
 }

@@ -556,6 +556,41 @@ object Relational2 {
         element_at(col("embedding"), 1).cast("double").as("first"),
         element_at(col("embedding"), 64).cast("double").as("last"))
         .orderBy("vec_id")
+    },
+
+    // HLL++ error-contract gate (the q131 pattern for distinct
+    // counts): the approx sketch must land within 5 standard errors
+    // of the exact count — the exact lane doubles as a distinct-count
+    // parity check. At 100 TB the approx lane is the one you run (no
+    // distinct shuffle); this gate is what licenses trusting it.
+    "q136_hll_bound" -> { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("appr"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("appr") - col("n_exact")) <=
+            col("n_exact") * lit(0.10)).as("within"))
+        .orderBy("l_returnflag")
+    },
+
+    // Per-node triangle participation over the co-purchase graph
+    // (edges: part pairs sharing >= 2 orders) — the cluster-density
+    // signal that separates mass-duplicated groups from chains of
+    // borderline near-dup pairs. The operator orients edges by degree
+    // (O(m^1.5) wedge bound); the oracle counts the same triangles
+    // from their min-id corner.
+    "q137_triangles" -> { (s, d) =>
+      val li = Tables.memo(s, s"$d#q76pairs") {
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+      }
+      val edges = graft.operators.Skew.selfPairs(li, "ok", "pk", hotThreshold = 1000L)
+        .groupBy(col("pk_1"), col("pk_2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("pk_1").as("src"), col("pk_2").as("dst"))
+      graft.operators.Triangles.perNode(edges).orderBy("node")
     }
   )
 
@@ -863,6 +898,32 @@ object Relational2 {
         | CAST(len(embedding) AS INTEGER) AS dim,
         | CAST(embedding[1] AS DOUBLE) AS first,
         | CAST(embedding[64] AS DOUBLE) AS last
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q136_hll_bound" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_exact,
+        | TRUE AS within
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q137_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pe AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS n
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY p1, p2),
+        |e AS (SELECT p1 AS a, p2 AS b FROM pe WHERE n >= 2),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (
+        |  SELECT x AS node FROM t
+        |  UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t)
+        |SELECT node, count(*) AS n_tri FROM n GROUP BY node ORDER BY node""".stripMargin
   )
 }

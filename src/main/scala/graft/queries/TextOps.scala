@@ -1006,6 +1006,56 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
           min("doc_id").as("first_doc"))
         .orderBy("split", "lang")
+    },
+
+    // Inverted-index construction for the mid-frequency bigram band
+    // (df in [2, n_docs/20] — data-relative, so the band is populated
+    // at every scale factor): document frequency, total term
+    // frequency, and the ordered posting list serialized as a string.
+    // df-filter FIRST, collect postings only for surviving terms —
+    // head terms (df ≈ corpus size) never build a list, so per-group
+    // state is bounded by the df ceiling, not by the worst term.
+    "q139_posting_lists" -> { (s, dir) =>
+      val dfCap = docsWithToks(s, dir).count() / 20
+      val perDoc = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 2"))
+        .select(col("doc_id"), explode(expr(S.shingles("toks", 2))).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      val kept = perDoc.groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("ttf"))
+        .filter(col("df").between(2, dfCap))
+      kept.join(perDoc, "tok")
+        .groupBy("tok")
+        .agg(max("df").as("df"), max("ttf").as("ttf"),
+          expr("concat_ws(',', sort_array(collect_list(doc_id)))").as("postings"))
+        .orderBy("tok")
+    },
+
+    // Misra-Gries heavy-hitter contract gate (the q131/q136 pattern
+    // for frequency sketches): every token with true count > n/k must
+    // be present in the k-slot sketch with an estimate in
+    // [count − n/k, count]. The gate holds under ANY partition-merge
+    // order (the bound is order-independent), which is exactly why a
+    // boolean contract — not the raw estimates — is the right oracle
+    // surface for a mergeable sketch. The sketch itself is one typed
+    // aggregation; only the k-entry map reaches the driver.
+    "q141_mg_heavy_bound" -> { (s, dir) =>
+      import s.implicits._
+      val k = 200
+      val toks = docsWithToks(s, dir).select(explode(col("toks")).as("tok"))
+      val sketch: Map[String, Long] =
+        toks.as[String].select(graft.functions.Sketches.heavyHitters(k)).head()
+      val skDf = sketch.toSeq.toDF("tok", "est")
+      val n = toks.count()
+      val thresh = n / k
+      toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") > thresh)
+        .join(broadcast(skDf), Seq("tok"), "left")
+        .select(col("tok"), col("n"),
+          col("est").isNotNull.as("present"),
+          (col("est").isNotNull && col("est") <= col("n") &&
+            col("est") >= col("n") - lit(thresh)).as("est_ok"))
+        .orderBy("tok")
     }
   )
 
@@ -1529,6 +1579,26 @@ object TextOps {
          |SELECT split, lang, count(*) AS n_docs,
          | CAST(sum(nt) AS BIGINT) AS n_tokens, min(sp.doc_id) AS first_doc
          |FROM sp JOIN tk2 ON sp.doc_id = tk2.doc_id
-         |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "q139_posting_lists" ->
+      s"""$duckBase,
+         |p AS (
+         |  SELECT doc_id, unnest(${D.shingles("toks", 2)}) AS tok
+         |  FROM base WHERE ${D.size("toks")} >= 2),
+         |pd AS (SELECT tok, doc_id, count(*) AS tf FROM p GROUP BY tok, doc_id)
+         |SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf,
+         |  string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+         |FROM pd GROUP BY tok
+         |HAVING count(*) BETWEEN 2 AND (SELECT count(*) FROM documents) // 20
+         |ORDER BY tok""".stripMargin,
+
+    "q141_mg_heavy_bound" ->
+      s"""$duckBase,
+         |p AS (SELECT unnest(toks) AS tok FROM base),
+         |c AS (SELECT tok, count(*) AS n FROM p GROUP BY tok),
+         |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
+         |SELECT tok, n, TRUE AS present, TRUE AS est_ok
+         |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin
   )
 }
