@@ -29,10 +29,16 @@ object Triangles {
     * normalized away. Nodes in no triangle are absent from the output.
     */
   def perNode(edges: DataFrame): DataFrame = {
+    // the canonical edge set is reused structurally ~5× (degrees scan
+    // it twice, orientation joins it, the closure probes it); without
+    // materialization every reuse re-executes the caller's whole edge
+    // derivation — localCheckpoint truncates that lineage once (the
+    // ConnectedComponents pattern)
     val canon = edges
       .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
 
     val deg = canon.select(col("a").as("v"))
       .unionAll(canon.select(col("b").as("v")))
@@ -44,6 +50,9 @@ object Triangles {
       .selectExpr(
         "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS lo",
         "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS hi")
+      // wedge generation self-joins this frame; checkpoint so the
+      // orientation joins run once, not once per join side
+      .localCheckpoint()
 
     // wedges around lo (id-ordered arms so the closure probe is the
     // canonical (a < b) form), closed against the canonical edge set

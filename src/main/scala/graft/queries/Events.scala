@@ -262,6 +262,53 @@ object Events {
         .orderBy("user_id", "day")
     },
 
+    // Overlapping-interval merge (coalesce): each event projects a
+    // 5-minute activity span; overlapping spans per user fuse into
+    // islands (running-max-end + island-id cumsum — one partitioned
+    // window, no self-join), then per-user coverage stats. The
+    // interval-union primitive behind "total active time" and storage
+    // range coalescing; all arithmetic is integer micros.
+    "q142_interval_merge" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("st", "en")
+      val iv = Tables.events(s, d).select(col("user_id"),
+          expr("unix_micros(ts)").as("st"))
+        .withColumn("en", col("st") + lit(300000000L))
+      val spans = iv
+        .withColumn("pmax",
+          max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("fresh",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("grp",
+          sum("fresh").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "grp")
+        .agg(min("st").as("s0"), max("en").as("e1"))
+      spans.groupBy("user_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e1") - col("s0")).as("covered_us"),
+          max(col("e1") - col("s0")).as("max_span_us"))
+        .orderBy("user_id")
+    },
+
+    // with_strftime_columns / with_truncated_columns through the
+    // actual FrameOps API (reference pydala/helpers/polars.py
+    // strftime/truncate derivations, pinned relationally here): a
+    // formatted-string month key and an hour-truncated timestamp,
+    // aggregated so the derived values themselves form the group
+    // keys. Portable format subset: Spark `yyyy-MM-dd HH` renders
+    // identically to DuckDB strftime `%Y-%m-%d %H` in the UTC session.
+    "q143_strftime_truncate" -> { (s, d) =>
+      val base = Tables.events(s, d).select(col("event_id"), col("ts"))
+      val derived = graft.functions.FrameOps.withTruncatedColumns(
+        graft.functions.FrameOps.withStrftimeColumns(
+          base, "ts", Map("month_key" -> "yyyy-MM", "hour_key" -> "yyyy-MM-dd HH")),
+        "ts", Seq("hour"))
+      derived.groupBy("month_key", "hour_key")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("ts_hour")).as("n_hours"))
+        .orderBy("month_key", "hour_key")
+    },
+
     // JSON property extraction from the string `props` column.
     "q23_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -454,6 +501,39 @@ object Events {
         |    OVER (PARTITION BY g.user_id ORDER BY g.day) AS DOUBLE) AS filled
         |FROM g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "q142_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS st,
+        |    epoch_us(ts::TIMESTAMP) + 300000000 AS en
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, st, en,
+        |    SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f),
+        |sp AS (
+        |  SELECT user_id, grp, min(st) AS s0, max(en) AS e1
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, count(*) AS n_spans,
+        |  CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+        |  max(e1 - s0) AS max_span_us
+        |FROM sp GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q143_strftime_truncate" ->
+      """SELECT strftime(ts::TIMESTAMP, '%Y-%m') AS month_key,
+        | strftime(ts::TIMESTAMP, '%Y-%m-%d %H') AS hour_key,
+        | count(*) AS n,
+        | COUNT(DISTINCT date_trunc('hour', ts::TIMESTAMP)) AS n_hours
+        |FROM events
+        |GROUP BY month_key, hour_key
+        |ORDER BY month_key, hour_key""".stripMargin,
 
     "q23_json_extract" ->
       """SELECT event_id,

@@ -252,6 +252,42 @@ object Lifecycle {
         .orderBy("year", "month", "day")
     },
 
+    // Parquet bloom-filter round trip: the write stamps per-row-group
+    // bloom filters on the key column (WriteConfig.bloomFilterCols),
+    // the footer is require-checked for the bloom offset, and a
+    // point-lookup IN-scan reads back through the standard parquet
+    // reader — which consults the blooms once the equality predicate
+    // pushes down. The pruning lever for high-cardinality keys whose
+    // uniform spread defeats min/max sidecar stats; at 100 TB this is
+    // the difference between reading 3 row groups and reading all.
+    "q145_bloom_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q145")
+      WritePipeline.write(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        dir, WriteConfig(bloomFilterCols = Seq("o_orderkey")))
+      // physical pin: the footer must actually carry a bloom offset
+      val file = graft.sources.FsUtil.listParquet(dir).head // absolute path
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path("file://" + file),
+        s.sessionState.newHadoopConf())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val cc = reader.getFooter.getBlocks.get(0).getColumns.asScala
+          .find(_.getPath.toDotString == "o_orderkey")
+          .getOrElse(sys.error("q145: o_orderkey column chunk missing"))
+        require(cc.getBloomFilterOffset >= 0,
+          "q145: no bloom filter offset in footer for o_orderkey")
+      } finally reader.close()
+      val kb = ordersKeyBound(s, d)
+      new ParquetDataset(s, dir).df
+        .filter(col("o_orderkey").isin(kb, kb * 2, kb * 3))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+        .orderBy("o_orderkey")
+    },
+
     // Catalog mutation round trip: createTable persists write_args to
     // YAML, writeTable applies them (hive partition_by), and a FRESH
     // catalog instance reloaded from the YAML serves the table through
@@ -455,6 +491,14 @@ object Lifecycle {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM dedup WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q145_bloom_roundtrip" ->
+      """WITH b AS (SELECT MAX(o_orderkey) // 4 AS kb FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders, b
+        |WHERE o_orderkey IN (kb, kb * 2, kb * 3)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q108_compact_roundtrip" ->
       """SELECT o_orderstatus,

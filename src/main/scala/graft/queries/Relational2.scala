@@ -564,9 +564,15 @@ object Relational2 {
     // parity check. At 100 TB the approx lane is the one you run (no
     // distinct shuffle); this gate is what licenses trusting it.
     "q136_hll_bound" -> { (s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("n_exact"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("appr"))
+      // exact and HLL lanes aggregate SEPARATELY: mixed into one agg,
+      // Catalyst routes the sketch through the distinct-expand path
+      // and materializes a sketch per (group, value) — the q101 trap
+      val li = Tables.lineitem(s, d)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      val appr = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("appr"))
+      exact.join(appr, "l_returnflag")
         .select(col("l_returnflag"), col("n_exact"),
           (abs(col("appr") - col("n_exact")) <=
             col("n_exact") * lit(0.10)).as("within"))

@@ -1039,6 +1039,35 @@ object TextOps {
     // boolean contract — not the raw estimates — is the right oracle
     // surface for a mergeable sketch. The sketch itself is one typed
     // aggregation; only the k-entry map reaches the driver.
+    // Cross-document repeated-span detection — the substring-level
+    // dedup signal (the suffix-array "dedup training data" shape,
+    // approximated distributively with 16-token shingle fingerprints):
+    // a span is duplicated if its fingerprint occurs in >= 2 distinct
+    // docs; each doc reports its duplicated-span fraction in exact
+    // milli-units. Spans travel as 60-bit hashes, never as strings —
+    // the shuffle carries 8 bytes per span regardless of span length
+    // (hash collisions are identical on both engines, so parity holds
+    // even in the collision case).
+    "q144_span_dedup" -> { (s, dir) =>
+      val sp = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 16"))
+        .select(col("doc_id"),
+          explode(expr(S.shingles("toks", 16))).as("span"))
+        .select(col("doc_id"), expr(S.hash64("span")).as("hk"))
+      val shared = sp.groupBy("hk")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select("hk")
+      val tot = sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val dup = sp.join(shared, Seq("hk"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      tot.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          expr("coalesce(n_dup, 0) * 1000 div n_spans").as("dup_milli"))
+        .orderBy("doc_id")
+    },
+
     "q141_mg_heavy_bound" -> { (s, dir) =>
       import s.implicits._
       val k = 200
@@ -1592,6 +1621,24 @@ object TextOps {
          |FROM pd GROUP BY tok
          |HAVING count(*) BETWEEN 2 AND (SELECT count(*) FROM documents) // 20
          |ORDER BY tok""".stripMargin,
+
+    "q144_span_dedup" ->
+      s"""$duckBase,
+         |sp AS (
+         |  SELECT doc_id, unnest(${D.shingles("toks", 16)}) AS span
+         |  FROM base WHERE ${D.size("toks")} >= 16),
+         |h AS (SELECT doc_id, ${D.hash64("span")} AS hk FROM sp),
+         |shared AS (
+         |  SELECT hk FROM h GROUP BY hk HAVING count(DISTINCT doc_id) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM h GROUP BY doc_id),
+         |dup AS (
+         |  SELECT doc_id, count(*) AS n_dup FROM h
+         |  WHERE hk IN (SELECT hk FROM shared) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_spans,
+         |  COALESCE(d.n_dup, 0) AS n_dup,
+         |  COALESCE(d.n_dup, 0) * 1000 // t.n_spans AS dup_milli
+         |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q141_mg_heavy_bound" ->
       s"""$duckBase,

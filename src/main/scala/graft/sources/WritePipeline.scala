@@ -68,7 +68,16 @@ final case class WriteConfig(
       */
     tz: Option[String] = None,
     /** Strip zones (reference `remove_tz`, pydala/schema.py:74). */
-    removeTz: Boolean = false)
+    removeTz: Boolean = false,
+    /** Columns to write parquet bloom filters for. Point-lookup /
+      * IN-list scans then skip whole row groups on non-matching
+      * files — the scan-side pruning lever for high-cardinality keys
+      * that min/max sidecar stats can't serve (a uniformly
+      * distributed key spans every file's [min, max]). Readers get
+      * this for free: Spark's parquet scan consults row-group bloom
+      * metadata whenever the equality predicate is pushed down.
+      */
+    bloomFilterCols: Seq[String] = Nil)
 
 object WritePipeline {
 
@@ -166,6 +175,8 @@ object WritePipeline {
       .option("compression", cfg.compression)
       .option("maxRecordsPerFile", cfg.maxRowsPerFile)
     cfg.rowGroupBytes.foreach(n => w = w.option("parquet.block.size", n))
+    cfg.bloomFilterCols.foreach(c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     // the parquet unit is a session conf, not a writer option — scope
     // it to this write and restore whatever the session had
     val unitKey = "spark.sql.parquet.outputTimestampType"

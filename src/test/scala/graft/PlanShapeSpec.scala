@@ -258,6 +258,35 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("triangle counting is equi-joins only — no nested-loop blowup (q137)") {
+    val p = plan("q137_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("span dedup shuffles 8-byte fingerprints, not span strings (q144)") {
+    val p = plan("q144_span_dedup")
+    // every exchange must partition on doc_id or the hash key — a
+    // `span` string reaching an exchange would mean the 16-gram text
+    // itself crosses the wire
+    val exchanges = "hashpartitioning\\(([a-zA-Z0-9_#]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(c => c.startsWith("hk") || c.startsWith("doc_id")),
+      s"unexpected exchange keys: $exchanges")
+  }
+
+  test("posting lists df-filter before collecting postings (q139)") {
+    // the collect_list agg must sit above the df-band semi/inner join,
+    // so head terms are filtered before any list state builds
+    val df = SparkEntry.queries("q139_posting_lists")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    val collectAt = p.indexOf("collect_list")
+    val joinAt = p.indexOf("Join")
+    assert(collectAt >= 0 && joinAt >= 0 && collectAt < joinAt,
+      s"collect_list at $collectAt vs join at $joinAt:\n$p")
+  }
+
   test("the hot path stays inside whole-stage codegen (q01)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
