@@ -266,20 +266,12 @@ object Lifecycle {
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice")),
         dir, WriteConfig(bloomFilterCols = Seq("o_orderkey")))
-      // physical pin: the footer must actually carry a bloom offset
-      val file = graft.sources.FsUtil.listParquet(dir).head // absolute path
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path("file://" + file),
-        s.sessionState.newHadoopConf())
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        val cc = reader.getFooter.getBlocks.get(0).getColumns.asScala
-          .find(_.getPath.toDotString == "o_orderkey")
-          .getOrElse(sys.error("q145: o_orderkey column chunk missing"))
-        require(cc.getBloomFilterOffset >= 0,
-          "q145: no bloom filter offset in footer for o_orderkey")
-      } finally reader.close()
+      // physical pin: EVERY row group of every file must carry the
+      // bloom offset — a first-file-only check would let a partial
+      // stamping regression pass
+      val offs = graft.sources.StatsSidecar.bloomFilterOffsets(dir, "o_orderkey")
+      require(offs.nonEmpty && offs.forall(_ >= 0),
+        s"q145: missing bloom filter offsets for o_orderkey: $offs")
       val kb = ordersKeyBound(s, d)
       new ParquetDataset(s, dir).df
         .filter(col("o_orderkey").isin(kb, kb * 2, kb * 3))

@@ -118,9 +118,11 @@ object StreamOps {
       src.repartition(2).write.mode("overwrite").parquet(stage)
       val backdate = java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 60000L)
-      java.nio.file.Files.list(java.nio.file.Paths.get(stage)).forEach { p =>
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      try listing.forEach { p =>
         java.nio.file.Files.setLastModifiedTime(p, backdate); ()
       }
+      finally listing.close()
       src.filter("o_orderkey % 7 = 0")
         .withColumn("o_totalprice", col("o_totalprice") * 3)
         .coalesce(1).write.mode("append").parquet(stage)

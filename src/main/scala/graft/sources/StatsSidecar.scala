@@ -68,6 +68,24 @@ object StatsSidecar {
       .collect().toSeq
   }
 
+  /** Bloom-filter footer offsets for `column`: one entry per row
+    * group per data file under `root` (−1 = no bloom stamped).
+    * Empty-row-group files contribute nothing. Metadata-only — used
+    * by the bloom write gate (WriteConfig.bloomFilterCols) and its
+    * specs to pin the physical effect across ALL files, not just the
+    * lexicographically first.
+    */
+  def bloomFilterOffsets(root: String, column: String): Seq[Long] =
+    FsUtil.listParquet(root).flatMap { absFile =>
+      val in = HadoopInputFile.fromPath(new HPath("file://" + absFile), new Configuration())
+      val reader = ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.toSeq.flatMap { blk =>
+        blk.getColumns.asScala.find(_.getPath.toDotString == column)
+          .map(_.getBloomFilterOffset)
+      }
+      finally reader.close()
+    }
+
   private[sources] def readFooter(root: String, absFile: String): Seq[ColStat] = {
     val conf = new Configuration()
     val in = HadoopInputFile.fromPath(new HPath("file://" + absFile), conf)

@@ -23,6 +23,14 @@ import graft.sources.{ParquetDataset, WriteConfig, WritePipeline}
   */
 object StreamIngest {
 
+  /** Batch append/merge only refresh an EXISTING sidecar; a stream-fed
+    * dataset must be indistinguishable from a batch-fed one, so every
+    * streaming sink bootstraps the sidecar on its first micro-batch
+    * (incremental refreshes ride the batch path after that).
+    */
+  private def ensureSidecar(ds: ParquetDataset): Unit =
+    if (ds.stats.isEmpty) { ds.updateStats(); () }
+
   /** Append-mode ingestion through the normalizing write pipeline. */
   def append(stream: DataFrame, path: String, cfg: WriteConfig,
              checkpoint: String): StreamingQuery =
@@ -32,10 +40,7 @@ object StreamIngest {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val ds = new ParquetDataset(batch.sparkSession, path)
         ds.write(batch.toDF(), cfg)
-        // batch append only refreshes an EXISTING sidecar; a stream-fed
-        // dataset must be indistinguishable from a batch-fed one, so
-        // bootstrap it on the first micro-batch (incremental after)
-        if (ds.stats.isEmpty) { ds.updateStats(); () }
+        ensureSidecar(ds)
       }
       .start()
 
@@ -50,7 +55,7 @@ object StreamIngest {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val ds = new ParquetDataset(batch.sparkSession, path)
         Merge(ds, batch.toDF(), keys, "upsert")
-        ()
+        ensureSidecar(ds)
       }
       .start()
 

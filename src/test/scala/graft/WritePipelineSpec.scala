@@ -59,19 +59,10 @@ class WritePipelineSpec extends SparkSpecBase {
     WritePipeline.write(
       (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v"),
       dir, WriteConfig(bloomFilterCols = Seq("k")))
-    val file = FsUtil.listParquet(dir).head // absolute path
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path("file://" + file),
-      spark.sessionState.newHadoopConf())
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      import scala.jdk.CollectionConverters._
-      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
-      val k = cols.find(_.getPath.toDotString == "k").get
-      val v = cols.find(_.getPath.toDotString == "v").get
-      assert(k.getBloomFilterOffset >= 0, "bloom missing on configured column")
-      assert(v.getBloomFilterOffset < 0, "bloom stamped on unconfigured column")
-    } finally reader.close()
+    val ks = StatsSidecar.bloomFilterOffsets(dir, "k")
+    val vs = StatsSidecar.bloomFilterOffsets(dir, "v")
+    assert(ks.nonEmpty && ks.forall(_ >= 0), s"bloom missing on configured column: $ks")
+    assert(vs.nonEmpty && vs.forall(_ < 0), s"bloom stamped on unconfigured column: $vs")
   }
 
   test("writeAll treats a list of sources per-item") {
