@@ -558,6 +558,26 @@ object Relational2 {
         .orderBy("vec_id")
     },
 
+    // explode_all / unnest_all through the actual FrameOps API
+    // (reference helpers explode_all, pydala/helpers/polars.py): a
+    // struct + array shape built in-query is flattened by the same
+    // functions users call, then aggregated so every flattened cell
+    // feeds the hash. Both ops are narrow maps (explode multiplies
+    // rows, never shuffles).
+    "q148_unnest_explode" -> { (s, d) =>
+      val nested = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"),
+          col("o_totalprice").as("price")).as("info"),
+        array(col("o_orderkey") % 3, col("o_orderkey") % 7).as("tags"))
+      val flat = graft.functions.FrameOps.unnestAll(
+        graft.functions.FrameOps.explodeAll(nested))
+      flat.groupBy(col("info_st").as("status"), col("tags").as("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("info_price").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("status", "tag")
+    },
+
     // HLL++ error-contract gate (the q131 pattern for distinct
     // counts): the approx sketch must land within 5 standard errors
     // of the exact count — the exact lane doubles as a distinct-count
@@ -905,6 +925,16 @@ object Relational2 {
         | CAST(embedding[1] AS DOUBLE) AS first,
         | CAST(embedding[64] AS DOUBLE) AS last
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q148_unnest_explode" ->
+      """WITH n AS (
+        |  SELECT o_orderstatus AS status, o_totalprice AS price,
+        |    unnest([o_orderkey % 3, o_orderkey % 7]) AS tag
+        |  FROM orders)
+        |SELECT status, tag, count(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM n GROUP BY status, tag
+        |ORDER BY status, tag""".stripMargin,
 
     "q136_hll_bound" ->
       """SELECT l_returnflag,

@@ -1043,6 +1043,55 @@ object TextOps {
         .orderBy("tok")
     },
 
+    // Containment scoring over the LSH candidates — the ONE-WAY
+    // near-dup test Jaccard misses: a short doc quoted inside a much
+    // larger one has tiny |A∩B|/|A∪B| but containment
+    // |A∩B|/min(|A|,|B|) ≈ 1. Candidates come from the shared
+    // symmetric-LSH stage (at 100 TB a dedicated containment pass
+    // would band per size stratum, since minhash recall drops with
+    // size asymmetry — the gate's semantics don't change). The
+    // smaller side is reported as the contained doc.
+    "q146_containment" -> { (s, dir) =>
+      val cand = candPairs(s, dir)
+      val shs = shingleRows(s, dir)
+      cand
+        .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("n_inter",
+          expr(s"size(${S.arrIntersect("sa.sh", "sb.sh")})").cast("long"))
+        .withColumn("n_a", expr("size(sa.sh)").cast("long"))
+        .withColumn("n_b", expr("size(sb.sh)").cast("long"))
+        .withColumn("containment",
+          expr("CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)"))
+        .filter(col("containment") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          col("n_a"), col("n_b"), col("containment"),
+          expr("CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END").as("contained_doc"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Rank-based score calibration across sources (quantile
+    // normalization): raw per-doc scores are not comparable across
+    // domains — a "long" doc in one source is median in another — so
+    // each source maps its docs onto decile ranks before any global
+    // threshold applies. row_number with a doc_id tiebreak + integer
+    // decile arithmetic: no floats anywhere, one window shuffle per
+    // source partition.
+    "q147_score_calibration" -> { (s, dir) =>
+      val scored = docsWithToks(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("nt"))
+      val w = Window.partitionBy("source").orderBy("nt", "doc_id")
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("decile", expr("(rn - 1) * 10 div n"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("nt").as("min_nt"), max("nt").as("max_nt"))
+        .orderBy("source", "decile")
+    },
+
     // Cross-document repeated-span detection — the substring-level
     // dedup signal (the suffix-array "dedup training data" shape,
     // approximated distributively with 16-token shingle fingerprints):
@@ -1175,6 +1224,44 @@ object TextOps {
          |SELECT doc_a, doc_b, n_inter, sz - n_inter AS n_union,
          | CAST(n_inter AS DOUBLE) / (sz - n_inter) AS jaccard
          |FROM j ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q146_containment" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(${D.size(D.arrIntersect("sa.sh", "sb.sh"))} AS BIGINT) AS n_inter,
+         |    CAST(${D.size("sa.sh")} AS BIGINT) AS n_a,
+         |    CAST(${D.size("sb.sh")} AS BIGINT) AS n_b
+         |  FROM cand
+         |  JOIN f sa ON cand.doc_a = sa.doc_id
+         |  JOIN f sb ON cand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, n_inter, n_a, n_b,
+         | CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment,
+         | CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc
+         |FROM j
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q147_score_calibration" ->
+      s"""$duckBase,
+         |sc AS (
+         |  SELECT source, doc_id, CAST(${D.size("toks")} AS BIGINT) AS nt
+         |  FROM (SELECT doc_id, ${D.tokens("text")} AS toks, source FROM documents)),
+         |r AS (
+         |  SELECT source, nt,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM sc)
+         |SELECT source, (rn - 1) * 10 // n AS decile,
+         |  count(*) AS n_docs, min(nt) AS min_nt, max(nt) AS max_nt
+         |FROM r GROUP BY source, decile
+         |ORDER BY source, decile""".stripMargin,
 
     "q31_dedup_simhash" ->
       s"""$duckBase,
