@@ -127,38 +127,73 @@ object SchemaOps {
     df.select(aligned ++ extras: _*)
   }
 
-  /** Propose the narrowest safe schema from a sample — the reference's
-    * opt_dtype (shrink numerics, parse numeric/bool strings). Returns
-    * only the fields that would change.
+  /** Propose the narrowest safe schema — the reference's opt_dtype
+    * (shrink numerics, parse numeric/bool strings). Returns only the
+    * fields that would change.
+    *
+    * Two passes, each column-pruned:
+    *  1. SAMPLE (`limit(sampleRows)`) decides string parse CANDIDACY
+    *     only — the one check whose cost is try_cast work per row.
+    *  2. EXACT full-frame aggregate computes the numeric min/max and
+    *     confirms candidate strings (bad-parse counts + exact parsed
+    *     bounds). Widths chosen from a sample would be lossy whenever
+    *     the sampled prefix under-represents the value range (a
+    *     key-sorted layout guarantees it does); strict verification
+    *     would then reject the plan at exactly the scale where the
+    *     rewrite matters. Exact bounds cost one pruned scan — the
+    *     same work a strict verify pays anyway. (When a stats sidecar
+    *     exists, its exact bigint lanes could replace the numeric
+    *     half of pass 2 footer-only; not wired up here to keep
+    *     SchemaOps dataset-agnostic.)
     */
   def optDtype(df: DataFrame, sampleRows: Int = 10000,
                exclude: Seq[String] = Nil): Map[String, DataType] = {
     val fields = df.schema.fields.filterNot(f => exclude.contains(f.name))
     if (fields.isEmpty) return Map.empty
-    val sample = df.select(fields.map(f => col(f.name)): _*).limit(sampleRows)
 
-    val aggs: Seq[Column] = fields.toSeq.flatMap { f =>
+    def asLong(n: String) = expr(s"try_cast(`$n` AS BIGINT)")
+    def asDbl(n: String) = expr(s"try_cast(`$n` AS DOUBLE)")
+
+    // pass 1: string parse candidacy from the sample
+    val strFields = fields.filter(_.dataType == StringType).map(_.name).toSeq
+    val candidacy: Map[String, String] = if (strFields.isEmpty) Map.empty else {
+      val sAggs = strFields.flatMap { n =>
+        Seq(
+          count(col(n)).as(s"${n}__n"),
+          count(when(col(n).isNotNull && asLong(n).isNull, 1)).as(s"${n}__badint"),
+          count(when(col(n).isNotNull && asDbl(n).isNull, 1)).as(s"${n}__baddbl"))
+      }
+      val r = df.select(strFields.map(col): _*).limit(sampleRows)
+        .agg(sAggs.head, sAggs.tail: _*).collect()(0)
+      def g(n: String) = r.getLong(r.fieldIndex(n))
+      strFields.flatMap { n =>
+        if (g(s"${n}__n") == 0L) None
+        else if (g(s"${n}__badint") == 0L) Some(n -> "int")
+        else if (g(s"${n}__baddbl") == 0L) Some(n -> "double")
+        else None
+      }.toMap
+    }
+
+    // pass 2: exact bounds for numeric fields + candidate confirmation
+    val eAggs: Seq[Column] = fields.toSeq.flatMap { f =>
       f.dataType match {
         case ByteType => Nil
         case ShortType | IntegerType | LongType => Seq(
           min(col(f.name)).cast(LongType).as(s"${f.name}__min"),
           max(col(f.name)).cast(LongType).as(s"${f.name}__max"))
-        case StringType =>
-          // try_cast: under ANSI mode (Spark 4 default) a plain cast
-          // of a malformed string throws instead of returning null
-          val asLong = expr(s"try_cast(`${f.name}` AS BIGINT)")
-          val asDbl = expr(s"try_cast(`${f.name}` AS DOUBLE)")
+        case StringType if candidacy.contains(f.name) =>
+          val n = f.name
           Seq(
-            count(col(f.name)).as(s"${f.name}__n"),
-            count(when(col(f.name).isNotNull && asLong.isNull, 1)).as(s"${f.name}__badint"),
-            count(when(col(f.name).isNotNull && asDbl.isNull, 1)).as(s"${f.name}__baddbl"),
-            min(asLong).as(s"${f.name}__min"),
-            max(asLong).as(s"${f.name}__max"))
+            count(col(n)).as(s"${n}__n"),
+            count(when(col(n).isNotNull && asLong(n).isNull, 1)).as(s"${n}__badint"),
+            count(when(col(n).isNotNull && asDbl(n).isNull, 1)).as(s"${n}__baddbl"),
+            min(asLong(n)).as(s"${n}__min"),
+            max(asLong(n)).as(s"${n}__max"))
         case _ => Nil
       }
     }
-    if (aggs.isEmpty) return Map.empty
-    val row = sample.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (eAggs.isEmpty) return Map.empty
+    val row = df.agg(eAggs.head, eAggs.tail: _*).collect()(0)
 
     def lv(name: String): Option[Long] =
       if (row.isNullAt(row.fieldIndex(name))) None else Some(row.getLong(row.fieldIndex(name)))
@@ -170,15 +205,15 @@ object SchemaOps {
             mn <- lv(s"${f.name}__min"); mx <- lv(s"${f.name}__max")
             t = narrowestInt(mn, mx) if t != f.dataType && ladder(t) < ladder(f.dataType)
           } yield f.name -> t
-        case StringType =>
-          val n = lv(s"${f.name}__n").getOrElse(0L)
-          if (n == 0) None
-          else if (lv(s"${f.name}__badint").contains(0L))
-            (lv(s"${f.name}__min"), lv(s"${f.name}__max")) match {
-              case (Some(mn), Some(mx)) => Some(f.name -> narrowestInt(mn, mx))
+        case StringType if candidacy.contains(f.name) =>
+          val n = f.name
+          if (lv(s"${n}__n").getOrElse(0L) == 0L) None
+          else if (lv(s"${n}__badint").contains(0L))
+            (lv(s"${n}__min"), lv(s"${n}__max")) match {
+              case (Some(mn), Some(mx)) => Some(n -> narrowestInt(mn, mx))
               case _ => None
             }
-          else if (lv(s"${f.name}__baddbl").contains(0L)) Some(f.name -> DoubleType)
+          else if (lv(s"${n}__baddbl").contains(0L)) Some(n -> DoubleType)
           else None
         case _ => None
       }

@@ -106,16 +106,28 @@ object Merge {
     * from the source — at scale this prunes target row groups before
     * the anti-join probe even runs (the ranges push down to parquet).
     */
-  private def deltaPrefilter(src: DataFrame, tgt: DataFrame,
-                             ks: Seq[String]): DataFrame = {
+  private def keyBounds(src: DataFrame, ks: Seq[String]): org.apache.spark.sql.Row = {
     val aggs = ks.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
-    val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    src.agg(aggs.head, aggs.tail: _*).collect()(0)
+  }
+
+  /** Bound a target read by the source's key min/max — rows outside
+    * the range can never match a source key (null keys keep the
+    * isNull arm for `<=>` matches), so every merge-side target scan
+    * is safe to range-restrict and the predicates push down to
+    * parquet row groups.
+    */
+  private def rangeBound(tgt: DataFrame, ks: Seq[String],
+                         row: org.apache.spark.sql.Row): DataFrame =
     ks.zipWithIndex.foldLeft(tgt) { case (t, (k, i)) =>
       val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
       if (mn == null || mx == null) t
       else t.filter(col(k).isNull || col(k).between(lit(mn), lit(mx)))
     }
-  }
+
+  private def deltaPrefilter(src: DataFrame, tgt: DataFrame,
+                             ks: Seq[String]): DataFrame =
+    rangeBound(tgt, ks, keyBounds(src, ks))
 
   private def doInsert(ds: ParquetDataset, src: DataFrame,
                        ks: Seq[String], partCols: Seq[String]): MergeResult = {
@@ -142,31 +154,37 @@ object Merge {
                        insertRemainder: Boolean): MergeResult = {
     val spark = ds.spark
     val path = ds.path
+    // every target-side scan below is range-bounded by the source's
+    // key min/max (the reference's delta pre-filter) — the predicates
+    // push down to parquet, so target row groups outside the update's
+    // key range are never decoded
+    val bounds = keyBounds(src, ks)
     val target = spark.read.parquet(path)
-    val tgtF = target.withColumn("__file", input_file_name())
+    val tgtF = rangeBound(target, ks, bounds).withColumn("__file", input_file_name())
 
     val joinKeysOnly = src.select(ks.map(k => col(k).as(s"__k_$k")): _*).distinct()
     def keyCond(t: DataFrame): Column =
       ks.map(k => t(k) <=> col(s"__k_$k")).reduce(_ && _)
 
-    // partition-change rejection (tests/test_dataset_merge.py:400-427):
-    // the source row's partition value must equal the matched target
-    // row's — compare via a renamed source projection
+    // ONE bounded pass over the target yields both the matched-file
+    // set (only these are rewritten) and the partition-change
+    // rejection (tests/test_dataset_merge.py:400-427: a source row's
+    // partition value must equal the matched target row's). Keys are
+    // unique after dedupLastWins, so the inner join cannot multiply.
     val srcPartCols = partCols.filter(src.columns.contains)
-    if (srcPartCols.nonEmpty) {
-      val srcP = src.select(ks.map(k => col(k).as(s"__k_$k")) ++
-        srcPartCols.map(p => col(p).as(s"__p_$p")): _*)
-      val viol = tgtF.join(srcP, keyCond(tgtF), "inner")
-        .filter(srcPartCols.map(p => !(col(p) <=> col(s"__p_$p"))).reduce(_ || _))
-        .limit(1).count()
-      if (viol > 0)
-        throw new IllegalArgumentException(
-          "merge update would change a partition value; rewrite rejected")
-    }
-
-    // files containing matched rows — only these are rewritten
-    val affectedAbs = tgtF.join(joinKeysOnly, keyCond(tgtF), "left_semi")
-      .select("__file").distinct().collect().map(r => FsUtil.stripScheme(r.getString(0)))
+    val srcProj = src.select(ks.map(k => col(k).as(s"__k_$k")) ++
+      srcPartCols.map(p => col(p).as(s"__p_$p")): _*)
+    val violFlag: Column =
+      if (srcPartCols.isEmpty) lit(0)
+      else srcPartCols.map(p => !(col(p) <=> col(s"__p_$p")))
+        .reduce(_ || _).cast("int")
+    val perFile = tgtF.join(srcProj, keyCond(tgtF), "inner")
+      .groupBy("__file").agg(max(violFlag).as("__viol"))
+      .collect()
+    if (perFile.exists(_.getInt(1) > 0))
+      throw new IllegalArgumentException(
+        "merge update would change a partition value; rewrite rejected")
+    val affectedAbs = perFile.map(r => FsUtil.stripScheme(r.getString(0)))
     val affectedRel = affectedAbs.map(f => FsUtil.relativize(path, f)).sorted.toSeq
 
     val allRel = ds.relFiles
@@ -198,7 +216,9 @@ object Merge {
     }
 
     if (insertRemainder) {
-      val tgtKeys = spark.read.parquet(path)
+      // bounded too: target keys outside the source's range can never
+      // anti-match a source row
+      val tgtKeys = rangeBound(spark.read.parquet(path), ks, bounds)
         .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
       val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
       val newRows = src.join(tgtKeys, cond, "left_anti").cache()

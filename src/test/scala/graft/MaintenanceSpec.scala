@@ -173,27 +173,46 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(ds.stats.isEmpty)
   }
 
-  test("failed staged rewrite preserves data and sidecar (failure contract)") {
-    val dir = tmpDir("fail")
+  test("optimizeDtypes plans from exact bounds — a prefix-biased sample cannot produce a lossy width") {
+    val dir = tmpDir("exact")
     val ds = new ParquetDataset(spark, dir)
-    // 'n' holds values that CANNOT all cast to the type the sample
-    // suggests: head rows look tiny but a later value overflows byte
+    // head file looks byte-sized; a later file overflows byte AND
+    // short — a sample-planned width would be lossy here and strict
+    // mode would reject the whole rewrite at exactly the scale where
+    // narrowing matters (the key-sorted-layout failure seen at sf0.1)
     Seq.tabulate(5)(i => (i.toLong, i.toString)).toDF("n", "s")
       .coalesce(1).write.mode("append").parquet(dir)
     Seq((99999L, "99999")).toDF("n", "s")
       .coalesce(1).write.mode("append").parquet(dir)
     ds.updateStats()
+
+    val plan = Maintenance.optimizeDtypes(ds, sampleRows = 5, strict = true)
+    assert(plan.changes.map(c => c.column -> c.to).toSet ==
+      Set("n" -> "int", "s" -> "int"))
+    assert(ds.df.schema("n").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(ds.df.select("n").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(0, 1, 2, 3, 4, 99999))
+  }
+
+  test("failed staged rewrite preserves data and sidecar (failure contract)") {
+    import java.sql.Timestamp
+    val dir = tmpDir("fail")
+    val ds = new ParquetDataset(spark, dir)
+    Seq(Timestamp.valueOf("2024-03-01 10:00:00"))
+      .toDF("ts").coalesce(1).write.mode("append").parquet(dir)
+    ds.updateStats()
     val statsBefore = ds.stats.get.collect().length
     val filesBefore = ds.relFiles
 
-    // strict mode detects the lossy cast up front and refuses
-    val e = intercept[IllegalArgumentException] {
-      Maintenance.optimizeDtypes(ds, sampleRows = 5, strict = true)
+    // the tz transform executes INSIDE the staged write; an invalid
+    // zone fails there, after planning — the staged-swap contract must
+    // leave originals and sidecar untouched
+    intercept[graft.operators.StagedRewriteException] {
+      Maintenance.optimizeDtypes(ds, tz = Some("Not/AZone"), removeTz = true)
     }
-    assert(e.getMessage.contains("lossy"))
     assert(ds.relFiles == filesBefore)
     assert(ds.stats.get.collect().length == statsBefore)
-    assert(ds.df.count() == 6)
+    assert(ds.df.count() == 1)
   }
 
   test("interval parsing") {
