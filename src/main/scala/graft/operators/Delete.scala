@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.sources.{FsUtil, ParquetDataset, WriteConfig, WritePipeline}
+
+/** Result of a row-level delete — mirrors MergeResult's file
+  * accounting.
+  */
+final case class DeleteResult(
+    deleted: Long,
+    rewrittenFiles: Seq[String],
+    preservedFiles: Seq[String])
+
+/** Row-level DELETE WHERE with copy-on-write file rewrites — the
+  * mutation the reference reaches via filter-scan + overwrite
+  * (pydala/dataset.py delete_files is file-granular only); here rows
+  * matching the predicate are removed and ONLY the files containing
+  * them are rewritten, the merge machinery's discovery pattern.
+  *
+  * Null semantics are SQL DELETE's: a row is deleted when the
+  * predicate is TRUE; FALSE and NULL rows survive.
+  *
+  * Scale notes: the discovery pass filters on the predicate, which
+  * pushes down to parquet — files whose row-group stats exclude the
+  * predicate are never decoded, so deleting a key range from a
+  * key-sorted 100 TB dataset reads only the matching slab. The
+  * rewrite reads exactly the affected files. No shuffle anywhere —
+  * both passes are narrow scans.
+  */
+object Delete {
+
+  def where(ds: ParquetDataset, predicate: String): DeleteResult = {
+    val spark = ds.spark
+    val path = ds.path
+    if (ds.isEmpty) return DeleteResult(0, Nil, Nil)
+
+    val pred = expr(graft.sources.Sanitize(predicate))
+    val tgtF = spark.read.parquet(path).withColumn("__file", input_file_name())
+    val affectedAbs = tgtF.filter(pred)
+      .select("__file").distinct()
+      .collect().map(r => FsUtil.stripScheme(r.getString(0)))
+    val affectedRel = affectedAbs.map(f => FsUtil.relativize(path, f)).sorted.toSeq
+    val preserved = ds.relFiles.filterNot(affectedRel.contains)
+    if (affectedRel.isEmpty) return DeleteResult(0, Nil, preserved)
+
+    val affected = spark.read.option("basePath", path)
+      .parquet(affectedAbs.toIndexedSeq: _*)
+    // TRUE deletes; FALSE and NULL survive
+    val keep = affected.filter(!coalesce(pred, lit(false)))
+    val deleted = affected.count() - keep.count()
+    WritePipeline.write(keep, path,
+      WriteConfig(mode = "append", partitionBy = ds.partitionColumns))
+    FsUtil.delete(path, affectedAbs.toIndexedSeq)
+    spark.catalog.refreshByPath(path)
+    if (ds.stats.nonEmpty) ds.updateStats()
+    DeleteResult(deleted, affectedRel, preserved)
+  }
+}

@@ -280,6 +280,30 @@ object Lifecycle {
         .orderBy("o_orderkey")
     },
 
+    // Row-level DELETE WHERE round trip: a fragmented write, a
+    // predicate delete (copy-on-write — only files containing matched
+    // rows rewrite; the require pins that untouched files survive),
+    // then the read-back aggregate must equal filtering the source
+    // relationally.
+    "q149_delete_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q149")
+      val ds = new ParquetDataset(s, dir)
+      ds.write(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        WriteConfig(mode = "overwrite", partitionBy = Seq("o_orderstatus")))
+      val before = ds.relFiles.toSet
+      val res = graft.operators.Delete.where(ds, "o_orderkey % 13 = 5")
+      require(res.deleted > 0, "q149: nothing deleted")
+      require(res.preservedFiles.forall(before.contains) &&
+        res.rewrittenFiles.nonEmpty,
+        "q149: copy-on-write accounting off")
+      ds.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // Catalog mutation round trip: createTable persists write_args to
     // YAML, writeTable applies them (hive partition_by), and a FRESH
     // catalog instance reloaded from the YAML serves the table through
@@ -483,6 +507,14 @@ object Lifecycle {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM dedup WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q149_delete_roundtrip" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE NOT (o_orderkey % 13 = 5)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q145_bloom_roundtrip" ->
       """WITH b AS (SELECT MAX(o_orderkey) // 4 AS kb FROM orders)

@@ -105,6 +105,37 @@ object StreamOps {
         .orderBy("user_id")
     },
 
+    // Streaming event-time windowed aggregation: hourly tumbling
+    // windows with a watermark, drained in complete mode through
+    // foreachBatch (each batch overwrites the landing dir with full
+    // window state — the final batch has seen every file, so the
+    // read-back equals the batch answer; append mode would hold back
+    // windows the watermark hasn't passed, which is not a fixed set).
+    // value sums stay in exact integer micros-cents (decimal-scaled
+    // long) so cross-batch state accumulation is order-free.
+    "q150_stream_window" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q150s")
+      val out = Lifecycle.tmpDir("q150o")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)").as("vmilli"))
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      val agg = StreamIngest.windowedAgg(
+        streamOf(s, stage, ev.schema), "ts", "event_type", "vmilli",
+        "1 hour", "2 hours")
+      val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", Lifecycle.tmpDir("q150c"))
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      drain(q, "q150", 2)
+      s.read.parquet(out)
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("total_value").as("vmilli_sum"))
+        .orderBy("win_start", "event_type")
+    },
+
     // Streaming CDC upsert: base orders replay first (mtimes
     // back-dated 60 s so the oldest-first FileStreamSource provably
     // orders base before updates), then an update batch triples the
@@ -153,6 +184,16 @@ object StreamOps {
         | COUNT(DISTINCT event_id) AS n_distinct
         |FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q150_stream_window" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS win_start,
+        | event_type,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)) AS BIGINT)
+        |   AS vmilli_sum
+        |FROM events
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "q135_stream_upsert" ->
       """SELECT o_orderstatus,

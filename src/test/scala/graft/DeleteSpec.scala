@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Delete
+import graft.sources.ParquetDataset
+
+/** Row-level DELETE WHERE: copy-on-write rewrites touch only files
+  * containing matched rows; SQL null semantics (TRUE deletes, FALSE
+  * and NULL survive).
+  */
+class DeleteSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("deletes matching rows, rewrites only affected files") {
+    val dir = tmpDir("del")
+    val ds = new ParquetDataset(spark, dir)
+    // two files with disjoint key ranges; the predicate hits only one
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((10L, "c"), (11L, "d")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    ds.updateStats()
+    val before = ds.relFiles
+
+    val res = Delete.where(ds, "k = 10")
+    assert(res.deleted == 1)
+    assert(res.rewrittenFiles.size == 1)
+    assert(res.preservedFiles.size == 1)
+    // the untouched file survives physically
+    assert(ds.relFiles.intersect(before).toSet == res.preservedFiles.toSet)
+    assert(ds.df.orderBy("k").select("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 11L))
+    // sidecar reconciled with the rewrite
+    assert(ds.stats.get.select("file_path").distinct().count() ==
+      ds.relFiles.size)
+  }
+
+  test("NULL predicate rows survive (SQL delete semantics)") {
+    val dir = tmpDir("delnull")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+
+    val res = Delete.where(ds, "v = 'x'") // NULL v → predicate NULL → survives
+    assert(res.deleted == 1)
+    assert(ds.df.orderBy("k").select("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 3L))
+  }
+
+  test("no matches: nothing rewritten, empty dataset no-op") {
+    val dir = tmpDir("delnone")
+    val ds = new ParquetDataset(spark, dir)
+    assert(Delete.where(ds, "1 = 1").deleted == 0)
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    val res = Delete.where(ds, "k = 99")
+    assert(res.deleted == 0 && res.rewrittenFiles.isEmpty &&
+      res.preservedFiles.size == 1)
+    assert(ds.df.count() == 1)
+  }
+}
