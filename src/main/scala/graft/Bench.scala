@@ -36,6 +36,10 @@ object Bench {
     }
     spark.sharedState.cacheManager.clearCache() // drop warm-dir caches
     graft.core.Tables.dropMemos(spark) // and the memo maps pointing at them
+    // compact the heap before timing starts: the warm phase leaves
+    // dead cache blocks and streaming scaffolding whose collection
+    // would otherwise land inside the first measured queries
+    System.gc()
     // min of three runs per query: single runs vary ±30% from GC and
     // stage-scheduling jitter at this scale; the min is the stable
     // estimator of the plan's actual cost

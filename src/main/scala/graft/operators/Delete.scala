@@ -43,16 +43,20 @@ object Delete {
     val preserved = ds.relFiles.filterNot(affectedRel.contains)
     if (affectedRel.isEmpty) return DeleteResult(0, Nil, preserved)
 
+    // cache the affected slab: the two counts and the rewrite all
+    // traverse it (the Merge intermediates pattern)
     val affected = spark.read.option("basePath", path)
-      .parquet(affectedAbs.toIndexedSeq: _*)
-    // TRUE deletes; FALSE and NULL survive
-    val keep = affected.filter(!coalesce(pred, lit(false)))
-    val deleted = affected.count() - keep.count()
-    WritePipeline.write(keep, path,
-      WriteConfig(mode = "append", partitionBy = ds.partitionColumns))
-    FsUtil.delete(path, affectedAbs.toIndexedSeq)
-    spark.catalog.refreshByPath(path)
-    if (ds.stats.nonEmpty) ds.updateStats()
-    DeleteResult(deleted, affectedRel, preserved)
+      .parquet(affectedAbs.toIndexedSeq: _*).cache()
+    try {
+      // TRUE deletes; FALSE and NULL survive
+      val keep = affected.filter(!coalesce(pred, lit(false)))
+      val deleted = affected.count() - keep.count()
+      WritePipeline.write(keep, path,
+        WriteConfig(mode = "append", partitionBy = ds.partitionColumns))
+      FsUtil.delete(path, affectedAbs.toIndexedSeq)
+      spark.catalog.refreshByPath(path)
+      if (ds.stats.nonEmpty) ds.updateStats()
+      DeleteResult(deleted, affectedRel, preserved)
+    } finally { affected.unpersist(); () }
   }
 }

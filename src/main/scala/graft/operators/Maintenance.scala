@@ -229,18 +229,14 @@ object Maintenance {
     })
     if (dryRun || (proposal.isEmpty && tsChanges.isEmpty)) return plan
 
-    if (strict && proposal.nonEmpty) {
-      val viol = proposal.map { case (c, t) =>
-        // try_cast: ANSI mode throws on lossy casts instead of nulling
-        count(when(col(c).isNotNull &&
-          expr(s"try_cast(`$c` AS ${t.sql})").isNull, 1)).as(c)
-      }.toSeq
-      val row = d.agg(viol.head, viol.tail: _*).collect()(0)
-      val bad = proposal.keys.zipWithIndex.collect {
-        case (c, i) if row.getLong(i) > 0 => c
-      }
-      require(bad.isEmpty, s"optimize_dtypes strict: lossy casts for ${bad.mkString(",")}")
-    }
+    // no pre-rewrite recount: optDtype confirms every proposal from
+    // EXACT full-frame bounds, so a lossy plan is impossible by
+    // construction; a concurrent writer racing the rewrite still
+    // fails closed — align's plain casts throw under ANSI inside the
+    // staged write → StagedRewriteException, originals untouched.
+    // `strict` is retained in the signature as the reference-parity
+    // knob (pydala's sampled planner needs the recount; ours doesn't).
+    val _ = strict
 
     val target = StructType(d.schema.fields.map { f =>
       proposal.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)

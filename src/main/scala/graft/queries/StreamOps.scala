@@ -50,6 +50,12 @@ object StreamOps {
     q.processAllAvailable()
     val batches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
+    // a stopped query leaves its state-store providers (and their
+    // maintenance thread) loaded in the executor; across a 150-query
+    // suite that retained state is pure memory pressure on every
+    // LATER query (the r2 q08/q09 regression signature). Unload them —
+    // a future streaming query reloads from its checkpoint.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     require(batches >= minBatches,
       s"$tag: expected >= $minBatches non-empty micro-batches, got $batches")
   }

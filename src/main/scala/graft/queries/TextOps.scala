@@ -1085,7 +1085,7 @@ object TextOps {
       scored
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-        .withColumn("decile", expr("(rn - 1) * 10 div n"))
+        .withColumn("decile", expr("(CAST(rn AS BIGINT) - 1) * 10 div n"))
         .groupBy("source", "decile")
         .agg(count(lit(1)).as("n_docs"),
           min("nt").as("min_nt"), max("nt").as("max_nt"))

@@ -74,12 +74,15 @@ final class CsvDataset(val spark: SparkSession, val path: String,
   */
 final class JsonDataset(val spark: SparkSession, val path: String,
                         optimizeDtypes: Boolean = false) {
+  // the dtype proposal costs a data scan (exact bounds) — plan it
+  // once per dataset instance, not on every df access
+  private lazy val dtypeProposal: Map[String, org.apache.spark.sql.types.DataType] =
+    graft.functions.SchemaOps.optDtype(spark.read.json(path))
   def df: DataFrame = {
     val raw = spark.read.json(path)
     if (!optimizeDtypes) raw
-    else {
-      val prop = graft.functions.SchemaOps.optDtype(raw)
-      prop.foldLeft(raw) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+    else dtypeProposal.foldLeft(raw) { case (d, (c, t)) =>
+      d.withColumn(c, col(c).cast(t))
     }
   }
   def table: Table = Table(df)
