@@ -307,6 +307,39 @@ object Lifecycle {
         .orderBy("o_orderstatus")
     },
 
+    // Partition-level change detection — the incremental-processing
+    // primitive: per-partition content digests of two snapshots
+    // (order-free modular sums of row hashes, so the digest is
+    // partition-layout- and shuffle-order-independent), joined to
+    // flag exactly the partitions whose contents differ. At 100 TB
+    // this is what lets a nightly pipeline recompute 3 partitions
+    // instead of 3000: digesting is one narrow map + one partition
+    // agg per snapshot, no row-level diff join anywhere.
+    "q151_partition_digest" -> { (s, d) =>
+      val S = graft.functions.PortableSql.Spark
+      def digest(df: org.apache.spark.sql.DataFrame) = df
+        // the hashed row rendering goes through DECIMAL(18,2) so the
+        // string form is engine-independent (a raw double→string
+        // rendering is not)
+        .select(expr("year(o_orderdate)").as("part"),
+          expr(s"${S.hash64(
+              "concat(o_orderkey, '|', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING))")} % 1000000007")
+            .as("h"))
+        .groupBy("part").agg(sum("h").as("dig"), count(lit(1)).as("n"))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val changed = base.withColumn("o_totalprice",
+        when(col("o_orderkey") % 31 === 7, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      digest(base).as("a")
+        .join(digest(changed).as("b"), col("a.part") === col("b.part"))
+        .select(col("a.part").as("part"),
+          col("a.dig").as("dig_a"), col("b.dig").as("dig_b"),
+          col("a.n").as("n_rows"),
+          (col("a.dig") =!= col("b.dig")).as("changed"))
+        .orderBy("part")
+    },
+
     // Catalog mutation round trip: createTable persists write_args to
     // YAML, writeTable applies them (hive partition_by), and a FRESH
     // catalog instance reloaded from the YAML serves the table through
@@ -518,6 +551,24 @@ object Lifecycle {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 13 = 5)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q151_partition_digest" -> {
+      val D = graft.functions.PortableSql.Duck
+      val h = D.hash64("concat(o_orderkey, '|', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))")
+      s"""WITH a AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS part,
+         |    CAST(sum(($h) % 1000000007) AS BIGINT) AS dig,
+         |    count(*) AS n
+         |  FROM orders GROUP BY part),
+         |b AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS part,
+         |    CAST(sum((${D.hash64("concat(o_orderkey, '|', CAST(CAST(CASE WHEN o_orderkey % 31 = 7 THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR))")}) % 1000000007) AS BIGINT) AS dig
+         |  FROM orders GROUP BY part)
+         |SELECT a.part AS part, a.dig AS dig_a, b.dig AS dig_b,
+         |  a.n AS n_rows, a.dig <> b.dig AS changed
+         |FROM a JOIN b ON a.part = b.part
+         |ORDER BY part""".stripMargin
+    },
 
     "q145_bloom_roundtrip" ->
       """WITH b AS (SELECT MAX(o_orderkey) // 4 AS kb FROM orders)
