@@ -521,13 +521,17 @@ object Relational2 {
       java.nio.file.Files.writeString(yml,
         s"tables:\n  tpch:\n    customer:\n      path: $d/customer.parquet\n      format: parquet\n")
       val cat = new graft.catalog.Catalog(s, yml.toString)
+      // the child relation `c_custkey ∈ {2k, 2k+1}` is expressed as
+      // the EQUI-join `c_custkey div 2 = k` — each recursion round
+      // hash-joins instead of nested-looping (the OR form planned a
+      // BroadcastNestedLoopJoin per round × 20 rounds)
       cat.sql(
         """WITH RECURSIVE tree(k, depth) AS (
           |  SELECT CAST(1 AS BIGINT), 0
           |  UNION ALL
           |  SELECT c.c_custkey, t.depth + 1
           |  FROM tree t JOIN tpch.customer c
-          |    ON c.c_custkey = t.k * 2 OR c.c_custkey = t.k * 2 + 1
+          |    ON c.c_custkey div 2 = t.k
           |  WHERE t.depth < 20
           |)
           |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
@@ -904,7 +908,7 @@ object Relational2 {
         |  UNION ALL
         |  SELECT c.c_custkey, t.depth + 1
         |  FROM tree t JOIN customer c
-        |    ON c.c_custkey = t.k * 2 OR c.c_custkey = t.k * 2 + 1
+        |    ON c.c_custkey // 2 = t.k
         |  WHERE t.depth < 20
         |)
         |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
