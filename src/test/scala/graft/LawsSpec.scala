@@ -160,6 +160,29 @@ class LawsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("delete-where equals the relational filter on random data with nulls") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { trial =>
+      val dir = tmpDir(s"law-del-$trial")
+      val ds = new ParquetDataset(spark, dir)
+      val rows = (1 to 150).map { i =>
+        (rnd.nextInt(40).toLong,
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(10)))
+      }
+      rows.toDF("k", "v").repartition(3).write.mode("append").parquet(dir)
+      val bound = rnd.nextInt(10)
+      // predicate evaluates NULL for null v — those rows must survive
+      val res = graft.operators.Delete.where(ds, s"v >= $bound")
+      val expect = rows.filterNot { case (_, v) => v.exists(_ >= bound) }
+      val got = ds.df.collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      assert(got.sorted.toSeq == expect.map(t => (t._1, t._2)).sorted,
+        s"trial $trial bound $bound")
+      assert(res.deleted == rows.size - expect.size, s"trial $trial count")
+    }
+  }
+
   test("scan pruning is sound on randomized data and predicates") {
     // soundness law: for ANY supported predicate, scan(p).filter(p)
     // returns exactly the rows df.filter(p) returns — pruning may keep
