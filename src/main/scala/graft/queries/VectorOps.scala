@@ -327,6 +327,34 @@ object VectorOps {
         .withColumn("recall", expr("CAST(n_hit AS DOUBLE) / CAST(5 AS DOUBLE)"))
         .select("qid", "n_hit", "recall")
         .orderBy("qid")
+    },
+
+    // Rank-biased overlap (p = 1/2, truncated at 5) between the exact
+    // and LSH top-5 rankings — recall@k treats a hit at rank 1 and
+    // rank 5 the same; RBO weights agreement by depth, which is what
+    // actually predicts downstream retrieval quality. ENTIRELY
+    // integer arithmetic: with p = 1/2 each matched neighbor
+    // contributes iC(max(ra, rb)) where iC(m) = Σ_{d=m..5}
+    // 60·2^(5−d)/d — exact integers (60 = lcm(1..5)); perfect
+    // agreement totals 1860, reported as exact milli-units.
+    "q152_rank_overlap" -> { (s, dir) =>
+      val ex = top5(knnExactPairs(s, dir))
+        .select(col("qid"), col("nb"), col("rank").as("ra"))
+      val ap = top5(knnLshPairs(s, dir))
+        .select(col("qid"), col("nb"), col("rank").as("rb"))
+      val matched = ex.join(ap, Seq("qid", "nb"))
+        .withColumn("c", expr(
+          """CASE greatest(ra, rb) WHEN 1 THEN 1322 WHEN 2 THEN 362
+            | WHEN 3 THEN 122 WHEN 4 THEN 42 ELSE 12 END""".stripMargin))
+      val agg = matched.groupBy("qid")
+        .agg(count(lit(1)).as("nh"), sum("c").as("sc"))
+      ex.select("qid").distinct()
+        .join(agg, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("nh"), lit(0L)).as("n_hit"),
+          coalesce(col("sc"), lit(0L)).as("rbo_scaled"),
+          expr("coalesce(sc, 0) * 1000 div 1860").as("rbo_milli"))
+        .orderBy("qid")
     }
   )
 
@@ -576,6 +604,43 @@ object VectorOps {
          |SELECT q.qid, CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
          | CAST(CAST(coalesce(nh, 0) AS BIGINT) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
          |FROM q LEFT JOIN h ON q.qid = h.qid ORDER BY q.qid""".stripMargin,
+
+    "q152_rank_overlap" ->
+      s"""WITH jx AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         |    ${D.cosine("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |rx AS (
+         |  SELECT qid, nb,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC) AS ra
+         |  FROM jx),
+         |ex AS (SELECT qid, nb, ra FROM rx WHERE ra <= 5),
+         |e AS (
+         |  SELECT vec_id, embedding, ${bucketExpr(D, "embedding")} AS bucket
+         |  FROM embeddings),
+         |jl AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         |    ${D.cosine("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |rl AS (
+         |  SELECT qid, nb,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC) AS rb
+         |  FROM jl),
+         |ap AS (SELECT qid, nb, rb FROM rl WHERE rb <= 5),
+         |m AS (
+         |  SELECT ex.qid, count(*) AS nh,
+         |    CAST(sum(CASE greatest(ex.ra, ap.rb) WHEN 1 THEN 1322 WHEN 2 THEN 362
+         |      WHEN 3 THEN 122 WHEN 4 THEN 42 ELSE 12 END) AS BIGINT) AS sc
+         |  FROM ex JOIN ap ON ex.qid = ap.qid AND ex.nb = ap.nb
+         |  GROUP BY ex.qid),
+         |q AS (SELECT DISTINCT qid FROM ex)
+         |SELECT q.qid,
+         |  CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(sc, 0) AS BIGINT) AS rbo_scaled,
+         |  CAST(coalesce(sc, 0) AS BIGINT) * 1000 // 1860 AS rbo_milli
+         |FROM q LEFT JOIN m ON q.qid = m.qid ORDER BY q.qid""".stripMargin,
 
     "q117_semantic_dedup" ->
       s"""WITH $duckCentroids,
