@@ -340,6 +340,53 @@ object Lifecycle {
         .orderBy("part")
     },
 
+    // Incremental aggregate maintenance — q151's application: carry
+    // forward the old per-partition aggregates for unchanged
+    // partitions and recompute ONLY the partitions whose digests
+    // moved; the oracle checks the maintained state equals a direct
+    // aggregation of the new snapshot. Work scales with the change
+    // set, not the dataset (exact integer cents, so carried and
+    // recomputed lanes are bit-identical by construction).
+    "q153_incremental_agg" -> { (s, d) =>
+      val S = graft.functions.PortableSql.Spark
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      // the modification is scoped to years >= 1999 so earlier
+      // partitions genuinely carry forward — otherwise every digest
+      // moves and the "incremental" path degenerates to a full
+      // recompute without the gate noticing
+      val snapB = base.withColumn("o_totalprice",
+        when(col("o_orderkey") % 31 === 7 &&
+            expr("year(o_orderdate)") >= 1999,
+          col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      def digest(df: org.apache.spark.sql.DataFrame) = df
+        .select(expr("year(o_orderdate)").as("part"),
+          expr(s"${S.hash64(
+              "concat(o_orderkey, '|', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING))")} % 1000000007")
+            .as("h"))
+        .groupBy("part").agg(sum("h").as("dig"))
+      def aggOf(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(expr("year(o_orderdate)").as("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+      val changedParts = digest(base).as("a")
+        .join(digest(snapB).as("b"), col("a.part") === col("b.part"))
+        .filter(col("a.dig") =!= col("b.dig"))
+        .select(col("a.part").as("part"))
+        .cache()
+      val nChanged = changedParts.count()
+      require(nChanged > 0 && nChanged < 7,
+        s"q153: expected a partial change set, got $nChanged/7 partitions")
+      val carried = aggOf(base).join(broadcast(changedParts), Seq("part"), "left_anti")
+      val rebuilt = aggOf(snapB).join(broadcast(changedParts), Seq("part"), "left_semi")
+      carried.unionByName(rebuilt)
+        .select(col("part"), col("n"),
+          expr("CAST(cents AS DOUBLE) / 100.0").as("total"))
+        .orderBy("part")
+    },
+
     // Catalog mutation round trip: createTable persists write_args to
     // YAML, writeTable applies them (hive partition_by), and a FRESH
     // catalog instance reloaded from the YAML serves the table through
@@ -551,6 +598,17 @@ object Lifecycle {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 13 = 5)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q153_incremental_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS part,
+        |  count(*) AS n,
+        |  CAST(CAST(SUM(CAST(CAST(CASE WHEN o_orderkey % 31 = 7
+        |        AND year(o_orderdate) >= 1999
+        |        THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS total
+        |FROM orders
+        |GROUP BY part ORDER BY part""".stripMargin,
 
     "q151_partition_digest" -> {
       val D = graft.functions.PortableSql.Duck
