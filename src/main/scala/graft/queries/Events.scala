@@ -16,10 +16,11 @@ object Events {
   private def dec(name: String, p: Int, s: Int): Column =
     col(name).cast(DecimalType(p, s))
 
-  /** (user_id, event_id, tsu, session_id) — the 30-min-gap
+  /** (user_id, event_id, event_type, tsu, session_id) — the 30-min-gap
     * sessionization (gap-and-island over integer microseconds), shared
-    * by q21 and the concurrency sweep q104; its oracle twin is
-    * [[duckSessionCtes]].
+    * by q21, the concurrency sweep q104, and the transition matrix
+    * q155 (the only consumer of event_type — column pruning drops it
+    * from the others' plans); its oracle twin is [[duckSessionCtes]].
     */
   private def sessionized(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
@@ -31,20 +32,20 @@ object Events {
         when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum("new_session").over(run))
-      .select("user_id", "event_id", "tsu", "session_id")
+      .select("user_id", "event_id", "event_type", "tsu", "session_id")
   }
 
-  /** Shared oracle text: e → flagged → g session CTEs (q21, q104). */
+  /** Shared oracle text: e → flagged → g session CTEs (q21, q104, q155). */
   private val duckSessionCtes: String =
     """e AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events
       |), flagged AS (
-      |  SELECT user_id, event_id, tsu,
+      |  SELECT user_id, event_id, event_type, tsu,
       |    CASE WHEN LAG(tsu) OVER w IS NULL OR tsu - LAG(tsu) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
       |), g AS (
-      |  SELECT user_id, tsu,
+      |  SELECT user_id, event_id, event_type, tsu,
       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
@@ -355,6 +356,83 @@ object Events {
       spine.join(counts, Seq("wk"), "left")
         .select(col("wk"), coalesce(col("n_events"), lit(0L)).as("n_events"))
         .orderBy("wk")
+    },
+
+    // Last-touch revenue attribution: every purchase credits the
+    // user's most recent preceding non-purchase event (the marketing
+    // "last touch"); revenue rolls up per touch type, with purchases
+    // that have no prior touch landing in an explicit 'none' bucket.
+    // The match is the same backward as-of operator as q50 (one
+    // union + last-non-null carry — never a per-purchase probe), and
+    // money stays in BIGINT cents until one hi/lo double rebuild at
+    // the end (the q08 formula), so the aggregation is codegen'd
+    // primitive math.
+    "q154_attribution" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("tsu", expr("unix_micros(ts)"))
+      // one deterministic touch per (user, instant): the max-event_id
+      // row's type (event_id is unique, so max_by never ties)
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("tsu").as("ttsu"))
+        .agg(max_by(col("event_type"), col("event_id")).as("touch_type"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tsu").as("ptsu"))
+        .agg(expr("CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT)").as("vc"))
+      graft.operators.AsofJoin(purch, touches, Seq("user_id"), "ptsu", "ttsu",
+          Seq("touch_type"))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum("vc").as("rc"))
+        .select(col("touch_type"), col("n_purchases"),
+          expr("(CAST(rc div 1000000 AS DOUBLE) * 1000000.0 + CAST(rc % 1000000 AS DOUBLE)) / 100.0")
+            .as("revenue"))
+        .orderBy("touch_type")
+    },
+
+    // Session Markov transitions: within each 30-min session, count
+    // consecutive event-type bigrams and report each transition's
+    // probability in exact milli-units (integer division — no floats).
+    // Rides the shared sessionized frame: one window pass for the lag,
+    // one aggregation, and a broadcast-sized result (|types|²·sessions'
+    // distinct transitions). The per-row state that a Markov chain
+    // needs is exactly what lag() expresses — no self-join.
+    "q155_transitions" -> { (s, d) =>
+      val w = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("tsu"), col("event_id"))
+      val pairs = sessionized(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum("n").over(Window.partitionBy("prev_type")))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          col("tot").cast("long").as("row_total"),
+          expr("n * 1000 div tot").as("p_milli"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Exponentially-weighted moving average over each user's last 16
+    // events, dyadic weights (w_k = 2^-k): EVERY arithmetic step is
+    // either exact (cents scaling, division by a power of two) or a
+    // correctly-rounded IEEE-754 add applied in the same pinned
+    // left-to-right order on both engines, so the doubles match
+    // bit-for-bit without a rational workaround. 16 lag() terms over
+    // one window spec collapse into a single window exchange; the
+    // fold is plain codegen'd double math — no per-row array state.
+    "q156_ewma" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val base = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val ewmaCents = (0 until 16)
+        .map {
+          case 0 => col("vc").cast("double")
+          case k => coalesce(lag(col("vc"), k).over(w), lit(0L)).cast("double") /
+            lit((1L << k).toDouble)
+        }
+        .reduceLeft(_ + _) // left fold — the pinned add order
+      base
+        .withColumn("ewma", ewmaCents / lit(100.0))
+        .select("user_id", "event_id", "tsu", "ewma")
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -540,6 +618,59 @@ object Events {
         | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q154_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events
+        |), touch AS (
+        |  SELECT user_id, tsu AS ttsu, max_by(event_type, event_id) AS touch_type
+        |  FROM e WHERE event_type <> 'purchase' GROUP BY user_id, tsu
+        |), purch AS (
+        |  SELECT user_id, tsu AS ptsu,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS vc
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu
+        |), j AS (
+        |  SELECT p.vc, t.touch_type
+        |  FROM purch p ASOF LEFT JOIN touch t
+        |    ON p.user_id = t.user_id AND p.ptsu >= t.ttsu
+        |)
+        |SELECT coalesce(touch_type, 'none') AS touch_type,
+        |  count(*) AS n_purchases,
+        |  (CAST(SUM(vc) // 1000000 AS DOUBLE) * 1000000.0
+        |    + CAST(SUM(vc) % 1000000 AS DOUBLE)) / 100.0 AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q155_transitions" ->
+      s"""WITH $duckSessionCtes,
+         |p AS (
+         |  SELECT event_type,
+         |    LAG(event_type) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY tsu, event_id) AS prev_type
+         |  FROM g),
+         |c AS (
+         |  SELECT prev_type, event_type AS next_type, count(*) AS n
+         |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, next_type, n,
+         |  CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+         |  n * 1000 // CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_milli
+         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    "q156_ewma" -> {
+      val terms = (0 until 16).map {
+        case 0 => "CAST(vc AS DOUBLE)"
+        case k => s"CAST(COALESCE(LAG(vc, $k) OVER w, 0) AS DOUBLE) / ${1L << k}.0"
+      }.mkString(" + ") // left-assoc parse = the Spark fold order
+      s"""WITH v AS (
+         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+         |  FROM events)
+         |SELECT user_id, event_id, tsu,
+         |  ($terms) / 100.0 AS ewma
+         |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    },
 
     "q64_retention" ->
       """WITH w AS (

@@ -11,8 +11,9 @@ import graft.streaming.StreamIngest
   * StreamIngest was previously spec-only (MemoryStream unit tests);
   * these queries put the streaming paths under the same DuckDB hash
   * gate as everything else. Each stages a source table as several
-  * parquet files, streams them back with `maxFilesPerTrigger=1` (so
-  * the run genuinely crosses micro-batch boundaries), lands the
+  * parquet files, streams them back with a `maxFilesPerTrigger` below
+  * the file count (so the run genuinely crosses micro-batch
+  * boundaries — `drain` asserts it), lands the
   * result through the streaming sink under test, and returns a
   * deterministic batch aggregate of the read-back — the oracle
   * computes the relational equivalent straight from the source
@@ -38,8 +39,30 @@ import graft.streaming.StreamIngest
 object StreamOps {
 
   private def streamOf(s: SparkSession, stage: String,
-                       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+                       schema: org.apache.spark.sql.types.StructType,
+                       filesPerTrigger: Int = 2): DataFrame =
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(stage)
+
+  /** Run `body` with `spark.sql.shuffle.partitions` lowered to `n`.
+    *
+    * Stateful streaming keeps one state-store instance PER shuffle
+    * partition PER operator, and every micro-batch commits all of
+    * them — at the suite's 32-partition default that is 32 store
+    * loads + snapshots per batch for state that fits in one. The
+    * partition count is a per-query knob in production streaming
+    * jobs (sized to state volume, not to the batch suite's scan
+    * parallelism); these gates' state is tiny, so 4 is generous.
+    * The previous value is restored before the read-back aggregate,
+    * which SHOULD run at full parallelism.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
 
   /** Drain `q`, assert it actually ran ≥ `minBatches` non-empty
     * micro-batches (otherwise the "streaming" gate silently degrades
@@ -72,10 +95,12 @@ object StreamOps {
       val src = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       src.repartition(4).write.mode("overwrite").parquet(stage)
-      val q = StreamIngest.append(
-        streamOf(s, stage, src.schema), out,
-        WriteConfig(), Lifecycle.tmpDir("q133c"))
-      drain(q, "q133", 2)
+      withShufflePartitions(s, 4) {
+        val q = StreamIngest.append(
+          streamOf(s, stage, src.schema), out,
+          WriteConfig(), Lifecycle.tmpDir("q133c"))
+        drain(q, "q133", 2)
+      }
       val ds = new ParquetDataset(s, out)
       require(ds.stats.nonEmpty, "q133: sidecar missing after streamed appends")
       ds.df.groupBy("o_orderstatus")
@@ -95,15 +120,17 @@ object StreamOps {
       val out = Lifecycle.tmpDir("q134o")
       val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
       ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(stage)
-      val dedup = StreamIngest.dedupedStream(
-        streamOf(s, stage, ev.schema), "ts", Seq("event_id"), "3650 days")
-      val q = dedup.writeStream.outputMode("append")
-        .option("checkpointLocation", Lifecycle.tmpDir("q134c"))
-        .foreachBatch { (b: Dataset[Row], _: Long) =>
-          b.write.mode("append").parquet(out)
-        }
-        .start()
-      drain(q, "q134", 2)
+      withShufflePartitions(s, 4) {
+        val dedup = StreamIngest.dedupedStream(
+          streamOf(s, stage, ev.schema), "ts", Seq("event_id"), "3650 days")
+        val q = dedup.writeStream.outputMode("append")
+          .option("checkpointLocation", Lifecycle.tmpDir("q134c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        drain(q, "q134", 2)
+      }
       s.read.parquet(out)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -126,16 +153,18 @@ object StreamOps {
         .select(col("event_id"), col("ts"), col("event_type"),
           expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)").as("vmilli"))
       ev.repartition(4).write.mode("overwrite").parquet(stage)
-      val agg = StreamIngest.windowedAgg(
-        streamOf(s, stage, ev.schema), "ts", "event_type", "vmilli",
-        "1 hour", "2 hours")
-      val q = agg.writeStream.outputMode("complete")
-        .option("checkpointLocation", Lifecycle.tmpDir("q150c"))
-        .foreachBatch { (b: Dataset[Row], _: Long) =>
-          b.write.mode("overwrite").parquet(out)
-        }
-        .start()
-      drain(q, "q150", 2)
+      withShufflePartitions(s, 4) {
+        val agg = StreamIngest.windowedAgg(
+          streamOf(s, stage, ev.schema), "ts", "event_type", "vmilli",
+          "1 hour", "2 hours")
+        val q = agg.writeStream.outputMode("complete")
+          .option("checkpointLocation", Lifecycle.tmpDir("q150c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        drain(q, "q150", 2)
+      }
       s.read.parquet(out)
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n_events"), col("total_value").as("vmilli_sum"))
@@ -163,10 +192,14 @@ object StreamOps {
       src.filter("o_orderkey % 7 = 0")
         .withColumn("o_totalprice", col("o_totalprice") * 3)
         .coalesce(1).write.mode("append").parquet(stage)
-      val q = StreamIngest.upsert(
-        streamOf(s, stage, src.schema), out, Seq("o_orderkey"),
-        Lifecycle.tmpDir("q135c"))
-      drain(q, "q135", 3)
+      withShufflePartitions(s, 4) {
+        // filesPerTrigger=2: batch 1 takes the two (back-dated) base
+        // files, batch 2 the update — CDC order still guaranteed
+        val q = StreamIngest.upsert(
+          streamOf(s, stage, src.schema), out, Seq("o_orderkey"),
+          Lifecycle.tmpDir("q135c"))
+        drain(q, "q135", 2)
+      }
       new ParquetDataset(s, out).df
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),

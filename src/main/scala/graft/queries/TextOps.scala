@@ -1146,6 +1146,44 @@ object TextOps {
           (col("est").isNotNull && col("est") <= col("n") &&
             col("est") >= col("n") - lit(thresh)).as("est_ok"))
         .orderBy("tok")
+    },
+
+    // Sparse-vector cosine similarity via the inverted index — the
+    // lexical complement to the dense ANN stack (q33/q34/q47): docs are
+    // 3-shingle count vectors, pairs form ONLY through shared postings
+    // (a self-join on the term key — never all-pairs), and hot terms
+    // are dropped by a document-frequency cap, which is what bounds
+    // every posting list (and therefore the join's fan-out) at corpus
+    // scale. All-integer similarity: dot and norms² stay BIGINT and
+    // the score is milli(cos²) by integer division, so the aggregation
+    // is order-free — no float fold to pin. Top-200 by a bounded
+    // WindowGroupLimit heap.
+    "q157_sparse_cosine" -> { (s, dir) =>
+      val dfCap =
+        memoCount(s, s"$dir#ndocs")(docsWithToks(s, dir).count()) / 20
+      val tf = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 3"))
+        .select(col("doc_id"), explode(expr(S.shingles("toks", 3))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, dfCap)).select("tok")
+      val kept = tf.join(rare, Seq("tok"), "left_semi").cache()
+      val norms = kept.groupBy("doc_id")
+        .agg(sum(expr("tf * tf")).cast("long").as("n2"))
+      val dots = kept.as("a").join(kept.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(expr("a.tf * b.tf")).cast("long").as("dot"))
+      val scored = dots
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+        .withColumn("cos2_milli", expr("dot * dot * 1000 div (na2 * nb2)"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cos2_milli").desc, col("doc_a"), col("doc_b"))))
+        .filter(col("rn") <= 200).drop("rn")
+        .select("doc_a", "doc_b", "dot", "na2", "nb2", "cos2_milli")
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -1720,6 +1758,35 @@ object TextOps {
          |FROM pd GROUP BY tok
          |HAVING count(*) BETWEEN 2 AND (SELECT count(*) FROM documents) // 20
          |ORDER BY tok""".stripMargin,
+
+    "q157_sparse_cosine" ->
+      s"""$duckBase,
+         |p AS (
+         |  SELECT doc_id, unnest(${D.shingles("toks", 3)}) AS tok
+         |  FROM base WHERE ${D.size("toks")} >= 3),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM p GROUP BY 1, 2),
+         |rare AS (
+         |  SELECT tok FROM tf GROUP BY tok
+         |  HAVING count(*) BETWEEN 2 AND (SELECT count(*) FROM documents) // 20),
+         |kept AS (SELECT tf.* FROM tf SEMI JOIN rare USING (tok)),
+         |n2 AS (
+         |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+         |  FROM kept GROUP BY doc_id),
+         |d AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_a, doc_b, dot, na.n2 AS na2, nb.n2 AS nb2,
+         |    dot * dot * 1000 // (na.n2 * nb.n2) AS cos2_milli
+         |  FROM d JOIN n2 na ON d.doc_a = na.doc_id
+         |         JOIN n2 nb ON d.doc_b = nb.doc_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY cos2_milli DESC, doc_a, doc_b) AS rn
+         |  FROM sc)
+         |SELECT doc_a, doc_b, dot, na2, nb2, cos2_milli
+         |FROM r WHERE rn <= 200 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q144_span_dedup" ->
       s"""$duckBase,
