@@ -433,6 +433,31 @@ object Events {
         .withColumn("ewma", ewmaCents / lit(100.0))
         .select("user_id", "event_id", "tsu", "ewma")
         .orderBy("user_id", "event_id")
+    },
+
+    // Robust rolling-median spike detection: each event compares its
+    // value against the median of the user's trailing 15 events (full
+    // windows only, so the frame always holds an odd count and the
+    // median is an EXACT member element — integer cents, no
+    // interpolation formula to reconcile). The deviation and the
+    // spike flag are therefore pure integer arithmetic. Median-based
+    // outlier flags resist the exact skew that breaks mean/stddev
+    // z-scores (one whale purchase drags the mean); the 15-row frame
+    // keeps the window state bounded — percentile over a ROWS frame
+    // buffers 15 values per step, not the partition.
+    "q160_rolling_median" -> { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val wMed = wOrd.rowsBetween(-14, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("vc", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("med_c", expr("percentile(vc, 0.5)").over(wMed).cast("long"))
+        .filter(col("rn") >= 15)
+        .withColumn("dev_c", col("vc") - col("med_c"))
+        .select(col("user_id"), col("event_id"), col("vc"), col("med_c"),
+          col("dev_c"), (abs(col("dev_c")) > 5000L).as("is_spike"))
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -671,6 +696,22 @@ object Events {
          |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
          |ORDER BY user_id, event_id""".stripMargin
     },
+
+    "q160_rolling_median" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, vc,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS rn,
+        |    CAST(quantile_cont(vc, 0.5) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_c
+        |  FROM v)
+        |SELECT user_id, event_id, vc, med_c, vc - med_c AS dev_c,
+        |  abs(vc - med_c) > 5000 AS is_spike
+        |FROM r WHERE rn >= 15 ORDER BY user_id, event_id""".stripMargin,
 
     "q64_retention" ->
       """WITH w AS (

@@ -353,6 +353,27 @@ object PipelineOps {
           expr("quota_tokens * 1000 div n_tokens"))
         .select("source", "n_docs", "n_tokens", "quota_tokens", "epochs_milli")
         .orderBy("source")
+    },
+
+    // Deterministic weighted sampling (exponential-clock scheme): each
+    // doc draws a reproducible "uniform" from the portable hash and
+    // its priority is hash div weight — larger weights (longer docs)
+    // get systematically smaller priorities, and the bottom-25 per
+    // source win. The integer division keeps the whole rank integer
+    // (no float RNG to reconcile across engines), and reproducibility
+    // is the property a production corpus sampler actually needs:
+    // re-running the pipeline must select the SAME sample. One narrow
+    // map + one bounded per-source window heap — no global sort.
+    "q159_weighted_sample" -> { (s, dir) =>
+      val ranked = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("prio",
+          expr(s"${S.hash64("concat('wsamp:', doc_id)")} div greatest(n_chars, 1)"))
+      ranked
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))))
+        .filter(col("rn") <= 25).drop("rn")
+        .orderBy("source", "doc_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -557,5 +578,17 @@ object PipelineOps {
          |  FROM r)
          |SELECT source, n_docs, n_tokens, quota_tokens,
          |  quota_tokens * 1000 // n_tokens AS epochs_milli
-         |FROM q ORDER BY source""".stripMargin)
+         |FROM q ORDER BY source""".stripMargin,
+
+    "q159_weighted_sample" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${D.hash64("concat('wsamp:', doc_id)")} // greatest(n_chars, 1) AS prio
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY prio, doc_id) AS rn
+         |  FROM p)
+         |SELECT doc_id, source, n_chars, prio
+         |FROM r WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin)
 }

@@ -355,6 +355,44 @@ object VectorOps {
           coalesce(col("sc"), lit(0L)).as("rbo_scaled"),
           expr("coalesce(sc, 0) * 1000 div 1860").as("rbo_milli"))
         .orderBy("qid")
+    },
+
+    // Product-quantization encoding: the 64-dim vector splits into 4
+    // 16-dim subspaces and each subvector is assigned its nearest
+    // codeword by squared L2 — the 16-byte-per-vector compression an
+    // IVF-PQ index stores instead of raw floats. Codebooks are the
+    // exact per-label centroid means restricted to each subspace
+    // (the same order-pinned construction as q46, so the oracle
+    // reproduces every double bit-for-bit); per-(vector, codeword,
+    // subspace) distances accumulate in ascending-pos order via the
+    // running-window fold, and argmin ties break to the lower label.
+    // The codebook join is a broadcast (K·D doubles); at corpus scale
+    // the encode is one narrow pass over the vectors — the output
+    // codes are 4 small ints, which is the point.
+    "q158_pq_encode" -> { (s, dir) =>
+      val ex = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cents = centroidRows(s, dir)
+        .select(col("label").as("clabel"), col("pos"), col("c"))
+      val w = Window.partitionBy("vec_id", "clabel", "m").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d2 = ex.join(broadcast(cents), Seq("pos"))
+        .withColumn("m", expr("pos div 16"))
+        .withColumn("dd",
+          expr("(CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)"))
+        .withColumn("run", sum("dd").over(w))
+        .groupBy("vec_id", "m", "clabel")
+        .agg(max_by(col("run"), col("pos")).as("d2"))
+      d2.withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("clabel"))))
+        .filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("clabel"))).as("code_0"),
+          max(when(col("m") === 1, col("clabel"))).as("code_1"),
+          max(when(col("m") === 2, col("clabel"))).as("code_2"),
+          max(when(col("m") === 3, col("clabel"))).as("code_3"))
+        .orderBy("vec_id")
     }
   )
 
@@ -641,6 +679,28 @@ object VectorOps {
          |  CAST(coalesce(sc, 0) AS BIGINT) AS rbo_scaled,
          |  CAST(coalesce(sc, 0) AS BIGINT) * 1000 // 1860 AS rbo_milli
          |FROM q LEFT JOIN m ON q.qid = m.qid ORDER BY q.qid""".stripMargin,
+
+    "q158_pq_encode" ->
+      s"""WITH $duckCentroids,
+         |dd AS (
+         |  SELECT e.vec_id, e.pos // 16 AS m, c.label AS clabel, e.pos,
+         |    (e.v::DOUBLE - c.c) * (e.v::DOUBLE - c.c) AS dd
+         |  FROM ex e JOIN cmeans c ON e.pos = c.pos),
+         |d2 AS (
+         |  SELECT vec_id, m, clabel,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(dd ORDER BY pos)),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM dd GROUP BY vec_id, m, clabel),
+         |pk AS (
+         |  SELECT vec_id, m, clabel,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, clabel) AS rn
+         |  FROM d2)
+         |SELECT vec_id,
+         |  MAX(CASE WHEN m = 0 THEN clabel END) AS code_0,
+         |  MAX(CASE WHEN m = 1 THEN clabel END) AS code_1,
+         |  MAX(CASE WHEN m = 2 THEN clabel END) AS code_2,
+         |  MAX(CASE WHEN m = 3 THEN clabel END) AS code_3
+         |FROM pk WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q117_semantic_dedup" ->
       s"""WITH $duckCentroids,
