@@ -458,6 +458,69 @@ object Events {
         .select(col("user_id"), col("event_id"), col("vc"), col("med_c"),
           col("dev_c"), (abs(col("dev_c")) > 5000L).as("is_spike"))
         .orderBy("user_id", "event_id")
+    },
+
+    // Rolling 7-day active users (the DAU/WAU/stickiness triple):
+    // instead of re-scanning a 7-day range per output day (7× the
+    // data, or a range self-join), each distinct (user, day) activity
+    // row is exploded to the ≤7 window-end days it contributes to and
+    // the count-distinct runs once per window — the standard
+    // contribute-forward rewrite that keeps sliding distinct counts
+    // one shuffle. Stickiness (DAU/WAU) is exact milli by integer
+    // division.
+    "q161_rolling_wau" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .cache()
+      val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      // data-relative upper bound stays a lazy broadcast scalar — no
+      // driver-side collect inside the (re-executed) query builder
+      val bounds = ud.agg(max("day").as("hi"))
+      val wau = ud
+        .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("hi")).drop("hi")
+      // left join on wau's spine: every day in [min+0, hi] with any
+      // activity in its trailing week appears, even zero-DAU days
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+          expr("coalesce(dau, 0) * 1000 div wau").as("stickiness_milli"))
+        .orderBy("day")
+    },
+
+    // Ordered three-step funnel within a session: signup, then a
+    // click strictly at-or-after it, then a purchase at-or-after that
+    // click — each stage's timestamp is the conditional min AFTER the
+    // previous stage's, so out-of-order events never count (the
+    // difference between an ordered funnel and three filters). Two
+    // co-partitioned joins back onto the session frame (same keys →
+    // no extra exchange); all comparisons integer micros.
+    "q162_funnel_ordered" -> { (s, d) =>
+      val sess = sessionized(s, d)
+      val keys = Seq("user_id", "session_id")
+      val s1 = sess.filter(col("event_type") === "signup")
+        .groupBy(keys.map(col): _*).agg(min("tsu").as("t1"))
+      val s2 = sess.join(s1, keys)
+        .filter(col("event_type") === "click" && col("tsu") >= col("t1"))
+        .groupBy(keys.map(col): _*).agg(min("tsu").as("t2"))
+      val s3 = sess.join(s2, keys)
+        .filter(col("event_type") === "purchase" && col("tsu") >= col("t2"))
+        .groupBy(keys.map(col): _*).agg(min("tsu").as("t3"))
+      sess.groupBy("user_id")
+        .agg(countDistinct("session_id").as("n_sessions"))
+        .join(s1.groupBy("user_id").agg(count(lit(1)).as("n_signup")),
+          Seq("user_id"), "left")
+        .join(s2.groupBy("user_id").agg(count(lit(1)).as("n_click_after")),
+          Seq("user_id"), "left")
+        .join(s3.groupBy("user_id").agg(count(lit(1)).as("n_full_funnel")),
+          Seq("user_id"), "left")
+        .select(col("user_id"), col("n_sessions"),
+          coalesce(col("n_signup"), lit(0L)).as("n_signup"),
+          coalesce(col("n_click_after"), lit(0L)).as("n_click_after"),
+          coalesce(col("n_full_funnel"), lit(0L)).as("n_full_funnel"))
+        .orderBy("user_id")
     }
   )
 
@@ -712,6 +775,52 @@ object Events {
         |SELECT user_id, event_id, vc, med_c, vc - med_c AS dev_c,
         |  abs(vc - med_c) > 5000 AS is_spike
         |FROM r WHERE rn >= 15 ORDER BY user_id, event_id""".stripMargin,
+
+    "q161_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |b AS (SELECT max(day) AS hi FROM ud),
+        |wx AS (
+        |  SELECT user_id, unnest(range(day, day + 7)) AS day FROM ud),
+        |wau AS (
+        |  SELECT day, count(DISTINCT user_id) AS wau FROM wx
+        |  WHERE day <= (SELECT hi FROM b) GROUP BY day)
+        |SELECT w.day AS day, coalesce(d.dau, 0) AS dau, w.wau AS wau,
+        |  coalesce(d.dau, 0) * 1000 // w.wau AS stickiness_milli
+        |FROM wau w LEFT JOIN dau d ON w.day = d.day
+        |ORDER BY day""".stripMargin,
+
+    "q162_funnel_ordered" ->
+      s"""WITH $duckSessionCtes,
+         |s1 AS (
+         |  SELECT user_id, session_id, min(tsu) AS t1
+         |  FROM g WHERE event_type = 'signup' GROUP BY user_id, session_id),
+         |s2 AS (
+         |  SELECT g.user_id, g.session_id, min(g.tsu) AS t2
+         |  FROM g JOIN s1 ON g.user_id = s1.user_id AND g.session_id = s1.session_id
+         |  WHERE g.event_type = 'click' AND g.tsu >= s1.t1
+         |  GROUP BY g.user_id, g.session_id),
+         |s3 AS (
+         |  SELECT g.user_id, g.session_id, min(g.tsu) AS t3
+         |  FROM g JOIN s2 ON g.user_id = s2.user_id AND g.session_id = s2.session_id
+         |  WHERE g.event_type = 'purchase' AND g.tsu >= s2.t2
+         |  GROUP BY g.user_id, g.session_id),
+         |ns AS (
+         |  SELECT user_id, count(DISTINCT session_id) AS n_sessions
+         |  FROM g GROUP BY user_id),
+         |c1 AS (SELECT user_id, count(*) AS n_signup FROM s1 GROUP BY user_id),
+         |c2 AS (SELECT user_id, count(*) AS n_click_after FROM s2 GROUP BY user_id),
+         |c3 AS (SELECT user_id, count(*) AS n_full_funnel FROM s3 GROUP BY user_id)
+         |SELECT ns.user_id AS user_id, ns.n_sessions,
+         |  coalesce(c1.n_signup, 0) AS n_signup,
+         |  coalesce(c2.n_click_after, 0) AS n_click_after,
+         |  coalesce(c3.n_full_funnel, 0) AS n_full_funnel
+         |FROM ns LEFT JOIN c1 ON ns.user_id = c1.user_id
+         |        LEFT JOIN c2 ON ns.user_id = c2.user_id
+         |        LEFT JOIN c3 ON ns.user_id = c3.user_id
+         |ORDER BY ns.user_id""".stripMargin,
 
     "q64_retention" ->
       """WITH w AS (

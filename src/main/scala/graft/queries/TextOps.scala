@@ -1184,6 +1184,28 @@ object TextOps {
         .filter(col("rn") <= 200).drop("rn")
         .select("doc_a", "doc_b", "dot", "na2", "nb2", "cos2_milli")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Cross-source duplication matrix — which source PAIRS share
+    // repeated content (the provenance view that tells a corpus
+    // curator "crawl B heavily mirrors crawl A"): the shared unit is
+    // the 16-token span fingerprint (q144's substring-dedup signal —
+    // whole-document digests almost never collide across crawls, spans
+    // do), deduped to one row per (source, span) BEFORE the pair
+    // self-join, so the join's fan-out per span is bounded by the
+    // number of sources, never by document count. Spans travel as
+    // 60-bit hashes — 8 bytes each through the one shuffle.
+    "q163_source_overlap" -> { (s, dir) =>
+      val sp = docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 16"))
+        .select(col("source"), explode(expr(S.shingles("toks", 16))).as("span"))
+        .select(col("source"), expr(S.hash64("span")).as("hk"))
+        .distinct().cache()
+      sp.as("a").join(sp.as("b"),
+          col("a.hk") === col("b.hk") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_spans"))
+        .orderBy("src_a", "src_b")
     }
   )
 
@@ -1758,6 +1780,18 @@ object TextOps {
          |FROM pd GROUP BY tok
          |HAVING count(*) BETWEEN 2 AND (SELECT count(*) FROM documents) // 20
          |ORDER BY tok""".stripMargin,
+
+    "q163_source_overlap" ->
+      s"""WITH tk AS (
+         |  SELECT source, ${D.tokens("text")} AS toks FROM documents),
+         |spx AS (
+         |  SELECT source, unnest(${D.shingles("toks", 16)}) AS span
+         |  FROM tk WHERE ${D.size("toks")} >= 16),
+         |sp AS (SELECT DISTINCT source, ${D.hash64("span")} AS hk FROM spx)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS shared_spans
+         |FROM sp a JOIN sp b ON a.hk = b.hk AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q157_sparse_cosine" ->
       s"""$duckBase,

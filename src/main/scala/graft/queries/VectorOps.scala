@@ -370,31 +370,78 @@ object VectorOps {
     // the encode is one narrow pass over the vectors — the output
     // codes are 4 small ints, which is the point.
     "q158_pq_encode" -> { (s, dir) =>
-      val ex = Tables.spread(Tables.embeddings(s, dir))
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      val cents = centroidRows(s, dir)
-        .select(col("label").as("clabel"), col("pos"), col("c"))
-      val w = Window.partitionBy("vec_id", "clabel", "m").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val d2 = ex.join(broadcast(cents), Seq("pos"))
-        .withColumn("m", expr("pos div 16"))
-        .withColumn("dd",
-          expr("(CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)"))
-        .withColumn("run", sum("dd").over(w))
-        .groupBy("vec_id", "m", "clabel")
-        .agg(max_by(col("run"), col("pos")).as("d2"))
-      d2.withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("clabel"))))
-        .filter(col("rn") === 1)
+      pqCodes(s, dir)
         .groupBy("vec_id")
         .agg(
-          max(when(col("m") === 0, col("clabel"))).as("code_0"),
-          max(when(col("m") === 1, col("clabel"))).as("code_1"),
-          max(when(col("m") === 2, col("clabel"))).as("code_2"),
-          max(when(col("m") === 3, col("clabel"))).as("code_3"))
+          max(when(col("m") === 0, col("code"))).as("code_0"),
+          max(when(col("m") === 1, col("code"))).as("code_1"),
+          max(when(col("m") === 2, col("code"))).as("code_2"),
+          max(when(col("m") === 3, col("code"))).as("code_3"))
         .orderBy("vec_id")
+    },
+
+    // PQ asymmetric-distance search (the ADC half of IVF-PQ): each of
+    // the 20 eval queries precomputes its distance TABLE to every
+    // codeword per subspace (which is just the q158 distance frame
+    // restricted to the query rows), and a corpus vector's
+    // approximate distance is then 4 table lookups summed in pinned
+    // subspace order — the corpus's raw floats are never touched at
+    // search time, only its 4-int codes. Candidate rows form by
+    // joining codes to the BROADCAST table on (subspace, codeword);
+    // the per-query top-10 is a bounded window heap, and the output
+    // is all-integer (qid, rank, neighbor).
+    "q164_pq_adc" -> { (s, dir) =>
+      val table = pqD2(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("m"),
+          col("clabel").as("code"), col("d2"))
+      val wRun = Window.partitionBy("qid", "vec_id").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val adc = pqCodes(s, dir)
+        .join(broadcast(table), Seq("m", "code"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("run", sum("d2").over(wRun))
+        .groupBy(col("qid"), col("vec_id").as("nb"))
+        .agg(max_by(col("run"), col("m")).as("adc"))
+      adc.withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc"), col("nb"))))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "nb")
+        .orderBy("qid", "rank")
     }
   )
+
+  /** (vec_id, m, clabel, d2) — squared L2 from every vector's m-th
+    * 16-dim subvector to every per-label codeword, accumulated in
+    * ascending-pos order by the running-window fold (bit-exact on
+    * both engines). Cached: the PQ encode (q158) and the ADC search
+    * table (q164) both read it.
+    */
+  private def pqD2(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.spread(Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val cents = centroidRows(s, dir)
+      .select(col("label").as("clabel"), col("pos"), col("c"))
+    val w = Window.partitionBy("vec_id", "clabel", "m").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ex.join(broadcast(cents), Seq("pos"))
+      .withColumn("m", expr("pos div 16"))
+      .withColumn("dd",
+        expr("(CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)"))
+      .withColumn("run", sum("dd").over(w))
+      .groupBy("vec_id", "m", "clabel")
+      .agg(max_by(col("run"), col("pos")).as("d2"))
+      .cache()
+  }
+
+  /** (vec_id, m, code) — the PQ code: argmin codeword per subspace,
+    * ties to the lower label.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqD2(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("clabel"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("clabel").as("code"))
 
   /** (qid, nb, cos) — all query-to-corpus pairs, brute force. */
   private def knnExactPairs(s: SparkSession, dir: String): DataFrame = {
@@ -701,6 +748,41 @@ object VectorOps {
          |  MAX(CASE WHEN m = 2 THEN clabel END) AS code_2,
          |  MAX(CASE WHEN m = 3 THEN clabel END) AS code_3
          |FROM pk WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q164_pq_adc" ->
+      s"""WITH $duckCentroids,
+         |dd AS (
+         |  SELECT e.vec_id, e.pos // 16 AS m, c.label AS clabel, e.pos,
+         |    (e.v::DOUBLE - c.c) * (e.v::DOUBLE - c.c) AS dd
+         |  FROM ex e JOIN cmeans c ON e.pos = c.pos),
+         |d2 AS (
+         |  SELECT vec_id, m, clabel,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(dd ORDER BY pos)),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM dd GROUP BY vec_id, m, clabel),
+         |pk AS (
+         |  SELECT vec_id, m, clabel,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, clabel) AS rn
+         |  FROM d2),
+         |codes AS (SELECT vec_id, m, clabel AS code FROM pk WHERE rn = 1),
+         |tbl AS (
+         |  SELECT vec_id AS qid, m, clabel AS code, d2 FROM d2
+         |  WHERE vec_id < 20),
+         |terms AS (
+         |  SELECT t.qid, c.vec_id AS nb, c.m, t.d2
+         |  FROM codes c JOIN tbl t ON c.m = t.m AND c.code = t.code
+         |  WHERE t.qid != c.vec_id),
+         |adc AS (
+         |  SELECT qid, nb,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY m)),
+         |      (acc, x) -> acc + x) AS adc
+         |  FROM terms GROUP BY qid, nb),
+         |r AS (
+         |  SELECT qid, nb,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nb) AS rank
+         |  FROM adc)
+         |SELECT qid, rank, nb FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
 
     "q117_semantic_dedup" ->
       s"""WITH $duckCentroids,
