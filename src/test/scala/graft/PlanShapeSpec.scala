@@ -295,4 +295,47 @@ class PlanShapeSpec extends SparkSpecBase {
     // codegen'd operators carry the `*(stageId)` prefix in the final plan
     assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
   }
+
+  test("attribution rides the as-of union — no per-purchase probe join (q154)") {
+    val p = plan("q154_attribution")
+    // the match is the union + last-non-null window carry; a
+    // CartesianProduct or nested-loop probe would be the per-row
+    // anti-pattern AsofJoin exists to avoid
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("sparse cosine drops hot terms before the posting self-join (q157)") {
+    val df = SparkEntry.queries("q157_sparse_cosine")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the df-cap semi join must gate the pair join's inputs — without
+    // it one stop-term's posting list alone drives O(n²) pairs
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("PQ codebook and ADC table joins broadcast — vectors never shuffle for them (q158/q164)") {
+    val p1 = plan("q158_pq_encode")
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    val p2 = plan("q164_pq_adc")
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
+  test("weighted sampling is hash + bounded window — never a join (q159)") {
+    val p = plan("q159_weighted_sample")
+    assert(!p.contains("Join"), p)
+    // per-source top-k plans as the bounded WindowGroupLimit heap
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("rolling WAU explodes contributions — no range self-join (q161)") {
+    val p = plan("q161_rolling_wau")
+    // the contribute-forward rewrite: a Generate (explode) feeds the
+    // distinct count; the only joins are the day-keyed merges and the
+    // broadcast scalar bound
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
