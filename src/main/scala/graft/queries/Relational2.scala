@@ -621,6 +621,76 @@ object Relational2 {
         .filter(col("n_orders") >= 2)
         .select(col("pk_1").as("src"), col("pk_2").as("dst"))
       graft.operators.Triangles.perNode(edges).orderBy("node")
+    },
+
+    // Equi-depth (equal-frequency) price histogram — the optimizer-
+    // statistics bin shape (every bucket holds ~n/10 rows, boundaries
+    // land wherever the data is dense; contrast q59's equal-WIDTH
+    // bins). The bucket id is pinned integer arithmetic over the
+    // global rank — (rn-1)*10 div n — rather than ntile(), whose
+    // remainder-distribution rule would have to be trusted to match
+    // across engines. The global sort is the cost; at corpus scale
+    // the same statistic comes from sampled boundary quantiles, which
+    // q131 already gates.
+    "q166_equidepth" -> { (s, d) =>
+      val v = Tables.lineitem(s, d)
+        .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"),
+          col("l_orderkey"), col("l_linenumber"))
+      val w = Window.orderBy(col("vc"), col("l_orderkey"), col("l_linenumber"))
+      v.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bucket", expr("(CAST(rn AS BIGINT) - 1) * 10 div n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("vc").as("lo_cents"), max("vc").as("hi_cents"))
+        .orderBy("bucket")
+    },
+
+    // Functional-dependency profiling — does column A determine
+    // column B? Exactly when ndv(A) == ndv(A,B). The schema-discovery
+    // primitive behind key detection and normalization advice; three
+    // candidate pairs, each one count-distinct aggregate over orders,
+    // all integers.
+    "q167_fd_profile" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      def probe(a: String, b: String): DataFrame =
+        o.agg(countDistinct(col(a)).as("ndv_a"),
+            countDistinct(col(a), col(b)).as("ndv_ab"))
+          .select(lit(a).as("col_a"), lit(b).as("col_b"),
+            col("ndv_a"), col("ndv_ab"),
+            (col("ndv_a") === col("ndv_ab")).as("is_fd"))
+      probe("o_orderstatus", "o_orderpriority")
+        .unionAll(probe("o_orderkey", "o_custkey"))
+        .unionAll(probe("o_custkey", "o_orderstatus"))
+        .orderBy("col_a", "col_b")
+    },
+
+    // Referential-integrity audit of a filtered export: if only the
+    // 'F'-status orders ship, which fact rows lose their parent? One
+    // semi-join per relation (never a row-level fetch), orphans by
+    // subtraction, coverage in exact milli. The data-quality gate a
+    // pipeline runs BEFORE publishing a snapshot.
+    "q168_ri_audit" -> { (s, d) =>
+      val snap = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d).select("l_orderkey")
+      val liTotal = li.agg(count(lit(1)).as("n_rows"))
+      val liMatched = li.join(snap.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      val cust = Tables.customer(s, d).select("c_custkey")
+      val snapTotal = snap.agg(count(lit(1)).as("n_rows"))
+      val snapMatched = snap.join(cust.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      def shape(rel: String, tot: DataFrame, m: DataFrame): DataFrame =
+        tot.crossJoin(m)
+          .select(lit(rel).as("relation"), col("n_rows"), col("n_matched"),
+            (col("n_rows") - col("n_matched")).as("n_orphans"),
+            expr("n_matched * 1000 div n_rows").as("coverage_milli"))
+      shape("lineitem->orders_F", liTotal, liMatched)
+        .unionAll(shape("orders_F->customer", snapTotal, snapMatched))
+        .orderBy("relation")
     }
   )
 
@@ -964,6 +1034,61 @@ object Relational2 {
         |  SELECT x AS node FROM t
         |  UNION ALL SELECT y FROM t
         |  UNION ALL SELECT z FROM t)
-        |SELECT node, count(*) AS n_tri FROM n GROUP BY node ORDER BY node""".stripMargin
+        |SELECT node, count(*) AS n_tri FROM n GROUP BY node ORDER BY node""".stripMargin,
+
+    "q166_equidepth" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT vc,
+        |    row_number() OVER (ORDER BY vc, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM v)
+        |SELECT (rn - 1) * 10 // n AS bucket, count(*) AS n_rows,
+        |  min(vc) AS lo_cents, max(vc) AS hi_cents
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q167_fd_profile" ->
+      """SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+        |  count(DISTINCT o_orderstatus) AS ndv_a,
+        |  count(DISTINCT (o_orderstatus, o_orderpriority)) AS ndv_ab,
+        |  count(DISTINCT o_orderstatus) = count(DISTINCT (o_orderstatus, o_orderpriority)) AS is_fd
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', 'o_custkey',
+        |  count(DISTINCT o_orderkey),
+        |  count(DISTINCT (o_orderkey, o_custkey)),
+        |  count(DISTINCT o_orderkey) = count(DISTINCT (o_orderkey, o_custkey))
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderstatus',
+        |  count(DISTINCT o_custkey),
+        |  count(DISTINCT (o_custkey, o_orderstatus)),
+        |  count(DISTINCT o_custkey) = count(DISTINCT (o_custkey, o_orderstatus))
+        |FROM orders
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q168_ri_audit" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |li AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) FILTER (l_orderkey IN (SELECT o_orderkey FROM snap)) AS n_matched
+        |  FROM lineitem),
+        |sn AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) FILTER (o_custkey IN (SELECT c_custkey FROM customer)) AS n_matched
+        |  FROM snap)
+        |SELECT 'lineitem->orders_F' AS relation, n_rows, n_matched,
+        |  n_rows - n_matched AS n_orphans,
+        |  n_matched * 1000 // n_rows AS coverage_milli
+        |FROM li
+        |UNION ALL
+        |SELECT 'orders_F->customer', n_rows, n_matched,
+        |  n_rows - n_matched, n_matched * 1000 // n_rows
+        |FROM sn
+        |ORDER BY relation""".stripMargin
   )
 }

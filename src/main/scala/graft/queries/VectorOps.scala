@@ -407,6 +407,30 @@ object VectorOps {
         .filter(col("rank") <= 10)
         .select("qid", "rank", "nb")
         .orderBy("qid", "rank")
+    },
+
+    // Diversity-constrained retrieval (MMR's cheap deterministic
+    // cousin): each query's top-10 may keep at most 2 neighbors per
+    // label, so one dense cluster cannot monopolize the result list —
+    // the dedup-aware serving pattern for RAG-style retrieval. Two
+    // stacked bounded windows (rank-within-label, then global rank
+    // over the survivors); the label lookup is a broadcast. Scores
+    // stay internal — the output is all-integer (qid, rank, nb,
+    // label).
+    "q165_diverse_topk" -> { (s, dir) =>
+      val lab = Tables.embeddings(s, dir).select(col("vec_id").as("nb"), col("label"))
+      val wl = Window.partitionBy("qid", "label")
+        .orderBy(col("cos").desc, col("nb").asc)
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("nb").asc)
+      knnExactPairs(s, dir)
+        .join(broadcast(lab), "nb")
+        .withColumn("lrank", row_number().over(wl))
+        .filter(col("lrank") <= 2)
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "nb", "label")
+        .orderBy("qid", "rank")
     }
   )
 
@@ -782,6 +806,24 @@ object VectorOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY adc, nb) AS rank
          |  FROM adc)
          |SELECT qid, rank, nb FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    "q165_diverse_topk" ->
+      s"""WITH jx AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb, b.label AS label,
+         |    ${D.cosine("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |l AS (
+         |  SELECT qid, nb, label, cos,
+         |    row_number() OVER (PARTITION BY qid, label
+         |      ORDER BY cos DESC, nb ASC) AS lrank
+         |  FROM jx),
+         |f AS (
+         |  SELECT qid, nb, label,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC) AS rank
+         |  FROM l WHERE lrank <= 2)
+         |SELECT qid, rank, nb, label FROM f WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
 
     "q117_semantic_dedup" ->
