@@ -498,7 +498,11 @@ object Events {
     // co-partitioned joins back onto the session frame (same keys →
     // no extra exchange); all comparisons integer micros.
     "q162_funnel_ordered" -> { (s, d) =>
-      val sess = sessionized(s, d)
+      // cached: the session frame feeds ns + three stage branches (s2
+      // and s3 embed it twice and three times respectively) — without
+      // the cache the sessionization window re-executes per branch
+      // (the q104 anti-pattern)
+      val sess = sessionized(s, d).cache()
       val keys = Seq("user_id", "session_id")
       val s1 = sess.filter(col("event_type") === "signup")
         .groupBy(keys.map(col): _*).agg(min("tsu").as("t1"))

@@ -654,8 +654,12 @@ object Relational2 {
     "q167_fd_profile" -> { (s, d) =>
       val o = Tables.orders(s, d)
       def probe(a: String, b: String): DataFrame =
+        // distinct over the STRUCT, not the column list: Spark's
+        // multi-arg countDistinct drops rows where either field is
+        // NULL, DuckDB's count(DISTINCT (a,b)) keeps them — the
+        // struct form counts null-bearing tuples on both engines
         o.agg(countDistinct(col(a)).as("ndv_a"),
-            countDistinct(col(a), col(b)).as("ndv_ab"))
+            countDistinct(struct(col(a), col(b))).as("ndv_ab"))
           .select(lit(a).as("col_a"), lit(b).as("col_b"),
             col("ndv_a"), col("ndv_ab"),
             (col("ndv_a") === col("ndv_ab")).as("is_fd"))

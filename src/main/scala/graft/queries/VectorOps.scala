@@ -501,6 +501,26 @@ object VectorOps {
   /** Shared oracle CTE text for centroid construction (0-based pos to
     * match Spark's posexplode).
     */
+  /** Shared oracle text: the PQ distance frame — per-(vector,
+    * subspace, codeword) squared L2 by the ORDER BY pos fold, plus
+    * the argmin row-number (q158, q164). Requires [[duckCentroids]]'
+    * ex/cmeans CTEs in scope; leaves dd → d2 → pk defined.
+    */
+  private val duckPqD2 =
+    """dd AS (
+      |  SELECT e.vec_id, e.pos // 16 AS m, c.label AS clabel, e.pos,
+      |    (e.v::DOUBLE - c.c) * (e.v::DOUBLE - c.c) AS dd
+      |  FROM ex e JOIN cmeans c ON e.pos = c.pos),
+      |d2 AS (
+      |  SELECT vec_id, m, clabel,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(dd ORDER BY pos)),
+      |      (acc, x) -> acc + x) AS d2
+      |  FROM dd GROUP BY vec_id, m, clabel),
+      |pk AS (
+      |  SELECT vec_id, m, clabel,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, clabel) AS rn
+      |  FROM d2)""".stripMargin
+
   private val duckCentroids =
     s"""ex AS (
        |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -753,19 +773,7 @@ object VectorOps {
 
     "q158_pq_encode" ->
       s"""WITH $duckCentroids,
-         |dd AS (
-         |  SELECT e.vec_id, e.pos // 16 AS m, c.label AS clabel, e.pos,
-         |    (e.v::DOUBLE - c.c) * (e.v::DOUBLE - c.c) AS dd
-         |  FROM ex e JOIN cmeans c ON e.pos = c.pos),
-         |d2 AS (
-         |  SELECT vec_id, m, clabel,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list(dd ORDER BY pos)),
-         |      (acc, x) -> acc + x) AS d2
-         |  FROM dd GROUP BY vec_id, m, clabel),
-         |pk AS (
-         |  SELECT vec_id, m, clabel,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, clabel) AS rn
-         |  FROM d2)
+         |$duckPqD2
          |SELECT vec_id,
          |  MAX(CASE WHEN m = 0 THEN clabel END) AS code_0,
          |  MAX(CASE WHEN m = 1 THEN clabel END) AS code_1,
@@ -775,19 +783,7 @@ object VectorOps {
 
     "q164_pq_adc" ->
       s"""WITH $duckCentroids,
-         |dd AS (
-         |  SELECT e.vec_id, e.pos // 16 AS m, c.label AS clabel, e.pos,
-         |    (e.v::DOUBLE - c.c) * (e.v::DOUBLE - c.c) AS dd
-         |  FROM ex e JOIN cmeans c ON e.pos = c.pos),
-         |d2 AS (
-         |  SELECT vec_id, m, clabel,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list(dd ORDER BY pos)),
-         |      (acc, x) -> acc + x) AS d2
-         |  FROM dd GROUP BY vec_id, m, clabel),
-         |pk AS (
-         |  SELECT vec_id, m, clabel,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, clabel) AS rn
-         |  FROM d2),
+         |$duckPqD2,
          |codes AS (SELECT vec_id, m, clabel AS code FROM pk WHERE rn = 1),
          |tbl AS (
          |  SELECT vec_id AS qid, m, clabel AS code, d2 FROM d2
