@@ -50,6 +50,54 @@ object MultimodalOps {
           expr(s"64 + (($h) div 1024) % 1024").as("height"),
           expr("CAST(1 + octet_length(payload) div 100 AS BIGINT)").as("n_frames"))
         .orderBy("doc_id")
+    },
+
+    // Perceptual-hash near-dup over the media payload channel: a
+    // 32-bit simhash of the payload's byte 8-grams (stride 4, over the
+    // HEX transport form — unlike base64, which Spark MIME-chunks with
+    // CRLF every 76 chars while DuckDB never wraps, hex renders
+    // identically on both engines at every length; q60's b64 fields
+    // survive only because they slice below the first wrap point)
+    // stands in for the codec's pHash; with a real decoder
+    // the mapInPandas stage would emit a true DCT pHash and EVERYTHING
+    // downstream — 8-bit band buckets for candidate generation, then
+    // a hamming verify on candidates only — is unchanged. The band
+    // join is the scale path: near-identical payloads share a band
+    // bucket, so candidates form per bucket and the payload bytes
+    // themselves never join. One gram-level shuffle (count-aggregate
+    // simhash, the q31 formulation), one banded self-join.
+    "q169_phash_neardup" -> { (s, dir) =>
+      val base = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), expr("hex(encode(text, 'UTF-8'))").as("hx"))
+        .filter(expr("length(hx) >= 16"))
+      val h = base.select(col("doc_id"),
+          explode(expr(S.transform(
+            S.rangeStep("1", "length(hx) - 15", "8"), "i",
+            "substring(hx, i, 16)"))).as("g"))
+        .select(col("doc_id"), expr(S.hash64("g")).as("h"))
+      val bitCnts = (0 until 32).map(i =>
+        sum(expr(s"CAST(${S.shiftRight("h", i.toString)} & 1 AS INT)")).as(s"c$i"))
+      val assembled = (0 until 32)
+        .map(i => s"CASE WHEN 2 * c$i > ng THEN ${S.shiftLeft(S.longLit(1), i.toString)} ELSE ${S.longLit(0)} END")
+        .mkString(" + ")
+      val ph = h.groupBy("doc_id")
+        .agg(count(lit(1)).as("ng"), bitCnts: _*)
+        .select(col("doc_id"), expr(assembled).cast("long").as("phash"))
+        .cache() // both sides of the banded self-join
+      val bands = ph.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("bv", expr(s"${S.shiftRight("phash", "b * 8")} & 255"))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("x.phash").as("pa"),
+          col("y.doc_id").as("doc_b"), col("y.phash").as("pb"))
+        .distinct()
+        .withColumn("hamming",
+          expr(s"CAST(${S.bitCount(S.bxor("pa", "pb"))} AS INT)"))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     })
 
   val oracles: Map[String, String] = Map(
@@ -68,5 +116,34 @@ object MultimodalOps {
          | 64 + (($h) // 1024) % 1024 AS height,
          | 1 + octet_length(payload) // 100 AS n_frames
          |FROM base ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "q169_phash_neardup" ->
+      s"""WITH pb AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+         |  WHERE length(hex(encode(text))) >= 16),
+         |g AS (
+         |  SELECT doc_id, substring(hx, CAST(i AS INTEGER), 16) AS g
+         |  FROM pb, LATERAL unnest(${D.rangeStep("1", "length(hx) - 15", "8")}) AS u(i)),
+         |h AS (SELECT doc_id, ${D.hash64("g")} AS h FROM g),
+         |hv AS (SELECT doc_id, h, i FROM h, (SELECT unnest(range(0, 32)) AS i) r),
+         |v AS (SELECT doc_id, i,
+         |        SUM(CASE WHEN (${D.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |      FROM hv GROUP BY doc_id, i),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v > 0 THEN ${D.shiftLeft(D.longLit(1), "i")} ELSE ${D.longLit(0)} END) AS BIGINT) AS phash
+         |  FROM v GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, phash, b, (${D.shiftRight("phash", "b * 8")}) & 255 AS bv
+         |  FROM ph, (SELECT unnest(range(0, 4)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, x.phash AS pa,
+         |    y.doc_id AS doc_b, y.phash AS pb
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(${D.bitCount(D.bxor("pa", "pb"))} AS INT) AS hamming
+         |FROM cand WHERE ${D.bitCount(D.bxor("pa", "pb"))} <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin)
 }
