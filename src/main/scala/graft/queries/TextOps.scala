@@ -1206,6 +1206,48 @@ object TextOps {
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(count(lit(1)).as("shared_spans"))
         .orderBy("src_a", "src_b")
+    },
+
+    // BPE tokenizer TRAINING, 6 merge rounds end-to-end (q127 gates
+    // one round; this gates the iterated algorithm — each round's
+    // winning pair depends on every previous round's rewrites). The
+    // corpus state is one separator-framed string per doc
+    // ('|tok|tok|'); a round counts adjacent symbol pairs, picks the
+    // (count DESC, pair ASC) winner — a 1-row broadcast, never a
+    // driver value — and rewrites via plain string replace, applied
+    // TWICE because leftmost non-overlapping replacement shares the
+    // boundary '|' between abutting occurrences ('|a|b|a|b|' blocks
+    // its second match; the second pass reaches closure — no regex,
+    // so no lookahead portability trap, and both engines' replace()
+    // scan identically). Merged symbols join with '~', outside the
+    // [a-z] symbol alphabet, so a pattern can never match inside an
+    // earlier merge. Each round caches its rewritten corpus: the next
+    // round's count and the final merge table read it once instead of
+    // re-running the whole chain (at cluster scale: checkpoint per
+    // round, exactly like the components loop).
+    "q170_bpe_train" -> { (s, dir) =>
+      val P = "concat('|', pr, '|')"
+      val R = "concat('|', replace(pr, '|', '~'), '|')"
+      val once = s"replace(s, $P, $R)"
+      val twice = s"replace($once, $P, $R)"
+      val init = docsWithToks(s, dir)
+        .select(col("doc_id"),
+          expr(s"concat('|', concat_ws('|', ${S.filterL("toks", "t", "t rlike '^[a-z]+$'")}), '|')").as("s"))
+      var cur = init
+      val merges = (1 to 6).map { r =>
+        val tk = cur.select(col("doc_id"),
+          expr("filter(split(s, '\\\\|'), t -> t != '')").as("tk"))
+        val pairs = tk.filter(expr("size(tk) >= 2"))
+          .select(explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), '|', element_at(tk, i + 1)))")).as("pr"))
+        val best = pairs.groupBy("pr").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pr").asc).limit(1)
+        cur = cur.crossJoin(broadcast(best))
+          .select(col("doc_id"), expr(twice).as("s"))
+          .cache()
+        best.select(lit(r).cast("int").as("round"), col("pr").as("pair"), col("n"))
+      }
+      merges.reduceLeft(_ unionAll _).orderBy("round")
     }
   )
 
@@ -1792,6 +1834,40 @@ object TextOps {
          |  count(*) AS shared_spans
          |FROM sp a JOIN sp b ON a.hk = b.hk AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q170_bpe_train" -> {
+      // the oracle unrolls the 6 training rounds as CTE stages —
+      // mechanical generation keeps both engines' per-round op
+      // sequence (count → argmax → double-replace) textually aligned
+      val stages = (1 to 6).map { k =>
+        val prev = s"s${k - 1}"
+        val once = s"replace(s, '|' || b.pr || '|', '|' || replace(b.pr, '|', '~') || '|')"
+        s"""tk$k AS (
+           |  SELECT doc_id, list_filter(string_split(s, '|'), t -> t != '') AS tk
+           |  FROM $prev),
+           |pr$k AS (
+           |  SELECT unnest(list_transform(range(1, len(tk)),
+           |    i -> tk[i] || '|' || tk[i + 1])) AS pr
+           |  FROM tk$k WHERE len(tk) >= 2),
+           |c$k AS (SELECT pr, count(*) AS n FROM pr$k GROUP BY pr),
+           |b$k AS (SELECT pr, n FROM c$k ORDER BY n DESC, pr LIMIT 1),
+           |s$k AS (
+           |  SELECT doc_id,
+           |    replace($once, '|' || b.pr || '|', '|' || replace(b.pr, '|', '~') || '|') AS s
+           |  FROM $prev, b$k b)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 6)
+        .map(k => s"SELECT $k AS round, pr AS pair, n FROM b$k")
+        .mkString("\nUNION ALL\n")
+      s"""$duckBase,
+         |s0 AS (
+         |  SELECT doc_id,
+         |    '|' || array_to_string(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$')), '|') || '|' AS s
+         |  FROM base),
+         |$stages
+         |$out
+         |ORDER BY round""".stripMargin
+    },
 
     "q157_sparse_cosine" ->
       s"""$duckBase,
