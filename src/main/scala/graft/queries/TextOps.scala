@@ -286,6 +286,37 @@ object TextOps {
   private val duckBase =
     s"WITH base AS (SELECT doc_id, lang, text, ${D.tokens("text")} AS toks FROM documents)"
 
+  /** Shared oracle text: the unrolled 6-round BPE chain (q170, q171) —
+    * mechanical generation keeps both engines' per-round op sequence
+    * (count → argmax → double-replace) textually aligned. Defines
+    * s0..s6 (corpus states) and b1..b6 (round winners); requires
+    * [[duckBase]] in scope.
+    */
+  private val duckBpeStages: String = {
+    val stages = (1 to 6).map { k =>
+      val prev = s"s${k - 1}"
+      val once = s"replace(s, '|' || b.pr || '|', '|' || replace(b.pr, '|', '~') || '|')"
+      s"""tk$k AS (
+         |  SELECT doc_id, list_filter(string_split(s, '|'), t -> t != '') AS tk
+         |  FROM $prev),
+         |pr$k AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || '|' || tk[i + 1])) AS pr
+         |  FROM tk$k WHERE len(tk) >= 2),
+         |c$k AS (SELECT pr, count(*) AS n FROM pr$k GROUP BY pr),
+         |b$k AS (SELECT pr, n FROM c$k ORDER BY n DESC, pr LIMIT 1),
+         |s$k AS (
+         |  SELECT doc_id,
+         |    replace($once, '|' || b.pr || '|', '|' || replace(b.pr, '|', '~') || '|') AS s
+         |  FROM $prev, b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""s0 AS (
+       |  SELECT doc_id,
+       |    '|' || array_to_string(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$')), '|') || '|' AS s
+       |  FROM base),
+       |$stages""".stripMargin
+  }
+
   /** Shared oracle text: shingle → minhash → band → candidate-pair →
     * transitive-closure component CTEs (q56, q65, q99, q100). Requires
     * a WITH RECURSIVE prefix.
@@ -1226,30 +1257,61 @@ object TextOps {
     // re-running the whole chain (at cluster scale: checkpoint per
     // round, exactly like the components loop).
     "q170_bpe_train" -> { (s, dir) =>
-      val P = "concat('|', pr, '|')"
-      val R = "concat('|', replace(pr, '|', '~'), '|')"
-      val once = s"replace(s, $P, $R)"
-      val twice = s"replace($once, $P, $R)"
-      val init = docsWithToks(s, dir)
-        .select(col("doc_id"),
-          expr(s"concat('|', concat_ws('|', ${S.filterL("toks", "t", "t rlike '^[a-z]+$'")}), '|')").as("s"))
-      var cur = init
-      val merges = (1 to 6).map { r =>
-        val tk = cur.select(col("doc_id"),
-          expr("filter(split(s, '\\\\|'), t -> t != '')").as("tk"))
-        val pairs = tk.filter(expr("size(tk) >= 2"))
-          .select(explode(expr(
-            "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), '|', element_at(tk, i + 1)))")).as("pr"))
-        val best = pairs.groupBy("pr").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pr").asc).limit(1)
-        cur = cur.crossJoin(broadcast(best))
-          .select(col("doc_id"), expr(twice).as("s"))
-          .cache()
-        best.select(lit(r).cast("int").as("round"), col("pr").as("pair"), col("n"))
-      }
-      merges.reduceLeft(_ unionAll _).orderBy("round")
+      bpeChain(s, dir)._3.reduceLeft(_ unionAll _).orderBy("round")
+    },
+
+    // BPE tokenizer APPLICATION: encode every doc with the 6 learned
+    // merges (identical chain plans → Spark's cache manager serves
+    // q170's per-round corpora) and report the per-doc compression —
+    // symbols before vs after, ratio in exact milli. This is the
+    // metric that justifies a vocabulary: how many fewer symbols per
+    // document the learned merges buy.
+    "q171_bpe_apply" -> { (s, dir) =>
+      val (init, fin, _) = bpeChain(s, dir)
+      def syms(df: DataFrame, out: String): DataFrame =
+        df.select(col("doc_id"),
+          expr("CAST(size(filter(split(s, '\\\\|'), t -> t != '')) AS BIGINT)").as(out))
+      syms(init, "n_before").join(syms(fin, "n_after"), "doc_id")
+        .filter(col("n_before") > 0)
+        .withColumn("ratio_milli", expr("n_after * 1000 div n_before"))
+        .orderBy("doc_id")
     }
   )
+
+  /** The 6-round BPE training chain: (initial corpus, final rewritten
+    * corpus, per-round merge-table frames). Each round counts
+    * adjacent symbol pairs, broadcasts the (count DESC, pair ASC)
+    * winner, and rewrites by the double string-replace (see q170's
+    * inventory comment for why twice and why no regex). Per-round
+    * corpora are cached — q170's merge table and q171's encode both
+    * read them, and round k+1's count would otherwise re-run rounds
+    * 1..k.
+    */
+  private def bpeChain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val P = "concat('|', pr, '|')"
+    val R = "concat('|', replace(pr, '|', '~'), '|')"
+    val once = s"replace(s, $P, $R)"
+    val twice = s"replace($once, $P, $R)"
+    val init = docsWithToks(s, dir)
+      .select(col("doc_id"),
+        expr(s"concat('|', concat_ws('|', ${S.filterL("toks", "t", "t rlike '^[a-z]+$'")}), '|')").as("s"))
+    var cur = init
+    val merges = (1 to 6).map { r =>
+      val tk = cur.select(col("doc_id"),
+        expr("filter(split(s, '\\\\|'), t -> t != '')").as("tk"))
+      val pairs = tk.filter(expr("size(tk) >= 2"))
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), '|', element_at(tk, i + 1)))")).as("pr"))
+      val best = pairs.groupBy("pr").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pr").asc).limit(1)
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("doc_id"), expr(twice).as("s"))
+        .cache()
+      best.select(lit(r).cast("int").as("round"), col("pr").as("pair"), col("n"))
+    }
+    (init, cur, merges)
+  }
 
   // ------------------------------------------------------------------
 
@@ -1836,38 +1898,31 @@ object TextOps {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q170_bpe_train" -> {
-      // the oracle unrolls the 6 training rounds as CTE stages —
-      // mechanical generation keeps both engines' per-round op
-      // sequence (count → argmax → double-replace) textually aligned
-      val stages = (1 to 6).map { k =>
-        val prev = s"s${k - 1}"
-        val once = s"replace(s, '|' || b.pr || '|', '|' || replace(b.pr, '|', '~') || '|')"
-        s"""tk$k AS (
-           |  SELECT doc_id, list_filter(string_split(s, '|'), t -> t != '') AS tk
-           |  FROM $prev),
-           |pr$k AS (
-           |  SELECT unnest(list_transform(range(1, len(tk)),
-           |    i -> tk[i] || '|' || tk[i + 1])) AS pr
-           |  FROM tk$k WHERE len(tk) >= 2),
-           |c$k AS (SELECT pr, count(*) AS n FROM pr$k GROUP BY pr),
-           |b$k AS (SELECT pr, n FROM c$k ORDER BY n DESC, pr LIMIT 1),
-           |s$k AS (
-           |  SELECT doc_id,
-           |    replace($once, '|' || b.pr || '|', '|' || replace(b.pr, '|', '~') || '|') AS s
-           |  FROM $prev, b$k b)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to 6)
         .map(k => s"SELECT $k AS round, pr AS pair, n FROM b$k")
         .mkString("\nUNION ALL\n")
       s"""$duckBase,
-         |s0 AS (
-         |  SELECT doc_id,
-         |    '|' || array_to_string(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$')), '|') || '|' AS s
-         |  FROM base),
-         |$stages
+         |$duckBpeStages
          |$out
          |ORDER BY round""".stripMargin
     },
+
+    "q171_bpe_apply" ->
+      s"""$duckBase,
+         |$duckBpeStages,
+         |n0 AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(s, '|'), t -> t != ''))::BIGINT AS n_before
+         |  FROM s0),
+         |n6 AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(s, '|'), t -> t != ''))::BIGINT AS n_after
+         |  FROM s6)
+         |SELECT n0.doc_id AS doc_id, n_before, n_after,
+         |  n_after * 1000 // n_before AS ratio_milli
+         |FROM n0 JOIN n6 ON n0.doc_id = n6.doc_id
+         |WHERE n_before > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "q157_sparse_cosine" ->
       s"""$duckBase,
