@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{PortableSql, SqlDialect}
+
+/** Corpus-hygiene operators that REWRITE or SCORE the training corpus
+  * globally — the C4/CCNet-style passes that run after per-doc stats
+  * (TextOps) and before packing (PipelineOps):
+  *
+  *  - q172: global line-level dedup with text REASSEMBLY (C4's
+  *    "discard duplicate three-sentence spans" pass, re-expressed over
+  *    fixed 8-token lines since the synthetic corpus has no sentence
+  *    boundaries). Unlike q91/q144 — which only REPORT duplication —
+  *    this emits the cleaned text, which is what the next pipeline
+  *    stage actually consumes.
+  *  - q173: bigram language-model surprisal scoring — the
+  *    perplexity-filter analogue (CCNet/KenLM style) made integer-exact
+  *    by measuring surprisal in floor(log2) bits of the inverted
+  *    conditional count ratio.
+  *  - q175: label-propagation communities (synchronous mode-label LPA)
+  *    over the part↔supplier co-occurrence graph — the community
+  *    detector run next to connected components (q56) when dedup
+  *    clusters should follow DENSITY, not mere reachability.
+  *
+  * Reference provenance: extends pydala2's dedup/maintenance machinery
+  * (pydala/io.py:242-259, pydala/dataset.py:1549-1777) to the
+  * corpus-rewrite domain; the reference has no corpus operators at all,
+  * so these are Spark-first designs gated by the same DuckDB oracle
+  * discipline as the rest of the suite.
+  *
+  * Scale notes (100 TB design point):
+  *  - q172 shuffles the line stream twice (once by line hash for the
+  *    global first-occurrence window, once by doc for reassembly);
+  *    lines ≈ tokens/8, so each shuffle is ≈ the tokenized corpus — the
+  *    same order as the exact-dedup digest pass, with no all-pairs
+  *    term anywhere.
+  *  - q173's model side (bigram counts) is vocab²-BOUNDED and built
+  *    with map-side partial aggregation; the stream is then scored by
+  *    one co-partitioned join on (t1, t2). Nothing broadcasts the
+  *    model, so a 100 M-bigram vocabulary still fits the plan.
+  *  - q175 is per-round: one co-partitioned edge⋈label join, one
+  *    (node, label) count aggregation, one bounded argmax window —
+  *    O(E) shuffled per round, the standard distributed-LPA shape.
+  */
+object CorpusOps {
+
+  private val S = PortableSql.Spark
+  private val D = PortableSql.Duck
+
+  /** Tokens per "line" — the dedup span. 8 keeps lines long enough to
+    * be distinctive and short enough that boilerplate repeats.
+    */
+  private val LineW = 8
+
+  /** Fixed LineW-token lines of `toks`, joined by single spaces; the
+    * tail keeps its short remainder. Both engines slice 1-based and
+    * length-clamp.
+    */
+  private def lineArr(d: SqlDialect): String = {
+    val body =
+      if (d.spark) s"concat_ws(' ', ${d.slice("toks", s"i * $LineW + 1", LineW.toString)})"
+      else s"array_to_string(${d.slice("toks", s"i * $LineW + 1", LineW.toString)}, ' ')"
+    d.transform(d.rangeIncl("0", s"${d.intDiv(s"(${d.size("toks")} - 1)", LineW.toString)}"), "i", body)
+  }
+
+  /** Part and (offset) supplier node ids — the q113 graph, shared by
+    * the LPA oracle and Spark sides.
+    */
+  private val SuppOffset = 10000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q172: global line dedup with reassembly --------------------
+    // Keep rule: the globally FIRST occurrence of each distinct line
+    // (by (doc_id, pos)) survives; every later copy — across docs or
+    // within one — is dropped. Documents are then rebuilt from the
+    // surviving lines in position order. row_number over the line-hash
+    // partition does first-occurrence in ONE shuffle (no count+join).
+    "q172_line_dedup_rewrite" -> { (s, dir) =>
+      val lines = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) > 0"))
+        .select(col("doc_id"), posexplode(expr(lineArr(S))).as(Seq("pos", "line")))
+        .withColumn("h", expr(S.hash64("line")))
+      val firstOcc = Window.partitionBy("h").orderBy("doc_id", "pos")
+      val rebuilt = lines
+        .withColumn("rk", row_number().over(firstOcc))
+        .filter(col("rk") === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("kept"),
+          expr("concat_ws(' ', transform(sort_array(collect_list(struct(pos, line))), x -> x.line))")
+            .as("ctext"))
+      TextOps.docsWithToks(s, dir)
+        .select(col("doc_id"),
+          expr(s"(size(toks) + ${LineW - 1}) div $LineW").cast("long").as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("kept"), lit(0L)).as("n_kept"),
+          coalesce(col("ctext"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q173: bigram-LM surprisal scoring --------------------------
+    // Surprisal of bigram (t1, t2) = floor(log2(c(t1·) / c(t1, t2)))
+    // bits, where c(t1·) is the corpus count of bigrams starting with
+    // t1 — an integer-exact stand-in for -log2 P(t2 | t1). High
+    // mean-surprisal docs are "perplexing" under the corpus's own
+    // bigram model: the CCNet quality axis. floor(log2) is computed as
+    // the bit-length of the integer quotient (length of the base-2
+    // string minus 1) — no float log anywhere.
+    "q173_bigram_surprisal" -> { (s, dir) =>
+      val bi = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 2"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS t1, element_at(toks, i + 1) AS t2))")).as("bg"))
+        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      val c2 = bi.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
+      // c(t1·) folds over the already-aggregated c2 — vocab-sized input,
+      // not the bigram stream
+      val c1 = c2.groupBy("t1").agg(sum("c2").as("c1"))
+      val model = c2.join(c1, Seq("t1"))
+        .withColumn("bits", expr("length(bin(c1 div c2)) - 1").cast("long"))
+      val scored = bi.join(model, Seq("t1", "t2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"), sum("bits").as("sb"))
+      TextOps.docsWithToks(s, dir)
+        .select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sb"), lit(0L)).as("sum_bits"),
+          coalesce(expr("sb * 1000 div nb"), lit(0L)).as("milli_bits"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q175: label-propagation communities ------------------------
+    // Synchronous LPA, 2 rounds, over the bidirectional part↔supplier
+    // graph (q113's node space). Each round every node takes the MODE
+    // of its neighbors' previous-round labels (ties → smallest label);
+    // labels start as the node ids. Mode — not min — is what separates
+    // communities from q56's connected components: a node between two
+    // dense blocks follows the DENSER one.
+    "q175_label_propagation" -> { (s, dir) =>
+      val f = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + lit(SuppOffset)).as("dst"))
+        .distinct()
+      // both directions: label flows src -> dst along every edge
+      val e = f.unionAll(f.select(col("dst").as("src"), col("src").as("dst")))
+      var lbl = e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 2) {
+        val cnt = e.join(lbl, col("src") === col("node"))
+          .groupBy(col("dst").as("n2"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        lbl = cnt
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("n2").orderBy(col("c").desc, col("lbl").asc)))
+          .filter(col("rk") === 1)
+          .select(col("n2").as("node"), col("lbl"))
+      }
+      lbl.select(col("node"), col("lbl").as("community"))
+        .orderBy("node")
+    },
+  )
+
+  private def lpaRound(prev: String, out: String): String =
+    s"""c$out AS (
+       |  SELECT e.dst AS node, $prev.lbl, COUNT(*) AS c
+       |  FROM e JOIN $prev ON e.src = $prev.node GROUP BY 1, 2),
+       |$out AS (
+       |  SELECT node, lbl FROM (
+       |    SELECT node, lbl,
+       |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk
+       |    FROM c$out) t
+       |  WHERE rk = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q172_line_dedup_rewrite" ->
+      s"""WITH base AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+         |ln0 AS (
+         |  SELECT doc_id, unnest(${lineArr(D)}) AS line,
+         |    generate_subscripts(${lineArr(D)}, 1) - 1 AS pos
+         |  FROM base WHERE ${D.size("toks")} > 0),
+         |k AS (
+         |  SELECT doc_id, pos, line,
+         |    ROW_NUMBER() OVER (PARTITION BY ${D.hash64("line")}
+         |                       ORDER BY doc_id, pos) AS rk
+         |  FROM ln0),
+         |rb AS (
+         |  SELECT doc_id, COUNT(*) AS kept,
+         |    string_agg(line, ' ' ORDER BY pos) AS ctext
+         |  FROM k WHERE rk = 1 GROUP BY doc_id)
+         |SELECT base.doc_id,
+         |  CAST(${D.intDiv(s"(${D.size("toks")} + ${LineW - 1})", LineW.toString)} AS BIGINT) AS n_lines,
+         |  CAST(COALESCE(kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(ctext, '') AS clean_text
+         |FROM base LEFT JOIN rb ON base.doc_id = rb.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
+    "q173_bigram_surprisal" ->
+      s"""WITH base AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(range(1, ${D.size("toks")})) AS i, toks
+         |  FROM base WHERE ${D.size("toks")} >= 2),
+         |b2 AS (SELECT doc_id, ${D.idx("toks", "i")} AS t1, ${D.idx("toks", "i + 1")} AS t2 FROM bg),
+         |c2 AS (SELECT t1, t2, COUNT(*) AS c2 FROM b2 GROUP BY 1, 2),
+         |c1 AS (SELECT t1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    length(printf('%b', ${D.intDiv("c1", "c2")})) - 1 AS bits
+         |  FROM b2 JOIN c2 USING (t1, t2) JOIN c1 USING (t1)),
+         |d AS (SELECT doc_id, COUNT(*) AS nb, SUM(bits) AS sb FROM sc GROUP BY 1)
+         |SELECT base.doc_id,
+         |  CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(sb, 0) AS BIGINT) AS sum_bits,
+         |  CAST(COALESCE(${D.intDiv("sb * 1000", "nb")}, 0) AS BIGINT) AS milli_bits
+         |FROM base LEFT JOIN d ON base.doc_id = d.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
+    "q175_label_propagation" ->
+      s"""WITH f AS (
+         |  SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst
+         |  FROM lineitem),
+         |e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |${lpaRound("l0", "l1")},
+         |${lpaRound("l1", "l2")}
+         |SELECT node, lbl AS community FROM l2
+         |ORDER BY node""".stripMargin,
+  )
+}

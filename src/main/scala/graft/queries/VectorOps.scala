@@ -120,6 +120,45 @@ object VectorOps {
     expr("aggregate(zip_with(embedding, cvec, (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)") /
       (col("nrm") * col("cnrm"))
 
+  /** One Lloyd ASSIGN step: nearest (by cosine, ties → smallest cell
+    * id) of the K broadcast centroids (clabel, cvec, cnrm) for every
+    * row of `e` (needs embedding + nrm). K rows broadcast; the argmax
+    * is a bounded per-vector window.
+    */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", mixedCos)
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel").asc)))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("clabel").as("cell"), col("embedding"))
+
+  /** One Lloyd UPDATE step: order-pinned per-(cell, pos) means of the
+    * assigned members (the [[centroidRows]] fold, keyed by cell).
+    */
+  private def cellMeans(asg: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cell", "pos").orderBy("vec_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    asg
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("run", sum(col("v").cast("double")).over(w))
+      .groupBy("cell", "pos")
+      .agg(
+        (max_by(col("run"), col("vec_id")) / count(lit(1))).as("c"),
+        count(lit(1)).as("n_assigned"))
+  }
+
+  /** (clabel, cvec, cnrm) centroid vectors from [[cellMeans]] rows —
+    * the [[centroidVecs]] assembly, keyed by cell.
+    */
+  private def cellVecs(cm: DataFrame): DataFrame =
+    cm.groupBy("cell")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+      .withColumn("cnrm", expr(
+        "sqrt(aggregate(transform(cvec, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"))
+      .withColumnRenamed("cell", "clabel")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // IVF centroid construction: per-label mean vectors (the coarse
@@ -142,26 +181,47 @@ object VectorOps {
     // q46) so the doubles are bit-exact, not merely close — a real
     // deployment would use plain avg() and tolerance.
     "q125_kmeans_refine" -> { (s, dir) =>
-      val e = withNorm(s, dir)
-      val cents = centroidVecs(s, dir).withColumnRenamed("label", "clabel")
-      val assign = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", mixedCos)
-        .withColumn("crk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel").asc)))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("clabel").as("cell"), col("embedding"))
-      val w = Window.partitionBy("cell", "pos").orderBy("vec_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      assign
-        .select(col("vec_id"), col("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("run", sum(col("v").cast("double")).over(w))
-        .groupBy("cell", "pos")
-        .agg(
-          (max_by(col("run"), col("vec_id")) / count(lit(1))).as("c"),
-          count(lit(1)).as("n_assigned"))
+      cellMeans(assignTo(withNorm(s, dir), centroidVecs(s, dir)
+          .withColumnRenamed("label", "clabel")))
         .select(col("cell"), col("pos"), col("c"), col("n_assigned"))
         .orderBy("cell", "pos")
+    },
+
+    // Lloyd round 2 + convergence accounting: re-assign every vector
+    // to the ROUND-1 UPDATED means (q125's output) and report, per
+    // cell, the round-1 size, the round-2 size, and how many vectors
+    // MOVED IN — the per-round churn a k-means driver watches to
+    // decide convergence. Same plan shape as one Lloyd step: a
+    // broadcast of K centroid rows against the corpus, one bounded
+    // argmax window, one join of the two K-sized assignment frames on
+    // vec_id. Nothing beyond the vector stream ever shuffles, so
+    // rounds cost O(N·K) compute and O(N) shuffle each — the 100 TB
+    // iteration budget is linear in rounds, exactly as a production
+    // k-means on Spark should be.
+    "q174_kmeans_round2" -> { (s, dir) =>
+      val e = withNorm(s, dir)
+      // memoized (not bare-cached): three consumers below traverse it,
+      // and Tables.dropMemos drains it at Bench's phase boundary
+      val asg1 = Tables.memo(s, s"$dir#q174asg1") {
+        assignTo(e, centroidVecs(s, dir).withColumnRenamed("label", "clabel"))
+      }
+      val cents2 = cellVecs(cellMeans(asg1))
+      val asg2 = assignTo(e, cents2)
+      val n1 = asg1.groupBy("cell").agg(count(lit(1)).as("n_round1"))
+      val n2 = asg2.groupBy("cell").agg(count(lit(1)).as("n_round2"))
+      val moved = asg1.select(col("vec_id"), col("cell").as("c1"))
+        .join(asg2.select(col("vec_id"), col("cell").as("c2")), "vec_id")
+        .filter(col("c1") =!= col("c2"))
+        .groupBy(col("c2").as("cell")).agg(count(lit(1)).as("moved"))
+      centroidVecs(s, dir).select(col("label").as("cell"))
+        .join(n1, Seq("cell"), "left")
+        .join(n2, Seq("cell"), "left")
+        .join(moved, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_round1"), lit(0L)).as("n_round1"),
+          coalesce(col("n_round2"), lit(0L)).as("n_round2"),
+          coalesce(col("moved"), lit(0L)).as("n_moved_in"))
+        .orderBy("cell")
     },
 
     // Label-noise screening: each vector's cosine to ITS OWN label
@@ -564,6 +624,61 @@ object VectorOps {
          |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(v ORDER BY vec_id), x -> x::DOUBLE)), (acc, x) -> acc + x) / COUNT(*) AS c,
          |  count(*) AS n_assigned
          |FROM ex2 GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
+
+    "q174_kmeans_round2" ->
+      s"""WITH $duckCentroids,
+         |cv AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY label),
+         |cv2 AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cv),
+         |e AS (
+         |  SELECT vec_id, embedding, sqrt(${D.norm2("embedding")}) AS nrm
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT vec_id, label AS cell, embedding FROM (
+         |    SELECT e.vec_id, cv2.label, e.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(e.embedding, cv2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |          / (e.nrm * cv2.cnrm)) DESC, cv2.label ASC) AS crk
+         |    FROM e, cv2) t
+         |  WHERE crk = 1),
+         |ex2 AS (
+         |  SELECT vec_id, cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS v
+         |  FROM asg),
+         |cm2 AS (
+         |  SELECT cell, pos,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(v ORDER BY vec_id), x -> x::DOUBLE)), (acc, x) -> acc + x) / COUNT(*) AS c
+         |  FROM ex2 GROUP BY cell, pos),
+         |cw AS (SELECT cell, list(c ORDER BY pos) AS cvec FROM cm2 GROUP BY cell),
+         |cw2 AS (
+         |  SELECT cell, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cw),
+         |asg2 AS (
+         |  SELECT vec_id, cell AS cell2 FROM (
+         |    SELECT e.vec_id, cw2.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(e.embedding, cw2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |          / (e.nrm * cw2.cnrm)) DESC, cw2.cell ASC) AS crk
+         |    FROM e, cw2) t
+         |  WHERE crk = 1),
+         |n1 AS (SELECT cell, COUNT(*) AS n1 FROM asg GROUP BY cell),
+         |n2 AS (SELECT cell2 AS cell, COUNT(*) AS n2 FROM asg2 GROUP BY 1),
+         |mv AS (
+         |  SELECT a2.cell2 AS cell, COUNT(*) AS mv
+         |  FROM asg a1 JOIN asg2 a2 USING (vec_id)
+         |  WHERE a1.cell <> a2.cell2 GROUP BY 1),
+         |cells AS (SELECT DISTINCT label AS cell FROM embeddings)
+         |SELECT cells.cell,
+         |  CAST(COALESCE(n1, 0) AS BIGINT) AS n_round1,
+         |  CAST(COALESCE(n2, 0) AS BIGINT) AS n_round2,
+         |  CAST(COALESCE(mv, 0) AS BIGINT) AS n_moved_in
+         |FROM cells
+         |LEFT JOIN n1 USING (cell) LEFT JOIN n2 USING (cell) LEFT JOIN mv USING (cell)
+         |ORDER BY cell""".stripMargin,
 
     "q128_label_outliers" ->
       s"""WITH $duckCentroids,
