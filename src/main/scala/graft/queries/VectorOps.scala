@@ -469,6 +469,49 @@ object VectorOps {
         .orderBy("qid", "rank")
     },
 
+    // End-to-end IVF-PQ search — the production ANN serving shape:
+    // coarse probe (nearest 2 centroid cells per query, the q79
+    // nprobe knob) restricts the candidate set to ~2/cells of the
+    // corpus via a hash join on the cell id, then PQ asymmetric
+    // distance (the q164 ADC table) ranks ONLY those candidates from
+    // their 4-int codes — raw corpus floats are touched at index-
+    // build time, never at search time. At 100 TB this is the whole
+    // point of the combination: the scan is 1/cells of the codes
+    // frame (itself ~1% the width of the vectors), the per-query
+    // distance table is K·M doubles broadcast, and the top-10 is a
+    // bounded window heap.
+    "q176_ivfpq_search" -> { (s, dir) =>
+      val e = withNorm(s, dir)
+      val cents = centroidVecs(s, dir).withColumnRenamed("label", "clabel")
+      val q = e.filter(col("vec_id") < 20)
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("ccos", mixedCos)
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel").asc)))
+        .filter(col("crk") <= 2)
+        .select(col("vec_id").as("qid"), col("clabel").as("cell"))
+      val cand = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+        .join(broadcast(probes), col("label") === col("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select("qid", "vec_id")
+      val table = pqD2(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("m"),
+          col("clabel").as("code"), col("d2"))
+      val wRun = Window.partitionBy("qid", "vec_id").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val adc = pqCodes(s, dir)
+        .join(cand, "vec_id")
+        .join(broadcast(table), Seq("qid", "m", "code"))
+        .withColumn("run", sum("d2").over(wRun))
+        .groupBy(col("qid"), col("vec_id").as("nb"))
+        .agg(max_by(col("run"), col("m")).as("adc"))
+      adc.withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc"), col("nb"))))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "nb")
+        .orderBy("qid", "rank")
+    },
+
     // Diversity-constrained retrieval (MMR's cheap deterministic
     // cousin): each query's top-10 may keep at most 2 neighbors per
     // label, so one dense cluster cannot monopolize the result list —
@@ -500,22 +543,25 @@ object VectorOps {
     * both engines). Cached: the PQ encode (q158) and the ADC search
     * table (q164) both read it.
     */
-  private def pqD2(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.spread(Tables.embeddings(s, dir))
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    val cents = centroidRows(s, dir)
-      .select(col("label").as("clabel"), col("pos"), col("c"))
-    val w = Window.partitionBy("vec_id", "clabel", "m").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ex.join(broadcast(cents), Seq("pos"))
-      .withColumn("m", expr("pos div 16"))
-      .withColumn("dd",
-        expr("(CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)"))
-      .withColumn("run", sum("dd").over(w))
-      .groupBy("vec_id", "m", "clabel")
-      .agg(max_by(col("run"), col("pos")).as("d2"))
-      .cache()
-  }
+  private def pqD2(s: SparkSession, dir: String): DataFrame =
+    // memoized, not bare-cached: q158, q164, and q176 all read this
+    // frame (q164/q176 twice each — codes + query table), and a
+    // per-call cache() would build a fresh duplicate copy per call
+    Tables.memo(s, s"$dir#pqD2") {
+      val ex = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cents = centroidRows(s, dir)
+        .select(col("label").as("clabel"), col("pos"), col("c"))
+      val w = Window.partitionBy("vec_id", "clabel", "m").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ex.join(broadcast(cents), Seq("pos"))
+        .withColumn("m", expr("pos div 16"))
+        .withColumn("dd",
+          expr("(CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)"))
+        .withColumn("run", sum("dd").over(w))
+        .groupBy("vec_id", "m", "clabel")
+        .agg(max_by(col("run"), col("pos")).as("d2"))
+    }
 
   /** (vec_id, m, code) — the PQ code: argmin codeword per subspace,
     * ties to the lower label.
@@ -907,6 +953,51 @@ object VectorOps {
          |  SELECT t.qid, c.vec_id AS nb, c.m, t.d2
          |  FROM codes c JOIN tbl t ON c.m = t.m AND c.code = t.code
          |  WHERE t.qid != c.vec_id),
+         |adc AS (
+         |  SELECT qid, nb,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY m)),
+         |      (acc, x) -> acc + x) AS adc
+         |  FROM terms GROUP BY qid, nb),
+         |r AS (
+         |  SELECT qid, nb,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nb) AS rank
+         |  FROM adc)
+         |SELECT qid, rank, nb FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    "q176_ivfpq_search" ->
+      s"""WITH $duckCentroids,
+         |$duckPqD2,
+         |codes AS (SELECT vec_id, m, clabel AS code FROM pk WHERE rn = 1),
+         |cv AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY label),
+         |cv2 AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cv),
+         |q AS (
+         |  SELECT vec_id, embedding, sqrt(${D.norm2("embedding")}) AS nrm
+         |  FROM embeddings WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT vec_id AS qid, label AS cell FROM (
+         |    SELECT q.vec_id, cv2.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(q.embedding, cv2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |          / (q.nrm * cv2.cnrm)) DESC, cv2.label ASC) AS crk
+         |    FROM q, cv2) t
+         |  WHERE crk <= 2),
+         |cand AS (
+         |  SELECT p.qid, emb.vec_id
+         |  FROM probes p JOIN embeddings emb ON emb.label = p.cell
+         |  WHERE p.qid != emb.vec_id),
+         |tbl AS (
+         |  SELECT vec_id AS qid, m, clabel AS code, d2 FROM d2
+         |  WHERE vec_id < 20),
+         |terms AS (
+         |  SELECT c.qid, c.vec_id AS nb, k.m, t.d2
+         |  FROM cand c
+         |  JOIN codes k ON k.vec_id = c.vec_id
+         |  JOIN tbl t ON t.qid = c.qid AND t.m = k.m AND t.code = k.code),
          |adc AS (
          |  SELECT qid, nb,
          |    list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY m)),

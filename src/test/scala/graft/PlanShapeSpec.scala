@@ -323,6 +323,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p2.contains("CartesianProduct"), p2)
   }
 
+  test("IVF-PQ search probes + ADC table broadcast; top-10 is a bounded heap (q176)") {
+    val p = plan("q176_ivfpq_search")
+    // the probe list (40 rows) and the per-query distance table
+    // (K·M·|q| rows) both broadcast — the corpus-sized codes frame
+    // never shuffles for them — and the per-query top-10 is a
+    // WindowGroupLimit heap, not a global sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("weighted sampling is hash + bounded window — never a join (q159)") {
     val p = plan("q159_weighted_sample")
     assert(!p.contains("Join"), p)
