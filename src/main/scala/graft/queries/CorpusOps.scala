@@ -71,6 +71,23 @@ object CorpusOps {
     */
   private val SuppOffset = 10000000L
 
+  /** Peel threshold for the q177 k-core: part degrees span ~11-52 at
+    * the test SFs, so 30 peels a meaningful subset while the
+    * high-degree supplier side survives on residual degree.
+    */
+  private val CoreK = 30
+
+  /** Both-direction part↔supplier edge frame (distinct lineitem
+    * pairs) — the graph under q175 and q177.
+    */
+  private def partSuppEdges(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(SuppOffset)).as("dst"))
+      .distinct()
+    f.unionAll(f.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q172: global line dedup with reassembly --------------------
@@ -145,12 +162,8 @@ object CorpusOps {
     // communities from q56's connected components: a node between two
     // dense blocks follows the DENSER one.
     "q175_label_propagation" -> { (s, dir) =>
-      val f = Tables.lineitem(s, dir)
-        .select(col("l_partkey").as("src"),
-          (col("l_suppkey") + lit(SuppOffset)).as("dst"))
-        .distinct()
       // both directions: label flows src -> dst along every edge
-      val e = f.unionAll(f.select(col("dst").as("src"), col("src").as("dst")))
+      val e = partSuppEdges(s, dir)
       var lbl = e.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (_ <- 1 to 2) {
@@ -166,7 +179,29 @@ object CorpusOps {
       lbl.select(col("node"), col("lbl").as("community"))
         .orderBy("node")
     },
+
+    // ---- q177: k-core density filter ---------------------------------
+    // Three peel rounds at k=30 over the same graph as q175: parts
+    // below 30 distinct suppliers die first, and survivors' residual
+    // degrees are reported. Components/LPA/k-core form the graph
+    // toolkit's reachability/density/support axes — see
+    // operators/KCore.scala for the role split.
+    "q177_kcore" -> { (s, dir) =>
+      graft.operators.KCore.run(partSuppEdges(s, dir), k = CoreK, rounds = 3)
+        .orderBy("node")
+    },
   )
+
+  /** One oracle peel round: from edge CTE `prev`, keep nodes of
+    * degree >= k, then keep edges whose BOTH endpoints survive.
+    */
+  private def kcoreRound(prev: String, out: String): String =
+    s"""k$out AS (
+       |  SELECT src AS n FROM $prev GROUP BY src HAVING COUNT(*) >= $CoreK),
+       |$out AS (
+       |  SELECT e.src, e.dst FROM $prev e
+       |  JOIN k$out a ON e.src = a.n
+       |  JOIN k$out b ON e.dst = b.n)""".stripMargin
 
   private def lpaRound(prev: String, out: String): String =
     s"""c$out AS (
@@ -233,5 +268,16 @@ object CorpusOps {
          |${lpaRound("l1", "l2")}
          |SELECT node, lbl AS community FROM l2
          |ORDER BY node""".stripMargin,
+
+    "q177_kcore" ->
+      s"""WITH f AS (
+         |  SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst
+         |  FROM lineitem),
+         |e0 AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+         |${kcoreRound("e0", "e1")},
+         |${kcoreRound("e1", "e2")},
+         |${kcoreRound("e2", "e3")}
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |FROM e3 GROUP BY src ORDER BY node""".stripMargin,
   )
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import graft.operators.LabelPropagation
+import graft.operators.{KCore, LabelPropagation}
 import graft.queries.CorpusOps
 
 /** Semantics pins for the corpus-rewrite operators: LPA's
@@ -52,6 +52,41 @@ class CorpusOpsSpec extends SparkSpecBase {
     val got = LabelPropagation.run(undirected(es), rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == lbl)
+  }
+
+  test("k-core peel cascades: a path dies end-inward, a cycle survives") {
+    // path 1-2-3-4: ends have degree 1 < 2, peel; the ex-middle nodes
+    // drop to degree 1 and die next round — 2-core = empty
+    val path = KCore.run(undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L))), k = 2, rounds = 3)
+    assert(path.count() == 0)
+    // cycle 1-2-3-4-1: every node keeps degree 2 forever
+    val cyc = KCore.run(undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))), k = 2, rounds = 3)
+    val got = cyc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("k-core equals the brute-force peel on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (1L to 25L).toVector
+    val es = (for (_ <- 1 to 45) yield {
+      val a = nodes(rnd.nextInt(nodes.size))
+      val b = nodes(rnd.nextInt(nodes.size))
+      if (a == b) None else Some((math.min(a, b), math.max(a, b)))
+    }).flatten.distinct
+    var adj: Map[Long, Set[Long]] =
+      (es ++ es.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    for (_ <- 1 to 3) {
+      // one peel: nodes below degree 3 die, edges to dead nodes go
+      // with them (a survivor left with no edges vanishes, as it does
+      // from the operator's edge frame)
+      val alive = adj.filter(_._2.size >= 3).keySet
+      adj = adj.collect { case (n, nbrs) if alive(n) => n -> (nbrs & alive) }
+        .filter(_._2.nonEmpty)
+    }
+    val expect = adj.map { case (n, nbrs) => n -> nbrs.size.toLong }
+    val got = KCore.run(undirected(es), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
   }
 
   test("q172 drops every later copy of a line and reassembles in order") {
