@@ -171,6 +171,47 @@ object StreamOps {
         .orderBy("win_start", "event_type")
     },
 
+    // Watermarked stream-stream interval join: even events (left)
+    // joined to odd events (right) of the same user within
+    // [lts, lts + 30 min], each side staged as 2 files and streamed
+    // one file per trigger so matches genuinely form ACROSS
+    // micro-batches out of the join's keyed state. The watermark
+    // delay exceeds the data's span, so no state is evicted mid-run
+    // and the append-mode inner join must emit exactly the relational
+    // interval join — which is what the oracle computes. The lag sum
+    // is exact integer microseconds.
+    "q178_stream_interval_join" -> { (s, d) =>
+      val stageL = Lifecycle.tmpDir("q178l")
+      val stageR = Lifecycle.tmpDir("q178r")
+      val out = Lifecycle.tmpDir("q178o")
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+      val l = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("lid"), col("ts").as("lts"), col("user_id"))
+      val r = ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id").as("rid"), col("ts").as("rts"), col("user_id"))
+      l.repartition(2).write.mode("overwrite").parquet(stageL)
+      r.repartition(2).write.mode("overwrite").parquet(stageR)
+      withShufflePartitions(s, 4) {
+        val joined = StreamIngest.intervalJoin(
+          streamOf(s, stageL, l.schema, filesPerTrigger = 1),
+          streamOf(s, stageR, r.schema, filesPerTrigger = 1),
+          Seq("user_id"), "lts", "rts",
+          before = "0 seconds", after = "30 minutes", watermark = "3650 days")
+        val q = joined.writeStream.outputMode("append")
+          .option("checkpointLocation", Lifecycle.tmpDir("q178c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        drain(q, "q178", 2)
+      }
+      s.read.parquet(out)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("unix_micros(rts) - unix_micros(lts)")).as("sum_lag_us"))
+        .orderBy("user_id")
+    },
+
     // Streaming CDC upsert: base orders replay first (mtimes
     // back-dated 60 s so the oldest-first FileStreamSource provably
     // orders base before updates), then an update batch triples the
@@ -233,6 +274,19 @@ object StreamOps {
         |FROM events
         |GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q178_stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events),
+        |l AS (SELECT event_id AS lid, ts AS lts, user_id FROM e WHERE event_id % 2 = 0),
+        |r AS (SELECT event_id AS rid, ts AS rts, user_id FROM e WHERE event_id % 2 = 1),
+        |j AS (
+        |  SELECT l.user_id, epoch_us(rts - lts) AS lag_us
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |   AND rts >= lts AND rts <= lts + INTERVAL 30 MINUTE)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q135_stream_upsert" ->
       """SELECT o_orderstatus,
