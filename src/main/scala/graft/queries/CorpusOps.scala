@@ -180,6 +180,35 @@ object CorpusOps {
         .orderBy("node")
     },
 
+    // ---- q179: vocabulary coverage curve -----------------------------
+    // What fraction of the token stream does a top-N vocabulary
+    // cover, for candidate sizes N — the tokenizer-sizing curve read
+    // before fixing a vocab budget (complements q74's prune and
+    // q123's OOV rate, which assume a vocab already chosen). One
+    // token-count aggregation, one vocab-sized global rank window
+    // (types ≪ tokens by Heaps' law — the same bounded-window bet
+    // q87 makes), then a 5-row broadcast threshold join; coverage is
+    // exact permille.
+    "q179_vocab_coverage" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.orderBy(col("n").desc, col("t").asc)
+      val ranked = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) > 0"))
+        .select(explode(col("toks")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+      val th = Seq(100L, 300L, 1000L, 3000L, 10000L).toDF("n_vocab")
+      ranked.crossJoin(broadcast(th))
+        .groupBy("n_vocab")
+        .agg(
+          sum("n").as("total"),
+          sum(when(col("rk") <= col("n_vocab"), col("n"))).as("cov"),
+          count(when(col("rk") <= col("n_vocab"), lit(1))).as("n_types"))
+        .select(col("n_vocab"), col("n_types"),
+          expr("coalesce(cov, 0) * 1000 div total").as("covered_milli"))
+        .orderBy("n_vocab")
+    },
+
     // ---- q177: k-core density filter ---------------------------------
     // Three peel rounds at k=30 over the same graph as q175: parts
     // below 30 distinct suppliers die first, and survivors' residual
@@ -268,6 +297,19 @@ object CorpusOps {
          |${lpaRound("l1", "l2")}
          |SELECT node, lbl AS community FROM l2
          |ORDER BY node""".stripMargin,
+
+    "q179_vocab_coverage" ->
+      s"""WITH base AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+         |ex AS (SELECT unnest(toks) AS t FROM base WHERE ${D.size("toks")} > 0),
+         |f AS (SELECT t, COUNT(*) AS n FROM ex GROUP BY t),
+         |r AS (
+         |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS rk FROM f),
+         |th(n_vocab) AS (VALUES (100), (300), (1000), (3000), (10000))
+         |SELECT CAST(th.n_vocab AS BIGINT) AS n_vocab,
+         |  COUNT(CASE WHEN rk <= th.n_vocab THEN 1 END) AS n_types,
+         |  CAST(${D.intDiv("COALESCE(SUM(CASE WHEN rk <= th.n_vocab THEN n END), 0) * 1000", "SUM(n)")} AS BIGINT) AS covered_milli
+         |FROM r, th GROUP BY th.n_vocab
+         |ORDER BY n_vocab""".stripMargin,
 
     "q177_kcore" ->
       s"""WITH f AS (
