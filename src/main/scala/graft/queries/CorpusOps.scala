@@ -80,13 +80,17 @@ object CorpusOps {
   /** Both-direction part↔supplier edge frame (distinct lineitem
     * pairs) — the graph under q175 and q177.
     */
-  private def partSuppEdges(s: SparkSession, dir: String): DataFrame = {
-    val f = Tables.lineitem(s, dir)
-      .select(col("l_partkey").as("src"),
-        (col("l_suppkey") + lit(SuppOffset)).as("dst"))
-      .distinct()
-    f.unionAll(f.select(col("dst").as("src"), col("src").as("dst")))
-  }
+  private def partSuppEdges(s: SparkSession, dir: String): DataFrame =
+    // memoized: the round loops in q175/q177 reference this frame in
+    // EVERY round's join, and an unpersisted distinct would re-run
+    // per reference (it cost both queries ~4 s at sf0.1)
+    Tables.memo(s, s"$dir#psEdges") {
+      val f = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + lit(SuppOffset)).as("dst"))
+        .distinct()
+      f.unionAll(f.select(col("dst").as("src"), col("src").as("dst")))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -209,6 +213,31 @@ object CorpusOps {
         .orderBy("n_vocab")
     },
 
+    // ---- q180: deterministic epoch reshuffle -------------------------
+    // The training-data loader's shuffle, made reproducible: each
+    // epoch permutes the corpus by seeding a portable 60-bit hash
+    // with the epoch number, SHARDS by hash block (16 here; sized to
+    // the loader's shard budget in production), and orders within the
+    // shard — exactly how distributed training shuffles at scale
+    // (shard-then-shuffle-within-shard), and deliberately NOT a
+    // global per-epoch sort, which would serialize the corpus through
+    // one task per epoch. One narrow hash map + one (epoch, block)
+    // window whose partitions are ~N/16 rows.
+    "q180_epoch_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      val epochs = Seq(0L, 1L).toDF("epoch")
+      val h = S.hash64("concat(cast(epoch as string), ':', cast(doc_id as string))")
+      Tables.documents(s, dir).select(col("doc_id"))
+        .crossJoin(broadcast(epochs))
+        .withColumn("blk", expr(s"pmod($h, 16)"))
+        .withColumn("offset", row_number().over(
+          Window.partitionBy("epoch", "blk")
+            .orderBy(expr(h), col("doc_id"))) - 1)
+        .select(col("epoch"), col("blk").as("block"),
+          col("offset").cast("long").as("offset"), col("doc_id"))
+        .orderBy("epoch", "block", "offset")
+    },
+
     // ---- q177: k-core density filter ---------------------------------
     // Three peel rounds at k=30 over the same graph as q175: parts
     // below 30 distinct suppliers die first, and survivors' residual
@@ -310,6 +339,19 @@ object CorpusOps {
          |  CAST(${D.intDiv("COALESCE(SUM(CASE WHEN rk <= th.n_vocab THEN n END), 0) * 1000", "SUM(n)")} AS BIGINT) AS covered_milli
          |FROM r, th GROUP BY th.n_vocab
          |ORDER BY n_vocab""".stripMargin,
+
+    "q180_epoch_shuffle" ->
+      s"""WITH ep(epoch) AS (VALUES (0), (1)),
+         |h AS (
+         |  SELECT epoch, doc_id,
+         |    ${D.hash64("concat(CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")} AS hv
+         |  FROM documents, ep)
+         |SELECT CAST(epoch AS BIGINT) AS epoch,
+         |  CAST(hv % 16 AS BIGINT) AS block,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, hv % 16
+         |                          ORDER BY hv, doc_id) - 1 AS BIGINT) AS offset,
+         |  doc_id
+         |FROM h ORDER BY epoch, block, offset""".stripMargin,
 
     "q177_kcore" ->
       s"""WITH f AS (
