@@ -30,6 +30,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.selectQueries(only)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val cacheBudgetMB = sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_MB", "1536").toLong
     selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
@@ -52,7 +53,19 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.min
-      System.err.println(f"[bench] $name%-28s $sec%8.3f s")
+      // storage telemetry: cached frames + checkpointed RDD blocks still
+      // resident AFTER this query — the r3 late-suite regression (12
+      // queries 3-9x slower from accumulated cache pressure) was only
+      // attributable forensically; this makes growth visible per query
+      val storage = spark.sparkContext.getRDDStorageInfo
+      val cachedMB = storage.map(i => i.memSize + i.diskSize).sum / (1024 * 1024)
+      System.err.println(
+        f"[bench] $name%-28s $sec%8.3f s  [storage: ${storage.length}%3d rdds ${cachedMB}%5d MB]")
+      // bound resident cache between queries: r3's late-suite cluster
+      // (12 queries 3-9x slower, byte-identical code) was accumulated
+      // cache pressure from earlier query families. LRU-evict memoized
+      // frames first, full reset only if bare caches push past budget.
+      graft.core.Tables.trimStorage(spark, cacheBudgetMB << 20)
       name -> sec
     }
     // Short keys + 3-decimal values keep the whole line well under the
@@ -64,7 +77,13 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // stdout gets the HEADLINE ONLY: at 180 queries the full per-query
+    // map is ~2.5 KB and demonstrably overflows the driver's tail-capture
+    // window (three rounds of parsed:null). The per-query map lands in
+    // bench_out.json.
     val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+    val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: the driver parses the last stdout line, but two
     // rounds of bench data were lost to log-prefix wrapping — so the
@@ -76,7 +95,7 @@ object Bench {
     if (only.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] bench_out.json not written: ${e.getMessage}")

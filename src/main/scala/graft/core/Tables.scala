@@ -46,28 +46,29 @@ object Tables {
     if (estParts < want) df.repartition(want) else df
   }
 
-  /** Memoized nanos→µs-converted `events` frames, keyed per
-    * (session, sfDir): the conversion sits under EVERY event query, and
-    * re-reading + re-dividing per call showed up as whole-query
-    * regressions once the suite grew. MEMORY_AND_DISK so eviction
-    * under pressure degrades to disk reads instead of evicting hotter
-    * caches.
-    */
-  private val eventsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   /** Generic memoized-and-persisted frame, keyed per (session, tag) —
     * for query-local frames that a stats probe and the returned plan
     * BOTH traverse (a bare .cache() inside a query fn is never
     * unpersisted and pins storage for the session's lifetime; this
-    * map is drained by [[dropMemos]] at Bench's phase boundary).
+    * map is drained by [[dropMemos]] at Bench's phase boundary and
+    * LRU-trimmed by [[trimStorage]] under a storage budget). Every
+    * access stamps an LRU tick so [[trimStorage]] evicts the coldest
+    * frame first. MEMORY_AND_DISK so pressure degrades to disk reads
+    * instead of silently evicting hotter caches.
     */
+  private final class MemoEntry(val df: DataFrame) {
+    @volatile var lastUse: Long = 0L
+  }
+  private val lruTick = new java.util.concurrent.atomic.AtomicLong(0L)
   private val frameMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), MemoEntry]
 
-  def memo(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    frameMemo.getOrElseUpdate((spark, tag),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def memo(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
+    val e = frameMemo.getOrElseUpdate((spark, tag),
+      new MemoEntry(build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    e.lastUse = lruTick.incrementAndGet()
+    e.df
+  }
 
   /** Unpersist and forget every memoized frame for `spark` (all table
     * dirs). Bench calls this at its warm→measured phase boundary —
@@ -76,23 +77,70 @@ object Tables {
     * (events) or pin dead plans for the JVM lifetime.
     */
   def dropMemos(spark: SparkSession): Unit = {
-    Seq(eventsMemo, frameMemo).foreach(_.filterInPlace { case ((s, _), df) =>
-      if (s eq spark) { df.unpersist(); false } else !s.sparkContext.isStopped
-    })
+    frameMemo.filterInPlace { case ((s, _), e) =>
+      if (s eq spark) { e.df.unpersist(); false } else !s.sparkContext.isStopped
+    }
     graft.queries.TextOps.dropMemos(spark)
+  }
+
+  /** Bound the session's resident cache to `budgetBytes`. Round 3's
+    * bench showed the failure mode this prevents: 180 queries in one
+    * session, each memoizing/caching its family's frames, grew
+    * storage monotonically until the last-sorted third of the suite
+    * ran 3-9x slower than the same code a round earlier. A long-lived
+    * real session has exactly the same monotone growth.
+    *
+    * Two stages, cheapest first:
+    *  1. evict memoized frames in LRU order (coldest first) until
+    *     under budget — hot frames (the events conversion, the
+    *     current query family's corpora) survive;
+    *  2. if still over budget the pressure is outside the memo maps
+    *     (bare .cache() sites, localCheckpoint blocks from iterative
+    *     operators), so do a full reset: clearCache + dropMemos +
+    *     unpersist every remaining persistent RDD.
+    *
+    * Stage 2 is only safe BETWEEN units of work: a localCheckpointed
+    * RDD's lineage is truncated, so a still-live frame built on one
+    * cannot recompute after the sweep. Bench calls this between
+    * queries; a library user should call it between jobs.
+    */
+  def trimStorage(spark: SparkSession, budgetBytes: Long): Unit = {
+    def resident: Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    if (resident <= budgetBytes) return
+    val lru = frameMemo.toSeq
+      .filter { case ((s, _), _) => s eq spark }
+      .sortBy(_._2.lastUse)
+    val it = lru.iterator
+    var over = true
+    while (over && it.hasNext) {
+      val (k, e) = it.next()
+      frameMemo.remove(k)
+      e.df.unpersist(blocking = true)
+      over = resident > budgetBytes
+    }
+    if (over) {
+      spark.sharedState.cacheManager.clearCache()
+      dropMemos(spark)
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     name match {
       case "events" =>
-        eventsMemo.getOrElseUpdate((spark, sfDir), {
+        // memoized: the nanos→µs conversion sits under EVERY event
+        // query, and re-reading + re-dividing per call showed up as
+        // whole-query regressions once the suite grew. Constant use
+        // keeps its LRU tick fresh, so trimStorage evicts it last.
+        memo(spark, s"events#$sfDir") {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read
             .parquet(s"$sfDir/events.parquet")
             .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        })
+        }
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")
     }

@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale (100 TB design point): each round is one degree aggregation
   * (map-side partial combine on the src key) and two semi joins of
-  * the edge frame against the surviving-node frame, both
-  * co-partitioned on the join key — O(E) shuffled per round, strictly
-  * shrinking, nothing on the driver. Lineage is capped with a
-  * localCheckpoint every 4 rounds (the [[ConnectedComponents]] rule).
+  * the edge frame against the surviving-node frame — O(E) shuffled
+  * per round, strictly shrinking, nothing on the driver. The edge
+  * frame is localCheckpoint'ed EVERY round (the
+  * [[ConnectedComponents]] rule): the plan references the previous
+  * round's frame twice (degree agg + the rebuilt edge list), so an
+  * uncapped lineage replays the whole prefix up to 2^rounds times.
+  * The survivor frame is checkpointed too — it feeds BOTH semi joins,
+  * and as a persisted RDD the degree aggregation runs once instead of
+  * relying on exchange reuse across join sides. The initial
+  * repartition on `src` is pinned by the checkpoint, so the per-round
+  * degree agg and src-side semi join reuse it shuffle-free.
   */
 object KCore {
 
@@ -36,13 +43,16 @@ object KCore {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     require(rounds >= 1, s"k-core needs >= 1 round, got $rounds")
     var e = edges.select(col("src"), col("dst"))
-    for (i <- 1 to rounds) {
+      .repartition(col("src"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("keep"))
+        .localCheckpoint(eager = false)
       e = e.join(keep, col("src") === col("keep"), "left_semi")
         .join(keep, col("dst") === col("keep"), "left_semi")
-      if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }

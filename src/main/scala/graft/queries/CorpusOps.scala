@@ -230,12 +230,12 @@ object CorpusOps {
       Tables.documents(s, dir).select(col("doc_id"))
         .crossJoin(broadcast(epochs))
         .withColumn("blk", expr(s"pmod($h, 16)"))
-        .withColumn("offset", row_number().over(
+        .withColumn("pos", row_number().over(
           Window.partitionBy("epoch", "blk")
             .orderBy(expr(h), col("doc_id"))) - 1)
         .select(col("epoch"), col("blk").as("block"),
-          col("offset").cast("long").as("offset"), col("doc_id"))
-        .orderBy("epoch", "block", "offset")
+          col("pos").cast("long").as("pos"), col("doc_id"))
+        .orderBy("epoch", "block", "pos")
     },
 
     // ---- q177: k-core density filter ---------------------------------
@@ -349,9 +349,9 @@ object CorpusOps {
          |SELECT CAST(epoch AS BIGINT) AS epoch,
          |  CAST(hv % 16 AS BIGINT) AS block,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, hv % 16
-         |                          ORDER BY hv, doc_id) - 1 AS BIGINT) AS offset,
+         |                          ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos,
          |  doc_id
-         |FROM h ORDER BY epoch, block, offset""".stripMargin,
+         |FROM h ORDER BY epoch, block, pos""".stripMargin,
 
     "q177_kcore" ->
       s"""WITH f AS (

@@ -1283,9 +1283,12 @@ object TextOps {
     * adjacent symbol pairs, broadcasts the (count DESC, pair ASC)
     * winner, and rewrites by the double string-replace (see q170's
     * inventory comment for why twice and why no regex). Per-round
-    * corpora are cached — q170's merge table and q171's encode both
-    * read them, and round k+1's count would otherwise re-run rounds
-    * 1..k.
+    * corpora persist through [[graft.core.Tables.memo]] — q170's
+    * merge table and q171's encode both read them, and round k+1's
+    * count would otherwise re-run rounds 1..k. Tracked (not bare
+    * .cache()) so the 6 corpus copies are LRU-evictable once the BPE
+    * family is done — in round 3 they pinned storage for the rest of
+    * the 180-query bench session and regressed everything after them.
     */
   private def bpeChain(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
@@ -1305,9 +1308,11 @@ object TextOps {
           "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), '|', element_at(tk, i + 1)))")).as("pr"))
       val best = pairs.groupBy("pr").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pr").asc).limit(1)
-      cur = cur.crossJoin(broadcast(best))
-        .select(col("doc_id"), expr(twice).as("s"))
-        .cache()
+      val prev = cur
+      cur = graft.core.Tables.memo(s, s"$dir#bpe$r") {
+        prev.crossJoin(broadcast(best))
+          .select(col("doc_id"), expr(twice).as("s"))
+      }
       best.select(lit(r).cast("int").as("round"), col("pr").as("pair"), col("n"))
     }
     (init, cur, merges)
