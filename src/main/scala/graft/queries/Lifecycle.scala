@@ -568,6 +568,115 @@ object Lifecycle {
           min("o_orderkey").as("lo_key"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // Vacuum round trip (reference pydala/dataset.py:621-638): retire
+    // EVERY data file and the stats sidecar while preserving the
+    // directory so writes can resume — generation 2 lands into the
+    // vacuumed layout and the read-back must see ONLY generation 2.
+    // The requires pin the physical contract (no files, no sidecar
+    // after vacuum) that the value hash alone cannot distinguish from
+    // a plain overwrite.
+    "q181_vacuum_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q181")
+      val ds = new ParquetDataset(s, dir)
+      ds.write(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        WriteConfig(mode = "overwrite", partitionBy = Seq("o_orderstatus")))
+      require(ds.files.nonEmpty && ds.stats.nonEmpty,
+        "q181: setup write left no files/sidecar to vacuum")
+      ds.vacuum()
+      require(ds.files.isEmpty, s"q181: vacuum left data files: ${ds.relFiles}")
+      require(ds.stats.isEmpty, "q181: vacuum left the stats sidecar")
+      ds.write(
+        Tables.orders(s, d).filter("o_orderkey % 5 = 0")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        WriteConfig(mode = "append", partitionBy = Seq("o_orderstatus")))
+      ds.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // compact_by_rows round trip: an UNPARTITIONED fragmented write
+    // (~12 files) collapsed by the whole-dataset path (one group, all
+    // files) into a single bounded file; values must survive the
+    // staged rewrite + swap byte-identically.
+    "q182_compact_rows_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q182")
+      val src = Tables.orders(s, d).filter("o_orderkey % 2 = 0")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val frag = math.max(50L, ordersCount(s, d) / 2 / 12)
+      WritePipeline.write(src, dir, WriteConfig(maxRowsPerFile = frag))
+      val ds = new ParquetDataset(s, dir)
+      val before = ds.files.size
+      require(before > 1, s"q182: fragmentation setup produced $before file(s)")
+      val plan = Maintenance.compactByRows(ds)
+      require(plan.groups.nonEmpty, s"q182: nothing planned over $before files")
+      require(ds.files.size < before,
+        s"q182: compaction did not shrink file count ($before -> ${ds.files.size})")
+      ds.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("lo_key"),
+          max("o_orderkey").as("hi_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // compact_by_timeperiod round trip: events written ts-sorted into
+    // ~12 files with tight time envelopes, then compacted within 7-day
+    // windows (the data spans ~30 days → ~5 windows, each holding
+    // multiple files). Window assignment is footer-metadata only;
+    // every window's files rewrite in place sorted by ts. The
+    // read-back daily rollup must equal the batch answer — the
+    // window boundaries must not drop, duplicate, or misassign rows.
+    "q183_compact_timeperiod_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q183")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)").as("vmilli"))
+      val nEv = ev.count()
+      WritePipeline.write(ev, dir, WriteConfig(
+        sortBy = SortKey.parse("ts"),
+        maxRowsPerFile = math.max(50L, nEv / 12)))
+      val ds = new ParquetDataset(s, dir)
+      val before = ds.files.size
+      require(before > 1, s"q183: fragmentation setup produced $before file(s)")
+      val plan = Maintenance.compactByTimeperiod(ds, "ts",
+        Maintenance.parseInterval("7d"))
+      require(plan.groups.size > 1,
+        s"q183: expected multiple time windows, got ${plan.groups.size}")
+      require(ds.files.size < before,
+        s"q183: compaction did not shrink file count ($before -> ${ds.files.size})")
+      ds.df.groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum("vmilli").as("vmilli_sum"))
+        .orderBy("day")
+    },
+
+    // repartition round trip (reference pydala/dataset.py:2392-2488):
+    // an unpartitioned dataset re-laid-out into hive year= partitions
+    // derived from o_orderdate, via the staged whole-dataset rewrite.
+    // The require pins the new physical layout; the hash gate pins
+    // that the re-layout is value-preserving.
+    "q184_repartition_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q184")
+      WritePipeline.write(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice")),
+        dir, WriteConfig())
+      val ds = new ParquetDataset(s, dir)
+      require(ds.partitionColumns.isEmpty, "q184: setup should be unpartitioned")
+      Maintenance.repartition(ds, Seq("year"),
+        datepartsFrom = Some("o_orderdate"), dateparts = Seq("year"))
+      require(ds.partitionColumns == Seq("year"),
+        s"q184: expected hive year= layout, got ${ds.partitionColumns}")
+      ds.df.groupBy(col("year").cast("int").as("year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("year")
     }
   )
 
@@ -733,6 +842,36 @@ object Lifecycle {
         |       MIN(o_orderkey) AS lo_key,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus <> 'P'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q181_vacuum_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q182_compact_rows_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       MIN(o_orderkey) AS lo_key,
+        |       MAX(o_orderkey) AS hi_key,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q183_compact_timeperiod_roundtrip" ->
+      """SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+        |       COUNT(*) AS n,
+        |       COUNT(DISTINCT user_id) AS users,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)) AS BIGINT)
+        |         AS vmilli_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q184_repartition_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -246,6 +246,75 @@ object StreamOps {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // Streaming event-time session windows: per-user sessions with a
+    // 6-hour gap, drained in complete mode (the final batch has seen
+    // every file, so the landed state is the full session set — the
+    // same reason q150 uses complete). Events arrive across ≥2
+    // micro-batches shuffled out of time order, so sessions must MERGE
+    // in the state store (a late event bridging two provisional
+    // sessions collapses them); the oracle is the batch
+    // gaps-and-islands sessionization, which is exactly what merged
+    // session state must converge to. Session start = min event ts,
+    // and an event at EXACTLY gap distance starts a new session
+    // (session windows are end-exclusive) — the oracle's >= mirrors
+    // that.
+    "q185_stream_session" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q185s")
+      val out = Lifecycle.tmpDir("q185o")
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      withShufflePartitions(s, 4) {
+        val agg = StreamIngest.sessionAgg(
+          streamOf(s, stage, ev.schema), "ts", "user_id",
+          gap = "6 hours", watermark = "3650 days")
+        val q = agg.writeStream.outputMode("complete")
+          .option("checkpointLocation", Lifecycle.tmpDir("q185c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+          }
+          .start()
+        drain(q, "q185", 2)
+      }
+      s.read.parquet(out)
+        .select(col("user_id"), col("session_window.start").as("win_start"),
+          col("n_events"))
+        .orderBy("user_id", "win_start")
+    },
+
+    // Custom keyed streaming state (flatMapGroupsWithState): running
+    // per-user totals that must survive micro-batch boundaries in the
+    // state store. Each batch emits the key's cumulative row; the
+    // read-back takes the row with the highest count per key (counts
+    // strictly increase across a key's emissions), which must equal
+    // the batch groupBy — value sums ride exact integer millis in
+    // doubles, so cross-batch fold order cannot perturb the hash.
+    "q186_stream_stateful" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q186s")
+      val out = Lifecycle.tmpDir("q186o")
+      val ev = Tables.events(s, d).select(
+        col("user_id").cast("long").as("key"),
+        expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)")
+          .cast("double").as("value"))
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      withShufflePartitions(s, 4) {
+        import s.implicits._
+        val totals = StreamIngest.statefulTotals(
+          streamOf(s, stage, ev.schema).as[StreamIngest.KeyedEvent])
+        val q = totals.toDF().writeStream.outputMode("update")
+          .option("checkpointLocation", Lifecycle.tmpDir("q186c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        drain(q, "q186", 2)
+      }
+      s.read.parquet(out)
+        .groupBy("key")
+        .agg(max("n").as("n_events"),
+          expr("max_by(total, n)").cast("bigint").as("vmilli_total"))
+        .orderBy("key")
     }
   )
 
@@ -296,6 +365,33 @@ object StreamOps {
         |                    ELSE o_totalprice END
         |          AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q185_stream_session" ->
+      """WITH e AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events),
+        |flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, MIN(ts) AS win_start, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, win_start""".stripMargin,
+
+    "q186_stream_stateful" ->
+      """SELECT CAST(user_id AS BIGINT) AS key,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)) AS BIGINT)
+        |   AS vmilli_total
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
