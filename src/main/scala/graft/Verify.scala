@@ -22,8 +22,21 @@ object Verify {
     // dev loop only (driver never sets it): restrict to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // The driver's DuckDB oracle reads the raw tables' naive (NTZ)
+    // timestamps, so its result timestamps are naive; Spark's
+    // session-TZ TIMESTAMP writes parquet isAdjustedToUTC=true, which
+    // the comparator loads tz-aware and mismatches on tzinfo alone.
+    // The session zone is pinned UTC, so casting result timestamps to
+    // NTZ at the dump boundary is value-identity — it only aligns the
+    // parquet annotation with the oracle's.
+    def ntzNormalized(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.TimestampType
+      df.schema.fields.collect { case f if f.dataType == TimestampType => f.name }
+        .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
+    }
     SparkEntry.selectQueries(only).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

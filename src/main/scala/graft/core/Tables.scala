@@ -9,14 +9,23 @@ import org.apache.spark.sql.functions._
   * (TPC-H-ish star schema + `events` + `documents` + `embeddings`,
   * see /root/repo/TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read
-  * it with `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to
-  * microseconds — the same truncation DuckDB applies when casting
-  * timestamp_ns to its microsecond TIMESTAMP, so oracle comparisons
-  * agree. Integer division (`div`) is deliberate: nanos-since-epoch
-  * (~1.7e18) exceeds Double's 2^53 exact range, so a floating-point
-  * division would corrupt microseconds.
+  * `events.ts` has shipped in two physical layouts across data
+  * generations, so the loader adapts to what the footer actually
+  * says rather than assuming either one:
+  *
+  *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+  *    ([PARQUET_TYPE_ILLEGAL]); we read it with
+  *    `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to
+  *    microseconds — the same truncation DuckDB applies casting
+  *    timestamp_ns to its microsecond TIMESTAMP, so oracle
+  *    comparisons agree. Integer division (`div`) is deliberate:
+  *    nanos-since-epoch (~1.7e18) exceeds Double's 2^53 exact range,
+  *    so a floating-point division would corrupt microseconds.
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+  *    TIMESTAMP_NTZ; we cast to the session-local TIMESTAMP (the
+  *    session zone is pinned to UTC everywhere, so the cast is
+  *    value-identity) to keep one downstream type for every event
+  *    query and oracle.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -131,15 +140,21 @@ object Tables {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     name match {
       case "events" =>
-        // memoized: the nanos→µs conversion sits under EVERY event
-        // query, and re-reading + re-dividing per call showed up as
+        // memoized: the ts normalization sits under EVERY event
+        // query, and re-reading + re-converting per call showed up as
         // whole-query regressions once the suite grew. Constant use
         // keeps its LRU tick fresh, so trimStorage evicts it last.
         memo(spark, s"events#$sfDir") {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read
-            .parquet(s"$sfDir/events.parquet")
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val raw = spark.read.parquet(s"$sfDir/events.parquet")
+          val tsCol = raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) gen
+              expr("timestamp_micros(ts div 1000)")
+            case _: org.apache.spark.sql.types.TimestampNTZType => // µs NTZ gen
+              col("ts").cast("timestamp")
+            case _ => col("ts")
+          }
+          raw.withColumn("ts", tsCol)
         }
       case other =>
         spark.read.parquet(s"$sfDir/$other.parquet")

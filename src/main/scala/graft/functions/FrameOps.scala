@@ -126,10 +126,23 @@ object FrameOps {
     * every frame); `maxPartitions` guards against calling it on a
     * high-cardinality key. For data-scale splits use the write path's
     * hive `partitionBy`, which never drives through the driver.
+    *
+    * Cost: each returned frame is a filter over the SOURCE, so a
+    * caller consuming all K entries would re-scan it K times.
+    * `persistSource` (default true) instead pins one
+    * MEMORY_AND_DISK pass — the key-distinct warms it and every
+    * split reads the cached pass. The cache lives until the caller
+    * drops it (`df.unpersist()`, or `Tables.trimStorage`'s budget
+    * sweep); pass `persistSource = false` for a one-entry drill-down
+    * where a single re-scan is cheaper than caching the whole source.
     */
   def partitionBy(df: DataFrame, columns: Seq[String],
-                  maxPartitions: Int = 10000): Seq[(Map[String, Any], DataFrame)] = {
+                  maxPartitions: Int = 10000,
+                  persistSource: Boolean = true): Seq[(Map[String, Any], DataFrame)] = {
     if (columns.isEmpty) return Seq(Map.empty[String, Any] -> df)
+    if (persistSource &&
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = df.select(columns.map(col): _*).distinct().limit(maxPartitions + 1).collect()
     require(keys.length <= maxPartitions,
       s"partitionBy: more than $maxPartitions distinct keys over ${columns.mkString(",")}")

@@ -51,8 +51,22 @@ object Delete {
       // TRUE deletes; FALSE and NULL survive
       val keep = affected.filter(!coalesce(pred, lit(false)))
       val deleted = affected.count() - keep.count()
-      WritePipeline.write(keep, path,
-        WriteConfig(mode = "append", partitionBy = ds.partitionColumns))
+      // Staged rewrite (Maintenance's failure contract): surviving
+      // rows land in a tmp dir first, so a mid-write failure leaves
+      // the original files — and therefore every row — untouched. A
+      // direct append would commit part-files before the originals
+      // are removed, double-counting kept rows on failure.
+      val tmp = s"$path/_tmp_delete"
+      FsUtil.deleteRecursively(tmp)
+      try WritePipeline.write(keep, tmp,
+        WriteConfig(mode = "overwrite", partitionBy = ds.partitionColumns))
+      catch {
+        case e: Exception =>
+          FsUtil.deleteRecursively(tmp)
+          throw new graft.operators.StagedRewriteException(affectedRel,
+            s"staged delete failed before swap; dataset unchanged: ${e.getMessage}", e)
+      }
+      FsUtil.promote(tmp, path)
       FsUtil.delete(path, affectedAbs.toIndexedSeq)
       spark.catalog.refreshByPath(path)
       if (ds.stats.nonEmpty) ds.updateStats()

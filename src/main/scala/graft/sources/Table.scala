@@ -74,10 +74,34 @@ final class CsvDataset(val spark: SparkSession, val path: String,
   */
 final class JsonDataset(val spark: SparkSession, val path: String,
                         optimizeDtypes: Boolean = false) {
-  // the dtype proposal costs a data scan (exact bounds) — plan it
-  // once per dataset instance, not on every df access
-  private lazy val dtypeProposal: Map[String, org.apache.spark.sql.types.DataType] =
-    graft.functions.SchemaOps.optDtype(spark.read.json(path))
+  // The dtype proposal costs a data scan (exact bounds) — cache it
+  // per physical directory state, not per instance lifetime: a plan
+  // computed before new files land could narrow a column below the
+  // new values' range (ANSI: the read throws; legacy: silent nulls).
+  // The signature is a metadata-only listing (path+size+mtime), so a
+  // repeated df access on an unchanged directory pays no data scan.
+  @volatile private var dtypeCache:
+      Option[(Seq[(String, Long, Long)], Map[String, org.apache.spark.sql.types.DataType])] = None
+  private def listSig: Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(FsUtil.stripScheme(path))
+    if (!java.nio.file.Files.exists(base)) Nil
+    else java.nio.file.Files.walk(base).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (p.toString, java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toSeq.sortBy(_._1)
+  }
+  private def dtypeProposal: Map[String, org.apache.spark.sql.types.DataType] = {
+    val sig = listSig
+    dtypeCache match {
+      case Some((s, p)) if s == sig => p
+      case _ =>
+        val p = graft.functions.SchemaOps.optDtype(spark.read.json(path))
+        dtypeCache = Some((sig, p))
+        p
+    }
+  }
   def df: DataFrame = {
     val raw = spark.read.json(path)
     if (!optimizeDtypes) raw

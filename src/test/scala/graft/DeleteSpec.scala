@@ -48,6 +48,25 @@ class DeleteSpec extends SparkSpecBase {
       Seq(2L, 3L))
   }
 
+  test("staged swap hygiene: no tmp remnant, keep rows land exactly once") {
+    val dir = tmpDir("delstage")
+    val ds = new ParquetDataset(spark, dir)
+    // hive-partitioned so the staged rewrite must preserve layout
+    // through the tmp dir + promote
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p2"))
+      .toDF("k", "v", "p").write.mode("append").partitionBy("p").parquet(dir)
+
+    val res = Delete.where(ds, "k % 2 = 0")
+    assert(res.deleted == 2)
+    // the staging dir never survives a successful swap
+    assert(!graft.sources.FsUtil.exists(s"$dir/_tmp_delete"))
+    // every kept row exactly once — the pre-swap failure mode this
+    // guards is a partial append duplicating keep rows
+    assert(ds.df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    assert(ds.partitionColumns == Seq("p"))
+  }
+
   test("no matches: nothing rewritten, empty dataset no-op") {
     val dir = tmpDir("delnone")
     val ds = new ParquetDataset(spark, dir)

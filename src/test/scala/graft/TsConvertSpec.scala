@@ -139,4 +139,24 @@ class TsConvertSpec extends SparkSpecBase {
     assert(whole.size == 1 && whole.head._1.isEmpty)
     assert(whole.head._2.count() == 3)
   }
+
+  test("partitionBy pins ONE source pass — every split reads the cache") {
+    val df = Seq(("x", 1), ("y", 2), ("x", 3), ("z", 4)).toDF("cat", "v")
+    val parts = graft.functions.FrameOps.partitionBy(df, Seq("cat"))
+    try {
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "source must be persisted for the dimensional split")
+      // every split's physical plan scans the InMemoryRelation, not parquet
+      parts.foreach { case (_, p) =>
+        val hasCacheScan = p.queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+        }.nonEmpty
+        assert(hasCacheScan, s"split ${p.columns.mkString(",")} bypasses the cached pass")
+      }
+      // opt-out path leaves the source unpersisted
+      val df2 = Seq(("a", 1)).toDF("cat", "v")
+      graft.functions.FrameOps.partitionBy(df2, Seq("cat"), persistSource = false)
+      assert(df2.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    } finally df.unpersist()
+  }
 }
