@@ -35,12 +35,18 @@ object Verify {
       df.schema.fields.collect { case f if f.dataType == TimestampType => f.name }
         .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
     }
+    // Same cache-budget discipline as Bench: 186 queries in one
+    // session accumulate memoized/cached frames monotonically without
+    // a between-queries sweep (the r3 late-suite failure mode, which
+    // would otherwise also slow the driver's correctness run).
+    val cacheBudgetMB = sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_MB", "1536").toLong
     SparkEntry.selectQueries(only).foreach { case (name, fn) =>
       try ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      graft.core.Tables.trimStorage(spark, cacheBudgetMB << 20)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -89,7 +89,6 @@ object Tables {
     frameMemo.filterInPlace { case ((s, _), e) =>
       if (s eq spark) { e.df.unpersist(); false } else !s.sparkContext.isStopped
     }
-    graft.queries.TextOps.dropMemos(spark)
   }
 
   /** Bound the session's resident cache to `budgetBytes`. Round 3's
@@ -112,6 +111,15 @@ object Tables {
     * RDD's lineage is truncated, so a still-live frame built on one
     * cannot recompute after the sweep. Bench calls this between
     * queries; a library user should call it between jobs.
+    *
+    * Stage 2 is also CONTEXT-wide, not session-scoped: clearCache and
+    * the persistent-RDD sweep hit every session sharing the
+    * SparkContext (Spark exposes no per-session storage registry), so
+    * another live session's localCheckpoint blocks would be destroyed
+    * with no lineage to recompute them. Single-session JVMs
+    * (Bench/Verify, a typical job) are unaffected; a multi-session
+    * deployment should budget via stage 1 only — keep every shared
+    * frame in [[memo]] and the LRU sweep never needs stage 2.
     */
   def trimStorage(spark: SparkSession, budgetBytes: Long): Unit = {
     def resident: Long =

@@ -194,9 +194,15 @@ object Maintenance {
 
   // ---- dtype optimization ------------------------------------------
 
-  /** Sample-based narrowing (reference optimize_dtypes,
-    * pydala/dataset.py:2490-2603). `strict` verifies that no cast
-    * nulls out a value before publishing. The optional `tz`/`removeTz`
+  /** Exact-bounds narrowing (reference optimize_dtypes,
+    * pydala/dataset.py:2490-2603). Lossiness is impossible by
+    * construction: every proposal is confirmed from EXACT full-frame
+    * bounds (not a sample), and a racing concurrent writer still
+    * fails closed — the staged write's ANSI casts throw →
+    * [[StagedRewriteException]], originals untouched. `strict` is
+    * retained as the reference-parity knob only (pydala's SAMPLED
+    * planner needs a pre-publish recount; this planner doesn't) and
+    * currently has no effect. The optional `tz`/`removeTz`
     * pair normalizes timestamp columns in the SAME rewrite (the
     * reference's ts unit/tz args on this path, pydala/io.py:325-351):
     * `removeTz=true` strips instants to wall clocks rendered in `tz`

@@ -324,11 +324,12 @@ object Events {
     // count and the self-join read the same shuffle output. Week index
     // is integer µs division (no timestamp arithmetic to diverge).
     "q64_retention" -> { (s, d) =>
-      val w = Tables.events(s, d)
-        .select(col("user_id"),
-          expr("unix_micros(ts) div 604800000000").as("wk"))
-        .distinct()
-        .cache()
+      val w = Tables.memo(s, s"$d#q64weeks") {
+        Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .distinct()
+      }
       val act = w.groupBy("wk").agg(count(lit(1)).as("n_active"))
       val ret = w.as("a").join(w.as("b"),
           col("a.user_id") === col("b.user_id") &&
@@ -347,9 +348,10 @@ object Events {
     // observed min and max and left-join the counts — gap weeks appear
     // with an explicit 0 (the standard time-series densification).
     "q78_date_spine" -> { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(expr("unix_micros(ts) div 604800000000").as("wk"))
-        .cache()
+      val e = Tables.memo(s, s"$d#q78weeks") {
+        Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 604800000000").as("wk"))
+      }
       val counts = e.groupBy("wk").agg(count(lit(1)).as("n_events"))
       val spine = e.agg(min("wk").as("lo"), max("wk").as("hi"))
         .select(explode(expr("sequence(lo, hi)")).as("wk"))
@@ -469,10 +471,11 @@ object Events {
     // one shuffle. Stickiness (DAU/WAU) is exact milli by integer
     // division.
     "q161_rolling_wau" -> { (s, d) =>
-      val ud = Tables.events(s, d)
-        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-        .distinct()
-        .cache()
+      val ud = Tables.memo(s, s"$d#q161udays") {
+        Tables.events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+      }
       val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
       // data-relative upper bound stays a lazy broadcast scalar — no
       // driver-side collect inside the (re-executed) query builder
@@ -502,7 +505,7 @@ object Events {
       // and s3 embed it twice and three times respectively) — without
       // the cache the sessionization window re-executes per branch
       // (the q104 anti-pattern)
-      val sess = sessionized(s, d).cache()
+      val sess = Tables.memo(s, s"$d#sessions")(sessionized(s, d))
       val keys = Seq("user_id", "session_id")
       val s1 = sess.filter(col("event_type") === "signup")
         .groupBy(keys.map(col): _*).agg(min("tsu").as("t1"))

@@ -371,16 +371,18 @@ object Lifecycle {
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)"))
             .as("cents"))
-      val changedParts = digest(base).as("a")
+      // the change set is partition IDS (≤7 values, metadata-scale) —
+      // collect them once and filter by literal list, rather than
+      // pinning a never-unpersisted cache for two broadcast joins
+      val changed = digest(base).as("a")
         .join(digest(snapB).as("b"), col("a.part") === col("b.part"))
         .filter(col("a.dig") =!= col("b.dig"))
         .select(col("a.part").as("part"))
-        .cache()
-      val nChanged = changedParts.count()
-      require(nChanged > 0 && nChanged < 7,
-        s"q153: expected a partial change set, got $nChanged/7 partitions")
-      val carried = aggOf(base).join(broadcast(changedParts), Seq("part"), "left_anti")
-      val rebuilt = aggOf(snapB).join(broadcast(changedParts), Seq("part"), "left_semi")
+        .collect().map(_.getInt(0)).toSeq
+      require(changed.nonEmpty && changed.size < 7,
+        s"q153: expected a partial change set, got ${changed.size}/7 partitions")
+      val carried = aggOf(base).filter(!col("part").isin(changed: _*))
+      val rebuilt = aggOf(snapB).filter(col("part").isin(changed: _*))
       carried.unionByName(rebuilt)
         .select(col("part"), col("n"),
           expr("CAST(cents AS DOUBLE) / 100.0").as("total"))

@@ -80,10 +80,12 @@ object MultimodalOps {
       val assembled = (0 until 32)
         .map(i => s"CASE WHEN 2 * c$i > ng THEN ${S.shiftLeft(S.longLit(1), i.toString)} ELSE ${S.longLit(0)} END")
         .mkString(" + ")
-      val ph = h.groupBy("doc_id")
-        .agg(count(lit(1)).as("ng"), bitCnts: _*)
-        .select(col("doc_id"), expr(assembled).cast("long").as("phash"))
-        .cache() // both sides of the banded self-join
+      // both sides of the banded self-join read the memoized pass
+      val ph = graft.core.Tables.memo(s, s"$dir#q169phash") {
+        h.groupBy("doc_id")
+          .agg(count(lit(1)).as("ng"), bitCnts: _*)
+          .select(col("doc_id"), expr(assembled).cast("long").as("phash"))
+      }
       val bands = ph.select(col("doc_id"), col("phash"),
           explode(expr("sequence(0, 3)")).as("b"))
         .withColumn("bv", expr(s"${S.shiftRight("phash", "b * 8")} & 255"))

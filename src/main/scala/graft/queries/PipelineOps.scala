@@ -46,12 +46,13 @@ object PipelineOps {
     // Per-doc top-5 terms by rational TF-IDF (tf · N/df — the log-free
     // variant keeps the score a two-op IEEE sequence, hence portable).
     "q69_tfidf_topk" -> { (s, dir) =>
-      // tf feeds both the df aggregation and the scoring join — cache it;
-      // the per-term df frame is vocabulary-sized → broadcast
-      val tf = docsWithToks(s, dir)
-        .select(col("doc_id"), explode(col("toks")).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        .cache()
+      // tf feeds both the df aggregation and the scoring join — one
+      // memoized pass; the per-term df frame is vocabulary-sized → broadcast
+      val tf = Tables.memo(s, s"$dir#q69tf") {
+        docsWithToks(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      }
       val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
       val nn = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
       val sc = tf.join(broadcast(dfreq), "t").crossJoin(broadcast(nn))
@@ -101,13 +102,14 @@ object PipelineOps {
     // Benchmark-contamination screen: docs sharing 8-gram shingles with
     // the held-out set (doc_id % 97 == 0 stands in for the benchmark).
     "q72_contamination" -> { (s, dir) =>
-      // cached: the benchmark and corpus branches both read these rows
-      val sh = docsWithToks(s, dir)
-        .filter(expr("size(toks) >= 8"))
-        .select(col("doc_id"),
-          explode(expr(S.arrDistinct(S.shingles("toks", 8)))).as("g"))
-        .select(col("doc_id"), expr(S.hash64("g")).as("gh"))
-        .cache()
+      // memoized: the benchmark and corpus branches both read these rows
+      val sh = Tables.memo(s, s"$dir#q72grams") {
+        docsWithToks(s, dir)
+          .filter(expr("size(toks) >= 8"))
+          .select(col("doc_id"),
+            explode(expr(S.arrDistinct(S.shingles("toks", 8)))).as("g"))
+          .select(col("doc_id"), expr(S.hash64("g")).as("gh"))
+      }
       val bench = sh.filter(col("doc_id") % 97 === 0).select("gh").distinct()
       val corpus = sh.filter(col("doc_id") % 97 =!= 0)
       val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -131,8 +133,9 @@ object PipelineOps {
         .select(col("doc_id"),
           explode(expr(S.arrDistinct(S.shingles("toks", 4)))).as("g"))
         .select(col("doc_id"), expr(S.hash64("g")).as("gh"))
-      val bench = sh.filter(col("doc_id") % 97 === 0).select("gh").distinct()
-        .cache() // read 3×: count, bloom build, confirm join
+      // read 3×: count, bloom build, confirm join
+      val bench = Tables.memo(s, s"$dir#q121bench")(
+        sh.filter(col("doc_id") % 97 === 0).select("gh").distinct())
       // two sketch-sized driver results (a count and a bloom), never rows
       val bloom = graft.functions.BloomExpressions
         .buildLong(bench, "gh", expectedItems = bench.count(), fpp = 0.01)

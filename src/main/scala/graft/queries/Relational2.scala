@@ -13,6 +13,19 @@ import graft.core.Tables
   */
 object Relational2 {
 
+  /** Distinct (order, part) pairs — the co-purchase substrate shared
+    * by q76 and q137. ONE definition, memoized via Tables.memo so the
+    * stats probe and the joins read a shared LRU-evictable pass (two
+    * inline copies under the same memo key silently diverge the day
+    * one is edited — first caller wins).
+    */
+  private def orderPartPairs(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"$d#q76pairs") {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
   private def dec(name: String, p: Int, s: Int): Column =
     col(name).cast(DecimalType(p, s))
 
@@ -156,15 +169,7 @@ object Relational2 {
     // cold majority keeps the plain co-partitioned join — identical
     // output either way (pinned by SkewSpec's equality law).
     "q76_copurchase_pairs" -> { (s, d) =>
-      // memoized cache shared by the stats probe and the join that
-      // follows it — drained by Tables.dropMemos, so it cannot pin
-      // storage for the rest of a long Verify/Bench session
-      val li = Tables.memo(s, s"$d#q76pairs") {
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-      }
-      graft.operators.Skew.selfPairs(li, "ok", "pk", hotThreshold = 1000L)
+      graft.operators.Skew.selfPairs(orderPartPairs(s, d), "ok", "pk", hotThreshold = 1000L)
         .groupBy(col("pk_1").as("p1"), col("pk_2").as("p2"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
@@ -610,12 +615,8 @@ object Relational2 {
     // (O(m^1.5) wedge bound); the oracle counts the same triangles
     // from their min-id corner.
     "q137_triangles" -> { (s, d) =>
-      val li = Tables.memo(s, s"$d#q76pairs") {
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-      }
-      val edges = graft.operators.Skew.selfPairs(li, "ok", "pk", hotThreshold = 1000L)
+      val edges = graft.operators.Skew
+        .selfPairs(orderPartPairs(s, d), "ok", "pk", hotThreshold = 1000L)
         .groupBy(col("pk_1"), col("pk_2"))
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)

@@ -72,13 +72,20 @@ object StreamOps {
                     tag: String, minBatches: Int): Unit = {
     q.processAllAvailable()
     val batches = q.recentProgress.count(_.numInputRows > 0)
+    val session = q.sparkSession
     q.stop()
     // a stopped query leaves its state-store providers (and their
     // maintenance thread) loaded in the executor; across a 150-query
     // suite that retained state is pure memory pressure on every
     // LATER query (the r2 q08/q09 regression signature). Unload them —
-    // a future streaming query reloads from its checkpoint.
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    // a future streaming query reloads from its checkpoint. CAVEAT:
+    // StateStore.stop() is a JVM-GLOBAL internal API — it unloads
+    // EVERY query's providers, so only sweep when no other streaming
+    // query is live (the gates run sequentially, so this always fires
+    // for them; a concurrent library user's running query keeps its
+    // loaded state + maintenance thread).
+    if (session.streams.active.isEmpty)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     require(batches >= minBatches,
       s"$tag: expected >= $minBatches non-empty micro-batches, got $batches")
   }

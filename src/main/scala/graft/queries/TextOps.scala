@@ -107,24 +107,29 @@ object TextOps {
     d.transform(d.rangeIncl("0", "7"), "b",
       s"concat(b, '|', ${d.strJoin(d.slice("mh", "b*2+1", "2"), ",")})")
 
-  // cached: tokenization is the shared first stage of every text
-  // operator — a real pipeline tokenizes once and reuses (the cache is
-  // per (session, sf-dir) because the plan is). package-private: the
-  // PipelineOps suite shares the SAME plan so the cache dedups.
+  // memoized: tokenization is the shared first stage of every text
+  // operator — a real pipeline tokenizes once and reuses. Routed
+  // through Tables.memo (not a bare .cache(), which is invisible to
+  // trimStorage's LRU stage and never unpersisted) so a long
+  // Verify/Bench session can evict it once the text family is cold.
+  // package-private: the PipelineOps suite shares the same frame.
   private[queries] def docsWithToks(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
-      .withColumn("toks", expr(S.tokens("text")))
-      .cache()
+    Tables.memo(s, s"$dir#toks") {
+      Tables.spread(Tables.documents(s, dir))
+        .withColumn("toks", expr(S.tokens("text")))
+    }
 
   /** (doc_id, sh) — distinct 3-shingle set per doc, ≥3-token docs.
-    * Cached: q29/q30 reference it from both sides of a self-join, and
-    * caching stops Spark recomputing the shingle extraction per side.
+    * Memoized: q29/q30 reference it from both sides of a self-join,
+    * and the shared pass stops Spark recomputing the shingle
+    * extraction per side.
     */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    docsWithToks(s, dir)
-      .filter(expr("size(toks) >= 3"))
-      .select(col("doc_id"), expr(shingleSet(S)).as("sh"))
-      .cache()
+    Tables.memo(s, s"$dir#shingles") {
+      docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 3"))
+        .select(col("doc_id"), expr(shingleSet(S)).as("sh"))
+    }
 
   /** (doc_id, bk) LSH band-key rows, computed the distributed way:
     * explode shingles × 16 hash indexes → per-(doc, j) min hash →
@@ -156,30 +161,33 @@ object TextOps {
         "array(named_struct('j', g * 2, 'h', element_at(lanes, 1)), " +
           "named_struct('j', g * 2 + 1, 'h', element_at(lanes, 2)))")).as("jh"))
       .select(col("doc_id"), col("jh.j").as("j"), col("jh.h").as("h"))
-    hj.groupBy("doc_id", "j").agg(min("h").as("h")).cache()
+    Tables.memo(s, s"$dir#minhash16") {
+      hj.groupBy("doc_id", "j").agg(min("h").as("h"))
+    }
   }
 
-  private def bandKeyRows(s: SparkSession, dir: String): DataFrame = {
-    minhash16(s, dir)
-      .withColumn("b", expr("j div 2"))
-      .groupBy("doc_id", "b")
-      .agg(expr("concat_ws(',', transform(sort_array(collect_list(struct(j, h))), x -> cast(x.h as string)))").as("hs"))
-      .select(col("doc_id"), expr("concat(b, '|', hs)").as("bk"))
-      .cache() // both sides of the candidate self-join read these rows
-  }
+  private def bandKeyRows(s: SparkSession, dir: String): DataFrame =
+    // both sides of the candidate self-join read these rows
+    Tables.memo(s, s"$dir#bandkeys") {
+      minhash16(s, dir)
+        .withColumn("b", expr("j div 2"))
+        .groupBy("doc_id", "b")
+        .agg(expr("concat_ws(',', transform(sort_array(collect_list(struct(j, h))), x -> cast(x.h as string)))").as("hs"))
+        .select(col("doc_id"), expr("concat(b, '|', hs)").as("bk"))
+    }
 
   /** LSH candidate pairs (doc_a < doc_b), deduped across bands —
-    * cached: five queries (candidates, jaccard, components, keep,
+    * memoized: five queries (candidates, jaccard, components, keep,
     * edit-distance) start from exactly this frame.
     */
-  private def candPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = bandKeyRows(s, dir)
-    e.as("x").join(e.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .cache()
-  }
+  private def candPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, s"$dir#candpairs") {
+      val e = bandKeyRows(s, dir)
+      e.as("x").join(e.as("y"),
+          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+    }
 
   /** Marker-score columns + deterministic argmax prediction (shared by
     * the per-doc report q26 and the confusion matrix q88).
@@ -189,23 +197,6 @@ object TextOps {
       df.withColumn(s"s_$l",
         expr(s"size(${S.filterL("toks", "t", s"t IN $m")})").cast("long"))
     }.withColumn("pred_lang", expr(predLangCase(l => s"s_$l")))
-
-  /** (doc_id, comp, csize) — connected components over the LSH
-    * candidate graph. MEMOIZED per (session, dir), not just plan-
-    * cached: the propagation loop runs eagerly on the driver (actions
-    * per round), so Spark's cache manager can never dedup it — without
-    * memoization each of q56/q65/q99/q100 would re-run the whole
-    * iteration.
-    */
-  private val compMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  /** Unpersist and forget the memoized component frames for `spark`
-    * (see [[graft.core.Tables.dropMemos]]). */
-  private[graft] def dropMemos(spark: SparkSession): Unit =
-    compMemo.filterInPlace { case ((s, _), df) =>
-      if (s eq spark) { df.unpersist(); false } else !s.sparkContext.isStopped
-    }
 
   /** Scalar data-relative bounds (doc/token counts) per (session,
     * dir#tag) — the Lifecycle.ordersCount pattern: a fresh count job
@@ -218,32 +209,33 @@ object TextOps {
     scalarMemo.getOrElseUpdate((s, key), compute)
   }
 
-  private def componentRows(s: SparkSession, dir: String): DataFrame = {
-    // evict entries of stopped sessions so the memo can't pin dead
-    // sessions (and their cached RDDs) for the JVM lifetime
-    compMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    compMemo.getOrElseUpdate((s, dir), {
+  /** (doc_id, comp, csize) — connected components over the LSH
+    * candidate graph. MEMOIZED per (session, dir), not just plan-
+    * cached: the propagation loop runs eagerly on the driver (actions
+    * per round), so Spark's cache manager can never dedup it — without
+    * memoization each of q56/q65/q99/q100 would re-run the whole
+    * iteration.
+    */
+  private def componentRows(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, s"$dir#components") {
       val cand = candPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       graft.operators.ConnectedComponents(cand)
         .withColumnRenamed("id", "doc_id")
-        .cache()
-    })
-  }
+    }
 
   /** componentRows + the q65 keep rule: rk = 1 is the cluster member
     * to keep (highest quality, ties → lowest doc_id). One shared
-    * cached frame — q65, q99, and q100 all rank the same clustering,
-    * and the plan is identical on every call (the parent frame is
-    * memoized) so Spark's cache manager serves one materialization.
+    * memoized frame — q65, q99, and q100 all rank the same clustering.
     */
   private def rankedComponents(s: SparkSession, dir: String): DataFrame =
-    componentRows(s, dir)
-      .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("comp")
-          .orderBy(col("quality_score").desc, col("doc_id"))))
-      .cache()
+    Tables.memo(s, s"$dir#rankedcomp") {
+      componentRows(s, dir)
+        .join(qualityRows(s, dir).select("doc_id", "quality_score"), "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("comp")
+            .orderBy(col("quality_score").desc, col("doc_id"))))
+    }
 
   /** Per-doc quality signals + score (shared by q25 and the dedup
     * keep-selection q65).
@@ -495,7 +487,8 @@ object TextOps {
 
     // SimHash near-dup pairs (hamming ≤ 10), blocked by lang.
     "q35_simhash_pairs" -> { (s, dir) =>
-      val sim = simhashRows(s, dir).cache() // both sides of the self-join
+      // both sides of the self-join read the memoized pass
+      val sim = Tables.memo(s, s"$dir#simhash")(simhashRows(s, dir))
       sim.as("a").join(sim.as("b"),
           col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming",
@@ -862,11 +855,12 @@ object TextOps {
     "q94_collocations" -> { (s, dir) =>
       val tok = docsWithToks(s, dir)
         .filter(expr("size(toks) >= 2"))
-      // cached: the ta- and tb-side broadcasts would otherwise each
+      // memoized: the ta- and tb-side broadcasts would otherwise each
       // re-run the vocabulary aggregation
-      val uni = tok.select(explode(col("toks")).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("cu"))
-        .cache()
+      val uni = Tables.memo(s, s"$dir#q94uni") {
+        tok.select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cu"))
+      }
       // total tokens from the (tiny, cached) vocabulary frame — a second
       // corpus-wide explode just to count would be a wasted full pass
       val nTot = uni.agg(sum("cu").as("nn"))
@@ -1133,11 +1127,16 @@ object TextOps {
     // (hash collisions are identical on both engines, so parity holds
     // even in the collision case).
     "q144_span_dedup" -> { (s, dir) =>
-      val sp = docsWithToks(s, dir)
-        .filter(expr("size(toks) >= 16"))
-        .select(col("doc_id"),
-          explode(expr(S.shingles("toks", 16))).as("span"))
-        .select(col("doc_id"), expr(S.hash64("span")).as("hk"))
+      // memoized: the shared-filter, per-doc-total, and dup-count
+      // branches all traverse the 16-token explode — without the
+      // shared pass the heaviest stage of the query runs three times
+      val sp = Tables.memo(s, s"$dir#q144spans") {
+        docsWithToks(s, dir)
+          .filter(expr("size(toks) >= 16"))
+          .select(col("doc_id"),
+            explode(expr(S.shingles("toks", 16))).as("span"))
+          .select(col("doc_id"), expr(S.hash64("span")).as("hk"))
+      }
       val shared = sp.groupBy("hk")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)
@@ -1198,7 +1197,8 @@ object TextOps {
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val rare = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, dfCap)).select("tok")
-      val kept = tf.join(rare, Seq("tok"), "left_semi").cache()
+      val kept = Tables.memo(s, s"$dir#q157kept")(
+        tf.join(rare, Seq("tok"), "left_semi"))
       val norms = kept.groupBy("doc_id")
         .agg(sum(expr("tf * tf")).cast("long").as("n2"))
       val dots = kept.as("a").join(kept.as("b"),
@@ -1227,11 +1227,13 @@ object TextOps {
     // number of sources, never by document count. Spans travel as
     // 60-bit hashes — 8 bytes each through the one shuffle.
     "q163_source_overlap" -> { (s, dir) =>
-      val sp = docsWithToks(s, dir)
-        .filter(expr("size(toks) >= 16"))
-        .select(col("source"), explode(expr(S.shingles("toks", 16))).as("span"))
-        .select(col("source"), expr(S.hash64("span")).as("hk"))
-        .distinct().cache()
+      val sp = Tables.memo(s, s"$dir#q163spans") {
+        docsWithToks(s, dir)
+          .filter(expr("size(toks) >= 16"))
+          .select(col("source"), explode(expr(S.shingles("toks", 16))).as("span"))
+          .select(col("source"), expr(S.hash64("span")).as("hk"))
+          .distinct()
+      }
       sp.as("a").join(sp.as("b"),
           col("a.hk") === col("b.hk") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))

@@ -77,9 +77,10 @@ object VectorOps {
     * the HOF fold, ~an order of magnitude faster per pair).
     */
   private def withNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.embeddings(s, dir))
-      .withColumn("nrm", VectorExpressions.norm(col("embedding")))
-      .cache()
+    Tables.memo(s, s"$dir#embnorm") {
+      Tables.spread(Tables.embeddings(s, dir))
+        .withColumn("nrm", VectorExpressions.norm(col("embedding")))
+    }
 
   /** Codegen'd cosine between the two sides of an aliased self-join. */
   private def cosCol: org.apache.spark.sql.Column =
@@ -108,12 +109,13 @@ object VectorOps {
 
   /** (label, cvec: array<double>, cnrm) centroid vectors. */
   private def centroidVecs(s: SparkSession, dir: String): DataFrame =
-    centroidRows(s, dir)
-      .groupBy("label")
-      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
-      .withColumn("cnrm", expr(
-        "sqrt(aggregate(transform(cvec, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"))
-      .cache()
+    Tables.memo(s, s"$dir#centroids") {
+      centroidRows(s, dir)
+        .groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+        .withColumn("cnrm", expr(
+          "sqrt(aggregate(transform(cvec, x -> x * x), cast(0 as double), (acc, v) -> acc + v))"))
+    }
 
   /** dot(float vec, double centroid) with the portable op sequence. */
   private def mixedCos: org.apache.spark.sql.Column =
