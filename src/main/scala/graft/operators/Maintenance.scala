@@ -344,6 +344,30 @@ object Maintenance {
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
   }
 
+  /** Morton key over N ≥ 2 non-negative integer columns: each column
+    * contributes its low 64/N bits, interleaved round-robin (bit i of
+    * column j lands at position i*N + j), so EVERY clustered column
+    * gets locality in the curve order — the general form a lakehouse
+    * OPTIMIZE ZORDER BY (c1..cN) offers. The 2-column case routes to
+    * the magic-mask ladder (6 ops/column vs 64/N explicit bit moves);
+    * for N > 2 the explicit interleave is still a flat integer
+    * expression tree — ~21 shift/and/or triples per column at N=3 —
+    * comfortably inside whole-stage codegen.
+    */
+  def mortonKeyN(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(cols.size >= 2, s"mortonKeyN needs >= 2 columns, got ${cols.size}")
+    if (cols.size == 2) return mortonKey(cols(0), cols(1))
+    val n = cols.size
+    val bitsPer = 64 / n
+    cols.zipWithIndex.map { case (c, j) =>
+      val x = c.cast("long").bitwiseAND(lit((1L << bitsPer) - 1))
+      (0 until bitsPer).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * n + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Z-order rewrite: cluster the dataset along the space-filling curve
     * of two integer columns so EVERY clustered column gets tight
     * per-file min/max envelopes — multi-dimensional file pruning from
@@ -353,11 +377,18 @@ object Maintenance {
     * curve locality is preserved across output files.
     */
   def zorder(ds: ParquetDataset, colA: String, colB: String,
-             maxRowsPerFile: Long = 10000000L): Unit = {
+             maxRowsPerFile: Long = 10000000L): Unit =
+    zorderN(ds, Seq(colA, colB), maxRowsPerFile)
+
+  /** N-column z-order rewrite (see [[mortonKeyN]]); `zorder` is the
+    * two-column special case.
+    */
+  def zorderN(ds: ParquetDataset, cols: Seq[String],
+              maxRowsPerFile: Long = 10000000L): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = ds.spark
     val parts = ds.partitionColumns
-    val data = ds.df.orderBy(mortonKey(col(colA), col(colB)))
+    val data = ds.df.orderBy(mortonKeyN(cols.map(col)))
     val tmp = s"${ds.path}/$TmpDir"
     FsUtil.deleteRecursively(tmp)
     try {

@@ -251,4 +251,56 @@ class MaintenanceSpec extends SparkSpecBase {
     // and pruning stays sound
     assert(zds.scan(pred).filter(pred).count() == 64 * 8)
   }
+
+  test("mortonKeyN: 2-column form routes to the masked ladder; N=3 matches a bit-level reference") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(1 << 20).toLong,
+      rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val df = rows.toDF("a", "b", "c")
+
+    val two = df.select(
+      Maintenance.mortonKey(col("a"), col("b")).as("m"),
+      Maintenance.mortonKeyN(Seq(col("a"), col("b"))).as("mn"))
+      .collect()
+    two.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    // reference interleave: bit i of column j -> position i*3 + j
+    def ref(vs: Seq[Long]): Long = {
+      val bitsPer = 64 / vs.size
+      vs.zipWithIndex.map { case (v, j) =>
+        (0 until bitsPer).map(i => (((v >> i) & 1L) << (i * vs.size + j))).reduce(_ | _)
+      }.reduce(_ | _)
+    }
+    val three = df.select(col("a"), col("b"), col("c"),
+      Maintenance.mortonKeyN(Seq(col("a"), col("b"), col("c"))).as("m")).collect()
+    three.foreach { r =>
+      assert(r.getLong(3) == ref(Seq(r.getLong(0), r.getLong(1), r.getLong(2))),
+        s"mismatch at (${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+
+  test("zorderN over three columns keeps bounded envelopes on EVERY dimension") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val cube = rnd.shuffle(for {
+      x <- 0 until 16; y <- 0 until 16; z <- 0 until 16
+    } yield (x, y, z))
+
+    val zDir = tmpDir("zord3")
+    cube.toDF("x", "y", "z").write.mode("overwrite").parquet(zDir)
+    val zds = new ParquetDataset(spark, zDir)
+    zds.updateStats()
+    Maintenance.zorderN(zds, Seq("x", "y", "z"), maxRowsPerFile = 512)
+    assert(zds.df.count() == 4096)
+
+    // a thin slab on EACH dimension must prune below the full file set
+    for (dim <- Seq("x", "y", "z")) {
+      val pred = s"$dim >= 4 AND $dim < 6"
+      val survivors = zds.pruneFiles(pred).size
+      assert(survivors < zds.relFiles.size,
+        s"z-order on 3 cols should prune a $dim slab: $survivors/${zds.relFiles.size}")
+      assert(zds.scan(pred).filter(pred).count() == 2 * 16 * 16)
+    }
+  }
 }
