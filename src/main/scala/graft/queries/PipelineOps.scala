@@ -183,6 +183,31 @@ object PipelineOps {
     // test is a narrow map against a broadcast threshold table.
     // Distinct from q73: that keeps a top-k per class (hard cap), this
     // thins by RATE — the whole-corpus mix shaper.
+    // Hashing-trick linear quality scorer — the execution shape of a
+    // fasttext-style corpus filter (CCNet/FineWeb lineage): token →
+    // feature bucket by portable hash (1024 buckets, no vocabulary
+    // table to broadcast or join), per-(doc, bucket) term frequency,
+    // margin = Σ tf·w(bucket) with the weight itself DERIVED by hash
+    // (an integer in [-1000, 1000] standing in for trained weights —
+    // the plan is identical when weights come from a broadcast map).
+    // All-integer margins make the score exact under any aggregation
+    // order. At 100 TB: one narrow explode+hash map, one two-level
+    // hash aggregation — no join, no vocabulary state, no driver data.
+    "q187_hashed_linear_score" -> { (s, dir) =>
+      val tf = docsWithToks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .withColumn("bucket", expr(s"${S.hash64("t")} % 1024"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+      tf.withColumn("w",
+          expr(s"${S.hash64("concat('w:', bucket)")} % 2001 - 1000"))
+        .groupBy("doc_id")
+        .agg(sum(expr("tf * w")).as("margin"),
+          count(lit(1)).as("n_features"))
+        .withColumn("keep", col("margin") > 0)
+        .select("doc_id", "n_features", "margin", "keep")
+        .orderBy("doc_id")
+    },
+
     "q126_mix_resample" -> { (s, dir) =>
       val docs = Tables.spread(Tables.documents(s, dir).select("doc_id", "lang"))
         .withColumn("hk", expr(s"${S.hash64("concat('mix:', doc_id)")} % 10000"))
@@ -456,6 +481,21 @@ object PipelineOps {
          |WHERE doc_id % 97 != 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q187_hashed_linear_score" ->
+      s"""WITH tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |tf AS (
+         |  SELECT doc_id, ${D.hash64("t")} % 1024 AS bucket, count(*) AS tf
+         |  FROM ex GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id,
+         |    SUM(tf * (${D.hash64("concat('w:', bucket)")} % 2001 - 1000)) AS margin,
+         |    COUNT(*) AS n_features
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_features, CAST(margin AS BIGINT) AS margin,
+         |       margin > 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q126_mix_resample" ->
       s"""WITH d AS (
