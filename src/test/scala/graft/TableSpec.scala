@@ -110,6 +110,32 @@ class TableSpec extends SparkSpecBase {
     assert(out == 2)
   }
 
+  test("events loader adapts to the footer's physical timestamp layout") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.TimestampType
+    // nanos generation: ts arrives as LONG (nanosAsLong) → div-1000
+    // conversion. Spark cannot WRITE nanos parquet, so synthesize the
+    // post-read shape the conf produces: a LONG ts column.
+    val nanosDir = tmpDir("evnanos")
+    Seq((1L, 1704067200000000000L, 7L)).toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val fromNanos = graft.core.Tables.load(spark, nanosDir, "events")
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNanos.select(expr("unix_micros(ts)")).head.getLong(0) ==
+      1704067200000000L)
+
+    // NTZ-micros generation: ts arrives as TIMESTAMP_NTZ → cast to
+    // the session (UTC) TIMESTAMP, value-identical
+    val ntzDir = tmpDir("evntz")
+    Seq((2L, 8L)).toDF("event_id", "user_id")
+      .withColumn("ts", expr("timestamp_ntz '2024-01-01 00:00:00'"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val fromNtz = graft.core.Tables.load(spark, ntzDir, "events")
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.select(expr("unix_micros(ts)")).head.getLong(0) ==
+      1704067200000000L)
+  }
+
   test("GraftExtensions injects native functions at session build") {
     // a derived session picking up the extensions class resolves the
     // native functions with no library-side registration call
