@@ -140,12 +140,24 @@ object FrameOps {
                   maxPartitions: Int = 10000,
                   persistSource: Boolean = true): Seq[(Map[String, Any], DataFrame)] = {
     if (columns.isEmpty) return Seq(Map.empty[String, Any] -> df)
-    if (persistSource &&
-        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val wePersisted = persistSource &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (wePersisted)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = df.select(columns.map(col): _*).distinct().limit(maxPartitions + 1).collect()
-    require(keys.length <= maxPartitions,
-      s"partitionBy: more than $maxPartitions distinct keys over ${columns.mkString(",")}")
+    val keys =
+      try {
+        val k = df.select(columns.map(col): _*).distinct()
+          .limit(maxPartitions + 1).collect()
+        require(k.length <= maxPartitions,
+          s"partitionBy: more than $maxPartitions distinct keys over ${columns.mkString(",")}")
+        k
+      } catch {
+        // the guard (or the key job) failing must not leak the pinned
+        // cache — nothing is returned, so nobody could unpersist it
+        case e: Throwable =>
+          if (wePersisted) df.unpersist()
+          throw e
+      }
     val rest = df.columns.toSeq.filterNot(columns.contains)
     keys.toSeq.map { row =>
       val kv = columns.zipWithIndex.map { case (c, i) => c -> row.get(i) }.toMap

@@ -357,6 +357,10 @@ object Maintenance {
   def mortonKeyN(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
     require(cols.size >= 2, s"mortonKeyN needs >= 2 columns, got ${cols.size}")
+    // past ~16 columns each gets < 4 bits of the curve — clustering on
+    // value parity, a useless layout; fail loudly instead of degrading
+    require(cols.size <= 16,
+      s"mortonKeyN supports 2..16 columns (64/N bits each), got ${cols.size}")
     if (cols.size == 2) return mortonKey(cols(0), cols(1))
     val n = cols.size
     val bitsPer = 64 / n

@@ -80,10 +80,13 @@ object StreamOps {
     // LATER query (the r2 q08/q09 regression signature). Unload them —
     // a future streaming query reloads from its checkpoint. CAVEAT:
     // StateStore.stop() is a JVM-GLOBAL internal API — it unloads
-    // EVERY query's providers, so only sweep when no other streaming
-    // query is live (the gates run sequentially, so this always fires
-    // for them; a concurrent library user's running query keeps its
-    // loaded state + maintenance thread).
+    // EVERY query's providers — while the `streams.active` guard is
+    // SESSION-scoped (StreamingQueryManager is per-session), so the
+    // guard protects concurrent queries in THIS session only. A
+    // streaming query in a sibling session sharing the SparkContext
+    // still loses its providers (next batch reloads from its
+    // checkpoint — a latency spike, not data loss). The gates run
+    // single-session, where the guard is exact.
     if (session.streams.active.isEmpty)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     require(batches >= minBatches,

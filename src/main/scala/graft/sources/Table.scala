@@ -82,15 +82,22 @@ final class JsonDataset(val spark: SparkSession, val path: String,
   // repeated df access on an unchanged directory pays no data scan.
   @volatile private var dtypeCache:
       Option[(Seq[(String, Long, Long)], Map[String, org.apache.spark.sql.types.DataType])] = None
+  // Hadoop FS listing, not java.nio: the dataset path can be any
+  // scheme Spark reads (s3a/hdfs/abfs); a local-only walk would
+  // return a constant signature there and silently never invalidate.
   private def listSig: Seq[(String, Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    val base = java.nio.file.Paths.get(FsUtil.stripScheme(path))
-    if (!java.nio.file.Files.exists(base)) Nil
-    else java.nio.file.Files.walk(base).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(p => (p.toString, java.nio.file.Files.size(p),
-        java.nio.file.Files.getLastModifiedTime(p).toMillis))
-      .toSeq.sortBy(_._1)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+      }
+      out.toSeq.sortBy(_._1)
+    }
   }
   private def dtypeProposal: Map[String, org.apache.spark.sql.types.DataType] = {
     val sig = listSig

@@ -10,9 +10,16 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   * broadcast and the pair blowup would be quadratic at scale. Pinning
   * this for every query (not just the individually-audited ones in
   * PlanShapeSpec) turns the per-round manual crossJoin sweep into a
-  * regression gate: a future edit that drops a broadcast hint or
-  * grows a scalar frame past the threshold fails HERE, not in a 100x
-  * slower production run.
+  * regression gate for STRUCTURAL mistakes: dropping a broadcast()
+  * hint from a frame Catalyst estimates big, or introducing a
+  * non-equi join between two large relations. What it cannot catch
+  * at sf0.001 is size DRIFT — a "scalar" frame that grows past the
+  * broadcast threshold only at production scale still lowers to
+  * BroadcastNestedLoopJoin here (Catalyst's no-CBO estimates can't
+  * see filter-bounded smallness, so shrinking the threshold would
+  * false-fail legitimately bounded sides like q47's 20-row probe
+  * set); per-operator capacity math in docs/SCALE.md carries that
+  * burden.
   *
   * Lifecycle and streaming queries are excluded — their builders run
   * physical side effects (dataset writes, micro-batch drains), not
