@@ -24,10 +24,12 @@ import graft.streaming.StreamIngest
   * drain a static directory deterministically; the dedup gate uses a
   * watermark delay far wider than the data's time span, so state is
   * never evicted mid-run and cross-batch duplicates are always
-  * caught; the CDC gate back-dates the base files' mtimes so the
-  * FileStreamSource (oldest-first) provably replays base before
-  * updates. No wall-clock values are read — event time comes from
-  * the data.
+  * caught; the order-sensitive gates (CDC upsert q135, late-drop
+  * q188) sequence their batches STRUCTURALLY — drain the first file
+  * set, then write the next — because the file source's mtime
+  * ordering demonstrably can flip for files already present at the
+  * first listing. No wall-clock values are read — event time comes
+  * from the data.
   *
   * Scale notes: the streamed work per batch IS the batch pipeline
   * (same write/merge code), so all batch-path properties (bounded
@@ -233,22 +235,18 @@ object StreamOps {
       val src = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       src.repartition(2).write.mode("overwrite").parquet(stage)
-      val backdate = java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000L)
-      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-      try listing.forEach { p =>
-        java.nio.file.Files.setLastModifiedTime(p, backdate); ()
-      }
-      finally listing.close()
-      src.filter("o_orderkey % 7 = 0")
-        .withColumn("o_totalprice", col("o_totalprice") * 3)
-        .coalesce(1).write.mode("append").parquet(stage)
       withShufflePartitions(s, 4) {
-        // filesPerTrigger=2: batch 1 takes the two (back-dated) base
-        // files, batch 2 the update — CDC order still guaranteed
+        // CDC order is STRUCTURAL, not mtime-based (the q188 probe
+        // demonstrated the file source's mtime ordering can flip for
+        // files present at the first listing): the stream drains the
+        // base files first, and only then does the update file land.
         val q = StreamIngest.upsert(
           streamOf(s, stage, src.schema), out, Seq("o_orderkey"),
           Lifecycle.tmpDir("q135c"))
+        q.processAllAvailable()
+        src.filter("o_orderkey % 7 = 0")
+          .withColumn("o_totalprice", col("o_totalprice") * 3)
+          .coalesce(1).write.mode("append").parquet(stage)
         drain(q, "q135", 2)
       }
       new ParquetDataset(s, out).df
@@ -325,6 +323,61 @@ object StreamOps {
         .agg(max("n").as("n_events"),
           expr("max_by(total, n)").cast("bigint").as("vmilli_total"))
         .orderBy("key")
+    },
+
+    // Watermark LATE-DATA DROP semantics — the property every other
+    // streaming gate deliberately sidesteps with huge watermarks, and
+    // THE one that bounds state at ingest scale: a window whose end
+    // the watermark has passed finalizes and evicts; rows for it that
+    // arrive later are dropped, not merged. The batch order is
+    // STRUCTURAL, not mtime-dependent: the stream starts with only
+    // the on-time file present and drains (watermark advances to
+    // max(on-time ts) - 1h); only then is the late pack written and
+    // drained — its hour windows all ended weeks before the watermark,
+    // so every late row must drop. Append mode emits exactly the
+    // finalized windows, so the landed output is (on-time rows,
+    // windows with end <= watermark) — which is precisely what the
+    // oracle computes in batch SQL. Watermark boundary ties cannot
+    // occur: window ends are hour-aligned, the watermark is
+    // max(ts) - 1h for a microsecond-random max ts.
+    "q188_stream_late_drop" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q188s")
+      val out = Lifecycle.tmpDir("q188o")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)").as("vmilli"))
+      val isLate = col("event_id") % 7 === 0 &&
+        col("ts") < lit("2024-01-08").cast("timestamp")
+      val onTime = ev.filter(!isLate)
+      val late = ev.filter(isLate)
+      // the drop-everything analysis needs the late pack non-empty and
+      // the on-time max ts well past the cut (wm1 >> every late window)
+      require(late.limit(1).count() == 1, "q188: late pack is empty at this sf")
+      require(onTime.agg(max("ts")).head.getTimestamp(0).getTime >
+        java.time.Instant.parse("2024-01-09T00:00:00Z").toEpochMilli,
+        "q188: on-time data must extend past the late cut + 1 day")
+      onTime.coalesce(1).write.mode("overwrite").parquet(stage)
+      withShufflePartitions(s, 4) {
+        val agg = StreamIngest.windowedAgg(
+          streamOf(s, stage, ev.schema, filesPerTrigger = 1),
+          "ts", "event_type", "vmilli", "1 hour", "1 hour")
+        val q = agg.writeStream.outputMode("append")
+          .option("checkpointLocation", Lifecycle.tmpDir("q188c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        // phase 1: on-time file only — state builds, watermark advances
+        q.processAllAvailable()
+        // phase 2: NOW the late pack lands; its rows arrive behind the
+        // committed watermark and must be dropped
+        late.coalesce(1).write.mode("append").parquet(stage)
+        drain(q, "q188", 2)
+      }
+      s.read.parquet(out)
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("total_value").as("vmilli_sum"))
+        .orderBy("win_start", "event_type")
     }
   )
 
@@ -402,6 +455,22 @@ object StreamOps {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)) AS BIGINT)
         |   AS vmilli_total
         |FROM events
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q188_stream_late_drop" ->
+      """WITH e AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, event_type,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vmilli
+        |  FROM events),
+        |b1 AS (
+        |  SELECT * FROM e
+        |  WHERE NOT (event_id % 7 = 0 AND ts < TIMESTAMP '2024-01-08')),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM b1)
+        |SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(vmilli) AS BIGINT) AS vmilli_sum
+        |FROM b1, wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
