@@ -378,6 +378,43 @@ object StreamOps {
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n_events"), col("total_value").as("vmilli_sum"))
         .orderBy("win_start", "event_type")
+    },
+
+    // Exactly-once across a RESTART — the operational property
+    // checkpointing exists for: a first query ingests half the data
+    // and STOPS; a second query starts from the SAME checkpoint, so
+    // its recovered offsets must skip the already-committed file. If
+    // recovery replayed it, the first half would land twice and every
+    // count/total below would double — the hash gate cannot miss it.
+    // (The sink is the batch WritePipeline in append mode, so this
+    // also pins that the foreachBatch sink tolerates a stop/start
+    // without duplicating or losing a committed batch.)
+    "q189_stream_restart" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q189s")
+      val out = Lifecycle.tmpDir("q189o")
+      val ckpt = Lifecycle.tmpDir("q189c")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      src.filter("o_orderkey % 2 = 0").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      withShufflePartitions(s, 4) {
+        val q1 = StreamIngest.append(
+          streamOf(s, stage, src.schema, filesPerTrigger = 1), out,
+          WriteConfig(), ckpt)
+        q1.processAllAvailable()
+        q1.stop() // simulated shutdown AFTER the first file committed
+        src.filter("o_orderkey % 2 = 1").coalesce(1)
+          .write.mode("append").parquet(stage)
+        val q2 = StreamIngest.append(
+          streamOf(s, stage, src.schema, filesPerTrigger = 1), out,
+          WriteConfig(), ckpt)
+        drain(q2, "q189", 1)
+      }
+      new ParquetDataset(s, out).df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -471,6 +508,13 @@ object StreamOps {
         |  CAST(SUM(vmilli) AS BIGINT) AS vmilli_sum
         |FROM b1, wm
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q189_stream_restart" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
