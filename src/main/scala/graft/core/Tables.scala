@@ -73,11 +73,45 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), MemoEntry]
 
   def memo(spark: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
+    register(spark)
     val e = frameMemo.getOrElseUpdate((spark, tag),
       new MemoEntry(build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     e.lastUse = lruTick.incrementAndGet()
     e.df
   }
+
+  /** Hand an ALREADY-persisted frame to the memo LRU so [[trimStorage]]
+    * owns its lifecycle — for helpers (FrameOps.partitionBy) that pin
+    * a caller's frame as a side effect and have no natural unpersist
+    * point. The frame is evicted coldest-first like any memo entry;
+    * callers may still unpersist it themselves (double-unpersist is a
+    * no-op in Spark).
+    */
+  def adopt(spark: SparkSession, tag: String, df: DataFrame): Unit = {
+    register(spark)
+    val e = frameMemo.getOrElseUpdate((spark, tag), new MemoEntry(df))
+    e.lastUse = lruTick.incrementAndGet()
+  }
+
+  /** Sessions that have touched graft on this JVM (weak — dropped with
+    * the session). [[trimStorage]] stage 2 consults this to avoid
+    * destroying a sibling session's caches; a multi-session deployment
+    * whose sibling sessions never call graft should register them
+    * explicitly to get the same protection.
+    */
+  private val sessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  def register(spark: SparkSession): Unit =
+    sessions.synchronized { sessions.add(spark); () }
+
+  private def hasLiveSibling(spark: SparkSession): Boolean =
+    sessions.synchronized {
+      import scala.jdk.CollectionConverters._
+      sessions.asScala.exists(s =>
+        (s ne spark) && !s.sparkContext.isStopped &&
+          (s.sparkContext eq spark.sparkContext))
+    }
 
   /** Unpersist and forget every memoized frame for `spark` (all table
     * dirs). Bench calls this at its warm→measured phase boundary —
@@ -112,14 +146,17 @@ object Tables {
     * cannot recompute after the sweep. Bench calls this between
     * queries; a library user should call it between jobs.
     *
-    * Stage 2 is also CONTEXT-wide, not session-scoped: clearCache and
-    * the persistent-RDD sweep hit every session sharing the
-    * SparkContext (Spark exposes no per-session storage registry), so
-    * another live session's localCheckpoint blocks would be destroyed
-    * with no lineage to recompute them. Single-session JVMs
-    * (Bench/Verify, a typical job) are unaffected; a multi-session
-    * deployment should budget via stage 1 only — keep every shared
-    * frame in [[memo]] and the LRU sweep never needs stage 2.
+    * Stage 2 is CONTEXT-wide, not session-scoped: clearCache and the
+    * persistent-RDD sweep hit every session sharing the SparkContext
+    * (Spark exposes no per-session storage registry), so another live
+    * session's localCheckpoint blocks would be destroyed with no
+    * lineage to recompute them. It therefore runs ONLY when this
+    * session is the sole graft-registered session on the context: if a
+    * live sibling exists (seen via [[memo]]/[[load]]/[[register]]),
+    * stage 2 is skipped and the budget may stay exceeded — being over
+    * budget degrades to disk, destroying a sibling's checkpoint blocks
+    * loses data. Sibling sessions that never touch graft should be
+    * [[register]]ed explicitly for the same protection.
     */
   def trimStorage(spark: SparkSession, budgetBytes: Long): Unit = {
     def resident: Long =
@@ -136,7 +173,7 @@ object Tables {
       e.df.unpersist(blocking = true)
       over = resident > budgetBytes
     }
-    if (over) {
+    if (over && !hasLiveSibling(spark)) {
       spark.sharedState.cacheManager.clearCache()
       dropMemos(spark)
       spark.sparkContext.getPersistentRDDs.valuesIterator
@@ -145,6 +182,7 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    register(spark)
     graft.functions.GraftFunctions.ensureRegistered(spark)
     name match {
       case "events" =>

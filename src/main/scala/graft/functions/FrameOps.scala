@@ -131,10 +131,14 @@ object FrameOps {
     * caller consuming all K entries would re-scan it K times.
     * `persistSource` (default true) instead pins one
     * MEMORY_AND_DISK pass — the key-distinct warms it and every
-    * split reads the cached pass. The cache lives until the caller
-    * drops it (`df.unpersist()`, or `Tables.trimStorage`'s budget
-    * sweep); pass `persistSource = false` for a one-entry drill-down
-    * where a single re-scan is cheaper than caching the whole source.
+    * split reads the cached pass. The pin is registered with
+    * `Tables.adopt`, so its lifecycle is OWNED by the memo LRU:
+    * `Tables.trimStorage` evicts it coldest-first under a storage
+    * budget and `Tables.dropMemos` drains it at phase boundaries — it
+    * does not silently outlive its usefulness. Callers may still
+    * `df.unpersist()` early; pass `persistSource = false` for a
+    * one-entry drill-down where a single re-scan is cheaper than
+    * caching the whole source.
     */
   def partitionBy(df: DataFrame, columns: Seq[String],
                   maxPartitions: Int = 10000,
@@ -142,8 +146,13 @@ object FrameOps {
     if (columns.isEmpty) return Seq(Map.empty[String, Any] -> df)
     val wePersisted = persistSource &&
       df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (wePersisted)
+    if (wePersisted) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // hand the pin to the memo LRU: trimStorage/dropMemos own its
+      // lifecycle, so it cannot silently pin storage forever
+      graft.core.Tables.adopt(df.sparkSession,
+        s"partitionBy#${System.identityHashCode(df.queryExecution)}", df)
+    }
     val keys =
       try {
         val k = df.select(columns.map(col): _*).distinct()

@@ -56,6 +56,16 @@ object Delete {
       // the original files — and therefore every row — untouched. A
       // direct append would commit part-files before the originals
       // are removed, double-counting kept rows on failure.
+      //
+      // Contract boundary: "dataset unchanged" holds for failures up
+      // to the swap below. The promote+delete swap itself is
+      // best-effort (same as Maintenance's compact swap — a plain
+      // filesystem has no multi-file atomic rename): a crash between
+      // promote and delete leaves kept rows present twice until the
+      // delete of the originals completes. A swap-phase failure
+      // raises StagedRewriteException with partialSwap semantics so
+      // callers can re-run the delete (it is idempotent: re-running
+      // the same predicate removes the stale originals' rows again).
       val tmp = s"$path/_tmp_delete"
       FsUtil.deleteRecursively(tmp)
       try WritePipeline.write(keep, tmp,
@@ -66,8 +76,15 @@ object Delete {
           throw new graft.operators.StagedRewriteException(affectedRel,
             s"staged delete failed before swap; dataset unchanged: ${e.getMessage}", e)
       }
-      FsUtil.promote(tmp, path)
-      FsUtil.delete(path, affectedAbs.toIndexedSeq)
+      try {
+        FsUtil.promote(tmp, path)
+        FsUtil.delete(path, affectedAbs.toIndexedSeq)
+      } catch {
+        case e: Exception =>
+          throw new graft.operators.StagedRewriteException(affectedRel,
+            "staged delete failed DURING swap; kept rows may be present twice " +
+              s"(promoted files + unremoved originals) — re-run to converge: ${e.getMessage}", e)
+      }
       spark.catalog.refreshByPath(path)
       if (ds.stats.nonEmpty) ds.updateStats()
       DeleteResult(deleted, affectedRel, preserved)

@@ -174,15 +174,6 @@ object PipelineOps {
         .select(col("t").as("term"), col("df"), col("doc_ratio"))
     },
 
-    // Deterministic rate-resampling to a uniform language mix: each
-    // language keeps docs whose hash bucket falls under
-    // min(1, target/count) scaled to basis points — the
-    // temperature-flattening step of corpus mixing. Integer thresholds
-    // end-to-end (N div k, 10000·target div count), so the sample is
-    // reproducible on any engine and cluster size; the per-doc keep
-    // test is a narrow map against a broadcast threshold table.
-    // Distinct from q73: that keeps a top-k per class (hard cap), this
-    // thins by RATE — the whole-corpus mix shaper.
     // Hashing-trick linear quality scorer — the execution shape of a
     // fasttext-style corpus filter (CCNet/FineWeb lineage): token →
     // feature bucket by portable hash (1024 buckets, no vocabulary
@@ -208,6 +199,15 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic rate-resampling to a uniform language mix: each
+    // language keeps docs whose hash bucket falls under
+    // min(1, target/count) scaled to basis points — the
+    // temperature-flattening step of corpus mixing. Integer thresholds
+    // end-to-end (N div k, 10000·target div count), so the sample is
+    // reproducible on any engine and cluster size; the per-doc keep
+    // test is a narrow map against a broadcast threshold table.
+    // Distinct from q73: that keeps a top-k per class (hard cap), this
+    // thins by RATE — the whole-corpus mix shaper.
     "q126_mix_resample" -> { (s, dir) =>
       val docs = Tables.spread(Tables.documents(s, dir).select("doc_id", "lang"))
         .withColumn("hk", expr(s"${S.hash64("concat('mix:', doc_id)")} % 10000"))

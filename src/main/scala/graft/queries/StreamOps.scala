@@ -224,11 +224,12 @@ object StreamOps {
         .orderBy("user_id")
     },
 
-    // Streaming CDC upsert: base orders replay first (mtimes
-    // back-dated 60 s so the oldest-first FileStreamSource provably
-    // orders base before updates), then an update batch triples the
-    // price of every key ≡ 0 (mod 7); keyed last-row-wins merge must
-    // leave exactly the updated state.
+    // Streaming CDC upsert: base orders are fully drained FIRST
+    // (structural ordering — the update file is only appended after
+    // processAllAvailable returns, so no reliance on FileStreamSource
+    // mtime ordering), then an update batch triples the price of
+    // every key ≡ 0 (mod 7); keyed last-row-wins merge must leave
+    // exactly the updated state.
     "q135_stream_upsert" -> { (s, d) =>
       val stage = Lifecycle.tmpDir("q135s")
       val out = Lifecycle.tmpDir("q135o")
