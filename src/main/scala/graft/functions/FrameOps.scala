@@ -89,11 +89,36 @@ object FrameOps {
   /** Add a deterministic 0-based row count in the order of `orderBy`
     * (the reference's with_row_count; an explicit order key keeps it
     * reproducible on a cluster).
+    *
+    * When the leading order column is numeric / date / timestamp the
+    * count is computed by the exact two-phase distributed rank
+    * ([[graft.plans.GlobalOrder]]) — no single-partition sort. A
+    * non-bucketable leading column (string, binary) falls back to the
+    * global window, which serializes; order by a numeric key first
+    * where scale matters.
     */
   def withRowCount(df: DataFrame, orderBy: Seq[String],
                    name: String = "row_nr"): DataFrame = {
-    val w = Window.orderBy(orderBy.map(col): _*)
-    df.withColumn(name, row_number().over(w) - 1)
+    import org.apache.spark.sql.types._
+    val bucketExpr: Option[Column] = orderBy.headOption.flatMap { c =>
+      df.schema(c).dataType match {
+        case _: NumericType => Some(col(c))
+        case DateType => Some(unix_date(col(c)))
+        case TimestampType => Some(unix_micros(col(c)))
+        case TimestampNTZType => Some(unix_micros(col(c).cast("timestamp")))
+        case _ => None
+      }
+    }
+    bucketExpr match {
+      case Some(b) =>
+        graft.plans.GlobalOrder.withRowNumber(df, orderBy.map(col), b, name)
+          .withColumn(name, col(name) - 1)
+      case None =>
+        val w = Window.orderBy(orderBy.map(col): _*)
+        // LongType like the bucketed path — a 0-based row count is a
+        // 64-bit quantity at scale regardless of which path built it
+        df.withColumn(name, (row_number().over(w) - 1).cast("long"))
+    }
   }
 
   /** Derive formatted-string columns from a timestamp column

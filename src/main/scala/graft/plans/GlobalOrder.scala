@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Exact global ordered-window computation WITHOUT a single-partition
+  * sort — the distributed replacement for `Window.orderBy(...)` with
+  * no partitionBy (Spark's `WindowExec: No Partition Defined` path,
+  * which moves every row to one task and is the one remaining
+  * serialization point at corpus scale).
+  *
+  * Two-phase scheme:
+  *   1. bucket boundaries: approximate quantiles of a numeric bucket
+  *      key (one narrow partial-aggregate pass; accuracy only affects
+  *      LOAD BALANCE, never values);
+  *   2. per-bucket counts/sums (second narrow aggregate pass, ≤ a few
+  *      hundred result rows to the driver);
+  *   3. per-bucket window (`Window.partitionBy(bucket)`) plus the
+  *      broadcast cumulative offset of all earlier buckets.
+  *
+  * The bucket id is a PURE FUNCTION of the row's key value
+  * (`#boundaries ≤ key`), not of any physical partitioning — so the
+  * offset map computed in phase 2 is consistent with phase 3 even if
+  * Spark re-plans, re-samples, or recomputes between jobs. This is
+  * what makes the result bit-identical to the single-partition
+  * `row_number`: every row's bucket is stable, offsets are exact row
+  * counts, and the within-bucket sort uses the caller's full sort
+  * key. (A `repartitionByRange`+`monotonically_increasing_id` scheme
+  * is one pass cheaper but ties rank correctness to two independent
+  * jobs sampling identical range boundaries — a recompute hazard this
+  * formulation doesn't have.)
+  *
+  * Requirements: `bucketBy` must be monotone-consistent with the
+  * leading `order` column (usually the column itself, cast to
+  * double; longs beyond 2^53 may merge adjacent buckets, which is
+  * harmless — merged ties stay in one bucket). Rows with a NULL
+  * bucket key all land in bucket −1, matching ASC NULLS FIRST
+  * ordering; descending or NULLS LAST orders need a caller-side
+  * monotone transform (e.g. negation) — the six call sites are all
+  * ascending and non-null.
+  *
+  * At 100 TB: phase 1+2 are map-side-combined aggregates (tiny
+  * shuffles), phase 3 shuffles the data once on the bucket id into
+  * `buckets` parallel sorts — the same volume a global sort shuffles,
+  * but with no single reduce task.
+  */
+object GlobalOrder {
+
+  private val BucketCol = "__graft_gb"
+
+  /** Quantile bucket boundaries for `bd` (may be fewer than requested
+    * under heavy ties); None when the input has no non-null key.
+    */
+  private def boundaries(df: DataFrame, bd: Column, buckets: Int): Option[Seq[Double]] = {
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val row = df.agg(percentile_approx(bd, array(probs.map(lit): _*), lit(10000)).as("qs"))
+      .collect()(0)
+    if (row.isNullAt(0)) None
+    else Some(row.getSeq[Double](0).filter(d => !d.isNaN).distinct.sorted)
+  }
+
+  /** Bucket id: −1 for NULL keys, else the count of boundaries ≤ key —
+    * a pure, monotone function of the key value.
+    */
+  private def bucketOf(bd: Column, bounds: Seq[Double]): Column =
+    when(bd.isNull, lit(-1))
+      .otherwise(size(filter(array(bounds.map(lit): _*), b => b <= bd)))
+
+  /** Cumulative offsets per bucket id from per-bucket totals; returns
+    * (offset-map-expression over the bucket column, grand total).
+    */
+  private def offsetExpr(perBucket: Seq[(Int, Long)]): (Column, Long) = {
+    var acc = 0L
+    val offs = perBucket.sortBy(_._1).map { case (b, c) =>
+      val o = acc; acc += c; (b, o)
+    }
+    val m = map(offs.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*)
+    (element_at(m, col(BucketCol)), acc)
+  }
+
+  /** Exact 1-based global `row_number` over `order`, distributed.
+    * `countName`, when set, adds the exact total row count as a
+    * literal column (replacing the usual `count().over(partitionBy())`
+    * global window, which is the same single-partition shape).
+    */
+  def withRowNumber(df: DataFrame, order: Seq[Column], bucketBy: Column,
+                    rankName: String, countName: Option[String] = None,
+                    buckets: Int = 64): DataFrame = {
+    val bd = bucketBy.cast(DoubleType)
+    boundaries(df, bd, buckets) match {
+      case None => // empty input (or all-null keys): nothing to rank
+        val out = df.withColumn(rankName,
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+        countName.fold(out)(n => out.withColumn(n, count(lit(1)).over(Window.partitionBy())))
+      case Some(bounds) =>
+        val tagged = df.withColumn(BucketCol, bucketOf(bd, bounds))
+        val perBucket = tagged.groupBy(BucketCol).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        val (off, total) = offsetExpr(perBucket)
+        val w = Window.partitionBy(BucketCol).orderBy(order: _*)
+        val ranked = tagged
+          .withColumn(rankName, row_number().over(w).cast("long") + off)
+          .drop(BucketCol)
+        countName.fold(ranked)(n => ranked.withColumn(n, lit(total)))
+    }
+  }
+
+  /** Exact global running sum of `value` (as BIGINT) in `order`,
+    * distributed: per-bucket running sum plus the broadcast total of
+    * all earlier buckets.
+    */
+  def withRunningSum(df: DataFrame, order: Seq[Column], bucketBy: Column,
+                     value: Column, name: String, buckets: Int = 64): DataFrame = {
+    val bd = bucketBy.cast(DoubleType)
+    boundaries(df, bd, buckets) match {
+      case None =>
+        val w = Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn(name, sum(value.cast("long")).over(w))
+      case Some(bounds) =>
+        val tagged = df.withColumn(BucketCol, bucketOf(bd, bounds))
+        val perBucket = tagged.groupBy(BucketCol)
+          .agg(sum(value.cast("long")).as("s")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+        val (off, _) = offsetExpr(perBucket)
+        val w = Window.partitionBy(BucketCol).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn(name, sum(value.cast("long")).over(w) + off)
+          .drop(BucketCol)
+    }
+  }
+}

@@ -124,8 +124,9 @@ object Events {
     // order is the live-concurrency curve, and its per-day max is the
     // capacity-planning number. All integers; ties are pinned by
     // sorting −1 before +1 at equal timestamps on both engines. The
-    // sweep is two rows per SESSION (≪ events); at 100 TB you'd sweep
-    // within day shards — concurrency curves are per-window anyway.
+    // sweep is two rows per SESSION (≪ events), and the prefix sum is
+    // the two-phase distributed one — exact with no single-partition
+    // window, so the sweep holds at 100 TB as-is.
     "q104_peak_concurrency" -> { (s, d) =>
       val sess = sessionized(s, d)
         .groupBy("user_id", "session_id")
@@ -135,9 +136,10 @@ object Events {
       val sweep = sess.select(explode(expr(
           "array(named_struct('t', st, 'delta', 1), named_struct('t', en + 1, 'delta', -1))")).as("p"))
         .select(col("p.t").as("t"), col("p.delta").as("delta"))
-      val wg = Window.orderBy(col("t").asc, col("delta").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sweep.withColumn("cur", sum("delta").over(wg))
+      // exact global prefix sum via the two-phase distributed running
+      // sum (GlobalOrder): bucketed by t, no single-partition window
+      graft.plans.GlobalOrder.withRunningSum(sweep,
+          Seq(col("t").asc, col("delta").asc), col("t"), col("delta"), "cur")
         .withColumn("day", expr("CAST(t div 86400000000 AS BIGINT)"))
         .groupBy("day")
         .agg(max("cur").cast("long").as("peak"), count(lit(1)).as("n_points"))

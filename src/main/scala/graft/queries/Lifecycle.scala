@@ -203,6 +203,40 @@ object Lifecycle {
         .orderBy("c_custkey")
     },
 
+    // Batch reader (reference to_batch_reader, pydala/table.py:538-589):
+    // the pull-based driver EXPORT api — partitions stream to the
+    // driver one at a time, never materializing the table as one
+    // array. The gate consumes the whole table through the iterator
+    // and rebuilds a per-segment aggregate from the streamed rows;
+    // matching the set-based oracle proves every row is delivered
+    // exactly once. Accumulators are integer-exact so driver-side
+    // accumulation order cannot perturb the hash. The driver loop is
+    // the operator's own semantics (an export, like collect) — data-
+    // scale aggregation belongs in the DataFrame plans, and the
+    // projection pushed into the scan keeps the streamed bytes to the
+    // three columns the export needs.
+    "q190_batch_reader" -> { (s, d) =>
+      val t = graft.sources.Table(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_name"))
+      final class Acc {
+        var n = 0L; var keySum = 0L; var nameLen = 0L
+        var keyMin = Long.MaxValue; var keyMax = Long.MinValue
+      }
+      val acc = scala.collection.mutable.HashMap.empty[String, Acc]
+      t.batchIterator().foreach { r =>
+        val k = r.getLong(0)
+        val a = acc.getOrElseUpdate(r.getString(1), new Acc)
+        a.n += 1; a.keySum += k; a.nameLen += r.getString(2).length
+        if (k < a.keyMin) a.keyMin = k
+        if (k > a.keyMax) a.keyMax = k
+      }
+      import s.implicits._
+      acc.toSeq
+        .map { case (seg, a) => (seg, a.n, a.keySum, a.keyMin, a.keyMax, a.nameLen) }
+        .toDF("c_mktsegment", "n", "key_sum", "key_min", "key_max", "name_len")
+        .orderBy("c_mktsegment")
+    },
+
     // JSON source round trip: parquet → JSON lines → schema-inferred
     // JsonDataset read-back; dates travel as ISO strings (JSON has no
     // date type), numerics as JSON numbers.
@@ -785,6 +819,13 @@ object Lifecycle {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |       c_name || ', ' || c_mktsegment AS c_label
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q190_batch_reader" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        |       MIN(c_custkey) AS key_min, MAX(c_custkey) AS key_max,
+        |       CAST(SUM(LENGTH(c_name)) AS BIGINT) AS name_len
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q111_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -319,10 +319,15 @@ object PipelineOps {
     // aggregation once cardinalities stop fitting in memory: HLL++
     // distinct counts (constant space, merge-associative) and
     // Greenwald-Khanna quantiles, side by side with their exact
-    // counterparts so the error is visible. Deliberately has NO DuckDB
-    // oracle (sketch internals aren't bit-stable across engines) — the
-    // driver records the weaker rows-only check, which is the correct
-    // contract for approximate operators.
+    // counterparts. Sketch VALUES aren't bit-stable across engines, so
+    // the oracle gates what IS deterministic: the exact companions
+    // (n_docs, distinct_exact) hash-match DuckDB, and the sketch
+    // errors are emitted as booleans the oracle pins TRUE — the same
+    // contract q131/q136/q141 use. hll_ok allows 3× the requested rsd
+    // (0.05 → 0.15; HLL++ error is ~Gaussian, 3σ); median_ok brackets
+    // the accuracy-1000 GK median (rank error ≤ n/1000) inside the
+    // exact p45..p55 discrete-quantile window (rank slack 0.05·n —
+    // 50× the sketch's worst case).
     "q101_approx_stats" -> { (s, dir) =>
       val base = docsWithToks(s, dir)
       val perDoc = base.select(col("lang"),
@@ -334,22 +339,26 @@ object PipelineOps {
       // group — ~vocab-size × 2^p buffer bytes — instead of one sketch
       // per lang per map task
       // rsd 0.05 (the library default): at 0.01 the per-task sketches
-      // are 25× larger and the isolated bench doubles, while a visible
-      // (nonzero) error next to the exact count is exactly what this
-      // query exists to show
+      // are 25× larger and the isolated bench doubles
       val hll = tokens.groupBy("lang")
         .agg(approx_count_distinct("t", 0.05).as("distinct_hll"))
       val d = tokens.select("lang", "t").distinct()
         .groupBy("lang").agg(count(lit(1)).as("distinct_exact"))
         .join(hll, "lang")
+      // accuracy 100000 makes the bracket quantiles rank-exact at any
+      // tested scale (error ≤ n/1e5 ranks); the SKETCH under test is
+      // the accuracy-1000 median
       val m = perDoc.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
-        expr("percentile_approx(nt, 0.5, 1000)").as("median_len_approx"))
+        expr("percentile_approx(nt, 0.5, 1000)").as("median_len_approx"),
+        expr("percentile_approx(nt, 0.45, 100000)").as("p45"),
+        expr("percentile_approx(nt, 0.55, 100000)").as("p55"))
       d.join(m, "lang")
-        .withColumn("hll_rel_err", expr(
-          "abs(CAST(distinct_hll AS DOUBLE) - CAST(distinct_exact AS DOUBLE)) / CAST(distinct_exact AS DOUBLE)"))
-        .select("lang", "n_docs", "distinct_exact", "distinct_hll",
-          "hll_rel_err", "median_len_approx")
+        .withColumn("hll_ok", expr(
+          "abs(CAST(distinct_hll AS DOUBLE) - CAST(distinct_exact AS DOUBLE)) / CAST(distinct_exact AS DOUBLE) <= 0.15"))
+        .withColumn("median_ok",
+          expr("median_len_approx BETWEEN p45 AND p55"))
+        .select("lang", "n_docs", "distinct_exact", "hll_ok", "median_ok")
         .orderBy("lang")
     },
 
@@ -405,6 +414,18 @@ object PipelineOps {
     })
 
   val oracles: Map[String, String] = Map(
+
+    // exact companions hash-gate; sketch errors are booleans pinned
+    // TRUE (their bounds hold by construction — see the query comment)
+    "q101_approx_stats" ->
+      s"""WITH tk AS (SELECT lang, ${D.tokens("text")} AS toks FROM documents),
+         |d AS (
+         |  SELECT lang, count(DISTINCT t) AS distinct_exact
+         |  FROM (SELECT lang, unnest(toks) AS t FROM tk) GROUP BY lang),
+         |m AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, distinct_exact,
+         |  TRUE AS hll_ok, TRUE AS median_ok
+         |FROM d JOIN m USING (lang) ORDER BY lang""".stripMargin,
 
     "q69_tfidf_topk" ->
       s"""WITH tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),

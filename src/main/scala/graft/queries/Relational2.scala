@@ -345,9 +345,12 @@ object Relational2 {
         sum(when(col("x") <= col(s"a$t"), 1L).otherwise(0L)).as(s"le$t")) }
       val counts = data.crossJoin(broadcast(appr))
         .agg(countAggs.head, countAggs.tail: _*)
-      val g = data
-        .withColumn("rn", row_number().over(Window.orderBy("x")) - 1)
-        .withColumn("nn", count(lit(1)).over())
+      // exact ranks via the distributed two-phase row_number (ties in
+      // x are rank-arbitrary but value-deterministic: only the VALUE
+      // at the target rank is extracted)
+      val g = graft.plans.GlobalOrder.withRowNumber(data,
+          Seq(col("x")), col("x"), "rn", countName = Some("nn"))
+        .withColumn("rn", col("rn") - 1)
       def bound(p: Double, edge: String): Column =
         max(when(col("rn") === expr(s"$edge((nn - 1) * CAST($p AS DOUBLE))"), col("x")))
       val exactAggs = ps.flatMap { case (t, p) =>
@@ -630,16 +633,15 @@ object Relational2 {
     // bins). The bucket id is pinned integer arithmetic over the
     // global rank — (rn-1)*10 div n — rather than ntile(), whose
     // remainder-distribution rule would have to be trusted to match
-    // across engines. The global sort is the cost; at corpus scale
-    // the same statistic comes from sampled boundary quantiles, which
-    // q131 already gates.
+    // across engines. The global rank is the two-phase distributed
+    // one (GlobalOrder): exact at any scale, no single-partition sort.
     "q166_equidepth" -> { (s, d) =>
       val v = Tables.lineitem(s, d)
         .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"),
           col("l_orderkey"), col("l_linenumber"))
-      val w = Window.orderBy(col("vc"), col("l_orderkey"), col("l_linenumber"))
-      v.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      graft.plans.GlobalOrder.withRowNumber(v,
+          Seq(col("vc"), col("l_orderkey"), col("l_linenumber")),
+          col("vc"), "rn", countName = Some("n"))
         .withColumn("bucket", expr("(CAST(rn AS BIGINT) - 1) * 10 div n"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"),

@@ -622,15 +622,15 @@ object TextOps {
     // and p90 of the quality score — the "drop the worst and the
     // too-good-to-be-true" corpus trim. Exact two-sided interpolated
     // quantiles (the q55 scheme) so the band edges bit-match the
-    // oracle's quantile_cont. The global row_number is a single-
-    // partition sort here; at 100 TB you'd swap in a sampled /
-    // approximate quantile and keep the same band filter.
+    // oracle's quantile_cont. The global row_number is the two-phase
+    // distributed rank (GlobalOrder) — exact at any scale, no
+    // single-partition sort.
     "q85_quality_band" -> { (s, dir) =>
       val q = qualityRows(s, dir).select("doc_id", "lang", "quality_score")
-      val g = q
-        .withColumn("rn",
-          row_number().over(Window.orderBy("quality_score", "doc_id")) - 1)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val g = graft.plans.GlobalOrder.withRowNumber(q,
+          Seq(col("quality_score"), col("doc_id")),
+          col("quality_score"), "rn", countName = Some("n"))
+        .withColumn("rn", col("rn") - 1)
       def bound(p: Double, edge: String => String) =
         max(when(expr(s"rn = ${edge(s"(n - 1) * CAST($p AS DOUBLE)")}"),
           col("quality_score")))
@@ -1019,10 +1019,10 @@ object TextOps {
     "q100_corpus_prep" -> { (s, dir) =>
       val q = qualityRows(s, dir).select(col("doc_id"), col("lang"),
         expr("CAST(size(toks) AS BIGINT)").as("nt"), col("quality_score"))
-      val g = q
-        .withColumn("rn",
-          row_number().over(Window.orderBy("quality_score", "doc_id")) - 1)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val g = graft.plans.GlobalOrder.withRowNumber(q,
+          Seq(col("quality_score"), col("doc_id")),
+          col("quality_score"), "rn", countName = Some("n"))
+        .withColumn("rn", col("rn") - 1)
       val ps = PortableSql.quantilePos("0.1", "n")
       val p10 = g.agg(
         max(when(expr(s"rn = floor($ps)"), col("quality_score"))).as("lo"),

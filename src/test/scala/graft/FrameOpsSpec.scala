@@ -39,8 +39,12 @@ class FrameOpsSpec extends SparkSpecBase {
   test("withRowCount is deterministic in the declared order") {
     val df = Seq(("c", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     val out = FrameOps.withRowCount(df, Seq("k")).orderBy("row_nr")
-      .collect().map(r => (r.getString(0), r.getInt(2)))
-    assert(out.toSeq == Seq(("a", 0), ("b", 1), ("c", 2)))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
+    // numeric leading key: the distributed (bucketed) path, same contract
+    val num = FrameOps.withRowCount(df, Seq("v", "k")).orderBy("row_nr")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(num.toSeq == Seq(("c", 0L), ("a", 1L), ("b", 2L)))
   }
 
   test("strftime and truncated columns derive from the timestamp") {

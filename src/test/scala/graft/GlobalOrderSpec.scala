@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.GlobalOrder
+
+/** GlobalOrder must be BIT-IDENTICAL to the single-partition
+  * `Window.orderBy` it replaces — rank, total count, and running sum —
+  * including under heavy ties, tiny inputs, and empty inputs.
+  */
+class GlobalOrderSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("rowNumber matches the single-partition row_number on a total order") {
+    val df = (1 to 5000).map { i =>
+      (i.toLong, (i * 2654435761L % 100003L).toDouble / 7.0)
+    }.toDF("id", "v").repartition(8)
+    val order = Seq(col("v"), col("id"))
+    val expected = df.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = GlobalOrder.withRowNumber(df, order, col("v"), "rn", countName = Some("n"))
+    val rows = got.collect()
+    assert(rows.length == 5000)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rn") == expected(r.getAs[Long]("id")).toLong)
+      assert(r.getAs[Long]("n") == 5000L)
+    }
+  }
+
+  test("rowNumber survives heavy ties (few distinct bucket keys)") {
+    // 3 distinct values across 10k rows: most quantile boundaries
+    // collapse; ranks must still be exact via the id tiebreak
+    val df = (1 to 10000).map(i => (i.toLong, (i % 3).toDouble)).toDF("id", "v")
+      .repartition(8)
+    val order = Seq(col("v"), col("id"))
+    val expected = df.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = GlobalOrder.withRowNumber(df, order, col("v"), "rn").collect()
+    got.foreach(r => assert(r.getAs[Long]("rn") == expected(r.getAs[Long]("id")).toLong))
+  }
+
+  test("runningSum matches the single-partition prefix sum") {
+    val df = (1 to 4000).map { i =>
+      (i.toLong % 977, if (i % 2 == 0) 1 else -1)
+    }.toDF("t", "delta").repartition(8)
+    val order = Seq(col("t").asc, col("delta").asc)
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cur", sum(col("delta").cast("long")).over(w))
+      .groupBy("t").agg(max("cur").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = GlobalOrder.withRunningSum(df, order, col("t"), col("delta"), "cur")
+      .groupBy("t").agg(max("cur").as("m"))
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach(r => assert(r.getLong(1) == expected(r.getLong(0))))
+  }
+
+  test("empty input falls back cleanly") {
+    val df = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(GlobalOrder.withRowNumber(df, Seq(col("v")), col("v"), "rn",
+      countName = Some("n")).collect().isEmpty)
+    assert(GlobalOrder.withRunningSum(df, Seq(col("v")), col("v"),
+      col("id"), "cur").collect().isEmpty)
+  }
+
+  test("plan shape: the rank window is partitioned — no global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = (1 to 2000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = GlobalOrder.withRowNumber(df, Seq(col("v"), col("id")), col("v"), "rn")
+    val bad = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}

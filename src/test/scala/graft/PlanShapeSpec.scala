@@ -341,6 +341,23 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("row-scale global ranks are two-phase distributed — no single-partition window") {
+    // the six former `Window.orderBy` (no partitionBy) sites now route
+    // through GlobalOrder: every Window in these plans must carry a
+    // partition spec, or the plan serializes the whole input through
+    // one task at scale
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q85_quality_band", "q100_corpus_prep",
+        "q104_peak_concurrency", "q55_percentiles", "q166_equidepth")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q still contains a global (single-partition) window:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("rolling WAU explodes contributions — no range self-join (q161)") {
     val p = plan("q161_rolling_wau")
     // the contribute-forward rewrite: a Generate (explode) feeds the
