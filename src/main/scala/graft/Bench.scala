@@ -44,7 +44,15 @@ object Bench {
     // min of three runs per query: single runs vary ±30% from GC and
     // stage-scheduling jitter at this scale; the min is the stable
     // estimator of the plan's actual cost
+    // GC telemetry: cumulative collection time across all collectors —
+    // per-query deltas attribute "same code, 3x slower late in the
+    // suite" drift (the r4 q18/q178 question) to collection pressure
+    // vs genuine plan cost
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
       val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -53,14 +61,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.min
+      val gcDelta = gcMillis - gc0
       // storage telemetry: cached frames + checkpointed RDD blocks still
       // resident AFTER this query — the r3 late-suite regression (12
       // queries 3-9x slower from accumulated cache pressure) was only
       // attributable forensically; this makes growth visible per query
       val storage = spark.sparkContext.getRDDStorageInfo
       val cachedMB = storage.map(i => i.memSize + i.diskSize).sum / (1024 * 1024)
+      val heapMB = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
       System.err.println(
-        f"[bench] $name%-28s $sec%8.3f s  [storage: ${storage.length}%3d rdds ${cachedMB}%5d MB]")
+        f"[bench] $name%-28s $sec%8.3f s  [storage: ${storage.length}%3d rdds ${cachedMB}%5d MB | gc: ${gcDelta}%5d ms heap: ${heapMB}%5d MB]")
       // bound resident cache between queries: r3's late-suite cluster
       // (12 queries 3-9x slower, byte-identical code) was accumulated
       // cache pressure from earlier query families. LRU-evict memoized

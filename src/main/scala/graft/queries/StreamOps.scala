@@ -74,6 +74,29 @@ object StreamOps {
                     tag: String, minBatches: Int): Unit = {
     q.processAllAvailable()
     val batches = q.recentProgress.count(_.numInputRows > 0)
+    // state-store telemetry (the r4 q178 cost question was
+    // unanswerable without it): per-run micro-batch count, input rows,
+    // summed batch wall, and the state operators' rows/memory/commit
+    // cost — one stderr line, grep '\[stream\]'
+    locally {
+      val ps = q.recentProgress
+      val wallMs = ps.map(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)).sum
+      val commitMs = ps.map(p => Option(p.durationMs.get("commitOffsets"))
+        .map(_.longValue).getOrElse(0L)).sum
+      val addBatchMs = ps.map(p => Option(p.durationMs.get("addBatch"))
+        .map(_.longValue).getOrElse(0L)).sum
+      val rows = ps.map(_.numInputRows).sum
+      val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val stateRows = so.map(_.numRowsTotal).sum
+      val stateMem = so.map(_.memoryUsedBytes).sum
+      val stateCommitMs = ps.flatMap(_.stateOperators.toSeq)
+        .map(_.allUpdatesTimeMs).sum
+      System.err.println(
+        s"[stream] $tag batches=${ps.length} rows=$rows wallMs=$wallMs " +
+          s"addBatchMs=$addBatchMs commitOffsetsMs=$commitMs " +
+          s"stateRows=$stateRows stateMemB=$stateMem stateUpdateMs=$stateCommitMs")
+    }
     val session = q.sparkSession
     q.stop()
     // a stopped query leaves its state-store providers (and their
@@ -95,6 +118,40 @@ object StreamOps {
       s"$tag: expected >= $minBatches non-empty micro-batches, got $batches")
   }
 
+  /** Keep a started query from outliving its gate: driver-side work
+    * between `start()` and `drain()` (mid-stream file writes, the
+    * second drain phase) can throw, and an un-stopped query would
+    * keep polling its stage dir for the rest of the suite AND make
+    * every later gate's `streams.active.isEmpty` guard skip the
+    * StateStore unload — reinstating exactly the retained-state
+    * pressure drain() exists to prevent.
+    */
+  private def ensureStopped[T](
+      q: org.apache.spark.sql.streaming.StreamingQuery)(body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        try if (q.isActive) q.stop() catch { case _: Exception => }
+        throw e
+    }
+
+  /** Shared read-back rollup for the orders-based gates (q133, q135,
+    * q189): one definition so a casting change cannot silently
+    * diverge between gates.
+    */
+  private def ordersStatusRollup(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+
+  private val OrdersStatusRollupSql =
+    """SELECT o_orderstatus,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming append ingestion: orders staged as 4 files → 4
@@ -115,10 +172,7 @@ object StreamOps {
       }
       val ds = new ParquetDataset(s, out)
       require(ds.stats.nonEmpty, "q133: sidecar missing after streamed appends")
-      ds.df.groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
-        .orderBy("o_orderstatus")
+      ordersStatusRollup(ds.df)
     },
 
     // Streaming exact-dedup: every event duplicated, shuffled across
@@ -244,17 +298,15 @@ object StreamOps {
         val q = StreamIngest.upsert(
           streamOf(s, stage, src.schema), out, Seq("o_orderkey"),
           Lifecycle.tmpDir("q135c"))
-        q.processAllAvailable()
-        src.filter("o_orderkey % 7 = 0")
-          .withColumn("o_totalprice", col("o_totalprice") * 3)
-          .coalesce(1).write.mode("append").parquet(stage)
-        drain(q, "q135", 2)
+        ensureStopped(q) {
+          q.processAllAvailable()
+          src.filter("o_orderkey % 7 = 0")
+            .withColumn("o_totalprice", col("o_totalprice") * 3)
+            .coalesce(1).write.mode("append").parquet(stage)
+          drain(q, "q135", 2)
+        }
       }
-      new ParquetDataset(s, out).df
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
-        .orderBy("o_orderstatus")
+      ordersStatusRollup(new ParquetDataset(s, out).df)
     },
 
     // Streaming event-time session windows: per-user sessions with a
@@ -353,9 +405,15 @@ object StreamOps {
       val late = ev.filter(isLate)
       // the drop-everything analysis needs the late pack non-empty and
       // the on-time max ts well past the cut (wm1 >> every late window)
-      require(late.limit(1).count() == 1, "q188: late pack is empty at this sf")
-      require(onTime.agg(max("ts")).head.getTimestamp(0).getTime >
-        java.time.Instant.parse("2024-01-09T00:00:00Z").toEpochMilli,
+      // — ONE aggregate pass for both guards (null-safe: an all-late
+      // sf leaves maxOnTime null, which must fail the require, not NPE)
+      val pre = ev.agg(
+        sum(when(isLate, 1L).otherwise(0L)).as("n_late"),
+        max(when(!isLate, col("ts"))).as("max_on_time")).head
+      require(!pre.isNullAt(0) && pre.getLong(0) > 0,
+        "q188: late pack is empty at this sf")
+      require(Option(pre.getTimestamp(1)).exists(_.getTime >
+        java.time.Instant.parse("2024-01-09T00:00:00Z").toEpochMilli),
         "q188: on-time data must extend past the late cut + 1 day")
       onTime.coalesce(1).write.mode("overwrite").parquet(stage)
       withShufflePartitions(s, 4) {
@@ -368,12 +426,14 @@ object StreamOps {
             b.write.mode("append").parquet(out)
           }
           .start()
-        // phase 1: on-time file only — state builds, watermark advances
-        q.processAllAvailable()
-        // phase 2: NOW the late pack lands; its rows arrive behind the
-        // committed watermark and must be dropped
-        late.coalesce(1).write.mode("append").parquet(stage)
-        drain(q, "q188", 2)
+        ensureStopped(q) {
+          // phase 1: on-time file only — state builds, watermark advances
+          q.processAllAvailable()
+          // phase 2: NOW the late pack lands; its rows arrive behind the
+          // committed watermark and must be dropped
+          late.coalesce(1).write.mode("append").parquet(stage)
+          drain(q, "q188", 2)
+        }
       }
       s.read.parquet(out)
         .select(col("window.start").as("win_start"), col("event_type"),
@@ -402,8 +462,10 @@ object StreamOps {
         val q1 = StreamIngest.append(
           streamOf(s, stage, src.schema, filesPerTrigger = 1), out,
           WriteConfig(), ckpt)
-        q1.processAllAvailable()
-        q1.stop() // simulated shutdown AFTER the first file committed
+        ensureStopped(q1) {
+          q1.processAllAvailable()
+          q1.stop() // simulated shutdown AFTER the first file committed
+        }
         src.filter("o_orderkey % 2 = 1").coalesce(1)
           .write.mode("append").parquet(stage)
         val q2 = StreamIngest.append(
@@ -411,22 +473,13 @@ object StreamOps {
           WriteConfig(), ckpt)
         drain(q2, "q189", 1)
       }
-      new ParquetDataset(s, out).df
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
-        .orderBy("o_orderstatus")
+      ordersStatusRollup(new ParquetDataset(s, out).df)
     }
   )
 
   val oracles: Map[String, String] = Map(
 
-    "q133_stream_append" ->
-      """SELECT o_orderstatus,
-        | COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q133_stream_append" -> OrdersStatusRollupSql,
 
     "q134_stream_dedup" ->
       """SELECT user_id,
@@ -511,11 +564,6 @@ object StreamOps {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "q189_stream_restart" ->
-      """SELECT o_orderstatus,
-        | COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    "q189_stream_restart" -> OrdersStatusRollupSql
   )
 }
