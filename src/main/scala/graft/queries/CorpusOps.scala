@@ -189,18 +189,18 @@ object CorpusOps {
     // cover, for candidate sizes N — the tokenizer-sizing curve read
     // before fixing a vocab budget (complements q74's prune and
     // q123's OOV rate, which assume a vocab already chosen). One
-    // token-count aggregation, one vocab-sized global rank window
-    // (types ≪ tokens by Heaps' law — the same bounded-window bet
-    // q87 makes), then a 5-row broadcast threshold join; coverage is
-    // exact permille.
+    // token-count aggregation, one vocab global rank — distributed via
+    // GlobalOrder (the q87 pattern: −n bucketing, tie-free order),
+    // then a 5-row broadcast threshold join; coverage is exact
+    // permille.
     "q179_vocab_coverage" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.orderBy(col("n").desc, col("t").asc)
-      val ranked = TextOps.docsWithToks(s, dir)
-        .filter(expr("size(toks) > 0"))
-        .select(explode(col("toks")).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(w))
+      val ranked = graft.plans.GlobalOrder.withRowNumber(
+        TextOps.docsWithToks(s, dir)
+          .filter(expr("size(toks) > 0"))
+          .select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("n")),
+        Seq(col("n").desc, col("t").asc), negate(col("n")), "rk")
       val th = Seq(100L, 300L, 1000L, 3000L, 10000L).toDF("n_vocab")
       ranked.crossJoin(broadcast(th))
         .groupBy("n_vocab")

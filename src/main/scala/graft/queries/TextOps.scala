@@ -660,12 +660,19 @@ object TextOps {
     // "how common are this doc's words" score (low = stock phrasing,
     // high = rare vocabulary; the rational stand-in for unigram LM
     // perplexity). Vocabulary ranks are a broadcast; the per-doc
-    // aggregate is integer sums + one final division.
+    // aggregate is integer sums + one final division. The rank order
+    // (n desc, t asc) is tie-free, so rank() ≡ row_number and the
+    // two-phase GlobalOrder computes it distributed (a web-corpus
+    // vocabulary is 10⁸+ types — itself row-scale); bucketing on −n is
+    // monotone with the count-descending order, and the singleton tail
+    // (all n=1) collapsing into one bucket is the known skew — at real
+    // scale a min-count threshold precedes ranking anyway.
     "q87_token_rank" -> { (s, dir) =>
       val tok = docsWithToks(s, dir).filter(expr("size(toks) > 0"))
         .select(col("doc_id"), explode(col("toks")).as("t"))
-      val rk = tok.groupBy("t").agg(count(lit(1)).as("n"))
-        .withColumn("rnk", rank().over(Window.orderBy(col("n").desc, col("t").asc)))
+      val rk = graft.plans.GlobalOrder.withRowNumber(
+        tok.groupBy("t").agg(count(lit(1)).as("n")),
+        Seq(col("n").desc, col("t").asc), negate(col("n")), "rnk")
       tok.join(broadcast(rk.select("t", "rnk")), "t")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum("rnk").as("sum_rank"))

@@ -348,7 +348,8 @@ class PlanShapeSpec extends SparkSpecBase {
     // one task at scale
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q85_quality_band", "q100_corpus_prep",
-        "q104_peak_concurrency", "q55_percentiles", "q166_equidepth")) {
+        "q104_peak_concurrency", "q55_percentiles", "q166_equidepth",
+        "q87_token_rank", "q179_vocab_coverage")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val bad = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
