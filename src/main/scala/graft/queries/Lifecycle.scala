@@ -237,6 +237,25 @@ object Lifecycle {
         .orderBy("c_mktsegment")
     },
 
+    // ORC source round trip: parquet → zstd ORC → OrcDataset
+    // read-back. ORC carries a real schema (no inference involved),
+    // so identity gates the value fidelity of the second columnar
+    // format end-to-end: timestamps, decimals-as-doubles, and strings
+    // must survive the ORC writer/reader pair bit-exactly.
+    "q191_orc_roundtrip" -> { (s, d) =>
+      val dir = tmpDir("q191")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate"), col("o_totalprice"))
+        .write.mode("overwrite").option("compression", "zstd").orc(dir)
+      new graft.sources.OrcDataset(s, dir).df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderdate").cast("date").cast("string").as("first_date"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // JSON source round trip: parquet → JSON lines → schema-inferred
     // JsonDataset read-back; dates travel as ISO strings (JSON has no
     // date type), numerics as JSON numbers.
@@ -819,6 +838,12 @@ object Lifecycle {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |       c_name || ', ' || c_mktsegment AS c_label
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q191_orc_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q190_batch_reader" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

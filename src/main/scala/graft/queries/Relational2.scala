@@ -611,6 +611,32 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // MERGEABLE sketch maintenance (Datasketches HLL via
+    // hll_sketch_agg / hll_union_agg): per-day user sketches are
+    // materialized as binary state, then UNIONED into the cross-day
+    // distinct estimate — the incremental pattern that makes
+    // "distinct users over any window" an O(days) merge of persisted
+    // sketches instead of a re-scan of history (approx_count_distinct
+    // alone can't do this: its buffer isn't a first-class mergeable
+    // column). Exact companions hash-gate; the union estimate is an
+    // error-bound boolean (lgK=12 → rsd ≈ 1.6%, pinned at 3σ).
+    "q193_sketch_partition_merge" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+      val daily = ev.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct(col("user_id")).as("day_exact"))
+      val merged = daily.agg(
+        count(lit(1)).as("n_days"),
+        sum("day_exact").as("sum_day_exact"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("distinct_exact"))
+      merged.crossJoin(broadcast(exact))
+        .select(col("n_days"), col("sum_day_exact"), col("distinct_exact"),
+          expr("abs(CAST(est AS DOUBLE) - CAST(distinct_exact AS DOUBLE)) " +
+            "/ CAST(distinct_exact AS DOUBLE) <= 0.05").as("hll_ok"))
+    },
+
     // Per-node triangle participation over the co-purchase graph
     // (edges: part pairs sharing >= 2 orders) — the cluster-density
     // signal that separates mass-duplicated groups from chains of
@@ -874,6 +900,17 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q193_sketch_partition_merge" ->
+      """WITH per_day AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT
+        |  (SELECT COUNT(*) FROM per_day) AS n_days,
+        |  (SELECT CAST(SUM(c) AS BIGINT) FROM per_day) AS sum_day_exact,
+        |  COUNT(DISTINCT user_id) AS distinct_exact,
+        |  TRUE AS hll_ok
+        |FROM events""".stripMargin,
 
     // the oracle computes the exact quantiles and pins the sketch's
     // error-bound booleans to TRUE — the bound, not the sketch value,

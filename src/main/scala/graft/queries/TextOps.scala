@@ -404,6 +404,29 @@ object TextOps {
     },
 
     // Rolling-hash document fingerprints (whole doc + 8-token prefix).
+    // Unicode NFC normalization — the canonical-composition pass that
+    // must precede hashing/shingling (composed "é" vs decomposed
+    // "e"+U+0301 is the same text in different bytes; unnormalized,
+    // duplicate clusters silently split). The gate CONSTRUCTS
+    // decomposed suffixes (base letter + combining mark literals) on
+    // every doc, normalizes through the codegen'd NfcNormalize
+    // expression, and hash-matches DuckDB's nfc_normalize — both are
+    // UAX #15 NFC, so lengths, change flags, and the composed tail
+    // bytes must agree exactly. Narrow map, no shuffle.
+    "q192_nfc_normalize" -> { (s, dir) =>
+      val raw = Tables.spread(Tables.documents(s, dir).select("doc_id", "text"))
+        .withColumn("raw",
+          concat(expr("substring(text, 1, 40)"),
+            lit("e\u0301A\u030A"))) // DECOMPOSED: NFC must compose both
+      raw.withColumn("norm", graft.functions.NfcNormalize(col("raw")))
+        .select(col("doc_id"),
+          length(col("raw")).as("n_raw"),
+          length(col("norm")).as("n_norm"),
+          (col("raw") =!= col("norm")).as("changed"),
+          expr("substring(norm, -2, 2)").as("tail_norm"))
+        .orderBy("doc_id")
+    },
+
     "q27_text_fingerprint" -> { (s, dir) =>
       docsWithToks(s, dir).select(
         col("doc_id"),
@@ -1363,6 +1386,19 @@ object TextOps {
          |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, pred_lang,
          | pred_lang = lang AS is_match
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q192_nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || 'e' || chr(769) || 'A' || chr(778) AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS INT) AS n_raw,
+        |  CAST(length(norm) AS INT) AS n_norm,
+        |  raw != norm AS changed,
+        |  right(norm, 2) AS tail_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q27_text_fingerprint" ->
       s"""$duckBase

@@ -69,6 +69,23 @@ final class CsvDataset(val spark: SparkSession, val path: String,
   }
 }
 
+/** ORC dataset — same thin handle as CSV/JSON (the reference is
+  * parquet-centric; ORC is the columnar sibling Spark supports
+  * natively, so a lake that mixes formats reads through one API).
+  * Schema, predicate pushdown, and column pruning are native to
+  * Spark's ORC source, so every scan-side property documented for
+  * parquet (SCALE.md) carries over.
+  */
+final class OrcDataset(val spark: SparkSession, val path: String) {
+  def df: DataFrame = spark.read.orc(path)
+  def table: Table = Table(df)
+  /** Convert in place to a managed parquet dataset. */
+  def toParquet(dest: String, cfg: WriteConfig = WriteConfig()): ParquetDataset = {
+    WritePipeline.write(df, dest, cfg)
+    new ParquetDataset(spark, dest)
+  }
+}
+
 /** JSON dataset with optional dtype optimization on load (reference
   * JSONDataset.load, pydala/dataset.py:2750-2774).
   */
