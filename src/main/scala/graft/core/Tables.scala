@@ -105,6 +105,16 @@ object Tables {
   def register(spark: SparkSession): Unit =
     sessions.synchronized { sessions.add(spark); () }
 
+  /** Forget a session (e.g. a finished one-off `newSession`). The
+    * registry is weak, so a dropped session is ALSO forgotten at the
+    * next GC — but until then [[trimStorage]] conservatively treats
+    * it as a live sibling and skips stage 2 (over-budget, never
+    * data-destroying). Long-lived apps that churn sessions should
+    * unregister on completion rather than rely on collector timing.
+    */
+  def unregister(spark: SparkSession): Unit =
+    sessions.synchronized { sessions.remove(spark); () }
+
   private def hasLiveSibling(spark: SparkSession): Boolean =
     sessions.synchronized {
       import scala.jdk.CollectionConverters._

@@ -171,13 +171,8 @@ object FrameOps {
     if (columns.isEmpty) return Seq(Map.empty[String, Any] -> df)
     val wePersisted = persistSource &&
       df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (wePersisted) {
+    if (wePersisted)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // hand the pin to the memo LRU: trimStorage/dropMemos own its
-      // lifecycle, so it cannot silently pin storage forever
-      graft.core.Tables.adopt(df.sparkSession,
-        s"partitionBy#${System.identityHashCode(df.queryExecution)}", df)
-    }
     val keys =
       try {
         val k = df.select(columns.map(col): _*).distinct()
@@ -192,6 +187,13 @@ object FrameOps {
           if (wePersisted) df.unpersist()
           throw e
       }
+    // hand the pin to the memo LRU only once the guard has passed:
+    // trimStorage/dropMemos own its lifecycle from here (adopting
+    // before the guard would leave a memo entry retaining the dead
+    // frame on the failure path)
+    if (wePersisted)
+      graft.core.Tables.adopt(df.sparkSession,
+        s"partitionBy#${System.identityHashCode(df.queryExecution)}", df)
     val rest = df.columns.toSeq.filterNot(columns.contains)
     keys.toSeq.map { row =>
       val kv = columns.zipWithIndex.map { case (c, i) => c -> row.get(i) }.toMap

@@ -20,6 +20,20 @@ final case class DeleteResult(
   * Null semantics are SQL DELETE's: a row is deleted when the
   * predicate is TRUE; FALSE and NULL rows survive.
   *
+  * Failure contract (a plain filesystem has no multi-file atomic
+  * rename, so the swap is journaled):
+  *  - failure BEFORE the swap: tmp dir is removed, dataset unchanged;
+  *  - failure DURING the swap (after the journal is written): the
+  *    dataset may transiently hold kept rows twice, but the journal
+  *    (`_graft_delete_journal`) records the staged files and the
+  *    originals to remove, and the NEXT `Delete.where` (or an explicit
+  *    [[Delete.recover]]) completes the swap deterministically —
+  *    promote whatever is still staged, remove the listed originals,
+  *    drop the journal. Replay is idempotent in every crash window
+  *    because the journal is only written once the staged files are
+  *    fully materialized, and recovery never re-derives anything from
+  *    the (possibly half-swapped) data files.
+  *
   * Scale notes: the discovery pass filters on the predicate, which
   * pushes down to parquet — files whose row-group stats exclude the
   * predicate are never decoded, so deleting a key range from a
@@ -29,9 +43,33 @@ final case class DeleteResult(
   */
 object Delete {
 
+  private def journalPath(path: String) = s"$path/_graft_delete_journal"
+  private def tmpPath(path: String) = s"$path/_tmp_delete"
+
+  /** Complete a swap interrupted mid-flight, if a journal exists.
+    * Safe to call any time; no-op without a journal. Returns true if
+    * a pending swap was completed.
+    */
+  def recover(ds: ParquetDataset): Boolean = {
+    val path = ds.path
+    val jp = journalPath(path)
+    if (!FsUtil.exists(jp)) return false
+    val originals = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(FsUtil.stripScheme(jp)))
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    // staged files still in tmp move into place (idempotent: promote
+    // moves only what exists); then the journaled originals go
+    if (FsUtil.exists(tmpPath(path))) FsUtil.promote(tmpPath(path), path)
+    FsUtil.delete(path, originals.map(r => s"$path/$r"))
+    FsUtil.delete(path, Seq(jp))
+    ds.spark.catalog.refreshByPath(path)
+    true
+  }
+
   def where(ds: ParquetDataset, predicate: String): DeleteResult = {
     val spark = ds.spark
     val path = ds.path
+    recover(ds) // complete any interrupted prior swap FIRST
     if (ds.isEmpty) return DeleteResult(0, Nil, Nil)
 
     val pred = expr(graft.sources.Sanitize(predicate))
@@ -56,17 +94,7 @@ object Delete {
       // the original files — and therefore every row — untouched. A
       // direct append would commit part-files before the originals
       // are removed, double-counting kept rows on failure.
-      //
-      // Contract boundary: "dataset unchanged" holds for failures up
-      // to the swap below. The promote+delete swap itself is
-      // best-effort (same as Maintenance's compact swap — a plain
-      // filesystem has no multi-file atomic rename): a crash between
-      // promote and delete leaves kept rows present twice until the
-      // delete of the originals completes. A swap-phase failure
-      // raises StagedRewriteException with partialSwap semantics so
-      // callers can re-run the delete (it is idempotent: re-running
-      // the same predicate removes the stale originals' rows again).
-      val tmp = s"$path/_tmp_delete"
+      val tmp = tmpPath(path)
       FsUtil.deleteRecursively(tmp)
       try WritePipeline.write(keep, tmp,
         WriteConfig(mode = "overwrite", partitionBy = ds.partitionColumns))
@@ -76,14 +104,26 @@ object Delete {
           throw new graft.operators.StagedRewriteException(affectedRel,
             s"staged delete failed before swap; dataset unchanged: ${e.getMessage}", e)
       }
+      // Journal THEN swap: the journal lists the originals to remove,
+      // and is only written once the staged files are complete — so a
+      // crash anywhere in the swap is completed by recover() (promote
+      // the remaining staged files, remove the journaled originals).
+      // Without the journal, a re-run after a partial swap would
+      // re-stage kept rows from the originals and promote them NEXT TO
+      // the first run's promoted files — permanent duplication.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(FsUtil.stripScheme(journalPath(path))),
+        (affectedRel.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       try {
         FsUtil.promote(tmp, path)
         FsUtil.delete(path, affectedAbs.toIndexedSeq)
+        FsUtil.delete(path, Seq(journalPath(path)))
       } catch {
         case e: Exception =>
           throw new graft.operators.StagedRewriteException(affectedRel,
-            "staged delete failed DURING swap; kept rows may be present twice " +
-              s"(promoted files + unremoved originals) — re-run to converge: ${e.getMessage}", e)
+            "staged delete failed DURING swap; journal retained — the next " +
+              s"Delete.where or Delete.recover completes it: ${e.getMessage}", e)
       }
       spark.catalog.refreshByPath(path)
       if (ds.stats.nonEmpty) ds.updateStats()

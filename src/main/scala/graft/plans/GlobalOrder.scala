@@ -72,9 +72,12 @@ private[plans] case class BucketOfSorted(child: Expression, bounds: Array[Double
   * double; longs beyond 2^53 may merge adjacent buckets, which is
   * harmless — merged ties stay in one bucket). Rows with a NULL
   * bucket key all land in bucket −1, matching ASC NULLS FIRST
-  * ordering; descending or NULLS LAST orders need a caller-side
-  * monotone transform (e.g. negation) — the six call sites are all
-  * ascending and non-null.
+  * ordering; a DESCENDING leading column passes its negation as the
+  * bucket key (q87/q179 do: order `n desc`, bucket `-n`); NULLS LAST
+  * orders likewise need a caller-side monotone transform. Current
+  * call sites (all non-null keys): q85/q100 quality ranks, q104 sweep
+  * prefix sum, q131 exact quantile ranks, q166 equi-depth, q87/q179
+  * vocab ranks via negation, and FrameOps.withRowCount.
   *
   * At 100 TB: phase 1+2 are map-side-combined aggregates (tiny
   * shuffles), phase 3 shuffles the data once on the bucket id into
@@ -193,7 +196,9 @@ object GlobalOrder {
         val tagged = df.withColumn(BucketCol, bucketOf(bd, bounds))
         val perBucket = tagged.groupBy(BucketCol)
           .agg(sum(value.cast("long")).as("s")).collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+          // an all-null bucket sums to SQL NULL → contributes 0 to the
+          // running total, matching the window sum's null-skipping
+          .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
         val (off, _) = offsetExpr(perBucket)
         val w = Window.partitionBy(BucketCol).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

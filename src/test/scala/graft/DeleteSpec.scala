@@ -67,6 +67,38 @@ class DeleteSpec extends SparkSpecBase {
     assert(ds.partitionColumns == Seq("p"))
   }
 
+  test("journal recovery completes an interrupted swap without duplication") {
+    val dir = tmpDir("deljournal")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1L, "keep"), (2L, "drop")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((10L, "other")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val affected = ds.relFiles.filterNot(_.isEmpty)
+    // simulate a crash mid-swap: the keep rows are fully staged, the
+    // journal lists the original affected file, but neither promote
+    // nor original-delete ran
+    val victim = {
+      val byFile = spark.read.parquet(dir).withColumn("f", input_file_name())
+        .filter(col("k") === 2L).select("f").head.getString(0)
+      graft.sources.FsUtil.relativize(dir, graft.sources.FsUtil.stripScheme(byFile))
+    }
+    spark.read.parquet(s"$dir/${victim}").filter(col("k") =!= 2L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_tmp_delete")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_graft_delete_journal"), victim + "\n")
+
+    assert(Delete.recover(ds))
+    // converged: original gone, staged keep rows present exactly once,
+    // journal and tmp cleaned
+    assert(!graft.sources.FsUtil.exists(s"$dir/_graft_delete_journal"))
+    assert(!graft.sources.FsUtil.exists(s"$dir/_tmp_delete"))
+    assert(ds.df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 10L))
+    // idempotent: nothing pending on a second call
+    assert(!Delete.recover(ds))
+  }
+
   test("no matches: nothing rewritten, empty dataset no-op") {
     val dir = tmpDir("delnone")
     val ds = new ParquetDataset(spark, dir)

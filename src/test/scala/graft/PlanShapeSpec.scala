@@ -342,13 +342,13 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("row-scale global ranks are two-phase distributed — no single-partition window") {
-    // the six former `Window.orderBy` (no partitionBy) sites now route
-    // through GlobalOrder: every Window in these plans must carry a
-    // partition spec, or the plan serializes the whole input through
-    // one task at scale
+    // the seven former `Window.orderBy` (no partitionBy) sites now
+    // route through GlobalOrder: every Window in these plans must
+    // carry a partition spec, or the plan serializes the whole input
+    // through one task at scale
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q85_quality_band", "q100_corpus_prep",
-        "q104_peak_concurrency", "q55_percentiles", "q166_equidepth",
+        "q104_peak_concurrency", "q131_approx_quantile_bound", "q166_equidepth",
         "q87_token_rank", "q179_vocab_coverage")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val bad = df.queryExecution.optimizedPlan.collect {

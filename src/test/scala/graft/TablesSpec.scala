@@ -49,6 +49,10 @@ class TablesSpec extends SparkSpecBase {
       bystander.unpersist(true)
       Tables.dropMemos(spark)
       Tables.dropMemos(sibling)
+      // don't leave a defunct sibling registered for the rest of the
+      // test JVM — it would suppress stage 2 for unrelated suites
+      // until a GC cycle forgets it
+      Tables.unregister(sibling)
     }
   }
 

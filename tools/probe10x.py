@@ -37,18 +37,20 @@ OFFSETS = {  # table -> columns shifted by copy_index * stride
 }
 
 
-def stride_for(table: pa.Table, cols) -> int:
-    m = max(pc.max(table.column(c)).as_py() for c in cols)
-    s = 1
-    while s <= m:
-        s *= 10
-    return s
-
-
 def main() -> None:
     if OUT.exists():
         shutil.rmtree(OUT)
     OUT.mkdir(parents=True)
+    # ONE shared stride across every offset table: lineitem and orders
+    # must shift l_orderkey/o_orderkey by the SAME amount or each
+    # copy's lineitems orphan from their orders (per-table strides
+    # break whenever the two maxes straddle a power of 10)
+    global_max = max(
+        pc.max(pq.read_table(SRC / f"{t}.parquet", columns=cols).column(c)).as_py()
+        for t, cols in OFFSETS.items() for c in cols)
+    stride = 1
+    while stride <= global_max:
+        stride *= 10
     for f in sorted(SRC.glob("*.parquet")):
         name = f.stem
         if name not in OFFSETS:
@@ -56,7 +58,6 @@ def main() -> None:
             print(f"copied {name}")
             continue
         t = pq.read_table(f)
-        stride = stride_for(t, OFFSETS[name])
         d = OUT / f.name
         d.mkdir()
         for i in range(COPIES):
