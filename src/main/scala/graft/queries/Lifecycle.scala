@@ -237,6 +237,21 @@ object Lifecycle {
         .orderBy("c_mktsegment")
     },
 
+    // Column-level profiling (operators.Profile): per column rows /
+    // nulls / exact + approx distincts / portable bounds over the
+    // customer table. Exact lanes hash-gate against DuckDB; the HLL
+    // lane is a pinned error-bound boolean (the q101/q193 contract),
+    // which is what licenses running profile(exactNdv = false) — no
+    // distinct shuffle — at corpus scale.
+    "q195_column_profile" -> { (s, d) =>
+      graft.operators.Profile.table(Tables.customer(s, d))
+        .withColumn("ndv_ok", expr(
+          "abs(CAST(ndv_approx AS DOUBLE) - CAST(ndv_exact AS DOUBLE)) " +
+            "/ CAST(ndv_exact AS DOUBLE) <= 0.15"))
+        .drop("ndv_approx")
+        .orderBy("column")
+    },
+
     // ORC source round trip: parquet → zstd ORC → OrcDataset
     // read-back. ORC carries a real schema (no inference involved),
     // so identity gates the value fidelity of the second columnar
@@ -838,6 +853,24 @@ object Lifecycle {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |       c_name || ', ' || c_mktsegment AS c_label
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q195_column_profile" -> {
+      def one(c: String, minmax: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS ndv_exact,
+           |  CAST(MIN($minmax) AS VARCHAR) AS min_str,
+           |  CAST(MAX($minmax) AS VARCHAR) AS max_str,
+           |  TRUE AS ndv_ok
+           |FROM customer""".stripMargin
+      Seq(
+        one("c_custkey", "c_custkey"),
+        one("c_name", "c_name"),
+        one("c_nationkey", "c_nationkey"),
+        one("c_acctbal", "CAST(c_acctbal AS DECIMAL(18,2))"),
+        one("c_mktsegment", "c_mktsegment"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q191_orc_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -378,6 +378,43 @@ object StreamOps {
         .orderBy("key")
     },
 
+    // Stream-STATIC enrichment join — the remaining production
+    // streaming shape (q178 covers stream-stream): each micro-batch
+    // joins the event stream against a static dimension (customer
+    // segments), which Spark re-plans per batch as a broadcast hash
+    // join — no state store involved, so the stateless-join path's
+    // exactly-once is what's under test. Inner-join semantics on the
+    // overlapping key range (every user_id has a customer row here)
+    // must reproduce the batch join exactly: the read-back per-segment
+    // rollup hash-matches the relational join the oracle computes.
+    "q194_stream_static_enrich" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q194s")
+      val out = Lifecycle.tmpDir("q194o")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)").as("vmilli"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      withShufflePartitions(s, 4) {
+        val joined = streamOf(s, stage, ev.schema)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        val q = joined.writeStream.outputMode("append")
+          .option("checkpointLocation", Lifecycle.tmpDir("q194c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        ensureStopped(q)(drain(q, "q194", 2))
+      }
+      s.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum("vmilli").as("vmilli_sum"))
+        .orderBy("c_mktsegment")
+    },
+
     // Watermark LATE-DATA DROP semantics — the property every other
     // streaming gate deliberately sidesteps with huge watermarks, and
     // THE one that bounds state at ingest scale: a window whose end
@@ -478,6 +515,15 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q194_stream_static_enrich" ->
+      """SELECT c_mktsegment,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)) AS BIGINT)
+        |   AS vmilli_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q133_stream_append" -> OrdersStatusRollupSql,
 
