@@ -36,6 +36,8 @@ object GraftFunctions {
         args => PortableHash64(GraftFunctions.one("portable_hash64", args)))
       Bridge.registerFunction(spark, "portable_md5_lanes",
         args => PortableMd5Lanes(GraftFunctions.one("portable_md5_lanes", args)))
+      Bridge.registerFunction(spark, "nfc_normalize",
+        args => NfcNormalize(GraftFunctions.one("nfc_normalize", args)))
     }
   }
 }
@@ -57,5 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PortableMd5Lanes].getName, "portable_md5_lanes"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PortableMd5Lanes(GraftFunctions.one("portable_md5_lanes", args))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(GraftFunctions.one("nfc_normalize", args))))
   }
 }

@@ -190,6 +190,26 @@ object Relational2 {
         .orderBy("node")
     },
 
+    // Remaining §2.5 window surface: dense_rank, cume_dist, nth_value,
+    // and last-with-IGNORE-NULLS (the forward-fill primitive), all
+    // over one per-nation frame with a tie-free order key. cume_dist
+    // is one IEEE division of small ints on both engines; the default
+    // RANGE UNBOUNDED PRECEDING..CURRENT ROW frame is identical in
+    // Spark and DuckDB, so nth/last see the same prefix.
+    "q197_window_extras" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("dr", dense_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("nth3", nth_value(col("c_custkey"), 3).over(w))
+        .withColumn("lastnn", last(
+          when(col("c_custkey") % 7 =!= 0, col("c_custkey")),
+          ignoreNulls = true).over(w))
+        .orderBy("c_custkey")
+    },
+
     // ntile + percent_rank: distribution windows per nation. percent_rank
     // is (rank-1)/(n-1) — one exactly-rounded division on both engines;
     // the order key is unique so ranks are tie-free.
@@ -900,6 +920,17 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q197_window_extras" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        | DENSE_RANK() OVER w AS dr,
+        | CUME_DIST() OVER w AS cd,
+        | NTH_VALUE(c_custkey, 3) OVER w AS nth3,
+        | LAST_VALUE(CASE WHEN c_custkey % 7 != 0 THEN c_custkey END IGNORE NULLS)
+        |   OVER w AS lastnn
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q193_sketch_partition_merge" ->
       """WITH per_day AS (

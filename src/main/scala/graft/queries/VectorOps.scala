@@ -163,6 +163,44 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Johnson-Lindenstrauss random projection (64 → 16 dims) with a
+    // measured distortion report — the dimensionality-reduction step
+    // that cuts ANN distance work 4× before IVF/PQ. The ±1/√k
+    // projection matrix is DERIVED per (i, j) from the portable hash
+    // (a pure function — no matrix to broadcast or keep in sync), and
+    // everything runs in exact integer arithmetic: components quantize
+    // by floor(x·2¹⁵) (exact on both engines), projections are ±1
+    // integer sums, and the distortion ratio dproj²/(k·dorig²) is
+    // integer-milli — so a hash gate can pin the whole construction.
+    // Pairs are the 499 consecutive-id pairs: a deterministic,
+    // join-narrow distance sample (the same role a fixed eval set
+    // plays at corpus scale).
+    "q196_jl_projection" -> { (s, dir) =>
+      import s.implicits._
+      val k = 16
+      val q = Tables.spread(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("qi", expr("CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)"))
+        .select("vec_id", "i", "qi")
+      val proj = q.crossJoin(broadcast((0 until k).toDF("j")))
+        .withColumn("sgn", expr(
+          s"CASE WHEN ${S.hash64("concat('jl:', i, ':', j)")} % 2 = 0 THEN 1 ELSE -1 END"))
+        .groupBy("vec_id", "j").agg(sum(expr("qi * sgn")).as("p"))
+      val dproj = proj.as("a").join(proj.as("b"),
+          col("a.vec_id") + 1 === col("b.vec_id") && col("a.j") === col("b.j"))
+        .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .agg(sum(expr("(a.p - b.p) * (a.p - b.p)")).as("dproj2"))
+      val dorig = q.as("a").join(q.as("b"),
+          col("a.vec_id") + 1 === col("b.vec_id") && col("a.i") === col("b.i"))
+        .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .agg(sum(expr("(a.qi - b.qi) * (a.qi - b.qi)")).as("dorig2"))
+      dproj.join(dorig, Seq("vec_a", "vec_b"))
+        .withColumn("ratio_milli", expr(
+          s"CASE WHEN dorig2 = 0 THEN NULL ELSE (1000 * dproj2) div ($k * dorig2) END"))
+        .select("vec_a", "vec_b", "dorig2", "dproj2", "ratio_milli")
+        .orderBy("vec_a")
+    },
+
     // IVF centroid construction: per-label mean vectors (the coarse
     // quantizer a production IVF index trains with k-means; here the
     // label IS the cell assignment, so means are exact and
@@ -640,6 +678,33 @@ object VectorOps {
        |  FROM ex GROUP BY label, pos)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q196_jl_projection" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0) AS BIGINT) AS qi
+         |  FROM embeddings),
+         |pr AS (
+         |  SELECT vec_id, j,
+         |    CAST(SUM(qi * (CASE WHEN ${D.hash64("concat('jl:', i, ':', j)")} % 2 = 0
+         |      THEN 1 ELSE -1 END)) AS BIGINT) AS p
+         |  FROM q CROSS JOIN (SELECT unnest(range(16)) AS j) js
+         |  GROUP BY vec_id, j),
+         |dp AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS dproj2
+         |  FROM pr a JOIN pr b ON a.vec_id + 1 = b.vec_id AND a.j = b.j
+         |  GROUP BY 1, 2),
+         |do2 AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(SUM((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS dorig2
+         |  FROM q a JOIN q b ON a.vec_id + 1 = b.vec_id AND a.i = b.i
+         |  GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, dorig2, dproj2,
+         |  CASE WHEN dorig2 = 0 THEN NULL
+         |       ELSE (1000 * dproj2) // (16 * dorig2) END AS ratio_milli
+         |FROM dp JOIN do2 USING (vec_a, vec_b)
+         |ORDER BY vec_a""".stripMargin,
     "q46_label_centroids" ->
       s"""WITH $duckCentroids
          |SELECT label, CAST(pos AS INT) AS pos, c

@@ -42,6 +42,13 @@ class UnicodeSpec extends SparkSpecBase {
     assert(out(1).isNullAt(0))
   }
 
+  test("registered as a SQL function (expr strings can call it)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Seq(eAcuteD).toDF("s").createOrReplaceTempView("nfc_probe")
+    assert(spark.sql("SELECT nfc_normalize(s) AS n FROM nfc_probe")
+      .head().getString(0) == eAcuteC)
+  }
+
   test("interpreted eval matches codegen result") {
     import org.apache.spark.unsafe.types.UTF8String
     val decomposed = UTF8String.fromString(s"ne${eAcuteD} ${aRingD}ngstrom")
