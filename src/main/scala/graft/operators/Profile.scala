@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,35 +21,52 @@ import org.apache.spark.sql.types._
   * pins the sketch's error bound, which is what licenses trusting
   * the approx lane alone.
   *
-  * Bounds are emitted as strings for a uniform schema: doubles via
-  * DECIMAL(18,2) so the rendering is engine-portable (both Spark and
-  * DuckDB print decimals canonically; raw double formatting differs).
+  * Bounds are emitted as strings for a uniform schema. Doubles in
+  * ±10¹⁶ render via DECIMAL(18,2) (canonical on every engine — raw
+  * double formatting differs); NaN renders as "NaN" (Spark's max
+  * treats NaN as greatest, so a NaN-containing column REPORTS it
+  * instead of silently clipping to the largest finite value);
+  * magnitudes beyond the decimal range fall back to the engine's
+  * native double rendering rather than failing the profile under
+  * ANSI overflow. The operator is total: zero-column input yields an
+  * empty profile.
   */
 object Profile {
+
+  private def q(name: String) = col(s"`$name`")
 
   def table(df: DataFrame, exactNdv: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    if (df.schema.isEmpty)
+      return Seq.empty[(String, Long, Long, Option[Long], Long, String, String)]
+        .toDF("column", "n_rows", "n_nulls", "ndv_exact", "ndv_approx",
+          "min_str", "max_str")
     def boundStr(f: StructField, agg: String): org.apache.spark.sql.Column = {
-      val c = col(f.name)
-      val v = f.dataType match {
+      val c = q(f.name)
+      f.dataType match {
         case DoubleType | FloatType =>
-          expr(s"$agg(CAST(`${f.name}` AS DECIMAL(18,2)))")
-        case _ => if (agg == "min") min(c) else max(c)
+          val b = (if (agg == "min") min(c) else max(c)).cast("double")
+          // total over the full double domain: NaN explicit, in-range
+          // via canonical decimal, overflow-range via native rendering
+          when(isnan(b), lit("NaN"))
+            .when(abs(b) < lit(1e16), b.cast("decimal(18,2)").cast("string"))
+            .otherwise(b.cast("string"))
+        case _ =>
+          (if (agg == "min") min(c) else max(c)).cast("string")
       }
-      v.cast("string")
     }
     val perCol = df.schema.fields.toSeq.map { f =>
       val base = df.agg(
         count(lit(1)).as("n_rows"),
-        count(col(f.name)).as("n_present"),
-        approx_count_distinct(col(f.name), 0.05).as("ndv_approx"),
+        count(q(f.name)).as("n_present"),
+        approx_count_distinct(q(f.name), 0.05).as("ndv_approx"),
         boundStr(f, "min").as("min_str"),
         boundStr(f, "max").as("max_str"))
       val withNdv =
         if (exactNdv) {
-          val exact = df.select(col(f.name)).distinct().agg(
-            count(when(col(f.name).isNotNull, 1)).as("ndv_exact"))
+          val exact = df.select(q(f.name).as("v")).distinct().agg(
+            count(when(col("v").isNotNull, 1)).as("ndv_exact"))
           base.crossJoin(broadcast(exact))
         } else base.withColumn("ndv_exact", lit(null).cast("long"))
       withNdv.select(

@@ -245,8 +245,10 @@ object Lifecycle {
     // distinct shuffle — at corpus scale.
     "q195_column_profile" -> { (s, d) =>
       graft.operators.Profile.table(Tables.customer(s, d))
+        // total gate: an all-null column has ndv_exact = 0 and a 0/0
+        // ratio — the sketch is trivially right there, not wrong
         .withColumn("ndv_ok", expr(
-          "abs(CAST(ndv_approx AS DOUBLE) - CAST(ndv_exact AS DOUBLE)) " +
+          "ndv_exact = 0 OR abs(CAST(ndv_approx AS DOUBLE) - CAST(ndv_exact AS DOUBLE)) " +
             "/ CAST(ndv_exact AS DOUBLE) <= 0.15"))
         .drop("ndv_approx")
         .orderBy("column")

@@ -196,7 +196,7 @@ object VectorOps {
         .agg(sum(expr("(a.qi - b.qi) * (a.qi - b.qi)")).as("dorig2"))
       dproj.join(dorig, Seq("vec_a", "vec_b"))
         .withColumn("ratio_milli", expr(
-          s"CASE WHEN dorig2 = 0 THEN NULL ELSE (1000 * dproj2) div ($k * dorig2) END"))
+          s"CASE WHEN dorig2 = 0 THEN NULL ELSE ${S.intDiv("(1000 * dproj2)", s"($k * dorig2)")} END"))
         .select("vec_a", "vec_b", "dorig2", "dproj2", "ratio_milli")
         .orderBy("vec_a")
     },
@@ -702,7 +702,7 @@ object VectorOps {
          |  GROUP BY 1, 2)
          |SELECT vec_a, vec_b, dorig2, dproj2,
          |  CASE WHEN dorig2 = 0 THEN NULL
-         |       ELSE (1000 * dproj2) // (16 * dorig2) END AS ratio_milli
+         |       ELSE ${D.intDiv("(1000 * dproj2)", "(16 * dorig2)")} END AS ratio_milli
          |FROM dp JOIN do2 USING (vec_a, vec_b)
          |ORDER BY vec_a""".stripMargin,
     "q46_label_centroids" ->
