@@ -530,10 +530,65 @@ object Events {
           coalesce(col("n_click_after"), lit(0L)).as("n_click_after"),
           coalesce(col("n_full_funnel"), lit(0L)).as("n_full_funnel"))
         .orderBy("user_id")
+    },
+
+    // SCD2 dimension build — run-length collapse of each user's
+    // event_type history into type-2 validity intervals
+    // (valid_from_us, valid_to_us): the slowly-changing-dimension
+    // derivation every warehouse pipeline runs over a change log.
+    // Gaps-and-islands per user (lag → change flag → running island
+    // sum), one row per island, then lead(valid_from) across islands
+    // as the exclusive end; the current (last) run carries NULL
+    // valid_to. Every window partitions by user_id — no global frame,
+    // a per-key linear pass at any scale; interval bounds stay in
+    // integer microseconds so the hash gate is exact.
+    "q199_scd2_intervals" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byIsland = Window.partitionBy("user_id").orderBy(col("island"))
+      Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("prev_t", lag("event_type", 1).over(byUser))
+        .withColumn("chg",
+          when(col("prev_t").isNull || col("prev_t") =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("island", sum("chg").over(run))
+        .groupBy("user_id", "island")
+        .agg(max("event_type").as("event_type"),
+          min("tsu").as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us", lead("valid_from_us", 1).over(byIsland))
+        .select("user_id", "island", "event_type",
+          "valid_from_us", "valid_to_us", "n_events")
+        .orderBy("user_id", "island")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q199_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w != event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), g AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f
+        |), h AS (
+        |  SELECT user_id, CAST(island AS BIGINT) AS island,
+        |         MAX(event_type) AS event_type,
+        |         MIN(tsu) AS valid_from_us, COUNT(*) AS n_events
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, island, event_type, valid_from_us,
+        |       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY island)
+        |         AS valid_to_us,
+        |       n_events
+        |FROM h ORDER BY user_id, island""".stripMargin,
     "q78_date_spine" ->
       """WITH e AS (
         |  SELECT epoch_us(ts::TIMESTAMP) // 604800000000 AS wk FROM events),

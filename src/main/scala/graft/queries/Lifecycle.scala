@@ -77,6 +77,36 @@ object Lifecycle {
       Tables.orders(s, d).agg(max("o_orderkey")).collect()(0).getLong(0) / 4)
   }
 
+  /** Bucketed-table pair per (session, sfDir), created once. The
+    * bucket layout is the setup cost (one clustering exchange per
+    * table at write time) that every later join amortizes — writing
+    * `repartition(8, key)` immediately before `bucketBy(8, key)`
+    * aligns the exchange with Spark's bucket function (both are
+    * Murmur3 pmod 8), so each bucket lands as exactly one file and
+    * the scan reports both clustering and within-bucket order.
+    * External tables (explicit `path` under a scratch dir) keep the
+    * in-memory catalog's warehouse out of the repo tree.
+    */
+  private val bucketMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    bucketMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    bucketMemo.getOrElseUpdate((s, d), {
+      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val liT = s"graft_li_b_$tag"
+      val ordT = s"graft_ord_b_$tag"
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmpDir("q198li")).saveAsTable(liT)
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmpDir("q198ord")).saveAsTable(ordT)
+      (liT, ordT)
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // WritePipeline round trip: sort → unique(first-in-sort-order) →
@@ -271,6 +301,34 @@ object Lifecycle {
           min("o_orderdate").cast("date").cast("string").as("first_date"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // Bucketed-table co-location — the cluster-scale join layout the
+    // read-side queries can't show. lineitem and orders are written
+    // once as 8-bucket tables hash-clustered on the join key (Spark's
+    // Murmur3 bucket function on both sides), so the fact-to-fact
+    // sort-merge join needs NO shuffle exchange on either input: at
+    // 100 TB that is the difference between re-shuffling the whole
+    // fact table on every join and reading co-located buckets. The
+    // bucket write is memoized per (session, sfDir) — the deployment
+    // shape is "bucket once at ingest, join many times" and the
+    // measured body is the bucket-local join. A runtime require pins
+    // the plan property (no shuffle below the join) that the value
+    // hash cannot see; the oracle computes the same join/aggregate
+    // from the raw tables, so the bucketed layout must also be
+    // value-preserving.
+    "q198_bucketed_join" -> { (s, d) =>
+      val (liT, ordT) = bucketedTables(s, d)
+      val j = s.table(liT).hint("merge")
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") && !plan.contains("ShuffleExchange"),
+        s"q198: bucketed join planned a shuffle or lost SMJ:\n$plan")
+      j.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
     },
 
     // JSON source round trip: parquet → JSON lines → schema-inferred
@@ -879,6 +937,12 @@ object Lifecycle {
         |       CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q198_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q190_batch_reader" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

@@ -190,6 +190,33 @@ object Relational2 {
         .orderBy("node")
     },
 
+    // Blocked fuzzy join (record linkage): distinct part names are
+    // blocked on their noun token and only within-block candidate
+    // pairs pay the levenshtein verify — the standard blocking shape
+    // that turns an all-pairs N² similarity join into N·avg(block).
+    // The blocking key is an equi-join (hash-partitionable, never a
+    // Cartesian), and both engines implement unit-cost edit distance
+    // identically, so the verify column is hash-exact. At 100 TB the
+    // same plan holds: block cardinality scales with the name space,
+    // the per-block quadratic work is bounded by the blocking key's
+    // selectivity, and a skewed block would salt like any hot join
+    // key.
+    "q200_fuzzy_join" -> { (s, d) =>
+      val names = Tables.part(s, d)
+        .groupBy("p_name").agg(min("p_partkey").as("pid"))
+        .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      val a = names.select(col("block"), col("p_name").as("name_a"),
+        col("pid").as("id_a"))
+      val b = names.select(col("block"), col("p_name").as("name_b"),
+        col("pid").as("id_b"))
+      a.join(b, Seq("block"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 4)
+        .select("block", "name_a", "name_b", "id_a", "id_b", "dist")
+        .orderBy("block", "name_a", "name_b")
+    },
+
     // Remaining §2.5 window surface: dense_rank, cume_dist, nth_value,
     // and last-with-IGNORE-NULLS (the forward-fill primitive), all
     // over one per-nation frame with a tie-free order key. cume_dist
@@ -920,6 +947,20 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q200_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT p_name, MIN(p_partkey) AS pid,
+        |         split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY 1
+        |)
+        |SELECT a.block AS block, a.p_name AS name_a, b.p_name AS name_b,
+        |       a.pid AS id_a, b.pid AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY block, name_a, name_b""".stripMargin,
 
     "q197_window_extras" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,

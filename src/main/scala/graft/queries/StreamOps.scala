@@ -278,6 +278,62 @@ object StreamOps {
         .orderBy("user_id")
     },
 
+    // Stream-stream LEFT OUTER interval join — the enrichment shape
+    // where "no match" is itself the signal (impressions with no
+    // click inside the attribution window). Unlike the inner join
+    // (q178), an unmatched left row can only emit once BOTH
+    // watermarks pass its join window, so this gates the
+    // watermark-driven null-extension path — the state-eviction
+    // semantics outer stream joins exist for. The gate does not pin
+    // Spark's exact eviction boundary (a private off-by-one surface):
+    // both sides of the compare keep only rows whose join window ends
+    // a full margin below the final watermark, where emission is
+    // unconditional; rows inside the margin are excluded identically
+    // in the oracle.
+    "q201_stream_outer_join" -> { (s, d) =>
+      val stageL = Lifecycle.tmpDir("q201l")
+      val stageR = Lifecycle.tmpDir("q201r")
+      val out = Lifecycle.tmpDir("q201o")
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+      val l = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id").as("lid"), col("ts").as("lts"), col("user_id"))
+      val r = ev.filter(col("event_id") % 3 === 1)
+        .select(col("event_id").as("rid"), col("ts").as("rts"), col("user_id"))
+      l.repartition(2).write.mode("overwrite").parquet(stageL)
+      r.repartition(2).write.mode("overwrite").parquet(stageR)
+      withShufflePartitions(s, 4) {
+        val joined = StreamIngest.intervalJoin(
+          streamOf(s, stageL, l.schema, filesPerTrigger = 1),
+          streamOf(s, stageR, r.schema, filesPerTrigger = 1),
+          Seq("user_id"), "lts", "rts",
+          before = "0 seconds", after = "10 minutes",
+          watermark = "30 minutes", joinType = "left_outer")
+        val q = joined.writeStream.outputMode("append")
+          .option("checkpointLocation", Lifecycle.tmpDir("q201c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        drain(q, "q201", 2)
+      }
+      // final watermark = min(max lts, max rts) − 30 min; keep only
+      // join windows ending ≥ 5 min below it (emission provably done)
+      val wm = l.agg(max(expr("unix_micros(lts)")).as("ml"))
+        .crossJoin(r.agg(max(expr("unix_micros(rts)")).as("mr")))
+        .select(expr("least(ml, mr) - 1800000000").as("w"))
+      s.read.parquet(out)
+        .withColumn("ltsu", expr("unix_micros(lts)"))
+        .withColumn("rtsu", expr("unix_micros(rts)"))
+        .crossJoin(broadcast(wm))
+        .filter(col("ltsu") + 600000000L < col("w") - 300000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("rid")).as("n_matched"),
+          (count(lit(1)) - count(col("rid"))).as("n_unmatched"),
+          coalesce(sum(col("rtsu") - col("ltsu")), lit(0L)).as("sum_lag_us"))
+        .orderBy("user_id")
+    },
+
     // Streaming CDC upsert: base orders are fully drained FIRST
     // (structural ordering — the update file is only appended after
     // processAllAvailable returns, so no reliance on FileStreamSource
@@ -556,6 +612,24 @@ object StreamOps {
         |SELECT user_id, COUNT(*) AS n_pairs,
         |  CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q201_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts::TIMESTAMP) AS tsu, user_id FROM events),
+        |l AS (SELECT event_id AS lid, tsu AS ltsu, user_id FROM e WHERE event_id % 3 = 0),
+        |r AS (SELECT event_id AS rid, tsu AS rtsu, user_id FROM e WHERE event_id % 3 = 1),
+        |wm AS (SELECT least((SELECT max(ltsu) FROM l), (SELECT max(rtsu) FROM r))
+        |              - 1800000000 AS w),
+        |j AS (
+        |  SELECT l.user_id, l.lid, l.ltsu, r.rid, r.rtsu
+        |  FROM l LEFT JOIN r
+        |    ON l.user_id = r.user_id
+        |   AND r.rtsu >= l.ltsu AND r.rtsu <= l.ltsu + 600000000),
+        |f AS (SELECT j.* FROM j, wm WHERE j.ltsu + 600000000 < wm.w - 300000000)
+        |SELECT user_id, COUNT(*) AS n_rows, COUNT(rid) AS n_matched,
+        |       COUNT(*) - COUNT(rid) AS n_unmatched,
+        |       CAST(COALESCE(SUM(rtsu - ltsu), 0) AS BIGINT) AS sum_lag_us
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q135_stream_upsert" ->
       """SELECT o_orderstatus,

@@ -101,8 +101,10 @@ object StreamIngest {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    keys: Seq[String], leftTs: String, rightTs: String,
                    before: String, after: String,
-                   watermark: String): DataFrame = {
+                   watermark: String, joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    require(Set("inner", "left_outer").contains(joinType),
+      s"intervalJoin supports inner/left_outer, got $joinType")
     val l = left.withWatermark(leftTs, watermark).as("l")
     val r = right.withWatermark(rightTs, watermark).as("r")
     val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
@@ -111,8 +113,9 @@ object StreamIngest {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after")
     // clean output schema: the key columns would otherwise appear
     // twice (l.k and r.k) and any downstream reference to them throws
-    // AMBIGUOUS_REFERENCE
-    l.join(r, keyCond && timeCond)
+    // AMBIGUOUS_REFERENCE. Key columns come from the LEFT side, so a
+    // left_outer null-extension nulls only the right payload columns.
+    l.join(r, keyCond && timeCond, joinType)
       .select(left.columns.map(c => col(s"l.$c")) ++
         right.columns.filterNot(keys.contains).map(c => col(s"r.$c")): _*)
   }

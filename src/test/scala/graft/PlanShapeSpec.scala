@@ -359,6 +359,22 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed fact-to-fact join reads co-located buckets — no join-side shuffle (q198)") {
+    val df = SparkEntry.queries("q198_bucketed_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the query's own require already pins the join subplan; here the
+    // FULL plan must contain the SMJ and exactly one hash exchange —
+    // the aggregation's, never the join inputs'
+    assert(p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 1, p)
+  }
+
+  test("blocked fuzzy join is an equi-join on the blocking key — no cartesian (q200)") {
+    val p = plan("q200_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("rolling WAU explodes contributions — no range self-join (q161)") {
     val p = plan("q161_rolling_wau")
     // the contribute-forward rewrite: a Generate (explode) feeds the
