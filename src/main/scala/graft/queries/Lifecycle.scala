@@ -92,7 +92,9 @@ object Lifecycle {
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
     bucketMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     bucketMemo.getOrElseUpdate((s, d), {
-      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      // full dir string, sanitized — a truncated hash could collide
+      // across sfDirs in one session and silently cross-wire tables
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val liT = s"graft_li_b_$tag"
       val ordT = s"graft_ord_b_$tag"
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
@@ -322,7 +324,11 @@ object Lifecycle {
       val j = s.table(liT).hint("merge")
         .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
       val plan = j.queryExecution.executedPlan.toString
-      require(plan.contains("SortMergeJoin") && !plan.contains("ShuffleExchange"),
+      // Spark prints shuffles as "Exchange hashpartitioning", so the
+      // guard must match that rendering — the join subplan (no agg
+      // yet) must contain none at all
+      require(plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange hashpartitioning"),
         s"q198: bucketed join planned a shuffle or lost SMJ:\n$plan")
       j.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),

@@ -204,7 +204,11 @@ object Relational2 {
     "q200_fuzzy_join" -> { (s, d) =>
       val names = Tables.part(s, d)
         .groupBy("p_name").agg(min("p_partkey").as("pid"))
-        .withColumn("block", element_at(split(col("p_name"), " "), 2))
+        // coalesce to '' so a single-token name blocks exactly like
+        // DuckDB's split_part (which yields '' past the last token)
+        // instead of silently dropping out of the equi-join as NULL
+        .withColumn("block",
+          coalesce(element_at(split(col("p_name"), " "), 2), lit("")))
       val a = names.select(col("block"), col("p_name").as("name_a"),
         col("pid").as("id_a"))
       val b = names.select(col("block"), col("p_name").as("name_b"),
