@@ -190,6 +190,25 @@ object Relational2 {
         .orderBy("node")
     },
 
+    // Multi-source BFS / k-hop reachability over the same supply
+    // graph: minimum hop count within 4 hops from every hundredth
+    // part node — the neighborhood-expansion primitive behind
+    // influence radius and contamination-spread analyses. Each round
+    // is a frontier⋈edges equi-join plus an anti-join against the
+    // visited set (operators.Bfs, lineage-checkpointed per round);
+    // the oracle walks the identical frontier with a recursive CTE
+    // and takes MIN(hops).
+    "q203_bfs_khop" -> { (s, d) =>
+      val fwd = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = fwd.select(col("src").as("node")).distinct()
+        .filter(col("node") % 100 === 0)
+      graft.operators.Bfs.run(edges, seeds, maxHops = 4)
+        .orderBy("node")
+    },
+
     // Blocked fuzzy join (record linkage): distinct part names are
     // blocked on their noun token and only within-block candidate
     // pairs pay the levenshtein verify — the standard blocking shape
@@ -825,6 +844,20 @@ object Relational2 {
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY p1, p2
         |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
+
+    "q203_bfs_khop" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+        |bfs AS (
+        |  SELECT DISTINCT src AS node, 0 AS hops FROM f WHERE src % 100 = 0
+        |  UNION
+        |  SELECT e.dst, bfs.hops + 1 FROM bfs JOIN e ON bfs.node = e.src
+        |  WHERE bfs.hops < 4
+        |)
+        |SELECT node, CAST(MIN(hops) AS INT) AS hops
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
 
     "q113_pagerank" ->
       """WITH f AS (

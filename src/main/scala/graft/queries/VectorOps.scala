@@ -201,6 +201,32 @@ object VectorOps {
         .orderBy("vec_a")
     },
 
+    // Per-dimension min-max feature scaling — the data-dependent
+    // normalization (stats pass → broadcast back → narrow rescale)
+    // an embedding pipeline runs before fixed-range quantization or
+    // indexing; distinct from q165's fixed-scale int8 quantization,
+    // whose range is a constant, not a statistic. Integer lanes
+    // end-to-end: qi = floor(x·2^15), scaled basis points =
+    // (10000·(qi−lo)) div (hi−lo) — numerator is non-negative by
+    // construction, so floor and truncating division agree on both
+    // engines and the gate is exact. At 100 TB: one partially
+    // aggregated stats pass over 64 dimension groups, broadcast back
+    // into a narrow map — nothing else shuffles.
+    "q202_minmax_scale" -> { (s, dir) =>
+      val q = Tables.spread(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("qi", expr("CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)"))
+        .select("vec_id", "i", "qi")
+      val stats = q.groupBy("i").agg(min("qi").as("lo"), max("qi").as("hi"))
+      q.filter(col("vec_id") % 50 === 0 && col("i") < 8)
+        .join(broadcast(stats), Seq("i"))
+        .withColumn("scaled_bp", expr(
+          "CASE WHEN hi = lo THEN NULL ELSE " +
+            S.intDiv("(10000 * (qi - lo))", "(hi - lo)") + " END"))
+        .select("vec_id", "i", "qi", "lo", "hi", "scaled_bp")
+        .orderBy("vec_id", "i")
+    },
+
     // IVF centroid construction: per-label mean vectors (the coarse
     // quantizer a production IVF index trains with k-means; here the
     // label IS the cell assignment, so means are exact and
@@ -678,6 +704,20 @@ object VectorOps {
        |  FROM ex GROUP BY label, pos)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q202_minmax_scale" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0) AS BIGINT) AS qi
+         |  FROM embeddings),
+         |st AS (SELECT i, MIN(qi) AS lo, MAX(qi) AS hi FROM q GROUP BY i)
+         |SELECT q.vec_id, q.i, q.qi, st.lo, st.hi,
+         |  CASE WHEN st.hi = st.lo THEN NULL
+         |       ELSE ${D.intDiv("(10000 * (q.qi - st.lo))", "(st.hi - st.lo)")}
+         |  END AS scaled_bp
+         |FROM q JOIN st ON q.i = st.i
+         |WHERE q.vec_id % 50 = 0 AND q.i < 8
+         |ORDER BY q.vec_id, q.i""".stripMargin,
 
     "q196_jl_projection" ->
       s"""WITH q AS (
