@@ -395,6 +395,46 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Filter-funnel attribution (C4/Gopher-style rule cascade): each
+    // doc is attributed to its FIRST failing rule — too short, high
+    // avg token length, low stopword ratio, repetitive (low
+    // distinct-token fraction) — and the funnel reports, per stage,
+    // the docs removed there, the tokens they carried, and the corpus
+    // remaining after the stage: the observability report every
+    // production corpus filter ships with (which rule cost how much
+    // data). All-integer rule predicates (cross-multiplied ratios) so
+    // attribution is exact; the funnel itself is a 5-group aggregate,
+    // and the survivor running sum is a window over those 5 bounded
+    // rows (never row-scale).
+    "q204_filter_funnel" -> { (s, dir) =>
+      val staged = qualityRows(s, dir)
+        .withColumn("n_distinct",
+          expr(s"size(${S.arrDistinct("toks")})").cast("long"))
+        .withColumn("stage", expr(
+          """CASE WHEN n_tokens < 25 THEN 1
+            |     WHEN 9 * n_tokens < 2 * sum_len THEN 2
+            |     WHEN 20 * stop_cnt < n_tokens THEN 3
+            |     WHEN 2 * n_distinct < n_tokens THEN 4
+            |     ELSE 0 END""".stripMargin))
+      val per = staged.groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+      val tot = staged.agg(count(lit(1)).as("nn"))
+      val w = Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum_removed",
+          sum(when(col("stage") > 0, col("n_docs")).otherwise(0L)).over(w))
+        .withColumn("rule", expr(
+          """CASE stage WHEN 0 THEN 'keep' WHEN 1 THEN 'too_short'
+            |     WHEN 2 THEN 'long_tokens' WHEN 3 THEN 'low_stopword'
+            |     ELSE 'repetitive' END""".stripMargin))
+        .withColumn("survivors_after",
+          when(col("stage") === 0, col("n_docs"))
+            .otherwise(col("nn") - col("cum_removed")))
+        .select("stage", "rule", "n_docs", "tok_sum", "survivors_after")
+        .orderBy("stage")
+    },
+
     // Language ID: marker-word scores with a deterministic argmax.
     "q26_text_langid" -> { (s, dir) =>
       langScored(s, dir)
@@ -1360,6 +1400,36 @@ object TextOps {
          | CAST(${D.size(D.regexExtractAll("text", BpePat))} AS BIGINT) AS n_bpe_tokens,
          | CAST(${tokenLenSum(D)} AS BIGINT) AS sum_token_len
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q204_filter_funnel" ->
+      s"""$duckBase,
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(${D.size("toks")} AS BIGINT) AS n_tokens,
+         |    CAST(${tokenLenSum(D)} AS BIGINT) AS sum_len,
+         |    CAST(${D.size(D.filterL("toks", "t", s"t IN $StopList"))} AS BIGINT) AS stop_cnt,
+         |    CAST(${D.size(D.arrDistinct("toks"))} AS BIGINT) AS n_distinct
+         |  FROM base),
+         |st AS (
+         |  SELECT CASE WHEN n_tokens < 25 THEN 1
+         |              WHEN 9 * n_tokens < 2 * sum_len THEN 2
+         |              WHEN 20 * stop_cnt < n_tokens THEN 3
+         |              WHEN 2 * n_distinct < n_tokens THEN 4
+         |              ELSE 0 END AS stage, n_tokens FROM m),
+         |per AS (SELECT stage, COUNT(*) AS n_docs,
+         |               CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+         |        FROM st GROUP BY stage),
+         |t AS (SELECT COUNT(*) AS nn FROM st)
+         |SELECT stage,
+         |  CASE stage WHEN 0 THEN 'keep' WHEN 1 THEN 'too_short'
+         |       WHEN 2 THEN 'long_tokens' WHEN 3 THEN 'low_stopword'
+         |       ELSE 'repetitive' END AS rule,
+         |  n_docs, tok_sum,
+         |  CAST(CASE WHEN stage = 0 THEN n_docs
+         |       ELSE nn - SUM(CASE WHEN stage > 0 THEN n_docs ELSE 0 END)
+         |              OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING)
+         |  END AS BIGINT) AS survivors_after
+         |FROM per, t ORDER BY stage""".stripMargin,
 
     "q25_text_quality" ->
       s"""$duckBase,
