@@ -420,10 +420,13 @@ object TextOps {
             |     ELSE 0 END""".stripMargin))
       val per = staged.groupBy("stage")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
-      val tot = staged.agg(count(lit(1)).as("nn"))
-      val w = Window.orderBy("stage")
+      // the corpus total is the sum of the 5 stage rows — derived by
+      // window over the aggregate, not a second scan of the corpus
+      val wp = Window.partitionBy(lit(1))
+      val w = wp.orderBy("stage")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per.crossJoin(broadcast(tot))
+      per
+        .withColumn("nn", sum("n_docs").over(wp))
         .withColumn("cum_removed",
           sum(when(col("stage") > 0, col("n_docs")).otherwise(0L)).over(w))
         .withColumn("rule", expr(
@@ -589,16 +592,6 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // Incremental-ingest dedup — the production shape: dedupe a NEW
-    // batch (doc_id % 3 = 0) against the EXISTING corpus only, never
-    // all-pairs over history. Exact text-hash semi-join first, then
-    // LSH band-key candidates restricted to (incoming × existing),
-    // Jaccard-verified with an integer cross-multiplied threshold
-    // (n_inter·5 ≥ n_union·2 ⇔ J ≥ 0.4 — no float compare to
-    // diverge). At 100 TB the existing side's hashes and band keys
-    // are precomputed artifacts maintained at write time (the
-    // sidecar pattern); incremental cost is |batch| hashing plus
-    // candidate-bounded verification.
     // Persisted LSH index lifecycle — dedup-at-ingest as an OPERATED
     // service rather than a one-shot query: the band keys of the base
     // corpus (doc_id % 3 != 0) are written as a managed parquet
@@ -626,12 +619,16 @@ object TextOps {
         .groupBy(col("x.doc_id").as("doc_id"))
         .agg(countDistinct(col("y.doc_id")).as("n_cand"))
         .localCheckpoint()
-      val before = ds.df.count()
+      // counts on the memoized band-key frame (cached), growth check
+      // from MergeResult + the sidecar's metadata-only count — the
+      // merged index is never re-scanned for bookkeeping
+      val baseRows = base.count()
       val incRows = inc.count()
-      Merge(ds, inc, Seq("doc_id", "bk"), "insert")
-      val after = ds.df.count()
-      require(after == before + incRows,
-        s"q205: index grew $before -> $after, expected +$incRows")
+      val res = Merge(ds, inc, Seq("doc_id", "bk"), "insert")
+      val after = ds.count()
+      require(res.inserted == incRows && after == baseRows + incRows,
+        s"q205: index grew $baseRows -> $after (inserted ${res.inserted}), " +
+          s"expected +$incRows")
       inc.select("doc_id").distinct()
         .join(probed, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -640,6 +637,16 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Incremental-ingest dedup — the production shape: dedupe a NEW
+    // batch (doc_id % 3 = 0) against the EXISTING corpus only, never
+    // all-pairs over history. Exact text-hash semi-join first, then
+    // LSH band-key candidates restricted to (incoming × existing),
+    // Jaccard-verified with an integer cross-multiplied threshold
+    // (n_inter·5 ≥ n_union·2 ⇔ J ≥ 0.4 — no float compare to
+    // diverge). At 100 TB the existing side's hashes and band keys
+    // are precomputed artifacts maintained at write time (the
+    // sidecar pattern); incremental cost is |batch| hashing plus
+    // candidate-bounded verification.
     "q132_incremental_dedup" -> { (s, dir) =>
       val th = docsWithToks(s, dir)
         .select(col("doc_id"), expr(S.hash64("text")).as("th"))
