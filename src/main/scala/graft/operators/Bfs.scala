@@ -34,25 +34,35 @@ object Bfs {
     */
   def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // persist the deduplicated edges: every round's frontier join
+    // reads them, and without the pin the distinct SHUFFLE re-executes
+    // once per round (maxHops× the one-time cost); unpersisted before
+    // returning — the result is checkpointed, not edge-lineage-bound
     val e = edges.select("src", "dst").distinct()
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint()
-    var frontier = visited
-    var h = 1
-    var frontierNonEmpty = !frontier.isEmpty
-    while (h <= maxHops && frontierNonEmpty) {
-      val next = e.join(frontier.select(col("node").as("src")), "src")
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("hops", lit(h))
-        .localCheckpoint()
-      frontierNonEmpty = !next.isEmpty
-      if (frontierNonEmpty) {
-        visited = visited.unionAll(next).localCheckpoint()
-        frontier = next
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var visited = seeds.select(col("node")).distinct()
+        .withColumn("hops", lit(0)).localCheckpoint()
+      var frontier = visited
+      var h = 1
+      var frontierNonEmpty = !frontier.isEmpty
+      while (h <= maxHops && frontierNonEmpty) {
+        val next = e.join(frontier.select(col("node").as("src")), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("hops", lit(h))
+          .localCheckpoint()
+        frontierNonEmpty = !next.isEmpty
+        if (frontierNonEmpty) {
+          // both sides are already checkpointed, so the union's
+          // lineage stays shallow without re-materializing the whole
+          // visited set each round (which would cost O(V) per round)
+          visited = visited.unionAll(next)
+          frontier = next
+        }
+        h += 1
       }
-      h += 1
-    }
-    visited
+      visited
+    } finally { e.unpersist(); () }
   }
 }

@@ -11,6 +11,15 @@ final case class DeleteResult(
     rewrittenFiles: Seq[String],
     preservedFiles: Seq[String])
 
+/** Result of a retention (TTL) delete: whole-file drops are separated
+  * from row-level rewrites because they cost only metadata I/O.
+  */
+final case class RetentionResult(
+    deleted: Long,
+    droppedFiles: Seq[String],
+    rewrittenFiles: Seq[String],
+    preservedFiles: Seq[String])
+
 /** Row-level DELETE WHERE with copy-on-write file rewrites — the
   * mutation the reference reaches via filter-scan + overwrite
   * (pydala/dataset.py delete_files is file-granular only); here rows
@@ -129,5 +138,44 @@ object Delete {
       if (ds.stats.nonEmpty) ds.updateStats()
       DeleteResult(deleted, affectedRel, preserved)
     } finally { affected.unpersist(); () }
+  }
+
+  /** Retention (TTL) delete: remove every row whose `tsCol` is
+    * strictly below `cutoffMicros`, deciding per FILE from the stats
+    * sidecar's exact integer bounds:
+    *
+    *  - `max < cutoff` → the file is expired whole and dropped with a
+    *    metadata-only delete — never decoded, never rewritten;
+    *  - `min ≥ cutoff` → untouched (and the row-level pass's pushdown
+    *    never decodes it either);
+    *  - straddling (or bounds missing — conservative) → the journaled
+    *    row-level [[where]] rewrites just those files.
+    *
+    * On a ts-sorted or date-partitioned 100 TB dataset almost every
+    * expired byte leaves via the metadata-only lane: the daily
+    * retention job costs one sidecar scan plus at most one straddling
+    * file rewrite per partition — this is why retention is not just
+    * `DELETE WHERE ts < cutoff`.
+    */
+  def retention(ds: ParquetDataset, tsCol: String,
+                cutoffMicros: Long): RetentionResult = {
+    val s = ds.stats.getOrElse(throw new IllegalStateException(
+      "retention needs the stats sidecar — call updateStats() first"))
+    // one row per (file, row_group) after the column filter, so the
+    // sum is the file's row count and min/max are its exact bounds
+    val perFile = s
+      .filter(col("column") === tsCol && col("typ") === "timestamp")
+      .groupBy("file_path")
+      .agg(min("min_int").as("lo"), max("max_int").as("hi"),
+        sum("rg_num_rows").as("rows"))
+      .collect()
+    val dead = perFile.filter(r => // columns: file_path, lo, hi, rows
+      !r.isNullAt(2) && r.getLong(2) < cutoffMicros)
+    val deadFiles = dead.map(_.getString(0)).sorted.toSeq
+    val deadRows = dead.map(_.getLong(3)).sum
+    if (deadFiles.nonEmpty) ds.deleteFiles(deadFiles)
+    val res = where(ds, s"$tsCol < timestamp_micros(${cutoffMicros}L)")
+    RetentionResult(deadRows + res.deleted, deadFiles,
+      res.rewrittenFiles, res.preservedFiles)
   }
 }

@@ -64,6 +64,16 @@ object Lifecycle {
     countMemo.getOrElseUpdate((s, d), Tables.orders(s, d).count())
   }
 
+  /** events row count per (session, sfDir), memoized — q206 sizes its
+    * fragmented ts-sorted write from it (~8 files at every sf).
+    */
+  private val evCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def eventsCount(s: SparkSession, d: String): Long = {
+    evCountMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    evCountMemo.getOrElseUpdate((s, d), Tables.events(s, d).count())
+  }
+
   /** floor(max(o_orderkey)/4) per (session, sfDir), memoized — q109's
     * data-relative update bound. As a scalar SUBQUERY it would
     * re-execute inside every action the merge runs (delta prefilter,
@@ -439,6 +449,44 @@ object Lifecycle {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // Retention (TTL) delete round trip: events are written ts-sorted
+    // with bounded file sizes (tight, mostly disjoint per-file ts
+    // ranges — the layout a time-series dataset keeps anyway), then
+    // everything below the corpus' 1/3-range cutoff expires. The
+    // sidecar's exact micro bounds must route expired files through
+    // the METADATA-ONLY lane (dropped whole, never decoded) and leave
+    // at most the straddling file for the journaled row-level
+    // rewrite — the requires pin exactly that split, which the value
+    // hash cannot see; the oracle recomputes the surviving aggregate
+    // from the raw table with the same integer cutoff arithmetic.
+    "q206_retention" -> { (s, d) =>
+      val dir = tmpDir("q206")
+      val ds = new ParquetDataset(s, dir)
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)").as("vmilli"))
+      // /8 keeps ~8 files at EVERY sf (a 2-file layout would leave no
+      // fully-expired file below a 1/3-range cutoff and the
+      // metadata-lane require could not be satisfied)
+      val frag = math.max(100L, eventsCount(s, d) / 8)
+      ds.write(src, WriteConfig(mode = "overwrite",
+        sortBy = SortKey.parse("ts"), maxRowsPerFile = frag))
+      val (lo, hi) = ds.timeRange("ts").getOrElse(
+        throw new IllegalStateException("q206: sidecar has no ts range"))
+      val cutoff = lo + (hi - lo) / 3
+      val res = graft.operators.Delete.retention(ds, "ts", cutoff)
+      require(res.droppedFiles.nonEmpty,
+        "q206: no expired file took the metadata-only lane")
+      require(res.rewrittenFiles.size <= 2,
+        s"q206: ts-sorted layout should leave <=2 straddlers, " +
+          s"got ${res.rewrittenFiles.size}")
+      require(res.deleted > 0, "q206: nothing expired")
+      ds.df.agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("users"),
+          min(expr("unix_micros(ts)")).as("min_tsu"),
+          sum("vmilli").as("vmilli_sum"))
     },
 
     // Partition-level change detection — the incremental-processing
@@ -835,6 +883,20 @@ object Lifecycle {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM dedup WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q206_retention" ->
+      """WITH r AS (
+        |  SELECT epoch_us(min(ts::TIMESTAMP)) AS lo,
+        |         epoch_us(max(ts::TIMESTAMP)) AS hi
+        |  FROM events),
+        |b AS (SELECT lo + (hi - lo) // 3 AS cut FROM r),
+        |k AS (SELECT e.* FROM events e, b
+        |      WHERE epoch_us(e.ts::TIMESTAMP) >= b.cut)
+        |SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+        |       CAST(MIN(epoch_us(ts::TIMESTAMP)) AS BIGINT) AS min_tsu,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT))
+        |            AS BIGINT) AS vmilli_sum
+        |FROM k""".stripMargin,
 
     "q149_delete_roundtrip" ->
       """SELECT o_orderstatus,

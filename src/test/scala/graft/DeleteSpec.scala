@@ -109,4 +109,41 @@ class DeleteSpec extends SparkSpecBase {
       res.preservedFiles.size == 1)
     assert(ds.df.count() == 1)
   }
+
+  test("retention: expired files drop via metadata; only straddlers rewrite") {
+    val dir = tmpDir("ret")
+    val ds = new ParquetDataset(spark, dir)
+    def tsOf(us: Long) = new java.sql.Timestamp(us / 1000) // whole ms below
+    // three files: fully expired [1s,2s], straddling [2s,4s], fully
+    // live [4s,5s]; cutoff at 3s
+    Seq((1L, tsOf(1000000000L)), (2L, tsOf(2000000000L))).toDF("k", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, tsOf(2500000000L)), (4L, tsOf(4000000000L))).toDF("k", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((5L, tsOf(4500000000L)), (6L, tsOf(5000000000L))).toDF("k", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    ds.updateStats()
+
+    val res = Delete.retention(ds, "ts", 3000000000L)
+    assert(res.deleted == 3, res) // k=1,2 (whole file) + k=3 (straddler row)
+    assert(res.droppedFiles.size == 1, res)
+    assert(res.rewrittenFiles.size == 1, res)
+    assert(res.droppedFiles.intersect(res.rewrittenFiles).isEmpty)
+    assert(ds.df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(4L, 5L, 6L))
+    // sidecar reconciled: metadata count serves the surviving rows
+    assert(ds.count() == 3)
+  }
+
+  test("retention with no expired files is a pure no-op") {
+    val dir = tmpDir("retnoop")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1L, new java.sql.Timestamp(9000000L))).toDF("k", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    ds.updateStats()
+    val res = Delete.retention(ds, "ts", 1000L)
+    assert(res.deleted == 0 && res.droppedFiles.isEmpty &&
+      res.rewrittenFiles.isEmpty && res.preservedFiles.size == 1)
+    assert(ds.df.count() == 1)
+  }
 }
