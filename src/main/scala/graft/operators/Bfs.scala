@@ -56,8 +56,11 @@ object Bfs {
         if (frontierNonEmpty) {
           // both sides are already checkpointed, so the union's
           // lineage stays shallow without re-materializing the whole
-          // visited set each round (which would cost O(V) per round)
+          // visited set each round (which would cost O(V) per round);
+          // every 8 rounds the union TREE itself is collapsed so a
+          // deep maxHops never accumulates an O(rounds)-leaf plan
           visited = visited.unionAll(next)
+          if (h % 8 == 0) visited = visited.localCheckpoint()
           frontier = next
         }
         h += 1

@@ -159,22 +159,43 @@ object Delete {
     */
   def retention(ds: ParquetDataset, tsCol: String,
                 cutoffMicros: Long): RetentionResult = {
+    // a prior interrupted swap leaves the sidecar stale — complete it
+    // and refresh BEFORE classifying from those stats (where()'s own
+    // "recover FIRST" discipline), or the metadata lane would drop
+    // files whose kept rows were already promoted and double-count
+    if (recover(ds)) ds.updateStats()
     val s = ds.stats.getOrElse(throw new IllegalStateException(
       "retention needs the stats sidecar — call updateStats() first"))
     // one row per (file, row_group) after the column filter, so the
-    // sum is the file's row count and min/max are its exact bounds
+    // sums are file totals and min/max the file's exact bounds
     val perFile = s
       .filter(col("column") === tsCol && col("typ") === "timestamp")
       .groupBy("file_path")
       .agg(min("min_int").as("lo"), max("max_int").as("hi"),
-        sum("rg_num_rows").as("rows"))
+        sum("rg_num_rows").as("rows"), sum("null_count").as("nulls"),
+        count(lit(1)).as("groups"), count("max_int").as("bounded"))
       .collect()
-    val dead = perFile.filter(r => // columns: file_path, lo, hi, rows
-      !r.isNullAt(2) && r.getLong(2) < cutoffMicros)
-    val deadFiles = dead.map(_.getString(0)).sorted.toSeq
+    // metadata lane only when the stats PROVE every row is expired:
+    // all row groups carry bounds, max < cutoff, and zero nulls (a
+    // NULL ts never matches the predicate, so NULL rows must survive
+    // exactly as they do in the row-level lane)
+    val dead = perFile.filter { r => // file_path, lo, hi, rows, nulls, groups, bounded
+      !r.isNullAt(2) && r.getLong(2) < cutoffMicros &&
+        r.getLong(4) == 0L && r.getLong(6) == r.getLong(5)
+    }
+    val deadSet = dead.map(_.getString(0)).toSet
+    val deadFiles = deadSet.toSeq.sorted
     val deadRows = dead.map(_.getLong(3)).sum
     if (deadFiles.nonEmpty) ds.deleteFiles(deadFiles)
-    val res = where(ds, s"$tsCol < timestamp_micros(${cutoffMicros}L)")
+    // the row-level lane runs only if some surviving file CAN hold an
+    // expired row (lo < cutoff, or bounds unknown — conservative);
+    // otherwise the daily retention job is the sidecar scan alone
+    val straddler = perFile.exists(r => !deadSet.contains(r.getString(0)) &&
+      (r.isNullAt(1) || r.getLong(1) < cutoffMicros ||
+        r.getLong(6) != r.getLong(5)))
+    val res =
+      if (straddler) where(ds, s"$tsCol < timestamp_micros(${cutoffMicros}L)")
+      else DeleteResult(0, Nil, ds.relFiles)
     RetentionResult(deadRows + res.deleted, deadFiles,
       res.rewrittenFiles, res.preservedFiles)
   }

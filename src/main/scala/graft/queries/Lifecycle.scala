@@ -53,39 +53,43 @@ object Lifecycle {
     p.toString
   }
 
-  /** orders row count per (session, sfDir), memoized: q108/q109 size
-    * their fragmented writes from it, and paying a fresh count scan
-    * inside every timed execution would be pure bench overhead.
+  /** One memo-access pattern for every per-(session, sfDir) scalar:
+    * evict entries of stopped sessions, then compute-once. A fresh
+    * scan inside every timed execution would be pure bench overhead.
+    */
+  private def sessionMemo[T](
+      memo: scala.collection.concurrent.TrieMap[(SparkSession, String), T])(
+      s: SparkSession, d: String)(compute: => T): T = {
+    memo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    memo.getOrElseUpdate((s, d), compute)
+  }
+
+  /** orders row count, memoized: q108/q109 size their fragmented
+    * writes from it.
     */
   private val countMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  private def ordersCount(s: SparkSession, d: String): Long = {
-    countMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    countMemo.getOrElseUpdate((s, d), Tables.orders(s, d).count())
-  }
+  private def ordersCount(s: SparkSession, d: String): Long =
+    sessionMemo(countMemo)(s, d)(Tables.orders(s, d).count())
 
-  /** events row count per (session, sfDir), memoized — q206 sizes its
-    * fragmented ts-sorted write from it (~8 files at every sf).
+  /** events row count, memoized — q206 sizes its fragmented ts-sorted
+    * write from it (~8 files at every sf).
     */
   private val evCountMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  private def eventsCount(s: SparkSession, d: String): Long = {
-    evCountMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    evCountMemo.getOrElseUpdate((s, d), Tables.events(s, d).count())
-  }
+  private def eventsCount(s: SparkSession, d: String): Long =
+    sessionMemo(evCountMemo)(s, d)(Tables.events(s, d).count())
 
-  /** floor(max(o_orderkey)/4) per (session, sfDir), memoized — q109's
-    * data-relative update bound. As a scalar SUBQUERY it would
-    * re-execute inside every action the merge runs (delta prefilter,
-    * match scan, rewrite); as a literal it is one job per session.
+  /** floor(max(o_orderkey)/4), memoized — q109's data-relative update
+    * bound. As a scalar SUBQUERY it would re-execute inside every
+    * action the merge runs (delta prefilter, match scan, rewrite); as
+    * a literal it is one job per session.
     */
   private val maxKeyMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  private def ordersKeyBound(s: SparkSession, d: String): Long = {
-    maxKeyMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    maxKeyMemo.getOrElseUpdate((s, d),
+  private def ordersKeyBound(s: SparkSession, d: String): Long =
+    sessionMemo(maxKeyMemo)(s, d)(
       Tables.orders(s, d).agg(max("o_orderkey")).collect()(0).getLong(0) / 4)
-  }
 
   /** Bucketed-table pair per (session, sfDir), created once. The
     * bucket layout is the setup cost (one clustering exchange per
@@ -99,9 +103,8 @@ object Lifecycle {
     */
   private val bucketMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
-  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    bucketMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    bucketMemo.getOrElseUpdate((s, d), {
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    sessionMemo(bucketMemo)(s, d) {
       // full dir string, sanitized — a truncated hash could collide
       // across sfDirs in one session and silently cross-wire tables
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
@@ -116,8 +119,7 @@ object Lifecycle {
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", tmpDir("q198ord")).saveAsTable(ordT)
       (liT, ordT)
-    })
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

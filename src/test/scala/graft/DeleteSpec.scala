@@ -135,6 +135,22 @@ class DeleteSpec extends SparkSpecBase {
     assert(ds.count() == 3)
   }
 
+  test("retention: NULL-ts rows survive even in a bounds-expired file") {
+    val dir = tmpDir("retnull")
+    val ds = new ParquetDataset(spark, dir)
+    // one file: rows at 1s/2s plus a NULL ts; parquet stats exclude
+    // nulls, so max=2s < cutoff — the null_count guard must route the
+    // file to the row-level lane where the NULL row survives
+    Seq((1L, Some(new java.sql.Timestamp(1000L))),
+        (2L, Some(new java.sql.Timestamp(2000L))), (3L, None))
+      .toDF("k", "ts").coalesce(1).write.mode("append").parquet(dir)
+    ds.updateStats()
+    val res = Delete.retention(ds, "ts", 3000000L)
+    assert(res.droppedFiles.isEmpty, res)
+    assert(res.deleted == 2, res)
+    assert(ds.df.select("k").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("retention with no expired files is a pure no-op") {
     val dir = tmpDir("retnoop")
     val ds = new ParquetDataset(spark, dir)
