@@ -375,6 +375,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Join"), p)
   }
 
+  test("SCD2 build rides ONE hash exchange — windows and agg share the user partition (q199)") {
+    val df = SparkEntry.queries("q199_scd2_intervals")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // lag window, island cumsum, per-island agg, and the lead window
+    // all cluster on user_id; only the first exchange is real (the
+    // final presentation orderBy is a range exchange, not hash)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 1, p)
+  }
+
   test("rolling WAU explodes contributions — no range self-join (q161)") {
     val p = plan("q161_rolling_wau")
     // the contribute-forward rewrite: a Generate (explode) feeds the
