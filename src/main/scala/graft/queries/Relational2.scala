@@ -209,6 +209,44 @@ object Relational2 {
         .orderBy("node")
     },
 
+    // Row-level snapshot diff — the regression-detection companion to
+    // q151's partition-level digests: two dataset versions full-outer
+    // join on the key and every row classifies as added / removed /
+    // changed / unchanged (payload compared through the DECIMAL(18,2)
+    // lane, so the comparison is exact). One hash join on the key and
+    // one 4-group rollup — at 100 TB this is the nightly "what did
+    // the pipeline change" report, and bucketed snapshots (q198's
+    // layout) would make the join shuffle-free too. The synthetic new
+    // version deletes keys ≡0 (mod 13), doubles prices for keys ≡0
+    // (mod 7), and adds re-keyed copies of keys ≡0 (mod 11).
+    "q207_snapshot_diff" -> { (s, d) =>
+      // distinct plan instances per side (a shared Dataset would trip
+      // Spark's ambiguous-self-join detection on a.p/b.p)
+      def snap = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val old = snap
+      val newer = snap.filter(col("k") % 13 =!= 0)
+        .withColumn("p",
+          when(col("k") % 7 === 0, (col("p") * 2).cast("decimal(18,2)"))
+            .otherwise(col("p")))
+        .unionAll(snap.filter(col("k") % 11 === 0)
+          .select((col("k") + lit(100000000L)).as("k"), col("p")))
+      old.as("a").join(newer.as("b"), Seq("k"), "full_outer")
+        .withColumn("status", expr(
+          """CASE WHEN a.p IS NULL THEN 'added'
+            |     WHEN b.p IS NULL THEN 'removed'
+            |     WHEN a.p = b.p THEN 'unchanged'
+            |     ELSE 'changed' END""".stripMargin))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("a.p"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("total_old"),
+          sum(coalesce(col("b.p"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("total_new"))
+        .orderBy("status")
+    },
+
     // Blocked fuzzy join (record linkage): distinct part names are
     // blocked on their noun token and only within-block candidate
     // pairs pay the levenshtein verify — the standard blocking shape
@@ -984,6 +1022,28 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q207_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |b AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN CAST(p * 2 AS DECIMAL(18,2))
+        |                 ELSE p END AS p
+        |  FROM a WHERE k % 13 != 0
+        |  UNION ALL
+        |  SELECT k + 100000000, p FROM a WHERE k % 11 = 0),
+        |j AS (
+        |  SELECT a.p AS ap, b.p AS bp
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT CASE WHEN ap IS NULL THEN 'added'
+        |            WHEN bp IS NULL THEN 'removed'
+        |            WHEN ap = bp THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(ap, 0)) AS DOUBLE) AS total_old,
+        |  CAST(SUM(COALESCE(bp, 0)) AS DOUBLE) AS total_new
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q200_fuzzy_join" ->
       """WITH names AS (
