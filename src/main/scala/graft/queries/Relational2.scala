@@ -218,7 +218,10 @@ object Relational2 {
     // the pipeline change" report, and bucketed snapshots (q198's
     // layout) would make the join shuffle-free too. The synthetic new
     // version deletes keys ≡0 (mod 13), doubles prices for keys ≡0
-    // (mod 7), and adds re-keyed copies of keys ≡0 (mod 11).
+    // (mod 7), and adds copies of keys ≡0 (mod 11) re-keyed into the
+    // negative range (-k-1: bijective and collision-free against live
+    // keys at EVERY scale factor — a fixed offset would collide once
+    // real keys grow past it).
     "q207_snapshot_diff" -> { (s, d) =>
       // distinct plan instances per side (a shared Dataset would trip
       // Spark's ambiguous-self-join detection on a.p/b.p)
@@ -231,7 +234,7 @@ object Relational2 {
           when(col("k") % 7 === 0, (col("p") * 2).cast("decimal(18,2)"))
             .otherwise(col("p")))
         .unionAll(snap.filter(col("k") % 11 === 0)
-          .select((col("k") + lit(100000000L)).as("k"), col("p")))
+          .select((-col("k") - 1).as("k"), col("p")))
       old.as("a").join(newer.as("b"), Seq("k"), "full_outer")
         .withColumn("status", expr(
           """CASE WHEN a.p IS NULL THEN 'added'
@@ -1032,7 +1035,7 @@ object Relational2 {
         |                 ELSE p END AS p
         |  FROM a WHERE k % 13 != 0
         |  UNION ALL
-        |  SELECT k + 100000000, p FROM a WHERE k % 11 = 0),
+        |  SELECT -k - 1, p FROM a WHERE k % 11 = 0),
         |j AS (
         |  SELECT a.p AS ap, b.p AS bp
         |  FROM a FULL OUTER JOIN b ON a.k = b.k)

@@ -376,8 +376,7 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("SCD2 build rides ONE hash exchange — windows and agg share the user partition (q199)") {
-    val df = SparkEntry.queries("q199_scd2_intervals")(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
+    val p = plan("q199_scd2_intervals")
     // lag window, island cumsum, per-island agg, and the lead window
     // all cluster on user_id; only the first exchange is real (the
     // final presentation orderBy is a range exchange, not hash)
