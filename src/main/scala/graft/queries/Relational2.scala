@@ -250,6 +250,34 @@ object Relational2 {
         .orderBy("status")
     },
 
+    // Pareto / contribution cut — "which suppliers cover 80% of
+    // revenue": per-supplier revenue in exact cents, globally ranked
+    // by revenue with the two-phase distributed rank (GlobalOrder —
+    // no single-partition window), cumulative share as a distributed
+    // running sum, and the 80% core membership as a cross-multiplied
+    // integer test ((cum−rev)·5 < tot·4 ⇔ share before this supplier
+    // < 80%, so the supplier crossing the line is still in the core).
+    // At 100 TB the revenue rollup is the only data-scale pass; the
+    // ranked frame is one row per supplier.
+    "q208_pareto_cut" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev_c"))
+      val order = Seq(col("rev_c").desc, col("suppkey").asc)
+      val bucketBy = -col("rev_c") // monotone with the descending order
+      val ranked = graft.plans.GlobalOrder
+        .withRowNumber(rev, order, bucketBy, "rk")
+      val cum = graft.plans.GlobalOrder
+        .withRunningSum(ranked, order, bucketBy, col("rev_c"), "cum_c")
+      val tot = rev.agg(sum("rev_c").as("tot_c"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("in_core", expr("(cum_c - rev_c) * 5 < tot_c * 4"))
+        .select("suppkey", "rk", "rev_c", "cum_c", "in_core")
+        .orderBy("rk")
+    },
+
     // Blocked fuzzy join (record linkage): distinct part names are
     // blocked on their noun token and only within-block candidate
     // pairs pay the levenshtein verify — the standard blocking shape
@@ -1025,6 +1053,23 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q208_pareto_cut" ->
+      """WITH r AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM r),
+        |c AS (
+        |  SELECT suppkey, rev_c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev_c DESC, suppkey) AS BIGINT) AS rk,
+        |    CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, suppkey
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        |  FROM r)
+        |SELECT suppkey, rk, rev_c, cum_c,
+        |       (cum_c - rev_c) * 5 < tot_c * 4 AS in_core
+        |FROM c, t ORDER BY rk""".stripMargin,
 
     "q207_snapshot_diff" ->
       """WITH a AS (
