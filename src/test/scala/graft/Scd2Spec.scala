@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   * interval is open-ended, adjacent intervals must actually change
   * type (maximal runs), and no event is lost or duplicated.
   */
-class Scd2Spec extends SparkSpecBase {
+class Scd2Spec extends SparkSpecBase
+    with org.scalatest.BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val scd2 =
     SparkEntry.queries("q199_scd2_intervals")(spark, sf).cache()
+
+  // the cache is suite-local: left persisted it would substitute an
+  // InMemoryRelation into LATER suites' q199 plans (PlanShapeSpec
+  // asserts on the fresh plan's exchange count)
+  override def afterAll(): Unit = { scd2.unpersist(); super.afterAll() }
 
   test("intervals are contiguous and non-overlapping per user") {
     import org.apache.spark.sql.expressions.Window
