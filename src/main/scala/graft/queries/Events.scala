@@ -561,10 +561,58 @@ object Events {
         .select("user_id", "island", "event_type",
           "valid_from_us", "valid_to_us", "n_events")
         .orderBy("user_id", "island")
+    },
+
+    // Time-weighted average (TWAP): each event's value holds until
+    // the user's next event, with the holding interval capped at one
+    // hour (the standard staleness bound), and the per-user TWAP
+    // ships as an exact integer numerator/denominator pair plus the
+    // floor-divided milli quote — integer seconds keep every product
+    // far inside the bigint range, and all operands are non-negative
+    // so truncating (Spark div) and flooring (DuckDB //) division
+    // agree. One per-user window pass; same partition the SCD2 build
+    // rides.
+    "q209_twap" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("vmilli",
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
+        .withColumn("nxt", lead("tsu", 1).over(byUser))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dur_s", least(expr("(nxt - tsu) div 1000000"), lit(3600L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_iv"),
+          sum("dur_s").as("dur_s_sum"),
+          sum(expr("vmilli * dur_s")).as("wsum"))
+        .withColumn("twap_milli",
+          expr("CASE WHEN dur_s_sum = 0 THEN NULL ELSE wsum div dur_s_sum END"))
+        .orderBy("user_id")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q209_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vmilli
+        |  FROM events),
+        |f AS (
+        |  SELECT *, LEAD(tsu) OVER (PARTITION BY user_id
+        |                            ORDER BY tsu, event_id) AS nxt
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, vmilli,
+        |         LEAST((nxt - tsu) // 1000000, 3600) AS dur_s
+        |  FROM f WHERE nxt IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_iv,
+        |  CAST(SUM(dur_s) AS BIGINT) AS dur_s_sum,
+        |  CAST(SUM(vmilli * dur_s) AS BIGINT) AS wsum,
+        |  CASE WHEN SUM(dur_s) = 0 THEN NULL
+        |       ELSE CAST(SUM(vmilli * dur_s) // SUM(dur_s) AS BIGINT)
+        |  END AS twap_milli
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q199_scd2_intervals" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu
