@@ -278,6 +278,31 @@ object Relational2 {
         .orderBy("rk")
     },
 
+    // Exact weighted median (quantity-weighted price): the weighted
+    // quantile no builtin covers — order all rows by price, run the
+    // distributed cumulative weight (GlobalOrder, never a
+    // single-partition window), and pick the unique crossing row
+    // (cw·2 ≥ total ∧ (cw−w)·2 < total; weights ≥ 1 make the running
+    // sum strictly increasing, so exactly one row satisfies). Exact
+    // cents and integer weights end-to-end. At 100 TB this is one
+    // range-partitioned pass plus a 64-row offset broadcast — the
+    // same machinery as q166's equi-depth histogram.
+    "q210_weighted_median" -> { (s, d) =>
+      val rows = Tables.lineitem(s, d).select(
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("pc"),
+        expr("CAST(l_quantity AS BIGINT)").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("pc").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      val cum = graft.plans.GlobalOrder
+        .withRunningSum(rows, order, col("pc"), col("w"), "cw")
+      val tot = rows.agg(sum("w").as("tw"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cw") * 2 >= col("tw") &&
+          (col("cw") - col("w")) * 2 < col("tw"))
+        .select(col("pc").as("median_price_c"), col("cw"), col("tw"))
+    },
+
     // Blocked fuzzy join (record linkage): distinct part names are
     // blocked on their noun token and only within-block candidate
     // pairs pay the levenshtein verify — the standard blocking shape
@@ -1053,6 +1078,20 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q210_weighted_median" ->
+      """WITH r AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+        |         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT pc, w,
+        |    CAST(SUM(w) OVER (ORDER BY pc, l_orderkey, l_linenumber
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+        |  FROM r),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
+        |SELECT pc AS median_price_c, cw, tw FROM c, t
+        |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
 
     "q208_pareto_cut" ->
       """WITH r AS (
