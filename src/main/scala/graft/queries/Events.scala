@@ -588,10 +588,44 @@ object Events {
         .withColumn("twap_milli",
           expr("CASE WHEN dur_s_sum = 0 THEN NULL ELSE wsum div dur_s_sum END"))
         .orderBy("user_id")
+    },
+
+    // Hopping (sliding) window aggregation in BATCH — the
+    // multi-assignment semantics of `window(ts, size, slide)`: with
+    // a 2 h window sliding every 1 h each event lands in exactly two
+    // windows (epoch-aligned starts floor₁ₕ(ts) and floor₁ₕ(ts)−1 h,
+    // UTC session), which the oracle reproduces by explicit
+    // enumeration. Narrow 2× row expansion then one partial-combined
+    // aggregate — the batch twin of the q150 streaming gate's
+    // tumbling rollup.
+    "q211_hopping_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("vmilli",
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("vmilli").as("vmilli_sum"))
+        .select(expr("unix_micros(win.start)").as("win_start_us"),
+          col("event_type"), col("n"), col("vmilli_sum"))
+        .orderBy("win_start_us", "event_type")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q211_hopping_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) AS tsu, event_type,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vmilli
+        |  FROM events),
+        |x AS (
+        |  SELECT (tsu // 3600000000) * 3600000000 - s.k * 3600000000
+        |           AS win_start_us,
+        |         event_type, vmilli
+        |  FROM e, (SELECT unnest(range(0, 2)) AS k) s)
+        |SELECT win_start_us, event_type, COUNT(*) AS n,
+        |       CAST(SUM(vmilli) AS BIGINT) AS vmilli_sum
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q209_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu,
