@@ -303,6 +303,31 @@ object Relational2 {
         .select(col("pc").as("median_price_c"), col("cw"), col("tw"))
     },
 
+    // Grouped exact weighted median — q210's global pick per GROUP
+    // (quantity-weighted price per return flag): the cumulative
+    // weight windows are PARTITIONED by the group key, so this is the
+    // ordinary bounded-per-group window shape (no global frame, no
+    // GlobalOrder needed) and scales as one hash exchange on the
+    // group key. The crossing-row predicate is identical to q210's;
+    // strictly positive weights keep it unique within each group.
+    "q212_grouped_weighted_median" -> { (s, d) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("pc").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("pc"),
+          expr("CAST(l_quantity AS BIGINT)").as("wq"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cw", sum("wq").over(run))
+        .withColumn("tw", sum("wq").over(Window.partitionBy("l_returnflag")))
+        .filter(col("cw") * 2 >= col("tw") &&
+          (col("cw") - col("wq")) * 2 < col("tw"))
+        .select(col("l_returnflag"), col("pc").as("median_price_c"),
+          col("cw"), col("tw"))
+        .orderBy("l_returnflag")
+    },
+
     // Blocked fuzzy join (record linkage): distinct part names are
     // blocked on their noun token and only within-block candidate
     // pairs pay the levenshtein verify — the standard blocking shape
@@ -1078,6 +1103,23 @@ object Relational2 {
         | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+
+    "q212_grouped_weighted_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+        |         CAST(l_quantity AS BIGINT) AS wq, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, pc, wq,
+        |    CAST(SUM(wq) OVER (PARTITION BY l_returnflag
+        |                       ORDER BY pc, l_orderkey, l_linenumber
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(SUM(wq) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM r)
+        |SELECT l_returnflag, pc AS median_price_c, cw, tw
+        |FROM c WHERE cw * 2 >= tw AND (cw - wq) * 2 < tw
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q210_weighted_median" ->
       """WITH r AS (
