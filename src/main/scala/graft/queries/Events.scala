@@ -590,6 +590,42 @@ object Events {
         .orderBy("user_id")
     },
 
+    // Point-in-time ("as of T") state lookup over the SCD2 intervals:
+    // for three probe instants at fixed fractions of the corpus' time
+    // range, how many users sat in each event_type state — the query
+    // shape SCD2 tables exist to serve. The probe set is 3 broadcast
+    // rows joined against the intervals with the half-open
+    // containment predicate (valid_from ≤ p < valid_to, open last
+    // interval = +∞); at 100 TB this stays one broadcast join over
+    // the interval table, no shuffle of the probes.
+    "q213_asof_state" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byIsland = Window.partitionBy("user_id").orderBy(col("island"))
+      val iv = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("prev_t", lag("event_type", 1).over(byUser))
+        .withColumn("chg",
+          when(col("prev_t").isNull || col("prev_t") =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("island", sum("chg").over(run))
+        .groupBy("user_id", "island")
+        .agg(max("event_type").as("event_type"),
+          min("tsu").as("vf"), count(lit(1)).as("ne"))
+        .withColumn("vt", lead("vf", 1).over(byIsland))
+      val probes = Tables.events(s, d)
+        .agg(min(expr("unix_micros(ts)")).as("lo"),
+          max(expr("unix_micros(ts)")).as("hi"))
+        .select(explode(expr(
+          "array(lo + (hi - lo) div 4, lo + (hi - lo) div 2, " +
+            "lo + (3 * (hi - lo)) div 4)")).as("p"))
+      iv.join(broadcast(probes),
+          col("vf") <= col("p") && (col("vt").isNull || col("p") < col("vt")))
+        .groupBy("p", "event_type")
+        .agg(count(lit(1)).as("n_users"), sum("ne").as("n_run_events"))
+        .orderBy("p", "event_type")
+    },
+
     // Hopping (sliding) window aggregation in BATCH — the
     // multi-assignment semantics of `window(ts, size, slide)`: with
     // a 2 h window sliding every 1 h each event lands in exactly two
@@ -612,6 +648,38 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q213_asof_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w != event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |), g AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f
+        |), h AS (
+        |  SELECT user_id, island, MAX(event_type) AS event_type,
+        |         MIN(tsu) AS vf, COUNT(*) AS ne
+        |  FROM g GROUP BY 1, 2
+        |), iv AS (
+        |  SELECT user_id, event_type, vf, ne,
+        |         LEAD(vf) OVER (PARTITION BY user_id ORDER BY island) AS vt
+        |  FROM h
+        |), r AS (SELECT MIN(tsu) AS lo, MAX(tsu) AS hi FROM e),
+        |probes AS (
+        |  SELECT unnest(ARRAY[lo + (hi - lo) // 4, lo + (hi - lo) // 2,
+        |                      lo + (3 * (hi - lo)) // 4]) AS p
+        |  FROM r)
+        |SELECT p, event_type, COUNT(*) AS n_users,
+        |       CAST(SUM(ne) AS BIGINT) AS n_run_events
+        |FROM iv JOIN probes
+        |  ON vf <= p AND (vt IS NULL OR p < vt)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q211_hopping_window" ->
       """WITH e AS (
         |  SELECT epoch_us(ts::TIMESTAMP) AS tsu, event_type,
