@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join (Jaccard ≥ τ) via prefix filtering
+  * — the guaranteed-no-misses counterpart of MinHash-LSH candidate
+  * generation (reference behavior: pydala delegates similarity joins
+  * to external engines; this operator owns the exact path).
+  *
+  * Prefix-filter principle (SSJoin/PPJoin): fix ONE global total
+  * order over all set elements (document frequency ascending, element
+  * ascending — rarest first). If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so
+  * the intersection cannot fit inside A's (⌈τ|A|⌉−1)-suffix — A's
+  * prefix of length |A| − ⌈τ|A|⌉ + 1 must hit B, and by the shared
+  * order the two prefixes themselves must intersect. Joining only
+  * prefix rows on element equality is therefore a COMPLETE candidate
+  * generator; the verify recomputes the exact intersection over the
+  * full sets, so the result equals the naive all-pairs join
+  * bit-for-bit.
+  *
+  * Scale shape: candidate volume is Σ df² over PREFIX elements only.
+  * Prefixes hold each set's rarest elements, so hot elements (the df²
+  * blowup of a naive element self-join) never enter the join. The
+  * size filter τ·|A| ≤ |B| (cross-multiplied, integral) prunes
+  * cross-length pairs before the verify. Everything is equi-join +
+  * aggregate: hash-partitionable, no Cartesian, AQE-skew-splittable.
+  */
+object SetSimJoin {
+
+  /** All pairs (id_a < id_b) with Jaccard(setCol) ≥ tauNum/tauDen.
+    *
+    * @param df     one row per set: (idCol: integral, setCol: array
+    *               of distinct elements, non-empty)
+    * @return (id_a, id_b, n_inter, n_union) — exact counts
+    */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
+                      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be in (0,1]: $tauNum/$tauDen")
+    val f = df.select(col(idCol).as("_id"), col(setCol).as("_set"))
+    val ex = f.select(col("_id"), explode(col("_set")).as("_el"))
+    val freq = ex.groupBy("_el").agg(count(lit(1)).as("_df"))
+    // canonical order (df asc, element asc); prefix length
+    // p = sz − ⌈τ·sz⌉ + 1 with ⌈τ·sz⌉ = (tauNum·sz + tauDen − 1) div tauDen
+    val sorted = ex.join(freq, "_el")
+      .groupBy("_id")
+      .agg(expr("transform(sort_array(collect_list(struct(_df, _el))), x -> x._el)")
+        .as("_ss"))
+      .withColumn("_sz", expr("size(_ss)"))
+    val pre0 = sorted
+      .withColumn("_p",
+        expr(s"_sz - (($tauNum * _sz + ${tauDen - 1}) div $tauDen) + 1"))
+      .select(col("_id"), col("_sz"), explode(expr("slice(_ss, 1, _p)")).as("_el"))
+    // persist the prefix rows: both sides of the candidate self-join
+    // read them, and without the pin Spark recomputes the whole
+    // freq-join + per-set sort pipeline per side. Adopted into the
+    // memo LRU so trimStorage owns the lifecycle (the partitionBy
+    // lesson: a library operator must not pin storage it never
+    // releases).
+    val pre = pre0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Tables.adopt(df.sparkSession,
+      s"setsim#${System.identityHashCode(pre0.queryExecution.logical)}", pre)
+    val lenOk: Column = // τ·max ≤ min, cross-multiplied (integral, exact)
+      col("x._sz") * tauDen >= col("y._sz") * tauNum &&
+        col("y._sz") * tauDen >= col("x._sz") * tauNum
+    val cand = pre.as("x").join(pre.as("y"),
+        col("x._el") === col("y._el") && col("x._id") < col("y._id") && lenOk)
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .distinct()
+    cand
+      .join(f.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
+      .join(f.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
+      .withColumn("n_inter",
+        expr("CAST(size(array_intersect(_sa, _sb)) AS BIGINT)"))
+      .withColumn("n_union",
+        expr("CAST(size(_sa) + size(_sb) AS BIGINT) - n_inter"))
+      .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
+      .select("id_a", "id_b", "n_inter", "n_union")
+  }
+
+  /** The naive quadratic definition — the spec's oracle, never the
+    * production path. */
+  def naiveSelfJoin(df: DataFrame, idCol: String, setCol: String,
+                    tauNum: Int, tauDen: Int): DataFrame = {
+    val f = df.select(col(idCol).as("_id"), col(setCol).as("_set"))
+    f.as("a").join(f.as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        expr("CAST(size(array_intersect(a._set, b._set)) AS BIGINT)").as("n_inter"),
+        expr("CAST(size(a._set) + size(b._set) AS BIGINT)").as("_sab"))
+      .withColumn("n_union", col("_sab") - col("n_inter"))
+      .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
+      .select("id_a", "id_b", "n_inter", "n_union")
+  }
+}

@@ -1397,6 +1397,22 @@ object TextOps {
         .filter(col("n_before") > 0)
         .withColumn("ratio_milli", expr("n_after * 1000 div n_before"))
         .orderBy("doc_id")
+    },
+
+    // EXACT set-similarity self-join (Jaccard ≥ 0.5 over 3-shingle
+    // sets) via prefix filtering — the guaranteed-no-misses complement
+    // to the MinHash-LSH candidates of q29/q30 (which trade recall for
+    // cost). See [[graft.operators.SetSimJoin]] for the completeness
+    // argument and the 100 TB shape; the naive all-pairs oracle proves
+    // the pruning loses nothing. jaccard is one IEEE division of the
+    // two exact counts — identical on both engines.
+    "q214_setsim_prefix" -> { (s, dir) =>
+      graft.operators.SetSimJoin
+        .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("n_inter"), col("n_union"),
+          expr("CAST(n_inter AS DOUBLE) / n_union").as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -2162,6 +2178,27 @@ object TextOps {
          |c AS (SELECT tok, count(*) AS n FROM p GROUP BY tok),
          |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
          |SELECT tok, n, TRUE AS present, TRUE AS est_ok
-         |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin
+         |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin,
+
+    // Naive all-pairs form — the prefix filter on the Spark side is
+    // pure pruning, so the outputs must be identical.
+    "q214_setsim_prefix" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |s AS (SELECT doc_id, unnest(sh) AS sm FROM f),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM s a JOIN s b ON a.sm = b.sm AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(${D.size("sh")} AS BIGINT) AS sz FROM f)
+         |SELECT doc_a, doc_b, n_inter,
+         |       za.sz + zb.sz - n_inter AS n_union,
+         |       CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) AS jaccard
+         |FROM pairs
+         |JOIN sz za ON pairs.doc_a = za.doc_id
+         |JOIN sz zb ON pairs.doc_b = zb.doc_id
+         |WHERE n_inter * 2 >= za.sz + zb.sz - n_inter
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -237,4 +237,25 @@ class LawsSpec extends SparkSpecBase {
       .select("payload").collect().map(_.getString(0)).sorted.toSeq
     assert(got == expected, s"delta mismatch: got=${got.size} exp=${expected.size}")
   }
+
+  test("prefix-filtered set-similarity join equals the naive all-pairs definition") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    // small vocabulary + overlapping draws force pairs at every
+    // Jaccard band, including exact ties at the threshold
+    val rows = (1 to 120).map { i =>
+      val sz = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(sz)(s"e${rnd.nextInt(30)}").distinct)
+    }.toDF("id", "els")
+    for ((tn, td) <- Seq((1, 2), (3, 10), (4, 5))) {
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("id_a", "id_b", "n_inter", "n_union").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val fast = key(graft.operators.SetSimJoin.jaccardSelfJoin(rows, "id", "els", tn, td))
+      val naive = key(graft.operators.SetSimJoin.naiveSelfJoin(rows, "id", "els", tn, td))
+      assert(fast == naive,
+        s"tau=$tn/$td: missed=${(naive -- fast).take(3)} extra=${(fast -- naive).take(3)}")
+    }
+  }
 }

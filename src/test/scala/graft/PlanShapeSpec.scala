@@ -384,6 +384,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 1, p)
   }
 
+  test("exact set-similarity join is equi-join on prefix elements — no cartesian (q214)") {
+    val p = plan("q214_setsim_prefix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate generator is a hash/sort-merge equi-join
+    assert(p.contains("Join"), p)
+  }
+
   test("rolling WAU explodes contributions — no range self-join (q161)") {
     val p = plan("q161_rolling_wau")
     // the contribute-forward rewrite: a Generate (explode) feeds the
