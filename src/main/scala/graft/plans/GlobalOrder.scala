@@ -179,6 +179,63 @@ object GlobalOrder {
     }
   }
 
+  /** Exact global running MAX of `value` (as BIGINT) in `order`,
+    * distributed: per-bucket running max, combined (`greatest` skips
+    * nulls) with the broadcast max of all earlier buckets.
+    *
+    * `exclusive = true` computes the max over STRICTLY EARLIER ROWS
+    * (frame `UNBOUNDED PRECEDING .. 1 PRECEDING`; null for the global
+    * first row) — the dominance-test shape (skyline: "best of
+    * everything cheaper than me"). The exclusive frame is ROW-based,
+    * so callers must pass a tie-free `order` (peers are NOT excluded).
+    */
+  def withRunningMax(df0: DataFrame, order: Seq[Column], bucketBy: Column,
+                     value: Column, name: String, exclusive: Boolean = false,
+                     buckets: Int = 64): DataFrame = {
+    val df = pinned(df0)
+    val bd = bucketBy.cast(DoubleType)
+    val hi = if (exclusive) -1L else 0L
+    boundaries(df, bd, buckets) match {
+      case None =>
+        val w = Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, hi)
+        df.withColumn(name, max(value.cast("long")).over(w))
+      case Some(bounds) =>
+        val tagged = df.withColumn(BucketCol, bucketOf(bd, bounds))
+        val perBucket = tagged.groupBy(BucketCol)
+          .agg(max(value.cast("long")).as("m")).collect()
+          .map(r => r.getInt(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toSeq
+        // offset for bucket b = max over buckets < b (inclusive of all
+        // their rows — strictly earlier by bucket monotonicity).
+        // Every bucket present in the data gets an entry once any
+        // earlier bucket contributed a non-null max (an all-null
+        // bucket forwards the accumulator unchanged); buckets before
+        // the first contribution stay absent — element_at yields NULL
+        // there and `greatest` skips it.
+        var acc: Option[Long] = None
+        val offs = perBucket.sortBy(_._1).flatMap { case (b, m) =>
+          val o = acc.map(b -> _)
+          acc = (acc, m) match {
+            case (Some(a), Some(v)) => Some(math.max(a, v))
+            case (a, v) => a.orElse(v)
+          }
+          o
+        }
+        val off =
+          if (offs.isEmpty) lit(null).cast("long")
+          else element_at(
+            map(offs.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*),
+            col(BucketCol))
+        val w = Window.partitionBy(BucketCol).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, hi)
+        tagged
+          .withColumn(name, greatest(max(value.cast("long")).over(w), off))
+          .drop(BucketCol)
+    }
+  }
+
   /** Exact global running sum of `value` (as BIGINT) in `order`,
     * distributed: per-bucket running sum plus the broadcast total of
     * all earlier buckets.

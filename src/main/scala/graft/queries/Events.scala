@@ -644,10 +644,60 @@ object Events {
         .select(expr("unix_micros(win.start)").as("win_start_us"),
           col("event_type"), col("n"), col("vmilli_sum"))
         .orderBy("win_start_us", "event_type")
+    },
+
+    // OHLC resampling bars — the time-series downsample every quote
+    // pipeline ships: per (event_type, 1 h bucket) the first/last/
+    // min/max value plus volume. Open/close are picked by row_number
+    // over the fully tie-broken (tsu, event_id) order — the SAME
+    // window text on both engines, no argmin struct-ordering dialect
+    // risk — and ride as untouched doubles (no arithmetic → bit
+    // identity). high/low are double min/max (exact); volume is the
+    // decimal-milli integer lane. Both windows and the aggregate
+    // cluster on the same (event_type, bucket) key, so the whole bar
+    // build is ONE hash exchange at any scale.
+    "q215_ohlc" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("bucket_us", expr("(tsu div 3600000000) * 3600000000"))
+        .withColumn("vmilli",
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
+      val grp = Window.partitionBy("event_type", "bucket_us")
+      e.withColumn("rn_a",
+          row_number().over(grp.orderBy(col("tsu"), col("event_id"))))
+        .withColumn("rn_d",
+          row_number().over(grp.orderBy(col("tsu").desc, col("event_id").desc)))
+        .groupBy("event_type", "bucket_us")
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"), sum("vmilli").as("vol_milli"))
+        .orderBy("event_type", "bucket_us")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q215_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |    epoch_us(ts::TIMESTAMP) AS tsu,
+        |    (epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000 AS bucket_us,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vmilli
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+        |                       ORDER BY tsu, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+        |                       ORDER BY tsu DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, bucket_us,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n, CAST(SUM(vmilli) AS BIGINT) AS vol_milli
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q213_asof_state" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu

@@ -328,6 +328,33 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // 2-D skyline (Pareto frontier): the parts no other part beats on
+    // BOTH price (lower better) and size (higher better), with ties
+    // kept (equal points don't strictly dominate). Sort-based exact
+    // rewrite of the quadratic NOT-EXISTS definition: reduce to the
+    // best size per distinct price, take the running max of that over
+    // strictly cheaper prices (GlobalOrder.withRunningMax exclusive —
+    // distributed, no single-partition window), and a point survives
+    // iff it carries its price's best size AND beats every cheaper
+    // price's best. The naive oracle proves the rewrite exact. At
+    // 100 TB: one hash agg to per-price bests, the two-phase running
+    // max, one broadcast-sized join back — never the N² dominance
+    // join.
+    "q216_skyline" -> { (s, d) =>
+      val pts = Tables.part(s, d).select(col("p_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      val best = pts.groupBy("pc").agg(max("sz").as("bsz"))
+      val withM = graft.plans.GlobalOrder.withRunningMax(
+        best, Seq(col("pc").asc), col("pc"), col("bsz"), "m_excl",
+        exclusive = true)
+      pts.join(withM, "pc")
+        .filter(col("sz") === col("bsz") &&
+          (col("m_excl").isNull || col("bsz") > col("m_excl")))
+        .select(col("p_partkey"), col("pc").as("price_c"), col("sz").as("size"))
+        .orderBy("price_c", "p_partkey")
+    },
+
     // Blocked fuzzy join (record linkage): distinct part names are
     // blocked on their noun token and only within-block candidate
     // pairs pay the levenshtein verify — the standard blocking shape
@@ -1134,6 +1161,22 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    // The definitional quadratic form — the Spark side's sort-based
+    // rewrite must reproduce it exactly.
+    "q216_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT p_partkey, price_c, size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.size >= a.size
+        |    AND (b.price_c < a.price_c OR b.size > a.size))
+        |ORDER BY price_c, p_partkey""".stripMargin,
 
     "q208_pareto_cut" ->
       """WITH r AS (

@@ -63,6 +63,33 @@ class GlobalOrderSpec extends SparkSpecBase {
       countName = Some("n")).collect().isEmpty)
     assert(GlobalOrder.withRunningSum(df, Seq(col("v")), col("v"),
       col("id"), "cur").collect().isEmpty)
+    assert(GlobalOrder.withRunningMax(df, Seq(col("v")), col("v"),
+      col("id"), "m").collect().isEmpty)
+  }
+
+  test("runningMax (inclusive + exclusive) matches the single-partition window, nulls included") {
+    val rnd = new scala.util.Random(41)
+    // tie-free order key; ~10% null values exercise greatest's
+    // null-skipping and the all-null-bucket offset forwarding
+    val df = (1 to 3000).map { i =>
+      (i.toLong, rnd.nextDouble() * 1000,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(1000).toLong))
+    }.toDF("id", "k", "v").repartition(8)
+    val order = Seq(col("k").asc, col("id").asc)
+    for (excl <- Seq(false, true)) {
+      val hi = if (excl) -1L else 0L
+      val w = Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, hi)
+      val expected = df.withColumn("m", max(col("v")).over(w))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val got = GlobalOrder.withRunningMax(df, order, col("k"), col("v"), "m",
+          exclusive = excl, buckets = 16).collect()
+      assert(got.length == 3000)
+      got.foreach { r =>
+        val m = if (r.isNullAt(3)) -1L else r.getLong(3)
+        assert(m == expected(r.getLong(0)), s"excl=$excl id=${r.getLong(0)}")
+      }
+    }
   }
 
   test("plan shape: the rank window is partitioned — no global window") {

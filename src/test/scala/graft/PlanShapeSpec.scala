@@ -350,7 +350,7 @@ class PlanShapeSpec extends SparkSpecBase {
     for (q <- Seq("q85_quality_band", "q100_corpus_prep",
         "q104_peak_concurrency", "q131_approx_quantile_bound", "q166_equidepth",
         "q87_token_rank", "q179_vocab_coverage", "q208_pareto_cut",
-        "q210_weighted_median")) {
+        "q210_weighted_median", "q216_skyline")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val bad = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
