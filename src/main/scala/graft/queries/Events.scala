@@ -646,6 +646,32 @@ object Events {
         .orderBy("win_start_us", "event_type")
     },
 
+    // Cumulative distinct users to date — the growth-curve metric
+    // ("total unique users ever, by day") computed the scalable way:
+    // NOT a per-day COUNT(DISTINCT over all history) rescan (O(days ×
+    // events) and a giant distinct per day), but one first-seen-day
+    // aggregate per user, a per-day count of first appearances, and a
+    // running sum over the DAYS frame — whose cardinality is the
+    // corpus' span in days, bounded by construction, so the ordered
+    // window is a legitimate tiny frame (the vocab/top-k rule), not a
+    // row-scale global window. n_active (plain per-day distinct)
+    // rides along to give the DAU/growth pair.
+    "q218_cum_distinct" -> { (s, d) =>
+      val byDay = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstSeen = byDay.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      val active = byDay.groupBy("day")
+        .agg(count_distinct(col("user_id")).as("n_active"))
+      active.join(firstSeen, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users",
+          sum("n_new").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("day", "n_new", "cum_users", "n_active")
+        .orderBy("day")
+    },
+
     // OHLC resampling bars — the time-series downsample every quote
     // pipeline ships: per (event_type, 1 h bucket) the first/last/
     // min/max value plus volume. Open/close are picked by row_number
@@ -677,6 +703,22 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q218_cum_distinct" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fs AS (
+        |  SELECT day, COUNT(*) AS n_new FROM (
+        |    SELECT user_id, MIN(day) AS day FROM e GROUP BY 1)
+        |  GROUP BY 1),
+        |act AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS n_active FROM e GROUP BY 1)
+        |SELECT act.day,
+        |  CAST(COALESCE(fs.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(SUM(COALESCE(fs.n_new, 0)) OVER (ORDER BY act.day
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+        |  n_active
+        |FROM act LEFT JOIN fs ON act.day = fs.day
+        |ORDER BY act.day""".stripMargin,
+
     "q215_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, event_id, value,

@@ -328,6 +328,28 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Bounded weighted shortest paths (4-round Bellman-Ford) over the
+    // supplier↔part procurement graph: undirected bipartite edges
+    // weighted by the cheapest observed quantity for the pair, source
+    // = supplier 1. After 4 synchronous relaxations dist(v) is the
+    // exact cheapest ≤4-edge path — a pure function of the input,
+    // which the oracle pins by unrolling the same 4 rounds in SQL
+    // (level-synchronous min-relaxation, not path enumeration). Part
+    // nodes live at partkey + 10^9 to keep the id spaces disjoint.
+    // Weights integral; see [[graft.operators.ShortestPath]] for the
+    // per-round O(E) scale shape.
+    "q217_sssp" -> { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .agg(min(expr("CAST(l_quantity AS BIGINT)")).as("w"))
+      val edges = e0.select(col("sk").as("src"),
+          (col("pk") + 1000000000L).as("dst"), col("w"))
+        .unionByName(e0.select((col("pk") + 1000000000L).as("src"),
+          col("sk").as("dst"), col("w")))
+      graft.operators.ShortestPath.boundedSssp(edges, Seq(1L), rounds = 4)
+        .orderBy("node")
+    },
+
     // 2-D skyline (Pareto frontier): the parts no other part beats on
     // BOTH price (lower better) and size (higher better), with ties
     // kept (equal points don't strictly dominate). Sort-based exact
@@ -1161,6 +1183,40 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    // The same 4 relaxation rounds, unrolled — level-synchronous min,
+    // never path enumeration.
+    "q217_sssp" ->
+      """WITH e0 AS (
+        |  SELECT l_suppkey AS sk, l_partkey AS pk,
+        |         CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT sk AS src, pk + 1000000000 AS dst, w FROM e0
+        |  UNION ALL
+        |  SELECT pk + 1000000000 AS src, sk AS dst, w FROM e0),
+        |d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d0 d JOIN edges e ON d.node = e.src)
+        |  GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d1 d JOIN edges e ON d.node = e.src)
+        |  GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d2 d JOIN edges e ON d.node = e.src)
+        |  GROUP BY node),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d3
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d3 d JOIN edges e ON d.node = e.src)
+        |  GROUP BY node)
+        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
 
     // The definitional quadratic form — the Spark side's sort-based
     // rewrite must reproduce it exactly.
