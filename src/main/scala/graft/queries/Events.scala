@@ -646,6 +646,37 @@ object Events {
         .orderBy("win_start_us", "event_type")
     },
 
+    // CUSUM changepoint detection per event_type: the cumulative sum
+    // of deviations from the series mean, S_k = Σ_{i≤k}(v_i − μ),
+    // peaks (in |·|) at the most likely level-shift point. Kept
+    // EXACT by scaling by n: n·S_k = n·cumsum_k − k·T (cumsum, k, T
+    // all integral in the milli lane — no float mean enters). One
+    // partitioned window pass for the running sum + row_number, one
+    // WindowGroupLimit-shaped pick of the argmax row per type with a
+    // full (abs desc, tsu, event_id) tie-break. Magnitudes: n·v ≲
+    // 10¹¹ at sf0.1, ·k ≲ 10¹⁶ — inside BIGINT with 100× headroom.
+    "q219_cusum" -> { (s, d) =>
+      val byType = Window.partitionBy("event_type")
+      val ord = byType.orderBy(col("tsu"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("vmilli",
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
+        .withColumn("cumv", sum("vmilli").over(run))
+        .withColumn("k", row_number().over(ord).cast("long"))
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("tot", sum("vmilli").over(byType))
+        .withColumn("ns", col("n") * col("cumv") - col("k") * col("tot"))
+        .withColumn("pick", row_number().over(byType.orderBy(
+          abs(col("ns")).desc, col("tsu"), col("event_id"))))
+        .filter(col("pick") === 1)
+        .select(col("event_type"), col("n"), col("k").as("cp_k"),
+          col("tsu").as("cp_tsu"), col("ns").as("n_s_at_cp"),
+          abs(col("ns")).as("abs_n_s"))
+        .orderBy("event_type")
+    },
+
     // Cumulative distinct users to date — the growth-curve metric
     // ("total unique users ever, by day") computed the scalable way:
     // NOT a per-day COUNT(DISTINCT over all history) rescan (O(days ×
@@ -703,6 +734,29 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q219_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS tsu,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vmilli
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, event_id, tsu,
+        |    CAST(SUM(vmilli) OVER (PARTITION BY event_type
+        |         ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |         ORDER BY tsu, event_id) AS BIGINT) AS k,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(vmilli) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM e),
+        |s AS (
+        |  SELECT *, n * cumv - k * tot AS ns,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |         ORDER BY ABS(n * cumv - k * tot) DESC, tsu, event_id) AS pick
+        |  FROM c)
+        |SELECT event_type, n, k AS cp_k, tsu AS cp_tsu,
+        |       ns AS n_s_at_cp, ABS(ns) AS abs_n_s
+        |FROM s WHERE pick = 1 ORDER BY event_type""".stripMargin,
+
     "q218_cum_distinct" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |fs AS (

@@ -50,6 +50,16 @@ object Relational2 {
 
   private val QDec = "CAST(l_quantity AS DECIMAL(4,0))"
 
+  /** OLS closed form over exact integer power sums — identical text on
+    * both engines (the [[MeanF]] convention): slope = (nΣxy − ΣxΣy) /
+    * (nΣxx − Σx²), intercept = (Σy − slope·Σx)/n.
+    */
+  private val OlsSlopeF =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private val OlsInterceptF =
+    s"(CAST(sy AS DOUBLE) - ($OlsSlopeF) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+
   /** Register the tables a spark.sql passthrough query needs. */
   private def reg(s: SparkSession, d: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
@@ -325,6 +335,29 @@ object Relational2 {
           (col("cw") - col("wq")) * 2 < col("tw"))
         .select(col("l_returnflag"), col("pc").as("median_price_c"),
           col("cw"), col("tw"))
+        .orderBy("l_returnflag")
+    },
+
+    // Grouped OLS regression (price on quantity per return flag) from
+    // exact integer power sums — the closed-form fit a scalable
+    // pipeline computes in ONE aggregate pass, never per-group
+    // iteration. n, Σx, Σy, Σxy, Σxx ship exact (x ≤ 50 and cents
+    // keep all five inside BIGINT); slope/intercept are the SAME
+    // formula text on both engines, so every double op after the
+    // exact-sum casts is the identical IEEE-754 sequence (the moment-
+    // statistics convention — n·Σxy may round at ~10¹⁹, identically).
+    "q220_ols_grouped" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("x"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .withColumn("slope", expr(OlsSlopeF))
+        .withColumn("intercept", expr(OlsInterceptF))
+        .select("l_returnflag", "n", "sx", "sy", "sxy", "sxx",
+          "slope", "intercept")
         .orderBy("l_returnflag")
     },
 
@@ -1183,6 +1216,21 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q220_ols_grouped" ->
+      s"""WITH r AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n, sx, sy, sxy, sxx,
+        |  $OlsSlopeF AS slope,
+        |  $OlsInterceptF AS intercept
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     // The same 4 relaxation rounds, unrolled — level-synchronous min,
     // never path enumeration.
