@@ -77,6 +77,18 @@ object Events {
       |  WHERE event_type = 'purchase' GROUP BY user_id, tsu
       |)""".stripMargin
 
+  /** Two-proportion z-test pieces — identical formula TEXT on both
+    * engines over exact integer counts, so every double op is the
+    * same IEEE-754 sequence (the moment-statistics convention).
+    */
+  private val AbRate0F = "CAST(c0 AS DOUBLE) / n0"
+  private val AbRate1F = "CAST(c1 AS DOUBLE) / n1"
+  private val AbPoolF = "(CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))"
+  private val AbZF = // 1/n spelled via a DOUBLE cast: a bare 1.0
+    // literal is DECIMAL in DuckDB and would divide decimal-wise
+    s"(($AbRate1F) - ($AbRate0F)) / sqrt(($AbPoolF) * (1.0 - ($AbPoolF)) * " +
+      "(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Running (prefix) sum per user. Accumulates SCALED BIGINT cents:
     // a DECIMAL(12,2) running sum widens to precision 22, whose window
@@ -646,6 +658,63 @@ object Events {
         .orderBy("win_start_us", "event_type")
     },
 
+    // Exact winsorized robust stats per event_type: rank-based (type-1)
+    // p05/p95 picked by tie-broken row_number (k = ⌈q·n⌉ via the
+    // integer 20·k ≥ n ⟺ k ≥ ⌈n/20⌉ identity), then every value
+    // clipped into [p05, p95] and re-aggregated in the exact milli
+    // lane. One partitioned window pass + one conditional aggregate to
+    // a per-type bounds frame + one broadcast join back — the robust
+    // mean at any scale without sampling or sketches.
+    "q222_winsorize" -> { (s, d) =>
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("vmilli"), col("event_id"))
+      val e = Tables.events(s, d)
+        .withColumn("vmilli",
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val bounds = e.groupBy("event_type")
+        .agg(max(when(expr("rn * 20 >= n AND (rn - 1) * 20 < n"),
+            col("vmilli"))).as("p05"),
+          max(when(expr("rn * 20 >= 19 * n AND (rn - 1) * 20 < 19 * n"),
+            col("vmilli"))).as("p95"))
+      e.join(broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("p05").as("p05"), max("p95").as("p95"),
+          sum(expr("CASE WHEN vmilli < p05 THEN 1 ELSE 0 END")).as("n_lo"),
+          sum(expr("CASE WHEN vmilli > p95 THEN 1 ELSE 0 END")).as("n_hi"),
+          sum(expr("LEAST(GREATEST(vmilli, p05), p95)")).as("wsum"))
+        .orderBy("event_type")
+    },
+
+    // Hash-split A/B readout: users assigned to arms by the portable
+    // 60-bit hash (the SAME deterministic split both engines compute),
+    // conversion = did the user ever 'purchase'. Counts are exact
+    // integers; lift and the two-proportion z-score are the identical
+    // IEEE formula text over the exact-count casts (the moment-stats
+    // convention). The whole readout is two narrow aggregates — no
+    // per-user state leaves the executors.
+    "q223_ab_lift" -> { (s, d) =>
+      val S = graft.functions.PortableSql.Spark
+      // conversion = a HIGH-VALUE purchase (value > 150): a bare "ever
+      // purchased" saturates at small SF (every user converts → pooled
+      // variance 0 → z undefined)
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)") > 150000L,
+          1L).otherwise(0L)).as("conv"))
+        .withColumn("arm", expr(s"${S.hash64("concat('ab:', user_id)")} % 2"))
+      users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+        .withColumn("rate0", expr(AbRate0F))
+        .withColumn("rate1", expr(AbRate1F))
+        .withColumn("z", expr(AbZF))
+    },
+
     // CUSUM changepoint detection per event_type: the cumulative sum
     // of deviations from the series mean, S_k = Σ_{i≤k}(v_i − μ),
     // peaks (in |·|) at the most likely level-shift point. Kept
@@ -734,6 +803,52 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q222_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vmilli
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |         ORDER BY vmilli, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn * 20 >= n AND (rn - 1) * 20 < n
+        |             THEN vmilli END) AS p05,
+        |    MAX(CASE WHEN rn * 20 >= 19 * n AND (rn - 1) * 20 < 19 * n
+        |             THEN vmilli END) AS p95
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, MAX(n) AS n, MAX(p05) AS p05, MAX(p95) AS p95,
+        |  CAST(SUM(CASE WHEN vmilli < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN vmilli > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(SUM(LEAST(GREATEST(vmilli, p05), p95)) AS BIGINT) AS wsum
+        |FROM r JOIN b ON r.event_type = b.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q223_ab_lift" -> {
+      val D = graft.functions.PortableSql.Duck
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |             AND CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) > 150000
+        |        THEN 1 ELSE 0 END) AS conv,
+        |    ${D.hash64("concat('ab:', user_id)")} % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM u)
+        |SELECT n0, c0, n1, c1,
+        |  $AbRate0F AS rate0, $AbRate1F AS rate1, $AbZF AS z
+        |FROM a""".stripMargin
+    },
+
     "q219_cusum" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS tsu,

@@ -338,6 +338,58 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Remaining ranking-window surface: ntile (equal-height quartile
+    // assignment) and percent_rank over the per-nation frame with a
+    // tie-free order — both engines implement the SQL-standard
+    // definitions (ntile: first n % k tiles get the extra row;
+    // percent_rank = (rank−1)/(n−1), one IEEE division of small
+    // ints). Completes q197's dense_rank/cume_dist/nth_value set.
+    "q224_window_ranks" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .orderBy("c_custkey")
+    },
+
+    // Grid-bucketed spatial radius self-join: all customer pairs
+    // within Euclidean distance r on a synthetic integer plane
+    // (portable-hash coordinates — deterministic and dialect-paired,
+    // no geo columns in the corpus). The scalable shape: cell size =
+    // r, LEFT side keyed by its home cell, RIGHT side replicated onto
+    // its 3×3 neighbor cells, one equi-join on the cell key — any
+    // pair within r differs by ≤1 cell per axis, and the matching
+    // offset is unique, so candidates appear EXACTLY once (no
+    // distinct). The verify is an exact integer d² ≤ r² test. The
+    // naive quadratic oracle proves no pair is missed. At 100 TB this
+    // is the standard geohash-bucket join: 9× replication of one
+    // side, never an N² cross product; a hot cell salts like any hot
+    // key.
+    "q221_spatial_join" -> { (s, d) =>
+      val S = graft.functions.PortableSql.Spark
+      val pts = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        expr(s"${S.hash64("concat('geo:', c_custkey)")} % 10000").as("x"),
+        expr(s"${S.hash64("concat('geo2:', c_custkey)")} % 10000").as("y"))
+      val r = 150L
+      val home = pts
+        .withColumn("cx", expr(s"x div $r")).withColumn("cy", expr(s"y div $r"))
+      val probe = home
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      home.join(probe, Seq("cx", "cy"))
+        .filter(col("k") < col("kb"))
+        .withColumn("d2",
+          (col("x") - col("xb")) * (col("x") - col("xb")) +
+            (col("y") - col("yb")) * (col("y") - col("yb")))
+        .filter(col("d2") <= r * r)
+        .select(col("k").as("k_a"), col("kb").as("k_b"), col("d2"))
+        .orderBy("k_a", "k_b")
+    },
+
     // Grouped OLS regression (price on quantity per return flag) from
     // exact integer power sums — the closed-form fit a scalable
     // pipeline computes in ONE aggregate pass, never per-group
@@ -1216,6 +1268,28 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q224_window_ranks" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q221_spatial_join" -> {
+      val D = graft.functions.PortableSql.Duck
+      s"""WITH p AS (
+        |  SELECT c_custkey AS k,
+        |    ${D.hash64("concat('geo:', c_custkey)")} % 10000 AS x,
+        |    ${D.hash64("concat('geo2:', c_custkey)")} % 10000 AS y
+        |  FROM customer)
+        |SELECT a.k AS k_a, b.k AS k_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |FROM p a JOIN p b ON a.k < b.k
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
+        |ORDER BY k_a, k_b""".stripMargin
+    },
 
     "q220_ols_grouped" ->
       s"""WITH r AS (

@@ -384,6 +384,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 1, p)
   }
 
+  test("spatial radius join is an equi-join on grid cells — no cartesian (q221)") {
+    val p = plan("q221_spatial_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("exact set-similarity join is equi-join on prefix elements — no cartesian (q214)") {
     val p = plan("q214_setsim_prefix")
     assert(!p.contains("CartesianProduct"), p)
