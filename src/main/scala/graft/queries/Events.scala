@@ -89,6 +89,16 @@ object Events {
     s"(($AbRate1F) - ($AbRate0F)) / sqrt(($AbPoolF) * (1.0 - ($AbPoolF)) * " +
       "(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))"
 
+  /** Benford expected share per first digit, pre-quantized to micro
+    * (⌊log10(1+1/d)·10⁶+0.5⌋ computed OFFLINE — no runtime log10, so
+    * no libm divergence). Shared formula text for both engines.
+    */
+  private val BenfordMicroF =
+    """CASE d WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+      |WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+      |WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END""".stripMargin
+      .replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Running (prefix) sum per user. Accumulates SCALED BIGINT cents:
     // a DECIMAL(12,2) running sum widens to precision 22, whose window
@@ -658,6 +668,134 @@ object Events {
         .orderBy("win_start_us", "event_type")
     },
 
+    // Longest consecutive-day activity streak per user — the
+    // gaps-and-islands idiom at DATE granularity: distinct active
+    // days, row_number along them, and day − rn is CONSTANT exactly
+    // within a consecutive run (each day forward steps both by one),
+    // so grouping on it yields the runs with zero self-joins. Longest
+    // run picked with an earliest-start tie-break. Both windows and
+    // the island aggregate cluster on user_id — one hash exchange.
+    "q230_longest_streak" -> { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("rn", row_number().over(w))
+        .withColumn("grp", expr("date_sub(day, rn)"))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("streak_days"), min("day").as("start_day"))
+      streaks.withColumn("rk", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("streak_days").desc, col("start_day").asc)))
+        .filter(col("rk") === 1)
+        .select("user_id", "streak_days", "start_day")
+        .orderBy("user_id")
+    },
+
+    // Benford first-digit profile of order totals — the fraud/quality
+    // screen over any monetary column. First digit via the decimal
+    // string of the exact cents integer (identical rendering of
+    // BIGINT on both engines — no float log10 anywhere); expected
+    // Benford shares are PRE-QUANTIZED micro literals, so the
+    // deviation column is pure integer arithmetic. One
+    // map-side-combined aggregate.
+    "q231_benford" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("pc"))
+        .withColumn("d", expr(
+          "CAST(substr(CAST(pc AS STRING), 1, 1) AS BIGINT)"))
+        .groupBy("d").agg(count(lit(1)).as("n_obs"))
+        .withColumn("n_tot", sum("n_obs").over(Window.partitionBy()))
+        .withColumn("share_micro", expr("n_obs * 1000000 div n_tot"))
+        .withColumn("benford_micro", expr(BenfordMicroF))
+        .withColumn("dev_micro", expr("abs(share_micro - benford_micro)"))
+        .select("d", "n_obs", "share_micro", "benford_micro", "dev_micro")
+        .orderBy("d")
+    },
+
+    // Session entry-type rollup with bounce rate: per session the
+    // first event (entry), whether it was the ONLY event (bounce),
+    // and the session's time span — all carried as window columns on
+    // the same (user, session) partition the sessionizer built, so
+    // the entire readout stays on one hash exchange. Bounce rate and
+    // average span ship as exact integer milli/µs divisions
+    // (non-negative — div and // agree).
+    "q232_session_entry" -> { (s, d) =>
+      val bySess = Window.partitionBy("user_id", "session_id")
+      val g = sessionized(s, d)
+        .withColumn("rn_a", row_number().over(
+          bySess.orderBy(col("tsu"), col("event_id"))))
+        .withColumn("n_ev", count(lit(1)).over(bySess))
+        .withColumn("span_us",
+          max("tsu").over(bySess) - min("tsu").over(bySess))
+      g.filter(col("rn_a") === 1)
+        .groupBy(col("event_type").as("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          sum("span_us").as("span_us_sum"))
+        .withColumn("bounce_milli", expr("n_bounce * 1000 div n_sessions"))
+        .withColumn("avg_span_us", expr("span_us_sum div n_sessions"))
+        .orderBy("entry_type")
+    },
+
+    // Sequential-pattern mining, order 3: the top event-type trigrams
+    // across user timelines (the path-mining step behind "what do
+    // users do right before erroring"). Two leads over the per-user
+    // window (same partition the whole Events family rides), one
+    // count + distinct-users aggregate, and a FULLY tie-broken top-20
+    // (n desc, then the lexicographic trigram) so the cut is
+    // deterministic on both engines. Extends q155's transition
+    // bigrams one order up; at scale it is one window pass + one
+    // map-side-combined aggregate.
+    "q225_event_trigrams" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("e2", lead("event_type", 1).over(byUser))
+        .withColumn("e3", lead("event_type", 2).over(byUser))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    },
+
+    // Funnel latency by cohort: median-free exact readout of
+    // signup→first-purchase conversion — per user the first signup
+    // instant, the first purchase AT OR AFTER it, cohorted by signup
+    // month (yyyymm int). Latencies are exact integer microseconds;
+    // the average ships as the truncating integer division of
+    // non-negative sums (div and // agree). Two narrow per-user
+    // aggregates and one join — no windows over the event stream at
+    // all.
+    "q229_conversion_latency" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min("tsu").as("s_tsu"))
+        .withColumn("cohort",
+          (year(expr("timestamp_micros(s_tsu)")) * 100 +
+            month(expr("timestamp_micros(s_tsu)"))).cast("long"))
+      val firstPurch = e.filter(col("event_type") === "purchase")
+        .join(signups.select("user_id", "s_tsu"), "user_id")
+        .filter(col("tsu") >= col("s_tsu"))
+        .groupBy("user_id").agg(min("tsu").as("p_tsu"))
+      signups.join(firstPurch, Seq("user_id"), "left")
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_signup"),
+          count(col("p_tsu")).as("n_converted"),
+          sum(expr("CASE WHEN p_tsu IS NULL THEN 0 ELSE p_tsu - s_tsu END"))
+            .as("lat_us_sum"))
+        .withColumn("avg_lat_us",
+          expr("CASE WHEN n_converted = 0 THEN NULL " +
+            "ELSE lat_us_sum div n_converted END"))
+        .orderBy("cohort")
+    },
+
     // Exact winsorized robust stats per event_type: rank-based (type-1)
     // p05/p95 picked by tie-broken row_number (k = ⌈q·n⌉ via the
     // integer 20·k ≥ n ⟺ k ≥ ⌈n/20⌉ identity), then every value
@@ -803,6 +941,102 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q230_longest_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |               AS INTEGER) AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS streak_days,
+        |         MIN(day) AS start_day
+        |  FROM r GROUP BY 1, 2),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |            ORDER BY streak_days DESC, start_day) AS rk
+        |  FROM runs)
+        |SELECT user_id, streak_days, start_day
+        |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q231_benford" ->
+      s"""WITH p AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        |  FROM orders),
+        |c AS (
+        |  SELECT CAST(substr(CAST(pc AS VARCHAR), 1, 1) AS BIGINT) AS d,
+        |         COUNT(*) AS n_obs
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM c)
+        |SELECT d, n_obs,
+        |  n_obs * 1000000 // n_tot AS share_micro,
+        |  $BenfordMicroF AS benford_micro,
+        |  ABS(n_obs * 1000000 // n_tot - ($BenfordMicroF)) AS dev_micro
+        |FROM c, t ORDER BY d""".stripMargin,
+
+    "q232_session_entry" ->
+      s"""WITH $duckSessionCtes,
+        |x AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+        |                       ORDER BY tsu, event_id) AS rn_a,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id, session_id)
+        |         AS BIGINT) AS n_ev,
+        |    MAX(tsu) OVER (PARTITION BY user_id, session_id)
+        |      - MIN(tsu) OVER (PARTITION BY user_id, session_id) AS span_us
+        |  FROM g)
+        |SELECT event_type AS entry_type, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  CAST(SUM(span_us) AS BIGINT) AS span_us_sum,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+        |    // COUNT(*) AS bounce_milli,
+        |  CAST(SUM(span_us) AS BIGINT) // COUNT(*) AS avg_span_us
+        |FROM x WHERE rn_a = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q225_event_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3,
+        |    user_id
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT e1, e2, e3, COUNT(*) AS n,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM t WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    "q229_conversion_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, MIN(tsu) AS s_tsu,
+        |    CAST(year(make_timestamp(MIN(tsu))) * 100
+        |         + month(make_timestamp(MIN(tsu))) AS BIGINT) AS cohort
+        |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(tsu) AS p_tsu
+        |  FROM e JOIN s ON e.user_id = s.user_id
+        |  WHERE event_type = 'purchase' AND tsu >= s_tsu
+        |  GROUP BY e.user_id)
+        |SELECT cohort, COUNT(*) AS n_signup,
+        |  COUNT(p_tsu) AS n_converted,
+        |  CAST(SUM(CASE WHEN p_tsu IS NULL THEN 0 ELSE p_tsu - s_tsu END)
+        |       AS BIGINT) AS lat_us_sum,
+        |  CASE WHEN COUNT(p_tsu) = 0 THEN NULL
+        |       ELSE CAST(SUM(CASE WHEN p_tsu IS NULL THEN 0
+        |                          ELSE p_tsu - s_tsu END)
+        |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
     "q222_winsorize" ->
       """WITH e AS (
         |  SELECT event_type, event_id,

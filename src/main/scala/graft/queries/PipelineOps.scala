@@ -411,6 +411,29 @@ object PipelineOps {
           Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))))
         .filter(col("rn") <= 25).drop("rn")
         .orderBy("source", "doc_id")
+    },
+
+    // Stratified sampling with EXACT per-stratum allocation: every
+    // language contributes exactly ⌈n_g/10⌉ docs (q159's bottom-k is
+    // fixed-size; a production eval split wants proportional-exact —
+    // Bernoulli sampling only hits the fraction in expectation). The
+    // pick order inside a stratum is the portable hash (deterministic,
+    // reproducible re-run to re-run), the quota is an integer ceiling
+    // from the stratum count window, and membership is one bounded
+    // per-stratum rank compare — strata counts ride the SAME window
+    // partition as the rank, so no second aggregate pass.
+    "q233_stratified_sample" -> { (s, dir) =>
+      val byLang = Window.partitionBy("lang")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("hk", expr(s"${S.hash64("concat('strat:', doc_id)")}"))
+        .withColumn("rn", row_number().over(
+          byLang.orderBy(col("hk"), col("doc_id"))).cast("long"))
+        .withColumn("n_g", count(lit(1)).over(byLang))
+        .withColumn("quota", expr("(n_g + 9) div 10"))
+        .filter(col("rn") <= col("quota"))
+        .select("doc_id", "lang", "rn", "quota")
+        .orderBy("lang", "rn")
     })
 
   val oracles: Map[String, String] = Map(
@@ -654,5 +677,20 @@ object PipelineOps {
          |    PARTITION BY source ORDER BY prio, doc_id) AS rn
          |  FROM p)
          |SELECT doc_id, source, n_chars, prio
-         |FROM r WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin)
+         |FROM r WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
+
+    "q233_stratified_sample" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, lang,
+         |    ${D.hash64("concat('strat:', doc_id)")} AS hk
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+         |         AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_g
+         |  FROM p)
+         |SELECT doc_id, lang, rn, (n_g + 9) // 10 AS quota
+         |FROM r WHERE rn <= (n_g + 9) // 10
+         |ORDER BY lang, rn""".stripMargin)
 }

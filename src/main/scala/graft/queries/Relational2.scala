@@ -338,6 +338,113 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Contingency table with exact independence deviations: the
+    // status × priority cross-tab, each cell carrying obs·n − row·col
+    // — the χ² numerator kept as a pure integer (a float χ² would
+    // drag libm-free but rounding-ordered division through every
+    // cell; the exact deviation ranks cells identically and is
+    // bit-stable). One count aggregate + two broadcast marginal
+    // joins.
+    "q234_contingency" -> { (s, d) =>
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("obs"))
+      val rowT = cells.groupBy("st").agg(sum("obs").as("row_n"))
+      val colT = cells.groupBy("pri").agg(sum("obs").as("col_n"))
+      val tot = cells.agg(sum("obs").as("n"))
+      cells.join(broadcast(rowT), "st").join(broadcast(colT), "pri")
+        .crossJoin(broadcast(tot))
+        .withColumn("dev", expr("obs * n - row_n * col_n"))
+        .select("st", "pri", "obs", "row_n", "col_n", "n", "dev")
+        .orderBy("st", "pri")
+    },
+
+    // Collection-function surface over in-row arrays (the q45 slice
+    // covered element access; this covers construction, sort, search,
+    // dedup, join-to-string): p_name's word list exercised through
+    // size / sort / min / contains / position, dialect-paired with
+    // DuckDB's list_* family. array_position: Spark returns 0 for
+    // missing, DuckDB NULL — the COALESCE on the DuckDB side aligns
+    // the two contracts explicitly.
+    "q235_collection_fns" -> { (s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          expr("split(p_name, ' ')").as("w"))
+        .select(col("p_partkey"),
+          expr("CAST(size(w) AS BIGINT)").as("n_w"),
+          expr("array_min(w)").as("first_alpha"),
+          expr("concat_ws(',', array_sort(w))").as("sorted_words"),
+          expr("array_contains(w, 'blue')").as("has_blue"),
+          expr("CAST(array_position(w, 'bolt') AS BIGINT)").as("pos_bolt"))
+        .orderBy("p_partkey")
+    },
+
+    // Equi-width histogram with exact integer binning: 20 bins over
+    // the observed [lo, hi] price range, bin = ⌊(pc−lo)·20/(hi−lo+1)⌋
+    // (the +1 makes hi land in bin 19 — no least() clamp edge case),
+    // per-bin count/sum/min/max all in the cents lane. The bounds are
+    // a 1-row broadcast; the histogram itself is one map-side-combined
+    // aggregate — the profile pass that runs before any equi-depth
+    // (q166) decision.
+    "q226_histogram" -> { (s, d) =>
+      val rows = Tables.lineitem(s, d).select(
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("pc"))
+      val b = rows.agg(min("pc").as("lo"), max("pc").as("hi"))
+      rows.crossJoin(broadcast(b))
+        .withColumn("bin", expr("((pc - lo) * 20) div (hi - lo + 1)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pc").as("sum_c"),
+          min("pc").as("min_c"), max("pc").as("max_c"),
+          max("lo").as("lo"), max("hi").as("hi"))
+        .withColumn("bin_lo_c", expr("lo + (bin * (hi - lo + 1)) div 20"))
+        .select("bin", "bin_lo_c", "n", "sum_c", "min_c", "max_c")
+        .orderBy("bin")
+    },
+
+    // Period-over-period rollup: monthly revenue with MoM delta and
+    // share-of-total. The months frame is bounded by the corpus'
+    // calendar span, so the lag window is a legitimate tiny ordered
+    // frame; the share ships in exact milli (positive operands — div
+    // and // agree) and the MoM percentage as the identical IEEE
+    // division of exact cents.
+    "q227_monthly_rev" -> { (s, d) =>
+      val m = Tables.orders(s, d).select(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("rev"))
+        .groupBy("ym")
+        .agg(sum("rev").as("rev_c"), count(lit(1)).as("n_orders"))
+      val tot = m.agg(sum("rev_c").as("tot_c"))
+      m.crossJoin(broadcast(tot))
+        .withColumn("prev_c", lag("rev_c", 1).over(Window.orderBy("ym")))
+        .withColumn("mom_pct",
+          expr("CASE WHEN prev_c IS NULL THEN NULL " +
+            "ELSE CAST(rev_c - prev_c AS DOUBLE) / prev_c END"))
+        .withColumn("share_milli", expr("rev_c * 1000 div tot_c"))
+        .select("ym", "n_orders", "rev_c", "prev_c", "mom_pct", "share_milli")
+        .orderBy("ym")
+    },
+
+    // Grouped mode (most frequent value) with a deterministic
+    // tie-break (higher count, then smaller value): one aggregate to
+    // (group, value) counts, one WindowGroupLimit-shaped pick — the
+    // categorical summary statistic the profiling pass (q201) leaves
+    // to its numeric columns.
+    "q228_grouped_mode" -> { (s, d) =>
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("rk", row_number().over(
+          Window.partitionBy("l_returnflag")
+            .orderBy(col("n").desc, col("qty").asc)))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Remaining ranking-window surface: ntile (equal-height quartile
     // assignment) and percent_rank over the per-nation frame with a
     // tie-free order — both engines implement the SQL-standard
@@ -1268,6 +1375,72 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q234_contingency" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+        |         COUNT(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT st, CAST(SUM(obs) AS BIGINT) AS row_n FROM c GROUP BY 1),
+        |k AS (SELECT pri, CAST(SUM(obs) AS BIGINT) AS col_n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c)
+        |SELECT st, pri, obs, row_n, col_n, n,
+        |       obs * n - row_n * col_n AS dev
+        |FROM c JOIN r USING (st) JOIN k USING (pri), t
+        |ORDER BY st, pri""".stripMargin,
+
+    "q235_collection_fns" ->
+      """SELECT p_partkey,
+        |  CAST(len(str_split(p_name, ' ')) AS BIGINT) AS n_w,
+        |  list_min(str_split(p_name, ' ')) AS first_alpha,
+        |  list_aggregate(list_sort(str_split(p_name, ' ')), 'string_agg', ',')
+        |    AS sorted_words,
+        |  list_contains(str_split(p_name, ' '), 'blue') AS has_blue,
+        |  CAST(COALESCE(list_position(str_split(p_name, ' '), 'bolt'), 0)
+        |       AS BIGINT) AS pos_bolt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q226_histogram" ->
+      """WITH r AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        |  FROM lineitem),
+        |b AS (SELECT CAST(MIN(pc) AS BIGINT) AS lo, CAST(MAX(pc) AS BIGINT) AS hi FROM r),
+        |h AS (
+        |  SELECT ((pc - lo) * 20) // (hi - lo + 1) AS bin,
+        |         pc, lo, hi
+        |  FROM r, b)
+        |SELECT bin, MAX(lo) + (bin * (MAX(hi) - MAX(lo) + 1)) // 20 AS bin_lo_c,
+        |  COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_c,
+        |  MIN(pc) AS min_c, MAX(pc) AS max_c
+        |FROM h GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q227_monthly_rev" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS rev_c,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM m)
+        |SELECT ym, n_orders, rev_c,
+        |  LAG(rev_c) OVER (ORDER BY ym) AS prev_c,
+        |  CASE WHEN LAG(rev_c) OVER (ORDER BY ym) IS NULL THEN NULL
+        |       ELSE CAST(rev_c - LAG(rev_c) OVER (ORDER BY ym) AS DOUBLE)
+        |            / LAG(rev_c) OVER (ORDER BY ym) END AS mom_pct,
+        |  rev_c * 1000 // tot_c AS share_milli
+        |FROM m, t ORDER BY ym""".stripMargin,
+
+    "q228_grouped_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |            ORDER BY n DESC, qty) AS rk
+        |  FROM c)
+        |SELECT l_returnflag, qty AS mode_qty, n
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q224_window_ranks" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
