@@ -668,6 +668,64 @@ object Events {
         .orderBy("win_start_us", "event_type")
     },
 
+    // Interval SUBTRACTION (calendar-gap analysis): each event holds
+    // the user "busy" for 5 minutes; the idle report is the
+    // complement of the merged busy set inside the user's own span.
+    // Sweep-line form: +1/−1 boundary rows, running coverage ordered
+    // with starts BEFORE ends at the same instant (abutting intervals
+    // never open a zero-width gap), a gap wherever coverage returns
+    // to 0 before another boundary follows. Everything is exact
+    // integer µs on the per-user partition — one hash exchange, the
+    // q104 sweep shape with subtraction semantics. Complements q142's
+    // interval MERGE.
+    "q236_idle_gaps" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .select(col("user_id"), col("event_id"), col("tsu"))
+      val bounds = e.select(col("user_id"), col("tsu").as("bt"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionByName(e.select(col("user_id"),
+          (col("tsu") + 300000000L).as("bt"), lit(-1L).as("delta"),
+          col("event_id")))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("bt"), col("delta").desc, col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("cov", sum("delta").over(run))
+        .withColumn("nxt", lead("bt", 1).over(ord))
+        .withColumn("gap_us",
+          when(col("cov") === 0 && col("nxt").isNotNull,
+            col("nxt") - col("bt")).otherwise(lit(0L)))
+        .groupBy("user_id")
+        .agg(sum(expr("CASE WHEN gap_us > 0 THEN 1 ELSE 0 END")).as("n_gaps"),
+          sum("gap_us").as("idle_us_sum"),
+          max(expr("CASE WHEN gap_us > 0 THEN gap_us ELSE 0 END"))
+            .as("max_gap_us"))
+        .orderBy("user_id")
+    },
+
+    // Inter-arrival latency histogram in log₂ buckets — the
+    // heavy-tail profile every event pipeline reads before picking
+    // watermarks and session gaps. The bucket is length(bin(gap_us)):
+    // the BINARY-STRING length of the exact integer gap, i.e.
+    // ⌊log₂⌋+1 with ZERO floating point anywhere — both engines
+    // render BIGINT binary identically. One per-user lag + one
+    // map-side-combined aggregate.
+    "q238_gap_histogram" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("gap_us", col("tsu") - lag("tsu", 1).over(byUser))
+        .filter(col("gap_us").isNotNull && col("gap_us") > 0)
+        .withColumn("bucket",
+          expr("CAST(length(bin(gap_us)) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("gap_us").as("min_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .orderBy("bucket")
+    },
+
     // Longest consecutive-day activity streak per user — the
     // gaps-and-islands idiom at DATE granularity: distinct active
     // days, row_number along them, and day − rn is CONSTANT exactly
@@ -941,6 +999,47 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q236_idle_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, tsu AS bt, CAST(1 AS BIGINT) AS delta, event_id FROM e
+        |  UNION ALL
+        |  SELECT user_id, tsu + 300000000, CAST(-1 AS BIGINT), event_id FROM e),
+        |c AS (
+        |  SELECT user_id, bt,
+        |    CAST(SUM(delta) OVER w AS BIGINT) AS cov,
+        |    LEAD(bt) OVER w2 AS nxt
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY bt, delta DESC, event_id
+        |               ROWS UNBOUNDED PRECEDING),
+        |         w2 AS (PARTITION BY user_id ORDER BY bt, delta DESC, event_id)),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN cov = 0 AND nxt IS NOT NULL THEN nxt - bt
+        |         ELSE 0 END AS gap_us
+        |  FROM c)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN gap_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(gap_us) AS BIGINT) AS idle_us_sum,
+        |  CAST(MAX(CASE WHEN gap_us > 0 THEN gap_us ELSE 0 END) AS BIGINT)
+        |    AS max_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q238_gap_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events),
+        |g AS (
+        |  SELECT tsu - LAG(tsu) OVER (PARTITION BY user_id
+        |                              ORDER BY tsu, event_id) AS gap_us
+        |  FROM e)
+        |SELECT CAST(length(bin(gap_us)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q230_longest_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

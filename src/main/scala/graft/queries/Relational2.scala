@@ -338,6 +338,59 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Returned-item revenue report (the TPC-H Q10 shape): customers
+    // ranked by revenue lost to R-flagged returns, with nation
+    // context. Revenue = Σ extprice·(100 − disc) kept EXACT in
+    // cent-percent units (cents × integer percent — no decimal
+    // rounding mode enters). Fact-side join on orderkey, dimension
+    // joins broadcast, and the top-20 is a TakeOrdered heap with a
+    // full tie-break — never a global sort of the aggregate.
+    "q239_returned_revenue" -> { (s, d) =>
+      val rli = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " * (100 - CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT))")
+            .as("rev_cp"))
+      rli.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("rev_cp").as("rev_cp"), count(lit(1)).as("n_items"))
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "rev_cp", "n_items")
+        .orderBy(col("rev_cp").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // Referential-integrity audit: orphan counts for the three FK
+    // edges of the star schema in one report — the data-quality gate
+    // a pipeline runs after every ingest. Each lane is one left-anti
+    // join (hash, null-safe by key construction) plus a count; the
+    // three 1-row frames union into the report.
+    "q240_fk_orphans" -> { (s, d) =>
+      def lane(rel: String, fact: DataFrame, dim: DataFrame,
+               fk: String, pk: String): DataFrame = {
+        val tot = fact.agg(count(lit(1)).as("n_rows"))
+        fact.join(dim, col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(broadcast(tot)) // 1-row scalar frame, never a driver action
+          .select(lit(rel).as("relation"), col("n_orphans"), col("n_rows"))
+      }
+      lane("lineitem->orders", Tables.lineitem(s, d).select("l_orderkey"),
+          Tables.orders(s, d).select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .unionByName(lane("lineitem->part",
+          Tables.lineitem(s, d).select("l_partkey"),
+          Tables.part(s, d).select("p_partkey"), "l_partkey", "p_partkey"))
+        .unionByName(lane("orders->customer",
+          Tables.orders(s, d).select("o_custkey"),
+          Tables.customer(s, d).select("c_custkey"), "o_custkey", "c_custkey"))
+        .orderBy("relation")
+    },
+
     // Contingency table with exact independence deviations: the
     // status × priority cross-tab, each cell carrying obs·n − row·col
     // — the χ² numerator kept as a pure integer (a float χ² would
@@ -1375,6 +1428,44 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q239_returned_revenue" ->
+      """WITH r AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT))
+        |      AS rev_cp
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |a AS (
+        |  SELECT o_custkey, CAST(SUM(rev_cp) AS BIGINT) AS rev_cp,
+        |         COUNT(*) AS n_items
+        |  FROM r JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, rev_cp, n_items
+        |FROM a
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev_cp DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q240_fk_orphans" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |       AS BIGINT) AS n_orphans,
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |       AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  CAST((SELECT COUNT(*) FROM orders
+        |        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |       AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+        |ORDER BY relation""".stripMargin,
 
     "q234_contingency" ->
       """WITH c AS (

@@ -1399,6 +1399,30 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Cohen's kappa for the language-ID classifier vs the labeled
+    // lang — chance-corrected agreement over q88's confusion matrix,
+    // kept EXACT as the integer rational (n·Σdiag − Σ row·col) /
+    // (n² − Σ row·col); the double kappa is one IEEE division of the
+    // two exact BIGINTs. The marginals are a 25-cell frame — driver-
+    // free conditional aggregation, no float probability enters.
+    "q237_langid_kappa" -> { (s, dir) =>
+      val cells = langScored(s, dir)
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val rowT = cells.groupBy("lang").agg(sum("n").as("row_n"))
+      val colT = cells.groupBy("pred_lang").agg(sum("n").as("col_n"))
+      val marg = rowT.join(colT, col("lang") === col("pred_lang"))
+        .agg(sum(expr("row_n * col_n")).as("sum_rc"))
+      cells.agg(sum("n").as("n_tot"),
+          sum(when(col("lang") === col("pred_lang"), col("n"))
+            .otherwise(0L)).as("n_agree"))
+        .crossJoin(broadcast(marg))
+        .withColumn("kappa_num", expr("n_tot * n_agree - sum_rc"))
+        .withColumn("kappa_den", expr("n_tot * n_tot - sum_rc"))
+        .withColumn("kappa",
+          expr("CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE)"))
+        .select("n_tot", "n_agree", "sum_rc", "kappa_num", "kappa_den", "kappa")
+    },
+
     // EXACT set-similarity self-join (Jaccard ≥ 0.5 over 3-shingle
     // sets) via prefix filtering — the guaranteed-no-misses complement
     // to the MinHash-LSH candidates of q29/q30 (which trade recall for
@@ -2179,6 +2203,26 @@ object TextOps {
          |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
          |SELECT tok, n, TRUE AS present, TRUE AS est_ok
          |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin,
+
+    "q237_langid_kappa" ->
+      s"""$duckBase,
+         |$duckLangCtes,
+         |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |      FROM p GROUP BY 1, 2),
+         |r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY 1),
+         |k AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS col_n FROM c GROUP BY 1),
+         |m AS (SELECT CAST(SUM(row_n * col_n) AS BIGINT) AS sum_rc
+         |      FROM r JOIN k ON r.lang = k.pred_lang),
+         |a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         |        CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT)
+         |          AS n_agree
+         |      FROM c)
+         |SELECT n_tot, n_agree, sum_rc,
+         |  n_tot * n_agree - sum_rc AS kappa_num,
+         |  n_tot * n_tot - sum_rc AS kappa_den,
+         |  CAST(n_tot * n_agree - sum_rc AS DOUBLE)
+         |    / CAST(n_tot * n_tot - sum_rc AS DOUBLE) AS kappa
+         |FROM a, m""".stripMargin,
 
     // Naive all-pairs form — the prefix filter on the Spark side is
     // pure pruning, so the outputs must be identical.
