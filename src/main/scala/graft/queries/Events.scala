@@ -81,13 +81,21 @@ object Events {
     * engines over exact integer counts, so every double op is the
     * same IEEE-754 sequence (the moment-statistics convention).
     */
-  private val AbRate0F = "CAST(c0 AS DOUBLE) / n0"
-  private val AbRate1F = "CAST(c1 AS DOUBLE) / n1"
+  private val AbRate0F =
+    "CASE WHEN n0 = 0 THEN NULL ELSE CAST(c0 AS DOUBLE) / n0 END"
+  private val AbRate1F =
+    "CASE WHEN n1 = 0 THEN NULL ELSE CAST(c1 AS DOUBLE) / n1 END"
   private val AbPoolF = "(CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))"
   private val AbZF = // 1/n spelled via a DOUBLE cast: a bare 1.0
-    // literal is DECIMAL in DuckDB and would divide decimal-wise
-    s"(($AbRate1F) - ($AbRate0F)) / sqrt(($AbPoolF) * (1.0 - ($AbPoolF)) * " +
-      "(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))"
+    // literal is DECIMAL in DuckDB and would divide decimal-wise.
+    // Degenerate guards are INTEGER predicates (empty arm, pooled
+    // rate 0 or 1 → variance 0): Spark-4 ANSI raises DIVIDE_BY_ZERO
+    // even for DOUBLE/0 while DuckDB yields NULL — the CASE makes
+    // both engines return NULL.
+    "CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 " +
+      "THEN NULL ELSE " +
+      s"(($AbRate1F) - ($AbRate0F)) / sqrt(($AbPoolF) * (1.0 - ($AbPoolF)) * " +
+      "(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)) END"
 
   /** Benford expected share per first digit, pre-quantized to micro
     * (⌊log10(1+1/d)·10⁶+0.5⌋ computed OFFLINE — no runtime log10, so
@@ -864,17 +872,24 @@ object Events {
     "q222_winsorize" -> { (s, d) =>
       val ord = Window.partitionBy("event_type")
         .orderBy(col("vmilli"), col("event_id"))
-      val e = Tables.events(s, d)
-        .withColumn("vmilli",
-          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)")
+            .as("vmilli"))
+      // ONE ranked-window pass feeds the bounds aggregate; the rejoin
+      // side reads the cheap narrow `base` (no windows) — clipping
+      // only needs vmilli + the broadcast bounds, so the partitioned
+      // sort is never executed twice
+      val bounds = base
         .withColumn("rn", row_number().over(ord).cast("long"))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      val bounds = e.groupBy("event_type")
-        .agg(max(when(expr("rn * 20 >= n AND (rn - 1) * 20 < n"),
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(when(expr("rn * 20 >= n AND (rn - 1) * 20 < n"),
             col("vmilli"))).as("p05"),
           max(when(expr("rn * 20 >= 19 * n AND (rn - 1) * 20 < 19 * n"),
             col("vmilli"))).as("p95"))
-      e.join(broadcast(bounds), "event_type")
+      base.join(broadcast(bounds), "event_type")
         .groupBy("event_type")
         .agg(max("n").as("n"), max("p05").as("p05"), max("p95").as("p95"),
           sum(expr("CASE WHEN vmilli < p05 THEN 1 ELSE 0 END")).as("n_lo"),
@@ -920,6 +935,11 @@ object Events {
     // WindowGroupLimit-shaped pick of the argmax row per type with a
     // full (abs desc, tsu, event_id) tie-break. Magnitudes: n·v ≲
     // 10¹¹ at sf0.1, ·k ≲ 10¹⁶ — inside BIGINT with 100× headroom.
+    // HONEST CEILING: the statistic grows ~n²·v̄, so BIGINT overflows
+    // (ANSI-fatal, not silent) at roughly n ≈ 3·10⁸ rows per series
+    // with milli values — beyond that, swap the ns lane to
+    // DECIMAL(38,0) (same formula; ~2× agg cost) or pre-aggregate to
+    // a coarser grain before the CUSUM.
     "q219_cusum" -> { (s, d) =>
       val byType = Window.partitionBy("event_type")
       val ord = byType.orderBy(col("tsu"), col("event_id"))

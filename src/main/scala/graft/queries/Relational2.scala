@@ -54,9 +54,12 @@ object Relational2 {
     * both engines (the [[MeanF]] convention): slope = (nΣxy − ΣxΣy) /
     * (nΣxx − Σx²), intercept = (Σy − slope·Σx)/n.
     */
-  private val OlsSlopeF =
-    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private val OlsSlopeF = // constant-x group → zero denominator: the
+    // INTEGER guard makes both engines yield NULL (Spark-4 ANSI
+    // raises DIVIDE_BY_ZERO even on DOUBLE/0, DuckDB doesn't)
+    "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE " +
+      "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"
   private val OlsInterceptF =
     s"(CAST(sy AS DOUBLE) - ($OlsSlopeF) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
 
@@ -368,18 +371,20 @@ object Relational2 {
 
     // Referential-integrity audit: orphan counts for the three FK
     // edges of the star schema in one report — the data-quality gate
-    // a pipeline runs after every ingest. Each lane is one left-anti
-    // join (hash, null-safe by key construction) plus a count; the
-    // three 1-row frames union into the report.
+    // a pipeline runs after every ingest. Each lane is ONE left outer
+    // join over the fact (orphan = unmatched row, i.e. NULL probe
+    // key) counting rows and orphans in the same pass — never two
+    // fact scans. A NULL foreign key counts as an orphan (the
+    // equi-join can't match it), which is what an integrity audit
+    // wants and what the oracle's NOT EXISTS mirrors (NOT IN would
+    // silently zero the lane on one NULL).
     "q240_fk_orphans" -> { (s, d) =>
       def lane(rel: String, fact: DataFrame, dim: DataFrame,
-               fk: String, pk: String): DataFrame = {
-        val tot = fact.agg(count(lit(1)).as("n_rows"))
-        fact.join(dim, col(fk) === col(pk), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-          .crossJoin(broadcast(tot)) // 1-row scalar frame, never a driver action
+               fk: String, pk: String): DataFrame =
+        fact.join(dim.select(col(pk)).distinct(), col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
           .select(lit(rel).as("relation"), col("n_orphans"), col("n_rows"))
-      }
       lane("lineitem->orders", Tables.lineitem(s, d).select("l_orderkey"),
           Tables.orders(s, d).select("o_orderkey"), "l_orderkey", "o_orderkey")
         .unionByName(lane("lineitem->part",
@@ -1447,22 +1452,25 @@ object Relational2 {
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY rev_cp DESC, c_custkey LIMIT 20""".stripMargin,
 
+    // NOT EXISTS (not NOT IN): matches left-anti semantics on NULL
+    // foreign keys — a NULL fk is an orphan, and a NULL in the dim
+    // key can't zero the lane.
     "q240_fk_orphans" ->
       """SELECT 'lineitem->orders' AS relation,
-        |  CAST((SELECT COUNT(*) FROM lineitem
-        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |        (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey))
         |       AS BIGINT) AS n_orphans,
         |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
         |UNION ALL
         |SELECT 'lineitem->part',
-        |  CAST((SELECT COUNT(*) FROM lineitem
-        |        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |        (SELECT 1 FROM part p WHERE l.l_partkey = p.p_partkey))
         |       AS BIGINT),
         |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
         |UNION ALL
         |SELECT 'orders->customer',
-        |  CAST((SELECT COUNT(*) FROM orders
-        |        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |        (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
         |       AS BIGINT),
         |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
         |ORDER BY relation""".stripMargin,

@@ -1418,8 +1418,11 @@ object TextOps {
         .crossJoin(broadcast(marg))
         .withColumn("kappa_num", expr("n_tot * n_agree - sum_rc"))
         .withColumn("kappa_den", expr("n_tot * n_tot - sum_rc"))
+        // single-class degenerate matrix → den = 0; both engines must
+        // yield NULL (Spark-4 ANSI errors on DOUBLE/0, DuckDB doesn't)
         .withColumn("kappa",
-          expr("CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE)"))
+          expr("CASE WHEN kappa_den = 0 THEN NULL " +
+            "ELSE CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE) END"))
         .select("n_tot", "n_agree", "sum_rc", "kappa_num", "kappa_den", "kappa")
     },
 
@@ -2220,8 +2223,9 @@ object TextOps {
          |SELECT n_tot, n_agree, sum_rc,
          |  n_tot * n_agree - sum_rc AS kappa_num,
          |  n_tot * n_tot - sum_rc AS kappa_den,
-         |  CAST(n_tot * n_agree - sum_rc AS DOUBLE)
-         |    / CAST(n_tot * n_tot - sum_rc AS DOUBLE) AS kappa
+         |  CASE WHEN n_tot * n_tot - sum_rc = 0 THEN NULL
+         |       ELSE CAST(n_tot * n_agree - sum_rc AS DOUBLE)
+         |            / CAST(n_tot * n_tot - sum_rc AS DOUBLE) END AS kappa
          |FROM a, m""".stripMargin,
 
     // Naive all-pairs form — the prefix filter on the Spark side is
