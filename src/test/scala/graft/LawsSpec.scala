@@ -243,10 +243,14 @@ class LawsSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(31)
     // small vocabulary + overlapping draws force pairs at every
     // Jaccard band, including exact ties at the threshold
-    val rows = (1 to 120).map { i =>
+    // explicit clone groups (ids 200+ repeat earlier sets) force the
+    // exact-duplicate collapse + expansion path alongside random sets
+    val base = (1 to 120).map { i =>
       val sz = 1 + rnd.nextInt(12)
       (i.toLong, Seq.fill(sz)(s"e${rnd.nextInt(30)}").distinct)
-    }.toDF("id", "els")
+    }
+    val clones = (0 until 30).map(j => (200L + j, base(j % 10)._2))
+    val rows = (base ++ clones).toDF("id", "els")
     for ((tn, td) <- Seq((1, 2), (3, 10), (4, 5))) {
       def key(df: org.apache.spark.sql.DataFrame) = df
         .select("id_a", "id_b", "n_inter", "n_union").collect()
