@@ -862,6 +862,56 @@ object Events {
         .orderBy("cohort")
     },
 
+    // Exact grouped quartiles (the describe() block): p25/p50/p75 per
+    // event_type by the rank-crossing identity k = ⌈q·n⌉ ⟺ 4·rn ≥ q·4·n
+    // band — one ranked window pass, one conditional aggregate, all in
+    // the exact milli lane (type-1 quantiles: actual data values, no
+    // interpolation to reconcile).
+    "q241_group_quartiles" -> { (s, d) =>
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("vmilli"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)")
+            .as("vmilli"))
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          max(when(expr("rn * 4 >= n AND (rn - 1) * 4 < n"),
+            col("vmilli"))).as("p25"),
+          max(when(expr("rn * 4 >= 2 * n AND (rn - 1) * 4 < 2 * n"),
+            col("vmilli"))).as("p50"),
+          max(when(expr("rn * 4 >= 3 * n AND (rn - 1) * 4 < 3 * n"),
+            col("vmilli"))).as("p75"))
+        .orderBy("event_type")
+    },
+
+    // Raw autocovariance numerators at lags 1..3 per event_type:
+    // Σ v_t·v_{t−k} over the (tsu, event_id)-ordered series, exact in
+    // milli² integers (magnitudes ≲ 10¹² per term × 10⁶ rows = 10¹⁸ —
+    // inside BIGINT; the mean-centered ACF is one identical-text
+    // double step away for any consumer). Three lags ride ONE window
+    // partition — no self-joins.
+    "q243_acf_lags" -> { (s, d) =>
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("tsu"), col("event_id"))
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("v",
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"))
+      val lagged = (1 to 3).foldLeft(e) { (df, k) =>
+        df.withColumn(s"v_$k", lag("v", k).over(ord))
+      }
+      lagged.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("v * v")).as("s0"),
+          sum(expr("v * v_1")).as("s1"), count(col("v_1")).as("n1"),
+          sum(expr("v * v_2")).as("s2"), count(col("v_2")).as("n2"),
+          sum(expr("v * v_3")).as("s3"), count(col("v_3")).as("n3"))
+        .orderBy("event_type")
+    },
+
     // Exact winsorized robust stats per event_type: rank-based (type-1)
     // p05/p95 picked by tie-broken row_number (k = ⌈q·n⌉ via the
     // integer 20·k ≥ n ⟺ k ≥ ⌈n/20⌉ identity), then every value
@@ -1155,6 +1205,44 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q241_group_quartiles" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vmilli
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |         ORDER BY vmilli, event_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e)
+        |SELECT event_type, MAX(n) AS n,
+        |  MAX(CASE WHEN rn * 4 >= n AND (rn - 1) * 4 < n
+        |           THEN vmilli END) AS p25,
+        |  MAX(CASE WHEN rn * 4 >= 2 * n AND (rn - 1) * 4 < 2 * n
+        |           THEN vmilli END) AS p50,
+        |  MAX(CASE WHEN rn * 4 >= 3 * n AND (rn - 1) * 4 < 3 * n
+        |           THEN vmilli END) AS p75
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q243_acf_lags" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS tsu,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, v,
+        |    LAG(v, 1) OVER w AS v_1,
+        |    LAG(v, 2) OVER w AS v_2,
+        |    LAG(v, 3) OVER w AS v_3
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(v * v) AS BIGINT) AS s0,
+        |  CAST(SUM(v * v_1) AS BIGINT) AS s1, COUNT(v_1) AS n1,
+        |  CAST(SUM(v * v_2) AS BIGINT) AS s2, COUNT(v_2) AS n2,
+        |  CAST(SUM(v * v_3) AS BIGINT) AS s3, COUNT(v_3) AS n3
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q222_winsorize" ->
       """WITH e AS (

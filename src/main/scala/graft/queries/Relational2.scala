@@ -341,6 +341,48 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Order→ship latency SLA report per priority: exact integer-day
+    // gaps (datediff on both engines), fulfillment stats and the
+    // >90-day late share in exact milli — the logistics rollup every
+    // order pipeline runs nightly. One fact join on orderkey + one
+    // map-side-combined aggregate.
+    "q242_ship_latency" -> { (s, d) =>
+      Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lat_d",
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), min("lat_d").as("min_d"),
+          max("lat_d").as("max_d"), sum("lat_d").as("lat_d_sum"),
+          sum(expr("CASE WHEN lat_d > 90 THEN 1 ELSE 0 END")).as("n_late"))
+        .withColumn("avg_d_milli", expr("lat_d_sum * 1000 div n"))
+        .withColumn("late_milli", expr("n_late * 1000 div n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Degree distribution of the supply graph in log₂ buckets — the
+    // graph-profiling pass run before choosing partitioning/salting
+    // strategies (a power-law tail is what makes a key hot). Degree =
+    // distinct neighbors per node (both sides of the bipartite graph
+    // via the symmetric union), bucket = binary-string length of the
+    // degree (⌊log₂⌋+1, zero floats — the q238 trick). Two aggregates,
+    // both map-side combined.
+    "q244_degree_histogram" -> { (s, d) =>
+      val fwd = Tables.lineitem(s, d).select(
+        col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val deg = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      deg.withColumn("bucket", expr("CAST(length(bin(deg)) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),
+          max("deg").as("max_deg"), sum("deg").as("deg_sum"))
+        .orderBy("bucket")
+    },
+
     // Returned-item revenue report (the TPC-H Q10 shape): customers
     // ranked by revenue lost to R-flagged returns, with nation
     // context. Revenue = Σ extprice·(100 − disc) kept EXACT in
@@ -1433,6 +1475,34 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q242_ship_latency" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lat_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  MIN(lat_d) AS min_d, MAX(lat_d) AS max_d,
+        |  CAST(SUM(lat_d) AS BIGINT) AS lat_d_sum,
+        |  CAST(SUM(CASE WHEN lat_d > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(SUM(lat_d) AS BIGINT) * 1000 // COUNT(*) AS avg_d_milli,
+        |  CAST(SUM(CASE WHEN lat_d > 90 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+        |    // COUNT(*) AS late_milli
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q244_degree_histogram" ->
+      """WITH fwd AS (
+        |  SELECT l_partkey AS src, l_suppkey + 10000000 AS dst FROM lineitem),
+        |sym AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM fwd
+        |    UNION ALL
+        |    SELECT dst AS src, src AS dst FROM fwd)),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+        |  CAST(SUM(deg) AS BIGINT) AS deg_sum
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q239_returned_revenue" ->
       """WITH r AS (
