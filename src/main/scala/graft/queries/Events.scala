@@ -676,6 +676,60 @@ object Events {
         .orderBy("win_start_us", "event_type")
     },
 
+    // Weekly churn: users active in week w but silent in w+1 — the
+    // temporal anti-join every growth dashboard runs. Distinct
+    // (user, week) pairs once, then churn is a LEAD over the
+    // per-user week sequence (next active week ≠ w+1 ⇒ churned
+    // after w; the corpus' last week is excluded — churn there is
+    // right-censored, not observed). The week index is the exact
+    // integer epoch-day div 7; one hash exchange on user_id plus a
+    // bounded week rollup. (Weekly, not monthly: the synthetic
+    // corpus spans ~one month — a monthly grain would gate zero
+    // rows.)
+    "q245_weekly_churn" -> { (s, d) =>
+      val months = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) div 86400000000) div 7").as("mi"))
+        .distinct()
+      val nxt = Window.partitionBy("user_id").orderBy("mi")
+      val lastM = months.agg(max("mi").as("last_mi"))
+      months
+        .withColumn("next_mi", lead("mi", 1).over(nxt))
+        .crossJoin(broadcast(lastM))
+        .filter(col("mi") < col("last_mi")) // censored tail excluded
+        .withColumn("churned",
+          when(col("next_mi").isNull || col("next_mi") > col("mi") + 1, 1L)
+            .otherwise(0L))
+        .groupBy("mi")
+        .agg(count(lit(1)).as("n_active"), sum("churned").as("n_churned"))
+        .withColumn("churn_milli", expr("n_churned * 1000 div n_active"))
+        .orderBy("mi")
+    },
+
+    // Cohort retention matrix (first-active week × week offset): the
+    // product-analytics triangle. Cohort = the user's first active
+    // week; each later active week contributes at its integer
+    // offset; cells carry exact counts and a milli share of the
+    // cohort. Two narrow aggregates on user_id and one bounded-matrix
+    // rollup — offsets are calendar-bounded, so the output frame is
+    // tiny by construction.
+    "q248_cohort_retention" -> { (s, d) =>
+      val months = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) div 86400000000) div 7").as("mi"))
+        .distinct()
+      val cohort = months.groupBy("user_id").agg(min("mi").as("c0"))
+      val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("n_cohort"))
+      months.join(cohort, "user_id")
+        .withColumn("off", col("mi") - col("c0"))
+        .groupBy("c0", "off")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "c0")
+        .withColumn("ret_milli", expr("n_active * 1000 div n_cohort"))
+        .select("c0", "off", "n_cohort", "n_active", "ret_milli")
+        .orderBy("c0", "off")
+    },
+
     // Interval SUBTRACTION (calendar-gap analysis): each event holds
     // the user "busy" for 5 minutes; the idle report is the
     // complement of the merged busy set inside the user's own span.
@@ -1069,6 +1123,41 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q245_weekly_churn" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts::TIMESTAMP) // 86400000000) // 7 AS mi
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, mi,
+        |    LEAD(mi) OVER (PARTITION BY user_id ORDER BY mi) AS next_mi
+        |  FROM m),
+        |t AS (SELECT MAX(mi) AS last_mi FROM m)
+        |SELECT mi, COUNT(*) AS n_active,
+        |  CAST(SUM(CASE WHEN next_mi IS NULL OR next_mi > mi + 1
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  CAST(SUM(CASE WHEN next_mi IS NULL OR next_mi > mi + 1
+        |               THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+        |    AS churn_milli
+        |FROM x, t WHERE mi < last_mi
+        |GROUP BY mi ORDER BY mi""".stripMargin,
+
+    "q248_cohort_retention" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts::TIMESTAMP) // 86400000000) // 7 AS mi
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(mi) AS c0 FROM m GROUP BY 1),
+        |s AS (SELECT c0, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM c GROUP BY 1),
+        |a AS (
+        |  SELECT c.c0, m.mi - c.c0 AS off, COUNT(*) AS n_active
+        |  FROM m JOIN c ON m.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT a.c0, off, n_cohort, n_active,
+        |       n_active * 1000 // n_cohort AS ret_milli
+        |FROM a JOIN s ON a.c0 = s.c0
+        |ORDER BY a.c0, off""".stripMargin,
+
     "q236_idle_gaps" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tsu

@@ -341,6 +341,27 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Order fill-rate by month: an order is "filled on time" iff its
+    // SLOWEST lineitem shipped within 30 days — a two-level rollup
+    // (per-order max, then per-month share) whose both aggregates
+    // partial-combine map-side. Shares in exact milli.
+    "q246_fill_rate" -> { (s, d) =>
+      val perOrder = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(max(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .as("max_lat_d"))
+      perOrder.groupBy("ym")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CASE WHEN max_lat_d <= 30 THEN 1 ELSE 0 END"))
+            .as("n_filled"))
+        .withColumn("fill_milli", expr("n_filled * 1000 div n_orders"))
+        .orderBy("ym")
+    },
+
     // Order→ship latency SLA report per priority: exact integer-day
     // gaps (datediff on both engines), fulfillment stats and the
     // >90-day late share in exact milli — the logistics rollup every
@@ -1475,6 +1496,21 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q246_fill_rate" ->
+      """WITH p AS (
+        |  SELECT l_orderkey,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    MAX(CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT))
+        |      AS max_lat_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT ym, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN max_lat_d <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_filled,
+        |  CAST(SUM(CASE WHEN max_lat_d <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // COUNT(*) AS fill_milli
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q242_ship_latency" ->
       """WITH j AS (

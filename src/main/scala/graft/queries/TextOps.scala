@@ -1399,6 +1399,24 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Hapax-legomena rate per source: the share of each source's
+    // vocabulary that occurs exactly once IN THAT SOURCE — the
+    // vocabulary-richness/contamination signal (template-generated
+    // corpora have almost no hapaxes; natural text ~40-60%). One
+    // (source, token) count aggregate, one vocabulary rollup, shares
+    // in exact milli.
+    "q247_hapax_rate" -> { (s, dir) =>
+      docsWithToks(s, dir)
+        .select(col("source"), explode(col("toks")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(expr("CASE WHEN n = 1 THEN 1 ELSE 0 END")).as("n_hapax"),
+          sum("n").as("n_tokens"))
+        .withColumn("hapax_milli", expr("n_hapax * 1000 div vocab"))
+        .orderBy("source")
+    },
+
     // Cohen's kappa for the language-ID classifier vs the labeled
     // lang — chance-corrected agreement over q88's confusion matrix,
     // kept EXACT as the integer rational (n·Σdiag − Σ row·col) /
@@ -2206,6 +2224,18 @@ object TextOps {
          |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
          |SELECT tok, n, TRUE AS present, TRUE AS est_ok
          |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin,
+
+    "q247_hapax_rate" -> {
+      s"""WITH b AS (SELECT source, ${D.tokens("text")} AS toks FROM documents),
+         |p AS (SELECT source, unnest(toks) AS t FROM b),
+         |c AS (SELECT source, t, COUNT(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS vocab,
+         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |    // COUNT(*) AS hapax_milli
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q237_langid_kappa" ->
       s"""$duckBase,
