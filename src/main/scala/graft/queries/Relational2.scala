@@ -341,6 +341,75 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Basket-size distribution: lineitems per order histogram with
+    // the average basket value per size — the order-shape profile
+    // (two stacked map-side-combined aggregates; cents lane exact,
+    // avg as truncating div of non-negative integers).
+    "q249_basket_size" -> { (s, d) =>
+      val per = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("sz"),
+          sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("val_c"))
+      per.groupBy("sz")
+        .agg(count(lit(1)).as("n_orders"), sum("val_c").as("val_c_sum"))
+        .withColumn("avg_val_c", expr("val_c_sum div n_orders"))
+        .orderBy("sz")
+    },
+
+    // Supplier-concentration HHI per part: Σ share² over the part's
+    // suppliers, share in exact ppm (qty·10⁶ div total — truncating
+    // div of non-negative integers, identical both engines), HHI in
+    // ppm² — the market-concentration screen, all-integer. Parts
+    // above 0.5 HHI (≥ ~71% single-supplier share) flag as
+    // concentration risks.
+    "q250_supplier_hhi" -> { (s, d) =>
+      val qty = Tables.lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      val tot = qty.groupBy("l_partkey").agg(sum("q").as("qt"))
+      qty.join(tot, "l_partkey")
+        .withColumn("share_ppm", expr("q * 1000000 div qt"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(expr("share_ppm * share_ppm")).as("hhi_pp2"))
+        .withColumn("concentrated", col("hhi_pp2") > 500000000000L)
+        .orderBy("l_partkey")
+    },
+
+    // Association lift for the top co-purchase pairs, kept as the
+    // exact integer rational lift = N·n(a,b) / (n(a)·n(b)) — the
+    // confidence/lift readout of market-basket analysis without a
+    // float probability anywhere (num and den ship separately; the
+    // double is one IEEE division both engines share). Rides q76's
+    // skew-salted pair substrate shape but derives its own counts so
+    // the arithmetic stays self-contained.
+    "q251_pair_lift" -> { (s, d) =>
+      val op = orderPartPairs(s, d)
+      val nOrders = op.select("ok").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val itemN = op.groupBy("pk").agg(count(lit(1)).as("n_item"))
+      val pairs = graft.operators.Skew
+        .selfPairs(op, "ok", "pk", hotThreshold = 1000L)
+        .groupBy(col("pk_1"), col("pk_2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(itemN.select(col("pk").as("pk_1"), col("n_item").as("n_a")), "pk_1")
+        .join(itemN.select(col("pk").as("pk_2"), col("n_item").as("n_b")), "pk_2")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift_num", expr("n_orders * n_ab"))
+        .withColumn("lift_den", expr("n_a * n_b"))
+        .withColumn("lift",
+          expr("CAST(lift_num AS DOUBLE) / CAST(lift_den AS DOUBLE)"))
+        .withColumn("conf_ab_milli", expr("n_ab * 1000 div n_a"))
+        .select("pk_1", "pk_2", "n_ab", "n_a", "n_b",
+          "lift_num", "lift_den", "lift", "conf_ab_milli")
+        .orderBy(col("lift").desc, col("pk_1"), col("pk_2"))
+        .limit(50)
+    },
+
     // Order fill-rate by month: an order is "filled on time" iff its
     // SLOWEST lineitem shipped within 30 days — a two-level rollup
     // (per-order max, then per-month share) whose both aggregates
@@ -1496,6 +1565,52 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q249_basket_size" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, COUNT(*) AS sz,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS val_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sz, COUNT(*) AS n_orders,
+        |  CAST(SUM(val_c) AS BIGINT) AS val_c_sum,
+        |  CAST(SUM(val_c) AS BIGINT) // COUNT(*) AS avg_val_c
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q250_supplier_hhi" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS qt FROM q GROUP BY 1),
+        |s AS (
+        |  SELECT q.l_partkey, q.q * 1000000 // t.qt AS share_ppm
+        |  FROM q JOIN t ON q.l_partkey = t.l_partkey)
+        |SELECT l_partkey, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_pp2,
+        |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) > 500000000000
+        |    AS concentrated
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q251_pair_lift" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+        |i AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+        |pr AS (
+        |  SELECT a.pk AS pk_1, b.pk AS pk_2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pk_1, pk_2, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  n_orders * n_ab AS lift_num,
+        |  ia.n_item * ib.n_item AS lift_den,
+        |  CAST(n_orders * n_ab AS DOUBLE)
+        |    / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift,
+        |  n_ab * 1000 // ia.n_item AS conf_ab_milli
+        |FROM pr
+        |JOIN i ia ON pr.pk_1 = ia.pk
+        |JOIN i ib ON pr.pk_2 = ib.pk, n
+        |ORDER BY lift DESC, pk_1, pk_2 LIMIT 50""".stripMargin,
 
     "q246_fill_rate" ->
       """WITH p AS (
