@@ -916,6 +916,29 @@ object Events {
         .orderBy("cohort")
     },
 
+    // Empirical CDF sampled at fixed probe points per event_type —
+    // the inverse readout of the quantile family (q241 answers "what
+    // value at P?", this answers "what P at value x?"). One
+    // conditional aggregate, shares in exact milli; the probe points
+    // are compile-time constants so both engines run the identical
+    // predicate set.
+    "q253_ecdf_probes" -> { (s, d) =>
+      val probes = Seq(100000L, 250000L, 500000L, 900000L)
+      val aggs = probes.map(x =>
+        sum(expr(s"CASE WHEN vmilli <= $x THEN 1 ELSE 0 END")).as(s"le_$x"))
+      val shares = probes.map(x =>
+        expr(s"le_$x * 1000 div n").as(s"p_le_${x}_milli"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)")
+            .as("vmilli"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), aggs: _*)
+        .select(Seq(col("event_type"), col("n")) ++
+          probes.map(x => col(s"le_$x")) ++ shares: _*)
+        .orderBy("event_type")
+    },
+
     // Exact grouped quartiles (the describe() block): p25/p50/p75 per
     // event_type by the rank-crossing identity k = ⌈q·n⌉ ⟺ 4·rn ≥ q·4·n
     // band — one ranked window pass, one conditional aggregate, all in
@@ -1294,6 +1317,22 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q253_ecdf_probes" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vmilli
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN vmilli <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS le_100000,
+        |  CAST(SUM(CASE WHEN vmilli <= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS le_250000,
+        |  CAST(SUM(CASE WHEN vmilli <= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS le_500000,
+        |  CAST(SUM(CASE WHEN vmilli <= 900000 THEN 1 ELSE 0 END) AS BIGINT) AS le_900000,
+        |  CAST(SUM(CASE WHEN vmilli <= 100000 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS p_le_100000_milli,
+        |  CAST(SUM(CASE WHEN vmilli <= 250000 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS p_le_250000_milli,
+        |  CAST(SUM(CASE WHEN vmilli <= 500000 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS p_le_500000_milli,
+        |  CAST(SUM(CASE WHEN vmilli <= 900000 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS p_le_900000_milli
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q241_group_quartiles" ->
       """WITH e AS (

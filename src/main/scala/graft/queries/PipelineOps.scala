@@ -199,6 +199,36 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Decile lift table for the hashed linear scorer — the standard
+    // model-eval readout: docs ranked by margin (GlobalOrder — a
+    // global rank, never a single-partition window), split into 10
+    // equal-count bins via the integer identity decile =
+    // ((rn−1)·10) div n, each bin reporting size, exact margin sum
+    // and the keep share in milli. A well-ordered scorer shows
+    // monotone keep share across deciles; this table is how you SEE
+    // that.
+    "q252_decile_lift" -> { (s, dir) =>
+      val scored = docsWithToks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .withColumn("bucket", expr(s"${S.hash64("t")} % 1024"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+        .withColumn("w",
+          expr(s"${S.hash64("concat('w:', bucket)")} % 2001 - 1000"))
+        .groupBy("doc_id")
+        .agg(sum(expr("tf * w")).as("margin"))
+      val ranked = graft.plans.GlobalOrder.withRowNumber(
+        scored, Seq(col("margin").desc, col("doc_id").asc),
+        -col("margin"), "rn", countName = Some("n"))
+      ranked
+        .withColumn("decile", expr("((rn - 1) * 10) div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("margin").as("margin_sum"),
+          sum(expr("CASE WHEN margin > 0 THEN 1 ELSE 0 END")).as("n_keep"))
+        .withColumn("keep_milli", expr("n_keep * 1000 div n_docs"))
+        .orderBy("decile")
+    },
+
     // Deterministic rate-resampling to a uniform language mix: each
     // language keeps docs whose hash bucket falls under
     // min(1, target/count) scaled to basis points — the
@@ -540,6 +570,29 @@ object PipelineOps {
          |SELECT doc_id, n_features, CAST(margin AS BIGINT) AS margin,
          |       margin > 0 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q252_decile_lift" ->
+      s"""WITH tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |tf AS (
+         |  SELECT doc_id, ${D.hash64("t")} % 1024 AS bucket, count(*) AS tf
+         |  FROM ex GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(tf * (${D.hash64("concat('w:', bucket)")} % 2001 - 1000))
+         |         AS BIGINT) AS margin
+         |  FROM tf GROUP BY doc_id),
+         |r AS (
+         |  SELECT margin,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY margin DESC, doc_id) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |  FROM sc)
+         |SELECT ((rn - 1) * 10) // n AS decile,
+         |  COUNT(*) AS n_docs, CAST(SUM(margin) AS BIGINT) AS margin_sum,
+         |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |    // COUNT(*) AS keep_milli
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q126_mix_resample" ->
       s"""WITH d AS (
