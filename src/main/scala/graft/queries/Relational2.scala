@@ -341,6 +341,34 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Per-nation Gini coefficient of account balances, exact: the
+    // rank formula G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) with the rank
+    // from a PARTITIONED window (per-nation — bounded, no global
+    // frame) and balances in cents. Numerator/denominator ship as raw
+    // BIGINTs (no integer division anywhere — balances can be
+    // negative and trunc-vs-floor would diverge); the double is one
+    // shared IEEE division guarded against the all-zero-balance
+    // degenerate.
+    "q254_gini_balance" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("bal_c"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("bal_c"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("bal_c").as("sx"),
+          sum(expr("i * bal_c")).as("six"))
+        .withColumn("g_num", expr("2 * six - (n + 1) * sx"))
+        .withColumn("g_den", expr("n * sx"))
+        .withColumn("gini",
+          expr("CASE WHEN g_den = 0 THEN NULL " +
+            "ELSE CAST(g_num AS DOUBLE) / CAST(g_den AS DOUBLE) END"))
+        .select("c_nationkey", "n", "sx", "g_num", "g_den", "gini")
+        .orderBy("c_nationkey")
+    },
+
     // Basket-size distribution: lineitems per order histogram with
     // the average basket value per size — the order-shape profile
     // (two stacked map-side-combined aggregates; cents lane exact,
@@ -1565,6 +1593,29 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q254_gini_balance" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_nationkey, bal_c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |         ORDER BY bal_c, c_custkey) AS BIGINT) AS i
+        |  FROM b),
+        |a AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(bal_c) AS BIGINT) AS sx,
+        |    CAST(SUM(i * bal_c) AS BIGINT) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT c_nationkey, n, sx,
+        |  2 * six - (n + 1) * sx AS g_num,
+        |  n * sx AS g_den,
+        |  CASE WHEN n * sx = 0 THEN NULL
+        |       ELSE CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |            / CAST(n * sx AS DOUBLE) END AS gini
+        |FROM a ORDER BY c_nationkey""".stripMargin,
 
     "q249_basket_size" ->
       """WITH p AS (

@@ -1399,6 +1399,25 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Duplicate-family size distribution: how many exact-duplicate
+    // clusters exist at each size — the shape report a dedup run
+    // starts from (one giant family means template spam; many pairs
+    // mean mirror feeds). Two stacked aggregates over the md5 of the
+    // raw text; family share of the corpus in exact milli.
+    "q255_dup_family_sizes" -> { (s, dir) =>
+      val fam = Tables.documents(s, dir)
+        .groupBy(expr("md5(text)").as("h"))
+        .agg(count(lit(1)).as("fam_sz"))
+      val tot = fam.agg(sum("fam_sz").as("n_docs"))
+      fam.groupBy("fam_sz")
+        .agg(count(lit(1)).as("n_families"))
+        .crossJoin(broadcast(tot))
+        .withColumn("docs_in_bucket", expr("fam_sz * n_families"))
+        .withColumn("share_milli", expr("fam_sz * n_families * 1000 div n_docs"))
+        .select("fam_sz", "n_families", "docs_in_bucket", "share_milli")
+        .orderBy("fam_sz")
+    },
+
     // Hapax-legomena rate per source: the share of each source's
     // vocabulary that occurs exactly once IN THAT SOURCE — the
     // vocabulary-richness/contamination signal (template-generated
@@ -2224,6 +2243,16 @@ object TextOps {
          |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
          |SELECT tok, n, TRUE AS present, TRUE AS est_ok
          |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin,
+
+    "q255_dup_family_sizes" ->
+      """WITH f AS (
+        |  SELECT md5(text) AS h, COUNT(*) AS fam_sz
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(fam_sz) AS BIGINT) AS n_docs FROM f)
+        |SELECT fam_sz, COUNT(*) AS n_families,
+        |  fam_sz * COUNT(*) AS docs_in_bucket,
+        |  fam_sz * COUNT(*) * 1000 // n_docs AS share_milli
+        |FROM f, t GROUP BY fam_sz, n_docs ORDER BY fam_sz""".stripMargin,
 
     "q247_hapax_rate" -> {
       s"""WITH b AS (SELECT source, ${D.tokens("text")} AS toks FROM documents),
