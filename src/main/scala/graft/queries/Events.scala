@@ -916,6 +916,41 @@ object Events {
         .orderBy("cohort")
     },
 
+    // Freshness / staleness report: how far each event stream's
+    // newest record lags the corpus' global high-water mark — the
+    // first page of any ingestion dashboard. Exact integer seconds;
+    // one map-side-combined max per type plus a broadcast scalar.
+    "q257_freshness" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts)").as("tsu"))
+      val hw = e.agg(max("tsu").as("hw_tsu"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("tsu").as("last_tsu"))
+        .crossJoin(broadcast(hw))
+        .withColumn("lag_s", expr("(hw_tsu - last_tsu) div 1000000"))
+        .withColumn("stale", col("lag_s") > 3600L)
+        .select("event_type", "n", "last_tsu", "lag_s", "stale")
+        .orderBy("event_type")
+    },
+
+    // Day-over-day volume anomaly flags: the ±2× ingest monitor.
+    // Ratio in exact milli (non-negative counts — div/floor agree);
+    // the days frame is calendar-bounded, so the lag window is a
+    // legitimate tiny ordered frame.
+    "q258_volume_anomaly" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag("n", 1).over(Window.orderBy("day")))
+        .withColumn("ratio_milli",
+          expr("CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL " +
+            "ELSE n * 1000 div prev_n END"))
+        .withColumn("anomalous",
+          expr("CASE WHEN ratio_milli IS NULL THEN NULL " +
+            "ELSE ratio_milli > 2000 OR ratio_milli < 500 END"))
+        .orderBy("day")
+    },
+
     // Empirical CDF sampled at fixed probe points per event_type —
     // the inverse readout of the quantile family (q241 answers "what
     // value at P?", this answers "what P at value x?"). One
@@ -1317,6 +1352,30 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q257_freshness" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events),
+        |h AS (SELECT MAX(tsu) AS hw_tsu FROM e)
+        |SELECT event_type, COUNT(*) AS n, MAX(tsu) AS last_tsu,
+        |  (hw_tsu - MAX(tsu)) // 1000000 AS lag_s,
+        |  (hw_tsu - MAX(tsu)) // 1000000 > 3600 AS stale
+        |FROM e, h GROUP BY event_type, hw_tsu
+        |ORDER BY event_type""".stripMargin,
+
+    "q258_volume_anomaly" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |x AS (
+        |  SELECT day, n, LAG(n) OVER (ORDER BY day) AS prev_n FROM d)
+        |SELECT day, n, prev_n,
+        |  CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+        |       ELSE n * 1000 // prev_n END AS ratio_milli,
+        |  CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+        |       ELSE n * 1000 // prev_n > 2000 OR n * 1000 // prev_n < 500
+        |  END AS anomalous
+        |FROM x ORDER BY day""".stripMargin,
 
     "q253_ecdf_probes" ->
       """WITH e AS (

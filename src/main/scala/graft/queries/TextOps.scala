@@ -1399,6 +1399,29 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Cross-source duplication matrix: which source pairs share
+    // near-duplicate documents — the corpus-governance readout that
+    // tells you feed B mirrors feed A. Composes the exact
+    // prefix-filtered similarity join (q214, J ≥ 0.5 on 3-shingles)
+    // with the doc→source map; the (source_a, source_b) cell counts
+    // pairs with sources ordered lexicographically so a pair lands in
+    // exactly one cell. Oracle recomputes from the naive all-pairs
+    // join — the matrix inherits q214's no-misses guarantee.
+    "q256_cross_source_dups" -> { (s, dir) =>
+      val pairs = graft.operators.SetSimJoin
+        .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+      val src = Tables.documents(s, dir).select("doc_id", "source")
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CASE WHEN n_inter = n_union THEN 1 ELSE 0 END"))
+            .as("n_identical"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Duplicate-family size distribution: how many exact-duplicate
     // clusters exist at each size — the shape report a dedup run
     // starts from (one giant family means template spam; many pairs
@@ -2243,6 +2266,35 @@ object TextOps {
          |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
          |SELECT tok, n, TRUE AS present, TRUE AS est_ok
          |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin,
+
+    "q256_cross_source_dups" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |s AS (SELECT doc_id, unnest(sh) AS sm FROM f),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM s a JOIN s b ON a.sm = b.sm AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(${D.size("sh")} AS BIGINT) AS sz FROM f),
+         |q AS (
+         |  SELECT id_a, id_b, n_inter,
+         |         za.sz + zb.sz - n_inter AS n_union
+         |  FROM pairs
+         |  JOIN sz za ON id_a = za.doc_id
+         |  JOIN sz zb ON id_b = zb.doc_id
+         |  WHERE n_inter * 2 >= za.sz + zb.sz - n_inter),
+         |j AS (
+         |  SELECT LEAST(da.source, db.source) AS source_a,
+         |         GREATEST(da.source, db.source) AS source_b,
+         |         n_inter, n_union
+         |  FROM q
+         |  JOIN documents da ON q.id_a = da.doc_id
+         |  JOIN documents db ON q.id_b = db.doc_id)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN n_inter = n_union THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_identical
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q255_dup_family_sizes" ->
       """WITH f AS (
