@@ -341,6 +341,35 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Increasing-spend streaks: the longest run of consecutive months
+    // with strictly growing spend per customer, rolled into a
+    // histogram — the monotone-run variant of gaps-and-islands
+    // (a break is EITHER a month gap OR a non-increase, so the
+    // island id is the running count of breaks). Exact cents; all
+    // windows cluster on the customer key.
+    "q260_spend_streaks" -> { (s, d) =>
+      val byC = Window.partitionBy("ck").orderBy("mi")
+      val run = byC.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("mi"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("spend_c"))
+      val longest = monthly
+        .withColumn("brk",
+          when(lag("mi", 1).over(byC).isNull ||
+            col("mi") =!= lag("mi", 1).over(byC) + 1 ||
+            col("spend_c") <= lag("spend_c", 1).over(byC), 1L).otherwise(0L))
+        .withColumn("island", sum("brk").over(run))
+        .groupBy("ck", "island").agg(count(lit(1)).as("len"))
+        .groupBy("ck").agg(max("len").as("longest"))
+      longest.groupBy("longest")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("longest")
+    },
+
     // Per-nation Gini coefficient of account balances, exact: the
     // rank formula G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) with the rank
     // from a PARTITIONED window (per-nation — bounded, no global
@@ -1593,6 +1622,29 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q260_spend_streaks" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS spend_c
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (
+        |  SELECT ck, mi, spend_c,
+        |    CASE WHEN LAG(mi) OVER w IS NULL
+        |           OR mi != LAG(mi) OVER w + 1
+        |           OR spend_c <= LAG(spend_c) OVER w
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY ck ORDER BY mi)),
+        |g AS (
+        |  SELECT ck, CAST(SUM(brk) OVER (PARTITION BY ck ORDER BY mi
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM b),
+        |runs AS (SELECT ck, island, COUNT(*) AS len FROM g GROUP BY 1, 2),
+        |lg AS (SELECT ck, CAST(MAX(len) AS BIGINT) AS longest FROM runs GROUP BY 1)
+        |SELECT longest, COUNT(*) AS n_customers
+        |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q254_gini_balance" ->
       """WITH b AS (

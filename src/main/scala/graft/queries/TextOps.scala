@@ -1399,6 +1399,26 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // LSH recall against exact ground truth: the measurement that
+    // licenses running MinHash-LSH (q29/q30) instead of the exact
+    // prefix join (q214) at scale — how many true J ≥ 0.5 pairs the
+    // banded candidates actually surface. Truth = the exact join;
+    // found = truth ∩ LSH candidates (left-semi); recall in exact
+    // milli. The complement of q97's per-pair estimate calibration:
+    // this one scores the CANDIDATE GENERATOR, not the estimator.
+    "q259_lsh_recall" -> { (s, dir) =>
+      val truth = graft.operators.SetSimJoin
+        .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val found = truth.join(candPairs(s, dir), Seq("doc_a", "doc_b"),
+        "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        .withColumn("recall_milli",
+          expr("CASE WHEN n_true = 0 THEN NULL " +
+            "ELSE n_found * 1000 div n_true END"))
+    },
+
     // Cross-source duplication matrix: which source pairs share
     // near-duplicate documents — the corpus-governance readout that
     // tells you feed B mirrors feed A. Composes the exact
@@ -2266,6 +2286,37 @@ object TextOps {
          |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
          |SELECT tok, n, TRUE AS present, TRUE AS est_ok
          |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin,
+
+    "q259_lsh_recall" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |s AS (SELECT doc_id, unnest(sh) AS sm FROM f),
+         |tp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM s a JOIN s b ON a.sm = b.sm AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(${D.size("sh")} AS BIGINT) AS sz FROM f),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM tp
+         |  JOIN sz za ON doc_a = za.doc_id
+         |  JOIN sz zb ON doc_b = zb.doc_id
+         |  WHERE n_inter * 2 >= za.sz + zb.sz - n_inter),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+         |fd AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+         |  FROM truth WHERE EXISTS (
+         |    SELECT 1 FROM cand
+         |    WHERE cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b))
+         |SELECT n_true, n_found,
+         |  CASE WHEN n_true = 0 THEN NULL
+         |       ELSE n_found * 1000 // n_true END AS recall_milli
+         |FROM t, fd""".stripMargin,
 
     "q256_cross_source_dups" ->
       s"""$duckBase,
