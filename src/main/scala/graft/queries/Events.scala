@@ -916,6 +916,48 @@ object Events {
         .orderBy("cohort")
     },
 
+    // As-of tolerance sweep: the tuning table for attribution windows
+    // — ONE as-of join (q50's single-pass carry), then the match rate
+    // at three candidate tolerances from the same gap column. This is
+    // how the 1 h cutoff in q105 gets CHOSEN rather than guessed.
+    // Exact milli rates; the sweep adds zero extra joins.
+    "q261_asof_tolerance" -> { (s, d) =>
+      val (clicks, purch) = clicksAndPurchases(s, d)
+      val gaps = graft.operators.AsofJoin(clicks, purch, Seq("user_id"),
+          "tsu", "ptsu", Seq("pid", "ptsu"))
+        .withColumn("gap_us",
+          when(col("pid").isNotNull, col("tsu") - col("ptsu")))
+      val tols = Seq(60L, 300L, 3600L).map(_ * 1000000L)
+      val aggs = tols.map(t =>
+        sum(expr(s"CASE WHEN gap_us IS NOT NULL AND gap_us <= $t " +
+          "THEN 1 ELSE 0 END")).as(s"n_le_${t / 1000000L}s"))
+      val shares = tols.map { t =>
+        val k = t / 1000000L
+        expr(s"n_le_${k}s * 1000 div n_clicks").as(s"rate_${k}s_milli")
+      }
+      gaps.agg(count(lit(1)).as("n_clicks"), aggs: _*)
+        .select(Seq(col("n_clicks")) ++
+          tols.map(t => col(s"n_le_${t / 1000000L}s")) ++ shares: _*)
+    },
+
+    // Session penetration per event type: the share of sessions that
+    // contain the type at least once — the "reach" metric. Distinct
+    // (session, type) once on the sessionizer's partition, a bounded
+    // per-type rollup, and exact milli shares against the session
+    // total.
+    "q262_session_penetration" -> { (s, d) =>
+      val st = sessionized(s, d)
+        .select(col("user_id"), col("session_id"), col("event_type"))
+        .distinct()
+      val nSess = st.select("user_id", "session_id").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      st.groupBy("event_type")
+        .agg(count(lit(1)).as("n_with"))
+        .crossJoin(broadcast(nSess))
+        .withColumn("pen_milli", expr("n_with * 1000 div n_sessions"))
+        .orderBy("event_type")
+    },
+
     // Freshness / staleness report: how far each event stream's
     // newest record lags the corpus' global high-water mark — the
     // first page of any ingestion dashboard. Exact integer seconds;
@@ -1352,6 +1394,43 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q261_asof_tolerance" ->
+      s"""WITH $duckClickPurchCtes,
+         |g AS (
+         |  SELECT c.event_id,
+         |    CASE WHEN p.pid IS NOT NULL THEN c.tsu - p.ptsu END AS gap_us
+         |  FROM clicks c ASOF LEFT JOIN purch p
+         |    ON c.user_id = p.user_id AND c.tsu >= p.ptsu)
+         |SELECT COUNT(*) AS n_clicks,
+         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 60000000
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_le_60s,
+         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_le_300s,
+         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_le_3600s,
+         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 60000000
+         |               THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+         |    AS rate_60s_milli,
+         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+         |               THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+         |    AS rate_300s_milli,
+         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
+         |               THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+         |    AS rate_3600s_milli
+         |FROM g""".stripMargin,
+
+    "q262_session_penetration" ->
+      s"""WITH $duckSessionCtes,
+         |st AS (
+         |  SELECT DISTINCT user_id, session_id, event_type FROM g),
+         |t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+         |  FROM (SELECT DISTINCT user_id, session_id FROM st))
+         |SELECT event_type, COUNT(*) AS n_with, n_sessions,
+         |  CAST(COUNT(*) AS BIGINT) * 1000 // n_sessions AS pen_milli
+         |FROM st, t GROUP BY event_type, n_sessions
+         |ORDER BY event_type""".stripMargin,
 
     "q257_freshness" ->
       """WITH e AS (
