@@ -63,6 +63,12 @@ object Relational2 {
   private val OlsInterceptF =
     s"(CAST(sy AS DOUBLE) - ($OlsSlopeF) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
 
+  /** Sample variance from exact power sums (n ≥ 2 guaranteed by the
+    * caller's volume filter) — identical text both engines.
+    */
+  private val LeadVarF =
+    "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1)"
+
   /** Register the tables a spark.sql passthrough query needs. */
   private def reg(s: SparkSession, d: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
@@ -339,6 +345,52 @@ object Relational2 {
         .select(col("l_returnflag"), col("pc").as("median_price_c"),
           col("cw"), col("tw"))
         .orderBy("l_returnflag")
+    },
+
+    // Month-over-month rank movers: each part's quantity rank within
+    // its month (per-month partitioned window — bounded), joined to
+    // the previous month's rank, top-20 improvers by rank delta with
+    // full tie-breaks. The "what's trending" table; one fact rollup,
+    // two bounded windows, one self-join on (part, month−1).
+    "q263_rank_movers" -> { (s, d) =>
+      val byMonth = Window.partitionBy("mi")
+        .orderBy(col("qty").desc, col("pk"))
+      val pm = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey").as("pk"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+        .withColumn("rk", rank().over(byMonth).cast("long"))
+      pm.as("cur").join(pm.as("prev"),
+          col("cur.pk") === col("prev.pk") &&
+            col("cur.mi") === col("prev.mi") + 1)
+        .select(col("cur.pk").as("pk"), col("cur.mi").as("mi"),
+          col("cur.rk").as("rk_cur"), col("prev.rk").as("rk_prev"))
+        .withColumn("delta", col("rk_prev") - col("rk_cur"))
+        .orderBy(col("delta").desc, col("mi"), col("pk"))
+        .limit(20)
+    },
+
+    // Lead-time consistency per supplier: variance of ship latency
+    // from exact integer power sums (n, Σd, Σd²), the [[MeanF]]
+    // convention — identical IEEE formula text both engines — plus a
+    // deterministic most-consistent pick per volume band. Suppliers
+    // with < 30 shipments are excluded (variance of a handful is
+    // noise, and n−1 guards need n ≥ 2 anyway).
+    "q264_leadtime_consistency" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("d"))
+        .groupBy("sk")
+        .agg(count(lit(1)).as("n"), sum("d").as("s1"),
+          sum(expr("d * d")).as("s2"))
+        .filter(col("n") >= 30)
+        .withColumn("var_samp", expr(LeadVarF))
+        .orderBy("sk")
     },
 
     // Increasing-spend streaks: the longest run of consecutive months
@@ -1622,6 +1674,36 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q263_rank_movers" ->
+      """WITH pm AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT pk, mi, qty,
+        |    CAST(RANK() OVER (PARTITION BY mi ORDER BY qty DESC, pk)
+        |         AS BIGINT) AS rk
+        |  FROM pm)
+        |SELECT cur.pk AS pk, cur.mi AS mi, cur.rk AS rk_cur,
+        |       prev.rk AS rk_prev, prev.rk - cur.rk AS delta
+        |FROM r cur JOIN r prev
+        |  ON cur.pk = prev.pk AND cur.mi = prev.mi + 1
+        |ORDER BY delta DESC, mi, pk LIMIT 20""".stripMargin,
+
+    "q264_leadtime_consistency" ->
+      s"""WITH d AS (
+        |  SELECT l_suppkey AS sk,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (
+        |  SELECT sk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(d) AS BIGINT) AS s1, CAST(SUM(d * d) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1)
+        |SELECT sk, n, s1, s2, $LeadVarF AS var_samp
+        |FROM a WHERE n >= 30 ORDER BY sk""".stripMargin,
 
     "q260_spend_streaks" ->
       """WITH m AS (
