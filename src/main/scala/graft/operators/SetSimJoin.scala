@@ -43,30 +43,39 @@ object SetSimJoin {
 
   /** All pairs (id_a < id_b) with Jaccard(setCol) ≥ tauNum/tauDen.
     *
-    * @param df     one row per set: (idCol: integral, setCol: array
-    *               of distinct elements, non-empty)
+    * @param df     one row per set: (idCol: integral, setCol:
+    *               non-empty array; duplicate elements are ignored —
+    *               set semantics, normalized with array_distinct)
     * @return (id_a, id_b, n_inter, n_union) — exact counts
     */
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
                       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be in (0,1]: $tauNum/$tauDen")
+    def pin(tag: String, frame: DataFrame): DataFrame = {
+      val p = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // adopted into the memo LRU (the partitionBy lesson — a library
+      // operator must not pin storage it never releases)
+      graft.core.Tables.adopt(df.sparkSession,
+        s"$tag#${System.identityHashCode(frame.queryExecution.logical)}", p)
+      p
+    }
     // ---- exact-duplicate collapse: one representative per distinct
-    // sorted set; members keep a (rep, id) row each -----------------
+    // sorted set; members keep a (rep, id) row each. array_distinct
+    // makes duplicate input elements ignored CONSISTENTLY (set
+    // semantics — matching naiveSelfJoin's normalization), rather
+    // than silently counted in within-class sizes only ---------------
     val sortedSets = df.select(col(idCol).as("_id"),
-      expr(s"array_sort($setCol)").as("_sset"))
-    val classes = sortedSets.groupBy("_sset")
-      .agg(min("_id").as("_rid"), count(lit(1)).as("_g"))
-    // persist: members, reps, and the within-class expansion all read
-    // it; adopted into the memo LRU (the partitionBy lesson — a
-    // library operator must not pin storage it never releases)
-    val classesP = classes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.Tables.adopt(df.sparkSession,
-      s"setsimcls#${System.identityHashCode(classes.queryExecution.logical)}",
-      classesP)
-    val members = sortedSets
+      expr(s"array_sort(array_distinct($setCol))").as("_sset"))
+    // persisted: members derivation, the reps frame, and the
+    // within-class size join all read it
+    val classesP = pin("setsimcls", sortedSets.groupBy("_sset")
+      .agg(min("_id").as("_rid")))
+    // persisted: both sides of the within-class pair join and both
+    // cross-pair expansion joins read members
+    val members = pin("setsimmem", sortedSets
       .join(classesP.select(col("_sset"), col("_rid")), "_sset")
-      .select(col("_rid"), col("_id"))
+      .select(col("_rid"), col("_id")))
     val f = classesP.select(col("_rid").as("_id"), col("_sset").as("_set"))
 
     // ---- prefix-filtered join over the distinct sets ---------------
@@ -86,9 +95,7 @@ object SetSimJoin {
     // persist the prefix rows: both sides of the candidate self-join
     // read them, and without the pin Spark recomputes the whole
     // freq-join + per-set sort pipeline per side
-    val pre = pre0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.Tables.adopt(df.sparkSession,
-      s"setsim#${System.identityHashCode(pre0.queryExecution.logical)}", pre)
+    val pre = pin("setsim", pre0)
     val lenOk: Column = // τ·max ≤ min, cross-multiplied (integral, exact)
       col("x._sz") * tauDen >= col("y._sz") * tauNum &&
         col("y._sz") * tauDen >= col("x._sz") * tauNum
@@ -128,7 +135,10 @@ object SetSimJoin {
     * production path. */
   def naiveSelfJoin(df: DataFrame, idCol: String, setCol: String,
                     tauNum: Int, tauDen: Int): DataFrame = {
-    val f = df.select(col(idCol).as("_id"), col(setCol).as("_set"))
+    // same set-semantics normalization as the fast path: duplicate
+    // input elements are ignored, not counted into sizes
+    val f = df.select(col(idCol).as("_id"),
+      expr(s"array_distinct($setCol)").as("_set"))
     f.as("a").join(f.as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         expr("CAST(size(array_intersect(a._set, b._set)) AS BIGINT)").as("n_inter"),

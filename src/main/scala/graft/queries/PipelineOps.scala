@@ -41,6 +41,25 @@ object PipelineOps {
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
     TextOps.docsWithToks(s, dir)
 
+  /** Per-doc hashed-linear-scorer margins — the SHARED substrate of
+    * the q187 filter and the q252 decile-lift eval (one definition;
+    * memoized so both read one pass). Token → 1024-bucket feature
+    * hash, hash-derived integer weights in [−1000, 1000], margin =
+    * Σ tf·w — all-integer, exact under any aggregation order.
+    */
+  private def hashedMargins(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, s"$dir#hashmargin") {
+      TextOps.docsWithToks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .withColumn("bucket", expr(s"${S.hash64("t")} % 1024"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+        .withColumn("w",
+          expr(s"${S.hash64("concat('w:', bucket)")} % 2001 - 1000"))
+        .groupBy("doc_id")
+        .agg(sum(expr("tf * w")).as("margin"),
+          count(lit(1)).as("n_features"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-doc top-5 terms by rational TF-IDF (tf · N/df — the log-free
@@ -185,15 +204,7 @@ object PipelineOps {
     // order. At 100 TB: one narrow explode+hash map, one two-level
     // hash aggregation — no join, no vocabulary state, no driver data.
     "q187_hashed_linear_score" -> { (s, dir) =>
-      val tf = docsWithToks(s, dir)
-        .select(col("doc_id"), explode(col("toks")).as("t"))
-        .withColumn("bucket", expr(s"${S.hash64("t")} % 1024"))
-        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
-      tf.withColumn("w",
-          expr(s"${S.hash64("concat('w:', bucket)")} % 2001 - 1000"))
-        .groupBy("doc_id")
-        .agg(sum(expr("tf * w")).as("margin"),
-          count(lit(1)).as("n_features"))
+      hashedMargins(s, dir)
         .withColumn("keep", col("margin") > 0)
         .select("doc_id", "n_features", "margin", "keep")
         .orderBy("doc_id")
@@ -208,14 +219,7 @@ object PipelineOps {
     // monotone keep share across deciles; this table is how you SEE
     // that.
     "q252_decile_lift" -> { (s, dir) =>
-      val scored = docsWithToks(s, dir)
-        .select(col("doc_id"), explode(col("toks")).as("t"))
-        .withColumn("bucket", expr(s"${S.hash64("t")} % 1024"))
-        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
-        .withColumn("w",
-          expr(s"${S.hash64("concat('w:', bucket)")} % 2001 - 1000"))
-        .groupBy("doc_id")
-        .agg(sum(expr("tf * w")).as("margin"))
+      val scored = hashedMargins(s, dir).select("doc_id", "margin")
       val ranked = graft.plans.GlobalOrder.withRowNumber(
         scored, Seq(col("margin").desc, col("doc_id").asc),
         -col("margin"), "rn", countName = Some("n"))
@@ -466,6 +470,20 @@ object PipelineOps {
         .orderBy("lang", "rn")
     })
 
+  /** Oracle twin of [[hashedMargins]] — ONE CTE block for q187/q252. */
+  private val duckMarginCtes: String =
+    s"""tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
+       |ex AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+       |tf AS (
+       |  SELECT doc_id, ${D.hash64("t")} % 1024 AS bucket, count(*) AS tf
+       |  FROM ex GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(tf * (${D.hash64("concat('w:', bucket)")} % 2001 - 1000))
+       |         AS BIGINT) AS margin,
+       |    COUNT(*) AS n_features
+       |  FROM tf GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     // exact companions hash-gate; sketch errors are booleans pinned
@@ -557,31 +575,12 @@ object PipelineOps {
     },
 
     "q187_hashed_linear_score" ->
-      s"""WITH tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
-         |ex AS (SELECT doc_id, unnest(toks) AS t FROM tk),
-         |tf AS (
-         |  SELECT doc_id, ${D.hash64("t")} % 1024 AS bucket, count(*) AS tf
-         |  FROM ex GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT doc_id,
-         |    SUM(tf * (${D.hash64("concat('w:', bucket)")} % 2001 - 1000)) AS margin,
-         |    COUNT(*) AS n_features
-         |  FROM tf GROUP BY doc_id)
-         |SELECT doc_id, n_features, CAST(margin AS BIGINT) AS margin,
-         |       margin > 0 AS keep
+      s"""WITH $duckMarginCtes
+         |SELECT doc_id, n_features, margin, margin > 0 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q252_decile_lift" ->
-      s"""WITH tk AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),
-         |ex AS (SELECT doc_id, unnest(toks) AS t FROM tk),
-         |tf AS (
-         |  SELECT doc_id, ${D.hash64("t")} % 1024 AS bucket, count(*) AS tf
-         |  FROM ex GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT doc_id,
-         |    CAST(SUM(tf * (${D.hash64("concat('w:', bucket)")} % 2001 - 1000))
-         |         AS BIGINT) AS margin
-         |  FROM tf GROUP BY doc_id),
+      s"""WITH $duckMarginCtes,
          |r AS (
          |  SELECT margin,
          |    CAST(ROW_NUMBER() OVER (ORDER BY margin DESC, doc_id) AS BIGINT) AS rn,

@@ -63,11 +63,18 @@ object Relational2 {
   private val OlsInterceptF =
     s"(CAST(sy AS DOUBLE) - ($OlsSlopeF) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
 
-  /** Sample variance from exact power sums (n ≥ 2 guaranteed by the
-    * caller's volume filter) — identical text both engines.
+
+  /** Symmetric part↔supplier supply graph (supplier nodes offset by
+    * 10⁷ to keep id spaces disjoint — the same literal the q113/q203/
+    * q244 oracles carry; grow BOTH together past TPC-H ~sf50 where
+    * partkeys reach 10M). ONE builder for the three graph queries.
     */
-  private val LeadVarF =
-    "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1)"
+  private def supplyEdges(s: SparkSession, d: String): DataFrame = {
+    val fwd = Tables.lineitem(s, d).select(
+      col("l_partkey").as("src"),
+      (col("l_suppkey") + lit(10000000L)).as("dst"))
+    fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
 
   /** Register the tables a spark.sql passthrough query needs. */
   private def reg(s: SparkSession, d: String, names: String*): Unit =
@@ -201,11 +208,7 @@ object Relational2 {
     // because ALL arithmetic is scaled-integer (see operators.PageRank);
     // the oracle unrolls the identical recurrence.
     "q113_pagerank" -> { (s, d) =>
-      val fwd = Tables.lineitem(s, d).select(
-        col("l_partkey").as("src"),
-        (col("l_suppkey") + lit(10000000L)).as("dst"))
-      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.PageRank.run(edges, iterations = 3)
+      graft.operators.PageRank.run(supplyEdges(s, d), iterations = 3)
         .orderBy("node")
     },
 
@@ -218,11 +221,9 @@ object Relational2 {
     // the oracle walks the identical frontier with a recursive CTE
     // and takes MIN(hops).
     "q203_bfs_khop" -> { (s, d) =>
-      val fwd = Tables.lineitem(s, d).select(
-        col("l_partkey").as("src"),
-        (col("l_suppkey") + lit(10000000L)).as("dst"))
-      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      val seeds = fwd.select(col("src").as("node")).distinct()
+      val edges = supplyEdges(s, d)
+      val seeds = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("node")).distinct()
         .filter(col("node") % 100 === 0)
       graft.operators.Bfs.run(edges, seeds, maxHops = 4)
         .orderBy("node")
@@ -348,14 +349,19 @@ object Relational2 {
     },
 
     // Month-over-month rank movers: each part's quantity rank within
-    // its month (per-month partitioned window — bounded), joined to
-    // the previous month's rank, top-20 improvers by rank delta with
-    // full tie-breaks. The "what's trending" table; one fact rollup,
-    // two bounded windows, one self-join on (part, month−1).
+    // its month (per-month partitioned window — bounded), the
+    // previous month's rank carried by LAG over the per-part month
+    // sequence, top-20 improvers by rank delta with full tie-breaks.
+    // The "what's trending" table; one fact rollup, two bounded
+    // windows, zero self-joins.
     "q263_rank_movers" -> { (s, d) =>
       val byMonth = Window.partitionBy("mi")
         .orderBy(col("qty").desc, col("pk"))
-      val pm = Tables.lineitem(s, d)
+      // one pass: the previous month's rank arrives by LAG over the
+      // per-part month sequence (the q245/q260 pattern) — no self-join,
+      // no second evaluation of the rollup+rank lineage
+      val byPart = Window.partitionBy("pk").orderBy("mi")
+      Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_partkey").as("pk"),
@@ -363,20 +369,18 @@ object Relational2 {
             .cast("long").as("mi"))
         .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
         .withColumn("rk", rank().over(byMonth).cast("long"))
-      pm.as("cur").join(pm.as("prev"),
-          col("cur.pk") === col("prev.pk") &&
-            col("cur.mi") === col("prev.mi") + 1)
-        .select(col("cur.pk").as("pk"), col("cur.mi").as("mi"),
-          col("cur.rk").as("rk_cur"), col("prev.rk").as("rk_prev"))
+        .withColumn("prev_mi", lag("mi", 1).over(byPart))
+        .withColumn("rk_prev", lag("rk", 1).over(byPart))
+        .filter(col("prev_mi") === col("mi") - 1)
+        .select(col("pk"), col("mi"), col("rk").as("rk_cur"), col("rk_prev"))
         .withColumn("delta", col("rk_prev") - col("rk_cur"))
         .orderBy(col("delta").desc, col("mi"), col("pk"))
         .limit(20)
     },
 
     // Lead-time consistency per supplier: variance of ship latency
-    // from exact integer power sums (n, Σd, Σd²), the [[MeanF]]
-    // convention — identical IEEE formula text both engines — plus a
-    // deterministic most-consistent pick per volume band. Suppliers
+    // from exact integer power sums (n, Σd, Σd²) via the SHARED
+    // VarSampF formula — identical IEEE text both engines. Suppliers
     // with < 30 shipments are excluded (variance of a handful is
     // noise, and n−1 guards need n ≥ 2 anyway).
     "q264_leadtime_consistency" -> { (s, d) =>
@@ -389,7 +393,7 @@ object Relational2 {
         .agg(count(lit(1)).as("n"), sum("d").as("s1"),
           sum(expr("d * d")).as("s2"))
         .filter(col("n") >= 30)
-        .withColumn("var_samp", expr(LeadVarF))
+        .withColumn("var_samp", expr(VarSampF))
         .orderBy("sk")
     },
 
@@ -569,10 +573,7 @@ object Relational2 {
     // degree (⌊log₂⌋+1, zero floats — the q238 trick). Two aggregates,
     // both map-side combined.
     "q244_degree_histogram" -> { (s, d) =>
-      val fwd = Tables.lineitem(s, d).select(
-        col("l_partkey").as("src"),
-        (col("l_suppkey") + lit(10000000L)).as("dst"))
-      val deg = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = supplyEdges(s, d)
         .distinct()
         .groupBy("src").agg(count(lit(1)).as("deg"))
       deg.withColumn("bucket", expr("CAST(length(bin(deg)) AS BIGINT)"))
@@ -1702,7 +1703,7 @@ object Relational2 {
         |  SELECT sk, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(d) AS BIGINT) AS s1, CAST(SUM(d * d) AS BIGINT) AS s2
         |  FROM d GROUP BY 1)
-        |SELECT sk, n, s1, s2, $LeadVarF AS var_samp
+        |SELECT sk, n, s1, s2, $VarSampF AS var_samp
         |FROM a WHERE n >= 30 ORDER BY sk""".stripMargin,
 
     "q260_spend_streaks" ->

@@ -1407,9 +1407,13 @@ object TextOps {
     // milli. The complement of q97's per-pair estimate calibration:
     // this one scores the CANDIDATE GENERATOR, not the estimator.
     "q259_lsh_recall" -> { (s, dir) =>
-      val truth = graft.operators.SetSimJoin
-        .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      // memoized: the exact join's candidate+verify+expansion stages
+      // feed BOTH aggregates (n_true and the semi-joined n_found) —
+      // and q256 reads the same frame
+      val truth = Tables.memo(s, s"$dir#setsimtruth") {
+        graft.operators.SetSimJoin
+          .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+      }.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       val found = truth.join(candPairs(s, dir), Seq("doc_a", "doc_b"),
         "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
@@ -1428,8 +1432,10 @@ object TextOps {
     // exactly one cell. Oracle recomputes from the naive all-pairs
     // join — the matrix inherits q214's no-misses guarantee.
     "q256_cross_source_dups" -> { (s, dir) =>
-      val pairs = graft.operators.SetSimJoin
-        .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+      val pairs = Tables.memo(s, s"$dir#setsimtruth") {
+        graft.operators.SetSimJoin
+          .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+      }
       val src = Tables.documents(s, dir).select("doc_id", "source")
       pairs
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
@@ -1514,8 +1520,11 @@ object TextOps {
     // the pruning loses nothing. jaccard is one IEEE division of the
     // two exact counts — identical on both engines.
     "q214_setsim_prefix" -> { (s, dir) =>
-      graft.operators.SetSimJoin
-        .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+      // the memoized exact-pairs frame is shared with q256/q259
+      Tables.memo(s, s"$dir#setsimtruth") {
+        graft.operators.SetSimJoin
+          .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+      }
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("n_inter"), col("n_union"),
           expr("CAST(n_inter AS DOUBLE) / n_union").as("jaccard"))

@@ -250,7 +250,11 @@ class LawsSpec extends SparkSpecBase {
       (i.toLong, Seq.fill(sz)(s"e${rnd.nextInt(30)}").distinct)
     }
     val clones = (0 until 30).map(j => (200L + j, base(j % 10)._2))
-    val rows = (base ++ clones).toDF("id", "els")
+    // duplicate ELEMENTS inside sets: both paths must normalize to
+    // set semantics (array_distinct) identically
+    val dups = (0 until 10).map(j =>
+      (300L + j, base(j)._2 ++ base(j)._2.take(2)))
+    val rows = (base ++ clones ++ dups).toDF("id", "els")
     for ((tn, td) <- Seq((1, 2), (3, 10), (4, 5))) {
       def key(df: org.apache.spark.sql.DataFrame) = df
         .select("id_a", "id_b", "n_inter", "n_union").collect()
