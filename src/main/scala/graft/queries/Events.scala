@@ -916,6 +916,24 @@ object Events {
         .orderBy("cohort")
     },
 
+    // Hour-of-day seasonality profile per event type — counts per
+    // (type, hour 0–23), each type's share of its own day in exact
+    // milli, and the peak hour picked with a deterministic tie-break.
+    // One map-side-combined aggregate over a 120-cell frame.
+    "q265_hourly_profile" -> { (s, d) =>
+      val byType = Window.partitionBy("event_type")
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hh"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("n_type", sum("n").over(byType))
+        .withColumn("share_milli", expr("n * 1000 div n_type"))
+        .withColumn("is_peak", row_number().over(
+          byType.orderBy(col("n").desc, col("hh"))) === 1)
+        .select("event_type", "hh", "n", "share_milli", "is_peak")
+        .orderBy("event_type", "hh")
+    },
+
     // As-of tolerance sweep: the tuning table for attribution windows
     // — ONE as-of join (q50's single-pass carry), then the match rate
     // at three candidate tolerances from the same gap column. This is
@@ -1394,6 +1412,22 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q265_hourly_profile" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT *,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_type,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY n DESC, hh) AS pk
+        |  FROM c)
+        |SELECT event_type, hh, n,
+        |  n * 1000 // n_type AS share_milli,
+        |  pk = 1 AS is_peak
+        |FROM x ORDER BY event_type, hh""".stripMargin,
 
     "q261_asof_tolerance" ->
       s"""WITH $duckClickPurchCtes,

@@ -348,6 +348,32 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Revenue concentration cut points: the share of total revenue
+    // held by the top 1% / 5% / 10% of customers — q208's Pareto
+    // machinery (GlobalOrder rank + running sum, no single-partition
+    // window) read at fixed population percentiles. The cut test is
+    // cross-multiplied integers (rk·100 ≤ n·p); shares exact milli.
+    "q266_revenue_concentration" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev_c"))
+      val order = Seq(col("rev_c").desc, col("ck").asc)
+      val ranked = graft.plans.GlobalOrder
+        .withRowNumber(rev, order, -col("rev_c"), "rk", countName = Some("n"))
+      val tot = rev.agg(sum("rev_c").as("tot_c"))
+      val aggs = Seq(max(col("n")).as("n_customers"),
+        max(col("tot_c")).as("tot_c")) ++ Seq(1, 5, 10).map(p =>
+        sum(expr(s"CASE WHEN rk * 100 <= n * $p THEN rev_c ELSE 0 END"))
+          .as(s"top${p}pct_c"))
+      ranked.crossJoin(broadcast(tot))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("top1_milli", expr("top1pct_c * 1000 div tot_c"))
+        .withColumn("top5_milli", expr("top5pct_c * 1000 div tot_c"))
+        .withColumn("top10_milli", expr("top10pct_c * 1000 div tot_c"))
+    },
+
     // Month-over-month rank movers: each part's quantity rank within
     // its month (per-month partitioned window — bounded), the
     // previous month's rank carried by LAG over the per-part month
@@ -1675,6 +1701,33 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q266_revenue_concentration" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |k AS (
+        |  SELECT rev_c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev_c DESC, ck) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM r),
+        |t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM r),
+        |a AS (
+        |  SELECT MAX(n) AS n_customers,
+        |    CAST(SUM(CASE WHEN rk * 100 <= n * 1 THEN rev_c ELSE 0 END)
+        |         AS BIGINT) AS top1pct_c,
+        |    CAST(SUM(CASE WHEN rk * 100 <= n * 5 THEN rev_c ELSE 0 END)
+        |         AS BIGINT) AS top5pct_c,
+        |    CAST(SUM(CASE WHEN rk * 100 <= n * 10 THEN rev_c ELSE 0 END)
+        |         AS BIGINT) AS top10pct_c
+        |  FROM k)
+        |SELECT n_customers, tot_c, top1pct_c, top5pct_c, top10pct_c,
+        |  top1pct_c * 1000 // tot_c AS top1_milli,
+        |  top5pct_c * 1000 // tot_c AS top5_milli,
+        |  top10pct_c * 1000 // tot_c AS top10_milli
+        |FROM a, t""".stripMargin,
 
     "q263_rank_movers" ->
       """WITH pm AS (

@@ -1399,6 +1399,22 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Jaccard band histogram at a LOW threshold (τ = 0.3): how many
+    // pairs live in each similarity decile — the threshold-landscape
+    // readout that tells you whether 0.5 sits in a valley (robust
+    // cutoff) or on a cliff (tune carefully). Bands are the exact
+    // integer (10·inter) div union; the naive oracle re-derives them.
+    "q267_jaccard_bands" -> { (s, dir) =>
+      graft.operators.SetSimJoin
+        .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 3, 10)
+        .withColumn("band", expr("(10 * n_inter) div n_union"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(expr("CAST(n_inter AS DOUBLE) / n_union")).as("min_j"),
+          max(expr("CAST(n_inter AS DOUBLE) / n_union")).as("max_j"))
+        .orderBy("band")
+    },
+
     // LSH recall against exact ground truth: the measurement that
     // licenses running MinHash-LSH (q29/q30) instead of the exact
     // prefix join (q214) at scale — how many true J ≥ 0.5 pairs the
@@ -2295,6 +2311,28 @@ object TextOps {
          |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
          |SELECT tok, n, TRUE AS present, TRUE AS est_ok
          |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin,
+
+    "q267_jaccard_bands" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |s AS (SELECT doc_id, unnest(sh) AS sm FROM f),
+         |tp AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM s a JOIN s b ON a.sm = b.sm AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(${D.size("sh")} AS BIGINT) AS sz FROM f),
+         |q AS (
+         |  SELECT n_inter, za.sz + zb.sz - n_inter AS n_union
+         |  FROM tp
+         |  JOIN sz za ON id_a = za.doc_id
+         |  JOIN sz zb ON id_b = zb.doc_id
+         |  WHERE n_inter * 10 >= (za.sz + zb.sz - n_inter) * 3)
+         |SELECT (10 * n_inter) // n_union AS band,
+         |  COUNT(*) AS n_pairs,
+         |  MIN(CAST(n_inter AS DOUBLE) / n_union) AS min_j,
+         |  MAX(CAST(n_inter AS DOUBLE) / n_union) AS max_j
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q259_lsh_recall" ->
       s"""$duckBase,
