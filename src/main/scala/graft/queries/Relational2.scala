@@ -348,6 +348,66 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Year-over-year revenue growth per nation: the customer→nation
+    // rollup at year grain with growth in exact milli (signed — so
+    // the ratio ships as the identical IEEE division, never a
+    // truncating div). Broadcast dims; the (nation, year) frame is
+    // bounded.
+    "q268_yoy_growth" -> { (s, d) =>
+      val byNation = Window.partitionBy("n_name").orderBy("yr")
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev_c"))
+        .withColumn("prev_c", lag("rev_c", 1).over(byNation))
+        .withColumn("prev_yr", lag("yr", 1).over(byNation))
+        .filter(col("prev_yr") === col("yr") - 1)
+        .withColumn("growth",
+          expr("CAST(rev_c - prev_c AS DOUBLE) / prev_c"))
+        .select("n_name", "yr", "rev_c", "prev_c", "growth")
+        .orderBy("n_name", "yr")
+    },
+
+    // Seasonal index per calendar month: each month-of-year's revenue
+    // against the all-month average, in exact milli (rev·12·1000 div
+    // total — non-negative, so div/floor agree). The one-pass
+    // seasonality profile that decides stock levels.
+    "q269_seasonal_index" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(month(col("o_orderdate")).cast("long").as("mon"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev_c"), count(lit(1)).as("n_orders"))
+      val tot = m.agg(sum("rev_c").as("tot_c"))
+      m.crossJoin(broadcast(tot))
+        .withColumn("index_milli", expr("rev_c * 12 * 1000 div tot_c"))
+        .select("mon", "n_orders", "rev_c", "index_milli")
+        .orderBy("mon")
+    },
+
+    // Trailing 3-month moving average of revenue — the smoothing
+    // window over the bounded month frame, average as the exact
+    // truncating div of the 3-month sum (count carried so partial
+    // windows at the head stay honest).
+    "q270_moving_avg" -> { (s, d) =>
+      val w = Window.orderBy("ym").rowsBetween(-2, 0)
+      Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev_c"))
+        .withColumn("ma3_sum", sum("rev_c").over(w))
+        .withColumn("ma3_n", count(lit(1)).over(w))
+        .withColumn("ma3_c", expr("ma3_sum div ma3_n"))
+        .orderBy("ym")
+    },
+
     // Revenue concentration cut points: the share of total revenue
     // held by the top 1% / 5% / 10% of customers — q208's Pareto
     // machinery (GlobalOrder rank + running sum, no single-partition
@@ -1701,6 +1761,49 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q268_yoy_growth" ->
+      """WITH r AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS rev_c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT *, LAG(rev_c) OVER w AS prev_c, LAG(yr) OVER w AS prev_yr
+        |  FROM r WINDOW w AS (PARTITION BY n_name ORDER BY yr))
+        |SELECT n_name, yr, rev_c, prev_c,
+        |       CAST(rev_c - prev_c AS DOUBLE) / prev_c AS growth
+        |FROM x WHERE prev_yr = yr - 1
+        |ORDER BY n_name, yr""".stripMargin,
+
+    "q269_seasonal_index" ->
+      """WITH m AS (
+        |  SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS rev_c,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM m)
+        |SELECT mon, n_orders, rev_c,
+        |       rev_c * 12 * 1000 // tot_c AS index_milli
+        |FROM m, t ORDER BY mon""".stripMargin,
+
+    "q270_moving_avg" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1)
+        |SELECT ym, rev_c,
+        |  CAST(SUM(rev_c) OVER w AS BIGINT) AS ma3_sum,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS ma3_n,
+        |  CAST(SUM(rev_c) OVER w AS BIGINT) // CAST(COUNT(*) OVER w AS BIGINT)
+        |    AS ma3_c
+        |FROM m WINDOW w AS (ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY ym""".stripMargin,
 
     "q266_revenue_concentration" ->
       """WITH r AS (
