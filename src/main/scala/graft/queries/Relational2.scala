@@ -348,6 +348,44 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Single-order dependency risk: the share of each customer's
+    // lifetime revenue carried by their biggest single order, exact
+    // milli — the churn-exposure flag (a 900‰ customer is one order
+    // from gone). One rollup; max and sum in the same aggregate.
+    "q271_order_dependency" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("rev_c"),
+          max(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("max_c"))
+        .withColumn("dep_milli", expr("max_c * 1000 div rev_c"))
+        .filter(col("n_orders") >= 2)
+        .orderBy("ck")
+    },
+
+    // Procurement arbitrage: the unit-price spread across suppliers
+    // per part (min/max of the truncated unit cents — non-negative,
+    // both engines truncate identically), parts with a single
+    // supplier excluded. The sourcing-opportunity screen; two stacked
+    // aggregates.
+    "q272_price_spread" -> { (s, d) =>
+      val unit = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div CAST(l_quantity AS BIGINT)").as("unit_c"))
+        .groupBy("pk", "sk").agg(min("unit_c").as("best_c"))
+      unit.groupBy("pk")
+        .agg(count(lit(1)).as("n_suppliers"),
+          min("best_c").as("min_c"), max("best_c").as("max_c"))
+        .filter(col("n_suppliers") >= 2)
+        .withColumn("spread_c", col("max_c") - col("min_c"))
+        .orderBy("pk")
+    },
+
     // Year-over-year revenue growth per nation: the customer→nation
     // rollup at year grain with growth in exact milli (signed — so
     // the ratio ships as the identical IEEE division, never a
@@ -1761,6 +1799,31 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q271_order_dependency" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS ck, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS rev_c,
+        |    CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS max_c
+        |  FROM orders GROUP BY 1)
+        |SELECT ck, n_orders, rev_c, max_c,
+        |       max_c * 1000 // rev_c AS dep_milli
+        |FROM a WHERE n_orders >= 2 ORDER BY ck""".stripMargin,
+
+    "q272_price_spread" ->
+      """WITH u AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        // CAST(l_quantity AS BIGINT)) AS best_c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT pk, COUNT(*) AS n_suppliers,
+        |  CAST(MIN(best_c) AS BIGINT) AS min_c,
+        |  CAST(MAX(best_c) AS BIGINT) AS max_c,
+        |  CAST(MAX(best_c) - MIN(best_c) AS BIGINT) AS spread_c
+        |FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY pk""".stripMargin,
 
     "q268_yoy_growth" ->
       """WITH r AS (
