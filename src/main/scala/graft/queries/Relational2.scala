@@ -76,6 +76,21 @@ object Relational2 {
     fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Wilson score lower bound (z² = 3.8416 as an exact double
+    * literal) over exact integer (n, k) — identical text both
+    * engines; n ≥ 1 by construction (groupBy output).
+    */
+  private val WilsonF = { // every constant through an explicit DOUBLE
+    // cast: a bare 3.8416 is DECIMAL in DuckDB and would divide
+    // decimal-wise where Spark divides double-wise
+    val p = "(CAST(k AS DOUBLE) / n)"
+    val z2 = "CAST(3.8416 AS DOUBLE)"
+    val z = "CAST(1.96 AS DOUBLE)"
+    s"($p + $z2 / (CAST(2 AS DOUBLE) * n) - " +
+      s"$z * sqrt($p * (CAST(1 AS DOUBLE) - $p) / n " +
+      s"+ $z2 / (CAST(4 AS DOUBLE) * n * n))) / (CAST(1 AS DOUBLE) + $z2 / n)"
+  }
+
   /** Register the tables a spark.sql passthrough query needs. */
   private def reg(s: SparkSession, d: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, d, n).createOrReplaceTempView(n))
@@ -346,6 +361,47 @@ object Relational2 {
         .select(col("l_returnflag"), col("pc").as("median_price_c"),
           col("cw"), col("tw"))
         .orderBy("l_returnflag")
+    },
+
+    // Inter-order gap profile: days between a customer's consecutive
+    // orders (tie-broken by orderkey so same-day orders order
+    // deterministically), rolled into the purchase-cadence histogram
+    // by 30-day bucket. One per-customer lag + one aggregate.
+    "q274_order_gaps" -> { (s, d) =>
+      val byC = Window.partitionBy("ck")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"), col("o_orderkey"),
+          col("o_orderdate"))
+        .withColumn("gap_d",
+          datediff(col("o_orderdate"),
+            lag("o_orderdate", 1).over(byC)).cast("long"))
+        .filter(col("gap_d").isNotNull)
+        .withColumn("bucket", expr("gap_d div 30"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_gaps"), min("gap_d").as("min_d"),
+          max("gap_d").as("max_d"), sum("gap_d").as("gap_d_sum"))
+        .orderBy("bucket")
+    },
+
+    // Supplier on-time league table ranked by the Wilson lower bound
+    // — the ranking-under-uncertainty fix for "100% of 3 shipments
+    // beats 96% of 4000". k/n from exact integers; the bound is the
+    // IDENTICAL IEEE formula text on both engines with z² = 3.8416
+    // as an exact double literal. Deterministic (wilson desc, sk)
+    // top-25.
+    "q275_wilson_ontime" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, 1L)
+            .otherwise(0L).as("ontime"))
+        .groupBy("sk")
+        .agg(count(lit(1)).as("n"), sum("ontime").as("k"))
+        .withColumn("wilson", expr(WilsonF))
+        .orderBy(col("wilson").desc, col("sk"))
+        .limit(25)
     },
 
     // Single-order dependency risk: the share of each customer's
@@ -1799,6 +1855,34 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q274_order_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(date_diff('day',
+        |      LAG(o_orderdate) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate) AS BIGINT) AS gap_d
+        |  FROM orders)
+        |SELECT gap_d // 30 AS bucket, COUNT(*) AS n_gaps,
+        |  MIN(gap_d) AS min_d, MAX(gap_d) AS max_d,
+        |  CAST(SUM(gap_d) AS BIGINT) AS gap_d_sum
+        |FROM g WHERE gap_d IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q275_wilson_ontime" -> {
+      s"""WITH o AS (
+        |  SELECT l_suppkey AS sk,
+        |    CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+        |         THEN 1 ELSE 0 END AS ontime
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (
+        |  SELECT sk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ontime) AS BIGINT) AS k
+        |  FROM o GROUP BY 1)
+        |SELECT sk, n, k, $WilsonF AS wilson
+        |FROM a ORDER BY wilson DESC, sk LIMIT 25""".stripMargin
+    },
 
     "q271_order_dependency" ->
       """WITH a AS (

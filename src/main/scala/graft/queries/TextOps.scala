@@ -1415,6 +1415,28 @@ object TextOps {
         .orderBy("band")
     },
 
+    // LSH recall BY SIMILARITY BAND: q259's single number, broken
+    // down by exact Jaccard decile — recall should rise toward J = 1
+    // (banding theory: detection probability 1−(1−s²)⁸ for 8 bands of
+    // 2), and this table is the empirical check. Both frames are
+    // memoized (the exact join and the LSH candidates), so the
+    // breakdown costs one semi-join + one aggregate.
+    "q273_recall_by_band" -> { (s, dir) =>
+      val truth = Tables.memo(s, s"$dir#setsimtruth") {
+        graft.operators.SetSimJoin
+          .jaccardSelfJoin(shingleRows(s, dir), "doc_id", "sh", 1, 2)
+      }.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        expr("(10 * n_inter) div n_union").as("band"))
+      val flagged = truth.join(
+        candPairs(s, dir).withColumn("hit", lit(1L)),
+        Seq("doc_a", "doc_b"), "left")
+      flagged.groupBy("band")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .withColumn("recall_milli", expr("n_found * 1000 div n_true"))
+        .orderBy("band")
+    },
+
     // LSH recall against exact ground truth: the measurement that
     // licenses running MinHash-LSH (q29/q30) instead of the exact
     // prefix join (q214) at scale — how many true J ≥ 0.5 pairs the
@@ -2311,6 +2333,39 @@ object TextOps {
          |t AS (SELECT ${D.intDiv("CAST(count(*) AS BIGINT)", "200")} AS thresh FROM p)
          |SELECT tok, n, TRUE AS present, TRUE AS est_ok
          |FROM c, t WHERE n > thresh ORDER BY tok""".stripMargin,
+
+    "q273_recall_by_band" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |s AS (SELECT doc_id, unnest(sh) AS sm FROM f),
+         |tp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM s a JOIN s b ON a.sm = b.sm AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(${D.size("sh")} AS BIGINT) AS sz FROM f),
+         |truth AS (
+         |  SELECT doc_a, doc_b,
+         |    (10 * n_inter) // (za.sz + zb.sz - n_inter) AS band
+         |  FROM tp
+         |  JOIN sz za ON doc_a = za.doc_id
+         |  JOIN sz zb ON doc_b = zb.doc_id
+         |  WHERE n_inter * 2 >= za.sz + zb.sz - n_inter),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT band, COUNT(*) AS n_true,
+         |  CAST(SUM(CASE WHEN EXISTS (
+         |    SELECT 1 FROM cand
+         |    WHERE cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  CAST(SUM(CASE WHEN EXISTS (
+         |    SELECT 1 FROM cand
+         |    WHERE cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b)
+         |    THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS recall_milli
+         |FROM truth GROUP BY band ORDER BY band""".stripMargin,
 
     "q267_jaccard_bands" ->
       s"""$duckBase,
