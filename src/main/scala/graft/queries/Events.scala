@@ -107,6 +107,13 @@ object Events {
       |WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END""".stripMargin
       .replace("\n", " ")
 
+  /** Fano factor (population var / mean) from exact power sums —
+    * identical text both engines; mean > 0 by construction.
+    */
+  private val FanoF =
+    "(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / " +
+      "(CAST(s1 AS DOUBLE) / n)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Running (prefix) sum per user. Accumulates SCALED BIGINT cents:
     // a DECIMAL(12,2) running sum widens to precision 22, whose window
@@ -916,6 +923,23 @@ object Events {
         .orderBy("cohort")
     },
 
+    // Burstiness (Fano factor) per user: variance-to-mean ratio of
+    // daily event counts — ≈1 for Poisson-like usage, ≫1 for bursty
+    // sessions-then-silence. Exact integer power sums over the
+    // per-(user, day) counts; the ratio is identical IEEE text on
+    // both engines (mean > 0 always: days with zero events don't
+    // exist in the frame).
+    "q277_burstiness" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+          sum(expr("c * c")).as("s2"))
+        .withColumn("fano", expr(FanoF))
+        .orderBy("user_id")
+    },
+
     // Hour-of-day seasonality profile per event type — counts per
     // (type, hour 0–23), each type's share of its own day in exact
     // milli, and the peak hour picked with a deterministic tie-break.
@@ -1412,6 +1436,18 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q277_burstiness" -> {
+      s"""WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n, s1, s2, $FanoF AS fano
+        |FROM a ORDER BY user_id""".stripMargin
+    },
 
     "q265_hourly_profile" ->
       """WITH c AS (

@@ -363,6 +363,41 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // RFM segmentation: every customer scored 1–5 on Recency (days
+    // since last order, fresher = higher), Frequency (order count),
+    // and Monetary (lifetime cents), each quintile from a GlobalOrder
+    // rank and the integer identity q = ((rn−1)·5) div n + 1 — three
+    // distributed rank passes, never a global ntile's single
+    // partition. Output: customers per RFM cell (125 max), with the
+    // cell's exact revenue.
+    "q276_rfm_segments" -> { (s, d) =>
+      val maxD = Tables.orders(s, d).agg(max("o_orderdate").as("d1"))
+      val base = Tables.orders(s, d)
+        .crossJoin(broadcast(maxD))
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(min(datediff(col("d1"), col("o_orderdate"))).cast("long")
+            .as("rec_d"),
+          count(lit(1)).as("freq"),
+          sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("mon_c"))
+      def quintile(df: DataFrame, order: Seq[Column], bucketBy: Column,
+                   name: String): DataFrame =
+        graft.plans.GlobalOrder
+          .withRowNumber(df, order, bucketBy, "_rn", countName = Some("_n"))
+          .withColumn(name, expr("((_rn - 1) * 5) div _n + 1"))
+          .drop("_rn", "_n")
+      // fresher (smaller rec_d) ranks FIRST → r = 1 is best-recency;
+      // frequency/monetary rank descending so f/m = 1 is the top band
+      val scored = quintile(quintile(quintile(base,
+          Seq(col("rec_d").asc, col("ck").asc), col("rec_d"), "r"),
+          Seq(col("freq").desc, col("ck").asc), -col("freq"), "f"),
+          Seq(col("mon_c").desc, col("ck").asc), -col("mon_c"), "m")
+      scored.groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"), sum("mon_c").as("rev_c"))
+        .orderBy("r", "f", "m")
+    },
+
     // Inter-order gap profile: days between a customer's consecutive
     // orders (tie-broken by orderkey so same-day orders order
     // deterministically), rolled into the purchase-cadence histogram
@@ -1855,6 +1890,28 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q276_rfm_segments" ->
+      """WITH d1 AS (SELECT MAX(o_orderdate) AS d1 FROM orders),
+        |b AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(MIN(date_diff('day', o_orderdate, d1)) AS BIGINT) AS rec_d,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS mon_c
+        |  FROM orders, d1 GROUP BY 1),
+        |q AS (
+        |  SELECT ck, mon_c,
+        |    ((CAST(ROW_NUMBER() OVER (ORDER BY rec_d, ck) AS BIGINT) - 1) * 5)
+        |      // CAST(COUNT(*) OVER () AS BIGINT) + 1 AS r,
+        |    ((CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, ck) AS BIGINT) - 1) * 5)
+        |      // CAST(COUNT(*) OVER () AS BIGINT) + 1 AS f,
+        |    ((CAST(ROW_NUMBER() OVER (ORDER BY mon_c DESC, ck) AS BIGINT) - 1) * 5)
+        |      // CAST(COUNT(*) OVER () AS BIGINT) + 1 AS m
+        |  FROM b)
+        |SELECT r, f, m, COUNT(*) AS n_customers,
+        |  CAST(SUM(mon_c) AS BIGINT) AS rev_c
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q274_order_gaps" ->
       """WITH g AS (
