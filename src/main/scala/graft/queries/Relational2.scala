@@ -76,6 +76,15 @@ object Relational2 {
     fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Spearman ρ from the exact integer Σd² (d = rank difference;
+    * HONEST CEILING: Σd² ≤ n³, so BIGINT holds to n ≈ 2·10⁶ rows —
+    * beyond that the sd2 lane moves to DECIMAL(38,0)). Identical
+    * IEEE text both engines.
+    */
+  private val SpearmanF =
+    "CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) * CAST(sd2 AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))"
+
   /** Wilson score lower bound (z² = 3.8416 as an exact double
     * literal) over exact integer (n, k) — identical text both
     * engines; n ≥ 1 by construction (groupBy output).
@@ -361,6 +370,52 @@ object Relational2 {
         .select(col("l_returnflag"), col("pc").as("median_price_c"),
           col("cw"), col("tw"))
         .orderBy("l_returnflag")
+    },
+
+    // Brand share shift: each brand's share of yearly quantity in
+    // exact milli, with the year-over-year share delta (signed
+    // integer milli difference — no division of signed values). The
+    // competitive-dynamics readout; bounded (brand, year) frame.
+    "q278_brand_share_shift" -> { (s, d) =>
+      val byBrand = Window.partitionBy("p_brand").orderBy("yr")
+      val cells = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("p_brand"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+      val yearTot = cells.groupBy("yr").agg(sum("qty").as("yr_qty"))
+      cells.join(broadcast(yearTot), "yr")
+        .withColumn("share_milli", expr("qty * 1000 div yr_qty"))
+        .withColumn("prev_share", lag("share_milli", 1).over(byBrand))
+        .withColumn("prev_yr", lag("yr", 1).over(byBrand))
+        .filter(col("prev_yr") === col("yr") - 1)
+        .withColumn("delta_milli", col("share_milli") - col("prev_share"))
+        .select("p_brand", "yr", "qty", "share_milli", "prev_share",
+          "delta_milli")
+        .orderBy("p_brand", "yr")
+    },
+
+    // Spearman rank correlation, exact: ρ = 1 − 6·Σd²/(n·(n²−1)) over
+    // GlobalOrder ranks of two lineitem measures (quantity vs
+    // extended price, both tie-broken on the row key so ranks are
+    // permutations — the d² sum is a pure integer and ρ is one shared
+    // IEEE expression). The nonparametric dependence check, computed
+    // distributed — no single-partition rank anywhere.
+    "q279_spearman" -> { (s, d) =>
+      val base = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        expr("CAST(l_quantity AS BIGINT)").as("x"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("y"))
+      val rx = graft.plans.GlobalOrder.withRowNumber(base,
+        Seq(col("x").asc, col("ok").asc, col("ln").asc), col("x"), "rx")
+      val rxy = graft.plans.GlobalOrder.withRowNumber(rx,
+        Seq(col("y").asc, col("ok").asc, col("ln").asc), col("y"), "ry")
+      rxy.agg(count(lit(1)).as("n"),
+          sum(expr("(rx - ry) * (rx - ry)")).as("sd2"))
+        .withColumn("rho", expr(SpearmanF))
     },
 
     // RFM segmentation: every customer scored 1–5 on Recency (days
@@ -1890,6 +1945,44 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q278_brand_share_shift" ->
+      """WITH c AS (
+        |  SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT yr, CAST(SUM(qty) AS BIGINT) AS yr_qty FROM c GROUP BY 1),
+        |x AS (
+        |  SELECT p_brand, c.yr, qty, qty * 1000 // yr_qty AS share_milli
+        |  FROM c JOIN t ON c.yr = t.yr),
+        |l AS (
+        |  SELECT *, LAG(share_milli) OVER w AS prev_share,
+        |         LAG(yr) OVER w AS prev_yr
+        |  FROM x WINDOW w AS (PARTITION BY p_brand ORDER BY yr))
+        |SELECT p_brand, yr, qty, share_milli, prev_share,
+        |       share_milli - prev_share AS delta_milli
+        |FROM l WHERE prev_yr = yr - 1
+        |ORDER BY p_brand, yr""".stripMargin,
+
+    "q279_spearman" -> {
+      s"""WITH b AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x, ok, ln) AS BIGINT) AS rx,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY y, ok, ln) AS BIGINT) AS ry
+        |  FROM b),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+        |  FROM r)
+        |SELECT n, sd2, $SpearmanF AS rho FROM a""".stripMargin
+    },
 
     "q276_rfm_segments" ->
       """WITH d1 AS (SELECT MAX(o_orderdate) AS d1 FROM orders),
