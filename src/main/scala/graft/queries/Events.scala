@@ -923,6 +923,29 @@ object Events {
         .orderBy("cohort")
     },
 
+    // Audience overlap between event types: exact Jaccard of the
+    // distinct-user sets per type pair — "do error-ers also purchase"
+    // in one number per pair. Distinct (type, user) rows once, one
+    // self-join on user (types ordered), set sizes joined back, all
+    // integer with a milli Jaccard.
+    "q282_audience_overlap" -> { (s, d) =>
+      val tu = Tables.events(s, d)
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val sizes = tu.groupBy("t").agg(count(lit(1)).as("n"))
+      val inter = tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("t").as("t_a"), col("n").as("n_a"))), "t_a")
+        .join(broadcast(sizes.select(col("t").as("t_b"), col("n").as("n_b"))), "t_b")
+        .withColumn("n_union", expr("n_a + n_b - n_inter"))
+        .withColumn("jaccard_milli", expr("n_inter * 1000 div n_union"))
+        .select("t_a", "t_b", "n_a", "n_b", "n_inter", "n_union",
+          "jaccard_milli")
+        .orderBy("t_a", "t_b")
+    },
+
     // Burstiness (Fano factor) per user: variance-to-mean ratio of
     // daily event counts — ≈1 for Poisson-like usage, ≫1 for bursty
     // sessions-then-silence. Exact integer power sums over the
@@ -1436,6 +1459,38 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q282_audience_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS t, user_id FROM events),
+        |sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |iv AS (
+        |  SELECT a.t AS t_a, b.t AS t_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT t_a, t_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  sa.n + sb.n - n_inter AS n_union,
+        |  n_inter * 1000 // (sa.n + sb.n - n_inter) AS jaccard_milli
+        |FROM iv
+        |JOIN sz sa ON t_a = sa.t
+        |JOIN sz sb ON t_b = sb.t
+        |ORDER BY t_a, t_b""".stripMargin,
+
+    "q282_audience_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS t, user_id FROM events),
+        |sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |iv AS (
+        |  SELECT a.t AS t_a, b.t AS t_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT t_a, t_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  sa.n + sb.n - n_inter AS n_union,
+        |  n_inter * 1000 // (sa.n + sb.n - n_inter) AS jaccard_milli
+        |FROM iv
+        |JOIN sz sa ON t_a = sa.t
+        |JOIN sz sb ON t_b = sb.t
+        |ORDER BY t_a, t_b""".stripMargin,
 
     "q277_burstiness" -> {
       s"""WITH c AS (

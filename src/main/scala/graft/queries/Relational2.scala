@@ -372,6 +372,38 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // Dead-stock audit: parts never ordered, by brand — one left join
+    // from the part dimension counting catalog size and orphans in
+    // the same pass (the q240 single-pass shape), dead share in exact
+    // milli.
+    "q280_dead_stock" -> { (s, d) =>
+      val ordered = Tables.lineitem(s, d).select("l_partkey").distinct()
+      Tables.part(s, d).select("p_partkey", "p_brand")
+        .join(ordered, col("p_partkey") === col("l_partkey"), "left")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(col("l_partkey").isNull, 1L).otherwise(0L))
+            .as("n_dead"))
+        .withColumn("dead_milli", expr("n_dead * 1000 div n_parts"))
+        .orderBy("p_brand")
+    },
+
+    // Return-rate league table under uncertainty: parts ranked by the
+    // Wilson lower bound of their R-flag rate (k returned of n sold,
+    // n ≥ 20) — the same [[WilsonF]] machinery as q275 pointed at the
+    // quality-risk question "which parts are RELIABLY bad".
+    "q281_wilson_returns" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n"), sum("ret").as("k"))
+        .filter(col("n") >= 20)
+        .withColumn("wilson", expr(WilsonF))
+        .orderBy(col("wilson").desc, col("pk"))
+        .limit(25)
+    },
+
     // Brand share shift: each brand's share of yearly quantity in
     // exact milli, with the year-over-year share delta (signed
     // integer milli difference — no division of signed values). The
@@ -1945,6 +1977,52 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q280_dead_stock" ->
+      """WITH o AS (SELECT DISTINCT l_partkey FROM lineitem)
+        |SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dead,
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // COUNT(*) AS dead_milli
+        |FROM part LEFT JOIN o ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q281_wilson_returns" -> {
+      s"""WITH r AS (
+        |  SELECT l_partkey AS pk,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ret) AS BIGINT) AS k
+        |  FROM r GROUP BY 1)
+        |SELECT pk, n, k, $WilsonF AS wilson
+        |FROM a WHERE n >= 20 ORDER BY wilson DESC, pk LIMIT 25""".stripMargin
+    },
+
+    "q280_dead_stock" ->
+      """WITH o AS (SELECT DISTINCT l_partkey FROM lineitem)
+        |SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dead,
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // COUNT(*) AS dead_milli
+        |FROM part LEFT JOIN o ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q281_wilson_returns" -> {
+      s"""WITH r AS (
+        |  SELECT l_partkey AS pk,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ret) AS BIGINT) AS k
+        |  FROM r GROUP BY 1)
+        |SELECT pk, n, k, $WilsonF AS wilson
+        |FROM a WHERE n >= 20 ORDER BY wilson DESC, pk LIMIT 25""".stripMargin
+    },
 
     "q278_brand_share_shift" ->
       """WITH c AS (
