@@ -923,6 +923,28 @@ object Events {
         .orderBy("cohort")
     },
 
+    // Second-order transitions: the next-event distribution
+    // conditioned on the previous TWO event types — one step up from
+    // q155's bigram matrix (the Markov-order question: does (a,b)→c
+    // differ from b→c). Two lags on the per-user window, counts +
+    // context shares in exact milli, contexts with ≥ 10 observations.
+    "q284_second_order_transitions" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("event_id"))
+      val byCtx = Window.partitionBy("p2", "p1")
+      Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("p1", lag("event_type", 1).over(byUser))
+        .withColumn("p2", lag("event_type", 2).over(byUser))
+        .filter(col("p2").isNotNull)
+        .groupBy(col("p2"), col("p1"), col("event_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_ctx", sum("n").over(byCtx))
+        .filter(col("n_ctx") >= 10)
+        .withColumn("share_milli", expr("n * 1000 div n_ctx"))
+        .orderBy("p2", "p1", "nxt")
+    },
+
     // Audience overlap between event types: exact Jaccard of the
     // distinct-user sets per type pair — "do error-ers also purchase"
     // in one number per pair. Distinct (type, user) rows once, one
@@ -1459,6 +1481,26 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q284_second_order_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type AS nxt,
+        |    LAG(event_type, 1) OVER w AS p1,
+        |    LAG(event_type, 2) OVER w AS p2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |c AS (
+        |  SELECT p2, p1, nxt, COUNT(*) AS n
+        |  FROM l WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |x AS (
+        |  SELECT *, CAST(SUM(n) OVER (PARTITION BY p2, p1) AS BIGINT) AS n_ctx
+        |  FROM c)
+        |SELECT p2, p1, nxt, n, n_ctx, n * 1000 // n_ctx AS share_milli
+        |FROM x WHERE n_ctx >= 10
+        |ORDER BY p2, p1, nxt""".stripMargin,
 
     "q282_audience_overlap" ->
       """WITH tu AS (

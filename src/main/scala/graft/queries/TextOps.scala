@@ -1505,6 +1505,54 @@ object TextOps {
         .orderBy("fam_sz")
     },
 
+    // Source × language mix matrix with exact independence
+    // deviations (obs·N − row·col, the q234 integer-χ² shape pointed
+    // at corpus governance): which feeds skew which languages. One
+    // count aggregate + broadcast marginals.
+    "q283_source_lang_mix" -> { (s, dir) =>
+      val cells = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+      val rowT = cells.groupBy("source").agg(sum("obs").as("row_n"))
+      val colT = cells.groupBy("lang").agg(sum("obs").as("col_n"))
+      val tot = cells.agg(sum("obs").as("n"))
+      cells.join(broadcast(rowT), "source").join(broadcast(colT), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("dev", expr("obs * n - row_n * col_n"))
+        .select("source", "lang", "obs", "row_n", "col_n", "n", "dev")
+        .orderBy("source", "lang")
+    },
+
+    // Distinctive vocabulary per source: the tokens whose in-source
+    // rate most exceeds their rest-of-corpus rate — the log-odds-lite
+    // contrast in exact micro (both rates truncating divisions of
+    // non-negative counts). df ≥ 5 in-source keeps noise out; top-10
+    // per source via the bounded WindowGroupLimit heap.
+    "q285_distinctive_terms" -> { (s, dir) =>
+      val tok = docsWithToks(s, dir)
+        .select(col("source"), explode(col("toks")).as("t"))
+      val bySource = tok.groupBy("source", "t").agg(count(lit(1)).as("n_st"))
+      val srcTot = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val tokTot = tok.groupBy("t").agg(count(lit(1)).as("n_t"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val scored = bySource
+        .join(broadcast(srcTot), "source")
+        .join(tokTot, "t")
+        .crossJoin(broadcast(tot))
+        .filter(col("n_st") >= 5 && col("n") > col("n_s"))
+        .withColumn("rate_in_micro", expr("n_st * 1000000 div n_s"))
+        .withColumn("rate_out_micro",
+          expr("(n_t - n_st) * 1000000 div (n - n_s)"))
+        .withColumn("contrast_micro",
+          col("rate_in_micro") - col("rate_out_micro"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("contrast_micro").desc, col("t"))))
+        .filter(col("rk") <= 10)
+        .select("source", "rk", "t", "n_st", "rate_in_micro",
+          "rate_out_micro", "contrast_micro")
+        .orderBy("source", "rk")
+    },
+
     // Hapax-legomena rate per source: the share of each source's
     // vocabulary that occurs exactly once IN THAT SOURCE — the
     // vocabulary-richness/contamination signal (template-generated
@@ -2448,6 +2496,42 @@ object TextOps {
          |  CAST(SUM(CASE WHEN n_inter = n_union THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_identical
          |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q283_source_lang_mix" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS row_n FROM c GROUP BY 1),
+        |k AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS col_n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c)
+        |SELECT source, lang, obs, row_n, col_n, n,
+        |       obs * n - row_n * col_n AS dev
+        |FROM c JOIN r USING (source) JOIN k USING (lang), t
+        |ORDER BY source, lang""".stripMargin,
+
+    "q285_distinctive_terms" -> {
+      s"""WITH b AS (SELECT source, ${D.tokens("text")} AS toks FROM documents),
+         |p AS (SELECT source, unnest(toks) AS t FROM b),
+         |st AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n_st FROM p GROUP BY 1, 2),
+         |ss AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM p GROUP BY 1),
+         |tt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM p GROUP BY 1),
+         |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+         |sc AS (
+         |  SELECT st.source, st.t, n_st,
+         |    n_st * 1000000 // n_s AS rate_in_micro,
+         |    (n_t - n_st) * 1000000 // (n - n_s) AS rate_out_micro
+         |  FROM st JOIN ss ON st.source = ss.source
+         |  JOIN tt ON st.t = tt.t, n0
+         |  WHERE n_st >= 5 AND n > n_s),
+         |r AS (
+         |  SELECT *, rate_in_micro - rate_out_micro AS contrast_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY rate_in_micro - rate_out_micro DESC, t) AS rk
+         |  FROM sc)
+         |SELECT source, CAST(rk AS INTEGER) AS rk, t, n_st,
+         |       rate_in_micro, rate_out_micro, contrast_micro
+         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+    },
 
     "q255_dup_family_sizes" ->
       """WITH f AS (
