@@ -163,6 +163,54 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Pairwise label-centroid distances in EXACT integer lanes:
+    // components quantize to qi = floor(v·32768), the per-(label,
+    // dim) centroid is the milli-scaled FLOOR division (spelled with
+    // the portable non-negative-mod identity so Spark's truncating
+    // div and DuckDB's floor div agree on negative sums), and the
+    // pair distance is the exact integer Σ(cA−cB)² over dims — the
+    // class-separability readout (which labels are confusable) with
+    // zero float accumulation.
+    "q286_centroid_distances" -> { (s, dir) =>
+      val cm = Tables.spread(Tables.embeddings(s, dir))
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("qi",
+          expr("CAST(floor(CAST(v AS DOUBLE) * 32768.0) AS BIGINT)"))
+        .groupBy("label", "pos")
+        .agg(sum("qi").as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("cmilli", expr(
+          "((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) div cnt"))
+        .select(col("label"), col("pos"), col("cmilli"))
+      cm.as("a").join(cm.as("b"),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(count(lit(1)).as("n_dims"),
+          sum(expr("(a.cmilli - b.cmilli) * (a.cmilli - b.cmilli)"))
+            .as("d2"))
+        .orderBy("label_a", "label_b")
+    },
+
+    // Quantized-norm profile per label: ‖v‖² in the exact integer
+    // lane (Σ qi², qi = floor(v·32768)) bucketed by binary-string
+    // length — the norm-distribution sanity check run before cosine
+    // vs dot-product decisions (unnormalized embeddings make cosine
+    // and dot rank differently).
+    "q287_norm_profile" -> { (s, dir) =>
+      Tables.spread(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("qi",
+          expr("CAST(floor(CAST(v AS DOUBLE) * 32768.0) AS BIGINT)"))
+        .groupBy("vec_id", "label")
+        .agg(sum(expr("qi * qi")).as("nrm2"))
+        .withColumn("bucket", expr("CAST(length(bin(nrm2)) AS BIGINT)"))
+        .groupBy("label", "bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("nrm2").as("min_n2"),
+          max("nrm2").as("max_n2"))
+        .orderBy("label", "bucket")
+    },
+
     // Johnson-Lindenstrauss random projection (64 → 16 dims) with a
     // measured distortion report — the dimensionality-reduction step
     // that cuts ANN distance work 4× before IVF/PQ. The ±1/√k
@@ -704,6 +752,37 @@ object VectorOps {
        |  FROM ex GROUP BY label, pos)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q286_centroid_distances" ->
+      """WITH q AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0) AS BIGINT) AS qi
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label, pos, CAST(SUM(qi) AS BIGINT) AS sq,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM q GROUP BY 1, 2),
+        |m AS (
+        |  SELECT label, pos,
+        |    ((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) // cnt AS cmilli
+        |  FROM c)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  COUNT(*) AS n_dims,
+        |  CAST(SUM((a.cmilli - b.cmilli) * (a.cmilli - b.cmilli)) AS BIGINT) AS d2
+        |FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q287_norm_profile" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0) AS BIGINT) AS qi
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, label, CAST(SUM(qi * qi) AS BIGINT) AS nrm2
+        |  FROM q GROUP BY 1, 2)
+        |SELECT label, CAST(length(bin(nrm2)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_vecs, MIN(nrm2) AS min_n2, MAX(nrm2) AS max_n2
+        |FROM n2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q202_minmax_scale" ->
       s"""WITH q AS (
