@@ -923,6 +923,22 @@ object Events {
         .orderBy("cohort")
     },
 
+    // Behavioral diversity histogram: how many users touch exactly k
+    // of the event types — the engagement-breadth readout (all-type
+    // users are power users; single-type users are drive-bys). Two
+    // stacked aggregates, share in exact milli.
+    "q288_type_diversity" -> { (s, d) =>
+      val per = Tables.events(s, d)
+        .select("user_id", "event_type").distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("k"))
+      val tot = per.agg(count(lit(1)).as("n_users"))
+      per.groupBy("k").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_milli", expr("n * 1000 div n_users"))
+        .select("k", "n", "n_users", "share_milli")
+        .orderBy("k")
+    },
+
     // Second-order transitions: the next-event distribution
     // conditioned on the previous TWO event types — one step up from
     // q155's bigram matrix (the Markov-order question: does (a,b)→c
@@ -1481,6 +1497,16 @@ object Events {
         |            // COUNT(p_tsu) AS BIGINT) END AS avg_lat_us
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "q288_type_diversity" ->
+      """WITH per AS (
+        |  SELECT user_id, COUNT(*) AS k FROM (
+        |    SELECT DISTINCT user_id, event_type FROM events)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM per)
+        |SELECT k, COUNT(*) AS n, n_users,
+        |  CAST(COUNT(*) AS BIGINT) * 1000 // n_users AS share_milli
+        |FROM per, t GROUP BY k, n_users ORDER BY k""".stripMargin,
 
     "q284_second_order_transitions" ->
       """WITH e AS (

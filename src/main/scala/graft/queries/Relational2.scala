@@ -372,6 +372,35 @@ object Relational2 {
         .orderBy("l_returnflag")
     },
 
+    // 3σ outlier counts per market segment: population mean/σ from
+    // exact integer power sums (cents), the outlier predicate
+    // |v − μ| > 3σ evaluated through the IDENTICAL double expression
+    // on both engines — the parametric sibling of q92's MAD screen.
+    // Two aggregates + one broadcast stats join back.
+    "q289_value_outliers" -> { (s, d) =>
+      // WHOLE-DOLLAR lane (floor of the decimal — identical on both
+      // engines): a cents lane squares past BIGINT at sf0.1
+      // (5e7² × 3e4 rows ≈ 7.5e19); dollars keep Σv² ≤ ~10¹⁶
+      val v = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT)")
+            .as("vc"))
+      val stats = v.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("vc").as("s1"),
+          sum(expr("vc * vc")).as("s2"))
+      v.join(broadcast(stats), "seg")
+        .groupBy("seg")
+        .agg(max("n").as("n"),
+          sum(expr(s"CASE WHEN abs(CAST(vc AS DOUBLE) - ($MeanF)) > " +
+            s"CAST(3 AS DOUBLE) * sqrt($VarPopF) THEN 1 ELSE 0 END"))
+            .as("n_outliers"))
+        .withColumn("out_milli", expr("n_outliers * 1000 div n"))
+        .orderBy("seg")
+    },
+
     // Dead-stock audit: parts never ordered, by brand — one left join
     // from the part dimension counting catalog size and orphans in
     // the same pass (the q240 single-pass shape), dead share in exact
@@ -1977,6 +2006,30 @@ object Relational2 {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
         |SELECT pc AS median_price_c, cw, tw FROM c, t
         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q289_value_outliers" -> {
+      val mean = "CAST(s1 AS DOUBLE) / n"
+      val varp = s"(CAST(s2 AS DOUBLE) / n - ($mean) * ($mean))"
+      s"""WITH v AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS vc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |st AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(vc) AS BIGINT) AS s1,
+        |    CAST(SUM(vc * vc) AS BIGINT) AS s2
+        |  FROM v GROUP BY 1)
+        |SELECT v.seg, MAX(n) AS n,
+        |  CAST(SUM(CASE WHEN abs(CAST(vc AS DOUBLE) - ($mean)) >
+        |                CAST(3 AS DOUBLE) * sqrt($varp)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN abs(CAST(vc AS DOUBLE) - ($mean)) >
+        |                CAST(3 AS DOUBLE) * sqrt($varp)
+        |           THEN 1 ELSE 0 END) AS BIGINT) * 1000 // MAX(n)
+        |    AS out_milli
+        |FROM v JOIN st ON v.seg = st.seg
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q280_dead_stock" ->
       """WITH o AS (SELECT DISTINCT l_partkey FROM lineitem)
