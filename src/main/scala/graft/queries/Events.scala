@@ -1544,22 +1544,6 @@ object Events {
         |JOIN sz sb ON t_b = sb.t
         |ORDER BY t_a, t_b""".stripMargin,
 
-    "q282_audience_overlap" ->
-      """WITH tu AS (
-        |  SELECT DISTINCT event_type AS t, user_id FROM events),
-        |sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1),
-        |iv AS (
-        |  SELECT a.t AS t_a, b.t AS t_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t
-        |  GROUP BY 1, 2)
-        |SELECT t_a, t_b, sa.n AS n_a, sb.n AS n_b, n_inter,
-        |  sa.n + sb.n - n_inter AS n_union,
-        |  n_inter * 1000 // (sa.n + sb.n - n_inter) AS jaccard_milli
-        |FROM iv
-        |JOIN sz sa ON t_a = sa.t
-        |JOIN sz sb ON t_b = sb.t
-        |ORDER BY t_a, t_b""".stripMargin,
-
     "q277_burstiness" -> {
       s"""WITH c AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c

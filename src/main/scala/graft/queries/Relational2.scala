@@ -2054,29 +2054,6 @@ object Relational2 {
         |FROM a WHERE n >= 20 ORDER BY wilson DESC, pk LIMIT 25""".stripMargin
     },
 
-    "q280_dead_stock" ->
-      """WITH o AS (SELECT DISTINCT l_partkey FROM lineitem)
-        |SELECT p_brand, COUNT(*) AS n_parts,
-        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_dead,
-        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    * 1000 // COUNT(*) AS dead_milli
-        |FROM part LEFT JOIN o ON p_partkey = l_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q281_wilson_returns" -> {
-      s"""WITH r AS (
-        |  SELECT l_partkey AS pk,
-        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
-        |  FROM lineitem),
-        |a AS (
-        |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(ret) AS BIGINT) AS k
-        |  FROM r GROUP BY 1)
-        |SELECT pk, n, k, $WilsonF AS wilson
-        |FROM a WHERE n >= 20 ORDER BY wilson DESC, pk LIMIT 25""".stripMargin
-    },
-
     "q278_brand_share_shift" ->
       """WITH c AS (
         |  SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -19,13 +19,20 @@ import sys
 
 
 def parse(path: str) -> dict:
+    # normalize keys to the pre-underscore prefix: bench_out.json keys
+    # are already truncated there (Bench.scala takeWhile(_ != '_')),
+    # stderr log lines carry full names — without this a log-vs-json
+    # comparison would intersect on NOTHING and hide every regression
+    def key(k: str) -> str:
+        return k.split("_", 1)[0]
     if path.endswith(".json"):
-        return json.load(open(path))["queries"]
+        return {key(k): v
+                for k, v in json.load(open(path))["queries"].items()}
     out = {}
     for line in open(path, errors="ignore"):
         m = re.match(r"\[bench\] (\S+)\s+([\d.]+) s", line)
         if m:
-            out[m.group(1)] = float(m.group(2))
+            out[key(m.group(1))] = float(m.group(2))
     return out
 
 
