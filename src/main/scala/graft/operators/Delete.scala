@@ -189,10 +189,18 @@ object Delete {
     if (deadFiles.nonEmpty) ds.deleteFiles(deadFiles)
     // the row-level lane runs only if some surviving file CAN hold an
     // expired row (lo < cutoff, or bounds unknown — conservative);
-    // otherwise the daily retention job is the sidecar scan alone
-    val straddler = perFile.exists(r => !deadSet.contains(r.getString(0)) &&
-      (r.isNullAt(1) || r.getLong(1) < cutoffMicros ||
-        r.getLong(6) != r.getLong(5)))
+    // otherwise the daily retention job is the sidecar scan alone.
+    // Coverage guard: a live file with NO sidecar row for (tsCol,
+    // timestamp) — schema-evolved file missing the column, or the
+    // column stored under another typ — is invisible to perFile, so
+    // it must be routed through the row-level lane rather than
+    // silently kept with its expired rows intact.
+    val covered = perFile.map(_.getString(0)).toSet
+    val uncovered = ds.relFiles.exists(f => !covered.contains(f))
+    val straddler = uncovered ||
+      perFile.exists(r => !deadSet.contains(r.getString(0)) &&
+        (r.isNullAt(1) || r.getLong(1) < cutoffMicros ||
+          r.getLong(6) != r.getLong(5)))
     val res =
       if (straddler) where(ds, s"$tsCol < timestamp_micros(${cutoffMicros}L)")
       else DeleteResult(0, Nil, ds.relFiles)

@@ -52,14 +52,17 @@ object SetSimJoin {
                       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be in (0,1]: $tauNum/$tauDen")
-    def pin(tag: String, frame: DataFrame): DataFrame = {
-      val p = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // adopted into the memo LRU (the partitionBy lesson — a library
-      // operator must not pin storage it never releases)
-      graft.core.Tables.adopt(df.sparkSession,
-        s"$tag#${System.identityHashCode(frame.queryExecution.logical)}", p)
-      p
-    }
+    // Memo key = SEMANTIC hash of the input plan + params, not the
+    // identity of the derived frame: repeated identical calls re-hit
+    // the same persisted entries instead of stacking three fresh
+    // MEMORY_AND_DISK frames per invocation that only LRU pressure
+    // could ever evict. Lifecycle stays owned by the memo LRU
+    // (the partitionBy lesson — a library operator must not pin
+    // storage it never releases).
+    val inputKey =
+      s"${df.queryExecution.analyzed.semanticHash()}:$idCol:$setCol:$tauNum/$tauDen"
+    def pin(tag: String, frame: => DataFrame): DataFrame =
+      graft.core.Tables.memo(df.sparkSession, s"$tag#$inputKey")(frame)
     // ---- exact-duplicate collapse: one representative per distinct
     // sorted set; members keep a (rep, id) row each. array_distinct
     // makes duplicate input elements ignored CONSISTENTLY (set

@@ -1034,9 +1034,14 @@ object Events {
       val aggs = tols.map(t =>
         sum(expr(s"CASE WHEN gap_us IS NOT NULL AND gap_us <= $t " +
           "THEN 1 ELSE 0 END")).as(s"n_le_${t / 1000000L}s"))
+      // n_clicks = 0 guard: an empty clicks frame still yields one
+      // agg row, and Spark-4 ANSI raises DIVIDE_BY_ZERO where the
+      // DuckDB oracle would error too — NULL on both sides instead
+      // (q259/q237/q223 degenerate-guard convention).
       val shares = tols.map { t =>
         val k = t / 1000000L
-        expr(s"n_le_${k}s * 1000 div n_clicks").as(s"rate_${k}s_milli")
+        expr(s"CASE WHEN n_clicks = 0 THEN NULL " +
+          s"ELSE n_le_${k}s * 1000 div n_clicks END").as(s"rate_${k}s_milli")
       }
       gaps.agg(count(lit(1)).as("n_clicks"), aggs: _*)
         .select(Seq(col("n_clicks")) ++
@@ -1586,15 +1591,18 @@ object Events {
          |               THEN 1 ELSE 0 END) AS BIGINT) AS n_le_300s,
          |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
          |               THEN 1 ELSE 0 END) AS BIGINT) AS n_le_3600s,
-         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 60000000
-         |               THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
-         |    AS rate_60s_milli,
-         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
-         |               THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
-         |    AS rate_300s_milli,
-         |  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
-         |               THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
-         |    AS rate_3600s_milli
+         |  CASE WHEN COUNT(*) = 0 THEN NULL ELSE
+         |    CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 60000000
+         |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+         |    END AS rate_60s_milli,
+         |  CASE WHEN COUNT(*) = 0 THEN NULL ELSE
+         |    CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+         |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+         |    END AS rate_300s_milli,
+         |  CASE WHEN COUNT(*) = 0 THEN NULL ELSE
+         |    CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
+         |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+         |    END AS rate_3600s_milli
          |FROM g""".stripMargin,
 
     "q262_session_penetration" ->

@@ -106,8 +106,13 @@ object Lifecycle {
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
     sessionMemo(bucketMemo)(s, d) {
       // full dir string, sanitized — a truncated hash could collide
-      // across sfDirs in one session and silently cross-wire tables
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // across sfDirs in one session and silently cross-wire tables.
+      // The session-identity suffix keeps the catalog entry scoped
+      // like the memo key: sibling sessions (SparkSession.newSession)
+      // share one catalog, and without it each would overwrite the
+      // other's table while both memos still point at the shared name.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_s" + java.lang.Integer.toHexString(System.identityHashCode(s))
       val liT = s"graft_li_b_$tag"
       val ordT = s"graft_ord_b_$tag"
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")

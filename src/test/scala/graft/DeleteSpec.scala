@@ -151,6 +151,27 @@ class DeleteSpec extends SparkSpecBase {
     assert(ds.df.select("k").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("retention: a live file absent from the sidecar routes to the row-level lane") {
+    val dir = tmpDir("retcov")
+    val ds = new ParquetDataset(spark, dir)
+    def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+    // file A: fully live [4s,5s], covered by the sidecar
+    Seq((1L, tsOf(4000000000L)), (2L, tsOf(5000000000L))).toDF("k", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    ds.updateStats()
+    // file B appended AFTER the sidecar build: holds an expired row
+    // the stats cannot see. Without the coverage guard the classifier
+    // sees no dead file and no straddler, skips the row-level lane,
+    // and k=3 silently survives while RetentionResult reports success.
+    Seq((3L, tsOf(1000000000L)), (4L, tsOf(4500000000L))).toDF("k", "ts")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val res = Delete.retention(ds, "ts", 3000000000L)
+    assert(res.deleted == 1, res)
+    assert(res.droppedFiles.isEmpty, res)
+    assert(ds.df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+  }
+
   test("retention with no expired files is a pure no-op") {
     val dir = tmpDir("retnoop")
     val ds = new ParquetDataset(spark, dir)
