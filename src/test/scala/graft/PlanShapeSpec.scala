@@ -360,6 +360,26 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("row-scale top-k windows keep the WindowGroupLimit pushdown (q96/q157)") {
+    // the two remaining bare `Window.orderBy` sites at row scale are
+    // safe ONLY because Catalyst pushes `row_number <= k` into a
+    // per-partition bounded heap (WindowGroupLimit) below the
+    // single-partition window, so at most k·partitions rows ever reach
+    // the one task. That rewrite is shape-sensitive — e.g. referencing
+    // the rank column a second time defeats it silently. This pin
+    // makes such an edit a test failure instead of a 100 TB incident.
+    // Either rendering is the safe one: WindowGroupLimit (bounded heap
+    // below the window) or TakeOrderedAndProject (per-partition top-k
+    // + driver merge of k rows) — both cap what reaches the single
+    // partition at k·partitions rows
+    for (q <- Seq("q96_bm25", "q157_sparse_cosine")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+        s"$q lost the rank-limit pushdown — full-volume single-partition window:\n$p")
+    }
+  }
+
   test("bucketed fact-to-fact join reads co-located buckets — no join-side shuffle (q198)") {
     val df = SparkEntry.queries("q198_bucketed_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
