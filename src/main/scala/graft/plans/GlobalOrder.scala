@@ -117,17 +117,28 @@ object GlobalOrder {
     * cost doesn't shrink with the answer). The sample falls back to
     * the full frame when it comes up empty (tiny inputs).
     */
-  private def boundaries(df: DataFrame, bd: Column, buckets: Int): Option[Seq[Double]] = {
+  private[plans] def boundaries(df: DataFrame, bd: Column, buckets: Int): Option[Seq[Double]] = {
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    def probe(d: DataFrame) =
-      d.agg(percentile_approx(bd, array(probs.map(lit): _*), lit(1000)).as("qs"))
-        .collect()(0)
-    val row = {
-      val sampled = probe(df.sample(withReplacement = false, 0.05, seed = 7L))
-      if (sampled.isNullAt(0)) probe(df) else sampled
-    }
-    if (row.isNullAt(0)) None
-    else Some(row.getSeq[Double](0).filter(d => !d.isNaN).distinct.sorted)
+    val probsArr = array(probs.map(lit): _*)
+    // ONE job computes both the ~5%-sampled sketch (the cheap estimate
+    // that wins on anything non-tiny) and the full-frame fallback it
+    // coalesces to when the sample catches no non-null key (tiny
+    // inputs) — fused so the probe is a single driver round-trip
+    // instead of sample-then-retry. The sample is a deterministic
+    // VALUE hash (rand() may not appear inside an aggregate): a hot
+    // key hashing out of the sample can skew the estimate, but
+    // boundary quality affects load balance only (law-tested), so a
+    // skewed sketch is a balance wobble, never a correctness risk.
+    val row = df.agg(
+        percentile_approx(when(pmod(hash(bd, lit(7)), lit(20)) === 0, bd),
+          probsArr, lit(1000)).as("qs_s"),
+        percentile_approx(bd, probsArr, lit(1000)).as("qs_f"))
+      .collect()(0)
+    val qs = if (!row.isNullAt(0)) row.getSeq[Double](0)
+             else if (!row.isNullAt(1)) row.getSeq[Double](1)
+             else null
+    if (qs == null) None
+    else Some(qs.filter(d => !d.isNaN).distinct.sorted)
   }
 
   /** Bucket id: −1 for NULL keys, else the count of boundaries ≤ key —
@@ -161,7 +172,24 @@ object GlobalOrder {
                     buckets: Int = 64): DataFrame = {
     val df = pinned(df0)
     val bd = bucketBy.cast(DoubleType)
-    boundaries(df, bd, buckets) match {
+    withRowNumberBounds(df, order, bd, rankName, countName,
+      boundaries(df, bd, buckets))
+  }
+
+  /** [[withRowNumber]] with the bucket boundaries injected — the law
+    * seam proving boundary QUALITY affects load balance only: any
+    * bounds (exact quantiles, garbage, none) must produce identical
+    * ranks, because offsets are recomputed from actual bucket counts
+    * and the bucket id is a pure function of the key.
+    */
+  private[graft] def withRowNumberBounds(df: DataFrame, order: Seq[Column],
+      bd: Column, rankName: String, countName: Option[String],
+      boundsOpt0: Option[Seq[Double]]): DataFrame = {
+    // normalize injected bounds: BucketOfSorted's binary search
+    // requires sorted distinct values (driver-side, ≤ `buckets` items)
+    val boundsOpt = boundsOpt0.map(_.filter(d => !d.isNaN).distinct.sorted)
+      .filter(_.nonEmpty)
+    boundsOpt match {
       case None => // empty input (or all-null keys): nothing to rank
         val out = df.withColumn(rankName,
           row_number().over(Window.orderBy(order: _*)).cast("long"))

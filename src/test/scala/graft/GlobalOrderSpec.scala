@@ -92,6 +92,37 @@ class GlobalOrderSpec extends SparkSpecBase {
     }
   }
 
+  test("boundary quality never affects values: garbage bounds == exact bounds == no bounds") {
+    // offsets are recomputed from ACTUAL bucket counts and the bucket
+    // id is a pure function of the key, so any bounds — adversarially
+    // skewed, out-of-range, duplicated, unsorted, or absent — must
+    // yield bit-identical ranks; only load balance may differ
+    val df = (1 to 4000).map { i =>
+      (i.toLong, (i * 48271L % 2311L).toDouble)
+    }.toDF("id", "v").repartition(8)
+    val order = Seq(col("v"), col("id"))
+    val bd = col("v").cast("double")
+    val expected = GlobalOrder.withRowNumberBounds(df, order, bd, "rn",
+        Some("n"), None)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rn"), r.getAs[Long]("n"))).toMap
+    val boundsCases = Seq(
+      Seq(-1e9, 0.0, 3.0, 3.0, 17.5, 1e12),         // skewed + dupes + out of range
+      Seq(2310.0, 1.0, 500.0),                       // unsorted
+      Seq(Double.NaN, 100.0),                        // NaN filtered
+      (1 to 63).map(_ * 2311.0 / 64),                // near-exact quantiles
+      Seq(1e18))                                     // single bound beyond range
+    for (bounds <- boundsCases) {
+      val got = GlobalOrder.withRowNumberBounds(df, order, bd, "rn",
+        Some("n"), Some(bounds)).collect()
+      assert(got.length == 4000, s"bounds=$bounds")
+      got.foreach { r =>
+        assert((r.getAs[Long]("rn"), r.getAs[Long]("n")) ==
+          expected(r.getAs[Long]("id")), s"bounds=$bounds id=${r.getAs[Long]("id")}")
+      }
+    }
+  }
+
   test("plan shape: the rank window is partitioned — no global window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = (1 to 2000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
