@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CorpusOps, Events, Lifecycle, MultimodalOps, PipelineOps, Relational, Relational2, StreamOps, TextOps, VectorOps}
+import graft.queries.{Analytics, CorpusOps, Events, Lifecycle, MultimodalOps, PipelineOps, Relational, Relational2, StreamOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,13 +21,13 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Events.queries ++
       TextOps.queries ++ VectorOps.queries ++ MultimodalOps.queries ++
       PipelineOps.queries ++ Lifecycle.queries ++ StreamOps.queries ++
-      CorpusOps.queries
+      CorpusOps.queries ++ Analytics.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Events.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
       PipelineOps.oracles ++ Lifecycle.oracles ++ StreamOps.oracles ++
-      CorpusOps.oracles
+      CorpusOps.oracles ++ Analytics.oracles
 
   /** Dev-loop selection shared by Bench and Verify: each
     * SPARK_GRAFT_ONLY element matches a query by its id prefix

@@ -160,6 +160,13 @@ final case class SqlDialect(spark: Boolean) {
   /** Cosine similarity — one division of two identically-derived doubles. */
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)}) / (sqrt(${norm2(a)}) * sqrt(${norm2(b)}))"
+
+  /** Sequential-fold squared L2 distance of two float arrays, in double. */
+  def sqdist(a: String, b: String): String =
+    if (spark)
+      s"aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), $dblZero, (acc, v) -> acc + v)"
+    else
+      s"list_reduce(list_prepend($dblZero, list_transform(list_zip($a, $b), s -> ((s[1]::DOUBLE) - (s[2]::DOUBLE)) * ((s[1]::DOUBLE) - (s[2]::DOUBLE)))), (acc, v) -> acc + v)"
 }
 
 object PortableSql {

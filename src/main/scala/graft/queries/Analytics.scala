@@ -1,0 +1,695 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.plans.GlobalOrder
+
+/** Round-6 analytics inventory: market-basket mining, exact heavy
+  * hitters, cohort retention, data-quality auditing, stratified
+  * allocation, Markov transitions, rank/χ² statistics, volatility
+  * bands, per-node clustering coefficients, and scalar-quantization
+  * vector search. Same determinism contract as [[Relational]]:
+  * integer lanes (cross-multiplied ratios, milli/micro quantization),
+  * identical IEEE op sequences for the double tails, ANSI
+  * zero-denominator guards mirrored on both engines.
+  *
+  * Reference behavior: pydala2 exposes none of these — they extend
+  * the training-data-pipeline stack (SURVEY.md "beyond the
+  * reference") the way `pydala/dataset.py`'s maintenance ops extend
+  * storage management.
+  */
+object Analytics {
+
+  /** Distinct (order, part) incidence — the market-basket substrate
+    * (memoized: q290 and q299 both traverse it).
+    */
+  private def basket(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"$d#q290basket") {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
+  /** Co-purchase edges (pa < pb) with support >= 2 — the q299 graph.
+    * Support filtering caps density: a hot basket contributes
+    * |basket|² candidate pairs, but only pairs re-observed in a
+    * SECOND basket survive, so edge count is bounded by the repeated
+    * co-purchase structure, not by basket size.
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"$d#q299edges") {
+      val p = basket(s, d)
+      p.as("a").join(p.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select("pa", "pb")
+    }
+
+  /** int8 scalar-quantization bucket of `xd` under per-dim bounds
+    * [mn, mx] — identical text on BOTH engines (CASE/least/floor/CAST
+    * only), so the encode is one shared IEEE sequence. A collapsed
+    * dimension (mx = mn) encodes to bucket 0 and reconstructs to mn
+    * exactly (the zero-range guard both engines need — Spark-4 ANSI
+    * would throw on the division, DuckDB would yield inf).
+    */
+  private val BqF =
+    "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE " +
+      "least(CAST(255 AS BIGINT), CAST(floor((xd - mn) * " +
+      "CAST(255 AS DOUBLE) / (mx - mn)) AS BIGINT)) END"
+
+  /** Mid-bucket reconstruction of [[BqF]] — shared text likewise. */
+  private val ReconF =
+    "CASE WHEN mx = mn THEN mn ELSE " +
+      "mn + (CAST(bq AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn) / " +
+      "CAST(255 AS DOUBLE) END"
+
+  /** Micro-quantized squared reconstruction error — the integer lane
+    * that makes per-dim/per-pair error SUMS order-free (a double Σ
+    * over a shuffled group is not deterministic; an integer Σ is).
+    */
+  private val ErrMicroF =
+    "CAST(floor((xd - recon) * (xd - recon) * CAST(1000000 AS DOUBLE)) " +
+      "AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Market-basket association mining: part pairs co-ordered in >= 2
+    // orders, scored by confidence and lift in exact milli (lift =
+    // n_ab·N / (n_a·n_b), cross-multiplied before the single integer
+    // division). The pair join is keyed on the order — expansion is
+    // basket-size-bounded (TPC-H baskets are tiny; a production rules
+    // miner would add a per-basket size cap the same way q214 caps
+    // prefixes) — and the item-frequency joins are hash equi-joins on
+    // the part key. Top-40 by lift is a bounded WindowGroupLimit heap.
+    "q290_basket_rules" -> { (s, d) =>
+      val p = basket(s, d)
+      val nOrders = p.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+      val item = p.groupBy("pk").agg(count(lit(1)).as("n_item"))
+      val pairs = p.as("a").join(p.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(item.select(col("pk").as("pa"), col("n_item").as("n_a")), "pa")
+        .join(item.select(col("pk").as("pb"), col("n_item").as("n_b")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("conf_milli", expr("n_ab * 1000 div n_a"))
+        .withColumn("lift_milli", expr("n_ab * n_orders * 1000 div (n_a * n_b)"))
+        .select("pa", "pb", "n_ab", "n_a", "n_b", "conf_milli", "lift_milli")
+        .orderBy(col("lift_milli").desc, col("pa"), col("pb"))
+        .limit(40)
+    },
+
+    // Exact heavy hitters via distributed Misra–Gries + exact recount
+    // (operators/HeavyHitters.scala): suppliers carrying > 1% of all
+    // lineitems. The candidate pass bounds per-task memory to k
+    // counters and the shuffle to k·partitions rows — the 100 TB
+    // shape for huge key spaces — and the recount restores exactness,
+    // which is what the oracle checks.
+    "q291_heavy_hitters" -> { (s, d) =>
+      graft.operators.HeavyHitters.frequentItems(
+        Tables.lineitem(s, d), "l_suppkey", 100)
+    },
+
+    // Monthly cohort retention matrix: customers grouped by first-
+    // order month, tracked for 12 months. Two map-side-combined
+    // aggregates (first-order month, active months) + one hash join
+    // on the customer key + a broadcast-sized cohort-total join.
+    "q292_cohort_retention" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+      val first = o.groupBy("o_custkey").agg(min("ym").as("cym"))
+      val active = o.distinct()
+      val cohortN = first.groupBy("cym").agg(count(lit(1)).as("n_cohort"))
+      active.join(first, "o_custkey")
+        .withColumn("m_since",
+          expr("(ym div 100 - cym div 100) * 12 + (ym % 100 - cym % 100)"))
+        .filter(col("m_since").between(0, 11))
+        .groupBy("cym", "m_since")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cohortN), "cym")
+        .withColumn("ret_milli", expr("n_active * 1000 div n_cohort"))
+        .select("cym", "m_since", "n_cohort", "n_active", "ret_milli")
+        .orderBy("cym", "m_since")
+    },
+
+    // Data-quality audit — the pre-ingest contract check a pipeline
+    // runs before accepting a batch: referential orphans both ways,
+    // duplicate line identity, domain violations, cross-table date
+    // sanity. One row per check (check, n_bad, n_total, bad_milli);
+    // every lane is an anti-join or a conditional aggregate — no
+    // wide shuffles, fact tables scanned a bounded number of times.
+    "q293_dq_audit" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val nLi = li.agg(count(lit(1)).as("n_total"))
+      val nOrd = o.agg(count(lit(1)).as("n_total"))
+      def check(name: String, bad: DataFrame, tot: DataFrame): DataFrame =
+        bad.agg(count(lit(1)).as("n_bad")).crossJoin(broadcast(tot))
+          .select(lit(name).as("chk"), col("n_bad"), col("n_total"),
+            expr("CASE WHEN n_total = 0 THEN NULL " +
+              "ELSE n_bad * 1000 div n_total END").as("bad_milli"))
+      val orphan = li.select("l_orderkey")
+        .join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val childless = o.select("o_orderkey")
+        .join(li.select("l_orderkey").distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+      val dupLine = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      val nonposQty = li.filter(col("l_quantity") <= 0)
+      val discRange = li.filter(col("l_discount") < 0 || col("l_discount") > 0.5)
+      val shipEarly = li.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate"))
+      check("li_disc_range", discRange, nLi)
+        .unionAll(check("li_dup_line", dupLine, nLi))
+        .unionAll(check("li_nonpos_qty", nonposQty, nLi))
+        .unionAll(check("li_orphan", orphan, nLi))
+        .unionAll(check("li_ship_before_order", shipEarly, nLi))
+        .unionAll(check("ord_childless", childless, nOrd))
+        .orderBy("chk")
+    },
+
+    // Stratified sample allocation by largest remainder (Hamilton):
+    // a 10,000-doc budget split across sources proportional to their
+    // counts, exactly — Σ alloc = budget, every lane integer. The
+    // remainder rank runs over a source-cardinality frame (bounded by
+    // construction), the total via one broadcast scalar.
+    "q294_stratified_alloc" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum("n_docs").as("n_total"))
+      val base = counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr("10000 * n_docs div n_total"))
+        .withColumn("rem", expr("10000 * n_docs - base * n_total"))
+      val deficit = base.agg((lit(10000) - sum("base")).cast("long").as("deficit"))
+      base.crossJoin(broadcast(deficit))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("extra",
+          expr("CASE WHEN rk <= deficit THEN 1 ELSE 0 END").cast("long"))
+        .withColumn("alloc", col("base") + col("extra"))
+        .select("source", "n_docs", "base", "extra", "alloc")
+        .orderBy("source")
+    },
+
+    // Per-user event-type transition matrix (first-order Markov):
+    // consecutive-event pairs under (ts, event_id) order within each
+    // user, transition probability in exact milli against the
+    // from-type total. One hash exchange on user_id for the lag
+    // window, then a bounded (|types|²) rollup.
+    "q295_markov_transitions" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("tsu"))
+        .withColumn("from_type", lag("event_type", 1).over(byUser))
+        .filter(col("from_type").isNotNull)
+      val fromTot = pairs.groupBy("from_type").agg(count(lit(1)).as("n_from"))
+      pairs.groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .join(broadcast(fromTot), "from_type")
+        .withColumn("p_milli", expr("n_trans * 1000 div n_from"))
+        .select("from_type", "to_type", "n_trans", "n_from", "p_milli")
+        .orderBy("from_type", "to_type")
+    },
+
+    // Mann–Whitney U drift test between the click and purchase value
+    // distributions — exact integer U (doubled to absorb the ½-tie
+    // term) from quantized-value counts and a distributed running
+    // cumulative (GlobalOrder — never a single-partition window over
+    // the value spine), tie-corrected z as one identical IEEE
+    // sequence on both engines. The nonparametric cousin of the KS
+    // gate (q95): detects location shift where KS detects any shape
+    // change.
+    "q296_mann_whitney" -> { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
+      val perV = v.groupBy("v").agg(
+        sum("isa").as("na_v"),
+        sum(expr("1 - isa")).as("nb_v"),
+        count(lit(1)).as("t_v"))
+      val cum = GlobalOrder.withRunningSum(perV, Seq(col("v")), col("v"),
+        col("nb_v"), "cumb")
+      cum.agg(
+          sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
+          sum(expr("na_v * (2 * (cumb - nb_v) + nb_v)")).as("u2"),
+          sum(expr("t_v * t_v * t_v - t_v")).as("tie_t3"))
+        .withColumn("z", expr(
+          "CASE WHEN n_a = 0 OR n_b = 0 " +
+            "OR tie_t3 = (n_a + n_b) * ((n_a + n_b) * (n_a + n_b) - 1) " +
+            "THEN NULL ELSE " +
+            "(CAST(u2 - n_a * n_b AS DOUBLE)) / " +
+            "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3 * " +
+            "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie_t3 AS DOUBLE) / " +
+            "(CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))) END"))
+        .select("n_a", "n_b", "u2", "tie_t3", "z")
+    },
+
+    // χ² independence screen of lang × source over documents — "is
+    // language mix uniform across crawls": per-cell contribution in
+    // exact-ordered micro units (floor of one identical double
+    // sequence; the integer SUM of contributions is order-free, so
+    // the total is deterministic where a double Σ would not be).
+    // Observed/row/col/total counts are three map-side-combined
+    // aggregates; the total is one broadcast scalar.
+    "q297_chisq_lang_source" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("lang", "source")
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rows = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+      val cols = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      cells.join(broadcast(rows), "lang")
+        .join(broadcast(cols), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("exp_micro", expr("r * c * 1000000 div n"))
+        .withColumn("contrib_micro", expr(
+          "CAST(floor((CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - " +
+            "CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) * " +
+            "(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - " +
+            "CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) * CAST(1000000 AS DOUBLE) / " +
+            "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE))) " +
+            "AS BIGINT)"))
+        .select("lang", "source", "o", "exp_micro", "contrib_micro")
+        .orderBy("lang", "source")
+    },
+
+    // Bollinger bands on daily order revenue: 7-day rolling mean ±2σ
+    // and breakout flags. Revenue in exact cents; the rolling second
+    // moment rides a DECIMAL(38,0) lane (cents² at warehouse scale
+    // overflows BIGINT); σ is one identical sqrt of a
+    // greatest(0, ·)-guarded population variance. The day spine is
+    // calendar-bounded, so the ordered window is a legitimate tiny
+    // frame (the q258 convention).
+    "q298_bollinger" -> { (s, d) =>
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+          "AS BIGINT)) AS BIGINT)").as("rev_c"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("s1", sum("rev_c").over(w))
+        .withColumn("s2",
+          sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
+            .over(w))
+        .withColumn("m", expr("CAST(s1 AS DOUBLE) / CAST(n_win AS DOUBLE)"))
+        .withColumn("sd", expr(
+          "sqrt(greatest(CAST(0 AS DOUBLE), " +
+            "CAST(s2 AS DOUBLE) / CAST(n_win AS DOUBLE) - m * m))"))
+        .withColumn("breach", expr(
+          "CASE WHEN n_win < 7 THEN NULL " +
+            "WHEN CAST(rev_c AS DOUBLE) > m + 2 * sd THEN 1 " +
+            "WHEN CAST(rev_c AS DOUBLE) < m - 2 * sd THEN -1 ELSE 0 END")
+          .cast("long"))
+        .select("day", "rev_c", "n_win", "m", "sd", "breach")
+        .orderBy("day")
+    },
+
+    // Per-node local clustering coefficient on the co-purchase graph
+    // (edges = part pairs co-ordered >= 2 times): closed wedges per
+    // node over deg·(deg−1)/2, in exact milli. Triangle enumeration
+    // is the q137 equi-join chain (a<b<c — each triangle found once),
+    // exploded to its three corners for the per-node count; the
+    // degree frame joins on the node key. Everything hash-keyed, no
+    // cartesian.
+    "q299_clustering_coeff" -> { (s, d) =>
+      val e = coEdges(s, d)
+      val sym = e.unionAll(e.select(col("pb").as("pa"), col("pa").as("pb")))
+      val deg = sym.groupBy(col("pa").as("node")).agg(count(lit(1)).as("deg"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+        .join(e.as("e3"),
+          col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+        .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+      val perNode = tri.select(col("a").as("node"))
+        .unionAll(tri.select(col("b").as("node")))
+        .unionAll(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 3)
+        .join(perNode, "node")
+        .withColumn("cc_milli", expr("n_tri * 2000 div (deg * (deg - 1))"))
+        .select("node", "deg", "n_tri", "cc_milli")
+        .orderBy(col("cc_milli").desc, col("node"))
+        .limit(30)
+    },
+
+    // Scalar-quantization (int8) codec profile: per-dimension bounds,
+    // encode to 255 mid-bucket levels, micro-quantized squared
+    // reconstruction error rolled up per dimension. The bounds frame
+    // is |dims| rows (broadcast); encode+error is one narrow
+    // codegen'd projection over the exploded corpus — the cheap
+    // 4×-compression baseline to judge PQ (q158) against.
+    "q300_sq_profile" -> { (s, d) =>
+      val ex = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xd", col("x").cast("double"))
+        .withColumn("pos", col("pos").cast("long"))
+      val bounds = ex.groupBy("pos").agg(min("xd").as("mn"), max("xd").as("mx"))
+      ex.join(broadcast(bounds), "pos")
+        .withColumn("bq", expr(BqF))
+        .withColumn("recon", expr(ReconF))
+        .withColumn("err_micro", expr(ErrMicroF))
+        .groupBy("pos")
+        .agg(min("mn").as("mn"), max("mx").as("mx"),
+          count(lit(1)).as("n"), sum("err_micro").as("err_micro"))
+        .orderBy("pos")
+    },
+
+    // SQ-ADC search recall: top-10 by quantized asymmetric distance
+    // (exact query element vs mid-bucket reconstruction, micro-int
+    // distances — order-free sums, deterministic ranking) vs exact
+    // float top-10, for the first 20 query vectors. The q86 recall
+    // shape pointed at the q300 codec: how much of exact KNN the
+    // 4×-compressed index preserves. Per-query top-10s are bounded
+    // WindowGroupLimit heaps; the dim join broadcasts the bounds.
+    "q301_sq_recall" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val ex = Tables.spread(emb)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xd", col("x").cast("double"))
+      val bounds = ex.groupBy("pos").agg(min("xd").as("mn"), max("xd").as("mx"))
+      val enc = ex.join(broadcast(bounds), "pos")
+        .withColumn("bq", expr(BqF))
+        .withColumn("recon", expr(ReconF))
+        .select(col("vec_id").as("vid"), col("pos"), col("recon"))
+      val q = ex.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("pos"), col("xd"))
+      val adc = q.join(enc, "pos").filter(col("qid") =!= col("vid"))
+        .withColumn("c_micro", expr(ErrMicroF))
+        .groupBy("qid", "vid").agg(sum("c_micro").as("d_micro"))
+      val sqTop = adc.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d_micro"), col("vid"))))
+        .filter(col("rk") <= 10).select("qid", "vid")
+      val Sp = graft.functions.PortableSql.Spark
+      val exact = emb.as("a").join(emb.as("b"),
+          expr("a.vec_id < 20 AND a.vec_id != b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vid"),
+          expr(Sp.sqdist("a.embedding", "b.embedding")).as("dist"))
+      val exTop = exact.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist"), col("vid"))))
+        .filter(col("rk") <= 10).select("qid", "vid")
+      val hits = exTop.join(sqTop, Seq("qid", "vid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      emb.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_milli", expr("n_hit * 1000 div 10"))
+        .orderBy("qid")
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q290_basket_rules" ->
+      """WITH p AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM p),
+        |item AS (SELECT pk, COUNT(*) AS n_item FROM p GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+        |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pa, pb, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  n_ab * 1000 // ia.n_item AS conf_milli,
+        |  n_ab * n.n_orders * 1000 // (ia.n_item * ib.n_item) AS lift_milli
+        |FROM pairs
+        |JOIN item ia ON ia.pk = pa
+        |JOIN item ib ON ib.pk = pb
+        |CROSS JOIN n
+        |ORDER BY lift_milli DESC, pa, pb
+        |LIMIT 40""".stripMargin,
+
+    "q291_heavy_hitters" ->
+      """WITH t AS (SELECT COUNT(*) AS n FROM lineitem)
+        |SELECT l_suppkey, COUNT(*) AS cnt
+        |FROM lineitem CROSS JOIN t
+        |GROUP BY l_suppkey, t.n
+        |HAVING COUNT(*) * 100 > t.n
+        |ORDER BY cnt DESC, l_suppkey""".stripMargin,
+
+    "q292_cohort_retention" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym
+        |  FROM orders),
+        |first AS (SELECT o_custkey, MIN(ym) AS cym FROM o GROUP BY 1),
+        |active AS (SELECT DISTINCT o_custkey, ym FROM o),
+        |coh AS (SELECT cym, COUNT(*) AS n_cohort FROM first GROUP BY 1),
+        |m AS (
+        |  SELECT f.cym,
+        |    (a.ym // 100 - f.cym // 100) * 12 + (a.ym % 100 - f.cym % 100)
+        |      AS m_since
+        |  FROM active a JOIN first f ON a.o_custkey = f.o_custkey)
+        |SELECT m.cym, m_since, n_cohort, COUNT(*) AS n_active,
+        |  COUNT(*) * 1000 // n_cohort AS ret_milli
+        |FROM m JOIN coh ON m.cym = coh.cym
+        |WHERE m_since BETWEEN 0 AND 11
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q293_dq_audit" ->
+      """WITH nli AS (SELECT COUNT(*) AS n_total FROM lineitem),
+        |nord AS (SELECT COUNT(*) AS n_total FROM orders),
+        |bads AS (
+        |  SELECT 'li_disc_range' AS chk,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_discount < 0 OR l_discount > 0.5) AS n_bad
+        |  UNION ALL
+        |  SELECT 'li_dup_line',
+        |    (SELECT COUNT(*) FROM (SELECT 1 FROM lineitem
+        |       GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+        |  UNION ALL
+        |  SELECT 'li_nonpos_qty',
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+        |  UNION ALL
+        |  SELECT 'li_orphan',
+        |    (SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'li_ship_before_order',
+        |    (SELECT COUNT(*) FROM lineitem l JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey
+        |     WHERE l.l_shipdate < o.o_orderdate)
+        |  UNION ALL
+        |  SELECT 'ord_childless',
+        |    (SELECT COUNT(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                       WHERE l.l_orderkey = o.o_orderkey)))
+        |SELECT chk, n_bad,
+        |  CASE WHEN chk = 'ord_childless'
+        |    THEN (SELECT n_total FROM nord)
+        |    ELSE (SELECT n_total FROM nli) END AS n_total,
+        |  CASE WHEN (CASE WHEN chk = 'ord_childless'
+        |      THEN (SELECT n_total FROM nord)
+        |      ELSE (SELECT n_total FROM nli) END) = 0 THEN NULL
+        |    ELSE n_bad * 1000 // (CASE WHEN chk = 'ord_childless'
+        |      THEN (SELECT n_total FROM nord)
+        |      ELSE (SELECT n_total FROM nli) END) END AS bad_milli
+        |FROM bads
+        |ORDER BY chk""".stripMargin,
+
+    "q294_stratified_alloc" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n_docs) AS n_total FROM counts),
+        |base AS (
+        |  SELECT source, n_docs,
+        |    10000 * n_docs // n_total AS base,
+        |    10000 * n_docs - (10000 * n_docs // n_total) * n_total AS rem
+        |  FROM counts CROSS JOIN tot),
+        |def AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS deficit FROM base),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM base CROSS JOIN def)
+        |SELECT source, n_docs, base,
+        |  CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  base + CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM rk ORDER BY source""".stripMargin,
+
+    "q296_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |pv AS (
+        |  SELECT v, CAST(SUM(isa) AS BIGINT) AS na_v,
+        |    CAST(SUM(1 - isa) AS BIGINT) AS nb_v, COUNT(*) AS t_v
+        |  FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT *, CAST(SUM(nb_v) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        |  FROM pv),
+        |agg AS (
+        |  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb_v) AS BIGINT) AS n_b,
+        |    CAST(SUM(na_v * (2 * (cumb - nb_v) + nb_v)) AS BIGINT) AS u2,
+        |    CAST(SUM(t_v * t_v * t_v - t_v) AS BIGINT) AS tie_t3
+        |  FROM c)
+        |SELECT n_a, n_b, u2, tie_t3,
+        |  CASE WHEN n_a = 0 OR n_b = 0
+        |    OR tie_t3 = (n_a + n_b) * ((n_a + n_b) * (n_a + n_b) - 1)
+        |    THEN NULL ELSE
+        |    (CAST(u2 - n_a * n_b AS DOUBLE)) /
+        |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3 *
+        |    (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie_t3 AS DOUBLE) /
+        |    (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))) END AS z
+        |FROM agg""".stripMargin,
+
+    "q297_chisq_lang_source" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |rr AS (SELECT lang, COUNT(*) AS r FROM documents GROUP BY 1),
+        |cc AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT lang, source, o,
+        |  r * c * 1000000 // n AS exp_micro,
+        |  CAST(floor((CAST(o AS DOUBLE) * CAST(n AS DOUBLE) -
+        |    CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) *
+        |    (CAST(o AS DOUBLE) * CAST(n AS DOUBLE) -
+        |    CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) * CAST(1000000 AS DOUBLE) /
+        |    (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    AS BIGINT) AS contrib_micro
+        |FROM cells JOIN rr USING (lang) JOIN cc USING (source) CROSS JOIN nn
+        |ORDER BY lang, source""".stripMargin,
+
+    "q298_bollinger" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev_c,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS n_win,
+        |    CAST(SUM(rev_c) OVER win AS BIGINT) AS s1,
+        |    SUM(CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0)))
+        |      OVER win AS s2
+        |  FROM d
+        |  WINDOW win AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |w2 AS (
+        |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n_win AS DOUBLE) AS m FROM w),
+        |w3 AS (
+        |  SELECT *, sqrt(greatest(CAST(0 AS DOUBLE),
+        |    CAST(s2 AS DOUBLE) / CAST(n_win AS DOUBLE) - m * m)) AS sd
+        |  FROM w2)
+        |SELECT day, rev_c, n_win, m, sd,
+        |  CAST(CASE WHEN n_win < 7 THEN NULL
+        |    WHEN CAST(rev_c AS DOUBLE) > m + 2 * sd THEN 1
+        |    WHEN CAST(rev_c AS DOUBLE) < m - 2 * sd THEN -1 ELSE 0 END
+        |    AS BIGINT) AS breach
+        |FROM w3 ORDER BY day""".stripMargin,
+
+    "q299_clustering_coeff" ->
+      """WITH p AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT pa AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |pn AS (
+        |  SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT node, deg, n_tri, n_tri * 2000 // (deg * (deg - 1)) AS cc_milli
+        |FROM deg JOIN pn USING (node)
+        |WHERE deg >= 3
+        |ORDER BY cc_milli DESC, node
+        |LIMIT 30""".stripMargin,
+
+    "q300_sq_profile" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS xd
+         |  FROM embeddings),
+         |b AS (SELECT pos, MIN(xd) AS mn, MAX(xd) AS mx FROM ex GROUP BY 1),
+         |enc AS (
+         |  SELECT ex.pos, xd, mn, mx, $BqF AS bq FROM ex JOIN b USING (pos)),
+         |r AS (SELECT pos, mn, mx, xd, $ReconF AS recon FROM enc)
+         |SELECT pos, MIN(mn) AS mn, MAX(mx) AS mx, COUNT(*) AS n,
+         |  CAST(SUM($ErrMicroF) AS BIGINT) AS err_micro
+         |FROM r GROUP BY pos ORDER BY pos""".stripMargin,
+
+    "q301_sq_recall" -> {
+      val Du = graft.functions.PortableSql.Duck
+      s"""WITH ex AS (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS xd
+         |  FROM embeddings),
+         |b AS (SELECT pos, MIN(xd) AS mn, MAX(xd) AS mx FROM ex GROUP BY 1),
+         |enc0 AS (
+         |  SELECT vec_id AS vid, ex.pos, xd, mn, mx, $BqF AS bq
+         |  FROM ex JOIN b USING (pos)),
+         |enc AS (SELECT vid, pos, $ReconF AS recon FROM enc0),
+         |q AS (SELECT vec_id AS qid, pos, xd FROM ex WHERE vec_id < 20),
+         |adc AS (
+         |  SELECT qid, vid, CAST(SUM($ErrMicroF) AS BIGINT) AS d_micro
+         |  FROM q JOIN enc USING (pos)
+         |  WHERE qid != vid GROUP BY 1, 2),
+         |sqtop AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d_micro, vid) AS rk
+         |    FROM adc) WHERE rk <= 10),
+         |exact AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         |    ${Du.sqdist("a.embedding", "b.embedding")} AS dist
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 20 AND a.vec_id != b.vec_id),
+         |extop AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vid) AS rk
+         |    FROM exact) WHERE rk <= 10),
+         |hits AS (
+         |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM extop JOIN sqtop USING (qid, vid) GROUP BY 1)
+         |SELECT e.vec_id AS qid,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) * 1000 // 10 AS recall_milli
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) e
+         |LEFT JOIN hits ON e.vec_id = hits.qid
+         |ORDER BY qid""".stripMargin
+    },
+
+    "q295_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS to_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) AS from_type
+        |  FROM e),
+        |f AS (SELECT from_type, COUNT(*) AS n_from FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1)
+        |SELECT p.from_type, to_type, COUNT(*) AS n_trans, n_from,
+        |  COUNT(*) * 1000 // n_from AS p_milli
+        |FROM p JOIN f ON p.from_type = f.from_type
+        |GROUP BY 1, 2, 4
+        |ORDER BY 1, 2""".stripMargin)
+}
