@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.PortableSql
 import graft.plans.GlobalOrder
 
 /** Round-6 analytics inventory: market-basket mining, exact heavy
@@ -74,6 +75,9 @@ object Analytics {
   private val ErrMicroF =
     "CAST(floor((xd - recon) * (xd - recon) * CAST(1000000 AS DOUBLE)) " +
       "AS BIGINT)"
+
+  private val Sp = PortableSql.Spark
+  private val Du = PortableSql.Duck
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -408,6 +412,140 @@ object Analytics {
         .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
         .withColumn("recall_milli", expr("n_hit * 1000 div 10"))
         .orderBy("qid")
+    },
+
+    // Bigram language-model coverage: train a bigram vocabulary on
+    // the 80% split (doc_id % 5 != 0), score held-out docs by the
+    // share of their bigram OCCURRENCES present in it — the log-free
+    // integer cousin of LM perplexity filtering (runtime ln is
+    // banned by the bit-exactness contract; coverage ranks the same
+    // quality signal). Vocab join is a broadcastable distinct-gram
+    // frame at probe scale and a hash equi-join at corpus scale.
+    "q302_bigram_coverage" -> { (s, d) =>
+      val grams = TextOps.docsWithToks(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(expr(Sp.shingles("toks", 2))).as("g"))
+      val vocab = grams.filter(expr("doc_id % 5 != 0"))
+        .select("g").distinct()
+      grams.filter(expr("doc_id % 5 = 0"))
+        .join(vocab.withColumn("iv", lit(true)), Seq("g"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("iv").isNull, 0L).otherwise(1L)).as("n_known"))
+        .withColumn("cov_milli", expr("n_known * 1000 div n_bigrams"))
+        .orderBy("source")
+    },
+
+    // ABC inventory classification — the cumulative-share cut every
+    // warehouse planner runs: parts ranked by revenue, class A = the
+    // prefix holding ≤80% of revenue, B to 95%, C the tail. The
+    // cumulative revenue is a GlobalOrder distributed running sum
+    // (rank spine = parts — row scale, never a single-partition
+    // window); the class test is cross-multiplied integers.
+    "q303_abc_classification" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(expr("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+          "* 100 AS BIGINT)) AS BIGINT)").as("rev_c"))
+      val tot = rev.agg(sum("rev_c").as("tot_c"))
+      GlobalOrder.withRunningSum(rev,
+          Seq(col("rev_c").desc, col("pk").asc), negate(col("rev_c")),
+          col("rev_c"), "cum_c")
+        .crossJoin(broadcast(tot))
+        .withColumn("cls", expr(
+          "CASE WHEN cum_c * 100 <= 80 * tot_c THEN 'A' " +
+            "WHEN cum_c * 100 <= 95 * tot_c THEN 'B' ELSE 'C' END"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("rev_c"),
+          max("tot_c").as("tot_c"))
+        .withColumn("share_milli", expr("rev_c * 1000 div tot_c"))
+        .select("cls", "n_parts", "rev_c", "share_milli")
+        .orderBy("cls")
+    },
+
+    // Supplier revenue concentration: Herfindahl–Hirschman index in
+    // micro units (Σ share² — the DECIMAL(38,0) second-moment lane,
+    // one identical double division at the end) plus the CR4 top-4
+    // concentration ratio in exact milli. The supplier frame is
+    // bounded, so its rank window is a legitimate tiny frame.
+    "q304_herfindahl" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(expr("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+          "* 100 AS BIGINT)) AS BIGINT)").as("rev_c"))
+      val ranked = rev.withColumn("rk", row_number().over(
+        Window.orderBy(col("rev_c").desc, col("sk"))))
+      ranked.agg(
+          count(lit(1)).as("n_suppliers"),
+          sum("rev_c").as("tot_c"),
+          sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
+            .as("s2"),
+          sum(expr("CASE WHEN rk <= 4 THEN rev_c ELSE 0 END")).as("top4_c"))
+        .withColumn("hhi_micro", expr(
+          "CAST(floor(CAST(s2 AS DOUBLE) * CAST(1000000 AS DOUBLE) / " +
+            "(CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))) AS BIGINT)"))
+        .withColumn("cr4_milli", expr("top4_c * 1000 div tot_c"))
+        .select("n_suppliers", "tot_c", "hhi_micro", "cr4_milli")
+    },
+
+    // Template-cluster size histogram — the dedup planner's first
+    // question ("how much of the corpus shares an opening template,
+    // and in what cluster shapes"): clusters by the 8-token-prefix
+    // digest (the boilerplate unit — whole-text digests almost never
+    // collide, openings do; the q144 span lesson), sizes rolled into
+    // ⌊log₂⌋+1 buckets. Two map-side-combined aggregates over 8-byte
+    // digests; the text column never shuffles.
+    "q305_dup_cluster_sizes" -> { (s, d) =>
+      TextOps.docsWithToks(s, d)
+        .select(expr(Sp.hash64(
+          Sp.strJoin(Sp.slice("toks", "1", "8"), " "))).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("sz"))
+        .withColumn("bucket", expr("CAST(length(bin(sz)) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+        .orderBy("bucket")
+    },
+
+    // k-anonymity audit over the (mktsegment, nationkey) quasi-
+    // identifier — the privacy gate a dataset passes before leaving
+    // the pipeline: group sizes, the share of customers in groups
+    // smaller than k=10. One aggregate + one bounded rollup.
+    "q306_k_anonymity" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          min("sz").as("min_size"),
+          sum(expr("CASE WHEN sz < 10 THEN 1 ELSE 0 END")).as("n_small"),
+          sum(expr("CASE WHEN sz < 10 THEN sz ELSE 0 END")).as("n_at_risk"),
+          sum("sz").as("n_customers"))
+        .withColumn("risk_milli", expr(
+          "CASE WHEN n_customers = 0 THEN NULL " +
+            "ELSE n_at_risk * 1000 div n_customers END"))
+        .select("n_groups", "min_size", "n_small", "n_at_risk",
+          "n_customers", "risk_milli")
+    },
+
+    // Partition-balance audit for candidate shuffle keys: hash each
+    // key into 64 buckets (the portable digest — what the engine's
+    // hash partitioner would see) and report max-over-mean skew in
+    // milli (1000 = perfectly balanced). The pre-flight check before
+    // choosing a repartition/bucketing key at 100 TB; a skew_milli
+    // of 2000 means the hottest partition carries 2× its share.
+    "q307_partition_balance" -> { (s, d) =>
+      def balance(tag: String, keyed: DataFrame): DataFrame =
+        keyed.select(expr(s"${Sp.hash64("concat('pb:', k)")} % 64").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_buckets"), min("n").as("min_n"),
+            max("n").as("max_n"), sum("n").as("n_rows"))
+          .select(lit(tag).as("key_name"), col("n_buckets"), col("min_n"),
+            col("max_n"), col("n_rows"),
+            expr("max_n * n_buckets * 1000 div n_rows").as("skew_milli"))
+      balance("l_orderkey",
+          Tables.lineitem(s, d).select(col("l_orderkey").as("k")))
+        .unionAll(balance("user_id",
+          Tables.events(s, d).select(col("user_id").as("k"))))
+        .orderBy("key_name")
     })
 
   val oracles: Map[String, String] = Map(
@@ -675,6 +813,115 @@ object Analytics {
          |LEFT JOIN hits ON e.vec_id = hits.qid
          |ORDER BY qid""".stripMargin
     },
+
+    "q302_bigram_coverage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ${Du.tokens("text")} AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, unnest(${Du.shingles("toks", 2)}) AS g
+         |  FROM t),
+         |vocab AS (SELECT DISTINCT g FROM g WHERE doc_id % 5 != 0),
+         |h AS (
+         |  SELECT source, (vocab.g IS NOT NULL) AS iv
+         |  FROM g LEFT JOIN vocab ON g.g = vocab.g
+         |  WHERE doc_id % 5 = 0)
+         |SELECT source, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN iv THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+         |  CAST(SUM(CASE WHEN iv THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |    // COUNT(*) AS cov_milli
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q303_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM rev),
+        |c AS (
+        |  SELECT pk, rev_c,
+        |    CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_c
+        |  FROM rev)
+        |SELECT CASE WHEN cum_c * 100 <= 80 * tot_c THEN 'A'
+        |    WHEN cum_c * 100 <= 95 * tot_c THEN 'B' ELSE 'C' END AS cls,
+        |  COUNT(*) AS n_parts, CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+        |  CAST(SUM(rev_c) AS BIGINT) * 1000 // tot_c AS share_milli
+        |FROM c CROSS JOIN tot
+        |GROUP BY cls, tot_c
+        |ORDER BY cls""".stripMargin,
+
+    "q304_herfindahl" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS sk,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rev_c DESC, sk) AS rk
+        |  FROM rev),
+        |a AS (
+        |  SELECT COUNT(*) AS n_suppliers, CAST(SUM(rev_c) AS BIGINT) AS tot_c,
+        |    SUM(CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0)))
+        |      AS s2,
+        |    CAST(SUM(CASE WHEN rk <= 4 THEN rev_c ELSE 0 END) AS BIGINT)
+        |      AS top4_c
+        |  FROM r)
+        |SELECT n_suppliers, tot_c,
+        |  CAST(floor(CAST(s2 AS DOUBLE) * CAST(1000000 AS DOUBLE) /
+        |    (CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))) AS BIGINT)
+        |    AS hhi_micro,
+        |  top4_c * 1000 // tot_c AS cr4_milli
+        |FROM a""".stripMargin,
+
+    "q305_dup_cluster_sizes" ->
+      s"""WITH t AS (SELECT ${Du.tokens("text")} AS toks FROM documents),
+         |c AS (
+         |  SELECT ${Du.hash64(Du.strJoin(Du.slice("toks", "1", "8"), " "))}
+         |    AS h, COUNT(*) AS sz
+         |  FROM t GROUP BY 1)
+         |SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q306_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups, MIN(sz) AS min_size,
+        |  CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |  CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_at_risk,
+        |  CAST(SUM(sz) AS BIGINT) AS n_customers,
+        |  CASE WHEN CAST(SUM(sz) AS BIGINT) = 0 THEN NULL
+        |    ELSE CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |      * 1000 // CAST(SUM(sz) AS BIGINT) END AS risk_milli
+        |FROM g""".stripMargin,
+
+    "q307_partition_balance" ->
+      s"""WITH c1 AS (
+         |  SELECT ${Du.hash64("concat('pb:', l_orderkey)")} % 64 AS b,
+         |    COUNT(*) AS n
+         |  FROM lineitem GROUP BY 1),
+         |a1 AS (
+         |  SELECT COUNT(*) AS n_buckets, MIN(n) AS min_n, MAX(n) AS max_n,
+         |    CAST(SUM(n) AS BIGINT) AS n_rows
+         |  FROM c1),
+         |c2 AS (
+         |  SELECT ${Du.hash64("concat('pb:', user_id)")} % 64 AS b,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1),
+         |a2 AS (
+         |  SELECT COUNT(*) AS n_buckets, MIN(n) AS min_n, MAX(n) AS max_n,
+         |    CAST(SUM(n) AS BIGINT) AS n_rows
+         |  FROM c2)
+         |SELECT 'l_orderkey' AS key_name, n_buckets, min_n, max_n, n_rows,
+         |  max_n * n_buckets * 1000 // n_rows AS skew_milli FROM a1
+         |UNION ALL
+         |SELECT 'user_id', n_buckets, min_n, max_n, n_rows,
+         |  max_n * n_buckets * 1000 // n_rows AS skew_milli FROM a2
+         |ORDER BY key_name""".stripMargin,
 
     "q295_markov_transitions" ->
       """WITH e AS (
