@@ -68,6 +68,67 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared L2 distance over two float arrays — the same
+  * left-to-right `(x−y)²` accumulation as [[SqlDialect.sqdist]]'s
+  * fold, bit-identical to the HOF formulation and the DuckDB oracle,
+  * but inside whole-stage codegen (the exact-KNN all-pairs lane is
+  * one distance per candidate pair — the interpreted HOF evaluator
+  * is the bottleneck there, exactly as it was for [[DotProductFloat]]).
+  */
+case class SqDistFloat(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "sq_dist_float"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** dot(a, b) in double — bit-identical to the portable-SQL fold. */
@@ -77,4 +138,8 @@ object VectorExpressions {
   /** sqrt(dot(v, v)) — the L2 norm used to normalize cosines. */
   def norm(v: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot(v, v))
+
+  /** Σ(aᵢ−bᵢ)² in double — bit-identical to the portable-SQL fold. */
+  def sqDist(a: Column, b: Column): Column =
+    Bridge.column(SqDistFloat(Bridge.expression(a), Bridge.expression(b)))
 }

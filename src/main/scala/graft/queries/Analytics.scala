@@ -397,11 +397,13 @@ object Analytics {
       val sqTop = adc.withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("d_micro"), col("vid"))))
         .filter(col("rk") <= 10).select("qid", "vid")
-      val Sp = graft.functions.PortableSql.Spark
+      // codegen'd distance kernel (same op sequence as the portable
+      // fold — bit-identical, but inside whole-stage codegen)
       val exact = emb.as("a").join(emb.as("b"),
           expr("a.vec_id < 20 AND a.vec_id != b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vid"),
-          expr(Sp.sqdist("a.embedding", "b.embedding")).as("dist"))
+          graft.functions.VectorExpressions
+            .sqDist(col("a.embedding"), col("b.embedding")).as("dist"))
       val exTop = exact.withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("dist"), col("vid"))))
         .filter(col("rk") <= 10).select("qid", "vid")

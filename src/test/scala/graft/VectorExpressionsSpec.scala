@@ -29,6 +29,32 @@ class VectorExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("squared L2 distance bit-matches the HOF fold on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      VectorExpressions.sqDist(col("a"), col("b")).as("fast"),
+      expr(S.sqdist("a", "b")).as("slow")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("sqDist null propagation and identical-vector zero") {
+    val df = Seq(
+      (1L, Array(1.5f, -2.5f), Array(1.5f, -2.5f)),
+      (2L, null.asInstanceOf[Array[Float]], Array(1.0f))).toDF("id", "a", "b")
+    val out = df.select(VectorExpressions.sqDist(col("a"), col("b")).as("d"))
+      .collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(out(1).isNullAt(0))
+  }
+
   test("norm matches sqrt of the HOF norm2, nulls propagate") {
     val df = Seq(
       (1L, Array(3.0f, 4.0f)),
