@@ -548,6 +548,43 @@ object Analytics {
         .unionAll(balance("user_id",
           Tables.events(s, d).select(col("user_id").as("k"))))
         .orderBy("key_name")
+    },
+
+    // Join-cardinality estimator audit — the planner diagnostic
+    // behind every broadcast/shuffle decision: the textbook
+    // uniformity estimate |A⋈B| ≈ n_a·n_b / max(d_a, d_b) against
+    // the TRUE output size, computed WITHOUT materializing the join
+    // (actual = Σ_k c_A(k)·c_B(k) over per-key counts — a
+    // group-count join, never the row join itself). Error in milli;
+    // >1000 = the estimator over-predicts. Three join shapes: a
+    // clean FK join, a self-join on a mid-cardinality key, and a
+    // self-join on a hot key (where uniformity breaks down).
+    "q308_join_cardinality" -> { (s, d) =>
+      def audit(tag: String, a: DataFrame, b: DataFrame): DataFrame = {
+        val ca = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        val cb = b.groupBy("k").agg(count(lit(1)).as("cb"))
+        val statsA = ca.agg(sum("ca").as("n_a"), count(lit(1)).as("d_a"))
+        val statsB = cb.agg(sum("cb").as("n_b"), count(lit(1)).as("d_b"))
+        val actual = ca.join(cb, "k")
+          .agg(coalesce(sum(expr("ca * cb")), lit(0L)).as("actual"))
+        statsA.crossJoin(broadcast(statsB))
+          .crossJoin(broadcast(actual))
+          .select(lit(tag).as("join_name"), col("n_a"), col("n_b"),
+            col("d_a"), col("d_b"),
+            expr("n_a * n_b div greatest(d_a, d_b)").as("est"),
+            col("actual"),
+            expr("CASE WHEN actual = 0 THEN NULL " +
+              "ELSE (n_a * n_b div greatest(d_a, d_b)) * 1000 div actual " +
+              "END").as("err_milli"))
+      }
+      val liOk = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val ordOk = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val liPk = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+      val evUid = Tables.events(s, d).select(col("user_id").as("k"))
+      audit("li_orders_orderkey", liOk, ordOk)
+        .unionAll(audit("li_li_partkey", liPk, liPk))
+        .unionAll(audit("ev_ev_user", evUid, evUid))
+        .orderBy("join_name")
     })
 
   val oracles: Map[String, String] = Map(
@@ -924,6 +961,45 @@ object Analytics {
          |SELECT 'user_id', n_buckets, min_n, max_n, n_rows,
          |  max_n * n_buckets * 1000 // n_rows AS skew_milli FROM a2
          |ORDER BY key_name""".stripMargin,
+
+    "q308_join_cardinality" ->
+      """WITH
+        |liok AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |ordok AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |lipk AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |evu AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        |j1 AS (
+        |  SELECT 'li_orders_orderkey' AS join_name,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM liok) AS n_a,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM ordok) AS n_b,
+        |    (SELECT COUNT(*) FROM liok) AS d_a,
+        |    (SELECT COUNT(*) FROM ordok) AS d_b,
+        |    (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+        |     FROM liok a JOIN ordok b ON a.k = b.k) AS actual),
+        |j2 AS (
+        |  SELECT 'li_li_partkey' AS join_name,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM lipk) AS n_a,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM lipk) AS n_b,
+        |    (SELECT COUNT(*) FROM lipk) AS d_a,
+        |    (SELECT COUNT(*) FROM lipk) AS d_b,
+        |    (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+        |     FROM lipk a JOIN lipk b ON a.k = b.k) AS actual),
+        |j3 AS (
+        |  SELECT 'ev_ev_user' AS join_name,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM evu) AS n_a,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM evu) AS n_b,
+        |    (SELECT COUNT(*) FROM evu) AS d_a,
+        |    (SELECT COUNT(*) FROM evu) AS d_b,
+        |    (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+        |     FROM evu a JOIN evu b ON a.k = b.k) AS actual),
+        |u AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2
+        |      UNION ALL SELECT * FROM j3)
+        |SELECT join_name, n_a, n_b, d_a, d_b,
+        |  n_a * n_b // greatest(d_a, d_b) AS est, actual,
+        |  CASE WHEN actual = 0 THEN NULL
+        |    ELSE (n_a * n_b // greatest(d_a, d_b)) * 1000 // actual
+        |    END AS err_milli
+        |FROM u ORDER BY join_name""".stripMargin,
 
     "q295_markov_transitions" ->
       """WITH e AS (
