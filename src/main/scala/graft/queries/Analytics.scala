@@ -810,8 +810,7 @@ object Analytics {
          |  CAST(SUM($ErrMicroF) AS BIGINT) AS err_micro
          |FROM r GROUP BY pos ORDER BY pos""".stripMargin,
 
-    "q301_sq_recall" -> {
-      val Du = graft.functions.PortableSql.Duck
+    "q301_sq_recall" ->
       s"""WITH ex AS (
          |  SELECT vec_id,
          |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
@@ -850,8 +849,7 @@ object Analytics {
          |  COALESCE(n_hit, CAST(0 AS BIGINT)) * 1000 // 10 AS recall_milli
          |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) e
          |LEFT JOIN hits ON e.vec_id = hits.qid
-         |ORDER BY qid""".stripMargin
-    },
+         |ORDER BY qid""".stripMargin,
 
     "q302_bigram_coverage" ->
       s"""WITH t AS (
