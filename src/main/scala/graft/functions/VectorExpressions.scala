@@ -70,10 +70,17 @@ case class DotProductFloat(left: Expression, right: Expression)
 
 /** Codegen'd squared L2 distance over two float arrays — the same
   * left-to-right `(x−y)²` accumulation as [[SqlDialect.sqdist]]'s
-  * fold, bit-identical to the HOF formulation and the DuckDB oracle,
-  * but inside whole-stage codegen (the exact-KNN all-pairs lane is
-  * one distance per candidate pair — the interpreted HOF evaluator
-  * is the bottleneck there, exactly as it was for [[DotProductFloat]]).
+  * fold, bit-identical to the HOF formulation and the DuckDB oracle
+  * FOR EQUAL-LENGTH, NULL-FREE arrays (the embedding contract), but
+  * inside whole-stage codegen (the exact-KNN all-pairs lane is one
+  * distance per candidate pair — the interpreted HOF evaluator is
+  * the bottleneck there, exactly as it was for [[DotProductFloat]]).
+  *
+  * CAVEAT (shared with [[DotProductFloat]]): ragged inputs truncate
+  * to the shorter length and null ELEMENTS read as 0.0f, where the
+  * HOF folds return NULL (zip_with pads with NULL). Callers mixing
+  * this lane with the portable fold on variable-length vectors will
+  * diverge from their oracle — fixed-dimension corpora only.
   */
 case class SqDistFloat(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -52,15 +52,23 @@ object SetSimJoin {
                       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be in (0,1]: $tauNum/$tauDen")
-    // Memo key = SEMANTIC hash of the input plan + params, not the
-    // identity of the derived frame: repeated identical calls re-hit
-    // the same persisted entries instead of stacking three fresh
-    // MEMORY_AND_DISK frames per invocation that only LRU pressure
-    // could ever evict. Lifecycle stays owned by the memo LRU
-    // (the partitionBy lesson — a library operator must not pin
-    // storage it never releases).
-    val inputKey =
-      s"${df.queryExecution.analyzed.semanticHash()}:$idCol:$setCol:$tauNum/$tauDen"
+    // Memo key = 128-bit digest of the CANONICALIZED input plan +
+    // params, not the identity of the derived frame: repeated
+    // identical calls re-hit the same persisted entries instead of
+    // stacking three fresh MEMORY_AND_DISK frames per invocation that
+    // only LRU pressure could ever evict. md5 of the canonical plan
+    // text rather than the 32-bit semanticHash — at 32 bits a
+    // long-lived session calling this on many distinct inputs has a
+    // birthday-realistic collision that would silently serve another
+    // input's persisted frames; at 128 bits it does not. Lifecycle
+    // stays owned by the memo LRU (the partitionBy lesson — a library
+    // operator must not pin storage it never releases).
+    val inputKey = {
+      val canon = df.queryExecution.analyzed.canonicalized.toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"${md.map("%02x".format(_)).mkString}:$idCol:$setCol:$tauNum/$tauDen"
+    }
     def pin(tag: String, frame: => DataFrame): DataFrame =
       graft.core.Tables.memo(df.sparkSession, s"$tag#$inputKey")(frame)
     // ---- exact-duplicate collapse: one representative per distinct

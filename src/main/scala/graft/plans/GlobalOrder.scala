@@ -120,25 +120,18 @@ object GlobalOrder {
   private[plans] def boundaries(df: DataFrame, bd: Column, buckets: Int): Option[Seq[Double]] = {
     val probs = (1 until buckets).map(_.toDouble / buckets)
     val probsArr = array(probs.map(lit): _*)
-    // ONE job computes both the ~5%-sampled sketch (the cheap estimate
-    // that wins on anything non-tiny) and the full-frame fallback it
-    // coalesces to when the sample catches no non-null key (tiny
-    // inputs) — fused so the probe is a single driver round-trip
-    // instead of sample-then-retry. The sample is a deterministic
-    // VALUE hash (rand() may not appear inside an aggregate): a hot
-    // key hashing out of the sample can skew the estimate, but
-    // boundary quality affects load balance only (law-tested), so a
-    // skewed sketch is a balance wobble, never a correctness risk.
-    val row = df.agg(
-        percentile_approx(when(pmod(hash(bd, lit(7)), lit(20)) === 0, bd),
-          probsArr, lit(1000)).as("qs_s"),
-        percentile_approx(bd, probsArr, lit(1000)).as("qs_f"))
+    // ONE full-frame sketch, one driver round-trip. The previous
+    // two-round-trip scheme (5% sample probe, full-frame retry when
+    // the sample caught no non-null key) saved sketch-update CPU at
+    // the cost of a second job on tiny inputs and a skew-prone
+    // estimate everywhere; one modest-accuracy full sketch is both
+    // the single job and the better-balanced bounds. Boundary quality
+    // affects load balance only (law-tested), so sketch accuracy is
+    // never a correctness knob.
+    val row = df.agg(percentile_approx(bd, probsArr, lit(1000)).as("qs"))
       .collect()(0)
-    val qs = if (!row.isNullAt(0)) row.getSeq[Double](0)
-             else if (!row.isNullAt(1)) row.getSeq[Double](1)
-             else null
-    if (qs == null) None
-    else Some(qs.filter(d => !d.isNaN).distinct.sorted)
+    if (row.isNullAt(0)) None
+    else Some(row.getSeq[Double](0).filter(d => !d.isNaN).distinct.sorted)
   }
 
   /** Bucket id: −1 for NULL keys, else the count of boundaries ≤ key —

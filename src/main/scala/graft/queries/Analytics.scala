@@ -33,22 +33,27 @@ object Analytics {
         .distinct()
     }
 
-  /** Co-purchase edges (pa < pb) with support >= 2 — the q299 graph.
-    * Support filtering caps density: a hot basket contributes
-    * |basket|² candidate pairs, but only pairs re-observed in a
-    * SECOND basket survive, so edge count is bounded by the repeated
-    * co-purchase structure, not by basket size.
+  /** Co-purchase part pairs (pa < pb) with support >= 2 and their
+    * shared-order counts — ONE memoized pass serving both q290 (rule
+    * scores) and q299 (graph edges), so the O(Σ|basket|²) pair join
+    * is paid once. Support filtering caps density: a hot basket
+    * contributes |basket|² candidate pairs, but only pairs
+    * re-observed in a SECOND basket survive, so pair count is
+    * bounded by the repeated co-purchase structure, not basket size.
     */
-  private def coEdges(s: SparkSession, d: String): DataFrame =
-    Tables.memo(s, s"$d#q299edges") {
+  private def pairCounts(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"$d#q290pairs") {
       val p = basket(s, d)
       p.as("a").join(p.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .select("pa", "pb")
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
     }
+
+  /** q299's graph view of [[pairCounts]]. */
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    pairCounts(s, d).select("pa", "pb")
 
   /** int8 scalar-quantization bucket of `xd` under per-dim bounds
     * [mn, mx] — identical text on BOTH engines (CASE/least/floor/CAST
@@ -93,12 +98,7 @@ object Analytics {
       val p = basket(s, d)
       val nOrders = p.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
       val item = p.groupBy("pk").agg(count(lit(1)).as("n_item"))
-      val pairs = p.as("a").join(p.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-      pairs
+      pairCounts(s, d)
         .join(item.select(col("pk").as("pa"), col("n_item").as("n_a")), "pa")
         .join(item.select(col("pk").as("pb"), col("n_item").as("n_b")), "pb")
         .crossJoin(broadcast(nOrders))
@@ -236,8 +236,16 @@ object Analytics {
     // gate (q95): detects location shift where KS detects any shape
     // change.
     "q296_mann_whitney" -> { (s, d) =>
+      // value IS NOT NULL: a NULL quantized value would sort first in
+      // GlobalOrder's spine but last in DuckDB's window default —
+      // filtered identically on both sides so the landmine never arms.
+      // HONEST CEILING (the SpearmanF convention): tie_t3 = Σ(t³−t) ≤
+      // n³, so the BIGINT lane holds to n ≈ 2·10⁶ comparison rows —
+      // beyond that tie_t3 and the degeneracy guard move to
+      // DECIMAL(38,0).
       val v = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
         .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("v"),
           when(col("event_type") === "click", 1L).otherwise(0L).as("isa"))
       val perV = v.groupBy("v").agg(
@@ -250,9 +258,17 @@ object Analytics {
           sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
           sum(expr("na_v * (2 * (cumb - nb_v) + nb_v)")).as("u2"),
           sum(expr("t_v * t_v * t_v - t_v")).as("tie_t3"))
+        // degeneracy guard in a factored DECIMAL lane — m(m−1)(m+1)
+        // at widths 12+12+12 ≤ 38, so the all-tied test stays valid
+        // past the BIGINT m³ overflow at m ≈ 2.1M rows (tie_t3 itself
+        // is small whenever tie groups are — the guard must not be
+        // the thing that aborts first)
         .withColumn("z", expr(
           "CASE WHEN n_a = 0 OR n_b = 0 " +
-            "OR tie_t3 = (n_a + n_b) * ((n_a + n_b) * (n_a + n_b) - 1) " +
+            "OR CAST(tie_t3 AS DECIMAL(38,0)) = " +
+            "CAST(n_a + n_b AS DECIMAL(12,0)) * " +
+            "CAST(n_a + n_b - 1 AS DECIMAL(12,0)) * " +
+            "CAST(n_a + n_b + 1 AS DECIMAL(12,0)) " +
             "THEN NULL ELSE " +
             "(CAST(u2 - n_a * n_b AS DOUBLE)) / " +
             "sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3 * " +
@@ -277,7 +293,14 @@ object Analytics {
       cells.join(broadcast(rows), "lang")
         .join(broadcast(cols), "source")
         .crossJoin(broadcast(n))
-        .withColumn("exp_micro", expr("r * c * 1000000 div n"))
+        // DECIMAL(38,0) product lane: r·c·10⁶ overflows BIGINT once a
+        // hot language AND a hot source each clear ~3M docs — the 10⁶
+        // scale folds into the narrower factor (c·10⁶ < 2⁶³ up to ~9
+        // trillion docs/source) so the decimal product stays at width
+        // 38; the integer-divide result fits back in BIGINT
+        .withColumn("exp_micro", expr(
+          "CAST(r AS DECIMAL(19,0)) * CAST(c * 1000000 AS DECIMAL(19,0)) " +
+            "div n"))
         .withColumn("contrib_micro", expr(
           "CAST(floor((CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - " +
             "CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) * " +
@@ -471,18 +494,23 @@ object Analytics {
     // concentration ratio in exact milli. The supplier frame is
     // bounded, so its rank window is a legitimate tiny frame.
     "q304_herfindahl" -> { (s, d) =>
-      val rev = Tables.lineitem(s, d)
-        .groupBy(col("l_suppkey").as("sk"))
-        .agg(expr("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) " +
-          "* 100 AS BIGINT)) AS BIGINT)").as("rev_c"))
-      val ranked = rev.withColumn("rk", row_number().over(
-        Window.orderBy(col("rev_c").desc, col("sk"))))
-      ranked.agg(
+      val rev = Tables.memo(s, s"$d#q304rev") {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("sk"))
+          .agg(expr("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+            "* 100 AS BIGINT)) AS BIGINT)").as("rev_c"))
+      }
+      // top-4 via TakeOrdered (bounded per-partition heaps + a 4-row
+      // driver merge) — never a row_number over the full supplier
+      // frame, which is a single-partition window at warehouse scale
+      val top4 = rev.orderBy(col("rev_c").desc, col("sk")).limit(4)
+        .agg(coalesce(sum("rev_c"), lit(0L)).as("top4_c"))
+      rev.agg(
           count(lit(1)).as("n_suppliers"),
           sum("rev_c").as("tot_c"),
           sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
-            .as("s2"),
-          sum(expr("CASE WHEN rk <= 4 THEN rev_c ELSE 0 END")).as("top4_c"))
+            .as("s2"))
+        .crossJoin(broadcast(top4))
         .withColumn("hhi_micro", expr(
           "CAST(floor(CAST(s2 AS DOUBLE) * CAST(1000000 AS DOUBLE) / " +
             "(CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))) AS BIGINT)"))
@@ -567,15 +595,20 @@ object Analytics {
         val statsB = cb.agg(sum("cb").as("n_b"), count(lit(1)).as("d_b"))
         val actual = ca.join(cb, "k")
           .agg(coalesce(sum(expr("ca * cb")), lit(0L)).as("actual"))
+        // DECIMAL(38,0) product lane: n_a·n_b overflows BIGINT for
+        // two ~3·10⁹-row inputs — routine at warehouse scale, and
+        // exactly the regime a cardinality audit exists for
         statsA.crossJoin(broadcast(statsB))
           .crossJoin(broadcast(actual))
+          .withColumn("est", expr(
+            "CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) " +
+              "div greatest(d_a, d_b)"))
+          .withColumn("err_milli", expr(
+            "CASE WHEN actual = 0 THEN NULL " +
+              "ELSE CAST(est AS DECIMAL(19,0)) * 1000 div actual END"))
           .select(lit(tag).as("join_name"), col("n_a"), col("n_b"),
-            col("d_a"), col("d_b"),
-            expr("n_a * n_b div greatest(d_a, d_b)").as("est"),
-            col("actual"),
-            expr("CASE WHEN actual = 0 THEN NULL " +
-              "ELSE (n_a * n_b div greatest(d_a, d_b)) * 1000 div actual " +
-              "END").as("err_milli"))
+            col("d_a"), col("d_b"), col("est"), col("actual"),
+            col("err_milli"))
       }
       val liOk = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
       val ordOk = Tables.orders(s, d).select(col("o_orderkey").as("k"))
@@ -701,7 +734,8 @@ object Analytics {
       """WITH v AS (
         |  SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
         |pv AS (
         |  SELECT v, CAST(SUM(isa) AS BIGINT) AS na_v,
         |    CAST(SUM(1 - isa) AS BIGINT) AS nb_v, COUNT(*) AS t_v
@@ -718,7 +752,10 @@ object Analytics {
         |  FROM c)
         |SELECT n_a, n_b, u2, tie_t3,
         |  CASE WHEN n_a = 0 OR n_b = 0
-        |    OR tie_t3 = (n_a + n_b) * ((n_a + n_b) * (n_a + n_b) - 1)
+        |    OR CAST(tie_t3 AS DECIMAL(38,0)) =
+        |      CAST(n_a + n_b AS DECIMAL(12,0)) *
+        |      CAST(n_a + n_b - 1 AS DECIMAL(12,0)) *
+        |      CAST(n_a + n_b + 1 AS DECIMAL(12,0))
         |    THEN NULL ELSE
         |    (CAST(u2 - n_a * n_b AS DOUBLE)) /
         |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3 *
@@ -733,7 +770,8 @@ object Analytics {
         |cc AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
         |nn AS (SELECT COUNT(*) AS n FROM documents)
         |SELECT lang, source, o,
-        |  r * c * 1000000 // n AS exp_micro,
+        |  CAST(CAST(r AS HUGEINT) * CAST(c * 1000000 AS HUGEINT)
+        |    // n AS BIGINT) AS exp_micro,
         |  CAST(floor((CAST(o AS DOUBLE) * CAST(n AS DOUBLE) -
         |    CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) *
         |    (CAST(o AS DOUBLE) * CAST(n AS DOUBLE) -
@@ -895,22 +933,20 @@ object Analytics {
         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
         |      AS BIGINT)) AS BIGINT) AS rev_c
         |  FROM lineitem GROUP BY 1),
-        |r AS (
-        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rev_c DESC, sk) AS rk
-        |  FROM rev),
+        |t4 AS (
+        |  SELECT CAST(COALESCE(SUM(rev_c), 0) AS BIGINT) AS top4_c
+        |  FROM (SELECT rev_c FROM rev ORDER BY rev_c DESC, sk LIMIT 4)),
         |a AS (
         |  SELECT COUNT(*) AS n_suppliers, CAST(SUM(rev_c) AS BIGINT) AS tot_c,
         |    SUM(CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0)))
-        |      AS s2,
-        |    CAST(SUM(CASE WHEN rk <= 4 THEN rev_c ELSE 0 END) AS BIGINT)
-        |      AS top4_c
-        |  FROM r)
+        |      AS s2
+        |  FROM rev)
         |SELECT n_suppliers, tot_c,
         |  CAST(floor(CAST(s2 AS DOUBLE) * CAST(1000000 AS DOUBLE) /
         |    (CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))) AS BIGINT)
         |    AS hhi_micro,
         |  top4_c * 1000 // tot_c AS cr4_milli
-        |FROM a""".stripMargin,
+        |FROM a CROSS JOIN t4""".stripMargin,
 
     "q305_dup_cluster_sizes" ->
       s"""WITH t AS (SELECT ${Du.tokens("text")} AS toks FROM documents),
@@ -991,13 +1027,16 @@ object Analytics {
         |    (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
         |     FROM evu a JOIN evu b ON a.k = b.k) AS actual),
         |u AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2
-        |      UNION ALL SELECT * FROM j3)
-        |SELECT join_name, n_a, n_b, d_a, d_b,
-        |  n_a * n_b // greatest(d_a, d_b) AS est, actual,
+        |      UNION ALL SELECT * FROM j3),
+        |e AS (
+        |  SELECT *, CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+        |    // greatest(d_a, d_b) AS BIGINT) AS est
+        |  FROM u)
+        |SELECT join_name, n_a, n_b, d_a, d_b, est, actual,
         |  CASE WHEN actual = 0 THEN NULL
-        |    ELSE (n_a * n_b // greatest(d_a, d_b)) * 1000 // actual
+        |    ELSE CAST(CAST(est AS HUGEINT) * 1000 // actual AS BIGINT)
         |    END AS err_milli
-        |FROM u ORDER BY join_name""".stripMargin,
+        |FROM e ORDER BY join_name""".stripMargin,
 
     "q295_markov_transitions" ->
       """WITH e AS (
