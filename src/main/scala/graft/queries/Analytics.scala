@@ -618,6 +618,38 @@ object Analytics {
         .unionAll(audit("li_li_partkey", liPk, liPk))
         .unionAll(audit("ev_ev_user", evUid, evUid))
         .orderBy("join_name")
+    },
+
+    // Incremental join maintenance (operators/DeltaJoin.scala): when
+    // append increments land on BOTH sides of a materialized join,
+    // the refresh is three delta-probed terms — never a recompute of
+    // the base join. The gate splits lineitem (by line number) and
+    // orders (by key class) into base+increment, computes the delta,
+    // and carries the completeness identity |base⋈base| + |Δ| =
+    // |full⋈full| as an output column the oracle must agree on.
+    "q309_delta_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_c"),
+        col("l_linenumber"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val liBase = li.filter(col("l_linenumber") < 6).drop("l_linenumber")
+      val liDelta = li.filter(col("l_linenumber") >= 6).drop("l_linenumber")
+      val oBase = o.filter(expr("k % 10 != 0"))
+      val oDelta = o.filter(expr("k % 10 = 0"))
+      val delta = graft.operators.DeltaJoin
+        .appendDelta(liBase, liDelta, oBase, oDelta, Seq("k"))
+      val base = liBase.join(oBase, Seq("k"))
+      val full = graft.operators.DeltaJoin
+        .fullJoin(liBase, liDelta, oBase, oDelta, Seq("k"))
+      delta.agg(count(lit(1)).as("n_delta"),
+          coalesce(sum("price_c"), lit(0L)).as("rev_delta_c"))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n_base"))))
+        .crossJoin(broadcast(full.agg(count(lit(1)).as("n_full"))))
+        .withColumn("identity_ok",
+          col("n_base") + col("n_delta") === col("n_full"))
+        .select("n_base", "n_delta", "n_full", "rev_delta_c", "identity_ok")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1037,6 +1069,41 @@ object Analytics {
         |    ELSE CAST(CAST(est AS HUGEINT) * 1000 // actual AS BIGINT)
         |    END AS err_milli
         |FROM e ORDER BY join_name""".stripMargin,
+
+    "q309_delta_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_c,
+        |    l_linenumber
+        |  FROM lineitem),
+        |o AS (SELECT o_orderkey AS k, o_orderpriority FROM orders),
+        |libase AS (SELECT k, price_c FROM li WHERE l_linenumber < 6),
+        |lidelta AS (SELECT k, price_c FROM li WHERE l_linenumber >= 6),
+        |obase AS (SELECT * FROM o WHERE k % 10 != 0),
+        |odelta AS (SELECT * FROM o WHERE k % 10 = 0),
+        |delta AS (
+        |  SELECT a.k, a.price_c FROM lidelta a JOIN obase b ON a.k = b.k
+        |  UNION ALL
+        |  SELECT a.k, a.price_c FROM libase a JOIN odelta b ON a.k = b.k
+        |  UNION ALL
+        |  SELECT a.k, a.price_c FROM lidelta a JOIN odelta b ON a.k = b.k),
+        |d AS (
+        |  SELECT COUNT(*) AS n_delta,
+        |    CAST(COALESCE(SUM(price_c), 0) AS BIGINT) AS rev_delta_c
+        |  FROM delta),
+        |bs AS (
+        |  SELECT COUNT(*) AS n_base
+        |  FROM libase a JOIN obase b ON a.k = b.k),
+        |f AS (
+        |  SELECT COUNT(*) AS n_full
+        |  FROM (SELECT k, price_c FROM libase
+        |        UNION ALL SELECT k, price_c FROM lidelta) a
+        |  JOIN (SELECT k FROM obase UNION ALL SELECT k FROM odelta) b
+        |    ON a.k = b.k)
+        |SELECT n_base, n_delta, n_full, rev_delta_c,
+        |  n_base + n_delta = n_full AS identity_ok
+        |FROM d CROSS JOIN bs CROSS JOIN f""".stripMargin,
 
     "q295_markov_transitions" ->
       """WITH e AS (
