@@ -650,6 +650,63 @@ object Analytics {
         .withColumn("identity_ok",
           col("n_base") + col("n_delta") === col("n_full"))
         .select("n_base", "n_delta", "n_full", "rev_delta_c", "identity_ok")
+    },
+
+    // Total-variation distance between the event-type mixes of the
+    // corpus' two time halves — the distribution-drift monitor that
+    // needs no logs (PSI/KL do) and no quantiles (KS does): TVD =
+    // ½ Σ|p_i − q_i|, kept exact by cross-multiplying counts before
+    // the single division. Midpoint from the corpus' own time range
+    // (broadcast scalar); two map-side-combined rollups.
+    "q310_tvd_drift" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts)").as("tsu"))
+      val mid = e.agg(expr("(min(tsu) + max(tsu)) div 2").as("mid"))
+      val halves = e.crossJoin(broadcast(mid))
+        .withColumn("h", expr("CASE WHEN tsu < mid THEN 0 ELSE 1 END"))
+      val perType = halves.groupBy("event_type")
+        .agg(sum(expr("CASE WHEN h = 0 THEN 1 ELSE 0 END")).as("n1"),
+          sum(expr("CASE WHEN h = 1 THEN 1 ELSE 0 END")).as("n2"))
+      val tots = perType.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+      perType.crossJoin(broadcast(tots))
+        .agg(max("t1").as("n_first"), max("t2").as("n_second"),
+          sum(expr("abs(n1 * t2 - n2 * t1)")).as("absdiff_x"))
+        .withColumn("tvd_milli", expr(
+          "CASE WHEN n_first = 0 OR n_second = 0 THEN NULL " +
+            "ELSE absdiff_x * 1000 div (2 * n_first * n_second) END"))
+        .select("n_first", "n_second", "tvd_milli")
+    },
+
+    // Burst-dedup audit: per (user, type), an activity burst is a
+    // maximal run of events with gaps ≤ 1 h, and only the burst's
+    // FIRST event is kept — the repeated-ping collapse a telemetry
+    // pipeline runs before sessionless rollups. (This is gap-window
+    // semantics, deliberately: a kept-event-relative debounce — drop
+    // anything within 1 h of the last KEPT — is a sequential fold
+    // that neither engine's window algebra expresses; the burst
+    // formulation is the declarative, shuffle-once equivalent both
+    // engines agree on.) One hash exchange on the (user, type) key.
+    "q311_debounce" -> { (s, d) =>
+      val byKey = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("tsu"), col("event_id"))
+      val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("tsu"))
+        .withColumn("prev", lag("tsu", 1).over(byKey))
+        .withColumn("new_win",
+          when(col("prev").isNull || col("tsu") - col("prev") > 3600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("win_id", sum("new_win").over(run))
+        .withColumn("rn_in_win", row_number().over(
+          Window.partitionBy("user_id", "event_type", "win_id")
+            .orderBy(col("tsu"), col("event_id"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CASE WHEN rn_in_win = 1 THEN 1 ELSE 0 END")).as("n_kept"))
+        .withColumn("drop_milli",
+          expr("(n_events - n_kept) * 1000 div n_events"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1104,6 +1161,59 @@ object Analytics {
         |SELECT n_base, n_delta, n_full, rev_delta_c,
         |  n_base + n_delta = n_full AS identity_ok
         |FROM d CROSS JOIN bs CROSS JOIN f""".stripMargin,
+
+    "q310_tvd_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) AS tsu FROM events),
+        |m AS (SELECT (MIN(tsu) + MAX(tsu)) // 2 AS mid FROM e),
+        |h AS (
+        |  SELECT event_type, CASE WHEN tsu < mid THEN 0 ELSE 1 END AS h
+        |  FROM e CROSS JOIN m),
+        |pt AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM h GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+        |  FROM pt),
+        |a AS (
+        |  SELECT MAX(t1) AS n_first, MAX(t2) AS n_second,
+        |    CAST(SUM(abs(n1 * t2 - n2 * t1)) AS BIGINT) AS absdiff_x
+        |  FROM pt CROSS JOIN t)
+        |SELECT n_first, n_second,
+        |  CASE WHEN n_first = 0 OR n_second = 0 THEN NULL
+        |    ELSE absdiff_x * 1000 // (2 * n_first * n_second) END AS tvd_milli
+        |FROM a""".stripMargin,
+
+    "q311_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events),
+        |g AS (
+        |  SELECT *, LAG(tsu, 1) OVER w AS prev,
+        |    CASE WHEN LAG(tsu, 1) OVER w IS NULL
+        |      OR tsu - LAG(tsu, 1) OVER w > 3600000000 THEN 1 ELSE 0 END
+        |      AS new_win
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY tsu, event_id)),
+        |wi AS (
+        |  SELECT *, CAST(SUM(new_win) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS win_id
+        |  FROM g),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, win_id
+        |    ORDER BY tsu, event_id) AS rn_in_win
+        |  FROM wi)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN rn_in_win = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  (COUNT(*) - CAST(SUM(CASE WHEN rn_in_win = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT)) * 1000 // COUNT(*) AS drop_milli
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q295_markov_transitions" ->
       """WITH e AS (
