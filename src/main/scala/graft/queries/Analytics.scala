@@ -707,6 +707,60 @@ object Analytics {
         .withColumn("drop_milli",
           expr("(n_events - n_kept) * 1000 div n_events"))
         .orderBy("event_type")
+    },
+
+    // Vocabulary-growth (Heaps-law) readout per source: distinct
+    // tokens within the first ¼, ½, and all of each source's doc-id
+    // span — sublinear growth ⇒ natural text, near-linear ⇒ id-like
+    // noise. The prefix levels are PURE FUNCTIONS of broadcast
+    // per-source (min, max) doc-id bounds — no rank pass at all, so
+    // nothing orders a row-scale frame; three conditional distinct
+    // aggregates share one exchange.
+    "q312_vocab_growth" -> { (s, d) =>
+      val tok = TextOps.docsWithToks(s, d)
+        .select(col("source"), col("doc_id"), explode(col("toks")).as("t"))
+      val span = tok.groupBy("source")
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      tok.join(broadcast(span), "source")
+        .withColumn("q1", expr("doc_id <= lo + (hi - lo) div 4"))
+        .withColumn("q2", expr("doc_id <= lo + (hi - lo) div 2"))
+        .groupBy("source")
+        .agg(
+          count_distinct(when(col("q1"), col("t"))).as("v_quarter"),
+          count_distinct(when(col("q2"), col("t"))).as("v_half"),
+          count_distinct(col("t")).as("v_full"),
+          sum(expr("CASE WHEN q1 THEN 1 ELSE 0 END")).as("n_quarter"),
+          sum(expr("CASE WHEN q2 THEN 1 ELSE 0 END")).as("n_half"),
+          count(lit(1)).as("n_full"))
+        .orderBy("source")
+    },
+
+    // Label separability by embedding norm alone — AUC via the
+    // rank-sum identity AUC = U / (n₀·n₁), on micro-quantized squared
+    // norms with the q296 doubled-U machinery (GlobalOrder value
+    // spine, tie-splitting ½ absorbed by the doubling). An AUC near
+    // 500 milli says the norm carries no label signal — the sanity
+    // check before anyone trains a norm-thresholding filter.
+    "q313_norm_auc" -> { (s, d) =>
+      val Sp = PortableSql.Spark
+      val v = Tables.spread(Tables.embeddings(s, d))
+        .filter(col("label").isin(0, 1))
+        .select(
+          expr(s"CAST(floor((${Sp.norm2("embedding")}) * " +
+            "CAST(1000000 AS DOUBLE)) AS BIGINT)").as("v"),
+          when(col("label") === 1, 1L).otherwise(0L).as("isa"))
+      val perV = v.groupBy("v").agg(
+        sum("isa").as("na_v"),
+        sum(expr("1 - isa")).as("nb_v"))
+      val cum = GlobalOrder.withRunningSum(perV, Seq(col("v")), col("v"),
+        col("nb_v"), "cumb")
+      cum.agg(
+          sum("na_v").as("n_pos"), sum("nb_v").as("n_neg"),
+          sum(expr("na_v * (2 * (cumb - nb_v) + nb_v)")).as("u2"))
+        .withColumn("auc_milli", expr(
+          "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
+            "ELSE u2 * 1000 div (2 * n_pos * n_neg) END"))
+        .select("n_pos", "n_neg", "u2", "auc_milli")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1214,6 +1268,53 @@ object Analytics {
         |  (COUNT(*) - CAST(SUM(CASE WHEN rn_in_win = 1 THEN 1 ELSE 0 END)
         |    AS BIGINT)) * 1000 // COUNT(*) AS drop_milli
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q312_vocab_growth" ->
+      s"""WITH tok AS (
+         |  SELECT source, doc_id, unnest(${Du.tokens("text")}) AS t
+         |  FROM documents),
+         |span AS (
+         |  SELECT source, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+         |  FROM tok GROUP BY 1),
+         |j AS (
+         |  SELECT tok.source, t,
+         |    doc_id <= lo + (hi - lo) // 4 AS q1,
+         |    doc_id <= lo + (hi - lo) // 2 AS q2
+         |  FROM tok JOIN span ON tok.source = span.source)
+         |SELECT source,
+         |  CAST(COUNT(DISTINCT CASE WHEN q1 THEN t END) AS BIGINT)
+         |    AS v_quarter,
+         |  CAST(COUNT(DISTINCT CASE WHEN q2 THEN t END) AS BIGINT) AS v_half,
+         |  CAST(COUNT(DISTINCT t) AS BIGINT) AS v_full,
+         |  CAST(SUM(CASE WHEN q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarter,
+         |  CAST(SUM(CASE WHEN q2 THEN 1 ELSE 0 END) AS BIGINT) AS n_half,
+         |  COUNT(*) AS n_full
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q313_norm_auc" ->
+      s"""WITH v AS (
+         |  SELECT CAST(floor((${Du.norm2("embedding")}) *
+         |    CAST(1000000 AS DOUBLE)) AS BIGINT) AS v,
+         |    CASE WHEN label = 1 THEN 1 ELSE 0 END AS isa
+         |  FROM embeddings WHERE label IN (0, 1)),
+         |pv AS (
+         |  SELECT v, CAST(SUM(isa) AS BIGINT) AS na_v,
+         |    CAST(SUM(1 - isa) AS BIGINT) AS nb_v
+         |  FROM v GROUP BY 1),
+         |c AS (
+         |  SELECT *, CAST(SUM(nb_v) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cumb
+         |  FROM pv),
+         |a AS (
+         |  SELECT CAST(SUM(na_v) AS BIGINT) AS n_pos,
+         |    CAST(SUM(nb_v) AS BIGINT) AS n_neg,
+         |    CAST(SUM(na_v * (2 * (cumb - nb_v) + nb_v)) AS BIGINT) AS u2
+         |  FROM c)
+         |SELECT n_pos, n_neg, u2,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE u2 * 1000 // (2 * n_pos * n_neg) END AS auc_milli
+         |FROM a""".stripMargin,
 
     "q295_markov_transitions" ->
       """WITH e AS (
