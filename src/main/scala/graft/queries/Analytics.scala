@@ -761,6 +761,67 @@ object Analytics {
           "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
             "ELSE u2 * 1000 div (2 * n_pos * n_neg) END"))
         .select("n_pos", "n_neg", "u2", "auc_milli")
+    },
+
+    // Discount-band response curve: quantity and revenue against the
+    // discount ladder (centi-discount bands — exact integers from the
+    // DECIMAL cast, never a float bucketer). One map-side-combined
+    // rollup; avg quantities in exact milli.
+    "q314_discount_bands" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)")
+            .as("disc_c"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("price_c"))
+        .groupBy("disc_c")
+        .agg(count(lit(1)).as("n"), sum("qty").as("qty_sum"),
+          sum("price_c").as("rev_c"))
+        .withColumn("avg_qty_milli", expr("qty_sum * 1000 div n"))
+        .orderBy("disc_c")
+    },
+
+    // Sentence-level text profile per source: sentence counts from
+    // terminator splits, words-per-sentence in exact milli — the
+    // readability axis the token metrics (q24/q25) don't see. One
+    // narrow projection + rollup; the text column never shuffles.
+    "q315_sentence_stats" -> { (s, d) =>
+      TextOps.docsWithToks(s, d)
+        .select(col("source"),
+          expr("CAST(size(filter(split(text, '[.!?]'), " +
+            "x -> trim(x) != '')) AS BIGINT)").as("n_sent"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_sent").as("sent_sum"),
+          sum("n_toks").as("tok_sum"))
+        .withColumn("sent_per_doc_milli", expr("sent_sum * 1000 div n_docs"))
+        .withColumn("toks_per_sent_milli", expr(
+          "CASE WHEN sent_sum = 0 THEN NULL " +
+            "ELSE tok_sum * 1000 div sent_sum END"))
+        .orderBy("source")
+    },
+
+    // DAU/MAU stickiness per month — the engagement ratio every
+    // product dashboard leads with: average daily-active count over
+    // monthly-active count, in exact milli (ΣDAU·1000 div (days·MAU)
+    // — one cross-multiplied division, no float averaging). Two
+    // distinct aggregates sharing the (user, day) dedup pass.
+    "q316_stickiness" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          (year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"),
+          to_date(col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy("ym", "day").agg(count(lit(1)).as("dau"))
+        .groupBy("ym").agg(count(lit(1)).as("n_days"), sum("dau").as("dau_sum"))
+      val mau = ud.select("ym", "user_id").distinct()
+        .groupBy("ym").agg(count(lit(1)).as("mau"))
+      dau.join(mau, "ym")
+        .withColumn("stickiness_milli",
+          expr("dau_sum * 1000 div (n_days * mau)"))
+        .select("ym", "n_days", "dau_sum", "mau", "stickiness_milli")
+        .orderBy("ym")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1315,6 +1376,54 @@ object Analytics {
          |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
          |    ELSE u2 * 1000 // (2 * n_pos * n_neg) END AS auc_milli
          |FROM a""".stripMargin,
+
+    "q314_discount_bands" ->
+      """SELECT CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)
+        |    AS disc_c,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev_c,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1000 // COUNT(*)
+        |    AS avg_qty_milli
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q315_sentence_stats" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+        |      x -> trim(x) != '')) AS BIGINT) AS n_sent,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t != '')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_sent) AS BIGINT) AS sent_sum,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(n_sent) AS BIGINT) * 1000 // COUNT(*)
+        |    AS sent_per_doc_milli,
+        |  CASE WHEN CAST(SUM(n_sent) AS BIGINT) = 0 THEN NULL
+        |    ELSE CAST(SUM(n_toks) AS BIGINT) * 1000
+        |      // CAST(SUM(n_sent) AS BIGINT) END AS toks_per_sent_milli
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q316_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |dau AS (
+        |  SELECT ym, COUNT(*) AS n_days, CAST(SUM(dau) AS BIGINT) AS dau_sum
+        |  FROM (SELECT ym, day, COUNT(*) AS dau FROM ud GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |mau AS (
+        |  SELECT ym, COUNT(*) AS mau
+        |  FROM (SELECT DISTINCT ym, user_id FROM ud) GROUP BY 1)
+        |SELECT dau.ym, n_days, dau_sum, mau,
+        |  dau_sum * 1000 // (n_days * mau) AS stickiness_milli
+        |FROM dau JOIN mau ON dau.ym = mau.ym
+        |ORDER BY 1""".stripMargin,
 
     "q295_markov_transitions" ->
       """WITH e AS (
