@@ -822,6 +822,39 @@ object Analytics {
           expr("dau_sum * 1000 div (n_days * mau)"))
         .select("ym", "n_days", "dau_sum", "mau", "stickiness_milli")
         .orderBy("ym")
+    },
+
+    // Revenue waterfall — gross → discount loss → tax add → returns
+    // loss → net, reconciled in-band: every stage in exact
+    // cent-percent² units (cents × integer discount pct × integer tax
+    // pct — no rounding mode ever enters, the q239 lane squared), and
+    // the output carries the ledger identity net = gross − disc + tax
+    // − returns as a column the oracle must agree on. One map-side-
+    // combined rollup over lineitem. HONEST CEILING: Σ cents·10⁴ at
+    // ~10⁹ rows approaches 2⁶³ — past that the lanes move to
+    // DECIMAL(38,0).
+    "q317_revenue_waterfall" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("ep_c"),
+          expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)")
+            .as("d_pct"),
+          expr("CAST(CAST(l_tax AS DECIMAL(5,2)) * 100 AS BIGINT)")
+            .as("t_pct"),
+          (col("l_returnflag") === "R").as("ret"))
+        .agg(
+          sum(expr("ep_c * 10000")).as("gross_cpp"),
+          sum(expr("ep_c * d_pct * 100")).as("disc_loss_cpp"),
+          sum(expr("ep_c * (100 - d_pct) * t_pct")).as("tax_add_cpp"),
+          sum(expr("CASE WHEN ret THEN ep_c * (100 - d_pct) * (100 + t_pct) " +
+            "ELSE 0 END")).as("returns_loss_cpp"),
+          sum(expr("CASE WHEN ret THEN 0 " +
+            "ELSE ep_c * (100 - d_pct) * (100 + t_pct) END")).as("net_cpp"))
+        .withColumn("identity_ok", expr(
+          "net_cpp = gross_cpp - disc_loss_cpp + tax_add_cpp - returns_loss_cpp"))
+        .select("gross_cpp", "disc_loss_cpp", "tax_add_cpp",
+          "returns_loss_cpp", "net_cpp", "identity_ok")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1424,6 +1457,32 @@ object Analytics {
         |  dau_sum * 1000 // (n_days * mau) AS stickiness_milli
         |FROM dau JOIN mau ON dau.ym = mau.ym
         |ORDER BY 1""".stripMargin,
+
+    "q317_revenue_waterfall" ->
+      """WITH li AS (
+        |  SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS ep_c,
+        |    CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT) AS d_pct,
+        |    CAST(CAST(l_tax AS DECIMAL(5,2)) * 100 AS BIGINT) AS t_pct,
+        |    l_returnflag = 'R' AS ret
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(ep_c * 10000) AS BIGINT) AS gross_cpp,
+        |    CAST(SUM(ep_c * d_pct * 100) AS BIGINT) AS disc_loss_cpp,
+        |    CAST(SUM(ep_c * (100 - d_pct) * t_pct) AS BIGINT) AS tax_add_cpp,
+        |    CAST(SUM(CASE WHEN ret THEN ep_c * (100 - d_pct) * (100 + t_pct)
+        |      ELSE 0 END) AS BIGINT) AS returns_loss_cpp,
+        |    CAST(SUM(CASE WHEN ret THEN 0
+        |      ELSE ep_c * (100 - d_pct) * (100 + t_pct) END) AS BIGINT)
+        |      AS net_cpp
+        |  FROM li)
+        |SELECT gross_cpp, disc_loss_cpp, tax_add_cpp, returns_loss_cpp,
+        |  net_cpp,
+        |  net_cpp = gross_cpp - disc_loss_cpp + tax_add_cpp - returns_loss_cpp
+        |    AS identity_ok
+        |FROM a""".stripMargin,
 
     "q295_markov_transitions" ->
       """WITH e AS (
