@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
 
 /** Incremental equi-join maintenance for append-only inputs — the
   * join analogue of the sidecar's incremental aggregate maintenance
@@ -26,15 +25,18 @@ object DeltaJoin {
 
   /** The rows ADDED to `A ⋈ B` by appends `aDelta`/`bDelta`, computed
     * without recomputing the base join. Column layout matches the
-    * plain `aAll.join(bAll, keys)` output. Deltas are broadcast when
-    * small (the common increment shape); Spark falls back to a
-    * shuffle join automatically past the broadcast threshold.
+    * plain `aAll.join(bAll, keys)` output. No broadcast HINT: a hint
+    * is honored unconditionally (AQE never demotes it), so a large
+    * increment would abort at the 8 GB broadcast limit instead of
+    * degrading — the size-based threshold (and AQE's runtime
+    * re-plan) already broadcasts the common small-increment shape
+    * and falls back to a shuffle join for the rest.
     */
   def appendDelta(aBase: DataFrame, aDelta: DataFrame,
                   bBase: DataFrame, bDelta: DataFrame,
                   keys: Seq[String]): DataFrame =
-    broadcast(aDelta).join(bBase, keys)
-      .unionByName(aBase.join(broadcast(bDelta), keys))
+    aDelta.join(bBase, keys)
+      .unionByName(aBase.join(bDelta, keys))
       .unionByName(aDelta.join(bDelta, keys))
 
   /** The oracle identity, for specs: base join ∪ delta must equal the

@@ -632,8 +632,7 @@ object Analytics {
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
           .as("price_c"),
         col("l_linenumber"))
-      val o = Tables.orders(s, d)
-        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
       val liBase = li.filter(col("l_linenumber") < 6).drop("l_linenumber")
       val liDelta = li.filter(col("l_linenumber") >= 6).drop("l_linenumber")
       val oBase = o.filter(expr("k % 10 != 0"))
@@ -667,13 +666,18 @@ object Analytics {
       val perType = halves.groupBy("event_type")
         .agg(sum(expr("CASE WHEN h = 0 THEN 1 ELSE 0 END")).as("n1"),
           sum(expr("CASE WHEN h = 1 THEN 1 ELSE 0 END")).as("n2"))
+      // count-product DECIMAL lane (the q297/q308 convention): n·t
+      // products overflow BIGINT near 7·10⁷ events per half; ×1000/2
+      // folds to ×500 to keep the decimal width at 38
       val tots = perType.agg(sum("n1").as("t1"), sum("n2").as("t2"))
       perType.crossJoin(broadcast(tots))
         .agg(max("t1").as("n_first"), max("t2").as("n_second"),
-          sum(expr("abs(n1 * t2 - n2 * t1)")).as("absdiff_x"))
+          sum(expr("abs(CAST(n1 AS DECIMAL(19,0)) * t2 - " +
+            "CAST(n2 AS DECIMAL(19,0)) * t1)")).as("absdiff_x"))
         .withColumn("tvd_milli", expr(
           "CASE WHEN n_first = 0 OR n_second = 0 THEN NULL " +
-            "ELSE absdiff_x * 1000 div (2 * n_first * n_second) END"))
+            "ELSE absdiff_x * 500 div " +
+            "(CAST(n_first AS DECIMAL(19,0)) * n_second) END"))
         .select("n_first", "n_second", "tvd_milli")
     },
 
@@ -719,7 +723,13 @@ object Analytics {
     "q312_vocab_growth" -> { (s, d) =>
       val tok = TextOps.docsWithToks(s, d)
         .select(col("source"), col("doc_id"), explode(col("toks")).as("t"))
-      val span = tok.groupBy("source")
+      // bounds from the DOC-level frame (≈50× fewer rows than the
+      // exploded tokens); size(toks) > 0 matches explode's drop of
+      // token-less docs, so (lo, hi) are identical to a token-frame
+      // aggregate
+      val span = TextOps.docsWithToks(s, d)
+        .filter(expr("size(toks) > 0"))
+        .groupBy("source")
         .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       tok.join(broadcast(span), "source")
         .withColumn("q1", expr("doc_id <= lo + (hi - lo) div 4"))
@@ -742,7 +752,10 @@ object Analytics {
     // 500 milli says the norm carries no label signal — the sanity
     // check before anyone trains a norm-thresholding filter.
     "q313_norm_auc" -> { (s, d) =>
-      val Sp = PortableSql.Spark
+      // HONEST CEILING (q296's convention): u2 ≈ 2·n_pos·n_neg tops
+      // BIGINT near 1.5·10⁹ embeddings per class — past that the u2
+      // lane moves to DECIMAL(38,0); the AUC division already rides
+      // the decimal lane (×1000/2 folded to ×500 to hold width 38)
       val v = Tables.spread(Tables.embeddings(s, d))
         .filter(col("label").isin(0, 1))
         .select(
@@ -759,7 +772,8 @@ object Analytics {
           sum(expr("na_v * (2 * (cumb - nb_v) + nb_v)")).as("u2"))
         .withColumn("auc_milli", expr(
           "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
-            "ELSE u2 * 1000 div (2 * n_pos * n_neg) END"))
+            "ELSE CAST(u2 AS DECIMAL(19,0)) * 500 div " +
+            "(CAST(n_pos AS DECIMAL(19,0)) * n_neg) END"))
         .select("n_pos", "n_neg", "u2", "auc_milli")
     },
 
@@ -1282,7 +1296,7 @@ object Analytics {
         |      AS price_c,
         |    l_linenumber
         |  FROM lineitem),
-        |o AS (SELECT o_orderkey AS k, o_orderpriority FROM orders),
+        |o AS (SELECT o_orderkey AS k FROM orders),
         |libase AS (SELECT k, price_c FROM li WHERE l_linenumber < 6),
         |lidelta AS (SELECT k, price_c FROM li WHERE l_linenumber >= 6),
         |obase AS (SELECT * FROM o WHERE k % 10 != 0),
@@ -1327,11 +1341,14 @@ object Analytics {
         |  FROM pt),
         |a AS (
         |  SELECT MAX(t1) AS n_first, MAX(t2) AS n_second,
-        |    CAST(SUM(abs(n1 * t2 - n2 * t1)) AS BIGINT) AS absdiff_x
+        |    SUM(abs(CAST(n1 AS HUGEINT) * t2 - CAST(n2 AS HUGEINT) * t1))
+        |      AS absdiff_x
         |  FROM pt CROSS JOIN t)
         |SELECT n_first, n_second,
         |  CASE WHEN n_first = 0 OR n_second = 0 THEN NULL
-        |    ELSE absdiff_x * 1000 // (2 * n_first * n_second) END AS tvd_milli
+        |    ELSE CAST(absdiff_x * 500
+        |      // (CAST(n_first AS HUGEINT) * n_second) AS BIGINT)
+        |    END AS tvd_milli
         |FROM a""".stripMargin,
 
     "q311_debounce" ->
@@ -1364,12 +1381,13 @@ object Analytics {
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q312_vocab_growth" ->
-      s"""WITH tok AS (
-         |  SELECT source, doc_id, unnest(${Du.tokens("text")}) AS t
+      s"""WITH t0 AS (
+         |  SELECT source, doc_id, ${Du.tokens("text")} AS toks
          |  FROM documents),
+         |tok AS (SELECT source, doc_id, unnest(toks) AS t FROM t0),
          |span AS (
          |  SELECT source, MIN(doc_id) AS lo, MAX(doc_id) AS hi
-         |  FROM tok GROUP BY 1),
+         |  FROM t0 WHERE len(toks) > 0 GROUP BY 1),
          |j AS (
          |  SELECT tok.source, t,
          |    doc_id <= lo + (hi - lo) // 4 AS q1,
@@ -1407,7 +1425,8 @@ object Analytics {
          |  FROM c)
          |SELECT n_pos, n_neg, u2,
          |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-         |    ELSE u2 * 1000 // (2 * n_pos * n_neg) END AS auc_milli
+         |    ELSE CAST(CAST(u2 AS HUGEINT) * 500
+         |      // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END AS auc_milli
          |FROM a""".stripMargin,
 
     "q314_discount_bands" ->
@@ -1423,13 +1442,12 @@ object Analytics {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q315_sentence_stats" ->
-      """WITH s AS (
-        |  SELECT source,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
-        |      x -> trim(x) != '')) AS BIGINT) AS n_sent,
-        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      t -> t != '')) AS BIGINT) AS n_toks
-        |  FROM documents)
+      s"""WITH s AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+         |      x -> trim(x) != '')) AS BIGINT) AS n_sent,
+         |    CAST(len(${Du.tokens("text")}) AS BIGINT) AS n_toks
+         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_sent) AS BIGINT) AS sent_sum,
         |  CAST(SUM(n_toks) AS BIGINT) AS tok_sum,
