@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, CorpusOps, Events, Lifecycle, MultimodalOps, PipelineOps, Relational, Relational2, StreamOps, TextOps, VectorOps}
+import graft.queries.Analytics2
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,13 +22,13 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Events.queries ++
       TextOps.queries ++ VectorOps.queries ++ MultimodalOps.queries ++
       PipelineOps.queries ++ Lifecycle.queries ++ StreamOps.queries ++
-      CorpusOps.queries ++ Analytics.queries
+      CorpusOps.queries ++ Analytics.queries ++ Analytics2.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Events.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ MultimodalOps.oracles ++
       PipelineOps.oracles ++ Lifecycle.oracles ++ StreamOps.oracles ++
-      CorpusOps.oracles ++ Analytics.oracles
+      CorpusOps.oracles ++ Analytics.oracles ++ Analytics2.oracles
 
   /** Dev-loop selection shared by Bench and Verify: each
     * SPARK_GRAFT_ONLY element matches a query by its id prefix
