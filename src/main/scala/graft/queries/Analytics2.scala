@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.PortableSql
 
 /** Round-6 second analytics inventory: rank statistics (Kendall
   * concordance), robust dispersion (MAD outlier screen), and
@@ -31,6 +32,31 @@ object Analytics2 {
   /** Exact events milli lane (the q241/q222 convention). */
   private val VMilliF =
     "CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"
+
+  private val Du = PortableSql.Duck
+
+  /** The shared Pearson-from-exact-sums formula — identical IEEE text
+    * on both engines (every input is an exact BIGINT; the whole float
+    * tail is one shared op sequence ending in a floor quantization).
+    * The zero-variance guard runs in the SAME double text as the
+    * denominator (n·Σy² and (Σy)² overflow BIGINT at ~10⁹-dollar day
+    * sums, so an integer guard can't exist; because the guard and the
+    * sqrt argument are one shared expression, `> 0` here is exactly
+    * "the denominator is nonzero" on both engines).
+    */
+  private val VarXF =
+    "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+  private val VarYF =
+    "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+  private val RMicroF =
+    s"CASE WHEN $VarXF <= CAST(0 AS DOUBLE) OR $VarYF <= CAST(0 AS DOUBLE) " +
+      "THEN NULL " +
+      "ELSE CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      s"(sqrt($VarXF) * sqrt($VarYF)) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -144,6 +170,84 @@ object Analytics2 {
           expr("((v0+v1+v2+v3)-(v4+v5+v6+v7))*((v0+v1+v2+v3)-(v4+v5+v6+v7))")
             .as("e3_cc"))
         .orderBy("blk")
+    },
+
+    // Lead/lag cross-correlation between order intake (daily order
+    // count by o_orderdate) and shipped revenue (daily whole-dollar
+    // revenue by l_shipdate) at lags −3..+3: both series collapse to
+    // bounded day frames via map-side-combined aggregates, the lag
+    // alignment is a 7-way explode + ONE hash equi-join on the shifted
+    // date (never 7 joins, never a window), and each lag's Pearson is
+    // computed from exact BIGINT sums through the one shared IEEE
+    // formula. Whole-dollar quantization keeps Σy² inside BIGINT at
+    // 100 TB-ish daily magnitudes (~10⁶ $/day → Σy² ~ 10¹⁵).
+    "q321_xcorr_lags" -> { (s, d) =>
+      val fx = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("xn"))
+      val fy = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(expr(s"sum($CentsF) div 100").as("yd"))
+      val lagged = fy
+        .select(col("day"), col("yd"),
+          explode(expr("sequence(-3, 3)")).as("k"))
+        .withColumn("xday", expr("date_sub(day, k)"))
+      lagged
+        .join(fx.select(col("day").as("xday"), col("xn")), "xday")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("xn").as("sx"), sum("yd").as("sy"),
+          sum(expr("xn * xn")).as("sxx"), sum(expr("yd * yd")).as("syy"),
+          sum(expr("xn * yd")).as("sxy"))
+        .withColumn("r_micro", expr(RMicroF))
+        .select(col("k").cast("long").as("k"), col("n"), col("sx"),
+          col("sy"), col("sxy"), col("r_micro"))
+        .orderBy("k")
+    },
+
+    // Simpson diversity of each source's token distribution — the
+    // no-transcendentals diversity index (probability two random
+    // tokens differ), exact as the integer rational
+    // (N(N−1) − Σnᵢ(nᵢ−1)) / (N(N−1)) in micro units. Rides the same
+    // (source, token) count aggregate as q247's hapax rate; nothing
+    // beyond two map-side-combined aggregations ever shuffles. HONEST
+    // CEILING: (N(N−1))·10⁶ needs N ≲ 3·10⁶ tokens per source in the
+    // BIGINT lane — past that the ratio lane moves to DECIMAL(38,0).
+    "q322_simpson_diversity" -> { (s, d) =>
+      TextOps.docsWithToks(s, d)
+        .select(col("source"), explode(col("toks")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"), sum("n").as("n_tokens"),
+          sum(expr("n * (n - 1)")).as("s2"))
+        .withColumn("simpson_micro", expr(
+          "CASE WHEN n_tokens <= 1 THEN NULL ELSE " +
+            "(n_tokens * (n_tokens - 1) - s2) * 1000000 div " +
+            "(n_tokens * (n_tokens - 1)) END"))
+        .select("source", "n_tokens", "vocab", "s2", "simpson_micro")
+        .orderBy("source")
+    },
+
+    // Chao1 vocabulary-richness estimate per source: how many distinct
+    // tokens the corpus WOULD show at infinite sampling, from the
+    // observed vocabulary plus the bias-corrected f₁²-term
+    // (D + f₁(f₁−1)/(2(f₂+1)) — the +1 makes the estimator total, no
+    // zero guard needed). The capture-recapture view of corpus
+    // coverage: singleton/doubleton counts ride the same (source,
+    // token) aggregate as q247/q322, and the estimate is exact milli.
+    "q323_chao1_vocab" -> { (s, d) =>
+      TextOps.docsWithToks(s, d)
+        .select(col("source"), explode(col("toks")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(expr("CASE WHEN n = 1 THEN 1 ELSE 0 END")).as("f1"),
+          sum(expr("CASE WHEN n = 2 THEN 1 ELSE 0 END")).as("f2"))
+        .withColumn("chao1_milli", expr(
+          "vocab * 1000 + f1 * (f1 - 1) * 1000 div (2 * (f2 + 1))"))
+        .withColumn("undetected_milli", expr("chao1_milli - vocab * 1000"))
+        .select("source", "vocab", "f1", "f2", "chao1_milli",
+          "undetected_milli")
+        .orderBy("source")
     })
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +344,64 @@ object Analytics2 {
          |    ((v4+v5)-(v6+v7))*((v4+v5)-(v6+v7)) AS e2_cc,
          |  ((v0+v1+v2+v3)-(v4+v5+v6+v7))*((v0+v1+v2+v3)-(v4+v5+v6+v7))
          |    AS e3_cc
-         |FROM g WHERE n_days = 8 ORDER BY blk""".stripMargin)
+         |FROM g WHERE n_days = 8 ORDER BY blk""".stripMargin,
+
+    "q321_xcorr_lags" ->
+      s"""WITH fx AS (
+         |  SELECT o_orderdate AS day, COUNT(*) AS xn FROM orders GROUP BY 1),
+         |fy AS (
+         |  SELECT l_shipdate AS day,
+         |    CAST(SUM($CentsF) AS BIGINT) // 100 AS yd
+         |  FROM lineitem GROUP BY 1),
+         |l AS (
+         |  SELECT day, yd, k
+         |  FROM fy CROSS JOIN (SELECT UNNEST(range(-3::BIGINT, 4::BIGINT))
+         |    AS k) ks),
+         |j AS (
+         |  SELECT k, xn, yd
+         |  FROM l JOIN fx
+         |    ON CAST(fx.day AS DATE) = CAST(l.day AS DATE) - CAST(k AS INTEGER)),
+         |a AS (
+         |  SELECT k, COUNT(*) AS n,
+         |    CAST(SUM(xn) AS BIGINT) AS sx, CAST(SUM(yd) AS BIGINT) AS sy,
+         |    CAST(SUM(xn * xn) AS BIGINT) AS sxx,
+         |    CAST(SUM(yd * yd) AS BIGINT) AS syy,
+         |    CAST(SUM(xn * yd) AS BIGINT) AS sxy
+         |  FROM j GROUP BY 1)
+         |SELECT k, n, sx, sy, sxy,
+         |  $RMicroF AS r_micro
+         |FROM a ORDER BY k""".stripMargin,
+
+    "q322_simpson_diversity" ->
+      s"""WITH b AS (SELECT source, ${Du.tokens("text")} AS toks
+         |  FROM documents),
+         |p AS (SELECT source, unnest(toks) AS t FROM b),
+         |c AS (SELECT source, t, COUNT(*) AS n FROM p GROUP BY 1, 2),
+         |g AS (
+         |  SELECT source, COUNT(*) AS vocab,
+         |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n * (n - 1)) AS BIGINT) AS s2
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_tokens, vocab, s2,
+         |  CASE WHEN n_tokens <= 1 THEN NULL ELSE
+         |    (n_tokens * (n_tokens - 1) - s2) * 1000000 //
+         |    (n_tokens * (n_tokens - 1)) END AS simpson_micro
+         |FROM g ORDER BY source""".stripMargin,
+
+    "q323_chao1_vocab" ->
+      s"""WITH b AS (SELECT source, ${Du.tokens("text")} AS toks
+         |  FROM documents),
+         |p AS (SELECT source, unnest(toks) AS t FROM b),
+         |c AS (SELECT source, t, COUNT(*) AS n FROM p GROUP BY 1, 2),
+         |g AS (
+         |  SELECT source, COUNT(*) AS vocab,
+         |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM c GROUP BY 1)
+         |SELECT source, vocab, f1, f2,
+         |  vocab * 1000 + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
+         |    AS chao1_milli,
+         |  vocab * 1000 + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
+         |    - vocab * 1000 AS undetected_milli
+         |FROM g ORDER BY source""".stripMargin)
 }
