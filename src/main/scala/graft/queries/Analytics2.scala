@@ -248,6 +248,114 @@ object Analytics2 {
         .select("source", "vocab", "f1", "f2", "chao1_milli",
           "undetected_milli")
         .orderBy("source")
+    },
+
+    // K-minimum-values NDV estimator vs exact truth, per event_type:
+    // the k-th smallest 60-bit portable hash of the key gives
+    // est = (k−1)·2⁶⁰ / h_k — the mergeable bottom-k sketch whose
+    // union is just "merge and keep the k smallest" (the KMV property
+    // the q193 HLL gate proves for HLL). The candidate pass is a
+    // rank ≤ k filter on the distinct-hash frame — WindowGroupLimit
+    // keeps at most k rows per partition in flight — and the exact
+    // lane is one count(distinct-frame) aggregate. The estimate lane
+    // cannot overflow: h_k ≥ k−1 by pigeonhole (k distinct
+    // non-negative hashes), so (k−1)·2⁶⁰ div h_k ≤ 2⁶⁰ < 2⁶³.
+    "q324_kmv_distinct" -> { (s, d) =>
+      val k = 64
+      val hF =
+        "portable_hash64(concat('kmv:', cast(user_id as string)))"
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val dh = Tables.events(s, d)
+        .select(col("event_type"), expr(hF).as("h"))
+        .distinct()
+      val exact = dh.groupBy("event_type").agg(count(lit(1)).as("d_exact"))
+      val bottom = dh
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("h"))))
+        .filter(col("rk") <= k)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_k"), max("h").as("h_k"))
+      exact.join(bottom, "event_type")
+        .withColumn("est_ndv", expr(
+          s"CASE WHEN n_k < $k THEN n_k ELSE " +
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 " +
+            "div h_k AS BIGINT) END"))
+        .withColumn("err_milli", expr(
+          "abs(est_ndv - d_exact) * 1000 div d_exact"))
+        .select("event_type", "d_exact", "n_k", "h_k", "est_ndv",
+          "err_milli")
+        .orderBy("event_type")
+    },
+
+    // Deterministic bottom-k stratified sample + bias readout: each
+    // (source, lang) stratum keeps its k=50 docs with the smallest
+    // portable hash — a distributed "reservoir" with NO randomness
+    // and NO coordination (any executor can decide membership from
+    // the hash alone; merging partial bottom-k sets is associative),
+    // which is the 100 TB sampling shape. The rank ≤ k filter is a
+    // WindowGroupLimit heap; the readout compares stratum mean
+    // n_chars in the full frame vs the sample, exact milli.
+    "q325_bottomk_sample" -> { (s, d) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+          expr("portable_hash64(concat('smp:', cast(doc_id as string)))")
+            .as("h"))
+      val full = base.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_total"), sum("n_chars").as("chars_sum"))
+      val samp = base
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source", "lang").orderBy(col("h"), col("doc_id"))))
+        .filter(col("rk") <= 50)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_sample"), sum("n_chars").as("chars_s"))
+      full.join(samp, Seq("source", "lang"))
+        .withColumn("mean_full_milli", expr("chars_sum * 1000 div n_total"))
+        .withColumn("mean_samp_milli", expr("chars_s * 1000 div n_sample"))
+        .withColumn("bias_milli", expr("mean_samp_milli - mean_full_milli"))
+        .select("source", "lang", "n_total", "n_sample", "mean_full_milli",
+          "mean_samp_milli", "bias_milli")
+        .orderBy("source", "lang")
+    },
+
+    // One-way ANOVA of order value across order priorities, fully in
+    // exact integer lanes: per-group Σv and Σv² in whole dollars
+    // (dollar quantization keeps Σv² inside BIGINT to ~10⁹ rows),
+    // SSB/SSW via per-group floor divisions in the DECIMAL(38,0)
+    // (Spark) / HUGEINT (DuckDB) lane — S_g² div n_g is exact floor
+    // division on both engines (never DECIMAL `//` on the DuckDB
+    // side, which rounds) — and F in milli by one cross-multiplied
+    // integer division. The floor in each SS term biases by < 1 part
+    // in 10¹⁴ and is applied identically on both engines. One
+    // map-side-combined rollup to a 5-row frame; everything after is
+    // scalar.
+    "q326_anova_f" -> { (s, d) =>
+      // dollars via the exact cents lane + floor division (a direct
+      // DECIMAL→BIGINT cast truncates on Spark but ROUNDS on DuckDB)
+      val vF =
+        "(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100)"
+      val g = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"), expr(vF).as("v"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_g"), sum("v").as("s_g"),
+          sum(expr("v * v")).as("q_g"))
+      g.agg(
+          count(lit(1)).as("k_groups"),
+          sum("n_g").as("n_total"),
+          sum("s_g").as("s_total"),
+          sum("q_g").as("q_total"),
+          sum(expr("CAST(CAST(s_g AS DECIMAL(19,0)) * s_g div n_g AS BIGINT)"))
+            .as("sum_sg2_over_ng"))
+        .withColumn("ss_between", expr(
+          "sum_sg2_over_ng - CAST(CAST(s_total AS DECIMAL(19,0)) * s_total " +
+            "div n_total AS BIGINT)"))
+        .withColumn("ss_within", expr("q_total - sum_sg2_over_ng"))
+        .withColumn("f_milli", expr(
+          "CASE WHEN ss_within <= 0 OR k_groups <= 1 THEN NULL ELSE " +
+            "CAST(CAST(ss_between AS DECIMAL(38,0)) * (n_total - k_groups) " +
+            "* 1000 div (CAST(ss_within AS DECIMAL(38,0)) * (k_groups - 1)) " +
+            "AS BIGINT) END"))
+        .select("k_groups", "n_total", "ss_between", "ss_within", "f_milli")
     })
 
   val oracles: Map[String, String] = Map(
@@ -403,5 +511,84 @@ object Analytics2 {
          |    AS chao1_milli,
          |  vocab * 1000 + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
          |    - vocab * 1000 AS undetected_milli
-         |FROM g ORDER BY source""".stripMargin)
+         |FROM g ORDER BY source""".stripMargin,
+
+    "q324_kmv_distinct" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type,
+         |    ${Du.hash64("concat('kmv:', cast(user_id as varchar))")} AS h
+         |  FROM events),
+         |ex AS (SELECT event_type, COUNT(*) AS d_exact FROM dh GROUP BY 1),
+         |r AS (
+         |  SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM dh),
+         |b AS (
+         |  SELECT event_type, COUNT(*) AS n_k, CAST(MAX(h) AS BIGINT) AS h_k
+         |  FROM r WHERE rk <= 64 GROUP BY 1),
+         |e AS (
+         |  SELECT ex.event_type, d_exact, n_k, h_k,
+         |    CASE WHEN n_k < 64 THEN n_k
+         |      ELSE CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // h_k
+         |        AS BIGINT) END AS est_ndv
+         |  FROM ex JOIN b USING (event_type))
+         |SELECT event_type, d_exact, n_k, h_k, est_ndv,
+         |  abs(est_ndv - d_exact) * 1000 // d_exact AS err_milli
+         |FROM e ORDER BY event_type""".stripMargin,
+
+    "q325_bottomk_sample" ->
+      s"""WITH base AS (
+         |  SELECT source, lang, doc_id, n_chars,
+         |    ${Du.hash64("concat('smp:', cast(doc_id as varchar))")} AS h
+         |  FROM documents),
+         |f AS (
+         |  SELECT source, lang, COUNT(*) AS n_total,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+         |  FROM base GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, lang, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source, lang
+         |      ORDER BY h, doc_id) AS rk
+         |  FROM base),
+         |sm AS (
+         |  SELECT source, lang, COUNT(*) AS n_sample,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars_s
+         |  FROM r WHERE rk <= 50 GROUP BY 1, 2)
+         |SELECT source, lang, n_total, n_sample,
+         |  chars_sum * 1000 // n_total AS mean_full_milli,
+         |  chars_s * 1000 // n_sample AS mean_samp_milli,
+         |  chars_s * 1000 // n_sample - chars_sum * 1000 // n_total
+         |    AS bias_milli
+         |FROM f JOIN sm USING (source, lang)
+         |ORDER BY source, lang""".stripMargin,
+
+    "q326_anova_f" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grp,
+        |    (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100)
+        |      AS v
+        |  FROM orders),
+        |g AS (
+        |  SELECT grp, COUNT(*) AS n_g, CAST(SUM(v) AS BIGINT) AS s_g,
+        |    CAST(SUM(v * v) AS BIGINT) AS q_g
+        |  FROM o GROUP BY 1),
+        |t AS (
+        |  SELECT COUNT(*) AS k_groups, CAST(SUM(n_g) AS BIGINT) AS n_total,
+        |    CAST(SUM(s_g) AS BIGINT) AS s_total,
+        |    CAST(SUM(q_g) AS BIGINT) AS q_total,
+        |    CAST(SUM(CAST(CAST(s_g AS HUGEINT) * s_g // n_g AS BIGINT))
+        |      AS BIGINT) AS sum_sg2_over_ng
+        |  FROM g),
+        |u AS (
+        |  SELECT k_groups, n_total,
+        |    sum_sg2_over_ng - CAST(CAST(s_total AS HUGEINT) * s_total
+        |      // n_total AS BIGINT) AS ss_between,
+        |    q_total - sum_sg2_over_ng AS ss_within
+        |  FROM t)
+        |SELECT k_groups, n_total, ss_between, ss_within,
+        |  CASE WHEN ss_within <= 0 OR k_groups <= 1 THEN NULL ELSE
+        |    CAST(CAST(ss_between AS HUGEINT) * (n_total - k_groups) * 1000
+        |      // (CAST(ss_within AS HUGEINT) * (k_groups - 1)) AS BIGINT) END
+        |    AS f_milli
+        |FROM u""".stripMargin)
 }
