@@ -41,7 +41,7 @@ object Analytics {
     * re-observed in a SECOND basket survive, so pair count is
     * bounded by the repeated co-purchase structure, not basket size.
     */
-  private def pairCounts(s: SparkSession, d: String): DataFrame =
+  private[queries] def pairCounts(s: SparkSession, d: String): DataFrame =
     Tables.memo(s, s"$d#q290pairs") {
       val p = basket(s, d)
       p.as("a").join(p.as("b"),

@@ -356,6 +356,79 @@ object Analytics2 {
             "* 1000 div (CAST(ss_within AS DECIMAL(38,0)) * (k_groups - 1)) " +
             "AS BIGINT) END"))
         .select("k_groups", "n_total", "ss_between", "ss_within", "f_milli")
+    },
+
+    // Rich-club coefficient of the co-purchase graph at degree
+    // thresholds 2/4/8/16/32: do high-degree parts preferentially
+    // co-occur with each other? φ(k) = 2·E_k / (N_k(N_k−1)) over the
+    // subgraph induced by nodes of degree ≥ k, exact micro. Rides the
+    // SAME memoized support-≥2 pair frame as q290/q299 (the pair join
+    // is paid once per session), the degree frame is one aggregate,
+    // and the 5 thresholds ride one explode — never 5 passes. Each
+    // threshold row left-joins its edge count so an empty rich club
+    // still reports φ (N_k ≤ 1 → NULL, both engines).
+    "q327_rich_club" -> { (s, d) =>
+      val edges = Analytics.pairCounts(s, d).select("pa", "pb")
+      val deg = edges.select(col("pa").as("node"))
+        .union(edges.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ks = "array(2, 4, 8, 16, 32)"
+      val degK = deg
+        .select(explode(expr(ks)).as("k"), col("deg"))
+        .filter(col("deg") >= col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val edK = edges
+        .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+        .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+        .select(explode(expr(ks)).as("k"), col("da"), col("db"))
+        .filter(col("da") >= col("k") && col("db") >= col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      degK.join(edK, Seq("k"), "left")
+        .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+        .withColumn("phi_micro", expr(
+          "CASE WHEN n_nodes <= 1 THEN NULL ELSE " +
+            "2 * n_edges * 1000000 div (n_nodes * (n_nodes - 1)) END"))
+        .select(col("k").cast("long").as("k"), col("n_nodes"),
+          col("n_edges"), col("phi_micro"))
+        .orderBy("k")
+    },
+
+    // Pairwise Pearson correlation matrix of three lineitem metrics
+    // (quantity, whole-dollar price, discount pct) from ONE
+    // map-side-combined moment pass: all 9 sums in exact BIGINT
+    // (dollar quantization keeps Σp² inside BIGINT to ~10⁹ rows),
+    // then the three pair rows are shaped by a 3-way explode and
+    // scored by the one shared Pearson text — the same guard-in-
+    // double discipline as q321, so no integer square of a 10¹²-scale
+    // sum ever exists.
+    "q328_corr_matrix" -> { (s, d) =>
+      val a = Tables.lineitem(s, d)
+        .select(
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          expr(s"$CentsF div 100").as("p"),
+          expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)")
+            .as("dc"))
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("s_q"), sum("p").as("s_p"), sum("dc").as("s_d"),
+          sum(expr("q * q")).as("s_qq"), sum(expr("p * p")).as("s_pp"),
+          sum(expr("dc * dc")).as("s_dd"), sum(expr("q * p")).as("s_qp"),
+          sum(expr("q * dc")).as("s_qd"), sum(expr("p * dc")).as("s_pd"))
+      a.select(explode(array(
+          struct(lit("price_disc").as("pair"), col("n"),
+            col("s_p").as("sx"), col("s_d").as("sy"), col("s_pp").as("sxx"),
+            col("s_dd").as("syy"), col("s_pd").as("sxy")),
+          struct(lit("qty_disc").as("pair"), col("n"),
+            col("s_q").as("sx"), col("s_d").as("sy"), col("s_qq").as("sxx"),
+            col("s_dd").as("syy"), col("s_qd").as("sxy")),
+          struct(lit("qty_price").as("pair"), col("n"),
+            col("s_q").as("sx"), col("s_p").as("sy"), col("s_qq").as("sxx"),
+            col("s_pp").as("syy"), col("s_qp").as("sxy")))).as("t"))
+        .select(col("t.pair").as("pair"), col("t.n").as("n"),
+          col("t.sx").as("sx"), col("t.sy").as("sy"), col("t.sxy").as("sxy"),
+          col("t.sxx").as("sxx"), col("t.syy").as("syy"))
+        .withColumn("r_micro", expr(RMicroF))
+        .select("pair", "n", "sx", "sy", "sxy", "r_micro")
+        .orderBy("pair")
     })
 
   val oracles: Map[String, String] = Map(
@@ -590,5 +663,66 @@ object Analytics2 {
         |    CAST(CAST(ss_between AS HUGEINT) * (n_total - k_groups) * 1000
         |      // (CAST(ss_within AS HUGEINT) * (k_groups - 1)) AS BIGINT) END
         |    AS f_milli
-        |FROM u""".stripMargin)
+        |FROM u""".stripMargin,
+
+    "q327_rich_club" ->
+      """WITH p AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT pa AS node FROM pairs
+        |    UNION ALL SELECT pb AS node FROM pairs)
+        |  GROUP BY 1),
+        |ks AS (SELECT UNNEST([2, 4, 8, 16, 32]) AS k),
+        |degk AS (
+        |  SELECT k, COUNT(*) AS n_nodes
+        |  FROM deg CROSS JOIN ks WHERE deg >= k GROUP BY 1),
+        |edk AS (
+        |  SELECT k, COUNT(*) AS n_edges
+        |  FROM pairs
+        |  JOIN deg da ON da.node = pairs.pa
+        |  JOIN deg db ON db.node = pairs.pb
+        |  CROSS JOIN ks
+        |  WHERE da.deg >= k AND db.deg >= k
+        |  GROUP BY 1)
+        |SELECT CAST(degk.k AS BIGINT) AS k, n_nodes,
+        |  COALESCE(n_edges, 0) AS n_edges,
+        |  CASE WHEN n_nodes <= 1 THEN NULL ELSE
+        |    2 * COALESCE(n_edges, 0) * 1000000 //
+        |    (n_nodes * (n_nodes - 1)) END AS phi_micro
+        |FROM degk LEFT JOIN edk ON degk.k = edk.k
+        |ORDER BY k""".stripMargin,
+
+    "q328_corr_matrix" ->
+      s"""WITH li AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      // 100 AS p,
+         |    CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT) AS dc
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(q) AS BIGINT) AS s_q, CAST(SUM(p) AS BIGINT) AS s_p,
+         |    CAST(SUM(dc) AS BIGINT) AS s_d,
+         |    CAST(SUM(q * q) AS BIGINT) AS s_qq,
+         |    CAST(SUM(p * p) AS BIGINT) AS s_pp,
+         |    CAST(SUM(dc * dc) AS BIGINT) AS s_dd,
+         |    CAST(SUM(q * p) AS BIGINT) AS s_qp,
+         |    CAST(SUM(q * dc) AS BIGINT) AS s_qd,
+         |    CAST(SUM(p * dc) AS BIGINT) AS s_pd
+         |  FROM li),
+         |m AS (
+         |  SELECT 'price_disc' AS pair, n, s_p AS sx, s_d AS sy,
+         |    s_pp AS sxx, s_dd AS syy, s_pd AS sxy FROM a
+         |  UNION ALL
+         |  SELECT 'qty_disc', n, s_q, s_d, s_qq, s_dd, s_qd FROM a
+         |  UNION ALL
+         |  SELECT 'qty_price', n, s_q, s_p, s_qq, s_pp, s_qp FROM a)
+         |SELECT pair, n, sx, sy, sxy,
+         |  $RMicroF AS r_micro
+         |FROM m ORDER BY pair""".stripMargin)
 }
