@@ -269,10 +269,8 @@ object Analytics2 {
         .select(col("event_type"), expr(hF).as("h"))
         .distinct()
       val exact = dh.groupBy("event_type").agg(count(lit(1)).as("d_exact"))
-      val bottom = dh
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("h"))))
-        .filter(col("rk") <= k)
+      val bottom = graft.operators.BottomK
+        .perGroup(dh, Seq("event_type"), Seq(col("h")), k)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_k"), max("h").as("h_k"))
       exact.join(bottom, "event_type")
@@ -303,10 +301,8 @@ object Analytics2 {
             .as("h"))
       val full = base.groupBy("source", "lang")
         .agg(count(lit(1)).as("n_total"), sum("n_chars").as("chars_sum"))
-      val samp = base
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("source", "lang").orderBy(col("h"), col("doc_id"))))
-        .filter(col("rk") <= 50)
+      val samp = graft.operators.BottomK
+        .perGroup(base, Seq("source", "lang"), Seq(col("h"), col("doc_id")), 50)
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_sample"), sum("n_chars").as("chars_s"))
       full.join(samp, Seq("source", "lang"))
@@ -429,6 +425,48 @@ object Analytics2 {
         .withColumn("r_micro", expr(RMicroF))
         .select("pair", "n", "sx", "sy", "sxy", "r_micro")
         .orderBy("pair")
+    },
+
+    // SAX motif discovery on daily revenue: z-normalize the series
+    // against exact global moments (Σ in BIGINT cents, Σ² in the
+    // DECIMAL(38,0)/HUGEINT lane, the float tail ONE shared IEEE
+    // sequence), discretize each day to {a,b,c} at the N(0,1)
+    // terciles ±0.43, pack consecutive 7-day blocks into words via
+    // the q320 conditional pivot (order from arithmetic, never from
+    // collect order), and report words that recur — repeated weekly
+    // revenue shapes. The day frame is calendar-bounded, so every
+    // window here is a legitimate tiny frame; the raw table is
+    // touched exactly once, map-side combined.
+    "q329_sax_motifs" -> { (s, d) =>
+      val mF = "CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)"
+      val sdF = s"sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) - ($mF) * ($mF))"
+      val symF =
+        s"CASE WHEN $sdF <= CAST(0 AS DOUBLE) THEN 'b' " +
+          s"WHEN (CAST(rev_c AS DOUBLE) - $mF) / $sdF < CAST(-0.43 AS DOUBLE) THEN 'a' " +
+          s"WHEN (CAST(rev_c AS DOUBLE) - $mF) / $sdF < CAST(0.43 AS DOUBLE) THEN 'b' " +
+          "ELSE 'c' END"
+      val day = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(sum(expr(CentsF)).as("rev_c"))
+      val stats = day.agg(count(lit(1)).as("nd"), sum("rev_c").as("s1"),
+        sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
+          .as("s2"))
+      val sym = day.crossJoin(broadcast(stats))
+        .withColumn("sym", expr(symF))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("day"))).cast("long") - 1)
+        .withColumn("blk", expr("rn div 7"))
+        .withColumn("pos", expr("rn % 7"))
+      val pivots = (0 to 6).map(k =>
+        max(when(col("pos") === lit(k), col("sym"))).as(s"p$k"))
+      sym.groupBy("blk")
+        .agg(count(lit(1)).as("n_days"), pivots: _*)
+        .filter(col("n_days") === 7)
+        .withColumn("word", expr("concat(p0, p1, p2, p3, p4, p5, p6)"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n_blocks"), min("blk").as("first_blk"))
+        .filter(col("n_blocks") >= 2)
+        .orderBy(col("n_blocks").desc, col("word"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -724,5 +762,43 @@ object Analytics2 {
          |  SELECT 'qty_price', n, s_q, s_p, s_qq, s_pp, s_qp FROM a)
          |SELECT pair, n, sx, sy, sxy,
          |  $RMicroF AS r_micro
-         |FROM m ORDER BY pair""".stripMargin)
+         |FROM m ORDER BY pair""".stripMargin,
+
+    "q329_sax_motifs" -> {
+      val mF = "CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)"
+      val sdF = s"sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) - ($mF) * ($mF))"
+      val symF =
+        s"CASE WHEN $sdF <= CAST(0 AS DOUBLE) THEN 'b' " +
+          s"WHEN (CAST(rev_c AS DOUBLE) - $mF) / $sdF < CAST(-0.43 AS DOUBLE) THEN 'a' " +
+          s"WHEN (CAST(rev_c AS DOUBLE) - $mF) / $sdF < CAST(0.43 AS DOUBLE) THEN 'b' " +
+          "ELSE 'c' END"
+      s"""WITH day AS (
+         |  SELECT l_shipdate AS day, CAST(SUM($CentsF) AS BIGINT) AS rev_c
+         |  FROM lineitem GROUP BY 1),
+         |stats AS (
+         |  SELECT COUNT(*) AS nd, CAST(SUM(rev_c) AS BIGINT) AS s1,
+         |    SUM(CAST(rev_c AS HUGEINT) * rev_c) AS s2
+         |  FROM day),
+         |sym AS (
+         |  SELECT $symF AS sym,
+         |    ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn
+         |  FROM day CROSS JOIN stats),
+         |b AS (SELECT rn // 7 AS blk, rn % 7 AS pos, sym FROM sym),
+         |g AS (
+         |  SELECT blk, COUNT(*) AS n_days,
+         |    MAX(CASE WHEN pos = 0 THEN sym END) AS p0,
+         |    MAX(CASE WHEN pos = 1 THEN sym END) AS p1,
+         |    MAX(CASE WHEN pos = 2 THEN sym END) AS p2,
+         |    MAX(CASE WHEN pos = 3 THEN sym END) AS p3,
+         |    MAX(CASE WHEN pos = 4 THEN sym END) AS p4,
+         |    MAX(CASE WHEN pos = 5 THEN sym END) AS p5,
+         |    MAX(CASE WHEN pos = 6 THEN sym END) AS p6
+         |  FROM b GROUP BY 1),
+         |w AS (
+         |  SELECT concat(p0, p1, p2, p3, p4, p5, p6) AS word, blk
+         |  FROM g WHERE n_days = 7)
+         |SELECT word, COUNT(*) AS n_blocks, MIN(blk) AS first_blk
+         |FROM w GROUP BY 1 HAVING COUNT(*) >= 2
+         |ORDER BY n_blocks DESC, word""".stripMargin
+    })
 }

@@ -380,6 +380,19 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("bottom-k sketch/sample sites keep the WindowGroupLimit heap (q324/q325)") {
+    // both queries rank row-scale frames (distinct user hashes; the
+    // full documents table) and keep only rank ≤ k — safe because
+    // BottomK's rank column never escapes, so Catalyst bounds each
+    // map task to a k-heap per group. Pin it per call site.
+    for (q <- Seq("q324_kmv_distinct", "q325_bottomk_sample")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the rank-limit pushdown:\n$p")
+    }
+  }
+
   test("bucketed fact-to-fact join reads co-located buckets — no join-side shuffle (q198)") {
     val df = SparkEntry.queries("q198_bucketed_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
