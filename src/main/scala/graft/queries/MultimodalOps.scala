@@ -100,6 +100,41 @@ object MultimodalOps {
         .filter(col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Frame-sampling schedule + frame-level dedup: each payload's
+    // fake-decoded frame count (q60's byte-derived n_frames) drives an
+    // evenly-spaced byte-offset schedule; each sampled frame gets a
+    // 60-bit feature (the codec-pHash stand-in, computed over the hex
+    // transport form like q169), and the per-media rollup reports
+    // frame diversity — the static-content detector a video pipeline
+    // runs before paying for full decode. The schedule is arithmetic
+    // (offset = 1 + i·stride — order from index math, never from
+    // array order), the explode is payload-local, and only 60-bit
+    // features reach the aggregate: payload bytes never shuffle,
+    // which is the whole multimodal scale contract.
+    "q330_frame_dedup" -> { (s, dir) =>
+      val base = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), expr("hex(encode(text, 'UTF-8'))").as("hx"))
+        .filter(expr("length(hx) >= 16"))
+        .withColumn("len", expr("CAST(length(hx) AS BIGINT)"))
+        .withColumn("nf", expr("1 + (len div 2) div 100"))
+        .withColumn("stride",
+          expr("CASE WHEN nf = 1 THEN 0 ELSE (len - 16) div (nf - 1) END"))
+      base
+        .select(col("doc_id"), col("hx"), col("stride"),
+          explode(expr(S.transform(
+            S.rangeIncl("0", "nf - 1"), "i", "1 + i * stride"))).as("off"))
+        .select(col("doc_id"),
+          expr(S.hash64("substring(hx, CAST(off AS INT), 16)")).as("f"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("f")).as("n_distinct"))
+        .withColumn("diversity_milli", expr("n_distinct * 1000 div n_frames"))
+        .withColumn("is_static", expr("n_distinct = 1"))
+        .select("doc_id", "n_frames", "n_distinct", "diversity_milli",
+          "is_static")
+        .orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -147,5 +182,31 @@ object MultimodalOps {
          |SELECT doc_a, doc_b,
          |  CAST(${D.bitCount(D.bxor("pa", "pb"))} AS INT) AS hamming
          |FROM cand WHERE ${D.bitCount(D.bxor("pa", "pb"))} <= 6
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q330_frame_dedup" ->
+      s"""WITH pb AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+         |  WHERE length(hex(encode(text))) >= 16),
+         |m AS (
+         |  SELECT doc_id, hx, CAST(length(hx) AS BIGINT) AS len,
+         |    1 + (CAST(length(hx) AS BIGINT) // 2) // 100 AS nf
+         |  FROM pb),
+         |st AS (
+         |  SELECT doc_id, hx, nf,
+         |    CASE WHEN nf = 1 THEN 0 ELSE (len - 16) // (nf - 1) END AS stride
+         |  FROM m),
+         |f AS (
+         |  SELECT doc_id,
+         |    ${D.hash64("substring(hx, CAST(1 + i * stride AS INTEGER), 16)")}
+         |      AS f
+         |  FROM st, LATERAL unnest(${D.rangeIncl("0", "nf - 1")}) AS u(i)),
+         |g AS (
+         |  SELECT doc_id, COUNT(*) AS n_frames,
+         |    COUNT(DISTINCT f) AS n_distinct
+         |  FROM f GROUP BY 1)
+         |SELECT doc_id, n_frames, n_distinct,
+         |  n_distinct * 1000 // n_frames AS diversity_milli,
+         |  n_distinct = 1 AS is_static
+         |FROM g ORDER BY doc_id""".stripMargin)
 }
