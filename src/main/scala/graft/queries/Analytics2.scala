@@ -467,6 +467,91 @@ object Analytics2 {
         .agg(count(lit(1)).as("n_blocks"), min("blk").as("first_blk"))
         .filter(col("n_blocks") >= 2)
         .orderBy(col("n_blocks").desc, col("word"))
+    },
+
+    // Degree assortativity of the co-purchase graph: do high-degree
+    // parts link to high-degree parts? Pearson over the symmetrized
+    // edge list's endpoint degrees — exact BIGINT moment sums through
+    // the shared Pearson text (the q321 discipline). Rides the
+    // memoized pair frame + one degree aggregate + two hash equi-joins;
+    // the symmetrize is a union, not a second join pass.
+    "q331_assortativity" -> { (s, d) =>
+      val edges = Analytics.pairCounts(s, d).select("pa", "pb")
+      val deg = edges.select(col("pa").as("node"))
+        .union(edges.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ed = edges
+        .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+        .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+        .select("da", "db")
+      ed.select(col("da").as("x"), col("db").as("y"))
+        .union(ed.select(col("db").as("x"), col("da").as("y")))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy"))
+        .withColumn("r_micro", expr(RMicroF))
+        .select("n", "sx", "sxy", "r_micro")
+    },
+
+    // Flesch-style readability per source, transcendental-free: words
+    // from the q247 tokenizer, sentences from the q315 terminator
+    // split, syllables approximated by vowel-group runs — three
+    // per-doc integer counts, one map-side-combined rollup, and the
+    // 206.835 − 1.015·(w/s) − 84.6·(y/w) score in exact milli via two
+    // positive integer divisions (the subtractions may go negative;
+    // nothing divides after them).
+    "q332_readability" -> { (s, d) =>
+      val Sp = graft.functions.PortableSql.Spark
+      Tables.spread(Tables.documents(s, d).select("source", "text"))
+        .select(col("source"),
+          expr(s"CAST(size(${Sp.tokens("text")}) AS BIGINT)").as("w"),
+          expr(s"CAST(size(${Sp.filterL(
+            "split(text, '[.!?]')", "x", "trim(x) != ''")}) AS BIGINT)")
+            .as("sent"),
+          expr(s"CAST(size(${Sp.regexExtractAll("text", "[aeiouyAEIOUY]+")}) " +
+            "AS BIGINT)").as("syll"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+          sum("sent").as("sents"), sum("syll").as("sylls"))
+        .withColumn("flesch_milli", expr(
+          "CASE WHEN sents = 0 OR words = 0 THEN NULL ELSE " +
+            "206835 - 1015 * words div sents - 84600 * sylls div words END"))
+        .select("source", "n_docs", "words", "sents", "sylls",
+          "flesch_milli")
+        .orderBy("source")
+    },
+
+    // l-diversity audit — the sequel to q306's k-anonymity gate: a
+    // group can be large (k-anonymous) yet reveal its sensitive value
+    // if every member shares it. Sensitive attribute = account-balance
+    // band (5 integer-cent bands); per (mktsegment, nation) group the
+    // distinct-band count l, then the rollup: min l, groups with
+    // l < 3, share of customers exposed. One two-level aggregate —
+    // group cells are segments×nations, bounded by construction.
+    "q333_l_diversity" -> { (s, d) =>
+      val bandF =
+        "CASE WHEN bal_c < 0 THEN 0 WHEN bal_c < 250000 THEN 1 " +
+          "WHEN bal_c < 500000 THEN 2 WHEN bal_c < 750000 THEN 3 " +
+          "ELSE 4 END"
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("bal_c"))
+        .withColumn("band", expr(bandF))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("sz"), countDistinct(col("band")).as("l"))
+        .agg(count(lit(1)).as("n_groups"), min("l").as("min_l"),
+          sum(expr("CASE WHEN l < 3 THEN 1 ELSE 0 END")).as("n_low_l"),
+          sum(expr("CASE WHEN l < 3 THEN sz ELSE 0 END")).as("n_exposed"),
+          sum("sz").as("n_customers"),
+          sum("l").as("l_sum"))
+        .withColumn("exposed_milli", expr(
+          "CASE WHEN n_customers = 0 THEN NULL " +
+            "ELSE n_exposed * 1000 div n_customers END"))
+        .withColumn("avg_l_milli", expr(
+          "CASE WHEN n_groups = 0 THEN NULL ELSE l_sum * 1000 div n_groups END"))
+        .select("n_groups", "min_l", "n_low_l", "n_exposed", "n_customers",
+          "exposed_milli", "avg_l_milli")
     })
 
   val oracles: Map[String, String] = Map(
@@ -800,5 +885,87 @@ object Analytics2 {
          |SELECT word, COUNT(*) AS n_blocks, MIN(blk) AS first_blk
          |FROM w GROUP BY 1 HAVING COUNT(*) >= 2
          |ORDER BY n_blocks DESC, word""".stripMargin
-    })
+    },
+
+    "q331_assortativity" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pairs AS (
+         |  SELECT a.pk AS pa, b.pk AS pb
+         |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |deg AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT pa AS node FROM pairs
+         |    UNION ALL SELECT pb AS node FROM pairs)
+         |  GROUP BY 1),
+         |ed AS (
+         |  SELECT da.deg AS da, db.deg AS db
+         |  FROM pairs
+         |  JOIN deg da ON da.node = pairs.pa
+         |  JOIN deg db ON db.node = pairs.pb),
+         |sym AS (
+         |  SELECT da AS x, db AS y FROM ed
+         |  UNION ALL SELECT db AS x, da AS y FROM ed),
+         |a AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM sym)
+         |SELECT n, sx, sxy, $RMicroF AS r_micro
+         |FROM a""".stripMargin,
+
+    "q332_readability" ->
+      s"""WITH b AS (
+         |  SELECT source,
+         |    CAST(len(${Du.tokens("text")}) AS BIGINT) AS w,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+         |      x -> trim(x) != '')) AS BIGINT) AS sent,
+         |    CAST(len(${Du.regexExtractAll("text", "[aeiouyAEIOUY]+")})
+         |      AS BIGINT) AS syll
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(w) AS BIGINT) AS words,
+         |    CAST(SUM(sent) AS BIGINT) AS sents,
+         |    CAST(SUM(syll) AS BIGINT) AS sylls
+         |  FROM b GROUP BY 1)
+         |SELECT source, n_docs, words, sents, sylls,
+         |  CASE WHEN sents = 0 OR words = 0 THEN NULL ELSE
+         |    206835 - 1015 * words // sents - 84600 * sylls // words END
+         |    AS flesch_milli
+         |FROM g ORDER BY source""".stripMargin,
+
+    "q333_l_diversity" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer),
+        |banded AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CASE WHEN bal_c < 0 THEN 0 WHEN bal_c < 250000 THEN 1
+        |      WHEN bal_c < 500000 THEN 2 WHEN bal_c < 750000 THEN 3
+        |      ELSE 4 END AS band
+        |  FROM c),
+        |g AS (
+        |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz,
+        |    COUNT(DISTINCT band) AS l
+        |  FROM banded GROUP BY 1, 2),
+        |t AS (
+        |  SELECT COUNT(*) AS n_groups, CAST(MIN(l) AS BIGINT) AS min_l,
+        |    CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_low_l,
+        |    CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |      AS n_exposed,
+        |    CAST(SUM(sz) AS BIGINT) AS n_customers,
+        |    CAST(SUM(l) AS BIGINT) AS l_sum
+        |  FROM g)
+        |SELECT n_groups, min_l, n_low_l, n_exposed, n_customers,
+        |  CASE WHEN n_customers = 0 THEN NULL
+        |    ELSE n_exposed * 1000 // n_customers END AS exposed_milli,
+        |  CASE WHEN n_groups = 0 THEN NULL
+        |    ELSE l_sum * 1000 // n_groups END AS avg_l_milli
+        |FROM t""".stripMargin)
 }
