@@ -552,6 +552,120 @@ object Analytics2 {
           "CASE WHEN n_groups = 0 THEN NULL ELSE l_sum * 1000 div n_groups END"))
         .select("n_groups", "min_l", "n_low_l", "n_exposed", "n_customers",
           "exposed_milli", "avg_l_milli")
+    },
+
+    // Customer-lifetime-value cohort curves: cumulative revenue per
+    // cohort member by months-since-first-order (0..11) — q292's
+    // retention matrix with money on it. The running sum rides a
+    // cohort-partitioned window over the cohorts×12 cell frame
+    // (bounded by construction, never row scale); everything below it
+    // is two map-side-combined aggregates and one hash join on the
+    // customer key.
+    "q334_clv_cohorts" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+            .as("ym"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("rev_c"))
+      val first = o.groupBy("o_custkey").agg(min("ym").as("cym"))
+      val coh = first.groupBy("cym").agg(count(lit(1)).as("n_cohort"))
+      val cells = o.join(first, "o_custkey")
+        .withColumn("m_since", expr(
+          "(ym div 100 - cym div 100) * 12 + (ym % 100 - cym % 100)"))
+        .filter(col("m_since").between(0, 11))
+        .groupBy("cym", "m_since")
+        .agg(sum("rev_c").as("rev_c"))
+      cells.join(coh, "cym")
+        .withColumn("cum_rev_c", sum("rev_c").over(
+          Window.partitionBy("cym").orderBy("m_since")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("clv_c", expr("cum_rev_c div n_cohort"))
+        .select("cym", "m_since", "n_cohort", "rev_c", "cum_rev_c", "clv_c")
+        .orderBy("cym", "m_since")
+    },
+
+    // Parts whose price level SHIFTED between the 1992-95 and 1996-98
+    // halves, ranked by Welch's t: per-(part, half) exact moment sums
+    // (cents; per-part Σv² is row-bounded so BIGINT holds), the t
+    // statistic in ONE shared IEEE text over the exact ints, floor-
+    // quantized to micro so the top-20 order is integer-deterministic.
+    // The ranking is a TakeOrdered top-k heap — never a global sort;
+    // parts seen in only one half or with degenerate variance drop
+    // out via the in-text guard (identical on both engines).
+    "q335_price_movers" -> { (s, d) =>
+      val mv =
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+          "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+      val va =
+        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / " +
+          "CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
+          "CAST(n1 AS DOUBLE)"
+      val vb =
+        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / " +
+          "CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
+          "CAST(n2 AS DOUBLE)"
+      val tF =
+        s"CASE WHEN n1 <= 1 OR n2 <= 1 OR ($va) + ($vb) <= CAST(0 AS DOUBLE) " +
+          "THEN NULL ELSE " +
+          s"CAST(floor(abs(($mv) / sqrt(($va) + ($vb))) * " +
+          "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+      val h = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          expr("CASE WHEN year(l_shipdate) <= 1995 THEN 1 ELSE 2 END")
+            .as("half"),
+          expr(CentsF).as("v"))
+        .groupBy("l_partkey", "half")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          sum(expr("v * v")).as("q"))
+      h.filter(col("half") === 1)
+        .select(col("l_partkey"), col("n").as("n1"), col("s").as("s1"),
+          col("q").as("q1"))
+        .join(h.filter(col("half") === 2)
+          .select(col("l_partkey"), col("n").as("n2"), col("s").as("s2"),
+            col("q").as("q2")), "l_partkey")
+        .withColumn("t_micro", expr(tF))
+        .filter(col("t_micro").isNotNull)
+        .withColumn("mean1_c", expr("s1 div n1"))
+        .withColumn("mean2_c", expr("s2 div n2"))
+        .select("l_partkey", "n1", "n2", "mean1_c", "mean2_c", "t_micro")
+        .orderBy(col("t_micro").desc, col("l_partkey"))
+        .limit(20)
+    },
+
+    // Order-header vs line-level revenue reconciliation: recompute
+    // each order's total from its lines in the exact cent-percent²
+    // lane (the q317 ledger units) and compare against
+    // o_totalprice·10⁴ — the cross-table integrity audit a warehouse
+    // runs before trusting either table. One join, two aggregates;
+    // mismatch magnitudes are exact integers (diffs may be negative;
+    // nothing divides them — the within-1% test cross-multiplies).
+    "q336_order_recon" -> { (s, d) =>
+      val lines = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("ep_c"),
+          expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)")
+            .as("d_pct"),
+          expr("CAST(CAST(l_tax AS DECIMAL(5,2)) * 100 AS BIGINT)")
+            .as("t_pct"))
+        .groupBy("okey")
+        .agg(sum(expr("ep_c * (100 - d_pct) * (100 + t_pct)")).as("recon_cpp"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "* 10000").as("total_cpp"))
+        .join(lines, "okey")
+        .withColumn("adiff", expr("abs(recon_cpp - total_cpp)"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CASE WHEN adiff = 0 THEN 1 ELSE 0 END")).as("n_exact"),
+          sum(expr("CASE WHEN adiff * 100 <= total_cpp THEN 1 ELSE 0 END"))
+            .as("n_within_1pct"),
+          max("adiff").as("max_adiff_cpp"),
+          sum("adiff").as("sum_adiff_cpp"))
+        .withColumn("exact_milli", expr("n_exact * 1000 div n_orders"))
+        .select("n_orders", "n_exact", "n_within_1pct", "max_adiff_cpp",
+          "sum_adiff_cpp", "exact_milli")
     })
 
   val oracles: Map[String, String] = Map(
@@ -967,5 +1081,105 @@ object Analytics2 {
         |    ELSE n_exposed * 1000 // n_customers END AS exposed_milli,
         |  CASE WHEN n_groups = 0 THEN NULL
         |    ELSE l_sum * 1000 // n_groups END AS avg_l_milli
+        |FROM t""".stripMargin,
+
+    "q334_clv_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS rev_c
+        |  FROM orders),
+        |first AS (SELECT o_custkey, MIN(ym) AS cym FROM o GROUP BY 1),
+        |coh AS (SELECT cym, COUNT(*) AS n_cohort FROM first GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cym,
+        |    (o.ym // 100 - f.cym // 100) * 12 + (o.ym % 100 - f.cym % 100)
+        |      AS m_since,
+        |    CAST(SUM(rev_c) AS BIGINT) AS rev_c
+        |  FROM o JOIN first f ON o.o_custkey = f.o_custkey
+        |  WHERE (o.ym // 100 - f.cym // 100) * 12 +
+        |    (o.ym % 100 - f.cym % 100) BETWEEN 0 AND 11
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cells.cym, m_since, n_cohort, rev_c,
+        |    CAST(SUM(rev_c) OVER (PARTITION BY cells.cym ORDER BY m_since
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_rev_c
+        |  FROM cells JOIN coh ON cells.cym = coh.cym)
+        |SELECT cym, m_since, n_cohort, rev_c, cum_rev_c,
+        |  cum_rev_c // n_cohort AS clv_c
+        |FROM w ORDER BY cym, m_since""".stripMargin,
+
+    "q335_price_movers" -> {
+      val mv =
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+          "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+      val va =
+        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / " +
+          "CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
+          "CAST(n1 AS DOUBLE)"
+      val vb =
+        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / " +
+          "CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
+          "CAST(n2 AS DOUBLE)"
+      val tF =
+        s"CASE WHEN n1 <= 1 OR n2 <= 1 OR ($va) + ($vb) <= CAST(0 AS DOUBLE) " +
+          "THEN NULL ELSE " +
+          s"CAST(floor(abs(($mv) / sqrt(($va) + ($vb))) * " +
+          "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+      s"""WITH li AS (
+         |  SELECT l_partkey,
+         |    CASE WHEN year(l_shipdate) <= 1995 THEN 1 ELSE 2 END AS half,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS v
+         |  FROM lineitem),
+         |h AS (
+         |  SELECT l_partkey, half, COUNT(*) AS n,
+         |    CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS q
+         |  FROM li GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a.l_partkey, a.n AS n1, a.s AS s1, a.q AS q1,
+         |    b.n AS n2, b.s AS s2, b.q AS q2
+         |  FROM h a JOIN h b ON a.l_partkey = b.l_partkey
+         |    AND a.half = 1 AND b.half = 2),
+         |t AS (SELECT l_partkey, n1, n2, s1, s2, $tF AS t_micro FROM j)
+         |SELECT l_partkey, n1, n2, s1 // n1 AS mean1_c, s2 // n2 AS mean2_c,
+         |  t_micro
+         |FROM t WHERE t_micro IS NOT NULL
+         |ORDER BY t_micro DESC, l_partkey
+         |LIMIT 20""".stripMargin
+    },
+
+    "q336_order_recon" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey AS okey,
+        |    CAST(SUM(
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)) *
+        |      (100 + CAST(CAST(l_tax AS DECIMAL(5,2)) * 100 AS BIGINT)))
+        |      AS BIGINT) AS recon_cpp
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000
+        |      AS total_cpp,
+        |    recon_cpp,
+        |    abs(recon_cpp -
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * 10000) AS adiff
+        |  FROM orders JOIN lines ON o_orderkey = okey),
+        |t AS (
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(SUM(CASE WHEN adiff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exact,
+        |    CAST(SUM(CASE WHEN adiff * 100 <= total_cpp THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_within_1pct,
+        |    CAST(MAX(adiff) AS BIGINT) AS max_adiff_cpp,
+        |    CAST(SUM(adiff) AS BIGINT) AS sum_adiff_cpp
+        |  FROM j)
+        |SELECT n_orders, n_exact, n_within_1pct, max_adiff_cpp,
+        |  sum_adiff_cpp, n_exact * 1000 // n_orders AS exact_milli
         |FROM t""".stripMargin)
 }
