@@ -666,6 +666,133 @@ object Analytics2 {
         .withColumn("exact_milli", expr("n_exact * 1000 div n_orders"))
         .select("n_orders", "n_exact", "n_within_1pct", "max_adiff_cpp",
           "sum_adiff_cpp", "exact_milli")
+    },
+
+    // Newman modularity of the brand partition over the co-purchase
+    // graph: Q = Σ_c [e_c/m − (d_c/2m)²], computed as the single
+    // exact rational Σ_c(4·m·e_c − d_c²) / 4m² — one integer
+    // numerator sum (order-free), ONE sign-split division at the end.
+    // Communities come from a broadcast part→brand join; d_c and e_c
+    // are two bounded rollups over the memoized pair frame. HONEST
+    // CEILING: num·10⁶ needs m ≲ 1.5·10⁶ edges in BIGINT — past that
+    // the lane moves to DECIMAL(38,0)/HUGEINT.
+    "q337_modularity" -> { (s, d) =>
+      val edges = Analytics.pairCounts(s, d).select("pa", "pb")
+      val brand = Tables.part(s, d).select("p_partkey", "p_brand")
+      val m = edges.agg(count(lit(1)).as("m"))
+      val deg = edges.select(col("pa").as("node"))
+        .union(edges.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dC = deg
+        .join(broadcast(brand), col("node") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("deg").as("d_c"))
+      val eC = edges
+        .join(broadcast(brand.select(col("p_partkey").as("pa"),
+          col("p_brand").as("ba"))), "pa")
+        .join(broadcast(brand.select(col("p_partkey").as("pb"),
+          col("p_brand").as("bb"))), "pb")
+        .filter(col("ba") === col("bb"))
+        .groupBy(col("ba")).agg(count(lit(1)).as("e_c"))
+        .select(col("ba").as("p_brand"), col("e_c"))
+      dC.join(eC, Seq("p_brand"), "left")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .agg(count(lit(1)).as("n_comm"), max("m").as("m"),
+          sum("e_c").as("e_within"),
+          sum(expr("4 * m * e_c - d_c * d_c")).as("qnum"))
+        .withColumn("q_micro", expr(
+          "CASE WHEN qnum >= 0 THEN qnum * 1000000 div (4 * m * m) " +
+            "ELSE -((-qnum) * 1000000 div (4 * m * m)) END"))
+        .select("n_comm", "m", "e_within", "qnum", "q_micro")
+    },
+
+    // Decile-by-decile (QQ) shift of order value between the 1992-95
+    // and 1996-98 halves: type-1 deciles per half from ONE
+    // half-partitioned ranked window (the q241 identity at j/10),
+    // aligned into 9 (decile, before, after) rows by a 9-struct
+    // explode of the two one-row half frames. Relative shift in milli
+    // splits the sign before the division (shifts go both ways).
+    "q338_qq_shift" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(
+          expr("CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 2 END")
+            .as("half"),
+          col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("v"))
+      val ord = Window.partitionBy("half").orderBy(col("v"), col("o_orderkey"))
+      val picks = (1 to 9).map(j =>
+        max(when(expr(s"rn * 10 >= $j * n AND (rn - 1) * 10 < $j * n"),
+          col("v"))).as(s"d$j"))
+      val halves = base
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("half")))
+        .groupBy("half")
+        .agg(count(lit(1)).as("n_half"), picks: _*)
+      val a = halves.filter(col("half") === 1)
+      val b = halves.filter(col("half") === 2)
+      val pairs = (1 to 9).map(j =>
+        struct(lit(j.toLong).as("decile"), col(s"a.d$j").as("q1_c"),
+          col(s"b.d$j").as("q2_c")))
+      a.as("a").crossJoin(broadcast(b.as("b")))
+        .select(explode(array(pairs: _*)).as("t"))
+        .select(col("t.decile").as("decile"), col("t.q1_c").as("q1_c"),
+          col("t.q2_c").as("q2_c"))
+        .withColumn("shift_c", expr("q2_c - q1_c"))
+        .withColumn("shift_milli", expr(
+          "CASE WHEN q2_c >= q1_c THEN (q2_c - q1_c) * 1000 div q1_c " +
+            "ELSE -((q1_c - q2_c) * 1000 div q1_c) END"))
+        .select("decile", "q1_c", "q2_c", "shift_c", "shift_milli")
+        .orderBy("decile")
+    },
+
+    // Burrows' Delta stylometry between sources: z-scores of the
+    // top-50 tokens' per-source rates (ppm integer lane), pairwise
+    // mean |z_a − z_b| as the authorship distance. The z tail is one
+    // shared IEEE text over exact integer (rate, Σr, Σr²) inputs and
+    // every per-token |Δz| is floor-quantized to micro BEFORE the
+    // pair aggregate — so the 50-term sum is an order-free integer,
+    // never a float reduction. All frames after the (source, token)
+    // count are bounded: 50 tokens × |sources| cells, |sources|²
+    // pairs. Absent (source, token) cells are zero-filled via the
+    // cross join — a missing word IS stylometric signal.
+    "q339_stylometry" -> { (s, d) =>
+      val muF = "CAST(sr AS DOUBLE) / CAST(ns AS DOUBLE)"
+      val sdF = s"sqrt(CAST(srr AS DOUBLE) / CAST(ns AS DOUBLE) - " +
+        s"($muF) * ($muF))"
+      def zF(r: String) =
+        s"CASE WHEN $sdF <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+          s"ELSE (CAST($r AS DOUBLE) - $muF) / $sdF END"
+      val toks = TextOps.docsWithToks(s, d)
+        .select(col("source"), explode(col("toks")).as("t"))
+      val counts = toks.groupBy("source", "t").agg(count(lit(1)).as("n_st"))
+      val totals = counts.groupBy("source").agg(sum("n_st").as("n_s"))
+      val top = counts.groupBy("t").agg(sum("n_st").as("n_t"))
+        .orderBy(col("n_t").desc, col("t")).limit(50).select("t")
+      val filled = totals.select("source", "n_s")
+        .crossJoin(broadcast(top))
+        .join(counts, Seq("source", "t"), "left")
+        .withColumn("n_st", coalesce(col("n_st"), lit(0L)))
+        .withColumn("r", expr("n_st * 1000000 div n_s"))
+      val stats = filled.groupBy("t")
+        .agg(count(lit(1)).as("ns"), sum("r").as("sr"),
+          sum(expr("r * r")).as("srr"))
+      val z = filled.join(broadcast(stats), "t")
+        .select(col("t"), col("source"), col("r"), col("ns"), col("sr"),
+          col("srr"))
+      z.as("a").join(z.as("b"),
+          col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.ns").as("ns"), col("a.sr").as("sr"), col("a.srr").as("srr"),
+          col("a.r").as("ra"), col("b.r").as("rb"))
+        .withColumn("zdiff_micro", expr(
+          s"CAST(floor(abs((${zF("ra")}) - (${zF("rb")})) * " +
+            "CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_tokens"), sum("zdiff_micro").as("zsum"))
+        .withColumn("delta_milli", expr("zsum div (n_tokens * 1000)"))
+        .select("src_a", "src_b", "n_tokens", "delta_milli")
+        .orderBy("src_a", "src_b")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1181,5 +1308,122 @@ object Analytics2 {
         |  FROM j)
         |SELECT n_orders, n_exact, n_within_1pct, max_adiff_cpp,
         |  sum_adiff_cpp, n_exact * 1000 // n_orders AS exact_milli
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+
+    "q337_modularity" ->
+      """WITH p AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |m AS (SELECT COUNT(*) AS m FROM pairs),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT pa AS node FROM pairs
+        |    UNION ALL SELECT pb AS node FROM pairs)
+        |  GROUP BY 1),
+        |dc AS (
+        |  SELECT p_brand, CAST(SUM(deg) AS BIGINT) AS d_c
+        |  FROM deg JOIN part ON node = p_partkey GROUP BY 1),
+        |ec AS (
+        |  SELECT ba.p_brand, COUNT(*) AS e_c
+        |  FROM pairs
+        |  JOIN part ba ON pairs.pa = ba.p_partkey
+        |  JOIN part bb ON pairs.pb = bb.p_partkey
+        |  WHERE ba.p_brand = bb.p_brand GROUP BY 1),
+        |c AS (
+        |  SELECT dc.p_brand, d_c, COALESCE(e_c, 0) AS e_c
+        |  FROM dc LEFT JOIN ec USING (p_brand)),
+        |t AS (
+        |  SELECT COUNT(*) AS n_comm, CAST(MAX(m) AS BIGINT) AS m,
+        |    CAST(SUM(e_c) AS BIGINT) AS e_within,
+        |    CAST(SUM(4 * m * e_c - d_c * d_c) AS BIGINT) AS qnum
+        |  FROM c CROSS JOIN m)
+        |SELECT n_comm, m, e_within, qnum,
+        |  CASE WHEN qnum >= 0 THEN qnum * 1000000 // (4 * m * m)
+        |    ELSE -((-qnum) * 1000000 // (4 * m * m)) END AS q_micro
+        |FROM t""".stripMargin,
+
+    "q338_qq_shift" -> {
+      val picks = (1 to 9).map(j =>
+        s"CAST(MAX(CASE WHEN rn * 10 >= $j * n AND (rn - 1) * 10 < $j * n " +
+          s"THEN v END) AS BIGINT) AS d$j").mkString(",\n        |    ")
+      val flat = (1 to 9).map(j =>
+        s"a.d$j AS a$j, b.d$j AS b$j").mkString(", ")
+      val arms = (1 to 9).map(j =>
+        s"SELECT $j AS decile, a$j AS q1_c, b$j AS q2_c FROM j")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH base AS (
+         |  SELECT CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 2 END
+         |      AS half,
+         |    o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders),
+         |r AS (
+         |  SELECT half, v,
+         |    ROW_NUMBER() OVER (PARTITION BY half ORDER BY v, o_orderkey)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY half) AS n
+         |  FROM base),
+         |h AS (
+         |  SELECT half,
+         |    $picks
+         |  FROM r GROUP BY 1),
+         |j AS (SELECT $flat FROM h a JOIN h b
+         |  ON a.half = 1 AND b.half = 2),
+         |u AS (
+         |  $arms)
+         |SELECT CAST(decile AS BIGINT) AS decile, q1_c, q2_c,
+         |  q2_c - q1_c AS shift_c,
+         |  CASE WHEN q2_c >= q1_c THEN (q2_c - q1_c) * 1000 // q1_c
+         |    ELSE -((q1_c - q2_c) * 1000 // q1_c) END AS shift_milli
+         |FROM u ORDER BY decile""".stripMargin
+    },
+
+    "q339_stylometry" -> {
+      val muF = "CAST(sr AS DOUBLE) / CAST(ns AS DOUBLE)"
+      val sdF = s"sqrt(CAST(srr AS DOUBLE) / CAST(ns AS DOUBLE) - " +
+        s"($muF) * ($muF))"
+      def zF(r: String) =
+        s"CASE WHEN $sdF <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+          s"ELSE (CAST($r AS DOUBLE) - $muF) / $sdF END"
+      s"""WITH b AS (SELECT source, ${Du.tokens("text")} AS toks
+         |  FROM documents),
+         |tk AS (SELECT source, unnest(toks) AS t FROM b),
+         |counts AS (SELECT source, t, COUNT(*) AS n_st FROM tk GROUP BY 1, 2),
+         |totals AS (
+         |  SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s
+         |  FROM counts GROUP BY 1),
+         |top AS (
+         |  SELECT t FROM (
+         |    SELECT t, CAST(SUM(n_st) AS BIGINT) AS n_t
+         |    FROM counts GROUP BY 1)
+         |  ORDER BY n_t DESC, t LIMIT 50),
+         |filled AS (
+         |  SELECT totals.source, n_s, top.t,
+         |    COALESCE(n_st, 0) * 1000000 // n_s AS r
+         |  FROM totals CROSS JOIN top
+         |  LEFT JOIN counts
+         |    ON counts.source = totals.source AND counts.t = top.t),
+         |stats AS (
+         |  SELECT t, COUNT(*) AS ns, CAST(SUM(r) AS BIGINT) AS sr,
+         |    CAST(SUM(r * r) AS BIGINT) AS srr
+         |  FROM filled GROUP BY 1),
+         |z AS (
+         |  SELECT filled.t, source, r, ns, sr, srr
+         |  FROM filled JOIN stats ON filled.t = stats.t),
+         |pr AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, a.ns AS ns,
+         |    a.sr AS sr, a.srr AS srr, a.r AS ra, b.r AS rb
+         |  FROM z a JOIN z b ON a.t = b.t AND a.source < b.source),
+         |q AS (
+         |  SELECT src_a, src_b,
+         |    CAST(floor(abs((${zF("ra")}) - (${zF("rb")})) *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT) AS zdiff
+         |  FROM pr)
+         |SELECT src_a, src_b, COUNT(*) AS n_tokens,
+         |  CAST(SUM(zdiff) AS BIGINT) // (COUNT(*) * 1000) AS delta_milli
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
 }
