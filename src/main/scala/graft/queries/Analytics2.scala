@@ -80,7 +80,7 @@ object Analytics2 {
         col("n_li").as("ca"))
       val b = bynat.select(col("nk").as("nkb"), col("rev_c").as("rb"),
         col("n_li").as("cb"))
-      a.join(b, col("nka") < col("nkb"))
+      a.join(broadcast(b), col("nka") < col("nkb"))
         .agg(
           count(lit(1)).as("n_pairs"),
           sum(expr("CASE WHEN (ra > rb AND ca > cb) OR (ra < rb AND ca < cb) " +
@@ -793,6 +793,74 @@ object Analytics2 {
         .withColumn("delta_milli", expr("zsum div (n_tokens * 1000)"))
         .select("src_a", "src_b", "n_tokens", "delta_milli")
         .orderBy("src_a", "src_b")
+    },
+
+    // Laspeyres price/volume decomposition of the 1995→1996 revenue
+    // change per brand: ΔR splits into a price effect
+    // (R₁·Q₀ div Q₁ − R₀, ONE positive-operand floor division) and a
+    // volume effect defined as the exact complement (ΔR − pe), so the
+    // ledger identity ΔR = pe + ve holds BIT-EXACTLY in-band on both
+    // engines — the floor lives in the split point, never in the
+    // total. Two map-side rollups + one 25-row brand join. HONEST
+    // CEILING: R₁·Q₀ holds to ~10¹⁸ cent·units in BIGINT.
+    "q341_price_volume" -> { (s, d) =>
+      val by = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(expr("year(l_shipdate) IN (1995, 1996)"))
+        .groupBy(col("p_brand"), expr("year(l_shipdate)").as("yr"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"),
+          sum(expr(CentsF)).as("r"))
+      by.filter(col("yr") === 1995)
+        .select(col("p_brand"), col("q").as("q0"), col("r").as("r0"))
+        .join(by.filter(col("yr") === 1996)
+          .select(col("p_brand"), col("q").as("q1"), col("r").as("r1")),
+          "p_brand")
+        .withColumn("dr_c", expr("r1 - r0"))
+        .withColumn("pe_c", expr("r1 * q0 div q1 - r0"))
+        .withColumn("ve_c", expr("dr_c - pe_c"))
+        .select("p_brand", "q0", "q1", "r0", "r1", "dr_c", "pe_c", "ve_c")
+        .orderBy("p_brand")
+    },
+
+    // Decision-stump feature importance for predicting returns,
+    // entropy-free: weighted Gini impurity after splitting on each
+    // candidate feature (discount band / quantity decade / ship
+    // month), as per-group floor-quantized micro terms — integer
+    // sums, order-free — against the unsplit impurity. The scan is a
+    // narrow 4-column projection read once per candidate aggregate;
+    // every group frame is bounded (≤12 cells). HONEST CEILING:
+    // n_g²·10⁶ holds to ~90M rows per group in BIGINT — past that
+    // the impurity lane moves to DECIMAL(38,0).
+    "q342_gini_importance" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(
+          expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").as("pos"),
+          expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)")
+            .as("disc"),
+          expr("CAST(l_quantity AS BIGINT) div 10").as("qb"),
+          expr("CAST(month(l_shipdate) AS BIGINT)").as("mo"))
+      def feat(tag: String, key: String): DataFrame =
+        li.groupBy(col(key).as("g"))
+          .agg(count(lit(1)).as("n_g"), sum("pos").as("pos_g"))
+          .select(lit(tag).as("feature"), col("n_g"), col("pos_g"))
+      val groups = feat("disc_band", "disc")
+        .unionAll(feat("month", "mo"))
+        .unionAll(feat("qty_decade", "qb"))
+      val tot = li.agg(count(lit(1)).as("nn"), sum("pos").as("pp"))
+      groups.crossJoin(broadcast(tot))
+        .withColumn("term_micro", expr(
+          "(n_g * n_g - pos_g * pos_g - (n_g - pos_g) * (n_g - pos_g)) " +
+            "* 1000000 div (n_g * nn)"))
+        .groupBy("feature")
+        .agg(count(lit(1)).as("n_groups"),
+          sum("term_micro").as("after_micro"),
+          max(expr("(nn * nn - pp * pp - (nn - pp) * (nn - pp)) " +
+            "* 1000000 div (nn * nn)")).as("before_micro"))
+        .withColumn("drop_micro", expr("before_micro - after_micro"))
+        .select("feature", "n_groups", "before_micro", "after_micro",
+          "drop_micro")
+        .orderBy(col("drop_micro").desc, col("feature"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -1425,5 +1493,60 @@ object Analytics2 {
          |SELECT src_a, src_b, COUNT(*) AS n_tokens,
          |  CAST(SUM(zdiff) AS BIGINT) // (COUNT(*) * 1000) AS delta_milli
          |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    })
+    },
+
+    "q341_price_volume" ->
+      """WITH by AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.p_brand, a.q AS q0, b.q AS q1, a.r AS r0, b.r AS r1
+        |  FROM by a JOIN by b ON a.p_brand = b.p_brand
+        |    AND a.yr = 1995 AND b.yr = 1996),
+        |t AS (
+        |  SELECT p_brand, q0, q1, r0, r1, r1 - r0 AS dr_c,
+        |    r1 * q0 // q1 - r0 AS pe_c
+        |  FROM j)
+        |SELECT p_brand, q0, q1, r0, r1, dr_c, pe_c, dr_c - pe_c AS ve_c
+        |FROM t ORDER BY p_brand""".stripMargin,
+
+    "q342_gini_importance" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+        |    CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT) AS disc,
+        |    CAST(l_quantity AS BIGINT) // 10 AS qb,
+        |    CAST(month(l_shipdate) AS BIGINT) AS mo
+        |  FROM lineitem),
+        |groups AS (
+        |  SELECT 'disc_band' AS feature, COUNT(*) AS n_g,
+        |    CAST(SUM(pos) AS BIGINT) AS pos_g
+        |  FROM li GROUP BY feature, disc
+        |  UNION ALL
+        |  SELECT 'month', COUNT(*), CAST(SUM(pos) AS BIGINT)
+        |  FROM li GROUP BY 1, mo
+        |  UNION ALL
+        |  SELECT 'qty_decade', COUNT(*), CAST(SUM(pos) AS BIGINT)
+        |  FROM li GROUP BY 1, qb),
+        |tot AS (
+        |  SELECT COUNT(*) AS nn, CAST(SUM(pos) AS BIGINT) AS pp FROM li),
+        |terms AS (
+        |  SELECT feature,
+        |    (n_g * n_g - pos_g * pos_g - (n_g - pos_g) * (n_g - pos_g))
+        |      * 1000000 // (n_g * nn) AS term_micro,
+        |    (nn * nn - pp * pp - (nn - pp) * (nn - pp)) * 1000000
+        |      // (nn * nn) AS before_micro
+        |  FROM groups CROSS JOIN tot),
+        |g AS (
+        |  SELECT feature, COUNT(*) AS n_groups,
+        |    CAST(SUM(term_micro) AS BIGINT) AS after_micro,
+        |    CAST(MAX(before_micro) AS BIGINT) AS before_micro
+        |  FROM terms GROUP BY 1)
+        |SELECT feature, n_groups, before_micro, after_micro,
+        |  before_micro - after_micro AS drop_micro
+        |FROM g ORDER BY drop_micro DESC, feature""".stripMargin)
 }

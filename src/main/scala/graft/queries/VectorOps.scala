@@ -486,6 +486,51 @@ object VectorOps {
         .orderBy("label")
     },
 
+    // Label-graded retrieval quality: NDCG@10 with harmonic discount
+    // (w_i = 2520/i — 2520 = lcm(1..10), so every discount weight and
+    // therefore DCG and ideal-DCG are EXACT integers; the classic
+    // log2 discount would put an irrational constant per rank into
+    // the lane — same design as q152's scaled-integer RBO). Relevance
+    // = neighbor shares the probe's label; the ideal ranking puts all
+    // same-label vectors first, so IDCG is the harmonic prefix sum at
+    // min(10, class size − 1) — a literal lookup, no second ranking
+    // pass. Rides the q33/q86 exact-KNN substrate: per-probe top-10
+    // is a WindowGroupLimit heap over the probe-row broadcast join.
+    "q340_knn_ndcg" -> { (s, dir) =>
+      val dcgW =
+        "CASE rank WHEN 1 THEN 2520 WHEN 2 THEN 1260 WHEN 3 THEN 840 " +
+          "WHEN 4 THEN 630 WHEN 5 THEN 504 WHEN 6 THEN 420 WHEN 7 THEN 360 " +
+          "WHEN 8 THEN 315 WHEN 9 THEN 280 ELSE 252 END"
+      val hM =
+        "CASE m WHEN 0 THEN 0 WHEN 1 THEN 2520 WHEN 2 THEN 3780 " +
+          "WHEN 3 THEN 4620 WHEN 4 THEN 5250 WHEN 5 THEN 5754 " +
+          "WHEN 6 THEN 6174 WHEN 7 THEN 6534 WHEN 8 THEN 6849 " +
+          "WHEN 9 THEN 7129 ELSE 7381 END"
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("lab"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
+      val top10 = knnExactPairs(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+      top10
+        .join(labels.select(col("vec_id").as("qid"), col("lab").as("qlab")),
+          "qid")
+        .join(labels.select(col("vec_id").as("nb"), col("lab").as("nlab")),
+          "nb")
+        .withColumn("rel", expr("CASE WHEN qlab = nlab THEN 1 ELSE 0 END"))
+        .groupBy("qid", "qlab")
+        .agg(sum("rel").as("n_rel_top10"),
+          sum(expr(s"rel * ($dcgW)")).as("dcg_s"))
+        .join(labels.groupBy("lab").agg(count(lit(1)).as("n_lab"))
+          .select(col("lab").as("qlab"), col("n_lab")), "qlab")
+        .withColumn("m", expr("least(CAST(10 AS BIGINT), n_lab - 1)"))
+        .withColumn("idcg_s", expr(hM))
+        .withColumn("ndcg_milli", expr(
+          "CASE WHEN idcg_s = 0 THEN NULL ELSE dcg_s * 1000 div idcg_s END"))
+        .select("qid", "n_rel_top10", "dcg_s", "idcg_s", "ndcg_milli")
+        .orderBy("qid")
+    },
+
     // ANN evaluation: recall@5 of the LSH index against the exact
     // brute-force top-5 — the metric that calibrates the planes /
     // nprobe knobs before trusting the index at scale. Queries whose
@@ -1047,6 +1092,51 @@ object VectorOps {
          |  FROM j)
          |SELECT qid, rank, nb, cos FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+
+    "q340_knn_ndcg" ->
+      s"""WITH jx AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         |    ${D.cosine("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |rx AS (
+         |  SELECT qid, nb,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC)
+         |      AS rank
+         |  FROM jx),
+         |t AS (SELECT qid, nb, rank FROM rx WHERE rank <= 10),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+         |  FROM embeddings),
+         |cnt AS (SELECT lab, COUNT(*) AS n_lab FROM lab GROUP BY 1),
+         |rel AS (
+         |  SELECT t.qid, ql.lab AS qlab, rank,
+         |    CASE WHEN ql.lab = nl.lab THEN 1 ELSE 0 END AS rel
+         |  FROM t
+         |  JOIN lab ql ON t.qid = ql.vec_id
+         |  JOIN lab nl ON t.nb = nl.vec_id),
+         |g AS (
+         |  SELECT qid, qlab,
+         |    CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+         |    CAST(SUM(rel * (CASE rank WHEN 1 THEN 2520 WHEN 2 THEN 1260
+         |      WHEN 3 THEN 840 WHEN 4 THEN 630 WHEN 5 THEN 504
+         |      WHEN 6 THEN 420 WHEN 7 THEN 360 WHEN 8 THEN 315
+         |      WHEN 9 THEN 280 ELSE 252 END)) AS BIGINT) AS dcg_s
+         |  FROM rel GROUP BY 1, 2),
+         |i AS (
+         |  SELECT qid, n_rel_top10, dcg_s,
+         |    least(10, n_lab - 1) AS m
+         |  FROM g JOIN cnt ON g.qlab = cnt.lab),
+         |f AS (
+         |  SELECT qid, n_rel_top10, dcg_s,
+         |    CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN 2520 WHEN 2 THEN 3780
+         |      WHEN 3 THEN 4620 WHEN 4 THEN 5250 WHEN 5 THEN 5754
+         |      WHEN 6 THEN 6174 WHEN 7 THEN 6534 WHEN 8 THEN 6849
+         |      WHEN 9 THEN 7129 ELSE 7381 END AS BIGINT) AS idcg_s
+         |  FROM i)
+         |SELECT qid, n_rel_top10, dcg_s, idcg_s,
+         |  CASE WHEN idcg_s = 0 THEN NULL
+         |    ELSE dcg_s * 1000 // idcg_s END AS ndcg_milli
+         |FROM f ORDER BY qid""".stripMargin,
 
     "q86_knn_recall" ->
       s"""WITH jx AS (
