@@ -861,6 +861,92 @@ object Analytics2 {
         .select("feature", "n_groups", "before_micro", "after_micro",
           "drop_micro")
         .orderBy(col("drop_micro").desc, col("feature"))
+    },
+
+    // Nelson–Aalen cumulative hazard of order→ship latency with
+    // right-censoring at 1998-06-01 — the product-free survival
+    // estimator (Kaplan–Meier's Π(1−d/n) cannot be made bit-exact
+    // across engines; H(t) = Σ d_s/n_s is a SUM of rationals, so each
+    // step quantizes to micro and the cumulative is an integer
+    // window). At-risk counts come from one cumulative count over the
+    // bounded distinct-duration frame (≤ a few hundred day values) —
+    // the subject table is touched once, map-side combined; no
+    // per-subject state survives the first aggregate.
+    "q343_nelson_aalen" -> { (s, d) =>
+      val subj = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("o_orderdate <= DATE '1998-06-01'"))
+        .select(
+          expr("CASE WHEN l_shipdate <= DATE '1998-06-01' " +
+            "THEN datediff(l_shipdate, o_orderdate) " +
+            "ELSE datediff(DATE '1998-06-01', o_orderdate) END")
+            .cast("long").as("obs"),
+          expr("CASE WHEN l_shipdate <= DATE '1998-06-01' THEN 1 ELSE 0 END")
+            .as("ev"))
+      val steps = subj.groupBy("obs")
+        .agg(count(lit(1)).as("c_all"), sum("ev").as("d"))
+      val n = steps.agg(sum("c_all").as("n_total"))
+      val ordw = Window.orderBy("obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      steps.crossJoin(broadcast(n))
+        .withColumn("cum_le", sum("c_all").over(ordw))
+        .withColumn("n_risk", expr("n_total - cum_le + c_all"))
+        .filter(col("d") > 0)
+        .withColumn("h_step_micro", expr("d * 1000000 div n_risk"))
+        .withColumn("h_cum_micro", sum("h_step_micro").over(ordw))
+        .select(col("obs").as("t_days"), col("d"), col("n_risk"),
+          col("h_step_micro"), col("h_cum_micro"))
+        .orderBy("t_days")
+    },
+
+    // Rescaled-range (Hurst) table for daily revenue at window sizes
+    // 8/16/32 — long-memory diagnostics without fitting a log-log
+    // slope. The whole R/S statistic is EXACT-INTEGER until one final
+    // shared division: scaled deviations N_j = w·Σ_{i≤j}v − j·S are
+    // integers (whole-dollar lane keeps w·Q inside BIGINT), the range
+    // includes the j=0 origin, and R/S = Range / √(wQ − S²) is one
+    // int-by-sqrt(int) division, floor-quantized per block BEFORE the
+    // per-size mean (order-free). Every window is (size, block)-
+    // partitioned over the calendar-bounded day frame.
+    "q344_rescaled_range" -> { (s, d) =>
+      val day = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(expr(s"sum($CentsF) div 100").as("v"))
+      val ranked = day
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("day"))).cast("long") - 1)
+        .select(col("v"), col("rn"),
+          explode(expr("array(8, 16, 32)")).as("w"))
+        .withColumn("blk", expr("rn div w"))
+        .withColumn("pos", expr("rn % w"))
+      val part = Window.partitionBy("w", "blk")
+      val ordp = part.orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rsF =
+        "CASE WHEN cnt != w OR w * qq - ss * ss <= 0 THEN NULL ELSE " +
+          "CAST(floor(CAST(greatest(mx, CAST(0 AS BIGINT)) - " +
+          "least(mn, CAST(0 AS BIGINT)) AS DOUBLE) / " +
+          "sqrt(CAST(w * qq - ss * ss AS DOUBLE)) * " +
+          "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+      ranked
+        .withColumn("cum", sum("v").over(ordp))
+        .withColumn("ss", sum("v").over(part))
+        .withColumn("qq", sum(expr("v * v")).over(part))
+        .withColumn("cnt", count(lit(1)).over(part))
+        .withColumn("nj", expr("w * cum - (pos + 1) * ss"))
+        .groupBy("w", "blk")
+        .agg(max("cnt").as("cnt"), max("ss").as("ss"), max("qq").as("qq"),
+          max("nj").as("mx"), min("nj").as("mn"))
+        .withColumn("rs_micro", expr(rsF))
+        .filter(col("rs_micro").isNotNull)
+        .groupBy("w")
+        .agg(count(lit(1)).as("n_blocks"),
+          expr("sum(rs_micro) div count(1)").as("mean_rs_micro"),
+          max("rs_micro").as("max_rs_micro"))
+        .select(col("w").cast("long").as("w"), col("n_blocks"),
+          col("mean_rs_micro"), col("max_rs_micro"))
+        .orderBy("w")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1548,5 +1634,80 @@ object Analytics2 {
         |  FROM terms GROUP BY 1)
         |SELECT feature, n_groups, before_micro, after_micro,
         |  before_micro - after_micro AS drop_micro
-        |FROM g ORDER BY drop_micro DESC, feature""".stripMargin)
+        |FROM g ORDER BY drop_micro DESC, feature""".stripMargin,
+
+    "q343_nelson_aalen" ->
+      """WITH subj AS (
+        |  SELECT
+        |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-06-01'
+        |      THEN date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST(l_shipdate AS DATE))
+        |      ELSE date_diff('day', CAST(o_orderdate AS DATE),
+        |        DATE '1998-06-01') END AS obs,
+        |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-06-01'
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-06-01'),
+        |steps AS (
+        |  SELECT obs, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS d
+        |  FROM subj GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_total FROM steps),
+        |r AS (
+        |  SELECT obs, c_all, d, n_total,
+        |    CAST(SUM(c_all) OVER (ORDER BY obs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_le
+        |  FROM steps CROSS JOIN n),
+        |e AS (
+        |  SELECT obs AS t_days, d,
+        |    n_total - cum_le + c_all AS n_risk,
+        |    d * 1000000 // (n_total - cum_le + c_all) AS h_step_micro
+        |  FROM r WHERE d > 0)
+        |SELECT t_days, d, n_risk, h_step_micro,
+        |  CAST(SUM(h_step_micro) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS h_cum_micro
+        |FROM e ORDER BY t_days""".stripMargin,
+
+    "q344_rescaled_range" ->
+      """WITH day AS (
+        |  SELECT l_shipdate AS day,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) // 100 AS v
+        |  FROM lineitem GROUP BY 1),
+        |r0 AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn FROM day),
+        |e AS (
+        |  SELECT v, rn, k.w, rn // k.w AS blk, rn % k.w AS pos
+        |  FROM r0 CROSS JOIN (SELECT UNNEST([8, 16, 32]) AS w) k),
+        |wnd AS (
+        |  SELECT w, blk, pos, v,
+        |    CAST(SUM(v) OVER (PARTITION BY w, blk ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(v) OVER (PARTITION BY w, blk) AS BIGINT) AS ss,
+        |    CAST(SUM(v * v) OVER (PARTITION BY w, blk) AS BIGINT) AS qq,
+        |    COUNT(*) OVER (PARTITION BY w, blk) AS cnt
+        |  FROM e),
+        |blkrows AS (
+        |  SELECT w, blk, cnt, ss, qq,
+        |    w * cum - (pos + 1) * ss AS nj
+        |  FROM wnd),
+        |g AS (
+        |  SELECT w, blk, MAX(cnt) AS cnt, MAX(ss) AS ss, MAX(qq) AS qq,
+        |    CAST(MAX(nj) AS BIGINT) AS mx, CAST(MIN(nj) AS BIGINT) AS mn
+        |  FROM blkrows GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT w, blk,
+        |    CASE WHEN cnt != w OR w * qq - ss * ss <= 0 THEN NULL ELSE
+        |      CAST(floor(CAST(greatest(mx, CAST(0 AS BIGINT)) -
+        |        least(mn, CAST(0 AS BIGINT)) AS DOUBLE) /
+        |        sqrt(CAST(w * qq - ss * ss AS DOUBLE)) *
+        |        CAST(1000000 AS DOUBLE)) AS BIGINT) END AS rs_micro
+        |  FROM g)
+        |SELECT CAST(w AS BIGINT) AS w, COUNT(*) AS n_blocks,
+        |  CAST(SUM(rs_micro) AS BIGINT) // COUNT(*) AS mean_rs_micro,
+        |  CAST(MAX(rs_micro) AS BIGINT) AS max_rs_micro
+        |FROM rs WHERE rs_micro IS NOT NULL
+        |GROUP BY 1 ORDER BY w""".stripMargin)
 }
