@@ -947,6 +947,115 @@ object Analytics2 {
         .select(col("w").cast("long").as("w"), col("n_blocks"),
           col("mean_rs_micro"), col("max_rs_micro"))
         .orderBy("w")
+    },
+
+    // Month-over-month top-100 stability: how much of each month's
+    // top-100 parts (by shipped revenue) carries into the next
+    // month — the rank-churn monitor that decides whether yesterday's
+    // hot-list caches are still valid. Per-month top-100 is a
+    // month-partitioned WindowGroupLimit heap (BottomK with a
+    // descending order); the overlap join runs on months×100 rows.
+    // Month pairs with zero overlap still report (left join from the
+    // consecutive-month spine).
+    "q345_topk_stability" -> { (s, d) =>
+      val tops = graft.operators.BottomK.perGroup(
+        Tables.lineitem(s, d)
+          .groupBy(
+            expr("CAST((year(l_shipdate) - 1992) * 12 " +
+              "+ month(l_shipdate) - 1 AS BIGINT)").as("mi"),
+            col("l_partkey").as("pk"))
+          .agg(sum(expr(CentsF)).as("rev_c")),
+        Seq("mi"), Seq(col("rev_c").desc, col("pk")), 100)
+        .select("mi", "pk")
+      val counts = tops.groupBy("mi").agg(count(lit(1)).as("n_top"))
+      val overlap = tops
+        .join(tops.select((col("mi") - 1).as("mi"), col("pk")),
+          Seq("mi", "pk"))
+        .groupBy("mi").agg(count(lit(1)).as("n_overlap"))
+      counts.as("a")
+        .join(counts.as("b"), col("a.mi") + 1 === col("b.mi"))
+        .select(col("a.mi").as("mi_a"), col("a.n_top").as("n_a"),
+          col("b.n_top").as("n_b"))
+        .join(overlap.select(col("mi").as("mi_a"), col("n_overlap")),
+          Seq("mi_a"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("stability_milli", expr("n_overlap * 1000 div n_a"))
+        .select("mi_a", "n_a", "n_b", "n_overlap", "stability_milli")
+        .orderBy("mi_a")
+    },
+
+    // Sample-ratio-mismatch check for the q223 hash split: the FIRST
+    // thing to verify before reading any A/B result. χ² for a 50/50
+    // split is (n₀−n₁)²/(n₀+n₁) — exact micro by cross-multiplying,
+    // and the pass/fail flag compares against the χ²₍₁,0.95₎ critical
+    // value with BOTH sides integer (flag = (n₀−n₁)²·10⁶ >
+    // 3841459·N) — no float ever enters. One aggregate over the
+    // per-user dedup.
+    "q346_srm_check" -> { (s, d) =>
+      val S = graft.functions.PortableSql.Spark
+      Tables.events(s, d)
+        .select("user_id").distinct()
+        .withColumn("arm", expr(s"${S.hash64("concat('ab:', user_id)")} % 2"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .withColumn("chi_micro", expr(
+          "CASE WHEN n0 + n1 = 0 THEN NULL " +
+            "ELSE (n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1) END"))
+        .withColumn("srm_flag", expr(
+          "(n0 - n1) * (n0 - n1) * 1000000 > 3841459 * (n0 + n1)"))
+        .select("n0", "n1", "chi_micro", "srm_flag")
+    },
+
+    // New-vs-returning decomposition per month: the growth-accounting
+    // readout (is MAU growth acquisition or retention?). First-seen
+    // month from one per-user aggregate, actives from one dedup —
+    // never a month×user matrix; the monthly frame is
+    // calendar-bounded.
+    "q347_new_vs_returning" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(year(ts) * 100 + month(ts) AS BIGINT)").as("ym"))
+        .distinct()
+      val first = ud.groupBy("user_id").agg(min("ym").as("fym"))
+      ud.join(first, "user_id")
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n_active"),
+          sum(expr("CASE WHEN ym = fym THEN 1 ELSE 0 END")).as("n_new"))
+        .withColumn("n_returning", expr("n_active - n_new"))
+        .withColumn("new_milli", expr("n_new * 1000 div n_active"))
+        .select("ym", "n_active", "n_new", "n_returning", "new_milli")
+        .orderBy("ym")
+    },
+
+    // Negative-sampling hygiene for contrastive training pairs:
+    // deterministic pseudo-random part pairs (two independent 60-bit
+    // hash lanes per index) checked against the true co-purchase
+    // positives — the "how many of my negatives are secretly
+    // positives" audit that decides whether in-batch negatives are
+    // safe. The 10k candidate frame broadcasts into a hash semi-join
+    // against the memoized pair frame; the generator is pure
+    // arithmetic over an index explode, so any executor can
+    // re-generate any shard.
+    "q348_negative_sampling" -> { (s, d) =>
+      val S = graft.functions.PortableSql.Spark
+      val maxPk = Tables.part(s, d).agg(max("p_partkey").as("mx"))
+      val cand = maxPk
+        .select(col("mx"), explode(expr("sequence(0, 9999)")).as("i"))
+        .select(
+          expr(s"1 + ${S.hash64("concat('nega:', i)")} % mx").as("ra"),
+          expr(s"1 + ${S.hash64("concat('negb:', i)")} % mx").as("rb"))
+        .filter(col("ra") =!= col("rb"))
+        .select(least(col("ra"), col("rb")).as("pa"),
+          greatest(col("ra"), col("rb")).as("pb"))
+      val pos = Analytics.pairCounts(s, d).select("pa", "pb")
+      val hits = broadcast(cand.distinct())
+        .join(pos, Seq("pa", "pb"))
+        .agg(count(lit(1)).as("n_false_neg"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(cand.distinct().agg(count(lit(1)).as("n_distinct")))
+        .crossJoin(broadcast(hits))
+        .withColumn("fn_milli", expr("n_false_neg * 1000 div n_distinct"))
+        .select("n_cand", "n_distinct", "n_false_neg", "fn_milli")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1709,5 +1818,95 @@ object Analytics2 {
         |  CAST(SUM(rs_micro) AS BIGINT) // COUNT(*) AS mean_rs_micro,
         |  CAST(MAX(rs_micro) AS BIGINT) AS max_rs_micro
         |FROM rs WHERE rs_micro IS NOT NULL
-        |GROUP BY 1 ORDER BY w""".stripMargin)
+        |GROUP BY 1 ORDER BY w""".stripMargin,
+
+    "q345_topk_stability" ->
+      """WITH rv AS (
+        |  SELECT CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS mi,
+        |    l_partkey AS pk,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |tops AS (
+        |  SELECT mi, pk FROM (
+        |    SELECT mi, pk,
+        |      ROW_NUMBER() OVER (PARTITION BY mi ORDER BY rev_c DESC, pk)
+        |        AS rk
+        |    FROM rv)
+        |  WHERE rk <= 100),
+        |counts AS (SELECT mi, COUNT(*) AS n_top FROM tops GROUP BY 1),
+        |ov AS (
+        |  SELECT a.mi, COUNT(*) AS n_overlap
+        |  FROM tops a JOIN tops b ON a.mi = b.mi - 1 AND a.pk = b.pk
+        |  GROUP BY 1)
+        |SELECT a.mi AS mi_a, a.n_top AS n_a, b.n_top AS n_b,
+        |  COALESCE(n_overlap, 0) AS n_overlap,
+        |  COALESCE(n_overlap, 0) * 1000 // a.n_top AS stability_milli
+        |FROM counts a
+        |JOIN counts b ON a.mi + 1 = b.mi
+        |LEFT JOIN ov ON ov.mi = a.mi
+        |ORDER BY mi_a""".stripMargin,
+
+    "q346_srm_check" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id FROM events),
+         |arms AS (
+         |  SELECT ${Du.hash64("concat('ab:', user_id)")} % 2 AS arm FROM u),
+         |a AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM arms)
+         |SELECT n0, n1,
+         |  CASE WHEN n0 + n1 = 0 THEN NULL
+         |    ELSE (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) END
+         |    AS chi_micro,
+         |  (n0 - n1) * (n0 - n1) * 1000000 > 3841459 * (n0 + n1) AS srm_flag
+         |FROM a""".stripMargin,
+
+    "q347_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(ym) AS fym FROM ud GROUP BY 1),
+        |g AS (
+        |  SELECT ym, COUNT(*) AS n_active,
+        |    CAST(SUM(CASE WHEN ym = fym THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM ud JOIN f USING (user_id) GROUP BY 1)
+        |SELECT ym, n_active, n_new, n_active - n_new AS n_returning,
+        |  n_new * 1000 // n_active AS new_milli
+        |FROM g ORDER BY ym""".stripMargin,
+
+    "q348_negative_sampling" ->
+      s"""WITH mx AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS mx FROM part),
+         |cand0 AS (
+         |  SELECT
+         |    1 + ${Du.hash64("concat('nega:', i)")} % mx AS ra,
+         |    1 + ${Du.hash64("concat('negb:', i)")} % mx AS rb
+         |  FROM mx CROSS JOIN
+         |    (SELECT UNNEST(range(0::BIGINT, 10000::BIGINT)) AS i) ix),
+         |cand AS (
+         |  SELECT least(ra, rb) AS pa, greatest(ra, rb) AS pb
+         |  FROM cand0 WHERE ra != rb),
+         |cd AS (SELECT DISTINCT pa, pb FROM cand),
+         |p AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pos AS (
+         |  SELECT a.pk AS pa, b.pk AS pb
+         |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |hits AS (
+         |  SELECT COUNT(*) AS n_false_neg
+         |  FROM cd JOIN pos ON cd.pa = pos.pa AND cd.pb = pos.pb),
+         |t AS (
+         |  SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+         |    (SELECT COUNT(*) FROM cd) AS n_distinct,
+         |    n_false_neg
+         |  FROM hits)
+         |SELECT n_cand, n_distinct, n_false_neg,
+         |  n_false_neg * 1000 // n_distinct AS fn_milli
+         |FROM t""".stripMargin)
 }
