@@ -1056,6 +1056,56 @@ object Analytics2 {
         .crossJoin(broadcast(hits))
         .withColumn("fn_milli", expr("n_false_neg * 1000 div n_distinct"))
         .select("n_cand", "n_distinct", "n_false_neg", "fn_milli")
+    },
+
+    // KMV sketch ALGEBRA: union and intersection cardinality of two
+    // user sets (clickers vs purchasers) estimated purely from
+    // bottom-k sketches, against exact truth. The key identity: any
+    // hash among the k smallest of A∪B that belongs to A is
+    // automatically among the k smallest of A — so intersection
+    // membership is decided sketch-against-sketch, never against the
+    // full sets. est∩ = ρ·est∪ with ρ = |both|/m cross-multiplied
+    // before ONE division. Each bottom-k is a TakeOrdered heap
+    // (k·partitions rows max); k=64 < |A∪B| so the estimator branch
+    // (not the exact-small fallback) is what the oracle pins.
+    "q349_kmv_set_ops" -> { (s, d) =>
+      val S = graft.functions.PortableSql.Spark
+      val k = 64
+      val hF = s"${S.hash64("concat('kset:', user_id)")}"
+      def users(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select("user_id").distinct()
+      val a = users("click")
+      val b = users("purchase")
+      val ha = a.select(expr(hF).as("h"))
+      val hb = b.select(expr(hF).as("h"))
+      val bkA = ha.orderBy("h").limit(k)
+      val bkB = hb.orderBy("h").limit(k)
+      val bkU = ha.union(hb).distinct().orderBy("h").limit(k)
+      val sketch = bkU.agg(count(lit(1)).as("n_u"), max("h").as("h_k"))
+        .crossJoin(broadcast(
+          bkU.join(bkA, "h").join(bkB, "h").agg(count(lit(1)).as("n_both"))))
+      val exact = a.join(b, "user_id")
+        .agg(count(lit(1)).as("exact_inter"))
+        .crossJoin(broadcast(a.agg(count(lit(1)).as("exact_a"))))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("exact_b"))))
+        .withColumn("exact_union", expr("exact_a + exact_b - exact_inter"))
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("est_union", expr(
+          s"CASE WHEN n_u < $k THEN n_u ELSE " +
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 " +
+            "div h_k AS BIGINT) END"))
+        .withColumn("est_inter", expr(
+          s"n_both * est_union div least(CAST($k AS BIGINT), n_u)"))
+        .withColumn("err_union_milli", expr(
+          "CASE WHEN exact_union = 0 THEN NULL " +
+            "ELSE abs(est_union - exact_union) * 1000 div exact_union END"))
+        .withColumn("err_inter_milli", expr(
+          "CASE WHEN exact_inter = 0 THEN NULL " +
+            "ELSE abs(est_inter - exact_inter) * 1000 div exact_inter END"))
+        .select("exact_a", "exact_b", "exact_union", "exact_inter",
+          "n_u", "n_both", "est_union", "est_inter",
+          "err_union_milli", "err_inter_milli")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1908,5 +1958,52 @@ object Analytics2 {
          |  FROM hits)
          |SELECT n_cand, n_distinct, n_false_neg,
          |  n_false_neg * 1000 // n_distinct AS fn_milli
-         |FROM t""".stripMargin)
+         |FROM t""".stripMargin,
+
+    "q349_kmv_set_ops" ->
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         |b AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'purchase'),
+         |ha AS (SELECT ${Du.hash64("concat('kset:', user_id)")} AS h FROM a),
+         |hb AS (SELECT ${Du.hash64("concat('kset:', user_id)")} AS h FROM b),
+         |bka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         |bkb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         |bku AS (
+         |  SELECT h FROM (SELECT DISTINCT h FROM (
+         |    SELECT h FROM ha UNION ALL SELECT h FROM hb))
+         |  ORDER BY h LIMIT 64),
+         |sk AS (
+         |  SELECT (SELECT COUNT(*) FROM bku) AS n_u,
+         |    (SELECT CAST(MAX(h) AS BIGINT) FROM bku) AS h_k,
+         |    (SELECT COUNT(*) FROM bku
+         |     JOIN bka ON bku.h = bka.h
+         |     JOIN bkb ON bku.h = bkb.h) AS n_both),
+         |ex AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM a) AS exact_a,
+         |    (SELECT COUNT(*) FROM b) AS exact_b,
+         |    (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS exact_inter),
+         |t AS (
+         |  SELECT exact_a, exact_b,
+         |    exact_a + exact_b - exact_inter AS exact_union, exact_inter,
+         |    n_u, n_both,
+         |    CASE WHEN n_u < 64 THEN n_u ELSE
+         |      CAST(CAST(63 AS HUGEINT) * 1152921504606846976 // h_k
+         |        AS BIGINT) END AS est_union
+         |  FROM ex CROSS JOIN sk),
+         |u AS (
+         |  SELECT t.*,
+         |    n_both * est_union // least(CAST(64 AS BIGINT), n_u) AS est_inter
+         |  FROM t)
+         |SELECT exact_a, exact_b, exact_union, exact_inter, n_u, n_both,
+         |  est_union, est_inter,
+         |  CASE WHEN exact_union = 0 THEN NULL
+         |    ELSE abs(est_union - exact_union) * 1000 // exact_union END
+         |    AS err_union_milli,
+         |  CASE WHEN exact_inter = 0 THEN NULL
+         |    ELSE abs(est_inter - exact_inter) * 1000 // exact_inter END
+         |    AS err_inter_milli
+         |FROM u""".stripMargin)
 }
