@@ -1106,6 +1106,80 @@ object Analytics2 {
         .select("exact_a", "exact_b", "exact_union", "exact_inter",
           "n_u", "n_both", "est_union", "est_inter",
           "err_union_milli", "err_inter_milli")
+    },
+
+    // Distribution-free 95% CI for the median, per event_type: the
+    // binomial order-statistic interval — ranks ⌊(n − z√n)/2⌋ and
+    // ⌈(n + z√n)/2⌉+1 (z = 1.959964), clamped into [1, n]. The rank
+    // TARGETS are computed once per type in one shared double text
+    // (so both engines pick identical integer ranks), then the three
+    // order statistics come from ONE partitioned ranked pass with the
+    // targets broadcast back in — never a per-quantile re-sort.
+    "q350_median_ci" -> { (s, d) =>
+      val zsF = "CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
+      val loF = s"greatest(CAST(1 AS BIGINT), " +
+        s"CAST(floor((CAST(n AS DOUBLE) - $zsF) / CAST(2 AS DOUBLE)) AS BIGINT))"
+      val hiF = s"least(n, " +
+        s"CAST(ceil((CAST(n AS DOUBLE) + $zsF) / CAST(2 AS DOUBLE)) AS BIGINT) + 1)"
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), expr(VMilliF).as("vmilli"))
+      val targets = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo_rank", expr(loF))
+        .withColumn("hi_rank", expr(hiF))
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("vmilli"), col("event_id"))
+      base
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .join(broadcast(targets), "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("lo_rank").as("lo_rank"),
+          max("hi_rank").as("hi_rank"),
+          max(when(expr("rn = lo_rank"), col("vmilli"))).as("ci_lo"),
+          max(when(expr("rn * 2 >= n AND (rn - 1) * 2 < n"),
+            col("vmilli"))).as("med"),
+          max(when(expr("rn = hi_rank"), col("vmilli"))).as("ci_hi"))
+        .select("event_type", "n", "lo_rank", "hi_rank", "ci_lo", "med",
+          "ci_hi")
+        .orderBy("event_type")
+    },
+
+    // Co-burst synchrony between clicks and errors: minutes where
+    // BOTH series run above their own type-1 median minute-rate,
+    // vs the expected co-occurrence under independence — the
+    // "do errors spike with traffic" diagnostic. The minute spine is
+    // time-bounded; medians come from one partitioned ranked pass
+    // over it; the readout is exact counts with lift cross-multiplied
+    // (lift > 1000 milli ⇒ synchronized beyond chance).
+    "q351_co_burst" -> { (s, d) =>
+      val mins = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .groupBy(expr("date_trunc('minute', ts)").as("mn"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val ord = Window.partitionBy("event_type").orderBy(col("cnt"), col("mn"))
+      val med = mins
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(when(expr("rn * 2 >= n AND (rn - 1) * 2 < n"),
+          col("cnt"))).as("med"))
+      val flagged = mins.join(broadcast(med), "event_type")
+        .withColumn("hot", expr("CASE WHEN cnt > med THEN 1 ELSE 0 END"))
+      val c = flagged.filter(col("event_type") === "click")
+        .select(col("mn"), col("hot").as("hot_c"))
+      val e = flagged.filter(col("event_type") === "error")
+        .select(col("mn"), col("hot").as("hot_e"))
+      c.join(e, Seq("mn"))
+        .agg(count(lit(1)).as("n_minutes"),
+          sum("hot_c").as("n_hot_click"),
+          sum("hot_e").as("n_hot_error"),
+          sum(expr("hot_c * hot_e")).as("n_both"))
+        .withColumn("lift_milli", expr(
+          "CASE WHEN n_hot_click = 0 OR n_hot_error = 0 THEN NULL " +
+            "ELSE n_both * n_minutes * 1000 div (n_hot_click * n_hot_error) " +
+            "END"))
+        .select("n_minutes", "n_hot_click", "n_hot_error", "n_both",
+          "lift_milli")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2005,5 +2079,69 @@ object Analytics2 {
          |  CASE WHEN exact_inter = 0 THEN NULL
          |    ELSE abs(est_inter - exact_inter) * 1000 // exact_inter END
          |    AS err_inter_milli
-         |FROM u""".stripMargin)
+         |FROM u""".stripMargin,
+
+    "q350_median_ci" -> {
+      val zsF = "CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
+      val loF = s"greatest(CAST(1 AS BIGINT), " +
+        s"CAST(floor((CAST(n AS DOUBLE) - $zsF) / CAST(2 AS DOUBLE)) AS BIGINT))"
+      val hiF = s"least(n, " +
+        s"CAST(ceil((CAST(n AS DOUBLE) + $zsF) / CAST(2 AS DOUBLE)) AS BIGINT) + 1)"
+      s"""WITH base AS (
+         |  SELECT event_type, event_id, $VMilliF AS vmilli FROM events),
+         |tg AS (
+         |  SELECT event_type, n, $loF AS lo_rank, $hiF AS hi_rank
+         |  FROM (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1)),
+         |r AS (
+         |  SELECT b.event_type, vmilli,
+         |    ROW_NUMBER() OVER (PARTITION BY b.event_type
+         |      ORDER BY vmilli, event_id) AS rn,
+         |    n, lo_rank, hi_rank
+         |  FROM base b JOIN tg ON b.event_type = tg.event_type)
+         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(MAX(lo_rank) AS BIGINT) AS lo_rank,
+         |  CAST(MAX(hi_rank) AS BIGINT) AS hi_rank,
+         |  CAST(MAX(CASE WHEN rn = lo_rank THEN vmilli END) AS BIGINT)
+         |    AS ci_lo,
+         |  CAST(MAX(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n
+         |    THEN vmilli END) AS BIGINT) AS med,
+         |  CAST(MAX(CASE WHEN rn = hi_rank THEN vmilli END) AS BIGINT)
+         |    AS ci_hi
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q351_co_burst" ->
+      """WITH mins AS (
+        |  SELECT date_trunc('minute', ts) AS mn, event_type,
+        |    COUNT(*) AS cnt
+        |  FROM events WHERE event_type IN ('click', 'error')
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, mn, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cnt, mn) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM mins),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(MAX(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n
+        |      THEN cnt END) AS BIGINT) AS med
+        |  FROM r GROUP BY 1),
+        |fl AS (
+        |  SELECT mins.mn, mins.event_type,
+        |    CASE WHEN cnt > med THEN 1 ELSE 0 END AS hot
+        |  FROM mins JOIN med ON mins.event_type = med.event_type),
+        |c AS (SELECT mn, hot AS hot_c FROM fl WHERE event_type = 'click'),
+        |e AS (SELECT mn, hot AS hot_e FROM fl WHERE event_type = 'error'),
+        |t AS (
+        |  SELECT COUNT(*) AS n_minutes,
+        |    CAST(SUM(hot_c) AS BIGINT) AS n_hot_click,
+        |    CAST(SUM(hot_e) AS BIGINT) AS n_hot_error,
+        |    CAST(SUM(hot_c * hot_e) AS BIGINT) AS n_both
+        |  FROM c JOIN e USING (mn))
+        |SELECT n_minutes, n_hot_click, n_hot_error, n_both,
+        |  CASE WHEN n_hot_click = 0 OR n_hot_error = 0 THEN NULL
+        |    ELSE n_both * n_minutes * 1000 // (n_hot_click * n_hot_error)
+        |    END AS lift_milli
+        |FROM t""".stripMargin)
 }
