@@ -58,6 +58,53 @@ object Analytics2 {
       s"(sqrt($VarXF) * sqrt($VarYF)) * " +
       "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
 
+  // ---- shared IEEE formula texts (defined ONCE, referenced by both
+  // the Spark query and the DuckDB oracle — the RMicroF discipline;
+  // a second copy is how bit-exactness silently dies) --------------
+
+  /** q329's z-normalized SAX symbol over (rev_c, s1, s2, nd). */
+  private val SaxMF = "CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)"
+  private val SaxSdF =
+    s"sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) - ($SaxMF) * ($SaxMF))"
+  private val SaxSymF =
+    s"CASE WHEN $SaxSdF <= CAST(0 AS DOUBLE) THEN 'b' " +
+      s"WHEN (CAST(rev_c AS DOUBLE) - $SaxMF) / $SaxSdF < CAST(-0.43 AS DOUBLE) THEN 'a' " +
+      s"WHEN (CAST(rev_c AS DOUBLE) - $SaxMF) / $SaxSdF < CAST(0.43 AS DOUBLE) THEN 'b' " +
+      "ELSE 'c' END"
+
+  /** q335's Welch-t over (n1, s1, q1, n2, s2, q2), micro-quantized. */
+  private val WelchMvF =
+    "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+      "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+  private val WelchVaF =
+    "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / " +
+      "CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
+      "CAST(n1 AS DOUBLE)"
+  private val WelchVbF =
+    "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / " +
+      "CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
+      "CAST(n2 AS DOUBLE)"
+  private val WelchTF =
+    s"CASE WHEN n1 <= 1 OR n2 <= 1 OR ($WelchVaF) + ($WelchVbF) <= " +
+      "CAST(0 AS DOUBLE) THEN NULL ELSE " +
+      s"CAST(floor(abs(($WelchMvF) / sqrt(($WelchVaF) + ($WelchVbF))) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+
+  /** q339's per-token z-score over (r, ns, sr, srr). */
+  private val StyMuF = "CAST(sr AS DOUBLE) / CAST(ns AS DOUBLE)"
+  private val StySdF =
+    s"sqrt(CAST(srr AS DOUBLE) / CAST(ns AS DOUBLE) - ($StyMuF) * ($StyMuF))"
+  private def styZF(r: String): String =
+    s"CASE WHEN $StySdF <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      s"ELSE (CAST($r AS DOUBLE) - $StyMuF) / $StySdF END"
+
+  /** q350's binomial order-statistic rank targets over n. */
+  private val CiZsF = "CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
+  private val CiLoF = s"greatest(CAST(1 AS BIGINT), " +
+    s"CAST(floor((CAST(n AS DOUBLE) - $CiZsF) / CAST(2 AS DOUBLE)) AS BIGINT))"
+  private val CiHiF = s"least(n, " +
+    s"CAST(ceil((CAST(n AS DOUBLE) + $CiZsF) / CAST(2 AS DOUBLE)) AS BIGINT) + 1)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact Kendall concordance between two per-nation metrics
@@ -346,9 +393,14 @@ object Analytics2 {
           "sum_sg2_over_ng - CAST(CAST(s_total AS DECIMAL(19,0)) * s_total " +
             "div n_total AS BIGINT)"))
         .withColumn("ss_within", expr("q_total - sum_sg2_over_ng"))
+        // greatest(ss_between, 0): true SSB ≥ 0 but the k per-group
+        // floors can push the computed value to ≈ −k when group means
+        // coincide, and a negative numerator would hit the div-vs-//
+        // truncate/floor divergence — clamp BEFORE the division
         .withColumn("f_milli", expr(
           "CASE WHEN ss_within <= 0 OR k_groups <= 1 THEN NULL ELSE " +
-            "CAST(CAST(ss_between AS DECIMAL(38,0)) * (n_total - k_groups) " +
+            "CAST(CAST(greatest(ss_between, 0) AS DECIMAL(38,0)) " +
+            "* (n_total - k_groups) " +
             "* 1000 div (CAST(ss_within AS DECIMAL(38,0)) * (k_groups - 1)) " +
             "AS BIGINT) END"))
         .select("k_groups", "n_total", "ss_between", "ss_within", "f_milli")
@@ -438,13 +490,6 @@ object Analytics2 {
     // window here is a legitimate tiny frame; the raw table is
     // touched exactly once, map-side combined.
     "q329_sax_motifs" -> { (s, d) =>
-      val mF = "CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)"
-      val sdF = s"sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) - ($mF) * ($mF))"
-      val symF =
-        s"CASE WHEN $sdF <= CAST(0 AS DOUBLE) THEN 'b' " +
-          s"WHEN (CAST(rev_c AS DOUBLE) - $mF) / $sdF < CAST(-0.43 AS DOUBLE) THEN 'a' " +
-          s"WHEN (CAST(rev_c AS DOUBLE) - $mF) / $sdF < CAST(0.43 AS DOUBLE) THEN 'b' " +
-          "ELSE 'c' END"
       val day = Tables.lineitem(s, d)
         .groupBy(col("l_shipdate").as("day"))
         .agg(sum(expr(CentsF)).as("rev_c"))
@@ -452,7 +497,7 @@ object Analytics2 {
         sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
           .as("s2"))
       val sym = day.crossJoin(broadcast(stats))
-        .withColumn("sym", expr(symF))
+        .withColumn("sym", expr(SaxSymF))
         .withColumn("rn",
           row_number().over(Window.orderBy(col("day"))).cast("long") - 1)
         .withColumn("blk", expr("rn div 7"))
@@ -594,22 +639,6 @@ object Analytics2 {
     // parts seen in only one half or with degenerate variance drop
     // out via the in-text guard (identical on both engines).
     "q335_price_movers" -> { (s, d) =>
-      val mv =
-        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
-          "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
-      val va =
-        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / " +
-          "CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
-          "CAST(n1 AS DOUBLE)"
-      val vb =
-        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / " +
-          "CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
-          "CAST(n2 AS DOUBLE)"
-      val tF =
-        s"CASE WHEN n1 <= 1 OR n2 <= 1 OR ($va) + ($vb) <= CAST(0 AS DOUBLE) " +
-          "THEN NULL ELSE " +
-          s"CAST(floor(abs(($mv) / sqrt(($va) + ($vb))) * " +
-          "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
       val h = Tables.lineitem(s, d)
         .select(col("l_partkey"),
           expr("CASE WHEN year(l_shipdate) <= 1995 THEN 1 ELSE 2 END")
@@ -624,7 +653,7 @@ object Analytics2 {
         .join(h.filter(col("half") === 2)
           .select(col("l_partkey"), col("n").as("n2"), col("s").as("s2"),
             col("q").as("q2")), "l_partkey")
-        .withColumn("t_micro", expr(tF))
+        .withColumn("t_micro", expr(WelchTF))
         .filter(col("t_micro").isNotNull)
         .withColumn("mean1_c", expr("s1 div n1"))
         .withColumn("mean2_c", expr("s2 div n2"))
@@ -757,12 +786,6 @@ object Analytics2 {
     // pairs. Absent (source, token) cells are zero-filled via the
     // cross join — a missing word IS stylometric signal.
     "q339_stylometry" -> { (s, d) =>
-      val muF = "CAST(sr AS DOUBLE) / CAST(ns AS DOUBLE)"
-      val sdF = s"sqrt(CAST(srr AS DOUBLE) / CAST(ns AS DOUBLE) - " +
-        s"($muF) * ($muF))"
-      def zF(r: String) =
-        s"CASE WHEN $sdF <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
-          s"ELSE (CAST($r AS DOUBLE) - $muF) / $sdF END"
       val toks = TextOps.docsWithToks(s, d)
         .select(col("source"), explode(col("toks")).as("t"))
       val counts = toks.groupBy("source", "t").agg(count(lit(1)).as("n_st"))
@@ -786,7 +809,7 @@ object Analytics2 {
           col("a.ns").as("ns"), col("a.sr").as("sr"), col("a.srr").as("srr"),
           col("a.r").as("ra"), col("b.r").as("rb"))
         .withColumn("zdiff_micro", expr(
-          s"CAST(floor(abs((${zF("ra")}) - (${zF("rb")})) * " +
+          s"CAST(floor(abs((${styZF("ra")}) - (${styZF("rb")})) * " +
             "CAST(1000000 AS DOUBLE)) AS BIGINT)"))
         .groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("n_tokens"), sum("zdiff_micro").as("zsum"))
@@ -829,9 +852,10 @@ object Analytics2 {
     // month), as per-group floor-quantized micro terms — integer
     // sums, order-free — against the unsplit impurity. The scan is a
     // narrow 4-column projection read once per candidate aggregate;
-    // every group frame is bounded (≤12 cells). HONEST CEILING:
-    // n_g²·10⁶ holds to ~90M rows per group in BIGINT — past that
-    // the impurity lane moves to DECIMAL(38,0).
+    // every group frame is bounded (≤12 cells). The impurity
+    // numerator 2·pos·(n−pos)·10⁶ rides the DECIMAL(38,0)/HUGEINT
+    // lane from the start (it would clear BIGINT at only ~5M rows);
+    // the divided-out micro results fit LONG by construction.
     "q342_gini_importance" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(
@@ -850,13 +874,15 @@ object Analytics2 {
       val tot = li.agg(count(lit(1)).as("nn"), sum("pos").as("pp"))
       groups.crossJoin(broadcast(tot))
         .withColumn("term_micro", expr(
-          "(n_g * n_g - pos_g * pos_g - (n_g - pos_g) * (n_g - pos_g)) " +
-            "* 1000000 div (n_g * nn)"))
+          "CAST(CAST(2 AS DECIMAL(19,0)) * pos_g * (n_g - pos_g) * 1000000 " +
+            "div (CAST(n_g AS DECIMAL(19,0)) * nn) AS BIGINT)"))
         .groupBy("feature")
         .agg(count(lit(1)).as("n_groups"),
           sum("term_micro").as("after_micro"),
-          max(expr("(nn * nn - pp * pp - (nn - pp) * (nn - pp)) " +
-            "* 1000000 div (nn * nn)")).as("before_micro"))
+          max(expr(
+            "CAST(CAST(2 AS DECIMAL(19,0)) * pp * (nn - pp) * 1000000 " +
+              "div (CAST(nn AS DECIMAL(19,0)) * nn) AS BIGINT)"))
+            .as("before_micro"))
         .withColumn("drop_micro", expr("before_micro - after_micro"))
         .select("feature", "n_groups", "before_micro", "after_micro",
           "drop_micro")
@@ -1116,17 +1142,12 @@ object Analytics2 {
     // order statistics come from ONE partitioned ranked pass with the
     // targets broadcast back in — never a per-quantile re-sort.
     "q350_median_ci" -> { (s, d) =>
-      val zsF = "CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
-      val loF = s"greatest(CAST(1 AS BIGINT), " +
-        s"CAST(floor((CAST(n AS DOUBLE) - $zsF) / CAST(2 AS DOUBLE)) AS BIGINT))"
-      val hiF = s"least(n, " +
-        s"CAST(ceil((CAST(n AS DOUBLE) + $zsF) / CAST(2 AS DOUBLE)) AS BIGINT) + 1)"
       val base = Tables.events(s, d)
         .select(col("event_type"), col("event_id"), expr(VMilliF).as("vmilli"))
       val targets = base.groupBy("event_type")
         .agg(count(lit(1)).as("n"))
-        .withColumn("lo_rank", expr(loF))
-        .withColumn("hi_rank", expr(hiF))
+        .withColumn("lo_rank", expr(CiLoF))
+        .withColumn("hi_rank", expr(CiHiF))
       val ord = Window.partitionBy("event_type")
         .orderBy(col("vmilli"), col("event_id"))
       base
@@ -1411,7 +1432,8 @@ object Analytics2 {
         |  FROM t)
         |SELECT k_groups, n_total, ss_between, ss_within,
         |  CASE WHEN ss_within <= 0 OR k_groups <= 1 THEN NULL ELSE
-        |    CAST(CAST(ss_between AS HUGEINT) * (n_total - k_groups) * 1000
+        |    CAST(CAST(greatest(ss_between, 0) AS HUGEINT)
+        |      * (n_total - k_groups) * 1000
         |      // (CAST(ss_within AS HUGEINT) * (k_groups - 1)) AS BIGINT) END
         |    AS f_milli
         |FROM u""".stripMargin,
@@ -1478,13 +1500,6 @@ object Analytics2 {
          |FROM m ORDER BY pair""".stripMargin,
 
     "q329_sax_motifs" -> {
-      val mF = "CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)"
-      val sdF = s"sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) - ($mF) * ($mF))"
-      val symF =
-        s"CASE WHEN $sdF <= CAST(0 AS DOUBLE) THEN 'b' " +
-          s"WHEN (CAST(rev_c AS DOUBLE) - $mF) / $sdF < CAST(-0.43 AS DOUBLE) THEN 'a' " +
-          s"WHEN (CAST(rev_c AS DOUBLE) - $mF) / $sdF < CAST(0.43 AS DOUBLE) THEN 'b' " +
-          "ELSE 'c' END"
       s"""WITH day AS (
          |  SELECT l_shipdate AS day, CAST(SUM($CentsF) AS BIGINT) AS rev_c
          |  FROM lineitem GROUP BY 1),
@@ -1493,7 +1508,7 @@ object Analytics2 {
          |    SUM(CAST(rev_c AS HUGEINT) * rev_c) AS s2
          |  FROM day),
          |sym AS (
-         |  SELECT $symF AS sym,
+         |  SELECT $SaxSymF AS sym,
          |    ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn
          |  FROM day CROSS JOIN stats),
          |b AS (SELECT rn // 7 AS blk, rn % 7 AS pos, sym FROM sym),
@@ -1627,22 +1642,6 @@ object Analytics2 {
         |FROM w ORDER BY cym, m_since""".stripMargin,
 
     "q335_price_movers" -> {
-      val mv =
-        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
-          "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
-      val va =
-        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / " +
-          "CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
-          "CAST(n1 AS DOUBLE)"
-      val vb =
-        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / " +
-          "CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - CAST(1 AS DOUBLE)) / " +
-          "CAST(n2 AS DOUBLE)"
-      val tF =
-        s"CASE WHEN n1 <= 1 OR n2 <= 1 OR ($va) + ($vb) <= CAST(0 AS DOUBLE) " +
-          "THEN NULL ELSE " +
-          s"CAST(floor(abs(($mv) / sqrt(($va) + ($vb))) * " +
-          "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
       s"""WITH li AS (
          |  SELECT l_partkey,
          |    CASE WHEN year(l_shipdate) <= 1995 THEN 1 ELSE 2 END AS half,
@@ -1658,7 +1657,7 @@ object Analytics2 {
          |    b.n AS n2, b.s AS s2, b.q AS q2
          |  FROM h a JOIN h b ON a.l_partkey = b.l_partkey
          |    AND a.half = 1 AND b.half = 2),
-         |t AS (SELECT l_partkey, n1, n2, s1, s2, $tF AS t_micro FROM j)
+         |t AS (SELECT l_partkey, n1, n2, s1, s2, $WelchTF AS t_micro FROM j)
          |SELECT l_partkey, n1, n2, s1 // n1 AS mean1_c, s2 // n2 AS mean2_c,
          |  t_micro
          |FROM t WHERE t_micro IS NOT NULL
@@ -1769,12 +1768,6 @@ object Analytics2 {
     },
 
     "q339_stylometry" -> {
-      val muF = "CAST(sr AS DOUBLE) / CAST(ns AS DOUBLE)"
-      val sdF = s"sqrt(CAST(srr AS DOUBLE) / CAST(ns AS DOUBLE) - " +
-        s"($muF) * ($muF))"
-      def zF(r: String) =
-        s"CASE WHEN $sdF <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
-          s"ELSE (CAST($r AS DOUBLE) - $muF) / $sdF END"
       s"""WITH b AS (SELECT source, ${Du.tokens("text")} AS toks
          |  FROM documents),
          |tk AS (SELECT source, unnest(toks) AS t FROM b),
@@ -1806,7 +1799,7 @@ object Analytics2 {
          |  FROM z a JOIN z b ON a.t = b.t AND a.source < b.source),
          |q AS (
          |  SELECT src_a, src_b,
-         |    CAST(floor(abs((${zF("ra")}) - (${zF("rb")})) *
+         |    CAST(floor(abs((${styZF("ra")}) - (${styZF("rb")})) *
          |      CAST(1000000 AS DOUBLE)) AS BIGINT) AS zdiff
          |  FROM pr)
          |SELECT src_a, src_b, COUNT(*) AS n_tokens,
@@ -1855,10 +1848,10 @@ object Analytics2 {
         |  SELECT COUNT(*) AS nn, CAST(SUM(pos) AS BIGINT) AS pp FROM li),
         |terms AS (
         |  SELECT feature,
-        |    (n_g * n_g - pos_g * pos_g - (n_g - pos_g) * (n_g - pos_g))
-        |      * 1000000 // (n_g * nn) AS term_micro,
-        |    (nn * nn - pp * pp - (nn - pp) * (nn - pp)) * 1000000
-        |      // (nn * nn) AS before_micro
+        |    CAST(CAST(2 AS HUGEINT) * pos_g * (n_g - pos_g) * 1000000
+        |      // (CAST(n_g AS HUGEINT) * nn) AS BIGINT) AS term_micro,
+        |    CAST(CAST(2 AS HUGEINT) * pp * (nn - pp) * 1000000
+        |      // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS before_micro
         |  FROM groups CROSS JOIN tot),
         |g AS (
         |  SELECT feature, COUNT(*) AS n_groups,
@@ -2082,15 +2075,10 @@ object Analytics2 {
          |FROM u""".stripMargin,
 
     "q350_median_ci" -> {
-      val zsF = "CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
-      val loF = s"greatest(CAST(1 AS BIGINT), " +
-        s"CAST(floor((CAST(n AS DOUBLE) - $zsF) / CAST(2 AS DOUBLE)) AS BIGINT))"
-      val hiF = s"least(n, " +
-        s"CAST(ceil((CAST(n AS DOUBLE) + $zsF) / CAST(2 AS DOUBLE)) AS BIGINT) + 1)"
       s"""WITH base AS (
          |  SELECT event_type, event_id, $VMilliF AS vmilli FROM events),
          |tg AS (
-         |  SELECT event_type, n, $loF AS lo_rank, $hiF AS hi_rank
+         |  SELECT event_type, n, $CiLoF AS lo_rank, $CiHiF AS hi_rank
          |  FROM (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1)),
          |r AS (
          |  SELECT b.event_type, vmilli,
