@@ -242,8 +242,14 @@ object Analytics2 {
       lagged
         .join(fx.select(col("day").as("xday"), col("xn")), "xday")
         .groupBy("k")
+        // Σy² rides the DECIMAL(38,0) lane: daily dollar sums reach
+        // ~10⁸ at 10× sf0.1 and their squares sum past 2⁶³ (the 10×
+        // probe caught the BIGINT version overflowing); the value is
+        // only ever consumed through CAST(syy AS DOUBLE)
         .agg(count(lit(1)).as("n"), sum("xn").as("sx"), sum("yd").as("sy"),
-          sum(expr("xn * xn")).as("sxx"), sum(expr("yd * yd")).as("syy"),
+          sum(expr("xn * xn")).as("sxx"),
+          sum(expr("CAST(yd AS DECIMAL(19,0)) * CAST(yd AS DECIMAL(19,0))"))
+            .as("syy"),
           sum(expr("xn * yd")).as("sxy"))
         .withColumn("r_micro", expr(RMicroF))
         .select(col("k").cast("long").as("k"), col("n"), col("sx"),
@@ -949,16 +955,22 @@ object Analytics2 {
       val part = Window.partitionBy("w", "blk")
       val ordp = part.orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // second moments in the DECIMAL(38,0) lane (HUGEINT on the
+      // DuckDB side): at 10× sf0.1 daily dollars, w·Σv² and (Σv)²
+      // both clear 2⁶³ — the 10× probe caught the BIGINT version
+      val varI = "w * qq - CAST(ss AS DECIMAL(19,0)) * ss"
       val rsF =
-        "CASE WHEN cnt != w OR w * qq - ss * ss <= 0 THEN NULL ELSE " +
+        s"CASE WHEN cnt != w OR $varI <= 0 THEN NULL ELSE " +
           "CAST(floor(CAST(greatest(mx, CAST(0 AS BIGINT)) - " +
           "least(mn, CAST(0 AS BIGINT)) AS DOUBLE) / " +
-          "sqrt(CAST(w * qq - ss * ss AS DOUBLE)) * " +
+          s"sqrt(CAST($varI AS DOUBLE)) * " +
           "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
       ranked
         .withColumn("cum", sum("v").over(ordp))
         .withColumn("ss", sum("v").over(part))
-        .withColumn("qq", sum(expr("v * v")).over(part))
+        .withColumn("qq",
+          sum(expr("CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))"))
+            .over(part))
         .withColumn("cnt", count(lit(1)).over(part))
         .withColumn("nj", expr("w * cum - (pos + 1) * ss"))
         .groupBy("w", "blk")
@@ -1318,7 +1330,7 @@ object Analytics2 {
          |  SELECT k, COUNT(*) AS n,
          |    CAST(SUM(xn) AS BIGINT) AS sx, CAST(SUM(yd) AS BIGINT) AS sy,
          |    CAST(SUM(xn * xn) AS BIGINT) AS sxx,
-         |    CAST(SUM(yd * yd) AS BIGINT) AS syy,
+         |    SUM(yd * yd) AS syy,
          |    CAST(SUM(xn * yd) AS BIGINT) AS sxy
          |  FROM j GROUP BY 1)
          |SELECT k, n, sx, sy, sxy,
@@ -1912,7 +1924,7 @@ object Analytics2 {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS cum,
         |    CAST(SUM(v) OVER (PARTITION BY w, blk) AS BIGINT) AS ss,
-        |    CAST(SUM(v * v) OVER (PARTITION BY w, blk) AS BIGINT) AS qq,
+        |    SUM(v * v) OVER (PARTITION BY w, blk) AS qq,
         |    COUNT(*) OVER (PARTITION BY w, blk) AS cnt
         |  FROM e),
         |blkrows AS (
@@ -1925,10 +1937,11 @@ object Analytics2 {
         |  FROM blkrows GROUP BY 1, 2),
         |rs AS (
         |  SELECT w, blk,
-        |    CASE WHEN cnt != w OR w * qq - ss * ss <= 0 THEN NULL ELSE
+        |    CASE WHEN cnt != w
+        |        OR w * qq - CAST(ss AS HUGEINT) * ss <= 0 THEN NULL ELSE
         |      CAST(floor(CAST(greatest(mx, CAST(0 AS BIGINT)) -
         |        least(mn, CAST(0 AS BIGINT)) AS DOUBLE) /
-        |        sqrt(CAST(w * qq - ss * ss AS DOUBLE)) *
+        |        sqrt(CAST(w * qq - CAST(ss AS HUGEINT) * ss AS DOUBLE)) *
         |        CAST(1000000 AS DOUBLE)) AS BIGINT) END AS rs_micro
         |  FROM g)
         |SELECT CAST(w AS BIGINT) AS w, COUNT(*) AS n_blocks,
