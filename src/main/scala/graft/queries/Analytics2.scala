@@ -184,15 +184,15 @@ object Analytics2 {
 
     // Multi-resolution change-energy scan: the daily revenue series in
     // exact cents, cut into 8-day blocks, Haar-transformed — detail
-    // energy at three scales (day-pair, 2-day, 4-day) per block, all
-    // in PURE integer arithmetic (sums, differences, squares of
-    // cents — no floats anywhere). The day frame is
-    // bounded-cardinality (one row per calendar day) so its global
-    // row_number window is bounded by construction; everything below
-    // it is one map-side-combined rollup and one 8-way conditional
-    // pivot. HONEST CEILING: block detail² at ~10⁹ cents/day reaches
-    // ~10¹⁸ per term — past that the energy lanes move to
-    // DECIMAL(38,0).
+    // energy at three scales (day-pair, 2-day, 4-day) per block. The
+    // day frame is bounded-cardinality (one row per calendar day) so
+    // its global row_number window is bounded by construction;
+    // everything below it is one map-side-combined rollup and one
+    // 8-way conditional pivot. Squares of 4-day cent sums clear 2⁶³
+    // at ~10⁹ cents/day (the 10× probe caught the BIGINT version),
+    // so the energy lanes ride DECIMAL(38,0)/HUGEINT and surface as
+    // the exact integer's double rounding — identical on both
+    // engines at any magnitude.
     "q320_haar_energy" -> { (s, d) =>
       val day = Tables.lineitem(s, d)
         .groupBy(col("l_shipdate").as("day"))
@@ -210,12 +210,16 @@ object Analytics2 {
         .filter(col("n_days") === 8)
         .select(col("blk"), col("day_start"),
           expr("v0+v1+v2+v3+v4+v5+v6+v7").as("a_c"),
-          expr("(v0-v1)*(v0-v1) + (v2-v3)*(v2-v3) + (v4-v5)*(v4-v5) + " +
-            "(v6-v7)*(v6-v7)").as("e1_cc"),
-          expr("((v0+v1)-(v2+v3))*((v0+v1)-(v2+v3)) + " +
-            "((v4+v5)-(v6+v7))*((v4+v5)-(v6+v7))").as("e2_cc"),
-          expr("((v0+v1+v2+v3)-(v4+v5+v6+v7))*((v0+v1+v2+v3)-(v4+v5+v6+v7))")
-            .as("e3_cc"))
+          expr("CAST(CAST(v0-v1 AS DECIMAL(19,0)) * (v0-v1) + " +
+            "CAST(v2-v3 AS DECIMAL(19,0)) * (v2-v3) + " +
+            "CAST(v4-v5 AS DECIMAL(19,0)) * (v4-v5) + " +
+            "CAST(v6-v7 AS DECIMAL(19,0)) * (v6-v7) AS DOUBLE)").as("e1_cc"),
+          expr("CAST(CAST((v0+v1)-(v2+v3) AS DECIMAL(19,0)) * " +
+            "((v0+v1)-(v2+v3)) + " +
+            "CAST((v4+v5)-(v6+v7) AS DECIMAL(19,0)) * " +
+            "((v4+v5)-(v6+v7)) AS DOUBLE)").as("e2_cc"),
+          expr("CAST(CAST((v0+v1+v2+v3)-(v4+v5+v6+v7) AS DECIMAL(19,0)) * " +
+            "((v0+v1+v2+v3)-(v4+v5+v6+v7)) AS DOUBLE)").as("e3_cc"))
         .orderBy("blk")
     },
 
@@ -742,11 +746,15 @@ object Analytics2 {
     },
 
     // Decile-by-decile (QQ) shift of order value between the 1992-95
-    // and 1996-98 halves: type-1 deciles per half from ONE
-    // half-partitioned ranked window (the q241 identity at j/10),
-    // aligned into 9 (decile, before, after) rows by a 9-struct
-    // explode of the two one-row half frames. Relative shift in milli
-    // splits the sign before the division (shifts go both ways).
+    // and 1996-98 halves: type-1 deciles per half (the q241 identity
+    // at j/10), aligned into 9 (decile, before, after) rows by a
+    // 9-struct explode of the two one-row half frames. Relative shift
+    // in milli splits the sign before the division (shifts go both
+    // ways). Each half ranks through GlobalOrder's two-phase
+    // distributed row_number — a `partitionBy(half)` window has only
+    // TWO partitions, i.e. each task sorts half the table (the 10×
+    // probe measured that shape at 7.7×); two distributed rank
+    // passes beat one two-task sort at any real scale.
     "q338_qq_shift" -> { (s, d) =>
       val base = Tables.orders(s, d)
         .select(
@@ -755,13 +763,14 @@ object Analytics2 {
           col("o_orderkey"),
           expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("v"))
-      val ord = Window.partitionBy("half").orderBy(col("v"), col("o_orderkey"))
       val picks = (1 to 9).map(j =>
         max(when(expr(s"rn * 10 >= $j * n AND (rn - 1) * 10 < $j * n"),
           col("v"))).as(s"d$j"))
-      val halves = base
-        .withColumn("rn", row_number().over(ord).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("half")))
+      def ranked(h: Int): DataFrame =
+        graft.plans.GlobalOrder.withRowNumber(
+          base.filter(col("half") === h),
+          Seq(col("v"), col("o_orderkey")), col("v"), "rn", Some("n"))
+      val halves = ranked(1).unionByName(ranked(2))
         .groupBy("half")
         .agg(count(lit(1)).as("n_half"), picks: _*)
       val a = halves.filter(col("half") === 1)
@@ -1303,12 +1312,15 @@ object Analytics2 {
          |  FROM b GROUP BY 1)
          |SELECT blk, day_start,
          |  v0+v1+v2+v3+v4+v5+v6+v7 AS a_c,
-         |  (v0-v1)*(v0-v1) + (v2-v3)*(v2-v3) + (v4-v5)*(v4-v5) +
-         |    (v6-v7)*(v6-v7) AS e1_cc,
-         |  ((v0+v1)-(v2+v3))*((v0+v1)-(v2+v3)) +
-         |    ((v4+v5)-(v6+v7))*((v4+v5)-(v6+v7)) AS e2_cc,
-         |  ((v0+v1+v2+v3)-(v4+v5+v6+v7))*((v0+v1+v2+v3)-(v4+v5+v6+v7))
-         |    AS e3_cc
+         |  CAST(CAST(v0-v1 AS HUGEINT) * (v0-v1) +
+         |    CAST(v2-v3 AS HUGEINT) * (v2-v3) +
+         |    CAST(v4-v5 AS HUGEINT) * (v4-v5) +
+         |    CAST(v6-v7 AS HUGEINT) * (v6-v7) AS DOUBLE) AS e1_cc,
+         |  CAST(CAST((v0+v1)-(v2+v3) AS HUGEINT) * ((v0+v1)-(v2+v3)) +
+         |    CAST((v4+v5)-(v6+v7) AS HUGEINT) * ((v4+v5)-(v6+v7))
+         |    AS DOUBLE) AS e2_cc,
+         |  CAST(CAST((v0+v1+v2+v3)-(v4+v5+v6+v7) AS HUGEINT) *
+         |    ((v0+v1+v2+v3)-(v4+v5+v6+v7)) AS DOUBLE) AS e3_cc
          |FROM g WHERE n_days = 8 ORDER BY blk""".stripMargin,
 
     "q321_xcorr_lags" ->
