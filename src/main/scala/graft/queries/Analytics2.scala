@@ -1222,6 +1222,107 @@ object Analytics2 {
             "END"))
         .select("n_minutes", "n_hot_click", "n_hot_error", "n_both",
           "lift_milli")
+    },
+
+    // Two-sample Hodges–Lehmann location shift (click vs error
+    // values): the exact weighted median of ALL pairwise differences,
+    // computed WITHOUT materializing the n² pairs — both samples
+    // collapse to unit-quantized value histograms first, the
+    // difference distribution is the histogram cross product
+    // (|values|² cells, value-range-bounded — never row²), and the
+    // median pick is q210's unique-crossing-row predicate over the
+    // bounded difference spine. The histogram side broadcasts, so the
+    // pair pass is a BroadcastNestedLoopJoin over bounded frames.
+    "q352_hodges_lehmann" -> { (s, d) =>
+      val h = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_type"),
+          expr(s"$VMilliF div 1000").as("vu"))
+        .groupBy("event_type", "vu").agg(count(lit(1)).as("c"))
+      val h1 = h.filter(col("event_type") === "click")
+        .select(col("vu").as("v1"), col("c").as("c1"))
+      val h2 = h.filter(col("event_type") === "error")
+        .select(col("vu").as("v2"), col("c").as("c2"))
+      val diff = h1.join(broadcast(h2))
+        .select(expr("v1 - v2").as("d"), expr("c1 * c2").as("w"))
+        .groupBy("d").agg(sum("w").as("w"))
+      val run = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = diff.agg(sum("w").as("tw"), count(lit(1)).as("n_cells"))
+      diff
+        .withColumn("cw", sum("w").over(run))
+        .crossJoin(broadcast(tot))
+        .filter(col("cw") * 2 >= col("tw") &&
+          (col("cw") - col("w")) * 2 < col("tw"))
+        .select(col("d").as("hl_shift_unit"), col("cw"), col("tw"),
+          col("n_cells"))
+    },
+
+    // Theil–Sen robust trend of daily order volume: the exact median
+    // of all pairwise slopes over the calendar-bounded day frame —
+    // the day count is bounded, so the pair frame is bounded² (a few
+    // million rows), NOT row², and it ranks through GlobalOrder (a
+    // bare global sort of the slope frame would be the q338 mistake).
+    // Per-pair slopes floor-quantize with the sign split; the median
+    // is the type-1 lower-median identity over the distributed rank.
+    "q353_theil_sen" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x",
+          row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val a = day.select(col("x").as("xa"), col("y").as("ya"))
+      val b = day.select(col("x").as("xb"), col("y").as("yb"))
+      val slopes = a.join(broadcast(b), col("xa") < col("xb"))
+        .select(expr(
+          "CASE WHEN yb >= ya THEN (yb - ya) * 1000 div (xb - xa) " +
+            "ELSE -((ya - yb) * 1000 div (xb - xa)) END").as("sl"),
+          col("xa"), col("xb"))
+      val ranked = graft.plans.GlobalOrder.withRowNumber(
+        slopes, Seq(col("sl"), col("xa"), col("xb")), col("sl"),
+        "rn", Some("n"))
+      ranked
+        .filter(expr("rn * 2 >= n AND (rn - 1) * 2 < n"))
+        .select(col("sl").as("slope_milli_per_day"), col("rn"), col("n"))
+    },
+
+    // Mann–Kendall trend test on the same day frame: S = Σ sign
+    // pairs (exact integers from the bounded pair pass), tie-corrected
+    // variance n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18 as ONE integer
+    // numerator over the shared /18, and z in a single shared double
+    // text ending in floor (floor, unlike integer division, agrees on
+    // negatives across engines). Complements q353: direction +
+    // significance, same bounded substrate.
+    "q354_mann_kendall" -> { (s, d) =>
+      val zF =
+        "CASE WHEN var18 <= 0 THEN NULL " +
+          "WHEN s_stat > 0 THEN CAST(floor((CAST(s_stat AS DOUBLE) - " +
+          "CAST(1 AS DOUBLE)) / sqrt(CAST(var18 AS DOUBLE) / " +
+          "CAST(18 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) " +
+          "WHEN s_stat < 0 THEN CAST(floor((CAST(s_stat AS DOUBLE) + " +
+          "CAST(1 AS DOUBLE)) / sqrt(CAST(var18 AS DOUBLE) / " +
+          "CAST(18 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) " +
+          "ELSE 0 END"
+      val day = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x",
+          row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val a = day.select(col("x").as("xa"), col("y").as("ya"))
+      val b = day.select(col("x").as("xb"), col("y").as("yb"))
+      val pairs = a.join(broadcast(b), col("xa") < col("xb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CASE WHEN yb > ya THEN 1 ELSE 0 END")).as("n_up"),
+          sum(expr("CASE WHEN yb < ya THEN 1 ELSE 0 END")).as("n_down"))
+      val ties = day.groupBy("y").agg(count(lit(1)).as("t"))
+        .agg(count(lit(1)).as("n_levels"),
+          sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+      val nRow = day.agg(count(lit(1)).as("nd"))
+      pairs.crossJoin(broadcast(ties)).crossJoin(broadcast(nRow))
+        .withColumn("s_stat", expr("n_up - n_down"))
+        .withColumn("var18", expr("nd * (nd - 1) * (2 * nd + 5) - tie18"))
+        .withColumn("z_micro", expr(zF))
+        .select("nd", "n_pairs", "s_stat", "var18", "z_micro")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2156,5 +2257,81 @@ object Analytics2 {
         |  CASE WHEN n_hot_click = 0 OR n_hot_error = 0 THEN NULL
         |    ELSE n_both * n_minutes * 1000 // (n_hot_click * n_hot_error)
         |    END AS lift_milli
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+
+    "q352_hodges_lehmann" ->
+      s"""WITH h AS (
+         |  SELECT event_type, $VMilliF // 1000 AS vu, COUNT(*) AS c
+         |  FROM events WHERE event_type IN ('click', 'error')
+         |  GROUP BY 1, 2),
+         |h1 AS (SELECT vu AS v1, c AS c1 FROM h WHERE event_type = 'click'),
+         |h2 AS (SELECT vu AS v2, c AS c2 FROM h WHERE event_type = 'error'),
+         |diff AS (
+         |  SELECT v1 - v2 AS d, CAST(SUM(c1 * c2) AS BIGINT) AS w
+         |  FROM h1 CROSS JOIN h2 GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS n_cells
+         |  FROM diff),
+         |run AS (
+         |  SELECT d, w,
+         |    CAST(SUM(w) OVER (ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cw
+         |  FROM diff)
+         |SELECT d AS hl_shift_unit, cw, tw, n_cells
+         |FROM run CROSS JOIN tot
+         |WHERE cw * 2 >= tw AND (cw - w) * 2 < tw""".stripMargin,
+
+    "q353_theil_sen" ->
+      """WITH day AS (
+        |  SELECT o_orderdate AS day, COUNT(*) AS y FROM orders GROUP BY 1),
+        |dx AS (
+        |  SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS x FROM day),
+        |sl AS (
+        |  SELECT CASE WHEN b.y >= a.y
+        |      THEN (b.y - a.y) * 1000 // (b.x - a.x)
+        |      ELSE -((a.y - b.y) * 1000 // (b.x - a.x)) END AS sl,
+        |    a.x AS xa, b.x AS xb
+        |  FROM dx a JOIN dx b ON a.x < b.x),
+        |r AS (
+        |  SELECT sl,
+        |    ROW_NUMBER() OVER (ORDER BY sl, xa, xb) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM sl)
+        |SELECT sl AS slope_milli_per_day, rn, n
+        |FROM r WHERE rn * 2 >= n AND (rn - 1) * 2 < n""".stripMargin,
+
+    "q354_mann_kendall" -> {
+      val zF =
+        "CASE WHEN var18 <= 0 THEN NULL " +
+          "WHEN s_stat > 0 THEN CAST(floor((CAST(s_stat AS DOUBLE) - " +
+          "CAST(1 AS DOUBLE)) / sqrt(CAST(var18 AS DOUBLE) / " +
+          "CAST(18 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) " +
+          "WHEN s_stat < 0 THEN CAST(floor((CAST(s_stat AS DOUBLE) + " +
+          "CAST(1 AS DOUBLE)) / sqrt(CAST(var18 AS DOUBLE) / " +
+          "CAST(18 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) " +
+          "ELSE 0 END"
+      s"""WITH day AS (
+         |  SELECT o_orderdate AS day, COUNT(*) AS y FROM orders GROUP BY 1),
+         |dx AS (
+         |  SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS x FROM day),
+         |p AS (
+         |  SELECT COUNT(*) AS n_pairs,
+         |    CAST(SUM(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_up,
+         |    CAST(SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_down
+         |  FROM dx a JOIN dx b ON a.x < b.x),
+         |ties AS (
+         |  SELECT COUNT(*) AS n_levels,
+         |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+         |  FROM (SELECT y, COUNT(*) AS t FROM day GROUP BY 1)),
+         |nr AS (SELECT COUNT(*) AS nd FROM day),
+         |t AS (
+         |  SELECT nd, n_pairs, n_up - n_down AS s_stat,
+         |    nd * (nd - 1) * (2 * nd + 5) - tie18 AS var18
+         |  FROM p CROSS JOIN ties CROSS JOIN nr)
+         |SELECT nd, n_pairs, s_stat, var18, $zF AS z_micro
+         |FROM t""".stripMargin
+    })
 }
