@@ -1323,6 +1323,102 @@ object Analytics2 {
         .withColumn("var18", expr("nd * (nd - 1) * (2 * nd + 5) - tie18"))
         .withColumn("z_micro", expr(zF))
         .select("nd", "n_pairs", "s_stat", "var18", "z_micro")
+    },
+
+    // FK cardinality profile for the three fact edges — the join-
+    // planning prior (children per parent: min/max/mean) a 100 TB
+    // engine reads before choosing broadcast vs shuffle vs skew
+    // salting. One map-side aggregate per edge + a bounded union;
+    // parents with zero children are visible via the left join from
+    // the parent side (min_children = 0 rows count).
+    "q355_fk_cardinality" -> { (s, d) =>
+      def edge(tag: String, parent: DataFrame, pk: String,
+               child: DataFrame, fk: String): DataFrame = {
+        val cnt = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+        parent.select(col(pk).as("k")).distinct()
+          .join(cnt, Seq("k"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .agg(count(lit(1)).as("n_parents"),
+            sum(expr("CASE WHEN c = 0 THEN 1 ELSE 0 END")).as("n_childless"),
+            min("c").as("min_children"), max("c").as("max_children"),
+            sum("c").as("n_children"))
+          .withColumn("mean_children_milli",
+            expr("n_children * 1000 div n_parents"))
+          .select(lit(tag).as("edge"), col("n_parents"), col("n_childless"),
+            col("min_children"), col("max_children"), col("n_children"),
+            col("mean_children_milli"))
+      }
+      edge("customer->orders", Tables.customer(s, d), "c_custkey",
+          Tables.orders(s, d), "o_custkey")
+        .unionAll(edge("orders->lineitem", Tables.orders(s, d), "o_orderkey",
+          Tables.lineitem(s, d), "l_orderkey"))
+        .unionAll(edge("supplier->lineitem", Tables.supplier(s, d),
+          "s_suppkey", Tables.lineitem(s, d), "l_suppkey"))
+        .orderBy("edge")
+    },
+
+    // Time-to-first-purchase funnel: hours from each user's first
+    // 'signup' to their first 'purchase', log₂-bucketed, plus the
+    // never-converted count — the activation-latency distribution.
+    // Two min-aggregates (never a per-event window), one bounded
+    // bucket rollup; the bucket is binary-string length arithmetic
+    // (the q238 idiom), no log() call.
+    "q356_ttfp" -> { (s, d) =>
+      val firsts = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup",
+            expr("unix_micros(ts)"))).as("ts_s"),
+          min(when(col("event_type") === "purchase",
+            expr("unix_micros(ts)"))).as("ts_p"))
+        .filter(col("ts_s").isNotNull)
+      val conv = firsts
+        .filter(col("ts_p").isNotNull && col("ts_p") >= col("ts_s"))
+        .withColumn("hours", expr("(ts_p - ts_s) div 3600000000"))
+        .withColumn("bucket",
+          expr("CAST(length(bin(hours + 1)) AS BIGINT)"))
+      val tot = firsts.agg(count(lit(1)).as("n_signups"))
+      conv.groupBy("bucket")
+        .agg(count(lit(1)).as("n_users"), min("hours").as("min_hours"),
+          max("hours").as("max_hours"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_milli", expr("n_users * 1000 div n_signups"))
+        .select("bucket", "n_users", "min_hours", "max_hours", "n_signups",
+          "share_milli")
+        .orderBy("bucket")
+    },
+
+    // Seasonal-naive forecast backtest per brand: predict each
+    // month's revenue as the same month last year, score MAE (exact
+    // cents) and MAPE (milli, cross-multiplied per month then
+    // averaged as an integer mean) — the baseline every forecasting
+    // pipeline must beat, and the harness that scores it. One
+    // month×brand rollup + one self-join on the shifted month key.
+    "q358_seasonal_naive_backtest" -> { (s, d) =>
+      val by = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")
+            .as("ym"))
+        .agg(sum(expr(CentsF)).as("rev_c"))
+      by.select(col("p_brand"), col("ym"), col("rev_c"))
+        .join(by.select(col("p_brand"), (col("ym") + 100).as("ym"),
+          col("rev_c").as("pred_c")), Seq("p_brand", "ym"))
+        .withColumn("abs_err_c", expr("abs(rev_c - pred_c)"))
+        .withColumn("ape_milli", expr(
+          "CASE WHEN rev_c = 0 THEN NULL ELSE abs_err_c * 1000 div rev_c END"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_months"),
+          sum("abs_err_c").as("sum_abs_err_c"),
+          sum("ape_milli").as("sum_ape_milli"),
+          count("ape_milli").as("n_ape"))
+        .withColumn("mae_c", expr("sum_abs_err_c div n_months"))
+        .withColumn("mape_milli", expr(
+          "CASE WHEN n_ape = 0 THEN NULL ELSE sum_ape_milli div n_ape END"))
+        .select("p_brand", "n_months", "mae_c", "mape_milli")
+        .orderBy("p_brand")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2333,5 +2429,80 @@ object Analytics2 {
          |  FROM p CROSS JOIN ties CROSS JOIN nr)
          |SELECT nd, n_pairs, s_stat, var18, $zF AS z_micro
          |FROM t""".stripMargin
-    })
+    },
+
+    "q355_fk_cardinality" ->
+      """WITH e1 AS (
+        |  SELECT 'customer->orders' AS edge, p.k, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |  LEFT JOIN (SELECT o_custkey AS k, COUNT(*) AS c FROM orders
+        |             GROUP BY 1) c USING (k)),
+        |e2 AS (
+        |  SELECT 'orders->lineitem' AS edge, p.k, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |  LEFT JOIN (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem
+        |             GROUP BY 1) c USING (k)),
+        |e3 AS (
+        |  SELECT 'supplier->lineitem' AS edge, p.k, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |  LEFT JOIN (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem
+        |             GROUP BY 1) c USING (k)),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3)
+        |SELECT edge, COUNT(*) AS n_parents,
+        |  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_childless,
+        |  CAST(MIN(c) AS BIGINT) AS min_children,
+        |  CAST(MAX(c) AS BIGINT) AS max_children,
+        |  CAST(SUM(c) AS BIGINT) AS n_children,
+        |  CAST(SUM(c) AS BIGINT) * 1000 // COUNT(*) AS mean_children_milli
+        |FROM u GROUP BY 1 ORDER BY edge""".stripMargin,
+
+    "q356_ttfp" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup'
+        |      THEN epoch_us(ts::TIMESTAMP) END) AS ts_s,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts::TIMESTAMP) END) AS ts_p
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY 1),
+        |s AS (SELECT * FROM f WHERE ts_s IS NOT NULL),
+        |tot AS (SELECT COUNT(*) AS n_signups FROM s),
+        |conv AS (
+        |  SELECT (ts_p - ts_s) // 3600000000 AS hours
+        |  FROM s WHERE ts_p IS NOT NULL AND ts_p >= ts_s),
+        |b AS (
+        |  SELECT CAST(length(bin(hours + 1)) AS BIGINT) AS bucket, hours
+        |  FROM conv)
+        |SELECT bucket, COUNT(*) AS n_users,
+        |  CAST(MIN(hours) AS BIGINT) AS min_hours,
+        |  CAST(MAX(hours) AS BIGINT) AS max_hours,
+        |  n_signups,
+        |  COUNT(*) * 1000 // n_signups AS share_milli
+        |FROM b CROSS JOIN tot
+        |GROUP BY bucket, n_signups ORDER BY bucket""".stripMargin,
+
+    "q358_seasonal_naive_backtest" ->
+      """WITH by AS (
+        |  SELECT p_brand,
+        |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.p_brand, a.ym, a.rev_c, b.rev_c AS pred_c,
+        |    abs(a.rev_c - b.rev_c) AS abs_err_c,
+        |    CASE WHEN a.rev_c = 0 THEN NULL
+        |      ELSE abs(a.rev_c - b.rev_c) * 1000 // a.rev_c END AS ape_milli
+        |  FROM by a JOIN by b
+        |    ON a.p_brand = b.p_brand AND a.ym = b.ym + 100)
+        |SELECT p_brand, COUNT(*) AS n_months,
+        |  CAST(SUM(abs_err_c) AS BIGINT) // COUNT(*) AS mae_c,
+        |  CASE WHEN COUNT(ape_milli) = 0 THEN NULL
+        |    ELSE CAST(SUM(ape_milli) AS BIGINT) // COUNT(ape_milli) END
+        |    AS mape_milli
+        |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin)
 }
