@@ -1395,7 +1395,7 @@ object Analytics2 {
     // averaged as an integer mean) — the baseline every forecasting
     // pipeline must beat, and the harness that scores it. One
     // month×brand rollup + one self-join on the shifted month key.
-    "q358_seasonal_naive_backtest" -> { (s, d) =>
+    "q357_seasonal_naive_backtest" -> { (s, d) =>
       val by = Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
           col("l_partkey") === col("p_partkey"))
@@ -2483,7 +2483,7 @@ object Analytics2 {
         |FROM b CROSS JOIN tot
         |GROUP BY bucket, n_signups ORDER BY bucket""".stripMargin,
 
-    "q358_seasonal_naive_backtest" ->
+    "q357_seasonal_naive_backtest" ->
       """WITH by AS (
         |  SELECT p_brand,
         |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
