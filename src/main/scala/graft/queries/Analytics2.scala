@@ -1419,6 +1419,42 @@ object Analytics2 {
           "CASE WHEN n_ape = 0 THEN NULL ELSE sum_ape_milli div n_ape END"))
         .select("p_brand", "n_months", "mae_c", "mape_milli")
         .orderBy("p_brand")
+    },
+
+    // Two-sample Cramér–von Mises statistic (click vs error values):
+    // the INTEGRATED ECDF distance — where q95's KS sees only the
+    // worst point, CvM sums (F₁−F₂)² over every pooled observation.
+    // Fully exact: per-value counts, two GlobalOrder running sums for
+    // the cumulative lanes (a global ordered window would be the
+    // q338 mistake), and the statistic as ONE integer rational —
+    // Σ w·(cum₁·n₂ − cum₂·n₁)² over n₁·n₂·(n₁+n₂)², numerator in
+    // the DECIMAL(38,0)/HUGEINT lane (d² alone reaches ~10²³).
+    "q358_cramer_von_mises" -> { (s, d) =>
+      val vals = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .groupBy(expr(VMilliF).as("v"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("c2"))
+      val cum1 = graft.plans.GlobalOrder.withRunningSum(
+        vals, Seq(col("v")), col("v"), col("c1"), "cum1")
+      val cum = graft.plans.GlobalOrder.withRunningSum(
+        cum1, Seq(col("v")), col("v"), col("c2"), "cum2")
+      val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        count(lit(1)).as("n_values"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("dterm", expr(
+          "CAST(cum1 AS DECIMAL(19,0)) * n2 - CAST(cum2 AS DECIMAL(19,0)) * n1"))
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          max("n_values").as("n_values"),
+          sum(expr("dterm * dterm * (c1 + c2)")).as("num"))
+        .withColumn("t_micro", expr(
+          "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE " +
+            "CAST(num * 1000000 div (CAST(n1 AS DECIMAL(19,0)) * n2 * " +
+            "(n1 + n2) * (n1 + n2)) AS BIGINT) END"))
+        .select("n1", "n2", "n_values", "t_micro")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2504,5 +2540,41 @@ object Analytics2 {
         |  CASE WHEN COUNT(ape_milli) = 0 THEN NULL
         |    ELSE CAST(SUM(ape_milli) AS BIGINT) // COUNT(ape_milli) END
         |    AS mape_milli
-        |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin)
+        |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "q358_cramer_von_mises" ->
+      s"""WITH vals AS (
+         |  SELECT $VMilliF AS v,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c2
+         |  FROM events WHERE event_type IN ('click', 'error')
+         |  GROUP BY 1),
+         |cum AS (
+         |  SELECT v, c1, c2,
+         |    CAST(SUM(c1) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum1,
+         |    CAST(SUM(c2) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum2
+         |  FROM vals),
+         |tot AS (
+         |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2,
+         |    COUNT(*) AS n_values
+         |  FROM vals),
+         |agg AS (
+         |  SELECT n1, n2, n_values,
+         |    SUM((CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)
+         |      * (CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)
+         |      * (c1 + c2)) AS num
+         |  FROM cum CROSS JOIN tot
+         |  GROUP BY 1, 2, 3)
+         |SELECT n1, n2, n_values,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+         |    CAST(num * 1000000 // (CAST(n1 AS HUGEINT) * n2 *
+         |      (n1 + n2) * (n1 + n2)) AS BIGINT) END AS t_micro
+         |FROM agg""".stripMargin)
 }
