@@ -1455,6 +1455,106 @@ object Analytics2 {
             "CAST(num * 1000000 div (CAST(n1 AS DECIMAL(19,0)) * n2 * " +
             "(n1 + n2) * (n1 + n2)) AS BIGINT) END"))
         .select("n1", "n2", "n_values", "t_micro")
+    },
+
+    // Year-over-year revenue SHAPE similarity: each year's daily
+    // series becomes a ~365-symbol SAX string (q329's terciles,
+    // z-normalized against the GLOBAL moments so years are
+    // comparable), and consecutive years are compared by edit
+    // distance — "did the seasonal shape change", robust to level
+    // shifts by construction. The string assembles from
+    // sort-by-day arithmetic (array_sort on (day, sym) structs /
+    // ordered string_agg — deterministic on both engines, the q68
+    // levenshtein parity), and the whole query runs on the
+    // calendar-bounded day frame.
+    "q359_yearly_shape_distance" -> { (s, d) =>
+      val day = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(sum(expr(CentsF)).as("rev_c"))
+      val stats = day.agg(count(lit(1)).as("nd"), sum("rev_c").as("s1"),
+        sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
+          .as("s2"))
+      val words = day.crossJoin(broadcast(stats))
+        .withColumn("sym", expr(SaxSymF))
+        .groupBy(expr("CAST(year(day) AS BIGINT)").as("yr"))
+        .agg(count(lit(1)).as("len"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(day, sym))), x -> x.sym), '')").as("w"))
+      words.select(col("yr").as("year_a"), col("len").as("len_a"),
+          col("w").as("wa"))
+        .join(words.select((col("yr") - 1).as("year_a"),
+          col("yr").as("year_b"), col("len").as("len_b"), col("w").as("wb")),
+          "year_a")
+        .withColumn("lev", expr("CAST(levenshtein(wa, wb) AS BIGINT)"))
+        .withColumn("sim_milli", expr(
+          "(greatest(len_a, len_b) - lev) * 1000 div greatest(len_a, len_b)"))
+        .select("year_a", "year_b", "len_a", "len_b", "lev", "sim_milli")
+        .orderBy("year_a")
+    },
+
+    // Partial autocorrelation (lags 1–3) per event_type via
+    // Durbin–Levinson on EXACT moments: one type-partitioned ordered
+    // pass emits lag products AND the lag-boundary head/tail sums
+    // (non-circular series need them — r_k's cross term is
+    // m·(2S − head_k − tail_k), not 2mS), every sum an exact BIGINT,
+    // and the r₁→φ₃₃ recursion runs as stepwise DOUBLE columns whose
+    // defining text is identical on both engines. The AR-order
+    // diagnostic (PACF cutoff) without a single transcendental call.
+    "q360_pacf" -> { (s, d) =>
+      val mF = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
+      val c0F = "CAST(qv AS DOUBLE) - (CAST(sv AS DOUBLE) * " +
+        "CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE)"
+      def ckF(k: Int) =
+        s"CAST(p$k AS DOUBLE) - ($mF) * (CAST(2 AS DOUBLE) * " +
+          s"CAST(sv AS DOUBLE) - CAST(h$k AS DOUBLE) - CAST(t$k AS DOUBLE)) " +
+          s"+ CAST(n - $k AS DOUBLE) * ($mF) * ($mF)"
+      def rF(k: Int) =
+        s"CASE WHEN $c0F <= CAST(0 AS DOUBLE) THEN NULL " +
+          s"ELSE (${ckF(k)}) / ($c0F) END"
+      val phi22F =
+        "CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 = CAST(0 AS DOUBLE) " +
+          "THEN NULL ELSE (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1) END"
+      val phi21F = "r1 * (CAST(1 AS DOUBLE) - phi22)"
+      val phi33F =
+        "CASE WHEN CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2 = " +
+          "CAST(0 AS DOUBLE) THEN NULL " +
+          "ELSE (r3 - phi21 * r2 - phi22 * r1) / " +
+          "(CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2) END"
+      def micro(c: String) =
+        s"CASE WHEN $c IS NULL THEN NULL " +
+          s"ELSE CAST(floor($c * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("tsu"), col("event_id"))
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("v", expr(VMilliF))
+      val lagged = (1 to 3).foldLeft(e) { (df, k) =>
+        df.withColumn(s"v_$k", lag("v", k).over(ord))
+      }
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("nn",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+      val aggCols = Seq(sum(col("v")).as("sv"),
+        sum(expr("v * v")).as("qv")) ++
+        (1 to 3).flatMap(k => Seq(
+          sum(expr(s"v * v_$k")).as(s"p$k"),
+          sum(when(expr(s"rn <= $k"), col("v")).otherwise(0L)).as(s"h$k"),
+          sum(when(expr(s"rn > nn - $k"), col("v")).otherwise(0L))
+            .as(s"t$k")))
+      val sums = lagged.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+      sums
+        .withColumn("r1", expr(rF(1)))
+        .withColumn("r2", expr(rF(2)))
+        .withColumn("r3", expr(rF(3)))
+        .withColumn("phi22", expr(phi22F))
+        .withColumn("phi21", expr(phi21F))
+        .withColumn("phi33", expr(phi33F))
+        .select(col("event_type"), col("n"),
+          expr(micro("r1")).as("pacf1_micro"),
+          expr(micro("phi22")).as("pacf2_micro"),
+          expr(micro("phi33")).as("pacf3_micro"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2576,5 +2676,91 @@ object Analytics2 {
          |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
          |    CAST(num * 1000000 // (CAST(n1 AS HUGEINT) * n2 *
          |      (n1 + n2) * (n1 + n2)) AS BIGINT) END AS t_micro
-         |FROM agg""".stripMargin)
+         |FROM agg""".stripMargin,
+
+    "q359_yearly_shape_distance" ->
+      s"""WITH day AS (
+         |  SELECT l_shipdate AS day,
+         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev_c
+         |  FROM lineitem GROUP BY 1),
+         |stats AS (
+         |  SELECT COUNT(*) AS nd, CAST(SUM(rev_c) AS BIGINT) AS s1,
+         |    SUM(CAST(rev_c AS HUGEINT) * rev_c) AS s2
+         |  FROM day),
+         |sym AS (
+         |  SELECT CAST(year(day) AS BIGINT) AS yr, day, $SaxSymF AS sym
+         |  FROM day CROSS JOIN stats),
+         |words AS (
+         |  SELECT yr, COUNT(*) AS len,
+         |    string_agg(sym, '' ORDER BY day) AS w
+         |  FROM sym GROUP BY 1)
+         |SELECT a.yr AS year_a, b.yr AS year_b,
+         |  a.len AS len_a, b.len AS len_b,
+         |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev,
+         |  (greatest(a.len, b.len) - CAST(levenshtein(a.w, b.w) AS BIGINT))
+         |    * 1000 // greatest(a.len, b.len) AS sim_milli
+         |FROM words a JOIN words b ON b.yr = a.yr + 1
+         |ORDER BY year_a""".stripMargin,
+
+    "q360_pacf" -> {
+      val mF = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
+      val c0F = "CAST(qv AS DOUBLE) - (CAST(sv AS DOUBLE) * " +
+        "CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE)"
+      def ckF(k: Int) =
+        s"CAST(p$k AS DOUBLE) - ($mF) * (CAST(2 AS DOUBLE) * " +
+          s"CAST(sv AS DOUBLE) - CAST(h$k AS DOUBLE) - CAST(t$k AS DOUBLE)) " +
+          s"+ CAST(n - $k AS DOUBLE) * ($mF) * ($mF)"
+      def rF(k: Int) =
+        s"CASE WHEN $c0F <= CAST(0 AS DOUBLE) THEN NULL " +
+          s"ELSE (${ckF(k)}) / ($c0F) END"
+      val phi22F =
+        "CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 = CAST(0 AS DOUBLE) " +
+          "THEN NULL ELSE (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1) END"
+      val phi21F = "r1 * (CAST(1 AS DOUBLE) - phi22)"
+      val phi33F =
+        "CASE WHEN CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2 = " +
+          "CAST(0 AS DOUBLE) THEN NULL " +
+          "ELSE (r3 - phi21 * r2 - phi22 * r1) / " +
+          "(CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2) END"
+      def micro(c: String) =
+        s"CASE WHEN $c IS NULL THEN NULL " +
+          s"ELSE CAST(floor($c * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+      val sumArms = (1 to 3).map(k =>
+        s"CAST(SUM(v * v_$k) AS BIGINT) AS p$k,\n" +
+          s"        |    CAST(SUM(CASE WHEN rn <= $k THEN v ELSE 0 END) " +
+          s"AS BIGINT) AS h$k,\n" +
+          s"        |    CAST(SUM(CASE WHEN rn > nn - $k THEN v ELSE 0 END) " +
+          s"AS BIGINT) AS t$k").mkString(",\n        |    ")
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS tsu,
+         |    $VMilliF AS v
+         |  FROM events),
+         |l AS (
+         |  SELECT event_type, v,
+         |    LAG(v, 1) OVER w AS v_1, LAG(v, 2) OVER w AS v_2,
+         |    LAG(v, 3) OVER w AS v_3,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id)),
+         |sums AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(v) AS BIGINT) AS sv,
+         |    CAST(SUM(v * v) AS BIGINT) AS qv,
+         |    $sumArms
+         |  FROM l GROUP BY 1),
+         |r AS (
+         |  SELECT event_type, n, ${rF(1)} AS r1, ${rF(2)} AS r2,
+         |    ${rF(3)} AS r3
+         |  FROM sums),
+         |p2 AS (SELECT *, $phi22F AS phi22 FROM r),
+         |p1 AS (SELECT *, $phi21F AS phi21 FROM p2),
+         |p3 AS (SELECT *, $phi33F AS phi33 FROM p1)
+         |SELECT event_type, n,
+         |  ${micro("r1")} AS pacf1_micro,
+         |  ${micro("phi22")} AS pacf2_micro,
+         |  ${micro("phi33")} AS pacf3_micro
+         |FROM p3 ORDER BY event_type""".stripMargin
+    })
 }
