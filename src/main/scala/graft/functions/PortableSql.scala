@@ -134,6 +134,35 @@ final case class SqlDialect(spark: Boolean) {
 
   def toDbl(e: String): String = s"CAST($e AS DOUBLE)"
 
+  /** Portable wide-integer→DOUBLE for NON-NEGATIVE DECIMAL(38,0) /
+    * HUGEINT lanes. DuckDB's HUGEINT→DOUBLE cast is NOT correctly
+    * rounded above 2⁶⁴ (it splits into 64-bit halves and rounds
+    * twice — ~11% of integers in [2⁶⁴, 2⁶⁶) convert differently from
+    * the JVM's correctly-rounded BigDecimal cast), so `CAST(wide AS
+    * DOUBLE)` silently breaks bit-exactness exactly where the wide
+    * lanes matter. The one conversion both engines agree on is
+    * BIGINT→DOUBLE: values < 2⁶² take it directly (exact-int cast,
+    * correctly rounded once on both engines); wider values floor-
+    * scale by a power of two FIRST (exact integer division on both
+    * engines), convert as BIGINT, and rescale by an exactly-
+    * representable power-of-two double. The result is deterministic
+    * and engine-identical at every magnitude; above 2⁶² it is the
+    * true value quantized to 2⁴⁰ (2⁸⁰ above 2¹⁰²) — at those
+    * magnitudes double precision itself is coarser or comparable.
+    */
+  def wideToDouble(e: String): String = {
+    val t1 = "4611686018427387904" // 2^62
+    val d1 = "1099511627776" // 2^40
+    val t2 = "5070602400912917605986812821504" // 2^102
+    val d2 = "1208925819614629174706176" // 2^80
+    s"CASE WHEN ($e) < $t1 THEN CAST(CAST(($e) AS BIGINT) AS DOUBLE) " +
+      s"WHEN ($e) < $t2 THEN " +
+      s"CAST(CAST(${intDiv(s"($e)", d1)} AS BIGINT) AS DOUBLE) * " +
+      s"CAST($d1 AS DOUBLE) " +
+      s"ELSE CAST(CAST(${intDiv(s"($e)", d2)} AS BIGINT) AS DOUBLE) * " +
+      s"CAST($d2 AS DOUBLE) END"
+  }
+
   // ---- composite fragments ----------------------------------------
 
   /** k-token shingles joined by single spaces; empty when < k tokens. */

@@ -77,7 +77,10 @@ private[plans] case class BucketOfSorted(child: Expression, bounds: Array[Double
   * orders likewise need a caller-side monotone transform. Current
   * call sites (all non-null keys): q85/q100 quality ranks, q104 sweep
   * prefix sum, q131 exact quantile ranks, q166 equi-depth, q87/q179
-  * vocab ranks via negation, and FrameOps.withRowCount.
+  * vocab ranks via negation, FrameOps.withRowCount, q203/q208/q210/
+  * q252/q263/q266/q276/q279/q296/q303/q313 rank/cumulative lanes,
+  * q338 per-half decile ranks, q353 pair-slope median rank, and
+  * q358's paired running sums (withRunningSums).
   *
   * At 100 TB: phase 1+2 are map-side-combined aggregates (tiny
   * shuffles), phase 3 shuffles the data once on the bucket id into
@@ -262,27 +265,48 @@ object GlobalOrder {
     * all earlier buckets.
     */
   def withRunningSum(df0: DataFrame, order: Seq[Column], bucketBy: Column,
-                     value: Column, name: String, buckets: Int = 64): DataFrame = {
+                     value: Column, name: String, buckets: Int = 64): DataFrame =
+    withRunningSums(df0, order, bucketBy, Seq(value -> name), buckets)
+
+  /** Several running sums over ONE ordering in ONE pass: the bucket
+    * probe, the per-bucket offset job, and the partitioned window are
+    * all shared across the value columns (q358 needs two cumulative
+    * lanes over the same spine — two sequential [[withRunningSum]]
+    * calls would double every phase and pin an intermediate frame).
+    */
+  def withRunningSums(df0: DataFrame, order: Seq[Column], bucketBy: Column,
+                      values: Seq[(Column, String)],
+                      buckets: Int = 64): DataFrame = {
     val df = pinned(df0)
     val bd = bucketBy.cast(DoubleType)
     boundaries(df, bd, buckets) match {
       case None =>
         val w = Window.orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        df.withColumn(name, sum(value.cast("long")).over(w))
+        values.foldLeft(df) { case (acc, (value, name)) =>
+          acc.withColumn(name, sum(value.cast("long")).over(w))
+        }
       case Some(bounds) =>
         val tagged = df.withColumn(BucketCol, bucketOf(bd, bounds))
-        val perBucket = tagged.groupBy(BucketCol)
-          .agg(sum(value.cast("long")).as("s")).collect()
-          // an all-null bucket sums to SQL NULL → contributes 0 to the
-          // running total, matching the window sum's null-skipping
-          .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
-        val (off, _) = offsetExpr(perBucket)
+        val perBucketRows = tagged.groupBy(BucketCol)
+          .agg(sum(values.head._1.cast("long")).as("s0"),
+            values.zipWithIndex.tail.map { case ((v, _), i) =>
+              sum(v.cast("long")).as(s"s$i") }: _*)
+          .collect()
         val w = Window.partitionBy(BucketCol).orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tagged
-          .withColumn(name, sum(value.cast("long")).over(w) + off)
-          .drop(BucketCol)
+        val withCols = values.zipWithIndex.foldLeft(tagged) {
+          case (acc, ((value, name), i)) =>
+            val perBucket = perBucketRows
+              // an all-null bucket sums to SQL NULL → contributes 0 to
+              // the running total, matching the window sum's
+              // null-skipping
+              .map(r => r.getInt(0) ->
+                (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))).toSeq
+            val (off, _) = offsetExpr(perBucket)
+            acc.withColumn(name, sum(value.cast("long")).over(w) + off)
+        }
+        withCols.drop(BucketCol)
     }
   }
 }

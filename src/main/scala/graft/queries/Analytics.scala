@@ -331,9 +331,11 @@ object Analytics {
           sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
             .over(w))
         .withColumn("m", expr("CAST(s1 AS DOUBLE) / CAST(n_win AS DOUBLE)"))
+        // s2 surfaces via the portable wide→double (DuckDB HUGEINT
+        // casts double-round above 2⁶⁴; see SqlDialect.wideToDouble)
         .withColumn("sd", expr(
           "sqrt(greatest(CAST(0 AS DOUBLE), " +
-            "CAST(s2 AS DOUBLE) / CAST(n_win AS DOUBLE) - m * m))"))
+            s"${Sp.wideToDouble("s2")} / CAST(n_win AS DOUBLE) - m * m))"))
         .withColumn("breach", expr(
           "CASE WHEN n_win < 7 THEN NULL " +
             "WHEN CAST(rev_c AS DOUBLE) > m + 2 * sd THEN 1 " +
@@ -511,8 +513,10 @@ object Analytics {
           sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
             .as("s2"))
         .crossJoin(broadcast(top4))
+        // Σ share² surfaces through the portable wide→double (DuckDB's
+        // HUGEINT→DOUBLE double-rounds above 2⁶⁴; see SqlDialect)
         .withColumn("hhi_micro", expr(
-          "CAST(floor(CAST(s2 AS DOUBLE) * CAST(1000000 AS DOUBLE) / " +
+          s"CAST(floor(${Sp.wideToDouble("s2")} * CAST(1000000 AS DOUBLE) / " +
             "(CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))) AS BIGINT)"))
         .withColumn("cr4_milli", expr("top4_c * 1000 div tot_c"))
         .select("n_suppliers", "tot_c", "hhi_micro", "cr4_milli")
@@ -1033,7 +1037,7 @@ object Analytics {
         |ORDER BY lang, source""".stripMargin,
 
     "q298_bollinger" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
         |      AS BIGINT)) AS BIGINT) AS rev_c
@@ -1051,7 +1055,7 @@ object Analytics {
         |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n_win AS DOUBLE) AS m FROM w),
         |w3 AS (
         |  SELECT *, sqrt(greatest(CAST(0 AS DOUBLE),
-        |    CAST(s2 AS DOUBLE) / CAST(n_win AS DOUBLE) - m * m)) AS sd
+        |    ${Du.wideToDouble("s2")} / CAST(n_win AS DOUBLE) - m * m)) AS sd
         |  FROM w2)
         |SELECT day, rev_c, n_win, m, sd,
         |  CAST(CASE WHEN n_win < 7 THEN NULL
@@ -1179,7 +1183,7 @@ object Analytics {
         |ORDER BY cls""".stripMargin,
 
     "q304_herfindahl" ->
-      """WITH rev AS (
+      s"""WITH rev AS (
         |  SELECT l_suppkey AS sk,
         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
         |      AS BIGINT)) AS BIGINT) AS rev_c
@@ -1193,7 +1197,7 @@ object Analytics {
         |      AS s2
         |  FROM rev)
         |SELECT n_suppliers, tot_c,
-        |  CAST(floor(CAST(s2 AS DOUBLE) * CAST(1000000 AS DOUBLE) /
+        |  CAST(floor(${Du.wideToDouble("s2")} * CAST(1000000 AS DOUBLE) /
         |    (CAST(tot_c AS DOUBLE) * CAST(tot_c AS DOUBLE))) AS BIGINT)
         |    AS hhi_micro,
         |  top4_c * 1000 // tot_c AS cr4_milli

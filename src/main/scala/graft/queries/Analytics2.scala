@@ -62,14 +62,20 @@ object Analytics2 {
   // the Spark query and the DuckDB oracle — the RMicroF discipline;
   // a second copy is how bit-exactness silently dies) --------------
 
-  /** q329's z-normalized SAX symbol over (rev_c, s1, s2, nd). */
+  /** q329/q359's z-normalized SAX symbol over (rev_c, s1, s2, nd) —
+    * dialect-aware because s2 (the DECIMAL/HUGEINT second moment)
+    * must surface through the portable wide→double (DuckDB's
+    * HUGEINT→DOUBLE cast double-rounds above 2⁶⁴); everything else
+    * in the text is engine-identical.
+    */
   private val SaxMF = "CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)"
-  private val SaxSdF =
-    s"sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) - ($SaxMF) * ($SaxMF))"
-  private val SaxSymF =
-    s"CASE WHEN $SaxSdF <= CAST(0 AS DOUBLE) THEN 'b' " +
-      s"WHEN (CAST(rev_c AS DOUBLE) - $SaxMF) / $SaxSdF < CAST(-0.43 AS DOUBLE) THEN 'a' " +
-      s"WHEN (CAST(rev_c AS DOUBLE) - $SaxMF) / $SaxSdF < CAST(0.43 AS DOUBLE) THEN 'b' " +
+  private def saxSdF(dl: graft.functions.SqlDialect) =
+    s"sqrt(${dl.wideToDouble("s2")} / CAST(nd AS DOUBLE) - " +
+      s"($SaxMF) * ($SaxMF))"
+  private def saxSymF(dl: graft.functions.SqlDialect) =
+    s"CASE WHEN ${saxSdF(dl)} <= CAST(0 AS DOUBLE) THEN 'b' " +
+      s"WHEN (CAST(rev_c AS DOUBLE) - $SaxMF) / ${saxSdF(dl)} < CAST(-0.43 AS DOUBLE) THEN 'a' " +
+      s"WHEN (CAST(rev_c AS DOUBLE) - $SaxMF) / ${saxSdF(dl)} < CAST(0.43 AS DOUBLE) THEN 'b' " +
       "ELSE 'c' END"
 
   /** q335's Welch-t over (n1, s1, q1, n2, s2, q2), micro-quantized. */
@@ -97,6 +103,35 @@ object Analytics2 {
   private def styZF(r: String): String =
     s"CASE WHEN $StySdF <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
       s"ELSE (CAST($r AS DOUBLE) - $StyMuF) / $StySdF END"
+
+  /** q360's Durbin–Levinson family over (n, sv, qv, p_k, h_k, t_k) —
+    * dialect-aware because the second-moment lanes (qv, p_k) ride
+    * DECIMAL(38,0)/HUGEINT and must surface through the portable
+    * wide→double. All inputs non-negative by construction.
+    */
+  private val PacfMF = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
+  private def pacfC0F(dl: graft.functions.SqlDialect) =
+    s"${dl.wideToDouble("qv")} - (CAST(sv AS DOUBLE) * " +
+      "CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE)"
+  private def pacfCkF(dl: graft.functions.SqlDialect, k: Int) =
+    s"${dl.wideToDouble(s"p$k")} - ($PacfMF) * (CAST(2 AS DOUBLE) * " +
+      s"CAST(sv AS DOUBLE) - CAST(h$k AS DOUBLE) - CAST(t$k AS DOUBLE)) " +
+      s"+ CAST(n - $k AS DOUBLE) * ($PacfMF) * ($PacfMF)"
+  private def pacfRF(dl: graft.functions.SqlDialect, k: Int) =
+    s"CASE WHEN ${pacfC0F(dl)} <= CAST(0 AS DOUBLE) THEN NULL " +
+      s"ELSE (${pacfCkF(dl, k)}) / (${pacfC0F(dl)}) END"
+  private val Phi22F =
+    "CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 = CAST(0 AS DOUBLE) " +
+      "THEN NULL ELSE (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1) END"
+  private val Phi21F = "r1 * (CAST(1 AS DOUBLE) - phi22)"
+  private val Phi33F =
+    "CASE WHEN CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2 = " +
+      "CAST(0 AS DOUBLE) THEN NULL " +
+      "ELSE (r3 - phi21 * r2 - phi22 * r1) / " +
+      "(CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2) END"
+  private def pacfMicroF(c: String) =
+    s"CASE WHEN $c IS NULL THEN NULL " +
+      s"ELSE CAST(floor($c * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
 
   /** q350's binomial order-statistic rank targets over n. */
   private val CiZsF = "CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))"
@@ -253,8 +288,13 @@ object Analytics2 {
         .agg(count(lit(1)).as("n"), sum("xn").as("sx"), sum("yd").as("sy"),
           sum(expr("xn * xn")).as("sxx"),
           sum(expr("CAST(yd AS DECIMAL(19,0)) * CAST(yd AS DECIMAL(19,0))"))
-            .as("syy"),
+            .as("syy_w"),
           sum(expr("xn * yd")).as("sxy"))
+        // the wide moment surfaces ONCE through the portable
+        // wide→double; RMicroF's CAST(syy AS DOUBLE) is then an
+        // identity on an already-double column on both engines
+        .withColumn("syy", expr(
+          graft.functions.PortableSql.Spark.wideToDouble("syy_w")))
         .withColumn("r_micro", expr(RMicroF))
         .select(col("k").cast("long").as("k"), col("n"), col("sx"),
           col("sy"), col("sxy"), col("r_micro"))
@@ -507,7 +547,7 @@ object Analytics2 {
         sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
           .as("s2"))
       val sym = day.crossJoin(broadcast(stats))
-        .withColumn("sym", expr(SaxSymF))
+        .withColumn("sym", expr(saxSymF(graft.functions.PortableSql.Spark)))
         .withColumn("rn",
           row_number().over(Window.orderBy(col("day"))).cast("long") - 1)
         .withColumn("blk", expr("rn div 7"))
@@ -972,7 +1012,7 @@ object Analytics2 {
         s"CASE WHEN cnt != w OR $varI <= 0 THEN NULL ELSE " +
           "CAST(floor(CAST(greatest(mx, CAST(0 AS BIGINT)) - " +
           "least(mn, CAST(0 AS BIGINT)) AS DOUBLE) / " +
-          s"sqrt(CAST($varI AS DOUBLE)) * " +
+          s"sqrt(${graft.functions.PortableSql.Spark.wideToDouble(varI)}) * " +
           "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
       ranked
         .withColumn("cum", sum("v").over(ordp))
@@ -1438,10 +1478,11 @@ object Analytics2 {
             .as("c1"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L))
             .as("c2"))
-      val cum1 = graft.plans.GlobalOrder.withRunningSum(
-        vals, Seq(col("v")), col("v"), col("c1"), "cum1")
-      val cum = graft.plans.GlobalOrder.withRunningSum(
-        cum1, Seq(col("v")), col("v"), col("c2"), "cum2")
+      // both cumulative lanes in ONE GlobalOrder pass — shared bucket
+      // probe, shared offsets, shared window
+      val cum = graft.plans.GlobalOrder.withRunningSums(
+        vals, Seq(col("v")), col("v"),
+        Seq(col("c1") -> "cum1", col("c2") -> "cum2"))
       val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"),
         count(lit(1)).as("n_values"))
       cum.crossJoin(broadcast(tot))
@@ -1454,6 +1495,9 @@ object Analytics2 {
           "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE " +
             "CAST(num * 1000000 div (CAST(n1 AS DECIMAL(19,0)) * n2 * " +
             "(n1 + n2) * (n1 + n2)) AS BIGINT) END"))
+        // empty input: the oracle's grouped aggregate emits 0 rows; an
+        // ungrouped Spark agg would emit one all-NULL row — align
+        .filter(col("n_values").isNotNull)
         .select("n1", "n2", "n_values", "t_micro")
     },
 
@@ -1475,7 +1519,7 @@ object Analytics2 {
         sum(expr("CAST(rev_c AS DECIMAL(19,0)) * CAST(rev_c AS DECIMAL(19,0))"))
           .as("s2"))
       val words = day.crossJoin(broadcast(stats))
-        .withColumn("sym", expr(SaxSymF))
+        .withColumn("sym", expr(saxSymF(graft.functions.PortableSql.Spark)))
         .groupBy(expr("CAST(year(day) AS BIGINT)").as("yr"))
         .agg(count(lit(1)).as("len"),
           expr("array_join(transform(array_sort(collect_list(" +
@@ -1501,28 +1545,7 @@ object Analytics2 {
     // defining text is identical on both engines. The AR-order
     // diagnostic (PACF cutoff) without a single transcendental call.
     "q360_pacf" -> { (s, d) =>
-      val mF = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
-      val c0F = "CAST(qv AS DOUBLE) - (CAST(sv AS DOUBLE) * " +
-        "CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE)"
-      def ckF(k: Int) =
-        s"CAST(p$k AS DOUBLE) - ($mF) * (CAST(2 AS DOUBLE) * " +
-          s"CAST(sv AS DOUBLE) - CAST(h$k AS DOUBLE) - CAST(t$k AS DOUBLE)) " +
-          s"+ CAST(n - $k AS DOUBLE) * ($mF) * ($mF)"
-      def rF(k: Int) =
-        s"CASE WHEN $c0F <= CAST(0 AS DOUBLE) THEN NULL " +
-          s"ELSE (${ckF(k)}) / ($c0F) END"
-      val phi22F =
-        "CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 = CAST(0 AS DOUBLE) " +
-          "THEN NULL ELSE (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1) END"
-      val phi21F = "r1 * (CAST(1 AS DOUBLE) - phi22)"
-      val phi33F =
-        "CASE WHEN CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2 = " +
-          "CAST(0 AS DOUBLE) THEN NULL " +
-          "ELSE (r3 - phi21 * r2 - phi22 * r1) / " +
-          "(CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2) END"
-      def micro(c: String) =
-        s"CASE WHEN $c IS NULL THEN NULL " +
-          s"ELSE CAST(floor($c * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+      val Sp = graft.functions.PortableSql.Spark
       val ord = Window.partitionBy("event_type")
         .orderBy(col("tsu"), col("event_id"))
       val e = Tables.events(s, d)
@@ -1534,26 +1557,28 @@ object Analytics2 {
         .withColumn("rn", row_number().over(ord).cast("long"))
         .withColumn("nn",
           count(lit(1)).over(Window.partitionBy("event_type")))
+      // second moments in the DECIMAL(38,0) lane (Σv² crosses 2⁶³ at
+      // ~2·10⁹ events per type in milli units — the q321/q344 class)
       val aggCols = Seq(sum(col("v")).as("sv"),
-        sum(expr("v * v")).as("qv")) ++
+        sum(expr("CAST(v AS DECIMAL(19,0)) * v")).as("qv")) ++
         (1 to 3).flatMap(k => Seq(
-          sum(expr(s"v * v_$k")).as(s"p$k"),
+          sum(expr(s"CAST(v AS DECIMAL(19,0)) * v_$k")).as(s"p$k"),
           sum(when(expr(s"rn <= $k"), col("v")).otherwise(0L)).as(s"h$k"),
           sum(when(expr(s"rn > nn - $k"), col("v")).otherwise(0L))
             .as(s"t$k")))
       val sums = lagged.groupBy("event_type")
         .agg(count(lit(1)).as("n"), aggCols: _*)
       sums
-        .withColumn("r1", expr(rF(1)))
-        .withColumn("r2", expr(rF(2)))
-        .withColumn("r3", expr(rF(3)))
-        .withColumn("phi22", expr(phi22F))
-        .withColumn("phi21", expr(phi21F))
-        .withColumn("phi33", expr(phi33F))
+        .withColumn("r1", expr(pacfRF(Sp, 1)))
+        .withColumn("r2", expr(pacfRF(Sp, 2)))
+        .withColumn("r3", expr(pacfRF(Sp, 3)))
+        .withColumn("phi22", expr(Phi22F))
+        .withColumn("phi21", expr(Phi21F))
+        .withColumn("phi33", expr(Phi33F))
         .select(col("event_type"), col("n"),
-          expr(micro("r1")).as("pacf1_micro"),
-          expr(micro("phi22")).as("pacf2_micro"),
-          expr(micro("phi33")).as("pacf3_micro"))
+          expr(pacfMicroF("r1")).as("pacf1_micro"),
+          expr(pacfMicroF("phi22")).as("pacf2_micro"),
+          expr(pacfMicroF("phi33")).as("pacf3_micro"))
         .orderBy("event_type")
     })
 
@@ -1675,12 +1700,16 @@ object Analytics2 {
          |  SELECT k, COUNT(*) AS n,
          |    CAST(SUM(xn) AS BIGINT) AS sx, CAST(SUM(yd) AS BIGINT) AS sy,
          |    CAST(SUM(xn * xn) AS BIGINT) AS sxx,
-         |    SUM(yd * yd) AS syy,
+         |    SUM(yd * yd) AS syy_w,
          |    CAST(SUM(xn * yd) AS BIGINT) AS sxy
-         |  FROM j GROUP BY 1)
+         |  FROM j GROUP BY 1),
+         |a2 AS (
+         |  SELECT k, n, sx, sy, sxx, sxy,
+         |    ${Du.wideToDouble("syy_w")} AS syy
+         |  FROM a)
          |SELECT k, n, sx, sy, sxy,
          |  $RMicroF AS r_micro
-         |FROM a ORDER BY k""".stripMargin,
+         |FROM a2 ORDER BY k""".stripMargin,
 
     "q322_simpson_diversity" ->
       s"""WITH b AS (SELECT source, ${Du.tokens("text")} AS toks
@@ -1865,7 +1894,7 @@ object Analytics2 {
          |    SUM(CAST(rev_c AS HUGEINT) * rev_c) AS s2
          |  FROM day),
          |sym AS (
-         |  SELECT $SaxSymF AS sym,
+         |  SELECT ${saxSymF(Du)} AS sym,
          |    ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn
          |  FROM day CROSS JOIN stats),
          |b AS (SELECT rn // 7 AS blk, rn % 7 AS pos, sym FROM sym),
@@ -2253,7 +2282,7 @@ object Analytics2 {
         |FROM e ORDER BY t_days""".stripMargin,
 
     "q344_rescaled_range" ->
-      """WITH day AS (
+      s"""WITH day AS (
         |  SELECT l_shipdate AS day,
         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
         |      AS BIGINT)) AS BIGINT) // 100 AS v
@@ -2286,7 +2315,7 @@ object Analytics2 {
         |        OR w * qq - CAST(ss AS HUGEINT) * ss <= 0 THEN NULL ELSE
         |      CAST(floor(CAST(greatest(mx, CAST(0 AS BIGINT)) -
         |        least(mn, CAST(0 AS BIGINT)) AS DOUBLE) /
-        |        sqrt(CAST(w * qq - CAST(ss AS HUGEINT) * ss AS DOUBLE)) *
+        |        sqrt(${Du.wideToDouble("w * qq - CAST(ss AS HUGEINT) * ss")}) *
         |        CAST(1000000 AS DOUBLE)) AS BIGINT) END AS rs_micro
         |  FROM g)
         |SELECT CAST(w AS BIGINT) AS w, COUNT(*) AS n_blocks,
@@ -2689,7 +2718,7 @@ object Analytics2 {
          |    SUM(CAST(rev_c AS HUGEINT) * rev_c) AS s2
          |  FROM day),
          |sym AS (
-         |  SELECT CAST(year(day) AS BIGINT) AS yr, day, $SaxSymF AS sym
+         |  SELECT CAST(year(day) AS BIGINT) AS yr, day, ${saxSymF(Du)} AS sym
          |  FROM day CROSS JOIN stats),
          |words AS (
          |  SELECT yr, COUNT(*) AS len,
@@ -2704,30 +2733,8 @@ object Analytics2 {
          |ORDER BY year_a""".stripMargin,
 
     "q360_pacf" -> {
-      val mF = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
-      val c0F = "CAST(qv AS DOUBLE) - (CAST(sv AS DOUBLE) * " +
-        "CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE)"
-      def ckF(k: Int) =
-        s"CAST(p$k AS DOUBLE) - ($mF) * (CAST(2 AS DOUBLE) * " +
-          s"CAST(sv AS DOUBLE) - CAST(h$k AS DOUBLE) - CAST(t$k AS DOUBLE)) " +
-          s"+ CAST(n - $k AS DOUBLE) * ($mF) * ($mF)"
-      def rF(k: Int) =
-        s"CASE WHEN $c0F <= CAST(0 AS DOUBLE) THEN NULL " +
-          s"ELSE (${ckF(k)}) / ($c0F) END"
-      val phi22F =
-        "CASE WHEN CAST(1 AS DOUBLE) - r1 * r1 = CAST(0 AS DOUBLE) " +
-          "THEN NULL ELSE (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1) END"
-      val phi21F = "r1 * (CAST(1 AS DOUBLE) - phi22)"
-      val phi33F =
-        "CASE WHEN CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2 = " +
-          "CAST(0 AS DOUBLE) THEN NULL " +
-          "ELSE (r3 - phi21 * r2 - phi22 * r1) / " +
-          "(CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2) END"
-      def micro(c: String) =
-        s"CASE WHEN $c IS NULL THEN NULL " +
-          s"ELSE CAST(floor($c * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
       val sumArms = (1 to 3).map(k =>
-        s"CAST(SUM(v * v_$k) AS BIGINT) AS p$k,\n" +
+        s"SUM(v * v_$k) AS p$k,\n" +
           s"        |    CAST(SUM(CASE WHEN rn <= $k THEN v ELSE 0 END) " +
           s"AS BIGINT) AS h$k,\n" +
           s"        |    CAST(SUM(CASE WHEN rn > nn - $k THEN v ELSE 0 END) " +
@@ -2747,20 +2754,21 @@ object Analytics2 {
          |sums AS (
          |  SELECT event_type, COUNT(*) AS n,
          |    CAST(SUM(v) AS BIGINT) AS sv,
-         |    CAST(SUM(v * v) AS BIGINT) AS qv,
+         |    SUM(v * v) AS qv,
          |    $sumArms
          |  FROM l GROUP BY 1),
          |r AS (
-         |  SELECT event_type, n, ${rF(1)} AS r1, ${rF(2)} AS r2,
-         |    ${rF(3)} AS r3
+         |  SELECT event_type, n, ${pacfRF(Du, 1)} AS r1,
+         |    ${pacfRF(Du, 2)} AS r2,
+         |    ${pacfRF(Du, 3)} AS r3
          |  FROM sums),
-         |p2 AS (SELECT *, $phi22F AS phi22 FROM r),
-         |p1 AS (SELECT *, $phi21F AS phi21 FROM p2),
-         |p3 AS (SELECT *, $phi33F AS phi33 FROM p1)
+         |p2 AS (SELECT *, $Phi22F AS phi22 FROM r),
+         |p1 AS (SELECT *, $Phi21F AS phi21 FROM p2),
+         |p3 AS (SELECT *, $Phi33F AS phi33 FROM p1)
          |SELECT event_type, n,
-         |  ${micro("r1")} AS pacf1_micro,
-         |  ${micro("phi22")} AS pacf2_micro,
-         |  ${micro("phi33")} AS pacf3_micro
+         |  ${pacfMicroF("r1")} AS pacf1_micro,
+         |  ${pacfMicroF("phi22")} AS pacf2_micro,
+         |  ${pacfMicroF("phi33")} AS pacf3_micro
          |FROM p3 ORDER BY event_type""".stripMargin
     })
 }

@@ -57,6 +57,25 @@ class GlobalOrderSpec extends SparkSpecBase {
     got.foreach(r => assert(r.getLong(1) == expected(r.getLong(0))))
   }
 
+  test("withRunningSums == two sequential withRunningSum passes") {
+    // the shared-pass variant (one bucket probe, one offset job, one
+    // window) must be value-identical to chaining single-column calls
+    val df = (1 to 3000).map { i =>
+      (i.toLong, (i % 41).toLong, (i % 7).toLong, (i * 13 % 29).toLong)
+    }.toDF("id", "v", "a", "b").repartition(8)
+    val order = Seq(col("v"), col("id"))
+    val multi = GlobalOrder.withRunningSums(df, order, col("v"),
+        Seq(col("a") -> "ca", col("b") -> "cb"))
+      .select("id", "ca", "cb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val single = GlobalOrder.withRunningSum(
+        GlobalOrder.withRunningSum(df, order, col("v"), col("a"), "ca"),
+        order, col("v"), col("b"), "cb")
+      .select("id", "ca", "cb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(multi.sameElements(single))
+  }
+
   test("empty input falls back cleanly") {
     val df = Seq.empty[(Long, Double)].toDF("id", "v")
     assert(GlobalOrder.withRowNumber(df, Seq(col("v")), col("v"), "rn",
