@@ -1580,6 +1580,57 @@ object Analytics2 {
           expr(pacfMicroF("phi22")).as("pacf2_micro"),
           expr(pacfMicroF("phi33")).as("pacf3_micro"))
         .orderBy("event_type")
+    },
+
+    // Benford χ² conformity — the TEST STATISTIC on top of q231's
+    // per-digit deviation table: χ²·10⁶ = Σ_d (n_d·10⁶ − N·p_d)² /
+    // (N·p_d) over the complete 1–9 digit spine (absent digits
+    // contribute their full expected mass via the left join), with
+    // the squared term in the DECIMAL/HUGEINT lane, and the verdict
+    // an integer compare against the χ²₍₈,0.95₎ critical value —
+    // no float ever enters. First-digit fraud screening with a
+    // decision, not just a table.
+    "q361_benford_chisq" -> { (s, d) =>
+      val digits = Tables.orders(s, d)
+        .select(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("pc"))
+        .withColumn("d", expr(
+          "CAST(substr(CAST(pc AS STRING), 1, 1) AS BIGINT)"))
+        .groupBy("d").agg(count(lit(1)).as("n_obs"))
+      val spine = s.range(1, 10).toDF("d")
+      val tot = digits.agg(sum("n_obs").as("n_tot"))
+      spine.join(digits, Seq("d"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("p_micro", expr(Events.BenfordMicroF))
+        .withColumn("term_micro", expr(
+          "CAST(CAST(n_obs * 1000000 - n_tot * p_micro AS DECIMAL(19,0)) * " +
+            "(n_obs * 1000000 - n_tot * p_micro) " +
+            "div (CAST(n_tot AS DECIMAL(19,0)) * p_micro) AS BIGINT)"))
+        .agg(count(lit(1)).as("n_digits"), max("n_tot").as("n_tot"),
+          sum("term_micro").as("chi2_micro"))
+        .withColumn("reject_95", expr("chi2_micro > 15507000"))
+        .select("n_digits", "n_tot", "chi2_micro", "reject_95")
+    },
+
+    // Church–Gale term burstiness for the top-50 collection terms:
+    // cf/df (occurrences per containing document) separates topical
+    // words (bursty — when they appear, they appear often) from
+    // function words (cf ≈ df) — the feature that upgrades df-only
+    // stopword lists. One (token, doc) distinct + one token rollup;
+    // top-50 is a TakeOrdered heap; ratio exact milli.
+    "q362_term_burstiness" -> { (s, d) =>
+      TextOps.docsWithToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("t", "doc_id").agg(count(lit(1)).as("n_td"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("df"), sum("n_td").as("cf"))
+        .withColumn("burst_milli", expr("cf * 1000 div df"))
+        .withColumn("bursty", expr("cf > 2 * df"))
+        .orderBy(col("cf").desc, col("t"))
+        .limit(50)
+        .select("t", "cf", "df", "burst_milli", "bursty")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2770,5 +2821,46 @@ object Analytics2 {
          |  ${pacfMicroF("phi22")} AS pacf2_micro,
          |  ${pacfMicroF("phi33")} AS pacf3_micro
          |FROM p3 ORDER BY event_type""".stripMargin
-    })
+    },
+
+    "q361_benford_chisq" ->
+      s"""WITH p AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS pc
+         |  FROM orders),
+         |c AS (
+         |  SELECT CAST(substr(CAST(pc AS VARCHAR), 1, 1) AS BIGINT) AS d,
+         |    COUNT(*) AS n_obs
+         |  FROM p GROUP BY 1),
+         |spine AS (SELECT UNNEST(range(1::BIGINT, 10::BIGINT)) AS d),
+         |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM c),
+         |f0 AS (
+         |  SELECT spine.d AS d, COALESCE(n_obs, 0) AS n_obs, n_tot
+         |  FROM spine LEFT JOIN c ON spine.d = c.d CROSS JOIN t),
+         |f AS (
+         |  SELECT d, n_obs, n_tot, ${Events.BenfordMicroF} AS p_micro
+         |  FROM f0),
+         |terms AS (
+         |  SELECT n_tot,
+         |    CAST(CAST(n_obs * 1000000 - n_tot * p_micro AS HUGEINT) *
+         |      (n_obs * 1000000 - n_tot * p_micro)
+         |      // (CAST(n_tot AS HUGEINT) * p_micro) AS BIGINT)
+         |      AS term_micro
+         |  FROM f)
+         |SELECT COUNT(*) AS n_digits, CAST(MAX(n_tot) AS BIGINT) AS n_tot,
+         |  CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+         |  CAST(SUM(term_micro) AS BIGINT) > 15507000 AS reject_95
+         |FROM terms""".stripMargin,
+
+    "q362_term_burstiness" ->
+      s"""WITH b AS (SELECT doc_id, ${Du.tokens("text")} AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS t FROM b),
+         |td AS (SELECT t, doc_id, COUNT(*) AS n_td FROM tk GROUP BY 1, 2),
+         |g AS (
+         |  SELECT t, COUNT(*) AS df, CAST(SUM(n_td) AS BIGINT) AS cf
+         |  FROM td GROUP BY 1)
+         |SELECT t, cf, df, cf * 1000 // df AS burst_milli,
+         |  cf > 2 * df AS bursty
+         |FROM g ORDER BY cf DESC, t LIMIT 50""".stripMargin)
 }

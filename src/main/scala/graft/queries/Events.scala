@@ -101,7 +101,7 @@ object Events {
     * (⌊log10(1+1/d)·10⁶+0.5⌋ computed OFFLINE — no runtime log10, so
     * no libm divergence). Shared formula text for both engines.
     */
-  private val BenfordMicroF =
+  private[queries] val BenfordMicroF =
     """CASE d WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
       |WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
       |WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END""".stripMargin
