@@ -30,6 +30,15 @@ object GraftFunctions {
     args.head
   }
 
+  private[functions] def two(
+      name: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : (org.apache.spark.sql.catalyst.expressions.Expression,
+       org.apache.spark.sql.catalyst.expressions.Expression) = {
+    require(args.size == 2, s"$name expects exactly 2 arguments, got ${args.size}")
+    (args.head, args(1))
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     if (done.add(spark)) {
       Bridge.registerFunction(spark, "portable_hash64",
@@ -38,6 +47,18 @@ object GraftFunctions {
         args => PortableMd5Lanes(GraftFunctions.one("portable_md5_lanes", args)))
       Bridge.registerFunction(spark, "nfc_normalize",
         args => NfcNormalize(GraftFunctions.one("nfc_normalize", args)))
+      // registered under DuckDB's builtin names so dialect-SHARED SQL
+      // text runs verbatim on both engines (the oracle-gate contract)
+      Bridge.registerFunction(spark, "damerau_levenshtein",
+        args => {
+          val (a, b) = GraftFunctions.two("damerau_levenshtein", args)
+          DamerauLevenshtein(a, b)
+        })
+      Bridge.registerFunction(spark, "hamming",
+        args => {
+          val (a, b) = GraftFunctions.two("hamming", args)
+          HammingDistance(a, b)
+        })
     }
   }
 }
@@ -64,5 +85,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(GraftFunctions.one("nfc_normalize", args))))
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val (a, b) = GraftFunctions.two("damerau_levenshtein", args)
+        DamerauLevenshtein(a, b)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val (a, b) = GraftFunctions.two("hamming", args)
+        HammingDistance(a, b)
+      }))
   }
 }
