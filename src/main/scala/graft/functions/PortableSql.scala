@@ -48,6 +48,14 @@ final case class SqlDialect(spark: Boolean) {
   def intDiv(a: String, b: String): String =
     if (spark) s"($a div $b)" else s"($a // $b)"
 
+  /** Cast into the 128-bit-capable integer lane — Spark DECIMAL(38,0),
+    * DuckDB HUGEINT. Pair with [[intDiv]] for exact wide division
+    * (never DECIMAL-divide on DuckDB: its DECIMAL `//` rounds), and
+    * surface to float only through [[wideToDouble]].
+    */
+  def wide(e: String): String =
+    if (spark) s"CAST($e AS DECIMAL(38,0))" else s"CAST($e AS HUGEINT)"
+
   /** Whitespace tokens of a string column, empties dropped. */
   def tokens(c: String): String =
     if (spark) s"filter(split(trim($c), '\\\\s+'), t -> t != '')"

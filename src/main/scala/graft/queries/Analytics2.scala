@@ -109,15 +109,15 @@ object Analytics2 {
     * DECIMAL(38,0)/HUGEINT and must surface through the portable
     * wide→double. All inputs non-negative by construction.
     */
-  private val PacfMF = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
-  private def pacfC0F(dl: graft.functions.SqlDialect) =
+  private[queries] val PacfMF = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
+  private[queries] def pacfC0F(dl: graft.functions.SqlDialect) =
     s"${dl.wideToDouble("qv")} - (CAST(sv AS DOUBLE) * " +
       "CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE)"
-  private def pacfCkF(dl: graft.functions.SqlDialect, k: Int) =
+  private[queries] def pacfCkF(dl: graft.functions.SqlDialect, k: Int) =
     s"${dl.wideToDouble(s"p$k")} - ($PacfMF) * (CAST(2 AS DOUBLE) * " +
       s"CAST(sv AS DOUBLE) - CAST(h$k AS DOUBLE) - CAST(t$k AS DOUBLE)) " +
       s"+ CAST(n - $k AS DOUBLE) * ($PacfMF) * ($PacfMF)"
-  private def pacfRF(dl: graft.functions.SqlDialect, k: Int) =
+  private[queries] def pacfRF(dl: graft.functions.SqlDialect, k: Int) =
     s"CASE WHEN ${pacfC0F(dl)} <= CAST(0 AS DOUBLE) THEN NULL " +
       s"ELSE (${pacfCkF(dl, k)}) / (${pacfC0F(dl)}) END"
   private val Phi22F =
@@ -129,7 +129,7 @@ object Analytics2 {
       "CAST(0 AS DOUBLE) THEN NULL " +
       "ELSE (r3 - phi21 * r2 - phi22 * r1) / " +
       "(CAST(1 AS DOUBLE) - phi21 * r1 - phi22 * r2) END"
-  private def pacfMicroF(c: String) =
+  private[queries] def pacfMicroF(c: String) =
     s"CASE WHEN $c IS NULL THEN NULL " +
       s"ELSE CAST(floor($c * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.PortableSql
@@ -21,6 +22,86 @@ object Analytics3 {
 
   private val Du = PortableSql.Duck
   private val Sp = PortableSql.Spark
+
+  /** Wald–Wolfowitz z in ONE shared IEEE text: z = A·√((N−1)/V) with
+    * A = R·N − 2n₁n₂ − N and V = 2n₁n₂(2n₁n₂ − N) — the algebra keeps
+    * every division inside one sqrt (correctly rounded on both
+    * engines) and the only non-sqrt float op is the final multiply.
+    */
+  private val RunsZF: String =
+    "CASE WHEN v_stat <= 0 OR nn <= 1 THEN NULL ELSE " +
+      "CAST(floor(CAST(a_stat AS DOUBLE) * " +
+      "sqrt(CAST(nn - 1 AS DOUBLE) / CAST(v_stat AS DOUBLE)) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+
+  /** Pettitt significance at α = 0.05 as a PURE INTEGER compare:
+    * p ≈ 2·exp(−6K²/(n³+n²)) < 0.05 ⟺ 6K² > −ln(0.025)·(n³+n²), with
+    * −ln(0.025) = 3.688879… as the rational literal 3688879/10⁶ —
+    * exp/ln are libm-dependent (NOT correctly rounded, unlike sqrt)
+    * and never enter shared texts in this codebase.
+    */
+  private def pettittSigF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN 6 * k_stat * k_stat > " +
+      dl.intDiv("3688879 * (nd * nd * nd + nd * nd)", "1000000") +
+      " THEN 1 ELSE 0 END"
+
+  /** q367's Kruskal–Wallis lanes over (sum_q, n_total, tie_cube):
+    * H·1000 = 3000·Σ(S2²/4n_g)·4/(N(N+1)) − 3000(N+1) with the
+    * per-group floors inside sum_q (the q326 SSB discipline; clamp
+    * ≥ 0 BEFORE any division so no negative ever meets div-vs-//),
+    * then the tie correction as one exact wide ratio. n³ lanes fit
+    * BIGINT through ~2·10⁶ groups-of-rows — past that the cube moves
+    * to the wide lane.
+    */
+  private def kwHMilliF(dl: graft.functions.SqlDialect): String =
+    s"greatest(CAST(${dl.intDiv(dl.wide("sum_q") + " * 3000",
+      "(n_total * (n_total + 1))")} AS BIGINT) - 3000 * (n_total + 1), 0)"
+  private def kwHAdjF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN n_total * n_total * n_total - n_total - tie_cube <= 0 " +
+      "THEN NULL ELSE " +
+      s"CAST(${dl.intDiv(
+        dl.wide("h_milli") + " * (n_total * n_total * n_total - n_total)",
+        "(n_total * n_total * n_total - n_total - tie_cube)")} AS BIGINT) END"
+  private def kwSumQTermF(dl: graft.functions.SqlDialect): String =
+    s"CAST(${dl.intDiv(dl.wide("s2_g") + " * s2_g", "n_g")} AS BIGINT)"
+
+  /** q368's Durbin–Watson: every residual is the EXACT integer
+    * eₜ·Δ = yₜ·Δ − aΔ − bΔ·xₜ (Δ = n·Sxx − Sx², aΔ and bΔ the
+    * Cramer numerators), so the num/den quadratic forms ride the
+    * wide lane and DW surfaces as ONE division of two portable
+    * wide→doubles.
+    */
+  private def dwMicroF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN den_w <= 0 THEN NULL ELSE " +
+      s"CAST(floor(${dl.wideToDouble("num_w")} / ${dl.wideToDouble("den_w")} " +
+      "* CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+  private def dwBMicroF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN bnum >= 0 THEN " +
+      s"CAST(${dl.intDiv(dl.wide("bnum") + " * 1000000", "delta")} AS BIGINT) " +
+      "ELSE -" +
+      s"CAST(${dl.intDiv(dl.wide("-bnum") + " * 1000000", "delta")} AS BIGINT) END"
+
+  /** q369's Ljung–Box Q over the q360 moment family (r1..r5 are the
+    * Durbin–Levinson ρ̂ₖ columns): Q = n(n+2)·Σₖ ρ̂ₖ²/(n−k), summed in
+    * LITERAL k order inside one shared text (term order is part of
+    * the IEEE contract), then the χ²₍₅,0.95₎ verdict as an integer
+    * compare on the already-quantized micro value.
+    */
+  private val LbQF: String =
+    "CASE WHEN n <= 5 OR r1 IS NULL THEN NULL ELSE " +
+      "CAST(floor(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * (" +
+      "r1 * r1 / CAST(n - 1 AS DOUBLE) + r2 * r2 / CAST(n - 2 AS DOUBLE) + " +
+      "r3 * r3 / CAST(n - 3 AS DOUBLE) + r4 * r4 / CAST(n - 4 AS DOUBLE) + " +
+      "r5 * r5 / CAST(n - 5 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) " +
+      "AS BIGINT) END"
+  private val LbRejectF: String =
+    "CASE WHEN q_micro IS NULL THEN NULL " +
+      "WHEN q_micro > 11070497 THEN 1 ELSE 0 END"
+
+  private val VMilliF =
+    "CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"
+  private val CentsF =
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
   /** The part-name token vocabulary both engines agree on: whitespace
     * tokens, deduplicated, with token frequency. Tiny by construction
@@ -73,6 +154,114 @@ object Analytics3 {
             |     ELSE 'mixed' END""".stripMargin))
         .select("ta", "tb", "dl", "ham", "kind", "na", "nb")
         .orderBy("ta", "tb")
+    },
+
+    // Wald–Wolfowitz runs test on daily order volume vs its lower
+    // median: is the above/below-median sequence random, or does
+    // demand cluster in regimes? Days equal to the median are dropped
+    // (the standard dichotomization), runs counted by one lag pass
+    // over the CALENDAR-BOUNDED day frame (~2.4k rows at any data
+    // scale — the heavy lifting is the orders→day map-side count),
+    // and z = A·√((N−1)/V) in exact-integer A, V with one shared
+    // sqrt text. Complements q354 (monotone trend) with regime
+    // clustering — a series can pass Mann–Kendall yet fail runs.
+    "q364_runs_test" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val tot = day.agg(count(lit(1)).as("n_days"))
+      val ranked = day
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("y"), col("day"))).cast("long"))
+        .withColumn("n", count(lit(1)).over())
+      val medF = ranked.filter(expr("rn * 2 >= n AND (rn - 1) * 2 < n"))
+        .select(col("y").as("med"))
+      val seq = day.crossJoin(broadcast(medF))
+        .filter(col("y") =!= col("med"))
+        .withColumn("sgn", expr("CASE WHEN y > med THEN 1 ELSE 0 END"))
+        .withColumn("prev", lag("sgn", 1).over(Window.orderBy("day")))
+      seq.agg(
+          max("med").as("med"),
+          coalesce(sum("sgn"), lit(0L)).as("n_above"),
+          coalesce(sum(expr("1 - sgn")), lit(0L)).as("n_below"),
+          coalesce(sum(expr(
+            "CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END")),
+            lit(0L)).as("runs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nn", expr("n_above + n_below"))
+        .withColumn("a_stat", expr("runs * nn - 2 * n_above * n_below - nn"))
+        .withColumn("v_stat", expr(
+          "2 * n_above * n_below * (2 * n_above * n_below - nn)"))
+        .withColumn("z_micro", expr(RunsZF))
+        .select("n_days", "med", "n_above", "n_below", "runs",
+          "a_stat", "v_stat", "z_micro")
+    },
+
+    // Pettitt changepoint test on the daily order-volume series: the
+    // rank-based single-changepoint detector, EXACT at any scale via
+    // the O(n) identity Uₜ − Uₜ₋₁ = Vₜ = #(yⱼ < yₜ) − #(yⱼ > yₜ) — the
+    // pairwise double sum collapses to a value-class cumulative join
+    // plus one running sum, never an n² pair frame (contrast q353,
+    // which genuinely needs the pairs). K = max|Uₜ|, the split day
+    // index t*, and an α=0.05 verdict by pure-integer compare (the
+    // exp() of the closed-form p-value never enters — libm exp is not
+    // cross-engine exact).
+    "q365_pettitt" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val nd = day.agg(count(lit(1)).as("nd"))
+      val cls = day.groupBy("y").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cand = day.join(broadcast(cls), Seq("y"))
+        .crossJoin(broadcast(nd))
+        .withColumn("v", expr("2 * cum - c - nd"))
+        .withColumn("x", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("u", sum("v").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("x") < col("nd"))
+      val k = cand.agg(max(abs(col("u"))).as("k_stat"))
+      cand.crossJoin(broadcast(k))
+        .filter(abs(col("u")) === col("k_stat"))
+        .orderBy("x").limit(1)
+        .select(col("nd").as("n_days"), col("k_stat"),
+          col("x").as("t_star"), col("u").as("u_at_t"),
+          expr(pettittSigF(Sp)).as("sig_05"))
+    },
+
+    // Exponential time-decay-weighted revenue by market segment with a
+    // 6-month half-life — the recency-weighted demand signal a
+    // training-data curator reads before sampling. The half-life
+    // weight 2^(−k) is DYADIC, so the whole computation stays EXACT:
+    // Σ cents·2^(13−k) rides the DECIMAL(38,0)/HUGEINT lane and one
+    // floor-shift recovers integer decayed cents — no float ever
+    // enters (contrast any exp(−λt) formulation, which would be
+    // libm-dependent). One broadcast dim join + one map-side
+    // aggregate; recency_milli = decayed/nominal measures how recent
+    // each segment's revenue mass is (1000·2^{-13} = stale … 1000 =
+    // all-current).
+    "q366_decayed_revenue" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("cents",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .withColumn("k", expr(
+          "((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate))) div 6"))
+        .withColumn("m",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(13 - k AS INT))"))
+      o.groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("revenue_cents"),
+          sum(expr("CAST(cents AS DECIMAL(19,0)) * m")).as("wide"))
+        .withColumn("decayed_cents", expr("CAST(wide div 8192 AS BIGINT)"))
+        .withColumn("recency_milli", expr(
+          "CASE WHEN revenue_cents = 0 THEN NULL " +
+            "ELSE decayed_cents * 1000 div revenue_cents END"))
+        .select("mktsegment", "n_orders", "revenue_cents",
+          "decayed_cents", "recency_milli")
+        .orderBy("mktsegment")
     })
 
   val oracles: Map[String, String] = Map(
@@ -99,5 +288,83 @@ object Analytics3 {
          |       WHEN ham = 2 * dl THEN 'swap'
          |       ELSE 'mixed' END AS kind,
          |  na, nb
-         |FROM cls ORDER BY ta, tb""".stripMargin)
+         |FROM cls ORDER BY ta, tb""".stripMargin,
+
+    "q364_runs_test" ->
+      s"""WITH day AS (
+         |  SELECT o_orderdate AS day, COUNT(*) AS y FROM orders GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_days FROM day),
+         |r AS (
+         |  SELECT y, ROW_NUMBER() OVER (ORDER BY y, day) AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM day),
+         |medf AS (SELECT y AS med FROM r WHERE rn * 2 >= n AND (rn - 1) * 2 < n),
+         |seq AS (
+         |  SELECT day.day, med,
+         |    CASE WHEN y > med THEN 1 ELSE 0 END AS sgn
+         |  FROM day CROSS JOIN medf WHERE y <> med),
+         |lagged AS (
+         |  SELECT med, sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM seq),
+         |a AS (
+         |  SELECT MAX(med) AS med,
+         |    COALESCE(CAST(SUM(sgn) AS BIGINT), 0) AS n_above,
+         |    COALESCE(CAST(SUM(1 - sgn) AS BIGINT), 0) AS n_below,
+         |    COALESCE(CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev
+         |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS runs
+         |  FROM lagged),
+         |t AS (
+         |  SELECT a.*, tot.n_days, n_above + n_below AS nn
+         |  FROM a CROSS JOIN tot),
+         |t2 AS (
+         |  SELECT *, runs * nn - 2 * n_above * n_below - nn AS a_stat,
+         |    2 * n_above * n_below * (2 * n_above * n_below - nn) AS v_stat
+         |  FROM t)
+         |SELECT n_days, med, n_above, n_below, runs, a_stat, v_stat,
+         |  $RunsZF AS z_micro
+         |FROM t2""".stripMargin,
+
+    "q365_pettitt" ->
+      s"""WITH day AS (
+         |  SELECT o_orderdate AS day, COUNT(*) AS y FROM orders GROUP BY 1),
+         |ndf AS (SELECT COUNT(*) AS nd FROM day),
+         |cls AS (SELECT y, COUNT(*) AS c FROM day GROUP BY 1),
+         |cum AS (
+         |  SELECT y, c, CAST(SUM(c) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM cls),
+         |vf AS (
+         |  SELECT day.day, nd, 2 * cum - c - nd AS v
+         |  FROM day JOIN cum USING (y) CROSS JOIN ndf),
+         |uf AS (
+         |  SELECT day, nd, ROW_NUMBER() OVER (ORDER BY day) AS x,
+         |    CAST(SUM(v) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u
+         |  FROM vf),
+         |cand AS (SELECT nd, x, u FROM uf WHERE x < nd),
+         |kf AS (SELECT MAX(abs(u)) AS k_stat FROM cand)
+         |SELECT nd AS n_days, k_stat, x AS t_star, u AS u_at_t,
+         |  ${pettittSigF(Du)} AS sig_05
+         |FROM cand CROSS JOIN kf WHERE abs(u) = k_stat
+         |ORDER BY x LIMIT 1""".stripMargin,
+
+    "q366_decayed_revenue" ->
+      s"""WITH o AS (
+         |  SELECT c_mktsegment AS mktsegment,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |    ((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate))) // 6 AS k
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |g AS (
+         |  SELECT mktsegment, COUNT(*) AS n_orders,
+         |    CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+         |    SUM(CAST(cents AS HUGEINT) *
+         |      CAST((CAST(1 AS BIGINT) << (13 - k)) AS HUGEINT)) AS wide
+         |  FROM o GROUP BY 1),
+         |t AS (
+         |  SELECT mktsegment, n_orders, revenue_cents,
+         |    CAST(wide // 8192 AS BIGINT) AS decayed_cents
+         |  FROM g)
+         |SELECT mktsegment, n_orders, revenue_cents, decayed_cents,
+         |  CASE WHEN revenue_cents = 0 THEN NULL
+         |    ELSE decayed_cents * 1000 // revenue_cents END AS recency_milli
+         |FROM t ORDER BY mktsegment""".stripMargin)
 }
