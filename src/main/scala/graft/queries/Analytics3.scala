@@ -76,7 +76,7 @@ object Analytics3 {
       s"CAST(floor(${dl.wideToDouble("num_w")} / ${dl.wideToDouble("den_w")} " +
       "* CAST(1000000 AS DOUBLE)) AS BIGINT) END"
   private def dwBMicroF(dl: graft.functions.SqlDialect): String =
-    "CASE WHEN bnum >= 0 THEN " +
+    "CASE WHEN delta <= 0 THEN NULL WHEN bnum >= 0 THEN " +
       s"CAST(${dl.intDiv(dl.wide("bnum") + " * 1000000", "delta")} AS BIGINT) " +
       "ELSE -" +
       s"CAST(${dl.intDiv(dl.wide("-bnum") + " * 1000000", "delta")} AS BIGINT) END"
@@ -262,6 +262,124 @@ object Analytics3 {
         .select("mktsegment", "n_orders", "revenue_cents",
           "decayed_cents", "recency_milli")
         .orderBy("mktsegment")
+    },
+
+    // Kruskal–Wallis rank test: does quantity distribution differ by
+    // return flag? EXACT mid-ranks at any scale without ever ranking
+    // a row: quantity is a small-vocabulary value (the class frame is
+    // |distinct values| rows), so per-class mid-ranks come from one
+    // bounded cumulative pass and each group's DOUBLED rank sum
+    // S2_g = Σ_v n_gv·(2·cum_v − c_v + 1) is a pure-integer map-side
+    // aggregate. H rides the wide lane (per-group floors summed — the
+    // q326 SSB discipline), the tie correction (huge here: 50 classes,
+    // ~12k-deep ties) is one exact wide ratio, and the α=0.05 verdict
+    // is an integer compare on the quantized milli value against
+    // χ²₍₂,0.95₎ = 5.991. BIGINT headroom: s2_g ~ n_g·N and tie cubes
+    // fit through ~10⁹ rows; past that both move to the wide lane.
+    "q367_kruskal_wallis" -> { (s, d) =>
+      val cls = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"))
+        .agg(count(lit(1)).as("n_gv"))
+      val pool = cls.groupBy("q").agg(sum("n_gv").as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ties = pool.agg(sum(expr("c * c * c - c")).as("tie_cube"))
+      val grp = cls.join(broadcast(pool), Seq("q"))
+        .groupBy("g")
+        .agg(sum("n_gv").as("n_g"),
+          sum(expr("n_gv * (2 * cum - c + 1)")).as("s2_g"))
+        .withColumn("term", expr(kwSumQTermF(Sp)))
+      grp.agg(count(lit(1)).as("n_groups"), sum("n_g").as("n_total"),
+          sum("term").as("sum_q"))
+        .crossJoin(broadcast(ties))
+        .withColumn("h_milli", expr(kwHMilliF(Sp)))
+        .withColumn("h_adj_milli", expr(kwHAdjF(Sp)))
+        .withColumn("reject_95", expr("h_adj_milli > 5991"))
+        .select("n_groups", "n_total", "tie_cube", "h_milli",
+          "h_adj_milli", "reject_95")
+    },
+
+    // Durbin–Watson on the daily-order-volume OLS trend: are the
+    // detrended residuals serially correlated (the assumption every
+    // trend fit upstream quietly makes)? Residuals stay EXACT by
+    // working in the Δ-scaled frame — eₜ·Δ = yₜ·Δ − aΔ − bΔ·xₜ with
+    // Δ = n·Sxx − Sx² and the Cramer numerators, all BIGINT through
+    // ~10⁵ orders/day (past that they move wide) — so num/den are
+    // exact wide quadratic forms and Δ² cancels in the ratio. DW
+    // surfaces as ONE division of two portable wide→doubles; slope
+    // b_micro sign-splits before its integer division. The only
+    // unbounded work is the orders→day map-side count; everything
+    // after runs on the calendar-bounded day frame.
+    "q368_durbin_watson" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", row_number().over(Window.orderBy("day")).cast("long"))
+      val sums = day.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("x * y")).as("sxy"))
+        .withColumn("delta", expr("n * sxx - sx * sx"))
+        .withColumn("bnum", expr("n * sxy - sx * sy"))
+        .withColumn("anum", expr("sy * sxx - sx * sxy"))
+      day.crossJoin(broadcast(sums))
+        .withColumn("e", expr("y * delta - anum - bnum * x"))
+        .withColumn("e_prev", lag("e", 1).over(Window.orderBy("day")))
+        .agg(max("n").as("n_days"), max("delta").as("delta"),
+          max("bnum").as("bnum"),
+          sum(expr("CAST(e AS DECIMAL(19,0)) * e")).as("den_w"),
+          sum(expr("CASE WHEN e_prev IS NULL THEN NULL " +
+            "ELSE CAST(e - e_prev AS DECIMAL(19,0)) * (e - e_prev) END"))
+            .as("num_w"))
+        .withColumn("b_micro", expr(dwBMicroF(Sp)))
+        .withColumn("dw_micro", expr(dwMicroF(Sp)))
+        .withColumn("pos_autocorr", expr("dw_micro < 1500000"))
+        .select("n_days", "b_micro", "dw_micro", "pos_autocorr")
+    },
+
+    // Ljung–Box portmanteau test (lags 1–5) per event_type — "is this
+    // series white noise at all?", the gate question before any of the
+    // q357/q359/q360 time-series machinery is trusted. The ρ̂ₖ are the
+    // q360 Durbin–Levinson autocorrelations on EXACT BIGINT/DECIMAL
+    // moments (one type-partitioned ordered pass emits lag products
+    // and the non-circular head/tail boundary sums); Q = n(n+2)·Σ
+    // ρ̂ₖ²/(n−k) evaluates in ONE shared IEEE text with literal term
+    // order, and the verdict is an integer compare of the quantized
+    // micro value against χ²₍₅,0.95₎ = 11.0705.
+    "q369_ljung_box" -> { (s, d) =>
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col("tsu"), col("event_id"))
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("unix_micros(ts)"))
+        .withColumn("v", expr(VMilliF))
+      val lagged = (1 to 5).foldLeft(e) { (df, k) =>
+        df.withColumn(s"v_$k", lag("v", k).over(ord))
+      }
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("nn",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+      val aggCols = Seq(sum(col("v")).as("sv"),
+        sum(expr("CAST(v AS DECIMAL(19,0)) * v")).as("qv")) ++
+        (1 to 5).flatMap(k => Seq(
+          sum(expr(s"CAST(v AS DECIMAL(19,0)) * v_$k")).as(s"p$k"),
+          sum(when(expr(s"rn <= $k"), col("v")).otherwise(0L)).as(s"h$k"),
+          sum(when(expr(s"rn > nn - $k"), col("v")).otherwise(0L))
+            .as(s"t$k")))
+      val sums = lagged.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+      (1 to 5).foldLeft(sums) { (df, k) =>
+        df.withColumn(s"r$k", expr(Analytics2.pacfRF(Sp, k)))
+      }
+        .withColumn("q_micro", expr(LbQF))
+        .withColumn("reject_95", expr(LbRejectF))
+        .select(col("event_type"), col("n"),
+          expr(Analytics2.pacfMicroF("r1")).as("r1_micro"),
+          expr(Analytics2.pacfMicroF("r2")).as("r2_micro"),
+          expr(Analytics2.pacfMicroF("r3")).as("r3_micro"),
+          expr(Analytics2.pacfMicroF("r4")).as("r4_micro"),
+          expr(Analytics2.pacfMicroF("r5")).as("r5_micro"),
+          col("q_micro"), col("reject_95"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -366,5 +484,112 @@ object Analytics3 {
          |SELECT mktsegment, n_orders, revenue_cents, decayed_cents,
          |  CASE WHEN revenue_cents = 0 THEN NULL
          |    ELSE decayed_cents * 1000 // revenue_cents END AS recency_milli
-         |FROM t ORDER BY mktsegment""".stripMargin)
+         |FROM t ORDER BY mktsegment""".stripMargin,
+
+    "q367_kruskal_wallis" ->
+      s"""WITH cls AS (
+         |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+         |    COUNT(*) AS n_gv
+         |  FROM lineitem GROUP BY 1, 2),
+         |pool AS (
+         |  SELECT q, CAST(SUM(n_gv) AS BIGINT) AS c FROM cls GROUP BY 1),
+         |cum AS (
+         |  SELECT q, c, CAST(SUM(c) OVER (ORDER BY q
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM pool),
+         |ties AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_cube
+         |  FROM pool),
+         |grp AS (
+         |  SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+         |    CAST(SUM(n_gv * (2 * cum - c + 1)) AS BIGINT) AS s2_g
+         |  FROM cls JOIN cum USING (q) GROUP BY 1),
+         |term AS (SELECT g, n_g, ${kwSumQTermF(Du)} AS term FROM grp),
+         |tot AS (
+         |  SELECT COUNT(*) AS n_groups, CAST(SUM(n_g) AS BIGINT) AS n_total,
+         |    CAST(SUM(term) AS BIGINT) AS sum_q
+         |  FROM term),
+         |h AS (SELECT *, ${kwHMilliF(Du)} AS h_milli
+         |  FROM tot CROSS JOIN ties),
+         |h2 AS (SELECT *, ${kwHAdjF(Du)} AS h_adj_milli FROM h)
+         |SELECT n_groups, n_total, tie_cube, h_milli, h_adj_milli,
+         |  h_adj_milli > 5991 AS reject_95
+         |FROM h2""".stripMargin,
+
+    "q368_durbin_watson" ->
+      s"""WITH day AS (
+         |  SELECT o_orderdate AS day, COUNT(*) AS y FROM orders GROUP BY 1),
+         |dx AS (
+         |  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS x FROM day),
+         |sums AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM dx),
+         |cr AS (
+         |  SELECT *, n * sxx - sx * sx AS delta,
+         |    n * sxy - sx * sy AS bnum, sy * sxx - sx * sxy AS anum
+         |  FROM sums),
+         |e AS (
+         |  SELECT day, n, delta, bnum, y * delta - anum - bnum * x AS e
+         |  FROM dx CROSS JOIN cr),
+         |l AS (
+         |  SELECT n, delta, bnum, e, LAG(e) OVER (ORDER BY day) AS e_prev
+         |  FROM e),
+         |agg AS (
+         |  SELECT MAX(n) AS n_days, MAX(delta) AS delta, MAX(bnum) AS bnum,
+         |    SUM(CAST(e AS HUGEINT) * e) AS den_w,
+         |    SUM(CASE WHEN e_prev IS NULL THEN NULL
+         |      ELSE CAST(e - e_prev AS HUGEINT) * (e - e_prev) END) AS num_w
+         |  FROM l),
+         |fin AS (
+         |  SELECT n_days, ${dwBMicroF(Du)} AS b_micro,
+         |    ${dwMicroF(Du)} AS dw_micro
+         |  FROM agg)
+         |SELECT n_days, b_micro, dw_micro,
+         |  dw_micro < 1500000 AS pos_autocorr
+         |FROM fin""".stripMargin,
+
+    "q369_ljung_box" -> {
+      val sumArms = (1 to 5).map(k =>
+        s"SUM(v * v_$k) AS p$k,\n" +
+          s"        |    CAST(SUM(CASE WHEN rn <= $k THEN v ELSE 0 END) " +
+          s"AS BIGINT) AS h$k,\n" +
+          s"        |    CAST(SUM(CASE WHEN rn > nn - $k THEN v ELSE 0 END) " +
+          s"AS BIGINT) AS t$k").mkString(",\n        |    ")
+      val lagArms = (1 to 5).map(k => s"LAG(v, $k) OVER w AS v_$k")
+        .mkString(", ")
+      val rArms = (1 to 5).map(k => s"${Analytics2.pacfRF(Du, k)} AS r$k")
+        .mkString(",\n        |    ")
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS tsu,
+         |    $VMilliF AS v
+         |  FROM events),
+         |l AS (
+         |  SELECT event_type, v,
+         |    $lagArms,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id)),
+         |sums AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(v) AS BIGINT) AS sv,
+         |    SUM(v * v) AS qv,
+         |    $sumArms
+         |  FROM l GROUP BY 1),
+         |r AS (
+         |  SELECT event_type, n,
+         |    $rArms
+         |  FROM sums),
+         |q AS (SELECT *, $LbQF AS q_micro FROM r)
+         |SELECT event_type, n,
+         |  ${Analytics2.pacfMicroF("r1")} AS r1_micro,
+         |  ${Analytics2.pacfMicroF("r2")} AS r2_micro,
+         |  ${Analytics2.pacfMicroF("r3")} AS r3_micro,
+         |  ${Analytics2.pacfMicroF("r4")} AS r4_micro,
+         |  ${Analytics2.pacfMicroF("r5")} AS r5_micro,
+         |  q_micro, $LbRejectF AS reject_95
+         |FROM q ORDER BY event_type""".stripMargin
+    })
 }
