@@ -103,6 +103,43 @@ object Analytics3 {
   private val CentsF =
     "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
+  /** q370's Friedman statistic over (sum_q = Σⱼ S2ⱼ², n_blocks,
+    * k_treat) with S2ⱼ the DOUBLED within-block rank sums (doubling
+    * keeps tie mid-ranks integer): Q·1000 = 3000·ΣS2ⱼ²/(n·k(k+1)) −
+    * 3000·n·(k+1), clamped ≥ 0 BEFORE nothing divides it (the floors
+    * can push a tied-everywhere block set slightly negative).
+    */
+  private def friedmanQF(dl: graft.functions.SqlDialect): String =
+    s"greatest(CAST(${dl.intDiv(dl.wide("sum_q") + " * 3000",
+      "(n_blocks * k_treat * (k_treat + 1))")} AS BIGINT) " +
+      "- 3000 * n_blocks * (k_treat + 1), 0)"
+
+  /** q371's one-way F over group moments (n_g, s_g, q_g) — the q326
+    * lanes verbatim: per-group floors inside sum_sg2_over_ng, SSB
+    * clamped ≥ 0 before the single cross-multiplied division.
+    */
+  private def anovaTermF(dl: graft.functions.SqlDialect): String =
+    s"CAST(${dl.intDiv(dl.wide("s_g") + " * s_g", "n_g")} AS BIGINT)"
+  private def anovaGrandF(dl: graft.functions.SqlDialect): String =
+    s"CAST(${dl.intDiv(dl.wide("s_total") + " * s_total", "n_total")} " +
+      "AS BIGINT)"
+  private def anovaFMilliF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN ss_within <= 0 OR k_groups <= 1 THEN NULL ELSE " +
+      s"CAST(${dl.intDiv(
+        dl.wide("greatest(ss_between, 0)") + " * (n_total - k_groups) * 1000",
+        "(" + dl.wide("ss_within") + " * (k_groups - 1))")} AS BIGINT) END"
+
+  /** q372's continuity-corrected McNemar χ²·1000 on the discordant
+    * counts — pure integer (the correction clamps |b−c|−1 at 0 so the
+    * numerator never goes negative into the division).
+    */
+  private def mcnemarF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN b_disc + c_disc = 0 THEN NULL ELSE " +
+      s"CAST(${dl.intDiv(
+        "greatest(abs(b_disc - c_disc) - 1, 0) * " +
+          "greatest(abs(b_disc - c_disc) - 1, 0) * 1000",
+        "(b_disc + c_disc)")} AS BIGINT) END"
+
   /** The part-name token vocabulary both engines agree on: whitespace
     * tokens, deduplicated, with token frequency. Tiny by construction
     * (TPC-H part names draw from a fixed color-word list), and
@@ -380,6 +417,120 @@ object Analytics3 {
           expr(Analytics2.pacfMicroF("r5")).as("r5_micro"),
           col("q_micro"), col("reject_95"))
         .orderBy("event_type")
+    },
+
+    // Friedman test: does order priority shift monthly revenue once
+    // the month (block) effect is removed? Blocks = order months,
+    // treatments = the 5 priorities; each complete block ranks its k
+    // cell revenues (rank() min-rank + tie count gives DOUBLED
+    // mid-ranks, so ties stay integer), and Q rides the wide lane.
+    // The block-rank window is k rows per partition — partitioned,
+    // never row-scale — and the cell rollup is the only unbounded
+    // pass. α=0.05 verdict vs χ²₍₄,0.95₎ = 9.488 (df pinned to the
+    // 5-treatment vocabulary) on the quantized milli value.
+    "q370_friedman" -> { (s, d) =>
+      val cell = Tables.orders(s, d)
+        .groupBy(
+          expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+            .as("ym"),
+          col("o_orderpriority").as("treat"))
+        .agg(sum(expr(CentsF)).as("v"))
+      val k = cell.agg(countDistinct("treat").as("k_treat"))
+      val complete = cell.groupBy("ym").agg(count(lit(1)).as("n_t"))
+        .crossJoin(broadcast(k))
+        .filter(col("n_t") === col("k_treat"))
+        .select("ym")
+      val ranked = cell.join(broadcast(complete), Seq("ym"))
+        .withColumn("rmin",
+          rank().over(Window.partitionBy("ym").orderBy("v")).cast("long"))
+        .withColumn("ties",
+          count(lit(1)).over(Window.partitionBy("ym", "v")))
+        .withColumn("s2", expr("2 * rmin + ties - 1"))
+      val byT = ranked.groupBy("treat")
+        .agg(count(lit(1)).as("n_blocks"), sum("s2").as("s2_j"))
+      val tot = byT.agg(count(lit(1)).as("k_treat"),
+          max("n_blocks").as("n_blocks"),
+          sum(expr("CAST(s2_j AS DECIMAL(19,0)) * s2_j")).as("sum_q"))
+        .withColumn("q_milli", expr(friedmanQF(Sp)))
+        .select("k_treat", "q_milli")
+      byT.crossJoin(broadcast(tot))
+        .withColumn("mean_rank_milli", expr("s2_j * 1000 div (2 * n_blocks)"))
+        .withColumn("reject_95", expr("q_milli > 9487"))
+        .select("treat", "n_blocks", "s2_j", "mean_rank_milli",
+          "q_milli", "reject_95")
+        .orderBy("treat")
+    },
+
+    // Brown–Forsythe (median-Levene) variance-homogeneity test: do
+    // quantity SPREADS differ by return flag, not just their centers
+    // (q367 tests location; equal-variance is what every pooled-stat
+    // lane upstream assumes)? Everything runs on the bounded
+    // value-class frame: group medians come from one partitioned
+    // cumulative (DOUBLED median = lo+hi central values keeps the
+    // even-count case integer), the |2y − 2med| deviations are
+    // class-weighted — NO second row pass — and the one-way F on the
+    // deviations uses the q326 lanes (per-group floors, SSB clamped
+    // before the division). Verdict vs the df₂→∞ critical
+    // F₍₂,∞₎ = 2.996 on the quantized milli value.
+    "q371_brown_forsythe" -> { (s, d) =>
+      val cls = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("g"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"))
+        .agg(count(lit(1)).as("n_gv"))
+      val cum = cls
+        .withColumn("cum", sum("n_gv").over(Window.partitionBy("g")
+          .orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_g", sum("n_gv").over(Window.partitionBy("g")))
+      val med = cum
+        .withColumn("v_lo", when(expr(
+          "cum >= (n_g + 1) div 2 AND cum - n_gv < (n_g + 1) div 2"),
+          col("q")))
+        .withColumn("v_hi", when(expr(
+          "cum >= n_g div 2 + 1 AND cum - n_gv < n_g div 2 + 1"), col("q")))
+        .groupBy("g").agg(max("v_lo").as("v_lo"), max("v_hi").as("v_hi"))
+        .withColumn("m2", expr("v_lo + v_hi"))
+        .select("g", "m2")
+      val grp = cls.join(broadcast(med), Seq("g"))
+        .withColumn("z2", expr("abs(2 * q - m2)"))
+        .groupBy("g")
+        .agg(sum("n_gv").as("n_g"), sum(expr("n_gv * z2")).as("s_g"),
+          sum(expr("n_gv * z2 * z2")).as("q_g"))
+        .withColumn("term", expr(anovaTermF(Sp)))
+      grp.agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+          sum("s_g").as("s_total"), sum("q_g").as("q_total"),
+          sum("term").as("sum_sg2_over_ng"))
+        .withColumn("ss_between",
+          expr(s"sum_sg2_over_ng - ${anovaGrandF(Sp)}"))
+        .withColumn("ss_within", expr("q_total - sum_sg2_over_ng"))
+        .withColumn("f_milli", expr(anovaFMilliF(Sp)))
+        .withColumn("reject_95", expr("f_milli > 2996"))
+        .select("k_groups", "n_total", "ss_between", "ss_within",
+          "f_milli", "reject_95")
+    },
+
+    // McNemar test on two short-document detectors (chars < 300 vs
+    // tokens < 55, both near the corpus median): are the two filters
+    // exchangeable, or does one systematically flag docs the other
+    // clears? Paired binary over one map-side pass; the verdict needs
+    // ONLY the two discordant counts — the continuity-corrected
+    // χ²·1000 = 1000·(|b−c|−1)²/(b+c) is pure integer with the
+    // correction clamped at 0, compared against χ²₍₁,0.95₎ = 3.841.
+    // The detector-upgrade gate: swap B in for A only if McNemar
+    // can't tell them apart on held-out docs.
+    "q372_mcnemar" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("a", expr("CASE WHEN n_chars < 300 THEN 1 ELSE 0 END"))
+        .withColumn("b", expr(
+          s"CASE WHEN ${Sp.size(Sp.tokens("text"))} < 55 THEN 1 ELSE 0 END"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(expr("a * b")), lit(0L)).as("both_short"),
+          coalesce(sum(expr("a * (1 - b)")), lit(0L)).as("b_disc"),
+          coalesce(sum(expr("(1 - a) * b")), lit(0L)).as("c_disc"))
+        .withColumn("chi2_milli", expr(mcnemarF(Sp)))
+        .withColumn("reject_95", expr("chi2_milli > 3841"))
+        .select("n_docs", "both_short", "b_disc", "c_disc",
+          "chi2_milli", "reject_95")
     })
 
   val oracles: Map[String, String] = Map(
@@ -591,5 +742,96 @@ object Analytics3 {
          |  ${Analytics2.pacfMicroF("r5")} AS r5_micro,
          |  q_micro, $LbRejectF AS reject_95
          |FROM q ORDER BY event_type""".stripMargin
-    })
+    },
+
+    "q370_friedman" ->
+      s"""WITH cell AS (
+         |  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100 +
+         |      month(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+         |    o_orderpriority AS treat,
+         |    CAST(SUM($CentsF) AS BIGINT) AS v
+         |  FROM orders GROUP BY 1, 2),
+         |k AS (SELECT COUNT(DISTINCT treat) AS k_treat FROM cell),
+         |complete AS (
+         |  SELECT ym FROM cell CROSS JOIN k
+         |  GROUP BY ym, k_treat HAVING COUNT(*) = k_treat),
+         |ranked AS (
+         |  SELECT treat,
+         |    2 * CAST(RANK() OVER (PARTITION BY cell.ym ORDER BY v)
+         |      AS BIGINT) +
+         |    COUNT(*) OVER (PARTITION BY cell.ym, v) - 1 AS s2
+         |  FROM cell JOIN complete ON cell.ym = complete.ym),
+         |byt AS (
+         |  SELECT treat, COUNT(*) AS n_blocks,
+         |    CAST(SUM(s2) AS BIGINT) AS s2_j
+         |  FROM ranked GROUP BY 1),
+         |tot AS (
+         |  SELECT COUNT(*) AS k_treat, MAX(n_blocks) AS n_blocks,
+         |    SUM(CAST(s2_j AS HUGEINT) * s2_j) AS sum_q
+         |  FROM byt),
+         |qf AS (SELECT k_treat, ${friedmanQF(Du)} AS q_milli FROM tot)
+         |SELECT treat, n_blocks, s2_j,
+         |  s2_j * 1000 // (2 * n_blocks) AS mean_rank_milli,
+         |  q_milli, q_milli > 9487 AS reject_95
+         |FROM byt CROSS JOIN qf ORDER BY treat""".stripMargin,
+
+    "q371_brown_forsythe" ->
+      s"""WITH cls AS (
+         |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+         |    COUNT(*) AS n_gv
+         |  FROM lineitem GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT g, q, n_gv,
+         |    CAST(SUM(n_gv) OVER (PARTITION BY g ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(n_gv) OVER (PARTITION BY g) AS BIGINT) AS n_g
+         |  FROM cls),
+         |med AS (
+         |  SELECT g,
+         |    MAX(CASE WHEN cum >= (n_g + 1) // 2
+         |      AND cum - n_gv < (n_g + 1) // 2 THEN q END) +
+         |    MAX(CASE WHEN cum >= n_g // 2 + 1
+         |      AND cum - n_gv < n_g // 2 + 1 THEN q END) AS m2
+         |  FROM cum GROUP BY 1),
+         |z AS (
+         |  SELECT cls.g, n_gv, abs(2 * q - m2) AS z2
+         |  FROM cls JOIN med ON cls.g = med.g),
+         |grp AS (
+         |  SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+         |    CAST(SUM(n_gv * z2) AS BIGINT) AS s_g,
+         |    CAST(SUM(n_gv * z2 * z2) AS BIGINT) AS q_g
+         |  FROM z GROUP BY 1),
+         |term AS (SELECT *, ${anovaTermF(Du)} AS term FROM grp),
+         |tot AS (
+         |  SELECT COUNT(*) AS k_groups, CAST(SUM(n_g) AS BIGINT) AS n_total,
+         |    CAST(SUM(s_g) AS BIGINT) AS s_total,
+         |    CAST(SUM(q_g) AS BIGINT) AS q_total,
+         |    CAST(SUM(term) AS BIGINT) AS sum_sg2_over_ng
+         |  FROM term),
+         |ss AS (
+         |  SELECT *, sum_sg2_over_ng - ${anovaGrandF(Du)} AS ss_between,
+         |    q_total - sum_sg2_over_ng AS ss_within
+         |  FROM tot),
+         |f AS (SELECT *, ${anovaFMilliF(Du)} AS f_milli FROM ss)
+         |SELECT k_groups, n_total, ss_between, ss_within, f_milli,
+         |  f_milli > 2996 AS reject_95
+         |FROM f""".stripMargin,
+
+    "q372_mcnemar" ->
+      s"""WITH flags AS (
+         |  SELECT CASE WHEN n_chars < 300 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN ${Du.size(Du.tokens("text"))} < 55
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM documents),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    COALESCE(CAST(SUM(a * b) AS BIGINT), 0) AS both_short,
+         |    COALESCE(CAST(SUM(a * (1 - b)) AS BIGINT), 0) AS b_disc,
+         |    COALESCE(CAST(SUM((1 - a) * b) AS BIGINT), 0) AS c_disc
+         |  FROM flags),
+         |chi AS (SELECT *, ${mcnemarF(Du)} AS chi2_milli FROM agg)
+         |SELECT n_docs, both_short, b_disc, c_disc, chi2_milli,
+         |  chi2_milli > 3841 AS reject_95
+         |FROM chi""".stripMargin)
 }
