@@ -140,6 +140,59 @@ object Analytics3 {
           "greatest(abs(b_disc - c_disc) - 1, 0) * 1000",
         "(b_disc + c_disc)")} AS BIGINT) END"
 
+  /** q373's tie-corrected Jonckheere–Terpstra variance and z, over
+    * exact integer inputs: diff_w = JT4 − mean4 (QUADRUPLED lane —
+    * ×2 for tie half-counts, ×2 again so the mean N²−Σn² needs no /4)
+    * and the three Kendall-style variance terms T1/72 +
+    * C3g·C3v/(36·N(N−1)(N−2)) + C2g·C2v/(8·N(N−1)), each a ratio of
+    * exact wide integers surfaced through the portable wide→double
+    * (diff sign-split first — wideToDouble is nonneg-only). The
+    * variance sums in LITERAL term order inside one shared text.
+    */
+  private def jtVDblF(dl: graft.functions.SqlDialect): String =
+    s"${dl.wideToDouble("t1_w")} / CAST(72 AS DOUBLE) + " +
+      s"${dl.wideToDouble("c3p_w")} / ${dl.wideToDouble("den3_w")} + " +
+      s"${dl.wideToDouble("c2p_w")} / ${dl.wideToDouble("den2_w")}"
+  private def jtDDblF(dl: graft.functions.SqlDialect): String =
+    s"CASE WHEN diff_w >= 0 THEN ${dl.wideToDouble("diff_w")} " +
+      s"ELSE -(${dl.wideToDouble("(-diff_w)")}) END"
+  private val JtZF: String =
+    "CASE WHEN v_dbl <= CAST(0 AS DOUBLE) THEN NULL ELSE " +
+      "CAST(floor(d_dbl * CAST(1000000 AS DOUBLE) / " +
+      "(CAST(4 AS DOUBLE) * sqrt(v_dbl))) AS BIGINT) END"
+
+  /** q374's Cochran Q·1000 — pure integer: the numerator
+    * k·ΣCⱼ² − (ΣR)² is exactly ≥ 0 (Cauchy–Schwarz, no floors
+    * involved), so only the all-identical-rows denominator needs a
+    * guard.
+    */
+  private def cochranQF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN k_treat * sum_r - sum_r2 <= 0 THEN NULL ELSE " +
+      s"CAST(${dl.intDiv(
+        "(k_treat - 1) * 1000 * (k_treat * sum_c2 - " +
+          dl.wide("sum_r") + " * sum_r)",
+        "(k_treat * sum_r - sum_r2)")} AS BIGINT) END"
+
+  /** q375's log-rank lanes: per-step expectation and hypergeometric
+    * variance quantized to micro BEFORE summation (the q343 survival
+    * convention — sums of rationals can't stay integer otherwise),
+    * then z = (O−E)·1000/√V in one shared sqrt text.
+    */
+  private def lrEStepF(dl: graft.functions.SqlDialect): String =
+    s"CAST(${dl.intDiv("d * n1_risk * 1000000", "n_risk")} AS BIGINT)"
+  private def lrVStepF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN n_risk <= 1 THEN 0 ELSE " +
+      s"CAST(${dl.intDiv(
+        dl.wide("d * n1_risk") +
+          " * (n_risk - n1_risk) * (n_risk - d) * 1000000",
+        "(" + dl.wide("n_risk") + " * n_risk * (n_risk - 1))")} " +
+      "AS BIGINT) END"
+  private val LrZF: String =
+    "CASE WHEN v_micro <= 0 THEN NULL ELSE " +
+      "CAST(floor(CAST(o1_micro - e1_micro AS DOUBLE) * " +
+      "CAST(1000 AS DOUBLE) / sqrt(CAST(v_micro AS DOUBLE))) " +
+      "AS BIGINT) END"
+
   /** The part-name token vocabulary both engines agree on: whitespace
     * tokens, deduplicated, with token frequency. Tiny by construction
     * (TPC-H part names draw from a fixed color-word list), and
@@ -531,6 +584,147 @@ object Analytics3 {
         .withColumn("reject_95", expr("chi2_milli > 3841"))
         .select("n_docs", "both_short", "b_disc", "c_disc",
           "chi2_milli", "reject_95")
+    },
+
+    // Jonckheere–Terpstra ordered-alternative test: does quantity
+    // trend MONOTONICALLY across the 11 ordered discount bands? (A
+    // Kruskal–Wallis "they differ" is weaker than "they increase".)
+    // The pairwise U statistic collapses onto the bounded value-class
+    // frame — an 11×50 grid self-joined under band order (broadcast
+    // nested-loop on ~550 rows, never a row-level pair) — in the
+    // QUADRUPLED integer lane so tie half-counts and the /4 mean stay
+    // integer. The variance is the FULL Kendall-style tie-corrected
+    // form (quantity ties are massive), three ratios of exact wide
+    // integers summed in literal order; z through one shared sqrt.
+    "q373_jonckheere" -> { (s, d) =>
+      val cls = Tables.lineitem(s, d)
+        .groupBy(
+          expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("gd"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"))
+        .agg(count(lit(1)).as("n_gv"))
+      val gStats = cls.groupBy("gd").agg(sum("n_gv").as("n_g"))
+        .agg(count(lit(1)).as("k_groups"), sum("n_g").as("n_total"),
+          sum(expr(s"${Sp.wide("n_g")} * n_g")).as("sum_n2_w"),
+          sum(expr(s"${Sp.wide("n_g")} * (n_g - 1)")).as("c2g_w"),
+          sum(expr(s"${Sp.wide("n_g")} * (n_g - 1) * (n_g - 2)"))
+            .as("c3g_w"),
+          sum(expr(s"${Sp.wide("n_g")} * (n_g - 1) * (2 * n_g + 5)"))
+            .as("bg_w"))
+      val vStats = cls.groupBy("q").agg(sum("n_gv").as("t_v"))
+        .agg(sum(expr(s"${Sp.wide("t_v")} * (t_v - 1)")).as("c2v_w"),
+          sum(expr(s"${Sp.wide("t_v")} * (t_v - 1) * (t_v - 2)"))
+            .as("c3v_w"),
+          sum(expr(s"${Sp.wide("t_v")} * (t_v - 1) * (2 * t_v + 5)"))
+            .as("a_w"))
+      val u = cls.select(col("gd").as("ga"), col("q").as("qa"),
+          col("n_gv").as("na"))
+        .join(broadcast(cls.select(col("gd").as("gb"), col("q").as("qb"),
+          col("n_gv").as("nb"))), col("ga") < col("gb"))
+        .agg(coalesce(sum(expr(
+          s"CASE WHEN qa < qb THEN 2 * ${Sp.wide("na")} * nb " +
+            s"WHEN qa = qb THEN ${Sp.wide("na")} * nb " +
+            s"ELSE ${Sp.wide("0")} END")), expr(Sp.wide("0"))).as("u2_w"))
+      gStats.crossJoin(broadcast(vStats)).crossJoin(broadcast(u))
+        .withColumn("diff_w", expr(
+          s"2 * u2_w - (${Sp.wide("n_total")} * n_total - sum_n2_w)"))
+        .withColumn("t1_w", expr(
+          s"greatest(${Sp.wide("n_total")} * " +
+            "((n_total - 1) * (2 * n_total + 5)) - bg_w - a_w, " +
+            s"${Sp.wide("0")})"))
+        .withColumn("c3p_w", expr("c3g_w * c3v_w"))
+        .withColumn("den3_w", expr(
+          s"36 * ${Sp.wide("n_total")} * ((n_total - 1) * (n_total - 2))"))
+        .withColumn("c2p_w", expr("c2g_w * c2v_w"))
+        .withColumn("den2_w", expr(
+          s"8 * ${Sp.wide("n_total")} * (n_total - 1)"))
+        .withColumn("v_dbl", expr(
+          s"CASE WHEN n_total < 3 THEN CAST(-1 AS DOUBLE) " +
+            s"ELSE ${jtVDblF(Sp)} END"))
+        .withColumn("d_dbl", expr(jtDDblF(Sp)))
+        .withColumn("z_micro", expr(JtZF))
+        .withColumn("trend", expr(
+          "CASE WHEN z_micro IS NULL THEN NULL " +
+            "WHEN z_micro > 1644854 THEN 'increasing' " +
+            "WHEN z_micro < -1644854 THEN 'decreasing' " +
+            "ELSE 'none' END"))
+        .select(col("n_total"), col("k_groups"),
+          expr("CAST(diff_w AS BIGINT)").as("jt4_minus_mean4"),
+          col("z_micro"), col("trend"))
+    },
+
+    // Cochran's Q over customers × years 1995–1997: is the share of
+    // active customers HOMOGENEOUS across the three years, accounting
+    // for each customer's own activity profile (the paired design a
+    // plain per-year χ² ignores)? PURE integer end-to-end — the
+    // numerator k·ΣCⱼ² − (ΣR)² is exact and nonnegative by
+    // Cauchy–Schwarz, so the only guard is the degenerate
+    // all-rows-identical denominator. One distinct + two bounded
+    // rollups; verdict vs χ²₍₂,0.95₎ = 5.991 on the quantized value.
+    "q374_cochran_q" -> { (s, d) =>
+      val act = Tables.orders(s, d)
+        .filter(expr("year(o_orderdate) BETWEEN 1995 AND 1997"))
+        .select(col("o_custkey"),
+          expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+        .distinct()
+      val rs = act.groupBy("o_custkey").agg(count(lit(1)).as("r_i"))
+        .agg(count(lit(1)).as("n_subjects"), sum("r_i").as("sum_r"),
+          sum(expr("r_i * r_i")).as("sum_r2"))
+      val cs = act.groupBy("yr").agg(count(lit(1)).as("c_j"))
+        .agg(count(lit(1)).as("k_treat"),
+          sum(expr(s"${Sp.wide("c_j")} * c_j")).as("sum_c2"))
+      rs.crossJoin(broadcast(cs))
+        .withColumn("q_milli", expr(cochranQF(Sp)))
+        .withColumn("reject_95", expr("q_milli > 5991"))
+        .select("n_subjects", "k_treat", "sum_r", "sum_r2",
+          "q_milli", "reject_95")
+    },
+
+    // Log-rank test on the q343 survival frame: do large line items
+    // (quantity > 25) ship on a different latency curve than small
+    // ones, under the same 1998-06-01 right-censoring? Per event time
+    // the group-1 expectation d·n₁/n and hypergeometric variance
+    // quantize to micro BEFORE summing (the q343 convention — sums of
+    // rationals can't stay integer), at-risk counts ride two
+    // cumulative lanes over the bounded distinct-duration frame, and
+    // z = (O−E)·1000/√V in one shared sqrt text. The subject table is
+    // touched once, map-side combined.
+    "q375_logrank" -> { (s, d) =>
+      val subj = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("o_orderdate <= DATE '1998-06-01'"))
+        .select(
+          expr("CASE WHEN l_shipdate <= DATE '1998-06-01' " +
+            "THEN datediff(l_shipdate, o_orderdate) " +
+            "ELSE datediff(DATE '1998-06-01', o_orderdate) END")
+            .cast("long").as("obs"),
+          expr("CASE WHEN l_shipdate <= DATE '1998-06-01' THEN 1 ELSE 0 END")
+            .as("ev"),
+          expr("CASE WHEN CAST(l_quantity AS BIGINT) > 25 THEN 1 ELSE 0 END")
+            .as("g1"))
+      val steps = subj.groupBy("obs")
+        .agg(count(lit(1)).as("c_all"), sum("ev").as("d"),
+          sum("g1").as("c1"), sum(expr("ev * g1")).as("d1"))
+      val n = steps.agg(sum("c_all").as("n_total"), sum("c1").as("n1_total"))
+      val ordw = Window.orderBy("obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      steps.crossJoin(broadcast(n))
+        .withColumn("cum_le", sum("c_all").over(ordw))
+        .withColumn("cum1_le", sum("c1").over(ordw))
+        .withColumn("n_risk", expr("n_total - cum_le + c_all"))
+        .withColumn("n1_risk", expr("n1_total - cum1_le + c1"))
+        .filter(col("d") > 0)
+        .withColumn("e_step", expr(lrEStepF(Sp)))
+        .withColumn("v_step", expr(lrVStepF(Sp)))
+        .agg(max("n_total").as("n_total"), max("n1_total").as("n1_total"),
+          count(lit(1)).as("n_steps"),
+          sum(expr("d1 * 1000000")).as("o1_micro"),
+          sum("e_step").as("e1_micro"), sum("v_step").as("v_micro"))
+        .withColumn("z_micro", expr(LrZF))
+        .withColumn("reject_95", expr("abs(z_micro) > 1959964"))
+        .select("n_total", "n1_total", "n_steps", "o1_micro", "e1_micro",
+          "v_micro", "z_micro", "reject_95")
     })
 
   val oracles: Map[String, String] = Map(
@@ -833,5 +1027,128 @@ object Analytics3 {
          |chi AS (SELECT *, ${mcnemarF(Du)} AS chi2_milli FROM agg)
          |SELECT n_docs, both_short, b_disc, c_disc, chi2_milli,
          |  chi2_milli > 3841 AS reject_95
-         |FROM chi""".stripMargin)
+         |FROM chi""".stripMargin,
+
+    "q373_jonckheere" ->
+      s"""WITH cls AS (
+         |  SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS gd,
+         |    CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n_gv
+         |  FROM lineitem GROUP BY 1, 2),
+         |byg AS (SELECT gd, CAST(SUM(n_gv) AS BIGINT) AS n_g
+         |  FROM cls GROUP BY 1),
+         |gstats AS (
+         |  SELECT COUNT(*) AS k_groups, CAST(SUM(n_g) AS BIGINT) AS n_total,
+         |    SUM(${Du.wide("n_g")} * n_g) AS sum_n2_w,
+         |    SUM(${Du.wide("n_g")} * (n_g - 1)) AS c2g_w,
+         |    SUM(${Du.wide("n_g")} * (n_g - 1) * (n_g - 2)) AS c3g_w,
+         |    SUM(${Du.wide("n_g")} * (n_g - 1) * (2 * n_g + 5)) AS bg_w
+         |  FROM byg),
+         |byv AS (SELECT q, CAST(SUM(n_gv) AS BIGINT) AS t_v
+         |  FROM cls GROUP BY 1),
+         |vstats AS (
+         |  SELECT SUM(${Du.wide("t_v")} * (t_v - 1)) AS c2v_w,
+         |    SUM(${Du.wide("t_v")} * (t_v - 1) * (t_v - 2)) AS c3v_w,
+         |    SUM(${Du.wide("t_v")} * (t_v - 1) * (2 * t_v + 5)) AS a_w
+         |  FROM byv),
+         |u AS (
+         |  SELECT COALESCE(SUM(
+         |    CASE WHEN a.q < b.q THEN 2 * ${Du.wide("a.n_gv")} * b.n_gv
+         |      WHEN a.q = b.q THEN ${Du.wide("a.n_gv")} * b.n_gv
+         |      ELSE ${Du.wide("0")} END), ${Du.wide("0")}) AS u2_w
+         |  FROM cls a JOIN cls b ON a.gd < b.gd),
+         |t AS (
+         |  SELECT n_total, k_groups,
+         |    2 * u2_w - (${Du.wide("n_total")} * n_total - sum_n2_w)
+         |      AS diff_w,
+         |    greatest(${Du.wide("n_total")} *
+         |      ((n_total - 1) * (2 * n_total + 5)) - bg_w - a_w,
+         |      ${Du.wide("0")}) AS t1_w,
+         |    c3g_w * c3v_w AS c3p_w,
+         |    36 * ${Du.wide("n_total")} * ((n_total - 1) * (n_total - 2))
+         |      AS den3_w,
+         |    c2g_w * c2v_w AS c2p_w,
+         |    8 * ${Du.wide("n_total")} * (n_total - 1) AS den2_w
+         |  FROM gstats CROSS JOIN vstats CROSS JOIN u),
+         |v AS (
+         |  SELECT n_total, k_groups, diff_w,
+         |    CASE WHEN n_total < 3 THEN CAST(-1 AS DOUBLE)
+         |      ELSE ${jtVDblF(Du)} END AS v_dbl,
+         |    ${jtDDblF(Du)} AS d_dbl
+         |  FROM t),
+         |z AS (SELECT *, $JtZF AS z_micro FROM v)
+         |SELECT n_total, k_groups, CAST(diff_w AS BIGINT) AS jt4_minus_mean4,
+         |  z_micro,
+         |  CASE WHEN z_micro IS NULL THEN NULL
+         |    WHEN z_micro > 1644854 THEN 'increasing'
+         |    WHEN z_micro < -1644854 THEN 'decreasing'
+         |    ELSE 'none' END AS trend
+         |FROM z""".stripMargin,
+
+    "q374_cochran_q" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT o_custkey,
+         |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr
+         |  FROM orders
+         |  WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1995 AND 1997),
+         |r AS (SELECT o_custkey, COUNT(*) AS r_i FROM act GROUP BY 1),
+         |rs AS (
+         |  SELECT COUNT(*) AS n_subjects, CAST(SUM(r_i) AS BIGINT) AS sum_r,
+         |    CAST(SUM(r_i * r_i) AS BIGINT) AS sum_r2
+         |  FROM r),
+         |c AS (SELECT yr, COUNT(*) AS c_j FROM act GROUP BY 1),
+         |cs AS (
+         |  SELECT COUNT(*) AS k_treat, SUM(${Du.wide("c_j")} * c_j) AS sum_c2
+         |  FROM c),
+         |q AS (
+         |  SELECT n_subjects, k_treat, sum_r, sum_r2, ${cochranQF(Du)}
+         |    AS q_milli
+         |  FROM rs CROSS JOIN cs)
+         |SELECT n_subjects, k_treat, sum_r, sum_r2, q_milli,
+         |  q_milli > 5991 AS reject_95
+         |FROM q""".stripMargin,
+
+    "q375_logrank" ->
+      s"""WITH subj AS (
+         |  SELECT
+         |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-06-01'
+         |      THEN date_diff('day', CAST(o_orderdate AS DATE),
+         |        CAST(l_shipdate AS DATE))
+         |      ELSE date_diff('day', CAST(o_orderdate AS DATE),
+         |        DATE '1998-06-01') END AS obs,
+         |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-06-01'
+         |      THEN 1 ELSE 0 END AS ev,
+         |    CASE WHEN CAST(l_quantity AS BIGINT) > 25 THEN 1 ELSE 0 END
+         |      AS g1
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-06-01'),
+         |steps AS (
+         |  SELECT obs, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS d,
+         |    CAST(SUM(g1) AS BIGINT) AS c1,
+         |    CAST(SUM(ev * g1) AS BIGINT) AS d1
+         |  FROM subj GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_total,
+         |  CAST(SUM(c1) AS BIGINT) AS n1_total FROM steps),
+         |risk AS (
+         |  SELECT obs, d, c1, d1, n_total, n1_total,
+         |    n_total - CAST(SUM(c_all) OVER w AS BIGINT) + c_all AS n_risk,
+         |    n1_total - CAST(SUM(c1) OVER w AS BIGINT) + c1 AS n1_risk
+         |  FROM steps CROSS JOIN n
+         |  WINDOW w AS (ORDER BY obs
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |terms AS (
+         |  SELECT n_total, n1_total, d1,
+         |    ${lrEStepF(Du)} AS e_step, ${lrVStepF(Du)} AS v_step
+         |  FROM risk WHERE d > 0),
+         |agg AS (
+         |  SELECT MAX(n_total) AS n_total, MAX(n1_total) AS n1_total,
+         |    COUNT(*) AS n_steps,
+         |    CAST(SUM(d1 * 1000000) AS BIGINT) AS o1_micro,
+         |    CAST(SUM(e_step) AS BIGINT) AS e1_micro,
+         |    CAST(SUM(v_step) AS BIGINT) AS v_micro
+         |  FROM terms),
+         |z AS (SELECT *, $LrZF AS z_micro FROM agg)
+         |SELECT n_total, n1_total, n_steps, o1_micro, e1_micro, v_micro,
+         |  z_micro, abs(z_micro) > 1959964 AS reject_95
+         |FROM z""".stripMargin)
 }
