@@ -193,6 +193,34 @@ object Analytics3 {
       "CAST(1000 AS DOUBLE) / sqrt(CAST(v_micro AS DOUBLE))) " +
       "AS BIGINT) END"
 
+  /** q376's four quality-filter predicates — identical integer texts
+    * on both engines (the token list is the dialect-paired builder).
+    */
+  private def ablF1(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN n_chars < 150 THEN 1 ELSE 0 END"
+  private def ablF2(dl: graft.functions.SqlDialect): String =
+    s"CASE WHEN ${dl.size(dl.arrDistinct("toks"))} * 1000 < " +
+      s"600 * ${dl.size("toks")} THEN 1 ELSE 0 END"
+  private def ablF3(dl: graft.functions.SqlDialect): String =
+    s"CASE WHEN n_chars * 10 < 30 * ${dl.size("toks")} " +
+      s"OR n_chars * 10 > 100 * ${dl.size("toks")} THEN 1 ELSE 0 END"
+  private def ablF4(dl: graft.functions.SqlDialect): String =
+    s"CASE WHEN length(${dl.regexReplaceAll("text", "[^0-9]", "")}) * 5 " +
+      "> n_chars THEN 1 ELSE 0 END"
+
+  /** q378's signed group-mean in milli — sign-split BEFORE the
+    * integer division (Spark `div` truncates, DuckDB `//` floors;
+    * they agree only on non-negative operands).
+    */
+  private def signedMeanMilliF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN s_g >= 0 THEN " +
+      s"CAST(${dl.intDiv("s_g * 1000", "n_g")} AS BIGINT) " +
+      s"ELSE -CAST(${dl.intDiv("(-s_g) * 1000", "n_g")} AS BIGINT) END"
+  private def strengthMilliF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN greatest(ss_between, 0) + ss_within <= 0 THEN NULL ELSE " +
+      s"CAST(${dl.intDiv("greatest(ss_between, 0) * 1000",
+        "(greatest(ss_between, 0) + ss_within)")} AS BIGINT) END"
+
   /** The part-name token vocabulary both engines agree on: whitespace
     * tokens, deduplicated, with token frequency. Tiny by construction
     * (TPC-H part names draw from a fixed color-word list), and
@@ -725,6 +753,116 @@ object Analytics3 {
         .withColumn("reject_95", expr("abs(z_micro) > 1959964"))
         .select("n_total", "n1_total", "n_steps", "o1_micro", "e1_micro",
           "v_micro", "z_micro", "reject_95")
+    },
+
+    // Quality-filter ABLATION MATRIX: every 2⁴ combination of four
+    // standard curation filters (too-short, repetitive low-distinct
+    // vocabulary, chars-per-token out of band, digit-heavy) counted
+    // in ONE map-side pass over the corpus — the table a curator
+    // reads to see marginal vs joint removal (filters overlap; the
+    // sequential funnel q204 can't show that a filter is redundant).
+    // Pure integer predicates on the dialect-paired token list;
+    // 16-row output regardless of corpus size.
+    "q376_filter_ablation" -> { (s, d) =>
+      val f = Tables.documents(s, d)
+        .withColumn("toks", expr(Sp.tokens("text")))
+        .withColumn("f_short", expr(ablF1(Sp)))
+        .withColumn("f_repet", expr(ablF2(Sp)))
+        .withColumn("f_toklen", expr(ablF3(Sp)))
+        .withColumn("f_digit", expr(ablF4(Sp)))
+        .withColumn("mask", expr(
+          "f_short + 2 * f_repet + 4 * f_toklen + 8 * f_digit"))
+      val tot = f.agg(count(lit(1)).as("n_corpus"))
+      f.groupBy("mask")
+        .agg(count(lit(1)).as("n_docs"),
+          max("f_short").as("f_short"), max("f_repet").as("f_repet"),
+          max("f_toklen").as("f_toklen"), max("f_digit").as("f_digit"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_milli", expr("n_docs * 1000 div n_corpus"))
+        .select("mask", "f_short", "f_repet", "f_toklen", "f_digit",
+          "n_docs", "share_milli")
+        .orderBy("mask")
+    },
+
+    // 4-truss peeling on the co-purchase graph, three rounds: keep
+    // only edges supported by ≥ 2 triangles, recount, repeat — the
+    // community-core extractor that k-core can't express (degree is
+    // forgeable by hubs; triangle support is not). Each round is one
+    // ordered-triangle join (a<b<c meets each triangle once) + one
+    // explode-to-edges rollup on the bounded support-≥2 pair frame
+    // (q290's memoized substrate); per-round frames are memoized so
+    // the union of round summaries never recomputes a predecessor.
+    // Output: per-round edge/triangle totals — the convergence
+    // profile a 100 TB run would monitor.
+    "q377_ktruss_peel" -> { (s, d) =>
+      def support(e: DataFrame): DataFrame = {
+        val tri = e.select(col("pa").as("a"), col("pb").as("b"))
+          .join(e.select(col("pa").as("b"), col("pb").as("c")), "b")
+          .join(e.select(col("pa").as("a2"), col("pb").as("c2")),
+            col("a2") === col("a") && col("c2") === col("c"))
+          .select("a", "b", "c")
+        tri.select(explode(expr(
+            "array(struct(a AS x, b AS y), struct(a AS x, c AS y), " +
+              "struct(b AS x, c AS y))")).as("e"))
+          .select(col("e.x").as("pa"), col("e.y").as("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      }
+      var edges = Analytics.pairCounts(s, d).select("pa", "pb")
+      val rounds = (1 to 3).map { r =>
+        val withSup = Tables.memo(s, s"$d#q377sup$r") {
+          edges.join(support(edges), Seq("pa", "pb"), "left")
+            .withColumn("sup", coalesce(col("sup"), lit(0L)))
+        }
+        edges = withSup.filter(col("sup") >= 2).select("pa", "pb")
+        withSup.agg(
+            count(lit(1)).as("n_edges_in"),
+            expr("coalesce(sum(sup), 0) div 3").as("n_triangles"),
+            coalesce(sum(expr("CASE WHEN sup >= 2 THEN 1 ELSE 0 END")),
+              lit(0L)).as("n_edges_kept"))
+          .withColumn("round", lit(r.toLong))
+          .select("round", "n_edges_in", "n_triangles", "n_edges_kept")
+      }
+      rounds.reduce(_.unionAll(_)).orderBy("round")
+    },
+
+    // Weekday seasonal decomposition of daily order volume: centered
+    // 7-day moving-average detrend (×7 keeps it integer; edge days
+    // with incomplete windows drop), then a one-way ANOVA of the
+    // detrended series across ISO weekdays — the per-weekday seasonal
+    // component (sign-split milli means) plus a seasonality-strength
+    // ratio SSB/(SSB+SSW), the "is weekday worth modeling" number.
+    // The MA window is 7 rows over the calendar-bounded day frame;
+    // moments ride the q326 lanes (negatives never meet a division:
+    // only squares and clamped sums divide).
+    "q378_weekday_decompose" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val det = day
+        .withColumn("ma7", sum("y").over(w))
+        .withColumn("cnt7", count(lit(1)).over(w))
+        .filter(col("cnt7") === 7)
+        .withColumn("v", expr("7 * y - ma7"))
+        .withColumn("dow", expr("CAST(weekday(day) + 1 AS BIGINT)"))
+      val grp = det.groupBy("dow")
+        .agg(count(lit(1)).as("n_g"), sum("v").as("s_g"),
+          sum(expr("v * v")).as("q_g"))
+        .withColumn("term", expr(anovaTermF(Sp)))
+        .withColumn("mean_detr7_milli", expr(signedMeanMilliF(Sp)))
+      val tot = grp.agg(count(lit(1)).as("k_groups"),
+          sum("n_g").as("n_total"), sum("s_g").as("s_total"),
+          sum("q_g").as("q_total"), sum("term").as("sum_sg2_over_ng"))
+        .withColumn("ss_between",
+          expr(s"sum_sg2_over_ng - ${anovaGrandF(Sp)}"))
+        .withColumn("ss_within", expr("q_total - sum_sg2_over_ng"))
+        .withColumn("f_milli", expr(anovaFMilliF(Sp)))
+        .withColumn("strength_milli", expr(strengthMilliF(Sp)))
+        .select("ss_between", "ss_within", "f_milli", "strength_milli")
+      grp.crossJoin(broadcast(tot))
+        .select("dow", "n_g", "mean_detr7_milli", "ss_between",
+          "ss_within", "f_milli", "strength_milli")
+        .orderBy("dow")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1150,5 +1288,103 @@ object Analytics3 {
          |z AS (SELECT *, $LrZF AS z_micro FROM agg)
          |SELECT n_total, n1_total, n_steps, o1_micro, e1_micro, v_micro,
          |  z_micro, abs(z_micro) > 1959964 AS reject_95
-         |FROM z""".stripMargin)
+         |FROM z""".stripMargin,
+
+    "q376_filter_ablation" ->
+      s"""WITH f AS (
+         |  SELECT ${Du.tokens("text")} AS toks, n_chars, text
+         |  FROM documents),
+         |g AS (
+         |  SELECT ${ablF1(Du)} AS f_short, ${ablF2(Du)} AS f_repet,
+         |    ${ablF3(Du)} AS f_toklen, ${ablF4(Du)} AS f_digit
+         |  FROM f),
+         |m AS (
+         |  SELECT f_short + 2 * f_repet + 4 * f_toklen + 8 * f_digit
+         |    AS mask, f_short, f_repet, f_toklen, f_digit
+         |  FROM g),
+         |tot AS (SELECT COUNT(*) AS n_corpus FROM m),
+         |agg AS (
+         |  SELECT mask, COUNT(*) AS n_docs, MAX(f_short) AS f_short,
+         |    MAX(f_repet) AS f_repet, MAX(f_toklen) AS f_toklen,
+         |    MAX(f_digit) AS f_digit
+         |  FROM m GROUP BY 1)
+         |SELECT mask, f_short, f_repet, f_toklen, f_digit, n_docs,
+         |  n_docs * 1000 // n_corpus AS share_milli
+         |FROM agg CROSS JOIN tot ORDER BY mask""".stripMargin,
+
+    "q377_ktruss_peel" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""tri$r AS (
+           |  SELECT ea.pa AS a, ea.pb AS b, eb.pb AS c
+           |  FROM e$r ea JOIN e$r eb ON ea.pb = eb.pa
+           |  JOIN e$r ec ON ec.pa = ea.pa AND ec.pb = eb.pb),
+           |sup$r AS (
+           |  SELECT x AS pa, y AS pb, COUNT(*) AS sup FROM (
+           |    SELECT a AS x, b AS y FROM tri$r
+           |    UNION ALL SELECT a, c FROM tri$r
+           |    UNION ALL SELECT b, c FROM tri$r)
+           |  GROUP BY 1, 2),
+           |ws$r AS (
+           |  SELECT e$r.pa, e$r.pb, COALESCE(sup, 0) AS sup
+           |  FROM e$r LEFT JOIN sup$r USING (pa, pb)),
+           |st$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round, COUNT(*) AS n_edges_in,
+           |    CAST(COALESCE(SUM(sup), 0) AS BIGINT) // 3 AS n_triangles,
+           |    COALESCE(CAST(SUM(CASE WHEN sup >= 2 THEN 1 ELSE 0 END)
+           |      AS BIGINT), 0) AS n_edges_kept
+           |  FROM ws$r),
+           |e${r + 1} AS (SELECT pa, pb FROM ws$r WHERE sup >= 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e1 AS (
+         |  SELECT a.pk AS pa, b.pk AS pb
+         |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |$rounds
+         |SELECT round, n_edges_in, n_triangles, n_edges_kept FROM (
+         |  SELECT * FROM st1 UNION ALL SELECT * FROM st2
+         |  UNION ALL SELECT * FROM st3)
+         |ORDER BY round""".stripMargin
+    },
+
+    "q378_weekday_decompose" ->
+      s"""WITH day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS y
+         |  FROM orders GROUP BY 1),
+         |ma AS (
+         |  SELECT day, y, CAST(SUM(y) OVER w AS BIGINT) AS ma7,
+         |    COUNT(*) OVER w AS cnt7
+         |  FROM day
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |det AS (
+         |  SELECT CAST(isodow(day) AS BIGINT) AS dow, 7 * y - ma7 AS v
+         |  FROM ma WHERE cnt7 = 7),
+         |grp AS (
+         |  SELECT dow, COUNT(*) AS n_g, CAST(SUM(v) AS BIGINT) AS s_g,
+         |    CAST(SUM(v * v) AS BIGINT) AS q_g
+         |  FROM det GROUP BY 1),
+         |t1 AS (
+         |  SELECT *, ${anovaTermF(Du)} AS term,
+         |    ${signedMeanMilliF(Du)} AS mean_detr7_milli
+         |  FROM grp),
+         |tot AS (
+         |  SELECT COUNT(*) AS k_groups, CAST(SUM(n_g) AS BIGINT) AS n_total,
+         |    CAST(SUM(s_g) AS BIGINT) AS s_total,
+         |    CAST(SUM(q_g) AS BIGINT) AS q_total,
+         |    CAST(SUM(term) AS BIGINT) AS sum_sg2_over_ng
+         |  FROM t1),
+         |ss AS (
+         |  SELECT *, sum_sg2_over_ng - ${anovaGrandF(Du)} AS ss_between,
+         |    q_total - sum_sg2_over_ng AS ss_within
+         |  FROM tot),
+         |fin AS (
+         |  SELECT ss_between, ss_within, ${anovaFMilliF(Du)} AS f_milli,
+         |    ${strengthMilliF(Du)} AS strength_milli
+         |  FROM ss)
+         |SELECT dow, n_g, mean_detr7_milli, ss_between, ss_within,
+         |  f_milli, strength_milli
+         |FROM t1 CROSS JOIN fin ORDER BY dow""".stripMargin)
 }
