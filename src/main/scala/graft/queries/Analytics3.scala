@@ -49,21 +49,39 @@ object Analytics3 {
     * H·1000 = 3000·Σ(S2²/4n_g)·4/(N(N+1)) − 3000(N+1) with the
     * per-group floors inside sum_q (the q326 SSB discipline; clamp
     * ≥ 0 BEFORE any division so no negative ever meets div-vs-//),
-    * then the tie correction as one exact wide ratio. n³ lanes fit
-    * BIGINT through ~2·10⁶ groups-of-rows — past that the cube moves
-    * to the wide lane.
+    * then the tie correction as one exact wide ratio. EVERY cubic/
+    * quadratic lane rides DECIMAL(38,0)/HUGEINT end-to-end — the
+    * 10× probe measured S2²/n_g and N³ crossing 2⁶³ at 6M rows
+    * (ANSI ArithmeticException), the q321/q344 overflow class.
     */
+  private def kwCubeF(dl: graft.functions.SqlDialect): String =
+    s"(${dl.wide("n_total")} * n_total * n_total - n_total)"
   private def kwHMilliF(dl: graft.functions.SqlDialect): String =
     s"greatest(CAST(${dl.intDiv(dl.wide("sum_q") + " * 3000",
-      "(n_total * (n_total + 1))")} AS BIGINT) - 3000 * (n_total + 1), 0)"
+      "(" + dl.wide("n_total") + " * (n_total + 1))")} AS BIGINT) " +
+      "- 3000 * (n_total + 1), 0)"
   private def kwHAdjF(dl: graft.functions.SqlDialect): String =
-    "CASE WHEN n_total * n_total * n_total - n_total - tie_cube <= 0 " +
-      "THEN NULL ELSE " +
-      s"CAST(${dl.intDiv(
-        dl.wide("h_milli") + " * (n_total * n_total * n_total - n_total)",
-        "(n_total * n_total * n_total - n_total - tie_cube)")} AS BIGINT) END"
+    s"CASE WHEN ${kwCubeF(dl)} - tie_cube <= ${dl.wide("0")} THEN NULL " +
+      s"ELSE CAST(${dl.intDiv(
+        dl.wide("h_milli") + s" * ${kwCubeF(dl)}",
+        "(" + kwCubeF(dl) + " - tie_cube)")} AS BIGINT) END"
+  private def kwTieMilliF(dl: graft.functions.SqlDialect): String =
+    s"CASE WHEN ${kwCubeF(dl)} <= ${dl.wide("0")} THEN NULL " +
+      s"ELSE CAST(${dl.intDiv("tie_cube * 1000", kwCubeF(dl))} " +
+      "AS BIGINT) END"
+  /** Per-group floor(S2²/n_g). DuckDB divides HUGEINTs directly;
+    * Spark's `div` ALWAYS returns LONG (the probe caught the result
+    * ≈ n_g·N² ~ 7·10¹⁹ overflowing at 6M rows), so the Spark side
+    * decomposes S2 = q·n + r and assembles the IDENTICAL integer
+    * floor(S2²/n) = q²n + 2qr + floor(r²/n) in the DECIMAL lane —
+    * every operand that meets `div` or `%` is LONG-safe (q ≈ 2N,
+    * r < n_g).
+    */
   private def kwSumQTermF(dl: graft.functions.SqlDialect): String =
-    s"CAST(${dl.intDiv(dl.wide("s2_g") + " * s2_g", "n_g")} AS BIGINT)"
+    if (!dl.spark) dl.intDiv(dl.wide("s2_g") + " * s2_g", "n_g")
+    else "(CAST((s2_g div n_g) AS DECIMAL(38,0)) * (s2_g div n_g) * n_g " +
+      "+ CAST(2 * (s2_g div n_g) * (s2_g % n_g) AS DECIMAL(38,0)) " +
+      "+ CAST(((s2_g % n_g) * (s2_g % n_g) div n_g) AS DECIMAL(38,0)))"
 
   /** q368's Durbin–Watson: every residual is the EXACT integer
     * eₜ·Δ = yₜ·Δ − aΔ − bΔ·xₜ (Δ = n·Sxx − Sx², aΔ and bΔ the
@@ -207,6 +225,25 @@ object Analytics3 {
   private def ablF4(dl: graft.functions.SqlDialect): String =
     s"CASE WHEN length(${dl.regexReplaceAll("text", "[^0-9]", "")}) * 5 " +
       "> n_chars THEN 1 ELSE 0 END"
+
+  /** q379's ordered EMD·1000 between a group's sensitive-attribute
+    * distribution and the global one — every per-level term shares
+    * the denominator n_g·N, so the sum is ONE exact rational:
+    * EMD = Σᵢ|cumᵍᵢ·N − cumᵢ·n_g| / ((m−1)·n_g·N).
+    */
+  private def tClosenessF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN m_levels <= 1 OR n_g = 0 THEN NULL ELSE " +
+      s"CAST(${dl.intDiv(dl.wide("sum_absdiff") + " * 1000",
+        "((m_levels - 1) * n_g * n_total)")} AS BIGINT) END"
+
+  /** q381's deterministic Poisson(1) weight from a 60-bit portable
+    * hash reduced mod 10⁶ — CDF thresholds ⌊Σₖ e⁻¹/k!·10⁶⌋ as integer
+    * literals (libm exp never runs at query time), capped at 5.
+    */
+  private val BootWF: String =
+    "CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 " +
+      "WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 " +
+      "WHEN u < 996340 THEN 4 ELSE 5 END"
 
   /** q378's signed group-mean in milli — sign-split BEFORE the
     * integer division (Spark `div` truncates, DuckDB `//` floors;
@@ -402,7 +439,8 @@ object Analytics3 {
       val pool = cls.groupBy("q").agg(sum("n_gv").as("c"))
         .withColumn("cum", sum("c").over(Window.orderBy("q")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val ties = pool.agg(sum(expr("c * c * c - c")).as("tie_cube"))
+      val ties = pool.agg(sum(expr(s"${Sp.wide("c")} * c * c - c"))
+        .as("tie_cube"))
       val grp = cls.join(broadcast(pool), Seq("q"))
         .groupBy("g")
         .agg(sum("n_gv").as("n_g"),
@@ -413,8 +451,9 @@ object Analytics3 {
         .crossJoin(broadcast(ties))
         .withColumn("h_milli", expr(kwHMilliF(Sp)))
         .withColumn("h_adj_milli", expr(kwHAdjF(Sp)))
+        .withColumn("tie_milli", expr(kwTieMilliF(Sp)))
         .withColumn("reject_95", expr("h_adj_milli > 5991"))
-        .select("n_groups", "n_total", "tie_cube", "h_milli",
+        .select("n_groups", "n_total", "tie_milli", "h_milli",
           "h_adj_milli", "reject_95")
     },
 
@@ -863,6 +902,122 @@ object Analytics3 {
         .select("dow", "n_g", "mean_detr7_milli", "ss_between",
           "ss_within", "f_milli", "strength_milli")
         .orderBy("dow")
+    },
+
+    // t-closeness audit — the third leg of the privacy triad
+    // (q306 k-anonymity, q333 l-diversity): for each (nation,
+    // segment) quasi-identifier class, the ordered earth-mover
+    // distance between its order-priority distribution and the
+    // global one. Every |ΔCDF| term shares the n_g·N denominator so
+    // the whole EMD is ONE exact rational in the wide lane; the
+    // level spine left-join keeps absent priorities contributing
+    // their full cumulative gap. One fact pass → 625-cell rollup;
+    // everything after is bounded.
+    "q379_t_closeness" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"), col("o_orderpriority").as("pr"))
+      val cls = base.groupBy("nk", "seg", "pr")
+        .agg(count(lit(1)).as("n_gi"))
+      val levels = cls.select("pr").distinct()
+      val groups = cls.groupBy("nk", "seg").agg(sum("n_gi").as("n_g"))
+      val glob = cls.groupBy("pr").agg(sum("n_gi").as("n_i"))
+        .withColumn("cum_i", sum("n_i").over(Window.orderBy("pr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = glob.agg(sum("n_i").as("n_total"),
+        count(lit(1)).as("m_levels"))
+      val spine = groups.crossJoin(broadcast(levels))
+        .join(cls, Seq("nk", "seg", "pr"), "left")
+        .withColumn("n_gi", coalesce(col("n_gi"), lit(0L)))
+        .withColumn("cum_gi", sum("n_gi")
+          .over(Window.partitionBy("nk", "seg").orderBy("pr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(glob.select("pr", "cum_i")), Seq("pr"))
+        .crossJoin(broadcast(tot))
+      val emd = spine
+        // the last level's cumulative gap is 0 by construction; the
+        // (m−1)-term sum just includes it as an exact zero
+        .withColumn("absdiff", expr("abs(cum_gi * n_total - cum_i * n_g)"))
+        .groupBy("nk", "seg")
+        .agg(max("n_g").as("n_g"), sum("absdiff").as("sum_absdiff"),
+          max("m_levels").as("m_levels"), max("n_total").as("n_total"))
+        .withColumn("emd_milli", expr(tClosenessF(Sp)))
+      val t = emd.agg(max("emd_milli").as("t_milli"))
+      emd.crossJoin(broadcast(t))
+        .withColumn("meets_t_200", expr("emd_milli <= 200"))
+        .select(col("nk").cast("long").as("nationkey"), col("seg"),
+          col("n_g"), col("emd_milli"), col("t_milli"), col("meets_t_200"))
+        .orderBy(col("emd_milli").desc, col("nationkey"), col("seg"))
+        .limit(20)
+    },
+
+    // Zipf rank–frequency conformity at dyadic probe ranks: a Zipfian
+    // corpus keeps r·f_r roughly constant, so the normalized products
+    // rf_r/rf_1 read directly as the exponent drift a tokenizer/
+    // dedup pipeline cares about (s≈1 ⇒ flat; heavier boilerplate ⇒
+    // rising tail). Top-1024 tokens via one TakeOrdered heap (never a
+    // global sort); ranking happens INSIDE the bounded 1024-row frame.
+    "q380_zipf_check" -> { (s, d) =>
+      val top = TextOps.docsWithToks(s, d)
+        .select(explode(col("toks")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("t"))
+        .limit(1024)
+      val ranked = top
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("t")))
+            .cast("long"))
+        .withColumn("rf", expr("r * f"))
+      val rf1 = ranked.filter(col("r") === 1)
+        .select(col("rf").as("rf_1"))
+      ranked
+        .filter(expr("r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)"))
+        .crossJoin(broadcast(rf1))
+        .withColumn("rf_vs_r1_milli", expr("rf * 1000 div rf_1"))
+        .select("r", "t", "f", "rf", "rf_vs_r1_milli")
+        .orderBy("r")
+    },
+
+    // Deterministic Poisson bootstrap CI for the mean order value —
+    // THE distributed bootstrap (per-row independent weights, no
+    // coordination, any executor can draw its rows' weights from the
+    // portable hash alone; classic resampling needs a global index).
+    // B = 40 resamples ride one explode; Poisson(1) weights come from
+    // integer CDF thresholds on hash mod 10⁶ (no RNG, no libm at
+    // query time); each resample mean is an exact cents division and
+    // the 95% CI picks order statistics 2 and 39 inside the bounded
+    // 40-row frame.
+    "q381_poisson_bootstrap" -> { (s, d) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr(CentsF).as("cents"))
+      val full = o.agg(count(lit(1)).as("n_orders"),
+        expr("sum(cents) div count(1)").as("mean_cents"))
+      val res = o
+        .select(col("o_orderkey"), col("cents"),
+          explode(expr("sequence(0, 39)")).as("b"))
+        .withColumn("u", expr(Sp.hash64(
+          "concat('boot:', cast(b as string), ':', " +
+            "cast(o_orderkey as string))") + " % 1000000"))
+        .withColumn("w", expr(BootWF))
+        .groupBy("b")
+        .agg(sum("w").as("n_b"), sum(expr("w * cents")).as("s_b"))
+        .withColumn("mean_b", expr(
+          "CASE WHEN n_b = 0 THEN NULL ELSE s_b div n_b END"))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("mean_b").asc_nulls_last, col("b")))
+          .cast("long"))
+      res.agg(
+          max(expr("CASE WHEN rk = 2 THEN mean_b END")).as("lo_cents"),
+          max(expr("CASE WHEN rk = 39 THEN mean_b END")).as("hi_cents"),
+          count(lit(1)).as("n_resamples"))
+        .crossJoin(broadcast(full))
+        .withColumn("width_cents", expr("hi_cents - lo_cents"))
+        .select("n_orders", "mean_cents", "n_resamples", "lo_cents",
+          "hi_cents", "width_cents")
     })
 
   val oracles: Map[String, String] = Map(
@@ -980,7 +1135,7 @@ object Analytics3 {
          |  SELECT q, c, CAST(SUM(c) OVER (ORDER BY q
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |  FROM pool),
-         |ties AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_cube
+         |ties AS (SELECT SUM(${Du.wide("c")} * c * c - c) AS tie_cube
          |  FROM pool),
          |grp AS (
          |  SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
@@ -989,12 +1144,13 @@ object Analytics3 {
          |term AS (SELECT g, n_g, ${kwSumQTermF(Du)} AS term FROM grp),
          |tot AS (
          |  SELECT COUNT(*) AS n_groups, CAST(SUM(n_g) AS BIGINT) AS n_total,
-         |    CAST(SUM(term) AS BIGINT) AS sum_q
+         |    SUM(term) AS sum_q
          |  FROM term),
          |h AS (SELECT *, ${kwHMilliF(Du)} AS h_milli
          |  FROM tot CROSS JOIN ties),
-         |h2 AS (SELECT *, ${kwHAdjF(Du)} AS h_adj_milli FROM h)
-         |SELECT n_groups, n_total, tie_cube, h_milli, h_adj_milli,
+         |h2 AS (SELECT *, ${kwHAdjF(Du)} AS h_adj_milli,
+         |  ${kwTieMilliF(Du)} AS tie_milli FROM h)
+         |SELECT n_groups, n_total, tie_milli, h_milli, h_adj_milli,
          |  h_adj_milli > 5991 AS reject_95
          |FROM h2""".stripMargin,
 
@@ -1386,5 +1542,106 @@ object Analytics3 {
          |  FROM ss)
          |SELECT dow, n_g, mean_detr7_milli, ss_between, ss_within,
          |  f_milli, strength_milli
-         |FROM t1 CROSS JOIN fin ORDER BY dow""".stripMargin)
+         |FROM t1 CROSS JOIN fin ORDER BY dow""".stripMargin,
+
+    "q379_t_closeness" ->
+      s"""WITH base AS (
+         |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         |    o_orderpriority AS pr
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |cls AS (
+         |  SELECT nk, seg, pr, COUNT(*) AS n_gi FROM base GROUP BY 1, 2, 3),
+         |levels AS (SELECT DISTINCT pr FROM cls),
+         |groups AS (
+         |  SELECT nk, seg, CAST(SUM(n_gi) AS BIGINT) AS n_g
+         |  FROM cls GROUP BY 1, 2),
+         |gl AS (SELECT pr, CAST(SUM(n_gi) AS BIGINT) AS n_i
+         |  FROM cls GROUP BY 1),
+         |globc AS (
+         |  SELECT pr, CAST(SUM(n_i) OVER (ORDER BY pr
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_i
+         |  FROM gl),
+         |tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n_total,
+         |  COUNT(*) AS m_levels FROM gl),
+         |spine AS (
+         |  SELECT g.nk, g.seg, l.pr, g.n_g, COALESCE(c.n_gi, 0) AS n_gi
+         |  FROM groups g CROSS JOIN levels l
+         |  LEFT JOIN cls c ON c.nk = g.nk AND c.seg = g.seg AND c.pr = l.pr),
+         |cum AS (
+         |  SELECT nk, seg, pr, n_g,
+         |    CAST(SUM(n_gi) OVER (PARTITION BY nk, seg ORDER BY pr
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_gi
+         |  FROM spine),
+         |j AS (
+         |  SELECT nk, seg, n_g, m_levels, n_total,
+         |    abs(cum_gi * n_total - cum_i * n_g) AS absdiff
+         |  FROM cum JOIN globc USING (pr) CROSS JOIN tot),
+         |emd AS (
+         |  SELECT nk, seg, MAX(n_g) AS n_g,
+         |    CAST(SUM(absdiff) AS BIGINT) AS sum_absdiff,
+         |    MAX(m_levels) AS m_levels, MAX(n_total) AS n_total
+         |  FROM j GROUP BY 1, 2),
+         |e2 AS (SELECT *, ${tClosenessF(Du)} AS emd_milli FROM emd),
+         |t AS (SELECT MAX(emd_milli) AS t_milli FROM e2)
+         |SELECT CAST(nk AS BIGINT) AS nationkey, seg, n_g, emd_milli,
+         |  t_milli, emd_milli <= 200 AS meets_t_200
+         |FROM e2 CROSS JOIN t
+         |ORDER BY emd_milli DESC, nationkey, seg
+         |LIMIT 20""".stripMargin,
+
+    "q380_zipf_check" ->
+      s"""WITH b AS (SELECT ${Du.tokens("text")} AS toks FROM documents),
+         |tk AS (SELECT unnest(toks) AS t FROM b),
+         |vf AS (SELECT t, COUNT(*) AS f FROM tk GROUP BY 1),
+         |top AS (SELECT t, f FROM vf ORDER BY f DESC, t LIMIT 1024),
+         |rnk AS (
+         |  SELECT t, f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, t)
+         |    AS BIGINT) AS r
+         |  FROM top),
+         |rf AS (SELECT r, t, f, r * f AS rf FROM rnk),
+         |r1 AS (SELECT rf AS rf_1 FROM rf WHERE r = 1)
+         |SELECT r, t, f, rf, rf * 1000 // rf_1 AS rf_vs_r1_milli
+         |FROM rf CROSS JOIN r1
+         |WHERE r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+         |ORDER BY r""".stripMargin,
+
+    "q381_poisson_bootstrap" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, $CentsF AS cents FROM orders),
+         |f AS (
+         |  SELECT COUNT(*) AS n_orders,
+         |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
+         |  FROM o),
+         |e AS (
+         |  SELECT o_orderkey, cents,
+         |    UNNEST(range(0::BIGINT, 40::BIGINT)) AS b
+         |  FROM o),
+         |uf AS (
+         |  SELECT cents, b,
+         |    ${Du.hash64("concat('boot:', CAST(b AS VARCHAR), ':', " +
+                "CAST(o_orderkey AS VARCHAR))")} % 1000000 AS u
+         |  FROM e),
+         |wf AS (SELECT b, cents, $BootWF AS w FROM uf),
+         |g AS (
+         |  SELECT b, CAST(SUM(w) AS BIGINT) AS n_b,
+         |    CAST(SUM(w * cents) AS BIGINT) AS s_b
+         |  FROM wf GROUP BY 1),
+         |m AS (
+         |  SELECT b, CASE WHEN n_b = 0 THEN NULL ELSE s_b // n_b END
+         |    AS mean_b
+         |  FROM g),
+         |r AS (
+         |  SELECT b, mean_b,
+         |    ROW_NUMBER() OVER (ORDER BY mean_b ASC NULLS LAST, b) AS rk
+         |  FROM m),
+         |ci AS (
+         |  SELECT MAX(CASE WHEN rk = 2 THEN mean_b END) AS lo_cents,
+         |    MAX(CASE WHEN rk = 39 THEN mean_b END) AS hi_cents,
+         |    COUNT(*) AS n_resamples
+         |  FROM r)
+         |SELECT n_orders, mean_cents, n_resamples, lo_cents, hi_cents,
+         |  hi_cents - lo_cents AS width_cents
+         |FROM ci CROSS JOIN f""".stripMargin)
 }
