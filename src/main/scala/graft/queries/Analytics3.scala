@@ -1018,6 +1018,129 @@ object Analytics3 {
         .withColumn("width_cents", expr("hi_cents - lo_cents"))
         .select("n_orders", "mean_cents", "n_resamples", "lo_cents",
           "hi_cents", "width_cents")
+    },
+
+    // Partition-key advisor: score six candidate layout columns by
+    // NDV fit against the table's target file count and by value
+    // balance (max/mean per-value rows) — the two numbers that decide
+    // whether a hive layout produces sane file counts or a long-tail
+    // of tiny/huge partitions. ONE scan feeds all candidates via a
+    // struct-explode (never six passes); everything after the
+    // (col, value) rollup is six rows.
+    "q382_partition_advisor" -> { (s, d) =>
+      val cands = Seq(
+        ("l_shipdate", "CAST(l_shipdate AS STRING)"),
+        ("ship_month",
+          "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS STRING)"),
+        ("l_returnflag", "l_returnflag"),
+        ("l_linestatus", "l_linestatus"),
+        ("l_partkey", "CAST(l_partkey AS STRING)"),
+        ("l_suppkey", "CAST(l_suppkey AS STRING)"))
+      val arr = cands.map { case (n, e) =>
+        s"named_struct('c', '$n', 'v', $e)"
+      }.mkString("array(", ", ", ")")
+      Tables.lineitem(s, d)
+        .select(explode(expr(arr)).as("e"))
+        .groupBy(expr("e.c").as("col"), expr("e.v").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("col")
+        .agg(count(lit(1)).as("ndv"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_per_value"))
+        .withColumn("avg_per_value", expr("n_rows div ndv"))
+        .withColumn("balance_milli",
+          expr("max_per_value * ndv * 1000 div n_rows"))
+        .withColumn("target_files", expr("greatest(n_rows div 25000, 1)"))
+        .withColumn("fit_milli", expr(
+          "abs(ndv - target_files) * 1000 div greatest(ndv, target_files)"))
+        .withColumn("recommended",
+          expr("balance_milli <= 5000 AND fit_milli <= 900"))
+        .select("col", "ndv", "n_rows", "avg_per_value", "max_per_value",
+          "balance_milli", "fit_milli", "recommended")
+        .orderBy("col")
+    },
+
+    // Column-profile drift between the first and second half of the
+    // table's time range — the schema-health monitor an ingest
+    // pipeline runs per batch: NDV and mean movement per metric
+    // column, cross-multiplied so the relative drift never leaves the
+    // integer lane (|sv_b·n_a − sv_a·n_b| / (sv_a·n_b) rides the wide
+    // lane). One scan via struct-explode; the (col, period, value)
+    // rollup bounds everything downstream by the value vocabulary.
+    "q383_profile_drift" -> { (s, d) =>
+      val metrics = Seq(
+        ("quantity", "CAST(l_quantity AS BIGINT)"),
+        ("price_cents",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        ("discount_pct",
+          "CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        ("tax_pct", "CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      val arr = metrics.map { case (n, e) =>
+        s"named_struct('c', '$n', 'v', $e)"
+      }.mkString("array(", ", ", ")")
+      val per = Tables.lineitem(s, d)
+        .withColumn("late", expr(
+          "CASE WHEN l_shipdate >= DATE '1995-06-01' THEN 1 ELSE 0 END"))
+        .select(col("late"), explode(expr(arr)).as("e"))
+        .groupBy(expr("e.c").as("col"), col("late"), expr("e.v").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("col", "late")
+        .agg(count(lit(1)).as("ndv"), sum("cnt").as("n"),
+          sum(expr("v * cnt")).as("sv"))
+      val a = per.filter(col("late") === 0)
+        .select(col("col"), col("ndv").as("ndv_a"), col("n").as("n_a"),
+          col("sv").as("sv_a"))
+      val b = per.filter(col("late") === 1)
+        .select(col("col"), col("ndv").as("ndv_b"), col("n").as("n_b"),
+          col("sv").as("sv_b"))
+      a.join(b, Seq("col"))
+        .withColumn("mean_a_milli",
+          expr(s"CAST(${Sp.intDiv(Sp.wide("sv_a") + " * 1000", "n_a")} " +
+            "AS BIGINT)"))
+        .withColumn("mean_b_milli",
+          expr(s"CAST(${Sp.intDiv(Sp.wide("sv_b") + " * 1000", "n_b")} " +
+            "AS BIGINT)"))
+        .withColumn("mean_drift_milli", expr(
+          "CASE WHEN sv_a = 0 THEN NULL ELSE " +
+            s"CAST(${Sp.intDiv(
+              s"abs(${Sp.wide("sv_b")} * n_a - ${Sp.wide("sv_a")} * n_b) " +
+                "* 1000",
+              "(" + Sp.wide("sv_a") + " * n_b)")} AS BIGINT) END"))
+        .withColumn("ndv_drift_milli", expr(
+          "abs(ndv_b - ndv_a) * 1000 div greatest(ndv_a, 1)"))
+        .select("col", "n_a", "n_b", "ndv_a", "ndv_b", "mean_a_milli",
+          "mean_b_milli", "mean_drift_milli", "ndv_drift_milli")
+        .orderBy("col")
+    },
+
+    // Join-skew advisor: per candidate join key, the max/mean key
+    // frequency and the salt factor that would spread the hottest key
+    // across a 32-task stage — the number the q103 salted-join
+    // machinery needs as input, computed instead of guessed:
+    // salt = ⌈max_cnt · P / n_rows⌉. One struct-explode scan; the
+    // per-key frame is the only unbounded intermediate and it
+    // map-side combines.
+    "q384_skew_advisor" -> { (s, d) =>
+      val keys = Seq(
+        ("l_orderkey", "CAST(l_orderkey AS STRING)"),
+        ("l_partkey", "CAST(l_partkey AS STRING)"),
+        ("l_suppkey", "CAST(l_suppkey AS STRING)"))
+      val arr = keys.map { case (n, e) =>
+        s"named_struct('c', '$n', 'v', $e)"
+      }.mkString("array(", ", ", ")")
+      Tables.lineitem(s, d)
+        .select(explode(expr(arr)).as("e"))
+        .groupBy(expr("e.c").as("key_col"), expr("e.v").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("key_col")
+        .agg(count(lit(1)).as("ndv"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"))
+        .withColumn("skew_milli", expr("max_cnt * ndv * 1000 div n_rows"))
+        .withColumn("salt_rec", expr(
+          "greatest((max_cnt * 32 + n_rows - 1) div n_rows, 1)"))
+        .withColumn("needs_salt", expr("salt_rec > 1"))
+        .select("key_col", "ndv", "n_rows", "max_cnt", "skew_milli",
+          "salt_rec", "needs_salt")
+        .orderBy("key_col")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1643,5 +1766,106 @@ object Analytics3 {
          |  FROM r)
          |SELECT n_orders, mean_cents, n_resamples, lo_cents, hi_cents,
          |  hi_cents - lo_cents AS width_cents
-         |FROM ci CROSS JOIN f""".stripMargin)
+         |FROM ci CROSS JOIN f""".stripMargin,
+
+    "q382_partition_advisor" ->
+      s"""WITH kv AS (
+         |  SELECT 'l_shipdate' AS col,
+         |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS v FROM lineitem
+         |  UNION ALL SELECT 'ship_month',
+         |    CAST(year(CAST(l_shipdate AS DATE)) * 100 +
+         |      month(CAST(l_shipdate AS DATE)) AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+         |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR)
+         |    FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+         |    FROM lineitem),
+         |c AS (SELECT col, v, COUNT(*) AS cnt FROM kv GROUP BY 1, 2),
+         |g AS (
+         |  SELECT col, COUNT(*) AS ndv, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |    MAX(cnt) AS max_per_value
+         |  FROM c GROUP BY 1),
+         |t AS (
+         |  SELECT *, n_rows // ndv AS avg_per_value,
+         |    max_per_value * ndv * 1000 // n_rows AS balance_milli,
+         |    greatest(n_rows // 25000, 1) AS target_files
+         |  FROM g)
+         |SELECT col, ndv, n_rows, avg_per_value, max_per_value,
+         |  balance_milli,
+         |  abs(ndv - target_files) * 1000 // greatest(ndv, target_files)
+         |    AS fit_milli,
+         |  balance_milli <= 5000 AND
+         |    abs(ndv - target_files) * 1000 // greatest(ndv, target_files)
+         |      <= 900 AS recommended
+         |FROM t ORDER BY col""".stripMargin,
+
+    "q383_profile_drift" ->
+      s"""WITH kv AS (
+         |  SELECT CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+         |      THEN 1 ELSE 0 END AS late,
+         |    'quantity' AS col, CAST(l_quantity AS BIGINT) AS v
+         |  FROM lineitem
+         |  UNION ALL SELECT
+         |    CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+         |      THEN 1 ELSE 0 END,
+         |    'price_cents',
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL SELECT
+         |    CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+         |      THEN 1 ELSE 0 END,
+         |    'discount_pct',
+         |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL SELECT
+         |    CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+         |      THEN 1 ELSE 0 END,
+         |    'tax_pct', CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT col, late, v, COUNT(*) AS cnt FROM kv GROUP BY 1, 2, 3),
+         |per AS (
+         |  SELECT col, late, COUNT(*) AS ndv, CAST(SUM(cnt) AS BIGINT) AS n,
+         |    CAST(SUM(v * cnt) AS BIGINT) AS sv
+         |  FROM c GROUP BY 1, 2),
+         |a AS (SELECT col, ndv AS ndv_a, n AS n_a, sv AS sv_a
+         |  FROM per WHERE late = 0),
+         |b AS (SELECT col, ndv AS ndv_b, n AS n_b, sv AS sv_b
+         |  FROM per WHERE late = 1)
+         |SELECT col, n_a, n_b, ndv_a, ndv_b,
+         |  CAST(${Du.intDiv(Du.wide("sv_a") + " * 1000", "n_a")} AS BIGINT)
+         |    AS mean_a_milli,
+         |  CAST(${Du.intDiv(Du.wide("sv_b") + " * 1000", "n_b")} AS BIGINT)
+         |    AS mean_b_milli,
+         |  CASE WHEN sv_a = 0 THEN NULL ELSE
+         |    CAST(${Du.intDiv(
+                s"abs(${Du.wide("sv_b")} * n_a - ${Du.wide("sv_a")} * n_b) " +
+                  "* 1000",
+                "(" + Du.wide("sv_a") + " * n_b)")} AS BIGINT) END
+         |    AS mean_drift_milli,
+         |  abs(ndv_b - ndv_a) * 1000 // greatest(ndv_a, 1)
+         |    AS ndv_drift_milli
+         |FROM a JOIN b USING (col) ORDER BY col""".stripMargin,
+
+    "q384_skew_advisor" ->
+      s"""WITH kv AS (
+         |  SELECT 'l_orderkey' AS key_col, CAST(l_orderkey AS VARCHAR) AS v
+         |  FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR)
+         |  FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+         |  FROM lineitem),
+         |c AS (SELECT key_col, v, COUNT(*) AS cnt FROM kv GROUP BY 1, 2),
+         |g AS (
+         |  SELECT key_col, COUNT(*) AS ndv,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt
+         |  FROM c GROUP BY 1),
+         |t AS (
+         |  SELECT *, max_cnt * ndv * 1000 // n_rows AS skew_milli,
+         |    greatest((max_cnt * 32 + n_rows - 1) // n_rows, 1) AS salt_rec
+         |  FROM g)
+         |SELECT key_col, ndv, n_rows, max_cnt, skew_milli, salt_rec,
+         |  salt_rec > 1 AS needs_salt
+         |FROM t ORDER BY key_col""".stripMargin)
 }
