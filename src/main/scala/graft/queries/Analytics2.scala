@@ -30,7 +30,7 @@ object Analytics2 {
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
   /** Exact events milli lane (the q241/q222 convention). */
-  private val VMilliF =
+  private[queries] val VMilliF =
     "CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"
 
   private val Du = PortableSql.Duck

@@ -116,8 +116,10 @@ object Analytics3 {
     "CASE WHEN q_micro IS NULL THEN NULL " +
       "WHEN q_micro > 11070497 THEN 1 ELSE 0 END"
 
-  private val VMilliF =
-    "CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)"
+  /** The events milli lane — shared with Analytics2 so q369's inputs
+    * can never drift from q360's.
+    */
+  private val VMilliF = Analytics2.VMilliF
   private val CentsF =
     "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
@@ -197,12 +199,13 @@ object Analytics3 {
     * then z = (O−E)·1000/√V in one shared sqrt text.
     */
   private def lrEStepF(dl: graft.functions.SqlDialect): String =
-    s"CAST(${dl.intDiv("d * n1_risk * 1000000", "n_risk")} AS BIGINT)"
+    s"CAST(${dl.intDiv(dl.wide("d") + " * n1_risk * 1000000",
+      "n_risk")} AS BIGINT)"
   private def lrVStepF(dl: graft.functions.SqlDialect): String =
     "CASE WHEN n_risk <= 1 THEN 0 ELSE " +
       s"CAST(${dl.intDiv(
-        dl.wide("d * n1_risk") +
-          " * (n_risk - n1_risk) * (n_risk - d) * 1000000",
+        dl.wide("d") +
+          " * n1_risk * (n_risk - n1_risk) * (n_risk - d) * 1000000",
         "(" + dl.wide("n_risk") + " * n_risk * (n_risk - 1))")} " +
       "AS BIGINT) END"
   private val LrZF: String =
@@ -237,8 +240,9 @@ object Analytics3 {
         "((m_levels - 1) * n_g * n_total)")} AS BIGINT) END"
 
   /** q381's deterministic Poisson(1) weight from a 60-bit portable
-    * hash reduced mod 10⁶ — CDF thresholds ⌊Σₖ e⁻¹/k!·10⁶⌋ as integer
-    * literals (libm exp never runs at query time), capped at 5.
+    * hash reduced mod 10⁶ — CDF thresholds round(Σₖ e⁻¹/k!·10⁶) as
+    * integer literals (libm exp never runs at query time), capped
+    * at 5.
     */
   private val BootWF: String =
     "CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 " +
@@ -402,8 +406,12 @@ object Analytics3 {
           col("o_custkey") === col("c_custkey"))
         .withColumn("cents",
           expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        // clamp BEFORE the division (post-1998-12 dates would put a
+        // negative numerator into div-vs-//) and cap at 13 so the
+        // shift count stays in [0, 13] on any date range
         .withColumn("k", expr(
-          "((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate))) div 6"))
+          "least(greatest((1998 - year(o_orderdate)) * 12 + " +
+            "(12 - month(o_orderdate)), 0) div 6, 13)"))
         .withColumn("m",
           expr("shiftleft(CAST(1 AS BIGINT), CAST(13 - k AS INT))"))
       o.groupBy(col("c_mktsegment").as("mktsegment"))
@@ -810,13 +818,21 @@ object Analytics3 {
         .withColumn("f_toklen", expr(ablF3(Sp)))
         .withColumn("f_digit", expr(ablF4(Sp)))
         .withColumn("mask", expr(
-          "f_short + 2 * f_repet + 4 * f_toklen + 8 * f_digit"))
+          "CAST(f_short + 2 * f_repet + 4 * f_toklen + 8 * f_digit " +
+            "AS BIGINT)"))
       val tot = f.agg(count(lit(1)).as("n_corpus"))
-      f.groupBy("mask")
-        .agg(count(lit(1)).as("n_docs"),
-          max("f_short").as("f_short"), max("f_repet").as("f_repet"),
-          max("f_toklen").as("f_toklen"), max("f_digit").as("f_digit"))
+      // complete 0..15 mask spine: an empty combination must show a
+      // zero row (the q361 absent-digit discipline) or the matrix
+      // can't distinguish "impossible" from "dropped"
+      s.range(0, 16).toDF("mask")
+        .join(f.groupBy("mask").agg(count(lit(1)).as("n_docs")),
+          Seq("mask"), "left")
+        .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
         .crossJoin(broadcast(tot))
+        .withColumn("f_short", expr("mask % 2"))
+        .withColumn("f_repet", expr("(mask div 2) % 2"))
+        .withColumn("f_toklen", expr("(mask div 4) % 2"))
+        .withColumn("f_digit", expr("(mask div 8) % 2"))
         .withColumn("share_milli", expr("n_docs * 1000 div n_corpus"))
         .select("mask", "f_short", "f_repet", "f_toklen", "f_digit",
           "n_docs", "share_milli")
@@ -1230,7 +1246,8 @@ object Analytics3 {
       s"""WITH o AS (
          |  SELECT c_mktsegment AS mktsegment,
          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-         |    ((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate))) // 6 AS k
+         |    least(greatest((1998 - year(o_orderdate)) * 12 +
+         |      (12 - month(o_orderdate)), 0) // 6, 13) AS k
          |  FROM orders JOIN customer ON o_custkey = c_custkey),
          |g AS (
          |  SELECT mktsegment, COUNT(*) AS n_orders,
@@ -1578,18 +1595,21 @@ object Analytics3 {
          |    ${ablF3(Du)} AS f_toklen, ${ablF4(Du)} AS f_digit
          |  FROM f),
          |m AS (
-         |  SELECT f_short + 2 * f_repet + 4 * f_toklen + 8 * f_digit
-         |    AS mask, f_short, f_repet, f_toklen, f_digit
+         |  SELECT CAST(f_short + 2 * f_repet + 4 * f_toklen + 8 * f_digit
+         |    AS BIGINT) AS mask
          |  FROM g),
          |tot AS (SELECT COUNT(*) AS n_corpus FROM m),
-         |agg AS (
-         |  SELECT mask, COUNT(*) AS n_docs, MAX(f_short) AS f_short,
-         |    MAX(f_repet) AS f_repet, MAX(f_toklen) AS f_toklen,
-         |    MAX(f_digit) AS f_digit
-         |  FROM m GROUP BY 1)
-         |SELECT mask, f_short, f_repet, f_toklen, f_digit, n_docs,
-         |  n_docs * 1000 // n_corpus AS share_milli
-         |FROM agg CROSS JOIN tot ORDER BY mask""".stripMargin,
+         |cnt AS (SELECT mask, COUNT(*) AS n_docs FROM m GROUP BY 1),
+         |spine AS (
+         |  SELECT UNNEST(range(0::BIGINT, 16::BIGINT)) AS mask)
+         |SELECT spine.mask AS mask, spine.mask % 2 AS f_short,
+         |  (spine.mask // 2) % 2 AS f_repet,
+         |  (spine.mask // 4) % 2 AS f_toklen,
+         |  (spine.mask // 8) % 2 AS f_digit,
+         |  COALESCE(n_docs, 0) AS n_docs,
+         |  COALESCE(n_docs, 0) * 1000 // n_corpus AS share_milli
+         |FROM spine LEFT JOIN cnt ON spine.mask = cnt.mask CROSS JOIN tot
+         |ORDER BY mask""".stripMargin,
 
     "q377_ktruss_peel" -> {
       val rounds = (1 to 3).map { r =>
