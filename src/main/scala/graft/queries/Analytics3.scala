@@ -1157,6 +1157,85 @@ object Analytics3 {
         .select("key_col", "ndv", "n_rows", "max_cnt", "skew_milli",
           "salt_rec", "needs_salt")
         .orderBy("key_col")
+    },
+
+    // Harmonic centrality (3-hop) of the top-50 co-purchase hubs:
+    // H₆ = 6·|d=1| + 3·|d=2| + 2·|d=3| — the 1/d weights at bounded
+    // depth are EXACT in the ×6 integer lane (closeness centrality
+    // needs full-graph distances; the 3-hop harmonic probe is the
+    // scale-honest variant — beyond that the frontier frame is the
+    // classic BFS blow-up, so the seed set is bounded up front, not
+    // after the fact). Each hop is one equi-join + distinct + anti
+    // joins against nearer hops, all seeded (≤ 50 × degree rows).
+    "q386_harmonic_centrality" -> { (s, d) =>
+      val edges = Analytics.pairCounts(s, d).select("pa", "pb")
+      val sym = Tables.memo(s, s"$d#q386sym") {
+        edges.union(edges.select(col("pb").as("pa"), col("pa").as("pb")))
+          .distinct()
+      }
+      val seeds = sym.groupBy(col("pa").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("node"))
+        .limit(50)
+        .select("node")
+      val h1 = sym.join(broadcast(seeds), col("pa") === col("node"))
+        .select(col("node"), col("pb").as("v"))
+      val h2 = h1.join(sym, col("v") === col("pa"))
+        .select(col("node"), col("pb").as("v")).distinct()
+        .filter(col("node") =!= col("v"))
+        .join(h1, Seq("node", "v"), "left_anti")
+      val h3 = h2.join(sym, col("v") === col("pa"))
+        .select(col("node"), col("pb").as("v")).distinct()
+        .filter(col("node") =!= col("v"))
+        .join(h1, Seq("node", "v"), "left_anti")
+        .join(h2, Seq("node", "v"), "left_anti")
+      val c1 = h1.groupBy("node").agg(count(lit(1)).as("n1"))
+      val c2 = h2.groupBy("node").agg(count(lit(1)).as("n2"))
+      val c3 = h3.groupBy("node").agg(count(lit(1)).as("n3"))
+      c1.join(c2, Seq("node"), "left").join(c3, Seq("node"), "left")
+        .withColumn("n2", coalesce(col("n2"), lit(0L)))
+        .withColumn("n3", coalesce(col("n3"), lit(0L)))
+        .withColumn("h6", expr("6 * n1 + 3 * n2 + 2 * n3"))
+        .select("node", "n1", "n2", "n3", "h6")
+        .orderBy(col("h6").desc, col("node"))
+        .limit(30)
+    },
+
+    // Sketch-estimated self-join size on l_partkey — F₂ = Σf(k)²,
+    // the number a cost-based optimizer needs BEFORE running the
+    // q290-style pair join. The KMV bottom-256 keys (by portable
+    // hash) give an unbiased uniform key sample carrying their FULL
+    // frequencies plus the NDV estimate (k−1)·2⁶⁰/h₍ₖ₎, so
+    // F̂₂ = mean(f²)·D̂ — everything integer, the 2⁶⁰ product in the
+    // wide lane. Reported against the exact F₂ with a ≤±50% gate
+    // (the sketch reads 256 keys; the truth reads all of them).
+    "q387_join_size_sketch" -> { (s, d) =>
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val freq = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("f"))
+        .withColumn("h",
+          expr("portable_hash64(concat('jsz:', cast(k as string)))"))
+      val exact = freq.agg(count(lit(1)).as("ndv_exact"),
+        sum(expr("CAST(f AS DECIMAL(19,0)) * f")).as("f2_exact_w"))
+      val samp = freq.orderBy(col("h").asc, col("k").asc).limit(256)
+      val est = samp.agg(count(lit(1)).as("k_samp"), max("h").as("h_k"),
+          sum(expr("CAST(f AS DECIMAL(19,0)) * f")).as("f2_samp_w"))
+        .withColumn("d_est", expr(
+          "CASE WHEN h_k <= 0 THEN NULL ELSE " +
+            s"CAST(${Sp.intDiv(
+              Sp.wide("k_samp - 1") + " * 1152921504606846976", "h_k")} " +
+            "AS BIGINT) END"))
+        .withColumn("f2_est", expr(
+          s"CAST(${Sp.intDiv(Sp.wide("f2_samp_w") + " * d_est",
+            "k_samp")} AS BIGINT)"))
+      est.crossJoin(broadcast(exact))
+        .withColumn("f2_exact", expr("CAST(f2_exact_w AS BIGINT)"))
+        .withColumn("err_milli", expr(
+          "CASE WHEN f2_exact = 0 THEN NULL ELSE " +
+            "abs(f2_est - f2_exact) * 1000 div f2_exact END"))
+        .withColumn("within_50pct", expr("err_milli <= 500"))
+        .select("ndv_exact", "k_samp", "d_est", "f2_exact", "f2_est",
+          "err_milli", "within_50pct")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1887,5 +1966,79 @@ object Analytics3 {
          |  FROM g)
          |SELECT key_col, ndv, n_rows, max_cnt, skew_milli, salt_rec,
          |  salt_rec > 1 AS needs_salt
-         |FROM t ORDER BY key_col""".stripMargin)
+         |FROM t ORDER BY key_col""".stripMargin,
+
+    "q386_harmonic_centrality" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (
+         |  SELECT a.pk AS pa, b.pk AS pb
+         |  FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sym AS (SELECT pa, pb FROM e UNION SELECT pb, pa FROM e),
+         |seeds AS (
+         |  SELECT pa AS node FROM sym GROUP BY 1
+         |  ORDER BY COUNT(*) DESC, pa LIMIT 50),
+         |h1 AS (
+         |  SELECT node, pb AS v FROM sym JOIN seeds ON sym.pa = seeds.node),
+         |h2 AS (
+         |  SELECT node, v FROM (
+         |    SELECT DISTINCT h1.node AS node, sym.pb AS v
+         |    FROM h1 JOIN sym ON h1.v = sym.pa) t
+         |  WHERE node <> v AND NOT EXISTS (
+         |    SELECT 1 FROM h1 x WHERE x.node = t.node AND x.v = t.v)),
+         |h3 AS (
+         |  SELECT node, v FROM (
+         |    SELECT DISTINCT h2.node AS node, sym.pb AS v
+         |    FROM h2 JOIN sym ON h2.v = sym.pa) t
+         |  WHERE node <> v AND NOT EXISTS (
+         |    SELECT 1 FROM h1 x WHERE x.node = t.node AND x.v = t.v)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM h2 y WHERE y.node = t.node AND y.v = t.v)),
+         |c1 AS (SELECT node, COUNT(*) AS n1 FROM h1 GROUP BY 1),
+         |c2 AS (SELECT node, COUNT(*) AS n2 FROM h2 GROUP BY 1),
+         |c3 AS (SELECT node, COUNT(*) AS n3 FROM h3 GROUP BY 1)
+         |SELECT c1.node AS node, n1, COALESCE(n2, 0) AS n2,
+         |  COALESCE(n3, 0) AS n3,
+         |  6 * n1 + 3 * COALESCE(n2, 0) + 2 * COALESCE(n3, 0) AS h6
+         |FROM c1 LEFT JOIN c2 ON c1.node = c2.node
+         |LEFT JOIN c3 ON c1.node = c3.node
+         |ORDER BY h6 DESC, node LIMIT 30""".stripMargin,
+
+    "q387_join_size_sketch" ->
+      s"""WITH freq AS (
+         |  SELECT l_partkey AS k, COUNT(*) AS f FROM lineitem GROUP BY 1),
+         |fh AS (
+         |  SELECT k, f,
+         |    ${Du.hash64("concat('jsz:', CAST(k AS VARCHAR))")} AS h
+         |  FROM freq),
+         |exact AS (
+         |  SELECT COUNT(*) AS ndv_exact,
+         |    SUM(CAST(f AS HUGEINT) * f) AS f2_exact_w
+         |  FROM fh),
+         |samp AS (SELECT * FROM fh ORDER BY h, k LIMIT 256),
+         |est AS (
+         |  SELECT COUNT(*) AS k_samp, MAX(h) AS h_k,
+         |    SUM(CAST(f AS HUGEINT) * f) AS f2_samp_w
+         |  FROM samp),
+         |e2 AS (
+         |  SELECT *, CASE WHEN h_k <= 0 THEN NULL ELSE
+         |    CAST((CAST(k_samp - 1 AS HUGEINT) * 1152921504606846976 // h_k)
+         |      AS BIGINT) END AS d_est
+         |  FROM est),
+         |e3 AS (
+         |  SELECT *, CAST((CAST(f2_samp_w AS HUGEINT) * d_est // k_samp)
+         |    AS BIGINT) AS f2_est
+         |  FROM e2),
+         |fin AS (
+         |  SELECT ndv_exact, k_samp, d_est,
+         |    CAST(f2_exact_w AS BIGINT) AS f2_exact, f2_est
+         |  FROM e3 CROSS JOIN exact)
+         |SELECT ndv_exact, k_samp, d_est, f2_exact, f2_est,
+         |  CASE WHEN f2_exact = 0 THEN NULL ELSE
+         |    abs(f2_est - f2_exact) * 1000 // f2_exact END AS err_milli,
+         |  CASE WHEN f2_exact = 0 THEN NULL ELSE
+         |    abs(f2_est - f2_exact) * 1000 // f2_exact END <= 500
+         |    AS within_50pct
+         |FROM fin""".stripMargin)
 }

@@ -408,6 +408,60 @@ object VectorOps {
         .orderBy("qid", "rank")
     },
 
+    // Recall-vs-nprobe CURVE in one query: IVF top-5 at nprobe 1/2/4
+    // against the exact top-5 truth, plus the scanned-candidate count
+    // per level — the latency/recall trade-off table an ANN deployment
+    // reads before picking its operating point (q79 measures one
+    // point; calibration needs the curve). Cell assignment is computed
+    // ONCE at crk ≤ 4 and the three levels ride one explode; per-level
+    // work is bounded by the query set × probed cells.
+    "q385_ivf_recall_curve" -> { (s, dir) =>
+      val e = withNorm(s, dir)
+      val cents = centroidVecs(s, dir).withColumnRenamed("label", "clabel")
+      val q = e.filter(col("vec_id") < 20)
+      val assign = q.crossJoin(cents)
+        .withColumn("ccos", mixedCos)
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("ccos").desc, col("clabel").asc)))
+        .filter(col("crk") <= 4)
+        .select(col("vec_id").as("qid"), col("clabel").as("cell"),
+          col("crk"))
+      val truth = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nb"),
+          cosCol.as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)))
+        .filter(col("rank") <= 5)
+        .select("qid", "nb")
+      val lv = assign
+        .select(col("qid"), col("cell"), col("crk"),
+          explode(expr("array(1, 2, 4)")).as("np"))
+        .filter(col("crk") <= col("np"))
+        .select("np", "qid", "cell")
+      val cand = q.as("a").join(lv, col("a.vec_id") === col("qid"))
+        .join(e.as("b"),
+          col("b.label") === col("cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("np"), col("qid"), col("b.vec_id").as("nb"),
+          cosCol.as("cos"))
+      val ivf5 = cand.withColumn("rank", row_number().over(
+          Window.partitionBy("np", "qid")
+            .orderBy(col("cos").desc, col("nb").asc)))
+        .filter(col("rank") <= 5)
+        .select("np", "qid", "nb")
+      val hits = ivf5.join(truth, Seq("qid", "nb"))
+        .groupBy("np").agg(count(lit(1)).as("n_hits"))
+      val tcount = truth.agg(count(lit(1)).as("n_truth"))
+      cand.groupBy("np").agg(count(lit(1)).as("n_scanned"))
+        .join(hits, Seq("np"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .crossJoin(broadcast(tcount))
+        .withColumn("recall_milli", expr("n_hits * 1000 div n_truth"))
+        .select(col("np").cast("long").as("nprobe"), col("n_truth"),
+          col("n_hits"), col("n_scanned"), col("recall_milli"))
+        .orderBy("nprobe")
+    },
+
     // Symmetric int8 quantization: per-vector absmax scaling, the
     // standard embedding compression. floor(x*scale + 0.5) avoids
     // engine rounding-mode ambiguity; absmax via fold is exact (max
@@ -1047,6 +1101,66 @@ object VectorOps {
          |  FROM j)
          |SELECT qid, rank, nb, cos FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+
+    "q385_ivf_recall_curve" ->
+      s"""WITH $duckCentroids,
+         |cv AS (
+         |  SELECT label, list(c ORDER BY pos) AS cvec FROM cmeans GROUP BY label),
+         |cv2 AS (
+         |  SELECT label, cvec,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(cvec, x -> x * x)), (acc, v) -> acc + v)) AS cnrm
+         |  FROM cv),
+         |e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${D.norm2("embedding")}) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 20),
+         |asg AS (
+         |  SELECT vec_id AS qid, label AS cell, crk FROM (
+         |    SELECT q.vec_id, cv2.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(q.embedding, cv2.cvec), s -> (s[1]::DOUBLE) * s[2])), (acc, v) -> acc + v)
+         |          / (q.nrm * cv2.cnrm)) DESC, cv2.label ASC) AS crk
+         |    FROM q, cv2) t
+         |  WHERE crk <= 4),
+         |tj AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         |    (${D.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  FROM q a JOIN e b ON a.vec_id != b.vec_id),
+         |truth AS (
+         |  SELECT qid, nb FROM (
+         |    SELECT qid, nb,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC)
+         |        AS rank
+         |    FROM tj) t
+         |  WHERE rank <= 5),
+         |lv AS (
+         |  SELECT np, qid, cell
+         |  FROM asg, (SELECT UNNEST([1, 2, 4]) AS np) l
+         |  WHERE crk <= np),
+         |cand AS (
+         |  SELECT lv.np, lv.qid, b.vec_id AS nb,
+         |    (${D.dot("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+         |  FROM q a
+         |  JOIN lv ON a.vec_id = lv.qid
+         |  JOIN e b ON b.label = lv.cell AND a.vec_id != b.vec_id),
+         |ivf5 AS (
+         |  SELECT np, qid, nb FROM (
+         |    SELECT np, qid, nb,
+         |      ROW_NUMBER() OVER (PARTITION BY np, qid
+         |        ORDER BY cos DESC, nb ASC) AS rank
+         |    FROM cand) t
+         |  WHERE rank <= 5),
+         |h AS (
+         |  SELECT np, COUNT(*) AS n_hits
+         |  FROM ivf5 JOIN truth USING (qid, nb) GROUP BY 1),
+         |sc AS (SELECT np, COUNT(*) AS n_scanned FROM cand GROUP BY 1),
+         |tc AS (SELECT COUNT(*) AS n_truth FROM truth)
+         |SELECT CAST(np AS BIGINT) AS nprobe, n_truth,
+         |  COALESCE(n_hits, 0) AS n_hits, n_scanned,
+         |  COALESCE(n_hits, 0) * 1000 // n_truth AS recall_milli
+         |FROM sc LEFT JOIN h USING (np) CROSS JOIN tc
+         |ORDER BY nprobe""".stripMargin,
 
     "q54_embed_quantize" ->
       """WITH m AS (
