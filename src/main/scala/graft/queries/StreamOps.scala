@@ -434,6 +434,47 @@ object StreamOps {
         .orderBy("key")
     },
 
+    // The Spark-4 arbitrary-state API (transformWithState +
+    // StatefulProcessor over handle-based typed ValueState, RocksDB
+    // provider — the only store the new API runs on): running per-key
+    // count and max across micro-batches. Semantics gate: the final
+    // emission per key (highest n — counts strictly increase) must
+    // equal the batch groupBy. The provider conf is scoped to this
+    // stream and restored for the read-back.
+    "q388_stream_transform_state" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q388s")
+      val out = Lifecycle.tmpDir("q388o")
+      val ev = Tables.events(s, d).select(
+        col("user_id").cast("long").as("key"),
+        expr("CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)")
+          .cast("double").as("value"))
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try withShufflePartitions(s, 4) {
+        import s.implicits._
+        val running = StreamIngest.runningStats(
+          streamOf(s, stage, ev.schema).as[StreamIngest.KeyedEvent])
+        val q = running.toDF().writeStream.outputMode("update")
+          .option("checkpointLocation", Lifecycle.tmpDir("q388c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        drain(q, "q388", 2)
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      s.read.parquet(out)
+        .groupBy("key")
+        .agg(max("n").as("n_events"),
+          expr("max_by(vmax, n)").as("vmilli_max"))
+        .orderBy("key")
+    },
+
     // Stream-STATIC enrichment join — the remaining production
     // streaming shape (q178 covers stream-stream): each micro-batch
     // joins the event stream against a static dimension (customer
@@ -665,6 +706,14 @@ object StreamOps {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)) AS BIGINT)
         |   AS vmilli_total
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q388_stream_transform_state" ->
+      """SELECT CAST(user_id AS BIGINT) AS key,
+        | COUNT(*) AS n_events,
+        | CAST(MAX(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT))
+        |   AS BIGINT) AS vmilli_max
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

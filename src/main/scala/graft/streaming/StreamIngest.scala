@@ -141,4 +141,47 @@ object StreamIngest {
           Iterator(next)
       }
   }
+
+  final case class KeyedRunning(key: Long, n: Long, vmax: Long)
+  final case class RunningState(n: Long, vmax: Long)
+
+  /** The Spark-4 arbitrary-state surface (`transformWithState` +
+    * `StatefulProcessor` + handle-based typed state): running per-key
+    * count and max surviving micro-batches. Same semantics class as
+    * [[statefulTotals]] but on the new API — TTL-capable, multi-state,
+    * timer-capable, and RocksDB-backed (the only provider the API
+    * supports; callers must set the provider conf before starting
+    * the stream).
+    */
+  final class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, KeyedEvent, KeyedRunning] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[RunningState] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[RunningState]("agg",
+        org.apache.spark.sql.Encoders.product[RunningState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KeyedRunning] = {
+      val prev = if (st.exists()) st.get() else RunningState(0L, Long.MinValue)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        RunningState(acc.n + 1, math.max(acc.vmax, e.value.toLong))
+      }
+      st.update(next)
+      Iterator.single(KeyedRunning(key, next.n, next.vmax))
+    }
+  }
+
+  /** [[RunningStatsProcessor]] wired through `transformWithState`. */
+  def runningStats(ds: Dataset[KeyedEvent]): Dataset[KeyedRunning] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_.key)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }
