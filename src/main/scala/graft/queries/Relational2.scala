@@ -1607,6 +1607,32 @@ object Relational2 {
           |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
     },
 
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    // SQL-surface form of "top-3 orders per customer". Spark-4
+    // decorrelates the limited lateral into a ranked window under the
+    // hood (DecorrelateInnerQuery), so the executed plan is the same
+    // partitioned top-k heap the DataFrame form gets — the gate pins
+    // that the SQL spelling works and matches DuckDB's native LATERAL.
+    // The c_custkey ≤ 100 bound keeps output stable at any scale.
+    "q389_lateral_topk" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("q389_customer")
+      Tables.orders(s, d).createOrReplaceTempView("q389_orders")
+      s.sql(
+        """SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment,
+          |  t.o_orderkey AS orderkey, t.cents
+          |FROM q389_customer c,
+          |LATERAL (
+          |  SELECT o_orderkey,
+          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |      AS cents
+          |  FROM q389_orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY cents DESC, o_orderkey
+          |  LIMIT 3) t
+          |WHERE c.c_custkey <= 100
+          |ORDER BY custkey, cents DESC, orderkey""".stripMargin)
+    },
+
     // Relaxed union-by-name with missing columns — the reference's
     // polars concat(how="diagonal_relaxed") used for multi-file
     // JSON/CSV reads (pydala/catalog.py:416,455); absent columns are
@@ -2786,6 +2812,21 @@ object Relational2 {
         |)
         |SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "q389_lateral_topk" ->
+      """SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment,
+        |  t.o_orderkey AS orderkey, t.cents
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey
+        |  LIMIT 3) t
+        |WHERE c.c_custkey <= 100
+        |ORDER BY custkey, cents DESC, orderkey""".stripMargin,
 
     "q62_union_relaxed" ->
       """SELECT * FROM (
