@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.PortableSql
 
 /** Round-6 fourth analytics inventory: data-profiling operators a
   * training-data pipeline runs before trusting a new 100 TB corpus —
@@ -19,6 +21,45 @@ import graft.core.Tables
   * suites (FD/UCC/IND discovery) re-expressed as Spark aggregations.
   */
 object Analytics4 {
+
+  private val Du = PortableSql.Duck
+  private val Sp = PortableSql.Spark
+
+  /** Mann–Kendall z with continuity correction in ONE shared IEEE
+    * text: z = (S ∓ 1)·√(18/V18) with V18 = 18·Var(S) kept integer
+    * (the ties-corrected n(n−1)(2n+5) − Σt(t−1)(2t+5)) — the single
+    * division rides inside the correctly-rounded sqrt, the only
+    * other float op is the final multiply (the RunsZF discipline).
+    */
+  private val MkZF: String =
+    "CASE WHEN v18 <= 0 THEN NULL WHEN s_stat = 0 THEN 0 ELSE " +
+      "CAST(floor(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1 " +
+      "ELSE s_stat + 1 END AS DOUBLE) * " +
+      "sqrt(CAST(18 AS DOUBLE) / CAST(v18 AS DOUBLE)) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+
+  /** Truncating sign-split quantized slope (dy·1000)/dx, dx > 0:
+    * Spark `div` truncates while DuckDB `//` floors, so the negative
+    * arm routes through the positive division and negates — both
+    * engines then truncate identically.
+    */
+  private def senSlopeF(dl: graft.functions.SqlDialect): String =
+    s"CASE WHEN dy >= 0 THEN ${dl.intDiv("dy * 1000", "dx")} " +
+      s"ELSE -${dl.intDiv("(-dy) * 1000", "dx")} END"
+
+  /** Cochran–Armitage z² = N·D² / (R(N−R)(N·Σw²n − (Σwn)²)) with
+    * D = N·Σwr − R·Σwn. Every product rides the 128-bit lane (D² is
+    * ~10²⁰ at sf0.1 and N·D² ~10²⁶ — past BIGINT twice over), and
+    * the single float division goes through wideToDouble (exact
+    * below 2⁶², power-of-two floor-scale above — identical on both
+    * engines, never the raw HUGEINT→DOUBLE cast whose DuckDB
+    * rounding is broken above 2⁶⁴).
+    */
+  private def caZ2F(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN den_w <= 0 THEN NULL ELSE " +
+      s"CAST(floor(${dl.wideToDouble("num_w")} / " +
+      s"${dl.wideToDouble("den_w")} * CAST(1000000 AS DOUBLE)) " +
+      "AS BIGINT) END"
 
   /** One functional-dependency lane over a single table: two
     * map-side-combined shuffles on the LHS key, nothing driver-side.
@@ -128,6 +169,109 @@ object Analytics4 {
         .withColumn("is_fk", expr("contained = ndv_from"))
         .select("dep", "ndv_from", "contained", "incl_milli", "is_fk")
         .orderBy("dep")
+    },
+
+    // Mann–Kendall trend test on monthly order counts: S over all
+    // month pairs (bounded frame — months², broadcast non-equi join),
+    // ties-corrected variance, continuity-corrected z. Everything
+    // integer until the single shared sqrt text; V18 ≈ n³ stays well
+    // inside BIGINT at any horizon because n is months, not rows.
+    "q393_mann_kendall" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)")
+          .as("ym"))
+        .agg(count(lit(1)).as("y"))
+      val sStat = m.select(col("ym").as("xa"), col("y").as("ya"))
+        .join(broadcast(m.select(col("ym").as("xb"), col("y").as("yb"))),
+          col("xa") < col("xb"))
+        .agg(coalesce(sum(expr(
+          "CASE WHEN yb > ya THEN 1 WHEN yb < ya THEN -1 ELSE 0 END")),
+          lit(0L)).as("s_stat"))
+      m.groupBy("y").agg(count(lit(1)).as("t"))
+        .agg(sum("t").as("n_m"),
+          coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+            .as("tie_sum"))
+        .crossJoin(broadcast(sStat))
+        .withColumn("v18", expr(
+          "n_m * (n_m - 1) * (2 * n_m + 5) - tie_sum"))
+        .withColumn("z_micro", expr(MkZF))
+        .withColumn("trend", expr(
+          "CASE WHEN z_micro IS NULL THEN NULL " +
+            "WHEN z_micro > 1959964 THEN 'increasing' " +
+            "WHEN z_micro < -1959964 THEN 'decreasing' " +
+            "ELSE 'none' END"))
+        .select("n_m", "s_stat", "v18", "z_micro", "trend")
+    },
+
+    // Theil–Sen estimator on monthly revenue (exact cents): the
+    // median of all pairwise slopes, each quantized to milli-cents
+    // per month by the truncating sign-split division. The pair frame
+    // and the median window are bounded by months² (≤ ~3.5k rows) —
+    // never row-scale — so the single-partition row_number is safe
+    // by construction.
+    "q394_theil_sen" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(expr(
+          "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
+          .as("x"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("yc"))
+      val pairs = m.select(col("x").as("xa"), col("yc").as("ya"))
+        .join(broadcast(m.select(col("x").as("xb"), col("yc").as("yb"))),
+          col("xa") < col("xb"))
+        .select(expr("xb - xa").as("dx"), expr("yb - ya").as("dy"))
+        .withColumn("slope_q", expr(senSlopeF(Sp)))
+      val agg = pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(expr("CASE WHEN slope_q > 0 THEN 1 ELSE 0 END")),
+          lit(0L)).as("n_pos"),
+        coalesce(sum(expr("CASE WHEN slope_q < 0 THEN 1 ELSE 0 END")),
+          lit(0L)).as("n_neg"))
+      val med = pairs
+        .withColumn("rn", row_number().over(Window.orderBy("slope_q")))
+        .crossJoin(broadcast(agg))
+        .filter(expr("rn = (n_pairs + 1) div 2"))
+        .select(col("slope_q").as("sen_slope_milli"), col("n_pairs"),
+          col("n_pos"), col("n_neg"))
+      m.agg(count(lit(1)).as("n_months"))
+        .crossJoin(broadcast(med))
+        .withColumn("pos_share_milli", expr(
+          "CASE WHEN n_pairs = 0 THEN NULL " +
+            "ELSE n_pos * 1000 div n_pairs END"))
+        .select("n_months", "n_pairs", "sen_slope_milli", "n_pos",
+          "n_neg", "pos_share_milli")
+    },
+
+    // Cochran–Armitage trend-in-proportions across the seven order
+    // years (ordered scores w = year − 1991): is the 'F'-status share
+    // drifting monotonically? One map-side-combined rollup to seven
+    // rows, then pure 128-bit integer lanes for D and the quadratic
+    // forms, one wideToDouble division at the very end.
+    "q395_cochran_armitage" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(expr("year(o_orderdate) BETWEEN 1992 AND 1998"))
+        .groupBy(expr("CAST(year(o_orderdate) - 1991 AS BIGINT)").as("w"))
+        .agg(count(lit(1)).as("n_i"),
+          coalesce(sum(expr(
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")), lit(0L))
+            .as("r_i"))
+        .agg(sum("n_i").as("n_total"), sum("r_i").as("r_total"),
+          sum(expr("w * n_i")).as("swn"), sum(expr("w * r_i")).as("swr"),
+          sum(expr("w * w * n_i")).as("sw2n"))
+        .withColumn("d_stat", expr(
+          s"${Sp.wide("n_total")} * swr - ${Sp.wide("r_total")} * swn"))
+        .withColumn("num_w", expr(
+          s"${Sp.wide("n_total")} * d_stat * d_stat"))
+        .withColumn("den_w", expr(
+          s"${Sp.wide("r_total")} * (n_total - r_total) * " +
+            s"(${Sp.wide("n_total")} * sw2n - ${Sp.wide("swn")} * swn)"))
+        .withColumn("z2_micro", expr(caZ2F(Sp)))
+        .withColumn("reject_95", expr(
+          "CASE WHEN z2_micro IS NULL THEN NULL " +
+            "ELSE z2_micro > 3841459 END"))
+        .select(col("n_total"), col("r_total"),
+          expr("CAST(d_stat AS BIGINT)").as("d_stat"),
+          col("z2_micro"), col("reject_95"))
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -205,5 +349,96 @@ object Analytics4 {
          |  CASE WHEN ndv_from = 0 THEN NULL
          |    ELSE contained * 1000 // ndv_from END AS incl_milli,
          |  contained = ndv_from AS is_fk
-         |FROM u ORDER BY dep""".stripMargin)
+         |FROM u ORDER BY dep""".stripMargin,
+
+    "q393_mann_kendall" ->
+      s"""WITH m AS (
+         |  SELECT year(CAST(o_orderdate AS DATE)) * 100 +
+         |      month(CAST(o_orderdate AS DATE)) AS ym,
+         |    COUNT(*) AS y
+         |  FROM orders GROUP BY 1),
+         |s AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+         |    WHEN b.y < a.y THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+         |  FROM m a JOIN m b ON a.ym < b.ym),
+         |t AS (
+         |  SELECT CAST(SUM(t) AS BIGINT) AS n_m,
+         |    CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+         |      AS tie_sum
+         |  FROM (SELECT y, COUNT(*) AS t FROM m GROUP BY 1)),
+         |v AS (
+         |  SELECT n_m, s_stat,
+         |    n_m * (n_m - 1) * (2 * n_m + 5) - tie_sum AS v18
+         |  FROM t CROSS JOIN s),
+         |z AS (SELECT *, $MkZF AS z_micro FROM v)
+         |SELECT n_m, s_stat, v18, z_micro,
+         |  CASE WHEN z_micro IS NULL THEN NULL
+         |    WHEN z_micro > 1959964 THEN 'increasing'
+         |    WHEN z_micro < -1959964 THEN 'decreasing'
+         |    ELSE 'none' END AS trend
+         |FROM z""".stripMargin,
+
+    "q394_theil_sen" ->
+      s"""WITH m AS (
+         |  SELECT (year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+         |      month(CAST(o_orderdate AS DATE)) - 1 AS x,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS yc
+         |  FROM orders GROUP BY 1),
+         |p AS (
+         |  SELECT b.x - a.x AS dx, b.yc - a.yc AS dy
+         |  FROM m a JOIN m b ON a.x < b.x),
+         |q AS (SELECT ${senSlopeF(Du)} AS slope_q FROM p),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN slope_q > 0 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS n_pos,
+         |    CAST(COALESCE(SUM(CASE WHEN slope_q < 0 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS n_neg
+         |  FROM q),
+         |r AS (
+         |  SELECT slope_q, ROW_NUMBER() OVER (ORDER BY slope_q) AS rn
+         |  FROM q),
+         |med AS (
+         |  SELECT slope_q AS sen_slope_milli
+         |  FROM r CROSS JOIN agg WHERE rn = (n_pairs + 1) // 2),
+         |nm AS (SELECT COUNT(*) AS n_months FROM m)
+         |SELECT n_months, n_pairs, sen_slope_milli, n_pos, n_neg,
+         |  CASE WHEN n_pairs = 0 THEN NULL
+         |    ELSE n_pos * 1000 // n_pairs END AS pos_share_milli
+         |FROM nm CROSS JOIN agg CROSS JOIN med""".stripMargin,
+
+    "q395_cochran_armitage" ->
+      s"""WITH yr AS (
+         |  SELECT CAST(year(CAST(o_orderdate AS DATE)) - 1991 AS BIGINT)
+         |      AS w,
+         |    COUNT(*) AS n_i,
+         |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS r_i
+         |  FROM orders
+         |  WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1992 AND 1998
+         |  GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(SUM(n_i) AS BIGINT) AS n_total,
+         |    CAST(SUM(r_i) AS BIGINT) AS r_total,
+         |    CAST(SUM(w * n_i) AS BIGINT) AS swn,
+         |    CAST(SUM(w * r_i) AS BIGINT) AS swr,
+         |    CAST(SUM(w * w * n_i) AS BIGINT) AS sw2n
+         |  FROM yr),
+         |c AS (
+         |  SELECT *, ${Du.wide("n_total")} * swr -
+         |    ${Du.wide("r_total")} * swn AS d_stat
+         |  FROM t),
+         |e AS (
+         |  SELECT *, ${Du.wide("n_total")} * d_stat * d_stat AS num_w,
+         |    ${Du.wide("r_total")} * (n_total - r_total) *
+         |      (${Du.wide("n_total")} * sw2n -
+         |       ${Du.wide("swn")} * swn) AS den_w
+         |  FROM c),
+         |f AS (SELECT *, ${caZ2F(Du)} AS z2_micro FROM e)
+         |SELECT n_total, r_total, CAST(d_stat AS BIGINT) AS d_stat,
+         |  z2_micro,
+         |  CASE WHEN z2_micro IS NULL THEN NULL
+         |    ELSE z2_micro > 3841459 END AS reject_95
+         |FROM f""".stripMargin)
 }
