@@ -61,6 +61,34 @@ object Analytics4 {
       s"${dl.wideToDouble("den_w")} * CAST(1000000 AS DOUBLE)) " +
       "AS BIGINT) END"
 
+  /** Per-cell χ² contribution ×10⁶ as ONE exact wide division:
+    * (O·n − R·C)²·10⁶ / (n·R·C). The numerator square is ~10²⁶ at
+    * sf1 — both factors ride the 128-bit lane and the quotient
+    * (a per-cell χ² term, bounded by n) lands back in BIGINT.
+    */
+  private def chi2TermF(dl: graft.functions.SqlDialect): String =
+    s"CAST(${dl.intDiv(
+      dl.wide("dlt") + " * dlt * 1000000",
+      "(" + dl.wide("n_tot") + " * r_m * c_m)")} AS BIGINT)"
+
+  /** Cramér's V ×10⁶ — one shared sqrt over an all-integer ratio. */
+  private val CramerVF: String =
+    "CASE WHEN n_tot <= 0 OR k_min <= 0 THEN NULL ELSE " +
+      "CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE) / " +
+      "CAST(n_tot * k_min * 1000000 AS DOUBLE)) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+
+  /** Kendall τ-b ×10⁶: 2(C−D)/√((n0·2−n1·2)(n0·2−n2·2)) — the ×2
+    * marginal-tie lanes avoid ever halving an odd integer, and the
+    * product under the sqrt rides wideToDouble (it reaches ~10²⁷ at
+    * sf1).
+    */
+  private def tauBF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN prod4_w <= 0 THEN NULL ELSE " +
+      "CAST(floor(CAST(2 * cmd AS DOUBLE) / " +
+      s"sqrt(${dl.wideToDouble("prod4_w")}) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+
   /** One functional-dependency lane over a single table: two
     * map-side-combined shuffles on the LHS key, nothing driver-side.
     * g3_remove is Kivinen–Mannila's g₃ error (min rows to delete to
@@ -272,6 +300,115 @@ object Analytics4 {
         .select(col("n_total"), col("r_total"),
           expr("CAST(d_stat AS BIGINT)").as("d_stat"),
           col("z2_micro"), col("reject_95"))
+    },
+
+    // Association-rule mining (market basket): part pairs co-occurring
+    // in an order, support ≥ 2, confidence both directions and lift as
+    // integer milli lanes, global top-20 by lift. The pair generation
+    // is the canonical co-occurrence self-join on the basket key —
+    // output bounded by Σ(items-per-basket choose 2), never |parts|².
+    // Top-k rides BottomK so the plan keeps the WindowGroupLimit
+    // bounded heap instead of a full single-partition sort.
+    "q396_assoc_rules" -> { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = b.agg(countDistinct("ok").as("n_orders"))
+      val supp = b.groupBy("pk").agg(count(lit(1)).as("supp"))
+      val pairs = b.select(col("ok"), col("pk").as("pa"))
+        .join(b.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 2)
+      val rules = pairs
+        .join(supp.select(col("pk").as("pa"), col("supp").as("supp_a")),
+          Seq("pa"))
+        .join(supp.select(col("pk").as("pb"), col("supp").as("supp_b")),
+          Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("conf_ab_milli", expr("supp_ab * 1000 div supp_a"))
+        .withColumn("conf_ba_milli", expr("supp_ab * 1000 div supp_b"))
+        .withColumn("lift_milli", expr(
+          "supp_ab * n_orders * 1000 div (supp_a * supp_b)"))
+        .select("pa", "pb", "supp_ab", "supp_a", "supp_b",
+          "conf_ab_milli", "conf_ba_milli", "lift_milli")
+      graft.operators.BottomK.perGroup(rules, Seq.empty,
+          Seq(col("lift_milli").desc, col("pa"), col("pb")), 20)
+        .orderBy(col("lift_milli").desc, col("pa"), col("pb"))
+    },
+
+    // χ² test of independence on the mktsegment × orderpriority
+    // contingency table, zero-observed cells included via the full
+    // marginal grid (they contribute R·C/n). Per-cell terms quantize
+    // to micro through one exact 128-bit division BEFORE summing
+    // (sums of rationals can't stay integer — the q375 convention),
+    // then Cramér's V from the summed statistic.
+    "q397_chi2_independence" -> { (s, d) =>
+      val ct = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n_c"))
+      val rm = ct.groupBy("seg").agg(sum("n_c").as("r_m"))
+      val cm = ct.groupBy("pri").agg(sum("n_c").as("c_m"))
+      val tot = ct.agg(sum("n_c").as("n_tot"),
+        countDistinct("seg").as("r_levels"),
+        countDistinct("pri").as("c_levels"))
+      rm.crossJoin(broadcast(cm)) // full grid: r×c levels, both tiny
+        .join(ct, Seq("seg", "pri"), "left")
+        .na.fill(0L, Seq("n_c"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dlt", expr("n_c * n_tot - r_m * c_m"))
+        .withColumn("term_micro", expr(chi2TermF(Sp)))
+        .groupBy("n_tot", "r_levels", "c_levels")
+        .agg(sum("term_micro").as("chi2_micro"))
+        .withColumn("k_min", expr(
+          "least(r_levels, c_levels) - 1"))
+        .withColumn("v_micro", expr(CramerVF))
+        .withColumn("reject_95", expr("chi2_micro > 26296228"))
+        .select("n_tot", "r_levels", "c_levels", "chi2_micro",
+          "v_micro", "reject_95")
+    },
+
+    // Kendall τ-b between quantity and discount classes: concordant/
+    // discordant mass over the bounded class-pair frame (≤ ~550²/2
+    // pairs regardless of row count — the q373 collapse), marginal tie
+    // corrections as ×2 integer lanes, one shared sqrt at the end.
+    "q398_kendall_tau" -> { (s, d) =>
+      val cls = Tables.lineitem(s, d)
+        .groupBy(expr("CAST(l_quantity AS BIGINT)").as("qv"),
+          expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("dv"))
+        .agg(count(lit(1)).as("n_gv"))
+      val cd = cls.select(col("qv").as("qa"), col("dv").as("da"),
+          col("n_gv").as("na"))
+        .join(broadcast(cls.select(col("qv").as("qb"), col("dv").as("db"),
+          col("n_gv").as("nb"))),
+          col("qa") < col("qb") ||
+            (col("qa") === col("qb") && col("da") < col("db")))
+        .agg(
+          coalesce(sum(expr(
+            s"CASE WHEN qa < qb AND da < db THEN ${Sp.wide("na")} * nb " +
+              s"ELSE ${Sp.wide("0")} END")), expr(Sp.wide("0"))).as("c_w"),
+          coalesce(sum(expr(
+            s"CASE WHEN qa < qb AND da > db THEN ${Sp.wide("na")} * nb " +
+              s"ELSE ${Sp.wide("0")} END")), expr(Sp.wide("0"))).as("d_w"))
+      val qm = cls.groupBy("qv").agg(sum("n_gv").as("t"))
+        .agg(sum("t").as("n_rows"),
+          coalesce(sum(expr("t * (t - 1)")), lit(0L)).as("n1x2"))
+      val dm = cls.groupBy("dv").agg(sum("n_gv").as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1)")), lit(0L)).as("n2x2"))
+      qm.crossJoin(broadcast(dm)).crossJoin(broadcast(cd))
+        .withColumn("n0x2", expr("n_rows * (n_rows - 1)"))
+        .withColumn("cmd", expr("CAST(c_w - d_w AS BIGINT)"))
+        .withColumn("prod4_w", expr(
+          s"${Sp.wide("n0x2 - n1x2")} * (n0x2 - n2x2)"))
+        .withColumn("tau_micro", expr(tauBF(Sp)))
+        .select(col("n_rows"),
+          expr("CAST(c_w AS BIGINT)").as("c_pairs"),
+          expr("CAST(d_w AS BIGINT)").as("d_pairs"),
+          col("n1x2"), col("n2x2"), col("tau_micro"))
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -440,5 +577,110 @@ object Analytics4 {
          |  z2_micro,
          |  CASE WHEN z2_micro IS NULL THEN NULL
          |    ELSE z2_micro > 3841459 END AS reject_95
-         |FROM f""".stripMargin)
+         |FROM f""".stripMargin,
+
+    "q396_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM b),
+        |sa AS (SELECT pk, COUNT(*) AS supp FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.pk AS pa, c.pk AS pb, COUNT(*) AS supp_ab
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |j AS (
+        |  SELECT p.pa, p.pb, p.supp_ab, x.supp AS supp_a,
+        |    y.supp AS supp_b
+        |  FROM p JOIN sa x ON p.pa = x.pk JOIN sa y ON p.pb = y.pk),
+        |r AS (
+        |  SELECT pa, pb, supp_ab, supp_a, supp_b,
+        |    supp_ab * 1000 // supp_a AS conf_ab_milli,
+        |    supp_ab * 1000 // supp_b AS conf_ba_milli,
+        |    CAST(supp_ab * n_orders * 1000 // (supp_a * supp_b)
+        |      AS BIGINT) AS lift_milli
+        |  FROM j CROSS JOIN n),
+        |k AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift_milli DESC, pa, pb)
+        |    AS rn
+        |  FROM r)
+        |SELECT pa, pb, supp_ab, supp_a, supp_b, conf_ab_milli,
+        |  conf_ba_milli, lift_milli
+        |FROM k WHERE rn <= 20
+        |ORDER BY lift_milli DESC, pa, pb""".stripMargin,
+
+    "q397_chi2_independence" ->
+      s"""WITH ct AS (
+         |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+         |    COUNT(*) AS n_c
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |rm AS (SELECT seg, CAST(SUM(n_c) AS BIGINT) AS r_m
+         |  FROM ct GROUP BY 1),
+         |cm AS (SELECT pri, CAST(SUM(n_c) AS BIGINT) AS c_m
+         |  FROM ct GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(n_c) AS BIGINT) AS n_tot,
+         |    COUNT(DISTINCT seg) AS r_levels,
+         |    COUNT(DISTINCT pri) AS c_levels
+         |  FROM ct),
+         |grid AS (
+         |  SELECT rm.seg, cm.pri, rm.r_m, cm.c_m,
+         |    COALESCE(ct.n_c, 0) AS n_c
+         |  FROM rm CROSS JOIN cm
+         |  LEFT JOIN ct ON rm.seg = ct.seg AND cm.pri = ct.pri),
+         |cell AS (
+         |  SELECT n_tot, r_levels, c_levels,
+         |    n_c * n_tot - r_m * c_m AS dlt, r_m, c_m
+         |  FROM grid CROSS JOIN tot),
+         |chi AS (
+         |  SELECT n_tot, r_levels, c_levels,
+         |    CAST(SUM(${chi2TermF(Du)}) AS BIGINT) AS chi2_micro
+         |  FROM cell GROUP BY 1, 2, 3),
+         |k AS (
+         |  SELECT *, least(r_levels, c_levels) - 1 AS k_min FROM chi)
+         |SELECT n_tot, r_levels, c_levels, chi2_micro,
+         |  $CramerVF AS v_micro,
+         |  chi2_micro > 26296228 AS reject_95
+         |FROM k""".stripMargin,
+
+    "q398_kendall_tau" ->
+      s"""WITH cls AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS qv,
+         |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS dv,
+         |    COUNT(*) AS n_gv
+         |  FROM lineitem GROUP BY 1, 2),
+         |cd AS (
+         |  SELECT
+         |    COALESCE(SUM(CASE WHEN a.qv < b.qv AND a.dv < b.dv
+         |      THEN ${Du.wide("a.n_gv")} * b.n_gv
+         |      ELSE ${Du.wide("0")} END), ${Du.wide("0")}) AS c_w,
+         |    COALESCE(SUM(CASE WHEN a.qv < b.qv AND a.dv > b.dv
+         |      THEN ${Du.wide("a.n_gv")} * b.n_gv
+         |      ELSE ${Du.wide("0")} END), ${Du.wide("0")}) AS d_w
+         |  FROM cls a JOIN cls b
+         |    ON a.qv < b.qv OR (a.qv = b.qv AND a.dv < b.dv)),
+         |qm AS (
+         |  SELECT CAST(SUM(t) AS BIGINT) AS n_rows,
+         |    CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS n1x2
+         |  FROM (SELECT qv, CAST(SUM(n_gv) AS BIGINT) AS t
+         |        FROM cls GROUP BY 1)),
+         |dm AS (
+         |  SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS n2x2
+         |  FROM (SELECT dv, CAST(SUM(n_gv) AS BIGINT) AS t
+         |        FROM cls GROUP BY 1)),
+         |f AS (
+         |  SELECT n_rows, n1x2, n2x2, c_w, d_w,
+         |    n_rows * (n_rows - 1) AS n0x2,
+         |    CAST(c_w - d_w AS BIGINT) AS cmd
+         |  FROM qm CROSS JOIN dm CROSS JOIN cd),
+         |g AS (
+         |  SELECT *, ${Du.wide("n0x2 - n1x2")} * (n0x2 - n2x2)
+         |    AS prod4_w
+         |  FROM f)
+         |SELECT n_rows, CAST(c_w AS BIGINT) AS c_pairs,
+         |  CAST(d_w AS BIGINT) AS d_pairs, n1x2, n2x2,
+         |  ${tauBF(Du)} AS tau_micro
+         |FROM g""".stripMargin)
 }
