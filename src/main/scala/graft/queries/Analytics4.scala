@@ -89,6 +89,25 @@ object Analytics4 {
       s"sqrt(${dl.wideToDouble("prod4_w")}) * " +
       "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
 
+  /** Per-stratum sample std ×1000 from the exact integer moment lanes:
+    * √((n·Σx² − (Σx)²)/(n(n−1))) — the quadratic form rides the
+    * 128-bit lane, the two divisions live inside the correctly-rounded
+    * sqrt's argument in a fixed order.
+    */
+  private def stdMilliF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN n_h < 2 OR num_w < 0 THEN NULL ELSE " +
+      s"CAST(floor(sqrt(${dl.wideToDouble("num_w")} / " +
+      "CAST(n_h AS DOUBLE) / CAST(n_h - 1 AS DOUBLE)) * " +
+      "CAST(1000 AS DOUBLE)) AS BIGINT) END"
+
+  /** Neyman allocation k_h = 1000·N_h·s_h / Σ N_g·s_g as one exact
+    * wide division (the ×1000 pushes the product past BIGINT at sf1).
+    */
+  private def neymanKF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN sum_w <= 0 OR s_milli IS NULL THEN 0 ELSE " +
+      s"CAST(${dl.intDiv(dl.wide("n_h") + " * s_milli * 1000",
+        "sum_w")} AS BIGINT) END"
+
   /** One functional-dependency lane over a single table: two
     * map-side-combined shuffles on the LHS key, nothing driver-side.
     * g3_remove is Kivinen–Mannila's g₃ error (min rows to delete to
@@ -409,6 +428,89 @@ object Analytics4 {
           expr("CAST(c_w AS BIGINT)").as("c_pairs"),
           expr("CAST(d_w AS BIGINT)").as("d_pairs"),
           col("n1x2"), col("n2x2"), col("tau_micro"))
+    },
+
+    // Neyman-allocation stratified sampling (budget 1000): allocate
+    // k_h ∝ N_h·s_h from exact per-stratum moment lanes, then draw the
+    // k_h lowest portable-hash rows per stratum. The draw is
+    // TWO-STAGE so it scales: BottomK with the literal budget cap
+    // keeps the WindowGroupLimit bounded heap (≤1000·strata rows
+    // survive), and only that bounded candidate frame sees the
+    // variable-k re-rank, which no optimizer rewrite could bound.
+    "q399_stratified_sample" -> { (s, d) =>
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("stratum"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("x"))
+      val st = base.groupBy("stratum")
+        .agg(count(lit(1)).as("n_h"), sum("x").as("sx"),
+          sum(expr(s"${Sp.wide("x")} * x")).as("sxx"))
+        .withColumn("num_w", expr(
+          s"n_h * sxx - ${Sp.wide("sx")} * sx"))
+        .withColumn("s_milli", expr(stdMilliF(Sp)))
+      val tw = st.agg(coalesce(sum(expr(
+          "CASE WHEN s_milli IS NULL THEN 0 ELSE n_h * s_milli END")),
+          lit(0L)).as("sum_w"))
+      val alloc = st.crossJoin(broadcast(tw))
+        .withColumn("k_h", expr(neymanKF(Sp)))
+        .select("stratum", "n_h", "sx", "s_milli", "k_h")
+      val cand = graft.operators.BottomK.perGroup(
+        base.withColumn("h",
+          expr(Sp.hash64("concat('ney:', CAST(ok AS STRING))"))),
+        Seq("stratum"), Seq(col("h"), col("ok")), 1000)
+      val samp = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("stratum").orderBy("h", "ok")))
+        .join(alloc.select("stratum", "k_h"), Seq("stratum"))
+        .filter(col("rn") <= col("k_h"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_sampled"), sum("x").as("sum_samp"))
+      alloc.join(samp, Seq("stratum"), "left")
+        .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+        .withColumn("mean_true_cents", expr("sx div n_h"))
+        .withColumn("mean_samp_cents", expr(
+          "CASE WHEN n_sampled = 0 THEN NULL " +
+            "ELSE sum_samp div n_sampled END"))
+        .select("stratum", "n_h", "s_milli", "k_h", "n_sampled",
+          "mean_true_cents", "mean_samp_cents")
+        .orderBy("stratum")
+    },
+
+    // Hampel outlier filter on daily revenue: centered 7-day rolling
+    // median and MAD via lag/lead arrays over the bounded day frame
+    // (~2,400 rows by construction — the day-frame window convention),
+    // flag |y−med| > 3·1.4826·MAD as the pure integer compare
+    // 10000·|y−med| > 44478·MAD. Edge days (incomplete window) are
+    // not evaluated.
+    "q400_hampel_filter" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("y"))
+      val w = Window.orderBy("day")
+      val arr = day
+        .withColumn("arr", array(
+          lag("y", 3).over(w), lag("y", 2).over(w), lag("y", 1).over(w),
+          col("y"),
+          lead("y", 1).over(w), lead("y", 2).over(w),
+          lead("y", 3).over(w)))
+        .filter(expr("size(filter(arr, v -> v IS NOT NULL)) = 7"))
+        .withColumn("med", expr("element_at(array_sort(arr), 4)"))
+        .withColumn("mad", expr(
+          "element_at(array_sort(transform(arr, v -> abs(v - med))), 4)"))
+        .withColumn("dev", expr("abs(y - med)"))
+        .withColumn("is_out", expr("10000 * dev > 44478 * mad"))
+        .withColumn("ratio_milli", expr(
+          "CASE WHEN mad = 0 THEN NULL " +
+            "ELSE 10000 * dev * 1000 div (44478 * mad) END"))
+      arr.agg(count(lit(1)).as("n_eval"),
+        coalesce(sum(expr("CASE WHEN is_out THEN 1 ELSE 0 END")),
+          lit(0L)).as("n_outliers"),
+        max("ratio_milli").as("max_ratio_milli"),
+        max(expr("CASE WHEN is_out THEN day ELSE NULL END"))
+          .as("last_outlier_day"))
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -682,5 +784,80 @@ object Analytics4 {
          |SELECT n_rows, CAST(c_w AS BIGINT) AS c_pairs,
          |  CAST(d_w AS BIGINT) AS d_pairs, n1x2, n2x2,
          |  ${tauBF(Du)} AS tau_micro
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin,
+
+    "q399_stratified_sample" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS ok, o_orderpriority AS stratum,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS x
+         |  FROM orders),
+         |st AS (
+         |  SELECT stratum, COUNT(*) AS n_h, CAST(SUM(x) AS BIGINT) AS sx,
+         |    SUM(${Du.wide("x")} * x) AS sxx
+         |  FROM base GROUP BY 1),
+         |sv AS (
+         |  SELECT *, n_h * sxx - ${Du.wide("sx")} * sx AS num_w FROM st),
+         |sm AS (SELECT *, ${stdMilliF(Du)} AS s_milli FROM sv),
+         |tw AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN s_milli IS NULL THEN 0
+         |    ELSE n_h * s_milli END), 0) AS BIGINT) AS sum_w
+         |  FROM sm),
+         |al AS (SELECT sm.*, sum_w, ${neymanKF(Du)} AS k_h
+         |  FROM sm CROSS JOIN tw),
+         |hb AS (SELECT *,
+         |  ${Du.hash64("concat('ney:', CAST(ok AS VARCHAR))")} AS h
+         |  FROM base),
+         |rk AS (
+         |  SELECT stratum, x,
+         |    ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h, ok)
+         |      AS rn
+         |  FROM hb),
+         |samp AS (
+         |  SELECT r.stratum, COUNT(*) AS n_sampled,
+         |    CAST(SUM(x) AS BIGINT) AS sum_samp
+         |  FROM rk r JOIN al a ON r.stratum = a.stratum
+         |    AND r.rn <= a.k_h
+         |  GROUP BY 1)
+         |SELECT a.stratum, a.n_h, a.s_milli, a.k_h,
+         |  COALESCE(s.n_sampled, 0) AS n_sampled,
+         |  a.sx // a.n_h AS mean_true_cents,
+         |  CASE WHEN COALESCE(s.n_sampled, 0) = 0 THEN NULL
+         |    ELSE s.sum_samp // s.n_sampled END AS mean_samp_cents
+         |FROM al a LEFT JOIN samp s ON a.stratum = s.stratum
+         |ORDER BY a.stratum""".stripMargin,
+
+    "q400_hampel_filter" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT day, y,
+        |    [lag(y, 3) OVER w, lag(y, 2) OVER w, lag(y, 1) OVER w, y,
+        |     lead(y, 1) OVER w, lead(y, 2) OVER w, lead(y, 3) OVER w]
+        |      AS arr
+        |  FROM day WINDOW w AS (ORDER BY day)),
+        |e AS (
+        |  SELECT * FROM l
+        |  WHERE len(list_filter(arr, v -> v IS NOT NULL)) = 7),
+        |m AS (SELECT *, list_sort(arr)[4] AS med FROM e),
+        |md AS (
+        |  SELECT *,
+        |    list_sort(list_transform(arr, v -> abs(v - med)))[4] AS mad,
+        |    abs(y - med) AS dev
+        |  FROM m),
+        |f AS (
+        |  SELECT *, 10000 * dev > 44478 * mad AS is_out,
+        |    CASE WHEN mad = 0 THEN NULL
+        |      ELSE 10000 * dev * 1000 // (44478 * mad) END AS ratio_milli
+        |  FROM md)
+        |SELECT COUNT(*) AS n_eval,
+        |  CAST(COALESCE(SUM(CASE WHEN is_out THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_outliers,
+        |  MAX(ratio_milli) AS max_ratio_milli,
+        |  MAX(CASE WHEN is_out THEN day ELSE NULL END)
+        |    AS last_outlier_day
+        |FROM f""".stripMargin)
 }
