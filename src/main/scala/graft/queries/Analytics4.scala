@@ -511,6 +511,64 @@ object Analytics4 {
         max("ratio_milli").as("max_ratio_milli"),
         max(expr("CASE WHEN is_out THEN day ELSE NULL END"))
           .as("last_outlier_day"))
+    },
+
+    // Unnormalized Haar wavelet energy pyramid on daily order counts:
+    // at level ℓ the detail coefficient per 2^ℓ-day block is the
+    // signed sum (+ first half, − second half), so each level is ONE
+    // map-side-combined groupBy on t div 2^ℓ — no window, no
+    // sequential pass, missing days simply contribute nothing.
+    // Energy = Σ det² stays integer end-to-end.
+    "q401_haar_energy" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(expr(
+          "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')")
+          .as("t"))
+        .agg(count(lit(1)).as("y"))
+      (1 to 4).map { l =>
+        val blk = 1 << l
+        val half = 1 << (l - 1)
+        day.groupBy(expr(s"t div $blk").as("p"))
+          .agg(sum(expr(
+            s"CASE WHEN t % $blk < $half THEN y ELSE -y END")).as("det"),
+            sum("y").as("blk_sum"))
+          .agg(count(lit(1)).as("n_blocks"),
+            coalesce(sum(expr("det * det")), lit(0L)).as("energy"),
+            coalesce(sum(expr("blk_sum * blk_sum")), lit(0L))
+              .as("approx_energy"))
+          .withColumn("level", lit(l))
+      }.reduce(_ unionByName _)
+        .select("level", "n_blocks", "energy", "approx_energy")
+        .orderBy("level")
+    },
+
+    // A-priori frequent-triple mining: prune to frequent items first
+    // (the L1 candidate cut — at scale this is what keeps the 3-way
+    // basket self-join from exploding), then count triples within
+    // orders, keep support ≥ 2, top-10 via the bounded-heap BottomK.
+    "q402_apriori_triples" -> { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val freq1 = b.groupBy("pk").agg(count(lit(1)).as("s1"))
+        .filter(col("s1") >= 2).select("pk")
+      val fb0 = b.join(freq1, Seq("pk"))
+      // result-neutral second prune: only baskets holding ≥ 3
+      // frequent items can produce a triple — this is the cut that
+      // keeps the 3-way join linear in surviving baskets at scale
+      val ok3 = fb0.groupBy("ok").agg(count(lit(1)).as("ni"))
+        .filter(col("ni") >= 3).select("ok")
+      val fb = fb0.join(ok3, Seq("ok"))
+      val triples = fb.select(col("ok"), col("pk").as("pa"))
+        .join(fb.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .join(fb.select(col("ok"), col("pk").as("pc")), Seq("ok"))
+        .filter(col("pb") < col("pc"))
+        .groupBy("pa", "pb", "pc").agg(count(lit(1)).as("supp_abc"))
+        .filter(col("supp_abc") >= 2)
+      graft.operators.BottomK.perGroup(triples, Seq.empty,
+          Seq(col("supp_abc").desc, col("pa"), col("pb"), col("pc")), 10)
+        .orderBy(col("supp_abc").desc, col("pa"), col("pb"), col("pc"))
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -859,5 +917,53 @@ object Analytics4 {
         |  MAX(ratio_milli) AS max_ratio_milli,
         |  MAX(CASE WHEN is_out THEN day ELSE NULL END)
         |    AS last_outlier_day
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    "q401_haar_energy" -> {
+      val lanes = (1 to 4).map { l =>
+        val blk = 1 << l
+        val half = 1 << (l - 1)
+        s"""SELECT $l AS level, COUNT(*) AS n_blocks,
+           |    CAST(COALESCE(SUM(det * det), 0) AS BIGINT) AS energy,
+           |    CAST(COALESCE(SUM(blk_sum * blk_sum), 0) AS BIGINT)
+           |      AS approx_energy
+           |  FROM (
+           |    SELECT t // $blk AS p,
+           |      CAST(SUM(CASE WHEN t % $blk < $half THEN y ELSE -y END)
+           |        AS BIGINT) AS det,
+           |      CAST(SUM(y) AS BIGINT) AS blk_sum
+           |    FROM day GROUP BY 1)""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH day AS (
+         |  SELECT date_diff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS t,
+         |    COUNT(*) AS y
+         |  FROM orders GROUP BY 1)
+         |$lanes
+         |ORDER BY level""".stripMargin
+    },
+
+    "q402_apriori_triples" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |f1 AS MATERIALIZED (
+        |  SELECT pk FROM b GROUP BY 1 HAVING COUNT(*) >= 2),
+        |fb0 AS MATERIALIZED (
+        |  SELECT b.ok, b.pk FROM b JOIN f1 ON b.pk = f1.pk),
+        |ok3 AS MATERIALIZED (
+        |  SELECT ok FROM fb0 GROUP BY 1 HAVING COUNT(*) >= 3),
+        |fb AS MATERIALIZED (
+        |  SELECT fb0.ok, fb0.pk FROM fb0 JOIN ok3 ON fb0.ok = ok3.ok),
+        |t AS (
+        |  SELECT a.pk AS pa, c.pk AS pb, e.pk AS pc, COUNT(*) AS supp_abc
+        |  FROM fb a JOIN fb c ON a.ok = c.ok AND a.pk < c.pk
+        |  JOIN fb e ON a.ok = e.ok AND c.pk < e.pk
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |k AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    ORDER BY supp_abc DESC, pa, pb, pc) AS rn
+        |  FROM t)
+        |SELECT pa, pb, pc, supp_abc FROM k WHERE rn <= 10
+        |ORDER BY supp_abc DESC, pa, pb, pc""".stripMargin)
 }
