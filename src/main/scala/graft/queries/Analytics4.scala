@@ -536,7 +536,7 @@ object Analytics4 {
             coalesce(sum(expr("det * det")), lit(0L)).as("energy"),
             coalesce(sum(expr("blk_sum * blk_sum")), lit(0L))
               .as("approx_energy"))
-          .withColumn("level", lit(l))
+          .withColumn("level", lit(l.toLong))
       }.reduce(_ unionByName _)
         .select("level", "n_blocks", "energy", "approx_energy")
         .orderBy("level")
@@ -569,6 +569,103 @@ object Analytics4 {
       graft.operators.BottomK.perGroup(triples, Seq.empty,
           Seq(col("supp_abc").desc, col("pa"), col("pb"), col("pc")), 10)
         .orderBy(col("supp_abc").desc, col("pa"), col("pb"), col("pc"))
+    },
+
+    // Distinct customers over a trailing 3-month window. Spark has no
+    // COUNT(DISTINCT) OVER, and emulating it with a window would drag
+    // the full row set through one task — instead each (month,
+    // customer) pair EXPANDS to the ≤3 windows it can serve
+    // (map-side explode, shuffle on the window key, exact distinct
+    // agg). Output-linear at any scale.
+    "q403_rolling_distinct" -> { (s, d) =>
+      val mc = Tables.orders(s, d)
+        .select(expr(
+          "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
+          .as("mi"), col("o_custkey").as("ck"))
+        .distinct()
+      val months = mc.select("mi").distinct()
+      val u1 = mc.groupBy("mi")
+        .agg(countDistinct("ck").as("u1"))
+      val u3 = mc
+        .select(col("ck"), explode(expr("sequence(mi, mi + 2)")).as("tm"))
+        .groupBy("tm").agg(countDistinct("ck").as("u3"))
+      months.join(u1, Seq("mi"))
+        .join(u3.withColumnRenamed("tm", "mi"), Seq("mi"))
+        .withColumn("overlap_milli", expr(
+          "CASE WHEN u3 = 0 THEN NULL ELSE u1 * 1000 div u3 END"))
+        .select(expr("CAST(mi AS BIGINT)").as("mi"), col("u1"),
+          col("u3"), col("overlap_milli"))
+        .orderBy("mi")
+    },
+
+    // Rolling-origin backtest of the seasonal-naive forecast
+    // (ŷ_m = y_{m−12}) against the naive-1 benchmark (ŷ_m = y_{m−1})
+    // on monthly revenue: per test year, WAPE and the MASE-style
+    // ratio of the two error masses. Bounded month frame, two
+    // self-joins, every ratio integer-quantized.
+    "q404_seasonal_backtest" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(expr(
+          "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("y"))
+      m.join(broadcast(m.select(col("mi").as("m12"),
+          col("y").as("y12"))), col("mi") - 12 === col("m12"))
+        .join(broadcast(m.select(col("mi").as("m1"),
+          col("y").as("y1"))), col("mi") - 1 === col("m1"))
+        .groupBy(expr("1992 + mi div 12").as("yr"))
+        .agg(count(lit(1)).as("n_test"), sum("y").as("sum_y"),
+          sum(expr("abs(y - y12)")).as("sum_ae12"),
+          sum(expr("abs(y - y1)")).as("sum_ae1"))
+        .withColumn("wape12_milli", expr(
+          "CASE WHEN sum_y = 0 THEN NULL " +
+            "ELSE sum_ae12 * 1000 div sum_y END"))
+        .withColumn("mase_milli", expr(
+          "CASE WHEN sum_ae1 = 0 THEN NULL " +
+            "ELSE sum_ae12 * 1000 div sum_ae1 END"))
+        .select("yr", "n_test", "sum_y", "sum_ae12", "sum_ae1",
+          "wape12_milli", "mase_milli")
+        .orderBy("yr")
+    },
+
+    // Deequ-style constraint-suite report over orders: completeness,
+    // domain membership, range, referential integrity, and key
+    // uniqueness as one (constraint, observed_milli, threshold,
+    // passed) table — the validation gate a pipeline runs before
+    // promoting a new drop. Each lane is one exact aggregate; the
+    // referential lane is a distinct + left join like q392.
+    "q405_constraint_report" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      def lane(name: String, obs: Column, thr: Long): DataFrame =
+        o.agg(obs.as("observed_milli"))
+          .withColumn("constraint", lit(name))
+          .withColumn("threshold_milli", lit(thr))
+      val comp = lane("c1_complete_custkey",
+        expr("count(o_custkey) * 1000 div count(1)"), 1000L)
+      val dom = lane("c2_domain_status",
+        expr("coalesce(sum(CASE WHEN o_orderstatus IN ('F','O','P') " +
+          "THEN 1 ELSE 0 END), 0) * 1000 div count(1)"), 1000L)
+      val rng = lane("c3_range_price_pos",
+        expr("coalesce(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 " +
+          "END), 0) * 1000 div count(1)"), 1000L)
+      val uniq = lane("c5_unique_orderkey",
+        expr("count(DISTINCT o_orderkey) * 1000 div count(1)"), 1000L)
+      val ref = o.select(col("o_custkey").as("v")).distinct()
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("v")).distinct()
+          .withColumn("hit", lit(1)), Seq("v"), "left")
+        .agg(expr("count(hit) * 1000 div count(1)")
+          .as("observed_milli"))
+        .withColumn("constraint", lit("c4_ref_custkey"))
+        .withColumn("threshold_milli", lit(1000L))
+      comp.unionByName(dom).unionByName(rng).unionByName(ref)
+        .unionByName(uniq)
+        .withColumn("passed", expr("observed_milli >= threshold_milli"))
+        .select("constraint", "observed_milli", "threshold_milli",
+          "passed")
+        .orderBy("constraint")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -923,7 +1020,7 @@ object Analytics4 {
       val lanes = (1 to 4).map { l =>
         val blk = 1 << l
         val half = 1 << (l - 1)
-        s"""SELECT $l AS level, COUNT(*) AS n_blocks,
+        s"""SELECT CAST($l AS BIGINT) AS level, COUNT(*) AS n_blocks,
            |    CAST(COALESCE(SUM(det * det), 0) AS BIGINT) AS energy,
            |    CAST(COALESCE(SUM(blk_sum * blk_sum), 0) AS BIGINT)
            |      AS approx_energy
@@ -965,5 +1062,83 @@ object Analytics4 {
         |    ORDER BY supp_abc DESC, pa, pb, pc) AS rn
         |  FROM t)
         |SELECT pa, pb, pc, supp_abc FROM k WHERE rn <= 10
-        |ORDER BY supp_abc DESC, pa, pb, pc""".stripMargin)
+        |ORDER BY supp_abc DESC, pa, pb, pc""".stripMargin,
+
+    "q403_rolling_distinct" ->
+      """WITH mc AS (
+        |  SELECT DISTINCT
+        |    (year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+        |      month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+        |    o_custkey AS ck
+        |  FROM orders),
+        |months AS (SELECT DISTINCT mi FROM mc),
+        |u1 AS (SELECT mi, COUNT(DISTINCT ck) AS u1 FROM mc GROUP BY 1),
+        |ex AS (
+        |  SELECT ck, unnest(range(mi, mi + 3)) AS tm FROM mc),
+        |u3 AS (SELECT tm AS mi, COUNT(DISTINCT ck) AS u3
+        |  FROM ex GROUP BY 1)
+        |SELECT months.mi, u1, u3,
+        |  CASE WHEN u3 = 0 THEN NULL ELSE u1 * 1000 // u3 END
+        |    AS overlap_milli
+        |FROM months JOIN u1 ON months.mi = u1.mi
+        |JOIN u3 ON months.mi = u3.mi
+        |ORDER BY months.mi""".stripMargin,
+
+    "q404_seasonal_backtest" ->
+      """WITH m AS (
+        |  SELECT (year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+        |      month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT m.mi, m.y, a.y AS y12, b.y AS y1
+        |  FROM m JOIN m a ON m.mi - 12 = a.mi
+        |  JOIN m b ON m.mi - 1 = b.mi),
+        |g AS (
+        |  SELECT 1992 + mi // 12 AS yr, COUNT(*) AS n_test,
+        |    CAST(SUM(y) AS BIGINT) AS sum_y,
+        |    CAST(SUM(abs(y - y12)) AS BIGINT) AS sum_ae12,
+        |    CAST(SUM(abs(y - y1)) AS BIGINT) AS sum_ae1
+        |  FROM j GROUP BY 1)
+        |SELECT yr, n_test, sum_y, sum_ae12, sum_ae1,
+        |  CASE WHEN sum_y = 0 THEN NULL
+        |    ELSE sum_ae12 * 1000 // sum_y END AS wape12_milli,
+        |  CASE WHEN sum_ae1 = 0 THEN NULL
+        |    ELSE sum_ae12 * 1000 // sum_ae1 END AS mase_milli
+        |FROM g ORDER BY yr""".stripMargin,
+
+    "q405_constraint_report" ->
+      """WITH c1 AS (
+        |  SELECT 'c1_complete_custkey' AS constraint_name,
+        |    COUNT(o_custkey) * 1000 // COUNT(*) AS observed_milli
+        |  FROM orders),
+        |c2 AS (
+        |  SELECT 'c2_domain_status',
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus IN ('F','O','P')
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) * 1000 // COUNT(*)
+        |  FROM orders),
+        |c3 AS (
+        |  SELECT 'c3_range_price_pos',
+        |    CAST(COALESCE(SUM(CASE WHEN o_totalprice > 0 THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) * 1000 // COUNT(*)
+        |  FROM orders),
+        |c4 AS (
+        |  SELECT 'c4_ref_custkey',
+        |    COUNT(t.v) * 1000 // COUNT(*)
+        |  FROM (SELECT DISTINCT o_custkey AS v FROM orders) f
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS v FROM customer) t
+        |    ON f.v = t.v),
+        |c5 AS (
+        |  SELECT 'c5_unique_orderkey',
+        |    COUNT(DISTINCT o_orderkey) * 1000 // COUNT(*)
+        |  FROM orders),
+        |u AS (
+        |  SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+        |  UNION ALL SELECT * FROM c5)
+        |SELECT constraint_name AS "constraint", observed_milli,
+        |  CAST(1000 AS BIGINT) AS threshold_milli,
+        |  observed_milli >= 1000 AS passed
+        |FROM u ORDER BY 1""".stripMargin)
 }
