@@ -666,6 +666,101 @@ object Analytics4 {
         .select("constraint", "observed_milli", "threshold_milli",
           "passed")
         .orderBy("constraint")
+    },
+
+    // Exact 1-D energy distance between embedding label groups 0/1
+    // (distribution-shift gate on the first coordinate, micro-
+    // quantized): E = 2E|X−Y| − E|X−X'| − E|Y−Y'|. The pairwise
+    // absolute-difference masses come from ONE sorted pass with
+    // exclusive prefix lanes — Σ|vᵢ−vⱼ| = Σₖ cₖ(vₖ·C₍<ₖ₎ − S₍<ₖ₎) —
+    // so the O(n²) definition costs O(n log n) distributed: the four
+    // cumulative lanes ride GlobalOrder.withRunningSums in one pass,
+    // never a single-partition window.
+    "q406_energy_distance" -> { (s, d) =>
+      val cls = Tables.embeddings(s, d)
+        .filter(expr("label IN (0, 1)"))
+        .select(col("label"), expr(
+          "CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) " +
+            "* 1000000) AS BIGINT)").as("v"))
+        .groupBy("v")
+        .agg(coalesce(sum(expr("CASE WHEN label = 0 THEN 1 ELSE 0 END")),
+          lit(0L)).as("cx"),
+          coalesce(sum(expr("CASE WHEN label = 1 THEN 1 ELSE 0 END")),
+            lit(0L)).as("cy"))
+      val cum = graft.plans.GlobalOrder.withRunningSums(
+        cls, Seq(col("v")), col("v"),
+        Seq(col("cx") -> "cum_cx", expr("cx * v") -> "cum_sx",
+          col("cy") -> "cum_cy", expr("cy * v") -> "cum_sy"))
+      val agg = cum
+        .withColumn("cx_ex", expr("cum_cx - cx"))
+        .withColumn("sx_ex", expr("cum_sx - cx * v"))
+        .withColumn("cy_ex", expr("cum_cy - cy"))
+        .withColumn("sy_ex", expr("cum_sy - cy * v"))
+        .agg(sum("cx").as("nx"), sum("cy").as("ny"),
+          coalesce(sum(expr(
+            "cx * (v * cy_ex - sy_ex) + cy * (v * cx_ex - sx_ex)")),
+            lit(0L)).as("a_cross"),
+          coalesce(sum(expr("2 * cx * (v * cx_ex - sx_ex)")), lit(0L))
+            .as("b_xx"),
+          coalesce(sum(expr("2 * cy * (v * cy_ex - sy_ex)")), lit(0L))
+            .as("c_yy"))
+      agg
+        .withColumn("num_w", expr(
+          s"greatest(2 * ${Sp.wide("a_cross")} * nx * ny " +
+            s"- ${Sp.wide("b_xx")} * ny * ny " +
+            s"- ${Sp.wide("c_yy")} * nx * nx, ${Sp.wide("0")})"))
+        .withColumn("den_w", expr(
+          s"${Sp.wide("nx")} * nx * ny * ny"))
+        .withColumn("e_micro", expr(
+          "CASE WHEN den_w <= 0 THEN NULL ELSE " +
+            s"CAST(${Sp.intDiv("num_w * 1000000", "den_w")} AS BIGINT) " +
+            "END"))
+        .select("nx", "ny", "a_cross", "b_xx", "c_yy", "e_micro")
+    },
+
+    // Split-conformal calibration on event values: per-type exact
+    // medians from the calibration half (portable-hash split), the
+    // 90% conformal quantile q̂ as the ceil((n+1)·0.9)-th smallest
+    // nonconformity — an EXACT distributed selection via
+    // GlobalOrder.withRowNumber, never a single-partition sort — and
+    // the held-out coverage share, which should straddle 900‰.
+    "q407_conformal_coverage" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("id"), col("event_type").as("et"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+        .withColumn("cal", expr(
+          s"${Sp.hash64("concat('conf:', CAST(id AS STRING))")} % 2 = 0"))
+      // exact per-type lower median of calibration values: weighted
+      // rank over the per-type distinct-value frame (partitioned
+      // window — scales with types × distinct values, not rows)
+      val medCls = ev.filter(col("cal")).groupBy("et", "v")
+        .agg(count(lit(1)).as("c"))
+      val med = medCls
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("et").orderBy("v")))
+        .withColumn("n_t", sum("c").over(Window.partitionBy("et")))
+        .filter(expr("cum * 2 >= n_t + 1"))
+        .groupBy("et").agg(min("v").as("med"))
+      val scored = ev.join(med, Seq("et"))
+        .withColumn("nc", expr("abs(v - med)"))
+      val calN = scored.filter(col("cal"))
+        .agg(count(lit(1)).as("n_cal"))
+      val ranked = graft.plans.GlobalOrder.withRowNumber(
+        scored.filter(col("cal")).select("nc", "id"),
+        Seq(col("nc"), col("id")), col("nc"), "rk")
+      val qhat = ranked.crossJoin(broadcast(calN))
+        .filter(expr("rk = (9 * (n_cal + 1) + 9) div 10"))
+        .select(col("nc").as("qhat"), col("n_cal"))
+      scored.filter(!col("cal"))
+        .crossJoin(broadcast(qhat))
+        .agg(max("n_cal").as("n_cal"), max("qhat").as("qhat"),
+          count(lit(1)).as("n_test"),
+          coalesce(sum(expr("CASE WHEN nc <= qhat THEN 1 ELSE 0 END")),
+            lit(0L)).as("n_cover"))
+        .withColumn("cover_milli", expr(
+          "CASE WHEN n_test = 0 THEN NULL " +
+            "ELSE n_cover * 1000 div n_test END"))
+        .select("n_cal", "n_test", "qhat", "n_cover", "cover_milli")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -1140,5 +1235,92 @@ object Analytics4 {
         |SELECT constraint_name AS "constraint", observed_milli,
         |  CAST(1000 AS BIGINT) AS threshold_milli,
         |  observed_milli >= 1000 AS passed
-        |FROM u ORDER BY 1""".stripMargin)
+        |FROM u ORDER BY 1""".stripMargin,
+
+    "q406_energy_distance" ->
+      """WITH pts AS (
+        |  SELECT label,
+        |    CAST(floor((embedding[1]::DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings WHERE label IN (0, 1)),
+        |cls AS (
+        |  SELECT v,
+        |    CAST(COALESCE(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS cx,
+        |    CAST(COALESCE(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS cy
+        |  FROM pts GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |    CAST(SUM(cx) OVER o AS BIGINT) AS cum_cx,
+        |    CAST(SUM(cx * v) OVER o AS BIGINT) AS cum_sx,
+        |    CAST(SUM(cy) OVER o AS BIGINT) AS cum_cy,
+        |    CAST(SUM(cy * v) OVER o AS BIGINT) AS cum_sy
+        |  FROM cls WINDOW o AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT *, cum_cx - cx AS cx_ex, cum_sx - cx * v AS sx_ex,
+        |    cum_cy - cy AS cy_ex, cum_sy - cy * v AS sy_ex
+        |  FROM w),
+        |agg AS (
+        |  SELECT CAST(SUM(cx) AS BIGINT) AS nx,
+        |    CAST(SUM(cy) AS BIGINT) AS ny,
+        |    CAST(COALESCE(SUM(cx * (v * cy_ex - sy_ex) +
+        |      cy * (v * cx_ex - sx_ex)), 0) AS BIGINT) AS a_cross,
+        |    CAST(COALESCE(SUM(2 * cx * (v * cx_ex - sx_ex)), 0)
+        |      AS BIGINT) AS b_xx,
+        |    CAST(COALESCE(SUM(2 * cy * (v * cy_ex - sy_ex)), 0)
+        |      AS BIGINT) AS c_yy
+        |  FROM t),
+        |f AS (
+        |  SELECT *,
+        |    greatest(2 * CAST(a_cross AS HUGEINT) * nx * ny -
+        |      CAST(b_xx AS HUGEINT) * ny * ny -
+        |      CAST(c_yy AS HUGEINT) * nx * nx,
+        |      CAST(0 AS HUGEINT)) AS num_w,
+        |    CAST(nx AS HUGEINT) * nx * ny * ny AS den_w
+        |  FROM agg)
+        |SELECT nx, ny, a_cross, b_xx, c_yy,
+        |  CASE WHEN den_w <= 0 THEN NULL
+        |    ELSE CAST((num_w * 1000000 // den_w) AS BIGINT) END
+        |    AS e_micro
+        |FROM f""".stripMargin,
+
+    "q407_conformal_coverage" ->
+      s"""WITH ev AS (
+         |  SELECT event_id AS id, event_type AS et,
+         |    CAST(floor(value * 1000) AS BIGINT) AS v,
+         |    ${Du.hash64("concat('conf:', CAST(event_id AS VARCHAR))")}
+         |      % 2 = 0 AS cal
+         |  FROM events),
+         |mc AS (
+         |  SELECT et, v, COUNT(*) AS c FROM ev WHERE cal GROUP BY 1, 2),
+         |mr AS (
+         |  SELECT *,
+         |    CAST(SUM(c) OVER (PARTITION BY et ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY et) AS BIGINT) AS n_t
+         |  FROM mc),
+         |med AS (
+         |  SELECT et, MIN(v) AS med FROM mr
+         |  WHERE cum * 2 >= n_t + 1 GROUP BY 1),
+         |sc AS (
+         |  SELECT ev.id, ev.v, ev.cal, abs(ev.v - med.med) AS nc
+         |  FROM ev JOIN med ON ev.et = med.et),
+         |cn AS (SELECT COUNT(*) AS n_cal FROM sc WHERE cal),
+         |rk AS (
+         |  SELECT nc, ROW_NUMBER() OVER (ORDER BY nc, id) AS rk
+         |  FROM sc WHERE cal),
+         |qh AS (
+         |  SELECT nc AS qhat, n_cal FROM rk CROSS JOIN cn
+         |  WHERE rk = (9 * (n_cal + 1) + 9) // 10)
+         |SELECT MAX(n_cal) AS n_cal, COUNT(*) AS n_test,
+         |  MAX(qhat) AS qhat,
+         |  CAST(COALESCE(SUM(CASE WHEN nc <= qhat THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS n_cover,
+         |  CASE WHEN COUNT(*) = 0 THEN NULL
+         |    ELSE CAST(COALESCE(SUM(CASE WHEN nc <= qhat THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) * 1000 // COUNT(*) END
+         |    AS cover_milli
+         |FROM sc CROSS JOIN qh WHERE NOT cal""".stripMargin)
 }
