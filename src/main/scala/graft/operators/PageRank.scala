@@ -87,4 +87,58 @@ object PageRank {
     }
     rank
   }
+
+  /** Personalized PageRank: identical integer recurrence, but both
+    * the initial mass and the teleport term concentrate on `seeds`
+    * (∩ graph nodes) instead of spreading uniformly — the "influence
+    * from this set" weighting behind seeded corpus expansion. With
+    * seeds = all nodes this IS [[run]] (base and init reduce to the
+    * uniform values) — PageRankSpec pins that law.
+    *
+    * @param seeds DataFrame with a `node` column; rows outside the
+    *              graph are ignored, duplicates collapse.
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame,
+                   iterations: Int = 3,
+                   damping: (Int, Int) = (85, 100)): DataFrame = {
+    require(iterations >= 0 && iterations <= 50, "iterations in [0, 50]")
+    val (num, den) = damping
+    require(num > 0 && den > num, "damping must satisfy 0 < num < den")
+    require(den <= 10000, s"damping denominator too large (max 10000): $den")
+    val e = edges.select(col("src"), col("dst")).distinct()
+
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val sd = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node")).localCheckpoint()
+    val sN = sd.count()
+    if (sN == 0) return nodes.withColumn("rank_ppt", lit(0L))
+
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val eDeg = e.as("e").join(deg.as("g"), col("e.src") === col("g.src"))
+      .select(col("e.src"), col("e.dst"), col("g.__deg"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val baseSeed = ((Scale / sN) * (den - num)) / den
+    val init = Scale / sN
+    val seedFlag = sd.withColumn("__seed", lit(1))
+
+    var rank = nodes.join(seedFlag, Seq("node"), "left")
+      .select(col("node"), expr(
+        s"CASE WHEN __seed = 1 THEN ${init}L ELSE 0L END").as("rank_ppt"))
+    for (i <- 1 to iterations) {
+      val inflow = rank.as("r").join(eDeg.as("ed"), col("r.node") === col("ed.src"))
+        .select(col("ed.dst").as("node"),
+          expr("rank_ppt div __deg").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__inflow"))
+      rank = nodes.join(seedFlag, Seq("node"), "left")
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"), expr(
+          s"CASE WHEN __seed = 1 THEN ${baseSeed}L ELSE 0L END " +
+            s"+ ($num * coalesce(__inflow, 0L)) div $den").as("rank_ppt"))
+      if (i % 2 == 0 && i < iterations) rank = rank.localCheckpoint()
+    }
+    rank
+  }
 }

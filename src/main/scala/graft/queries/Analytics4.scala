@@ -761,6 +761,51 @@ object Analytics4 {
           "CASE WHEN n_test = 0 THEN NULL " +
             "ELSE n_cover * 1000 div n_test END"))
         .select("n_cal", "n_test", "qhat", "n_cover", "cover_milli")
+    },
+
+    // Personalized PageRank seeded at every hundredth part node of
+    // the q113 supply graph — "influence from this set", the seeded
+    // corpus-expansion weighting. Identical scaled-integer recurrence
+    // as q113 (order-independent sums, bit-identical across
+    // partitionings AND engines); the oracle unrolls the same three
+    // rounds with the teleport mass restricted to the seed rows.
+    "q408_ppr" -> { (s, d) =>
+      val edges = Relational2.supplyEdges(s, d)
+      val seeds = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 100 === 0)
+      graft.operators.PageRank.personalized(edges, seeds, iterations = 3)
+        .filter(col("rank_ppt") > 0)
+        .orderBy("node")
+    },
+
+    // M4 time-series downsampling of the event value stream into
+    // daily buckets: per bucket min/max/first/last — the published
+    // error-free downsampling for line visualization. first/last ride
+    // one partitioned two-direction row_number (shuffle by bucket,
+    // within-bucket sort — bounded by rows-per-pixel, the M4
+    // contract); min/max are plain map-side-combined aggregates.
+    "q409_m4_downsample" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("b"),
+          expr("unix_micros(ts)").as("tsu"), col("event_id").as("id"),
+          expr(Analytics2.VMilliF).as("v"))
+      val wAsc = Window.partitionBy("b").orderBy(col("tsu"), col("id"))
+      val wDesc = Window.partitionBy("b")
+        .orderBy(col("tsu").desc, col("id").desc)
+      val fl = ev
+        .withColumn("ra", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .filter(col("ra") === 1 || col("rd") === 1)
+        .groupBy("b")
+        .agg(max(expr("CASE WHEN ra = 1 THEN v END")).as("v_first"),
+          max(expr("CASE WHEN rd = 1 THEN v END")).as("v_last"))
+      ev.groupBy("b")
+        .agg(count(lit(1)).as("n"), min("v").as("v_min"),
+          max("v").as("v_max"))
+        .join(fl, Seq("b"))
+        .select("b", "n", "v_min", "v_max", "v_first", "v_last")
+        .orderBy("b")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -1322,5 +1367,69 @@ object Analytics4 {
          |    ELSE CAST(COALESCE(SUM(CASE WHEN nc <= qhat THEN 1
          |      ELSE 0 END), 0) AS BIGINT) * 1000 // COUNT(*) END
          |    AS cover_milli
-         |FROM sc CROSS JOIN qh WHERE NOT cal""".stripMargin)
+         |FROM sc CROSS JOIN qh WHERE NOT cal""".stripMargin,
+
+    "q408_ppr" -> {
+      val rounds = (1 to 3).map { i =>
+        val p = i - 1
+        s"""i$i AS (
+           |  SELECT ed.dst AS node, SUM(r$p.r // ed.d) AS fl
+           |  FROM r$p JOIN ed ON r$p.node = ed.src GROUP BY ed.dst),
+           |r$i AS (
+           |  SELECT nodes.node,
+           |    CASE WHEN sd.node IS NOT NULL THEN base ELSE 0 END +
+           |      (85 * COALESCE(i$i.fl, 0)) // 100 AS r
+           |  FROM nodes CROSS JOIN b
+           |  LEFT JOIN sd ON nodes.node = sd.node
+           |  LEFT JOIN i$i ON nodes.node = i$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (
+         |  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+         |  FROM lineitem),
+         |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |sd AS (
+         |  SELECT node FROM nodes
+         |  WHERE node < 10000000 AND node % 100 = 0),
+         |p AS (SELECT COUNT(*) AS sn FROM sd),
+         |b AS (
+         |  SELECT ((1000000000000 // sn) * 15) // 100 AS base,
+         |    1000000000000 // sn AS init
+         |  FROM p),
+         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+         |ed AS (
+         |  SELECT e.src, e.dst, deg.d FROM e
+         |  JOIN deg ON e.src = deg.src),
+         |r0 AS (
+         |  SELECT nodes.node,
+         |    CASE WHEN sd.node IS NOT NULL THEN init ELSE 0 END AS r
+         |  FROM nodes CROSS JOIN b
+         |  LEFT JOIN sd ON nodes.node = sd.node),
+         |$rounds
+         |SELECT node, CAST(r AS BIGINT) AS rank_ppt FROM r3
+         |WHERE r > 0
+         |ORDER BY node""".stripMargin
+    },
+
+    "q409_m4_downsample" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS b,
+        |    epoch_us(ts::TIMESTAMP) AS tsu, event_id AS id,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY tsu, id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY tsu DESC,
+        |      id DESC) AS rd
+        |  FROM ev),
+        |fl AS (
+        |  SELECT b, MAX(CASE WHEN ra = 1 THEN v END) AS v_first,
+        |    MAX(CASE WHEN rd = 1 THEN v END) AS v_last
+        |  FROM r WHERE ra = 1 OR rd = 1 GROUP BY 1),
+        |agg AS (
+        |  SELECT b, COUNT(*) AS n, MIN(v) AS v_min, MAX(v) AS v_max
+        |  FROM ev GROUP BY 1)
+        |SELECT agg.b, n, v_min, v_max, v_first, v_last
+        |FROM agg JOIN fl ON agg.b = fl.b ORDER BY agg.b""".stripMargin)
 }

@@ -69,7 +69,7 @@ object Relational2 {
     * q244 oracles carry; grow BOTH together past TPC-H ~sf50 where
     * partkeys reach 10M). ONE builder for the three graph queries.
     */
-  private def supplyEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def supplyEdges(s: SparkSession, d: String): DataFrame = {
     val fwd = Tables.lineitem(s, d).select(
       col("l_partkey").as("src"),
       (col("l_suppkey") + lit(10000000L)).as("dst"))

@@ -89,4 +89,30 @@ class PageRankSpec extends SparkSpecBase {
     val empty = PageRank.run(Seq.empty[(String, String)].toDF("src", "dst"))
     assert(empty.count() == 0)
   }
+
+  test("personalized with seeds = all nodes IS uniform PageRank") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("c", "d")).toDF("src", "dst")
+    val allNodes = Seq("a", "b", "c", "d").toDF("node")
+    val uni = PageRank.run(edges, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val per = PageRank.personalized(edges, allNodes, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == per)
+  }
+
+  test("personalized: mass stays in the seed component; off-graph and dup seeds ignored") {
+    // two disconnected 2-cycles; seeds in the first one only
+    val edges = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "a", "zzz-not-a-node").toDF("node")
+    val r = PageRank.personalized(edges, seeds, 3).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(r("x") == 0L && r("y") == 0L)
+    // single seed: init = Scale; a↔b alternates full forwarding —
+    // after 3 rounds: a = base + 0.85·(round-2 b), all mass in {a,b}
+    assert(r("a") > 0L && r("b") > 0L)
+    assert(r.values.sum <= PageRank.Scale)
+    assert(r.values.sum > PageRank.Scale - 2 * 3 * 100)
+  }
 }
