@@ -806,6 +806,116 @@ object Analytics4 {
         .join(fl, Seq("b"))
         .select("b", "n", "v_min", "v_max", "v_first", "v_last")
         .orderBy("b")
+    },
+
+    // Exact isotonic regression (PAVA fit) on monthly revenue via the
+    // minimax identity ŷᵢ = max_{j≤i} min_{k≥i} mean(y[j..k]) — the
+    // sequential pool-adjacent-violators loop becomes three bounded
+    // relational steps: interval means from prefix sums (months²
+    // intervals), an i×interval containment join, and a min-then-max
+    // rollup. Means quantize to micro through one wide division
+    // BEFORE the minimax (deterministic on both engines).
+    "q410_isotonic" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(expr(
+          "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("y"))
+      // bounded month frame — the day/ym window convention
+      val c = m.withColumn("p", sum("y").over(Window.orderBy("mi")))
+      val jSide = c.select(col("mi").as("j"),
+        expr("p - y").as("pjm1"))
+      val kSide = c.select(col("mi").as("k"), col("p").as("pk"))
+      val iv = jSide.join(broadcast(kSide), col("j") <= col("k"))
+        .withColumn("a_micro", expr(
+          s"CAST(${Sp.intDiv(Sp.wide("pk - pjm1") + " * 1000000",
+            "(k - j + 1)")} AS BIGINT)"))
+        .select("j", "k", "a_micro")
+      m.select(col("mi"), col("y"))
+        .join(broadcast(iv),
+          col("j") <= col("mi") && col("mi") <= col("k"))
+        .groupBy("mi", "y", "j").agg(min("a_micro").as("mn"))
+        .groupBy("mi", "y").agg(max("mn").as("yhat_micro"))
+        .select(expr("CAST(mi AS BIGINT)").as("mi"), col("y"),
+          col("yhat_micro"))
+        .orderBy("mi")
+    },
+
+    // Dynamic time warping between the 1995 and 1996 monthly revenue
+    // curves — the whole O(12²) DP runs inside ONE nested-fold
+    // expression (array accumulator = DP row), entirely in exact
+    // integer cents, so the "Spark can't do sequential DP" objection
+    // dissolves for bounded series: the recurrence is data-parallel
+    // across groups even though it is sequential within one. L1
+    // distance rides along as the no-warp baseline.
+    "q411_dtw" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .filter(expr("year(o_orderdate) IN (1995, 1996)"))
+        .groupBy(expr("year(o_orderdate)").as("yr"),
+          expr("month(o_orderdate)").as("mo"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("yc"))
+      val arrs = m.groupBy("yr").agg(expr(
+        "transform(sort_array(collect_list(struct(mo, yc))), s -> s.yc)")
+        .as("arr"))
+      val a = arrs.filter(col("yr") === 1995)
+        .select(col("arr").as("a"))
+      val b = arrs.filter(col("yr") === 1996)
+        .select(col("arr").as("b"))
+      val big = "9223372036854775807L"
+      val initRow =
+        "aggregate(sequence(1, 12), cast(array() as array<bigint>), " +
+          "(row, j) -> concat(row, array(" +
+          "abs(element_at(a, 1) - element_at(b, j)) + " +
+          "if(j > 1, element_at(row, j - 1), 0L))))"
+      val dp =
+        s"aggregate(sequence(2, 12), $initRow, " +
+          "(acc, i) -> aggregate(sequence(1, 12), " +
+          "cast(array() as array<bigint>), " +
+          "(row, j) -> concat(row, array(" +
+          "abs(element_at(a, i) - element_at(b, j)) + least(" +
+          "element_at(acc, j), " +
+          s"if(j > 1, element_at(acc, j - 1), $big), " +
+          s"if(j > 1, element_at(row, j - 1), $big))))))"
+      a.crossJoin(broadcast(b))
+        .withColumn("n_a", expr("size(a)"))
+        .withColumn("n_b", expr("size(b)"))
+        .withColumn("dtw_cents", expr(s"element_at($dp, 12)"))
+        .withColumn("l1_cents", expr(
+          "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0L, " +
+            "(acc, v) -> acc + v)"))
+        .select("n_a", "n_b", "dtw_cents", "l1_cents")
+    },
+
+    // Rank-based AUC (Mann–Whitney with midranks) of the event value
+    // as a 'purchase' classifier: midrank sums stay exact through the
+    // ×2 lanes over the distinct-value class frame, whose cumulative
+    // count rides GlobalOrder (value classes are row-scale). AUC
+    // should hover near 500000 micro — value carries no type signal —
+    // which the oracle confirms bit-exactly rather than approximately.
+    "q412_auc" -> { (s, d) =>
+      val cls = Tables.events(s, d)
+        .select(expr(Analytics2.VMilliF).as("v"),
+          expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            .as("pos"))
+        .groupBy("v").agg(count(lit(1)).as("c"), sum("pos").as("c1"))
+      val cum = graft.plans.GlobalOrder.withRunningSum(
+        cls, Seq(col("v")), col("v"), col("c"), "cum_c")
+      cum.withColumn("c_ex", expr("cum_c - c"))
+        .agg(sum("c1").as("n_pos"),
+          sum(expr("c - c1")).as("n_neg"),
+          coalesce(sum(expr("c1 * (2 * c_ex + c + 1)")), lit(0L))
+            .as("rs2"))
+        .withColumn("u2", expr("rs2 - n_pos * (n_pos + 1)"))
+        .withColumn("auc_micro", expr(
+          "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE " +
+            s"CAST(${Sp.intDiv(Sp.wide("u2") + " * 1000000",
+              "(2 * " + Sp.wide("n_pos") + " * n_neg)")} AS BIGINT) " +
+            "END"))
+        .select("n_pos", "n_neg", "u2", "auc_micro")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -1431,5 +1541,102 @@ object Analytics4 {
         |  SELECT b, COUNT(*) AS n, MIN(v) AS v_min, MAX(v) AS v_max
         |  FROM ev GROUP BY 1)
         |SELECT agg.b, n, v_min, v_max, v_first, v_last
-        |FROM agg JOIN fl ON agg.b = fl.b ORDER BY agg.b""".stripMargin)
+        |FROM agg JOIN fl ON agg.b = fl.b ORDER BY agg.b""".stripMargin,
+
+    "q410_isotonic" ->
+      s"""WITH m AS (
+         |  SELECT (year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+         |      month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |c AS (
+         |  SELECT *, CAST(SUM(y) OVER (ORDER BY mi
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS p
+         |  FROM m),
+         |js AS (SELECT mi AS j, p - y AS pjm1 FROM c),
+         |ks AS (SELECT mi AS k, p AS pk FROM c),
+         |iv AS (
+         |  SELECT j, k,
+         |    CAST(${Du.intDiv(Du.wide("pk - pjm1") + " * 1000000",
+             "(k - j + 1)")} AS BIGINT) AS a_micro
+         |  FROM js JOIN ks ON j <= k),
+         |mn AS (
+         |  SELECT m.mi, m.y, iv.j, MIN(a_micro) AS mn
+         |  FROM m JOIN iv ON iv.j <= m.mi AND m.mi <= iv.k
+         |  GROUP BY 1, 2, 3),
+         |mx AS (SELECT mi, y, MAX(mn) AS yhat_micro FROM mn GROUP BY 1, 2)
+         |SELECT CAST(mi AS BIGINT) AS mi, y, yhat_micro
+         |FROM mx ORDER BY mi""".stripMargin,
+
+    "q411_dtw" -> {
+      val big = "9223372036854775807"
+      val dp =
+        s"""list_reduce(
+           |    list_prepend(
+           |      list_reduce(
+           |        list_prepend([]::BIGINT[],
+           |          list_transform(range(1, 13), j -> [j]::BIGINT[])),
+           |        (row, jx) -> list_append(row,
+           |          abs(a[1] - b[jx[1]]) +
+           |          CASE WHEN jx[1] > 1 THEN row[jx[1] - 1]
+           |            ELSE 0 END)),
+           |      list_transform(range(2, 13), i -> [i]::BIGINT[])),
+           |    (acc, x) -> list_reduce(
+           |      list_prepend([]::BIGINT[],
+           |        list_transform(range(1, 13), j -> [j]::BIGINT[])),
+           |      (row, jx) -> list_append(row,
+           |        abs(a[x[1]] - b[jx[1]]) + least(
+           |          acc[jx[1]],
+           |          CASE WHEN jx[1] > 1 THEN acc[jx[1] - 1]
+           |            ELSE $big END,
+           |          CASE WHEN jx[1] > 1 THEN row[jx[1] - 1]
+           |            ELSE $big END))))[12]""".stripMargin
+      s"""WITH m AS (
+         |  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+         |    month(CAST(o_orderdate AS DATE)) AS mo,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS yc
+         |  FROM orders
+         |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+         |  GROUP BY 1, 2),
+         |aa AS (SELECT list(yc ORDER BY mo) AS a FROM m WHERE yr = 1995),
+         |bb AS (SELECT list(yc ORDER BY mo) AS b FROM m WHERE yr = 1996),
+         |f AS (SELECT a, b FROM aa CROSS JOIN bb)
+         |SELECT CAST(len(a) AS INTEGER) AS n_a,
+         |  CAST(len(b) AS INTEGER) AS n_b,
+         |  $dp AS dtw_cents,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_zip(a, b), s -> abs(s[1] - s[2]))),
+         |    (acc, v) -> acc + v) AS l1_cents
+         |FROM f""".stripMargin
+    },
+
+    "q412_auc" ->
+      s"""WITH cls AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)
+         |      AS v,
+         |    COUNT(*) AS c,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+         |      ELSE 0 END) AS BIGINT) AS c1
+         |  FROM events GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(SUM(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_c
+         |  FROM cls),
+         |agg AS (
+         |  SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+         |    CAST(SUM(c - c1) AS BIGINT) AS n_neg,
+         |    CAST(COALESCE(SUM(c1 * (2 * (cum_c - c) + c + 1)), 0)
+         |      AS BIGINT) AS rs2
+         |  FROM w),
+         |f AS (SELECT *, rs2 - n_pos * (n_pos + 1) AS u2 FROM agg)
+         |SELECT n_pos, n_neg, u2,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+         |    CAST(${Du.intDiv(Du.wide("u2") + " * 1000000",
+             "(2 * " + Du.wide("n_pos") + " * n_neg)")} AS BIGINT) END
+         |    AS auc_micro
+         |FROM f""".stripMargin)
 }
