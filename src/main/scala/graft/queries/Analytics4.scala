@@ -916,6 +916,101 @@ object Analytics4 {
               "(2 * " + Sp.wide("n_pos") + " * n_neg)")} AS BIGINT) " +
             "END"))
         .select("n_pos", "n_neg", "u2", "auc_micro")
+    },
+
+    // TPC-H Q17 adapted (no partsupp in this schema): small-quantity-
+    // order revenue for one brand, where "small" is the correlated
+    // 20%-of-part-average condition rewritten as the pure integer
+    // cross-multiplication qty·5·cnt < Σqty — the decorrelated
+    // per-part pre-aggregate joins back instead of a per-row scalar
+    // subquery, which is the plan you want at 100 TB anyway.
+    "q413_small_qty_revenue" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val pa = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("sq"),
+          count(lit(1)).as("cnt"))
+      li.join(Tables.part(s, d).filter(col("p_brand") === "Brand#4"),
+          col("l_partkey") === col("p_partkey"))
+        .join(pa, col("l_partkey") === col("pk"))
+        .filter(expr("CAST(l_quantity AS BIGINT) * 5 * cnt < sq"))
+        .agg(count(lit(1)).as("n_small"),
+          coalesce(sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+              "AS BIGINT)")), lit(0L)).as("rev_cents"))
+        .withColumn("avg_yearly_cents", expr("rev_cents div 7"))
+        .select("n_small", "rev_cents", "avg_yearly_cents")
+    },
+
+    // TPC-H Q18 adapted: large-volume orders (Σqty > 250) with their
+    // customer, top-100 by total price. The HAVING pre-aggregate
+    // shrinks the fact side BEFORE the customer join, and the top-100
+    // rides the BottomK bounded heap.
+    "q414_large_volume_orders" -> { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val j = Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("ok"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("mktsegment"),
+          col("o_orderkey").as("orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT)").as("cents"),
+          col("sum_qty"))
+      graft.operators.BottomK.perGroup(j, Seq.empty,
+          Seq(col("cents").desc, col("orderkey")), 100)
+        .orderBy(col("cents").desc, col("orderkey"))
+    },
+
+    // Simplified silhouette on SQUARED centroid distances per label
+    // (the sqrt-free variant keeps every lane integer): a² = distance
+    // to own centroid, b² = min over other labels, s = (b²−a²)/max.
+    // Centroids reuse the q286 floor-div milli lanes; the vec×centroid
+    // distance join fans each vector to 10 labels across 64 dims —
+    // map-side arithmetic, one shuffle on (vec, label).
+    "q415_silhouette" -> { (s, d) =>
+      val vq = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q1000", expr(
+          "CAST(floor(CAST(v AS DOUBLE) * 32768.0) AS BIGINT) * 1000"))
+      val cm = vq
+        .groupBy(col("label").as("label_c"), col("pos"))
+        .agg(expr("sum(q1000 div 1000)").as("sq"),
+          count(lit(1)).as("cnt"))
+        .withColumn("cmilli", expr(
+          "((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) div cnt"))
+        .select("label_c", "pos", "cmilli")
+      val d2 = vq.join(broadcast(cm), Seq("pos"))
+        .groupBy("vec_id", "label", "label_c")
+        .agg(sum(expr(
+          "(q1000 - cmilli) * (q1000 - cmilli)")).as("dd"))
+      val ab = d2.groupBy("vec_id", "label")
+        .agg(max(expr("CASE WHEN label_c = label THEN dd END"))
+          .as("a2"),
+          min(expr("CASE WHEN label_c <> label THEN dd END")).as("b2"))
+        .withColumn("s_micro", expr(
+          "CASE WHEN greatest(a2, b2) = 0 THEN 0 " +
+            "WHEN b2 >= a2 THEN CAST(" +
+            s"${Sp.intDiv(Sp.wide("b2 - a2") + " * 1000000",
+              "greatest(a2, b2)")} AS BIGINT) " +
+            "ELSE -CAST(" +
+            s"${Sp.intDiv(Sp.wide("a2 - b2") + " * 1000000",
+              "greatest(a2, b2)")} AS BIGINT) END"))
+      ab.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("s_micro").as("sum_s"),
+          coalesce(sum(expr("CASE WHEN s_micro > 0 THEN 1 ELSE 0 END")),
+            lit(0L)).as("n_pos"))
+        .withColumn("mean_s_micro", expr(
+          "CASE WHEN n_vecs = 0 THEN NULL " +
+            "WHEN sum_s >= 0 THEN sum_s div n_vecs " +
+            "ELSE -((-sum_s) div n_vecs) END"))
+        .select("label", "n_vecs", "sum_s", "mean_s_micro", "n_pos")
+        .orderBy("label")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -1638,5 +1733,98 @@ object Analytics4 {
          |    CAST(${Du.intDiv(Du.wide("u2") + " * 1000000",
              "(2 * " + Du.wide("n_pos") + " * n_neg)")} AS BIGINT) END
          |    AS auc_micro
-         |FROM f""".stripMargin)
+         |FROM f""".stripMargin,
+
+    "q413_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT l.l_extendedprice
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |    AND p.p_brand = 'Brand#4'
+        |  JOIN pa ON l.l_partkey = pa.pk
+        |  WHERE CAST(l.l_quantity AS BIGINT) * 5 * cnt < sq),
+        |g AS (
+        |  SELECT COUNT(*) AS n_small,
+        |    CAST(COALESCE(SUM(CAST(CAST(l_extendedprice
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT)
+        |      AS rev_cents
+        |  FROM j)
+        |SELECT n_small, rev_cents, rev_cents // 7 AS avg_yearly_cents
+        |FROM g""".stripMargin,
+
+    "q414_large_volume_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS ok,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250),
+        |j AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+        |    o_orderkey AS orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    sum_qty
+        |  FROM orders JOIN big ON o_orderkey = ok
+        |  JOIN customer ON o_custkey = c_custkey),
+        |k AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY cents DESC, orderkey)
+        |    AS rn
+        |  FROM j)
+        |SELECT custkey, mktsegment, orderkey, cents, sum_qty
+        |FROM k WHERE rn <= 100
+        |ORDER BY cents DESC, orderkey""".stripMargin,
+
+    "q415_silhouette" ->
+      s"""WITH vq AS (
+         |  SELECT vec_id, label,
+         |    generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0)
+         |      AS BIGINT) * 1000 AS q1000
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT label AS label_c, pos,
+         |    CAST(SUM(q1000 // 1000) AS BIGINT) AS sq,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM vq GROUP BY 1, 2),
+         |m AS (
+         |  SELECT label_c, pos,
+         |    ((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) // cnt
+         |      AS cmilli
+         |  FROM cm),
+         |d2 AS (
+         |  SELECT vec_id, label, label_c,
+         |    CAST(SUM((q1000 - cmilli) * (q1000 - cmilli)) AS BIGINT)
+         |      AS dd
+         |  FROM vq JOIN m ON vq.pos = m.pos
+         |  GROUP BY 1, 2, 3),
+         |ab AS (
+         |  SELECT vec_id, label,
+         |    MAX(CASE WHEN label_c = label THEN dd END) AS a2,
+         |    MIN(CASE WHEN label_c <> label THEN dd END) AS b2
+         |  FROM d2 GROUP BY 1, 2),
+         |sm AS (
+         |  SELECT *,
+         |    CASE WHEN greatest(a2, b2) = 0 THEN 0
+         |      WHEN b2 >= a2 THEN CAST(${Du.intDiv(
+             Du.wide("b2 - a2") + " * 1000000", "greatest(a2, b2)")}
+         |        AS BIGINT)
+         |      ELSE -CAST(${Du.intDiv(
+             Du.wide("a2 - b2") + " * 1000000", "greatest(a2, b2)")}
+         |        AS BIGINT) END AS s_micro
+         |  FROM ab)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(s_micro) AS BIGINT) AS sum_s,
+         |  CASE WHEN COUNT(*) = 0 THEN NULL
+         |    WHEN CAST(SUM(s_micro) AS BIGINT) >= 0
+         |      THEN CAST(SUM(s_micro) AS BIGINT) // COUNT(*)
+         |    ELSE -((-CAST(SUM(s_micro) AS BIGINT)) // COUNT(*)) END
+         |    AS mean_s_micro,
+         |  CAST(COALESCE(SUM(CASE WHEN s_micro > 0 THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS n_pos
+         |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin)
 }
