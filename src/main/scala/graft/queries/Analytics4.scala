@@ -1011,6 +1011,137 @@ object Analytics4 {
             "ELSE -((-sum_s) div n_vecs) END"))
         .select("label", "n_vecs", "sum_s", "mean_s_micro", "n_pos")
         .orderBy("label")
+    },
+
+    // Newman modularity of the brand partition over the co-purchase
+    // graph: Q·4m² = Σ_c (4m·L_c − d_c²) keeps the whole statistic
+    // integer (the only division is the final micro quantization,
+    // sign-split because Q can be negative). Edges are the q396
+    // basket pairs collapsed to distinct; degrees and communities via
+    // two joins against part.p_brand.
+    "q416_modularity" -> { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = b.select(col("ok"), col("pk").as("pa"))
+        .join(b.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .select("pa", "pb").distinct()
+      val brand = Tables.part(s, d)
+        .select(col("p_partkey").as("pk"), col("p_brand").as("c"))
+      val e2 = edges
+        .join(brand.select(col("pk").as("pa"), col("c").as("ca")),
+          Seq("pa"))
+        .join(brand.select(col("pk").as("pb"), col("c").as("cb")),
+          Seq("pb"))
+      val m = e2.agg(count(lit(1)).as("m_edges"))
+      val lc = e2.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("l_c"))
+      val dc = e2.select(col("ca").as("c"))
+        .unionAll(e2.select(col("cb").as("c")))
+        .groupBy("c").agg(count(lit(1)).as("d_c"))
+      val per = dc.join(lc, Seq("c"), "left")
+        .na.fill(0L, Seq("l_c"))
+        .crossJoin(broadcast(m))
+        .agg(count(lit(1)).as("n_comms"), max("m_edges").as("m_edges"),
+          coalesce(sum(expr(
+            s"4 * ${Sp.wide("m_edges")} * l_c " +
+              s"- ${Sp.wide("d_c")} * d_c")), expr(Sp.wide("0")))
+            .as("num_w"))
+      per.withColumn("den_w", expr(
+          s"4 * ${Sp.wide("m_edges")} * m_edges"))
+        .withColumn("q_micro", expr(
+          "CASE WHEN den_w <= 0 THEN NULL " +
+            "WHEN num_w >= 0 THEN CAST(" +
+            s"${Sp.intDiv("num_w * 1000000", "den_w")} AS BIGINT) " +
+            "ELSE -CAST(" +
+            s"${Sp.intDiv("(-num_w) * 1000000", "den_w")} AS BIGINT) " +
+            "END"))
+        .select(col("m_edges"), col("n_comms"),
+          expr("CAST(num_w AS BIGINT)").as("num"), col("q_micro"))
+    },
+
+    // Exact 5% trimmed and winsorized means of order value at row
+    // scale: the global rank is GlobalOrder's two-phase distributed
+    // row_number (never a single-partition sort), the two clamp
+    // values are rank selections, and every mean is an integer cents
+    // division.
+    "q417_trimmed_mean" -> { (s, d) =>
+      val x = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("x"))
+      val rk = graft.plans.GlobalOrder.withRowNumber(
+        x, Seq(col("x"), col("id")), col("x"), "rk",
+        countName = Some("n"))
+      val lim = rk.crossJoin(broadcast(
+          rk.agg(max("n").as("n_tot"))
+            .withColumn("k", expr("n_tot div 20"))))
+      val bounds = lim
+        .filter(expr("rk = k + 1 OR rk = n_tot - k"))
+        .agg(min("x").as("lo_x"), max("x").as("hi_x"))
+      lim.crossJoin(broadcast(bounds))
+        .agg(max("n_tot").as("n"), max("k").as("k"),
+          max("lo_x").as("lo_x"), max("hi_x").as("hi_x"),
+          sum("x").as("sum_all"),
+          coalesce(sum(expr(
+            "CASE WHEN rk > k AND rk <= n_tot - k THEN x END")), lit(0L))
+            .as("sum_mid"),
+          coalesce(sum(expr(
+            "CASE WHEN rk > k AND rk <= n_tot - k THEN 1 ELSE 0 END")),
+            lit(0L)).as("n_mid"))
+        .withColumn("mean_cents", expr(
+          "CASE WHEN n = 0 THEN NULL ELSE sum_all div n END"))
+        .withColumn("trimmed_mean_cents", expr(
+          "CASE WHEN n_mid = 0 THEN NULL ELSE sum_mid div n_mid END"))
+        .withColumn("winsor_mean_cents", expr(
+          "CASE WHEN n = 0 THEN NULL " +
+            "ELSE (sum_mid + k * lo_x + k * hi_x) div n END"))
+        .select("n", "k", "lo_x", "hi_x", "mean_cents",
+          "trimmed_mean_cents", "winsor_mean_cents")
+    },
+
+    // Kendall's W (concordance of the 7 yearly revenue rankings of
+    // the 25 nations): doubled midranks keep ties integer, S2 =
+    // Σ(R2 − m(n+1))² is exact, and W = 3·S2/(m²(n³−n) − m·ΣT) needs
+    // one guarded division. Bounded frames throughout (nations ×
+    // years); the heavy lifting is the map-side revenue rollup.
+    "q418_kendall_w" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+          expr("CAST(c_nationkey AS BIGINT)").as("nk"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev"))
+      val ranked = rev
+        .withColumn("mr", rank().over(
+          Window.partitionBy("yr").orderBy("rev")))
+        .withColumn("t", count(lit(1)).over(
+          Window.partitionBy("yr", "rev")))
+        .withColumn("r2", expr("2 * mr + t - 1"))
+      val ties = ranked.select("yr", "rev", "t").distinct()
+        .groupBy("yr").agg(coalesce(sum(expr("t * t * t - t")), lit(0L))
+          .as("t_j"))
+        .agg(sum("t_j").as("sum_t"), count(lit(1)).as("m_raters"))
+      val rsum = ranked.groupBy("nk").agg(sum("r2").as("r2_i"))
+      val nItems = rsum.agg(count(lit(1)).as("n_items"))
+      val s2 = rsum.crossJoin(broadcast(nItems))
+        .crossJoin(broadcast(ties))
+        .agg(max("n_items").as("n_items"), max("m_raters").as("m_raters"),
+          max("sum_t").as("sum_t"),
+          coalesce(sum(expr(
+            "(r2_i - m_raters * (n_items + 1)) * " +
+              "(r2_i - m_raters * (n_items + 1))")), lit(0L)).as("s2"))
+      s2.withColumn("den", expr(
+          "m_raters * m_raters * " +
+            "(n_items * n_items * n_items - n_items) " +
+            "- m_raters * sum_t"))
+        .withColumn("w_micro", expr(
+          "CASE WHEN den <= 0 THEN NULL " +
+            "ELSE 3 * s2 * 1000000 div den END"))
+        .select("n_items", "m_raters", "sum_t", "s2", "w_micro")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -1826,5 +1957,113 @@ object Analytics4 {
          |    AS mean_s_micro,
          |  CAST(COALESCE(SUM(CASE WHEN s_micro > 0 THEN 1 ELSE 0 END),
          |    0) AS BIGINT) AS n_pos
-         |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q416_modularity" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS pa, c.pk AS pb
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk),
+        |e2 AS MATERIALIZED (
+        |  SELECT pa, pb, x.p_brand AS ca, y.p_brand AS cb
+        |  FROM e JOIN part x ON pa = x.p_partkey
+        |  JOIN part y ON pb = y.p_partkey),
+        |m AS (SELECT COUNT(*) AS m_edges FROM e2),
+        |lc AS (
+        |  SELECT ca AS c, COUNT(*) AS l_c FROM e2
+        |  WHERE ca = cb GROUP BY 1),
+        |dc AS (
+        |  SELECT c, COUNT(*) AS d_c FROM (
+        |    SELECT ca AS c FROM e2 UNION ALL SELECT cb FROM e2)
+        |  GROUP BY 1),
+        |per AS (
+        |  SELECT COUNT(*) AS n_comms, MAX(m_edges) AS m_edges,
+        |    COALESCE(SUM(4 * CAST(m_edges AS HUGEINT) *
+        |      COALESCE(l_c, 0) - CAST(d_c AS HUGEINT) * d_c),
+        |      CAST(0 AS HUGEINT)) AS num_w
+        |  FROM dc LEFT JOIN lc ON dc.c = lc.c CROSS JOIN m),
+        |f AS (
+        |  SELECT *, 4 * CAST(m_edges AS HUGEINT) * m_edges AS den_w
+        |  FROM per)
+        |SELECT m_edges, n_comms, CAST(num_w AS BIGINT) AS num,
+        |  CASE WHEN den_w <= 0 THEN NULL
+        |    WHEN num_w >= 0 THEN
+        |      CAST((num_w * 1000000 // den_w) AS BIGINT)
+        |    ELSE -CAST(((-num_w) * 1000000 // den_w) AS BIGINT) END
+        |    AS q_micro
+        |FROM f""".stripMargin,
+
+    "q417_trimmed_mean" ->
+      """WITH x AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x
+        |  FROM orders),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY x, id) AS rk,
+        |    COUNT(*) OVER () AS n_tot
+        |  FROM x),
+        |lim AS (SELECT *, n_tot // 20 AS k FROM rk),
+        |bounds AS (
+        |  SELECT MIN(x) AS lo_x, MAX(x) AS hi_x FROM lim
+        |  WHERE rk = k + 1 OR rk = n_tot - k),
+        |agg AS (
+        |  SELECT MAX(n_tot) AS n, MAX(k) AS k,
+        |    MAX(lo_x) AS lo_x, MAX(hi_x) AS hi_x,
+        |    CAST(SUM(x) AS BIGINT) AS sum_all,
+        |    CAST(COALESCE(SUM(CASE WHEN rk > k AND rk <= n_tot - k
+        |      THEN x END), 0) AS BIGINT) AS sum_mid,
+        |    CAST(COALESCE(SUM(CASE WHEN rk > k AND rk <= n_tot - k
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mid
+        |  FROM lim CROSS JOIN bounds)
+        |SELECT n, k, lo_x, hi_x,
+        |  CASE WHEN n = 0 THEN NULL ELSE sum_all // n END AS mean_cents,
+        |  CASE WHEN n_mid = 0 THEN NULL ELSE sum_mid // n_mid END
+        |    AS trimmed_mean_cents,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE (sum_mid + k * lo_x + k * hi_x) // n END
+        |    AS winsor_mean_cents
+        |FROM agg""".stripMargin,
+
+    "q418_kendall_w" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(c_nationkey AS BIGINT) AS nk,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, RANK() OVER (PARTITION BY yr ORDER BY rev) AS mr,
+        |    COUNT(*) OVER (PARTITION BY yr, rev) AS t
+        |  FROM rev),
+        |r2f AS (SELECT *, 2 * mr + t - 1 AS r2 FROM ranked),
+        |ties AS (
+        |  SELECT CAST(SUM(t_j) AS BIGINT) AS sum_t,
+        |    COUNT(*) AS m_raters
+        |  FROM (
+        |    SELECT yr, CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
+        |      AS t_j
+        |    FROM (SELECT DISTINCT yr, rev, t FROM r2f) GROUP BY 1)),
+        |rsum AS (
+        |  SELECT nk, CAST(SUM(r2) AS BIGINT) AS r2_i
+        |  FROM r2f GROUP BY 1),
+        |ni AS (SELECT COUNT(*) AS n_items FROM rsum),
+        |s2 AS (
+        |  SELECT MAX(n_items) AS n_items, MAX(m_raters) AS m_raters,
+        |    MAX(sum_t) AS sum_t,
+        |    CAST(COALESCE(SUM((r2_i - m_raters * (n_items + 1)) *
+        |      (r2_i - m_raters * (n_items + 1))), 0) AS BIGINT) AS s2
+        |  FROM rsum CROSS JOIN ni CROSS JOIN ties),
+        |f AS (
+        |  SELECT *, m_raters * m_raters *
+        |    (n_items * n_items * n_items - n_items) -
+        |    m_raters * sum_t AS den
+        |  FROM s2)
+        |SELECT n_items, m_raters, sum_t, s2,
+        |  CASE WHEN den <= 0 THEN NULL
+        |    ELSE 3 * s2 * 1000000 // den END AS w_micro
+        |FROM f""".stripMargin)
 }
