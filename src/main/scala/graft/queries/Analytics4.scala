@@ -25,6 +25,19 @@ object Analytics4 {
   private val Du = PortableSql.Duck
   private val Sp = PortableSql.Spark
 
+  /** The exact cents lane (the Analytics2/3 CentsF convention). */
+  private val CentsF =
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Distinct (order, part) basket frame — ONE builder for the three
+    * co-occurrence queries (q396/q402/q416), mirroring each oracle's
+    * shared `b` CTE.
+    */
+  private def basket(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
   /** Mann–Kendall z with continuity correction in ONE shared IEEE
     * text: z = (S ∓ 1)·√(18/V18) with V18 = 18·Var(S) kept integer
     * (the ties-corrected n(n−1)(2n+5) − Σt(t−1)(2t+5)) — the single
@@ -48,18 +61,21 @@ object Analytics4 {
       s"ELSE -${dl.intDiv("(-dy) * 1000", "dx")} END"
 
   /** Cochran–Armitage z² = N·D² / (R(N−R)(N·Σw²n − (Σwn)²)) with
-    * D = N·Σwr − R·Σwn. Every product rides the 128-bit lane (D² is
-    * ~10²⁰ at sf0.1 and N·D² ~10²⁶ — past BIGINT twice over), and
-    * the single float division goes through wideToDouble (exact
-    * below 2⁶², power-of-two floor-scale above — identical on both
-    * engines, never the raw HUGEINT→DOUBLE cast whose DuckDB
-    * rounding is broken above 2⁶⁴).
+    * D = N·Σwr − R·Σwn. D² and the denominator ride the 128-bit lane
+    * (D² is ~10²⁰ at sf0.1 — past BIGINT), while the ×N factor joins
+    * in the FLOAT tail so the integer lane never has to hold N·D²
+    * (~10²⁶ at sf0.1, and past even DECIMAL(38) by ~sf30). HONEST
+    * CEILING: D² < 10³⁸ holds to D ≈ 10¹⁹, i.e. ~sf1000. The float
+    * divisions go through wideToDouble (exact below 2⁶²,
+    * power-of-two floor-scale above — identical on both engines,
+    * never the raw HUGEINT→DOUBLE cast whose DuckDB rounding is
+    * broken above 2⁶⁴).
     */
   private def caZ2F(dl: graft.functions.SqlDialect): String =
     "CASE WHEN den_w <= 0 THEN NULL ELSE " +
       s"CAST(floor(${dl.wideToDouble("num_w")} / " +
-      s"${dl.wideToDouble("den_w")} * CAST(1000000 AS DOUBLE)) " +
-      "AS BIGINT) END"
+      s"${dl.wideToDouble("den_w")} * CAST(n_total AS DOUBLE) " +
+      "* CAST(1000000 AS DOUBLE)) AS BIGINT) END"
 
   /** Per-cell χ² contribution ×10⁶ as ONE exact wide division:
     * (O·n − R·C)²·10⁶ / (n·R·C). The numerator square is ~10²⁶ at
@@ -261,8 +277,7 @@ object Analytics4 {
         .groupBy(expr(
           "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
           .as("x"))
-        .agg(sum(expr(
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .agg(sum(expr(CentsF))
           .as("yc"))
       val pairs = m.select(col("x").as("xa"), col("yc").as("ya"))
         .join(broadcast(m.select(col("x").as("xb"), col("yc").as("yb"))),
@@ -307,8 +322,7 @@ object Analytics4 {
           sum(expr("w * w * n_i")).as("sw2n"))
         .withColumn("d_stat", expr(
           s"${Sp.wide("n_total")} * swr - ${Sp.wide("r_total")} * swn"))
-        .withColumn("num_w", expr(
-          s"${Sp.wide("n_total")} * d_stat * d_stat"))
+        .withColumn("num_w", expr("d_stat * d_stat"))
         .withColumn("den_w", expr(
           s"${Sp.wide("r_total")} * (n_total - r_total) * " +
             s"(${Sp.wide("n_total")} * sw2n - ${Sp.wide("swn")} * swn)"))
@@ -329,9 +343,7 @@ object Analytics4 {
     // Top-k rides BottomK so the plan keeps the WindowGroupLimit
     // bounded heap instead of a full single-partition sort.
     "q396_assoc_rules" -> { (s, d) =>
-      val b = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      val b = basket(s, d)
       val nOrders = b.agg(countDistinct("ok").as("n_orders"))
       val supp = b.groupBy("pk").agg(count(lit(1)).as("supp"))
       val pairs = b.select(col("ok"), col("pk").as("pa"))
@@ -441,7 +453,7 @@ object Analytics4 {
       val base = Tables.orders(s, d).select(
         col("o_orderkey").as("ok"),
         col("o_orderpriority").as("stratum"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        expr(CentsF)
           .as("x"))
       val st = base.groupBy("stratum")
         .agg(count(lit(1)).as("n_h"), sum("x").as("sx"),
@@ -486,8 +498,7 @@ object Analytics4 {
     "q400_hampel_filter" -> { (s, d) =>
       val day = Tables.orders(s, d)
         .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
-        .agg(sum(expr(
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .agg(sum(expr(CentsF))
           .as("y"))
       val w = Window.orderBy("day")
       val arr = day
@@ -525,19 +536,23 @@ object Analytics4 {
           "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')")
           .as("t"))
         .agg(count(lit(1)).as("y"))
-      (1 to 4).map { l =>
-        val blk = 1 << l
-        val half = 1 << (l - 1)
-        day.groupBy(expr(s"t div $blk").as("p"))
-          .agg(sum(expr(
-            s"CASE WHEN t % $blk < $half THEN y ELSE -y END")).as("det"),
-            sum("y").as("blk_sum"))
-          .agg(count(lit(1)).as("n_blocks"),
-            coalesce(sum(expr("det * det")), lit(0L)).as("energy"),
-            coalesce(sum(expr("blk_sum * blk_sum")), lit(0L))
-              .as("approx_energy"))
-          .withColumn("level", lit(l.toLong))
-      }.reduce(_ unionByName _)
+      // ONE scan for all four levels: explode each day row to its
+      // (level, block) cells, then two rollups — vs four separate
+      // aggregates over the full orders lineage
+      day.select(explode(expr("array(1L, 2L, 3L, 4L)")).as("level"),
+          col("t"), col("y"))
+        .groupBy(col("level"),
+          expr("t div shiftleft(1, CAST(level AS INT))").as("p"))
+        .agg(sum(expr(
+          "CASE WHEN t % shiftleft(1, CAST(level AS INT)) < " +
+            "shiftleft(1, CAST(level AS INT) - 1) THEN y ELSE -y END"))
+          .as("det"),
+          sum("y").as("blk_sum"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_blocks"),
+          coalesce(sum(expr("det * det")), lit(0L)).as("energy"),
+          coalesce(sum(expr("blk_sum * blk_sum")), lit(0L))
+            .as("approx_energy"))
         .select("level", "n_blocks", "energy", "approx_energy")
         .orderBy("level")
     },
@@ -547,9 +562,7 @@ object Analytics4 {
     // basket self-join from exploding), then count triples within
     // orders, keep support ≥ 2, top-10 via the bounded-heap BottomK.
     "q402_apriori_triples" -> { (s, d) =>
-      val b = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      val b = basket(s, d)
       val freq1 = b.groupBy("pk").agg(count(lit(1)).as("s1"))
         .filter(col("s1") >= 2).select("pk")
       val fb0 = b.join(freq1, Seq("pk"))
@@ -608,8 +621,7 @@ object Analytics4 {
         .groupBy(expr(
           "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
           .as("mi"))
-        .agg(sum(expr(
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .agg(sum(expr(CentsF))
           .as("y"))
       m.join(broadcast(m.select(col("mi").as("m12"),
           col("y").as("y12"))), col("mi") - 12 === col("m12"))
@@ -638,20 +650,24 @@ object Analytics4 {
     // referential lane is a distinct + left join like q392.
     "q405_constraint_report" -> { (s, d) =>
       val o = Tables.orders(s, d)
-      def lane(name: String, obs: Column, thr: Long): DataFrame =
-        o.agg(obs.as("observed_milli"))
-          .withColumn("constraint", lit(name))
-          .withColumn("threshold_milli", lit(thr))
-      val comp = lane("c1_complete_custkey",
-        expr("count(o_custkey) * 1000 div count(1)"), 1000L)
-      val dom = lane("c2_domain_status",
-        expr("coalesce(sum(CASE WHEN o_orderstatus IN ('F','O','P') " +
-          "THEN 1 ELSE 0 END), 0) * 1000 div count(1)"), 1000L)
-      val rng = lane("c3_range_price_pos",
-        expr("coalesce(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 " +
-          "END), 0) * 1000 div count(1)"), 1000L)
-      val uniq = lane("c5_unique_orderkey",
-        expr("count(DISTINCT o_orderkey) * 1000 div count(1)"), 1000L)
+      // the four single-table lanes share ONE aggregate pass (vs one
+      // full scan each), then unpivot to report rows
+      val tbl = o.agg(
+          expr("count(o_custkey) * 1000 div count(1)").as("m1"),
+          expr("coalesce(sum(CASE WHEN o_orderstatus IN ('F','O','P') " +
+            "THEN 1 ELSE 0 END), 0) * 1000 div count(1)").as("m2"),
+          expr("coalesce(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 " +
+            "END), 0) * 1000 div count(1)").as("m3"),
+          expr("count(DISTINCT o_orderkey) * 1000 div count(1)")
+            .as("m5"))
+        .selectExpr(
+          """stack(4,
+            |  'c1_complete_custkey', m1,
+            |  'c2_domain_status',    m2,
+            |  'c3_range_price_pos',  m3,
+            |  'c5_unique_orderkey',  m5) as (constraint, observed_milli)"""
+            .stripMargin)
+        .withColumn("threshold_milli", lit(1000L))
       val ref = o.select(col("o_custkey").as("v")).distinct()
         .join(Tables.customer(s, d)
           .select(col("c_custkey").as("v")).distinct()
@@ -660,8 +676,7 @@ object Analytics4 {
           .as("observed_milli"))
         .withColumn("constraint", lit("c4_ref_custkey"))
         .withColumn("threshold_milli", lit(1000L))
-      comp.unionByName(dom).unionByName(rng).unionByName(ref)
-        .unionByName(uniq)
+      tbl.unionByName(ref)
         .withColumn("passed", expr("observed_milli >= threshold_milli"))
         .select("constraint", "observed_milli", "threshold_milli",
           "passed")
@@ -696,14 +711,20 @@ object Analytics4 {
         .withColumn("sx_ex", expr("cum_sx - cx * v"))
         .withColumn("cy_ex", expr("cum_cy - cy"))
         .withColumn("sy_ex", expr("cum_sy - cy * v"))
+        // pair-mass lanes are O(n²·v_range): WIDE sums (a BIGINT lane
+        // overflows near 2·10⁶ rows); the BIGINT output casts hold to
+        // ~10⁷ rows — the honest ceiling for these diagnostic columns
         .agg(sum("cx").as("nx"), sum("cy").as("ny"),
           coalesce(sum(expr(
-            "cx * (v * cy_ex - sy_ex) + cy * (v * cx_ex - sx_ex)")),
-            lit(0L)).as("a_cross"),
-          coalesce(sum(expr("2 * cx * (v * cx_ex - sx_ex)")), lit(0L))
-            .as("b_xx"),
-          coalesce(sum(expr("2 * cy * (v * cy_ex - sy_ex)")), lit(0L))
-            .as("c_yy"))
+            s"${Sp.wide("cx")} * (v * cy_ex - sy_ex) " +
+              s"+ ${Sp.wide("cy")} * (v * cx_ex - sx_ex)")),
+            expr(Sp.wide("0"))).as("a_cross"),
+          coalesce(sum(expr(
+            s"2 * ${Sp.wide("cx")} * (v * cx_ex - sx_ex)")),
+            expr(Sp.wide("0"))).as("b_xx"),
+          coalesce(sum(expr(
+            s"2 * ${Sp.wide("cy")} * (v * cy_ex - sy_ex)")),
+            expr(Sp.wide("0"))).as("c_yy"))
       agg
         .withColumn("num_w", expr(
           s"greatest(2 * ${Sp.wide("a_cross")} * nx * ny " +
@@ -715,7 +736,10 @@ object Analytics4 {
           "CASE WHEN den_w <= 0 THEN NULL ELSE " +
             s"CAST(${Sp.intDiv("num_w * 1000000", "den_w")} AS BIGINT) " +
             "END"))
-        .select("nx", "ny", "a_cross", "b_xx", "c_yy", "e_micro")
+        .select(col("nx"), col("ny"),
+          expr("CAST(a_cross AS BIGINT)").as("a_cross"),
+          expr("CAST(b_xx AS BIGINT)").as("b_xx"),
+          expr("CAST(c_yy AS BIGINT)").as("c_yy"), col("e_micro"))
     },
 
     // Split-conformal calibration on event values: per-type exact
@@ -730,9 +754,11 @@ object Analytics4 {
           expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
         .withColumn("cal", expr(
           s"${Sp.hash64("concat('conf:', CAST(id AS STRING))")} % 2 = 0"))
-      // exact per-type lower median of calibration values: weighted
-      // rank over the per-type distinct-value frame (partitioned
-      // window — scales with types × distinct values, not rows)
+      // exact per-type UPPER median of calibration values (cum·2 ≥
+      // n+1 first holds at the upper of the two central values for
+      // even n): weighted rank over the per-type distinct-value frame
+      // (partitioned window — scales with types × distinct values,
+      // not rows)
       val medCls = ev.filter(col("cal")).groupBy("et", "v")
         .agg(count(lit(1)).as("c"))
       val med = medCls
@@ -820,8 +846,7 @@ object Analytics4 {
         .groupBy(expr(
           "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
           .as("mi"))
-        .agg(sum(expr(
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .agg(sum(expr(CentsF))
           .as("y"))
       // bounded month frame — the day/ym window convention
       val c = m.withColumn("p", sum("y").over(Window.orderBy("mi")))
@@ -855,8 +880,7 @@ object Analytics4 {
         .filter(expr("year(o_orderdate) IN (1995, 1996)"))
         .groupBy(expr("year(o_orderdate)").as("yr"),
           expr("month(o_orderdate)").as("mo"))
-        .agg(sum(expr(
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .agg(sum(expr(CentsF))
           .as("yc"))
       val arrs = m.groupBy("yr").agg(expr(
         "transform(sort_array(collect_list(struct(mo, yc))), s -> s.yc)")
@@ -957,8 +981,7 @@ object Analytics4 {
         .select(col("c_custkey").as("custkey"),
           col("c_mktsegment").as("mktsegment"),
           col("o_orderkey").as("orderkey"),
-          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 " +
-            "AS BIGINT)").as("cents"),
+          expr(CentsF).as("cents"),
           col("sum_qty"))
       graft.operators.BottomK.perGroup(j, Seq.empty,
           Seq(col("cents").desc, col("orderkey")), 100)
@@ -1020,9 +1043,7 @@ object Analytics4 {
     // basket pairs collapsed to distinct; degrees and communities via
     // two joins against part.p_brand.
     "q416_modularity" -> { (s, d) =>
-      val b = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      val b = basket(s, d)
       val edges = b.select(col("ok"), col("pk").as("pa"))
         .join(b.select(col("ok"), col("pk").as("pb")), Seq("ok"))
         .filter(col("pa") < col("pb"))
@@ -1069,14 +1090,15 @@ object Analytics4 {
     "q417_trimmed_mean" -> { (s, d) =>
       val x = Tables.orders(s, d).select(
         col("o_orderkey").as("id"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        expr(CentsF)
           .as("x"))
       val rk = graft.plans.GlobalOrder.withRowNumber(
         x, Seq(col("x"), col("id")), col("x"), "rk",
         countName = Some("n"))
-      val lim = rk.crossJoin(broadcast(
-          rk.agg(max("n").as("n_tot"))
-            .withColumn("k", expr("n_tot div 20"))))
+      // countName already stamps the exact total on every row — no
+      // second pass over the ranked lineage needed
+      val lim = rk.withColumnRenamed("n", "n_tot")
+        .withColumn("k", expr("n_tot div 20"))
       val bounds = lim
         .filter(expr("rk = k + 1 OR rk = n_tot - k"))
         .agg(min("x").as("lo_x"), max("x").as("hi_x"))
@@ -1112,8 +1134,7 @@ object Analytics4 {
           col("o_custkey") === col("c_custkey"))
         .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
           expr("CAST(c_nationkey AS BIGINT)").as("nk"))
-        .agg(sum(expr(
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .agg(sum(expr(CentsF))
           .as("rev"))
       val ranked = rev
         .withColumn("mr", rank().over(
@@ -1300,7 +1321,7 @@ object Analytics4 {
          |    ${Du.wide("r_total")} * swn AS d_stat
          |  FROM t),
          |e AS (
-         |  SELECT *, ${Du.wide("n_total")} * d_stat * d_stat AS num_w,
+         |  SELECT *, d_stat * d_stat AS num_w,
          |    ${Du.wide("r_total")} * (n_total - r_total) *
          |      (${Du.wide("n_total")} * sw2n -
          |       ${Du.wide("swn")} * swn) AS den_w
@@ -1645,12 +1666,13 @@ object Analytics4 {
         |agg AS (
         |  SELECT CAST(SUM(cx) AS BIGINT) AS nx,
         |    CAST(SUM(cy) AS BIGINT) AS ny,
-        |    CAST(COALESCE(SUM(cx * (v * cy_ex - sy_ex) +
-        |      cy * (v * cx_ex - sx_ex)), 0) AS BIGINT) AS a_cross,
-        |    CAST(COALESCE(SUM(2 * cx * (v * cx_ex - sx_ex)), 0)
-        |      AS BIGINT) AS b_xx,
-        |    CAST(COALESCE(SUM(2 * cy * (v * cy_ex - sy_ex)), 0)
-        |      AS BIGINT) AS c_yy
+        |    CAST(COALESCE(SUM(CAST(cx AS HUGEINT) * (v * cy_ex - sy_ex)
+        |      + CAST(cy AS HUGEINT) * (v * cx_ex - sx_ex)), 0)
+        |      AS BIGINT) AS a_cross,
+        |    CAST(COALESCE(SUM(2 * CAST(cx AS HUGEINT) *
+        |      (v * cx_ex - sx_ex)), 0) AS BIGINT) AS b_xx,
+        |    CAST(COALESCE(SUM(2 * CAST(cy AS HUGEINT) *
+        |      (v * cy_ex - sy_ex)), 0) AS BIGINT) AS c_yy
         |  FROM t),
         |f AS (
         |  SELECT *,
