@@ -1163,6 +1163,96 @@ object Analytics4 {
           "CASE WHEN den <= 0 THEN NULL " +
             "ELSE 3 * s2 * 1000000 div den END"))
         .select("n_items", "m_raters", "sum_t", "s2", "w_micro")
+    },
+
+    // Nearest-centroid classifier accuracy on the embeddings: assign
+    // every vector to its closest label centroid (exact integer
+    // squared distances in the q415 lanes, ties to the smallest
+    // label) and report per-label recall — the cluster-quality gate
+    // run after any labeling/clustering step. The argmin is a
+    // per-vector bounded window (10 candidate labels), never global.
+    "q419_centroid_accuracy" -> { (s, d) =>
+      val vq = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q1000", expr(
+          "CAST(floor(CAST(v AS DOUBLE) * 32768.0) AS BIGINT) * 1000"))
+      val cm = vq
+        .groupBy(col("label").as("label_c"), col("pos"))
+        .agg(expr("sum(q1000 div 1000)").as("sq"),
+          count(lit(1)).as("cnt"))
+        .withColumn("cmilli", expr(
+          "((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) div cnt"))
+        .select("label_c", "pos", "cmilli")
+      val d2 = vq.join(broadcast(cm), Seq("pos"))
+        .groupBy("vec_id", "label", "label_c")
+        .agg(sum(expr("(q1000 - cmilli) * (q1000 - cmilli)")).as("dd"))
+      val pred = d2
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy("dd", "label_c")))
+        .filter(col("rn") === 1)
+      pred.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          coalesce(sum(expr(
+            "CASE WHEN label_c = label THEN 1 ELSE 0 END")), lit(0L))
+            .as("n_correct"))
+        .withColumn("recall_milli", expr(
+          "CASE WHEN n_vecs = 0 THEN NULL " +
+            "ELSE n_correct * 1000 div n_vecs END"))
+        .select("label", "n_vecs", "n_correct", "recall_milli")
+        .orderBy("label")
+    },
+
+    // Decile gains/lift table for the event-value 'purchase'
+    // classifier (companion to q412's AUC): global rank by descending
+    // value via GlobalOrder on the NEGATED key (ascending two-phase
+    // rank — never a single-partition sort), decile from pure integer
+    // arithmetic, cumulative gains over the bounded 10-row frame.
+    "q420_decile_gains" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("id"),
+          expr(s"-(${Analytics2.VMilliF})").as("nv"),
+          expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            .as("pos"))
+      val rk = graft.plans.GlobalOrder.withRowNumber(
+        ev, Seq(col("nv"), col("id")), col("nv"), "rk",
+        countName = Some("n"))
+      val dec = rk
+        .withColumn("decile", expr("((rk - 1) * 10) div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_d"), sum("pos").as("n_pos"))
+      val tot = dec.agg(sum("n_pos").as("tot_pos"), sum("n_d").as("n"))
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cum_pos", sum("n_pos").over(
+          Window.orderBy("decile"))) // bounded: 10 rows
+        .withColumn("gain_milli", expr(
+          "CASE WHEN tot_pos = 0 THEN NULL " +
+            "ELSE cum_pos * 1000 div tot_pos END"))
+        .withColumn("lift_milli", expr(
+          "CASE WHEN n_d = 0 OR tot_pos = 0 THEN NULL " +
+            "ELSE n_pos * n * 1000 div (n_d * tot_pos) END"))
+        .select("decile", "n_d", "n_pos", "cum_pos", "gain_milli",
+          "lift_milli")
+        .orderBy("decile")
+    },
+
+    // Bag-semantics set operations gate: EXCEPT ALL / INTERSECT ALL
+    // keep multiplicities (the DISTINCT variants q36/q37 cover the
+    // set forms). The multiset difference/intersection of the two
+    // status groups' priority multisets is summarized per priority so
+    // the gate stays small at any scale.
+    "q421_bag_set_ops" -> { (s, d) =>
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("pri"))
+      val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_orderpriority").as("pri"))
+      val ex = f.exceptAll(p).groupBy("pri")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      val in = f.intersectAll(p).groupBy("pri")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select("op", "pri", "n").orderBy("op", "pri")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -2087,5 +2177,92 @@ object Analytics4 {
         |SELECT n_items, m_raters, sum_t, s2,
         |  CASE WHEN den <= 0 THEN NULL
         |    ELSE 3 * s2 * 1000000 // den END AS w_micro
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    "q419_centroid_accuracy" ->
+      """WITH vq AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0)
+        |      AS BIGINT) * 1000 AS q1000
+        |  FROM embeddings),
+        |cm AS (
+        |  SELECT label AS label_c, pos,
+        |    CAST(SUM(q1000 // 1000) AS BIGINT) AS sq,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM vq GROUP BY 1, 2),
+        |m AS (
+        |  SELECT label_c, pos,
+        |    ((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) // cnt
+        |      AS cmilli
+        |  FROM cm),
+        |d2 AS (
+        |  SELECT vec_id, label, label_c,
+        |    CAST(SUM((q1000 - cmilli) * (q1000 - cmilli)) AS BIGINT)
+        |      AS dd
+        |  FROM vq JOIN m ON vq.pos = m.pos
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY dd, label_c) AS rn
+        |  FROM d2)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(COALESCE(SUM(CASE WHEN label_c = label THEN 1 ELSE 0
+        |    END), 0) AS BIGINT) AS n_correct,
+        |  CASE WHEN COUNT(*) = 0 THEN NULL
+        |    ELSE CAST(COALESCE(SUM(CASE WHEN label_c = label THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) * 1000 // COUNT(*) END
+        |    AS recall_milli
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q420_decile_gains" ->
+      """WITH ev AS (
+        |  SELECT event_id AS id,
+        |    -(CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT))
+        |      AS nv,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY nv, id) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM ev),
+        |dec AS (
+        |  SELECT ((rk - 1) * 10) // n AS decile, COUNT(*) AS n_d,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos
+        |  FROM rk GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+        |    CAST(SUM(n_d) AS BIGINT) AS n
+        |  FROM dec),
+        |c AS (
+        |  SELECT *, CAST(SUM(n_pos) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_pos
+        |  FROM dec CROSS JOIN tot)
+        |SELECT decile, n_d, n_pos, cum_pos,
+        |  CASE WHEN tot_pos = 0 THEN NULL
+        |    ELSE cum_pos * 1000 // tot_pos END AS gain_milli,
+        |  CASE WHEN n_d = 0 OR tot_pos = 0 THEN NULL
+        |    ELSE n_pos * n * 1000 // (n_d * tot_pos) END AS lift_milli
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "q421_bag_set_ops" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority AS pri FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |p AS (
+        |  SELECT o_orderpriority AS pri FROM orders
+        |  WHERE o_orderstatus = 'P'),
+        |ex AS (
+        |  SELECT 'except_all' AS op, pri, COUNT(*) AS n
+        |  FROM (SELECT pri FROM f EXCEPT ALL SELECT pri FROM p)
+        |  GROUP BY 2),
+        |i AS (
+        |  SELECT 'intersect_all' AS op, pri, COUNT(*) AS n
+        |  FROM (SELECT pri FROM f INTERSECT ALL SELECT pri FROM p)
+        |  GROUP BY 2)
+        |SELECT op, pri, n FROM ex
+        |UNION ALL SELECT op, pri, n FROM i
+        |ORDER BY op, pri""".stripMargin)
 }
