@@ -1253,6 +1253,72 @@ object Analytics4 {
         .agg(count(lit(1)).as("n"))
         .withColumn("op", lit("intersect_all"))
       ex.unionByName(in).select("op", "pri", "n").orderBy("op", "pri")
+    },
+
+    // Bigram language-model table: top-3 continuations for the 20
+    // most frequent context tokens — the n-gram conditional table
+    // behind cheap next-token scoring and corpus-drift checks. Both
+    // top-k stages ride BottomK bounded heaps; bigrams come from one
+    // position explode (map-side), counts map-side combine.
+    "q422_bigram_lm" -> { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(expr(Sp.tokens("text")).as("toks"))
+        .filter(expr("size(toks) >= 2"))
+        .select(explode(expr("sequence(1, size(toks) - 1)")).as("g"),
+          col("toks"))
+        .select(expr("element_at(toks, CAST(g AS INT))").as("w1"),
+          expr("element_at(toks, CAST(g AS INT) + 1)").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+      val uni = bg.groupBy("w1").agg(sum("c_bigram").as("c_unigram"))
+      val top = graft.operators.BottomK.perGroup(uni, Seq.empty,
+        Seq(col("c_unigram").desc, col("w1")), 20)
+      val cont = bg.join(top, Seq("w1"))
+      graft.operators.BottomK.perGroup(cont, Seq("w1"),
+          Seq(col("c_bigram").desc, col("w2")), 3)
+        .withColumn("p_milli", expr(
+          "CASE WHEN c_unigram = 0 THEN NULL " +
+            "ELSE c_bigram * 1000 div c_unigram END"))
+        .select("w1", "w2", "c_bigram", "c_unigram", "p_milli")
+        .orderBy(col("c_unigram").desc, col("w1"),
+          col("c_bigram").desc, col("w2"))
+    },
+
+    // Dictionary/prefix-encoding advisor: within each first-token
+    // block of part names, how many bytes would front-coding the
+    // sort-ordered strings save? Neighbor pairs via a per-block lag
+    // (partitioned window — blocks are the vocabulary, rows/block is
+    // what scales), common-prefix length via a positional compare
+    // array, everything integer.
+    "q423_prefix_advisor" -> { (s, d) =>
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .withColumn("blk", expr("substring_index(nm, ' ', 1)"))
+      val w = Window.partitionBy("blk").orderBy("nm", "id")
+      p.withColumn("prev", lag("nm", 1).over(w))
+        .withColumn("cp", expr(
+          """CASE WHEN prev IS NULL THEN 0 ELSE
+            |  CASE WHEN least(length(nm), length(prev)) = 0 THEN 0
+            |  ELSE (CASE WHEN array_position(
+            |      transform(sequence(1,
+            |        CAST(least(length(nm), length(prev)) AS INT)),
+            |        i -> substring(nm, i, 1) = substring(prev, i, 1)),
+            |      false) = 0
+            |    THEN least(length(nm), length(prev))
+            |    ELSE array_position(
+            |      transform(sequence(1,
+            |        CAST(least(length(nm), length(prev)) AS INT)),
+            |        i -> substring(nm, i, 1) = substring(prev, i, 1)),
+            |      false) - 1 END) END END""".stripMargin))
+        .agg(count(lit(1)).as("n_strings"),
+          coalesce(sum(expr("CASE WHEN prev IS NULL THEN 0 ELSE 1 END")),
+            lit(0L)).as("n_pairs"),
+          sum(expr("CAST(length(nm) AS BIGINT)")).as("total_bytes"),
+          coalesce(sum("cp"), lit(0L)).as("saved_bytes"))
+        .withColumn("save_milli", expr(
+          "CASE WHEN total_bytes = 0 THEN NULL " +
+            "ELSE saved_bytes * 1000 div total_bytes END"))
+        .select("n_strings", "n_pairs", "total_bytes", "saved_bytes",
+          "save_milli")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -2264,5 +2330,71 @@ object Analytics4 {
         |  GROUP BY 2)
         |SELECT op, pri, n FROM ex
         |UNION ALL SELECT op, pri, n FROM i
-        |ORDER BY op, pri""".stripMargin)
+        |ORDER BY op, pri""".stripMargin,
+
+    "q422_bigram_lm" ->
+      s"""WITH base AS (
+         |  SELECT ${Du.tokens("text")} AS toks FROM documents),
+         |pos AS (
+         |  SELECT toks, unnest(range(1, len(toks))) AS g
+         |  FROM base WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT toks[g] AS w1, toks[g + 1] AS w2, COUNT(*) AS c_bigram
+         |  FROM pos GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_unigram
+         |  FROM bg GROUP BY 1),
+         |top AS (
+         |  SELECT w1, c_unigram FROM (
+         |    SELECT *, ROW_NUMBER() OVER (ORDER BY c_unigram DESC, w1)
+         |      AS rn
+         |    FROM uni) WHERE rn <= 20),
+         |cont AS (
+         |  SELECT bg.w1, bg.w2, bg.c_bigram, top.c_unigram,
+         |    ROW_NUMBER() OVER (PARTITION BY bg.w1
+         |      ORDER BY bg.c_bigram DESC, bg.w2) AS rn
+         |  FROM bg JOIN top ON bg.w1 = top.w1)
+         |SELECT w1, w2, c_bigram, c_unigram,
+         |  CASE WHEN c_unigram = 0 THEN NULL
+         |    ELSE c_bigram * 1000 // c_unigram END AS p_milli
+         |FROM cont WHERE rn <= 3
+         |ORDER BY c_unigram DESC, w1, c_bigram DESC, w2""".stripMargin,
+
+    "q423_prefix_advisor" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_name AS nm,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part),
+        |l AS (
+        |  SELECT *, lag(nm) OVER (PARTITION BY blk ORDER BY nm, id)
+        |    AS prev
+        |  FROM p),
+        |cpf AS (
+        |  SELECT *,
+        |    CASE WHEN prev IS NULL THEN 0 ELSE
+        |      CASE WHEN least(length(nm), length(prev)) = 0 THEN 0
+        |      WHEN list_position(
+        |        list_transform(range(1,
+        |          least(length(nm), length(prev)) + 1),
+        |          i -> substr(nm, i::INT, 1) = substr(prev, i::INT, 1)),
+        |        false) = 0
+        |      THEN least(length(nm), length(prev))
+        |      ELSE list_position(
+        |        list_transform(range(1,
+        |          least(length(nm), length(prev)) + 1),
+        |          i -> substr(nm, i::INT, 1) = substr(prev, i::INT, 1)),
+        |        false) - 1 END END AS cp
+        |  FROM l)
+        |SELECT COUNT(*) AS n_strings,
+        |  CAST(COALESCE(SUM(CASE WHEN prev IS NULL THEN 0 ELSE 1 END),
+        |    0) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(length(nm) AS BIGINT)) AS BIGINT)
+        |    AS total_bytes,
+        |  CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS saved_bytes,
+        |  CASE WHEN CAST(SUM(CAST(length(nm) AS BIGINT)) AS BIGINT) = 0
+        |    THEN NULL
+        |    ELSE CAST(COALESCE(SUM(cp), 0) AS BIGINT) * 1000 //
+        |      CAST(SUM(CAST(length(nm) AS BIGINT)) AS BIGINT) END
+        |    AS save_milli
+        |FROM cpf""".stripMargin)
 }
