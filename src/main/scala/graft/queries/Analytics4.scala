@@ -266,12 +266,14 @@ object Analytics4 {
         .select("n_m", "s_stat", "v18", "z_micro", "trend")
     },
 
-    // Theil–Sen estimator on monthly revenue (exact cents): the
-    // median of all pairwise slopes, each quantized to milli-cents
-    // per month by the truncating sign-split division. The pair frame
-    // and the median window are bounded by months² (≤ ~3.5k rows) —
-    // never row-scale — so the single-partition row_number is safe
-    // by construction.
+    // Theil–Sen estimator on monthly revenue (exact cents) — the
+    // BOUNDED-frame companion to q353 (which runs the same estimator
+    // over the 2.9M-row daily pair frame through GlobalOrder): at
+    // monthly grain the pair frame and the median window stay under
+    // months² (≤ ~3.5k rows) at ANY data scale, so the broadcast
+    // non-equi join + single-partition row_number is the cheaper
+    // plan, and the Mann–Kendall companion columns (pos/neg slope
+    // mass) ride the same pairs for free.
     "q394_theil_sen" -> { (s, d) =>
       val m = Tables.orders(s, d)
         .groupBy(expr(
@@ -1319,6 +1321,114 @@ object Analytics4 {
             "ELSE saved_bytes * 1000 div total_bytes END"))
         .select("n_strings", "n_pairs", "total_bytes", "saved_bytes",
           "save_milli")
+    },
+
+    // Heaps'-law vocabulary-growth curve: distinct vocabulary after
+    // each tenth of the global token stream. The global token
+    // position comes from per-doc offsets (GlobalOrder running sum
+    // over doc lengths — distributed, never a single-partition
+    // window) plus the within-doc index; each token's FIRST position
+    // then buckets into one of ten checkpoints and a bounded 10-row
+    // cumulative finishes the curve.
+    "q424_heaps_law" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr(Sp.tokens("text")).as("toks"))
+        .withColumn("dlen", expr("CAST(size(toks) AS BIGINT)"))
+      val off = graft.plans.GlobalOrder.withRunningSum(
+        docs, Seq(col("doc_id")), col("doc_id"), col("dlen"), "cum")
+      val tot = off.agg(max("cum").as("total"))
+      val fp = off.filter(col("dlen") >= 1)
+        .select(col("cum") - col("dlen"), col("toks"))
+        .toDF("offset", "toks")
+        .select(col("offset"),
+          posexplode(col("toks")).as(Seq("g0", "w")))
+        .select(col("w"), (col("offset") + col("g0") + 1).as("pos"))
+        .groupBy("w").agg(min("pos").as("fpos"))
+      val curve = fp.crossJoin(broadcast(tot))
+        .groupBy(expr("((fpos - 1) * 10) div total + 1").as("checkpoint"))
+        .agg(count(lit(1)).as("new_vocab"))
+      // full 10-row grid: a saturated vocabulary still reports every
+      // checkpoint (new_vocab = 0 past saturation)
+      tot.select(explode(expr("sequence(1L, 10L)")).as("checkpoint"),
+          col("total"))
+        .join(curve, Seq("checkpoint"), "left")
+        .na.fill(0L, Seq("new_vocab"))
+        .withColumn("vocab_cum", sum("new_vocab").over(
+          Window.orderBy("checkpoint"))) // bounded: 10 rows
+        .withColumn("tokens_seen", expr("checkpoint * total div 10"))
+        .select("checkpoint", "tokens_seen", "new_vocab", "vocab_cum")
+        .orderBy("checkpoint")
+    },
+
+    // Optimizer cost-model validation: the textbook equi-join
+    // cardinality estimate |A⋈B| ≈ |A|·|B|/max(ndv_A, ndv_B) against
+    // the measured count for the three FK joins — the advisor that
+    // tells you whether NDV statistics are good enough to trust join
+    // reordering on this corpus. Integer lanes; error sign-split.
+    "q425_cardinality_check" -> { (s, d) =>
+      def lane(name: String, a: DataFrame, ka: String, b: DataFrame,
+          kb: String): DataFrame = {
+        val sa = a.agg(count(lit(1)).as("n_a"),
+          countDistinct(col(ka)).as("ndv_a"))
+        val sb = b.agg(count(lit(1)).as("n_b"),
+          countDistinct(col(kb)).as("ndv_b"))
+        val act = a.select(col(ka).as("k"))
+          .join(b.select(col(kb).as("k")), Seq("k"))
+          .agg(count(lit(1)).as("actual"))
+        sa.crossJoin(broadcast(sb)).crossJoin(broadcast(act))
+          .withColumn("join_name", lit(name))
+      }
+      lane("j1_li_part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey")
+        .unionByName(lane("j2_li_supplier", Tables.lineitem(s, d),
+          "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(lane("j3_ord_customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .withColumn("est", expr(
+          "CASE WHEN greatest(ndv_a, ndv_b) = 0 THEN NULL ELSE " +
+            s"CAST(${Sp.intDiv(Sp.wide("n_a") + " * n_b",
+              "greatest(ndv_a, ndv_b)")} AS BIGINT) END"))
+        .withColumn("err_milli", expr(
+          "CASE WHEN actual = 0 OR est IS NULL THEN NULL " +
+            "WHEN est >= actual THEN (est - actual) * 1000 div actual " +
+            "ELSE -((actual - est) * 1000 div actual) END"))
+        .select("join_name", "n_a", "n_b", "ndv_a", "ndv_b", "actual",
+          "est", "err_milli")
+        .orderBy("join_name")
+    },
+
+    // Feature-hashing (hashing-trick) collision audit at 1024
+    // buckets: how much of the vocabulary and how much of the token
+    // MASS lands in collided buckets — the check run before choosing
+    // a hashed feature width. Portable 60-bit hash, everything
+    // integer.
+    "q426_feature_hash_collisions" -> { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(expr(Sp.tokens("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("bkt", expr(
+          s"${Sp.hash64("concat('fh:', w)")} % 1024"))
+      val per = vocab.groupBy("bkt")
+        .agg(count(lit(1)).as("k"), sum("c").as("mass"))
+      per.agg(sum("k").as("n_vocab"),
+          count(lit(1)).as("n_buckets_used"),
+          coalesce(sum(expr("CASE WHEN k >= 2 THEN 1 ELSE 0 END")),
+            lit(0L)).as("n_collided_buckets"),
+          coalesce(sum(expr("CASE WHEN k >= 2 THEN k ELSE 0 END")),
+            lit(0L)).as("collided_vocab"),
+          max("k").as("max_bucket"),
+          sum("mass").as("total_mass"),
+          coalesce(sum(expr("CASE WHEN k >= 2 THEN mass ELSE 0 END")),
+            lit(0L)).as("collided_mass"))
+        .withColumn("vocab_coll_milli", expr(
+          "CASE WHEN n_vocab = 0 THEN NULL " +
+            "ELSE collided_vocab * 1000 div n_vocab END"))
+        .withColumn("mass_coll_milli", expr(
+          "CASE WHEN total_mass = 0 THEN NULL " +
+            "ELSE collided_mass * 1000 div total_mass END"))
+        .select("n_vocab", "n_buckets_used", "n_collided_buckets",
+          "collided_vocab", "max_bucket", "total_mass",
+          "collided_mass", "vocab_coll_milli", "mass_coll_milli")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -2396,5 +2506,108 @@ object Analytics4 {
         |    ELSE CAST(COALESCE(SUM(cp), 0) AS BIGINT) * 1000 //
         |      CAST(SUM(CAST(length(nm) AS BIGINT)) AS BIGINT) END
         |    AS save_milli
-        |FROM cpf""".stripMargin)
+        |FROM cpf""".stripMargin,
+
+    "q424_heaps_law" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, ${Du.tokens("text")} AS toks FROM documents),
+         |dl AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dlen
+         |  FROM docs),
+         |off AS (
+         |  SELECT *, CAST(SUM(dlen) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum
+         |  FROM dl),
+         |tot AS (SELECT MAX(cum) AS total FROM off),
+         |tk AS (
+         |  SELECT cum - dlen AS off0, toks,
+         |    unnest(range(1, len(toks) + 1)) AS g
+         |  FROM off WHERE dlen >= 1),
+         |fp AS (
+         |  SELECT toks[g] AS w, MIN(off0 + g) AS fpos
+         |  FROM tk GROUP BY 1),
+         |curve AS (
+         |  SELECT ((fpos - 1) * 10) // total + 1 AS checkpoint,
+         |    COUNT(*) AS new_vocab
+         |  FROM fp CROSS JOIN tot GROUP BY 1),
+         |grid AS (
+         |  SELECT unnest(range(1, 11)) AS checkpoint, total FROM tot),
+         |g2 AS (
+         |  SELECT grid.checkpoint, grid.total,
+         |    COALESCE(curve.new_vocab, 0) AS new_vocab
+         |  FROM grid LEFT JOIN curve
+         |    ON grid.checkpoint = curve.checkpoint),
+         |c2 AS (
+         |  SELECT *, CAST(SUM(new_vocab) OVER (ORDER BY checkpoint
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS vocab_cum
+         |  FROM g2)
+         |SELECT checkpoint, checkpoint * total // 10 AS tokens_seen,
+         |  CAST(new_vocab AS BIGINT) AS new_vocab, vocab_cum
+         |FROM c2 ORDER BY checkpoint""".stripMargin,
+
+    "q425_cardinality_check" -> {
+      def lane(name: String, at: String, ka: String, bt: String,
+          kb: String): String =
+        s"""SELECT '$name' AS join_name, n_a, n_b, ndv_a, ndv_b, actual
+           |  FROM (SELECT COUNT(*) AS n_a, COUNT(DISTINCT $ka) AS ndv_a
+           |        FROM $at)
+           |  CROSS JOIN (SELECT COUNT(*) AS n_b,
+           |    COUNT(DISTINCT $kb) AS ndv_b FROM $bt)
+           |  CROSS JOIN (SELECT COUNT(*) AS actual
+           |    FROM $at JOIN $bt ON $ka = $kb)""".stripMargin
+      s"""WITH u AS (
+         |  ${lane("j1_li_part", "lineitem", "l_partkey", "part",
+             "p_partkey")}
+         |  UNION ALL
+         |  ${lane("j2_li_supplier", "lineitem", "l_suppkey", "supplier",
+             "s_suppkey")}
+         |  UNION ALL
+         |  ${lane("j3_ord_customer", "orders", "o_custkey", "customer",
+             "c_custkey")}),
+         |e AS (
+         |  SELECT *, CASE WHEN greatest(ndv_a, ndv_b) = 0 THEN NULL
+         |    ELSE CAST(${Du.intDiv(Du.wide("n_a") + " * n_b",
+             "greatest(ndv_a, ndv_b)")} AS BIGINT) END AS est
+         |  FROM u)
+         |SELECT join_name, n_a, n_b, ndv_a, ndv_b, actual, est,
+         |  CASE WHEN actual = 0 OR est IS NULL THEN NULL
+         |    WHEN est >= actual THEN (est - actual) * 1000 // actual
+         |    ELSE -((actual - est) * 1000 // actual) END AS err_milli
+         |FROM e ORDER BY join_name""".stripMargin
+    },
+
+    "q426_feature_hash_collisions" ->
+      s"""WITH v AS (
+         |  SELECT w, COUNT(*) AS c FROM (
+         |    SELECT unnest(${Du.tokens("text")}) AS w FROM documents)
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT *, ${Du.hash64("concat('fh:', w)")} % 1024 AS bkt
+         |  FROM v),
+         |per AS (
+         |  SELECT bkt, COUNT(*) AS k, CAST(SUM(c) AS BIGINT) AS mass
+         |  FROM b GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(SUM(k) AS BIGINT) AS n_vocab,
+         |    COUNT(*) AS n_buckets_used,
+         |    CAST(COALESCE(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_collided_buckets,
+         |    CAST(COALESCE(SUM(CASE WHEN k >= 2 THEN k ELSE 0 END), 0)
+         |      AS BIGINT) AS collided_vocab,
+         |    MAX(k) AS max_bucket,
+         |    CAST(SUM(mass) AS BIGINT) AS total_mass,
+         |    CAST(COALESCE(SUM(CASE WHEN k >= 2 THEN mass ELSE 0 END),
+         |      0) AS BIGINT) AS collided_mass
+         |  FROM per)
+         |SELECT n_vocab, n_buckets_used, n_collided_buckets,
+         |  collided_vocab, max_bucket, total_mass, collided_mass,
+         |  CASE WHEN n_vocab = 0 THEN NULL
+         |    ELSE collided_vocab * 1000 // n_vocab END
+         |    AS vocab_coll_milli,
+         |  CASE WHEN total_mass = 0 THEN NULL
+         |    ELSE collided_mass * 1000 // total_mass END
+         |    AS mass_coll_milli
+         |FROM agg""".stripMargin)
 }
