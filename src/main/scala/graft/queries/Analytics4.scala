@@ -1429,6 +1429,137 @@ object Analytics4 {
         .select("n_vocab", "n_buckets_used", "n_collided_buckets",
           "collided_vocab", "max_bucket", "total_mass",
           "collided_mass", "vocab_coll_milli", "mass_coll_milli")
+    },
+
+    // Behavioral Markov chain over event types: per-user transition
+    // counts (one partitioned lag — scales with users), row-normalized
+    // to parts-per-million, then three power-iteration rounds toward
+    // the stationary distribution — all in the q113 scaled-integer
+    // discipline (order-independent sums, bit-identical across
+    // engines), over a types² matrix that is BOUNDED regardless of
+    // row count.
+    "q427_markov_stationary" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id").as("u"), col("event_type").as("et"),
+          expr("unix_micros(ts)").as("tsu"), col("event_id").as("id"))
+      val w = Window.partitionBy("u").orderBy("tsu", "id")
+      val trans = ev.withColumn("prev", lag("et", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "et").agg(count(lit(1)).as("c"))
+      val mat = trans
+        .withColumn("row_tot", sum("c").over(
+          Window.partitionBy("prev"))) // bounded: types² frame
+        .withColumn("p_ppm", expr("c * 1000000 div row_tot"))
+        .select(col("prev"), col("et").as("cur"), col("p_ppm"))
+      val types = mat.select(col("prev").as("t")).distinct()
+      var v = types.crossJoin(broadcast(
+          types.agg(count(lit(1)).as("nt"))))
+        .select(col("t"), expr("1000000 div nt").as("mass"))
+      for (_ <- 1 to 3) {
+        v = mat.join(v, col("prev") === col("t"))
+          .groupBy(col("cur").as("t"))
+          .agg(expr("sum(mass * p_ppm) div 1000000").as("mass"))
+      }
+      v.select(col("t").as("event_type"), col("mass").as("mass3_ppm"))
+        .orderBy("event_type")
+    },
+
+    // Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    // per-part return rates: the prior strength comes from the pooled
+    // mean and the between-part variance of the micro-quantized rates
+    // — every moment an exact integer sum, the prior itself one wide
+    // division — and each part's shrunk rate is (k·10⁶ + a)/(n·10⁶ +
+    // a + b). Reports the 10 parts the prior moves furthest (the
+    // low-n outliers shrinkage exists to tame).
+    "q428_eb_shrinkage" -> { (s, d) =>
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(expr(
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")), lit(0L))
+            .as("k"))
+        .withColumn("r_micro", expr("k * 1000000 div n"))
+      val mom = pr.agg(count(lit(1)).as("p_cnt"),
+          sum("n").as("sum_n"), sum("k").as("sum_k"),
+          sum("r_micro").as("sum_r"),
+          sum(expr(s"${Sp.wide("r_micro")} * r_micro")).as("sum_r2_w"))
+        .withColumn("m_micro", expr(
+          "CASE WHEN sum_n = 0 THEN 0 ELSE sum_k * 1000000 div sum_n " +
+            "END"))
+        // between-part variance of the quantized rates, micro² units
+        .withColumn("v_micro2", expr(
+          "CASE WHEN p_cnt < 2 THEN 0 ELSE CAST(" +
+            s"${Sp.intDiv(
+              s"(p_cnt * sum_r2_w - ${Sp.wide("sum_r")} * sum_r)",
+              "(" + Sp.wide("p_cnt") + " * (p_cnt - 1))")} AS BIGINT) " +
+            "END"))
+        // prior strength s = m(1−m)/v − 1, clamped at 0 (no prior)
+        .withColumn("s_prior", expr(
+          "CASE WHEN v_micro2 <= 0 THEN 0 ELSE greatest(" +
+            "m_micro * (1000000 - m_micro) div v_micro2 - 1, 0) END"))
+        .withColumn("a_micro", expr("m_micro * s_prior"))
+        .withColumn("b_micro", expr("(1000000 - m_micro) * s_prior"))
+        .select("m_micro", "v_micro2", "s_prior", "a_micro", "b_micro")
+      val shrunk = pr.crossJoin(broadcast(mom))
+        .withColumn("raw_milli", expr("k * 1000 div n"))
+        .withColumn("shrunk_milli", expr(
+          s"CAST(${Sp.intDiv(
+            s"(${Sp.wide("k")} * 1000000 + a_micro) * 1000",
+            s"(${Sp.wide("n")} * 1000000 + a_micro + b_micro)")} " +
+            "AS BIGINT)"))
+        .withColumn("diff_milli", expr(
+          "abs(raw_milli - shrunk_milli)"))
+      graft.operators.BottomK.perGroup(shrunk, Seq.empty,
+          Seq(col("diff_milli").desc, col("pk")), 10)
+        .select("pk", "n", "k", "raw_milli", "shrunk_milli",
+          "diff_milli", "s_prior")
+        .orderBy(col("diff_milli").desc, col("pk"))
+    },
+
+    // Exact Shapley attribution (3 binary features, full factorial):
+    // how much of the return-rate lift belongs to high quantity, deep
+    // discount, urgent priority? Cell rates micro-quantize first, the
+    // 8-cell grid collapses to one row, and the ×6 Shapley weights
+    // (2,1,1,2) keep every value integer — the classic explainability
+    // op with zero floats.
+    "q429_shapley_rates" -> { (s, d) =>
+      val cells = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          expr("CASE WHEN CAST(l_quantity AS BIGINT) > 25 THEN 1 " +
+            "ELSE 0 END").as("fa"),
+          expr("CASE WHEN CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 " +
+            "AS BIGINT) >= 5 THEN 1 ELSE 0 END").as("fb"),
+          expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+            "THEN 1 ELSE 0 END").as("fc"),
+          expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")
+            .as("y"))
+        .groupBy("fa", "fb", "fc")
+        .agg(count(lit(1)).as("n"), sum("y").as("k"))
+        .withColumn("r", expr("k * 1000000 div n"))
+      def v(a: Int, b: Int, c: Int): String =
+        s"max(CASE WHEN fa = $a AND fb = $b AND fc = $c THEN r END)"
+      val wide = cells.agg(
+        expr(v(0, 0, 0)).as("v000"), expr(v(1, 0, 0)).as("v100"),
+        expr(v(0, 1, 0)).as("v010"), expr(v(0, 0, 1)).as("v001"),
+        expr(v(1, 1, 0)).as("v110"), expr(v(1, 0, 1)).as("v101"),
+        expr(v(0, 1, 1)).as("v011"), expr(v(1, 1, 1)).as("v111"))
+      wide.selectExpr(
+        """stack(3,
+          |  'f1_high_qty',
+          |    2 * (v100 - v000) + (v110 - v010) + (v101 - v001)
+          |      + 2 * (v111 - v011),
+          |  'f2_deep_discount',
+          |    2 * (v010 - v000) + (v110 - v100) + (v011 - v001)
+          |      + 2 * (v111 - v101),
+          |  'f3_urgent',
+          |    2 * (v001 - v000) + (v101 - v100) + (v011 - v010)
+          |      + 2 * (v111 - v110)) as (feature, phi_x6_micro)"""
+          .stripMargin,
+        "v000", "v111")
+        .select("feature", "phi_x6_micro", "v000", "v111")
+        .orderBy("feature")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -2609,5 +2740,127 @@ object Analytics4 {
          |  CASE WHEN total_mass = 0 THEN NULL
          |    ELSE collided_mass * 1000 // total_mass END
          |    AS mass_coll_milli
-         |FROM agg""".stripMargin)
+         |FROM agg""".stripMargin,
+
+    "q427_markov_stationary" -> {
+      val rounds = (1 to 3).map { i =>
+        val p = i - 1
+        s"""v$i AS (
+           |  SELECT cur AS t,
+           |    CAST(SUM(mass * p_ppm) AS BIGINT) // 1000000 AS mass
+           |  FROM mat JOIN v$p ON mat.prev = v$p.t GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id AS u, event_type AS et,
+         |    epoch_us(ts::TIMESTAMP) AS tsu, event_id AS id
+         |  FROM events),
+         |tr AS (
+         |  SELECT prev, et AS cur, COUNT(*) AS c FROM (
+         |    SELECT *, lag(et) OVER (PARTITION BY u ORDER BY tsu, id)
+         |      AS prev
+         |    FROM ev)
+         |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |mat AS (
+         |  SELECT prev, cur, c * 1000000 //
+         |    CAST(SUM(c) OVER (PARTITION BY prev) AS BIGINT) AS p_ppm
+         |  FROM tr),
+         |ty AS (SELECT DISTINCT prev AS t FROM mat),
+         |nt AS (SELECT COUNT(*) AS n FROM ty),
+         |v0 AS (SELECT t, 1000000 // n AS mass FROM ty CROSS JOIN nt),
+         |$rounds
+         |SELECT t AS event_type, mass AS mass3_ppm
+         |FROM v3 ORDER BY 1""".stripMargin
+    },
+
+    "q428_eb_shrinkage" ->
+      """WITH pr AS (
+        |  SELECT l_partkey AS pk, COUNT(*) AS n,
+        |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS k
+        |  FROM lineitem GROUP BY 1),
+        |pr2 AS (SELECT *, k * 1000000 // n AS r_micro FROM pr),
+        |mom AS (
+        |  SELECT COUNT(*) AS p_cnt, CAST(SUM(n) AS BIGINT) AS sum_n,
+        |    CAST(SUM(k) AS BIGINT) AS sum_k,
+        |    CAST(SUM(r_micro) AS BIGINT) AS sum_r,
+        |    SUM(CAST(r_micro AS HUGEINT) * r_micro) AS sum_r2_w
+        |  FROM pr2),
+        |m2 AS (
+        |  SELECT *, CASE WHEN sum_n = 0 THEN 0
+        |    ELSE sum_k * 1000000 // sum_n END AS m_micro
+        |  FROM mom),
+        |m3 AS (
+        |  SELECT *, CASE WHEN p_cnt < 2 THEN 0 ELSE
+        |    CAST(((p_cnt * sum_r2_w - CAST(sum_r AS HUGEINT) * sum_r)
+        |      // (CAST(p_cnt AS HUGEINT) * (p_cnt - 1))) AS BIGINT) END
+        |    AS v_micro2
+        |  FROM m2),
+        |m4 AS (
+        |  SELECT *, CASE WHEN v_micro2 <= 0 THEN 0
+        |    ELSE greatest(m_micro * (1000000 - m_micro) // v_micro2
+        |      - 1, 0) END AS s_prior
+        |  FROM m3),
+        |m5 AS (
+        |  SELECT m_micro, v_micro2, s_prior,
+        |    m_micro * s_prior AS a_micro,
+        |    (1000000 - m_micro) * s_prior AS b_micro
+        |  FROM m4),
+        |sh AS (
+        |  SELECT pk, n, k, k * 1000 // n AS raw_milli,
+        |    CAST(((CAST(k AS HUGEINT) * 1000000 + a_micro) * 1000 //
+        |      (CAST(n AS HUGEINT) * 1000000 + a_micro + b_micro))
+        |      AS BIGINT) AS shrunk_milli,
+        |    s_prior
+        |  FROM pr2 CROSS JOIN m5),
+        |df AS (
+        |  SELECT *, abs(raw_milli - shrunk_milli) AS diff_milli
+        |  FROM sh),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY diff_milli DESC, pk)
+        |    AS rn
+        |  FROM df)
+        |SELECT pk, n, k, raw_milli, shrunk_milli, diff_milli, s_prior
+        |FROM rk WHERE rn <= 10
+        |ORDER BY diff_milli DESC, pk""".stripMargin,
+
+    "q429_shapley_rates" -> {
+      def v(a: Int, b: Int, c: Int): String =
+        s"MAX(CASE WHEN fa = $a AND fb = $b AND fc = $c THEN rr END)"
+      s"""WITH cells AS (
+         |  SELECT
+         |    CASE WHEN CAST(l_quantity AS BIGINT) > 25 THEN 1 ELSE 0
+         |      END AS fa,
+         |    CASE WHEN CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+         |      AS BIGINT) >= 5 THEN 1 ELSE 0 END AS fb,
+         |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END AS fc,
+         |    COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2, 3),
+         |rc AS (SELECT *, k * 1000000 // n AS rr FROM cells),
+         |w AS (
+         |  SELECT ${v(0, 0, 0)} AS v000, ${v(1, 0, 0)} AS v100,
+         |    ${v(0, 1, 0)} AS v010, ${v(0, 0, 1)} AS v001,
+         |    ${v(1, 1, 0)} AS v110, ${v(1, 0, 1)} AS v101,
+         |    ${v(0, 1, 1)} AS v011, ${v(1, 1, 1)} AS v111
+         |  FROM rc),
+         |u AS (
+         |  SELECT 'f1_high_qty' AS feature,
+         |    2 * (v100 - v000) + (v110 - v010) + (v101 - v001)
+         |      + 2 * (v111 - v011) AS phi_x6_micro, v000, v111
+         |  FROM w
+         |  UNION ALL SELECT 'f2_deep_discount',
+         |    2 * (v010 - v000) + (v110 - v100) + (v011 - v001)
+         |      + 2 * (v111 - v101), v000, v111
+         |  FROM w
+         |  UNION ALL SELECT 'f3_urgent',
+         |    2 * (v001 - v000) + (v101 - v100) + (v011 - v010)
+         |      + 2 * (v111 - v110), v000, v111
+         |  FROM w)
+         |SELECT feature, phi_x6_micro, v000, v111
+         |FROM u ORDER BY feature""".stripMargin
+    })
 }
