@@ -1560,6 +1560,120 @@ object Analytics4 {
         "v000", "v111")
         .select("feature", "phi_x6_micro", "v000", "v111")
         .orderBy("feature")
+    },
+
+    // Reciprocal-rank fusion of two document rankings (length-based
+    // relevance proxy and hash-randomized tie-break ranking): each
+    // ranking is an exact distributed row_number via GlobalOrder, the
+    // fused score Σ⌊10⁹/(60+r)⌋ stays integer, top-10 by fusion. The
+    // IR-stack combiner for merging retrieval channels.
+    "q430_rrf_fusion" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          expr(Sp.hash64("concat('rrf:', CAST(doc_id AS STRING))"))
+            .as("h"))
+      val ra = graft.plans.GlobalOrder.withRowNumber(
+        docs.select(col("doc_id"), expr("-n_chars").as("neg")),
+        Seq(col("neg"), col("doc_id")), col("neg"), "ra")
+        .select("doc_id", "ra")
+      val rb = graft.plans.GlobalOrder.withRowNumber(
+        docs.select("doc_id", "h"),
+        Seq(col("h"), col("doc_id")), col("h"), "rb")
+        .select("doc_id", "rb")
+      val fused = ra.join(rb, Seq("doc_id"))
+        .withColumn("rrf_nano", expr(
+          "1000000000 div (60 + ra) + 1000000000 div (60 + rb)"))
+      graft.operators.BottomK.perGroup(fused, Seq.empty,
+          Seq(col("rrf_nano").desc, col("doc_id")), 10)
+        .select("doc_id", "ra", "rb", "rrf_nano")
+        .orderBy(col("rrf_nano").desc, col("doc_id"))
+    },
+
+    // Stratified ATT (average treatment effect on the treated):
+    // treatment = urgent priority, outcome = any line shipped > 90
+    // days after order, strata = (segment, order year) with common
+    // support (both arms present). Cell rates micro-quantize first;
+    // the treated-weighted difference is one sign-split division —
+    // the observational-causal adjustment a naive rate diff gets
+    // wrong whenever segment mix differs across arms.
+    "q431_att_stratified" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+          expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+          expr("CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 " +
+            "END").as("treated"),
+          col("o_orderdate"))
+      val withLate = base.join(
+        Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "seg", "yr", "treated")
+        .agg(max(expr(
+          "CASE WHEN datediff(CAST(l_shipdate AS DATE), " +
+            "CAST(o_orderdate AS DATE)) > 90 THEN 1 ELSE 0 END"))
+          .as("late"))
+      val cell = withLate.groupBy("seg", "yr", "treated")
+        .agg(count(lit(1)).as("n"), sum("late").as("k"))
+        .withColumn("r_micro", expr("k * 1000000 div n"))
+      val strata = cell.filter(col("treated") === 1)
+        .select(col("seg"), col("yr"), col("n").as("n_t"),
+          col("r_micro").as("rt"))
+        .join(cell.filter(col("treated") === 0)
+          .select(col("seg"), col("yr"), col("r_micro").as("rc")),
+          Seq("seg", "yr")) // common support
+      val naive = withLate.groupBy("treated")
+        .agg(count(lit(1)).as("n"), sum("late").as("k"))
+        .agg(coalesce(sum(expr(
+          "CASE WHEN treated = 1 THEN (k * 1000000 div n) " +
+            "ELSE -(k * 1000000 div n) END")), lit(0L))
+          .as("naive_diff_micro"))
+      strata.agg(count(lit(1)).as("n_strata"),
+          sum("n_t").as("n_treated"),
+          coalesce(sum(expr("n_t * (rt - rc)")), lit(0L)).as("num"))
+        .crossJoin(broadcast(naive))
+        .withColumn("att_micro", expr(
+          "CASE WHEN n_treated = 0 THEN NULL " +
+            "WHEN num >= 0 THEN num div n_treated " +
+            "ELSE -((-num) div n_treated) END"))
+        .select("n_strata", "n_treated", "att_micro",
+          "naive_diff_micro")
+    },
+
+    // Partial-dependence profile of return rate vs quantity bucket,
+    // marginalizing over the CORPUS discount mix (not the bucket's
+    // own): per-cell rates and mix weights micro-quantize first, the
+    // profile is one weighted sum per bucket with present-cell weight
+    // renormalization. The model-free PD table that separates a
+    // feature's effect from its correlated mix.
+    "q432_partial_dependence" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        expr("CAST(l_quantity AS BIGINT) div 5").as("qb"),
+        expr("CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("dc"),
+        expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").as("y"))
+      val mix = li.groupBy("dc").agg(count(lit(1)).as("n_d"))
+      val wtot = mix.agg(sum("n_d").as("n_all"))
+      val wm = mix.crossJoin(broadcast(wtot))
+        .withColumn("w_ppm", expr("n_d * 1000000 div n_all"))
+        .select("dc", "w_ppm")
+      val cellr = li.groupBy("qb", "dc")
+        .agg(count(lit(1)).as("n_c"), sum("y").as("k_c"))
+        .withColumn("r_micro", expr("k_c * 1000000 div n_c"))
+      val pd = cellr.join(broadcast(wm), Seq("dc"))
+        .groupBy("qb")
+        .agg(sum("n_c").as("n_rows"), sum("k_c").as("k_rows"),
+          coalesce(sum(expr(s"${Sp.wide("w_ppm")} * r_micro")),
+            expr(Sp.wide("0"))).as("wr_w"),
+          coalesce(sum("w_ppm"), lit(0L)).as("w_present"))
+        .withColumn("pd_micro", expr(
+          "CASE WHEN w_present = 0 THEN NULL ELSE CAST(" +
+            s"${Sp.intDiv("wr_w", Sp.wide("w_present"))} AS BIGINT) " +
+            "END"))
+        .withColumn("raw_micro", expr(
+          "CASE WHEN n_rows = 0 THEN NULL " +
+            "ELSE k_rows * 1000000 div n_rows END"))
+      pd.select("qb", "n_rows", "pd_micro", "raw_micro").orderBy("qb")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -2862,5 +2976,106 @@ object Analytics4 {
          |  FROM w)
          |SELECT feature, phi_x6_micro, v000, v111
          |FROM u ORDER BY feature""".stripMargin
-    })
+    },
+
+    "q430_rrf_fusion" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, n_chars,
+         |    ${Du.hash64("concat('rrf:', CAST(doc_id AS VARCHAR))")}
+         |      AS h
+         |  FROM documents),
+         |ra AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY -n_chars, doc_id) AS ra
+         |  FROM docs),
+         |rb AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rb
+         |  FROM docs),
+         |f AS (
+         |  SELECT ra.doc_id, ra, rb,
+         |    1000000000 // (60 + ra) + 1000000000 // (60 + rb)
+         |      AS rrf_nano
+         |  FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+         |k AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id)
+         |    AS rn
+         |  FROM f)
+         |SELECT doc_id, ra, rb, rrf_nano FROM k WHERE rn <= 10
+         |ORDER BY rrf_nano DESC, doc_id""".stripMargin,
+
+    "q431_att_stratified" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, c_mktsegment AS seg,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      AS treated,
+        |    o_orderdate
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |wl AS (
+        |  SELECT o_orderkey, seg, yr, treated,
+        |    MAX(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS late
+        |  FROM base JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2, 3, 4),
+        |cell AS (
+        |  SELECT seg, yr, treated, COUNT(*) AS n,
+        |    CAST(SUM(late) AS BIGINT) AS k,
+        |    CAST(SUM(late) AS BIGINT) * 1000000 // COUNT(*) AS r_micro
+        |  FROM wl GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT t.seg, t.yr, t.n AS n_t, t.r_micro AS rt,
+        |    c.r_micro AS rc
+        |  FROM cell t JOIN cell c ON t.seg = c.seg AND t.yr = c.yr
+        |    AND t.treated = 1 AND c.treated = 0),
+        |naive AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN treated = 1
+        |    THEN (k * 1000000 // n) ELSE -(k * 1000000 // n) END), 0)
+        |    AS BIGINT) AS naive_diff_micro
+        |  FROM (SELECT treated, COUNT(*) AS n,
+        |        CAST(SUM(late) AS BIGINT) AS k
+        |        FROM wl GROUP BY 1)),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_strata, CAST(SUM(n_t) AS BIGINT)
+        |      AS n_treated,
+        |    CAST(COALESCE(SUM(n_t * (rt - rc)), 0) AS BIGINT) AS num
+        |  FROM st)
+        |SELECT n_strata, n_treated,
+        |  CASE WHEN n_treated = 0 THEN NULL
+        |    WHEN num >= 0 THEN num // n_treated
+        |    ELSE -((-num) // n_treated) END AS att_micro,
+        |  naive_diff_micro
+        |FROM agg CROSS JOIN naive""".stripMargin,
+
+    "q432_partial_dependence" ->
+      s"""WITH li AS (
+         |  SELECT CAST(l_quantity AS BIGINT) // 5 AS qb,
+         |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS dc,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |mix AS (SELECT dc, COUNT(*) AS n_d FROM li GROUP BY 1),
+         |wtot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n_all FROM mix),
+         |wm AS (
+         |  SELECT dc, n_d * 1000000 // n_all AS w_ppm
+         |  FROM mix CROSS JOIN wtot),
+         |cellr AS (
+         |  SELECT qb, dc, COUNT(*) AS n_c,
+         |    CAST(SUM(y) AS BIGINT) AS k_c,
+         |    CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*) AS r_micro
+         |  FROM li GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT qb, CAST(SUM(n_c) AS BIGINT) AS n_rows,
+         |    CAST(SUM(k_c) AS BIGINT) AS k_rows,
+         |    COALESCE(SUM(${Du.wide("w_ppm")} * r_micro),
+         |      ${Du.wide("0")}) AS wr_w,
+         |    CAST(COALESCE(SUM(w_ppm), 0) AS BIGINT) AS w_present
+         |  FROM cellr JOIN wm ON cellr.dc = wm.dc
+         |  GROUP BY 1)
+         |SELECT qb, n_rows,
+         |  CASE WHEN w_present = 0 THEN NULL
+         |    ELSE CAST(${Du.intDiv("wr_w", Du.wide("w_present"))}
+         |      AS BIGINT) END AS pd_micro,
+         |  CASE WHEN n_rows = 0 THEN NULL
+         |    ELSE k_rows * 1000000 // n_rows END AS raw_micro
+         |FROM pd ORDER BY qb""".stripMargin)
 }
