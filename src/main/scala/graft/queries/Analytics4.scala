@@ -1674,6 +1674,60 @@ object Analytics4 {
           "CASE WHEN n_rows = 0 THEN NULL " +
             "ELSE k_rows * 1000000 div n_rows END"))
       pd.select("qb", "n_rows", "pd_micro", "raw_micro").orderBy("qb")
+    },
+
+    // Benjamini–Hochberg FDR control (α = 0.05, m = 25) over the 25
+    // per-nation one-proportion z-tests of return rate vs the corpus:
+    // z = D/√(nᵢ·k₀·(n₀−k₀)) with D = kᵢn₀ − k₀nᵢ exact integer, the
+    // step-up critical curve Φ⁻¹(1 − αk/2m) as pinned micro literals
+    // (identical constants on both engines — exp/ln/Φ never enter
+    // shared texts), and the rejection front computed on the bounded
+    // 25-row frame. The multiple-testing discipline every per-segment
+    // alerting pipeline needs.
+    "q433_bh_fdr" -> { (s, d) =>
+      val nat = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(expr("CAST(c_nationkey AS BIGINT)").as("nk"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(expr(
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")), lit(0L))
+            .as("k"))
+      val tot = nat.agg(sum("n").as("n0"), sum("k").as("k0"))
+      val z = nat.crossJoin(broadcast(tot))
+        .withColumn("dd", expr(s"${Sp.wide("k")} * n0 " +
+          s"- ${Sp.wide("k0")} * n"))
+        .withColumn("prod_w", expr(
+          s"${Sp.wide("n")} * k0 * (n0 - k0)"))
+        .withColumn("z_micro", expr(
+          "CASE WHEN prod_w <= 0 THEN NULL ELSE " +
+            "CAST(floor(CAST(CAST(dd AS BIGINT) AS DOUBLE) / " +
+            s"sqrt(${Sp.wideToDouble("prod_w")}) * " +
+            "CAST(1000000 AS DOUBLE)) AS BIGINT) END"))
+        .withColumn("abs_z", expr(
+          "CASE WHEN z_micro >= 0 THEN z_micro ELSE -z_micro END"))
+      val crit = Seq(3090232L, 2878161L, 2747781L, 2652069L, 2575829L,
+        2512144L, 2457263L, 2408915L, 2365618L, 2326347L, 2290367L,
+        2257129L, 2226211L, 2197286L, 2170090L, 2144410L, 2120071L,
+        2096927L, 2074854L, 2053748L, 2033520L, 2014090L, 1995393L,
+        1977368L, 1959963L)
+      val critSql = crit.zipWithIndex
+        .map { case (c, i) => s"WHEN ${i + 1} THEN ${c}L" }
+        .mkString("CASE rk ", " ", " END")
+      val ranked = z
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("abs_z").desc, col("nk")))) // 25 rows
+        .withColumn("crit_micro", expr(critSql))
+      val kmax = ranked.agg(coalesce(max(expr(
+        "CASE WHEN abs_z >= crit_micro THEN rk END")), lit(0L))
+        .as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .withColumn("rejected", expr("rk <= kmax"))
+        .select("nk", "n", "k", "z_micro", "rk", "crit_micro",
+          "rejected")
+        .orderBy("rk")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -3077,5 +3131,53 @@ object Analytics4 {
          |      AS BIGINT) END AS pd_micro,
          |  CASE WHEN n_rows = 0 THEN NULL
          |    ELSE k_rows * 1000000 // n_rows END AS raw_micro
-         |FROM pd ORDER BY qb""".stripMargin)
+         |FROM pd ORDER BY qb""".stripMargin,
+
+    "q433_bh_fdr" -> {
+      val crit = Seq(3090232L, 2878161L, 2747781L, 2652069L, 2575829L,
+        2512144L, 2457263L, 2408915L, 2365618L, 2326347L, 2290367L,
+        2257129L, 2226211L, 2197286L, 2170090L, 2144410L, 2120071L,
+        2096927L, 2074854L, 2053748L, 2033520L, 2014090L, 1995393L,
+        1977368L, 1959963L)
+      val critSql = crit.zipWithIndex
+        .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }
+        .mkString("CASE rk ", " ", " END")
+      s"""WITH nat AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS n,
+         |    CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS k
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n0,
+         |    CAST(SUM(k) AS BIGINT) AS k0
+         |  FROM nat),
+         |z AS (
+         |  SELECT *, ${Du.wide("k")} * n0 - ${Du.wide("k0")} * n AS dd,
+         |    ${Du.wide("n")} * k0 * (n0 - k0) AS prod_w
+         |  FROM nat CROSS JOIN tot),
+         |z2 AS (
+         |  SELECT *, CASE WHEN prod_w <= 0 THEN NULL ELSE
+         |    CAST(floor(CAST(CAST(dd AS BIGINT) AS DOUBLE) /
+         |      sqrt(${Du.wideToDouble("prod_w")}) *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT) END AS z_micro
+         |  FROM z),
+         |z3 AS (
+         |  SELECT *, CASE WHEN z_micro >= 0 THEN z_micro
+         |    ELSE -z_micro END AS abs_z
+         |  FROM z2),
+         |rkd AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY abs_z DESC, nk) AS rk
+         |  FROM z3),
+         |rc AS (SELECT *, $critSql AS crit_micro FROM rkd),
+         |km AS (
+         |  SELECT CAST(COALESCE(MAX(CASE WHEN abs_z >= crit_micro
+         |    THEN rk END), 0) AS BIGINT) AS kmax
+         |  FROM rc)
+         |SELECT nk, n, k, z_micro, rk, crit_micro, rk <= kmax
+         |  AS rejected
+         |FROM rc CROSS JOIN km ORDER BY rk""".stripMargin
+    })
 }
