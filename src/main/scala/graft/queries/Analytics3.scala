@@ -269,7 +269,7 @@ object Analytics3 {
     * far below row count, which is what licenses the pairwise block
     * join downstream.
     */
-  private def partVocab(s: SparkSession, d: String): DataFrame =
+  private[queries] def partVocab(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
       .select(explode(expr(Sp.tokens("p_name"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n"))

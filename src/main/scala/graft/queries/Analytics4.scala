@@ -1728,6 +1728,39 @@ object Analytics4 {
         .select("nk", "n", "k", "z_micro", "rk", "crit_micro",
           "rejected")
         .orderBy("rk")
+    },
+
+    // Sorted-neighborhood entity-resolution blocking — the classic
+    // alternative to q363's length bands: rank the vocabulary
+    // lexicographically (distributed — the 8-byte big-endian prefix
+    // key is monotone in the string order, so GlobalOrder buckets on
+    // it), pair each token with its ≤3 successors via overlapping
+    // rank bands (never a non-equi join at scale), and score
+    // candidates with the codegen'd Damerau–Levenshtein.
+    "q434_sorted_neighborhood" -> { (s, d) =>
+      val v = Analytics3.partVocab(s, d)
+        .withColumn("k8", expr(
+          "aggregate(sequence(1, 8), 0L, (acc, i) -> acc * 256 + " +
+            "CASE WHEN i <= length(t) THEN " +
+            "CAST(ascii(substring(t, i, 1)) AS BIGINT) ELSE 0L END)"))
+      val rk = graft.plans.GlobalOrder.withRowNumber(
+        v, Seq(col("t")), col("k8"), "rk")
+      val left = rk.select(col("t").as("ta"), col("rk").as("rka"),
+        explode(expr("array(rk div 4, rk div 4 + 1)")).as("band"))
+      val right = rk.select(col("t").as("tb"), col("rk").as("rkb"),
+        expr("rkb div 4").as("band"))
+      val cand = left.join(right, Seq("band"))
+        .filter(expr("rkb - rka BETWEEN 1 AND 3"))
+        .select("ta", "tb").distinct()
+        .withColumn("dl", expr("damerau_levenshtein(ta, tb)"))
+      cand.agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(expr("CASE WHEN dl <= 2 THEN 1 ELSE 0 END")),
+            lit(0L)).as("n_hits"))
+        .crossJoin(broadcast(rk.agg(count(lit(1)).as("n_tokens"))))
+        .withColumn("hit_milli", expr(
+          "CASE WHEN n_candidates = 0 THEN NULL " +
+            "ELSE n_hits * 1000 div n_candidates END"))
+        .select("n_tokens", "n_candidates", "n_hits", "hit_milli")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -3179,5 +3212,34 @@ object Analytics4 {
          |SELECT nk, n, k, z_micro, rk, crit_micro, rk <= kmax
          |  AS rejected
          |FROM rc CROSS JOIN km ORDER BY rk""".stripMargin
-    })
+    },
+
+    "q434_sorted_neighborhood" ->
+      s"""WITH v AS (
+         |  SELECT t, COUNT(*) AS n FROM (
+         |    SELECT unnest(${Du.tokens("p_name")}) AS t FROM part)
+         |  GROUP BY 1),
+         |rk AS (
+         |  SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS rk FROM v),
+         |l AS (
+         |  SELECT t AS ta, rk AS rka, unnest([rk // 4, rk // 4 + 1])
+         |    AS band
+         |  FROM rk),
+         |r AS (SELECT t AS tb, rk AS rkb, rk // 4 AS band FROM rk),
+         |cand AS (
+         |  SELECT DISTINCT ta, tb
+         |  FROM l JOIN r ON l.band = r.band
+         |  WHERE rkb - rka BETWEEN 1 AND 3),
+         |sc AS (
+         |  SELECT *, damerau_levenshtein(ta, tb) AS dl FROM cand),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_candidates,
+         |    CAST(COALESCE(SUM(CASE WHEN dl <= 2 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS n_hits
+         |  FROM sc),
+         |nt AS (SELECT COUNT(*) AS n_tokens FROM rk)
+         |SELECT n_tokens, n_candidates, n_hits,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |    ELSE n_hits * 1000 // n_candidates END AS hit_milli
+         |FROM agg CROSS JOIN nt""".stripMargin)
 }
