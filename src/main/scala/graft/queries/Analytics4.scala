@@ -1761,6 +1761,98 @@ object Analytics4 {
           "CASE WHEN n_candidates = 0 THEN NULL " +
             "ELSE n_hits * 1000 div n_candidates END"))
         .select("n_tokens", "n_candidates", "n_hits", "hit_milli")
+    },
+
+    // Effective supplier count per nation (inverse Simpson ×1000 on
+    // quantity volumes): (Σw)²/Σw² — the diversity index that prices
+    // supply concentration without entropy's logarithm. One rollup to
+    // (nation, supplier) cells, one wide division per nation.
+    "q435_effective_suppliers" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(expr("CAST(s_nationkey AS BIGINT)").as("nk"),
+          col("l_suppkey"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("w"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_suppliers"), sum("w").as("sw"),
+          sum(expr(s"${Sp.wide("w")} * w")).as("sw2_w"))
+        .withColumn("eff_milli", expr(
+          "CASE WHEN sw2_w <= 0 THEN NULL ELSE CAST(" +
+            s"${Sp.intDiv(Sp.wide("sw") + " * sw * 1000", "sw2_w")} " +
+            "AS BIGINT) END"))
+        .withColumn("eff_share_milli", expr(
+          "CASE WHEN n_suppliers = 0 OR eff_milli IS NULL THEN NULL " +
+            "ELSE eff_milli div n_suppliers END"))
+        .select("nk", "n_suppliers", "sw", "eff_milli",
+          "eff_share_milli")
+        .orderBy("nk")
+    },
+
+    // Out-of-orderness histogram + watermark advisor: per user (with
+    // event_id as the arrival proxy) the running event-time max in
+    // arrival order prices each event's lateness; the log₂-bucketed
+    // histogram plus the exact p99 (a GlobalOrder rank selection)
+    // is precisely what you need to size withWatermark before
+    // deploying a streaming job.
+    "q436_lateness_histogram" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id").as("u"), col("event_id").as("id"),
+          expr("unix_micros(ts)").as("tsu"))
+      val w = Window.partitionBy("u").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lateReal = ev
+        .withColumn("mx", max("tsu").over(w))
+        .withColumn("late_ms", expr(
+          "greatest(0L, mx - tsu) div 1000"))
+      val n = lateReal.agg(count(lit(1)).as("n_all"))
+      val rk = graft.plans.GlobalOrder.withRowNumber(
+        lateReal.select("late_ms", "id"),
+        Seq(col("late_ms"), col("id")), col("late_ms"), "rk")
+      val p99 = rk.crossJoin(broadcast(n))
+        .filter(expr("rk = (99 * n_all + 99) div 100"))
+        .select(col("late_ms").as("p99_late_ms"))
+      lateReal
+        .withColumn("bucket", expr(
+          "CASE WHEN late_ms = 0 THEN 0L " +
+            "ELSE CAST(length(bin(late_ms)) AS BIGINT) END"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(p99))
+        .withColumn("share_milli", expr(
+          "CASE WHEN n_all = 0 THEN NULL " +
+            "ELSE n_events * 1000 div n_all END"))
+        .select("bucket", "n_events", "share_milli", "p99_late_ms")
+        .orderBy("bucket")
+    },
+
+    // Bipartiteness check within the 6-hop ball of the q203 seeds:
+    // BFS parity colors the reached nodes, then one edges⋈hops⋈hops
+    // join counts same-parity (conflict) edges — 0 proves the supply
+    // graph 2-colorable locally, and any odd cycle would surface as a
+    // positive count. Per-round join+agg discipline via operators.Bfs.
+    "q437_bipartite_check" -> { (s, d) =>
+      val edges = Relational2.supplyEdges(s, d)
+      val seeds = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 100 === 0)
+      val hops = graft.operators.Bfs.run(edges, seeds, maxHops = 6)
+      // distinct directed edges — supplyEdges carries lineitem
+      // multiplicity, which must not weight the conflict count
+      val conflicts = edges.distinct()
+        .join(hops.select(col("node").as("src"),
+          expr("hops % 2").as("pa")), Seq("src"))
+        .join(hops.select(col("node").as("dst"),
+          expr("hops % 2").as("pb")), Seq("dst"))
+        .agg(count(lit(1)).as("n_reached_edges"),
+          coalesce(sum(expr("CASE WHEN pa = pb THEN 1 ELSE 0 END")),
+            lit(0L)).as("n_conflicts"))
+      hops.agg(count(lit(1)).as("n_reached"),
+          coalesce(sum(expr("CASE WHEN hops % 2 = 0 THEN 1 ELSE 0 " +
+            "END")), lit(0L)).as("n_even"))
+        .crossJoin(broadcast(conflicts))
+        .withColumn("bipartite_in_ball", expr("n_conflicts = 0"))
+        .select("n_reached", "n_even", "n_reached_edges",
+          "n_conflicts", "bipartite_in_ball")
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -3241,5 +3333,84 @@ object Analytics4 {
          |SELECT n_tokens, n_candidates, n_hits,
          |  CASE WHEN n_candidates = 0 THEN NULL
          |    ELSE n_hits * 1000 // n_candidates END AS hit_milli
-         |FROM agg CROSS JOIN nt""".stripMargin)
+         |FROM agg CROSS JOIN nt""".stripMargin,
+
+    "q435_effective_suppliers" ->
+      """WITH cells AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nk, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT nk, COUNT(*) AS n_suppliers,
+        |    CAST(SUM(w) AS BIGINT) AS sw,
+        |    SUM(CAST(w AS HUGEINT) * w) AS sw2_w
+        |  FROM cells GROUP BY 1),
+        |f AS (
+        |  SELECT *, CASE WHEN sw2_w <= 0 THEN NULL ELSE
+        |    CAST((CAST(sw AS HUGEINT) * sw * 1000 // sw2_w) AS BIGINT)
+        |    END AS eff_milli
+        |  FROM agg)
+        |SELECT nk, n_suppliers, sw, eff_milli,
+        |  CASE WHEN n_suppliers = 0 OR eff_milli IS NULL THEN NULL
+        |    ELSE eff_milli // n_suppliers END AS eff_share_milli
+        |FROM f ORDER BY nk""".stripMargin,
+
+    "q436_lateness_histogram" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_id AS id,
+        |    epoch_us(ts::TIMESTAMP) AS tsu
+        |  FROM events),
+        |lr AS (
+        |  SELECT *, CAST(MAX(tsu) OVER (PARTITION BY u ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS mx
+        |  FROM ev),
+        |lm AS (
+        |  SELECT *, greatest(0, mx - tsu) // 1000 AS late_ms FROM lr),
+        |n AS (SELECT COUNT(*) AS n_all FROM lm),
+        |rk AS (
+        |  SELECT late_ms, ROW_NUMBER() OVER (ORDER BY late_ms, id)
+        |    AS rk
+        |  FROM lm),
+        |p99 AS (
+        |  SELECT late_ms AS p99_late_ms FROM rk CROSS JOIN n
+        |  WHERE rk = (99 * n_all + 99) // 100),
+        |h AS (
+        |  SELECT CASE WHEN late_ms = 0 THEN 0
+        |    ELSE CAST(length(bin(late_ms)) AS BIGINT) END AS bucket,
+        |    COUNT(*) AS n_events
+        |  FROM lm GROUP BY 1)
+        |SELECT bucket, n_events,
+        |  CASE WHEN n_all = 0 THEN NULL
+        |    ELSE n_events * 1000 // n_all END AS share_milli,
+        |  p99_late_ms
+        |FROM h CROSS JOIN n CROSS JOIN p99
+        |ORDER BY bucket""".stripMargin,
+
+    "q437_bipartite_check" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+        |bfs AS (
+        |  SELECT DISTINCT src AS node, 0 AS hops FROM f
+        |  WHERE src % 100 = 0
+        |  UNION
+        |  SELECT e.dst, bfs.hops + 1 FROM bfs JOIN e ON bfs.node = e.src
+        |  WHERE bfs.hops < 6),
+        |h AS (SELECT node, MIN(hops) AS hops FROM bfs GROUP BY 1),
+        |conf AS (
+        |  SELECT COUNT(*) AS n_reached_edges,
+        |    CAST(COALESCE(SUM(CASE WHEN a.hops % 2 = b.hops % 2
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_conflicts
+        |  FROM e JOIN h a ON e.src = a.node JOIN h b ON e.dst = b.node),
+        |r AS (
+        |  SELECT COUNT(*) AS n_reached,
+        |    CAST(COALESCE(SUM(CASE WHEN hops % 2 = 0 THEN 1 ELSE 0
+        |      END), 0) AS BIGINT) AS n_even
+        |  FROM h)
+        |SELECT n_reached, n_even, n_reached_edges, n_conflicts,
+        |  n_conflicts = 0 AS bipartite_in_ball
+        |FROM r CROSS JOIN conf""".stripMargin)
 }
