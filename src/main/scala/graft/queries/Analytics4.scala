@@ -1825,7 +1825,7 @@ object Analytics4 {
         .orderBy("bucket")
     },
 
-    // Bipartiteness check within the 6-hop ball of the q203 seeds:
+    // Bipartiteness check within the 4-hop ball of the q203 seeds:
     // BFS parity colors the reached nodes, then one edges⋈hops⋈hops
     // join counts same-parity (conflict) edges — 0 proves the supply
     // graph 2-colorable locally, and any odd cycle would surface as a
@@ -1835,7 +1835,7 @@ object Analytics4 {
       val seeds = Tables.lineitem(s, d)
         .select(col("l_partkey").as("node")).distinct()
         .filter(col("node") % 100 === 0)
-      val hops = graft.operators.Bfs.run(edges, seeds, maxHops = 6)
+      val hops = graft.operators.Bfs.run(edges, seeds, maxHops = 4)
       // distinct directed edges — supplyEdges carries lineitem
       // multiplicity, which must not weight the conflict count
       val conflicts = edges.distinct()
@@ -3398,7 +3398,7 @@ object Analytics4 {
         |  WHERE src % 100 = 0
         |  UNION
         |  SELECT e.dst, bfs.hops + 1 FROM bfs JOIN e ON bfs.node = e.src
-        |  WHERE bfs.hops < 6),
+        |  WHERE bfs.hops < 4),
         |h AS (SELECT node, MIN(hops) AS hops FROM bfs GROUP BY 1),
         |conf AS (
         |  SELECT COUNT(*) AS n_reached_edges,
