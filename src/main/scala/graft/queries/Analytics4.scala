@@ -1853,6 +1853,21 @@ object Analytics4 {
         .withColumn("bipartite_in_ball", expr("n_conflicts = 0"))
         .select("n_reached", "n_even", "n_reached_edges",
           "n_conflicts", "bipartite_in_ball")
+    },
+
+    // SQL-surface gate: GROUP BY ALL / ORDER BY ALL (the q389 LATERAL
+    // discipline — pin that the convenience spellings resolve to the
+    // same plan and values on both engines).
+    "q438_group_by_all" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q438_orders")
+      s.sql(
+        """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+          |    AS BIGINT)) AS BIGINT) AS cents
+          |FROM q438_orders
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -3412,5 +3427,14 @@ object Analytics4 {
         |  FROM h)
         |SELECT n_reached, n_even, n_reached_edges, n_conflicts,
         |  n_conflicts = 0 AS bipartite_in_ball
-        |FROM r CROSS JOIN conf""".stripMargin)
+        |FROM r CROSS JOIN conf""".stripMargin,
+
+    "q438_group_by_all" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
 }
