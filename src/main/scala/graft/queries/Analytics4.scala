@@ -124,6 +124,20 @@ object Analytics4 {
       s"CAST(${dl.intDiv(dl.wide("n_h") + " * s_milli * 1000",
         "sum_w")} AS BIGINT) END"
 
+  /** q433's z = D/√(nᵢk₀(n₀−k₀)) with BOTH wide operands routed
+    * through wideToDouble (sign-split on D, whose magnitude passes
+    * BIGINT near sf10⁴ — never a raw wide→BIGINT cap). Negative arm
+    * is −⌊|z|·10⁶⌋ on both engines.
+    */
+  private def bhZF(dl: graft.functions.SqlDialect): String =
+    "CASE WHEN prod_w <= 0 THEN NULL " +
+      s"WHEN dd >= 0 THEN CAST(floor(${dl.wideToDouble("dd")} / " +
+      s"sqrt(${dl.wideToDouble("prod_w")}) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT) " +
+      s"ELSE -CAST(floor(${dl.wideToDouble("(-dd)")} / " +
+      s"sqrt(${dl.wideToDouble("prod_w")}) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+
   /** One functional-dependency lane over a single table: two
     * map-side-combined shuffles on the LHS key, nothing driver-side.
     * g3_remove is Kivinen–Mannila's g₃ error (min rows to delete to
@@ -1232,7 +1246,8 @@ object Analytics4 {
             "ELSE cum_pos * 1000 div tot_pos END"))
         .withColumn("lift_milli", expr(
           "CASE WHEN n_d = 0 OR tot_pos = 0 THEN NULL " +
-            "ELSE n_pos * n * 1000 div (n_d * tot_pos) END"))
+            s"ELSE CAST(${Sp.intDiv(Sp.wide("n_pos") + " * n * 1000",
+              "(" + Sp.wide("n_d") + " * tot_pos)")} AS BIGINT) END"))
         .select("decile", "n_d", "n_pos", "cum_pos", "gain_milli",
           "lift_milli")
         .orderBy("decile")
@@ -1297,20 +1312,17 @@ object Analytics4 {
         .withColumn("blk", expr("substring_index(nm, ' ', 1)"))
       val w = Window.partitionBy("blk").orderBy("nm", "id")
       p.withColumn("prev", lag("nm", 1).over(w))
+        .withColumn("minl", expr("least(length(nm), length(prev))"))
+        // first mismatch position, computed ONCE (0 = full prefix)
+        .withColumn("cpos", expr(
+          """CASE WHEN prev IS NULL OR minl = 0 THEN NULL
+            |  ELSE array_position(
+            |    transform(sequence(1, CAST(minl AS INT)),
+            |      i -> substring(nm, i, 1) = substring(prev, i, 1)),
+            |    false) END""".stripMargin))
         .withColumn("cp", expr(
-          """CASE WHEN prev IS NULL THEN 0 ELSE
-            |  CASE WHEN least(length(nm), length(prev)) = 0 THEN 0
-            |  ELSE (CASE WHEN array_position(
-            |      transform(sequence(1,
-            |        CAST(least(length(nm), length(prev)) AS INT)),
-            |        i -> substring(nm, i, 1) = substring(prev, i, 1)),
-            |      false) = 0
-            |    THEN least(length(nm), length(prev))
-            |    ELSE array_position(
-            |      transform(sequence(1,
-            |        CAST(least(length(nm), length(prev)) AS INT)),
-            |        i -> substring(nm, i, 1) = substring(prev, i, 1)),
-            |      false) - 1 END) END END""".stripMargin))
+          "CASE WHEN prev IS NULL THEN 0 WHEN minl = 0 THEN 0 " +
+            "WHEN cpos = 0 THEN minl ELSE cpos - 1 END"))
         .agg(count(lit(1)).as("n_strings"),
           coalesce(sum(expr("CASE WHEN prev IS NULL THEN 0 ELSE 1 END")),
             lit(0L)).as("n_pairs"),
@@ -1336,7 +1348,9 @@ object Analytics4 {
         .withColumn("dlen", expr("CAST(size(toks) AS BIGINT)"))
       val off = graft.plans.GlobalOrder.withRunningSum(
         docs, Seq(col("doc_id")), col("doc_id"), col("dlen"), "cum")
-      val tot = off.agg(max("cum").as("total"))
+      // one plain pass over docs — dlen ≥ 0 makes Σdlen = max(cum),
+      // without re-running tokenization + the ranked spine
+      val tot = docs.agg(coalesce(sum("dlen"), lit(0L)).as("total"))
       val fp = off.filter(col("dlen") >= 1)
         .select(col("cum") - col("dlen"), col("toks"))
         .toDF("offset", "toks")
@@ -1701,11 +1715,7 @@ object Analytics4 {
           s"- ${Sp.wide("k0")} * n"))
         .withColumn("prod_w", expr(
           s"${Sp.wide("n")} * k0 * (n0 - k0)"))
-        .withColumn("z_micro", expr(
-          "CASE WHEN prod_w <= 0 THEN NULL ELSE " +
-            "CAST(floor(CAST(CAST(dd AS BIGINT) AS DOUBLE) / " +
-            s"sqrt(${Sp.wideToDouble("prod_w")}) * " +
-            "CAST(1000000 AS DOUBLE)) AS BIGINT) END"))
+        .withColumn("z_micro", expr(bhZF(Sp)))
         .withColumn("abs_z", expr(
           "CASE WHEN z_micro >= 0 THEN z_micro ELSE -z_micro END"))
       val crit = Seq(3090232L, 2878161L, 2747781L, 2652069L, 2575829L,
@@ -2859,7 +2869,9 @@ object Analytics4 {
         |  CASE WHEN tot_pos = 0 THEN NULL
         |    ELSE cum_pos * 1000 // tot_pos END AS gain_milli,
         |  CASE WHEN n_d = 0 OR tot_pos = 0 THEN NULL
-        |    ELSE n_pos * n * 1000 // (n_d * tot_pos) END AS lift_milli
+        |    ELSE CAST((CAST(n_pos AS HUGEINT) * n * 1000 //
+        |      (CAST(n_d AS HUGEINT) * tot_pos)) AS BIGINT) END
+        |    AS lift_milli
         |FROM c ORDER BY decile""".stripMargin,
 
     "q421_bag_set_ops" ->
@@ -2918,22 +2930,21 @@ object Analytics4 {
         |  SELECT *, lag(nm) OVER (PARTITION BY blk ORDER BY nm, id)
         |    AS prev
         |  FROM p),
+        |ml AS (
+        |  SELECT *, least(length(nm), length(prev)) AS minl FROM l),
+        |ps AS (
+        |  SELECT *,
+        |    CASE WHEN prev IS NULL OR minl = 0 THEN NULL
+        |      ELSE list_position(
+        |        list_transform(range(1, minl + 1),
+        |          i -> substr(nm, i::INT, 1) = substr(prev, i::INT, 1)),
+        |        false) END AS cpos
+        |  FROM ml),
         |cpf AS (
         |  SELECT *,
-        |    CASE WHEN prev IS NULL THEN 0 ELSE
-        |      CASE WHEN least(length(nm), length(prev)) = 0 THEN 0
-        |      WHEN list_position(
-        |        list_transform(range(1,
-        |          least(length(nm), length(prev)) + 1),
-        |          i -> substr(nm, i::INT, 1) = substr(prev, i::INT, 1)),
-        |        false) = 0
-        |      THEN least(length(nm), length(prev))
-        |      ELSE list_position(
-        |        list_transform(range(1,
-        |          least(length(nm), length(prev)) + 1),
-        |          i -> substr(nm, i::INT, 1) = substr(prev, i::INT, 1)),
-        |        false) - 1 END END AS cp
-        |  FROM l)
+        |    CASE WHEN prev IS NULL THEN 0 WHEN minl = 0 THEN 0
+        |      WHEN cpos = 0 THEN minl ELSE cpos - 1 END AS cp
+        |  FROM ps)
         |SELECT COUNT(*) AS n_strings,
         |  CAST(COALESCE(SUM(CASE WHEN prev IS NULL THEN 0 ELSE 1 END),
         |    0) AS BIGINT) AS n_pairs,
@@ -2958,7 +2969,9 @@ object Analytics4 {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS BIGINT) AS cum
          |  FROM dl),
-         |tot AS (SELECT MAX(cum) AS total FROM off),
+         |tot AS (
+         |  SELECT CAST(COALESCE(SUM(dlen), 0) AS BIGINT) AS total
+         |  FROM dl),
          |tk AS (
          |  SELECT cum - dlen AS off0, toks,
          |    unnest(range(1, len(toks) + 1)) AS g
@@ -3299,10 +3312,7 @@ object Analytics4 {
          |    ${Du.wide("n")} * k0 * (n0 - k0) AS prod_w
          |  FROM nat CROSS JOIN tot),
          |z2 AS (
-         |  SELECT *, CASE WHEN prod_w <= 0 THEN NULL ELSE
-         |    CAST(floor(CAST(CAST(dd AS BIGINT) AS DOUBLE) /
-         |      sqrt(${Du.wideToDouble("prod_w")}) *
-         |      CAST(1000000 AS DOUBLE)) AS BIGINT) END AS z_micro
+         |  SELECT *, ${bhZF(Du)} AS z_micro
          |  FROM z),
          |z3 AS (
          |  SELECT *, CASE WHEN z_micro >= 0 THEN z_micro
