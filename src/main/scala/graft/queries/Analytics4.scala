@@ -1865,6 +1865,112 @@ object Analytics4 {
           "n_conflicts", "bipartite_in_ball")
     },
 
+    // Hodges–Lehmann location estimator of monthly revenue: the
+    // median of all Walsh averages (yᵢ+yⱼ)/2, i ≤ j — the robust
+    // location partner to q394's Theil–Sen slope, same bounded
+    // months² pair discipline, the ×2 lane defers the halving until
+    // after the median so everything stays integer.
+    "q439_hodges_lehmann" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(expr(
+          "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(expr(CentsF)).as("y"))
+      val pairs = m.select(col("mi").as("ia"), col("y").as("ya"))
+        .join(broadcast(m.select(col("mi").as("ib"), col("y").as("yb"))),
+          col("ia") <= col("ib"))
+        .select(expr("ya + yb").as("w2"))
+      val cnt = pairs.agg(count(lit(1)).as("n_walsh"))
+      val med = pairs
+        .withColumn("rn", row_number().over(Window.orderBy("w2")))
+        .crossJoin(broadcast(cnt))
+        .filter(expr("rn = (n_walsh + 1) div 2"))
+        .select(expr("w2 div 2").as("hl_cents"), col("n_walsh"))
+      val medPlain = m
+        .withColumn("rn", row_number().over(Window.orderBy("y")))
+        .crossJoin(broadcast(m.agg(count(lit(1)).as("n_months"))))
+        .filter(expr("rn = (n_months + 1) div 2"))
+        .select(col("y").as("median_cents"), col("n_months"))
+      medPlain.crossJoin(broadcast(med))
+        .select("n_months", "n_walsh", "median_cents", "hl_cents")
+    },
+
+    // Wald–Wolfowitz runs-up-and-down test on daily order counts
+    // (regime check on the SIGNS OF SUCCESSIVE DIFFERENCES — q364
+    // tests runs above/below the median, a different null): zero
+    // diffs drop, R runs against E[R]=(2n−1)/3 and Var=(16n−29)/90,
+    // one shared sqrt text.
+    "q440_runs_updown" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy("day") // bounded day frame
+      val sgn = day
+        .withColumn("diff", col("y") - lag("y", 1).over(w))
+        .filter(expr("diff IS NOT NULL AND diff <> 0"))
+        .withColumn("sg", expr("CASE WHEN diff > 0 THEN 1 ELSE -1 END"))
+      val runs = sgn
+        .withColumn("prev_sg", lag("sg", 1).over(Window.orderBy("day")))
+        .agg(count(lit(1)).as("nd"),
+          (coalesce(sum(expr(
+            "CASE WHEN prev_sg IS NULL OR sg <> prev_sg THEN 1 " +
+              "ELSE 0 END")), lit(0L))).as("r_runs"))
+      runs.withColumn("z_micro", expr(
+          "CASE WHEN nd < 2 OR 16 * nd - 29 <= 0 THEN NULL ELSE " +
+            "CAST(floor(CAST(3 * r_runs - 2 * nd + 1 AS DOUBLE) / " +
+            "CAST(3 AS DOUBLE) * sqrt(CAST(90 AS DOUBLE) / " +
+            "CAST(16 * nd - 29 AS DOUBLE)) * " +
+            "CAST(1000000 AS DOUBLE)) AS BIGINT) END"))
+        .withColumn("reject_95", expr(
+          "CASE WHEN z_micro IS NULL THEN NULL " +
+            "ELSE z_micro > 1959964 OR z_micro < -1959964 END"))
+        .select("nd", "r_runs", "z_micro", "reject_95")
+    },
+
+    // Exact two-sample Kolmogorov–Smirnov between the BUILDING and
+    // MACHINERY segments' order values: D = max|F₁−F₂| over the
+    // merged support, computed from two cumulative count lanes in ONE
+    // GlobalOrder pass (the q406 discipline — row-scale distinct
+    // values never meet a single-partition window), the statistic and
+    // the α=0.05 decision λ = D·√(n₁n₂/(n₁+n₂)) each one exact wide
+    // ratio into a shared sqrt text.
+    "q441_ks_two_sample" -> { (s, d) =>
+      val cls = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .filter(expr("c_mktsegment IN ('BUILDING', 'MACHINERY')"))
+        .select(expr(CentsF).as("v"),
+          expr("CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END")
+            .as("g1"))
+        .groupBy("v")
+        .agg(coalesce(sum("g1"), lit(0L)).as("c1"),
+          coalesce(sum(expr("1 - g1")), lit(0L)).as("c2"))
+      val cum = graft.plans.GlobalOrder.withRunningSums(
+        cls, Seq(col("v")), col("v"),
+        Seq(col("c1") -> "cum1", col("c2") -> "cum2"))
+      val tot = cls.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val dmax = cum.crossJoin(broadcast(tot))
+        .withColumn("dnum_w", expr(
+          s"abs(${Sp.wide("cum1")} * n2 - ${Sp.wide("cum2")} * n1)"))
+        .agg(max("dnum_w").as("dmax_w"), max("n1").as("n1"),
+          max("n2").as("n2"))
+      dmax
+        .withColumn("ks_milli", expr(
+          "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE CAST(" +
+            s"${Sp.intDiv("dmax_w * 1000",
+              "(" + Sp.wide("n1") + " * n2)")} AS BIGINT) END"))
+        .withColumn("lambda_micro", expr(
+          "CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE " +
+            s"CAST(floor(${Sp.wideToDouble("dmax_w")} / " +
+            s"sqrt(${Sp.wideToDouble(
+              Sp.wide("n1") + " * n2 * (n1 + n2)")}) * " +
+            "CAST(1000000 AS DOUBLE)) AS BIGINT) END"))
+        .withColumn("reject_95", expr(
+          "CASE WHEN lambda_micro IS NULL THEN NULL " +
+            "ELSE lambda_micro > 1358100 END"))
+        .select("n1", "n2", "ks_milli", "lambda_micro", "reject_95")
+    },
+
     // SQL-surface gate: GROUP BY ALL / ORDER BY ALL (the q389 LATERAL
     // discipline — pin that the convenience spellings resolve to the
     // same plan and values on both engines).
@@ -3446,5 +3552,101 @@ object Analytics4 {
         |    AS BIGINT)) AS BIGINT) AS cents
         |FROM orders
         |GROUP BY ALL
-        |ORDER BY ALL""".stripMargin)
+        |ORDER BY ALL""".stripMargin,
+
+    "q439_hodges_lehmann" ->
+      """WITH m AS (
+        |  SELECT (year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+        |      month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT a.y + b.y AS w2 FROM m a JOIN m b ON a.mi <= b.mi),
+        |cnt AS (SELECT COUNT(*) AS n_walsh FROM p),
+        |r AS (SELECT w2, ROW_NUMBER() OVER (ORDER BY w2) AS rn FROM p),
+        |med AS (
+        |  SELECT w2 // 2 AS hl_cents, n_walsh FROM r CROSS JOIN cnt
+        |  WHERE rn = (n_walsh + 1) // 2),
+        |rm AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn FROM m),
+        |nm AS (SELECT COUNT(*) AS n_months FROM m),
+        |mp AS (
+        |  SELECT y AS median_cents, n_months FROM rm CROSS JOIN nm
+        |  WHERE rn = (n_months + 1) // 2)
+        |SELECT n_months, n_walsh, median_cents, hl_cents
+        |FROM mp CROSS JOIN med""".stripMargin,
+
+    "q440_runs_updown" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS y
+        |  FROM orders GROUP BY 1),
+        |df AS (
+        |  SELECT day, y - lag(y) OVER (ORDER BY day) AS diff FROM day),
+        |sg AS (
+        |  SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sg
+        |  FROM df WHERE diff IS NOT NULL AND diff <> 0),
+        |rr AS (
+        |  SELECT sg, lag(sg) OVER (ORDER BY day) AS prev_sg FROM sg),
+        |agg AS (
+        |  SELECT COUNT(*) AS nd,
+        |    CAST(COALESCE(SUM(CASE WHEN prev_sg IS NULL
+        |      OR sg <> prev_sg THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS r_runs
+        |  FROM rr),
+        |z AS (
+        |  SELECT *, CASE WHEN nd < 2 OR 16 * nd - 29 <= 0 THEN NULL
+        |    ELSE CAST(floor(CAST(3 * r_runs - 2 * nd + 1 AS DOUBLE) /
+        |      CAST(3 AS DOUBLE) * sqrt(CAST(90 AS DOUBLE) /
+        |      CAST(16 * nd - 29 AS DOUBLE)) *
+        |      CAST(1000000 AS DOUBLE)) AS BIGINT) END AS z_micro
+        |  FROM agg)
+        |SELECT nd, r_runs, z_micro,
+        |  CASE WHEN z_micro IS NULL THEN NULL
+        |    ELSE z_micro > 1959964 OR z_micro < -1959964 END
+        |    AS reject_95
+        |FROM z""".stripMargin,
+
+    "q441_ks_two_sample" ->
+      s"""WITH cls AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS v,
+         |    CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+         |    CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         |  GROUP BY 1),
+         |cum AS (
+         |  SELECT *, CAST(SUM(c1) OVER o AS BIGINT) AS cum1,
+         |    CAST(SUM(c2) OVER o AS BIGINT) AS cum2
+         |  FROM cls WINDOW o AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |tot AS (
+         |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2
+         |  FROM cls),
+         |dm AS (
+         |  SELECT MAX(abs(${Du.wide("cum1")} * n2 -
+         |    ${Du.wide("cum2")} * n1)) AS dmax_w,
+         |    MAX(n1) AS n1, MAX(n2) AS n2
+         |  FROM cum CROSS JOIN tot)
+         |SELECT n1, n2,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+         |    CAST(${Du.intDiv("dmax_w * 1000",
+             "(" + Du.wide("n1") + " * n2)")} AS BIGINT) END
+         |    AS ks_milli,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+         |    CAST(floor(${Du.wideToDouble("dmax_w")} /
+         |      sqrt(${Du.wideToDouble(
+             Du.wide("n1") + " * n2 * (n1 + n2)")}) *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT) END
+         |    AS lambda_micro,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+         |    CAST(floor(${Du.wideToDouble("dmax_w")} /
+         |      sqrt(${Du.wideToDouble(
+             Du.wide("n1") + " * n2 * (n1 + n2)")}) *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT) > 1358100 END
+         |    AS reject_95
+         |FROM dm""".stripMargin)
 }
