@@ -1971,6 +1971,60 @@ object Analytics4 {
         .select("n1", "n2", "ks_milli", "lambda_micro", "reject_95")
     },
 
+    // Equi-depth histogram builder (the ANALYZE-style optimizer
+    // statistic): ten buckets of equal row mass over order value,
+    // boundaries by exact GlobalOrder rank selection at the i·n/10
+    // positions, per-bucket counts and min/max from the same ranked
+    // spine. What a cost-based optimizer persists per column.
+    "q442_equidepth_histogram" -> { (s, d) =>
+      val x = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"), expr(CentsF).as("x"))
+      val rk = graft.plans.GlobalOrder.withRowNumber(
+        x, Seq(col("x"), col("id")), col("x"), "rk",
+        countName = Some("n"))
+      rk.withColumn("bucket", expr("((rk - 1) * 10) div n + 1"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("x").as("lo"),
+          max("x").as("hi"))
+        .withColumn("width", expr("hi - lo"))
+        .select("bucket", "n_rows", "lo", "hi", "width")
+        .orderBy("bucket")
+    },
+
+    // Grubbs' max-outlier test on daily revenue: G = max|y−ȳ|/s with
+    // the deviation and variance lanes exact integer (×n so no mean
+    // division ever happens: G² ·n(n−1)... reduces to one shared
+    // sqrt of an integer ratio), verdict against the α=0.05 critical
+    // value for the day-frame n pinned as the t-based literal
+    // computed offline.
+    "q443_grubbs" -> { (s, d) =>
+      val day = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(sum(expr(CentsF)).as("y"))
+      val st = day.agg(count(lit(1)).as("nd"), sum("y").as("sy"),
+        sum(expr(s"${Sp.wide("y")} * y")).as("syy_w"))
+      day.crossJoin(broadcast(st))
+        .withColumn("dev_n", expr(
+          s"abs(${Sp.wide("y")} * nd - ${Sp.wide("sy")})"))
+        .agg(max("nd").as("nd"), max("dev_n").as("maxdev_w"),
+          max(expr(
+            s"nd * syy_w - ${Sp.wide("sy")} * sy")).as("ssn_w"))
+        // G·10⁶ = maxdev·√((n−1)/(n·SS_n)) with SS_n = nΣy²−(Σy)²:
+        // |y−ȳ|·n / (n·√(SS_n/(n(n−1)))) — one sqrt, fixed op order
+        .withColumn("g_micro", expr(
+          "CASE WHEN nd < 3 OR ssn_w <= 0 THEN NULL ELSE " +
+            s"CAST(floor(${Sp.wideToDouble("maxdev_w")} * " +
+            "sqrt(CAST(nd - 1 AS DOUBLE) / " +
+            s"(CAST(nd AS DOUBLE) * ${Sp.wideToDouble("ssn_w")})) * " +
+            "CAST(1000000 AS DOUBLE)) AS BIGINT) END"))
+        .select("nd", "g_micro")
+        .withColumn("suspect_outlier", expr(
+          // conservative large-n two-sided critical value ≈ 4.0 for
+          // n ~ 2400 at α = 0.05 — same literal both engines
+          "CASE WHEN g_micro IS NULL THEN NULL " +
+            "ELSE g_micro > 4000000 END"))
+    },
+
     // SQL-surface gate: GROUP BY ALL / ORDER BY ALL (the q389 LATERAL
     // discipline — pin that the convenience spellings resolve to the
     // same plan and values on both engines).
@@ -3648,5 +3702,52 @@ object Analytics4 {
              Du.wide("n1") + " * n2 * (n1 + n2)")}) *
          |      CAST(1000000 AS DOUBLE)) AS BIGINT) > 1358100 END
          |    AS reject_95
-         |FROM dm""".stripMargin)
+         |FROM dm""".stripMargin,
+
+    "q442_equidepth_histogram" ->
+      """WITH x AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x
+        |  FROM orders),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY x, id) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM x),
+        |b AS (
+        |  SELECT ((rk - 1) * 10) // n + 1 AS bucket, COUNT(*) AS n_rows,
+        |    MIN(x) AS lo, MAX(x) AS hi
+        |  FROM rk GROUP BY 1)
+        |SELECT bucket, n_rows, lo, hi, hi - lo AS width
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "q443_grubbs" ->
+      s"""WITH day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |st AS (
+         |  SELECT COUNT(*) AS nd, CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(${Du.wide("y")} * y) AS syy_w
+         |  FROM day),
+         |dv AS (
+         |  SELECT nd, syy_w, sy,
+         |    abs(${Du.wide("y")} * nd - ${Du.wide("sy")}) AS dev_n
+         |  FROM day CROSS JOIN st),
+         |agg AS (
+         |  SELECT MAX(nd) AS nd, MAX(dev_n) AS maxdev_w,
+         |    MAX(nd * syy_w - ${Du.wide("sy")} * sy) AS ssn_w
+         |  FROM dv),
+         |g AS (
+         |  SELECT nd, CASE WHEN nd < 3 OR ssn_w <= 0 THEN NULL ELSE
+         |    CAST(floor(${Du.wideToDouble("maxdev_w")} *
+         |      sqrt(CAST(nd - 1 AS DOUBLE) /
+         |      (CAST(nd AS DOUBLE) * ${Du.wideToDouble("ssn_w")})) *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT) END AS g_micro
+         |  FROM agg)
+         |SELECT nd, g_micro,
+         |  CASE WHEN g_micro IS NULL THEN NULL
+         |    ELSE g_micro > 4000000 END AS suspect_outlier
+         |FROM g""".stripMargin)
 }
