@@ -2025,6 +2025,73 @@ object Analytics4 {
             "ELSE g_micro > 4000000 END"))
     },
 
+    // Chow structural-break F-test on the monthly-revenue OLS at the
+    // known 1995-01 breakpoint (the parametric companion to q365's
+    // nonparametric Pettitt): per-segment SSR from the closed form
+    // (Syy·Sxx − Sxy²)/(n·Sxx) with every centered sum an exact
+    // 128-bit integer (sums are ADDITIVE, so pooled = A+B — one
+    // 2-row rollup feeds all three regressions), and the F ratio is
+    // one fixed-op-order float text over the six wideToDouble lanes.
+    "q444_chow_test" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(expr(
+          "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1")
+          .as("mi"))
+        .agg(sum(expr(CentsF)).as("y"))
+        .withColumn("seg", expr("CASE WHEN mi < 36 THEN 0 ELSE 1 END"))
+      val st = m.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("mi").as("sx"),
+          sum("y").as("sy"),
+          sum(expr("mi * mi")).as("sxx"),
+          sum(expr("mi * y")).as("sxy"),
+          sum(expr(s"${Sp.wide("y")} * y")).as("syy_w"))
+      def c(col0: String, seg: Int): String =
+        s"max(CASE WHEN seg = $seg THEN $col0 END)"
+      val wide = st.agg(
+        expr(c("n", 0)).as("n1"), expr(c("sx", 0)).as("sx1"),
+        expr(c("sy", 0)).as("sy1"), expr(c("sxx", 0)).as("sxx1"),
+        expr(c("sxy", 0)).as("sxy1"), expr(c("syy_w", 0)).as("syy1"),
+        expr(c("n", 1)).as("n2"), expr(c("sx", 1)).as("sx2"),
+        expr(c("sy", 1)).as("sy2"), expr(c("sxx", 1)).as("sxx2"),
+        expr(c("sxy", 1)).as("sxy2"), expr(c("syy_w", 1)).as("syy2"))
+      def lanes(t: String, n: String, sx: String, sy: String,
+          sxx: String, sxy: String, syy: String): Seq[(String, String)] =
+        Seq(
+          s"num$t" -> (s"greatest((${Sp.wide(n)} * $syy " +
+            s"- ${Sp.wide(sy)} * $sy) * ($n * $sxx - $sx * $sx) " +
+            s"- (${Sp.wide(n)} * $sxy - ${Sp.wide(sx)} * $sy) " +
+            s"* (${Sp.wide(n)} * $sxy - ${Sp.wide(sx)} * $sy), " +
+            s"${Sp.wide("0")})"),
+          s"den$t" -> s"${Sp.wide(n)} * ($n * $sxx - $sx * $sx)")
+      val withLanes =
+        (lanes("p", "(n1 + n2)", "(sx1 + sx2)", "(sy1 + sy2)",
+          "(sxx1 + sxx2)", "(sxy1 + sxy2)", "(syy1 + syy2)") ++
+          lanes("a", "n1", "sx1", "sy1", "sxx1", "sxy1", "syy1") ++
+          lanes("b", "n2", "sx2", "sy2", "sxx2", "sxy2", "syy2"))
+          .foldLeft(wide) { case (df, (nm, e)) =>
+            df.withColumn(nm, expr(e))
+          }
+      val fText =
+        "CASE WHEN n1 IS NULL OR n2 IS NULL OR n1 + n2 < 5 " +
+          "OR denp <= 0 OR dena <= 0 OR denb <= 0 THEN NULL ELSE " +
+          s"CAST(floor(((${Sp.wideToDouble("nump")} / " +
+          s"${Sp.wideToDouble("denp")} - " +
+          s"${Sp.wideToDouble("numa")} / ${Sp.wideToDouble("dena")} - " +
+          s"${Sp.wideToDouble("numb")} / ${Sp.wideToDouble("denb")}) / " +
+          "CAST(2 AS DOUBLE)) / " +
+          s"((${Sp.wideToDouble("numa")} / ${Sp.wideToDouble("dena")} + " +
+          s"${Sp.wideToDouble("numb")} / ${Sp.wideToDouble("denb")}) / " +
+          "CAST(n1 + n2 - 4 AS DOUBLE)) * " +
+          "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+      withLanes
+        .withColumn("f_micro", expr(fText))
+        .withColumn("break_95", expr(
+          "CASE WHEN f_micro IS NULL THEN NULL " +
+            "ELSE f_micro > 3111000 END"))
+        .select(expr("n1 + n2").as("n_months"), col("n1"), col("n2"),
+          col("f_micro"), col("break_95"))
+    },
+
     // SQL-surface gate: GROUP BY ALL / ORDER BY ALL (the q389 LATERAL
     // discipline — pin that the convenience spellings resolve to the
     // same plan and values on both engines).
@@ -3703,6 +3770,75 @@ object Analytics4 {
          |      CAST(1000000 AS DOUBLE)) AS BIGINT) > 1358100 END
          |    AS reject_95
          |FROM dm""".stripMargin,
+
+    "q444_chow_test" -> {
+      def num(n: String, sx: String, sy: String, sxx: String,
+          sxy: String, syy: String): String =
+        s"greatest((${Du.wide(n)} * $syy - ${Du.wide(sy)} * $sy) * " +
+          s"($n * $sxx - $sx * $sx) - " +
+          s"(${Du.wide(n)} * $sxy - ${Du.wide(sx)} * $sy) * " +
+          s"(${Du.wide(n)} * $sxy - ${Du.wide(sx)} * $sy), " +
+          s"${Du.wide("0")})"
+      def den(n: String, sx: String, sxx: String): String =
+        s"${Du.wide(n)} * ($n * $sxx - $sx * $sx)"
+      val fText =
+        "CASE WHEN n1 IS NULL OR n2 IS NULL OR n1 + n2 < 5 " +
+          "OR denp <= 0 OR dena <= 0 OR denb <= 0 THEN NULL ELSE " +
+          s"CAST(floor(((${Du.wideToDouble("nump")} / " +
+          s"${Du.wideToDouble("denp")} - " +
+          s"${Du.wideToDouble("numa")} / ${Du.wideToDouble("dena")} - " +
+          s"${Du.wideToDouble("numb")} / ${Du.wideToDouble("denb")}) / " +
+          "CAST(2 AS DOUBLE)) / " +
+          s"((${Du.wideToDouble("numa")} / ${Du.wideToDouble("dena")} + " +
+          s"${Du.wideToDouble("numb")} / ${Du.wideToDouble("denb")}) / " +
+          "CAST(n1 + n2 - 4 AS DOUBLE)) * " +
+          "CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+      def c(col0: String, seg: Int): String =
+        s"MAX(CASE WHEN seg = $seg THEN $col0 END)"
+      s"""WITH m AS (
+         |  SELECT (year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+         |      month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |ms AS (
+         |  SELECT *, CASE WHEN mi < 36 THEN 0 ELSE 1 END AS seg
+         |  FROM m),
+         |st AS (
+         |  SELECT seg, COUNT(*) AS n, CAST(SUM(mi) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(mi * mi) AS BIGINT) AS sxx,
+         |    CAST(SUM(mi * y) AS BIGINT) AS sxy,
+         |    SUM(${Du.wide("y")} * y) AS syy_w
+         |  FROM ms GROUP BY 1),
+         |w AS (
+         |  SELECT ${c("n", 0)} AS n1, ${c("sx", 0)} AS sx1,
+         |    ${c("sy", 0)} AS sy1, ${c("sxx", 0)} AS sxx1,
+         |    ${c("sxy", 0)} AS sxy1, ${c("syy_w", 0)} AS syy1,
+         |    ${c("n", 1)} AS n2, ${c("sx", 1)} AS sx2,
+         |    ${c("sy", 1)} AS sy2, ${c("sxx", 1)} AS sxx2,
+         |    ${c("sxy", 1)} AS sxy2, ${c("syy_w", 1)} AS syy2
+         |  FROM st),
+         |l AS (
+         |  SELECT *,
+         |    ${num("(n1 + n2)", "(sx1 + sx2)", "(sy1 + sy2)",
+             "(sxx1 + sxx2)", "(sxy1 + sxy2)", "(syy1 + syy2)")}
+         |      AS nump,
+         |    ${den("(n1 + n2)", "(sx1 + sx2)", "(sxx1 + sxx2)")}
+         |      AS denp,
+         |    ${num("n1", "sx1", "sy1", "sxx1", "sxy1", "syy1")}
+         |      AS numa,
+         |    ${den("n1", "sx1", "sxx1")} AS dena,
+         |    ${num("n2", "sx2", "sy2", "sxx2", "sxy2", "syy2")}
+         |      AS numb,
+         |    ${den("n2", "sx2", "sxx2")} AS denb
+         |  FROM w),
+         |f AS (SELECT *, $fText AS f_micro FROM l)
+         |SELECT n1 + n2 AS n_months, n1, n2, f_micro,
+         |  CASE WHEN f_micro IS NULL THEN NULL
+         |    ELSE f_micro > 3111000 END AS break_95
+         |FROM f""".stripMargin
+    },
 
     "q442_equidepth_histogram" ->
       """WITH x AS (
