@@ -42,6 +42,25 @@ class BottomKSpec extends SparkSpecBase with TableDrivenPropertyChecks {
     assert(out.toSeq == Seq(("a", 1L, 2L), ("a", 2L, 4L), ("b", 7L, 6L), ("b", 9L, 5L)))
   }
 
+  test("GLOBAL top-k (empty groupCols) keeps the k smallest and the bounded-heap plan") {
+    // the no-group path eight queries ride (q396/q402/q414, q422,
+    // q428, q430, q434): the global window MUST still plan bounded —
+    // Catalyst rewrites it to TakeOrderedAndProject(limit=k) (the
+    // distributed top-k take, per-partition heaps + k-row merge), or
+    // a WindowGroupLimit heap. Without either the whole frame funnels
+    // through one task — the incident class VERDICT r5 #2 flagged.
+    val df = Seq.tabulate(200)(i => ("x", (i * 53 % 997).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    val got = BottomK.perGroup(df, Seq.empty, Seq(col("v"), col("id")), 5)
+    val expect = df.collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(identity).take(5).toSeq
+    assert(got.select("v", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq == expect)
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject(limit=5")
+      || p.contains("WindowGroupLimit"), p)
+  }
+
   test("plans as a WindowGroupLimit bounded heap, never a full window sort") {
     // the rank column is dropped inside perGroup, which is exactly
     // what keeps the rewrite alive; this pin makes a future edit that
