@@ -274,6 +274,40 @@ object Analytics3 {
       .select(explode(expr(Sp.tokens("p_name"))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n"))
 
+  /** q363 kernel over any vocab frame (t, n): all pairs within full
+    * Damerau–Levenshtein ≤ 2, classified by edit kind. Band join:
+    * every LEFT token joins its own floor(len/3) band and both
+    * neighbors. |len diff| ≤ 2 bounds |band diff| ≤ 1, but the lex
+    * pair predicate (ta < tb) is direction-agnostic w.r.t. length —
+    * the lex-smaller token can be LONGER and sit one band above tb,
+    * so a one-sided {b, b+1} explode silently drops such pairs.
+    * Exploding {b−1, b, b+1} guarantees every qualifying pair meets
+    * in ≥1 band (completeness law in `TypoPairsSpec`); distinct()
+    * collapses multi-band meetings.
+    */
+  private[graft] def typoPairs(v: DataFrame): DataFrame = {
+    val left = v.select(col("t").as("ta"), col("n").as("na"),
+      explode(expr("array(CAST(length(t) AS BIGINT) div 3 - 1, " +
+        "CAST(length(t) AS BIGINT) div 3, " +
+        "CAST(length(t) AS BIGINT) div 3 + 1)")).as("band"))
+    val right = v.select(col("t").as("tb"), col("n").as("nb"),
+      expr("CAST(length(tb) AS BIGINT) div 3").as("band"))
+    left.join(right, Seq("band"))
+      .filter(expr("ta < tb AND abs(length(ta) - length(tb)) <= 2"))
+      .withColumn("dl", expr("damerau_levenshtein(ta, tb)"))
+      .filter(expr("dl <= 2"))
+      .select("ta", "tb", "na", "nb", "dl").distinct()
+      .withColumn("ham", expr(
+        "CASE WHEN length(ta) = length(tb) THEN hamming(ta, tb) END"))
+      .withColumn("kind", expr(
+        """CASE WHEN length(ta) <> length(tb) THEN 'indel'
+          |     WHEN ham = dl THEN 'subst'
+          |     WHEN ham = 2 * dl THEN 'swap'
+          |     ELSE 'mixed' END""".stripMargin))
+      .select("ta", "tb", "dl", "ham", "kind", "na", "nb")
+      .orderBy("ta", "tb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Typo-pair mining over the part-name vocabulary with the
@@ -288,32 +322,7 @@ object Analytics3 {
     // sublinear in corpus size (Heaps), so the blocked pair count
     // stays bounded at 100 TB while the kernel itself is O(len²) on
     // token-length strings inside whole-stage codegen.
-    "q363_typo_pairs" -> { (s, d) =>
-      val v = partVocab(s, d)
-      // band join: every token joins its own band and the band above,
-      // so any pair with |len(a)−len(b)| ≤ 2 meets in ≥1 band without
-      // a non-equi condition reaching the join (bands are floor(len/3))
-      val left = v.select(col("t").as("ta"), col("n").as("na"),
-        explode(expr("array(CAST(length(t) AS BIGINT) div 3, " +
-          "CAST(length(t) AS BIGINT) div 3 + 1)")).as("band"))
-      val right = v.select(col("t").as("tb"), col("n").as("nb"),
-        expr("CAST(length(tb) AS BIGINT) div 3").as("band"))
-      left.join(right, Seq("band"))
-        .filter(expr("ta < tb AND abs(length(ta) - length(tb)) <= 2"))
-        .withColumn("dl", expr("damerau_levenshtein(ta, tb)"))
-        .filter(expr("dl <= 2"))
-        // a pair can meet in two bands; collapse before classifying
-        .select("ta", "tb", "na", "nb", "dl").distinct()
-        .withColumn("ham", expr(
-          "CASE WHEN length(ta) = length(tb) THEN hamming(ta, tb) END"))
-        .withColumn("kind", expr(
-          """CASE WHEN length(ta) <> length(tb) THEN 'indel'
-            |     WHEN ham = dl THEN 'subst'
-            |     WHEN ham = 2 * dl THEN 'swap'
-            |     ELSE 'mixed' END""".stripMargin))
-        .select("ta", "tb", "dl", "ham", "kind", "na", "nb")
-        .orderBy("ta", "tb")
-    },
+    "q363_typo_pairs" -> { (s, d) => typoPairs(partVocab(s, d)) },
 
     // Wald–Wolfowitz runs test on daily order volume vs its lower
     // median: is the above/below-median sequence random, or does
