@@ -40,9 +40,36 @@ object Verify {
     // a between-queries sweep (the r3 late-suite failure mode, which
     // would otherwise also slow the driver's correctness run).
     val cacheBudgetMB = sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_MB", "1536").toLong
+    // Flake instrumentation (round-7, q294): with SPARK_GRAFT_HASH_DUMP
+    // set, re-read each written result and print a canonical value
+    // hash (`[hash] <name> <sha256>`) — columns sorted by name, rows
+    // sorted by stringified values, mirroring the driver-compare
+    // canonicalization closely enough for RUN-TO-RUN self-comparison
+    // (the only use; never compared cross-engine). Lets repeated
+    // suite runs prove which side of a driver hash mismatch moved.
+    val hashDump = sys.env.contains("SPARK_GRAFT_HASH_DUMP")
+    def canonHash(path: String): String = {
+      val df = spark.read.parquet(path)
+      val cols = df.columns.sorted
+      val lines = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect()
+        .map { r =>
+          cols.indices.map { i =>
+            val v = r.get(i)
+            if (v == null) "\u0000null"
+            else s"${v.getClass.getSimpleName}\u0001$v"
+          }.mkString("\u0001")
+        }.sorted
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
     SparkEntry.selectQueries(only).foreach { case (name, fn) =>
-      try ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (hashDump) println(s"[hash] $name ${canonHash(s"$outDir/$name")}")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

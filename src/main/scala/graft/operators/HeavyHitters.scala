@@ -41,37 +41,62 @@ object HeavyHitters {
     require(k >= 2, s"k must be >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    // Persist the projected keys for the call: the lineage below the
+    // projection (possibly a whole pipeline) would otherwise be
+    // recomputed by BOTH scans, and the recount could see a different
+    // partitioning than the candidate pass summarized. Two scans of
+    // the persisted column is the exact-result minimum.
     val keys = df.select(col(keyCol).cast("long").as("k")).na.drop()
-    // Misra–Gries per partition: at most k-1 counters survive
-    val candidates = keys.select("k").as[Long].mapPartitions { it =>
-      val counters = new java.util.HashMap[Long, Long]()
-      it.foreach { key =>
-        val cur = counters.get(key)
-        if (cur != 0L || counters.containsKey(key)) counters.put(key, cur + 1L)
-        else if (counters.size < k - 1) counters.put(key, 1L)
-        else {
-          // decrement-all round: drop every counter by one, evict zeros
-          val del = new java.util.ArrayList[Long]()
-          val e = counters.entrySet().iterator()
-          while (e.hasNext) {
-            val en = e.next()
-            if (en.getValue == 1L) del.add(en.getKey)
-            else en.setValue(en.getValue - 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Single fused pass: Misra–Gries counters (at most k-1 survive)
+      // AND the partition's row count as a tagged side row — the total
+      // falls out of the same scan with exactly-once semantics (a
+      // LongAccumulator would double-count on task retry).
+      val summary = keys.select("k").as[Long].mapPartitions { it =>
+        val counters = new java.util.HashMap[Long, Long]()
+        var nRows = 0L
+        it.foreach { key =>
+          nRows += 1L
+          val cur = counters.get(key)
+          if (cur != 0L || counters.containsKey(key)) counters.put(key, cur + 1L)
+          else if (counters.size < k - 1) counters.put(key, 1L)
+          else {
+            // decrement-all round: drop every counter by one, evict zeros
+            val del = new java.util.ArrayList[Long]()
+            val e = counters.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) del.add(en.getKey)
+              else en.setValue(en.getValue - 1L)
+            }
+            del.forEach(counters.remove(_))
           }
-          del.forEach(counters.remove(_))
         }
-      }
-      import scala.jdk.CollectionConverters._
-      counters.keySet().asScala.iterator.map(identity)
-    }.distinct()
-    val total = keys.count()
-    // exact recount of the candidate superset only: the semi join
-    // broadcasts ≤ k·partitions keys, so the corpus never shuffles
-    keys.join(broadcast(candidates.toDF("k")), Seq("k"), "left_semi")
-      .groupBy("k").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * k > total)
-      .select(col("k").as(keyCol), col("cnt"))
-      .orderBy(col("cnt").desc, col(keyCol))
+        import scala.jdk.CollectionConverters._
+        Iterator((0, nRows)) ++
+          counters.keySet().asScala.iterator.map(key => (1, key))
+      }.toDF("tag", "v")
+        // tiny: 1 count row + ≤ k-1 candidates per partition
+        .collect()
+      val total = summary.collect { case r if r.getInt(0) == 0 => r.getLong(1) }.sum
+      val candidates = summary.collect { case r if r.getInt(0) == 1 => r.getLong(1) }
+        .distinct.toSeq
+      // exact recount of the candidate superset only: the semi join
+      // broadcasts ≤ k·partitions keys, so the corpus never shuffles
+      val out = keys
+        .join(broadcast(candidates.toDF("k")), Seq("k"), "left_semi")
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > total)
+        .select(col("k").as(keyCol), col("cnt"))
+        .orderBy(col("cnt").desc, col(keyCol))
+      // the result is provably < k rows — materialize it eagerly so
+      // the persisted keys can be released before returning (a lazy
+      // return would either leak the cache or recompute the lineage)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.collect().toIndexedSeq, 1),
+        out.schema)
+    } finally keys.unpersist(blocking = false)
   }
 
   /** The naive exact definition — the spec's oracle, never the

@@ -2019,8 +2019,10 @@ object Analytics4 {
             "CAST(1000000 AS DOUBLE)) AS BIGINT) END"))
         .select("nd", "g_micro")
         .withColumn("suspect_outlier", expr(
-          // conservative large-n two-sided critical value ≈ 4.0 for
-          // n ~ 2400 at α = 0.05 — same literal both engines
+          // deliberately LOOSER than the true two-sided α = 0.05
+          // critical value (≈ 4.25 at n ~ 2400) — a liberal screen
+          // that over-flags rather than under-flags; same literal on
+          // both engines so the verdict stays bit-exact
           "CASE WHEN g_micro IS NULL THEN NULL " +
             "ELSE g_micro > 4000000 END"))
     },

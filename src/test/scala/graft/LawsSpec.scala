@@ -266,4 +266,27 @@ class LawsSpec extends SparkSpecBase {
         s"tau=$tn/$td: missed=${(naive -- fast).take(3)} extra=${(fast -- naive).take(3)}")
     }
   }
+
+  test("set-similarity memo does not serve stale frames after the " +
+    "backing files of the same path change") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ssj_stale").toString
+    def write(ids: Seq[Long]): Unit =
+      ids.map(i => (i, Seq("a", "b", "c")))
+        .toDF("id", "els").write.mode("overwrite").parquet(dir)
+    def run(): Set[(Long, Long)] = {
+      val in = spark.read.parquet(dir)
+      graft.operators.SetSimJoin.jaccardSelfJoin(in, "id", "els", 1, 2)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    write(Seq(1L, 2L))
+    assert(run() == Set((1L, 2L)))
+    // same path, new physical files (overwrite writes fresh basenames):
+    // the plan text is identical, so a pure plan-digest key would
+    // replay the stale persisted frames and still emit (1,2)
+    write(Seq(5L, 6L, 7L))
+    assert(run() == Set((5L, 6L), (5L, 7L), (6L, 7L)),
+      "memo served stale frames for a changed file set")
+  }
 }
