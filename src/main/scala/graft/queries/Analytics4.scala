@@ -2107,6 +2107,77 @@ object Analytics4 {
           |FROM q438_orders
           |GROUP BY ALL
           |ORDER BY ALL""".stripMargin)
+    },
+
+    // SQL-surface gate: standard PIVOT (q438 discipline). Both engines
+    // accept the SQL-standard relational pivot with aliased IN values
+    // and multiple aliased aggregates, and both name the output
+    // columns <valueAlias>_<aggAlias> — but they disagree on the
+    // empty-cell convention for COUNT (Spark: NULL, DuckDB: 0), so
+    // the count lanes are COALESCEd to 0 on BOTH sides; sum cells are
+    // NULL-on-empty on both engines and ride through untouched. Scale
+    // shape: one map-side-combined aggregate over 5×3 cells.
+    "q445_pivot" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q445_orders")
+      s.sql(
+        """SELECT priority,
+          |  COALESCE(f_n, 0) AS f_n, f_cents,
+          |  COALESCE(o_n, 0) AS o_n, o_cents,
+          |  COALESCE(p_n, 0) AS p_n, p_cents
+          |FROM (
+          |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |      AS cents
+          |  FROM q445_orders)
+          |PIVOT (COUNT(*) AS n, SUM(cents) AS cents
+          |       FOR status IN ('F' AS f, 'O' AS o, 'P' AS p))
+          |ORDER BY priority""".stripMargin)
+    },
+
+    // SQL-surface gate: standard UNPIVOT — the wide→long inverse of
+    // q445, over a per-priority metrics frame. Both engines EXCLUDE
+    // NULL cells by default; every lane here is a non-null BIGINT
+    // (UNPIVOT requires one common type across the IN columns), so
+    // the default never fires and the gate pins the happy path plus
+    // the metric-name labeling both engines derive from the column
+    // identifiers as written.
+    "q446_unpivot" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q446_orders")
+      s.sql(
+        """SELECT priority, metric, val FROM (
+          |  SELECT o_orderpriority AS priority,
+          |    COUNT(*) AS n_orders,
+          |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+          |      AS BIGINT)) AS BIGINT) AS cents,
+          |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+          |  FROM q446_orders GROUP BY 1)
+          |UNPIVOT (val FOR metric IN (n_orders, cents, n_custs))
+          |ORDER BY priority, metric""".stripMargin)
+    },
+
+    // SQL-surface gate: QUALIFY — top-3 orders per customer by value.
+    // Spark 4 has no QUALIFY clause, so the Spark side is the
+    // canonical subquery-filter spelling of the same plan; the DuckDB
+    // oracle uses native QUALIFY. The rank predicate rk <= 3 under a
+    // per-customer window is the WindowGroupLimit shape (bounded
+    // per-group state, never a global sort); the tie-break
+    // (cents DESC, o_orderkey) is total, so both engines agree
+    // row-for-row.
+    "q447_qualify_topk" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q447_orders")
+      s.sql(
+        """SELECT custkey, o_orderkey, cents, rk FROM (
+          |  SELECT CAST(o_custkey AS BIGINT) AS custkey, o_orderkey,
+          |    cents,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+          |      ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rk
+          |  FROM (
+          |    SELECT o_custkey, o_orderkey,
+          |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |        AS cents
+          |    FROM q447_orders))
+          |WHERE rk <= 3
+          |ORDER BY custkey, rk""".stripMargin)
     })
 
   private def fdSqlLane(name: String, lhs: String, rhs: String): String =
@@ -3887,5 +3958,42 @@ object Analytics4 {
          |SELECT nd, g_micro,
          |  CASE WHEN g_micro IS NULL THEN NULL
          |    ELSE g_micro > 4000000 END AS suspect_outlier
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin,
+
+    "q445_pivot" ->
+      """SELECT priority,
+        |  COALESCE(f_n, 0) AS f_n, CAST(f_cents AS BIGINT) AS f_cents,
+        |  COALESCE(o_n, 0) AS o_n, CAST(o_cents AS BIGINT) AS o_cents,
+        |  COALESCE(p_n, 0) AS p_n, CAST(p_cents AS BIGINT) AS p_cents
+        |FROM (
+        |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |PIVOT (COUNT(*) AS n, SUM(cents) AS cents
+        |       FOR status IN ('F' AS f, 'O' AS o, 'P' AS p))
+        |ORDER BY priority""".stripMargin,
+
+    "q446_unpivot" ->
+      """SELECT priority, metric, val FROM (
+        |  SELECT o_orderpriority AS priority,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |  FROM orders GROUP BY 1)
+        |UNPIVOT (val FOR metric IN (n_orders, cents, n_custs))
+        |ORDER BY priority, metric""".stripMargin,
+
+    "q447_qualify_topk" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, o_orderkey, cents,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY cents DESC, o_orderkey) AS rk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |QUALIFY rk <= 3
+        |ORDER BY custkey, rk""".stripMargin)
 }
