@@ -51,6 +51,11 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // discard stream telemetry accumulated during the warm phase so
+    // each query's harvest below covers only its own timed runs
+    graft.streaming.StreamTelemetry.harvest()
+    val streamStats =
+      scala.collection.mutable.Map.empty[String, graft.streaming.StreamTelemetry.Stat]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMillis
       val sec = (1 to 3).map { _ =>
@@ -71,6 +76,13 @@ object Bench {
       val heapMB = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
       System.err.println(
         f"[bench] $name%-28s $sec%8.3f s  [storage: ${storage.length}%3d rdds ${cachedMB}%5d MB | gc: ${gcDelta}%5d ms heap: ${heapMB}%5d MB]")
+      // streaming gates: pair the min-of-3 wall time with the min-wall
+      // run's micro-batch lane breakdown (state machinery vs data
+      // volume — the round-7 drift-attribution requirement)
+      graft.streaming.StreamTelemetry.harvest().foreach { case (tag, st) =>
+        streamStats(tag) = st
+        System.err.println(s"[bench-stream] $name/$tag ${st.render}")
+      }
       // bound resident cache between queries: r3's late-suite cluster
       // (12 queries 3-9x slower, byte-identical code) was accumulated
       // cache pressure from earlier query families. LRU-evict memoized
@@ -93,8 +105,21 @@ object Bench {
     // bench_out.json.
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+    // per-gate micro-batch lanes ride along in the archive file only
+    // (never the stdout line — driver tail-capture budget)
+    val streamJson = streamStats.toSeq.sortBy(_._1).map { case (t, s) =>
+      "\"" + t + "\":{\"batches\":" + s.batches + ",\"rows\":" + s.rows +
+        ",\"wallMs\":" + s.wallMs + ",\"addBatchMs\":" + s.addBatchMs +
+        ",\"getBatchMs\":" + s.getBatchMs + ",\"planMs\":" + s.planMs +
+        ",\"walCommitMs\":" + s.walCommitMs +
+        ",\"commitOffsetsMs\":" + s.commitOffsetsMs +
+        ",\"stateRows\":" + s.stateRows + ",\"stateMemB\":" + s.stateMemB +
+        ",\"stateUpdateMs\":" + s.stateUpdateMs +
+        ",\"stateCommitMs\":" + s.stateCommitMs +
+        ",\"stateRemoveMs\":" + s.stateRemoveMs + "}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$streamJson,"sf":"$sfDir"}"""
     // Belt and braces: the driver parses the last stdout line, but two
     // rounds of bench data were lost to log-prefix wrapping — so the
     // same JSON also lands in a well-known file next to the build.

@@ -48,7 +48,17 @@ object Lifecycle {
   }
 
   private[queries] def tmpDir(tag: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    // SPARK_GRAFT_TMP_ROOT stages every gate's scratch (stream
+    // sources, sinks, checkpoints, merge targets) on one controlled
+    // volume — bench drift attribution needs the I/O lanes decoupled
+    // from whatever java.io.tmpdir happens to be backed by.
+    val p = sys.env.get("SPARK_GRAFT_TMP_ROOT") match {
+      case Some(root) =>
+        val r = java.nio.file.Paths.get(root)
+        java.nio.file.Files.createDirectories(r)
+        java.nio.file.Files.createTempDirectory(r, s"graft-$tag")
+      case None => java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    }
     scratchDirs.add(p)
     p.toString
   }

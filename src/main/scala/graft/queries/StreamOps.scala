@@ -80,22 +80,26 @@ object StreamOps {
     // cost — one stderr line, grep '\[stream\]'
     locally {
       val ps = q.recentProgress
-      val wallMs = ps.map(p => Option(p.durationMs.get("triggerExecution"))
-        .map(_.longValue).getOrElse(0L)).sum
-      val commitMs = ps.map(p => Option(p.durationMs.get("commitOffsets"))
-        .map(_.longValue).getOrElse(0L)).sum
-      val addBatchMs = ps.map(p => Option(p.durationMs.get("addBatch"))
-        .map(_.longValue).getOrElse(0L)).sum
+      def lane(key: String): Long = ps.map(p =>
+        Option(p.durationMs.get(key)).map(_.longValue).getOrElse(0L)).sum
       val rows = ps.map(_.numInputRows).sum
       val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
-      val stateRows = so.map(_.numRowsTotal).sum
-      val stateMem = so.map(_.memoryUsedBytes).sum
-      val stateCommitMs = ps.flatMap(_.stateOperators.toSeq)
-        .map(_.allUpdatesTimeMs).sum
-      System.err.println(
-        s"[stream] $tag batches=${ps.length} rows=$rows wallMs=$wallMs " +
-          s"addBatchMs=$addBatchMs commitOffsetsMs=$commitMs " +
-          s"stateRows=$stateRows stateMemB=$stateMem stateUpdateMs=$stateCommitMs")
+      val allSo = ps.flatMap(_.stateOperators.toSeq)
+      val stat = graft.streaming.StreamTelemetry.Stat(
+        batches = ps.length, rows = rows,
+        wallMs = lane("triggerExecution"),
+        addBatchMs = lane("addBatch"),
+        getBatchMs = lane("getBatch") + lane("latestOffset"),
+        planMs = lane("queryPlanning"),
+        walCommitMs = lane("walCommit"),
+        commitOffsetsMs = lane("commitOffsets"),
+        stateRows = so.map(_.numRowsTotal).sum,
+        stateMemB = so.map(_.memoryUsedBytes).sum,
+        stateUpdateMs = allSo.map(_.allUpdatesTimeMs).sum,
+        stateCommitMs = allSo.map(_.commitTimeMs).sum,
+        stateRemoveMs = allSo.map(_.allRemovalsTimeMs).sum)
+      graft.streaming.StreamTelemetry.record(tag, stat)
+      System.err.println(s"[stream] $tag ${stat.render}")
     }
     val session = q.sparkSession
     q.stop()
