@@ -16,6 +16,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // streaming gates sum telemetry over recentProgress, which
+      // Spark caps at numRecentProgressUpdates (default 100) - a
+      // probe-scaled gate can exceed 100 micro-batches and would
+      // silently undercount its lanes
+      .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -106,17 +111,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     // per-gate micro-batch lanes ride along in the archive file only
-    // (never the stdout line — driver tail-capture budget)
+    // (never the stdout line — driver tail-capture budget). Tags are
+    // builder-authored [a-z0-9] ids, but escape defensively: one
+    // stray quote must not invalidate the whole archive line.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val streamJson = streamStats.toSeq.sortBy(_._1).map { case (t, s) =>
-      "\"" + t + "\":{\"batches\":" + s.batches + ",\"rows\":" + s.rows +
-        ",\"wallMs\":" + s.wallMs + ",\"addBatchMs\":" + s.addBatchMs +
-        ",\"getBatchMs\":" + s.getBatchMs + ",\"planMs\":" + s.planMs +
-        ",\"walCommitMs\":" + s.walCommitMs +
-        ",\"commitOffsetsMs\":" + s.commitOffsetsMs +
-        ",\"stateRows\":" + s.stateRows + ",\"stateMemB\":" + s.stateMemB +
-        ",\"stateUpdateMs\":" + s.stateUpdateMs +
-        ",\"stateCommitMs\":" + s.stateCommitMs +
-        ",\"stateRemoveMs\":" + s.stateRemoveMs + "}"
+      jstr(t) + ":" + s.json
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$streamJson,"sf":"$sfDir"}"""

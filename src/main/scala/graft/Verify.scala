@@ -15,6 +15,11 @@ object Verify {
       // usable timestamp min/max stats — q183's window planning and
       // every sidecar timeRange depend on it
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // streaming gates sum telemetry over recentProgress, which
+      // Spark caps at numRecentProgressUpdates (default 100) - a
+      // probe-scaled gate can exceed 100 micro-batches and would
+      // silently undercount its lanes
+      .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

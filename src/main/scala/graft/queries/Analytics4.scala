@@ -1898,8 +1898,11 @@ object Analytics4 {
     // Wald–Wolfowitz runs-up-and-down test on daily order counts
     // (regime check on the SIGNS OF SUCCESSIVE DIFFERENCES — q364
     // tests runs above/below the median, a different null): zero
-    // diffs drop, R runs against E[R]=(2n−1)/3 and Var=(16n−29)/90,
-    // one shared sqrt text.
+    // diffs drop, R runs against E[R]=(2N−1)/3 and Var=(16N−29)/90
+    // where N = OBSERVATIONS = nd + 1 (nd below counts the nonzero
+    // diffs, one fewer than the points they connect), so in nd the
+    // moments read E[R]=(2nd+1)/3 and Var=(16nd−13)/90 — one shared
+    // sqrt text.
     "q440_runs_updown" -> { (s, d) =>
       val day = Tables.orders(s, d)
         .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
@@ -1916,10 +1919,10 @@ object Analytics4 {
             "CASE WHEN prev_sg IS NULL OR sg <> prev_sg THEN 1 " +
               "ELSE 0 END")), lit(0L))).as("r_runs"))
       runs.withColumn("z_micro", expr(
-          "CASE WHEN nd < 2 OR 16 * nd - 29 <= 0 THEN NULL ELSE " +
-            "CAST(floor(CAST(3 * r_runs - 2 * nd + 1 AS DOUBLE) / " +
+          "CASE WHEN nd < 2 OR 16 * nd - 13 <= 0 THEN NULL ELSE " +
+            "CAST(floor(CAST(3 * r_runs - 2 * nd - 1 AS DOUBLE) / " +
             "CAST(3 AS DOUBLE) * sqrt(CAST(90 AS DOUBLE) / " +
-            "CAST(16 * nd - 29 AS DOUBLE)) * " +
+            "CAST(16 * nd - 13 AS DOUBLE)) * " +
             "CAST(1000000 AS DOUBLE)) AS BIGINT) END"))
         .withColumn("reject_95", expr(
           "CASE WHEN z_micro IS NULL THEN NULL " +
@@ -3788,10 +3791,10 @@ object Analytics4 {
         |      AS r_runs
         |  FROM rr),
         |z AS (
-        |  SELECT *, CASE WHEN nd < 2 OR 16 * nd - 29 <= 0 THEN NULL
-        |    ELSE CAST(floor(CAST(3 * r_runs - 2 * nd + 1 AS DOUBLE) /
+        |  SELECT *, CASE WHEN nd < 2 OR 16 * nd - 13 <= 0 THEN NULL
+        |    ELSE CAST(floor(CAST(3 * r_runs - 2 * nd - 1 AS DOUBLE) /
         |      CAST(3 AS DOUBLE) * sqrt(CAST(90 AS DOUBLE) /
-        |      CAST(16 * nd - 29 AS DOUBLE)) *
+        |      CAST(16 * nd - 13 AS DOUBLE)) *
         |      CAST(1000000 AS DOUBLE)) AS BIGINT) END AS z_micro
         |  FROM agg)
         |SELECT nd, r_runs, z_micro,

@@ -97,7 +97,12 @@ object StreamOps {
         stateMemB = so.map(_.memoryUsedBytes).sum,
         stateUpdateMs = allSo.map(_.allUpdatesTimeMs).sum,
         stateCommitMs = allSo.map(_.commitTimeMs).sum,
-        stateRemoveMs = allSo.map(_.allRemovalsTimeMs).sum)
+        stateRemoveMs = allSo.map(_.allRemovalsTimeMs).sum,
+        // recentProgress is a ring capped at numRecentProgressUpdates;
+        // at the cap the oldest batches were evicted and every summed
+        // lane above is an UNDERcount — flag, never silently truncate
+        truncated = ps.length >= q.sparkSession.conf
+          .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt)
       graft.streaming.StreamTelemetry.record(tag, stat)
       System.err.println(s"[stream] $tag ${stat.render}")
     }

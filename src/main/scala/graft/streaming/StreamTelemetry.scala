@@ -32,13 +32,24 @@ object StreamTelemetry {
       batches: Int, rows: Long, wallMs: Long, addBatchMs: Long,
       getBatchMs: Long, planMs: Long, walCommitMs: Long,
       commitOffsetsMs: Long, stateRows: Long, stateMemB: Long,
-      stateUpdateMs: Long, stateCommitMs: Long, stateRemoveMs: Long) {
+      stateUpdateMs: Long, stateCommitMs: Long, stateRemoveMs: Long,
+      truncated: Boolean = false) {
+    /** THE lane list — the stderr render and Bench's archived JSON
+      * both derive from it, so a new lane can't silently exist in one
+      * surface and not the other. */
+    def lanes: Seq[(String, Long)] = Seq(
+      "batches" -> batches.toLong, "rows" -> rows, "wallMs" -> wallMs,
+      "addBatchMs" -> addBatchMs, "getBatchMs" -> getBatchMs,
+      "planMs" -> planMs, "walCommitMs" -> walCommitMs,
+      "commitOffsetsMs" -> commitOffsetsMs, "stateRows" -> stateRows,
+      "stateMemB" -> stateMemB, "stateUpdateMs" -> stateUpdateMs,
+      "stateCommitMs" -> stateCommitMs, "stateRemoveMs" -> stateRemoveMs,
+      "truncated" -> (if (truncated) 1L else 0L))
     def render: String =
-      s"batches=$batches rows=$rows wallMs=$wallMs addBatchMs=$addBatchMs " +
-        s"getBatchMs=$getBatchMs planMs=$planMs walCommitMs=$walCommitMs " +
-        s"commitOffsetsMs=$commitOffsetsMs stateRows=$stateRows " +
-        s"stateMemB=$stateMemB stateUpdateMs=$stateUpdateMs " +
-        s"stateCommitMs=$stateCommitMs stateRemoveMs=$stateRemoveMs"
+      lanes.map { case (k, v) => s"$k=$v" }.mkString(" ")
+    def json: String =
+      lanes.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
   }
 
   private val runs = TrieMap.empty[String, Vector[Stat]]

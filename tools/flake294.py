@@ -36,9 +36,9 @@ NAME = "q294_stratified_alloc"
 
 def canon_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(
-        tuple(r[i] for i in order) for r in rows
-    )
+    # sort only via the type-tagged key: raw tuples with NULLs or
+    # mixed types are not orderable in py3
+    canon = [tuple(r[i] for i in order) for r in rows]
     key = [tuple((v is None, str(type(v)), str(v)) for v in t) for t in canon]
     key.sort()
     h = hashlib.sha256()

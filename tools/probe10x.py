@@ -25,7 +25,9 @@ import pyarrow.parquet as pq
 
 SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/probe10x")
-COPIES = 10
+# optional third arg: replication factor (default 10; 100 for the
+# round-7 hundred-x wave)
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 OFFSETS = {  # table -> columns shifted by copy_index * stride
     "lineitem": ["l_orderkey"],

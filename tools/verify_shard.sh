@@ -2,9 +2,11 @@
 # Sharded full-suite Verify for the dev loop (round-7 item: a full
 # 444-query sweep is the round's unit of feedback; one sequential
 # JVM takes ~6 min wall).  Splits the query list across N parallel
-# Verify JVMs (separate out dirs, separate derby metastores so the
-# embedded catalogs don't collide), then runs one check.py over the
-# merged output.
+# plain-java Verify JVMs (concurrent sbt invocations in one project
+# dir race the zinc analysis — so sbt runs exactly once up front to
+# compile and export the classpath, and the shards are `java -cp`),
+# each with its own out dir and derby home, then runs one check.py
+# over the merged output.
 #
 # Usage: tools/verify_shard.sh [N_SHARDS] [SF_DIR] [OUT_ROOT]
 # Env:   SPARK_GRAFT_SHARD_CPUS (per-shard threads, default 8)
@@ -15,34 +17,45 @@ OUT=${3:-/tmp/verify_shard}
 CPUS=${SPARK_GRAFT_SHARD_CPUS:-8}
 cd "$(dirname "$0")/.."
 
-# one compile up front so parallel sbt invocations don't race the
-# incremental compiler; runMain below reuses the warm target dir
-sbt -batch compile >/dev/null 2>&1 || { echo "compile failed"; exit 1; }
+# one sbt invocation: compile + runtime classpath (last stdout line)
+CP=$(sbt -batch "export Runtime/fullClasspath" 2>/dev/null | tail -1)
+case "$CP" in
+  */classes*) ;;
+  *) echo "classpath export failed: $CP"; exit 1 ;;
+esac
 
-# query list from the compiled classes (no SparkSession needed)
-ALL=$(sbt -batch "runMain graft.tools.ListQueries" 2>/dev/null \
+ALL=$(java -cp "$CP" graft.tools.ListQueries 2>/dev/null \
   | awk '/^qname /{print $2}' | sort -u)
 if [ -z "$ALL" ]; then echo "ListQueries produced nothing"; exit 1; fi
 TOTAL=$(echo "$ALL" | wc -l)
 echo "sharding $TOTAL queries across $N JVMs x $CPUS cpus"
 
 rm -rf "$OUT"; mkdir -p "$OUT"
-i=0
 PIDS=()
 for shard in $(seq 0 $((N - 1))); do
   LIST=$(echo "$ALL" | awk -v n="$N" -v s="$shard" 'NR % n == s' | paste -sd,)
   (
     SPARK_GRAFT_ONLY="$LIST" SPARK_GRAFT_CPUS=$CPUS \
-    sbt -batch \
-      -Dderby.system.home="$OUT/derby_$shard" \
-      "runMain graft.Verify $SF $OUT/out_$shard" \
+    java -cp "$CP" \
+      --add-exports=java.base/sun.nio.ch=ALL-UNNAMED \
+      --add-opens=java.base/java.lang=ALL-UNNAMED \
+      --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+      --add-opens=java.base/java.util=ALL-UNNAMED \
+      --add-opens=java.base/java.nio=ALL-UNNAMED \
+      --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+      -Xmx12g -Dderby.system.home="$OUT/derby_$shard" \
+      graft.Verify "$SF" "$OUT/out_$shard" \
       > "$OUT/shard_$shard.log" 2>&1
   ) &
   PIDS+=($!)
 done
 FAIL=0
 for p in "${PIDS[@]}"; do wait "$p" || FAIL=1; done
-[ $FAIL -ne 0 ] && echo "WARNING: a shard JVM exited non-zero (see $OUT/shard_*.log)"
+if [ $FAIL -ne 0 ]; then
+  echo "ERROR: a shard JVM exited non-zero (see $OUT/shard_*.log);"
+  echo "missing shards would surface as spurious check.py failures."
+  exit 1
+fi
 
 # merge: every shard wrote the full oracle_sql.json; results union
 MERGED="$OUT/merged"; mkdir -p "$MERGED"
