@@ -1,0 +1,409 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.PortableSql
+import graft.plans.GlobalOrder
+
+/** Round-7 analytics inventory: inequality/concentration measures,
+  * probabilistic-forecast evaluation, exact-dyadic smoothing,
+  * resampling without randomness, higher moments, and Katz
+  * centrality. Same determinism contract as [[Analytics]]–
+  * [[Analytics4]]: integer lanes end-to-end, ANSI zero-denominator
+  * guards mirrored on both engines, sign split before any integer
+  * division whose numerator can be negative, floats only through
+  * shared fixed-op-order texts over exact sums.
+  *
+  * Reference behavior: pydala2 exposes none of these — they extend
+  * the training-data-pipeline stack (SURVEY.md "beyond the
+  * reference").
+  */
+object Analytics5 {
+
+  private val Du = PortableSql.Duck
+  private val Sp = PortableSql.Spark
+
+  /** The exact cents lane (the Analytics2–4 CentsF convention). */
+  private val CentsF =
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Daily orders rollup shared by the smoothing/resampling queries:
+    * calendar-bounded (~2.4k rows at ANY data scale — the heavy
+    * lifting is the map-side orders→day combine).
+    */
+  private def dayFrame(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(count(lit(1)).as("nd"), sum(expr(CentsF)).as("sd"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Lorenz curve + exact Gini over per-customer revenue: customers
+    // ranked ascending by (cents, custkey) through GlobalOrder (NEVER
+    // a single-partition window — the customer frame is row-scale),
+    // rank and cumulative revenue in ONE running-sums pass, deciles by
+    // integer rank split, Gini from the rank-weighted sum identity
+    // G = (2·Σrank·x − (n+1)·Σx) / (n·Σx) — numerator non-negative
+    // under ascending order, so the wide integer division needs no
+    // sign split. The concentration profile every training-data
+    // budget allocation starts from.
+    "q449_lorenz_gini" -> { (s, d) =>
+      val cust = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(sum(expr(CentsF)).as("cents"))
+      val ranked = GlobalOrder.withRunningSums(
+        cust, Seq(col("cents"), col("o_custkey")), col("cents"),
+        Seq(lit(1L).as("one") -> "rk", col("cents") -> "cum"))
+      val tot = ranked.agg(
+        max("rk").cast("long").as("n"),
+        sum("cents").as("s"),
+        sum(expr(s"${Sp.wide("rk")} * cents")).as("a_w"))
+      val gini = tot.select(
+        col("n"), col("s"),
+        expr("CASE WHEN n = 0 OR s = 0 THEN NULL ELSE " +
+          s"CAST(${Sp.intDiv(
+            s"(2 * ${Sp.wide("a_w")} - (CAST(n AS DECIMAL(38,0)) + 1) * s) * 1000000",
+            s"(CAST(n AS DECIMAL(38,0)) * s)")} AS BIGINT) END").as("gini_micro"))
+      ranked
+        .crossJoin(broadcast(gini))
+        .withColumn("decile", expr("CAST(((rk - 1) * 10) div n AS BIGINT)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("cents").as("cents_d"),
+          max("cum").as("cum_cents"),
+          max("s").as("s_tot"), max("gini_micro").as("g_mic"))
+        .withColumn("share_milli",
+          expr("CASE WHEN s_tot = 0 THEN NULL " +
+            "ELSE cum_cents * 1000 div s_tot END"))
+        .select(col("decile"), col("n_cust"), col("cents_d"),
+          col("cum_cents"), col("share_milli"),
+          col("g_mic").as("gini_micro"))
+        .orderBy("decile")
+    },
+
+    // Brier-score decomposition (Murphy): forecast = per-priority
+    // P(status F) learned on the pre-1995 TRAIN split quantized to
+    // milli, evaluated on the 1995+ TEST split. brier = reliability −
+    // resolution + uncertainty over the 5 priority bins; every lane
+    // is an exact integer on the milli grid (quantization makes the
+    // identity hold only to the grid — stated, not hidden). The
+    // calibration companion to the ECE/lift gates.
+    "q450_brier_decomposition" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"),
+          expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END").as("y"),
+          expr("CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' " +
+            "THEN 1 ELSE 0 END").as("is_train"))
+      val grp = o.groupBy("g").agg(
+        sum(expr("is_train")).as("n_tr"),
+        sum(expr("is_train * y")).as("pos_tr"),
+        sum(expr("1 - is_train")).as("n_te"),
+        sum(expr("(1 - is_train) * y")).as("pos_te"))
+        .filter(col("n_tr") > 0 && col("n_te") > 0)
+        .withColumn("p_milli", expr("pos_tr * 1000 div n_tr"))
+        .withColumn("o_milli", expr("pos_te * 1000 div n_te"))
+      grp.agg(
+          sum("n_te").as("n_test"), sum("pos_te").as("pos_test"),
+          sum(expr("pos_te * (1000 - p_milli) * (1000 - p_milli) + " +
+            "(n_te - pos_te) * p_milli * p_milli")).as("brier_s"),
+          sum(expr("n_te * (p_milli - o_milli) * (p_milli - o_milli)"))
+            .as("rel_s"),
+          sum(expr("n_te * o_milli * o_milli")).as("so2"))
+        .withColumn("obar_milli", expr("pos_test * 1000 div n_test"))
+        .select(col("n_test"), col("obar_milli"),
+          expr("brier_s div n_test").as("brier_micro"),
+          expr("rel_s div n_test").as("rel_micro"),
+          // resolution = Σn(o_g−ō)²/n = Σn·o_g²/n − ō² on the grid
+          expr("(so2 div n_test) - obar_milli * obar_milli")
+            .as("res_micro"),
+          expr("obar_milli * (1000 - obar_milli)").as("unc_micro"))
+    },
+
+    // EWMA with EXACT dyadic weights: α = 1/2 truncated at 20 lags,
+    // so weight(gap) = 2^(19−gap) on the 2^20 scale and every lane is
+    // an exact integer — no float recurrence, no libm. The window
+    // rides a BROADCAST bounded non-equi self-join of the calendar
+    // day frame (the q353 discipline: bounded frames broadcast, never
+    // Cartesian); gaps in the calendar contribute nothing on either
+    // engine because the weight indexes CALENDAR distance. Truncation
+    // bias < 2^-20 of the peak — beneath the milli output grid.
+    "q451_ewma_dyadic" -> { (s, d) =>
+      val day = dayFrame(s, d).select(col("day"), col("nd").as("y"))
+      val hist = day.select(col("day").as("d2"), col("y").as("y2"))
+      day.join(broadcast(hist),
+          expr("datediff(day, d2) BETWEEN 0 AND 19"))
+        .withColumn("w", expr(
+          "CAST(power(CAST(2 AS DOUBLE), CAST(19 - datediff(day, d2) " +
+            "AS DOUBLE)) AS BIGINT)"))
+        .groupBy("day")
+        .agg(max(expr("CASE WHEN d2 = day THEN y END")).as("y"),
+          count(lit(1)).as("n_lags"),
+          sum(expr("y2 * w")).as("ewma_s"))
+        .withColumn("ewma_milli", expr("ewma_s * 1000 div 1048576"))
+        .select("day", "y", "n_lags", "ewma_s", "ewma_milli")
+        .orderBy("day")
+    },
+
+    // Jackknife for the ratio estimator (average order value =
+    // Σcents/Σorders) with DAYS as the resampling unit — the exact,
+    // randomness-free resampling: every leave-one-day-out replicate
+    // is a closed form over the totals, so the whole jackknife is one
+    // day rollup + one pass over ~2.4k replicates. Replicates are
+    // quantized to micro before the variance lane (stated grid);
+    // var_micro2 = (n−1)·(n·ΣR² − (ΣR)²) / n² in wide integers.
+    "q452_jackknife_ratio" -> { (s, d) =>
+      val day = dayFrame(s, d)
+      val tot = day.agg(count(lit(1)).as("n_days"),
+        sum("nd").as("n_all"), sum("sd").as("s_all"))
+      val reps = day.crossJoin(broadcast(tot))
+        .filter(expr("n_all > nd"))
+        .withColumn("r_i", expr(Sp.intDiv(
+          s"${Sp.wide("(s_all - sd)")} * 1000000", "(n_all - nd)")))
+      reps.agg(
+          count(lit(1)).as("n"),
+          max(expr(s"${Sp.intDiv(s"${Sp.wide("s_all")} * 1000000", "n_all")}"))
+            .as("r_w"),
+          sum(expr(Sp.wide("r_i"))).as("sr_w"),
+          sum(expr(s"${Sp.wide("r_i")} * r_i")).as("sr2_w"))
+        .select(
+          col("n").as("n_days"),
+          expr(s"CAST(r_w AS BIGINT)").as("r_micro"),
+          expr(s"CAST(${Sp.intDiv("sr_w", "n")} AS BIGINT)")
+            .as("jk_mean_micro"),
+          // variance in micro² overflows BIGINT (and its integer
+          // quotient overflows the LONG that IntegralDivide returns)
+          // — surface the standard error as sqrt(wide numerator)/n in
+          // ONE shared float text: the numerator is non-negative by
+          // Cauchy–Schwarz (wideToDouble precondition), sqrt and the
+          // single divide are correctly rounded on both engines
+          expr("CAST(floor(sqrt(" + Sp.wideToDouble(
+            s"((CAST(n AS DECIMAL(38,0)) - 1) * " +
+              s"(CAST(n AS DECIMAL(38,0)) * sr2_w - sr_w * sr_w))") +
+            ") / CAST(n AS DOUBLE)) AS BIGINT)")
+            .as("jk_se_micro"))
+    },
+
+    // Excess kurtosis per return flag from exact decimal power sums
+    // s1..s4 (the q58 moment discipline extended one order): one
+    // map-side-combined shuffle, then the double math happens once
+    // per group on the exact sums through ONE shared fixed-op-order
+    // text — g2 = m4/m2² − 3 with central moments expanded about the
+    // raw sums. l_quantity's DECIMAL(4,0) lane keeps s4 ≤ 50⁴·n,
+    // exact far past 100 TB.
+    "q453_kurtosis" -> { (s, d) =>
+      val QDec = "CAST(l_quantity AS DECIMAL(4,0))"
+      val mean = "(CAST(s1 AS DOUBLE) / n)"
+      val m2 = s"(CAST(s2 AS DOUBLE) / n - $mean * $mean)"
+      val m4 = s"(CAST(s4 AS DOUBLE) / n - 4 * $mean * (CAST(s3 AS DOUBLE) / n) + " +
+        s"6 * $mean * $mean * (CAST(s2 AS DOUBLE) / n) - " +
+        s"3 * $mean * $mean * $mean * $mean)"
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr(QDec)).as("s1"),
+          sum(expr(s"$QDec * $QDec")).as("s2"),
+          sum(expr(s"$QDec * $QDec * $QDec")).as("s3"),
+          sum(expr(s"$QDec * $QDec * $QDec * $QDec")).as("s4"))
+        .selectExpr("l_returnflag", "n",
+          s"CASE WHEN n < 2 OR $m2 <= 0 THEN NULL ELSE " +
+            s"CAST(floor(($m4 / ($m2 * $m2) - 3) * CAST(1000000 AS DOUBLE)) " +
+            "AS BIGINT) END AS kurt_micro")
+        .orderBy("l_returnflag")
+    },
+
+    // Katz centrality on the undirected part↔supplier supply graph:
+    // 3 rounds of the path-counting recurrence c ← Σ_in (10⁶ + c) div
+    // 16 (attenuation α = 1/16 as an exact integer division — both
+    // engines truncate identically on the non-negative lane), so
+    // c counts α-discounted walks of length ≤ 3 in ppm. Same
+    // join+agg-per-round shape as PageRank (q113) — each round is one
+    // shuffle on the edge key; the oracle unrolls the identical three
+    // rounds. HONEST CEILING: c grows like (deg/16)³·10⁶ — BIGINT
+    // holds to in-degrees ~10⁵ per node; denser graphs need a larger
+    // attenuation denominator or the DECIMAL(38,0) lane.
+    "q454_katz_centrality" -> { (s, d) =>
+      val f = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst")).distinct()
+      val e = f.union(f.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val nodes = e.select(col("src").as("node")).distinct()
+      var c = nodes.withColumn("c", lit(0L))
+      for (_ <- 1 to 3) {
+        val flow = e.join(c.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("(1000000 + c) div 16")).as("fl"))
+        c = nodes.join(flow, Seq("node"), "left")
+          .withColumn("c", coalesce(col("fl"), lit(0L)))
+          .select("node", "c")
+          .localCheckpoint(eager = false)
+      }
+      c.select(col("node"), col("c").as("katz_ppm")).orderBy("node")
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q449_lorenz_gini" ->
+      s"""WITH cust AS (
+         |  SELECT o_custkey, CAST(SUM($CentsF) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |rk AS (
+         |  SELECT cents,
+         |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk,
+         |    CAST(SUM(cents) OVER (ORDER BY cents, o_custkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM cust),
+         |tot AS (
+         |  SELECT CAST(MAX(rk) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         |    CAST(SUM(CAST(rk AS HUGEINT) * cents) AS HUGEINT) AS a_w
+         |  FROM rk),
+         |g AS (
+         |  SELECT n, s, CASE WHEN n = 0 OR s = 0 THEN NULL ELSE
+         |    CAST(((2 * a_w - (CAST(n AS HUGEINT) + 1) * s) * 1000000) //
+         |      (CAST(n AS HUGEINT) * s) AS BIGINT) END AS gini_micro
+         |  FROM tot)
+         |SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS decile,
+         |  COUNT(*) AS n_cust,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_d,
+         |  CAST(MAX(cum) AS BIGINT) AS cum_cents,
+         |  CASE WHEN MAX(s) = 0 THEN NULL
+         |    ELSE CAST(MAX(cum) * 1000 // MAX(s) AS BIGINT) END AS share_milli,
+         |  MAX(gini_micro) AS gini_micro
+         |FROM rk CROSS JOIN g
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q450_brier_decomposition" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS g,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |      THEN 1 ELSE 0 END AS is_train
+        |  FROM orders),
+        |grp AS (
+        |  SELECT g, CAST(SUM(is_train) AS BIGINT) AS n_tr,
+        |    CAST(SUM(is_train * y) AS BIGINT) AS pos_tr,
+        |    CAST(SUM(1 - is_train) AS BIGINT) AS n_te,
+        |    CAST(SUM((1 - is_train) * y) AS BIGINT) AS pos_te
+        |  FROM o GROUP BY 1),
+        |q AS (
+        |  SELECT *, pos_tr * 1000 // n_tr AS p_milli,
+        |    pos_te * 1000 // n_te AS o_milli
+        |  FROM grp WHERE n_tr > 0 AND n_te > 0),
+        |agg AS (
+        |  SELECT CAST(SUM(n_te) AS BIGINT) AS n_test,
+        |    CAST(SUM(pos_te) AS BIGINT) AS pos_test,
+        |    CAST(SUM(pos_te * (1000 - p_milli) * (1000 - p_milli) +
+        |      (n_te - pos_te) * p_milli * p_milli) AS BIGINT) AS brier_s,
+        |    CAST(SUM(n_te * (p_milli - o_milli) * (p_milli - o_milli))
+        |      AS BIGINT) AS rel_s,
+        |    CAST(SUM(n_te * o_milli * o_milli) AS BIGINT) AS so2
+        |  FROM q)
+        |SELECT n_test, pos_test * 1000 // n_test AS obar_milli,
+        |  brier_s // n_test AS brier_micro,
+        |  rel_s // n_test AS rel_micro,
+        |  (so2 // n_test) -
+        |    (pos_test * 1000 // n_test) * (pos_test * 1000 // n_test)
+        |    AS res_micro,
+        |  (pos_test * 1000 // n_test) *
+        |    (1000 - pos_test * 1000 // n_test) AS unc_micro
+        |FROM agg""".stripMargin,
+
+    "q451_ewma_dyadic" ->
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    COUNT(*) AS y
+        |  FROM orders GROUP BY 1)
+        |SELECT a.day, CAST(MAX(CASE WHEN b.day = a.day THEN b.y END)
+        |    AS BIGINT) AS y,
+        |  COUNT(*) AS n_lags,
+        |  CAST(SUM(b.y * CAST(power(CAST(2 AS DOUBLE),
+        |    CAST(19 - (a.day - b.day) AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS ewma_s,
+        |  CAST(SUM(b.y * CAST(power(CAST(2 AS DOUBLE),
+        |    CAST(19 - (a.day - b.day) AS DOUBLE)) AS BIGINT)) * 1000
+        |    // 1048576 AS BIGINT) AS ewma_milli
+        |FROM day a JOIN day b ON a.day - b.day BETWEEN 0 AND 19
+        |GROUP BY a.day ORDER BY a.day""".stripMargin,
+
+    "q452_jackknife_ratio" ->
+      s"""WITH day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS nd,
+         |    CAST(SUM($CentsF) AS BIGINT) AS sd
+         |  FROM orders GROUP BY 1),
+         |tot AS (
+         |  SELECT COUNT(*) AS n_days, CAST(SUM(nd) AS BIGINT) AS n_all,
+         |    CAST(SUM(sd) AS BIGINT) AS s_all
+         |  FROM day),
+         |reps AS (
+         |  SELECT (CAST(s_all - sd AS HUGEINT) * 1000000) // (n_all - nd)
+         |      AS r_i,
+         |    n_days, n_all, s_all
+         |  FROM day CROSS JOIN tot WHERE n_all > nd),
+         |agg AS (
+         |  SELECT COUNT(*) AS n,
+         |    MAX((CAST(s_all AS HUGEINT) * 1000000) // n_all) AS r_w,
+         |    CAST(SUM(r_i) AS HUGEINT) AS sr_w,
+         |    CAST(SUM(r_i * r_i) AS HUGEINT) AS sr2_w
+         |  FROM reps)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  CAST(r_w AS BIGINT) AS r_micro,
+         |  CAST(sr_w // n AS BIGINT) AS jk_mean_micro,
+         |  CAST(floor(sqrt(${Du.wideToDouble(
+           "((CAST(n AS HUGEINT) - 1) * " +
+             "(CAST(n AS HUGEINT) * sr2_w - sr_w * sr_w))")}) /
+         |    CAST(n AS DOUBLE)) AS BIGINT) AS jk_se_micro
+         |FROM agg""".stripMargin,
+
+    "q453_kurtosis" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(4,0))) AS s1,
+        |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
+        |        CAST(l_quantity AS DECIMAL(4,0))) AS s2,
+        |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
+        |        CAST(l_quantity AS DECIMAL(4,0)) *
+        |        CAST(l_quantity AS DECIMAL(4,0))) AS s3,
+        |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
+        |        CAST(l_quantity AS DECIMAL(4,0)) *
+        |        CAST(l_quantity AS DECIMAL(4,0)) *
+        |        CAST(l_quantity AS DECIMAL(4,0))) AS s4
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n < 2 OR
+        |    (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) *
+        |     (CAST(s1 AS DOUBLE) / n)) <= 0 THEN NULL ELSE
+        |  CAST(floor(((CAST(s4 AS DOUBLE) / n -
+        |    4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) +
+        |    6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) *
+        |      (CAST(s2 AS DOUBLE) / n) -
+        |    3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) *
+        |      (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) /
+        |    ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) *
+        |      (CAST(s1 AS DOUBLE) / n)) *
+        |     (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) *
+        |      (CAST(s1 AS DOUBLE) / n))) - 3) *
+        |    CAST(1000000 AS DOUBLE)) AS BIGINT) END AS kurt_micro
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q454_katz_centrality" ->
+      """WITH f AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |c0 AS (SELECT node, CAST(0 AS BIGINT) AS c FROM nodes),
+        |i1 AS (SELECT e.dst AS node, SUM((1000000 + c0.c) // 16) AS fl
+        |       FROM c0 JOIN e ON c0.node = e.src GROUP BY e.dst),
+        |c1 AS (SELECT nodes.node, CAST(COALESCE(i1.fl, 0) AS BIGINT) AS c
+        |       FROM nodes LEFT JOIN i1 ON nodes.node = i1.node),
+        |i2 AS (SELECT e.dst AS node, SUM((1000000 + c1.c) // 16) AS fl
+        |       FROM c1 JOIN e ON c1.node = e.src GROUP BY e.dst),
+        |c2 AS (SELECT nodes.node, CAST(COALESCE(i2.fl, 0) AS BIGINT) AS c
+        |       FROM nodes LEFT JOIN i2 ON nodes.node = i2.node),
+        |i3 AS (SELECT e.dst AS node, SUM((1000000 + c2.c) // 16) AS fl
+        |       FROM c2 JOIN e ON c2.node = e.src GROUP BY e.dst),
+        |c3 AS (SELECT nodes.node, CAST(COALESCE(i3.fl, 0) AS BIGINT) AS c
+        |       FROM nodes LEFT JOIN i3 ON nodes.node = i3.node)
+        |SELECT node, c AS katz_ppm FROM c3 ORDER BY node""".stripMargin)
+}

@@ -182,13 +182,58 @@ object TextOps {
     * memoized: five queries (candidates, jaccard, components, keep,
     * edit-distance) start from exactly this frame.
     */
-  private def candPairs(s: SparkSession, dir: String): DataFrame =
-    Tables.memo(s, s"$dir#candpairs") {
+  /** (doc_id, rep) — exact-duplicate classes by FULL SHINGLE SET
+    * (the sorted set array itself as the class key: exact, no
+    * hash-collision risk — the SetSimJoin discipline). Identical sets
+    * give identical minhashes, hence identical LSH bucket membership
+    * AND identical verify counts, so one representative can stand in
+    * for the whole class during candidate generation and
+    * verification. Band-key-signature equality would NOT suffice —
+    * a true near-duplicate pair can collide on every band while the
+    * sets differ (observed at sf0.01: an all-8-band collision at
+    * Jaccard 0.974). The round-7 100× probe measured why the
+    * collapse must exist: 100-deep exact clone clusters made the
+    * band self-join pay clones² per bucket (q30: 0.45 s → 71.8 s);
+    * collapsed, the join sees one rep per class and the clones
+    * reappear only in the OUTPUT-linear expansion.
+    */
+  private def docClasses(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, s"$dir#docclasses") {
+      val sig = shingleRows(s, dir)
+        .select(col("doc_id"), expr("sort_array(sh)").as("sig"))
+      val rep = sig.groupBy("sig").agg(min("doc_id").as("rep"))
+      sig.join(rep, "sig").select("doc_id", "rep")
+    }
+
+  /** LSH candidate pairs BETWEEN representatives (ra < rb). */
+  private def repCandPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, s"$dir#repcandpairs") {
+      val reps = docClasses(s, dir)
+        .filter(col("doc_id") === col("rep")).select("rep")
       val e = bandKeyRows(s, dir)
+        .join(reps, col("doc_id") === col("rep")).drop("rep")
       e.as("x").join(e.as("y"),
           col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
         .distinct()
+    }
+
+  private def candPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, s"$dir#candpairs") {
+      val cls = docClasses(s, dir)
+      // same-class members always share every bucket; cross-class
+      // member pairs are candidates iff their reps are (identical
+      // bucket membership) — both expansions are output-linear row
+      // joins, never a per-bucket clones² blowup
+      val within = cls.as("m1").join(cls.as("m2"), "rep")
+        .filter(col("m1.doc_id") < col("m2.doc_id"))
+        .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"))
+      val cross = repCandPairs(s, dir)
+        .join(cls.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+        .join(cls.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"))
+      within.unionAll(cross)
     }
 
   /** Marker-score columns + deterministic argmax prediction (shared by
@@ -494,14 +539,34 @@ object TextOps {
     },
 
     // Jaccard-scored dedup over LSH candidates: O(candidates), not O(n²).
+    // Exact Jaccard over the LSH candidate pairs, with the verify
+    // computed ONCE per representative pair and inherited by every
+    // member pair (identical shingle sets give identical counts —
+    // the round-7 100× probe measured the per-member-pair verify at
+    // clones²·|set| array intersections; inheritance makes it one
+    // intersect per rep pair plus output-linear row joins).
     "q30_dedup_jaccard" -> { (s, dir) =>
-      val cand = candPairs(s, dir)
+      val cls = docClasses(s, dir)
       val shs = shingleRows(s, dir)
-      cand
-        .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      val repVals = repCandPairs(s, dir)
+        .join(shs.as("sa"), col("ra") === col("sa.doc_id"))
+        .join(shs.as("sb"), col("rb") === col("sb.doc_id"))
         .withColumn("n_inter", expr(s"size(${S.arrIntersect("sa.sh", "sb.sh")})").cast("long"))
         .withColumn("n_union", expr("size(sa.sh) + size(sb.sh)").cast("long") - col("n_inter"))
+        .select("ra", "rb", "n_inter", "n_union")
+      val cross = repVals
+        .join(cls.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+        .join(cls.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("n_inter"), col("n_union"))
+      val within = cls.as("m1").join(cls.as("m2"), "rep")
+        .filter(col("m1.doc_id") < col("m2.doc_id"))
+        .join(shs.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),
+          expr("CAST(size(sh) AS BIGINT)").as("n_inter"),
+          expr("CAST(size(sh) AS BIGINT)").as("n_union"))
+      within.unionAll(cross)
         .withColumn("jaccard", expr("CAST(n_inter AS DOUBLE) / n_union"))
         .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
         .orderBy("doc_a", "doc_b")

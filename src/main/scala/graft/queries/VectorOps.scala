@@ -585,6 +585,41 @@ object VectorOps {
         .orderBy("qid")
     },
 
+    // Retrieval eval: MRR@10 companion to q340's NDCG — reciprocal
+    // rank of the FIRST same-label neighbor in the exact top-10,
+    // scaled by 2520 = lcm(1..10) so every reciprocal is an exact
+    // integer (the q340/q152 scaled-integer discipline; queries with
+    // no relevant neighbor in the window score 0 via the left join).
+    // Same WindowGroupLimit top-k substrate as q340.
+    "q448_knn_mrr" -> { (s, dir) =>
+      val rrW =
+        "CASE frank WHEN 1 THEN 2520 WHEN 2 THEN 1260 WHEN 3 THEN 840 " +
+          "WHEN 4 THEN 630 WHEN 5 THEN 504 WHEN 6 THEN 420 WHEN 7 THEN 360 " +
+          "WHEN 8 THEN 315 WHEN 9 THEN 280 WHEN 10 THEN 252 ELSE 0 END"
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("lab"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
+      val top10 = knnExactPairs(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+      val firstRel = top10
+        .join(labels.select(col("vec_id").as("qid"), col("lab").as("qlab")),
+          "qid")
+        .join(labels.select(col("vec_id").as("nb"), col("lab").as("nlab")),
+          "nb")
+        .filter(col("qlab") === col("nlab"))
+        .groupBy("qid").agg(min("rank").as("frank"))
+      Tables.embeddings(s, dir).select(col("vec_id").as("qid"))
+        .filter(col("qid") < 20)
+        .join(firstRel, Seq("qid"), "left")
+        .withColumn("first_rel_rank", col("frank"))
+        .withColumn("rr_s",
+          expr(s"CASE WHEN frank IS NULL THEN 0 ELSE $rrW END")
+            .cast("long"))
+        .select("qid", "first_rel_rank", "rr_s")
+        .orderBy("qid")
+    },
+
     // ANN evaluation: recall@5 of the LSH index against the exact
     // brute-force top-5 — the metric that calibrates the planes /
     // nprobe knobs before trusting the index at scale. Queries whose
@@ -1251,6 +1286,37 @@ object VectorOps {
          |  CASE WHEN idcg_s = 0 THEN NULL
          |    ELSE dcg_s * 1000 // idcg_s END AS ndcg_milli
          |FROM f ORDER BY qid""".stripMargin,
+
+    "q448_knn_mrr" ->
+      s"""WITH jx AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         |    ${D.cosine("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |rx AS (
+         |  SELECT qid, nb,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC)
+         |      AS rank
+         |  FROM jx),
+         |t AS (SELECT qid, nb, rank FROM rx WHERE rank <= 10),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+         |  FROM embeddings),
+         |fr AS (
+         |  SELECT t.qid, CAST(MIN(rank) AS BIGINT) AS frank
+         |  FROM t
+         |  JOIN lab ql ON t.qid = ql.vec_id
+         |  JOIN lab nl ON t.nb = nl.vec_id
+         |  WHERE ql.lab = nl.lab
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS qid, fr.frank AS first_rel_rank,
+         |  CAST(COALESCE(CASE fr.frank WHEN 1 THEN 2520 WHEN 2 THEN 1260
+         |    WHEN 3 THEN 840 WHEN 4 THEN 630 WHEN 5 THEN 504
+         |    WHEN 6 THEN 420 WHEN 7 THEN 360 WHEN 8 THEN 315
+         |    WHEN 9 THEN 280 WHEN 10 THEN 252 ELSE 0 END, 0) AS BIGINT)
+         |    AS rr_s
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) q
+         |LEFT JOIN fr ON q.vec_id = fr.qid
+         |ORDER BY qid""".stripMargin,
 
     "q86_knn_recall" ->
       s"""WITH jx AS (
