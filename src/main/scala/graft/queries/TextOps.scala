@@ -948,6 +948,71 @@ object TextOps {
         .orderBy("lang", "pred_lang")
     },
 
+    // Matthews correlation of the language-ID marker classifier on
+    // the binary en-vs-rest task — the chance-robust single-number
+    // companion to q88's confusion matrix and the kappa gate. The
+    // numerator is sign-split around the shared sqrt text
+    // (tp·tn − fp·fn can be negative; wideToDouble needs
+    // non-negative input); the denominator is a product of four
+    // marginals in the DECIMAL(38,0) lane — HONEST CEILING: exact to
+    // ~3·10⁹ rows per cell, beyond which the product passes 10³⁸ and
+    // the marginals must pre-scale.
+    "q455_mcc" -> { (s, dir) =>
+      val mccF = "CASE WHEN den_w = 0 THEN NULL WHEN num_w >= 0 THEN " +
+        s"CAST(floor(${S.wideToDouble("num_w")} * CAST(1000000 AS DOUBLE) / " +
+        s"sqrt(${S.wideToDouble("den_w")})) AS BIGINT) ELSE " +
+        s"-CAST(floor(${S.wideToDouble("(-num_w)")} * CAST(1000000 AS DOUBLE) / " +
+        s"sqrt(${S.wideToDouble("den_w")})) AS BIGINT) END"
+      langScored(s, dir)
+        .select(expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").as("a"),
+          expr("CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END").as("p"))
+        .agg(sum(expr("a * p")).as("tp"),
+          sum(expr("(1 - a) * p")).as("fp"),
+          sum(expr("a * (1 - p)")).as("fn"),
+          sum(expr("(1 - a) * (1 - p)")).as("tn"))
+        .withColumn("num_w",
+          expr(s"${S.wide("tp")} * tn - ${S.wide("fp")} * fn"))
+        .withColumn("den_w", expr(
+          s"${S.wide("(tp + fp)")} * (tp + fn) * (tn + fp) * (tn + fn)"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr(mccF).as("mcc_micro"))
+    },
+
+    // ROUGE-L over the LSH candidate pairs: longest common
+    // subsequence of the two docs' first-12-token prefixes, the
+    // whole O(12²) DP inside ONE nested-fold expression (the q411
+    // DTW discipline — array accumulator = DP row, sequential within
+    // a pair, data-parallel across the pair frame). Candidates ride
+    // the collapsed candPairs substrate, so clone clusters cost
+    // output rows, not clones² DP runs.
+    "q456_rouge_l" -> { (s, dir) =>
+      val pre = docsWithToks(s, dir).filter(expr("size(toks) >= 12"))
+        .select(col("doc_id"), expr("slice(toks, 1, 12)").as("tp"))
+      val initRow =
+        "aggregate(sequence(1, 12), cast(array() as array<bigint>), " +
+          "(row, j) -> concat(row, array(greatest(" +
+          "if(j > 1, element_at(row, j - 1), 0L), " +
+          "if(element_at(ta, 1) = element_at(tb, j), 1L, 0L)))))"
+      val dp =
+        s"aggregate(sequence(2, 12), $initRow, " +
+          "(acc, i) -> aggregate(sequence(1, 12), " +
+          "cast(array() as array<bigint>), " +
+          "(row, j) -> concat(row, array(greatest(" +
+          "element_at(acc, j), " +
+          "if(j > 1, element_at(row, j - 1), 0L), " +
+          "if(element_at(ta, i) = element_at(tb, j), " +
+          "if(j > 1, element_at(acc, j - 1), 0L) + 1L, 0L))))))"
+      candPairs(s, dir)
+        .join(pre.select(col("doc_id").as("doc_a"), col("tp").as("ta")),
+          "doc_a")
+        .join(pre.select(col("doc_id").as("doc_b"), col("tp").as("tb")),
+          "doc_b")
+        .withColumn("lcs", expr(s"element_at($dp, 12)"))
+        .withColumn("rouge_l_milli", expr("lcs * 2000 div 24"))
+        .select("doc_a", "doc_b", "lcs", "rouge_l_milli")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Content-defined chunk dedup: hash-gated chunk boundaries
     // (a token whose portable hash ≡ 0 mod 31 ends a chunk, so
     // boundaries survive insertions/deletions — the rsync/CDC trick),
@@ -2124,6 +2189,77 @@ object TextOps {
          | CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
          | CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE) AS frac
          |FROM c ORDER BY lang, pred_lang""".stripMargin,
+
+    "q455_mcc" ->
+      s"""$duckBase,
+         |$duckLangCtes,
+         |b2 AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END AS pd
+         |  FROM p),
+         |cm AS (
+         |  SELECT CAST(SUM(a * pd) AS BIGINT) AS tp,
+         |    CAST(SUM((1 - a) * pd) AS BIGINT) AS fp,
+         |    CAST(SUM(a * (1 - pd)) AS BIGINT) AS fn,
+         |    CAST(SUM((1 - a) * (1 - pd)) AS BIGINT) AS tn
+         |  FROM b2),
+         |lanes AS (
+         |  SELECT *, CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+         |      AS num_w,
+         |    CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn)
+         |      AS den_w
+         |  FROM cm)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN den_w = 0 THEN NULL WHEN num_w >= 0 THEN
+         |    CAST(floor(${D.wideToDouble("num_w")} *
+         |      CAST(1000000 AS DOUBLE) /
+         |      sqrt(${D.wideToDouble("den_w")})) AS BIGINT) ELSE
+         |    -CAST(floor(${D.wideToDouble("(-num_w)")} *
+         |      CAST(1000000 AS DOUBLE) /
+         |      sqrt(${D.wideToDouble("den_w")})) AS BIGINT) END AS mcc_micro
+         |FROM lanes""".stripMargin,
+
+    "q456_rouge_l" -> {
+      val initRow =
+        """list_reduce(
+          |      list_prepend([]::BIGINT[],
+          |        list_transform(range(1, 13), j -> [j]::BIGINT[])),
+          |      (row, jx) -> list_append(row, CAST(greatest(
+          |        CASE WHEN jx[1] > 1 THEN row[jx[1] - 1] ELSE 0 END,
+          |        CASE WHEN ta[1] = tb[jx[1]] THEN 1 ELSE 0 END)
+          |        AS BIGINT)))""".stripMargin
+      val dp =
+        s"""list_reduce(
+           |    list_prepend(
+           |      $initRow,
+           |      list_transform(range(2, 13), i -> [i]::BIGINT[])),
+           |    (acc, x) -> list_reduce(
+           |      list_prepend([]::BIGINT[],
+           |        list_transform(range(1, 13), j -> [j]::BIGINT[])),
+           |      (row, jx) -> list_append(row, CAST(greatest(
+           |        acc[jx[1]],
+           |        CASE WHEN jx[1] > 1 THEN row[jx[1] - 1] ELSE 0 END,
+           |        CASE WHEN ta[x[1]] = tb[jx[1]] THEN
+           |          (CASE WHEN jx[1] > 1 THEN acc[jx[1] - 1] ELSE 0 END) + 1
+           |        ELSE 0 END) AS BIGINT))))[12]""".stripMargin
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |pre AS (SELECT doc_id, toks[1:12] AS tp FROM base
+         |  WHERE ${D.size("toks")} >= 12),
+         |px AS (
+         |  SELECT cand.doc_a, cand.doc_b, a.tp AS ta, b.tp AS tb
+         |  FROM cand
+         |  JOIN pre a ON cand.doc_a = a.doc_id
+         |  JOIN pre b ON cand.doc_b = b.doc_id),
+         |r AS (SELECT doc_a, doc_b, $dp AS lcs FROM px)
+         |SELECT doc_a, doc_b, lcs, lcs * 2000 // 24 AS rouge_l_milli
+         |FROM r ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q91_cdc_chunks" ->
       s"""$duckBase,
