@@ -211,6 +211,30 @@ object Analytics5 {
         .orderBy("l_returnflag")
     },
 
+    // Incremental aggregate maintenance gate: the per-status revenue
+    // rollup is maintained by DeltaAgg.merge under a mixed change set
+    // (1997+ orders arrive as inserts; every 13th pre-1997 order is
+    // retracted) WITHOUT rescanning the base — the oracle recomputes
+    // the same rollup directly over the updated row set, so the gate
+    // pins the z-set identity state ⊕ Δ ≡ recompute, zero-crossing
+    // groups included. Cost shape: one aggregate over the change set
+    // + one state-sized join; never O(base).
+    "q457_delta_agg" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("status"), expr(CentsF).as("cents"),
+          col("o_orderdate"), col("o_orderkey"))
+      val base = o.filter(expr("o_orderdate < TIMESTAMP '1997-01-01'"))
+      val ins = o.filter(expr("o_orderdate >= TIMESTAMP '1997-01-01'"))
+        .withColumn("op", lit(1))
+      val dels = base.filter(expr("o_orderkey % 13 = 0"))
+        .withColumn("op", lit(-1))
+      val state = graft.operators.DeltaAgg.fromBase(
+        base, Seq("status"), "cents")
+      graft.operators.DeltaAgg.merge(
+          state, ins.unionByName(dels), Seq("status"), "cents", "op")
+        .orderBy("status")
+    },
+
     // Katz centrality on the undirected part↔supplier supply graph:
     // 3 rounds of the path-counting recurrence c ← Σ_in (10⁶ + c) div
     // 16 (attenuation α = 1/16 as an exact integer division — both
@@ -385,6 +409,17 @@ object Analytics5 {
         |      (CAST(s1 AS DOUBLE) / n))) - 3) *
         |    CAST(1000000 AS DOUBLE)) AS BIGINT) END AS kurt_micro
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q457_delta_agg" ->
+      s"""WITH upd AS (
+         |  SELECT o_orderstatus AS status,
+         |    $CentsF AS cents
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |     OR o_orderkey % 13 <> 0)
+         |SELECT status, COUNT(*) AS n_rows,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM upd GROUP BY 1 ORDER BY status""".stripMargin,
 
     "q454_katz_centrality" ->
       """WITH f AS (

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DeltaAgg
+
+/** DeltaAgg law: merging signed changes into a maintained state must
+  * equal a full recompute over (base ∖ retractions) ⊎ inserts as a
+  * multiset of groups — including NULL group keys, zero-crossing
+  * groups (all rows retracted → group disappears), and brand-new
+  * groups arriving only in the delta.
+  */
+class DeltaAggSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def groupSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("k1", "k2", "n_rows", "sum_v").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2),
+        r.getLong(3))).toSet
+
+  test("merge ≡ recompute on random data with null keys, " +
+    "disappearing groups, and delta-only groups") {
+    val rnd = new scala.util.Random(77)
+    def key(): (Integer, String) = (
+      if (rnd.nextInt(10) == 0) null
+      else Integer.valueOf(rnd.nextInt(5)),
+      if (rnd.nextInt(10) == 0) null else s"g${rnd.nextInt(4)}")
+    val base = Seq.fill(400) { val (a, b) = key(); (a, b, rnd.nextInt(100).toLong) }
+      .toDF("k1", "k2", "v")
+    // retract a deterministic subset of EXACT base rows; insert fresh
+    // rows including a key combo absent from the base
+    val dels = base.filter(expr("v % 7 = 0"))
+      .withColumn("op", lit(-1))
+    val ins = (Seq.fill(80) { val (a, b) = key(); (a, b, rnd.nextInt(100).toLong) } :+
+      ((Integer.valueOf(99), "fresh", 5L)))
+      .toDF("k1", "k2", "v").withColumn("op", lit(1))
+    val changes = dels.unionByName(ins)
+
+    val state = DeltaAgg.fromBase(base, Seq("k1", "k2"), "v")
+    val merged = DeltaAgg.merge(state, changes, Seq("k1", "k2"), "v", "op")
+
+    // recompute: base minus the retracted multiset, plus inserts.
+    // dels retracts each selected row once; base rows are distinct
+    // multiset members, so an anti-join on all columns removes
+    // exactly the retracted OCCURRENCES here because v%7=0 selects
+    // whole equal-row classes either way.
+    val kept = base.filter(expr("v % 7 <> 0"))
+    val updated = kept.unionByName(ins.drop("op"))
+    val want = DeltaAgg.fromBase(updated, Seq("k1", "k2"), "v")
+
+    assert(groupSet(merged) == groupSet(want),
+      s"missing=${(groupSet(want) -- groupSet(merged)).take(3)} " +
+        s"extra=${(groupSet(merged) -- groupSet(want)).take(3)}")
+  }
+
+  test("retracting every row of a group removes the group") {
+    val base = Seq((1, "a", 10L), (1, "a", 20L), (2, "b", 5L))
+      .toDF("k1", "k2", "v")
+    val changes = Seq((1, "a", 10L, -1), (1, "a", 20L, -1))
+      .toDF("k1", "k2", "v", "op")
+    val out = DeltaAgg.merge(
+      DeltaAgg.fromBase(base, Seq("k1", "k2"), "v"),
+      changes, Seq("k1", "k2"), "v", "op")
+    assert(out.count() == 1L)
+    assert(out.select("k1").as[Int].head() == 2)
+  }
+
+  test("merge is incremental-composition-consistent: " +
+    "two batches ≡ one combined batch") {
+    val base = Seq((1, "a", 3L), (2, "b", 4L)).toDF("k1", "k2", "v")
+    val b1 = Seq((1, "a", 7L, 1), (2, "b", 4L, -1)).toDF("k1", "k2", "v", "op")
+    val b2 = Seq((3, "c", 9L, 1), (1, "a", 3L, -1)).toDF("k1", "k2", "v", "op")
+    val st = DeltaAgg.fromBase(base, Seq("k1", "k2"), "v")
+    val twoStep = DeltaAgg.merge(
+      DeltaAgg.merge(st, b1, Seq("k1", "k2"), "v", "op"),
+      b2, Seq("k1", "k2"), "v", "op")
+    val oneStep = DeltaAgg.merge(st, b1.unionByName(b2),
+      Seq("k1", "k2"), "v", "op")
+    assert(groupSet(twoStep) == groupSet(oneStep))
+  }
+}
