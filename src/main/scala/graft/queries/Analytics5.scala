@@ -235,6 +235,102 @@ object Analytics5 {
         .orderBy("status")
     },
 
+    // Count-min sketch, portable: a d=4 × w=64 counter matrix from
+    // the shared md5-lane hash (both engines build the IDENTICAL
+    // matrix — the sketch is an aggregation, so it shuffles d·w cells
+    // regardless of key-space size), probed for ten keys against
+    // their exact counts. The overcount column pins the CMS guarantee
+    // est ≥ exact row by row; the matrix itself is mergeable by cell
+    // addition (partial aggregation IS the merge).
+    "q458_countmin" -> { (s, d) =>
+      val keys = Tables.events(s, d)
+        .select(col("user_id").cast("long").as("k")).na.drop()
+      val bExpr = (src: String) =>
+        s"${Sp.hash64(s"concat('cms', CAST(j AS STRING), ':', CAST($src AS STRING))")} % 64"
+      val cells = keys
+        .select(col("k"), explode(expr("sequence(0, 3)")).as("j"))
+        .withColumn("b", expr(bExpr("k")))
+        .groupBy("j", "b").agg(count(lit(1)).as("c"))
+      keys.groupBy("k").agg(count(lit(1)).as("n_exact"))
+        .filter(col("k") <= 10)
+        .select(col("k"), col("n_exact"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .withColumn("b", expr(bExpr("k")))
+        .join(cells, Seq("j", "b"))
+        .groupBy("k", "n_exact").agg(min("c").as("n_est"))
+        .withColumn("overcount", col("n_est") - col("n_exact"))
+        .select(col("k").as("user_id"), col("n_exact"), col("n_est"),
+          col("overcount"))
+        .orderBy("user_id")
+    },
+
+    // SQL-surface gate: GROUPING() under ROLLUP (the q445/q446
+    // discipline) — subtotal rows are distinguishable from genuine
+    // NULL groups only through GROUPING flags, and both engines agree
+    // on flag values and subtotal NULL placement.
+    "q459_grouping_flags" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q459_orders")
+      s.sql(
+        """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+          |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+          |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+          |    AS BIGINT)) AS BIGINT) AS cents
+          |FROM q459_orders
+          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+          |ORDER BY g_s, g_p, status NULLS FIRST, priority NULLS FIRST"""
+          .stripMargin)
+    },
+
+    // SQL-surface gate: regexp_extract group capture — shared name,
+    // shared no-match convention (empty string, not NULL) on both
+    // engines; the pattern stays in the RE2∩Java-regex common subset.
+    "q460_regexp_extract" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q460_orders")
+      s.sql(
+        """SELECT regexp_extract(o_orderpriority, '([0-9]+)', 1)
+          |    AS prio_digit,
+          |  regexp_extract(o_orderstatus, '([0-9]+)', 1) AS status_digit,
+          |  COUNT(*) AS n
+          |FROM q460_orders
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
+    // SQL-surface gate: bitwise aggregates (bit_and / bit_or /
+    // bit_xor) over the event-id lanes per type — both engines name
+    // and define them identically; xor doubles as a cheap
+    // order-insensitive checksum at scale.
+    "q461_bit_aggs" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("q461_events")
+      s.sql(
+        """SELECT event_type,
+          |  CAST(bit_and(event_id) AS BIGINT) AS all_and,
+          |  CAST(bit_or(event_id) AS BIGINT) AS all_or,
+          |  CAST(bit_xor(event_id) AS BIGINT) AS all_xor,
+          |  COUNT(*) AS n
+          |FROM q461_events
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // SQL-surface gate: TRY_CAST — NULL (never error) on malformed
+    // input AND on numeric overflow, identically on both engines;
+    // the overflow lane exercises double→BIGINT far past 2⁶³.
+    "q462_try_cast" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q462_orders")
+      s.sql(
+        """SELECT o_orderpriority AS priority,
+          |  COUNT(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
+          |    AS n_digit_ok,
+          |  CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
+          |    AS BIGINT) AS digit_sum,
+          |  COUNT(TRY_CAST(o_orderstatus AS INTEGER)) AS n_status_ok,
+          |  COUNT(TRY_CAST(o_totalprice * 1e15 AS BIGINT)) AS n_overflow_ok,
+          |  COUNT(*) AS n
+          |FROM q462_orders
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // Katz centrality on the undirected part↔supplier supply graph:
     // 3 rounds of the path-counting recurrence c ← Σ_in (10⁶ + c) div
     // 16 (attenuation α = 1/16 as an exact integer division — both
@@ -409,6 +505,70 @@ object Analytics5 {
         |      (CAST(s1 AS DOUBLE) / n))) - 3) *
         |    CAST(1000000 AS DOUBLE)) AS BIGINT) END AS kurt_micro
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q458_countmin" -> {
+      val bDu = (src: String) =>
+        s"${Du.hash64(s"'cms' || CAST(j AS VARCHAR) || ':' || CAST($src AS VARCHAR)")} % 64"
+      s"""WITH keys AS (
+         |  SELECT CAST(user_id AS BIGINT) AS k FROM events
+         |  WHERE user_id IS NOT NULL),
+         |js AS (SELECT unnest(range(0, 4)) AS j),
+         |cells AS (
+         |  SELECT j, ${bDu("k")} AS b, COUNT(*) AS c
+         |  FROM keys CROSS JOIN js GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT k, COUNT(*) AS n_exact FROM keys GROUP BY 1
+         |  HAVING k <= 10),
+         |pj AS (
+         |  SELECT p.k, p.n_exact, js.j, ${bDu("p.k")} AS b
+         |  FROM probes p CROSS JOIN js)
+         |SELECT pj.k AS user_id, pj.n_exact,
+         |  CAST(MIN(cells.c) AS BIGINT) AS n_est,
+         |  CAST(MIN(cells.c) - pj.n_exact AS BIGINT) AS overcount
+         |FROM pj JOIN cells ON pj.j = cells.j AND pj.b = cells.b
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
+
+    "q459_grouping_flags" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_s, g_p, status NULLS FIRST, priority NULLS FIRST"""
+        .stripMargin,
+
+    "q460_regexp_extract" ->
+      """SELECT regexp_extract(o_orderpriority, '([0-9]+)', 1)
+        |    AS prio_digit,
+        |  regexp_extract(o_orderstatus, '([0-9]+)', 1) AS status_digit,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q461_bit_aggs" ->
+      """SELECT event_type,
+        |  CAST(bit_and(event_id) AS BIGINT) AS all_and,
+        |  CAST(bit_or(event_id) AS BIGINT) AS all_or,
+        |  CAST(bit_xor(event_id) AS BIGINT) AS all_xor,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q462_try_cast" ->
+      """SELECT o_orderpriority AS priority,
+        |  COUNT(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
+        |    AS n_digit_ok,
+        |  CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
+        |    AS BIGINT) AS digit_sum,
+        |  COUNT(TRY_CAST(o_orderstatus AS INTEGER)) AS n_status_ok,
+        |  COUNT(TRY_CAST(o_totalprice * 1e15 AS BIGINT)) AS n_overflow_ok,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q457_delta_agg" ->
       s"""WITH upd AS (
