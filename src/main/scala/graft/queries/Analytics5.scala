@@ -315,7 +315,10 @@ object Analytics5 {
 
     // SQL-surface gate: TRY_CAST — NULL (never error) on malformed
     // input AND on numeric overflow, identically on both engines;
-    // the overflow lane exercises double→BIGINT far past 2⁶³.
+    // the overflow lane exercises double→BIGINT far past 2⁶³ on a
+    // 0.1% row subset — TryCast pays a caught exception per failing
+    // row, so an every-row-overflow lane would cost seconds at sf0.1
+    // (measured) and minutes at scale.
     "q462_try_cast" -> { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("q462_orders")
       s.sql(
@@ -325,10 +328,134 @@ object Analytics5 {
           |  CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
           |    AS BIGINT) AS digit_sum,
           |  COUNT(TRY_CAST(o_orderstatus AS INTEGER)) AS n_status_ok,
-          |  COUNT(TRY_CAST(o_totalprice * 1e15 AS BIGINT)) AS n_overflow_ok,
+          |  COUNT(TRY_CAST(o_totalprice * CASE WHEN o_orderkey % 1000 = 0
+          |    THEN 1e15 ELSE 1.0 END AS BIGINT)) AS n_overflow_ok,
           |  COUNT(*) AS n
           |FROM q462_orders
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // Feature co-activation (Gram) matrix of the embedding corpus on
+    // the q196 quantization grid: G[i,j] = Σ_vec q_i·q_j for i ≤ j —
+    // the PCA/whitening substrate as ONE map-side-combinable
+    // aggregation. The per-vector expand emits d(d+1)/2 = 2080 cells
+    // but the combiner collapses to 2080 running sums per partition,
+    // so the shuffle is O(partitions·d²) regardless of corpus size.
+    "q463_embed_gram" -> { (s, d) =>
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("qi", expr("CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)"))
+        .select("vec_id", "i", "qi")
+      q.as("a").join(q.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(expr("a.qi * b.qi")).as("g"),
+          count(lit(1)).as("n_vec"))
+        .select(expr("CAST(i AS BIGINT)").as("i"),
+          expr("CAST(j AS BIGINT)").as("j"), col("g"), col("n_vec"))
+        .orderBy("i", "j")
+    },
+
+    // Poisson overdispersion (index-of-dispersion) test on daily
+    // order counts: D = s²/x̄ with z = (D−1)·√((n−1)/2) — regime
+    // volatility makes counts overdispersed even when the mean trend
+    // is flat. Numerator n·Σx²−S²−(n−1)·S is an exact integer
+    // (sign-split: underdispersion is real), the single float tail is
+    // one shared text over the wide lanes.
+    "q464_dispersion" -> { (s, d) =>
+      val zText = (nm: String) =>
+        s"CAST(floor(${Sp.wideToDouble(nm)} / " +
+          s"${Sp.wideToDouble("(CAST(nd AS DECIMAL(38,0)) - 1) * s1")} * " +
+          "sqrt(CAST(nd - 1 AS DOUBLE) / CAST(2 AS DOUBLE)) * " +
+          "CAST(1000000 AS DOUBLE)) AS BIGINT)"
+      dayFrame(s, d).select(col("nd").as("x"))
+        .agg(count(lit(1)).as("nd"), sum("x").as("s1"),
+          sum(expr("x * x")).as("s2"))
+        .withColumn("num_w", expr(
+          s"${Sp.wide("nd")} * s2 - ${Sp.wide("s1")} * s1 - " +
+            s"(${Sp.wide("nd")} - 1) * s1"))
+        .withColumn("z_micro", expr(
+          "CASE WHEN nd < 2 OR s1 <= 0 THEN NULL " +
+            s"WHEN num_w >= 0 THEN ${zText("num_w")} " +
+            s"ELSE -${zText("(-num_w)")} END"))
+        .select(col("nd").as("n_days"), col("s1").as("n_orders"),
+          col("z_micro"),
+          expr("CASE WHEN z_micro IS NULL THEN NULL " +
+            "ELSE z_micro > 1644854 END").as("overdispersed_95"))
+    },
+
+    // Spearman footrule distance between the 1995 and 1996 part
+    // revenue rankings: Σ|rank₉₅ − rank₉₆| over parts present both
+    // years, normalized against the maximum ⌊m²/2⌋. Ranks are per-
+    // year GlobalOrder running counts (parts are row-scale — never a
+    // single-partition window); ties broken by part key so both
+    // engines rank identically. The rank-agreement companion to the
+    // Kendall τ gates.
+    "q465_footrule" -> { (s, d) =>
+      def yearRank(yr: Int): DataFrame = {
+        val cents = Tables.lineitem(s, d)
+          .filter(expr(s"year(l_shipdate) = $yr"))
+          .groupBy("l_partkey")
+          .agg(sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+        GlobalOrder.withRunningSum(cents,
+          Seq(col("cents"), col("l_partkey")), col("cents"),
+          lit(1L).as("one"), s"rk")
+          .select(col("l_partkey"), col("rk"))
+      }
+      val a = yearRank(1995).withColumnRenamed("rk", "rk_a")
+      val b = yearRank(1996).withColumnRenamed("rk", "rk_b")
+      a.join(b, "l_partkey")
+        .agg(count(lit(1)).as("m"),
+          sum(expr("abs(rk_a - rk_b)")).as("footrule"))
+        .withColumn("max_fr", expr("m * m div 2"))
+        .withColumn("agree_milli", expr(
+          "CASE WHEN max_fr = 0 THEN NULL " +
+            "ELSE (max_fr - footrule) * 1000 div max_fr END"))
+        .select("m", "footrule", "max_fr", "agree_milli")
+    },
+
+    // CUPED variance reduction (the standard A/B pre-period
+    // adjustment): per-user pre-period event count as covariate x,
+    // post-period value sum as metric y, arms by user-id parity.
+    // θ = cov(x,y)/var(x) from POOLED exact moment lanes; each arm's
+    // adjusted mean ȳ_a − θ(x̄_a − x̄) is ONE fixed-op-order float
+    // text over the integer sums (covariance sign-split through the
+    // non-negative wide-to-double lane; var(x) ≥ 0 needs none).
+    "q466_cuped" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val u = ev.groupBy(col("user_id").cast("long").as("uid")).agg(
+        sum(expr("CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END"))
+          .as("x"),
+        coalesce(sum(expr(
+          "CASE WHEN ts >= TIMESTAMP '2024-01-16' " +
+            s"THEN ${Analytics2.VMilliF} ELSE 0 END")), lit(0L)).as("y"))
+        .withColumn("arm", expr("uid % 2"))
+      val pooled = u.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr(s"${Sp.wide("x")} * y")).as("sxy_w"))
+      val thetaD = // θ as a double subexpression (sign-split cov)
+        s"((CASE WHEN ${Sp.wide("n")} * sxy_w - ${Sp.wide("sx")} * sy >= 0 " +
+          s"THEN ${Sp.wideToDouble(s"(${Sp.wide("n")} * sxy_w - ${Sp.wide("sx")} * sy)")} " +
+          s"ELSE -${Sp.wideToDouble(s"(${Sp.wide("sx")} * sy - ${Sp.wide("n")} * sxy_w)")} END) / " +
+          s"${Sp.wideToDouble(s"(${Sp.wide("n")} * sxx - ${Sp.wide("sx")} * sx)")})"
+      u.groupBy("arm").agg(count(lit(1)).as("n_a"),
+          sum("x").as("sx_a"), sum("y").as("sy_a"))
+        .crossJoin(broadcast(pooled))
+        .withColumn("ybar_micro", expr(
+          s"CAST(${Sp.intDiv(s"${Sp.wide("sy_a")} * 1000000", "n_a")} AS BIGINT)"))
+        .withColumn("adj_micro", expr(
+          s"CASE WHEN n_a = 0 OR ${Sp.wide("n")} * sxx - ${Sp.wide("sx")} * sx <= 0 " +
+            "THEN NULL ELSE " +
+            "CAST(floor((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - " +
+            s"$thetaD * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * " +
+            "CAST(1000000 AS DOUBLE)) AS BIGINT) END"))
+        .select(col("arm").cast("long").as("arm"), col("n_a"),
+          col("sx_a"), col("sy_a"), col("ybar_micro"), col("adj_micro"))
+        .orderBy("arm")
     },
 
     // Katz centrality on the undirected part↔supplier supply graph:
@@ -506,6 +633,111 @@ object Analytics5 {
         |    CAST(1000000 AS DOUBLE)) AS BIGINT) END AS kurt_micro
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
+    "q466_cuped" -> {
+      val thetaD =
+        s"((CASE WHEN CAST(n AS HUGEINT) * sxy_w - CAST(sx AS HUGEINT) * sy >= 0 " +
+          s"THEN ${Du.wideToDouble("(CAST(n AS HUGEINT) * sxy_w - CAST(sx AS HUGEINT) * sy)")} " +
+          s"ELSE -${Du.wideToDouble("(CAST(sx AS HUGEINT) * sy - CAST(n AS HUGEINT) * sxy_w)")} END) / " +
+          s"${Du.wideToDouble("(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)")})"
+      s"""WITH u AS (
+         |  SELECT CAST(user_id AS BIGINT) AS uid,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT)
+         |      ELSE 0 END), 0) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |ua AS (SELECT *, uid % 2 AS arm FROM u),
+         |pooled AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy_w
+         |  FROM ua),
+         |arms AS (
+         |  SELECT arm, COUNT(*) AS n_a, CAST(SUM(x) AS BIGINT) AS sx_a,
+         |    CAST(SUM(y) AS BIGINT) AS sy_a
+         |  FROM ua GROUP BY 1)
+         |SELECT CAST(arm AS BIGINT) AS arm, n_a, sx_a, sy_a,
+         |  CAST((CAST(sy_a AS HUGEINT) * 1000000) // n_a AS BIGINT)
+         |    AS ybar_micro,
+         |  CASE WHEN n_a = 0 OR
+         |      CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
+         |    THEN NULL ELSE
+         |    CAST(floor((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+         |      $thetaD * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT) END AS adj_micro
+         |FROM arms CROSS JOIN pooled
+         |ORDER BY arm""".stripMargin
+    },
+
+    "q463_embed_gram" ->
+      """WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0)
+        |      AS BIGINT) AS qi
+        |  FROM embeddings)
+        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |  CAST(SUM(a.qi * b.qi) AS BIGINT) AS g,
+        |  COUNT(*) AS n_vec
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q464_dispersion" -> {
+      val zText = (nm: String) =>
+        s"CAST(floor(${Du.wideToDouble(nm)} / " +
+          s"${Du.wideToDouble("(CAST(nd AS HUGEINT) - 1) * s1")} * " +
+          "sqrt(CAST(nd - 1 AS DOUBLE) / CAST(2 AS DOUBLE)) * " +
+          "CAST(1000000 AS DOUBLE)) AS BIGINT)"
+      s"""WITH day AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+         |  FROM orders GROUP BY 1),
+         |agg AS (
+         |  SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS s1,
+         |    CAST(SUM(x * x) AS BIGINT) AS s2
+         |  FROM day),
+         |lanes AS (
+         |  SELECT *, CAST(nd AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 -
+         |    (CAST(nd AS HUGEINT) - 1) * s1 AS num_w
+         |  FROM agg),
+         |z AS (
+         |  SELECT nd, s1,
+         |    CASE WHEN nd < 2 OR s1 <= 0 THEN NULL
+         |      WHEN num_w >= 0 THEN ${zText("num_w")}
+         |      ELSE -${zText("(-num_w)")} END AS z_micro
+         |  FROM lanes)
+         |SELECT nd AS n_days, s1 AS n_orders, z_micro,
+         |  CASE WHEN z_micro IS NULL THEN NULL
+         |    ELSE z_micro > 1644854 END AS overdispersed_95
+         |FROM z""".stripMargin
+    },
+
+    "q465_footrule" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(CAST(l_extendedprice
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), l_partkey)
+        |      AS rk_a
+        |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1995
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT l_partkey,
+        |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(CAST(l_extendedprice
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), l_partkey)
+        |      AS rk_b
+        |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1996
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT COUNT(*) AS m,
+        |    CAST(SUM(abs(rk_a - rk_b)) AS BIGINT) AS footrule
+        |  FROM a JOIN b USING (l_partkey))
+        |SELECT m, footrule, m * m // 2 AS max_fr,
+        |  CASE WHEN m * m // 2 = 0 THEN NULL
+        |    ELSE (m * m // 2 - footrule) * 1000 // (m * m // 2) END
+        |    AS agree_milli
+        |FROM j""".stripMargin,
+
     "q458_countmin" -> {
       val bDu = (src: String) =>
         s"${Du.hash64(s"'cms' || CAST(j AS VARCHAR) || ':' || CAST($src AS VARCHAR)")} % 64"
@@ -565,7 +797,8 @@ object Analytics5 {
         |  CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
         |    AS BIGINT) AS digit_sum,
         |  COUNT(TRY_CAST(o_orderstatus AS INTEGER)) AS n_status_ok,
-        |  COUNT(TRY_CAST(o_totalprice * 1e15 AS BIGINT)) AS n_overflow_ok,
+        |  COUNT(TRY_CAST(o_totalprice * CASE WHEN o_orderkey % 1000 = 0
+        |    THEN 1e15 ELSE 1.0 END AS BIGINT)) AS n_overflow_ok,
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
