@@ -135,6 +135,48 @@ object MultimodalOps {
         .select("doc_id", "n_frames", "n_distinct", "diversity_milli",
           "is_static")
         .orderBy("doc_id")
+    },
+
+    // Audio-style windowed energy features over the payload channel:
+    // the byte stream (hex transport, the q169 convention) is cut
+    // into 16-byte frames (≤ 32 per payload), each frame's energy is
+    // Σ byte² — an exact-integer stand-in for the per-window RMS an
+    // audio pipeline extracts after decode — and the per-media
+    // rollup reports total/peak energy, the FIRST peak window
+    // (deterministic argmax: min w among maxima, never max_by's
+    // tie-luck), and spectral-flatness-style min/max dynamics. Same
+    // multimodal scale contract: the fold is payload-local, only
+    // per-window integers reach the aggregate, payload bytes never
+    // shuffle.
+    "q467_audio_energy" -> { (s, dir) =>
+      def byteAt(pos: String) =
+        s"CAST(conv(substring(hx, CAST($pos AS INT), 2), 16, 10) AS BIGINT)"
+      val energy = S.fold(S.rangeIncl("0", "15"), "CAST(0 AS BIGINT)",
+        "acc", "j", s"acc + ${byteAt("2 * (w * 16 + j) + 1")} * " +
+          byteAt("2 * (w * 16 + j) + 1"))
+      val g1 = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), expr("hex(encode(text, 'UTF-8'))").as("hx"))
+        .withColumn("nw", expr(
+          "least(CAST(32 AS BIGINT), (CAST(length(hx) AS BIGINT) div 2) div 16)"))
+        .filter(col("nw") >= 1)
+        .select(col("doc_id"), col("hx"),
+          explode(expr(S.rangeIncl("0", "nw - 1"))).as("w"))
+        .withColumn("e", expr(energy))
+        .select("doc_id", "w", "e")
+      val g2 = g1.groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"), sum("e").as("total_e"),
+        max("e").as("peak_e"), min("e").as("min_e"))
+      g1.join(g2, "doc_id")
+        .filter(col("e") === col("peak_e"))
+        .groupBy("doc_id")
+        .agg(max("n_windows").as("n_windows"), max("total_e").as("total_e"),
+          max("peak_e").as("peak_e"), max("min_e").as("min_e"),
+          min("w").as("peak_w"))
+        .withColumn("flatness_milli", expr(
+          "CASE WHEN peak_e = 0 THEN NULL ELSE min_e * 1000 div peak_e END"))
+        .select("doc_id", "n_windows", "total_e", "peak_e", "peak_w",
+          "flatness_milli")
+        .orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +250,37 @@ object MultimodalOps {
          |SELECT doc_id, n_frames, n_distinct,
          |  n_distinct * 1000 // n_frames AS diversity_milli,
          |  n_distinct = 1 AS is_static
-         |FROM g ORDER BY doc_id""".stripMargin)
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q467_audio_energy" -> {
+      def byteAt(pos: String) =
+        s"CAST(('0x' || substr(hx, CAST($pos AS INT), 2)) AS BIGINT)"
+      val energy = D.fold(D.rangeIncl("0", "15"), "CAST(0 AS BIGINT)",
+        "acc", "j", s"acc + ${byteAt("2 * (w * 16 + j) + 1")} * " +
+          byteAt("2 * (w * 16 + j) + 1"))
+      s"""WITH base AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    least(CAST(32 AS BIGINT),
+         |      (CAST(length(hex(encode(text))) AS BIGINT) // 2) // 16)
+         |      AS nw
+         |  FROM documents),
+         |g1 AS (
+         |  SELECT doc_id, unnest(${D.rangeIncl("0", "nw - 1")}) AS w, hx
+         |  FROM base WHERE nw >= 1),
+         |ge AS (
+         |  SELECT doc_id, w, $energy AS e FROM g1),
+         |g2 AS (
+         |  SELECT doc_id, COUNT(*) AS n_windows,
+         |    CAST(SUM(e) AS BIGINT) AS total_e,
+         |    CAST(MAX(e) AS BIGINT) AS peak_e,
+         |    CAST(MIN(e) AS BIGINT) AS min_e
+         |  FROM ge GROUP BY 1)
+         |SELECT ge.doc_id, MAX(n_windows) AS n_windows,
+         |  MAX(total_e) AS total_e, MAX(peak_e) AS peak_e,
+         |  CAST(MIN(w) AS BIGINT) AS peak_w,
+         |  CASE WHEN MAX(peak_e) = 0 THEN NULL
+         |    ELSE MAX(min_e) * 1000 // MAX(peak_e) END AS flatness_milli
+         |FROM ge JOIN g2 ON ge.doc_id = g2.doc_id AND ge.e = g2.peak_e
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 }
