@@ -458,6 +458,57 @@ object Analytics5 {
         .orderBy("arm")
     },
 
+    // Native session_window() BATCH aggregation (the SQL-function
+    // face of the q185 streaming session gate): Spark's built-in
+    // session assembly vs the oracle's gaps-and-islands spelling —
+    // same 6-hour end-exclusive gap rule, one hash exchange on
+    // user_id either way.
+    "q468_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr(Analytics2.VMilliF)).as("vmilli_sum"))
+        .select(col("user_id"), col("sw.start").as("win_start"),
+          col("n_events"),
+          expr("CAST(vmilli_sum AS BIGINT)").as("vmilli_sum"))
+        .orderBy("user_id", "win_start")
+    },
+
+    // Winsorized + trimmed mean of order value at 5% (t = ⌊n/20⌋
+    // replaced/dropped per tail): the robust-location companion to
+    // the Hodges–Lehmann and MAD gates. Ranks ride GlobalOrder
+    // (orders are row-scale); the two clamp bounds x₍t₊₁₎ and
+    // x₍n₋t₎ are picked by rank equality and broadcast back for the
+    // single clamp-and-sum pass — two passes total, no sort-merge of
+    // the full frame anywhere.
+    "q469_winsorized_mean" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), expr(CentsF).as("cents"))
+      val ranked = GlobalOrder.withRunningSum(o,
+        Seq(col("cents"), col("k")), col("cents"), lit(1L).as("one"), "rk")
+      val n = ranked.agg(max("rk").cast("long").as("n"))
+      val bounds = ranked.crossJoin(broadcast(n))
+        .withColumn("t", expr("n div 20"))
+        .filter(expr("rk = t + 1 OR rk = n - t"))
+        .groupBy("n", "t")
+        .agg(min(expr("CASE WHEN rk = t + 1 THEN cents END")).as("v_lo"),
+          max(expr("CASE WHEN rk = n - t THEN cents END")).as("v_hi"))
+      ranked.crossJoin(broadcast(bounds))
+        .agg(max("n").as("n"), max("t").as("t"),
+          max("v_lo").as("v_lo"), max("v_hi").as("v_hi"),
+          sum(expr("CASE WHEN rk <= t THEN v_lo " +
+            "WHEN rk > n - t THEN v_hi ELSE cents END")).as("wins_sum"),
+          sum(expr("CASE WHEN rk > t AND rk <= n - t THEN cents END"))
+            .as("trim_sum"))
+        .select(col("n"), col("t"), col("v_lo"), col("v_hi"),
+          expr(s"CAST(${Sp.intDiv(s"${Sp.wide("wins_sum")} * 1000000",
+            "n")} AS BIGINT)").as("wins_mean_micro"),
+          expr("CASE WHEN n - 2 * t <= 0 THEN NULL ELSE " +
+            s"CAST(${Sp.intDiv(s"${Sp.wide("trim_sum")} * 1000000",
+              "(n - 2 * t)")} AS BIGINT) END").as("trim_mean_micro"))
+    },
+
     // Katz centrality on the undirected part↔supplier supply graph:
     // 3 rounds of the path-counting recurrence c ← Σ_in (10⁶ + c) div
     // 16 (attenuation α = 1/16 as an exact integer division — both
@@ -632,6 +683,63 @@ object Analytics5 {
         |      (CAST(s1 AS DOUBLE) / n))) - 3) *
         |    CAST(1000000 AS DOUBLE)) AS BIGINT) END AS kurt_micro
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q468_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |    CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vm
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, ts, vm,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, vm,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, MIN(ts) AS win_start, COUNT(*) AS n_events,
+        |  CAST(SUM(vm) AS BIGINT) AS vmilli_sum
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, win_start""".stripMargin,
+
+    "q469_winsorized_mean" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS k, $CentsF AS cents FROM orders),
+         |rk AS (
+         |  SELECT cents,
+         |    ROW_NUMBER() OVER (ORDER BY cents, k) AS rk
+         |  FROM o),
+         |nn AS (SELECT CAST(MAX(rk) AS BIGINT) AS n,
+         |  CAST(MAX(rk) AS BIGINT) // 20 AS t FROM rk),
+         |bounds AS (
+         |  SELECT n, t,
+         |    CAST(MIN(CASE WHEN rk.rk = t + 1 THEN cents END) AS BIGINT)
+         |      AS v_lo,
+         |    CAST(MAX(CASE WHEN rk.rk = n - t THEN cents END) AS BIGINT)
+         |      AS v_hi
+         |  FROM rk CROSS JOIN nn
+         |  WHERE rk.rk = t + 1 OR rk.rk = n - t
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT MAX(n) AS n, MAX(t) AS t, MAX(v_lo) AS v_lo,
+         |    MAX(v_hi) AS v_hi,
+         |    CAST(SUM(CASE WHEN rk.rk <= t THEN v_lo
+         |      WHEN rk.rk > n - t THEN v_hi ELSE cents END) AS BIGINT)
+         |      AS wins_sum,
+         |    CAST(SUM(CASE WHEN rk.rk > t AND rk.rk <= n - t THEN cents
+         |      END) AS BIGINT) AS trim_sum
+         |  FROM rk CROSS JOIN bounds)
+         |SELECT n, t, v_lo, v_hi,
+         |  CAST((CAST(wins_sum AS HUGEINT) * 1000000) // n AS BIGINT)
+         |    AS wins_mean_micro,
+         |  CASE WHEN n - 2 * t <= 0 THEN NULL ELSE
+         |    CAST((CAST(trim_sum AS HUGEINT) * 1000000) // (n - 2 * t)
+         |      AS BIGINT) END AS trim_mean_micro
+         |FROM agg""".stripMargin,
 
     "q466_cuped" -> {
       val thetaD =
