@@ -112,16 +112,11 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     // per-gate micro-batch lanes ride along in the archive file only
     // (never the stdout line — driver tail-capture budget). Tags are
-    // builder-authored [a-z0-9] ids, but escape defensively: one
-    // stray quote must not invalidate the whole archive line.
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    // builder-authored [a-z0-9] ids, but escape defensively through
+    // the one shared escaper: a stray quote must not invalidate the
+    // whole archive line.
     val streamJson = streamStats.toSeq.sortBy(_._1).map { case (t, s) =>
-      jstr(t) + ":" + s.json
+      graft.core.JsonText.escape(t) + ":" + s.json
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$streamJson,"sf":"$sfDir"}"""

@@ -29,8 +29,10 @@ object DeltaAgg {
     * state frame.
     *
     * @param state   current aggregate: keys ++ (n_rows: long,
-    *                sum_<valueCol>: long) — the layout this function
-    *                itself produces (see [[fromBase]])
+    *                n_vals: long, sum_<valueCol>: long) — the layout
+    *                this function itself produces (see [[fromBase]]);
+    *                n_vals counts non-NULL values so an all-NULL
+    *                group's sum stays NULL through any merge
     * @param changes one row per changed base row: keys ++ valueCol ++
     *                opCol (+1 insert, −1 retraction)
     */
@@ -39,6 +41,11 @@ object DeltaAgg {
     val sumCol = s"sum_$valueCol"
     val d = changes.groupBy(keys.map(col): _*)
       .agg(sum(col(opCol).cast("long")).as("d_n"),
+        // signed count of NON-NULL change values: SUM over an
+        // all-NULL group must stay NULL after any merge, exactly as
+        // a recompute would report it
+        sum(when(col(valueCol).isNull, lit(0L))
+          .otherwise(col(opCol).cast("long"))).as("d_nv"),
         sum(col(opCol).cast("long") * col(valueCol).cast("long"))
           .as("d_sum"))
       .alias("dagg_d")
@@ -56,9 +63,16 @@ object DeltaAgg {
           coalesce(col(s"dagg_s.$k"), col(s"dagg_d.$k")).as(k)) ++ Seq(
           (coalesce(col("dagg_s.n_rows"), lit(0L)) +
             coalesce(col("dagg_d.d_n"), lit(0L))).as("n_rows"),
+          (coalesce(col("dagg_s.n_vals"), lit(0L)) +
+            coalesce(col("dagg_d.d_nv"), lit(0L))).as("n_vals"),
           (coalesce(col(s"dagg_s.$sumCol"), lit(0L)) +
-            coalesce(col("dagg_d.d_sum"), lit(0L))).as(sumCol)): _*)
+            coalesce(col("dagg_d.d_sum"), lit(0L))).as("sum_raw")): _*)
+      .withColumn(sumCol,
+        when(col("n_vals") === 0L, lit(null).cast("long"))
+          .otherwise(col("sum_raw")))
+      .drop("sum_raw")
       .filter(col("n_rows") > 0)
+      .select((keys ++ Seq("n_rows", "n_vals", sumCol)).map(col): _*)
   }
 
   /** Build the state layout from a base frame (one aggregate pass). */
@@ -66,5 +80,6 @@ object DeltaAgg {
                valueCol: String): DataFrame =
     base.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
+        count(col(valueCol)).as("n_vals"),
         sum(col(valueCol).cast("long")).as(s"sum_$valueCol"))
 }

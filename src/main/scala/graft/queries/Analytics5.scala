@@ -192,10 +192,13 @@ object Analytics5 {
     // exact far past 100 TB.
     "q453_kurtosis" -> { (s, d) =>
       val QDec = "CAST(l_quantity AS DECIMAL(4,0))"
-      val mean = "(CAST(s1 AS DOUBLE) / n)"
-      val m2 = s"(CAST(s2 AS DOUBLE) / n - $mean * $mean)"
-      val m4 = s"(CAST(s4 AS DOUBLE) / n - 4 * $mean * (CAST(s3 AS DOUBLE) / n) + " +
-        s"6 * $mean * $mean * (CAST(s2 AS DOUBLE) / n) - " +
+      // s-lanes surface through wideToDouble (the module convention):
+      // a bare DECIMAL→DOUBLE cast above 2⁶² is not engine-identical,
+      // and s4 ≤ 50⁴·n crosses 2⁶² around 7·10¹¹ rows per group
+      val mean = s"(${Sp.wideToDouble("s1")} / n)"
+      val m2 = s"(${Sp.wideToDouble("s2")} / n - $mean * $mean)"
+      val m4 = s"(${Sp.wideToDouble("s4")} / n - 4 * $mean * (${Sp.wideToDouble("s3")} / n) + " +
+        s"6 * $mean * $mean * (${Sp.wideToDouble("s2")} / n) - " +
         s"3 * $mean * $mean * $mean * $mean)"
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -385,29 +388,34 @@ object Analytics5 {
     },
 
     // Spearman footrule distance between the 1995 and 1996 part
-    // revenue rankings: Σ|rank₉₅ − rank₉₆| over parts present both
-    // years, normalized against the maximum ⌊m²/2⌋. Ranks are per-
-    // year GlobalOrder running counts (parts are row-scale — never a
-    // single-partition window); ties broken by part key so both
+    // revenue rankings: ranks are assigned WITHIN the set of parts
+    // present in both years (rank first and intersect after would
+    // make the two rankings permutations of different index sets, the
+    // normalization bound false, and agree_milli silently negative
+    // under asymmetric year coverage), so both are permutations of
+    // 1..m and Σ|rank₉₅ − rank₉₆| ≤ ⌊m²/2⌋ holds exactly. Ranks ride
+    // GlobalOrder over the common frame (parts are row-scale — never
+    // a single-partition window); ties broken by part key so both
     // engines rank identically. The rank-agreement companion to the
     // Kendall τ gates.
     "q465_footrule" -> { (s, d) =>
-      def yearRank(yr: Int): DataFrame = {
-        val cents = Tables.lineitem(s, d)
+      def yearCents(yr: Int, name: String): DataFrame =
+        Tables.lineitem(s, d)
           .filter(expr(s"year(l_shipdate) = $yr"))
           .groupBy("l_partkey")
           .agg(sum(expr(
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
-            .as("cents"))
-        GlobalOrder.withRunningSum(cents,
-          Seq(col("cents"), col("l_partkey")), col("cents"),
-          lit(1L).as("one"), s"rk")
-          .select(col("l_partkey"), col("rk"))
-      }
-      val a = yearRank(1995).withColumnRenamed("rk", "rk_a")
-      val b = yearRank(1996).withColumnRenamed("rk", "rk_b")
-      a.join(b, "l_partkey")
-        .agg(count(lit(1)).as("m"),
+            .as(name))
+      val common = yearCents(1995, "ca").join(yearCents(1996, "cb"),
+        "l_partkey")
+      val ra = GlobalOrder.withRunningSum(common,
+        Seq(col("ca"), col("l_partkey")), col("ca"),
+        lit(1L).as("one"), "rk_a")
+      val rb = GlobalOrder.withRunningSum(
+        ra.select("l_partkey", "cb", "rk_a"),
+        Seq(col("cb"), col("l_partkey")), col("cb"),
+        lit(1L).as("one"), "rk_b")
+      rb.agg(count(lit(1)).as("m"),
           sum(expr("abs(rk_a - rk_b)")).as("footrule"))
         .withColumn("max_fr", expr("m * m div 2"))
         .withColumn("agree_milli", expr(
@@ -516,9 +524,13 @@ object Analytics5 {
     // c counts α-discounted walks of length ≤ 3 in ppm. Same
     // join+agg-per-round shape as PageRank (q113) — each round is one
     // shuffle on the edge key; the oracle unrolls the identical three
-    // rounds. HONEST CEILING: c grows like (deg/16)³·10⁶ — BIGINT
-    // holds to in-degrees ~10⁵ per node; denser graphs need a larger
-    // attenuation denominator or the DECIMAL(38,0) lane.
+    // rounds. HONEST CEILINGS: (1) the supplier node offset 10⁷
+    // (the q113 convention) collides with partkey above SF ≈ 50
+    // (TPC-H partkey range is 200 000·SF) — beyond that the offset
+    // must grow with the key range; (2) c grows like (deg/16)³·10⁶ —
+    // BIGINT holds to in-degrees ~10⁵ per node; denser graphs need a
+    // larger attenuation denominator or the DECIMAL(38,0) lane.
+    // Ceiling (1) binds first.
     "q454_katz_centrality" -> { (s, d) =>
       val f = Tables.lineitem(s, d)
         .select(col("l_partkey").as("src"),
@@ -653,36 +665,32 @@ object Analytics5 {
          |    CAST(n AS DOUBLE)) AS BIGINT) AS jk_se_micro
          |FROM agg""".stripMargin,
 
-    "q453_kurtosis" ->
-      """WITH s AS (
-        |  SELECT l_returnflag, COUNT(*) AS n,
-        |    SUM(CAST(l_quantity AS DECIMAL(4,0))) AS s1,
-        |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
-        |        CAST(l_quantity AS DECIMAL(4,0))) AS s2,
-        |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
-        |        CAST(l_quantity AS DECIMAL(4,0)) *
-        |        CAST(l_quantity AS DECIMAL(4,0))) AS s3,
-        |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
-        |        CAST(l_quantity AS DECIMAL(4,0)) *
-        |        CAST(l_quantity AS DECIMAL(4,0)) *
-        |        CAST(l_quantity AS DECIMAL(4,0))) AS s4
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, n,
-        |  CASE WHEN n < 2 OR
-        |    (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) *
-        |     (CAST(s1 AS DOUBLE) / n)) <= 0 THEN NULL ELSE
-        |  CAST(floor(((CAST(s4 AS DOUBLE) / n -
-        |    4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) +
-        |    6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) *
-        |      (CAST(s2 AS DOUBLE) / n) -
-        |    3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) *
-        |      (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) /
-        |    ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) *
-        |      (CAST(s1 AS DOUBLE) / n)) *
-        |     (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) *
-        |      (CAST(s1 AS DOUBLE) / n))) - 3) *
-        |    CAST(1000000 AS DOUBLE)) AS BIGINT) END AS kurt_micro
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q453_kurtosis" -> {
+      val mean = s"(${Du.wideToDouble("s1")} / n)"
+      val m2 = s"(${Du.wideToDouble("s2")} / n - $mean * $mean)"
+      val m4 = s"(${Du.wideToDouble("s4")} / n - 4 * $mean * " +
+        s"(${Du.wideToDouble("s3")} / n) + " +
+        s"6 * $mean * $mean * (${Du.wideToDouble("s2")} / n) - " +
+        s"3 * $mean * $mean * $mean * $mean)"
+      s"""WITH s AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST(l_quantity AS DECIMAL(4,0))) AS s1,
+         |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
+         |        CAST(l_quantity AS DECIMAL(4,0))) AS s2,
+         |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
+         |        CAST(l_quantity AS DECIMAL(4,0)) *
+         |        CAST(l_quantity AS DECIMAL(4,0))) AS s3,
+         |    SUM(CAST(l_quantity AS DECIMAL(4,0)) *
+         |        CAST(l_quantity AS DECIMAL(4,0)) *
+         |        CAST(l_quantity AS DECIMAL(4,0)) *
+         |        CAST(l_quantity AS DECIMAL(4,0))) AS s4
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  CASE WHEN n < 2 OR $m2 <= 0 THEN NULL ELSE
+         |  CAST(floor(($m4 / ($m2 * $m2) - 3) *
+         |    CAST(1000000 AS DOUBLE)) AS BIGINT) END AS kurt_micro
+         |FROM s ORDER BY l_returnflag""".stripMargin
+    },
 
     "q468_session_window" ->
       """WITH e AS (
@@ -823,23 +831,26 @@ object Analytics5 {
 
     "q465_footrule" ->
       """WITH a AS (
-        |  SELECT l_partkey,
-        |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(CAST(l_extendedprice
-        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), l_partkey)
-        |      AS rk_a
+        |  SELECT l_partkey, CAST(SUM(CAST(CAST(l_extendedprice
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS ca
         |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1995
         |  GROUP BY 1),
         |b AS (
-        |  SELECT l_partkey,
-        |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(CAST(l_extendedprice
-        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), l_partkey)
-        |      AS rk_b
+        |  SELECT l_partkey, CAST(SUM(CAST(CAST(l_extendedprice
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cb
         |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1996
         |  GROUP BY 1),
+        |common AS (
+        |  SELECT a.l_partkey, ca, cb FROM a JOIN b USING (l_partkey)),
+        |rk AS (
+        |  SELECT l_partkey,
+        |    ROW_NUMBER() OVER (ORDER BY ca, l_partkey) AS rk_a,
+        |    ROW_NUMBER() OVER (ORDER BY cb, l_partkey) AS rk_b
+        |  FROM common),
         |j AS (
         |  SELECT COUNT(*) AS m,
         |    CAST(SUM(abs(rk_a - rk_b)) AS BIGINT) AS footrule
-        |  FROM a JOIN b USING (l_partkey))
+        |  FROM rk)
         |SELECT m, footrule, m * m // 2 AS max_fr,
         |  CASE WHEN m * m // 2 = 0 THEN NULL
         |    ELSE (m * m // 2 - footrule) * 1000 // (m * m // 2) END
@@ -919,6 +930,7 @@ object Analytics5 {
          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
          |     OR o_orderkey % 13 <> 0)
          |SELECT status, COUNT(*) AS n_rows,
+         |  COUNT(cents) AS n_vals,
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents
          |FROM upd GROUP BY 1 ORDER BY status""".stripMargin,
 

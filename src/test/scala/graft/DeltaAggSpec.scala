@@ -15,9 +15,9 @@ class DeltaAggSpec extends SparkSpecBase {
   import spark.implicits._
 
   private def groupSet(df: org.apache.spark.sql.DataFrame) =
-    df.select("k1", "k2", "n_rows", "sum_v").collect()
+    df.select("k1", "k2", "n_rows", "n_vals", "sum_v").collect()
       .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2),
-        r.getLong(3))).toSet
+        r.getLong(3), Option(r.get(4)))).toSet
 
   test("merge ≡ recompute on random data with null keys, " +
     "disappearing groups, and delta-only groups") {
@@ -52,6 +52,23 @@ class DeltaAggSpec extends SparkSpecBase {
     assert(groupSet(merged) == groupSet(want),
       s"missing=${(groupSet(want) -- groupSet(merged)).take(3)} " +
         s"extra=${(groupSet(merged) -- groupSet(want)).take(3)}")
+  }
+
+  test("an all-NULL-value group keeps a NULL sum through merges " +
+    "(the recompute semantic)") {
+    val base = Seq[(Int, String, java.lang.Long)](
+      (1, "a", null), (1, "a", null), (2, "b", 5L))
+      .toDF("k1", "k2", "v")
+    val changes = Seq[(Int, String, java.lang.Long, Int)](
+      (3, "c", 9L, 1)).toDF("k1", "k2", "v", "op")
+    val out = DeltaAgg.merge(
+      DeltaAgg.fromBase(base, Seq("k1", "k2"), "v"),
+      changes, Seq("k1", "k2"), "v", "op")
+    val nullGrp = out.filter(col("k1") === 1).collect().head
+    assert(nullGrp.getAs[Long]("n_rows") == 2L)
+    assert(nullGrp.getAs[Long]("n_vals") == 0L)
+    assert(nullGrp.isNullAt(nullGrp.fieldIndex("sum_v")),
+      "all-NULL group's sum must stay NULL after merge")
   }
 
   test("retracting every row of a group removes the group") {
