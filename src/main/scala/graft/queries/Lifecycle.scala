@@ -138,6 +138,42 @@ object Lifecycle {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Bucketed-table co-located join: both fact tables are written
+    // as 8-bucket catalog tables hashed on the join key, so the
+    // orders⋈lineitem equi-join plans with ZERO shuffle exchanges —
+    // the big-join scale lever the SURVEY scale doctrine names
+    // (pre-partitioning a join that repeats every batch pays the
+    // shuffle ONCE at write time). The no-Exchange-above-either-scan
+    // law is pinned in BucketedJoinSpec AND re-asserted here with a
+    // require, so a planner regression fails the correctness gate,
+    // not just a spec. The oracle recomputes the rollup over the raw
+    // parquet — bucketing must be invisible in values.
+    "q470_bucketed_join" -> { (s, d) =>
+      val bdir = tmpDir("q470")
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$bdir/orders_b").saveAsTable("q470_orders_b")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$bdir/lineitem_b").saveAsTable("q470_lineitem_b")
+      val joined = s.table("q470_orders_b")
+        .join(s.table("q470_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      val nExchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size
+      require(nExchanges == 0,
+        s"q470: bucketed join planned $nExchanges shuffle exchange(s)")
+      joined.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"), sum("cents").as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // WritePipeline round trip: sort → unique(first-in-sort-order) →
     // datepart derivation → hive-partitioned write → sidecar build →
     // read-back aggregate. The doubled-price duplicates must lose to
@@ -882,6 +918,13 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q470_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q107_write_roundtrip" ->
       """WITH src AS (
