@@ -45,41 +45,63 @@ object Verify {
     // a between-queries sweep (the r3 late-suite failure mode, which
     // would otherwise also slow the driver's correctness run).
     val cacheBudgetMB = sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_MB", "1536").toLong
-    // Flake instrumentation (round-7, q294): with SPARK_GRAFT_HASH_DUMP
-    // set, re-read each written result and print a canonical value
-    // hash (`[hash] <name> <sha256>`) — columns sorted by name, rows
-    // sorted by stringified values, mirroring the driver-compare
-    // canonicalization closely enough for RUN-TO-RUN self-comparison
-    // (the only use; never compared cross-engine). Lets repeated
-    // suite runs prove which side of a driver hash mismatch moved.
-    val hashDump = sys.env.contains("SPARK_GRAFT_HASH_DUMP")
+    // Canonical value hash (round-7 q294 flake -> round-8 artifact):
+    // ALWAYS computed per query (round-7's SPARK_GRAFT_HASH_DUMP gate
+    // dropped -- the driver's hash red cell recurred twice, so the
+    // in-run hash must exist as a persistent artifact, not a rerun
+    // tool). Columns sorted by name, rows sorted by stringified
+    // values, mirroring the driver-compare canonicalization closely
+    // enough for RUN-TO-RUN self-comparison (never compared
+    // cross-engine). Persisted to $outDir/$name/_canon_sha256 -- the
+    // underscore prefix keeps parquet readers blind to it -- so any
+    // later driver mismatch is adjudicated against what the run
+    // itself computed, no rerun needed.
+    def renderVal(v: Any): String = v match {
+      case null => "\u0000null"
+      // Array[Byte].toString is JVM identity ("[B@...") -- run-unstable.
+      case b: Array[Byte] => "bin\u0001" + b.map("%02x".format(_)).mkString
+      case a: Array[_] => "arr\u0001" + a.map(renderVal).mkString("[", ",", "]")
+      case sq: scala.collection.Seq[_] =>
+        "arr\u0001" + sq.map(renderVal).mkString("[", ",", "]")
+      case m: scala.collection.Map[_, _] =>
+        "map\u0001" + m.map { case (k, x) => renderVal(k) + "=" + renderVal(x) }
+          .toSeq.sorted.mkString("{", ",", "}")
+      case r: org.apache.spark.sql.Row =>
+        "row\u0001" + r.toSeq.map(renderVal).mkString("(", ",", ")")
+      case other => s"${other.getClass.getSimpleName}\u0001$other"
+    }
     def canonHash(path: String): String = {
       val df = spark.read.parquet(path)
       val cols = df.columns.sorted
       val lines = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
         .collect()
-        .map { r =>
-          cols.indices.map { i =>
-            val v = r.get(i)
-            if (v == null) "\u0000null"
-            else s"${v.getClass.getSimpleName}\u0001$v"
-          }.mkString("\u0001")
-        }.sorted
+        .map(r => cols.indices.map(i => renderVal(r.get(i))).mkString("\u0001"))
+        .sorted
       val md = java.security.MessageDigest.getInstance("SHA-256")
       lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
       md.digest().map("%02x".format(_)).mkString
     }
+    val hashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.selectQueries(only).foreach { case (name, fn) =>
       try {
         ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        if (hashDump) println(s"[hash] $name ${canonHash(s"$outDir/$name")}")
+        val h = canonHash(s"$outDir/$name")
+        Files.writeString(Paths.get(s"$outDir/$name/_canon_sha256"), h + "\n")
+        hashes(name) = h
+        println(s"[hash] $name $h")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       graft.core.Tables.trimStorage(spark, cacheBudgetMB << 20)
     }
+    // One aggregate snapshot per run -- the round-end HASHES_rNN.json
+    // commit is a copy of this file from a full sweep.
+    Files.writeString(Paths.get(s"$outDir/_canon_hashes.json"),
+      hashes.map { case (k, v) =>
+        s"${graft.core.JsonText.escape(k)}: ${graft.core.JsonText.escape(v)}"
+      }.mkString("{", ",", "}"))
     // JSON string escape (graft.core.JsonText — the one shared
     // escaper): a tab or CR in builder-authored SQL would otherwise
     // make the driver's json.load fail and silently zero the round's
