@@ -56,6 +56,37 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Host-state markers (round-8): the +30-65 s evening wander on
+    // byte-identical code was only attributable by run-time-of-day
+    // argument. Snapshot loadavg, PSI stall totals (cumulative µs —
+    // before/after delta = contention DURING the run), and available
+    // memory so the archive itself proves (or disproves) quiet-machine
+    // status. Every read is best-effort: a missing /proc file must
+    // never take the bench down.
+    def hostState: String = {
+      def readAll(p: String): String =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        catch { case _: Exception => "" }
+      val load = readAll("/proc/loadavg").split("\\s+")
+        .take(3).filter(_.nonEmpty).mkString(",")
+      def psiSomeTotalUs(res: String): Long =
+        readAll(s"/proc/pressure/$res").linesIterator
+          .find(_.startsWith("some"))
+          .flatMap(_.split("total=").lift(1))
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .getOrElse(-1L)
+      val memAvailMB = readAll("/proc/meminfo").linesIterator
+        .find(_.startsWith("MemAvailable"))
+        .flatMap(_.split("\\s+").lift(1))
+        .flatMap(s => scala.util.Try(s.toLong / 1024).toOption)
+        .getOrElse(-1L)
+      s"""{"load":[$load],"psi_some_us":{"cpu":${psiSomeTotalUs("cpu")},""" +
+        s""""io":${psiSomeTotalUs("io")},"memory":${psiSomeTotalUs("memory")}},""" +
+        s""""mem_avail_mb":$memAvailMB}"""
+    }
+    val hostBefore = hostState
+    System.err.println(s"[bench-host] before $hostBefore")
     // discard stream telemetry accumulated during the warm phase so
     // each query's harvest below covers only its own timed runs
     graft.streaming.StreamTelemetry.harvest()
@@ -118,8 +149,11 @@ object Bench {
     val streamJson = streamStats.toSeq.sortBy(_._1).map { case (t, s) =>
       graft.core.JsonText.escape(t) + ":" + s.json
     }.mkString("{", ",", "}")
+    val hostAfter = hostState
+    System.err.println(s"[bench-host] after $hostAfter")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stream":$streamJson,""" +
+        s""""host":{"before":$hostBefore,"after":$hostAfter},"sf":"$sfDir"}"""
     // Belt and braces: the driver parses the last stdout line, but two
     // rounds of bench data were lost to log-prefix wrapping — so the
     // same JSON also lands in a well-known file next to the build.
