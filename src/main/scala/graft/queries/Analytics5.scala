@@ -341,21 +341,29 @@ object Analytics5 {
     // Feature co-activation (Gram) matrix of the embedding corpus on
     // the q196 quantization grid: G[i,j] = Σ_vec q_i·q_j for i ≤ j —
     // the PCA/whitening substrate as ONE map-side-combinable
-    // aggregation. The per-vector expand emits d(d+1)/2 = 2080 cells
-    // but the combiner collapses to 2080 running sums per partition,
-    // so the shuffle is O(partitions·d²) regardless of corpus size.
+    // aggregation. The i≤j cell expansion is ARRAY-LOCAL (nested
+    // transform over the quantized array inside each row — the q467
+    // payload-local pattern), so nothing is exchanged before the
+    // partial aggregate: the round-7 formulation self-joined the
+    // exploded (vec_id, i, qi) frame on vec_id, paying a hash
+    // exchange of n·d rows for an expansion the row already owns.
+    // The per-vector expand emits d(d+1)/2 = 2080 cells but the
+    // combiner collapses them to 2080 running sums per partition, so
+    // the only shuffle is O(partitions·d²) regardless of corpus size
+    // (pinned in PlanShapeSpec: no exchange below the partial
+    // aggregate).
     "q463_embed_gram" -> { (s, d) =>
-      val q = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .withColumn("qi", expr("CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT)"))
-        .select("vec_id", "i", "qi")
-      q.as("a").join(q.as("b"),
-          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
-        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-        .agg(sum(expr("a.qi * b.qi")).as("g"),
-          count(lit(1)).as("n_vec"))
-        .select(expr("CAST(i AS BIGINT)").as("i"),
-          expr("CAST(j AS BIGINT)").as("j"), col("g"), col("n_vec"))
+      Tables.embeddings(s, d)
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))"))
+        .select(explode(expr(
+          // slice is 1-based: start i+1 keeps 0-based positions j ≥ i
+          "flatten(transform(q, (qi, i) -> " +
+            "transform(slice(q, i + 1, size(q) - i), (qj, k) -> " +
+            "struct(CAST(i AS BIGINT) AS i, CAST(i + k AS BIGINT) AS j, qi * qj AS p))))"))
+          .as("c"))
+        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(sum(col("c.p")).as("g"), count(lit(1)).as("n_vec"))
         .orderBy("i", "j")
     },
 
