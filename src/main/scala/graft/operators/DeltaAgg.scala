@@ -82,4 +82,101 @@ object DeltaAgg {
       .agg(count(lit(1)).as("n_rows"),
         count(col(valueCol)).as("n_vals"),
         sum(col(valueCol).cast("long")).as(s"sum_$valueCol"))
+
+  /** Extremum-state layout: keys ++ (n_rows, n_vals, min_<v>, max_<v>). */
+  def fromBaseMinMax(base: DataFrame, keys: Seq[String],
+                     valueCol: String): DataFrame =
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col(valueCol)).as("n_vals"),
+        min(col(valueCol).cast("long")).as(s"min_$valueCol"),
+        max(col(valueCol).cast("long")).as(s"max_$valueCol"))
+
+  /** Maintain a grouped MIN/MAX state under inserts + retractions with
+    * BOUNDED base re-aggregation — the standard IVM answer to "min/max
+    * have no group inverse". Inserts merge monotonically
+    * (`least`/`greatest` are semilattice ops); a retraction can only
+    * invalidate a stored extremum when the retracted value TIES it
+    * (values strictly inside the (min, max) interval leave both ends
+    * standing). So groups split into:
+    *
+    *   - SAFE (no retraction at either extremum): merged entirely from
+    *     state ⊕ Δ, the base never read — at steady state this is
+    *     almost every group;
+    *   - UNSAFE (some retraction ties min or max, or retracts from a
+    *     group the state doesn't know): re-aggregated from the
+    *     UPDATED base, restricted to exactly those groups by a
+    *     null-safe left-semi join, so the rescan is
+    *     O(rows-in-touched-groups), never O(|base|). With the base
+    *     partitioned/bucketed on the group keys the semi join prunes
+    *     at the scan (DPP); AQE broadcasts the key set when small.
+    *
+    * `updatedBase` is by-name and evaluated ONLY when unsafe groups
+    * exist (the emptiness probe runs on state ⋈ Δ, never the base) —
+    * a pure-insert or interior-retraction batch provably never
+    * touches it (law-tested in DeltaAggSpec with a throwing thunk).
+    * It must be the post-change base (what a merge just wrote): the
+    * unsafe path is then a plain recompute for those groups, which is
+    * correct by definition.
+    */
+  def mergeMinMax(state: DataFrame, changes: DataFrame, keys: Seq[String],
+                  valueCol: String, opCol: String)
+                 (updatedBase: => DataFrame): DataFrame = {
+    val minCol = s"min_$valueCol"
+    val maxCol = s"max_$valueCol"
+    val v = col(valueCol).cast("long")
+    val op = col(opCol).cast("long")
+    val d = changes.groupBy(keys.map(col): _*)
+      .agg(sum(op).as("d_n"),
+        sum(when(col(valueCol).isNull, lit(0L)).otherwise(op)).as("d_nv"),
+        min(when(op > 0, v)).as("ins_min"),
+        max(when(op > 0, v)).as("ins_max"),
+        // most extreme RETRACTED values — the invalidation test
+        min(when(op < 0, v)).as("ret_min"),
+        max(when(op < 0, v)).as("ret_max"))
+      .alias("dagg_d")
+    val st = state.alias("dagg_s")
+    val cond = keys.map(k =>
+      col(s"dagg_s.$k") <=> col(s"dagg_d.$k")).reduce(_ && _)
+    val joined = st.join(d, cond, "full_outer")
+    // NULL-valued retractions never appear in ret_min/ret_max (min/max
+    // ignore NULLs) and never invalidate an extremum. The state-min
+    // NULL clause is conservative: a non-NULL retraction against an
+    // all-NULL-value group is inconsistent input — recompute it.
+    val unsafe = coalesce(
+      col("dagg_d.ret_min").isNotNull && (
+        col("dagg_s.n_rows").isNull ||
+          col(s"dagg_s.$minCol").isNull ||
+          col("dagg_d.ret_min") <= col(s"dagg_s.$minCol") ||
+          col("dagg_d.ret_max") >= col(s"dagg_s.$maxCol")),
+      lit(false))
+    val outCols = keys ++ Seq("n_rows", "n_vals", minCol, maxCol)
+    val safe = joined.filter(!unsafe)
+      .select(
+        keys.map(k =>
+          coalesce(col(s"dagg_s.$k"), col(s"dagg_d.$k")).as(k)) ++ Seq(
+          (coalesce(col("dagg_s.n_rows"), lit(0L)) +
+            coalesce(col("dagg_d.d_n"), lit(0L))).as("n_rows"),
+          (coalesce(col("dagg_s.n_vals"), lit(0L)) +
+            coalesce(col("dagg_d.d_nv"), lit(0L))).as("n_vals"),
+          least(col(s"dagg_s.$minCol"), col("dagg_d.ins_min")).as(minCol),
+          greatest(col(s"dagg_s.$maxCol"), col("dagg_d.ins_max")).as(maxCol)): _*)
+      .filter(col("n_rows") > 0)
+      .select(outCols.map(col): _*)
+    val unsafeKeys = joined.filter(unsafe)
+      .select(keys.map(k =>
+        coalesce(col(s"dagg_s.$k"), col(s"dagg_d.$k")).as(k)): _*)
+    // adaptive gate: one state⋈Δ-sized job decides whether the base is
+    // touched at all (the same move AQE makes — measure, then plan)
+    if (unsafeKeys.isEmpty) safe
+    else {
+      val kb = unsafeKeys.alias("dagg_k")
+      val touched = updatedBase.alias("dagg_b").join(kb,
+        keys.map(k =>
+          col(s"dagg_b.$k") <=> col(s"dagg_k.$k")).reduce(_ && _),
+        "left_semi")
+      safe.unionByName(
+        fromBaseMinMax(touched, keys, valueCol).select(outCols.map(col): _*))
+    }
+  }
 }
