@@ -233,6 +233,40 @@ object Lifecycle {
         .orderBy("o_orderstatus")
     },
 
+    // q108 under OBJECT-STORE rename semantics (round-8): the same
+    // fragment→compact→read-back gate, but the swap runs with
+    // graft.fs.rename=degraded — per-file copy+delete instead of
+    // ATOMIC_MOVE, the s3a degradation the reference documents as
+    // best-effort (performance.md:127-131). A completed degraded
+    // compaction must be value-identical to the atomic one, so the
+    // oracle is the same direct rollup over the source rows; the
+    // failure-window half of the contract (no row loss, recovery
+    // details) is ObjectStoreContractSpec's chaos-hook laws.
+    "q472_degraded_compact" -> { (s, d) =>
+      val dir = tmpDir("q472")
+      val src = Tables.orders(s, d).filter("o_orderkey % 5 = 0")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val frag = math.max(50L, ordersCount(s, d) / 5 / 12)
+      WritePipeline.write(src, dir,
+        WriteConfig(partitionBy = Seq("o_orderstatus"), maxRowsPerFile = frag))
+      val ds = new ParquetDataset(s, dir)
+      val before = ds.files.size
+      sys.props("graft.fs.rename") = "degraded"
+      try {
+        val plan = Maintenance.compactPartitions(ds)
+        require(plan.groups.nonEmpty, s"q472: nothing planned over $before files")
+      } finally sys.props.remove("graft.fs.rename")
+      require(ds.files.size < before,
+        s"q472: degraded compaction did not shrink file count " +
+          s"($before -> ${ds.files.size})")
+      ds.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("lo_key"),
+          max("o_orderkey").as("hi_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // Keyed-merge round trip: upsert a batch with duplicate source
     // keys (last row wins), updates (price doubled/tripled), and
     // inserts (key+10M) into a status-partitioned target, then read
@@ -1010,6 +1044,15 @@ object Lifecycle {
         |       MAX(o_orderkey) AS hi_key,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q472_degraded_compact" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS n,
+        |       MIN(o_orderkey) AS lo_key,
+        |       MAX(o_orderkey) AS hi_key,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q109_merge_roundtrip" ->

@@ -56,20 +56,67 @@ object FsUtil {
     }
   }
 
+  /** A mid-promote failure, carrying the recovery details the
+    * operator needs (the reference's best-effort object-store
+    * contract: "failed results retain recovery details for operator
+    * cleanup"): which staged files already landed in the destination
+    * and which remain staged. Originals are untouched either way —
+    * promote runs strictly before any original is deleted — so the
+    * dataset stays readable and row-complete (promoted rewrite files
+    * may duplicate rows until cleanup; rows are never lost or torn).
+    */
+  final class PromoteFailedException(
+      val promoted: Seq[String], val remaining: Seq[String], cause: Throwable)
+    extends RuntimeException(
+      s"promote failed after ${promoted.size} file(s); " +
+        s"${remaining.size} still staged. Landed: ${promoted.mkString(", ")}",
+      cause)
+
+  /** Rename mode. Local/HDFS filesystems get per-file ATOMIC_MOVE; an
+    * object store degrades rename to copy+delete (s3a semantics: each
+    * object lands atomically, but the file SET appears one by one and
+    * a failure can leave both staged and landed copies). Deployments
+    * and tests opt into the degraded path with
+    * `-Dgraft.fs.rename=degraded`; `graft.fs.rename.failAfter=N` is a
+    * test-only chaos hook that fails the (N+1)-th per-file move so the
+    * documented mid-swap contract is exercised through the real code
+    * path, not a simulation.
+    */
+  private def renameDegraded: Boolean =
+    sys.props.get("graft.fs.rename").contains("degraded")
+
   /** Move every data file under `srcDir` into `dstDir`, preserving
     * relative (partition) subpaths. Per-file rename is atomic on a
-    * local/HDFS filesystem; directory creation is idempotent.
+    * local/HDFS filesystem; in degraded (object-store) mode each file
+    * is copied then deleted — see [[renameDegraded]]. Directory
+    * creation is idempotent. Callers sequence promote BEFORE deleting
+    * originals, so the worst failure state is duplicate visibility,
+    * never row loss.
     */
   def promote(srcDir: String, dstDir: String): Seq[String] = {
-    val moved = listParquet(srcDir).map { f =>
+    val failAfter = sys.props.get("graft.fs.rename.failAfter").map(_.toInt)
+    val staged = listParquet(srcDir)
+    val moved = scala.collection.mutable.ArrayBuffer[String]()
+    staged.foreach { f =>
       val rel = relativize(srcDir, f)
       val dst = Paths.get(stripScheme(dstDir), rel)
-      Files.createDirectories(dst.getParent)
-      Files.move(Paths.get(f), dst, StandardCopyOption.ATOMIC_MOVE)
-      dst.toString
+      try {
+        if (failAfter.exists(_ <= moved.size))
+          throw new java.io.IOException("injected promote failure (chaos hook)")
+        Files.createDirectories(dst.getParent)
+        if (renameDegraded) {
+          Files.copy(Paths.get(f), dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.delete(Paths.get(f))
+        } else
+          Files.move(Paths.get(f), dst, StandardCopyOption.ATOMIC_MOVE)
+        moved += dst.toString
+      } catch { case e: Throwable =>
+        throw new PromoteFailedException(
+          moved.toSeq, staged.drop(moved.size), e)
+      }
     }
     deleteRecursively(srcDir)
-    moved
+    moved.toSeq
   }
 
   def exists(p: String): Boolean = Files.exists(Paths.get(stripScheme(p)))
