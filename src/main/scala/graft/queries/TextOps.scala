@@ -860,6 +860,54 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Yule's K lexical-richness characteristic per source — the
+    // repetitiveness index (10⁴·(Σₘm²Vₘ − N)/N², i.e. (Σ_t n_t² − N)/N²
+    // over type frequencies) that flags template-heavy or spam-like
+    // corpora before training. Exact rational: the frequency pass is
+    // one map-side-combined aggregate, the square sum rides the
+    // DECIMAL(38) lane (n_t² crosses BIGINT for hot types past ~3·10⁹
+    // occurrences), and K surfaces in micro units via wide division —
+    // no float enters. Vₘ-free formulation: Σₘ m²Vₘ = Σ_types n_t².
+    "q475_yule_k" -> { (s, dir) =>
+      val tok = docsWithToks(s, dir).filter(expr("size(toks) > 0"))
+        .select(col("source"), explode(col("toks")).as("t"))
+      tok.groupBy("source", "t").agg(count(lit(1)).as("nt"))
+        .groupBy("source")
+        .agg(sum("nt").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(expr(s"${S.wide("nt")} * nt")).as("s2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("CAST(s2 AS BIGINT)").as("sum_sq"),
+          expr("CASE WHEN n_tokens < 2 THEN NULL ELSE " +
+            s"CAST(${S.intDiv(
+              s"(s2 - ${S.wide("n_tokens")}) * 10000000000",
+              s"(${S.wide("n_tokens")} * n_tokens)")} AS BIGINT) END")
+            .as("yule_k_micro"))
+        .orderBy("source")
+    },
+
+    // Distinct-n diversity (n = 2, 3) per source — the generation-
+    // diversity metric (unique n-grams over total n-grams) applied as
+    // a corpus-quality screen: a source whose distinct-2 ratio
+    // collapses is template spam. Shares the portable shingle
+    // builder; counts are exact (the distinct pass shuffles each
+    // distinct (source, gram) pair once after partial aggregation —
+    // the same string-keyed shuffle budget as q87's token ranks);
+    // ratios are exact integer micro units.
+    "q479_distinct_ngrams" -> { (s, dir) =>
+      def grams(k: Int) = docsWithToks(s, dir)
+        .select(col("source"), explode(expr(S.shingles("toks", k))).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as(s"n_${k}grams"),
+          countDistinct(col("g")).as(s"uniq_${k}grams"))
+        .withColumn(s"distinct${k}_micro", expr(
+          s"CASE WHEN n_${k}grams = 0 THEN NULL " +
+            s"ELSE uniq_${k}grams * 1000000 div n_${k}grams END"))
+      grams(2).join(grams(3), Seq("source"))
+        .select("source", "n_2grams", "uniq_2grams", "distinct2_micro",
+          "n_3grams", "uniq_3grams", "distinct3_micro")
+        .orderBy("source")
+    },
+
     // Cross-document boilerplate removal at segment granularity (the
     // CCNet paragraph-dedup shape): docs split into consecutive
     // 8-token segments; a segment whose hash appears in ≥2 distinct
@@ -2097,6 +2145,47 @@ object TextOps {
          |SELECT doc_id, n_toks, sum_rank,
          | CAST(sum_rank AS DOUBLE) / CAST(n_toks AS DOUBLE) AS avg_rank
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q475_yule_k" ->
+      s"""WITH base AS (
+         |  SELECT source, ${D.tokens("text")} AS toks FROM documents),
+         |ex AS (SELECT source, unnest(toks) AS t FROM base
+         |  WHERE ${D.size("toks")} > 0),
+         |f AS (SELECT source, t, COUNT(*) AS nt FROM ex GROUP BY 1, 2),
+         |g AS (
+         |  SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    SUM(${D.wide("nt")} * nt) AS s2
+         |  FROM f GROUP BY 1)
+         |SELECT source, n_tokens, n_types,
+         |  CAST(s2 AS BIGINT) AS sum_sq,
+         |  CASE WHEN n_tokens < 2 THEN NULL ELSE
+         |    CAST(${D.intDiv(
+                s"(s2 - ${D.wide("n_tokens")}) * 10000000000",
+                s"(${D.wide("n_tokens")} * n_tokens)")} AS BIGINT) END
+         |    AS yule_k_micro
+         |FROM g ORDER BY source""".stripMargin,
+
+    "q479_distinct_ngrams" ->
+      s"""WITH base AS (
+         |  SELECT source, ${D.tokens("text")} AS toks FROM documents),
+         |g2 AS (SELECT source, unnest(${D.shingles("toks", 2)}) AS g FROM base),
+         |g3 AS (SELECT source, unnest(${D.shingles("toks", 3)}) AS g FROM base),
+         |a2 AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_2grams,
+         |    CAST(COUNT(DISTINCT g) AS BIGINT) AS uniq_2grams
+         |  FROM g2 GROUP BY 1),
+         |a3 AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_3grams,
+         |    CAST(COUNT(DISTINCT g) AS BIGINT) AS uniq_3grams
+         |  FROM g3 GROUP BY 1)
+         |SELECT source, n_2grams, uniq_2grams,
+         |  CASE WHEN n_2grams = 0 THEN NULL
+         |    ELSE uniq_2grams * 1000000 // n_2grams END AS distinct2_micro,
+         |  n_3grams, uniq_3grams,
+         |  CASE WHEN n_3grams = 0 THEN NULL
+         |    ELSE uniq_3grams * 1000000 // n_3grams END AS distinct3_micro
+         |FROM a2 JOIN a3 USING (source) ORDER BY source""".stripMargin,
 
     "q122_boilerplate_segments" ->
       s"""$duckBase,

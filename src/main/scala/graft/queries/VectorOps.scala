@@ -620,6 +620,49 @@ object VectorOps {
         .orderBy("qid")
     },
 
+    // Retrieval eval: Mean Average Precision@10 — the third leg of
+    // the q340/q448 triple (NDCG grades the whole ranking, MRR the
+    // first hit, MAP the precision profile across ALL hits).
+    // AP@10 = (1/m)·Σ_k rel_k·P@k with P@k = cumrel_k/k kept exact by
+    // the 2520 = lcm(1..10) scaling: every P@k is an integer number
+    // of 1/2520ths, so ap_milli is exact integer division. Same
+    // WindowGroupLimit top-k substrate; m = min(10, class size − 1)
+    // matches q340's attainable-ideal convention.
+    "q474_knn_map" -> { (s, dir) =>
+      val pW =
+        "CASE rank WHEN 1 THEN 2520 WHEN 2 THEN 1260 WHEN 3 THEN 840 " +
+          "WHEN 4 THEN 630 WHEN 5 THEN 504 WHEN 6 THEN 420 WHEN 7 THEN 360 " +
+          "WHEN 8 THEN 315 WHEN 9 THEN 280 ELSE 252 END"
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("lab"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
+      val top10 = knnExactPairs(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+      val cum = Window.partitionBy("qid").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top10
+        .join(labels.select(col("vec_id").as("qid"), col("lab").as("qlab")),
+          "qid")
+        .join(labels.select(col("vec_id").as("nb"), col("lab").as("nlab")),
+          "nb")
+        .withColumn("rel", expr(
+          "CASE WHEN qlab = nlab THEN CAST(1 AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("cumrel", sum("rel").over(cum))
+        // ($pW) is already the scaled reciprocal 2520/rank
+        .groupBy("qid", "qlab")
+        .agg(sum("rel").as("n_rel_top10"),
+          sum(expr(s"rel * cumrel * ($pW)")).as("ap_s"))
+        .join(labels.groupBy("lab").agg(count(lit(1)).as("n_lab"))
+          .select(col("lab").as("qlab"), col("n_lab")), "qlab")
+        .withColumn("m", expr("least(CAST(10 AS BIGINT), n_lab - 1)"))
+        .withColumn("ap_milli", expr(
+          "CASE WHEN m = 0 THEN NULL ELSE ap_s * 1000 div (2520 * m) END"))
+        .select("qid", "n_rel_top10", "ap_s", "ap_milli")
+        .orderBy("qid")
+    },
+
     // ANN evaluation: recall@5 of the LSH index against the exact
     // brute-force top-5 — the metric that calibrates the planes /
     // nprobe knobs before trusting the index at scale. Queries whose
@@ -1286,6 +1329,50 @@ object VectorOps {
          |  CASE WHEN idcg_s = 0 THEN NULL
          |    ELSE dcg_s * 1000 // idcg_s END AS ndcg_milli
          |FROM f ORDER BY qid""".stripMargin,
+
+    "q474_knn_map" ->
+      s"""WITH jx AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         |    ${D.cosine("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |rx AS (
+         |  SELECT qid, nb,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nb ASC)
+         |      AS rank
+         |  FROM jx),
+         |t AS (SELECT qid, nb, rank FROM rx WHERE rank <= 10),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab
+         |  FROM embeddings),
+         |cnt AS (SELECT lab, COUNT(*) AS n_lab FROM lab GROUP BY 1),
+         |rel AS (
+         |  SELECT t.qid, ql.lab AS qlab, rank,
+         |    CASE WHEN ql.lab = nl.lab THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS rel
+         |  FROM t
+         |  JOIN lab ql ON t.qid = ql.vec_id
+         |  JOIN lab nl ON t.nb = nl.vec_id),
+         |c AS (
+         |  SELECT qid, qlab, rank, rel,
+         |    SUM(rel) OVER (PARTITION BY qid ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel
+         |  FROM rel),
+         |g AS (
+         |  SELECT qid, qlab,
+         |    CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+         |    CAST(SUM(rel * cumrel * (CASE rank WHEN 1 THEN 2520
+         |      WHEN 2 THEN 1260 WHEN 3 THEN 840 WHEN 4 THEN 630
+         |      WHEN 5 THEN 504 WHEN 6 THEN 420 WHEN 7 THEN 360
+         |      WHEN 8 THEN 315 WHEN 9 THEN 280 ELSE 252 END)) AS BIGINT)
+         |      AS ap_s
+         |  FROM c GROUP BY 1, 2),
+         |i AS (
+         |  SELECT qid, n_rel_top10, ap_s, least(10, n_lab - 1) AS m
+         |  FROM g JOIN cnt ON g.qlab = cnt.lab)
+         |SELECT qid, n_rel_top10, ap_s,
+         |  CASE WHEN m = 0 THEN NULL
+         |    ELSE ap_s * 1000 // (2520 * m) END AS ap_milli
+         |FROM i ORDER BY qid""".stripMargin,
 
     "q448_knn_mrr" ->
       s"""WITH jx AS (
