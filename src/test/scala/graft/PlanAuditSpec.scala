@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "q380_zipf_check", "q396_assoc_rules", "q402_apriori_triples",
     "q414_large_volume_orders", "q420_decile_gains", "q422_bigram_lm",
     "q424_heaps_law", "q428_eb_shrinkage", "q430_rrf_fusion",
-    "q433_bh_fdr")
+    "q433_bh_fdr",
+    // q473: rank assignment over the ALREADY-LIMITED top-10 frame
+    // (TakeOrderedAndProject bounds what reaches the window to 10 rows)
+    "q473_rbo")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !effectful(name)) {
