@@ -43,6 +43,11 @@ for shard in $(seq 0 $((N - 1))); do
       --add-opens=java.base/java.util=ALL-UNNAMED \
       --add-opens=java.base/java.nio=ALL-UNNAMED \
       --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+      --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+      --add-opens=java.base/java.io=ALL-UNNAMED \
+      --add-opens=java.base/java.net=ALL-UNNAMED \
+      --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+      --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
       -Xmx12g -Dderby.system.home="$OUT/derby_$shard" \
       graft.Verify "$SF" "$OUT/out_$shard" \
       > "$OUT/shard_$shard.log" 2>&1
