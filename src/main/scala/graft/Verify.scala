@@ -97,11 +97,17 @@ object Verify {
       graft.core.Tables.trimStorage(spark, cacheBudgetMB << 20)
     }
     // One aggregate snapshot per run -- the round-end HASHES_rNN.json
-    // commit is a copy of this file from a full sweep.
-    Files.writeString(Paths.get(s"$outDir/_canon_hashes.json"),
-      hashes.map { case (k, v) =>
-        s"${graft.core.JsonText.escape(k)}: ${graft.core.JsonText.escape(v)}"
-      }.mkString("{", ",", "}"))
+    // commit is a copy of this file from a full sweep. ONLY full runs
+    // write it (the bench_out.json rule): a SPARK_GRAFT_ONLY dev loop
+    // into the same outDir would silently clobber a full-sweep
+    // snapshot with a subset under the exact well-known name the
+    // round-end copy reads. Per-query _canon_sha256 files are still
+    // written above either way.
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/_canon_hashes.json"),
+        hashes.map { case (k, v) =>
+          s"${graft.core.JsonText.escape(k)}: ${graft.core.JsonText.escape(v)}"
+        }.mkString("{", ",", "}"))
     // JSON string escape (graft.core.JsonText — the one shared
     // escaper): a tab or CR in builder-authored SQL would otherwise
     // make the driver's json.load fail and silently zero the round's

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * base — the classic signed-multiset (z-set) formulation from the
   * incremental-view-maintenance literature, restricted to the
   * commutative-group aggregates (COUNT/SUM and everything derivable:
-  * mean, ratio lanes) where a delta is always mergeable. MIN/MAX are
-  * deliberately out of scope: a retraction of the current extremum
-  * needs the base (no group inverse).
+  * mean, ratio lanes) where a delta is always mergeable — plus, since
+  * round 8, MIN/MAX through [[mergeMinMax]]'s bounded re-aggregation
+  * (no group inverse exists, so extremum-touched groups recompute
+  * from the updated base, key-bounded by a semi join).
   *
   * Scale shape: the change set aggregates FIRST (map-side combine to
   * one signed row per touched key), then a null-safe full-outer join
@@ -24,6 +25,9 @@ import org.apache.spark.sql.functions._
   * this extends the SURVEY §2.3 delta/merge stack.
   */
 object DeltaAgg {
+
+  /** Per-call tags for LRU-adopted frames — see [[mergeMinMax]]. */
+  private val mergeSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Merge signed changes into a (keys..., n_rows, sum_<valueCol>)
     * state frame.
@@ -138,7 +142,21 @@ object DeltaAgg {
     val st = state.alias("dagg_s")
     val cond = keys.map(k =>
       col(s"dagg_s.$k") <=> col(s"dagg_d.$k")).reduce(_ && _)
-    val joined = st.join(d, cond, "full_outer")
+    // The state⋈Δ frame is consumed up to three times per merge (the
+    // emptiness probe, the safe branch, the semi-join key side), so it
+    // is persisted ONCE and its lifecycle handed to the memo LRU via a
+    // per-call tag (a library operator must not pin storage it never
+    // releases). NOT keyed by plan digest: two merges over different
+    // in-memory change sets canonicalize to the same plan text
+    // (LocalRelation data is not in the digest), and a content-keyed
+    // memo would serve one merge's state to the other.
+    val joined = {
+      val raw = st.join(d, cond, "full_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.Tables.adopt(state.sparkSession,
+        s"deltaagg#${mergeSeq.incrementAndGet()}", raw)
+      raw
+    }
     // NULL-valued retractions never appear in ret_min/ret_max (min/max
     // ignore NULLs) and never invalidate an extremum. The state-min
     // NULL clause is conservative: a non-NULL retraction against an

@@ -164,11 +164,26 @@ object Lifecycle {
       val joined = s.table("q470_orders_b")
         .join(s.table("q470_lineitem_b"),
           col("o_orderkey") === col("l_orderkey"))
-      val nExchanges = joined.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-      }.size
+      // The law check must (a) see INSIDE the AdaptiveSparkPlanExec
+      // wrapper — a node-type collect() on executedPlan visits only
+      // the AQE leaf and can never fire (round-8 review finding) — so
+      // it counts exchanges in the rendered plan text; and (b) force
+      // the sort-merge path while checking — at small SF the orders
+      // side broadcasts, which has no shuffle either but exercises
+      // nothing about co-location.
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val oldThreshold = s.conf.get(thresholdKey)
+      val planStr =
+        try {
+          s.conf.set(thresholdKey, "-1")
+          joined.queryExecution.executedPlan.toString
+        } finally s.conf.set(thresholdKey, oldThreshold)
+      val nExchanges =
+        "Exchange (hash|range)partitioning".r.findAllMatchIn(planStr).size
+      require(planStr.contains("SortMergeJoin"),
+        s"q470: expected a sort-merge bucketed join:\n$planStr")
       require(nExchanges == 0,
-        s"q470: bucketed join planned $nExchanges shuffle exchange(s)")
+        s"q470: bucketed join planned $nExchanges shuffle exchange(s):\n$planStr")
       joined.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_lines"), sum("cents").as("cents"))
         .orderBy("o_orderstatus")

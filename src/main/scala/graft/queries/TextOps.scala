@@ -902,7 +902,11 @@ object TextOps {
         .withColumn(s"distinct${k}_micro", expr(
           s"CASE WHEN n_${k}grams = 0 THEN NULL " +
             s"ELSE uniq_${k}grams * 1000000 div n_${k}grams END"))
-      grams(2).join(grams(3), Seq("source"))
+      // LEFT join on the 2-gram side: a source whose docs are all
+      // 2-token templates — the extreme spam case this screen exists
+      // to flag — has bigrams but no trigrams, and an inner join
+      // would silently drop exactly that source (round-8 review)
+      grams(2).join(grams(3), Seq("source"), "left")
         .select("source", "n_2grams", "uniq_2grams", "distinct2_micro",
           "n_3grams", "uniq_3grams", "distinct3_micro")
         .orderBy("source")
@@ -2185,7 +2189,7 @@ object TextOps {
          |  n_3grams, uniq_3grams,
          |  CASE WHEN n_3grams = 0 THEN NULL
          |    ELSE uniq_3grams * 1000000 // n_3grams END AS distinct3_micro
-         |FROM a2 JOIN a3 USING (source) ORDER BY source""".stripMargin,
+         |FROM a2 LEFT JOIN a3 USING (source) ORDER BY source""".stripMargin,
 
     "q122_boilerplate_segments" ->
       s"""$duckBase,

@@ -36,6 +36,15 @@ object VectorOps {
   private val Dim = 64
   private val Planes = 4
 
+  /** 2520/rank (lcm(1..10)-scaled reciprocal) for ranks 1..10 — ONE
+    * text interpolated into BOTH the Spark q474 expression and its
+    * DuckDB oracle, so the weight table cannot drift between engines.
+    */
+  private val PrecAt =
+    "CASE rank WHEN 1 THEN 2520 WHEN 2 THEN 1260 WHEN 3 THEN 840 " +
+      "WHEN 4 THEN 630 WHEN 5 THEN 504 WHEN 6 THEN 420 WHEN 7 THEN 360 " +
+      "WHEN 8 THEN 315 WHEN 9 THEN 280 ELSE 252 END"
+
   /** Deterministic ±1 hyperplane components derived from md5 — the
     * same literals are inlined into both engines' SQL.
     */
@@ -629,10 +638,6 @@ object VectorOps {
     // WindowGroupLimit top-k substrate; m = min(10, class size − 1)
     // matches q340's attainable-ideal convention.
     "q474_knn_map" -> { (s, dir) =>
-      val pW =
-        "CASE rank WHEN 1 THEN 2520 WHEN 2 THEN 1260 WHEN 3 THEN 840 " +
-          "WHEN 4 THEN 630 WHEN 5 THEN 504 WHEN 6 THEN 420 WHEN 7 THEN 360 " +
-          "WHEN 8 THEN 315 WHEN 9 THEN 280 ELSE 252 END"
       val labels = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label").cast("long").as("lab"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)
@@ -650,10 +655,10 @@ object VectorOps {
           "CASE WHEN qlab = nlab THEN CAST(1 AS BIGINT) " +
             "ELSE CAST(0 AS BIGINT) END"))
         .withColumn("cumrel", sum("rel").over(cum))
-        // ($pW) is already the scaled reciprocal 2520/rank
+        // ($PrecAt) is already the scaled reciprocal 2520/rank
         .groupBy("qid", "qlab")
         .agg(sum("rel").as("n_rel_top10"),
-          sum(expr(s"rel * cumrel * ($pW)")).as("ap_s"))
+          sum(expr(s"rel * cumrel * ($PrecAt)")).as("ap_s"))
         .join(labels.groupBy("lab").agg(count(lit(1)).as("n_lab"))
           .select(col("lab").as("qlab"), col("n_lab")), "qlab")
         .withColumn("m", expr("least(CAST(10 AS BIGINT), n_lab - 1)"))
@@ -1360,10 +1365,7 @@ object VectorOps {
          |g AS (
          |  SELECT qid, qlab,
          |    CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
-         |    CAST(SUM(rel * cumrel * (CASE rank WHEN 1 THEN 2520
-         |      WHEN 2 THEN 1260 WHEN 3 THEN 840 WHEN 4 THEN 630
-         |      WHEN 5 THEN 504 WHEN 6 THEN 420 WHEN 7 THEN 360
-         |      WHEN 8 THEN 315 WHEN 9 THEN 280 ELSE 252 END)) AS BIGINT)
+         |    CAST(SUM(rel * cumrel * ($PrecAt)) AS BIGINT)
          |      AS ap_s
          |  FROM c GROUP BY 1, 2),
          |i AS (

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Bucketed-table co-location law (q470): a join of two catalog
   * tables bucketed on the join key with EQUAL bucket counts plans
@@ -22,11 +21,23 @@ class BucketedJoinSpec extends SparkSpecBase {
       .option("path", s"$dir/b").saveAsTable("bjspec_b")
     val j = spark.table("bjspec_a")
       .join(spark.table("bjspec_b"), col("k") === col("k2"))
-    val exchanges = j.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeLike => e
-    }
-    assert(exchanges.isEmpty,
-      s"bucketed join planned ${exchanges.size} exchange(s)")
+    // Two traps found in round-8 review: (1) a node-type collect() on
+    // executedPlan sees only the AdaptiveSparkPlanExec LEAF wrapper
+    // and can never find an exchange — count in the rendered text;
+    // (2) these tiny tables broadcast by default, which also has no
+    // shuffle but tests nothing about co-location — force the
+    // sort-merge path while asserting.
+    val planStr =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j.queryExecution.executedPlan.toString
+      } finally
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(planStr.contains("SortMergeJoin"), planStr)
+    val exchanges =
+      "Exchange (hash|range)partitioning".r.findAllMatchIn(planStr).size
+    assert(exchanges == 0,
+      s"bucketed join planned $exchanges exchange(s):\n$planStr")
     val got = j.groupBy("tag").agg(count(lit(1)).as("n"), sum("v").as("sv"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet
