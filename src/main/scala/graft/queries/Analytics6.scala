@@ -243,7 +243,135 @@ object Analytics6 {
             s"CAST(floor(((CAST(nt AS DOUBLE) - 5) / 4) * (${bfA(Sp)}) / " +
             s"(${bfB(Sp)}) * CAST(1000000 AS DOUBLE)) AS BIGINT) END " +
             "AS w_micro")
+    },
+
+    // Welch's unequal-variance t-test between URGENT and LOW order
+    // values, with the Welch–Satterthwaite df and Cohen's d rider —
+    // the two-sample comparison battery every experimentation
+    // pipeline needs, kept engine-exact the q478 way: per-group
+    // (n, Σx, Σx²) in wide integer lanes, one map-side-combined
+    // aggregate, every float surfacing through the SAME
+    // fixed-op-order texts ([[welchVar]]). Means are exact integer
+    // micro-cents; t is SIGNED (floor of a negative is deterministic
+    // on both engines).
+    "q482_welch_t" -> { (s, d) =>
+      val x = s"CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 2 END"
+      val v1 = welchVar(Sp, 1)
+      val v2 = welchVar(Sp, 2)
+      val se2 = s"($v1 / CAST(n1 AS DOUBLE) + $v2 / CAST(n2 AS DOUBLE))"
+      val tTxt = s"((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+        s"CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt($se2))"
+      val dfTxt = s"(($se2 * $se2) / " +
+        s"((($v1 / CAST(n1 AS DOUBLE)) * ($v1 / CAST(n1 AS DOUBLE))) / " +
+        s"(CAST(n1 AS DOUBLE) - 1) + " +
+        s"((($v2 / CAST(n2 AS DOUBLE)) * ($v2 / CAST(n2 AS DOUBLE))) / " +
+        s"(CAST(n2 AS DOUBLE) - 1))))"
+      val dTxt = s"((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+        s"CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / " +
+        s"sqrt(((CAST(n1 AS DOUBLE) - 1) * $v1 + " +
+        s"(CAST(n2 AS DOUBLE) - 1) * $v2) / " +
+        s"(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2)))"
+      Tables.orders(s, d)
+        .filter(expr(
+          "o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '5-%'"))
+        .select(expr(x).as("grp"), expr(CentsF).as("cents"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+          sum(expr(s"${Sp.wide("cents")} * cents")).as("qx"))
+        .agg(
+          max(when(col("grp") === 1, col("n"))).as("n1"),
+          max(when(col("grp") === 1, col("sx"))).as("s1"),
+          max(when(col("grp") === 1, col("qx"))).as("q1"),
+          max(when(col("grp") === 2, col("n"))).as("n2"),
+          max(when(col("grp") === 2, col("sx"))).as("s2"),
+          max(when(col("grp") === 2, col("qx"))).as("q2"))
+        .selectExpr("n1", "n2",
+          s"CAST(${Sp.intDiv(s"${Sp.wide("s1")} * 1000000", "n1")} AS BIGINT)" +
+            " AS mean1_microcents",
+          s"CAST(${Sp.intDiv(s"${Sp.wide("s2")} * 1000000", "n2")} AS BIGINT)" +
+            " AS mean2_microcents",
+          s"CASE WHEN n1 < 2 OR n2 < 2 OR ($v1) <= 0 OR ($v2) <= 0 " +
+            "THEN NULL ELSE " +
+            s"CAST(floor($tTxt * CAST(1000 AS DOUBLE)) AS BIGINT) END " +
+            "AS t_milli",
+          s"CASE WHEN n1 < 2 OR n2 < 2 OR ($v1) <= 0 OR ($v2) <= 0 " +
+            "THEN NULL ELSE " +
+            s"CAST(floor($dfTxt * CAST(1000 AS DOUBLE)) AS BIGINT) END " +
+            "AS df_milli",
+          s"CASE WHEN n1 < 2 OR n2 < 2 OR ($v1) <= 0 OR ($v2) <= 0 " +
+            "THEN NULL ELSE " +
+            s"CAST(floor($dTxt * CAST(1000000 AS DOUBLE)) AS BIGINT) END " +
+            "AS d_micro")
+    },
+
+    // Day-over-day top-10 churn of part revenue rankings — the
+    // ranking-stability monitor (a leaderboard whose top-10 Jaccard
+    // collapses overnight signals a data problem before any absolute
+    // metric moves). Per-day top-10 via a day-PARTITIONED bounded
+    // rank (WindowGroupLimit heap per day — never global), then one
+    // equi-join of consecutive days on (next day, part). All exact
+    // integers; |A∪B| = nA + nB − shared.
+    "q483_topk_churn" -> { (s, d) =>
+      val byDay = org.apache.spark.sql.expressions.Window
+        .partitionBy("day")
+      val top = Tables.lineitem(s, d)
+        .groupBy(expr("CAST(l_shipdate AS DATE)").as("day"),
+          col("l_partkey").as("pk"))
+        .agg(sum(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("rev"))
+        .withColumn("r", row_number().over(
+          byDay.orderBy(col("rev").desc, col("pk").asc)))
+        .filter(col("r") <= 10)
+        .select("day", "pk")
+      val sizes = top.groupBy("day").agg(count(lit(1)).as("n"))
+      val shared = top.as("a")
+        .join(top.as("b"),
+          expr("date_add(a.day, 1) = b.day AND a.pk = b.pk"))
+        .groupBy(col("b.day").as("day")).agg(count(lit(1)).as("shared"))
+      sizes.as("cur")
+        .join(sizes.as("prev"),
+          expr("date_add(prev.day, 1) = cur.day"))
+        .select(col("cur.day").as("day"), col("prev.n").as("n_prev"),
+          col("cur.n").as("n_cur"))
+        .join(shared, Seq("day"), "left")
+        .withColumn("shared", coalesce(col("shared"), lit(0L)))
+        .withColumn("jaccard_milli", expr(
+          "CASE WHEN n_prev + n_cur - shared = 0 THEN NULL " +
+            "ELSE shared * 1000 div (n_prev + n_cur - shared) END"))
+        .select("day", "n_prev", "n_cur", "shared", "jaccard_milli")
+        .orderBy("day")
+    },
+
+    // Seasonal-naive forecast evaluation on daily order counts: the
+    // lag-7 forecast (same weekday last week) scored by MAPE, the
+    // ops-monitoring baseline every anomaly detector is judged
+    // against. Exact integer lanes: each day's absolute percentage
+    // error is one integer division (|x_t − x_{t−7}|·10⁶ div x_t),
+    // the aggregate is their exact mean. The lag rides the
+    // calendar-bounded day frame (~2.4k rows at any SF — the q227
+    // allowlist class).
+    "q484_seasonal_naive" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("nd"))
+        .withColumn("f", lag("nd", 7).over(w))
+        .filter(col("f").isNotNull)
+        .withColumn("ape", expr("abs(nd - f) * 1000000 div nd"))
+        .agg(count(lit(1)).as("n_days_scored"),
+          sum("ape").as("sum_ape"),
+          max("ape").as("worst_ape_micro"))
+        .withColumn("mape_micro", expr("sum_ape div n_days_scored"))
+        .select("n_days_scored", "mape_micro", "worst_ape_micro")
     })
+
+  /** Welch lanes: v_i = (Q_i − S_i²/n_i)/(n_i − 1) over the exact
+    * per-group sums — ONE text interpolated into both engines.
+    */
+  private def welchVar(D: graft.functions.SqlDialect, i: Int): String =
+    s"((${D.wideToDouble(s"q$i")} - (CAST(s$i AS DOUBLE) * " +
+      s"CAST(s$i AS DOUBLE)) / CAST(n$i AS DOUBLE)) / (CAST(n$i AS DOUBLE) - 1))"
 
   /** Between-groups quadratic Σⱼ(ZⱼN−Znⱼ)²/(nⱼN²) as a shared
     * fixed-op-order float text over the pivoted lanes (columns n1..n5,
@@ -365,6 +493,101 @@ object Analytics6 {
          |  CAST(floor($jb * CAST(1000 AS DOUBLE)) AS BIGINT) END AS jb_milli
          |FROM s ORDER BY l_linestatus""".stripMargin
     },
+
+    "q482_welch_t" -> {
+      val v1 = welchVar(Du, 1)
+      val v2 = welchVar(Du, 2)
+      val se2 = s"($v1 / CAST(n1 AS DOUBLE) + $v2 / CAST(n2 AS DOUBLE))"
+      val tTxt = s"((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+        s"CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt($se2))"
+      val dfTxt = s"(($se2 * $se2) / " +
+        s"((($v1 / CAST(n1 AS DOUBLE)) * ($v1 / CAST(n1 AS DOUBLE))) / " +
+        s"(CAST(n1 AS DOUBLE) - 1) + " +
+        s"((($v2 / CAST(n2 AS DOUBLE)) * ($v2 / CAST(n2 AS DOUBLE))) / " +
+        s"(CAST(n2 AS DOUBLE) - 1))))"
+      val dTxt = s"((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+        s"CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / " +
+        s"sqrt(((CAST(n1 AS DOUBLE) - 1) * $v1 + " +
+        s"(CAST(n2 AS DOUBLE) - 1) * $v2) / " +
+        s"(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2)))"
+      val guard = s"n1 < 2 OR n2 < 2 OR ($v1) <= 0 OR ($v2) <= 0"
+      s"""WITH g AS (
+         |  SELECT CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 2 END
+         |    AS grp,
+         |    $CentsF AS cents
+         |  FROM orders
+         |  WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '5-%'),
+         |l AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS sx,
+         |    SUM(${Du.wide("cents")} * cents) AS qx
+         |  FROM g GROUP BY 1),
+         |p AS (
+         |  SELECT
+         |    MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         |    MAX(CASE WHEN grp = 1 THEN sx END) AS s1,
+         |    MAX(CASE WHEN grp = 1 THEN qx END) AS q1,
+         |    MAX(CASE WHEN grp = 2 THEN n END) AS n2,
+         |    MAX(CASE WHEN grp = 2 THEN sx END) AS s2,
+         |    MAX(CASE WHEN grp = 2 THEN qx END) AS q2
+         |  FROM l)
+         |SELECT n1, n2,
+         |  CAST(${Du.intDiv(s"${Du.wide("s1")} * 1000000", "n1")} AS BIGINT)
+         |    AS mean1_microcents,
+         |  CAST(${Du.intDiv(s"${Du.wide("s2")} * 1000000", "n2")} AS BIGINT)
+         |    AS mean2_microcents,
+         |  CASE WHEN $guard THEN NULL ELSE
+         |    CAST(floor($tTxt * CAST(1000 AS DOUBLE)) AS BIGINT) END
+         |    AS t_milli,
+         |  CASE WHEN $guard THEN NULL ELSE
+         |    CAST(floor($dfTxt * CAST(1000 AS DOUBLE)) AS BIGINT) END
+         |    AS df_milli,
+         |  CASE WHEN $guard THEN NULL ELSE
+         |    CAST(floor($dTxt * CAST(1000000 AS DOUBLE)) AS BIGINT) END
+         |    AS d_micro
+         |FROM p""".stripMargin
+    },
+
+    "q483_topk_churn" ->
+      """WITH rev AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day, l_partkey AS pk,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |tk AS (
+        |  SELECT day, pk,
+        |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY rev DESC, pk) AS r
+        |  FROM rev QUALIFY r <= 10),
+        |sz AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+        |sh AS (
+        |  SELECT b.day AS day, CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM tk a JOIN tk b ON a.day + INTERVAL 1 DAY = b.day
+        |    AND a.pk = b.pk
+        |  GROUP BY 1)
+        |SELECT cur.day AS day, prev.n AS n_prev, cur.n AS n_cur,
+        |  COALESCE(sh.shared, 0) AS shared,
+        |  CASE WHEN prev.n + cur.n - COALESCE(sh.shared, 0) = 0 THEN NULL
+        |    ELSE COALESCE(sh.shared, 0) * 1000 //
+        |      (prev.n + cur.n - COALESCE(sh.shared, 0)) END AS jaccard_milli
+        |FROM sz cur
+        |JOIN sz prev ON prev.day + INTERVAL 1 DAY = cur.day
+        |LEFT JOIN sh ON sh.day = cur.day
+        |ORDER BY day""".stripMargin,
+
+    "q484_seasonal_naive" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM orders GROUP BY 1),
+        |f AS (
+        |  SELECT day, nd, LAG(nd, 7) OVER (ORDER BY day) AS fc FROM d),
+        |e AS (
+        |  SELECT abs(nd - fc) * 1000000 // nd AS ape
+        |  FROM f WHERE fc IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+        |  CAST(SUM(ape) // COUNT(*) AS BIGINT) AS mape_micro,
+        |  CAST(MAX(ape) AS BIGINT) AS worst_ape_micro
+        |FROM e""".stripMargin,
 
     "q480_levene_bf" ->
       s"""WITH pr AS (

@@ -177,6 +177,46 @@ object MultimodalOps {
         .select("doc_id", "n_windows", "total_e", "peak_e", "peak_w",
           "flatness_milli")
         .orderBy("doc_id")
+    },
+
+    // Image-style TILED feature extraction over opaque payload bytes
+    // (the 2D companion to q467's 1D windows): the first 64 payload
+    // bytes read as an 8×8 grid, split into four 4×4 tiles; per tile a
+    // byte-sum "brightness", per doc the brightest tile, the
+    // tile-contrast span, and the total. This is the decode-free
+    // plumbing a thumbnail/patch pipeline needs — 2D block indexing,
+    // per-tile aggregation, and argmax-tile selection — as one narrow
+    // map + bounded explode (4 rows/doc), no shuffle before the
+    // per-doc aggregate. Tile sum folds are payload-local.
+    "q481_image_tiles" -> { (s, dir) =>
+      def byteAt(pos: String) =
+        s"CAST(conv(substring(hx, CAST($pos AS INT), 2), 16, 10) AS BIGINT)"
+      // byte (r, c) of the 8×8 grid sits at hex offset 2·(8r+c)+1;
+      // tile t (0..3) covers rows (t div 2)·4.. and cols (t mod 2)·4..
+      val tileSum = S.fold(S.rangeIncl("0", "15"), "CAST(0 AS BIGINT)",
+        "acc", "i",
+        "acc + " + byteAt(
+          "2 * (((t div 2) * 4 + i div 4) * 8 + (t % 2) * 4 + i % 4) + 1"))
+      val tiles = Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), expr("hex(encode(text, 'UTF-8'))").as("hx"))
+        .filter(expr("length(hx) >= 128"))
+        .select(col("doc_id"), col("hx"),
+          explode(expr(S.rangeIncl("0", "3"))).as("t"))
+        .withColumn("ts", expr(tileSum))
+        .select("doc_id", "t", "ts")
+      val agg = tiles.groupBy("doc_id").agg(
+        sum("ts").as("total_sum"), max("ts").as("bright_sum"),
+        min("ts").as("dark_sum"))
+      tiles.join(agg, "doc_id")
+        .filter(col("ts") === col("bright_sum"))
+        .groupBy("doc_id")
+        .agg(max("total_sum").as("total_sum"),
+          max("bright_sum").as("bright_sum"), max("dark_sum").as("dark_sum"),
+          min(col("t").cast("long")).as("bright_tile"))
+        .withColumn("contrast", expr("bright_sum - dark_sum"))
+        .select("doc_id", "total_sum", "bright_tile", "bright_sum",
+          "dark_sum", "contrast")
+        .orderBy("doc_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -281,6 +321,33 @@ object MultimodalOps {
          |  CASE WHEN MAX(peak_e) = 0 THEN NULL
          |    ELSE MAX(min_e) * 1000 // MAX(peak_e) END AS flatness_milli
          |FROM ge JOIN g2 ON ge.doc_id = g2.doc_id AND ge.e = g2.peak_e
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q481_image_tiles" -> {
+      def byteAt(pos: String) =
+        s"CAST(('0x' || substr(hx, CAST($pos AS INT), 2)) AS BIGINT)"
+      val tileSum = D.fold(D.rangeIncl("0", "15"), "CAST(0 AS BIGINT)",
+        "acc", "i",
+        "acc + " + byteAt(
+          "2 * (((t // 2) * 4 + i // 4) * 8 + (t % 2) * 4 + i % 4) + 1"))
+      s"""WITH base AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+         |  WHERE length(hex(encode(text))) >= 128),
+         |tl AS (
+         |  SELECT doc_id, unnest(${D.rangeIncl("0", "3")}) AS t, hx
+         |  FROM base),
+         |ts AS (SELECT doc_id, t, $tileSum AS ts FROM tl),
+         |ag AS (
+         |  SELECT doc_id, CAST(SUM(ts) AS BIGINT) AS total_sum,
+         |    CAST(MAX(ts) AS BIGINT) AS bright_sum,
+         |    CAST(MIN(ts) AS BIGINT) AS dark_sum
+         |  FROM ts GROUP BY 1)
+         |SELECT ts.doc_id, MAX(total_sum) AS total_sum,
+         |  CAST(MIN(t) AS BIGINT) AS bright_tile,
+         |  MAX(bright_sum) AS bright_sum, MAX(dark_sum) AS dark_sum,
+         |  MAX(bright_sum) - MAX(dark_sum) AS contrast
+         |FROM ts JOIN ag ON ts.doc_id = ag.doc_id AND ts.ts = ag.bright_sum
          |GROUP BY 1 ORDER BY 1""".stripMargin
     })
 }
