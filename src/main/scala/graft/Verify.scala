@@ -56,31 +56,8 @@ object Verify {
     // underscore prefix keeps parquet readers blind to it -- so any
     // later driver mismatch is adjudicated against what the run
     // itself computed, no rerun needed.
-    def renderVal(v: Any): String = v match {
-      case null => "\u0000null"
-      // Array[Byte].toString is JVM identity ("[B@...") -- run-unstable.
-      case b: Array[Byte] => "bin\u0001" + b.map("%02x".format(_)).mkString
-      case a: Array[_] => "arr\u0001" + a.map(renderVal).mkString("[", ",", "]")
-      case sq: scala.collection.Seq[_] =>
-        "arr\u0001" + sq.map(renderVal).mkString("[", ",", "]")
-      case m: scala.collection.Map[_, _] =>
-        "map\u0001" + m.map { case (k, x) => renderVal(k) + "=" + renderVal(x) }
-          .toSeq.sorted.mkString("{", ",", "}")
-      case r: org.apache.spark.sql.Row =>
-        "row\u0001" + r.toSeq.map(renderVal).mkString("(", ",", ")")
-      case other => s"${other.getClass.getSimpleName}\u0001$other"
-    }
-    def canonHash(path: String): String = {
-      val df = spark.read.parquet(path)
-      val cols = df.columns.sorted
-      val lines = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-        .collect()
-        .map(r => cols.indices.map(i => renderVal(r.get(i))).mkString("\u0001"))
-        .sorted
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
-      md.digest().map("%02x".format(_)).mkString
-    }
+    def canonHash(path: String): String =
+      graft.core.CanonHash.of(spark.read.parquet(path))
     val hashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.selectQueries(only).foreach { case (name, fn) =>
       try {
