@@ -364,6 +364,40 @@ object Analytics6 {
           max("ape").as("worst_ape_micro"))
         .withColumn("mape_micro", expr("sum_ape div n_days_scored"))
         .select("n_days_scored", "mape_micro", "worst_ape_micro")
+    },
+
+    // One-sample Kolmogorov–Smirnov test of order dates against the
+    // discrete uniform over their own [min, max] span — the
+    // load-uniformity check (q95 is the TWO-sample drift twin). Kept
+    // exact by clearing denominators: D⁺/D⁻ comparisons scale by
+    // n·span so every lane is an integer (cum·span − n·(d−lo+1));
+    // the single division to micro units happens once on the exact
+    // maxima through the wide lane. Per-day cumulative rides the
+    // calendar-bounded day frame.
+    "q486_ks_uniform" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("dd")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val days = Tables.orders(s, d)
+        .select(expr(
+          "datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')")
+          .cast("long").as("dd"))
+        .groupBy("dd").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+      val tot = days.agg(sum("c").as("n"), min("dd").as("lo"),
+        max("dd").as("hi"))
+      days.crossJoin(broadcast(tot))
+        .withColumn("span", expr("hi - lo + 1"))
+        .withColumn("dp", expr("cum * span - n * (dd - lo + 1)"))
+        .withColumn("dm", expr("n * (dd - lo + 1) - (cum - c) * span"))
+        .groupBy("n", "span")
+        .agg(max("dp").as("d_plus_scaled"), max("dm").as("d_minus_scaled"))
+        .select(col("n"), col("span"),
+          col("d_plus_scaled"), col("d_minus_scaled"),
+          expr("CASE WHEN n * span = 0 THEN NULL ELSE " +
+            s"CAST(${Sp.intDiv(
+              s"${Sp.wide("greatest(d_plus_scaled, d_minus_scaled)")} * 1000000",
+              "(n * span)")} AS BIGINT) END").as("ks_micro"))
     })
 
   /** Welch lanes: v_i = (Q_i − S_i²/n_i)/(n_i − 1) over the exact
@@ -573,6 +607,34 @@ object Analytics6 {
         |JOIN sz prev ON prev.day + INTERVAL 1 DAY = cur.day
         |LEFT JOIN sh ON sh.day = cur.day
         |ORDER BY day""".stripMargin,
+
+    "q486_ks_uniform" ->
+      s"""WITH days AS (
+         |  SELECT CAST(datediff('day', DATE '1990-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1),
+         |cm AS (
+         |  SELECT dd, c,
+         |    SUM(c) OVER (ORDER BY dd
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM days),
+         |tot AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS n, MIN(dd) AS lo, MAX(dd) AS hi
+         |  FROM days),
+         |sc AS (
+         |  SELECT n, hi - lo + 1 AS span,
+         |    cum * (hi - lo + 1) - n * (dd - lo + 1) AS dp,
+         |    n * (dd - lo + 1) - (cum - c) * (hi - lo + 1) AS dm
+         |  FROM cm, tot)
+         |SELECT n, span,
+         |  CAST(MAX(dp) AS BIGINT) AS d_plus_scaled,
+         |  CAST(MAX(dm) AS BIGINT) AS d_minus_scaled,
+         |  CASE WHEN n * span = 0 THEN NULL ELSE
+         |    CAST(${Du.intDiv(
+                s"${Du.wide("greatest(MAX(dp), MAX(dm))")} * 1000000",
+                "(n * span)")} AS BIGINT) END AS ks_micro
+         |FROM sc GROUP BY 1, 2""".stripMargin,
 
     "q484_seasonal_naive" ->
       """WITH d AS (

@@ -860,6 +860,38 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Pairwise source JACCARD over distinct 16-token span
+    // fingerprints — q163's shared-span counts normalized into the
+    // similarity matrix a corpus-mixing decision actually reads
+    // (|A∩B| alone says nothing when source sizes differ 100×). ALL
+    // C(5,2) pairs appear, zero-overlap included: the pair frame is
+    // the 5-row size table crossed with itself (broadcast, bounded),
+    // intersections left-joined in. Shares q163's memoized distinct
+    // (source, hk) substrate; exact integer micro units.
+    "q485_source_jaccard" -> { (s, dir) =>
+      val sp = Tables.memo(s, s"$dir#q163spans") {
+        docsWithToks(s, dir)
+          .filter(expr("size(toks) >= 16"))
+          .select(col("source"), explode(expr(S.shingles("toks", 16))).as("span"))
+          .select(col("source"), expr(S.hash64("span")).as("hk"))
+          .distinct()
+      }
+      val sizes = sp.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sp.as("a").join(sp.as("b"),
+          col("a.hk") === col("b.hk") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      sizes.select(col("source").as("src_a"), col("n").as("n_a")).as("sa")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+          col("src_a") < col("src_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("jaccard_micro",
+          expr("inter * 1000000 div (n_a + n_b - inter)"))
+        .select("src_a", "src_b", "n_a", "n_b", "inter", "jaccard_micro")
+        .orderBy("src_a", "src_b")
+    },
+
     // Yule's K lexical-richness characteristic per source — the
     // repetitiveness index (10⁴·(Σₘm²Vₘ − N)/N², i.e. (Σ_t n_t² − N)/N²
     // over type frequencies) that flags template-heavy or spam-like
@@ -2593,6 +2625,29 @@ object TextOps {
          |  count(*) AS shared_spans
          |FROM sp a JOIN sp b ON a.hk = b.hk AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q485_source_jaccard" ->
+      s"""WITH tk AS (
+         |  SELECT source, ${D.tokens("text")} AS toks FROM documents),
+         |spx AS (
+         |  SELECT source, unnest(${D.shingles("toks", 16)}) AS span
+         |  FROM tk WHERE ${D.size("toks")} >= 16),
+         |sp AS (SELECT DISTINCT source, ${D.hash64("span")} AS hk FROM spx),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sp GROUP BY 1),
+         |ix AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM sp a JOIN sp b ON a.hk = b.hk AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT sa.source AS src_a, sb.source AS src_b,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  COALESCE(ix.inter, 0) AS inter,
+         |  COALESCE(ix.inter, 0) * 1000000 //
+         |    (sa.n + sb.n - COALESCE(ix.inter, 0)) AS jaccard_micro
+         |FROM sz sa JOIN sz sb ON sa.source < sb.source
+         |LEFT JOIN ix ON ix.src_a = sa.source AND ix.src_b = sb.source
+         |ORDER BY 1, 2""".stripMargin,
 
     "q170_bpe_train" -> {
       val out = (1 to 6)
