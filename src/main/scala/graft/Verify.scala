@@ -75,16 +75,17 @@ object Verify {
     }
     // One aggregate snapshot per run -- the round-end HASHES_rNN.json
     // commit is a copy of this file from a full sweep. ONLY full runs
-    // write it (the bench_out.json rule): a SPARK_GRAFT_ONLY dev loop
-    // into the same outDir would silently clobber a full-sweep
-    // snapshot with a subset under the exact well-known name the
-    // round-end copy reads. Per-query _canon_sha256 files are still
-    // written above either way.
-    if (only.isEmpty)
-      Files.writeString(Paths.get(s"$outDir/_canon_hashes.json"),
-        hashes.map { case (k, v) =>
-          s"${graft.core.JsonText.escape(k)}: ${graft.core.JsonText.escape(v)}"
-        }.mkString("{", ",", "}"))
+    // write the well-known name (the bench_out.json rule): a
+    // SPARK_GRAFT_ONLY dev loop into the same outDir would silently
+    // clobber a full-sweep snapshot with a subset. Selection-limited
+    // runs (dev loops AND verify_shard shards) write a clearly-partial
+    // sibling instead, which the shard runner merges.
+    val hashFile =
+      if (only.isEmpty) "_canon_hashes.json" else "_canon_hashes_partial.json"
+    Files.writeString(Paths.get(s"$outDir/$hashFile"),
+      hashes.map { case (k, v) =>
+        s"${graft.core.JsonText.escape(k)}: ${graft.core.JsonText.escape(v)}"
+      }.mkString("{", ",", "}"))
     // JSON string escape (graft.core.JsonText — the one shared
     // escaper): a tab or CR in builder-authored SQL would otherwise
     // make the driver's json.load fail and silently zero the round's

@@ -68,4 +68,19 @@ for shard in $(seq 0 $((N - 1))); do
   cp -r "$OUT/out_$shard"/q* "$MERGED/" 2>/dev/null
   cp "$OUT/out_$shard/oracle_sql.json" "$MERGED/" 2>/dev/null
 done
+# shards run selection-limited, so each writes _canon_hashes_partial
+# (never the full-run well-known name); the union IS the full-sweep
+# canonical-hash snapshot the round-end HASHES_rNN.json copy reads
+python3 - "$OUT" "$N" <<'PYEOF'
+import json, sys, os
+out, n = sys.argv[1], int(sys.argv[2])
+merged = {}
+for shard in range(n):
+    p = os.path.join(out, f"out_{shard}", "_canon_hashes_partial.json")
+    if os.path.exists(p):
+        merged.update(json.load(open(p)))
+with open(os.path.join(out, "merged", "_canon_hashes.json"), "w") as f:
+    json.dump(dict(sorted(merged.items())), f, indent=0)
+print(f"[shard-merge] {len(merged)} canonical hashes")
+PYEOF
 python3 tools/check.py "$SF" "$MERGED"
