@@ -349,6 +349,58 @@ object StreamOps {
     // mtime ordering), then an update batch triples the price of
     // every key ≡ 0 (mod 7); keyed last-row-wins merge must leave
     // exactly the updated state.
+    // Streaming INCREMENTAL VIEW MAINTENANCE: the per-status revenue
+    // rollup maintained across micro-batches by DeltaAgg.merge inside
+    // foreachBatch — the integration gate tying the streaming stack
+    // to the IVM operator. Change rows (op = ±1) arrive as files:
+    // base inserts first, then one CDC batch mixing 1997+ inserts
+    // with retractions of every 13th pre-1997 order. State versions
+    // land per batch (v<batchId> dirs — never read-and-overwrite the
+    // same path); the final state must equal a recompute over the net
+    // row set — the SAME oracle as batch q457, so the gate pins that
+    // micro-batch boundaries are invisible (DeltaAgg's composition
+    // law, state ⊕ Δ₁ ⊕ Δ₂ ≡ state ⊕ (Δ₁ ⊎ Δ₂), exercised through a
+    // real stream instead of a spec frame).
+    "q487_stream_ivm" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q487s")
+      val stateRoot = Lifecycle.tmpDir("q487state")
+      val cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      val src = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("status"), expr(cents).as("cents"),
+          col("o_orderkey"), col("o_orderdate"))
+      val base = src.filter(expr("o_orderdate < TIMESTAMP '1997-01-01'"))
+      base.select(col("status"), col("cents")).withColumn("op", lit(1))
+        .repartition(2).write.mode("overwrite").parquet(stage)
+      val changeSchema = base.select(col("status"), col("cents"))
+        .withColumn("op", lit(1)).schema
+      withShufflePartitions(s, 4) {
+        var cur: Option[String] = None
+        val q = streamOf(s, stage, changeSchema).writeStream
+          .option("checkpointLocation", Lifecycle.tmpDir("q487c"))
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            val st0 = cur.map(p => s.read.parquet(p)).getOrElse(
+              graft.operators.DeltaAgg.fromBase(
+                b.limit(0), Seq("status"), "cents"))
+            val next = s"$stateRoot/v$id"
+            graft.operators.DeltaAgg.merge(
+                st0, b.toDF(), Seq("status"), "cents", "op")
+              .coalesce(1).write.mode("overwrite").parquet(next)
+            cur = Some(next)
+          }
+          .start()
+        ensureStopped(q) {
+          q.processAllAvailable()
+          val ins = src.filter(expr("o_orderdate >= TIMESTAMP '1997-01-01'"))
+            .select(col("status"), col("cents")).withColumn("op", lit(1))
+          val dels = base.filter(expr("o_orderkey % 13 = 0"))
+            .select(col("status"), col("cents")).withColumn("op", lit(-1))
+          ins.unionByName(dels).coalesce(1).write.mode("append").parquet(stage)
+          drain(q, "q487", 2)
+        }
+        s.read.parquet(cur.get).orderBy("status")
+      }
+    },
+
     "q135_stream_upsert" -> { (s, d) =>
       val stage = Lifecycle.tmpDir("q135s")
       val out = Lifecycle.tmpDir("q135o")
@@ -681,8 +733,21 @@ object StreamOps {
         |       CAST(COALESCE(SUM(rtsu - ltsu), 0) AS BIGINT) AS sum_lag_us
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q487_stream_ivm" ->
+      """WITH upd AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |     OR o_orderkey % 13 <> 0)
+        |SELECT status, COUNT(*) AS n_rows,
+        |  COUNT(cents) AS n_vals,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM upd GROUP BY 1 ORDER BY status""".stripMargin,
+
     "q135_stream_upsert" ->
-      """SELECT o_orderstatus,
+"""SELECT o_orderstatus,
         | COUNT(*) AS n,
         | CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
         |                    THEN o_totalprice * 3
