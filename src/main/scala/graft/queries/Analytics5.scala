@@ -367,6 +367,12 @@ object Analytics5 {
       Tables.embeddings(s, d)
         .withColumn("q", expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT))"))
+        // fail LOUDLY if the corpus ever outgrows the 64-dim cell
+        // table — the j < size(q) guard below would otherwise
+        // silently compute only the top-left 64×64 block (CASE takes
+        // the throwing branch only when actually oversize)
+        .filter(expr("CASE WHEN size(q) <= 64 THEN true " +
+          "ELSE assert_true(false, 'q463: embedding dim exceeds the 64-dim cell table') IS NULL END"))
         .join(broadcast(cells), expr("j < size(q)"))
         .select(col("i"), col("j"),
           expr("element_at(q, CAST(i AS INT) + 1) * " +

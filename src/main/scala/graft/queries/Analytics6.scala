@@ -344,20 +344,22 @@ object Analytics6 {
     },
 
     // Seasonal-naive forecast evaluation on daily order counts: the
-    // lag-7 forecast (same weekday last week) scored by MAPE, the
+    // day−7 forecast (same weekday last week) scored by MAPE, the
     // ops-monitoring baseline every anomaly detector is judged
-    // against. Exact integer lanes: each day's absolute percentage
+    // against. The forecast joins on the CALENDAR date (day − 7), not
+    // 7 rows back — a row-based lag silently misaligns the weekday on
+    // gapped day frames (round-8 review finding); a day whose week-ago
+    // date has no orders scores nothing, exactly as the metric is
+    // defined. Exact integer lanes: each day's absolute percentage
     // error is one integer division (|x_t − x_{t−7}|·10⁶ div x_t),
-    // the aggregate is their exact mean. The lag rides the
-    // calendar-bounded day frame (~2.4k rows at any SF — the q227
-    // allowlist class).
+    // the aggregate is their exact mean.
     "q484_seasonal_naive" -> { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
-      Tables.orders(s, d)
+      val days = Tables.orders(s, d)
         .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
         .agg(count(lit(1)).as("nd"))
-        .withColumn("f", lag("nd", 7).over(w))
-        .filter(col("f").isNotNull)
+      days
+        .join(days.select(expr("date_add(day, 7)").as("day"),
+          col("nd").as("f")), Seq("day"))
         .withColumn("ape", expr("abs(nd - f) * 1000000 div nd"))
         .agg(count(lit(1)).as("n_days_scored"),
           sum("ape").as("sum_ape"),
@@ -641,11 +643,9 @@ object Analytics6 {
         |  SELECT CAST(o_orderdate AS DATE) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS nd
         |  FROM orders GROUP BY 1),
-        |f AS (
-        |  SELECT day, nd, LAG(nd, 7) OVER (ORDER BY day) AS fc FROM d),
         |e AS (
-        |  SELECT abs(nd - fc) * 1000000 // nd AS ape
-        |  FROM f WHERE fc IS NOT NULL)
+        |  SELECT abs(cur.nd - prev.nd) * 1000000 // cur.nd AS ape
+        |  FROM d cur JOIN d prev ON prev.day + INTERVAL 7 DAY = cur.day)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
         |  CAST(SUM(ape) // COUNT(*) AS BIGINT) AS mape_micro,
         |  CAST(MAX(ape) AS BIGINT) AS worst_ape_micro

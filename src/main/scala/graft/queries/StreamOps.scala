@@ -343,12 +343,6 @@ object StreamOps {
         .orderBy("user_id")
     },
 
-    // Streaming CDC upsert: base orders are fully drained FIRST
-    // (structural ordering — the update file is only appended after
-    // processAllAvailable returns, so no reliance on FileStreamSource
-    // mtime ordering), then an update batch triples the price of
-    // every key ≡ 0 (mod 7); keyed last-row-wins merge must leave
-    // exactly the updated state.
     // Streaming INCREMENTAL VIEW MAINTENANCE: the per-status revenue
     // rollup maintained across micro-batches by DeltaAgg.merge inside
     // foreachBatch — the integration gate tying the streaming stack
@@ -401,6 +395,12 @@ object StreamOps {
       }
     },
 
+    // Streaming CDC upsert: base orders are fully drained FIRST
+    // (structural ordering — the update file is only appended after
+    // processAllAvailable returns, so no reliance on FileStreamSource
+    // mtime ordering), then an update batch triples the price of
+    // every key ≡ 0 (mod 7); keyed last-row-wins merge must leave
+    // exactly the updated state.
     "q135_stream_upsert" -> { (s, d) =>
       val stage = Lifecycle.tmpDir("q135s")
       val out = Lifecycle.tmpDir("q135o")
@@ -747,7 +747,7 @@ object StreamOps {
         |FROM upd GROUP BY 1 ORDER BY status""".stripMargin,
 
     "q135_stream_upsert" ->
-"""SELECT o_orderstatus,
+      """SELECT o_orderstatus,
         | COUNT(*) AS n,
         | CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
         |                    THEN o_totalprice * 3

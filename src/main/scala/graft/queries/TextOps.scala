@@ -126,6 +126,21 @@ object TextOps {
     * and the shared pass stops Spark recomputing the shingle
     * extraction per side.
     */
+  /** Distinct (source, 16-token-span fingerprint) rows — the shared
+    * substrate of q163 (shared-span counts) and q485 (Jaccard). ONE
+    * definition behind the memo tag: Tables.memo is first-build-wins,
+    * so two inline copies under one tag would let whichever query ran
+    * first define the other's data (round-8 review finding).
+    */
+  private def spanFingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, s"$dir#q163spans") {
+      docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 16"))
+        .select(col("source"), explode(expr(S.shingles("toks", 16))).as("span"))
+        .select(col("source"), expr(S.hash64("span")).as("hk"))
+        .distinct()
+    }
+
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     Tables.memo(s, s"$dir#shingles") {
       docsWithToks(s, dir)
@@ -869,13 +884,7 @@ object TextOps {
     // intersections left-joined in. Shares q163's memoized distinct
     // (source, hk) substrate; exact integer micro units.
     "q485_source_jaccard" -> { (s, dir) =>
-      val sp = Tables.memo(s, s"$dir#q163spans") {
-        docsWithToks(s, dir)
-          .filter(expr("size(toks) >= 16"))
-          .select(col("source"), explode(expr(S.shingles("toks", 16))).as("span"))
-          .select(col("source"), expr(S.hash64("span")).as("hk"))
-          .distinct()
-      }
+      val sp = spanFingerprints(s, dir)
       val sizes = sp.groupBy("source").agg(count(lit(1)).as("n"))
       val inter = sp.as("a").join(sp.as("b"),
           col("a.hk") === col("b.hk") && col("a.source") < col("b.source"))
@@ -1561,13 +1570,7 @@ object TextOps {
     // number of sources, never by document count. Spans travel as
     // 60-bit hashes — 8 bytes each through the one shuffle.
     "q163_source_overlap" -> { (s, dir) =>
-      val sp = Tables.memo(s, s"$dir#q163spans") {
-        docsWithToks(s, dir)
-          .filter(expr("size(toks) >= 16"))
-          .select(col("source"), explode(expr(S.shingles("toks", 16))).as("span"))
-          .select(col("source"), expr(S.hash64("span")).as("hk"))
-          .distinct()
-      }
+      val sp = spanFingerprints(s, dir)
       sp.as("a").join(sp.as("b"),
           col("a.hk") === col("b.hk") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))

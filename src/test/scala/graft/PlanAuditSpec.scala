@@ -76,9 +76,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // q473: rank assignment over the ALREADY-LIMITED top-10 frame
     // (TakeOrderedAndProject bounds what reaches the window to 10 rows)
     "q473_rbo",
-    // q484/q486: lag-7 / cumulative count over the calendar-day frame
-    // (the q227 class)
-    "q484_seasonal_naive", "q486_ks_uniform")
+    // q486: cumulative count over the calendar-day frame (q227 class)
+    "q486_ks_uniform")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !effectful(name)) {
