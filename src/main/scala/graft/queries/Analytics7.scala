@@ -1,0 +1,540 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.SqlDialect
+
+/** Round-8 continuation inventory. Same determinism contract as
+  * [[Analytics]]–[[Analytics6]]: integer lanes end-to-end wherever the
+  * math allows; floats only through ONE fixed-op-order text shared by
+  * both engines; natural-log constants enter as rational literals
+  * (the q358/q443 convention), never as engine `ln` calls.
+  *
+  * Reference behavior: pydala2 exposes none of these — they extend
+  * the training-data-pipeline stack (SURVEY.md "beyond the
+  * reference"): link-analysis ranking, sequence complexity, survival,
+  * sequential testing, extreme-value monitoring, and the
+  * margin-criterion parallel-corpus mining step.
+  */
+object Analytics7 {
+
+  private val Sp = graft.functions.PortableSql.Spark
+  private val Du = graft.functions.PortableSql.Duck
+
+  /** The exact cents lane (the Analytics2–6 CentsF convention). */
+  private val CentsF =
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Ordinal pattern of a consecutive-day triple (a, b, c): each
+    * position's rank with ties broken by POSITION (earlier wins), so
+    * every triple maps to exactly one of the 6 permutations — the
+    * Bandt–Pompe convention that keeps flat stretches deterministic.
+    * ONE text interpolated into both engines.
+    */
+  private val PermCode =
+    "((1 + (CASE WHEN b < a THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN c < a THEN 1 ELSE 0 END)) * 100 + " +
+      "(1 + (CASE WHEN a <= b THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN c < b THEN 1 ELSE 0 END)) * 10 + " +
+      "(1 + (CASE WHEN a <= c THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN b <= c THEN 1 ELSE 0 END)))"
+
+  /** SPRT micro-nat rational constants for H0 p=0.20 vs H1 p=0.25,
+    * α = β = 0.05: ln(p1/p0) = ln(1.25) → 223144 µnat,
+    * ln((1−p1)/(1−p0)) = ln(0.9375) → −64539 µnat, and the Wald
+    * boundary ln((1−β)/α) = ln(19) → 2944439 µnat. Same literals on
+    * both engines, so the decision lane is pure integer arithmetic.
+    */
+  private val LnRatioPos = 223144L
+  private val LnRatioNeg = 64539L
+  private val WaldBound = 2944439L
+
+  /** Gumbel method-of-moments constants as exactly-parsed rational
+    * doubles (integer ÷ power of ten — both engines' BIGINT→DOUBLE
+    * casts and the division are correctly rounded, so the constant is
+    * the identical double everywhere): √6/π, Euler–Mascheroni γ, and
+    * −ln(−ln(0.99)) for the 100-block return level.
+    */
+  private def sqrt6OverPi(d: SqlDialect): String =
+    s"(CAST(779696801233676 AS DOUBLE) / CAST(1000000000000000 AS DOUBLE))"
+  private def eulerGamma(d: SqlDialect): String =
+    s"(CAST(5772156649015329 AS DOUBLE) / CAST(10000000000000000 AS DOUBLE))"
+  private def gumbelQ99(d: SqlDialect): String =
+    s"(CAST(4600149226776579 AS DOUBLE) / CAST(1000000000000000 AS DOUBLE))"
+
+  /** Fixed-order mean of the rank-1..8 pivot lanes `<pfx>1..<pfx>8`
+    * over `k` present neighbors — the float adds run in pivot-column
+    * order on both engines, so the average is bit-identical.
+    */
+  private def avgTop8(d: SqlDialect, pfx: String, k: String): String =
+    s"((${(1 to 8).map(i => s"coalesce($pfx$i, ${d.dblZero})")
+      .mkString(" + ")}) / CAST($k AS DOUBLE))"
+
+  /** Difference-margin criterion (Artetxe & Schwenk's margin scoring,
+    * the CCMatrix mining rule in its additive form): cos(x, y) minus
+    * the mean of the two sides' average-kNN cosines.
+    */
+  private def marginTxt(d: SqlDialect): String =
+    s"(cos - ((a_s + a_t) / CAST(2 AS DOUBLE)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HITS hubs-and-authorities (Kleinberg 1999) on the directed
+    // supplier→customer trade graph, two un-normalized power-iteration
+    // rounds — which keeps every score an EXACT path count: a¹(c) =
+    // indeg(c), h¹(s) = Σ_{s→c} a¹(c), a²(c) = Σ_{s→c} h¹(s) (the
+    // number of s→c'→s'→c walks landing at c). Normalization only
+    // rescales the ranking, so the integer lane loses nothing. Each
+    // round is one join+agg over the DISTINCT edge set (the q113/q454
+    // shape); the per-round frames h¹ (supplier-sized) and a¹
+    // (customer-sized) are dimension tables — broadcast. Top-20 via
+    // TakeOrderedAndProject (bounded heap, never a global sort).
+    // HONEST CEILING: a² ≤ |S|·|E|·max-indeg — BIGINT holds past
+    // 10⁶ suppliers × 10⁹ edges; beyond that move the a² lane to the
+    // wide decimal.
+    "q488_hits" -> { (s, d) =>
+      val e = Tables.lineitem(s, d).select(col("l_suppkey").as("src"),
+          col("l_orderkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("src"), col("o_custkey").as("dst"))
+        .distinct()
+      val a1 = e.groupBy("dst").agg(count(lit(1)).as("auth1"))
+      val h1 = e.join(broadcast(a1), "dst")
+        .groupBy("src").agg(sum("auth1").as("h1"))
+      val a2 = e.join(broadcast(h1), "src")
+        .groupBy("dst").agg(sum("h1").as("auth2"))
+      a2.join(broadcast(a1), "dst")
+        .select(col("dst").as("cust"), col("auth1"), col("auth2"))
+        .orderBy(col("auth2").desc, col("cust").asc)
+        .limit(20)
+    },
+
+    // Next-event-type surprisal per current state — the conditional-
+    // entropy-in-bits profile of the event stream's first-order Markov
+    // model, computed the q173 way: surprisal of transition (t1, t2)
+    // is floor(log2(c(t1·)/c(t1,t2))) bits via integer bit-length —
+    // no float log anywhere. Consecutive pairs ride a per-user window
+    // (partitioned — scales with users); the model join runs over the
+    // type×type frame (vocabulary-sized). A state whose mean surprisal
+    // collapses to 0 has become deterministic — the stream-health
+    // companion to q295's transition matrix and q284's second-order
+    // counts.
+    "q489_transition_bits" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("event_type").as("t1"), col("t2"))
+      val c2 = pairs.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("t1").agg(sum("c2").as("n_out"))
+      c2.join(c1, Seq("t1"))
+        .withColumn("bits", expr("length(bin(n_out div c2)) - 1").cast("long"))
+        .groupBy("t1", "n_out")
+        .agg(sum(expr("c2 * bits")).as("sum_bits"))
+        .withColumn("milli_bits", expr("sum_bits * 1000 div n_out"))
+        .select("t1", "n_out", "sum_bits", "milli_bits")
+        .orderBy("t1")
+    },
+
+    // Permutation-pattern complexity (Bandt & Pompe 2002) of the daily
+    // order-count series: every consecutive-day triple maps to one of
+    // the 6 ordinal patterns ([[PermCode]], position-tiebroken), and
+    // the pattern histogram is the series' complexity fingerprint — a
+    // collapsing pattern set means the load curve turned predictable.
+    // Exact integers end-to-end: per-pattern counts, permille shares,
+    // and the Rényi-2 collision statistic Σc²·10⁶ div N² (the q322
+    // Simpson lane — the log-free entropy surrogate). The triple
+    // window rides the calendar-day frame (~2.4k rows at ANY scale —
+    // PlanAudit-allowlisted); the heavy lifting is the map-side
+    // orders→day combine.
+    "q490_perm_patterns" -> { (s, d) =>
+      val w = Window.orderBy("day")
+      val tri = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("a"))
+        .withColumn("b", lead("a", 1).over(w))
+        .withColumn("c", lead("a", 2).over(w))
+        .filter(col("c").isNotNull)
+      val cnts = tri.select(expr(PermCode).cast("long").as("pattern"))
+        .groupBy("pattern").agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(sum("cnt").as("n_triples"),
+        sum(expr("cnt * cnt")).as("sum_sq"))
+      cnts.crossJoin(broadcast(tot))
+        .select(col("pattern"), col("cnt"),
+          expr("cnt * 1000 div n_triples").as("permille"),
+          col("n_triples"),
+          expr("sum_sq * 1000000 div (n_triples * n_triples)")
+            .as("collision_micro"))
+        .orderBy("pattern")
+    },
+
+    // Kaplan–Meier product-limit survival of order→ship latency with
+    // administrative censoring at 1998-03-01 — the estimator twin of
+    // q343's Nelson–Aalen cumulative hazard (same subject frame
+    // construction, different cutoff cohort). Determinism without an
+    // engine float product: each event step's ratio is pre-floored to
+    // an exact integer step_micro = (n−d)·10⁶ div n, and S(t) is the
+    // SEQUENTIAL integer fold Π-style over the time-sorted steps
+    // (s ← s·step div 10⁶ from 10⁶) — a micro-precision product-limit
+    // whose deviation from the real-valued K-M is < #steps·1e-6,
+    // identical on both engines at ANY n (no magnitude ceiling: only
+    // the ≤10⁶ step ratio is encoded, never n itself). The step table
+    // is latency-day-grain (≤ ~200 rows at any scale), so the encoded
+    // array, its per-row prefix folds, and the cumulative at-risk
+    // window are all cardinality-bounded by construction.
+    "q491_kaplan_meier" -> { (s, d) =>
+      val subj = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("o_orderdate <= DATE '1998-03-01'"))
+        .select(
+          expr("CASE WHEN l_shipdate <= DATE '1998-03-01' " +
+            "THEN datediff(l_shipdate, o_orderdate) " +
+            "ELSE datediff(DATE '1998-03-01', o_orderdate) END")
+            .cast("long").as("obs"),
+          expr("CASE WHEN l_shipdate <= DATE '1998-03-01' THEN 1 ELSE 0 END")
+            .as("ev"))
+      val steps = subj.groupBy("obs")
+        .agg(count(lit(1)).as("c_all"), sum("ev").as("d"))
+      val n = steps.agg(sum("c_all").as("n_total"))
+      val ordw = Window.orderBy("obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val es = steps.crossJoin(broadcast(n))
+        .withColumn("cum_le", sum("c_all").over(ordw))
+        .withColumn("n_risk", expr("n_total - cum_le + c_all"))
+        .filter(col("d") > 0)
+        .withColumn("step_micro", expr("(n_risk - d) * 1000000 div n_risk"))
+      // encode shift: the driver's synthetic lineitem ships up to
+      // ~3 years BEFORE the order date (not TPC-H-faithful), so obs
+      // is signed; +10⁶ days keeps the encode positive (and the `%`
+      // lane well-defined) for any calendar within ±2.7 millennia
+      val arr = es.agg(expr(
+        "sort_array(collect_list((obs + 1000000) * 10000000 + step_micro))")
+        .as("a"))
+      es.withColumnRenamed("obs", "t_days")
+        .crossJoin(broadcast(arr))
+        .withColumn("surv_micro", expr(Sp.fold(
+          Sp.filterL("a", "v",
+            s"${Sp.intDiv("v", "10000000")} - 1000000 <= t_days"),
+          "CAST(1000000 AS BIGINT)", "acc", "v",
+          Sp.intDiv("(acc * (v % 10000000))", "1000000"))))
+        .select("t_days", "d", "n_risk", "step_micro", "surv_micro")
+        .orderBy("t_days")
+    },
+
+    // Wald's sequential probability ratio test (SPRT 1945) on the
+    // 1995 return rate: H0 p=0.20 vs H1 p=0.25 at α=β=0.05. The
+    // log-likelihood ratio k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) is
+    // pure integer arithmetic in micro-nats ([[LnRatioPos]] — the
+    // rational-literal convention, no engine ln), and the decision
+    // compares against the Wald boundaries ±ln(19). One
+    // map-side-combined counting aggregate over the year partition —
+    // the sequential-monitoring rider to q223's lift and q346's SRM.
+    "q492_sprt" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(expr("year(l_shipdate) = 1995"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")).as("k"))
+        .select(col("n"), col("k"),
+          expr(s"k * $LnRatioPos - (n - k) * $LnRatioNeg")
+            .as("llr_micronat"),
+          expr(s"CASE WHEN k * $LnRatioPos - (n - k) * $LnRatioNeg " +
+            s">= $WaldBound THEN 'accept_h1' " +
+            s"WHEN k * $LnRatioPos - (n - k) * $LnRatioNeg " +
+            s"<= -$WaldBound THEN 'accept_h0' " +
+            "ELSE 'continue' END").as("decision"))
+    },
+
+    // Gumbel (EV1) fit to monthly block maxima of daily revenue by the
+    // method of moments — the extreme-value monitor behind "what daily
+    // load should we provision for?": β̂ = s·√6/π, μ̂ = m − γ·β̂, plus
+    // the 100-block return level μ̂ + β̂·(−ln(−ln(0.99))). Daily cents
+    // and monthly maxima are exact integers; the block-maxima moments
+    // (n, Σx, Σx²) ride wide lanes, and every float surfaces through
+    // ONE fixed-op-order text over them — the constants are rational
+    // doubles ([[sqrt6OverPi]]). Two bounded aggregations (day-grain,
+    // then month-grain ~84 rows); no windows, no shuffle beyond the
+    // two combines.
+    "q493_gumbel_maxima" -> { (s, d) =>
+      val varT = s"(${Sp.wideToDouble(
+        s"(${Sp.wide("nb")} * s2 - ${Sp.wide("s1")} * s1)")} / " +
+        "(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)))"
+      val betaT = s"(sqrt($varT) * ${sqrt6OverPi(Sp)})"
+      val muT = s"((CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) - " +
+        s"${eulerGamma(Sp)} * $betaT)"
+      val rlT = s"($muT + $betaT * ${gumbelQ99(Sp)})"
+      Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(sum(expr(CentsF)).as("dc"))
+        .groupBy(expr("date_trunc('month', day)").as("mo"))
+        .agg(max("dc").as("mx"))
+        .agg(count(lit(1)).as("nb"), sum("mx").as("s1"),
+          sum(expr(s"${Sp.wide("mx")} * mx")).as("s2"))
+        .selectExpr("nb AS n_blocks",
+          s"CAST(${Sp.intDiv(s"${Sp.wide("s1")} * 1000000", "nb")} AS BIGINT)" +
+            " AS mean_microcents",
+          s"CASE WHEN nb < 2 OR ($varT) <= 0 THEN NULL ELSE " +
+            s"CAST(floor($betaT) AS BIGINT) END AS beta_cents",
+          s"CASE WHEN nb < 2 OR ($varT) <= 0 THEN NULL ELSE " +
+            s"CAST(floor($muT) AS BIGINT) END AS mu_cents",
+          s"CASE WHEN nb < 2 OR ($varT) <= 0 THEN NULL ELSE " +
+            s"CAST(floor($rlT) AS BIGINT) END AS rl100_cents")
+    },
+
+    // Margin-criterion mining (Artetxe & Schwenk, the CCMatrix/LASER
+    // bitext rule, additive form): a hash-defined 5% query slice mines
+    // its best counterpart among the rest, scored not by raw cosine
+    // but by cosine minus the mean of both sides' average-k-NN cosine
+    // — the correction that kills hubness false matches. All cosines
+    // ride the shared sequential fold; each side's kNN average sums
+    // its rank-1..8 pivot lanes in FIXED column order ([[avgTop8]]),
+    // so every float is bit-identical across engines; ranking ties
+    // break on ids. The query slice broadcasts against the corpus
+    // (the q33 brute-force shape — the verifier tier); at 100 TB the
+    // pair frame swaps to the q34/q79 LSH/IVF candidate path with the
+    // same margin scoring on top.
+    "q494_margin_mining" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val src = emb.filter(expr("vec_id % 20 = 0"))
+        .select(col("vec_id").as("sid"), col("embedding").as("se"))
+      val tgt = emb.filter(expr("vec_id % 20 <> 0"))
+        .select(col("vec_id").as("tid"), col("embedding").as("te"))
+      val pairs = tgt.crossJoin(broadcast(src))
+        .select(col("sid"), col("tid"),
+          expr(Sp.cosine("se", "te")).as("cos"))
+      val wS = Window.partitionBy("sid")
+        .orderBy(col("cos").desc, col("tid").asc)
+      val sCols = (1 to 8).map(i =>
+        max(when(col("rn") === i, col("cos"))).as(s"c$i")) :+
+        count(lit(1)).as("ks")
+      val sAvg = pairs.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 8)
+        .groupBy("sid")
+        .agg(sCols.head, sCols.tail: _*)
+        .withColumn("a_s", expr(avgTop8(Sp, "c", "ks")))
+        .select("sid", "a_s")
+      val wT = Window.partitionBy("tid")
+        .orderBy(col("cos").desc, col("sid").asc)
+      val tCols = (1 to 8).map(i =>
+        max(when(col("rn") === i, col("cos"))).as(s"e$i")) :+
+        count(lit(1)).as("kt")
+      val tAvg = pairs.withColumn("rn", row_number().over(wT))
+        .filter(col("rn") <= 8)
+        .groupBy("tid")
+        .agg(tCols.head, tCols.tail: _*)
+        .withColumn("a_t", expr(avgTop8(Sp, "e", "kt")))
+        .select("tid", "a_t")
+      val wBest = Window.partitionBy("sid")
+        .orderBy(col("margin").desc, col("tid").asc)
+      pairs.join(broadcast(sAvg), Seq("sid"))
+        .join(tAvg, Seq("tid"))
+        .withColumn("margin", expr(marginTxt(Sp)))
+        .withColumn("rb", row_number().over(wBest))
+        .filter(col("rb") === 1)
+        .select(col("sid"), col("tid").as("best_tid"),
+          expr("CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT)")
+            .as("cos_micro"),
+          expr("CAST(floor(margin * CAST(1000000 AS DOUBLE)) AS BIGINT)")
+            .as("margin_micro"))
+        .orderBy("sid")
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q488_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a1 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS auth1
+        |  FROM e GROUP BY 1),
+        |h1 AS (SELECT src, CAST(SUM(auth1) AS BIGINT) AS h1
+        |  FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |a2 AS (SELECT dst, CAST(SUM(h1) AS BIGINT) AS auth2
+        |  FROM e JOIN h1 USING (src) GROUP BY 1)
+        |SELECT dst AS cust, auth1, auth2
+        |FROM a2 JOIN a1 USING (dst)
+        |ORDER BY auth2 DESC, cust LIMIT 20""".stripMargin,
+
+    "q489_transition_bits" ->
+      s"""WITH p AS (
+         |  SELECT event_type AS t1,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS t2
+         |  FROM events),
+         |pairs AS (SELECT t1, t2 FROM p WHERE t2 IS NOT NULL),
+         |c2 AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT t1, CAST(SUM(c2) AS BIGINT) AS n_out
+         |  FROM c2 GROUP BY 1),
+         |sc AS (
+         |  SELECT t1, n_out, c2,
+         |    CAST(length(printf('%b', ${Du.intDiv("n_out", "c2")})) - 1
+         |      AS BIGINT) AS bits
+         |  FROM c2 JOIN c1 USING (t1))
+         |SELECT t1, n_out, CAST(SUM(c2 * bits) AS BIGINT) AS sum_bits,
+         |  CAST(${Du.intDiv("SUM(c2 * bits) * 1000", "n_out")} AS BIGINT)
+         |    AS milli_bits
+         |FROM sc GROUP BY 1, 2 ORDER BY t1""".stripMargin,
+
+    "q490_perm_patterns" ->
+      s"""WITH days AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS a
+         |  FROM orders GROUP BY 1),
+         |tri AS (
+         |  SELECT a, lead(a, 1) OVER (ORDER BY day) AS b,
+         |    lead(a, 2) OVER (ORDER BY day) AS c
+         |  FROM days),
+         |pat AS (
+         |  SELECT CAST($PermCode AS BIGINT) AS pattern
+         |  FROM tri WHERE c IS NOT NULL),
+         |cnts AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM pat GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_triples,
+         |  CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq FROM cnts)
+         |SELECT pattern, cnt,
+         |  ${Du.intDiv("cnt * 1000", "n_triples")} AS permille,
+         |  n_triples,
+         |  ${Du.intDiv("sum_sq * 1000000", "(n_triples * n_triples)")}
+         |    AS collision_micro
+         |FROM cnts, tot ORDER BY pattern""".stripMargin,
+
+    "q491_kaplan_meier" ->
+      s"""WITH subj AS (
+         |  SELECT
+         |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-03-01'
+         |      THEN date_diff('day', CAST(o_orderdate AS DATE),
+         |        CAST(l_shipdate AS DATE))
+         |      ELSE date_diff('day', CAST(o_orderdate AS DATE),
+         |        DATE '1998-03-01') END AS obs,
+         |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-03-01'
+         |      THEN 1 ELSE 0 END AS ev
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-03-01'),
+         |steps AS (
+         |  SELECT CAST(obs AS BIGINT) AS obs,
+         |    CAST(COUNT(*) AS BIGINT) AS c_all,
+         |    CAST(SUM(ev) AS BIGINT) AS d
+         |  FROM subj GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_total FROM steps),
+         |risk AS (
+         |  SELECT obs, d,
+         |    n_total - SUM(c_all) OVER (ORDER BY obs
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c_all
+         |      AS n_risk
+         |  FROM steps, n),
+         |es AS (
+         |  SELECT obs, d, n_risk,
+         |    ${Du.intDiv("(n_risk - d) * 1000000", "n_risk")} AS step_micro
+         |  FROM risk WHERE d > 0),
+         |arr AS (
+         |  SELECT list((obs + 1000000) * 10000000 + step_micro ORDER BY obs)
+         |    AS a
+         |  FROM es)
+         |SELECT obs AS t_days, d, n_risk, step_micro,
+         |  ${Du.fold(
+             Du.filterL("a", "v",
+               s"${Du.intDiv("v", "10000000")} - 1000000 <= obs"),
+             "CAST(1000000 AS BIGINT)", "acc", "v",
+             Du.intDiv("(acc * (v % 10000000))", "1000000"))} AS surv_micro
+         |FROM es, arr ORDER BY t_days""".stripMargin,
+
+    "q492_sprt" ->
+      s"""WITH c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k
+         |  FROM lineitem WHERE year(l_shipdate) = 1995)
+         |SELECT n, k,
+         |  k * $LnRatioPos - (n - k) * $LnRatioNeg AS llr_micronat,
+         |  CASE WHEN k * $LnRatioPos - (n - k) * $LnRatioNeg
+         |    >= $WaldBound THEN 'accept_h1'
+         |  WHEN k * $LnRatioPos - (n - k) * $LnRatioNeg
+         |    <= -$WaldBound THEN 'accept_h0'
+         |  ELSE 'continue' END AS decision
+         |FROM c""".stripMargin,
+
+    "q493_gumbel_maxima" -> {
+      val varT = s"(${Du.wideToDouble(
+        s"(${Du.wide("nb")} * s2 - ${Du.wide("s1")} * s1)")} / " +
+        "(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)))"
+      val betaT = s"(sqrt($varT) * ${sqrt6OverPi(Du)})"
+      val muT = s"((CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) - " +
+        s"${eulerGamma(Du)} * $betaT)"
+      val rlT = s"($muT + $betaT * ${gumbelQ99(Du)})"
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM($CentsF) AS BIGINT) AS dc
+         |  FROM orders GROUP BY 1),
+         |mo AS (
+         |  SELECT date_trunc('month', day) AS mo,
+         |    CAST(MAX(dc) AS BIGINT) AS mx
+         |  FROM daily GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(mx) AS BIGINT) AS s1,
+         |    SUM(${Du.wide("mx")} * mx) AS s2
+         |  FROM mo)
+         |SELECT nb AS n_blocks,
+         |  CAST(${Du.intDiv(s"${Du.wide("s1")} * 1000000", "nb")} AS BIGINT)
+         |    AS mean_microcents,
+         |  CASE WHEN nb < 2 OR ($varT) <= 0 THEN NULL ELSE
+         |    CAST(floor($betaT) AS BIGINT) END AS beta_cents,
+         |  CASE WHEN nb < 2 OR ($varT) <= 0 THEN NULL ELSE
+         |    CAST(floor($muT) AS BIGINT) END AS mu_cents,
+         |  CASE WHEN nb < 2 OR ($varT) <= 0 THEN NULL ELSE
+         |    CAST(floor($rlT) AS BIGINT) END AS rl100_cents
+         |FROM m""".stripMargin
+    },
+
+    "q494_margin_mining" -> {
+      val sPiv = (1 to 8).map(i =>
+        s"MAX(CASE WHEN rn = $i THEN cos END) AS c$i").mkString(", ")
+      val tPiv = (1 to 8).map(i =>
+        s"MAX(CASE WHEN rn = $i THEN cos END) AS e$i").mkString(", ")
+      s"""WITH src AS (
+         |  SELECT vec_id AS sid, embedding AS se
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |tgt AS (
+         |  SELECT vec_id AS tid, embedding AS te
+         |  FROM embeddings WHERE vec_id % 20 <> 0),
+         |pairs AS (
+         |  SELECT sid, tid, ${Du.cosine("se", "te")} AS cos
+         |  FROM src, tgt),
+         |sr AS (
+         |  SELECT sid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY sid
+         |      ORDER BY cos DESC, tid ASC) AS rn
+         |  FROM pairs),
+         |sa AS (
+         |  SELECT sid, $sPiv, CAST(COUNT(*) AS BIGINT) AS ks
+         |  FROM sr WHERE rn <= 8 GROUP BY sid),
+         |sAvg AS (SELECT sid, ${avgTop8(Du, "c", "ks")} AS a_s FROM sa),
+         |tr AS (
+         |  SELECT tid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY tid
+         |      ORDER BY cos DESC, sid ASC) AS rn
+         |  FROM pairs),
+         |ta AS (
+         |  SELECT tid, $tPiv, CAST(COUNT(*) AS BIGINT) AS kt
+         |  FROM tr WHERE rn <= 8 GROUP BY tid),
+         |tAvg AS (SELECT tid, ${avgTop8(Du, "e", "kt")} AS a_t FROM ta),
+         |scored AS (
+         |  SELECT sid, tid, cos, ${marginTxt(Du)} AS margin
+         |  FROM pairs JOIN sAvg USING (sid) JOIN tAvg USING (tid)),
+         |best AS (
+         |  SELECT sid, tid, cos, margin,
+         |    ROW_NUMBER() OVER (PARTITION BY sid
+         |      ORDER BY margin DESC, tid ASC) AS rb
+         |  FROM scored)
+         |SELECT sid, tid AS best_tid,
+         |  CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micro,
+         |  CAST(floor(margin * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         |    AS margin_micro
+         |FROM best WHERE rb = 1 ORDER BY sid""".stripMargin
+    })
+}

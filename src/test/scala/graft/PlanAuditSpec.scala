@@ -77,7 +77,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // (TakeOrderedAndProject bounds what reaches the window to 10 rows)
     "q473_rbo",
     // q486: cumulative count over the calendar-day frame (q227 class)
-    "q486_ks_uniform")
+    "q486_ks_uniform",
+    // q490: consecutive-day lead triples over the calendar-day frame
+    // (q227 class); q491: cumulative at-risk count over the
+    // latency-day-grain step table (≤ ~200 rows at any scale — the
+    // q343 Nelson–Aalen class)
+    "q490_perm_patterns", "q491_kaplan_meier")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !effectful(name)) {
