@@ -79,6 +79,35 @@ object Analytics7 {
   private def marginTxt(d: SqlDialect): String =
     s"(cos - ((a_s + a_t) / CAST(2 AS DOUBLE)))"
 
+  /** The q494/q497/q498 mining substrate: the hash-defined 5% query
+    * slice against the rest of the corpus, cosine per pair through
+    * the shared sequential fold. Brute-force is the verifier tier
+    * (the q33 shape — query slice broadcasts, corpus streams); at
+    * 100 TB the pair frame swaps to the q34/q79 LSH/IVF candidate
+    * path with identical downstream scoring.
+    */
+  private def embPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val src = emb.filter(expr("vec_id % 20 = 0"))
+      .select(col("vec_id").as("sid"), col("embedding").as("se"))
+    val tgt = emb.filter(expr("vec_id % 20 <> 0"))
+      .select(col("vec_id").as("tid"), col("embedding").as("te"))
+    tgt.crossJoin(broadcast(src))
+      .select(col("sid"), col("tid"), expr(Sp.cosine("se", "te")).as("cos"))
+  }
+
+  /** Oracle twin of [[embPairs]] — the src/tgt/pairs CTE prefix. */
+  private def embPairsCte: String =
+    s"""src AS (
+       |  SELECT vec_id AS sid, embedding AS se
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |tgt AS (
+       |  SELECT vec_id AS tid, embedding AS te
+       |  FROM embeddings WHERE vec_id % 20 <> 0),
+       |pairs AS (
+       |  SELECT sid, tid, ${Du.cosine("se", "te")} AS cos
+       |  FROM src, tgt)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // HITS hubs-and-authorities (Kleinberg 1999) on the directed
@@ -298,14 +327,7 @@ object Analytics7 {
     // pair frame swaps to the q34/q79 LSH/IVF candidate path with the
     // same margin scoring on top.
     "q494_margin_mining" -> { (s, d) =>
-      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val src = emb.filter(expr("vec_id % 20 = 0"))
-        .select(col("vec_id").as("sid"), col("embedding").as("se"))
-      val tgt = emb.filter(expr("vec_id % 20 <> 0"))
-        .select(col("vec_id").as("tid"), col("embedding").as("te"))
-      val pairs = tgt.crossJoin(broadcast(src))
-        .select(col("sid"), col("tid"),
-          expr(Sp.cosine("se", "te")).as("cos"))
+      val pairs = embPairs(s, d)
       val wS = Window.partitionBy("sid")
         .orderBy(col("cos").desc, col("tid").asc)
       val sCols = (1 to 8).map(i =>
@@ -341,7 +363,118 @@ object Analytics7 {
           expr("CAST(floor(margin * CAST(1000000 AS DOUBLE)) AS BIGINT)")
             .as("margin_micro"))
         .orderBy("sid")
+    },
+
+    // Sample entropy (Richman & Moorman 2000) of the daily order-count
+    // series at m=2, r=5: B counts template pairs matching on 2
+    // consecutive days (Chebyshev tolerance ≤ r), A on 3 — both EXACT
+    // integer counts over the all-pairs day frame (calendar-bounded:
+    // ~2.4k days ⇒ ~3M pairs at ANY scale, a broadcast nested-loop
+    // the optimizer cannot mistake for a data-sized cartesian).
+    // SampEn = −ln(A/B); the ratio is emitted exactly in micro units
+    // (−ln is monotone, so regularity thresholds translate 1:1 into
+    // ratio space — the log-free surrogate convention of q490/q322).
+    "q496_sample_entropy" -> { (s, d) =>
+      val w = Window.orderBy("day")
+      val tpl = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("x1"))
+        .withColumn("x2", lead("x1", 1).over(w))
+        .withColumn("x3", lead("x1", 2).over(w))
+      val a = tpl.select(col("day").as("da"), col("x1").as("a1"),
+        col("x2").as("a2"), col("x3").as("a3"))
+      val b = tpl.select(col("day").as("db"), col("x1").as("b1"),
+        col("x2").as("b2"), col("x3").as("b3"))
+      val m2 = "a2 IS NOT NULL AND b2 IS NOT NULL AND " +
+        "abs(a1 - b1) <= 5 AND abs(a2 - b2) <= 5"
+      val m3 = s"$m2 AND a3 IS NOT NULL AND b3 IS NOT NULL AND " +
+        "abs(a3 - b3) <= 5"
+      val cnt = a.join(broadcast(b), col("da") < col("db"))
+        .agg(
+          sum(expr(s"CASE WHEN $m2 THEN 1 ELSE 0 END")).as("b_pairs"),
+          sum(expr(s"CASE WHEN $m3 THEN 1 ELSE 0 END")).as("a_pairs"))
+      val nd = tpl.agg(count(lit(1)).as("n_days"))
+      cnt.crossJoin(broadcast(nd))
+        .select(col("n_days"), col("b_pairs"), col("a_pairs"),
+          expr("CASE WHEN b_pairs = 0 THEN NULL " +
+            "ELSE a_pairs * 1000000 div b_pairs END").as("ratio_micro"))
+    },
+
+    // Reciprocal top-3 pairs across the q494 split — forward-backward
+    // consistency filtering, the bitext-alignment gate that survives
+    // hubness (a hub target collects many forward votes but returns
+    // few): keep (x, y) only when y is in x's forward top-3 AND x is
+    // in y's backward top-3. Pure integer ranks on the shared-fold
+    // cosine (ties break on ids), so the pair set is deterministic;
+    // both rank windows are partitioned (query- and target-keyed) and
+    // the join is equi on (sid, tid).
+    "q497_reciprocal_pairs" -> { (s, d) =>
+      val p = embPairs(s, d)
+      val fwd = p.withColumn("fwd_rank", row_number().over(
+          Window.partitionBy("sid").orderBy(col("cos").desc, col("tid").asc))
+          .cast("long"))
+        .filter(col("fwd_rank") <= 3)
+      val bwd = p.withColumn("bwd_rank", row_number().over(
+          Window.partitionBy("tid").orderBy(col("cos").desc, col("sid").asc))
+          .cast("long"))
+        .filter(col("bwd_rank") <= 3)
+        .select("sid", "tid", "bwd_rank")
+      fwd.join(bwd, Seq("sid", "tid"))
+        .select(col("sid"), col("tid"), col("fwd_rank"), col("bwd_rank"),
+          expr("CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT)")
+            .as("cos_micro"))
+        .orderBy("sid", "tid")
+    },
+
+    // Hubness skew of the reverse-8-NN occurrence distribution
+    // (Radovanović et al. 2010): how many query vectors list each
+    // target in their top-8 — a right-skewed occurrence histogram is
+    // the high-dimensional hubness pathology that q494's margin
+    // corrects. Occurrences are exact integer counts (zero-occurrence
+    // targets included via the left join); the moment skewness
+    // g1 = m3/m2^1.5 rides the q478 lanes (Σo, Σo², Σo³ in wide
+    // integers, ONE fixed-op-order float text). The argmax hub is a
+    // bounded top-1 (TakeOrderedAndProject).
+    "q498_hubness" -> { (s, d) =>
+      val p = embPairs(s, d)
+      val occ8 = p.withColumn("rn", row_number().over(
+          Window.partitionBy("sid").orderBy(col("cos").desc, col("tid").asc)))
+        .filter(col("rn") <= 8)
+        .groupBy("tid").agg(count(lit(1)).as("o"))
+      val allT = Tables.embeddings(s, d)
+        .filter(expr("vec_id % 20 <> 0"))
+        .select(col("vec_id").as("tid"))
+      val o = allT.join(occ8, Seq("tid"), "left")
+        .withColumn("occ", coalesce(col("o"), lit(0L)))
+      val mom = o.agg(count(lit(1)).as("n"), sum("occ").as("s1"),
+        sum(expr(s"${Sp.wide("occ")} * occ")).as("s2"),
+        sum(expr(s"${Sp.wide("occ")} * occ * occ")).as("s3"))
+      val hub = o.orderBy(col("occ").desc, col("tid").asc).limit(1)
+        .select(col("tid").as("hub_tid"), col("occ").as("hub_occ"))
+      mom.crossJoin(broadcast(hub))
+        .selectExpr("n AS n_targets", "hub_tid", "hub_occ",
+          s"CAST(${Sp.intDiv(s"${Sp.wide("s1")} * 1000", "n")} AS BIGINT)" +
+            " AS mean_milli",
+          s"CASE WHEN n < 2 OR (${skewM2(Sp)}) <= 0 THEN NULL ELSE " +
+            s"CAST(floor((${skewM3(Sp)}) / sqrt((${skewM2(Sp)}) * " +
+            s"(${skewM2(Sp)}) * (${skewM2(Sp)})) * CAST(1000 AS DOUBLE)) " +
+            "AS BIGINT) END AS skew_milli")
     })
+
+  /** Central moment texts about the raw sums for the q498 occurrence
+    * lanes (n, s1, s2, s3) — the q478 Jarque–Bera discipline: m2 =
+    * s2/n − μ², m3 = s3/n − 3μ(s2/n) + 2μ³, μ = s1/n, each ONE shared
+    * fixed-op-order text.
+    */
+  private def skewMu(d: SqlDialect): String =
+    "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private def skewM2(d: SqlDialect): String =
+    s"(${d.wideToDouble("s2")} / CAST(n AS DOUBLE) - " +
+      s"${skewMu(d)} * ${skewMu(d)})"
+  private def skewM3(d: SqlDialect): String =
+    s"(${d.wideToDouble("s3")} / CAST(n AS DOUBLE) - " +
+      s"3 * ${skewMu(d)} * (${d.wideToDouble("s2")} / CAST(n AS DOUBLE)) + " +
+      s"2 * ${skewMu(d)} * ${skewMu(d)} * ${skewMu(d)})"
 
   val oracles: Map[String, String] = Map(
 
@@ -496,15 +629,7 @@ object Analytics7 {
         s"MAX(CASE WHEN rn = $i THEN cos END) AS c$i").mkString(", ")
       val tPiv = (1 to 8).map(i =>
         s"MAX(CASE WHEN rn = $i THEN cos END) AS e$i").mkString(", ")
-      s"""WITH src AS (
-         |  SELECT vec_id AS sid, embedding AS se
-         |  FROM embeddings WHERE vec_id % 20 = 0),
-         |tgt AS (
-         |  SELECT vec_id AS tid, embedding AS te
-         |  FROM embeddings WHERE vec_id % 20 <> 0),
-         |pairs AS (
-         |  SELECT sid, tid, ${Du.cosine("se", "te")} AS cos
-         |  FROM src, tgt),
+      s"""WITH $embPairsCte,
          |sr AS (
          |  SELECT sid, cos,
          |    ROW_NUMBER() OVER (PARTITION BY sid
@@ -536,5 +661,84 @@ object Analytics7 {
          |  CAST(floor(margin * CAST(1000000 AS DOUBLE)) AS BIGINT)
          |    AS margin_micro
          |FROM best WHERE rb = 1 ORDER BY sid""".stripMargin
-    })
+    },
+
+    "q496_sample_entropy" -> {
+      val m2 = "a2 IS NOT NULL AND b2 IS NOT NULL AND " +
+        "abs(a1 - b1) <= 5 AND abs(a2 - b2) <= 5"
+      val m3 = s"$m2 AND a3 IS NOT NULL AND b3 IS NOT NULL AND " +
+        "abs(a3 - b3) <= 5"
+      s"""WITH days AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x1
+         |  FROM orders GROUP BY 1),
+         |tpl AS (
+         |  SELECT day, x1, lead(x1, 1) OVER (ORDER BY day) AS x2,
+         |    lead(x1, 2) OVER (ORDER BY day) AS x3
+         |  FROM days),
+         |cnt AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN $m2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS b_pairs,
+         |    CAST(SUM(CASE WHEN $m3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS a_pairs
+         |  FROM (SELECT day AS da, x1 AS a1, x2 AS a2, x3 AS a3 FROM tpl) a
+         |  JOIN (SELECT day AS db, x1 AS b1, x2 AS b2, x3 AS b3 FROM tpl) b
+         |    ON da < db),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days)
+         |SELECT n_days, b_pairs, a_pairs,
+         |  CASE WHEN b_pairs = 0 THEN NULL
+         |    ELSE ${Du.intDiv("a_pairs * 1000000", "b_pairs")} END
+         |    AS ratio_micro
+         |FROM cnt, nd""".stripMargin
+    },
+
+    "q497_reciprocal_pairs" ->
+      s"""WITH $embPairsCte,
+         |fwd AS (
+         |  SELECT sid, tid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY sid
+         |      ORDER BY cos DESC, tid ASC) AS fwd_rank
+         |  FROM pairs QUALIFY fwd_rank <= 3),
+         |bwd AS (
+         |  SELECT sid, tid,
+         |    ROW_NUMBER() OVER (PARTITION BY tid
+         |      ORDER BY cos DESC, sid ASC) AS bwd_rank
+         |  FROM pairs QUALIFY bwd_rank <= 3)
+         |SELECT sid, tid, CAST(fwd_rank AS BIGINT) AS fwd_rank,
+         |  CAST(bwd_rank AS BIGINT) AS bwd_rank,
+         |  CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micro
+         |FROM fwd JOIN bwd USING (sid, tid)
+         |ORDER BY sid, tid""".stripMargin,
+
+    "q498_hubness" ->
+      s"""WITH $embPairsCte,
+         |rk AS (
+         |  SELECT sid, tid,
+         |    ROW_NUMBER() OVER (PARTITION BY sid
+         |      ORDER BY cos DESC, tid ASC) AS rn
+         |  FROM pairs QUALIFY rn <= 8),
+         |occ8 AS (SELECT tid, CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM rk GROUP BY 1),
+         |o AS (
+         |  SELECT tgt.tid, COALESCE(occ8.o, 0) AS occ
+         |  FROM tgt LEFT JOIN occ8 ON tgt.tid = occ8.tid),
+         |mom AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(occ) AS BIGINT) AS s1,
+         |    SUM(${Du.wide("occ")} * occ) AS s2,
+         |    SUM(${Du.wide("occ")} * occ * occ) AS s3
+         |  FROM o),
+         |hub AS (
+         |  SELECT tid AS hub_tid, occ AS hub_occ,
+         |    ROW_NUMBER() OVER (ORDER BY occ DESC, tid ASC) AS hr
+         |  FROM o QUALIFY hr = 1)
+         |SELECT n AS n_targets, hub_tid, hub_occ,
+         |  CAST(${Du.intDiv(s"${Du.wide("s1")} * 1000", "n")} AS BIGINT)
+         |    AS mean_milli,
+         |  CASE WHEN n < 2 OR (${skewM2(Du)}) <= 0 THEN NULL ELSE
+         |    CAST(floor((${skewM3(Du)}) / sqrt((${skewM2(Du)}) *
+         |    (${skewM2(Du)}) * (${skewM2(Du)})) * CAST(1000 AS DOUBLE))
+         |    AS BIGINT) END AS skew_milli
+         |FROM mom, hub""".stripMargin)
 }

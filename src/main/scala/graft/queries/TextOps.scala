@@ -340,6 +340,26 @@ object TextOps {
   private val duckBase =
     s"WITH base AS (SELECT doc_id, lang, text, ${D.tokens("text")} AS toks FROM documents)"
 
+  /** Clipped n-gram match count Σ_{distinct g ∈ a} min(cnt_a(g),
+    * cnt_b(g)) — the BLEU modified-precision numerator, exact integer,
+    * ONE dialect-paired fold (q495).
+    */
+  private def clipCount(d: SqlDialect, a: String, b: String): String =
+    d.fold(
+      d.transform(d.arrDistinct(a), "t",
+        s"CAST(least(${d.size(d.filterL(a, "x", "x = t"))}, " +
+          s"${d.size(d.filterL(b, "x", "x = t"))}) AS BIGINT)"),
+      d.longLit(0), "acc", "v", "acc + v")
+
+  /** Geometric mean of the two clipped precisions over 12 unigrams /
+    * 11 bigrams, floored to micro — engine-identical syntax, so one
+    * shared text (q495).
+    */
+  private val bleu2Text =
+    "CAST(floor(sqrt((CAST(uni_clip AS DOUBLE) / CAST(12 AS DOUBLE)) * " +
+      "(CAST(bi_clip AS DOUBLE) / CAST(11 AS DOUBLE))) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT)"
+
   /** Shared oracle text: the unrolled 6-round BPE chain (q170, q171) —
     * mechanical generation keeps both engines' per-round op sequence
     * (count → argmax → double-replace) textually aligned. Defines
@@ -1103,6 +1123,38 @@ object TextOps {
         .withColumn("lcs", expr(s"element_at($dp, 12)"))
         .withColumn("rouge_l_milli", expr("lcs * 2000 div 24"))
         .select("doc_a", "doc_b", "lcs", "rouge_l_milli")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Directional BLEU-2 over the same LSH candidate substrate as
+    // q456's ROUGE-L — the self-BLEU corpus-diversity probe (a corpus
+    // whose candidate pairs score high self-BLEU is template spam
+    // even when exact dedup is clean). Hypothesis doc_a scores
+    // against reference doc_b on the 12-token prefixes: clipped
+    // unigram and bigram precision counts are EXACT integers
+    // (Σ_g min(count_a(g), count_b(g)) via a per-distinct-gram fold —
+    // O(12²) lambda work per pair, data-parallel across the pair
+    // frame); the geometric mean surfaces through ONE shared sqrt
+    // text. Brevity penalty is exactly 1 by construction (equal
+    // 12-token prefixes). Candidates ride the collapsed candPairs
+    // substrate — output-linear under clone clusters, like q456.
+    "q495_self_bleu" -> { (s, dir) =>
+      val pre = docsWithToks(s, dir).filter(expr("size(toks) >= 12"))
+        .select(col("doc_id"), expr("slice(toks, 1, 12)").as("tp"))
+      def bigrams(arr: String) =
+        s"transform(sequence(1, 11), i -> concat(element_at($arr, i), " +
+          s"' ', element_at($arr, i + 1)))"
+      candPairs(s, dir)
+        .join(pre.select(col("doc_id").as("doc_a"), col("tp").as("ta")),
+          "doc_a")
+        .join(pre.select(col("doc_id").as("doc_b"), col("tp").as("tb")),
+          "doc_b")
+        .withColumn("ba", expr(bigrams("ta")))
+        .withColumn("bb", expr(bigrams("tb")))
+        .withColumn("uni_clip", expr(clipCount(S, "ta", "tb")))
+        .withColumn("bi_clip", expr(clipCount(S, "ba", "bb")))
+        .withColumn("bleu2_micro", expr(bleu2Text))
+        .select("doc_a", "doc_b", "uni_clip", "bi_clip", "bleu2_micro")
         .orderBy("doc_a", "doc_b")
     },
 
@@ -2387,6 +2439,37 @@ object TextOps {
          |r AS (SELECT doc_a, doc_b, $dp AS lcs FROM px)
          |SELECT doc_a, doc_b, lcs, lcs * 2000 // 24 AS rouge_l_milli
          |FROM r ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q495_self_bleu" -> {
+      def bigrams(arr: String) =
+        s"list_transform(range(1, 12), i -> $arr[i] || ' ' || $arr[i + 1])"
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |pre AS (SELECT doc_id, toks[1:12] AS tp FROM base
+         |  WHERE ${D.size("toks")} >= 12),
+         |px AS (
+         |  SELECT cand.doc_a, cand.doc_b, a.tp AS ta, b.tp AS tb
+         |  FROM cand
+         |  JOIN pre a ON cand.doc_a = a.doc_id
+         |  JOIN pre b ON cand.doc_b = b.doc_id),
+         |bg AS (
+         |  SELECT doc_a, doc_b, ta, tb,
+         |    ${bigrams("ta")} AS ba, ${bigrams("tb")} AS bb
+         |  FROM px),
+         |cl AS (
+         |  SELECT doc_a, doc_b,
+         |    ${clipCount(D, "ta", "tb")} AS uni_clip,
+         |    ${clipCount(D, "ba", "bb")} AS bi_clip
+         |  FROM bg)
+         |SELECT doc_a, doc_b, uni_clip, bi_clip,
+         |  $bleu2Text AS bleu2_micro
+         |FROM cl ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q91_cdc_chunks" ->

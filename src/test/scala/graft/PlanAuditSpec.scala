@@ -82,7 +82,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // (q227 class); q491: cumulative at-risk count over the
     // latency-day-grain step table (≤ ~200 rows at any scale — the
     // q343 Nelson–Aalen class)
-    "q490_perm_patterns", "q491_kaplan_meier")
+    "q490_perm_patterns", "q491_kaplan_meier",
+    // q496: lead templates over the calendar-day frame (q227 class)
+    "q496_sample_entropy")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !effectful(name)) {
