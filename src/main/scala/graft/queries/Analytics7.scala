@@ -86,26 +86,40 @@ object Analytics7 {
     * 100 TB the pair frame swaps to the q34/q79 LSH/IVF candidate
     * path with identical downstream scoring.
     */
-  private def embPairs(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val src = emb.filter(expr("vec_id % 20 = 0"))
-      .select(col("vec_id").as("sid"), col("embedding").as("se"))
-    val tgt = emb.filter(expr("vec_id % 20 <> 0"))
-      .select(col("vec_id").as("tid"), col("embedding").as("te"))
-    tgt.crossJoin(broadcast(src))
-      .select(col("sid"), col("tid"), expr(Sp.cosine("se", "te")).as("cos"))
-  }
+  private def embPairs(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"$d#a7embpairs") {
+      // norms hoisted per VECTOR (n sqrt-folds, not 2 per pair); the
+      // per-pair work is the dot fold alone. Op sequence is unchanged
+      // vs SqlDialect.cosine — dot, two sqrts, multiply, divide — so
+      // the double is bit-identical to the inline form on both engines.
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr(s"sqrt(${Sp.norm2("embedding")})").as("nrm"))
+      val src = emb.filter(expr("vec_id % 20 = 0"))
+        .select(col("vec_id").as("sid"), col("embedding").as("se"),
+          col("nrm").as("sn"))
+      val tgt = emb.filter(expr("vec_id % 20 <> 0"))
+        .select(col("vec_id").as("tid"), col("embedding").as("te"),
+          col("nrm").as("tn"))
+      tgt.crossJoin(broadcast(src))
+        .select(col("sid"), col("tid"),
+          expr(s"(${Sp.dot("se", "te")}) / (sn * tn)").as("cos"))
+    }
 
-  /** Oracle twin of [[embPairs]] — the src/tgt/pairs CTE prefix. */
+  /** Oracle twin of [[embPairs]] — the src/tgt/pairs CTE prefix,
+    * norms hoisted identically.
+    */
   private def embPairsCte: String =
     s"""src AS (
-       |  SELECT vec_id AS sid, embedding AS se
+       |  SELECT vec_id AS sid, embedding AS se,
+       |    sqrt(${Du.norm2("embedding")}) AS sn
        |  FROM embeddings WHERE vec_id % 20 = 0),
        |tgt AS (
-       |  SELECT vec_id AS tid, embedding AS te
+       |  SELECT vec_id AS tid, embedding AS te,
+       |    sqrt(${Du.norm2("embedding")}) AS tn
        |  FROM embeddings WHERE vec_id % 20 <> 0),
        |pairs AS (
-       |  SELECT sid, tid, ${Du.cosine("se", "te")} AS cos
+       |  SELECT sid, tid, (${Du.dot("se", "te")}) / (sn * tn) AS cos
        |  FROM src, tgt)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
