@@ -238,6 +238,37 @@ object CorpusOps {
         .orderBy("epoch", "block", "pos")
     },
 
+    // ---- q499: temperature-sampled mixture budget --------------------
+    // The training-mix planning table (the "sampling prop. / epochs"
+    // columns of the published LLM data-mixture tables): per-source
+    // token counts, τ=2 temperature weights w_s ∝ √n_s, and the
+    // effective epochs each source sustains when one corpus-pass of
+    // tokens is drawn under those weights (epochs > 1 ⇒ the source
+    // repeats — the overfitting-risk column). Counts are exact
+    // integers; Σ√n rides a source-SORTED sequential fold (sources
+    // are a bounded vocabulary, so the fold array is tiny at any
+    // scale) and the two derived floats surface through ONE
+    // fixed-op-order text shared by both engines.
+    "q499_mix_budget" -> { (s, dir) =>
+      val st = TextOps.docsWithToks(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CAST(size(toks) AS BIGINT)")).as("n_tokens"))
+      val tot = st.agg(
+        expr("aggregate(transform(" +
+          "sort_array(collect_list(struct(source, n_tokens))), " +
+          "x -> sqrt(CAST(x.n_tokens AS DOUBLE))), " +
+          "cast(0 as double), (a, v) -> a + v)").as("ssum"),
+        sum("n_tokens").as("n_total"))
+      st.crossJoin(broadcast(tot))
+        .selectExpr("source", "n_docs", "n_tokens",
+          s"CASE WHEN ssum <= 0 THEN NULL ELSE $MixWeightT END" +
+            " AS weight_micro",
+          s"CASE WHEN ssum <= 0 OR n_tokens = 0 THEN NULL " +
+            s"ELSE $MixEpochsT END AS epochs_milli")
+        .orderBy("source")
+    },
+
     // ---- q177: k-core density filter ---------------------------------
     // Three peel rounds at k=30 over the same graph as q175: parts
     // below 30 distinct suppliers die first, and survivors' residual
@@ -272,7 +303,40 @@ object CorpusOps {
        |    FROM c$out) t
        |  WHERE rk = 1)""".stripMargin
 
+  /** τ=2 weight and effective-epochs texts over the lanes (n_tokens,
+    * ssum, n_total) — engine-identical syntax, ONE shared string each
+    * (q499).
+    */
+  private val MixWeightT =
+    "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / ssum * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT)"
+  private val MixEpochsT =
+    "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / ssum * " +
+      "CAST(n_total AS DOUBLE) / CAST(n_tokens AS DOUBLE) * " +
+      "CAST(1000 AS DOUBLE)) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+
+    "q499_mix_budget" ->
+      s"""WITH tk AS (
+         |  SELECT source, ${D.tokens("text")} AS toks FROM documents),
+         |st AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(${D.size("toks")}) AS BIGINT) AS n_tokens
+         |  FROM tk GROUP BY 1),
+         |tot AS (
+         |  SELECT ${D.fold(
+               D.transform("list(n_tokens ORDER BY source)", "x",
+                 "sqrt(CAST(x AS DOUBLE))"),
+               D.dblZero, "a", "v", "a + v")} AS ssum,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_total
+         |  FROM st)
+         |SELECT source, n_docs, n_tokens,
+         |  CASE WHEN ssum <= 0 THEN NULL ELSE $MixWeightT END
+         |    AS weight_micro,
+         |  CASE WHEN ssum <= 0 OR n_tokens = 0 THEN NULL
+         |    ELSE $MixEpochsT END AS epochs_milli
+         |FROM st, tot ORDER BY source""".stripMargin,
 
     "q172_line_dedup_rewrite" ->
       s"""WITH base AS (SELECT doc_id, ${D.tokens("text")} AS toks FROM documents),

@@ -1158,6 +1158,39 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Per-source dedup-inflation report: how many docs and tokens
+    // each source loses under exact-duplicate-class dedup (the q28/
+    // q65 classes: identical sorted shingle sets, global first-id
+    // rep) — the "dedup savings" table a corpus budget review reads
+    // before paying for another crawl of a source that is 40% clones.
+    // A doc whose rep lives in ANOTHER source counts as dropped here
+    // (global dedup, per-source attribution); short docs (<3 tokens,
+    // no shingle class) keep themselves. All exact integers over the
+    // memoized docClasses substrate — one broadcast-joinable class
+    // map, one source-grain aggregate.
+    "q500_dedup_inflation" -> { (s, dir) =>
+      val base = docsWithToks(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(toks) AS BIGINT)").as("nt"))
+      base.join(docClasses(s, dir), Seq("doc_id"), "left")
+        .withColumn("kept",
+          expr("CASE WHEN rep IS NULL OR rep = doc_id THEN 1 ELSE 0 END"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("kept").as("n_kept"),
+          sum("nt").as("tok_total"),
+          sum(expr("CASE WHEN kept = 1 THEN nt ELSE 0 END")).as("tok_kept"))
+        .withColumn("inflation_permille",
+          expr("CASE WHEN tok_total = 0 THEN NULL " +
+            "ELSE (tok_total - tok_kept) * 1000 div tok_total END"))
+        .withColumn("dup_ratio_milli",
+          expr("CASE WHEN n_kept = 0 THEN NULL " +
+            "ELSE n_docs * 1000 div n_kept END"))
+        .select("source", "n_docs", "n_kept", "tok_total", "tok_kept",
+          "inflation_permille", "dup_ratio_milli")
+        .orderBy("source")
+    },
+
     // Content-defined chunk dedup: hash-gated chunk boundaries
     // (a token whose portable hash ≡ 0 mod 31 ends a chunk, so
     // boundaries survive insertions/deletions — the rsync/CDC trick),
@@ -2471,6 +2504,37 @@ object TextOps {
          |  $bleu2Text AS bleu2_micro
          |FROM cl ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q500_dedup_inflation" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base
+         |  WHERE ${D.size("toks")} >= 3),
+         |cls AS (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY list_sort(sh))
+         |    AS rep
+         |  FROM f),
+         |sized AS (
+         |  SELECT b.doc_id, d.source,
+         |    CAST(${D.size("toks")} AS BIGINT) AS nt, cls.rep
+         |  FROM base b
+         |  JOIN documents d ON b.doc_id = d.doc_id
+         |  LEFT JOIN cls ON b.doc_id = cls.doc_id),
+         |k AS (
+         |  SELECT source, nt,
+         |    CASE WHEN rep IS NULL OR rep = doc_id THEN 1 ELSE 0 END AS kept
+         |  FROM sized)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  CAST(SUM(nt) AS BIGINT) AS tok_total,
+         |  CAST(SUM(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS BIGINT)
+         |    AS tok_kept,
+         |  CASE WHEN SUM(nt) = 0 THEN NULL ELSE
+         |    ${D.intDiv("(SUM(nt) - SUM(CASE WHEN kept = 1 THEN nt ELSE 0 END)) * 1000",
+                "SUM(nt)")} END AS inflation_permille,
+         |  CASE WHEN SUM(kept) = 0 THEN NULL ELSE
+         |    ${D.intDiv("COUNT(*) * 1000", "SUM(kept)")} END
+         |    AS dup_ratio_milli
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q91_cdc_chunks" ->
       s"""$duckBase,
