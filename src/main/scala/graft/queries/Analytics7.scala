@@ -440,6 +440,43 @@ object Analytics7 {
         .orderBy("sid", "tid")
     },
 
+    // Wilcoxon signed-rank test on paired daily order counts, 1995 vs
+    // 1996 matched on (month, day-of-month) — the PAIRED twin of
+    // q296's Mann–Whitney. Zero differences drop (standard); ties on
+    // |d| take AVERAGE ranks kept exact by doubling (r2 = lo + hi of
+    // the tie run, an integer), so W⁺ and W⁻ are exact in the ×2
+    // lane. The normal approximation z surfaces through ONE
+    // fixed-op-order text (tie-variance correction omitted — the
+    // decision statistic is the exact W lane). Ranks ride the
+    // paired-calendar-day frame (≤366 rows at ANY scale —
+    // PlanAudit-allowlisted).
+    "q501_wilcoxon_signed" -> { (s, d) =>
+      def yearCounts(yr: Int) = Tables.orders(s, d)
+        .filter(expr(s"year(o_orderdate) = $yr"))
+        .groupBy(expr("month(o_orderdate)").as("mo"),
+          expr("day(o_orderdate)").as("dd"))
+        .agg(count(lit(1)).as(s"n$yr"))
+      val diff = yearCounts(1995).join(yearCounts(1996), Seq("mo", "dd"))
+        .withColumn("diff", expr("n1996 - n1995"))
+        .filter(col("diff") =!= 0)
+        .withColumn("adiff", abs(col("diff")))
+      val ranked = diff
+        .withColumn("rmin", rank().over(Window.orderBy("adiff")).cast("long"))
+        .withColumn("tcnt", count(lit(1)).over(
+          Window.partitionBy("adiff")))
+        .withColumn("r2", expr("2 * rmin + tcnt - 1"))
+      val zT = "((CAST(wp2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * " +
+        "(n + 1) / 4) / sqrt(CAST(n AS DOUBLE) * (n + 1) * " +
+        "(2 * n + 1) / 24))"
+      ranked.agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN diff > 0 THEN r2 ELSE 0 END")).as("wp2"),
+          sum(expr("CASE WHEN diff < 0 THEN r2 ELSE 0 END")).as("wm2"))
+        .selectExpr("n AS n_pairs", "wp2 AS w_plus_x2", "wm2 AS w_minus_x2",
+          s"CASE WHEN n < 2 THEN NULL ELSE " +
+            s"CAST(floor($zT * CAST(1000 AS DOUBLE)) AS BIGINT) END" +
+            " AS z_milli")
+    },
+
     // Hubness skew of the reverse-8-NN occurrence distribution
     // (Radovanović et al. 2010): how many query vectors list each
     // target in their top-8 — a right-skewed occurrence histogram is
@@ -724,6 +761,45 @@ object Analytics7 {
          |  CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micro
          |FROM fwd JOIN bwd USING (sid, tid)
          |ORDER BY sid, tid""".stripMargin,
+
+    "q501_wilcoxon_signed" -> {
+      val zT = "((CAST(wp2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * " +
+        "(n + 1) / 4) / sqrt(CAST(n AS DOUBLE) * (n + 1) * " +
+        "(2 * n + 1) / 24))"
+      s"""WITH y95 AS (
+         |  SELECT month(CAST(o_orderdate AS DATE)) AS mo,
+         |    day(CAST(o_orderdate AS DATE)) AS dd,
+         |    CAST(COUNT(*) AS BIGINT) AS n1995
+         |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+         |  GROUP BY 1, 2),
+         |y96 AS (
+         |  SELECT month(CAST(o_orderdate AS DATE)) AS mo,
+         |    day(CAST(o_orderdate AS DATE)) AS dd,
+         |    CAST(COUNT(*) AS BIGINT) AS n1996
+         |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+         |  GROUP BY 1, 2),
+         |df AS (
+         |  SELECT n1996 - n1995 AS diff, abs(n1996 - n1995) AS adiff
+         |  FROM y95 JOIN y96 USING (mo, dd)
+         |  WHERE n1996 - n1995 <> 0),
+         |rk AS (
+         |  SELECT diff,
+         |    CAST(RANK() OVER (ORDER BY adiff) AS BIGINT) AS rmin,
+         |    CAST(COUNT(*) OVER (PARTITION BY adiff) AS BIGINT) AS tcnt
+         |  FROM df),
+         |lanes AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN diff > 0 THEN 2 * rmin + tcnt - 1
+         |      ELSE 0 END) AS BIGINT) AS wp2,
+         |    CAST(SUM(CASE WHEN diff < 0 THEN 2 * rmin + tcnt - 1
+         |      ELSE 0 END) AS BIGINT) AS wm2
+         |  FROM rk)
+         |SELECT n AS n_pairs, wp2 AS w_plus_x2, wm2 AS w_minus_x2,
+         |  CASE WHEN n < 2 THEN NULL ELSE
+         |    CAST(floor($zT * CAST(1000 AS DOUBLE)) AS BIGINT) END
+         |    AS z_milli
+         |FROM lanes""".stripMargin
+    },
 
     "q498_hubness" ->
       s"""WITH $embPairsCte,

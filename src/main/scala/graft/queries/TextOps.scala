@@ -251,6 +251,38 @@ object TextOps {
       within.unionAll(cross)
     }
 
+  /** Per-candidate-pair exact Jaccard lanes (doc_a, doc_b, n_inter,
+    * n_union) over the collapsed class substrate — same-class members
+    * share identical shingle sets, so the intersect/union fold runs
+    * once per REP pair and inherits to members (the q30 clones²
+    * collapse). Memoized: q30 reports it, q502's percolation sweep
+    * thresholds it three times.
+    */
+  private def pairJaccard(s: SparkSession, dir: String): DataFrame =
+    Tables.memo(s, s"$dir#pairjaccard") {
+      val cls = docClasses(s, dir)
+      val shs = shingleRows(s, dir)
+      val repVals = repCandPairs(s, dir)
+        .join(shs.as("sa"), col("ra") === col("sa.doc_id"))
+        .join(shs.as("sb"), col("rb") === col("sb.doc_id"))
+        .withColumn("n_inter", expr(s"size(${S.arrIntersect("sa.sh", "sb.sh")})").cast("long"))
+        .withColumn("n_union", expr("size(sa.sh) + size(sb.sh)").cast("long") - col("n_inter"))
+        .select("ra", "rb", "n_inter", "n_union")
+      val cross = repVals
+        .join(cls.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+        .join(cls.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          col("n_inter"), col("n_union"))
+      val within = cls.as("m1").join(cls.as("m2"), "rep")
+        .filter(col("m1.doc_id") < col("m2.doc_id"))
+        .join(shs.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),
+          expr("CAST(size(sh) AS BIGINT)").as("n_inter"),
+          expr("CAST(size(sh) AS BIGINT)").as("n_union"))
+      within.unionAll(cross)
+    }
+
   /** Marker-score columns + deterministic argmax prediction (shared by
     * the per-doc report q26 and the confusion matrix q88).
     */
@@ -581,27 +613,7 @@ object TextOps {
     // clones²·|set| array intersections; inheritance makes it one
     // intersect per rep pair plus output-linear row joins).
     "q30_dedup_jaccard" -> { (s, dir) =>
-      val cls = docClasses(s, dir)
-      val shs = shingleRows(s, dir)
-      val repVals = repCandPairs(s, dir)
-        .join(shs.as("sa"), col("ra") === col("sa.doc_id"))
-        .join(shs.as("sb"), col("rb") === col("sb.doc_id"))
-        .withColumn("n_inter", expr(s"size(${S.arrIntersect("sa.sh", "sb.sh")})").cast("long"))
-        .withColumn("n_union", expr("size(sa.sh) + size(sb.sh)").cast("long") - col("n_inter"))
-        .select("ra", "rb", "n_inter", "n_union")
-      val cross = repVals
-        .join(cls.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
-        .join(cls.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"),
-          col("n_inter"), col("n_union"))
-      val within = cls.as("m1").join(cls.as("m2"), "rep")
-        .filter(col("m1.doc_id") < col("m2.doc_id"))
-        .join(shs.withColumnRenamed("doc_id", "rep"), "rep")
-        .select(col("m1.doc_id").as("doc_a"), col("m2.doc_id").as("doc_b"),
-          expr("CAST(size(sh) AS BIGINT)").as("n_inter"),
-          expr("CAST(size(sh) AS BIGINT)").as("n_union"))
-      within.unionAll(cross)
+      pairJaccard(s, dir)
         .withColumn("jaccard", expr("CAST(n_inter AS DOUBLE) / n_union"))
         .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -1156,6 +1168,42 @@ object TextOps {
         .withColumn("bleu2_micro", expr(bleu2Text))
         .select("doc_a", "doc_b", "uni_clip", "bi_clip", "bleu2_micro")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // Dedup percolation curve: component structure of the similarity
+    // graph at Jaccard thresholds 0.5 / 0.7 / 0.9 — the threshold-
+    // tuning table read before fixing a near-dup cutoff (the knee
+    // where the giant component collapses into small clusters IS the
+    // right threshold; below it dedup over-merges distinct docs).
+    // Each threshold filters the memoized pairJaccard lanes (exact
+    // integer milli-Jaccard) and runs the contraction components
+    // operator; singleton docs (in the candidate universe but no
+    // surviving edge) count as their own components. All exact
+    // integers; three bounded CC runs over ever-sparser edge sets.
+    "q502_percolation" -> { (s, dir) =>
+      val pj = pairJaccard(s, dir)
+        .withColumn("jm", expr("n_inter * 1000 div n_union"))
+      val univ = pj
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .agg(countDistinct("doc").as("n_nodes"))
+      val rows = Seq(500, 700, 900).map { t =>
+        val edges = pj.filter(col("jm") >= t).select("doc_a", "doc_b")
+        val cc = graft.operators.ConnectedComponents(edges)
+        val st = edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+          cc.agg(coalesce(countDistinct("comp"), lit(0L)).as("n_comp_edged"),
+            coalesce(count(lit(1)), lit(0L)).as("n_nodes_edged"),
+            coalesce(max("csize"), lit(0L)).as("max_cs")))
+        st.crossJoin(broadcast(univ))
+          .selectExpr(s"CAST($t AS BIGINT) AS threshold_milli",
+            "n_nodes", "n_edges",
+            "n_comp_edged + (n_nodes - n_nodes_edged) AS n_components",
+            "greatest(max_cs, CASE WHEN n_nodes > n_nodes_edged THEN 1 " +
+              "ELSE 0 END) AS largest_comp",
+            "CASE WHEN n_nodes = 0 THEN NULL ELSE " +
+              "(n_nodes - (n_comp_edged + (n_nodes - n_nodes_edged))) " +
+              "* 1000 div n_nodes END AS dedup_gain_permille")
+      }
+      rows.reduce(_ unionAll _).orderBy("threshold_milli")
     },
 
     // Per-source dedup-inflation report: how many docs and tokens
@@ -2503,6 +2551,67 @@ object TextOps {
          |SELECT doc_a, doc_b, uni_clip, bi_clip,
          |  $bleu2Text AS bleu2_micro
          |FROM cl ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q502_percolation" -> {
+      val perT = Seq(500, 700, 900).map { t =>
+        s"""e$t AS (SELECT doc_a AS a, doc_b AS b FROM jm WHERE jmv >= $t),
+           |sym$t AS (SELECT a, b FROM e$t
+           |  UNION SELECT b AS a, a AS b FROM e$t),
+           |reach$t AS (
+           |  SELECT a AS node, b AS other FROM sym$t
+           |  UNION
+           |  SELECT r.node, s.b AS other
+           |  FROM reach$t r JOIN sym$t s ON r.other = s.a),
+           |lab$t AS (
+           |  SELECT node, least(node, min(other)) AS comp
+           |  FROM reach$t GROUP BY node),
+           |st$t AS (
+           |  SELECT CAST($t AS BIGINT) AS threshold_milli,
+           |    (SELECT n_nodes FROM univ) AS n_nodes,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e$t) AS n_edges,
+           |    (SELECT CAST(COUNT(DISTINCT comp) AS BIGINT) FROM lab$t)
+           |      AS n_comp_edged,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lab$t)
+           |      AS n_nodes_edged,
+           |    (SELECT CAST(COALESCE(MAX(cs), 0) AS BIGINT) FROM
+           |      (SELECT COUNT(*) AS cs FROM lab$t GROUP BY comp) q)
+           |      AS max_cs)""".stripMargin
+      }.mkString(",\n")
+      s"""${duckBase.replace("WITH ", "WITH RECURSIVE ")},
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base
+         |  WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(${D.size(D.arrIntersect("sa.sh", "sb.sh"))} AS BIGINT)
+         |      AS n_inter,
+         |    CAST(${D.size("sa.sh")} + ${D.size("sb.sh")} AS BIGINT) AS sz
+         |  FROM cand
+         |  JOIN f sa ON cand.doc_a = sa.doc_id
+         |  JOIN f sb ON cand.doc_b = sb.doc_id),
+         |jm AS (SELECT doc_a, doc_b,
+         |  ${D.intDiv("n_inter * 1000", "(sz - n_inter)")} AS jmv FROM j),
+         |univ AS (
+         |  SELECT CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_nodes FROM
+         |    (SELECT doc_a AS doc FROM jm
+         |     UNION SELECT doc_b AS doc FROM jm) u),
+         |$perT
+         |SELECT threshold_milli, n_nodes, n_edges,
+         |  n_comp_edged + (n_nodes - n_nodes_edged) AS n_components,
+         |  greatest(max_cs, CASE WHEN n_nodes > n_nodes_edged THEN 1
+         |    ELSE 0 END) AS largest_comp,
+         |  CASE WHEN n_nodes = 0 THEN NULL ELSE
+         |    ${D.intDiv(
+               "(n_nodes - (n_comp_edged + (n_nodes - n_nodes_edged))) * 1000",
+               "n_nodes")} END AS dedup_gain_permille
+         |FROM (SELECT * FROM st500 UNION ALL SELECT * FROM st700
+         |      UNION ALL SELECT * FROM st900) s
+         |ORDER BY threshold_milli""".stripMargin
     },
 
     "q500_dedup_inflation" ->

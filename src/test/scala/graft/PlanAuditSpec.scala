@@ -84,7 +84,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // q343 Nelson–Aalen class)
     "q490_perm_patterns", "q491_kaplan_meier",
     // q496: lead templates over the calendar-day frame (q227 class)
-    "q496_sample_entropy")
+    "q496_sample_entropy",
+    // q501: signed-rank windows over the paired-calendar-day frame
+    // (≤366 rows at any scale — q364/q440 class)
+    "q501_wilcoxon_signed")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if !effectful(name)) {
