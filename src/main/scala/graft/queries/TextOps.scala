@@ -1181,29 +1181,51 @@ object TextOps {
     // surviving edge) count as their own components. All exact
     // integers; three bounded CC runs over ever-sparser edge sets.
     "q502_percolation" -> { (s, dir) =>
+      import s.implicits._
       val pj = pairJaccard(s, dir)
         .withColumn("jm", expr("n_inter * 1000 div n_union"))
       val univ = pj
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"))
         .agg(countDistinct("doc").as("n_nodes"))
-      val rows = Seq(500, 700, 900).map { t =>
-        val edges = pj.filter(col("jm") >= t).select("doc_a", "doc_b")
-        val cc = graft.operators.ConnectedComponents(edges)
-        val st = edges.agg(count(lit(1)).as("n_edges")).crossJoin(
-          cc.agg(coalesce(countDistinct("comp"), lit(0L)).as("n_comp_edged"),
-            coalesce(count(lit(1)), lit(0L)).as("n_nodes_edged"),
-            coalesce(max("csize"), lit(0L)).as("max_cs")))
-        st.crossJoin(broadcast(univ))
-          .selectExpr(s"CAST($t AS BIGINT) AS threshold_milli",
-            "n_nodes", "n_edges",
-            "n_comp_edged + (n_nodes - n_nodes_edged) AS n_components",
-            "greatest(max_cs, CASE WHEN n_nodes > n_nodes_edged THEN 1 " +
-              "ELSE 0 END) AS largest_comp",
-            "CASE WHEN n_nodes = 0 THEN NULL ELSE " +
-              "(n_nodes - (n_comp_edged + (n_nodes - n_nodes_edged))) " +
-              "* 1000 div n_nodes END AS dedup_gain_permille")
-      }
-      rows.reduce(_ unionAll _).orderBy("threshold_milli")
+      // ONE components run over the layer-tagged union graph instead
+      // of three sequential CC invocations: each edge replicates into
+      // every threshold layer it passes, node ids offset by θ·10¹²
+      // so layers can't interconnect (doc_id < 10¹² — far past the
+      // corpus scale where this probe's all-pairs tier applies).
+      // Component labels and sizes then decode per layer. Cuts the
+      // fixed per-CC-round checkpoint machinery from 3× to 1×.
+      val tagged = pj.filter(col("jm") >= 500)
+        .select(explode(expr(
+          "filter(array(500L, 700L, 900L), t -> jm >= t)")).as("t"),
+          col("doc_a"), col("doc_b"))
+      val edges = tagged.select(
+        expr("t * 1000000000000 + doc_a").as("a"),
+        expr("t * 1000000000000 + doc_b").as("b"))
+      val cc = graft.operators.ConnectedComponents(edges)
+      val layer = cc
+        .groupBy(expr("id div 1000000000000").as("threshold_milli"))
+        .agg(countDistinct("comp").as("n_comp_edged"),
+          count(lit(1)).as("n_nodes_edged"), max("csize").as("max_cs"))
+      val eCnt = tagged.groupBy(col("t").as("threshold_milli"))
+        .agg(count(lit(1)).as("n_edges"))
+      Seq(500L, 700L, 900L).toDF("threshold_milli")
+        .join(layer, Seq("threshold_milli"), "left")
+        .join(eCnt, Seq("threshold_milli"), "left")
+        .crossJoin(broadcast(univ))
+        .selectExpr("threshold_milli", "n_nodes",
+          "coalesce(n_edges, CAST(0 AS BIGINT)) AS n_edges",
+          "coalesce(n_comp_edged, CAST(0 AS BIGINT)) + " +
+            "(n_nodes - coalesce(n_nodes_edged, CAST(0 AS BIGINT))) " +
+            "AS n_components",
+          "greatest(coalesce(max_cs, CAST(0 AS BIGINT)), " +
+            "CASE WHEN n_nodes > coalesce(n_nodes_edged, CAST(0 AS BIGINT)) " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) " +
+            "AS largest_comp",
+          "CASE WHEN n_nodes = 0 THEN NULL ELSE " +
+            "(n_nodes - (coalesce(n_comp_edged, CAST(0 AS BIGINT)) + " +
+            "(n_nodes - coalesce(n_nodes_edged, CAST(0 AS BIGINT))))) " +
+            "* 1000 div n_nodes END AS dedup_gain_permille")
+        .orderBy("threshold_milli")
     },
 
     // Per-source dedup-inflation report: how many docs and tokens
