@@ -33,6 +33,33 @@ object MultimodalOps {
   private val D = PortableSql.Duck
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Payload byte-entropy screen: per-media run-length Σc² over the
+    // sorted byte values — the compressibility diagnostic a media
+    // pipeline runs before paying for decode (a payload whose
+    // collision index sits near the uniform floor ≈ 10⁶/256 ≈ 3906 µ
+    // is already compressed/encrypted; text-like payloads sit far
+    // above). Exact integers end-to-end: the byte histogram never
+    // materializes — a sorted-array run-length fold computes Σc²
+    // payload-locally ([[runSumSq]]), so payload bytes never cross a
+    // shuffle (the multimodal scale contract); the plan is
+    // scan → project → sort-by-doc_id.
+    "q503_payload_entropy" -> { (s, dir) =>
+      Tables.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), expr("hex(encode(text, 'UTF-8'))").as("hx"))
+        .filter(expr("length(hx) >= 2"))
+        .withColumn("n_bytes", expr("CAST(length(hx) / 2 AS BIGINT)"))
+        .withColumn("sb", expr(s"array_sort(${S.transform(
+          S.rangeStep("1", "length(hx) - 1", "2"), "i", byteAt(S))})"))
+        .withColumn("rs", expr(runSumSq(S, "sb")))
+        .select(col("doc_id"), col("n_bytes"),
+          expr("CAST(size(array_distinct(sb)) AS BIGINT)")
+            .as("n_distinct_bytes"),
+          expr(s"${runFlush(S)} * 1000000 div (n_bytes * n_bytes)")
+            .as("collision_micro"))
+        .orderBy("doc_id")
+    },
+
     "q60_multimodal_features" -> { (s, dir) =>
       val h = S.hash64("text")
       Tables.spread(Tables.documents(s, dir))
@@ -219,7 +246,62 @@ object MultimodalOps {
         .orderBy("doc_id")
     })
 
+  /** Byte value of the 2-hex-char pair at 1-based offset `i` of `hx`
+    * — the q169 hex-transport idiom at byte grain (q503).
+    */
+  private def byteAt(d: graft.functions.SqlDialect): String =
+    if (d.spark) "CAST(conv(substring(hx, i, 2), 16, 10) AS BIGINT)"
+    else "CAST(('0x' || substring(hx, CAST(i AS INTEGER), 2)) AS BIGINT)"
+
+  /** Run-length Σc² fold over the SORTED byte array: acc is
+    * [prev, run, sumsq]; equal-value runs extend, a value change
+    * flushes run² into the sum, and the final flush happens outside
+    * the fold. Payload-local (no byte ever shuffles), O(len) per row,
+    * identical sequential order on both engines (q503).
+    */
+  private def runSumSq(d: graft.functions.SqlDialect, sortedArr: String): String =
+    if (d.spark)
+      d.fold(sortedArr,
+        "array(CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))",
+        "acc", "v",
+        "CASE WHEN v = element_at(acc, 1) THEN " +
+          "array(v, element_at(acc, 2) + 1, element_at(acc, 3)) ELSE " +
+          "array(v, CAST(1 AS BIGINT), element_at(acc, 3) + " +
+          "element_at(acc, 2) * element_at(acc, 2)) END")
+    else
+      // DuckDB 1.0's list_reduce has no separate-init form (the
+      // list_prepend trick forces accumulator type = element type),
+      // so elements wrap to [v, 0, 0] first
+      d.fold(s"list_transform($sortedArr, w -> [w, 0, 0])",
+        "[-1, 0, 0]::BIGINT[]", "acc", "v",
+        "CASE WHEN v[1] = acc[1] THEN [v[1], acc[2] + 1, acc[3]] " +
+          "ELSE [v[1], 1, acc[3] + acc[2] * acc[2]] END")
+
+  /** Final-run flush over the fold result `rs` (q503). */
+  private def runFlush(d: graft.functions.SqlDialect): String =
+    s"(${d.idx("rs", "3")} + ${d.idx("rs", "2")} * ${d.idx("rs", "2")})"
+
   val oracles: Map[String, String] = Map(
+
+    "q503_payload_entropy" ->
+      s"""WITH pb AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+         |  WHERE length(hex(encode(text))) >= 2),
+         |arrs AS (
+         |  SELECT doc_id, CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+         |    list_sort(${D.transform(
+               D.rangeStep("1", "length(hx) - 1", "2"), "i", byteAt(D))})
+         |      AS sb
+         |  FROM pb),
+         |lanes AS (
+         |  SELECT doc_id, n_bytes,
+         |    CAST(len(list_distinct(sb)) AS BIGINT) AS n_distinct_bytes,
+         |    ${runSumSq(D, "sb")} AS rs
+         |  FROM arrs)
+         |SELECT doc_id, n_bytes, n_distinct_bytes,
+         |  ${D.intDiv(s"${runFlush(D)} * 1000000", "(n_bytes * n_bytes)")}
+         |    AS collision_micro
+         |FROM lanes ORDER BY doc_id""".stripMargin,
     "q60_multimodal_features" -> {
       val h = D.hash64("text")
       s"""WITH base AS (
