@@ -54,15 +54,16 @@ object Analytics7 {
   /** Gumbel method-of-moments constants as exactly-parsed rational
     * doubles (integer ÷ power of ten — both engines' BIGINT→DOUBLE
     * casts and the division are correctly rounded, so the constant is
-    * the identical double everywhere): √6/π, Euler–Mascheroni γ, and
-    * −ln(−ln(0.99)) for the 100-block return level.
+    * the identical double everywhere; the texts are engine-identical,
+    * hence plain vals): √6/π, Euler–Mascheroni γ, and −ln(−ln(0.99))
+    * for the 100-block return level.
     */
-  private def sqrt6OverPi(d: SqlDialect): String =
-    s"(CAST(779696801233676 AS DOUBLE) / CAST(1000000000000000 AS DOUBLE))"
-  private def eulerGamma(d: SqlDialect): String =
-    s"(CAST(5772156649015329 AS DOUBLE) / CAST(10000000000000000 AS DOUBLE))"
-  private def gumbelQ99(d: SqlDialect): String =
-    s"(CAST(4600149226776579 AS DOUBLE) / CAST(1000000000000000 AS DOUBLE))"
+  private val Sqrt6OverPi =
+    "(CAST(779696801233676 AS DOUBLE) / CAST(1000000000000000 AS DOUBLE))"
+  private val EulerGamma =
+    "(CAST(5772156649015329 AS DOUBLE) / CAST(10000000000000000 AS DOUBLE))"
+  private val GumbelQ99 =
+    "(CAST(4600149226776579 AS DOUBLE) / CAST(1000000000000000 AS DOUBLE))"
 
   /** Fixed-order mean of the rank-1..8 pivot lanes `<pfx>1..<pfx>8`
     * over `k` present neighbors — the float adds run in pivot-column
@@ -131,8 +132,10 @@ object Analytics7 {
     // number of s→c'→s'→c walks landing at c). Normalization only
     // rescales the ranking, so the integer lane loses nothing. Each
     // round is one join+agg over the DISTINCT edge set (the q113/q454
-    // shape); the per-round frames h¹ (supplier-sized) and a¹
-    // (customer-sized) are dimension tables — broadcast. Top-20 via
+    // shape); the per-round frames a¹/h¹ are node-cardinality
+    // (customers/suppliers GROW with SF), so the joins stay shuffle
+    // equi-joins — AQE may still broadcast them at small scale, but
+    // no hint forces a driver collect at sf1000. Top-20 via
     // TakeOrderedAndProject (bounded heap, never a global sort).
     // HONEST CEILING: a² ≤ |S|·|E|·max-indeg — BIGINT holds past
     // 10⁶ suppliers × 10⁹ edges; beyond that move the a² lane to the
@@ -145,11 +148,11 @@ object Analytics7 {
         .select(col("src"), col("o_custkey").as("dst"))
         .distinct()
       val a1 = e.groupBy("dst").agg(count(lit(1)).as("auth1"))
-      val h1 = e.join(broadcast(a1), "dst")
+      val h1 = e.join(a1, "dst")
         .groupBy("src").agg(sum("auth1").as("h1"))
-      val a2 = e.join(broadcast(h1), "src")
+      val a2 = e.join(h1, "src")
         .groupBy("dst").agg(sum("h1").as("auth2"))
-      a2.join(broadcast(a1), "dst")
+      a2.join(a1, "dst")
         .select(col("dst").as("cust"), col("auth1"), col("auth2"))
         .orderBy(col("auth2").desc, col("cust").asc)
         .limit(20)
@@ -306,10 +309,10 @@ object Analytics7 {
       val varT = s"(${Sp.wideToDouble(
         s"(${Sp.wide("nb")} * s2 - ${Sp.wide("s1")} * s1)")} / " +
         "(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)))"
-      val betaT = s"(sqrt($varT) * ${sqrt6OverPi(Sp)})"
+      val betaT = s"(sqrt($varT) * $Sqrt6OverPi)"
       val muT = s"((CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) - " +
-        s"${eulerGamma(Sp)} * $betaT)"
-      val rlT = s"($muT + $betaT * ${gumbelQ99(Sp)})"
+        s"$EulerGamma * $betaT)"
+      val rlT = s"($muT + $betaT * $GumbelQ99)"
       Tables.orders(s, d)
         .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
         .agg(sum(expr(CentsF)).as("dc"))
@@ -382,7 +385,10 @@ object Analytics7 {
     // Sample entropy (Richman & Moorman 2000) of the daily order-count
     // series at m=2, r=5: B counts template pairs matching on 2
     // consecutive days (Chebyshev tolerance ≤ r), A on 3 — both EXACT
-    // integer counts over the all-pairs day frame (calendar-bounded:
+    // integer counts over the SAME N−2 template universe (every
+    // template must be extendable to m+1, per the estimator's
+    // definition — otherwise final-day templates inflate B and bias
+    // A/B downward), over the all-pairs day frame (calendar-bounded:
     // ~2.4k days ⇒ ~3M pairs at ANY scale, a broadcast nested-loop
     // the optimizer cannot mistake for a data-sized cartesian).
     // SampEn = −ln(A/B); the ratio is emitted exactly in micro units
@@ -399,10 +405,9 @@ object Analytics7 {
         col("x2").as("a2"), col("x3").as("a3"))
       val b = tpl.select(col("day").as("db"), col("x1").as("b1"),
         col("x2").as("b2"), col("x3").as("b3"))
-      val m2 = "a2 IS NOT NULL AND b2 IS NOT NULL AND " +
+      val m2 = "a3 IS NOT NULL AND b3 IS NOT NULL AND " +
         "abs(a1 - b1) <= 5 AND abs(a2 - b2) <= 5"
-      val m3 = s"$m2 AND a3 IS NOT NULL AND b3 IS NOT NULL AND " +
-        "abs(a3 - b3) <= 5"
+      val m3 = s"$m2 AND abs(a3 - b3) <= 5"
       val cnt = a.join(broadcast(b), col("da") < col("db"))
         .agg(
           sum(expr(s"CASE WHEN $m2 THEN 1 ELSE 0 END")).as("b_pairs"),
@@ -517,15 +522,15 @@ object Analytics7 {
     * s2/n − μ², m3 = s3/n − 3μ(s2/n) + 2μ³, μ = s1/n, each ONE shared
     * fixed-op-order text.
     */
-  private def skewMu(d: SqlDialect): String =
+  private val SkewMu =
     "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
   private def skewM2(d: SqlDialect): String =
     s"(${d.wideToDouble("s2")} / CAST(n AS DOUBLE) - " +
-      s"${skewMu(d)} * ${skewMu(d)})"
+      s"$SkewMu * $SkewMu)"
   private def skewM3(d: SqlDialect): String =
     s"(${d.wideToDouble("s3")} / CAST(n AS DOUBLE) - " +
-      s"3 * ${skewMu(d)} * (${d.wideToDouble("s2")} / CAST(n AS DOUBLE)) + " +
-      s"2 * ${skewMu(d)} * ${skewMu(d)} * ${skewMu(d)})"
+      s"3 * $SkewMu * (${d.wideToDouble("s2")} / CAST(n AS DOUBLE)) + " +
+      s"2 * $SkewMu * $SkewMu * $SkewMu)"
 
   val oracles: Map[String, String] = Map(
 
@@ -646,10 +651,10 @@ object Analytics7 {
       val varT = s"(${Du.wideToDouble(
         s"(${Du.wide("nb")} * s2 - ${Du.wide("s1")} * s1)")} / " +
         "(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)))"
-      val betaT = s"(sqrt($varT) * ${sqrt6OverPi(Du)})"
+      val betaT = s"(sqrt($varT) * $Sqrt6OverPi)"
       val muT = s"((CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) - " +
-        s"${eulerGamma(Du)} * $betaT)"
-      val rlT = s"($muT + $betaT * ${gumbelQ99(Du)})"
+        s"$EulerGamma * $betaT)"
+      val rlT = s"($muT + $betaT * $GumbelQ99)"
       s"""WITH daily AS (
          |  SELECT CAST(o_orderdate AS DATE) AS day,
          |    CAST(SUM($CentsF) AS BIGINT) AS dc
@@ -715,10 +720,9 @@ object Analytics7 {
     },
 
     "q496_sample_entropy" -> {
-      val m2 = "a2 IS NOT NULL AND b2 IS NOT NULL AND " +
+      val m2 = "a3 IS NOT NULL AND b3 IS NOT NULL AND " +
         "abs(a1 - b1) <= 5 AND abs(a2 - b2) <= 5"
-      val m3 = s"$m2 AND a3 IS NOT NULL AND b3 IS NOT NULL AND " +
-        "abs(a3 - b3) <= 5"
+      val m3 = s"$m2 AND abs(a3 - b3) <= 5"
       s"""WITH days AS (
          |  SELECT CAST(o_orderdate AS DATE) AS day,
          |    CAST(COUNT(*) AS BIGINT) AS x1

@@ -55,7 +55,14 @@ object MultimodalOps {
         .select(col("doc_id"), col("n_bytes"),
           expr("CAST(size(array_distinct(sb)) AS BIGINT)")
             .as("n_distinct_bytes"),
-          expr(s"${runFlush(S)} * 1000000 div (n_bytes * n_bytes)")
+          // Σc² ≤ n² rides the wide lane before the ×10⁶ scale-up
+          // (BIGINT alone overflows at ~3 MB payloads). HONEST
+          // CEILING: the fold's in-flight sumsq is BIGINT — exact to
+          // n_bytes ≈ 3×10⁹ (3 GB per single payload), wide enough
+          // for any per-row media object this path should carry.
+          expr(s"CAST(${S.intDiv(
+            s"${S.wide(runFlush(S))} * 1000000",
+            s"(${S.wide("n_bytes")} * n_bytes)")} AS BIGINT)")
             .as("collision_micro"))
         .orderBy("doc_id")
     },
@@ -299,7 +306,9 @@ object MultimodalOps {
          |    ${runSumSq(D, "sb")} AS rs
          |  FROM arrs)
          |SELECT doc_id, n_bytes, n_distinct_bytes,
-         |  ${D.intDiv(s"${runFlush(D)} * 1000000", "(n_bytes * n_bytes)")}
+         |  CAST(${D.intDiv(
+              s"${D.wide(runFlush(D))} * 1000000",
+              s"(${D.wide("n_bytes")} * n_bytes)")} AS BIGINT)
          |    AS collision_micro
          |FROM lanes ORDER BY doc_id""".stripMargin,
     "q60_multimodal_features" -> {
