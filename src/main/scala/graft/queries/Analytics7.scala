@@ -123,7 +123,85 @@ object Analytics7 {
        |  SELECT sid, tid, (${Du.dot("se", "te")}) / (sn * tn) AS cos
        |  FROM src, tgt)""".stripMargin
 
+  /** Holt–Winters additive recurrence as ONE sequential fold text
+    * per engine (q506): acc = [level, trend, s0..s6, count], elements
+    * are the day-ordered counts as doubles. Every constant is a
+    * rational double and both engines execute the identical op
+    * sequence per step, so the final state is bit-identical. The
+    * first element initializes level (zero-init elsewhere).
+    */
+  private def hwFold(d: SqlDialect, xsArr: String): String = {
+    def at(i: Int) = if (d.spark) s"element_at(acc, $i)" else s"acc[$i]"
+    val v = if (d.spark) "v" else "v[1]"
+    def arr(els: Seq[String]) =
+      if (d.spark) els.mkString("array(", ", ", ")")
+      else els.mkString("[", ", ", "]")
+    val A = "(CAST(2 AS DOUBLE) / CAST(10 AS DOUBLE))"
+    val A1 = "(CAST(8 AS DOUBLE) / CAST(10 AS DOUBLE))"
+    val B = "(CAST(1 AS DOUBLE) / CAST(10 AS DOUBLE))"
+    val B1 = "(CAST(9 AS DOUBLE) / CAST(10 AS DOUBLE))"
+    val G = "(CAST(3 AS DOUBLE) / CAST(10 AS DOUBLE))"
+    val G1 = "(CAST(7 AS DOUBLE) / CAST(10 AS DOUBLE))"
+    val si = s"(CAST(${at(10)} AS INT) % 7)"
+    val sOld = s"(CASE $si ${(0 to 6).map(j =>
+      s"WHEN $j THEN ${at(3 + j)}").mkString(" ")} ELSE ${at(3)} END)"
+    val nl = s"($A * ($v - $sOld) + $A1 * (${at(1)} + ${at(2)}))"
+    val nt = s"($B * ($nl - ${at(1)}) + $B1 * ${at(2)})"
+    val ns = s"($G * ($v - $nl) + $G1 * $sOld)"
+    val step = arr(Seq(nl, nt) ++ (0 to 6).map(j =>
+      s"CASE WHEN $si = $j THEN $ns ELSE ${at(3 + j)} END") :+
+      s"${at(10)} + CAST(1 AS DOUBLE)")
+    val first = arr(Seq(v, "CAST(0 AS DOUBLE)") ++
+      (0 to 6).map(_ => "CAST(0 AS DOUBLE)") :+ "CAST(1 AS DOUBLE)")
+    val init =
+      if (d.spark) "array(" + Seq.fill(10)("cast(0 as double)").mkString(", ") + ")"
+      else "[" + Seq.fill(10)("0").mkString(", ") + "]::DOUBLE[]"
+    val elems =
+      if (d.spark) xsArr else s"list_transform($xsArr, w -> [w])"
+    d.fold(elems, init, "acc", "v",
+      s"CASE WHEN ${at(10)} = CAST(0 AS DOUBLE) THEN $first ELSE $step END")
+  }
+
+  /** Post-fold access + forecast texts over the fold result `hw` and
+    * the exploded `horizon` column (q506).
+    */
+  private def hwOut(d: SqlDialect): (String, String, String) = {
+    def h(i: Int) = if (d.spark) s"element_at(hw, $i)" else s"hw[$i]"
+    val lane = s"(CASE ((CAST(${h(10)} AS INT) + CAST(horizon AS INT) - 1) % 7) " +
+      (0 to 6).map(j => s"WHEN $j THEN ${h(3 + j)}").mkString(" ") +
+      s" ELSE ${h(3)} END)"
+    val fc = s"(${h(1)} + CAST(horizon AS DOUBLE) * ${h(2)} + $lane)"
+    (s"CAST(floor(${h(1)} * CAST(1000 AS DOUBLE)) AS BIGINT)",
+      s"CAST(floor(${h(2)} * CAST(1000 AS DOUBLE)) AS BIGINT)",
+      s"CAST(floor($fc * CAST(1000 AS DOUBLE)) AS BIGINT)")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Holt–Winters additive smoothing (α=0.2, β=0.1, γ=0.3, weekly
+    // season) of daily order counts, with the 7-day-ahead forecast
+    // table — the seasonal upgrade of q156's EWMA and the model
+    // q484's seasonal-naive baseline is judged against. The entire
+    // recurrence is ONE sequential fold over the day-ordered series
+    // ([[hwFold]]: identical op order on both engines ⇒ bit-exact
+    // doubles, zero-init documented); the series array is
+    // calendar-bounded (~2.4k doubles at ANY scale), the heavy
+    // lifting is the map-side orders→day combine, and the output is
+    // horizon × (level, trend, forecast) in floored milli units.
+    "q506_holt_winters" -> { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val (lv, tr, fc) = hwOut(Sp)
+      days.agg(expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> CAST(p.x AS DOUBLE))").as("xs"))
+        .withColumn("hw", expr(hwFold(Sp, "xs")))
+        .select(col("hw"), explode(expr("sequence(1, 7)")).as("horizon"))
+        .selectExpr("CAST(horizon AS BIGINT) AS horizon",
+          s"$lv AS level_milli", s"$tr AS trend_milli",
+          s"$fc AS forecast_milli")
+        .orderBy("horizon")
+    },
 
     // HITS hubs-and-authorities (Kleinberg 1999) on the directed
     // supplier→customer trade graph, two un-normalized power-iteration
@@ -533,6 +611,22 @@ object Analytics7 {
       s"2 * $SkewMu * $SkewMu * $SkewMu)"
 
   val oracles: Map[String, String] = Map(
+
+    "q506_holt_winters" -> {
+      val (lv, tr, fc) = hwOut(Du)
+      s"""WITH days AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |arr AS (SELECT list(CAST(x AS DOUBLE) ORDER BY day) AS xs
+         |  FROM days),
+         |hwt AS (SELECT ${hwFold(Du, "xs")} AS hw FROM arr),
+         |hz AS (SELECT unnest(range(1, 8)) AS horizon)
+         |SELECT CAST(horizon AS BIGINT) AS horizon,
+         |  $lv AS level_milli, $tr AS trend_milli,
+         |  $fc AS forecast_milli
+         |FROM hwt, hz ORDER BY horizon""".stripMargin
+    },
 
     "q488_hits" ->
       """WITH e AS (

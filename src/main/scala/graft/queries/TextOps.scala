@@ -1228,6 +1228,102 @@ object TextOps {
         .orderBy("threshold_milli")
     },
 
+    // Train/test near-dup leakage audit: how many LSH candidate pairs
+    // straddle the q84 hash split — the contamination check every
+    // eval pipeline owes its benchmark (a test doc whose near-twin
+    // sits in train inflates the score without any verbatim overlap;
+    // q72/q121's n-gram contamination misses paraphrase-level twins).
+    // Candidate pairs ride the collapsed candPairs substrate; the
+    // split is the same portable-hash bucket as q84 (stable across
+    // engines and cluster sizes), so the report is exact integers:
+    // total pairs, cross-split pairs, the train↔test subset, and the
+    // exact-duplicate-class subset of those (same sorted shingle set
+    // ACROSS the split — the worst leak class).
+    "q504_split_leakage" -> { (s, dir) =>
+      val sp = docsWithToks(s, dir)
+        .select(col("doc_id"), expr(S.splitBucket).as("hk"))
+        .withColumn("split", expr(graft.functions.PortableSql.SplitCase))
+        .select("doc_id", "split")
+      val cls = docClasses(s, dir)
+      val cand = candPairs(s, dir)
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+          "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+          "doc_b")
+        .join(cls.select(col("doc_id").as("doc_a"), col("rep").as("ra")),
+          "doc_a")
+        .join(cls.select(col("doc_id").as("doc_b"), col("rep").as("rb")),
+          "doc_b")
+      cand.agg(
+          count(lit(1)).as("n_cand_pairs"),
+          sum(expr("CASE WHEN sa <> sb THEN 1 ELSE 0 END"))
+            .as("n_cross_split"),
+          sum(expr("CASE WHEN (sa = 'train' AND sb = 'test') OR " +
+            "(sa = 'test' AND sb = 'train') THEN 1 ELSE 0 END"))
+            .as("n_train_test"),
+          sum(expr("CASE WHEN ra = rb AND sa <> sb THEN 1 ELSE 0 END"))
+            .as("n_exact_cross"))
+        .withColumn("leak_permille", expr(
+          "CASE WHEN n_cand_pairs = 0 THEN NULL " +
+            "ELSE n_cross_split * 1000 div n_cand_pairs END"))
+    },
+
+    // Fellegi–Sunter probabilistic record linkage over the candidate
+    // pairs: per-field agreement weights log2(m/u) learned from the
+    // exact-duplicate classes (same-class pairs are the matched set M,
+    // cross-class candidates the unmatched set U), in the q173
+    // integer-bit lane — weight_f = bitlen((m_f·|U|) div (u_f·|M|)),
+    // which floors sub-evidence fields to 0 bits, no float log
+    // anywhere. Cross-class pairs then score Σ weights over their
+    // agreeing fields (language, source, length band, 16-char
+    // prefix); the top-20 "possible match" band surfaces through a
+    // bounded heap. The supervision-free linkage step between q434's
+    // blocking and a human review queue.
+    "q505_record_linkage" -> { (s, dir) =>
+      val attrs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          expr("substring(text, 1, 16)").as("p16"))
+      val cls = docClasses(s, dir)
+      val pairs = candPairs(s, dir)
+        .join(attrs.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+          col("source").as("oa"), col("n_chars").as("na"),
+          col("p16").as("pa")), "doc_a")
+        .join(attrs.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+          col("source").as("ob"), col("n_chars").as("nb"),
+          col("p16").as("pb")), "doc_b")
+        .join(cls.select(col("doc_id").as("doc_a"), col("rep").as("ra")),
+          "doc_a")
+        .join(cls.select(col("doc_id").as("doc_b"), col("rep").as("rb")),
+          "doc_b")
+        .withColumn("matched", expr("CASE WHEN ra = rb THEN 1 ELSE 0 END"))
+        .withColumn("f1", expr("CASE WHEN la = lb THEN 1 ELSE 0 END"))
+        .withColumn("f2", expr("CASE WHEN oa = ob THEN 1 ELSE 0 END"))
+        .withColumn("f3",
+          expr("CASE WHEN abs(na - nb) <= 20 THEN 1 ELSE 0 END"))
+        .withColumn("f4", expr("CASE WHEN pa = pb THEN 1 ELSE 0 END"))
+      val aggs = Seq(sum(col("matched")).as("mt"),
+        sum(expr("1 - matched")).as("ut")) ++
+        (1 to 4).map(i =>
+          sum(expr(s"CASE WHEN matched = 1 THEN f$i ELSE 0 END"))
+            .as(s"m$i")) ++
+        (1 to 4).map(i =>
+          sum(expr(s"CASE WHEN matched = 0 THEN f$i ELSE 0 END"))
+            .as(s"u$i"))
+      val wts = pairs.agg(aggs.head, aggs.tail: _*)
+      val wCols = (1 to 4).map(i =>
+        s"CAST(length(bin((m$i * ut) div " +
+          s"greatest(CAST(1 AS BIGINT), u$i * mt))) - 1 AS BIGINT) AS w$i")
+      val weighted = wts.selectExpr(wCols: _*)
+      pairs.filter(col("matched") === 0)
+        .crossJoin(broadcast(weighted))
+        .withColumn("score_bits", expr(
+          "f1 * w1 + f2 * w2 + f3 * w3 + f4 * w4").cast("long"))
+        .withColumn("n_agree", expr("f1 + f2 + f3 + f4").cast("long"))
+        .select("doc_a", "doc_b", "score_bits", "n_agree")
+        .orderBy(col("score_bits").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(20)
+    },
+
     // Per-source dedup-inflation report: how many docs and tokens
     // each source loses under exact-duplicate-class dedup (the q28/
     // q65 classes: identical sorted shingle sets, global first-id
@@ -2634,6 +2730,97 @@ object TextOps {
          |FROM (SELECT * FROM st500 UNION ALL SELECT * FROM st700
          |      UNION ALL SELECT * FROM st900) s
          |ORDER BY threshold_milli""".stripMargin
+    },
+
+    "q504_split_leakage" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base
+         |  WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |spl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${D.splitBucket} AS hk FROM documents) h),
+         |cls AS (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY list_sort(sh))
+         |    AS rep
+         |  FROM f),
+         |cp AS (
+         |  SELECT a.split AS sa, b.split AS sb, ca.rep AS ra, cb.rep AS rb
+         |  FROM cand
+         |  JOIN spl a ON cand.doc_a = a.doc_id
+         |  JOIN spl b ON cand.doc_b = b.doc_id
+         |  JOIN cls ca ON cand.doc_a = ca.doc_id
+         |  JOIN cls cb ON cand.doc_b = cb.doc_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+         |  CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cross_split,
+         |  CAST(SUM(CASE WHEN (sa = 'train' AND sb = 'test') OR
+         |    (sa = 'test' AND sb = 'train') THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_train_test,
+         |  CAST(SUM(CASE WHEN ra = rb AND sa <> sb THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_exact_cross,
+         |  CASE WHEN COUNT(*) = 0 THEN NULL ELSE
+         |    ${D.intDiv(
+              "CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) * 1000",
+              "CAST(COUNT(*) AS BIGINT)")} END AS leak_permille
+         |FROM cp""".stripMargin,
+
+    "q505_record_linkage" -> {
+      val wCols = (1 to 4).map(i =>
+        s"CAST(length(printf('%b', ${D.intDiv(s"(m$i * ut)",
+          s"greatest(CAST(1 AS BIGINT), u$i * mt)")})) - 1 AS BIGINT) AS w$i")
+        .mkString(", ")
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base
+         |  WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |cls AS (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY list_sort(sh))
+         |    AS rep
+         |  FROM f),
+         |at AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    substring(text, 1, 16) AS p16
+         |  FROM documents),
+         |pr AS (
+         |  SELECT cand.doc_a, cand.doc_b,
+         |    CASE WHEN ca.rep = cb.rep THEN 1 ELSE 0 END AS matched,
+         |    CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS f1,
+         |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS f2,
+         |    CASE WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1 ELSE 0 END
+         |      AS f3,
+         |    CASE WHEN a.p16 = b.p16 THEN 1 ELSE 0 END AS f4
+         |  FROM cand
+         |  JOIN at a ON cand.doc_a = a.doc_id
+         |  JOIN at b ON cand.doc_b = b.doc_id
+         |  JOIN cls ca ON cand.doc_a = ca.doc_id
+         |  JOIN cls cb ON cand.doc_b = cb.doc_id),
+         |lanes AS (
+         |  SELECT CAST(SUM(matched) AS BIGINT) AS mt,
+         |    CAST(SUM(1 - matched) AS BIGINT) AS ut,
+         |${(1 to 4).map(i =>
+             s"    CAST(SUM(CASE WHEN matched = 1 THEN f$i ELSE 0 END) " +
+             s"AS BIGINT) AS m$i,\n" +
+             s"    CAST(SUM(CASE WHEN matched = 0 THEN f$i ELSE 0 END) " +
+             s"AS BIGINT) AS u$i").mkString(",\n")}
+         |  FROM pr),
+         |wt AS (SELECT $wCols FROM lanes)
+         |SELECT doc_a, doc_b,
+         |  CAST(f1 * w1 + f2 * w2 + f3 * w3 + f4 * w4 AS BIGINT)
+         |    AS score_bits,
+         |  CAST(f1 + f2 + f3 + f4 AS BIGINT) AS n_agree
+         |FROM pr, wt WHERE matched = 0
+         |ORDER BY score_bits DESC, doc_a, doc_b LIMIT 20""".stripMargin
     },
 
     "q500_dedup_inflation" ->
