@@ -523,6 +523,60 @@ object Analytics7 {
         .orderBy("sid", "tid")
     },
 
+    // Adjusted Rand index between the ground-truth embedding labels
+    // and the nearest-centroid clustering (the q419 integer-exact
+    // assignment substrate: ×32768-quantized lanes, floor-mod
+    // centroid means, (dd, label) tie-break) — the chance-corrected
+    // clustering-agreement score next to q415's silhouette and q419's
+    // per-class recall. EVERY lane is an exact integer: contingency
+    // pair counts C(n,2) per cell/row/column, and ARI clears its
+    // denominators as (2·T·Σij − 2·Σa·Σb) / (T·(Σa+Σb) − 2·Σa·Σb)
+    // with T = C(n,2) — wide lanes, one exact division to micro.
+    // Denominator 0 (degenerate single-cluster agreement) emits 10⁶
+    // by the standard convention.
+    "q508_ari" -> { (s, d) =>
+      val vq = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q1000", expr(
+          "CAST(floor(CAST(v AS DOUBLE) * 32768.0) AS BIGINT) * 1000"))
+      val cm = vq
+        .groupBy(col("label").as("label_c"), col("pos"))
+        .agg(expr("sum(q1000 div 1000)").as("sq"),
+          count(lit(1)).as("cnt"))
+        .withColumn("cmilli", expr(
+          "((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) div cnt"))
+        .select("label_c", "pos", "cmilli")
+      val pred = vq.join(broadcast(cm), Seq("pos"))
+        .groupBy("vec_id", "label", "label_c")
+        .agg(sum(expr("(q1000 - cmilli) * (q1000 - cmilli)")).as("dd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy("dd", "label_c")))
+        .filter(col("rn") === 1)
+        .select(col("label").cast("long").as("la"),
+          col("label_c").cast("long").as("lb"))
+      val sij = pred.groupBy("la", "lb").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("sij"))
+      val sa = pred.groupBy("la").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("sa"),
+          count(lit(1)).as("n_classes"))
+      val sb = pred.groupBy("lb").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("sb"),
+          count(lit(1)).as("n_clusters"))
+      val nn = pred.agg(count(lit(1)).as("n"))
+      nn.crossJoin(broadcast(sij)).crossJoin(broadcast(sa))
+        .crossJoin(broadcast(sb))
+        .withColumn("t2", expr("n * (n - 1) div 2"))
+        .selectExpr("n", "n_classes", "n_clusters", "sij", "sa", "sb",
+          s"CASE WHEN ${Sp.wide("t2")} * (sa + sb) - " +
+            s"${Sp.wide("2")} * sa * sb = 0 THEN CAST(1000000 AS BIGINT) " +
+            s"ELSE CAST(${Sp.intDiv(
+              s"(${Sp.wide("2")} * t2 * sij - ${Sp.wide("2")} * sa * sb) " +
+                "* 1000000",
+              s"(${Sp.wide("t2")} * (sa + sb) - ${Sp.wide("2")} * sa * sb)")}" +
+            " AS BIGINT) END AS ari_micro")
+    },
+
     // Wilcoxon signed-rank test on paired daily order counts, 1995 vs
     // 1996 matched on (month, day-of-month) — the PAIRED twin of
     // q296's Mann–Whitney. Zero differences drop (standard); ties on
@@ -859,6 +913,56 @@ object Analytics7 {
          |  CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micro
          |FROM fwd JOIN bwd USING (sid, tid)
          |ORDER BY sid, tid""".stripMargin,
+
+    "q508_ari" ->
+      s"""WITH vq AS (
+         |  SELECT vec_id, label,
+         |    generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 32768.0)
+         |      AS BIGINT) * 1000 AS q1000
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT label AS label_c, pos,
+         |    CAST(SUM(q1000 // 1000) AS BIGINT) AS sq,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM vq GROUP BY 1, 2),
+         |m AS (
+         |  SELECT label_c, pos,
+         |    ((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) // cnt
+         |      AS cmilli
+         |  FROM cm),
+         |d2 AS (
+         |  SELECT vec_id, label, label_c,
+         |    CAST(SUM((q1000 - cmilli) * (q1000 - cmilli)) AS BIGINT)
+         |      AS dd
+         |  FROM vq JOIN m ON vq.pos = m.pos
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT CAST(label AS BIGINT) AS la, CAST(label_c AS BIGINT) AS lb
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dd, label_c) AS rn FROM d2) p
+         |  WHERE rn = 1),
+         |sij AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS sij FROM
+         |  (SELECT COUNT(*) AS c FROM pred GROUP BY la, lb) q),
+         |sa AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS sa,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes FROM
+         |  (SELECT COUNT(*) AS c FROM pred GROUP BY la) q),
+         |sb AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS sb,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters FROM
+         |  (SELECT COUNT(*) AS c FROM pred GROUP BY lb) q),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1) // 2
+         |    AS t2
+         |  FROM pred)
+         |SELECT n, n_classes, n_clusters, sij, sa, sb,
+         |  CASE WHEN ${Du.wide("t2")} * (sa + sb) -
+         |    ${Du.wide("2")} * sa * sb = 0 THEN CAST(1000000 AS BIGINT)
+         |  ELSE CAST(${Du.intDiv(
+             s"(${Du.wide("2")} * t2 * sij - ${Du.wide("2")} * sa * sb) " +
+               "* 1000000",
+             s"(${Du.wide("t2")} * (sa + sb) - ${Du.wide("2")} * sa * sb)")}
+         |    AS BIGINT) END AS ari_micro
+         |FROM nn, sij, sa, sb""".stripMargin,
 
     "q501_wilcoxon_signed" -> {
       val zT = "((CAST(wp2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * " +

@@ -253,6 +253,35 @@ object Relational2 {
         .orderBy("node")
     },
 
+    // Two-sweep diameter bound (the double-BFS heuristic): BFS from
+    // the min node, re-BFS from its farthest reachable node — that
+    // second eccentricity is a certified LOWER bound on the graph
+    // diameter, usually tight on real graphs, at the cost of exactly
+    // two BFS runs instead of all-pairs. Ties break to the smallest
+    // node id, hop caps at 16 with the cap surfaced as `capped`, and
+    // the reached-node count doubles as a connectivity check. Both
+    // sweeps ride operators.Bfs (frontier joins, lineage-checkpointed
+    // rounds); the oracle walks the identical frontiers with two
+    // recursive CTEs.
+    "q507_diameter_2sweep" -> { (s, d) =>
+      val edges = supplyEdges(s, d)
+      val seed = edges.agg(min("src").as("node"))
+      val b1 = graft.operators.Bfs.run(edges, seed, maxHops = 16)
+      val far1 = b1.orderBy(col("hops").desc, col("node").asc).limit(1)
+        .select(col("node").as("far1"), col("hops").cast("long").as("ecc1"))
+      val b2 = graft.operators.Bfs.run(
+        edges, far1.select(col("far1").as("node")), maxHops = 16)
+      val far2 = b2.orderBy(col("hops").desc, col("node").asc).limit(1)
+        .select(col("node").as("far2"),
+          col("hops").cast("long").as("diameter_lb"))
+      seed.select(col("node").as("seed_node"))
+        .crossJoin(broadcast(far1))
+        .crossJoin(broadcast(far2))
+        .crossJoin(broadcast(b2.agg(count(lit(1)).as("n_reached"))))
+        .withColumn("capped", expr(
+          "CASE WHEN diameter_lb >= 16 THEN 1 ELSE 0 END").cast("long"))
+    },
+
     // Row-level snapshot diff — the regression-detection companion to
     // q151's partition-level digests: two dataset versions full-outer
     // join on the key and every row classifies as added / removed /
@@ -1861,6 +1890,35 @@ object Relational2 {
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY p1, p2
         |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
+
+    "q507_diameter_2sweep" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+        |sd AS (SELECT CAST(MIN(src) AS BIGINT) AS node FROM e),
+        |b1(node, hops) AS (
+        |  SELECT node, 0 FROM sd
+        |  UNION
+        |  SELECT e.dst, b1.hops + 1 FROM b1 JOIN e ON b1.node = e.src
+        |  WHERE b1.hops < 16),
+        |m1 AS (SELECT node, MIN(hops) AS hops FROM b1 GROUP BY node),
+        |f1 AS (SELECT node AS far1, CAST(hops AS BIGINT) AS ecc1
+        |  FROM m1 ORDER BY hops DESC, node LIMIT 1),
+        |b2(node, hops) AS (
+        |  SELECT far1, 0 FROM f1
+        |  UNION
+        |  SELECT e.dst, b2.hops + 1 FROM b2 JOIN e ON b2.node = e.src
+        |  WHERE b2.hops < 16),
+        |m2 AS (SELECT node, MIN(hops) AS hops FROM b2 GROUP BY node),
+        |f2 AS (SELECT node AS far2, CAST(hops AS BIGINT) AS diameter_lb
+        |  FROM m2 ORDER BY hops DESC, node LIMIT 1),
+        |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reached FROM m2)
+        |SELECT sd.node AS seed_node, far1, ecc1, far2, diameter_lb,
+        |  n_reached,
+        |  CAST(CASE WHEN diameter_lb >= 16 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS capped
+        |FROM sd, f1, f2, cnt""".stripMargin,
 
     "q203_bfs_khop" ->
       """WITH RECURSIVE f AS (
