@@ -577,6 +577,54 @@ object Analytics7 {
             " AS BIGINT) END AS ari_micro")
     },
 
+    // Simpson's-paradox reversal check: is the URGENT-vs-other return
+    // rate association the same sign overall as within every ship-year
+    // stratum? A reversal (aggregate sign opposed by all strata) is
+    // the canonical confounding alarm a metrics review runs before
+    // shipping an "X drives Y" conclusion. Rate comparisons stay
+    // division-free via cross-multiplication in wide lanes
+    // (r_a·n_b vs r_b·n_a — exact at any scale), so signs are exact
+    // integers; per-stratum rows carry the overall sign and the
+    // reversal flag as repeated scalar columns.
+    "q510_simpson_check" -> { (s, d) =>
+      val base = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(expr("year(l_shipdate)").cast("long").as("stratum"),
+          expr("CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END")
+            .as("grp"),
+          expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").as("ret"))
+      def signT(ra: String, na: String, rb: String, nb: String) =
+        s"CASE WHEN ${Sp.wide(ra)} * $nb > ${Sp.wide(rb)} * $na THEN 1 " +
+          s"WHEN ${Sp.wide(ra)} * $nb < ${Sp.wide(rb)} * $na THEN -1 " +
+          "ELSE 0 END"
+      val str = base.groupBy("stratum").agg(
+          sum(expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")).as("n_a"),
+          sum(expr("CASE WHEN grp = 1 THEN ret ELSE 0 END")).as("r_a"),
+          sum(expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")).as("n_b"),
+          sum(expr("CASE WHEN grp = 0 THEN ret ELSE 0 END")).as("r_b"))
+        .withColumn("assoc_sign",
+          expr(signT("r_a", "n_a", "r_b", "n_b")).cast("long"))
+      val ov = str.agg(sum("n_a").as("ta"), sum("r_a").as("rva"),
+          sum("n_b").as("tb"), sum("r_b").as("rvb"))
+        .withColumn("overall_sign",
+          expr(signT("rva", "ta", "rvb", "tb")).cast("long"))
+        .select("overall_sign")
+      val opp = str.crossJoin(broadcast(ov)).agg(
+        count(lit(1)).as("n_strata"),
+        sum(expr("CASE WHEN overall_sign <> 0 AND " +
+          "assoc_sign = -overall_sign THEN 1 ELSE 0 END")).as("n_opposing"))
+      val flags = ov.crossJoin(broadcast(opp))
+        .withColumn("reversal", expr(
+          "CASE WHEN overall_sign <> 0 AND n_opposing = n_strata " +
+            "THEN 1 ELSE 0 END").cast("long"))
+        .select("overall_sign", "n_opposing", "reversal")
+      str.crossJoin(broadcast(flags))
+        .select("stratum", "n_a", "r_a", "n_b", "r_b", "assoc_sign",
+          "overall_sign", "n_opposing", "reversal")
+        .orderBy("stratum")
+    },
+
     // Wilcoxon signed-rank test on paired daily order counts, 1995 vs
     // 1996 matched on (month, day-of-month) — the PAIRED twin of
     // q296's Mann–Whitney. Zero differences drop (standard); ties on
@@ -913,6 +961,55 @@ object Analytics7 {
          |  CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micro
          |FROM fwd JOIN bwd USING (sid, tid)
          |ORDER BY sid, tid""".stripMargin,
+
+    "q510_simpson_check" -> {
+      def signT(ra: String, na: String, rb: String, nb: String) =
+        s"CASE WHEN ${Du.wide(ra)} * $nb > ${Du.wide(rb)} * $na THEN 1 " +
+          s"WHEN ${Du.wide(ra)} * $nb < ${Du.wide(rb)} * $na THEN -1 " +
+          "ELSE 0 END"
+      s"""WITH base AS (
+         |  SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
+         |      AS stratum,
+         |    CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS grp,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |str AS (
+         |  SELECT stratum,
+         |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN grp = 1 THEN ret ELSE 0 END) AS BIGINT)
+         |      AS r_a,
+         |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(SUM(CASE WHEN grp = 0 THEN ret ELSE 0 END) AS BIGINT)
+         |      AS r_b
+         |  FROM base GROUP BY 1),
+         |st2 AS (
+         |  SELECT *, CAST(${signT("r_a", "n_a", "r_b", "n_b")} AS BIGINT)
+         |    AS assoc_sign
+         |  FROM str),
+         |ov AS (
+         |  SELECT CAST(${signT("rva", "ta", "rvb", "tb")} AS BIGINT)
+         |    AS overall_sign
+         |  FROM (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+         |      CAST(SUM(r_a) AS BIGINT) AS rva,
+         |      CAST(SUM(n_b) AS BIGINT) AS tb,
+         |      CAST(SUM(r_b) AS BIGINT) AS rvb FROM str) t),
+         |opp AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         |    CAST(SUM(CASE WHEN overall_sign <> 0 AND
+         |      assoc_sign = -overall_sign THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_opposing
+         |  FROM st2, ov),
+         |flags AS (
+         |  SELECT overall_sign, n_opposing,
+         |    CAST(CASE WHEN overall_sign <> 0 AND n_opposing = n_strata
+         |      THEN 1 ELSE 0 END AS BIGINT) AS reversal
+         |  FROM ov, opp)
+         |SELECT stratum, n_a, r_a, n_b, r_b, assoc_sign,
+         |  overall_sign, n_opposing, reversal
+         |FROM st2, flags ORDER BY stratum""".stripMargin
+    },
 
     "q508_ari" ->
       s"""WITH vq AS (

@@ -1228,6 +1228,39 @@ object TextOps {
         .orderBy("threshold_milli")
     },
 
+    // b-bit minhash (Li & König 2010, b=1): compress each 16-minhash
+    // signature to 16 PARITY bits and estimate Jaccard from the bit
+    // agreement rate (Ĵ = 2A/k − 1, clamped at 0 — under b=1 a
+    // non-matching lane still agrees half the time). The per-pair
+    // report against the EXACT Jaccard lanes measures what the 16×
+    // storage reduction costs in estimation error — the signature-
+    // sizing table read before provisioning a planet-scale dedup
+    // index. All integer: parity bits pack into one BIGINT per doc,
+    // agreement is popcount over XOR, both Jaccards ride exact milli
+    // lanes over the memoized pairJaccard/minhash16 substrates.
+    "q509_bbit_minhash" -> { (s, dir) =>
+      val bits = minhash16(s, dir)
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          "(h % 2) * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+          .as("sig"))
+      pairJaccard(s, dir)
+        .join(bits.select(col("doc_id").as("doc_a"), col("sig").as("ga")),
+          "doc_a")
+        .join(bits.select(col("doc_id").as("doc_b"), col("sig").as("gb")),
+          "doc_b")
+        .withColumn("agree",
+          expr(s"16 - ${S.bitCount(S.bxor("ga", "gb"))}").cast("long"))
+        .withColumn("jac_est_milli", expr(
+          "greatest(CAST(0 AS BIGINT), (2 * agree - 16) * 1000 div 16)"))
+        .withColumn("jac_true_milli", expr("n_inter * 1000 div n_union"))
+        .withColumn("abs_err_milli",
+          expr("abs(jac_est_milli - jac_true_milli)"))
+        .select("doc_a", "doc_b", "agree", "jac_est_milli",
+          "jac_true_milli", "abs_err_milli")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Train/test near-dup leakage audit: how many LSH candidate pairs
     // straddle the q84 hash split — the contamination check every
     // eval pipeline owes its benchmark (a test doc whose near-twin
@@ -2731,6 +2764,47 @@ object TextOps {
          |      UNION ALL SELECT * FROM st900) s
          |ORDER BY threshold_milli""".stripMargin
     },
+
+    "q509_bbit_minhash" ->
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base
+         |  WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(${D.size(D.arrIntersect("sa.sh", "sb.sh"))} AS BIGINT)
+         |      AS n_inter,
+         |    CAST(${D.size("sa.sh")} + ${D.size("sb.sh")} AS BIGINT) AS sz
+         |  FROM cand
+         |  JOIN f sa ON cand.doc_a = sa.doc_id
+         |  JOIN f sb ON cand.doc_b = sb.doc_id),
+         |bits AS (
+         |  SELECT doc_id,
+         |    CAST(SUM((u.h % 2) *
+         |      ${D.shiftLeft(D.longLit(1), "(u.j - 1)")}) AS BIGINT) AS sig
+         |  FROM (SELECT doc_id, unnest(mh) AS h,
+         |        generate_subscripts(mh, 1) AS j FROM m) u
+         |  GROUP BY doc_id),
+         |sc AS (
+         |  SELECT j.doc_a, j.doc_b,
+         |    CAST(16 - ${D.bitCount(D.bxor("a.sig", "b.sig"))} AS BIGINT)
+         |      AS agree,
+         |    j.n_inter, j.sz - j.n_inter AS n_union
+         |  FROM j
+         |  JOIN bits a ON j.doc_a = a.doc_id
+         |  JOIN bits b ON j.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, agree,
+         |  greatest(CAST(0 AS BIGINT),
+         |    ${D.intDiv("(2 * agree - 16) * 1000", "16")}) AS jac_est_milli,
+         |  ${D.intDiv("n_inter * 1000", "n_union")} AS jac_true_milli,
+         |  abs(greatest(CAST(0 AS BIGINT),
+         |    ${D.intDiv("(2 * agree - 16) * 1000", "16")}) -
+         |    ${D.intDiv("n_inter * 1000", "n_union")}) AS abs_err_milli
+         |FROM sc ORDER BY doc_a, doc_b""".stripMargin,
 
     "q504_split_leakage" ->
       s"""$duckBase,
