@@ -577,6 +577,49 @@ object Analytics7 {
             " AS BIGINT) END AS ari_micro")
     },
 
+    // Holt–Winters holdout backtest: fit q506's fold on all days up
+    // to max−14, forecast 7 ahead, score against the held-out actuals
+    // — per-horizon absolute error plus MASE against the same-weekday
+    // seasonal-naive baseline (the q484 metric family closed into a
+    // proper out-of-sample evaluation; a MASE ≥ 1000 milli says the
+    // smoother earns nothing over naive). Errors are exact integers:
+    // forecast_milli is the floored fold output, actuals scale ×1000,
+    // the naive forecast is the calendar day−7 count. Everything
+    // rides the calendar-bounded day frame.
+    "q511_hw_backtest" -> { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val cut = days.agg(expr("date_add(max(day), -14)").as("cutoff"))
+      val train = days.crossJoin(broadcast(cut))
+        .filter(col("day") <= col("cutoff"))
+      val (_, _, fc) = hwOut(Sp)
+      val fits = train.groupBy("cutoff")
+        .agg(expr("transform(sort_array(collect_list(struct(day, x))), " +
+          "p -> CAST(p.x AS DOUBLE))").as("xs"))
+        .withColumn("hw", expr(hwFold(Sp, "xs")))
+      val scored = fits
+        .select(col("cutoff"), col("hw"),
+          explode(expr("sequence(1, 7)")).as("horizon"))
+        .withColumn("fday", expr("date_add(cutoff, CAST(horizon AS INT))"))
+        .withColumn("forecast_milli", expr(fc))
+        .join(days.select(col("day").as("fday"), col("x").as("actual")),
+          Seq("fday"))
+        .join(days.select(expr("date_add(day, 7)").as("fday"),
+          col("x").as("naive")), Seq("fday"))
+        .withColumn("abs_err_milli",
+          expr("abs(actual * 1000 - forecast_milli)"))
+        .withColumn("naive_err_milli", expr("abs(actual - naive) * 1000"))
+      scored
+        .select(expr("CAST(horizon AS BIGINT)").as("horizon"),
+          col("forecast_milli"), expr("actual * 1000").as("actual_milli"),
+          col("abs_err_milli"), col("naive_err_milli"),
+          expr("CASE WHEN naive_err_milli = 0 THEN NULL ELSE " +
+            "abs_err_milli * 1000 div naive_err_milli END")
+            .as("mase_milli"))
+        .orderBy("horizon")
+    },
+
     // Simpson's-paradox reversal check: is the URGENT-vs-other return
     // rate association the same sign overall as within every ship-year
     // stratum? A reversal (aggregate sign opposed by all strata) is
@@ -961,6 +1004,40 @@ object Analytics7 {
          |  CAST(floor(cos * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cos_micro
          |FROM fwd JOIN bwd USING (sid, tid)
          |ORDER BY sid, tid""".stripMargin,
+
+    "q511_hw_backtest" -> {
+      val (_, _, fc) = hwOut(Du)
+      s"""WITH days AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |cut AS (SELECT max(day) - INTERVAL 14 DAY AS cutoff FROM days),
+         |arr AS (
+         |  SELECT cutoff, list(CAST(x AS DOUBLE) ORDER BY day) AS xs
+         |  FROM days, cut WHERE day <= cutoff GROUP BY cutoff),
+         |hwt AS (SELECT cutoff, ${hwFold(Du, "xs")} AS hw FROM arr),
+         |hz AS (SELECT unnest(range(1, 8)) AS horizon),
+         |sc AS (
+         |  SELECT horizon,
+         |    CAST(cutoff + to_days(CAST(horizon AS INTEGER)) AS DATE)
+         |      AS fday,
+         |    $fc AS forecast_milli
+         |  FROM hwt, hz),
+         |j AS (
+         |  SELECT sc.horizon, sc.forecast_milli, a.x AS actual,
+         |    n.x AS naive
+         |  FROM sc
+         |  JOIN days a ON sc.fday = a.day
+         |  JOIN days n ON sc.fday = n.day + INTERVAL 7 DAY)
+         |SELECT CAST(horizon AS BIGINT) AS horizon, forecast_milli,
+         |  actual * 1000 AS actual_milli,
+         |  abs(actual * 1000 - forecast_milli) AS abs_err_milli,
+         |  abs(actual - naive) * 1000 AS naive_err_milli,
+         |  CASE WHEN abs(actual - naive) * 1000 = 0 THEN NULL ELSE
+         |    ${Du.intDiv("abs(actual * 1000 - forecast_milli) * 1000",
+              "(abs(actual - naive) * 1000)")} END AS mase_milli
+         |FROM j ORDER BY horizon""".stripMargin
+    },
 
     "q510_simpson_check" -> {
       def signT(ra: String, na: String, rb: String, nb: String) =
