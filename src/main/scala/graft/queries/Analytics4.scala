@@ -25,6 +25,32 @@ object Analytics4 {
   private val Du = PortableSql.Duck
   private val Sp = PortableSql.Spark
 
+  /** The q419 integer-exact nearest-centroid assignment substrate,
+    * shared with q508's ARI (Analytics7): ×32768-quantized lanes,
+    * floor-mod label-mean centroids, argmin with (dd, label_c)
+    * tie-break. Returns one row per vector: (vec_id, label, label_c).
+    */
+  private[queries] def centroidPred(s: SparkSession, d: String): DataFrame = {
+    val vq = Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q1000", expr(
+        "CAST(floor(CAST(v AS DOUBLE) * 32768.0) AS BIGINT) * 1000"))
+    val cm = vq
+      .groupBy(col("label").as("label_c"), col("pos"))
+      .agg(expr("sum(q1000 div 1000)").as("sq"),
+        count(lit(1)).as("cnt"))
+      .withColumn("cmilli", expr(
+        "((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) div cnt"))
+      .select("label_c", "pos", "cmilli")
+    vq.join(broadcast(cm), Seq("pos"))
+      .groupBy("vec_id", "label", "label_c")
+      .agg(sum(expr("(q1000 - cmilli) * (q1000 - cmilli)")).as("dd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("dd", "label_c")))
+      .filter(col("rn") === 1)
+  }
+
   /** The exact cents lane (the Analytics2/3 CentsF convention). */
   private val CentsF =
     "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -1188,25 +1214,7 @@ object Analytics4 {
     // run after any labeling/clustering step. The argmin is a
     // per-vector bounded window (10 candidate labels), never global.
     "q419_centroid_accuracy" -> { (s, d) =>
-      val vq = Tables.spread(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("q1000", expr(
-          "CAST(floor(CAST(v AS DOUBLE) * 32768.0) AS BIGINT) * 1000"))
-      val cm = vq
-        .groupBy(col("label").as("label_c"), col("pos"))
-        .agg(expr("sum(q1000 div 1000)").as("sq"),
-          count(lit(1)).as("cnt"))
-        .withColumn("cmilli", expr(
-          "((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) div cnt"))
-        .select("label_c", "pos", "cmilli")
-      val d2 = vq.join(broadcast(cm), Seq("pos"))
-        .groupBy("vec_id", "label", "label_c")
-        .agg(sum(expr("(q1000 - cmilli) * (q1000 - cmilli)")).as("dd"))
-      val pred = d2
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy("dd", "label_c")))
-        .filter(col("rn") === 1)
+      val pred = centroidPred(s, d)
       pred.groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           coalesce(sum(expr(

@@ -162,6 +162,19 @@ object Analytics7 {
       s"CASE WHEN ${at(10)} = CAST(0 AS DOUBLE) THEN $first ELSE $step END")
   }
 
+  /** Daily order counts (the q506/q511 series frame). */
+  private def dayCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+
+  /** Day-ordered series as doubles — the fold-order-load-bearing
+    * collect/sort/transform expression, ONE copy for q506 and q511.
+    */
+  private val DaySeriesT =
+    "transform(sort_array(collect_list(struct(day, x))), " +
+      "p -> CAST(p.x AS DOUBLE))"
+
   /** Post-fold access + forecast texts over the fold result `hw` and
     * the exploded `horizon` column (q506).
     */
@@ -189,12 +202,9 @@ object Analytics7 {
     // lifting is the map-side orders→day combine, and the output is
     // horizon × (level, trend, forecast) in floored milli units.
     "q506_holt_winters" -> { (s, d) =>
-      val days = Tables.orders(s, d)
-        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
-        .agg(count(lit(1)).as("x"))
+      val days = dayCounts(s, d)
       val (lv, tr, fc) = hwOut(Sp)
-      days.agg(expr("transform(sort_array(collect_list(struct(day, x))), " +
-          "p -> CAST(p.x AS DOUBLE))").as("xs"))
+      days.agg(expr(DaySeriesT).as("xs"))
         .withColumn("hw", expr(hwFold(Sp, "xs")))
         .select(col("hw"), explode(expr("sequence(1, 7)")).as("horizon"))
         .selectExpr("CAST(horizon AS BIGINT) AS horizon",
@@ -535,24 +545,7 @@ object Analytics7 {
     // Denominator 0 (degenerate single-cluster agreement) emits 10⁶
     // by the standard convention.
     "q508_ari" -> { (s, d) =>
-      val vq = Tables.spread(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("q1000", expr(
-          "CAST(floor(CAST(v AS DOUBLE) * 32768.0) AS BIGINT) * 1000"))
-      val cm = vq
-        .groupBy(col("label").as("label_c"), col("pos"))
-        .agg(expr("sum(q1000 div 1000)").as("sq"),
-          count(lit(1)).as("cnt"))
-        .withColumn("cmilli", expr(
-          "((sq * 1000) - (((sq * 1000) % cnt + cnt) % cnt)) div cnt"))
-        .select("label_c", "pos", "cmilli")
-      val pred = vq.join(broadcast(cm), Seq("pos"))
-        .groupBy("vec_id", "label", "label_c")
-        .agg(sum(expr("(q1000 - cmilli) * (q1000 - cmilli)")).as("dd"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy("dd", "label_c")))
-        .filter(col("rn") === 1)
+      val pred = Analytics4.centroidPred(s, d)
         .select(col("label").cast("long").as("la"),
           col("label_c").cast("long").as("lb"))
       val sij = pred.groupBy("la", "lb").agg(count(lit(1)).as("c"))
@@ -579,24 +572,23 @@ object Analytics7 {
 
     // Holt–Winters holdout backtest: fit q506's fold on all days up
     // to max−14, forecast 7 ahead, score against the held-out actuals
-    // — per-horizon absolute error plus MASE against the same-weekday
-    // seasonal-naive baseline (the q484 metric family closed into a
-    // proper out-of-sample evaluation; a MASE ≥ 1000 milli says the
-    // smoother earns nothing over naive). Errors are exact integers:
-    // forecast_milli is the floored fold output, actuals scale ×1000,
-    // the naive forecast is the calendar day−7 count. Everything
-    // rides the calendar-bounded day frame.
+    // — per-horizon absolute error plus the MASE against the
+    // same-weekday seasonal-naive baseline: the PROPER aggregate
+    // Σ|err| / Σ|naive err| over the holdout week (repeated as a
+    // scalar column — a per-point ratio would NULL out whenever one
+    // day's naive error happens to be 0), so a MASE ≥ 1000 milli says
+    // the smoother earns nothing over naive. Errors are exact
+    // integers: forecast_milli is the floored fold output, actuals
+    // scale ×1000, the naive forecast is the calendar day−7 count.
+    // Everything rides the calendar-bounded day frame.
     "q511_hw_backtest" -> { (s, d) =>
-      val days = Tables.orders(s, d)
-        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
-        .agg(count(lit(1)).as("x"))
+      val days = dayCounts(s, d)
       val cut = days.agg(expr("date_add(max(day), -14)").as("cutoff"))
       val train = days.crossJoin(broadcast(cut))
         .filter(col("day") <= col("cutoff"))
       val (_, _, fc) = hwOut(Sp)
       val fits = train.groupBy("cutoff")
-        .agg(expr("transform(sort_array(collect_list(struct(day, x))), " +
-          "p -> CAST(p.x AS DOUBLE))").as("xs"))
+        .agg(expr(DaySeriesT).as("xs"))
         .withColumn("hw", expr(hwFold(Sp, "xs")))
       val scored = fits
         .select(col("cutoff"), col("hw"),
@@ -610,13 +602,14 @@ object Analytics7 {
         .withColumn("abs_err_milli",
           expr("abs(actual * 1000 - forecast_milli)"))
         .withColumn("naive_err_milli", expr("abs(actual - naive) * 1000"))
-      scored
+      val tot = scored.agg(sum("abs_err_milli").as("t_abs"),
+        sum("naive_err_milli").as("t_naive"))
+      scored.crossJoin(broadcast(tot))
         .select(expr("CAST(horizon AS BIGINT)").as("horizon"),
           col("forecast_milli"), expr("actual * 1000").as("actual_milli"),
           col("abs_err_milli"), col("naive_err_milli"),
-          expr("CASE WHEN naive_err_milli = 0 THEN NULL ELSE " +
-            "abs_err_milli * 1000 div naive_err_milli END")
-            .as("mase_milli"))
+          expr("CASE WHEN t_naive = 0 THEN NULL ELSE " +
+            "t_abs * 1000 div t_naive END").as("mase_milli"))
         .orderBy("horizon")
     },
 
@@ -1025,18 +1018,22 @@ object Analytics7 {
          |  FROM hwt, hz),
          |j AS (
          |  SELECT sc.horizon, sc.forecast_milli, a.x AS actual,
-         |    n.x AS naive
+         |    n.x AS naive,
+         |    abs(a.x * 1000 - sc.forecast_milli) AS abs_err_milli,
+         |    abs(a.x - n.x) * 1000 AS naive_err_milli
          |  FROM sc
          |  JOIN days a ON sc.fday = a.day
-         |  JOIN days n ON sc.fday = n.day + INTERVAL 7 DAY)
+         |  JOIN days n ON sc.fday = n.day + INTERVAL 7 DAY),
+         |tot AS (
+         |  SELECT CAST(SUM(abs_err_milli) AS BIGINT) AS t_abs,
+         |    CAST(SUM(naive_err_milli) AS BIGINT) AS t_naive
+         |  FROM j)
          |SELECT CAST(horizon AS BIGINT) AS horizon, forecast_milli,
          |  actual * 1000 AS actual_milli,
-         |  abs(actual * 1000 - forecast_milli) AS abs_err_milli,
-         |  abs(actual - naive) * 1000 AS naive_err_milli,
-         |  CASE WHEN abs(actual - naive) * 1000 = 0 THEN NULL ELSE
-         |    ${Du.intDiv("abs(actual * 1000 - forecast_milli) * 1000",
-              "(abs(actual - naive) * 1000)")} END AS mase_milli
-         |FROM j ORDER BY horizon""".stripMargin
+         |  abs_err_milli, naive_err_milli,
+         |  CASE WHEN t_naive = 0 THEN NULL ELSE
+         |    ${Du.intDiv("t_abs * 1000", "t_naive")} END AS mase_milli
+         |FROM j, tot ORDER BY horizon""".stripMargin
     },
 
     "q510_simpson_check" -> {

@@ -1273,7 +1273,10 @@ object TextOps {
     // exact-duplicate-class subset of those (same sorted shingle set
     // ACROSS the split — the worst leak class).
     "q504_split_leakage" -> { (s, dir) =>
-      val sp = docsWithToks(s, dir)
+      // split needs only doc_id — read documents directly instead of
+      // coupling to the tokenization memo (review finding: the memo
+      // persists the whole toks column for a query that never reads it)
+      val sp = Tables.documents(s, dir)
         .select(col("doc_id"), expr(S.splitBucket).as("hk"))
         .withColumn("split", expr(graft.functions.PortableSql.SplitCase))
         .select("doc_id", "split")
@@ -1305,9 +1308,11 @@ object TextOps {
     // pairs: per-field agreement weights log2(m/u) learned from the
     // exact-duplicate classes (same-class pairs are the matched set M,
     // cross-class candidates the unmatched set U), in the q173
-    // integer-bit lane — weight_f = bitlen((m_f·|U|) div (u_f·|M|)),
-    // which floors sub-evidence fields to 0 bits, no float log
-    // anywhere. Cross-class pairs then score Σ weights over their
+    // integer-bit lane — weight_f = floor(log2((m_f·|U|) div
+    // (u_f·|M|))) = bitlen(ratio) − 1, which floors sub-evidence
+    // fields to 0 bits, no float log anywhere. The m·|U| cross
+    // products ride the wide lane (two pair-counts multiply — BIGINT
+    // alone saturates near 3×10⁹ candidate pairs). Cross-class pairs then score Σ weights over their
     // agreeing fields (language, source, length band, 16-char
     // prefix); the top-20 "possible match" band surfaces through a
     // bounded heap. The supervision-free linkage step between q434's
@@ -1344,8 +1349,10 @@ object TextOps {
             .as(s"u$i"))
       val wts = pairs.agg(aggs.head, aggs.tail: _*)
       val wCols = (1 to 4).map(i =>
-        s"CAST(length(bin((m$i * ut) div " +
-          s"greatest(CAST(1 AS BIGINT), u$i * mt))) - 1 AS BIGINT) AS w$i")
+        s"CAST(length(bin(CAST(${S.intDiv(
+          s"${S.wide(s"m$i")} * ut",
+          s"greatest(${S.wide("1")}, ${S.wide(s"u$i")} * mt)")} " +
+          s"AS BIGINT))) - 1 AS BIGINT) AS w$i")
       val weighted = wts.selectExpr(wCols: _*)
       pairs.filter(col("matched") === 0)
         .crossJoin(broadcast(weighted))
@@ -2816,9 +2823,7 @@ object TextOps {
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
          |spl AS (
-         |  SELECT doc_id,
-         |    CASE WHEN hk < 90 THEN 'train' WHEN hk < 95 THEN 'val'
-         |      ELSE 'test' END AS split
+         |  SELECT doc_id, ${graft.functions.PortableSql.SplitCase} AS split
          |  FROM (SELECT doc_id, ${D.splitBucket} AS hk FROM documents) h),
          |cls AS (
          |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY list_sort(sh))
@@ -2847,8 +2852,10 @@ object TextOps {
 
     "q505_record_linkage" -> {
       val wCols = (1 to 4).map(i =>
-        s"CAST(length(printf('%b', ${D.intDiv(s"(m$i * ut)",
-          s"greatest(CAST(1 AS BIGINT), u$i * mt)")})) - 1 AS BIGINT) AS w$i")
+        s"CAST(length(printf('%b', CAST(${D.intDiv(
+          s"${D.wide(s"m$i")} * ut",
+          s"greatest(${D.wide("1")}, ${D.wide(s"u$i")} * mt)")} " +
+          s"AS BIGINT))) - 1 AS BIGINT) AS w$i")
         .mkString(", ")
       s"""$duckBase,
          |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base
