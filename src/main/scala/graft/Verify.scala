@@ -56,15 +56,27 @@ object Verify {
     // underscore prefix keeps parquet readers blind to it -- so any
     // later driver mismatch is adjudicated against what the run
     // itself computed, no rerun needed.
-    def canonHash(path: String): String =
-      graft.core.CanonHash.of(spark.read.parquet(path))
+    // Round-9 (verdict #1): persist the VALUES, not just the hash.
+    // `_canon_rows.txt.gz` holds the exact sorted canonical lines the
+    // hash is computed over, so a driver hash mismatch is adjudicated
+    // as a specific row/column diff against what this run saw —
+    // results are result-sized by contract, and the four r8 red cells
+    // gzip to a few KB each.
+    def gzipLines(path: String, ls: Array[String]): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(Paths.get(path)))
+      try ls.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+      finally out.close()
+    }
     val hashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.selectQueries(only).foreach { case (name, fn) =>
       try {
         ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        val h = canonHash(s"$outDir/$name")
+        val lines = graft.core.CanonHash.lines(spark.read.parquet(s"$outDir/$name"))
+        val h = graft.core.CanonHash.hashOfLines(lines)
         Files.writeString(Paths.get(s"$outDir/$name/_canon_sha256"), h + "\n")
+        gzipLines(s"$outDir/$name/_canon_rows.txt.gz", lines)
         hashes(name) = h
         println(s"[hash] $name $h")
       }
@@ -86,6 +98,15 @@ object Verify {
       hashes.map { case (k, v) =>
         s"${graft.core.JsonText.escape(k)}: ${graft.core.JsonText.escape(v)}"
       }.mkString("{", ",", "}"))
+    // Env stamp (round-9 verdict #1): one line pinning the runtime a
+    // snapshot was produced under, so a cross-run hash disagreement
+    // can first be checked for an environment delta before anything
+    // else is suspected.
+    Files.writeString(Paths.get(s"$outDir/_env.txt"),
+      s"spark=${spark.version} jdk=${System.getProperty("java.version")} " +
+      s"tz=${java.util.TimeZone.getDefault.getID} cpus=$cpus " +
+      s"shufflePartitions=${spark.conf.get("spark.sql.shuffle.partitions")} " +
+      s"only=${only.map(_.size.toString).getOrElse("FULL")}\n")
     // JSON string escape (graft.core.JsonText — the one shared
     // escaper): a tab or CR in builder-authored SQL would otherwise
     // make the driver's json.load fail and silently zero the round's

@@ -30,18 +30,27 @@ object CanonHash {
     case other => s"${other.getClass.getSimpleName}\u0001$other"
   }
 
-  /** Canonical SHA-256 of a DataFrame's values (collects — artifact
-    * outputs are result-sized by contract, never corpus-sized).
+  /** The exact sorted canonical lines the hash is computed over —
+    * exposed (round-9) so Verify can persist them as
+    * `_canon_rows.txt.gz`: a hash proves single-valuedness but cannot
+    * localize a driver mismatch; the dumped lines turn the next red
+    * cell into a row/column diff. Collects — artifact outputs are
+    * result-sized by contract, never corpus-sized.
     */
-  def of(df: DataFrame): String = {
+  def lines(df: DataFrame): Array[String] = {
     val cols = df.columns.sorted
-    val lines = df
-      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect()
       .map(r => cols.indices.map(i => render(r.get(i))).mkString("\u0001"))
       .sorted
+  }
+
+  def hashOfLines(ls: Array[String]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    ls.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Canonical SHA-256 of a DataFrame's values. */
+  def of(df: DataFrame): String = hashOfLines(lines(df))
 }

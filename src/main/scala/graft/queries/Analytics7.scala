@@ -75,10 +75,27 @@ object Analytics7 {
 
   /** Difference-margin criterion (Artetxe & Schwenk's margin scoring,
     * the CCMatrix mining rule in its additive form): cos(x, y) minus
-    * the mean of the two sides' average-kNN cosines.
+    * the mean of the two sides' average-kNN cosines. Engine-identical
+    * text, so a shared val (the Sqrt6OverPi convention).
     */
-  private def marginTxt(d: SqlDialect): String =
-    s"(cos - ((a_s + a_t) / CAST(2 AS DOUBLE)))"
+  private val MarginT: String =
+    "(cos - ((a_s + a_t) / CAST(2 AS DOUBLE)))"
+
+  /** q508's ARI-to-micro text: ONE exact integer division, with the
+    * numerator sign-split (Spark `div` truncates toward zero, DuckDB
+    * `//` floors — they agree only on non-negative operands, and
+    * 2·T·Σij − 2·Σa·Σb goes negative whenever agreement is below
+    * chance). The denominator T·(Σa+Σb) − 2·Σa·Σb = Σa(T−Σb) +
+    * Σb(T−Σa) ≥ 0 always (Σa, Σb ≤ T), so only the numerator splits.
+    */
+  private def ariMicroF(d: SqlDialect): String = {
+    val den = s"(${d.wide("t2")} * (sa + sb) - ${d.wide("2")} * sa * sb)"
+    val num = s"(${d.wide("2")} * t2 * sij - ${d.wide("2")} * sa * sb)"
+    val negNum = s"(${d.wide("2")} * sa * sb - ${d.wide("2")} * t2 * sij)"
+    s"CASE WHEN $den = 0 THEN CAST(1000000 AS BIGINT) " +
+      s"WHEN $num >= 0 THEN CAST(${d.intDiv(s"$num * 1000000", den)} AS BIGINT) " +
+      s"ELSE -CAST(${d.intDiv(s"$negNum * 1000000", den)} AS BIGINT) END"
+  }
 
   /** The q494/q497/q498 mining substrate: the hash-defined 5% query
     * slice against the rest of the corpus, cosine per pair through
@@ -459,7 +476,7 @@ object Analytics7 {
         .orderBy(col("margin").desc, col("tid").asc)
       pairs.join(broadcast(sAvg), Seq("sid"))
         .join(tAvg, Seq("tid"))
-        .withColumn("margin", expr(marginTxt(Sp)))
+        .withColumn("margin", expr(MarginT))
         .withColumn("rb", row_number().over(wBest))
         .filter(col("rb") === 1)
         .select(col("sid"), col("tid").as("best_tid"),
@@ -561,13 +578,7 @@ object Analytics7 {
         .crossJoin(broadcast(sb))
         .withColumn("t2", expr("n * (n - 1) div 2"))
         .selectExpr("n", "n_classes", "n_clusters", "sij", "sa", "sb",
-          s"CASE WHEN ${Sp.wide("t2")} * (sa + sb) - " +
-            s"${Sp.wide("2")} * sa * sb = 0 THEN CAST(1000000 AS BIGINT) " +
-            s"ELSE CAST(${Sp.intDiv(
-              s"(${Sp.wide("2")} * t2 * sij - ${Sp.wide("2")} * sa * sb) " +
-                "* 1000000",
-              s"(${Sp.wide("t2")} * (sa + sb) - ${Sp.wide("2")} * sa * sb)")}" +
-            " AS BIGINT) END AS ari_micro")
+          s"${ariMicroF(Sp)} AS ari_micro")
     },
 
     // Holt–Winters holdout backtest: fit q506's fold on all days up
@@ -937,7 +948,7 @@ object Analytics7 {
          |  FROM tr WHERE rn <= 8 GROUP BY tid),
          |tAvg AS (SELECT tid, ${avgTop8(Du, "e", "kt")} AS a_t FROM ta),
          |scored AS (
-         |  SELECT sid, tid, cos, ${marginTxt(Du)} AS margin
+         |  SELECT sid, tid, cos, ${MarginT} AS margin
          |  FROM pairs JOIN sAvg USING (sid) JOIN tAvg USING (tid)),
          |best AS (
          |  SELECT sid, tid, cos, margin,
@@ -1126,13 +1137,7 @@ object Analytics7 {
          |    AS t2
          |  FROM pred)
          |SELECT n, n_classes, n_clusters, sij, sa, sb,
-         |  CASE WHEN ${Du.wide("t2")} * (sa + sb) -
-         |    ${Du.wide("2")} * sa * sb = 0 THEN CAST(1000000 AS BIGINT)
-         |  ELSE CAST(${Du.intDiv(
-             s"(${Du.wide("2")} * t2 * sij - ${Du.wide("2")} * sa * sb) " +
-               "* 1000000",
-             s"(${Du.wide("t2")} * (sa + sb) - ${Du.wide("2")} * sa * sb)")}
-         |    AS BIGINT) END AS ari_micro
+         |  ${ariMicroF(Du)} AS ari_micro
          |FROM nn, sij, sa, sb""".stripMargin,
 
     "q501_wilcoxon_signed" -> {

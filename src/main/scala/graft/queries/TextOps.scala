@@ -1198,9 +1198,15 @@ object TextOps {
         .select(explode(expr(
           "filter(array(500L, 700L, 900L), t -> jm >= t)")).as("t"),
           col("doc_a"), col("doc_b"))
+      // loud guard on the encoding precondition: a corpus generator
+      // emitting doc_id ≥ 10¹² would silently interconnect layers and
+      // corrupt component counts — fail the run instead.
+      def enc(c: String) =
+        s"CASE WHEN $c >= 1000000000000 THEN CAST(raise_error(" +
+          s"'q502: doc_id >= 10^12 breaks layer encoding') AS BIGINT) " +
+          s"ELSE t * 1000000000000 + $c END"
       val edges = tagged.select(
-        expr("t * 1000000000000 + doc_a").as("a"),
-        expr("t * 1000000000000 + doc_b").as("b"))
+        expr(enc("doc_a")).as("a"), expr(enc("doc_b")).as("b"))
       val cc = graft.operators.ConnectedComponents(edges)
       val layer = cc
         .groupBy(expr("id div 1000000000000").as("threshold_milli"))
