@@ -45,11 +45,16 @@ object Maintenance {
 
   private val TmpDir = "_tmp_maint"
 
-  /** rows per data file, from footers (metadata-only). */
+  /** rows per data file, from footers (metadata-only). Aggregated on
+    * executors; only the file-sized (path, rows) frame is collected —
+    * never the file×row-group×column stats rows (round-9 scale fix).
+    */
   private def fileRows(ds: ParquetDataset): Map[String, Long] =
-    StatsSidecar.collect(ds.spark, ds.path, ds.files)
-      .map(s => (s.file_path, s.row_group) -> s.rg_num_rows)
-      .toMap.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    StatsSidecar.collectDF(ds.spark, ds.path, ds.files)
+      .select("file_path", "row_group", "rg_num_rows").distinct()
+      .groupBy("file_path")
+      .agg(org.apache.spark.sql.functions.sum("rg_num_rows").as("rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   private def partitionOf(rel: String): String = {
     val i = rel.lastIndexOf('/')
@@ -97,23 +102,25 @@ object Maintenance {
   def compactByTimeperiod(ds: ParquetDataset, tsCol: String, intervalMicros: Long,
                           maxRowsPerFile: Long = 10000000L,
                           dryRun: Boolean = false): CompactPlan = {
-    val stats = StatsSidecar.collect(ds.spark, ds.path, ds.files)
-      .filter(_.column == tsCol)
-    if (stats.isEmpty) return CompactPlan(Nil)
+    import org.apache.spark.sql.functions.{coalesce, col, max, min}
     // exact bigint lanes: the double lanes round past 2^53 (nanosecond
-    // timestamps) and a rounded window bound could misassign files
-    def exactMin(s: graft.sources.ColStat) = s.min_int.orElse(s.min_num.map(_.toLong))
-    def exactMax(s: graft.sources.ColStat) = s.max_int.orElse(s.max_num.map(_.toLong))
-    val mins = stats.flatMap(exactMin)
-    val maxs = stats.flatMap(exactMax)
-    if (mins.isEmpty || maxs.isEmpty) return CompactPlan(Nil)
-    val lo = mins.min
-    val hi = maxs.max
+    // timestamps) and a rounded window bound could misassign files.
+    // Per-file bounds are aggregated on executors; the collect below is
+    // file-count-sized (round-9 scale fix — never the full stats rows).
+    val bounds = StatsSidecar.collectDF(ds.spark, ds.path, ds.files)
+      .filter(col("column") === tsCol)
+      .select(col("file_path"),
+        coalesce(col("min_int"), col("min_num").cast("long")).as("mn"),
+        coalesce(col("max_int"), col("max_num").cast("long")).as("mx"))
+      .filter(col("mn").isNotNull && col("mx").isNotNull)
+      .groupBy("file_path").agg(min("mn").as("mn"), max("mx").as("mx"))
+      .collect()
+    if (bounds.isEmpty) return CompactPlan(Nil)
+    val fileRange: Map[String, (Long, Long)] =
+      bounds.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lo = fileRange.values.map(_._1).min
+    val hi = fileRange.values.map(_._2).max
     val rows = fileRows(ds)
-
-    val fileRange: Map[String, (Long, Long)] = stats.groupBy(_.file_path).map {
-      case (f, ss) => f -> (ss.flatMap(exactMin).min, ss.flatMap(exactMax).max)
-    }
     val assigned = scala.collection.mutable.Set[String]()
     val groups = Iterator.iterate(lo)(_ + intervalMicros).takeWhile(_ <= hi).flatMap { start =>
       val end = start + intervalMicros

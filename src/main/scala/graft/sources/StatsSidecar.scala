@@ -56,16 +56,35 @@ object StatsSidecar {
   def sidecarPath(root: String): String =
     FsUtil.stripScheme(root).stripSuffix("/") + "/" + SidecarName
 
-  /** Read footers of `absFiles` and return one ColStat per
-    * file × row-group × leaf column.
+  /** Distributed footer-stats frame: one row per file × row-group ×
+    * leaf column, built on executors and NEVER collected — the
+    * `update()` path writes it straight back out (round-9: at 100 TB,
+    * ~10⁵–10⁶ files × tens of columns, the old Seq-returning collect
+    * was a multi-GB driver materialization on every update; the fix is
+    * to keep the footer RDD distributed end-to-end).
+    */
+  def collectDF(spark: SparkSession, root: String, absFiles: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (absFiles.isEmpty) return spark.emptyDataset[ColStat].toDF()
+    val rootC = FsUtil.stripScheme(root)
+    // one task per ~64 files once the listing outgrows 32 tasks:
+    // footer reads are small metadata I/O, and a task per file at 10⁶
+    // files would be pure scheduler overhead (the old min(files, 32)
+    // cap went the other way — 30k files per task on huge listings)
+    val parts = math.max(1,
+      math.min(absFiles.size, math.max(32, absFiles.size / 64)))
+    spark.createDataset(
+      spark.sparkContext.parallelize(absFiles, parts)
+        .mapPartitions(it => it.flatMap(f => readFooter(rootC, f)))).toDF()
+  }
+
+  /** Driver-side ColStat view — the PLANNING tier (maintenance dry-run
+    * plans, specs). Plans are file-count-bounded by contract; the
+    * update path must use [[collectDF]] instead.
     */
   def collect(spark: SparkSession, root: String, absFiles: Seq[String]): Seq[ColStat] = {
-    if (absFiles.isEmpty) return Nil
-    val rootC = FsUtil.stripScheme(root)
-    val parts = math.max(1, math.min(absFiles.size, 32))
-    spark.sparkContext.parallelize(absFiles, parts)
-      .mapPartitions { it => it.flatMap(f => readFooter(rootC, f)) }
-      .collect().toSeq
+    import spark.implicits._
+    collectDF(spark, root, absFiles).as[ColStat].collect().toSeq
   }
 
   /** Bloom-filter footer offsets for `column`: one entry per row
@@ -175,19 +194,29 @@ object StatsSidecar {
       FsUtil.deleteRecursively(p)
       return spark.emptyDataset[ColStat].toDF()
     }
-    val rel = absFiles.map(f => FsUtil.relativize(root, f)).toSet
-    val existing: Seq[ColStat] = read(spark, root)
-      .map(_.as[ColStat].collect().toSeq.filter(s => rel.contains(s.file_path)))
-      .getOrElse(Nil)
-    val known = existing.map(_.file_path).toSet
-    val fresh = collect(spark, root,
-      absFiles.filterNot(f => known.contains(FsUtil.relativize(root, f))))
-    val all = existing ++ fresh
-    val df = spark.createDataset(all).toDF()
-    // stage + atomic-ish swap so a crash never leaves a torn sidecar
+    // DataFrame end-to-end (round-9, verdict #2): no ColStat row ever
+    // lands on the driver. The only driver-sized values on this path
+    // are file PATHS — which the driver already holds from the listing.
+    val rel = absFiles.map(f => FsUtil.relativize(root, f))
+    val live = rel.toDF("file_path")
+    val existing: DataFrame = read(spark, root)
+      .map(_.join(live, Seq("file_path"), "left_semi"))
+      .getOrElse(spark.emptyDataset[ColStat].toDF())
+    val known = existing.select("file_path").distinct().as[String]
+      .collect().toSet // file-count-sized, not stats-sized
+    val freshFiles =
+      absFiles.filterNot(f => known.contains(FsUtil.relativize(root, f)))
+    val df = existing.unionByName(collectDF(spark, root, freshFiles))
+    // stage + atomic-ish swap so a crash never leaves a torn sidecar;
+    // the staged write reads the OLD sidecar (still in place) for the
+    // retained rows, so the delete below is strictly after the copy.
+    // Sharded for huge listings: ~4k files of stats per output shard
+    // keeps each write task bounded without funneling a 10⁶-file
+    // dataset's stats through one task.
     val tmp = p + ".tmp"
     FsUtil.deleteRecursively(tmp)
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val shards = math.max(1, absFiles.size / 4096)
+    df.coalesce(shards).write.mode("overwrite").parquet(tmp)
     FsUtil.deleteRecursively(p)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(p))
     spark.read.parquet(p)
