@@ -972,7 +972,7 @@ object Analytics {
         |tot AS (SELECT SUM(n_docs) AS n_total FROM counts),
         |base AS (
         |  SELECT source, n_docs,
-        |    10000 * n_docs // n_total AS base,
+        |    CAST(10000 * n_docs // n_total AS BIGINT) AS base,
         |    10000 * n_docs - (10000 * n_docs // n_total) * n_total AS rem
         |  FROM counts CROSS JOIN tot),
         |def AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS deficit FROM base),

@@ -465,7 +465,8 @@ object Analytics6 {
       s"""WITH cust AS (
          |  SELECT o_custkey, SUM($CentsF) AS cents
          |  FROM orders GROUP BY 1),
-         |tot AS (SELECT COUNT(*) AS n, SUM(cents) AS st FROM cust),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS st
+         |  FROM cust),
          |dev AS (
          |  SELECT n, st,
          |    SUM(abs(${Du.wide("n")} * cents - ${Du.wide("st")})) AS sad

@@ -855,24 +855,26 @@ object Analytics7 {
          |n AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_total FROM steps),
          |risk AS (
          |  SELECT obs, d,
-         |    n_total - SUM(c_all) OVER (ORDER BY obs
+         |    CAST(n_total - SUM(c_all) OVER (ORDER BY obs
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c_all
-         |      AS n_risk
+         |      AS BIGINT) AS n_risk
          |  FROM steps, n),
          |es AS (
          |  SELECT obs, d, n_risk,
-         |    ${Du.intDiv("(n_risk - d) * 1000000", "n_risk")} AS step_micro
+         |    CAST(${Du.intDiv("(n_risk - d) * 1000000", "n_risk")} AS BIGINT)
+         |      AS step_micro
          |  FROM risk WHERE d > 0),
          |arr AS (
          |  SELECT list((obs + 1000000) * 10000000 + step_micro ORDER BY obs)
          |    AS a
          |  FROM es)
          |SELECT obs AS t_days, d, n_risk, step_micro,
-         |  ${Du.fold(
+         |  CAST(${Du.fold(
              Du.filterL("a", "v",
                s"${Du.intDiv("v", "10000000")} - 1000000 <= obs"),
              "CAST(1000000 AS BIGINT)", "acc", "v",
-             Du.intDiv("(acc * (v % 10000000))", "1000000"))} AS surv_micro
+             Du.intDiv("(acc * (v % 10000000))", "1000000"))} AS BIGINT)
+         |    AS surv_micro
          |FROM es, arr ORDER BY t_days""".stripMargin,
 
     "q492_sprt" ->

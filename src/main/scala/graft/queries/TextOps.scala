@@ -2934,10 +2934,10 @@ object TextOps {
          |  CAST(SUM(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS BIGINT)
          |    AS tok_kept,
          |  CASE WHEN SUM(nt) = 0 THEN NULL ELSE
-         |    ${D.intDiv("(SUM(nt) - SUM(CASE WHEN kept = 1 THEN nt ELSE 0 END)) * 1000",
-                "SUM(nt)")} END AS inflation_permille,
+         |    CAST(${D.intDiv("(SUM(nt) - SUM(CASE WHEN kept = 1 THEN nt ELSE 0 END)) * 1000",
+                "SUM(nt)")} AS BIGINT) END AS inflation_permille,
          |  CASE WHEN SUM(kept) = 0 THEN NULL ELSE
-         |    ${D.intDiv("COUNT(*) * 1000", "SUM(kept)")} END
+         |    CAST(${D.intDiv("COUNT(*) * 1000", "SUM(kept)")} AS BIGINT) END
          |    AS dup_ratio_milli
          |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
 

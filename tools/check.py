@@ -75,9 +75,23 @@ def main():
         try:
             exp_rel = con.sql(sql)
             exp_cols = [c.lower() for c in exp_rel.columns]
+            exp_types = [str(t) for t in exp_rel.types]
             exp_rows = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        # Round-9 root-cause gate: DuckDB widens BIGINT aggregates to
+        # HUGEINT (int128). fetchall() masks it (python ints compare
+        # equal), but a comparator materializing through pandas/arrow
+        # renders HUGEINT differently than the parquet BIGINT — the
+        # r6-r8 driver hash-only red cells were EXACTLY the queries
+        # whose oracle had a HUGEINT column. Fail loudly here instead.
+        huge = [c for c, t in zip(exp_cols, exp_types)
+                if "HUGEINT" in t.upper()]
+        if huge:
+            print(f"FAIL {name}: oracle column(s) {huge} are HUGEINT - "
+                  "add CAST(... AS BIGINT) in the oracle SQL")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
