@@ -17,6 +17,23 @@ final case class MergeResult(
     insertedFiles: Seq[String],
     preservedFiles: Seq[String])
 
+/** Mid-swap merge failure — the reference's PartialMergeError contract
+  * (pydala/io.py:41-64; failure-preserves-metadata pinning
+  * tests/test_dataset_merge.py:705-757): partial results are preserved
+  * on disk, managed metadata is NOT refreshed, originals are untouched
+  * (the swap promotes strictly before deleting), and the payload
+  * carries recovery details — which rewrite files landed in the
+  * dataset and which remain staged under `_tmp_merge`.
+  */
+final class PartialMergeError(
+    val affectedFiles: Seq[String],
+    val promoted: Seq[String],
+    val remaining: Seq[String],
+    cause: Throwable)
+  extends RuntimeException(
+    s"merge swap failed after ${promoted.size} rewrite file(s) landed; " +
+      s"${remaining.size} still staged; originals untouched", cause)
+
 /** Keyed merge (insert / update / upsert) with copy-on-write file
   * rewrites — reference pydala/dataset.py:1549-1777 and the contract
   * pinned by tests/test_dataset_merge.py:
@@ -207,8 +224,21 @@ object Merge {
       updated = matchedSrc.count()
       val newData = SchemaOps.align(keep, ds.df.schema)
         .unionByName(SchemaOps.align(matchedSrc, ds.df.schema))
-      WritePipeline.write(newData, path,
+      // Staged copy-on-write swap (round-9): the rewrite lands in a
+      // `_`-prefixed staging dir (invisible to listings and scans),
+      // then promotes file-by-file through the SAME rename-degraded /
+      // chaos-hooked path as compaction, and ONLY then are the
+      // originals deleted — so a mid-swap failure can duplicate
+      // visibility of rewritten rows but never lose or tear a row,
+      // and managed metadata is never refreshed on failure.
+      val tmp = s"$path/_tmp_merge"
+      FsUtil.deleteRecursively(tmp)
+      WritePipeline.write(newData, tmp,
         WriteConfig(mode = "append", partitionBy = partCols))
+      try FsUtil.promote(tmp, path)
+      catch { case e: FsUtil.PromoteFailedException =>
+        throw new PartialMergeError(affectedRel, e.promoted, e.remaining, e)
+      }
       FsUtil.delete(path, affectedAbs.toIndexedSeq)
       // invalidate the cached listing: the files just deleted must not
       // be served to the insert-remainder read below

@@ -92,6 +92,63 @@ class ObjectStoreContractSpec extends SparkSpecBase {
     assert(visible.size >= 6, "originals must survive a mid-swap failure")
   }
 
+  test("degraded-rename merge upsert completes and is value-identical " +
+    "to the atomic path") {
+    val dir = tmpDir("osc_mrg")
+    (1 to 10).map(i => (i.toLong, s"old$i")).toDF("k", "v")
+      .repartition(4).write.mode("append").parquet(dir)
+    val ds = new ParquetDataset(spark, dir)
+    val src = Seq((3L, "new3"), (7L, "new7"), (11L, "new11")).toDF("k", "v")
+    val res = degraded { operators.Merge(ds, src, Seq("k"), "upsert") }
+    assert(res.updated == 2 && res.inserted == 1)
+    val got = ds.df.as[(Long, String)].collect().toMap
+    assert(got(3L) == "new3" && got(7L) == "new7" && got(11L) == "new11")
+    assert(got(1L) == "old1" && got.size == 11)
+  }
+
+  test("mid-swap merge failure preserves originals, raises " +
+    "PartialMergeError with recovery details, and never refreshes metadata") {
+    val dir = tmpDir("osc_mrgfail")
+    // one row per file so the upsert's rewrite stages MULTIPLE output
+    // files (every file matches a source key) and the chaos hook can
+    // land between the per-file moves
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"old$i")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val ds = new ParquetDataset(spark, dir)
+    ds.updateStats()
+    val sidecarBefore = ds.stats.get.orderBy("file_path", "row_group", "column")
+      .collect().toSeq
+    val originals = FsUtil.listParquet(dir)
+    val src = (1 to 4).map(i => (i.toLong, s"new$i")).toDF("k", "v")
+      .repartition(4)
+    val ex = intercept[operators.PartialMergeError] {
+      degraded { failingAfter(1) {
+        operators.Merge(ds, src, Seq("k"), "upsert")
+      } }
+    }
+    // recovery details: what landed, what's still staged, which
+    // originals were affected
+    assert(ex.promoted.size == 1, ex.getMessage)
+    assert(ex.remaining.nonEmpty, ex.getMessage)
+    assert(ex.affectedFiles.size == 4)
+    ex.remaining.foreach(f => assert(FsUtil.exists(f), s"staged file gone: $f"))
+    // originals untouched — promote runs strictly before any delete
+    originals.foreach(f => assert(FsUtil.exists(f), s"original deleted: $f"))
+    // no row loss: every key still visible with its ORIGINAL value
+    // (the one landed rewrite file may add duplicate-key visibility —
+    // the documented best-effort window — but never replaces/loses)
+    spark.catalog.refreshByPath(dir)
+    val vis = ds.df.as[(Long, String)].collect().toSeq
+    (1 to 4).foreach(i => assert(vis.contains((i.toLong, s"old$i")),
+      s"original row $i lost; visible=$vis"))
+    // failure preserves managed metadata: the sidecar was NOT refreshed
+    val sidecarAfter = ds.stats.get.orderBy("file_path", "row_group", "column")
+      .collect().toSeq
+    assert(sidecarAfter == sidecarBefore, "sidecar refreshed despite failed swap")
+  }
+
   test("atomic-mode promote is unaffected by the chaos hook being absent") {
     // guard against the degraded branch leaking into the default path:
     // byte-identical behavior to round-7 promote (move, originals gone)
