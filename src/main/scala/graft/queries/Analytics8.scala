@@ -1,0 +1,777 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.SqlDialect
+import graft.sources.{ParquetDataset, StatsSidecar, WriteConfig, WritePipeline}
+
+/** Round-9 inventory. Same determinism contract as
+  * [[Analytics]]–[[Analytics7]]: integer lanes end-to-end wherever the
+  * math allows; floats only through ONE fixed-op-order text shared by
+  * both engines; every oracle aggregate/div lane CAST to BIGINT (the
+  * round-9 HUGEINT rule — DuckDB widens SUM(BIGINT) and
+  * HUGEINT-tainted `//` to int128, which the driver comparator
+  * renders differently than parquet BIGINT); negative numerators
+  * sign-split before integer division.
+  *
+  * Reference behavior: pydala2 exposes none of these — they extend
+  * the training-data-pipeline stack (SURVEY.md "beyond the
+  * reference"): compression-proxy quality filtering, embedding-
+  * truncation ablation, intermittent-demand forecasting, robust
+  * effect sizes, blocking evaluation for record linkage, robust
+  * two-way decomposition, sequential pattern mining, quantile
+  * forecast scoring, multi-rater agreement, and the distributed
+  * stats-sidecar gate.
+  */
+object Analytics8 {
+
+  private val Sp = graft.functions.PortableSql.Spark
+  private val Du = graft.functions.PortableSql.Duck
+
+  private val CentsF =
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Sign-split exact integer division to a scaled lane (Spark `div`
+    * truncates, DuckDB `//` floors; they agree only on non-negative
+    * operands). Both operands may be wide; the result is CAST BIGINT.
+    */
+  private def signedDiv(d: SqlDialect, num: String, den: String): String =
+    s"CASE WHEN ($num) >= 0 THEN CAST(${d.intDiv(s"($num)", den)} AS BIGINT) " +
+      s"ELSE -CAST(${d.intDiv(s"(-($num))", den)} AS BIGINT) END"
+
+  // ---- q512: LZ78 compression-proxy quality filter ------------------
+
+  /** LZ78 phrase count over the ≤24-token prefix: the dictionary-
+    * growth factor count — a compression-ratio proxy (repetitive/
+    * templated text compresses into few phrases; the Gopher-class
+    * "compressibility" quality rule) with NO float anywhere. Fold
+    * state is one array<string>: element 1 = current phrase, rest =
+    * dictionary, so both engines run the identical op sequence (the
+    * hwFold array-state convention: DuckDB's list_reduce has no
+    * separate-init form, so elements wrap to 1-element lists there).
+    */
+  private def lz78Fold(d: SqlDialect, toksArr: String): String = {
+    def at1 = if (d.spark) "element_at(acc, 1)" else "acc[1]"
+    val t = if (d.spark) "tw" else "tw[1]"
+    val cand = s"(CASE WHEN $at1 = '' THEN $t ELSE concat($at1, ' ', $t) END)"
+    val dict = if (d.spark) "slice(acc, 2, size(acc))"
+      else "acc[2:len(acc)]"
+    def contains(l: String, x: String) =
+      if (d.spark) s"array_contains($l, $x)" else s"list_contains($l, $x)"
+    def cat(a: String, b: String) =
+      if (d.spark) s"concat($a, $b)" else s"list_concat($a, $b)"
+    def arr1(x: String) = if (d.spark) s"array($x)" else s"[$x]"
+    val init = if (d.spark) "array('')" else "['']"
+    val elems = if (d.spark) toksArr
+      else s"list_transform($toksArr, w -> [w])"
+    val body = s"CASE WHEN ${contains(dict, cand)} " +
+      s"THEN ${cat(arr1(cand), dict)} " +
+      s"ELSE ${cat(cat(arr1("''"), dict), arr1(cand))} END"
+    d.fold(elems, init, "acc", "tw", body)
+  }
+
+  /** q514's Croston fold over DAY-ENCODED demand events (one BIGINT
+    * per event: day·10⁵ + size, size < 10⁵ by construction, so
+    * ascending sort = day order and both engines fold over plain
+    * BIGINT arrays — struct elements can't type-unify with the BIGINT
+    * state list on the DuckDB side). State:
+    * [size_hat_milli, interval_hat_milli, prev_day, n_seen].
+    */
+  private def crostonFold(d: SqlDialect, arr: String): String = {
+    def at(i: Int) = if (d.spark) s"element_at(acc, $i)" else s"acc[$i]"
+    val raw = if (d.spark) "v" else "v[1]"
+    val vd = s"($raw div 100000)"
+    val vdD = s"($raw // 100000)"
+    val day = if (d.spark) vd else vdD
+    val vz = s"($raw % 100000)"
+    def a(els: Seq[String]) =
+      if (d.spark) els.mkString("array(", ", ", ")")
+      else els.mkString("[", ", ", "]")
+    val init = if (d.spark)
+      "array(" + Seq.fill(4)("cast(0 as bigint)").mkString(", ") + ")"
+      else "[" + Seq.fill(4)("0").mkString(", ") + "]::BIGINT[]"
+    val elems = if (d.spark) arr else s"list_transform($arr, w -> [w])"
+    val first = a(Seq(s"$vz * 1000", "CAST(0 AS BIGINT)", day,
+      "CAST(1 AS BIGINT)"))
+    val second = a(Seq(
+      d.intDiv(s"(9 * ${at(1)} + $vz * 1000)", "10"),
+      s"($day - ${at(3)}) * 1000", day, "CAST(2 AS BIGINT)"))
+    val later = a(Seq(
+      d.intDiv(s"(9 * ${at(1)} + $vz * 1000)", "10"),
+      d.intDiv(s"(9 * ${at(2)} + ($day - ${at(3)}) * 1000)", "10"),
+      day, s"${at(4)} + 1"))
+    d.fold(elems, init, "acc", "v",
+      s"CASE WHEN ${at(4)} = 0 THEN $first " +
+        s"WHEN ${at(4)} = 1 THEN $second ELSE $later END")
+  }
+
+  // ---- q518: gapped sequential patterns ------------------------------
+
+  // ---- queries -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LZ78 factor count per doc (≤24-token prefix), rolled up per
+    // source: mean factors-per-token in milli. Low ratios = template/
+    // loop spam the exact-dup gates miss (the compressibility quality
+    // rule). Doc-parallel lambda work, O(24·|dict|) per doc; the
+    // rollup is one map-side-combined aggregate.
+    "q512_lz_factors" -> { (s, dir) =>
+      val pre = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 4"))
+        .select(col("doc_id"), col("source"),
+          expr("slice(toks, 1, 24)").as("tp"))
+        .withColumn("n_toks", expr("CAST(size(tp) AS BIGINT)"))
+        .withColumn("st", expr(lz78Fold(Sp, "tp")))
+        .withColumn("factors", expr(
+          "CAST(size(st) - 1 + CASE WHEN element_at(st, 1) = '' " +
+            "THEN 0 ELSE 1 END AS BIGINT)"))
+      pre.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("factors").as("sum_factors"),
+          sum("n_toks").as("sum_toks"))
+        .withColumn("ratio_milli", expr("sum_factors * 1000 div sum_toks"))
+        .orderBy("source")
+    },
+
+    // Matryoshka-truncation ablation: recall@10 of cosine KNN using
+    // only the first 16 / 32 of 64 embedding dims vs the full-dim
+    // ranking — the dimension-budget curve read before shipping
+    // truncated embeddings. ONE pair pass computes all three cosines
+    // (the slice dots reuse the pair frame); ranks are per-query
+    // windows (bounded: |queries| × corpus). Ordering floats come
+    // from the shared sequential-fold texts, ties break on neighbor
+    // id, and every output lane is an exact integer.
+    "q513_matryoshka_recall" -> { (s, dir) =>
+      // norms hoisted per VECTOR per dim (6 sqrt-folds per vector, not
+      // per pair — the embPairs convention); the per-pair work is the
+      // three dot folds alone. Op sequence per cosine is unchanged vs
+      // SqlDialect.cosine — dot, two sqrts, multiply, divide — so the
+      // doubles are bit-identical to the inline form on both engines.
+      def withNorms(df: DataFrame, pfx: String) =
+        Seq(16, 32, 64).foldLeft(df) { (d, k) =>
+          val a = if (k == 64) s"${pfx}e" else s"slice(${pfx}e, 1, $k)"
+          d.withColumn(s"${pfx}n$k", expr(s"sqrt(${Sp.norm2(a)})"))
+        }
+      val e = Tables.embeddings(s, dir)
+      val q = withNorms(e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")), "q")
+      val c = withNorms(e.filter(col("vec_id") % 25 =!= 0)
+        .select(col("vec_id").as("nb"), col("embedding").as("ce")), "c")
+      def cosK(k: Int): String = {
+        val a = if (k == 64) "qe" else s"slice(qe, 1, $k)"
+        val b = if (k == 64) "ce" else s"slice(ce, 1, $k)"
+        s"(${Sp.dot(a, b)}) / (qn$k * cn$k)"
+      }
+      val pairs = q.join(c, lit(true))
+        .select(col("qid"), col("nb"),
+          expr(cosK(16)).as("c16"), expr(cosK(32)).as("c32"),
+          expr(cosK(64)).as("c64"))
+      def top10(c: String) = {
+        val w = Window.partitionBy("qid").orderBy(col(c).desc, col("nb").asc)
+        pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .select("qid", "nb")
+      }
+      val full = top10("c64")
+      def hits(c: String, name: String) =
+        top10(c).join(full, Seq("qid", "nb"))
+          .groupBy("qid").agg(count(lit(1)).as(name))
+      full.select("qid").distinct()
+        .join(hits("c16", "h16"), Seq("qid"), "left")
+        .join(hits("c32", "h32"), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("h16"), lit(0L)).as("n_hit16"),
+          coalesce(col("h32"), lit(0L)).as("n_hit32"),
+          expr("coalesce(h16, 0) * 100 div 10").as("recall16_pct"),
+          expr("coalesce(h32, 0) * 100 div 10").as("recall32_pct"))
+        .orderBy("qid")
+    },
+
+    // Croston's method for intermittent demand: per sampled part, SES
+    // (α = 1/10, floor-milli integer updates) over nonzero daily
+    // demand SIZES and over inter-demand INTERVALS, forecast rate =
+    // size_hat / interval_hat in micro units/day. The operator sparse
+    // series need (classic point forecasting treats the zeros as
+    // signal and collapses). Every lane integer; the fold runs over a
+    // part-bounded day array.
+    "q514_croston" -> { (s, dir) =>
+      val dem = Tables.lineitem(s, dir)
+        .filter(expr("l_partkey % 97 = 7"))
+        .groupBy(col("l_partkey").as("part"),
+          expr("CAST(l_shipdate AS DATE)").as("day"))
+        .agg(expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("z"))
+        .withColumn("d", expr("datediff(day, DATE '1992-01-01')").cast("long"))
+      dem.groupBy("part")
+        .agg(count(lit(1)).as("m"),
+          expr("sort_array(collect_list(d * 100000 + z))").as("ev"))
+        .filter(col("m") >= 2)
+        .withColumn("st", expr(crostonFold(Sp, "ev")))
+        .select(col("part"), col("m"),
+          expr("element_at(st, 1)").as("size_hat_milli"),
+          expr("element_at(st, 2)").as("interval_hat_milli"),
+          expr("CASE WHEN element_at(st, 2) = 0 THEN NULL ELSE " +
+            "CAST(element_at(st, 1) * 1000 div element_at(st, 2) " +
+            "AS BIGINT) END").as("rate_micro"))
+        .orderBy("part")
+    },
+
+    // Cliff's delta between the click and purchase value
+    // distributions — the robust ordinal effect size next to q296's
+    // Mann–Whitney U test (U answers "is there a shift"; δ answers
+    // "how big"). gt/lt pair counts via the distributed cumulative
+    // over the quantized value spine (GlobalOrder — never a
+    // single-partition window), one sign-split exact division to
+    // micro.
+    "q515_cliffs_delta" -> { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
+        .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("v"),
+          expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END").as("isa"))
+      val perV = v.groupBy("v")
+        .agg(sum(col("isa")).cast("long").as("na_v"),
+          sum(expr("1 - isa")).cast("long").as("nb_v"))
+      val cum = graft.plans.GlobalOrder.withRunningSum(
+        perV, Seq(col("v")), col("v"), col("nb_v"), "cumb")
+      val agg = cum.agg(
+        sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
+        sum(expr("na_v * (cumb - nb_v)")).as("gt"),
+        sum(expr("na_v * nb_v")).as("eq")).withColumn("lt",
+        expr("n_a * n_b - gt - eq"))
+      agg.select(col("n_a"), col("n_b"), col("gt"), col("lt"), col("eq"),
+        expr(signedDiv(Sp, s"(${Sp.wide("gt")} - ${Sp.wide("lt")}) * 1000000",
+          s"(${Sp.wide("n_a")} * n_b)")).as("delta_micro"))
+    },
+
+    // Blocking-quality evaluation for dedup/record linkage: reduction
+    // ratio (how much of the N² comparison space the blocking key
+    // removes) and pairs completeness (what share of TRUE duplicate
+    // pairs stay co-blocked) — the two numbers read before trusting
+    // any blocked matcher, permille-exact. Ground truth = identical
+    // normalized text; two schemes scored side by side. All lanes
+    // integer (wide where C(n,2) sums could exceed BIGINT at corpus
+    // scale).
+    "q516_blocking_quality" -> { (s, dir) =>
+      import s.implicits._
+      val base = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 2"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr(Sp.hash64(s"${Sp.strJoin("toks", " ")}")).as("th"),
+          expr("concat(element_at(toks, 1), ' ', element_at(toks, 2))")
+            .as("pfx"))
+      def c2(c: String) = s"CAST(SUM($c * ($c - 1) div 2) AS BIGINT)"
+      val n = base.agg(count(lit(1)).as("n_docs"))
+      val truePairs = base.groupBy("th").agg(count(lit(1)).as("c"))
+        .agg(expr(c2("c")).as("true_pairs"))
+      def scheme(name: String, key: org.apache.spark.sql.Column) = {
+        val cand = base.withColumn("blk", key)
+          .groupBy("blk").agg(count(lit(1)).as("c"))
+          .agg(expr(c2("c")).as("cand_pairs"))
+        val cob = base.withColumn("blk", key)
+          .groupBy("th", "blk").agg(count(lit(1)).as("c"))
+          .agg(expr(c2("c")).as("coblocked"))
+        cand.crossJoin(broadcast(cob)).withColumn("scheme", lit(name))
+      }
+      val a = scheme("source_prefix2", expr("concat(source, '|', pfx)"))
+      val b = scheme("source_lenbucket",
+        expr("concat(source, '|', CAST(n_chars div 64 AS STRING))"))
+      a.unionByName(b)
+        .crossJoin(broadcast(n)).crossJoin(broadcast(truePairs))
+        .select(col("scheme"), col("n_docs"), col("true_pairs"),
+          col("cand_pairs"), col("coblocked"),
+          expr("1000 - CAST(" + Sp.intDiv(
+            s"${Sp.wide("cand_pairs")} * 1000",
+            s"(${Sp.wide("n_docs")} * (n_docs - 1) div 2)") +
+            " AS BIGINT)").as("rr_permille"),
+          expr("CASE WHEN true_pairs = 0 THEN NULL ELSE " +
+            "CAST(coblocked * 1000 div true_pairs AS BIGINT) END")
+            .as("pc_permille"))
+        .orderBy("scheme")
+    },
+
+    // One-sweep Tukey median polish of the weekday × month order-count
+    // matrix: row (weekday) effects from row medians, column (month)
+    // effects from residual-column medians, overall = median of row
+    // effects — the robust two-way decomposition (means-based q378
+    // breaks under a single outlier month). The matrix is 7×12 =
+    // calendar-bounded; medians are exact LOWER order statistics
+    // ((n+1) div 2-th smallest — integer, no interpolation).
+    "q517_median_polish" -> { (s, d) =>
+      // ISO weekday (Mon=1..Sun=7): Spark's dayofweek is Sun=1 while
+      // DuckDB's dayofweek is Sun=0 — weekday()+1 / isodow() is the
+      // one convention both engines express exactly
+      val cells = Tables.orders(s, d)
+        .groupBy(expr("weekday(o_orderdate) + 1").cast("long").as("dw"),
+          expr("month(o_orderdate)").cast("long").as("mo"))
+        .agg(count(lit(1)).as("x"))
+      def lowerMedian(df: DataFrame, part: String, v: String, as: String) = {
+        val w = Window.partitionBy(part).orderBy(col(v).asc)
+        df.withColumn("__rk", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(part)))
+          .filter(expr("__rk = (__n + 1) div 2"))
+          .select(col(part), col(v).as(as))
+      }
+      val rowMed = lowerMedian(cells, "dw", "x", "row_eff")
+      val res1 = cells.join(rowMed, "dw")
+        .withColumn("r", expr("x - row_eff"))
+      val colMed = lowerMedian(res1, "mo", "r", "col_eff")
+      val overall = lowerMedian(
+        rowMed.withColumn("__one", lit(1)), "__one", "row_eff", "med")
+        .select(col("med"))
+      val rows = rowMed.crossJoin(broadcast(overall))
+        .select(lit("weekday").as("dim"), col("dw").as("key"),
+          expr("row_eff - med").as("effect"))
+      val cols = colMed
+        .select(lit("month").as("dim"), col("mo").as("key"),
+          col("col_eff").as("effect"))
+      val tot = overall.select(lit("overall").as("dim"),
+        lit(0L).as("key"), col("med").as("effect"))
+      rows.unionByName(cols).unionByName(tot).orderBy("dim", "key")
+    },
+
+    // Gapped sequential-pattern support over per-user event-type
+    // sequences: pair (a, b) is supported by a user iff some a-event
+    // precedes some b-event (ANY gap — q225's consecutive trigrams
+    // can't see long-range orderings). The whole pattern check
+    // reduces to first(a) < last(b) per user over the (ts, event_id)
+    // order, so the heavy pass is ONE aggregate over events; the
+    // pair rollup is |types|²-bounded.
+    "q518_seq_patterns" -> { (s, d) =>
+      val pos = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) * 100 + event_id % 100").as("p"))
+      val spans = pos.groupBy("user_id", "event_type")
+        .agg(min("p").as("first_p"), max("p").as("last_p"))
+      val nUsers = spans.select("user_id").distinct().count()
+      val a = spans.select(col("user_id"), col("event_type").as("ta"),
+        col("first_p"))
+      val b = spans.select(col("user_id"), col("event_type").as("tb"),
+        col("last_p"))
+      a.join(b, Seq("user_id"))
+        .filter(col("first_p") < col("last_p"))
+        .groupBy("ta", "tb").agg(countDistinct("user_id").as("support"))
+        .withColumn("n_users", lit(nUsers))
+        .withColumn("support_permille", expr("support * 1000 div n_users"))
+        .orderBy("ta", "tb")
+    },
+
+    // Pinball (quantile) loss of a per-weekday empirical-quantile
+    // forecaster on the 28-day holdout — the PROPER score for
+    // quantile forecasts (q511's MASE scores the point lane; a p90
+    // lane needs pinball or it can cheat by over-forecasting).
+    // Forecast q_p(weekday) = exact lower order statistic of that
+    // weekday's training counts; loss in exact centi-units:
+    // 100·L = max(p·(y−ŷ), (p−100)·(y−ŷ)) with p ∈ {10, 50, 90}.
+    "q519_pinball_loss" -> { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val cut = days.agg(expr("date_add(max(day), -28)").as("cutoff"))
+      val marked = days.crossJoin(broadcast(cut))
+        .withColumn("dw", expr("dayofweek(day)").cast("long"))
+      val train = marked.filter(col("day") <= col("cutoff"))
+      val test = marked.filter(col("day") > col("cutoff"))
+      val w = Window.partitionBy("dw").orderBy(col("x").asc, col("day").asc)
+      val ranked = train.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("dw")))
+      val qs = Seq(10, 50, 90).map { p =>
+        ranked.filter(expr(s"rk = greatest(1, ($p * n + 99) div 100)"))
+          .select(col("dw"), lit(p.toLong).as("p"), col("x").as("fc"))
+      }.reduce(_.unionByName(_))
+      test.join(qs, Seq("dw"))
+        .withColumn("err", expr("x - fc"))
+        .withColumn("loss_centi",
+          expr("greatest(p * err, (p - 100) * err)"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_days"),
+          sum("loss_centi").as("total_loss_centi"),
+          expr("CAST(SUM(loss_centi) * 10 div COUNT(*) AS BIGINT)")
+            .as("mean_loss_milli"))
+        .orderBy("p")
+    },
+
+    // Fleiss' kappa across three deterministic quality raters (high
+    // repetition, short mean token, digit-heavy) on every doc — the
+    // multi-rater agreement statistic behind any labeling-pipeline
+    // audit (pairwise kappas like q237 can't see three-way chance
+    // agreement). P̄ and P_e in exact micro; κ sign-split (below-
+    // chance agreement is negative by design).
+    "q520_fleiss_kappa" -> { (s, dir) =>
+      val toks = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 1"))
+      val rated = toks.select(col("doc_id"),
+        // rater 1: adjacent-duplicate token ratio > 1/8
+        expr("CASE WHEN size(filter(sequence(1, size(toks) - 1), " +
+          "i -> element_at(toks, i) = element_at(toks, i + 1))) * 8 " +
+          "> size(toks) THEN 1 ELSE 0 END").as("r1"),
+        // rater 2: mean token length < 4 (sum len < 4n); fold over the
+        // pre-transformed length array — DuckDB's init-as-first-element
+        // fold needs scalar-type-matched elements
+        expr("CASE WHEN aggregate(transform(toks, t -> CAST(length(t) " +
+          "AS BIGINT)), 0L, (a, t) -> a + t) " +
+          "< 4 * size(toks) THEN 1 ELSE 0 END").as("r2"),
+        // rater 3: digit chars > 1/8 of text length
+        expr("CASE WHEN length(regexp_replace(text, '[^0-9]', '')) * 8 " +
+          "> length(text) THEN 1 ELSE 0 END").as("r3"))
+      val perDoc = rated.withColumn("k", expr("r1 + r2 + r3"))
+        // Σ_j n_ij(n_ij−1) with n=3 raters, 2 cats: k spam votes,
+        // (3−k) clean votes
+        .withColumn("agree2", expr("k * (k - 1) + (3 - k) * (2 - k)"))
+      val agg = perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum("k").as("sum_k"),
+        sum("agree2").as("sum_agree2"))
+      agg.select(col("n_docs"), col("sum_k"),
+        expr("CAST(sum_agree2 * 1000000 div (n_docs * 6) AS BIGINT)")
+          .as("p_bar_micro"),
+        expr(s"CAST(${Sp.intDiv(
+          s"(${Sp.wide("sum_k")} * sum_k + " +
+            s"${Sp.wide("(3 * n_docs - sum_k)")} * (3 * n_docs - sum_k)) " +
+            "* 1000000",
+          s"(${Sp.wide("9")} * n_docs * n_docs)")} AS BIGINT)")
+          .as("p_e_micro"))
+        .withColumn("kappa_micro", expr(signedDiv(Sp,
+          s"(${Sp.wide("p_bar_micro")} - ${Sp.wide("p_e_micro")}) * 1000000",
+          s"(${Sp.wide("1000000")} - p_e_micro)")))
+    },
+
+    // Distributed stats-sidecar gate (the round-9 StatsSidecar.update
+    // rewrite): write orders hive-partitioned by status in one task
+    // (file count per partition = ceil(rows / 4096), deterministic),
+    // refresh the sidecar through the DataFrame-end-to-end path, and
+    // read the per-partition file counts, row totals, and EXACT
+    // integer key bounds back FROM THE SIDECAR — the oracle derives
+    // every number from the source table, so a sidecar that loses a
+    // file, a row group, or an int-lane bound hash-mismatches.
+    "q521_sidecar_stats" -> { (s, d) =>
+      val dir = Lifecycle.tmpDir("q521")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(1)
+      WritePipeline.write(src, dir, WriteConfig(
+        partitionBy = Seq("o_orderstatus"), maxRowsPerFile = 4096))
+      val ds = new ParquetDataset(s, dir)
+      val sc = ds.updateStats()
+      sc.filter(col("column") === "o_orderkey")
+        .withColumn("status",
+          expr("substring_index(split(file_path, '=')[1], '/', 1)"))
+        .groupBy("status")
+        .agg(countDistinct("file_path").as("n_files"),
+          sum("rg_num_rows").as("n_rows_rg_dup"),
+          min("min_int").as("min_key"),
+          max("max_int").as("max_key"),
+          sum("null_count").as("nulls"))
+        // rg_num_rows repeats per column row — but this frame is
+        // already filtered to ONE column, so the (file, rg) grain sum
+        // is exact
+        .select(col("status"), col("n_files"),
+          col("n_rows_rg_dup").as("n_rows"),
+          col("min_key"), col("max_key"), col("nulls"))
+        .orderBy("status")
+    })
+
+  // ---- oracles -------------------------------------------------------
+
+  private val DuckToksBase =
+    s"WITH base AS (SELECT doc_id, source, n_chars, text, " +
+      s"${Du.tokens("text")} AS toks FROM documents)"
+
+  val oracles: Map[String, String] = Map(
+
+    "q512_lz_factors" ->
+      s"""$DuckToksBase,
+         |pre AS (
+         |  SELECT doc_id, source, toks[1:24] AS tp
+         |  FROM base WHERE ${Du.size("toks")} >= 4),
+         |st AS (
+         |  SELECT doc_id, source,
+         |    CAST(${Du.size("tp")} AS BIGINT) AS n_toks,
+         |    ${lz78Fold(Du, "tp")} AS stt
+         |  FROM pre),
+         |f AS (
+         |  SELECT source, n_toks,
+         |    CAST(${Du.size("stt")} - 1 +
+         |      CASE WHEN stt[1] = '' THEN 0 ELSE 1 END AS BIGINT) AS factors
+         |  FROM st)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(factors) AS BIGINT) AS sum_factors,
+         |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+         |  CAST(CAST(SUM(factors) AS BIGINT) * 1000 //
+         |    CAST(SUM(n_toks) AS BIGINT) AS BIGINT) AS ratio_milli
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q513_matryoshka_recall" -> {
+      def norms(pfx: String) = Seq(16, 32, 64).map { k =>
+        val a = if (k == 64) s"${pfx}e" else s"${pfx}e[1:$k]"
+        s"sqrt(${Du.norm2(a)}) AS ${pfx}n$k"
+      }.mkString(", ")
+      def cosK(k: Int): String = {
+        val a = if (k == 64) "qe" else s"qe[1:$k]"
+        val b = if (k == 64) "ce" else s"ce[1:$k]"
+        s"(${Du.dot(a, b)}) / (qn$k * cn$k)"
+      }
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, qe, ${norms("q")}
+         |  FROM (SELECT vec_id, embedding AS qe FROM embeddings
+         |        WHERE vec_id % 25 = 0) z),
+         |c AS (
+         |  SELECT vec_id AS nb, ce, ${norms("c")}
+         |  FROM (SELECT vec_id, embedding AS ce FROM embeddings
+         |        WHERE vec_id % 25 <> 0) z),
+         |pairs AS (
+         |  SELECT qid, nb,
+         |    ${cosK(16)} AS c16, ${cosK(32)} AS c32, ${cosK(64)} AS c64
+         |  FROM q, c),
+         |t16 AS (SELECT qid, nb FROM (SELECT qid, nb, ROW_NUMBER() OVER (
+         |  PARTITION BY qid ORDER BY c16 DESC, nb) AS rk FROM pairs) z
+         |  WHERE rk <= 10),
+         |t32 AS (SELECT qid, nb FROM (SELECT qid, nb, ROW_NUMBER() OVER (
+         |  PARTITION BY qid ORDER BY c32 DESC, nb) AS rk FROM pairs) z
+         |  WHERE rk <= 10),
+         |t64 AS (SELECT qid, nb FROM (SELECT qid, nb, ROW_NUMBER() OVER (
+         |  PARTITION BY qid ORDER BY c64 DESC, nb) AS rk FROM pairs) z
+         |  WHERE rk <= 10),
+         |h16 AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS h16
+         |  FROM t16 JOIN t64 USING (qid, nb) GROUP BY 1),
+         |h32 AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS h32
+         |  FROM t32 JOIN t64 USING (qid, nb) GROUP BY 1)
+         |SELECT DISTINCT t64.qid AS qid,
+         |  COALESCE(h16, 0) AS n_hit16, COALESCE(h32, 0) AS n_hit32,
+         |  CAST(COALESCE(h16, 0) * 100 // 10 AS BIGINT) AS recall16_pct,
+         |  CAST(COALESCE(h32, 0) * 100 // 10 AS BIGINT) AS recall32_pct
+         |FROM t64 LEFT JOIN h16 ON t64.qid = h16.qid
+         |  LEFT JOIN h32 ON t64.qid = h32.qid
+         |ORDER BY t64.qid""".stripMargin
+    },
+
+    "q514_croston" ->
+      s"""WITH dem AS (
+         |  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+         |  FROM lineitem WHERE l_partkey % 97 = 7 GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT part,
+         |    CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS d,
+         |    z
+         |  FROM dem),
+         |ser AS (
+         |  SELECT part, CAST(COUNT(*) AS BIGINT) AS m,
+         |    list(d * 100000 + z ORDER BY d) AS ev
+         |  FROM dd GROUP BY 1 HAVING COUNT(*) >= 2),
+         |st AS (SELECT part, m, ${crostonFold(Du, "ev")} AS stt FROM ser)
+         |SELECT part, m,
+         |  CAST(stt[1] AS BIGINT) AS size_hat_milli,
+         |  CAST(stt[2] AS BIGINT) AS interval_hat_milli,
+         |  CASE WHEN stt[2] = 0 THEN NULL ELSE
+         |    CAST(stt[1] * 1000 // stt[2] AS BIGINT) END AS rate_micro
+         |FROM st ORDER BY part""".stripMargin,
+
+    "q515_cliffs_delta" ->
+      s"""WITH v AS (
+         |  SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+         |pv AS (
+         |  SELECT v, CAST(SUM(isa) AS BIGINT) AS na_v,
+         |    CAST(SUM(1 - isa) AS BIGINT) AS nb_v
+         |  FROM v GROUP BY 1),
+         |cum AS (
+         |  SELECT v, na_v, nb_v,
+         |    CAST(SUM(nb_v) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cumb
+         |  FROM pv),
+         |agg AS (
+         |  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+         |    CAST(SUM(nb_v) AS BIGINT) AS n_b,
+         |    CAST(SUM(na_v * (cumb - nb_v)) AS BIGINT) AS gt,
+         |    CAST(SUM(na_v * nb_v) AS BIGINT) AS eq
+         |  FROM cum)
+         |SELECT n_a, n_b, gt, n_a * n_b - gt - eq AS lt, eq,
+         |  ${signedDiv(Du,
+             s"(${Du.wide("gt")} - ${Du.wide("(n_a * n_b - gt - eq)")}) " +
+               "* 1000000",
+             s"(${Du.wide("n_a")} * n_b)")} AS delta_micro
+         |FROM agg""".stripMargin,
+
+    "q516_blocking_quality" -> {
+      def c2(c: String) = s"CAST(SUM($c * ($c - 1) // 2) AS BIGINT)"
+      s"""$DuckToksBase,
+         |b2 AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${Du.hash64(Du.strJoin("toks", " "))} AS th,
+         |    concat(toks[1], ' ', toks[2]) AS pfx
+         |  FROM base WHERE ${Du.size("toks")} >= 2),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM b2),
+         |tp AS (SELECT ${c2("c")} AS true_pairs FROM
+         |  (SELECT COUNT(*) AS c FROM b2 GROUP BY th) z),
+         |keyed AS (
+         |  SELECT 'source_prefix2' AS scheme, th,
+         |    concat(source, '|', pfx) AS blk FROM b2
+         |  UNION ALL
+         |  SELECT 'source_lenbucket' AS scheme, th,
+         |    concat(source, '|', CAST(n_chars // 64 AS VARCHAR)) AS blk
+         |  FROM b2),
+         |cand AS (SELECT scheme, ${c2("c")} AS cand_pairs FROM
+         |  (SELECT scheme, COUNT(*) AS c FROM keyed GROUP BY scheme, blk) z
+         |  GROUP BY scheme),
+         |cob AS (SELECT scheme, ${c2("c")} AS coblocked FROM
+         |  (SELECT scheme, COUNT(*) AS c FROM keyed
+         |   GROUP BY scheme, th, blk) z
+         |  GROUP BY scheme)
+         |SELECT scheme, n_docs, true_pairs, cand_pairs, coblocked,
+         |  1000 - CAST(${Du.intDiv(s"${Du.wide("cand_pairs")} * 1000",
+             s"(${Du.wide("n_docs")} * (n_docs - 1) // 2)")} AS BIGINT)
+         |    AS rr_permille,
+         |  CASE WHEN true_pairs = 0 THEN NULL ELSE
+         |    CAST(coblocked * 1000 // true_pairs AS BIGINT) END
+         |    AS pc_permille
+         |FROM cand JOIN cob USING (scheme), n, tp
+         |ORDER BY scheme""".stripMargin
+    },
+
+    "q517_median_polish" ->
+      """WITH cells AS (
+        |  SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dw,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |rm AS (
+        |  SELECT dw, x AS row_eff FROM (
+        |    SELECT dw, x, ROW_NUMBER() OVER (PARTITION BY dw ORDER BY x)
+        |      AS rk, COUNT(*) OVER (PARTITION BY dw) AS n
+        |    FROM cells) z
+        |  WHERE rk = (n + 1) // 2),
+        |res1 AS (
+        |  SELECT c.mo, c.x - r.row_eff AS r
+        |  FROM cells c JOIN rm r USING (dw)),
+        |cm AS (
+        |  SELECT mo, r AS col_eff FROM (
+        |    SELECT mo, r, ROW_NUMBER() OVER (PARTITION BY mo ORDER BY r)
+        |      AS rk, COUNT(*) OVER (PARTITION BY mo) AS n
+        |    FROM res1) z
+        |  WHERE rk = (n + 1) // 2),
+        |ov AS (
+        |  SELECT row_eff AS med FROM (
+        |    SELECT row_eff, ROW_NUMBER() OVER (ORDER BY row_eff) AS rk,
+        |      COUNT(*) OVER () AS n
+        |    FROM rm) z
+        |  WHERE rk = (n + 1) // 2)
+        |SELECT 'weekday' AS dim, dw AS key, row_eff - med AS effect
+        |  FROM rm, ov
+        |UNION ALL
+        |SELECT 'month' AS dim, mo AS key, col_eff AS effect FROM cm
+        |UNION ALL
+        |SELECT 'overall' AS dim, CAST(0 AS BIGINT) AS key, med AS effect
+        |  FROM ov
+        |ORDER BY dim, key""".stripMargin,
+
+    "q518_seq_patterns" ->
+      """WITH pos AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) * 100 + event_id % 100 AS p
+        |  FROM events),
+        |spans AS (
+        |  SELECT user_id, event_type,
+        |    CAST(MIN(p) AS BIGINT) AS first_p,
+        |    CAST(MAX(p) AS BIGINT) AS last_p
+        |  FROM pos GROUP BY 1, 2),
+        |nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM spans)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS support,
+        |  n_users,
+        |  CAST(COUNT(DISTINCT a.user_id) * 1000 // n_users AS BIGINT)
+        |    AS support_permille
+        |FROM spans a JOIN spans b ON a.user_id = b.user_id
+        |  AND a.first_p < b.last_p, nu
+        |GROUP BY 1, 2, n_users
+        |ORDER BY ta, tb""".stripMargin,
+
+    "q519_pinball_loss" ->
+      """WITH days AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |cut AS (SELECT date_add(max(day), -28) AS cutoff FROM days),
+        |marked AS (
+        |  SELECT day, x, CAST(dayofweek(day) AS BIGINT) AS dw, cutoff
+        |  FROM days, cut),
+        |ranked AS (
+        |  SELECT dw, x, ROW_NUMBER() OVER (PARTITION BY dw
+        |      ORDER BY x, day) AS rk,
+        |    COUNT(*) OVER (PARTITION BY dw) AS n
+        |  FROM marked WHERE day <= cutoff),
+        |qs AS (
+        |  SELECT dw, p, x AS fc FROM ranked,
+        |    (SELECT unnest([10, 50, 90]) AS p) ps
+        |  WHERE rk = greatest(1, (p * n + 99) // 100)),
+        |test AS (SELECT dw, x FROM marked WHERE day > cutoff),
+        |scored AS (
+        |  SELECT CAST(p AS BIGINT) AS p,
+        |    greatest(p * (x - fc), (p - 100) * (x - fc)) AS loss_centi
+        |  FROM test JOIN qs USING (dw))
+        |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(loss_centi) AS BIGINT) AS total_loss_centi,
+        |  CAST(CAST(SUM(loss_centi) AS BIGINT) * 10 // COUNT(*) AS BIGINT)
+        |    AS mean_loss_milli
+        |FROM scored GROUP BY p ORDER BY p""".stripMargin,
+
+    "q520_fleiss_kappa" -> {
+      val pe = s"CAST(${Du.intDiv(
+        s"(${Du.wide("sum_k")} * sum_k + " +
+          s"${Du.wide("(3 * n_docs - sum_k)")} * (3 * n_docs - sum_k)) " +
+          "* 1000000",
+        s"(${Du.wide("9")} * n_docs * n_docs)")} AS BIGINT)"
+      s"""$DuckToksBase,
+         |rated AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${Du.size(Du.filterL(
+               s"range(1, ${Du.size("toks")})", "i",
+               "toks[CAST(i AS BIGINT)] = toks[CAST(i AS BIGINT) + 1]"))}
+         |      * 8 > ${Du.size("toks")} THEN 1 ELSE 0 END AS r1,
+         |    CASE WHEN ${Du.fold(
+               Du.transform("toks", "t", "CAST(length(t) AS BIGINT)"),
+               "CAST(0 AS BIGINT)", "a", "t", "a + t")}
+         |      < 4 * ${Du.size("toks")}
+         |      THEN 1 ELSE 0 END AS r2,
+         |    CASE WHEN length(${Du.regexReplaceAll("text", "[^0-9]", "")})
+         |      * 8 > length(text) THEN 1 ELSE 0 END AS r3
+         |  FROM base WHERE ${Du.size("toks")} >= 1),
+         |per AS (
+         |  SELECT r1 + r2 + r3 AS k,
+         |    (r1 + r2 + r3) * (r1 + r2 + r3 - 1) +
+         |      (3 - r1 - r2 - r3) * (2 - r1 - r2 - r3) AS agree2
+         |  FROM rated),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(k) AS BIGINT) AS sum_k,
+         |    CAST(SUM(agree2) AS BIGINT) AS sum_agree2
+         |  FROM per),
+         |lanes AS (
+         |  SELECT n_docs, sum_k,
+         |    CAST(sum_agree2 * 1000000 // (n_docs * 6) AS BIGINT)
+         |      AS p_bar_micro,
+         |    $pe AS p_e_micro
+         |  FROM agg)
+         |SELECT n_docs, sum_k, p_bar_micro, p_e_micro,
+         |  ${signedDiv(Du,
+             s"(${Du.wide("p_bar_micro")} - ${Du.wide("p_e_micro")}) " +
+               "* 1000000",
+             s"(${Du.wide("1000000")} - p_e_micro)")} AS kappa_micro
+         |FROM lanes""".stripMargin
+    },
+
+    "q521_sidecar_stats" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS n_files,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(0 AS BIGINT) AS nulls
+        |FROM orders
+        |GROUP BY 1 ORDER BY status""".stripMargin)
+}

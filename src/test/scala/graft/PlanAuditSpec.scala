@@ -78,6 +78,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "q473_rbo",
     // q486: cumulative count over the calendar-day frame (q227 class)
     "q486_ks_uniform",
+    // q517: every window runs over the weekday×month matrix or its
+    // row/column margins — ≤84 cells at ANY scale (calendar-bounded by
+    // construction); the heavy pass is the map-side orders→cell combine
+    "q517_median_polish",
     // q490: consecutive-day lead triples over the calendar-day frame
     // (q227 class); q491: cumulative at-risk count over the
     // latency-day-grain step table (≤ ~200 rows at any scale — the
