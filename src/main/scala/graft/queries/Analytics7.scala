@@ -179,6 +179,37 @@ object Analytics7 {
       s"CASE WHEN ${at(10)} = CAST(0 AS DOUBLE) THEN $first ELSE $step END")
   }
 
+  /** The Kaplan–Meier event-step table (obs, c_all, d, n_risk,
+    * step_micro): ship-latency day grain, d > 0 rows only — shared by
+    * q491 and q526 (Greenwood, Analytics8), memoized so the heavy
+    * lineitem⋈orders pass runs once per (session, sfDir). Values are
+    * exact integers; the memo cannot change them.
+    */
+  private[queries] def kmEventSteps(s: SparkSession, d: String): DataFrame =
+    Tables.memo(s, s"$d#kmsteps") {
+      val subj = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("o_orderdate <= DATE '1998-03-01'"))
+        .select(
+          expr("CASE WHEN l_shipdate <= DATE '1998-03-01' " +
+            "THEN datediff(l_shipdate, o_orderdate) " +
+            "ELSE datediff(DATE '1998-03-01', o_orderdate) END")
+            .cast("long").as("obs"),
+          expr("CASE WHEN l_shipdate <= DATE '1998-03-01' THEN 1 ELSE 0 END")
+            .as("ev"))
+      val steps = subj.groupBy("obs")
+        .agg(count(lit(1)).as("c_all"), sum("ev").as("d"))
+      val n = steps.agg(sum("c_all").as("n_total"))
+      val ordw = Window.orderBy("obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      steps.crossJoin(broadcast(n))
+        .withColumn("cum_le", sum("c_all").over(ordw))
+        .withColumn("n_risk", expr("n_total - cum_le + c_all"))
+        .filter(col("d") > 0)
+        .withColumn("step_micro", expr("(n_risk - d) * 1000000 div n_risk"))
+    }
+
   /** Daily order counts (the q506/q511 series frame). */
   private def dayCounts(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -338,27 +369,7 @@ object Analytics7 {
     // array, its per-row prefix folds, and the cumulative at-risk
     // window are all cardinality-bounded by construction.
     "q491_kaplan_meier" -> { (s, d) =>
-      val subj = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .filter(expr("o_orderdate <= DATE '1998-03-01'"))
-        .select(
-          expr("CASE WHEN l_shipdate <= DATE '1998-03-01' " +
-            "THEN datediff(l_shipdate, o_orderdate) " +
-            "ELSE datediff(DATE '1998-03-01', o_orderdate) END")
-            .cast("long").as("obs"),
-          expr("CASE WHEN l_shipdate <= DATE '1998-03-01' THEN 1 ELSE 0 END")
-            .as("ev"))
-      val steps = subj.groupBy("obs")
-        .agg(count(lit(1)).as("c_all"), sum("ev").as("d"))
-      val n = steps.agg(sum("c_all").as("n_total"))
-      val ordw = Window.orderBy("obs")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val es = steps.crossJoin(broadcast(n))
-        .withColumn("cum_le", sum("c_all").over(ordw))
-        .withColumn("n_risk", expr("n_total - cum_le + c_all"))
-        .filter(col("d") > 0)
-        .withColumn("step_micro", expr("(n_risk - d) * 1000000 div n_risk"))
+      val es = kmEventSteps(s, d)
       // encode shift: the driver's synthetic lineitem ships up to
       // ~3 years BEFORE the order date (not TPC-H-faithful), so obs
       // is signed; +10⁶ days keeps the encode positive (and the `%`

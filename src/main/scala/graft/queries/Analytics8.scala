@@ -41,6 +41,17 @@ object Analytics8 {
     s"CASE WHEN ($num) >= 0 THEN CAST(${d.intDiv(s"($num)", den)} AS BIGINT) " +
       s"ELSE -CAST(${d.intDiv(s"(-($num))", den)} AS BIGINT) END"
 
+  /** q526's 95% CI half-width in micro — the file's ONE float op
+    * sequence (engine-identical text, hence a shared val): z as a
+    * rational literal, two scale divisions, sqrt, three multiplies,
+    * floor. 1.959964 = Φ⁻¹(0.975) to 6 places.
+    */
+  private val GreenwoodCiT =
+    "CAST(floor((CAST(1959964 AS DOUBLE) / CAST(1000000 AS DOUBLE)) * " +
+      "(CAST(surv_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)) * " +
+      "sqrt(CAST(g_nano AS DOUBLE) / CAST(1000000000 AS DOUBLE)) * " +
+      "CAST(1000000 AS DOUBLE)) AS BIGINT)"
+
   // ---- q512: LZ78 compression-proxy quality filter ------------------
 
   /** LZ78 phrase count over the ≤24-token prefix: the dictionary-
@@ -52,7 +63,7 @@ object Analytics8 {
     * hwFold array-state convention: DuckDB's list_reduce has no
     * separate-init form, so elements wrap to 1-element lists there).
     */
-  private def lz78Fold(d: SqlDialect, toksArr: String): String = {
+  private[graft] def lz78Fold(d: SqlDialect, toksArr: String): String = {
     def at1 = if (d.spark) "element_at(acc, 1)" else "acc[1]"
     val t = if (d.spark) "tw" else "tw[1]"
     val cand = s"(CASE WHEN $at1 = '' THEN $t ELSE concat($at1, ' ', $t) END)"
@@ -79,7 +90,7 @@ object Analytics8 {
     * state list on the DuckDB side). State:
     * [size_hat_milli, interval_hat_milli, prev_day, n_seen].
     */
-  private def crostonFold(d: SqlDialect, arr: String): String = {
+  private[graft] def crostonFold(d: SqlDialect, arr: String): String = {
     def at(i: Int) = if (d.spark) s"element_at(acc, $i)" else s"acc[$i]"
     val raw = if (d.spark) "v" else "v[1]"
     val vd = s"($raw div 100000)"
@@ -437,6 +448,147 @@ object Analytics8 {
           s"(${Sp.wide("1000000")} - p_e_micro)")))
     },
 
+    // Dedup-cluster-coherent sampling: a 1/16 corpus sample where an
+    // exact-duplicate CLUSTER is either fully in or fully out (hash
+    // the cluster REPRESENTATIVE, not the doc — per-doc hash sampling
+    // splits clusters, which silently biases any dedup-rate estimate
+    // computed on the sample). n_split is pinned 0 in-band: a
+    // regression that samples per-doc flips it positive and
+    // hash-mismatches.
+    "q522_cluster_sample" -> { (s, dir) =>
+      val base = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 1"))
+        .select(col("doc_id"), col("source"),
+          expr(Sp.hash64(Sp.strJoin("toks", " "))).as("th"))
+      val rep = base.groupBy("th").agg(min("doc_id").as("rep"))
+        .withColumn("take",
+          expr(s"CASE WHEN ${Sp.hash64("concat('sample:', rep)")} % 16 = 0 " +
+            "THEN 1 ELSE 0 END"))
+      val tagged = base.join(rep, "th")
+      val split = tagged.groupBy("th")
+        .agg((countDistinct("take") - 1).as("sp"))
+        .agg(sum("sp").cast("long").as("n_split"))
+      tagged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("take").cast("long").as("n_sampled"))
+        .crossJoin(broadcast(split))
+        .withColumn("sample_permille", expr("n_sampled * 1000 div n_docs"))
+        .select("source", "n_docs", "n_sampled", "sample_permille", "n_split")
+        .orderBy("source")
+    },
+
+    // Token-budget curriculum tranches: docs ranked by type-token
+    // ratio (lexical-diversity quality, exact milli), then cut into 4
+    // equal TOKEN-budget tranches by the distributed running token
+    // sum (GlobalOrder — the spine is corpus-sized, never a global
+    // window). The curriculum-schedule table: which quality band each
+    // quarter of the training budget comes from.
+    "q523_token_tranches" -> { (s, dir) =>
+      val base = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 1"))
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("nt"),
+          expr("CAST(size(array_distinct(toks)) * 1000 div size(toks) " +
+            "AS BIGINT)").as("ttr_milli"))
+        .withColumn("negq", expr("-ttr_milli"))
+      val cum = graft.plans.GlobalOrder.withRunningSum(base,
+        Seq(col("negq").asc, col("doc_id").asc), col("negq"),
+        col("nt"), "cum_toks")
+      val tot = cum.agg(sum("nt").as("total_toks"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("tranche",
+          expr("least(3, (cum_toks - 1) * 4 div total_toks)"))
+        .groupBy("tranche")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_toks"),
+          min("ttr_milli").as("min_ttr_milli"),
+          max("ttr_milli").as("max_ttr_milli"))
+        .orderBy("tranche")
+    },
+
+    // Winnowing fingerprints (the MOSS local-min scheme): 4-token
+    // shingle hashes, window 4, keep each window's MINIMUM hash —
+    // guarantees any ≥7-token shared run yields a shared fingerprint,
+    // with ~1/4 the fingerprint density of full shingling. Per-source
+    // density plus the cross-doc shared-fingerprint pair mass (the
+    // near-dup candidate volume the scheme would feed a matcher).
+    "q524_winnowing" -> { (s, dir) =>
+      val fps = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 7"))
+        .select(col("doc_id"), col("source"),
+          expr(Sp.transform(
+            Sp.rangeIncl("1", "size(toks) - 3"), "i",
+            Sp.hash64(s"${Sp.strJoin(Sp.slice("toks", "i", "4"), " ")}")))
+            .as("hs"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(Sp.arrDistinct(Sp.transform(
+            Sp.rangeIncl("1", s"${Sp.size("hs")} - 3"), "i",
+            Sp.arrMin(Sp.slice("hs", "i", "4")))))).as("fp"))
+      val dens = fps.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_fps"),
+          countDistinct("fp").as("n_distinct_fps"))
+      val pairs = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+        .agg(expr("CAST(SUM(c * (c - 1) div 2) AS BIGINT)")
+          .as("shared_fp_pairs"))
+      dens.crossJoin(broadcast(pairs))
+        .orderBy("source")
+    },
+
+    // Shard-boundary continuation artifacts: doc A's last-4-token
+    // fingerprint equals doc B's first-4 — the signature of one
+    // logical document split across corpus records (a real ingestion
+    // failure mode exact dedup can't see). Emits the candidate pairs
+    // with sources; hash-join on the boundary fingerprint, never
+    // all-pairs.
+    "q525_boundary_overlap" -> { (s, dir) =>
+      val f = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 8"))
+        .select(col("doc_id"), col("source"),
+          expr(Sp.hash64(Sp.strJoin(Sp.slice("toks", "1", "4"), " ")))
+            .as("head_h"),
+          expr(Sp.hash64(Sp.strJoin(
+            Sp.slice("toks", "size(toks) - 3", "4"), " "))).as("tail_h"))
+      f.select(col("doc_id").as("doc_a"), col("source").as("src_a"),
+          col("tail_h"))
+        .join(f.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b"), col("head_h")),
+          col("tail_h") === col("head_h") && col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b", "src_a", "src_b")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Greenwood variance lanes for the q491 Kaplan–Meier curve: the
+    // cumulative Σ d/(n(n−d)) term in exact nano units over the same
+    // bounded step table, and the 95% CI half-width through ONE
+    // shared float text (the only float op sequence: two casts, a
+    // sqrt, three multiplies, one floor). The survival curve without
+    // its confidence band is half an estimator.
+    "q526_greenwood" -> { (s, d) =>
+      // shared memoized step table (Analytics7.kmEventSteps — the
+      // q491 substrate): the heavy lineitem⋈orders pass runs once
+      // per session; everything below is latency-day-grain bounded
+      // (the q491/q343 single-partition-window class, allowlisted)
+      val w = Window.orderBy("obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val es = Analytics7.kmEventSteps(s, d)
+        .withColumn("g_nano", sum(
+          expr("CAST(d * 1000000000 div (n_risk * (n_risk - d)) " +
+            "AS BIGINT)")).over(w))
+      val arr = es.agg(expr(
+        "sort_array(collect_list((obs + 1000000) * 10000000 + step_micro))")
+        .as("a"))
+      es.crossJoin(broadcast(arr))
+        .withColumn("surv_micro", expr(Sp.fold(
+          Sp.filterL("a", "v",
+            s"${Sp.intDiv("v", "10000000")} - 1000000 <= obs"),
+          "CAST(1000000 AS BIGINT)", "acc", "v",
+          Sp.intDiv("(acc * (v % 10000000))", "1000000"))))
+        .withColumn("ci_half_micro", expr(GreenwoodCiT))
+        .select(col("obs").as("t_days"), col("d"), col("n_risk"),
+          col("g_nano"), col("surv_micro"), col("ci_half_micro"))
+        .orderBy("t_days")
+    },
+
     // Distributed stats-sidecar gate (the round-9 StatsSidecar.update
     // rewrite): write orders hive-partitioned by status in one task
     // (file count per partition = ceil(rows / 4096), deterministic),
@@ -764,6 +916,144 @@ object Analytics8 {
              s"(${Du.wide("1000000")} - p_e_micro)")} AS kappa_micro
          |FROM lanes""".stripMargin
     },
+
+    "q522_cluster_sample" ->
+      s"""$DuckToksBase,
+         |b2 AS (
+         |  SELECT doc_id, source,
+         |    ${Du.hash64(Du.strJoin("toks", " "))} AS th
+         |  FROM base WHERE ${Du.size("toks")} >= 1),
+         |rep AS (
+         |  SELECT th, MIN(doc_id) AS rep,
+         |    CASE WHEN ${Du.hash64("concat('sample:', MIN(doc_id))")} % 16
+         |      = 0 THEN 1 ELSE 0 END AS take
+         |  FROM b2 GROUP BY th),
+         |tagged AS (SELECT b2.*, rep.take FROM b2 JOIN rep USING (th)),
+         |split AS (
+         |  SELECT CAST(SUM(sp) AS BIGINT) AS n_split FROM
+         |    (SELECT COUNT(DISTINCT take) - 1 AS sp FROM tagged
+         |     GROUP BY th) z)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(take) AS BIGINT) AS n_sampled,
+         |  CAST(CAST(SUM(take) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+         |    AS sample_permille,
+         |  n_split
+         |FROM tagged, split GROUP BY source, n_split
+         |ORDER BY source""".stripMargin,
+
+    "q523_token_tranches" ->
+      s"""$DuckToksBase,
+         |b2 AS (
+         |  SELECT doc_id, CAST(${Du.size("toks")} AS BIGINT) AS nt,
+         |    CAST(CAST(${Du.size(Du.arrDistinct("toks"))} AS BIGINT)
+         |      * 1000 // ${Du.size("toks")} AS BIGINT) AS ttr_milli
+         |  FROM base WHERE ${Du.size("toks")} >= 1),
+         |cum AS (
+         |  SELECT doc_id, nt, ttr_milli,
+         |    CAST(SUM(nt) OVER (ORDER BY -ttr_milli, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_toks
+         |  FROM b2),
+         |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS total_toks FROM b2)
+         |SELECT least(3, (cum_toks - 1) * 4 // total_toks) AS tranche,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_toks,
+         |  CAST(MIN(ttr_milli) AS BIGINT) AS min_ttr_milli,
+         |  CAST(MAX(ttr_milli) AS BIGINT) AS max_ttr_milli
+         |FROM cum, tot GROUP BY 1 ORDER BY tranche""".stripMargin,
+
+    "q524_winnowing" ->
+      s"""$DuckToksBase,
+         |hs AS (
+         |  SELECT doc_id, source,
+         |    ${Du.transform(
+               Du.rangeIncl("1", s"${Du.size("toks")} - 3"), "i",
+               Du.hash64(Du.strJoin(
+                 Du.slice("toks", "CAST(i AS BIGINT)", "4"), " ")))} AS hs
+         |  FROM base WHERE ${Du.size("toks")} >= 7),
+         |fps AS (
+         |  SELECT doc_id, source, unnest(${Du.arrDistinct(
+               Du.transform(
+                 Du.rangeIncl("1", s"${Du.size("hs")} - 3"), "i",
+                 Du.arrMin(Du.slice("hs", "CAST(i AS BIGINT)", "4"))))})
+         |    AS fp
+         |  FROM hs),
+         |dens AS (
+         |  SELECT source,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_fps,
+         |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fps
+         |  FROM fps GROUP BY 1),
+         |pairs AS (
+         |  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS shared_fp_pairs
+         |  FROM (SELECT COUNT(*) AS c FROM fps GROUP BY fp) z)
+         |SELECT source, n_docs, n_fps, n_distinct_fps, shared_fp_pairs
+         |FROM dens, pairs ORDER BY source""".stripMargin,
+
+    "q525_boundary_overlap" ->
+      s"""$DuckToksBase,
+         |f AS (
+         |  SELECT doc_id, source,
+         |    ${Du.hash64(Du.strJoin(Du.slice("toks", "1", "4"), " "))}
+         |      AS head_h,
+         |    ${Du.hash64(Du.strJoin(
+               Du.slice("toks", s"${Du.size("toks")} - 3", "4"), " "))}
+         |      AS tail_h
+         |  FROM base WHERE ${Du.size("toks")} >= 8)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.source AS src_a, b.source AS src_b
+         |FROM f a JOIN f b
+         |  ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q526_greenwood" ->
+      s"""WITH subj AS (
+         |  SELECT
+         |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-03-01'
+         |      THEN date_diff('day', CAST(o_orderdate AS DATE),
+         |        CAST(l_shipdate AS DATE))
+         |      ELSE date_diff('day', CAST(o_orderdate AS DATE),
+         |        DATE '1998-03-01') END AS obs,
+         |    CASE WHEN CAST(l_shipdate AS DATE) <= DATE '1998-03-01'
+         |      THEN 1 ELSE 0 END AS ev
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-03-01'),
+         |steps AS (
+         |  SELECT CAST(obs AS BIGINT) AS obs,
+         |    CAST(COUNT(*) AS BIGINT) AS c_all,
+         |    CAST(SUM(ev) AS BIGINT) AS d
+         |  FROM subj GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_total FROM steps),
+         |es AS (
+         |  SELECT obs, d, n_risk,
+         |    CAST((n_risk - d) * 1000000 // n_risk AS BIGINT) AS step_micro,
+         |    CAST(SUM(d * 1000000000 // (n_risk * (n_risk - d)))
+         |      OVER (ORDER BY obs
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS g_nano
+         |  FROM (
+         |    SELECT obs, d,
+         |      CAST(n_total - SUM(c_all) OVER (ORDER BY obs
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c_all
+         |        AS BIGINT) AS n_risk
+         |    FROM steps, n) r
+         |  WHERE d > 0),
+         |arr AS (
+         |  SELECT list((obs + 1000000) * 10000000 + step_micro ORDER BY obs)
+         |    AS a
+         |  FROM es),
+         |sv AS (
+         |  SELECT obs, d, n_risk, g_nano,
+         |    CAST(${Du.fold(
+               Du.filterL("a", "v",
+                 s"${Du.intDiv("v", "10000000")} - 1000000 <= obs"),
+               "CAST(1000000 AS BIGINT)", "acc", "v",
+               Du.intDiv("(acc * (v % 10000000))", "1000000"))} AS BIGINT)
+         |      AS surv_micro
+         |  FROM es, arr)
+         |SELECT obs AS t_days, d, n_risk, g_nano, surv_micro,
+         |  $GreenwoodCiT AS ci_half_micro
+         |FROM sv ORDER BY t_days""".stripMargin,
 
     "q521_sidecar_stats" ->
       """SELECT o_orderstatus AS status,

@@ -82,6 +82,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // row/column margins — ≤84 cells at ANY scale (calendar-bounded by
     // construction); the heavy pass is the map-side orders→cell combine
     "q517_median_polish",
+    // q526: cumulative windows over the latency-day-grain step table
+    // (≤~2.2k rows at any scale — the q491/q343 class); the heavy pass
+    // is the map-side lineitem→step combine
+    "q526_greenwood",
     // q490: consecutive-day lead triples over the calendar-day frame
     // (q227 class); q491: cumulative at-risk count over the
     // latency-day-grain step table (≤ ~200 rows at any scale — the
