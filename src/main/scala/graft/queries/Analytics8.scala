@@ -30,9 +30,6 @@ object Analytics8 {
   private val Sp = graft.functions.PortableSql.Spark
   private val Du = graft.functions.PortableSql.Duck
 
-  private val CentsF =
-    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-
   /** Sign-split exact integer division to a scaled lane (Spark `div`
     * truncates, DuckDB `//` floors; they agree only on non-negative
     * operands). Both operands may be wide; the result is CAST BIGINT.
@@ -214,6 +211,12 @@ object Analytics8 {
           expr("CAST(l_shipdate AS DATE)").as("day"))
         .agg(expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("z"))
         .withColumn("d", expr("datediff(day, DATE '1992-01-01')").cast("long"))
+        // loud guard on the encode precondition (the q502 rule): a
+        // per-part-day demand ≥ 10⁵ would silently corrupt the
+        // day·10⁵+z encode's day and size lanes — fail the run instead
+        .withColumn("z", expr("CASE WHEN z >= 100000 THEN " +
+          "CAST(raise_error('q514: per-day demand >= 10^5 breaks the " +
+          "day encode') AS BIGINT) ELSE z END"))
       dem.groupBy("part")
         .agg(count(lit(1)).as("m"),
           expr("sort_array(collect_list(d * 100000 + z))").as("ev"))
@@ -265,7 +268,6 @@ object Analytics8 {
     // integer (wide where C(n,2) sums could exceed BIGINT at corpus
     // scale).
     "q516_blocking_quality" -> { (s, dir) =>
-      import s.implicits._
       val base = TextOps.docsWithToks(s, dir)
         .filter(expr("size(toks) >= 2"))
         .select(col("doc_id"), col("source"), col("n_chars"),
