@@ -591,6 +591,98 @@ object Analytics8 {
         .orderBy("t_days")
     },
 
+    // Empirical coverage of q519's per-weekday p10–p90 forecast band
+    // over the 28-day holdout — the companion every quantile
+    // forecaster needs (pinball scores sharpness; coverage says
+    // whether the band is HONEST: nominal 800 permille). Integer
+    // permille, one row.
+    "q528_interval_coverage" -> { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val cut = days.agg(expr("date_add(max(day), -28)").as("cutoff"))
+      val marked = days.crossJoin(broadcast(cut))
+        .withColumn("dw", expr("dayofweek(day)").cast("long"))
+      val train = marked.filter(col("day") <= col("cutoff"))
+      val test = marked.filter(col("day") > col("cutoff"))
+      val w = Window.partitionBy("dw").orderBy(col("x").asc, col("day").asc)
+      val ranked = train.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("dw")))
+      def q(p: Int, as: String) =
+        ranked.filter(expr(s"rk = greatest(1, ($p * n + 99) div 100)"))
+          .select(col("dw"), col("x").as(as))
+      test.join(q(10, "lo"), Seq("dw")).join(q(90, "hi"), Seq("dw"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(expr("CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END"))
+            .cast("long").as("n_covered"),
+          sum(expr("CASE WHEN x < lo THEN 1 ELSE 0 END")).cast("long")
+            .as("n_below"),
+          sum(expr("CASE WHEN x > hi THEN 1 ELSE 0 END")).cast("long")
+            .as("n_above"))
+        .withColumn("coverage_permille",
+          expr("n_covered * 1000 div n_days"))
+    },
+
+    // Difference-in-differences on order value: hash-parity treatment
+    // group × pre/post-1996 period, group means in exact milli-cents,
+    // DiD as plain integer subtraction (no negative division
+    // anywhere). The fourth causal lane next to q223 (lift), q431
+    // (stratified ATT), and q466 (CUPED).
+    "q529_diff_in_diff" -> { (s, d) =>
+      val cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      def lane(t: Int, p: Int, agg: String) =
+        s"$agg(CASE WHEN o_custkey % 2 = $t AND " +
+          s"(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN 1 " +
+          s"ELSE 0 END) = $p THEN $cents ELSE NULL END)"
+      def mean(t: Int, p: Int) =
+        s"CAST(${lane(t, p, "SUM")} * 1000 div ${lane(t, p, "COUNT")} " +
+          "AS BIGINT)"
+      Tables.orders(s, d).agg(
+        expr(s"CAST(${lane(1, 0, "COUNT")} AS BIGINT)").as("n_t_pre"),
+        expr(s"CAST(${lane(1, 1, "COUNT")} AS BIGINT)").as("n_t_post"),
+        expr(s"CAST(${lane(0, 0, "COUNT")} AS BIGINT)").as("n_c_pre"),
+        expr(s"CAST(${lane(0, 1, "COUNT")} AS BIGINT)").as("n_c_post"),
+        expr(mean(1, 0)).as("mean_t_pre_milli"),
+        expr(mean(1, 1)).as("mean_t_post_milli"),
+        expr(mean(0, 0)).as("mean_c_pre_milli"),
+        expr(mean(0, 1)).as("mean_c_post_milli"))
+        .withColumn("did_milli", expr(
+          "(mean_t_post_milli - mean_t_pre_milli) - " +
+            "(mean_c_post_milli - mean_c_pre_milli)"))
+    },
+
+    // Expected calibration error of the "discount predicts returns"
+    // toy scorer (confidence = 10·discount): 10-bin reliability table
+    // with exact milli accuracy/confidence lanes and the ECE rollup
+    // in micro — THE diagnostic for any learned filter's score
+    // quality before its threshold is trusted. The scorer is
+    // deliberately naive; the gate pins the metric machinery.
+    "q530_ece" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(
+          // floor(x·10⁴ + ½): discounts are hundredths stored as
+          // doubles (0.06 sits just BELOW 0.06), so a bare floor
+          // would bin-shift — the +½ round is engine-identical
+          expr("CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)")
+            .as("conf_milli"),
+          expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").as("ret"))
+        .withColumn("bin", expr("least(9, conf_milli div 100)"))
+      val bins = li.groupBy("bin")
+        .agg(count(lit(1)).as("n_b"),
+          sum("ret").cast("long").as("n_ret"),
+          sum("conf_milli").cast("long").as("sum_conf"))
+        .withColumn("acc_milli", expr("n_ret * 1000 div n_b"))
+        .withColumn("conf_avg_milli", expr("sum_conf div n_b"))
+        .withColumn("gap_milli", expr("abs(acc_milli - conf_avg_milli)"))
+      val ece = bins.agg(expr(
+        s"CAST(${Sp.intDiv(s"${Sp.wide("SUM(n_b * gap_milli)")} * 1000",
+          "SUM(n_b)")} AS BIGINT)").as("ece_micro"))
+      bins.crossJoin(broadcast(ece))
+        .select("bin", "n_b", "n_ret", "acc_milli", "conf_avg_milli",
+          "gap_milli", "ece_micro")
+        .orderBy("bin")
+    },
+
     // Distributed stats-sidecar gate (the round-9 StatsSidecar.update
     // rewrite): write orders hive-partitioned by status in one task
     // (file count per partition = ceil(rows / 4096), deterministic),
@@ -1056,6 +1148,94 @@ object Analytics8 {
          |SELECT obs AS t_days, d, n_risk, g_nano, surv_micro,
          |  $GreenwoodCiT AS ci_half_micro
          |FROM sv ORDER BY t_days""".stripMargin,
+
+    "q528_interval_coverage" ->
+      """WITH days AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |cut AS (SELECT date_add(max(day), -28) AS cutoff FROM days),
+        |marked AS (
+        |  SELECT day, x, CAST(dayofweek(day) AS BIGINT) AS dw, cutoff
+        |  FROM days, cut),
+        |ranked AS (
+        |  SELECT dw, x, ROW_NUMBER() OVER (PARTITION BY dw
+        |      ORDER BY x, day) AS rk,
+        |    COUNT(*) OVER (PARTITION BY dw) AS n
+        |  FROM marked WHERE day <= cutoff),
+        |lo AS (SELECT dw, x AS lo FROM ranked
+        |  WHERE rk = greatest(1, (10 * n + 99) // 100)),
+        |hi AS (SELECT dw, x AS hi FROM ranked
+        |  WHERE rk = greatest(1, (90 * n + 99) // 100)),
+        |test AS (SELECT dw, x FROM marked WHERE day > cutoff),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered,
+        |    CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above
+        |  FROM test JOIN lo USING (dw) JOIN hi USING (dw))
+        |SELECT n_days, n_covered, n_below, n_above,
+        |  CAST(n_covered * 1000 // n_days AS BIGINT) AS coverage_permille
+        |FROM agg""".stripMargin,
+
+    "q529_diff_in_diff" -> {
+      val cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      def lane(t: Int, p: Int, agg: String) =
+        s"$agg(CASE WHEN o_custkey % 2 = $t AND " +
+          s"(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN 1 " +
+          s"ELSE 0 END) = $p THEN $cents ELSE NULL END)"
+      def mean(t: Int, p: Int) =
+        s"CAST(CAST(${lane(t, p, "SUM")} AS BIGINT) * 1000 // " +
+          s"${lane(t, p, "COUNT")} AS BIGINT)"
+      s"""WITH lanes AS (
+         |  SELECT
+         |    CAST(${lane(1, 0, "COUNT")} AS BIGINT) AS n_t_pre,
+         |    CAST(${lane(1, 1, "COUNT")} AS BIGINT) AS n_t_post,
+         |    CAST(${lane(0, 0, "COUNT")} AS BIGINT) AS n_c_pre,
+         |    CAST(${lane(0, 1, "COUNT")} AS BIGINT) AS n_c_post,
+         |    ${mean(1, 0)} AS mean_t_pre_milli,
+         |    ${mean(1, 1)} AS mean_t_post_milli,
+         |    ${mean(0, 0)} AS mean_c_pre_milli,
+         |    ${mean(0, 1)} AS mean_c_post_milli
+         |  FROM orders)
+         |SELECT *,
+         |  (mean_t_post_milli - mean_t_pre_milli) -
+         |    (mean_c_post_milli - mean_c_pre_milli) AS did_milli
+         |FROM lanes""".stripMargin
+    },
+
+    "q530_ece" ->
+      s"""WITH li AS (
+         |  SELECT CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+         |      AS conf_milli,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+         |  FROM lineitem),
+         |binned AS (
+         |  SELECT least(9, conf_milli // 100) AS bin, conf_milli, ret
+         |  FROM li),
+         |bins AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(ret) AS BIGINT) AS n_ret,
+         |    CAST(SUM(conf_milli) AS BIGINT) AS sum_conf
+         |  FROM binned GROUP BY 1),
+         |lanes AS (
+         |  SELECT bin, n_b, n_ret,
+         |    CAST(n_ret * 1000 // n_b AS BIGINT) AS acc_milli,
+         |    CAST(sum_conf // n_b AS BIGINT) AS conf_avg_milli,
+         |    CAST(abs(n_ret * 1000 // n_b - sum_conf // n_b) AS BIGINT)
+         |      AS gap_milli
+         |  FROM bins),
+         |ece AS (
+         |  SELECT CAST(${Du.intDiv(
+             s"${Du.wide("SUM(n_b * gap_milli)")} * 1000", "SUM(n_b)")}
+         |    AS BIGINT) AS ece_micro
+         |  FROM lanes)
+         |SELECT bin, n_b, n_ret, acc_milli, conf_avg_milli, gap_milli,
+         |  ece_micro
+         |FROM lanes, ece ORDER BY bin""".stripMargin,
 
     "q521_sidecar_stats" ->
       """SELECT o_orderstatus AS status,

@@ -66,6 +66,20 @@ object StreamOps {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Scope a session conf to one gate (the withShufflePartitions
+    * shape, generalized for the q527 state-store provider swap).
+    */
+  private def withConf[T](s: SparkSession, key: String, value: String)
+      (body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Drain `q`, assert it actually ran ≥ `minBatches` non-empty
     * micro-batches (otherwise the "streaming" gate silently degrades
     * to a single batch and proves nothing), then stop it.
@@ -205,6 +219,42 @@ object StreamOps {
           }
           .start()
         drain(q, "q134", 2)
+      }
+      s.read.parquet(out)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy("user_id")
+    },
+
+    // q134's exact dedup pipeline under the RocksDB state-store
+    // provider — the backend-invariance gate for the named q134
+    // design point (SCALE.md: dedup state is one row per distinct
+    // key, 3.28 GB at 100× in the in-memory provider; RocksDB is the
+    // production backend that takes that state off-heap/on-disk).
+    // Same oracle as the relational dedup: the RESULT must be
+    // byte-identical whichever backend holds the state, and the
+    // [stream] telemetry line (tag q527) records the RocksDB lanes
+    // next to q134's HDFS-backed ones.
+    "q527_stream_dedup_rocksdb" -> { (s, d) =>
+      val stage = Lifecycle.tmpDir("q527s")
+      val out = Lifecycle.tmpDir("q527o")
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+      ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(stage)
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider") {
+        withShufflePartitions(s, 4) {
+          val dedup = StreamIngest.dedupedStream(
+            streamOf(s, stage, ev.schema), "ts", Seq("event_id"), "3650 days")
+          val q = dedup.writeStream.outputMode("append")
+            .option("checkpointLocation", Lifecycle.tmpDir("q527c"))
+            .foreachBatch { (b: Dataset[Row], _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start()
+          drain(q, "q527", 2)
+        }
       }
       s.read.parquet(out)
         .groupBy("user_id")
@@ -715,6 +765,14 @@ object StreamOps {
     "q133_stream_append" -> OrdersStatusRollupSql,
 
     "q134_stream_dedup" ->
+      """SELECT user_id,
+        | COUNT(*) AS n_events,
+        | COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // backend invariance: identical relational truth as q134
+    "q527_stream_dedup_rocksdb" ->
       """SELECT user_id,
         | COUNT(*) AS n_events,
         | COUNT(DISTINCT event_id) AS n_distinct
