@@ -107,6 +107,33 @@ class Analytics8Spec extends SparkSpecBase {
     }
   }
 
+  test("q527 RocksDB-backed stream dedup is value-identical to q134's " +
+    "default-backend run (state-backend invariance)") {
+    val h134 = graft.core.CanonHash.of(
+      SparkEntry.queries("q134_stream_dedup")(spark, sfDir))
+    val h527 = graft.core.CanonHash.of(
+      SparkEntry.queries("q527_stream_dedup_rocksdb")(spark, sfDir))
+    assert(h134 == h527,
+      "the dedup result must not depend on the state-store backend")
+  }
+
+  test("q528 coverage lanes are consistent; q529 DiD identity; " +
+    "q530 ECE bounded by the max bin gap") {
+    val cov = SparkEntry.queries("q528_interval_coverage")(spark, sfDir)
+      .collect()(0)
+    assert(cov.getAs[Long]("n_covered") + cov.getAs[Long]("n_below") +
+      cov.getAs[Long]("n_above") == cov.getAs[Long]("n_days"))
+    val did = SparkEntry.queries("q529_diff_in_diff")(spark, sfDir)
+      .collect()(0)
+    assert(did.getAs[Long]("did_milli") ==
+      (did.getAs[Long]("mean_t_post_milli") - did.getAs[Long]("mean_t_pre_milli")) -
+        (did.getAs[Long]("mean_c_post_milli") - did.getAs[Long]("mean_c_pre_milli")))
+    val ece = SparkEntry.queries("q530_ece")(spark, sfDir).collect()
+    val maxGap = ece.map(_.getAs[Long]("gap_milli")).max
+    ece.foreach(r => assert(r.getAs[Long]("ece_micro") <= maxGap * 1000,
+      "ECE (a weighted mean of bin gaps) cannot exceed the max gap"))
+  }
+
   test("q522 cluster sampling never splits a duplicate cluster; " +
     "q523 tranches partition the corpus") {
     val cs = SparkEntry.queries("q522_cluster_sample")(spark, sfDir).collect()
