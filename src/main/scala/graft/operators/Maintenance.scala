@@ -107,11 +107,26 @@ object Maintenance {
     // timestamps) and a rounded window bound could misassign files.
     // Per-file bounds are aggregated on executors; the collect below is
     // file-count-sized (round-9 scale fix — never the full stats rows).
-    val bounds = StatsSidecar.collectDF(ds.spark, ds.path, ds.files)
+    val stats = StatsSidecar.collectDF(ds.spark, ds.path, ds.files)
       .filter(col("column") === tsCol)
       .select(col("file_path"),
         coalesce(col("min_int"), col("min_num").cast("long")).as("mn"),
         coalesce(col("max_int"), col("max_num").cast("long")).as("mx"))
+    // a file whose tsCol carries NO exact bounds (stats disabled by a
+    // third-party writer, or an all-NULL chunk) cannot be assigned to
+    // a window — fail LOUDLY rather than silently skipping it forever
+    // (pre-round-9 this crashed with an opaque empty.min; the planner
+    // must never return a clean-looking partial plan)
+    val unbounded = stats
+      .groupBy("file_path").agg(max(col("mn").isNotNull.cast("int")).as("ok"))
+      .filter(col("ok") === 0).limit(5)
+      .collect().map(_.getString(0))
+    require(unbounded.isEmpty,
+      s"compactByTimeperiod: ${unbounded.length}+ file(s) have no usable " +
+        s"$tsCol min/max statistics and cannot be window-assigned " +
+        s"(e.g. ${unbounded.take(2).mkString(", ")}); repair stats or " +
+        "compact by rows instead")
+    val bounds = stats
       .filter(col("mn").isNotNull && col("mx").isNotNull)
       .groupBy("file_path").agg(min("mn").as("mn"), max("mx").as("mx"))
       .collect()

@@ -115,6 +115,53 @@ object Analytics8 {
         s"WHEN ${at(4)} = 1 THEN $second ELSE $later END")
   }
 
+  /** The q519/q528 per-weekday forecast substrate, ONE definition
+    * (review finding: the two queries carried verbatim copies — any
+    * quantile-rule edit had four sites to miss): daily order counts,
+    * 28-day holdout split on the max-day cutoff, and the exact
+    * lower-order-statistic quantile of each weekday's training
+    * counts. Returns (test frame: dw/x, p ⇒ forecast frame: dw/fc).
+    * dayofweek is grouping-internal on both engines (never output),
+    * so the Sun=0/Sun=1 convention difference is harmless.
+    */
+  private def wkQuantFrames(s: SparkSession, d: String)
+      : (DataFrame, Int => DataFrame) = {
+    val days = Tables.orders(s, d)
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val cut = days.agg(expr("date_add(max(day), -28)").as("cutoff"))
+    val marked = days.crossJoin(broadcast(cut))
+      .withColumn("dw", expr("dayofweek(day)").cast("long"))
+    val test = marked.filter(col("day") > col("cutoff")).select("dw", "x")
+    val ranked = marked.filter(col("day") <= col("cutoff"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("dw").orderBy(col("x").asc, col("day").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("dw")))
+    val fcAt = (p: Int) =>
+      ranked.filter(expr(s"rk = greatest(1, ($p * n + 99) div 100)"))
+        .select(col("dw"), col("x").as("fc"))
+    (test, fcAt)
+  }
+
+  /** The matching oracle CTE prefix (defines days/cut/marked/ranked;
+    * consumers add their own quantile/test/score CTEs).
+    */
+  private val WkQuantCte =
+    """WITH days AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |cut AS (SELECT date_add(max(day), -28) AS cutoff FROM days),
+      |marked AS (
+      |  SELECT day, x, CAST(dayofweek(day) AS BIGINT) AS dw, cutoff
+      |  FROM days, cut),
+      |ranked AS (
+      |  SELECT dw, x, ROW_NUMBER() OVER (PARTITION BY dw
+      |      ORDER BY x, day) AS rk,
+      |    COUNT(*) OVER (PARTITION BY dw) AS n
+      |  FROM marked WHERE day <= cutoff),
+      |test AS (SELECT dw, x FROM marked WHERE day > cutoff)""".stripMargin
+
   // ---- q518: gapped sequential patterns ------------------------------
 
   // ---- queries -------------------------------------------------------
@@ -211,12 +258,16 @@ object Analytics8 {
           expr("CAST(l_shipdate AS DATE)").as("day"))
         .agg(expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").as("z"))
         .withColumn("d", expr("datediff(day, DATE '1992-01-01')").cast("long"))
-        // loud guard on the encode precondition (the q502 rule): a
-        // per-part-day demand ≥ 10⁵ would silently corrupt the
-        // day·10⁵+z encode's day and size lanes — fail the run instead
+        // loud guards on BOTH encode preconditions (the q502 rule): a
+        // per-part-day demand ≥ 10⁵ corrupts the day·10⁵+z lanes, and
+        // a NEGATIVE day makes div (truncate) and // (floor) decode
+        // different days per engine — fail the run instead
         .withColumn("z", expr("CASE WHEN z >= 100000 THEN " +
           "CAST(raise_error('q514: per-day demand >= 10^5 breaks the " +
           "day encode') AS BIGINT) ELSE z END"))
+        .withColumn("d", expr("CASE WHEN d < 0 THEN " +
+          "CAST(raise_error('q514: shipdate before 1992-01-01 breaks " +
+          "the day encode sign') AS BIGINT) ELSE d END"))
       dem.groupBy("part")
         .agg(count(lit(1)).as("m"),
           expr("sort_array(collect_list(d * 100000 + z))").as("ev"))
@@ -249,11 +300,20 @@ object Analytics8 {
           sum(expr("1 - isa")).cast("long").as("nb_v"))
       val cum = graft.plans.GlobalOrder.withRunningSum(
         perV, Seq(col("v")), col("v"), col("nb_v"), "cumb")
+      // pair-count sums run in WIDE lanes (the q516 convention — the
+      // DuckDB side's SUM widens to int128 on its own, so an
+      // un-widened Spark SUM would silently wrap first). HONEST
+      // CEILING (the q296 convention): the gt/lt/eq OUTPUT columns are
+      // BIGINT, so the gate holds to n_a·n_b ≤ 2⁶³ — ~3·10⁹ events per
+      // side; beyond that the output lanes themselves move to
+      // DECIMAL(38,0)
       val agg = cum.agg(
         sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
-        sum(expr("na_v * (cumb - nb_v)")).as("gt"),
-        sum(expr("na_v * nb_v")).as("eq")).withColumn("lt",
-        expr("n_a * n_b - gt - eq"))
+        expr(s"CAST(SUM(${Sp.wide("na_v")} * (cumb - nb_v)) AS BIGINT)")
+          .as("gt"),
+        expr(s"CAST(SUM(${Sp.wide("na_v")} * nb_v) AS BIGINT)").as("eq"))
+        .withColumn("lt",
+          expr(s"CAST(${Sp.wide("n_a")} * n_b - gt - eq AS BIGINT)"))
       agg.select(col("n_a"), col("n_b"), col("gt"), col("lt"), col("eq"),
         expr(signedDiv(Sp, s"(${Sp.wide("gt")} - ${Sp.wide("lt")}) * 1000000",
           s"(${Sp.wide("n_a")} * n_b)")).as("delta_micro"))
@@ -378,20 +438,9 @@ object Analytics8 {
     // weekday's training counts; loss in exact centi-units:
     // 100·L = max(p·(y−ŷ), (p−100)·(y−ŷ)) with p ∈ {10, 50, 90}.
     "q519_pinball_loss" -> { (s, d) =>
-      val days = Tables.orders(s, d)
-        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
-        .agg(count(lit(1)).as("x"))
-      val cut = days.agg(expr("date_add(max(day), -28)").as("cutoff"))
-      val marked = days.crossJoin(broadcast(cut))
-        .withColumn("dw", expr("dayofweek(day)").cast("long"))
-      val train = marked.filter(col("day") <= col("cutoff"))
-      val test = marked.filter(col("day") > col("cutoff"))
-      val w = Window.partitionBy("dw").orderBy(col("x").asc, col("day").asc)
-      val ranked = train.withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("dw")))
+      val (test, fcAt) = wkQuantFrames(s, d)
       val qs = Seq(10, 50, 90).map { p =>
-        ranked.filter(expr(s"rk = greatest(1, ($p * n + 99) div 100)"))
-          .select(col("dw"), lit(p.toLong).as("p"), col("x").as("fc"))
+        fcAt(p).select(col("dw"), lit(p.toLong).as("p"), col("fc"))
       }.reduce(_.unionByName(_))
       test.join(qs, Seq("dw"))
         .withColumn("err", expr("x - fc"))
@@ -415,8 +464,12 @@ object Analytics8 {
       val toks = TextOps.docsWithToks(s, dir)
         .filter(expr("size(toks) >= 1"))
       val rated = toks.select(col("doc_id"),
-        // rater 1: adjacent-duplicate token ratio > 1/8
-        expr("CASE WHEN size(filter(sequence(1, size(toks) - 1), " +
+        // rater 1: adjacent-duplicate token ratio > 1/8. Single-token
+        // guard: Spark's sequence(1, 0) counts DOWN to [1, 0] and the
+        // lambda would hit index 0 (the rangeIncl b<a landmine) —
+        // DuckDB's range(1, 1) is just empty
+        expr("CASE WHEN size(toks) < 2 THEN 0 " +
+          "WHEN size(filter(sequence(1, size(toks) - 1), " +
           "i -> element_at(toks, i) = element_at(toks, i + 1))) * 8 " +
           "> size(toks) THEN 1 ELSE 0 END").as("r1"),
         // rater 2: mean token length < 4 (sum len < 4n); fold over the
@@ -597,20 +650,8 @@ object Analytics8 {
     // whether the band is HONEST: nominal 800 permille). Integer
     // permille, one row.
     "q528_interval_coverage" -> { (s, d) =>
-      val days = Tables.orders(s, d)
-        .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
-        .agg(count(lit(1)).as("x"))
-      val cut = days.agg(expr("date_add(max(day), -28)").as("cutoff"))
-      val marked = days.crossJoin(broadcast(cut))
-        .withColumn("dw", expr("dayofweek(day)").cast("long"))
-      val train = marked.filter(col("day") <= col("cutoff"))
-      val test = marked.filter(col("day") > col("cutoff"))
-      val w = Window.partitionBy("dw").orderBy(col("x").asc, col("day").asc)
-      val ranked = train.withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("dw")))
-      def q(p: Int, as: String) =
-        ranked.filter(expr(s"rk = greatest(1, ($p * n + 99) div 100)"))
-          .select(col("dw"), col("x").as(as))
+      val (test, fcAt) = wkQuantFrames(s, d)
+      def q(p: Int, as: String) = fcAt(p).select(col("dw"), col("fc").as(as))
       test.join(q(10, "lo"), Seq("dw")).join(q(90, "hi"), Seq("dw"))
         .agg(count(lit(1)).as("n_days"),
           sum(expr("CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END"))
@@ -799,8 +840,13 @@ object Analytics8 {
          |  FROM lineitem WHERE l_partkey % 97 = 7 GROUP BY 1, 2),
          |dd AS (
          |  SELECT part,
-         |    CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS d,
-         |    z
+         |    CASE WHEN date_diff('day', DATE '1992-01-01', day) < 0
+         |      THEN CAST(error('q514: shipdate before 1992-01-01 breaks
+         | the day encode sign') AS BIGINT)
+         |      ELSE CAST(date_diff('day', DATE '1992-01-01', day)
+         |        AS BIGINT) END AS d,
+         |    CASE WHEN z >= 100000 THEN CAST(error('q514: per-day demand
+         | >= 10^5 breaks the day encode') AS BIGINT) ELSE z END AS z
          |  FROM dem),
          |ser AS (
          |  SELECT part, CAST(COUNT(*) AS BIGINT) AS m,
@@ -833,10 +879,11 @@ object Analytics8 {
          |agg AS (
          |  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
          |    CAST(SUM(nb_v) AS BIGINT) AS n_b,
-         |    CAST(SUM(na_v * (cumb - nb_v)) AS BIGINT) AS gt,
-         |    CAST(SUM(na_v * nb_v) AS BIGINT) AS eq
+         |    CAST(SUM(${Du.wide("na_v")} * (cumb - nb_v)) AS BIGINT) AS gt,
+         |    CAST(SUM(${Du.wide("na_v")} * nb_v) AS BIGINT) AS eq
          |  FROM cum)
-         |SELECT n_a, n_b, gt, n_a * n_b - gt - eq AS lt, eq,
+         |SELECT n_a, n_b, gt,
+         |  CAST(${Du.wide("n_a")} * n_b - gt - eq AS BIGINT) AS lt, eq,
          |  ${signedDiv(Du,
              s"(${Du.wide("gt")} - ${Du.wide("(n_a * n_b - gt - eq)")}) " +
                "* 1000000",
@@ -938,24 +985,11 @@ object Analytics8 {
         |ORDER BY ta, tb""".stripMargin,
 
     "q519_pinball_loss" ->
-      """WITH days AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    CAST(COUNT(*) AS BIGINT) AS x
-        |  FROM orders GROUP BY 1),
-        |cut AS (SELECT date_add(max(day), -28) AS cutoff FROM days),
-        |marked AS (
-        |  SELECT day, x, CAST(dayofweek(day) AS BIGINT) AS dw, cutoff
-        |  FROM days, cut),
-        |ranked AS (
-        |  SELECT dw, x, ROW_NUMBER() OVER (PARTITION BY dw
-        |      ORDER BY x, day) AS rk,
-        |    COUNT(*) OVER (PARTITION BY dw) AS n
-        |  FROM marked WHERE day <= cutoff),
+      s"""$WkQuantCte,
         |qs AS (
         |  SELECT dw, p, x AS fc FROM ranked,
         |    (SELECT unnest([10, 50, 90]) AS p) ps
         |  WHERE rk = greatest(1, (p * n + 99) // 100)),
-        |test AS (SELECT dw, x FROM marked WHERE day > cutoff),
         |scored AS (
         |  SELECT CAST(p AS BIGINT) AS p,
         |    greatest(p * (x - fc), (p - 100) * (x - fc)) AS loss_centi
@@ -1150,24 +1184,11 @@ object Analytics8 {
          |FROM sv ORDER BY t_days""".stripMargin,
 
     "q528_interval_coverage" ->
-      """WITH days AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    CAST(COUNT(*) AS BIGINT) AS x
-        |  FROM orders GROUP BY 1),
-        |cut AS (SELECT date_add(max(day), -28) AS cutoff FROM days),
-        |marked AS (
-        |  SELECT day, x, CAST(dayofweek(day) AS BIGINT) AS dw, cutoff
-        |  FROM days, cut),
-        |ranked AS (
-        |  SELECT dw, x, ROW_NUMBER() OVER (PARTITION BY dw
-        |      ORDER BY x, day) AS rk,
-        |    COUNT(*) OVER (PARTITION BY dw) AS n
-        |  FROM marked WHERE day <= cutoff),
+      s"""$WkQuantCte,
         |lo AS (SELECT dw, x AS lo FROM ranked
         |  WHERE rk = greatest(1, (10 * n + 99) // 100)),
         |hi AS (SELECT dw, x AS hi FROM ranked
         |  WHERE rk = greatest(1, (90 * n + 99) // 100)),
-        |test AS (SELECT dw, x FROM marked WHERE day > cutoff),
         |agg AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
         |    CAST(SUM(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END)
