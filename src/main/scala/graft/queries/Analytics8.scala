@@ -724,6 +724,86 @@ object Analytics8 {
         .orderBy("bin")
     },
 
+    // Dedup survivorship policies: for each exact-duplicate cluster,
+    // which doc survives under keep-min-id / keep-longest /
+    // keep-best-TTR — and how often the three policies disagree (the
+    // governance number: if 30% of clusters keep DIFFERENT docs under
+    // different policies, the dedup config is a real modeling choice,
+    // not a formality). Ties break deterministically on doc_id; all
+    // lanes integer.
+    "q531_dedup_survivorship" -> { (s, dir) =>
+      val base = TextOps.docsWithToks(s, dir)
+        .filter(expr("size(toks) >= 1"))
+        .select(col("doc_id"),
+          expr(Sp.hash64(Sp.strJoin("toks", " "))).as("th"),
+          expr("CAST(size(toks) AS BIGINT)").as("nt"),
+          expr("CAST(size(array_distinct(toks)) * 1000 div size(toks) " +
+            "AS BIGINT)").as("ttr"))
+      // per-policy survivors via rank windows partitioned by cluster
+      // (min_by-with-struct-key tiebreak semantics differ per engine;
+      // row_number with an explicit ORDER BY is the one shared form)
+      def survivor(ord: Seq[org.apache.spark.sql.Column], as: String) =
+        base.withColumn("__rk", row_number().over(
+          Window.partitionBy("th").orderBy(ord: _*)))
+          .filter(col("__rk") === 1).select(col("th"), col("doc_id").as(as))
+      val pol = base.groupBy("th").agg(count(lit(1)).as("csize"))
+        .join(survivor(Seq(col("doc_id").asc), "keep_minid"), "th")
+        .join(survivor(Seq(col("nt").desc, col("doc_id").asc),
+          "keep_longest"), "th")
+        .join(survivor(Seq(col("ttr").desc, col("doc_id").asc),
+          "keep_best_ttr"), "th")
+      pol.agg(
+        count(lit(1)).as("n_clusters"),
+        sum(expr("CASE WHEN csize > 1 THEN 1 ELSE 0 END")).cast("long")
+          .as("n_multi"),
+        sum(expr("CASE WHEN keep_minid = keep_longest AND " +
+          "keep_longest = keep_best_ttr THEN 0 ELSE 1 END")).cast("long")
+          .as("n_disagree"),
+        sum(expr("CASE WHEN keep_minid <> keep_longest THEN 1 ELSE 0 END"))
+          .cast("long").as("n_id_vs_len"),
+        sum(expr("CASE WHEN keep_longest <> keep_best_ttr THEN 1 ELSE 0 " +
+          "END")).cast("long").as("n_len_vs_ttr"))
+        .withColumn("disagree_permille_multi",
+          expr("CASE WHEN n_multi = 0 THEN NULL ELSE " +
+            "n_disagree * 1000 div n_multi END"))
+    },
+
+    // Hellinger distance between the pre- and post-1996 event-type
+    // mixes — the bounded, symmetric drift metric next to q310's TVD
+    // (TVD sees mass moved; Hellinger weights small-probability
+    // changes, the tail-drift detector). Shares are exact permille
+    // integers; the ONE float sequence is the sorted-array sequential
+    // fold of √(p·q) terms in fixed type order, then 1 − Σ through
+    // a shared text.
+    "q532_hellinger_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("per",
+          expr("CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END"))
+      val mix = ev.groupBy("event_type")
+        .agg(sum(expr("1 - per")).cast("long").as("n_pre"),
+          sum("per").cast("long").as("n_post"))
+      val tot = mix.agg(sum("n_pre").as("t_pre"), sum("n_post").as("t_post"))
+      val lanes = mix.crossJoin(broadcast(tot))
+        .withColumn("p_micro", expr("n_pre * 1000000 div t_pre"))
+        .withColumn("q_micro", expr("n_post * 1000000 div t_post"))
+      // per-type √(p·q) terms FIRST (transform), then a sequential
+      // double fold — the two-stage shape is load-bearing on the
+      // DuckDB side (list_reduce's init-as-element rule can't unify a
+      // struct element with a double accumulator)
+      val arr = lanes.agg(expr(
+        "sort_array(collect_list(struct(event_type, p_micro, q_micro)))")
+        .as("a"))
+      val terms = Sp.transform("a", "v",
+        "sqrt((CAST(v.p_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)) * " +
+          "(CAST(v.q_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)))")
+      val bc = Sp.fold(terms, "CAST(0 AS DOUBLE)", "acc", "v", "acc + v")
+      lanes.select("event_type", "n_pre", "n_post", "p_micro", "q_micro")
+        .crossJoin(broadcast(arr.select(expr(
+          s"CAST(floor((CAST(1 AS DOUBLE) - least(CAST(1 AS DOUBLE), $bc))" +
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)").as("h2_micro"))))
+        .orderBy("event_type")
+    },
+
     // Distributed stats-sidecar gate (the round-9 StatsSidecar.update
     // rewrite): write orders hive-partitioned by status in one task
     // (file count per partition = ceil(rows / 4096), deterministic),
@@ -1257,6 +1337,79 @@ object Analytics8 {
          |SELECT bin, n_b, n_ret, acc_milli, conf_avg_milli, gap_milli,
          |  ece_micro
          |FROM lanes, ece ORDER BY bin""".stripMargin,
+
+    "q531_dedup_survivorship" ->
+      s"""$DuckToksBase,
+         |b2 AS (
+         |  SELECT doc_id, ${Du.hash64(Du.strJoin("toks", " "))} AS th,
+         |    CAST(${Du.size("toks")} AS BIGINT) AS nt,
+         |    CAST(CAST(${Du.size(Du.arrDistinct("toks"))} AS BIGINT)
+         |      * 1000 // ${Du.size("toks")} AS BIGINT) AS ttr
+         |  FROM base WHERE ${Du.size("toks")} >= 1),
+         |minid AS (SELECT th, doc_id AS keep_minid FROM
+         |  (SELECT th, doc_id, ROW_NUMBER() OVER (PARTITION BY th
+         |     ORDER BY doc_id) AS rk FROM b2) z WHERE rk = 1),
+         |lng AS (SELECT th, doc_id AS keep_longest FROM
+         |  (SELECT th, doc_id, ROW_NUMBER() OVER (PARTITION BY th
+         |     ORDER BY nt DESC, doc_id) AS rk FROM b2) z WHERE rk = 1),
+         |bt AS (SELECT th, doc_id AS keep_best_ttr FROM
+         |  (SELECT th, doc_id, ROW_NUMBER() OVER (PARTITION BY th
+         |     ORDER BY ttr DESC, doc_id) AS rk FROM b2) z WHERE rk = 1),
+         |pol AS (
+         |  SELECT c.th, c.csize, keep_minid, keep_longest, keep_best_ttr
+         |  FROM (SELECT th, COUNT(*) AS csize FROM b2 GROUP BY th) c
+         |  JOIN minid USING (th) JOIN lng USING (th) JOIN bt USING (th)),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |    CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_multi,
+         |    CAST(SUM(CASE WHEN keep_minid = keep_longest AND
+         |      keep_longest = keep_best_ttr THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_disagree,
+         |    CAST(SUM(CASE WHEN keep_minid <> keep_longest THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_id_vs_len,
+         |    CAST(SUM(CASE WHEN keep_longest <> keep_best_ttr THEN 1
+         |      ELSE 0 END) AS BIGINT) AS n_len_vs_ttr
+         |  FROM pol)
+         |SELECT *, CASE WHEN n_multi = 0 THEN NULL ELSE
+         |  CAST(n_disagree * 1000 // n_multi AS BIGINT) END
+         |  AS disagree_permille_multi
+         |FROM agg""".stripMargin,
+
+    "q532_hellinger_drift" -> {
+      val terms = Du.transform("a", "v",
+        "sqrt((CAST(v.p_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)) * " +
+          "(CAST(v.q_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)))")
+      val bc = Du.fold(terms, "CAST(0 AS DOUBLE)", "acc", "v", "acc + v")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CASE WHEN ts::TIMESTAMP >= TIMESTAMP '2024-01-16' THEN 1
+         |      ELSE 0 END AS per
+         |  FROM events),
+         |mix AS (
+         |  SELECT event_type, CAST(SUM(1 - per) AS BIGINT) AS n_pre,
+         |    CAST(SUM(per) AS BIGINT) AS n_post
+         |  FROM ev GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_pre) AS BIGINT) AS t_pre,
+         |  CAST(SUM(n_post) AS BIGINT) AS t_post FROM mix),
+         |lanes AS (
+         |  SELECT event_type, n_pre, n_post,
+         |    CAST(n_pre * 1000000 // t_pre AS BIGINT) AS p_micro,
+         |    CAST(n_post * 1000000 // t_post AS BIGINT) AS q_micro
+         |  FROM mix, tot),
+         |arr AS (
+         |  SELECT list({'event_type': event_type, 'p_micro': p_micro,
+         |    'q_micro': q_micro} ORDER BY event_type, p_micro, q_micro)
+         |    AS a
+         |  FROM lanes),
+         |h AS (
+         |  SELECT CAST(floor((CAST(1 AS DOUBLE) -
+         |    least(CAST(1 AS DOUBLE), ${bc})) *
+         |    CAST(1000000 AS DOUBLE)) AS BIGINT) AS h2_micro
+         |  FROM arr)
+         |SELECT event_type, n_pre, n_post, p_micro, q_micro, h2_micro
+         |FROM lanes, h ORDER BY event_type""".stripMargin
+    },
 
     "q521_sidecar_stats" ->
       """SELECT o_orderstatus AS status,

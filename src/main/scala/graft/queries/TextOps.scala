@@ -1267,6 +1267,54 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // LSH band-geometry sweep: the (rows-per-band r, bands b) tuning
+    // table for the 16-lane minhash signature — r=2/b=8 (the shipped
+    // geometry), 4/4, 8/2. Two numbers per geometry: PROBE volume
+    // (Σ_key C(n,2) over band-key groups — the join work an index at
+    // that geometry pays, clone clusters counted at full cost, which
+    // IS the uncollapsed probe bill) and RECALL of the jm ≥ 700
+    // near-dup truth set (the collapsed pairJaccard substrate — truth
+    // is output-sized, so the per-pair band checks are lambda work
+    // over 16-lane arrays, never a per-geometry candidate self-join).
+    "q533_lsh_band_sweep" -> { (s, dir) =>
+      val sig = Tables.memo(s, s"$dir#mh16arr") {
+        minhash16(s, dir).groupBy("doc_id")
+          .agg(expr("transform(sort_array(collect_list(struct(j, h))), " +
+            "x -> x.h)").as("mh"))
+      }
+      val truth = pairJaccard(s, dir)
+        .filter(expr("n_inter * 1000 div n_union >= 700"))
+        .select("doc_a", "doc_b")
+        .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("ma")),
+          "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mb")),
+          "doc_b")
+      val geoms = Seq(2, 4, 8)
+      geoms.map { r =>
+        val b = 16 / r
+        val probe = sig
+          .select(explode(expr(
+            s"transform(sequence(0, ${b - 1}), i -> concat(i, '|', " +
+              s"concat_ws(',', transform(slice(mh, i * $r + 1, $r), " +
+              "x -> cast(x as string)))))")).as("bk"))
+          .groupBy("bk").agg(count(lit(1)).as("c"))
+          .agg(expr("CAST(SUM(c * (c - 1) div 2) AS BIGINT)")
+            .as("probe_pairs"))
+        val rec = truth
+          .withColumn("hit", expr(
+            s"CASE WHEN size(filter(sequence(0, ${b - 1}), " +
+              s"i -> slice(ma, i * $r + 1, $r) = slice(mb, i * $r + 1, $r)" +
+              ")) > 0 THEN 1 ELSE 0 END"))
+          .agg(count(lit(1)).as("n_true"),
+            sum("hit").cast("long").as("n_recalled"))
+        rec.crossJoin(broadcast(probe))
+          .select(lit(r.toLong).as("r_rows"), lit(b.toLong).as("n_bands"),
+            col("probe_pairs"), col("n_true"), col("n_recalled"),
+            expr("CASE WHEN n_true = 0 THEN NULL ELSE " +
+              "n_recalled * 1000 div n_true END").as("recall_permille"))
+      }.reduce(_.unionByName(_)).orderBy("r_rows")
+    },
+
     // Train/test near-dup leakage audit: how many LSH candidate pairs
     // straddle the q84 hash split — the contamination check every
     // eval pipeline owes its benchmark (a test doc whose near-twin
@@ -2175,6 +2223,53 @@ object TextOps {
   // ------------------------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q533_lsh_band_sweep" -> {
+      def geom(r: Int): String = {
+        val b = 16 / r
+        s"""SELECT CAST($r AS BIGINT) AS r_rows, CAST($b AS BIGINT) AS n_bands,
+           |  (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) FROM (
+           |     SELECT COUNT(*) AS c FROM (
+           |       SELECT unnest(${D.transform(D.rangeIncl("0", (b - 1).toString),
+                    "i", s"concat(i, '|', ${D.strJoin(
+                      D.slice("mh", s"CAST(i AS BIGINT) * $r + 1", r.toString), ",")})")})
+           |         AS bk FROM m) z GROUP BY bk) zz) AS probe_pairs,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           |  (SELECT CAST(SUM(CASE WHEN ${D.size(D.filterL(
+                  D.rangeIncl("0", (b - 1).toString), "i",
+                  s"ma[CAST(i AS BIGINT) * $r + 1 : CAST(i AS BIGINT) * $r + $r] = " +
+                    s"mb[CAST(i AS BIGINT) * $r + 1 : CAST(i AS BIGINT) * $r + $r]"))}
+           |     > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM truth) AS n_recalled""".stripMargin
+      }
+      s"""$duckBase,
+         |f AS (SELECT doc_id, ${shingleSet(D)} AS sh FROM base
+         |  WHERE ${D.size("toks")} >= 3),
+         |m AS (SELECT doc_id, ${minhashes(D)} AS mh FROM f),
+         |e AS (SELECT doc_id, unnest(${bandKeys(D)}) AS bk FROM m),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM e x JOIN e y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |jac AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(${D.size(D.arrIntersect("sa.sh", "sb.sh"))} AS BIGINT)
+         |      AS n_inter,
+         |    CAST(${D.size("sa.sh")} + ${D.size("sb.sh")} AS BIGINT) AS sz
+         |  FROM cand
+         |  JOIN f sa ON cand.doc_a = sa.doc_id
+         |  JOIN f sb ON cand.doc_b = sb.doc_id),
+         |truth AS (
+         |  SELECT doc_a, doc_b, ma.mh AS ma, mb.mh AS mb
+         |  FROM jac
+         |  JOIN m ma ON jac.doc_a = ma.doc_id
+         |  JOIN m mb ON jac.doc_b = mb.doc_id
+         |  WHERE n_inter * 1000 // (sz - n_inter) >= 700),
+         |g AS (${geom(2)} UNION ALL ${geom(4)} UNION ALL ${geom(8)})
+         |SELECT r_rows, n_bands, probe_pairs, n_true, n_recalled,
+         |  CASE WHEN n_true = 0 THEN NULL ELSE
+         |    CAST(n_recalled * 1000 // n_true AS BIGINT) END
+         |    AS recall_permille
+         |FROM g ORDER BY r_rows""".stripMargin
+    },
+
     "q24_text_tokens" ->
       s"""$duckBase
          |SELECT doc_id,
