@@ -112,13 +112,18 @@ object Maintenance {
       .select(col("file_path"),
         coalesce(col("min_int"), col("min_num").cast("long")).as("mn"),
         coalesce(col("max_int"), col("max_num").cast("long")).as("mx"))
-    // a file whose tsCol carries NO exact bounds (stats disabled by a
-    // third-party writer, or an all-NULL chunk) cannot be assigned to
-    // a window — fail LOUDLY rather than silently skipping it forever
-    // (pre-round-9 this crashed with an opaque empty.min; the planner
-    // must never return a clean-looking partial plan)
+    // a file whose tsCol carries NO usable bounds (stats disabled by a
+    // third-party writer, an all-NULL chunk, or — after schema
+    // evolution — no tsCol chunk AT ALL, so no stats row to inspect)
+    // cannot be assigned to a window — fail LOUDLY rather than
+    // silently skipping it forever (pre-round-9 this crashed with an
+    // opaque empty.min; the planner must never return a clean-looking
+    // partial plan). Both halves of the bound are required: the
+    // window-assignment below needs mn AND mx, so a one-sided bound is
+    // just as unassignable as none (round-10, advisor finding).
     val unbounded = stats
-      .groupBy("file_path").agg(max(col("mn").isNotNull.cast("int")).as("ok"))
+      .groupBy("file_path")
+      .agg(max((col("mn").isNotNull && col("mx").isNotNull).cast("int")).as("ok"))
       .filter(col("ok") === 0).limit(5)
       .collect().map(_.getString(0))
     require(unbounded.isEmpty,
@@ -126,6 +131,21 @@ object Maintenance {
         s"$tsCol min/max statistics and cannot be window-assigned " +
         s"(e.g. ${unbounded.take(2).mkString(", ")}); repair stats or " +
         "compact by rows instead")
+    // the stats frame is filtered to tsCol rows, so a file with no
+    // tsCol chunk never appears in it — cross-check the authoritative
+    // physical listing so those files fail the same loud contract
+    // instead of vanishing from every plan (driver-side set diff: both
+    // sides are file-PATH-sized, which the driver already holds)
+    val withStats =
+      stats.select("file_path").distinct().collect().map(_.getString(0)).toSet
+    val unlisted = ds.files
+      .map(f => FsUtil.relativize(ds.path, f))
+      .filterNot(withStats).take(5)
+    require(unlisted.isEmpty,
+      s"compactByTimeperiod: ${unlisted.length}+ file(s) carry no $tsCol " +
+        s"column chunk at all (schema evolution?) and cannot be " +
+        s"window-assigned (e.g. ${unlisted.take(2).mkString(", ")}); " +
+        "repair_schema or compact by rows instead")
     val bounds = stats
       .filter(col("mn").isNotNull && col("mx").isNotNull)
       .groupBy("file_path").agg(min("mn").as("mn"), max("mx").as("mx"))

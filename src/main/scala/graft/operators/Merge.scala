@@ -17,13 +17,21 @@ final case class MergeResult(
     insertedFiles: Seq[String],
     preservedFiles: Seq[String])
 
-/** Mid-swap merge failure — the reference's PartialMergeError contract
-  * (pydala/io.py:41-64; failure-preserves-metadata pinning
-  * tests/test_dataset_merge.py:705-757): partial results are preserved
-  * on disk, managed metadata is NOT refreshed, originals are untouched
-  * (the swap promotes strictly before deleting), and the payload
-  * carries recovery details — which rewrite files landed in the
-  * dataset and which remain staged under `_tmp_merge`.
+/** Mid-swap merge failure. DIVERGES from the reference error it is
+  * named after, deliberately: the reference's PartialMergeError
+  * (pydala/io.py:41-64, tests/test_dataset_merge.py:705-757) fires
+  * AFTER the merge physically succeeded, when only the metadata
+  * refresh fails, and carries the successful MergeResult. This engine
+  * has no post-merge refresh step that can fail independently (the
+  * sidecar update is part of the same call), so the error instead
+  * covers the failure mode this engine DOES have — a mid-PROMOTE
+  * physical failure — and carries file-level recovery payload:
+  * partial results are preserved on disk, managed metadata is NOT
+  * refreshed, originals are untouched (the swap promotes strictly
+  * before deleting), `promoted` lists rewrite files that landed in
+  * the dataset and `remaining` those still staged under `_tmp_merge`.
+  * The post-promote cleanup half of the swap has its own sibling
+  * contract, [[MergeCleanupError]].
   */
 final class PartialMergeError(
     val affectedFiles: Seq[String],
@@ -33,6 +41,27 @@ final class PartialMergeError(
   extends RuntimeException(
     s"merge swap failed after ${promoted.size} rewrite file(s) landed; " +
       s"${remaining.size} still staged; originals untouched", cause)
+
+/** Post-promote cleanup failure — the other half of the swap
+  * (round-10, advisor finding): every rewrite file landed, so the
+  * merge's DATA is durable and complete, but deleting the superseded
+  * originals failed partway. Until `remainingOriginals` are removed,
+  * their rows are visible TWICE (original + rewrite) — never lost or
+  * torn. `result` reflects the completed UPDATE phase (mirroring the
+  * reference's succeeded-but-unclean payload shape; the
+  * insert-remainder phase is not attempted after a failed cleanup, so
+  * `result.inserted` is 0); operators finish cleanup by deleting
+  * `remainingOriginals`, refreshing stats, and re-running the merge
+  * (idempotent: the rewritten keys now match and rewrite in place).
+  */
+final class MergeCleanupError(
+    val result: MergeResult,
+    val remainingOriginals: Seq[String],
+    cause: Throwable)
+  extends RuntimeException(
+    s"merge promote succeeded but ${remainingOriginals.size} superseded " +
+      s"original file(s) could not be deleted; their rows are duplicated " +
+      s"until cleanup", cause)
 
 /** Keyed merge (insert / update / upsert) with copy-on-write file
   * rewrites — reference pydala/dataset.py:1549-1777 and the contract
@@ -239,7 +268,20 @@ object Merge {
       catch { case e: FsUtil.PromoteFailedException =>
         throw new PartialMergeError(affectedRel, e.promoted, e.remaining, e)
       }
-      FsUtil.delete(path, affectedAbs.toIndexedSeq)
+      // the cleanup half of the swap carries its own recovery contract
+      // (round-10): after a successful promote the rewrite is durable,
+      // so a failed original-delete must surface the not-yet-deleted
+      // paths — silently returning would leave rows durably duplicated
+      // with no payload for operator cleanup.
+      try FsUtil.delete(path, affectedAbs.toIndexedSeq)
+      catch { case e: Throwable =>
+        val remainingOriginals = affectedAbs.filter(FsUtil.exists)
+          .map(f => FsUtil.relativize(path, f)).sorted.toSeq
+        throw new MergeCleanupError(
+          MergeResult(src.count(), 0L, updated, affectedRel,
+            ds.relFiles.filterNot(beforeAll.contains), preserved),
+          remainingOriginals, e)
+      }
       // invalidate the cached listing: the files just deleted must not
       // be served to the insert-remainder read below
       spark.catalog.refreshByPath(path)

@@ -515,7 +515,7 @@ object Lifecycle {
       // physical pin: EVERY row group of every file must carry the
       // bloom offset — a first-file-only check would let a partial
       // stamping regression pass
-      val offs = graft.sources.StatsSidecar.bloomFilterOffsets(dir, "o_orderkey")
+      val offs = graft.sources.StatsSidecar.bloomFilterOffsets(s, dir, "o_orderkey")
       require(offs.nonEmpty && offs.forall(_ >= 0),
         s"q145: missing bloom filter offsets for o_orderkey: $offs")
       val kb = ordersKeyBound(s, d)

@@ -380,8 +380,18 @@ object StreamOps {
       // arrival-robust by construction (the final compare keeps only
       // join windows provably below the final watermark), which the
       // dev loop re-verifies bit-exact under both layouts.
-      val nStage = sys.env.get("SPARK_GRAFT_STREAM_STAGE").map(_.toInt).getOrElse(2)
-      val ordered = sys.env.get("SPARK_GRAFT_STREAM_ORDERED").contains("1")
+      // Honored ONLY under SPARK_GRAFT_ONLY (the dev-loop / probe
+      // marker, round-10 advisor fix): by this code's own round-9
+      // measurements, multi-batch layouts make Spark's outer-join null
+      // emission run-nondeterministic, so a stray env var must never
+      // be able to change a correctness-gated driver run.
+      val devLoop = sys.env.contains("SPARK_GRAFT_ONLY")
+      val nStage =
+        if (devLoop)
+          sys.env.get("SPARK_GRAFT_STREAM_STAGE").map(_.toInt).getOrElse(2)
+        else 2
+      val ordered =
+        devLoop && sys.env.get("SPARK_GRAFT_STREAM_ORDERED").contains("1")
       def stage(df: DataFrame, tsCol: String, dir: String): Unit =
         (if (ordered)
           df.repartitionByRange(nStage, col(tsCol)).sortWithinPartitions(tsCol)

@@ -46,8 +46,21 @@ object FsUtil {
       catch { case _: Exception => p.stripPrefix("file:").dropWhile(_ == '/').prepended('/') }
     } else p
 
-  def delete(root: String, files: Seq[String]): Unit =
-    files.foreach(f => Files.deleteIfExists(Paths.get(stripScheme(f))))
+  /** Delete data files. `graft.fs.delete.failAfter=N` is a test-only
+    * chaos hook failing the (N+1)-th delete, so the post-promote
+    * cleanup contract (Merge/compaction) is exercised through the real
+    * path.
+    */
+  def delete(root: String, files: Seq[String]): Unit = {
+    val failAfter = sys.props.get("graft.fs.delete.failAfter").map(_.toInt)
+    var done = 0
+    files.foreach { f =>
+      if (failAfter.exists(_ <= done))
+        throw new java.io.IOException("injected delete failure (chaos hook)")
+      Files.deleteIfExists(Paths.get(stripScheme(f)))
+      done += 1
+    }
+  }
 
   def deleteRecursively(path: String): Unit = {
     val p = Paths.get(stripScheme(path))
@@ -92,31 +105,73 @@ object FsUtil {
     * creation is idempotent. Callers sequence promote BEFORE deleting
     * originals, so the worst failure state is duplicate visibility,
     * never row loss.
+    *
+    * Round-10 scale fix: the per-file moves run on a bounded thread
+    * pool (`graft.fs.promote.threads`, default 16). A 100 TB
+    * compaction wave can stage 10⁴–10⁵ files, and renames — or
+    * copy+delete in degraded mode — are independent per-file metadata
+    * ops that an object store serves concurrently; a serial driver
+    * loop was the one remaining single-threaded stage on the write
+    * path. Failure reporting stays EXACT: results are tracked per
+    * staged index, so `PromoteFailedException.promoted`/`remaining`
+    * partition the staged listing precisely (in listing order) no
+    * matter which concurrent move failed. The chaos hook
+    * (`graft.fs.rename.failAfter=N`, test-only) forces pool size 1 so
+    * "fails the (N+1)-th move, N landed" stays deterministic.
     */
   def promote(srcDir: String, dstDir: String): Seq[String] = {
     val failAfter = sys.props.get("graft.fs.rename.failAfter").map(_.toInt)
     val staged = listParquet(srcDir)
-    val moved = scala.collection.mutable.ArrayBuffer[String]()
-    staged.foreach { f =>
-      val rel = relativize(srcDir, f)
-      val dst = Paths.get(stripScheme(dstDir), rel)
-      try {
-        if (failAfter.exists(_ <= moved.size))
-          throw new java.io.IOException("injected promote failure (chaos hook)")
-        Files.createDirectories(dst.getParent)
-        if (renameDegraded) {
-          Files.copy(Paths.get(f), dst, StandardCopyOption.REPLACE_EXISTING)
-          Files.delete(Paths.get(f))
-        } else
-          Files.move(Paths.get(f), dst, StandardCopyOption.ATOMIC_MOVE)
-        moved += dst.toString
-      } catch { case e: Throwable =>
-        throw new PromoteFailedException(
-          moved.toSeq, staged.drop(moved.size), e)
+    if (staged.isEmpty) { deleteRecursively(srcDir); return Nil }
+    val threads =
+      if (failAfter.isDefined) 1
+      else math.max(1, math.min(staged.size,
+        sys.props.get("graft.fs.promote.threads").map(_.toInt).getOrElse(16)))
+    val degraded = renameDegraded
+    // parent dirs first, deduped and serial: cheap, and keeps the
+    // concurrent section to pure per-file moves
+    staged.map(f => Paths.get(stripScheme(dstDir), relativize(srcDir, f)).getParent)
+      .distinct.foreach(Files.createDirectories(_))
+    val landed = new Array[String](staged.size) // slot i = dst path or null
+    val firstFailure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      staged.zipWithIndex.foreach { case (f, i) =>
+        pool.execute(() => {
+          if (firstFailure.get() == null) {
+            try {
+              if (failAfter.exists(_ <= i))
+                throw new java.io.IOException(
+                  "injected promote failure (chaos hook)")
+              val dst = Paths.get(stripScheme(dstDir), relativize(srcDir, f))
+              if (degraded) {
+                Files.copy(Paths.get(f), dst, StandardCopyOption.REPLACE_EXISTING)
+                Files.delete(Paths.get(f))
+              } else
+                Files.move(Paths.get(f), dst, StandardCopyOption.ATOMIC_MOVE)
+              landed(i) = dst.toString
+            } catch {
+              case e: Throwable => firstFailure.compareAndSet(null, e)
+            }
+          }
+        })
       }
+      pool.shutdown()
+      // promote is metadata I/O; an hour means the store is gone, and
+      // hanging forever would wedge the whole write pipeline
+      if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
+        throw new java.io.IOException("promote thread pool timed out")
+    } finally pool.shutdownNow()
+    Option(firstFailure.get()).foreach { e =>
+      val promoted = staged.indices.collect {
+        case i if landed(i) != null => landed(i) }
+      val remaining = staged.indices.collect {
+        case i if landed(i) == null => staged(i) }
+      throw new PromoteFailedException(promoted, remaining, e)
     }
     deleteRecursively(srcDir)
-    moved.toSeq
+    staged.indices.map(landed)
   }
 
   def exists(p: String): Boolean = Files.exists(Paths.get(stripScheme(p)))

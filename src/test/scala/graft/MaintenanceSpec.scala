@@ -303,4 +303,36 @@ class MaintenanceSpec extends SparkSpecBase {
       assert(zds.scan(pred).filter(pred).count() == 2 * 16 * 16)
     }
   }
+
+  test("compactByTimeperiod fails LOUDLY when a file carries no tsCol " +
+    "column chunk at all (schema evolution)") {
+    val dir = tmpDir("cmpt_nots")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1, java.sql.Timestamp.valueOf("2024-03-01 01:00:00")))
+      .toDF("id", "ts").coalesce(1).write.mode("append").parquet(dir)
+    // evolved writer dropped the ts column: this file has NO ts chunk,
+    // so no stats row exists to inspect — it must not silently vanish
+    // from every plan forever
+    Seq(Tuple1(2)).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.compactByTimeperiod(ds, "ts", Maintenance.parseInterval("1d"),
+        dryRun = true)
+    }
+    assert(ex.getMessage.contains("no ts column chunk"), ex.getMessage)
+  }
+
+  test("compactByTimeperiod fails LOUDLY on an all-NULL tsCol file " +
+    "(one-sided/absent bounds)") {
+    val dir = tmpDir("cmpt_null")
+    val ds = new ParquetDataset(spark, dir)
+    Seq((1, Some(java.sql.Timestamp.valueOf("2024-03-01 01:00:00"))))
+      .toDF("id", "ts").coalesce(1).write.mode("append").parquet(dir)
+    Seq((2, Option.empty[java.sql.Timestamp]))
+      .toDF("id", "ts").coalesce(1).write.mode("append").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.compactByTimeperiod(ds, "ts", Maintenance.parseInterval("1d"),
+        dryRun = true)
+    }
+    assert(ex.getMessage.contains("min/max statistics"), ex.getMessage)
+  }
 }

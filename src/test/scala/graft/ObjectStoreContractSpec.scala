@@ -162,4 +162,59 @@ class ObjectStoreContractSpec extends SparkSpecBase {
     assert(!FsUtil.exists(staged.head))
     assert(FsUtil.exists(moved.head))
   }
+
+  test("post-promote cleanup failure raises MergeCleanupError with the " +
+    "not-yet-deleted originals; rows duplicated, never lost; cleanup " +
+    "completes the merge") {
+    val dir = tmpDir("osc_mrgclean")
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"old$i")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val ds = new ParquetDataset(spark, dir)
+    val src = (1 to 4).map(i => (i.toLong, s"new$i")).toDF("k", "v")
+      .repartition(4)
+    sys.props("graft.fs.delete.failAfter") = "1"
+    val ex = try intercept[operators.MergeCleanupError] {
+      operators.Merge(ds, src, Seq("k"), "update")
+    } finally sys.props.remove("graft.fs.delete.failAfter")
+    // promote succeeded: the rewrite is durable and complete
+    assert(ex.result.updated == 4, ex.getMessage)
+    assert(ex.remainingOriginals.size == 3, ex.remainingOriginals)
+    // duplicate visibility (documented window), never loss: every key
+    // shows its NEW value, and the 3 undeleted originals add old rows
+    spark.catalog.refreshByPath(dir)
+    val vis = ds.df.as[(Long, String)].collect().toSeq
+    (1 to 4).foreach(i => assert(vis.contains((i.toLong, s"new$i")),
+      s"rewritten row $i lost; visible=$vis"))
+    assert(vis.size == 7, s"expected 4 new + 3 undeleted old, got $vis")
+    // operator cleanup per the error's contract finishes the swap
+    FsUtil.delete(dir, ex.remainingOriginals.map(f => s"$dir/$f"))
+    spark.catalog.refreshByPath(dir)
+    assert(ds.df.as[(Long, String)].collect().toSet ==
+      (1 to 4).map(i => (i.toLong, s"new$i")).toSet)
+  }
+
+  test("parallel promote moves a many-file staging wave completely, " +
+    "in listing order, under both modes") {
+    for (mode <- Seq("atomic", "degraded")) {
+      val src = tmpDir(s"osc_par_src_$mode")
+      val dst = tmpDir(s"osc_par_dst_$mode")
+      (1 to 40).map(i => (i, s"p${i % 4}")).toDF("id", "part")
+        .repartition(40).write.partitionBy("part").mode("append").parquet(src)
+      val staged = FsUtil.listParquet(src)
+      assert(staged.size >= 30, s"want a wide wave, got ${staged.size}")
+      val moved =
+        if (mode == "degraded") degraded { FsUtil.promote(src, dst) }
+        else FsUtil.promote(src, dst)
+      assert(moved.size == staged.size)
+      // listing order preserved slot-for-slot
+      staged.zip(moved).foreach { case (s0, d0) =>
+        assert(FsUtil.relativize(src, s0) == FsUtil.relativize(dst, d0))
+      }
+      moved.foreach(f => assert(FsUtil.exists(f), s"missing after promote: $f"))
+      assert(!FsUtil.exists(src), "staging dir must be gone")
+      assert(spark.read.parquet(dst).count() == 40)
+    }
+  }
 }

@@ -59,8 +59,8 @@ class WritePipelineSpec extends SparkSpecBase {
     WritePipeline.write(
       (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v"),
       dir, WriteConfig(bloomFilterCols = Seq("k")))
-    val ks = StatsSidecar.bloomFilterOffsets(dir, "k")
-    val vs = StatsSidecar.bloomFilterOffsets(dir, "v")
+    val ks = StatsSidecar.bloomFilterOffsets(spark, dir, "k")
+    val vs = StatsSidecar.bloomFilterOffsets(spark, dir, "v")
     assert(ks.nonEmpty && ks.forall(_ >= 0), s"bloom missing on configured column: $ks")
     assert(vs.nonEmpty && vs.forall(_ < 0), s"bloom stamped on unconfigured column: $vs")
   }
