@@ -432,6 +432,80 @@ object StreamOps {
         .orderBy("user_id")
     },
 
+    // EMISSION-COMPLETE left-outer interval join (round-10, verdict
+    // #1): the production composition SCALE.md §q201 recommends,
+    // shipped as a first-class operator
+    // (StreamIngest.reconcileOuterIntervalJoin). The stream lane is
+    // the INNER interval join (matched pairs, low latency); a batch
+    // reconciliation over the settled inputs backfills pairs the
+    // stream lane dropped and derives the unmatched null-extended
+    // lane by anti-join — so the result equals the batch left-outer
+    // join bit-for-bit no matter how arrival was batched or ordered.
+    //
+    // The gate therefore runs the ADVERSARIAL corner q201 must avoid:
+    // 5 hash-sliced micro-batches per side, each slice spanning the
+    // FULL time range (the layout under which the raw outer join
+    // emitted 10% of the oracle's unmatched rows and the inner lane
+    // itself loses evicted-partner pairs). No watermark-settled
+    // filter is needed — completeness is by construction, and the
+    // oracle is the PLAIN left outer interval join over all data.
+    "q534_stream_reconciled_outer_join" -> { (s, d) =>
+      val stageL = Lifecycle.tmpDir("q534l")
+      val stageR = Lifecycle.tmpDir("q534r")
+      val out = Lifecycle.tmpDir("q534o")
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+      val l = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id").as("lid"), col("ts").as("lts"), col("user_id"))
+      val r = ev.filter(col("event_id") % 3 === 1)
+        .select(col("event_id").as("rid"), col("ts").as("rts"), col("user_id"))
+      def stage(df: DataFrame, idCol: String, dir: String): Unit =
+        (0 until 5).foreach { i =>
+          df.filter(pmod(xxhash64(col(idCol)), lit(5)) === i)
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
+      stage(l, "lid", stageL)
+      stage(r, "rid", stageR)
+      withShufflePartitions(s, 4) {
+        val joined = StreamIngest.intervalJoin(
+          streamOf(s, stageL, l.schema, filesPerTrigger = 1),
+          streamOf(s, stageR, r.schema, filesPerTrigger = 1),
+          Seq("user_id"), "lts", "rts",
+          before = "0 seconds", after = "10 minutes",
+          watermark = "30 minutes", joinType = "inner")
+        val q = joined.writeStream.outputMode("append")
+          .option("checkpointLocation", Lifecycle.tmpDir("q534c"))
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        drain(q, "q534", 2)
+      }
+      // explicit schema: under full-range disorder the inner lane may
+      // legitimately emit nothing at tiny scale (all partner state
+      // evicted) — an empty out dir must read as an empty frame, and
+      // the reconciliation still produces the complete result
+      val matchedSchema = org.apache.spark.sql.types.StructType(
+        l.schema.fields ++ r.schema.fields.filterNot(_.name == "user_id"))
+      val streamMatched = s.read.schema(matchedSchema).parquet(out)
+      // settled inputs = the staged (ingested) files themselves
+      val lB = s.read.schema(l.schema).parquet(stageL)
+      val rB = s.read.schema(r.schema).parquet(stageR)
+      val complete = StreamIngest.reconcileOuterIntervalJoin(
+        streamMatched, lB, rB, Seq("user_id"), "lts", "rts",
+        "0 seconds", "10 minutes", "lid", "rid")
+      System.err.println(s"[stream] q534 inner-lane emitted " +
+        s"${streamMatched.count()} matched pairs pre-reconcile")
+      complete
+        .withColumn("ltsu", expr("unix_micros(lts)"))
+        .withColumn("rtsu", expr("unix_micros(rts)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("rid")).as("n_matched"),
+          (count(lit(1)) - count(col("rid"))).as("n_unmatched"),
+          coalesce(sum(col("rtsu") - col("ltsu")), lit(0L)).as("sum_lag_us"))
+        .orderBy("user_id")
+    },
+
     // Streaming INCREMENTAL VIEW MAINTENANCE: the per-status revenue
     // rollup maintained across micro-batches by DeltaAgg.merge inside
     // foreachBatch — the integration gate tying the streaming stack
@@ -829,6 +903,23 @@ object StreamOps {
         |       COUNT(*) - COUNT(rid) AS n_unmatched,
         |       CAST(COALESCE(SUM(rtsu - ltsu), 0) AS BIGINT) AS sum_lag_us
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // complete-emission truth, NO settled-watermark filter: the
+    // reconciled composition must equal the plain batch outer join
+    "q534_stream_reconciled_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts::TIMESTAMP) AS tsu, user_id FROM events),
+        |l AS (SELECT event_id AS lid, tsu AS ltsu, user_id FROM e WHERE event_id % 3 = 0),
+        |r AS (SELECT event_id AS rid, tsu AS rtsu, user_id FROM e WHERE event_id % 3 = 1),
+        |j AS (
+        |  SELECT l.user_id, l.lid, l.ltsu, r.rid, r.rtsu
+        |  FROM l LEFT JOIN r
+        |    ON l.user_id = r.user_id
+        |   AND r.rtsu >= l.ltsu AND r.rtsu <= l.ltsu + 600000000)
+        |SELECT user_id, COUNT(*) AS n_rows, COUNT(rid) AS n_matched,
+        |       COUNT(*) - COUNT(rid) AS n_unmatched,
+        |       CAST(COALESCE(SUM(rtsu - ltsu), 0) AS BIGINT) AS sum_lag_us
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q487_stream_ivm" ->
       """WITH upd AS (
