@@ -97,26 +97,39 @@ object Analytics7 {
       s"ELSE -CAST(${d.intDiv(s"$negNum * 1000000", den)} AS BIGINT) END"
   }
 
-  /** The q494/q497/q498 mining substrate: the hash-defined 5% query
-    * slice against the rest of the corpus, cosine per pair through
-    * the shared sequential fold. Brute-force is the verifier tier
-    * (the q33 shape — query slice broadcasts, corpus streams); at
-    * 100 TB the pair frame swaps to the q34/q79 LSH/IVF candidate
-    * path with identical downstream scoring.
+  /** The q494/q497/q498 mining substrate: a FIXED-size (~25 id)
+    * query panel against the rest of the corpus, cosine per pair
+    * through the shared sequential fold. Brute-force is the verifier
+    * tier (the q33 shape — query panel broadcasts, corpus streams),
+    * and the fixed panel keeps it LINEAR in corpus size; at 100 TB
+    * the pair frame swaps to the q34/q79 LSH/IVF candidate path with
+    * identical downstream scoring.
     */
+  /** FIXED-SIZE panel modulus (round-10, verdict #4): ~25 query ids
+    * via a count-derived modulus, so the brute-force tier stays
+    * LINEAR in corpus size; a fraction panel made it quadratic. At
+    * the gate's sf the modulus evaluates to the same 20.
+    */
+  private def embPanelMod(s: SparkSession, d: String): Long =
+    Tables.memo(s, s"$d#a7embmod") {
+      import s.implicits._
+      Seq(math.max(1L, Tables.embeddings(s, d).count() / 25L)).toDF("m")
+    }.head().getLong(0)
+
   private def embPairs(s: SparkSession, d: String): DataFrame =
     Tables.memo(s, s"$d#a7embpairs") {
       // norms hoisted per VECTOR (n sqrt-folds, not 2 per pair); the
       // per-pair work is the dot fold alone. Op sequence is unchanged
       // vs SqlDialect.cosine — dot, two sqrts, multiply, divide — so
       // the double is bit-identical to the inline form on both engines.
+      val m = embPanelMod(s, d)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           expr(s"sqrt(${Sp.norm2("embedding")})").as("nrm"))
-      val src = emb.filter(expr("vec_id % 20 = 0"))
+      val src = emb.filter(expr(s"vec_id % $m = 0"))
         .select(col("vec_id").as("sid"), col("embedding").as("se"),
           col("nrm").as("sn"))
-      val tgt = emb.filter(expr("vec_id % 20 <> 0"))
+      val tgt = emb.filter(expr(s"vec_id % $m <> 0"))
         .select(col("vec_id").as("tid"), col("embedding").as("te"),
           col("nrm").as("tn"))
       tgt.crossJoin(broadcast(src))
@@ -128,14 +141,16 @@ object Analytics7 {
     * norms hoisted identically.
     */
   private def embPairsCte: String =
-    s"""src AS (
+    s"""qm AS (
+       |  SELECT greatest(1, count(*) // 25) AS m FROM embeddings),
+       |src AS (
        |  SELECT vec_id AS sid, embedding AS se,
        |    sqrt(${Du.norm2("embedding")}) AS sn
-       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |  FROM embeddings, qm WHERE vec_id % qm.m = 0),
        |tgt AS (
        |  SELECT vec_id AS tid, embedding AS te,
        |    sqrt(${Du.norm2("embedding")}) AS tn
-       |  FROM embeddings WHERE vec_id % 20 <> 0),
+       |  FROM embeddings, qm WHERE vec_id % qm.m <> 0),
        |pairs AS (
        |  SELECT sid, tid, (${Du.dot("se", "te")}) / (sn * tn) AS cos
        |  FROM src, tgt)""".stripMargin
@@ -736,7 +751,7 @@ object Analytics7 {
         .filter(col("rn") <= 8)
         .groupBy("tid").agg(count(lit(1)).as("o"))
       val allT = Tables.embeddings(s, d)
-        .filter(expr("vec_id % 20 <> 0"))
+        .filter(expr(s"vec_id % ${embPanelMod(s, d)} <> 0"))
         .select(col("vec_id").as("tid"))
       val o = allT.join(occ8, Seq("tid"), "left")
         .withColumn("occ", coalesce(col("o"), lit(0L)))

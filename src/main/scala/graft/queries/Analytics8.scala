@@ -211,9 +211,16 @@ object Analytics8 {
           d.withColumn(s"${pfx}n$k", expr(s"sqrt(${Sp.norm2(a)})"))
         }
       val e = Tables.embeddings(s, dir)
-      val q = withNorms(e.filter(col("vec_id") % 25 === 0)
+      // FIXED-SIZE query panel (round-10, verdict #4): ~20 qids via a
+      // count-derived modulus, so the brute-force ground-truth tier is
+      // LINEAR in corpus size (panel × corpus pairs), not quadratic —
+      // a fraction-scaled panel (the old % 25) made the pair frame
+      // grow as N²/25 at 100×. The count is one scalar metadata-cheap
+      // job; at the gate's sf the modulus evaluates to the same 25.
+      val qmod = math.max(1L, e.count() / 20L)
+      val q = withNorms(e.filter(col("vec_id") % qmod === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe")), "q")
-      val c = withNorms(e.filter(col("vec_id") % 25 =!= 0)
+      val c = withNorms(e.filter(col("vec_id") % qmod =!= 0)
         .select(col("vec_id").as("nb"), col("embedding").as("ce")), "c")
       def cosK(k: Int): String = {
         val a = if (k == 64) "qe" else s"slice(qe, 1, $k)"
@@ -879,14 +886,16 @@ object Analytics8 {
         val b = if (k == 64) "ce" else s"ce[1:$k]"
         s"(${Du.dot(a, b)}) / (qn$k * cn$k)"
       }
-      s"""WITH q AS (
+      s"""WITH qm AS (
+         |  SELECT greatest(1, count(*) // 20) AS m FROM embeddings),
+         |q AS (
          |  SELECT vec_id AS qid, qe, ${norms("q")}
-         |  FROM (SELECT vec_id, embedding AS qe FROM embeddings
-         |        WHERE vec_id % 25 = 0) z),
+         |  FROM (SELECT vec_id, embedding AS qe FROM embeddings, qm
+         |        WHERE vec_id % qm.m = 0) z),
          |c AS (
          |  SELECT vec_id AS nb, ce, ${norms("c")}
-         |  FROM (SELECT vec_id, embedding AS ce FROM embeddings
-         |        WHERE vec_id % 25 <> 0) z),
+         |  FROM (SELECT vec_id, embedding AS ce FROM embeddings, qm
+         |        WHERE vec_id % qm.m <> 0) z),
          |pairs AS (
          |  SELECT qid, nb,
          |    ${cosK(16)} AS c16, ${cosK(32)} AS c32, ${cosK(64)} AS c64

@@ -38,6 +38,15 @@ OFFSETS = {  # table -> columns shifted by copy_index * stride
     "documents": ["doc_id"],
 }
 
+# optional fourth arg: extra table:idcol pairs to replicate (default
+# none — embeddings normally copy as-is). Round-10 use:
+#   tools/probe10x.py SRC OUT 10 embeddings:vec_id
+# grows the ANN corpus 10x so the fixed-panel ground-truth tiers
+# (q513/q494/q497/q498) can be probed for linear pair-frame growth.
+for extra in (sys.argv[4].split(",") if len(sys.argv) > 4 else []):
+    t, c = extra.split(":")
+    OFFSETS[t] = [c]
+
 
 def main() -> None:
     if OUT.exists():
