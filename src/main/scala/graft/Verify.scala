@@ -71,7 +71,13 @@ object Verify {
     val hashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.selectQueries(only).foreach { case (name, fn) =>
       try {
-        ntzNormalized(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+        val norm = ntzNormalized(fn(spark, sfDir))
+        // round-10 (verdict #7): a result family the seam spec hasn't
+        // pinned must fail HERE, loudly, before it can reach the
+        // driver comparator (the r6–r8 HUGEINT class was exactly an
+        // unpinned-family seam)
+        graft.core.CanonHash.assertSeamCovered(name, norm.schema)
+        norm.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         val lines = graft.core.CanonHash.lines(spark.read.parquet(s"$outDir/$name"))
         val h = graft.core.CanonHash.hashOfLines(lines)

@@ -53,4 +53,32 @@ object CanonHash {
 
   /** Canonical SHA-256 of a DataFrame's values. */
   def of(df: DataFrame): String = hashOfLines(lines(df))
+
+  /** The result-column type families CanonSeamSpec adversarially
+    * round-trips through the full dump seam (Spark render → parquet →
+    * read-back → DuckDB comparator). This list and the spec's row
+    * fixtures move TOGETHER — round-10, verdict #7.
+    */
+  val CoveredFamilies: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(LongType, IntegerType, ShortType, BooleanType, DoubleType,
+      StringType, DateType, TimestampType, TimestampNTZType)
+  }
+
+  /** Fail LOUDLY if `schema` carries a type family the seam spec does
+    * not cover (round-10, verdict #7): the r6–r8 red cells were a
+    * rendering seam on a family nobody had pinned (HUGEINT via the
+    * comparator); a new family (decimal, array output, …) must extend
+    * CanonSeamSpec BEFORE it can ship through Verify, not after the
+    * driver flags it.
+    */
+  def assertSeamCovered(name: String,
+                        schema: org.apache.spark.sql.types.StructType): Unit = {
+    val uncovered = schema.fields.filterNot(f => CoveredFamilies(f.dataType))
+    require(uncovered.isEmpty,
+      s"$name: result schema contains type families the canonical-seam " +
+        s"spec does not cover: ${uncovered.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .mkString(", ")} — extend CanonSeamSpec (and CoveredFamilies) " +
+        "with adversarial fixtures for the new family first")
+  }
 }

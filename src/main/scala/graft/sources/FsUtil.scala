@@ -132,6 +132,10 @@ object FsUtil {
     // concurrent section to pure per-file moves
     staged.map(f => Paths.get(stripScheme(dstDir), relativize(srcDir, f)).getParent)
       .distinct.foreach(Files.createDirectories(_))
+    // probe-only: per-move latency injection (graft.fs.rename.latencyMs)
+    // models an object store's ~10–100 ms per-op round trip, which
+    // local-FS renames can't reproduce — see PromoteProbe / SCALE.md
+    val latencyMs = sys.props.get("graft.fs.rename.latencyMs").map(_.toLong)
     val landed = new Array[String](staged.size) // slot i = dst path or null
     val firstFailure =
       new java.util.concurrent.atomic.AtomicReference[Throwable]()
@@ -144,6 +148,7 @@ object FsUtil {
               if (failAfter.exists(_ <= i))
                 throw new java.io.IOException(
                   "injected promote failure (chaos hook)")
+              latencyMs.foreach(Thread.sleep)
               val dst = Paths.get(stripScheme(dstDir), relativize(srcDir, f))
               if (degraded) {
                 Files.copy(Paths.get(f), dst, StandardCopyOption.REPLACE_EXISTING)

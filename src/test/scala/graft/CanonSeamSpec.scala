@@ -137,4 +137,35 @@ class CanonSeamSpec extends SparkSpecBase {
     assert(code == 0, s"seam_check failed:\n$outBuf")
     assert(outBuf.toString.contains("bit-identical"), outBuf.toString)
   }
+
+  test("family guard: every covered family passes; an unpinned family " +
+    "fails LOUDLY before it can reach the dump (round-10, verdict #7)") {
+    import org.apache.spark.sql.types._
+    // the spec's own fixture frame — by construction all-covered
+    val covered = StructType(Seq(
+      StructField("a", LongType), StructField("b", IntegerType),
+      StructField("c", ShortType), StructField("d", BooleanType),
+      StructField("e", DoubleType), StructField("f", StringType),
+      StructField("g", DateType), StructField("h", TimestampType),
+      StructField("i", TimestampNTZType)))
+    CanonHash.assertSeamCovered("ok_query", covered) // must not throw
+    for (bad <- Seq[DataType](DecimalType(18, 2), ArrayType(LongType),
+        FloatType, BinaryType,
+        MapType(StringType, LongType),
+        StructType(Seq(StructField("x", LongType))))) {
+      val sch = StructType(Seq(StructField("a", LongType),
+        StructField("z", bad)))
+      val ex = intercept[IllegalArgumentException] {
+        CanonHash.assertSeamCovered("bad_query", sch)
+      }
+      assert(ex.getMessage.contains("bad_query") &&
+        ex.getMessage.contains("CanonSeamSpec"),
+        s"guard message must name the query and the spec: ${ex.getMessage}")
+    }
+    // the guard's covered set and this spec's fixture families are the
+    // SAME inventory — a drift in either direction fails here
+    assert(CanonHash.CoveredFamilies ==
+      covered.fields.map(_.dataType).toSet,
+      "CoveredFamilies and the seam-spec fixture families diverged")
+  }
 }
