@@ -27,6 +27,22 @@ final class StagedRewriteException(
     message: String,
     cause: Throwable) extends RuntimeException(message, cause)
 
+/** Post-promote cleanup failure during a maintenance rewrite
+  * (round-10, the Merge.MergeCleanupError contract applied to
+  * compaction/repartition): the staged rewrite fully promoted — data
+  * is durable and complete — but deleting superseded originals failed
+  * partway, so their rows are visible TWICE until
+  * `remainingOriginals` are removed; never lost or torn. Stats were
+  * NOT refreshed.
+  */
+final class MaintenanceCleanupError(
+    val remainingOriginals: Seq[String],
+    cause: Throwable)
+  extends RuntimeException(
+    s"maintenance rewrite promoted but ${remainingOriginals.size} " +
+      "superseded original file(s) could not be deleted; their rows are " +
+      "duplicated until cleanup", cause)
+
 /** Maintenance operators: compaction (rows / partitions / time window,
   * optionally ordered), repartitioning, dtype optimization, schema
   * repair, vacuum — reference pydala/dataset.py:1802-2603.
@@ -197,11 +213,25 @@ object Maintenance {
         .parquet(tmp)
       val dst = if (partDir.isEmpty) ds.path else s"${ds.path}/$partDir"
       FsUtil.promote(tmp, dst)
-      FsUtil.delete(ds.path, abs)
+      deleteOriginals(ds, abs)
     }
     if (plan.groups.nonEmpty) spark.catalog.refreshByPath(ds.path)
     if (plan.groups.nonEmpty && ds.stats.nonEmpty) ds.updateStats()
   }
+
+
+  /** Delete superseded originals after a successful promote, wrapping
+    * a partial failure in the recovery contract (round-10): the
+    * rewrite is durable, so the caller must learn exactly which
+    * originals still duplicate rows.
+    */
+  private def deleteOriginals(ds: ParquetDataset, abs: Seq[String]): Unit =
+    try FsUtil.delete(ds.path, abs)
+    catch { case e: Throwable =>
+      throw new MaintenanceCleanupError(
+        abs.filter(FsUtil.exists)
+          .map(f => FsUtil.relativize(ds.path, f)).sorted, e)
+    }
 
   // ---- repartition --------------------------------------------------
 
@@ -229,7 +259,7 @@ object Maintenance {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     val old = ds.files
     FsUtil.promote(tmp, ds.path)
-    FsUtil.delete(ds.path, old)
+    deleteOriginals(ds, old)
     spark.catalog.refreshByPath(ds.path)
     if (ds.stats.nonEmpty) ds.updateStats()
   }
@@ -359,7 +389,7 @@ object Maintenance {
     }
     val old = ds.files
     FsUtil.promote(tmp, ds.path)
-    FsUtil.delete(ds.path, old)
+    deleteOriginals(ds, old)
     spark.catalog.refreshByPath(ds.path)
     if (ds.stats.nonEmpty) ds.updateStats()
   }
@@ -452,7 +482,7 @@ object Maintenance {
     }
     val old = ds.files
     FsUtil.promote(tmp, ds.path)
-    FsUtil.delete(ds.path, old)
+    deleteOriginals(ds, old)
     spark.catalog.refreshByPath(ds.path)
     if (ds.stats.nonEmpty) ds.updateStats()
   }

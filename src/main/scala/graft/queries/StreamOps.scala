@@ -236,6 +236,17 @@ object StreamOps {
     // byte-identical whichever backend holds the state, and the
     // [stream] telemetry line (tag q527) records the RocksDB lanes
     // next to q134's HDFS-backed ones.
+    //
+    // DEPLOYMENT (round-10 config sweep, SCALE.md "RocksDB
+    // wall-premium probe"): swap to RocksDB when distinct keys × row
+    // size threatens executor heap — the state-size win is 68×
+    // (47.9 MB vs 3.28 GB at 10 M keys) and NO config tuning removes
+    // the ~3.5× stateUpdate write-path wall premium, so small hot
+    // state should stay on the in-memory provider. When on RocksDB:
+    // enable changelogCheckpointing (commit lane ~25× cheaper, ships
+    // deltas instead of snapshots to the checkpoint store) and use
+    // boundedMemoryUsage to make per-executor state memory
+    // predictable, not to chase wall.
     "q527_stream_dedup_rocksdb" -> { (s, d) =>
       val stage = Lifecycle.tmpDir("q527s")
       val out = Lifecycle.tmpDir("q527o")

@@ -129,9 +129,14 @@ object FsUtil {
         sys.props.get("graft.fs.promote.threads").map(_.toInt).getOrElse(16)))
     val degraded = renameDegraded
     // parent dirs first, deduped and serial: cheap, and keeps the
-    // concurrent section to pure per-file moves
-    staged.map(f => Paths.get(stripScheme(dstDir), relativize(srcDir, f)).getParent)
+    // concurrent section to pure per-file moves. A failure here means
+    // NOTHING moved — same recovery contract as a first-file failure.
+    try staged.map(f =>
+        Paths.get(stripScheme(dstDir), relativize(srcDir, f)).getParent)
       .distinct.foreach(Files.createDirectories(_))
+    catch { case e: Throwable =>
+      throw new PromoteFailedException(Nil, staged, e)
+    }
     // probe-only: per-move latency injection (graft.fs.rename.latencyMs)
     // models an object store's ~10–100 ms per-op round trip, which
     // local-FS renames can't reproduce — see PromoteProbe / SCALE.md

@@ -59,8 +59,11 @@ object StatsSidecar {
     * bound guards the shrunk-dataset edge (few live files, huge stale
     * sidecar).
     */
-  val SmallSidecarFiles = 512
-  val SmallSidecarBytes: Long = 16L * 1024 * 1024
+  def SmallSidecarFiles: Int =
+    sys.props.get("graft.sidecar.small.files").map(_.toInt).getOrElse(512)
+  def SmallSidecarBytes: Long =
+    sys.props.get("graft.sidecar.small.bytes").map(_.toLong)
+      .getOrElse(16L * 1024 * 1024)
 
   def sidecarPath(root: String): String =
     FsUtil.stripScheme(root).stripSuffix("/") + "/" + SidecarName

@@ -217,4 +217,27 @@ class ObjectStoreContractSpec extends SparkSpecBase {
       assert(spark.read.parquet(dst).count() == 40)
     }
   }
+
+  test("post-promote cleanup failure in compaction raises " +
+    "MaintenanceCleanupError with the undeleted originals") {
+    val dir = tmpDir("osc_cmpclean")
+    val ds = new ParquetDataset(spark, dir)
+    (1 to 4).foreach { i =>
+      Seq((i, s"v$i")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    sys.props("graft.fs.delete.failAfter") = "1"
+    val ex = try intercept[operators.MaintenanceCleanupError] {
+      Maintenance.compactByRows(ds, maxRowsPerFile = 1000)
+    } finally sys.props.remove("graft.fs.delete.failAfter")
+    assert(ex.remainingOriginals.size == 3, ex.remainingOriginals)
+    // rewrite durable + duplicates visible, rows never lost
+    spark.catalog.refreshByPath(dir)
+    val vis = ds.df.as[(Int, String)].collect().toSeq
+    (1 to 4).foreach(i => assert(vis.contains((i, s"v$i"))))
+    assert(vis.size == 4 + 3, s"4 rewritten + 3 undeleted old: $vis")
+    FsUtil.delete(dir, ex.remainingOriginals.map(f => s"$dir/$f"))
+    spark.catalog.refreshByPath(dir)
+    assert(ds.df.count() == 4)
+  }
 }
