@@ -137,11 +137,15 @@ object Maintenance {
     // partial plan). Both halves of the bound are required: the
     // window-assignment below needs mn AND mx, so a one-sided bound is
     // just as unassignable as none (round-10, advisor finding).
-    val unbounded = stats
-      .groupBy("file_path")
-      .agg(max((col("mn").isNotNull && col("mx").isNotNull).cast("int")).as("ok"))
-      .filter(col("ok") === 0).limit(5)
-      .collect().map(_.getString(0))
+    // ONE footer pass, one file-count-sized collect: guard flags and
+    // bounds come from the same aggregation (the guard used to be a
+    // separate job over the uncached footer RDD — a full extra footer
+    // read per plan)
+    val per = stats.groupBy("file_path")
+      .agg(min("mn").as("mn"), max("mx").as("mx"),
+        max((col("mn").isNotNull && col("mx").isNotNull).cast("int")).as("ok"))
+      .collect()
+    val unbounded = per.filter(_.getInt(3) == 0).take(5).map(_.getString(0))
     require(unbounded.isEmpty,
       s"compactByTimeperiod: ${unbounded.length}+ file(s) have no usable " +
         s"$tsCol min/max statistics and cannot be window-assigned " +
@@ -152,8 +156,7 @@ object Maintenance {
     // physical listing so those files fail the same loud contract
     // instead of vanishing from every plan (driver-side set diff: both
     // sides are file-PATH-sized, which the driver already holds)
-    val withStats =
-      stats.select("file_path").distinct().collect().map(_.getString(0)).toSet
+    val withStats = per.map(_.getString(0)).toSet
     val unlisted = ds.files
       .map(f => FsUtil.relativize(ds.path, f))
       .filterNot(withStats).take(5)
@@ -162,13 +165,9 @@ object Maintenance {
         s"column chunk at all (schema evolution?) and cannot be " +
         s"window-assigned (e.g. ${unlisted.take(2).mkString(", ")}); " +
         "repair_schema or compact by rows instead")
-    val bounds = stats
-      .filter(col("mn").isNotNull && col("mx").isNotNull)
-      .groupBy("file_path").agg(min("mn").as("mn"), max("mx").as("mx"))
-      .collect()
-    if (bounds.isEmpty) return CompactPlan(Nil)
+    if (per.isEmpty) return CompactPlan(Nil)
     val fileRange: Map[String, (Long, Long)] =
-      bounds.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      per.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val lo = fileRange.values.map(_._1).min
     val hi = fileRange.values.map(_._2).max
     val rows = fileRows(ds)
