@@ -66,6 +66,26 @@ object Analytics9 {
       d.hash64(s"concat('mh$band:', $g)")))
   }
 
+
+  /** q543's greedy first-fit-in-order packing fold — ONE shared text:
+    * state [bins_closed, current_fill], elements wrapped as
+    * single-element arrays so the fold list unifies with the state
+    * type on DuckDB (the hwFold convention). Window = 512 tokens.
+    */
+  private def packFold(d: SqlDialect, zs: String): String = {
+    def el(a: String, i: Int) =
+      if (d.spark) s"element_at($a, $i)" else s"$a[$i]"
+    def arr(els: String*) =
+      if (d.spark) els.mkString("array(", ", ", ")")
+      else els.mkString("[", ", ", "]")
+    val wrapped = d.transform(zs, "z", arr("z"))
+    val init = arr("CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)")
+    d.fold(wrapped, init, "acc", "x",
+      s"CASE WHEN ${el("acc", 2)} + ${el("x", 1)} <= 512 " +
+        s"THEN ${arr(el("acc", 1), s"${el("acc", 2)} + ${el("x", 1)}")} " +
+        s"ELSE ${arr(s"${el("acc", 1)} + 1", el("x", 1))} END")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q535: eval-set decontamination ----------------------------
@@ -252,6 +272,73 @@ object Analytics9 {
           count(lit(1)).as("n_buckets"),
           max("bsz").as("max_bucket"))
         .orderBy("band")
+    },
+
+    // ---- q542: DSIR-lite domain affinity --------------------------
+    // Importance-style domain scoring (the hashed-ngram DSIR recipe,
+    // integer-exact): per bigram, weight = bitlen(ct+1) - bitlen(cb+1)
+    // (floor-log2 of the target/background count ratio, sign-exact);
+    // per doc, affinity = the weight sum over its bigram occurrences.
+    // Target = the src0 slice, background = the rest. The model frame
+    // is vocab^2-BOUNDED (distinct bigrams), built once and joined to
+    // the doc-gram stream — the q173 shape, so 100 TB cost is one
+    // shuffle on the gram key.
+    "q542_domain_affinity" -> { (s, dir) =>
+      // per-(doc, gram) counts FIRST: the synthetic corpus repeats
+      // grams heavily, so the model join probes the collapsed frame
+      // (distinct doc-grams), not the occurrence stream — same math
+      // via the count weights, ~3x fewer join rows
+      val bgc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(expr(Sp.shingles(Sp.tokens("text"), 2))).as("g"))
+        .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
+      val model = bgc.groupBy("g").agg(
+        sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= "src0", col("c")).otherwise(0L)).as("cb"))
+        .select(col("g"),
+          (expr(log2floor(Sp, "ct + 1")) - expr(log2floor(Sp, "cb + 1")))
+            .as("w"))
+      val perDoc = bgc.join(model, Seq("g"))
+        .groupBy("doc_id", "source")
+        .agg(sum("c").as("ng"), sum(expr("w * c")).as("sw"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sw") > 0, 1L).otherwise(0L)).as("n_pos"),
+          sum("sw").as("sum_wbits"),
+          sum("ng").as("n_grams"))
+        .select(col("source"), col("n_docs"), col("n_pos"), col("sum_wbits"),
+          expr(signedDiv(Sp, "sum_wbits * 1000", "n_grams")).as("avg_milli"))
+        .orderBy("source")
+    },
+
+    // ---- q543: greedy sequence packing ------------------------------
+    // First-fit-in-order packing of documents into 512-token training
+    // windows — the REAL packer (q98 reports the ideal lower bound):
+    // a sequential fold in doc_id order per source, counting closed
+    // bins and the running fill. Loud guard on docs wider than the
+    // window (they would loop the fold's invariant, and the synthetic
+    // corpus must never silently truncate). Output: greedy bins vs
+    // ideal bins and the padding waste the greedy order pays.
+    "q543_greedy_packing" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(s"CAST(${Sp.size(Sp.tokens("text"))} AS BIGINT)").as("n"))
+        .withColumn("n", expr("CASE WHEN n > 512 THEN " +
+          "CAST(raise_error('q543: doc wider than the 512-token window') " +
+          "AS BIGINT) ELSE n END"))
+        .filter(col("n") > 0)
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").as("n_tokens"),
+          expr(s"sort_array(collect_list(struct(doc_id, n)))").as("ord"))
+        .withColumn("zs", expr("transform(ord, s -> s.n)"))
+        .withColumn("st", expr(packFold(Sp, "zs")))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("element_at(st, 1) + CASE WHEN element_at(st, 2) > 0 " +
+            "THEN 1 ELSE 0 END").as("n_bins"),
+          expr("(n_tokens + 511) div 512").as("n_bins_ideal"))
+        .withColumn("waste_tokens", expr("n_bins * 512 - n_tokens"))
+        .orderBy("source")
     },
 
     // ---- q541: windowed reconciliation decomposition ----------------
@@ -443,6 +530,58 @@ object Analytics9 {
          |  CAST(MAX(bsz) AS BIGINT) AS max_bucket
          |FROM bk GROUP BY band ORDER BY band""".stripMargin
     },
+
+    "q542_domain_affinity" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, source,
+         |    unnest(${Du.shingles(Du.tokens("text"), 2)}) AS g
+         |  FROM documents),
+         |model AS (
+         |  SELECT g,
+         |    ${log2floor(Du,
+             "CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) + 1")} -
+         |    ${log2floor(Du,
+             "CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) + 1")}
+         |      AS w
+         |  FROM bg GROUP BY g),
+         |pd AS (
+         |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(w) AS BIGINT) AS sw
+         |  FROM bg JOIN model USING (g) GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN sw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(sw) AS BIGINT) AS sum_wbits,
+         |    CAST(SUM(ng) AS BIGINT) AS n_grams
+         |  FROM pd GROUP BY 1)
+         |SELECT source, n_docs, n_pos, sum_wbits,
+         |  ${signedDiv(Du, "sum_wbits * 1000", "n_grams")} AS avg_milli
+         |FROM ag ORDER BY source""".stripMargin,
+
+    "q543_greedy_packing" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source,
+         |    CAST(${Du.size(Du.tokens("text"))} AS BIGINT) AS n
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN n > 512 THEN CAST(error('q543: doc wider than the
+         | 512-token window') AS BIGINT) ELSE n END AS n
+         |  FROM d0 WHERE n > 0),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    list(n ORDER BY doc_id) AS zs
+         |  FROM d GROUP BY 1),
+         |st AS (SELECT source, n_docs, n_tokens,
+         |         ${packFold(Du, "zs")} AS stt FROM g)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(stt[1] + CASE WHEN stt[2] > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_bins,
+         |  CAST((n_tokens + 511) // 512 AS BIGINT) AS n_bins_ideal,
+         |  CAST((stt[1] + CASE WHEN stt[2] > 0 THEN 1 ELSE 0 END) * 512
+         |    - n_tokens AS BIGINT) AS waste_tokens
+         |FROM st ORDER BY source""".stripMargin,
 
     // identical truth to q534: the windowed decomposition must equal
     // the one-shot complete-emission outer join

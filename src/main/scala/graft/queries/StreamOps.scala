@@ -469,17 +469,25 @@ object StreamOps {
         .select(col("event_id").as("lid"), col("ts").as("lts"), col("user_id"))
       val r = ev.filter(col("event_id") % 3 === 1)
         .select(col("event_id").as("rid"), col("ts").as("rts"), col("user_id"))
+      // ONE partitioned write per side (5 hash-slice subdirs, 1 file
+      // each) instead of 5 sequential coalesce(1) jobs: arrival order
+      // under near-identical mod-times is whatever the file source
+      // picks — WHICH IS THE POINT: the reconciled result is a pure
+      // function of the data, so the gate tolerates (and the corpus
+      // layout guarantees) adversarial multi-batch arrival.
       def stage(df: DataFrame, idCol: String, dir: String): Unit =
-        (0 until 5).foreach { i =>
-          df.filter(pmod(xxhash64(col(idCol)), lit(5)) === i)
-            .coalesce(1).write.mode("append").parquet(dir)
-        }
+        df.withColumn("slice", pmod(xxhash64(col(idCol)), lit(5)))
+          .repartition(5, col("slice"))
+          .write.partitionBy("slice").mode("overwrite").parquet(dir)
       stage(l, "lid", stageL)
       stage(r, "rid", stageR)
+      def sliceStream(dir: String, sch: org.apache.spark.sql.types.StructType) =
+        s.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true").parquet(dir)
       withShufflePartitions(s, 4) {
         val joined = StreamIngest.intervalJoin(
-          streamOf(s, stageL, l.schema, filesPerTrigger = 1),
-          streamOf(s, stageR, r.schema, filesPerTrigger = 1),
+          sliceStream(stageL, l.schema),
+          sliceStream(stageR, r.schema),
           Seq("user_id"), "lts", "rts",
           before = "0 seconds", after = "10 minutes",
           watermark = "30 minutes", joinType = "inner")
@@ -499,8 +507,12 @@ object StreamOps {
         l.schema.fields ++ r.schema.fields.filterNot(_.name == "user_id"))
       val streamMatched = s.read.schema(matchedSchema).parquet(out)
       // settled inputs = the staged (ingested) files themselves
-      val lB = s.read.schema(l.schema).parquet(stageL)
-      val rB = s.read.schema(r.schema).parquet(stageR)
+      // (recursive lookup: the slice subdirs are arrival layout, not a
+      // partition column)
+      val lB = s.read.schema(l.schema)
+        .option("recursiveFileLookup", "true").parquet(stageL)
+      val rB = s.read.schema(r.schema)
+        .option("recursiveFileLookup", "true").parquet(stageR)
       val complete = StreamIngest.reconcileOuterIntervalJoin(
         streamMatched, lB, rB, Seq("user_id"), "lts", "rts",
         "0 seconds", "10 minutes", "lid", "rid")
