@@ -225,11 +225,13 @@ object StatsSidecar {
     // are file PATHS — which the driver already holds from the listing.
     val rel = absFiles.map(f => FsUtil.relativize(root, f))
     val sidecarBytes =
-      if (FsUtil.exists(p))
-        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator()
-          .asScala.filter(java.nio.file.Files.isRegularFile(_))
+      if (FsUtil.exists(p)) {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
           .map(java.nio.file.Files.size).sum
-      else 0L
+        finally st.close()
+      } else 0L
     val df: DataFrame =
       if (absFiles.size <= SmallSidecarFiles &&
           sidecarBytes <= SmallSidecarBytes) {
