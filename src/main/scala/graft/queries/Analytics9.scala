@@ -319,6 +319,14 @@ object Analytics9 {
     // window (they would loop the fold's invariant, and the synthetic
     // corpus must never silently truncate). Output: greedy bins vs
     // ideal bins and the padding waste the greedy order pays.
+    //
+    // Scale note: first-fit-IN-ORDER is inherently sequential, so the
+    // per-source size array is source-sized here (executor-local fold,
+    // never a driver collect). At 100 TB packing shards by
+    // (source, doc_id div SHARD) — each shard folds independently and
+    // the per-shard tails add ≤ one bin each, the standard loader
+    // sharding; the gate keeps one fold per source so the oracle can
+    // pin the exact greedy semantics.
     "q543_greedy_packing" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
