@@ -135,4 +135,38 @@ class ReconcileJoinSpec extends SparkSpecBase {
       assert(got == oracle, s"$tag lane corrupted the reconciled result")
     }
   }
+
+  test("windowed decomposition law: per-horizon reconciliations union " +
+    "to exactly the one-shot outer join, with a partial lane") {
+    val (l, r) = mkSides()
+    val oracle = batchOuter(l, r)
+    val trueMatched = l.as("l").join(r.as("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("r.rts") >= col("l.lts") &&
+        col("r.rts") <= col("l.lts") + expr("INTERVAL 10 minutes"), "inner")
+      .select(col("l.lid"), col("l.lts"), col("l.user_id"),
+        col("r.rid"), col("r.rts"))
+    val half = trueMatched.filter(col("lid") % 2 === 0)
+    val b = l.agg(min(expr("unix_micros(lts)")), max(expr("unix_micros(lts)")))
+      .head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1) + 1L)
+    val afterUs = 600000000L
+    for (w <- Seq(2, 3, 5)) {
+      val edges = (0 to w).map(k => lo + (hi - lo) * k / w)
+      val got = (0 until w).map { k =>
+        val lw = l.filter(expr("unix_micros(lts)") >= edges(k) &&
+          expr("unix_micros(lts)") < edges(k + 1))
+        val rw = r.filter(expr("unix_micros(rts)") >= edges(k) &&
+          expr("unix_micros(rts)") < edges(k + 1) + afterUs)
+        StreamIngest.reconcileOuterIntervalJoin(half, lw, rw,
+          Seq("user_id"), "lts", "rts", "0 seconds", "10 minutes",
+          "lid", "rid")
+      }.reduce(_.unionByName(_))
+        .select("lid", "lts", "user_id", "rid", "rts")
+        .collect().toSet
+      assert(got == oracle,
+        s"$w-window decomposition broke at a seam " +
+          s"(missing=${(oracle -- got).take(3)}, extra=${(got -- oracle).take(3)})")
+    }
+  }
 }
