@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, CorpusOps, Events, Lifecycle, MultimodalOps, PipelineOps, Relational, Relational2, StreamOps, TextOps, VectorOps}
-import graft.queries.{Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Analytics8, Analytics9}
+import graft.queries.{Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Analytics8, Analytics9, Analytics10}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       CorpusOps.queries ++ Analytics.queries ++ Analytics2.queries ++
       Analytics3.queries ++ Analytics4.queries ++ Analytics5.queries ++
       Analytics6.queries ++ Analytics7.queries ++ Analytics8.queries ++
-      Analytics9.queries
+      Analytics9.queries ++ Analytics10.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Events.oracles ++
@@ -34,7 +34,7 @@ object SparkEntry {
       CorpusOps.oracles ++ Analytics.oracles ++ Analytics2.oracles ++
       Analytics3.oracles ++ Analytics4.oracles ++ Analytics5.oracles ++
       Analytics6.oracles ++ Analytics7.oracles ++ Analytics8.oracles ++
-      Analytics9.oracles
+      Analytics9.oracles ++ Analytics10.oracles
 
   /** Dev-loop selection shared by Bench and Verify: each
     * SPARK_GRAFT_ONLY element matches a query by its id prefix

@@ -272,14 +272,26 @@ object Merge {
       // (round-10): after a successful promote the rewrite is durable,
       // so a failed original-delete must surface the not-yet-deleted
       // paths — silently returning would leave rows durably duplicated
-      // with no payload for operator cleanup.
+      // with no payload for operator cleanup. The payload inputs are
+      // computed BEFORE the delete (round-11, advisor): if the same FS
+      // fault that broke the delete also broke a fresh count/listing,
+      // a payload built inside the catch would mask the cleanup error
+      // with a secondary exception and lose the recovery details.
+      val sourceCount = src.count() // cached — one cheap job, reused below
+      val insertedRel = ds.relFiles.filterNot(beforeAll.contains)
       try FsUtil.delete(path, affectedAbs.toIndexedSeq)
       catch { case e: Throwable =>
-        val remainingOriginals = affectedAbs.filter(FsUtil.exists)
-          .map(f => FsUtil.relativize(path, f)).sorted.toSeq
+        // best-effort narrowing: existence probes touch the same FS
+        // that just failed, so fall back to "all originals remain"
+        // (conservative — over-reporting duplicates is safe, the
+        // cleanup delete is idempotent) rather than mask the error
+        val remainingOriginals =
+          try affectedAbs.filter(FsUtil.exists)
+            .map(f => FsUtil.relativize(path, f)).sorted.toSeq
+          catch { case _: Throwable => affectedRel }
         throw new MergeCleanupError(
-          MergeResult(src.count(), 0L, updated, affectedRel,
-            ds.relFiles.filterNot(beforeAll.contains), preserved),
+          MergeResult(sourceCount, 0L, updated, affectedRel,
+            insertedRel, preserved),
           remainingOriginals, e)
       }
       // invalidate the cached listing: the files just deleted must not

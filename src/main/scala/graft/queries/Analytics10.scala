@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Merge
+import graft.sources.{ParquetDataset, WriteConfig, WritePipeline}
+
+/** Round-11 inventory. Same determinism contract as
+  * [[Analytics]]–[[Analytics9]]: integer lanes end-to-end; every
+  * oracle aggregate/div lane CAST to BIGINT; fixed-size panels via
+  * count-derived hash-bucket moduli; loud guards on every invariant
+  * the query's law depends on.
+  *
+  * Reference behavior: pydala2 exposes none of these — they are the
+  * scale-path halves of two round-10 operators (SURVEY.md "beyond the
+  * reference"): the SHARDED form of the greedy sequence packer
+  * (bounding per-task state by the shard width, not the corpus) and
+  * the INCREMENTAL form of eval-set decontamination (the gram index
+  * maintained through the managed merge path instead of recomputed).
+  */
+object Analytics10 {
+
+  private val Sp = graft.functions.PortableSql.Spark
+  private val Du = graft.functions.PortableSql.Duck
+
+  /** Shard width for q544, in doc_id units: each (source, shard)
+    * fold sees at most this many docs, so executor-local fold state is
+    * O(SHARD) regardless of corpus size.
+    */
+  private val Shard = 64L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q544: sharded greedy sequence packing ----------------------
+    // The 100 TB form of q543's first-fit-in-order packer
+    // (Analytics9.scala q543 documents the strategy; this gates it):
+    // docs shard by (source, doc_id div 64) and each shard folds
+    // INDEPENDENTLY — per-task array state is bounded by the shard
+    // width, not the corpus, so the packer scales by adding shards.
+    // The law that makes the decomposition safe (the q541 pattern):
+    // each shard force-closes at most its one tail bin, so
+    //   onefold ≤ sharded ≤ onefold + (n_shards − 1)
+    // — asserted EXACTLY in both engines (next-fit is subadditive
+    // under concatenation and a forced close costs at most one bin).
+    "q544_packing_sharded" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(s"CAST(${Sp.size(Sp.tokens("text"))} AS BIGINT)").as("n"))
+        .withColumn("n", expr("CASE WHEN n > 512 THEN " +
+          "CAST(raise_error('q544: doc wider than the 512-token window') " +
+          "AS BIGINT) ELSE n END"))
+        .filter(col("n") > 0)
+      val perShard = d
+        .withColumn("sh", expr(s"doc_id div $Shard"))
+        .groupBy("source", "sh")
+        .agg(expr("sort_array(collect_list(struct(doc_id, n)))").as("ord"))
+        .withColumn("st", expr(Analytics9.packFold(Sp,
+          "transform(ord, s -> s.n)")))
+        .select(col("source"),
+          expr("element_at(st, 1) + CASE WHEN element_at(st, 2) > 0 " +
+            "THEN 1 ELSE 0 END").as("bins"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_shards"), sum("bins").as("n_bins"))
+      val oneFold = d
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          expr("sort_array(collect_list(struct(doc_id, n)))").as("ord"))
+        .withColumn("st", expr(Analytics9.packFold(Sp,
+          "transform(ord, s -> s.n)")))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("element_at(st, 1) + CASE WHEN element_at(st, 2) > 0 " +
+            "THEN 1 ELSE 0 END").as("n_bins_onefold"))
+      oneFold.join(perShard, Seq("source"))
+        .withColumn("slack_bins", expr(
+          "CASE WHEN n_bins < n_bins_onefold OR " +
+            "n_bins > n_bins_onefold + n_shards - 1 THEN " +
+            "CAST(raise_error('q544: shard decomposition law violated') " +
+            "AS BIGINT) ELSE n_bins - n_bins_onefold END"))
+        .select("source", "n_docs", "n_tokens", "n_shards", "n_bins",
+          "n_bins_onefold", "slack_bins")
+        .orderBy("source")
+    },
+
+    // ---- q545: incremental eval-set decontamination ------------------
+    // q535's recompute, re-expressed as the job a pipeline actually
+    // runs hourly (round-10 verdict #6, the q540 pattern): the train
+    // 3-gram index is a PERSISTED keyed dataset maintained through the
+    // managed merge path — base corpus (~80% of train docs,
+    // hash-bucketed) writes it, an update batch (the remaining docs
+    // PLUS a re-signed unchanged slice — upsert no-ops) merges in
+    // keyed on the gram. The gate: contamination counts probed against
+    // the merged index must equal the full recompute — the oracle IS
+    // q535's recompute SQL, so any row the merge lost or duplicated
+    // breaks the hash. At 100 TB the merge's semi-join probe touches
+    // only matched index files; the rebuild it replaces scans every
+    // train doc.
+    "q545_decontam_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), expr(Sp.tokens("text")).as("toks"))
+      val emod = math.max(1L, docs.count() / 10L)
+      // the SAME fixed eval panel as q535 — the oracle equality is
+      // only meaningful if both paths score identical docs
+      val evSel = s"${Sp.hash64("concat('ev:', doc_id)")} % $emod = 0"
+      val ev = docs.filter(expr(evSel))
+      val train = docs.filter(expr(s"NOT ($evSel)"))
+      def grams(d: DataFrame): DataFrame = d
+        .select(explode(expr(Sp.shingles("toks", 3))).as("g"))
+        .distinct().withColumn("seen", lit(1L))
+      val bucket = s"${Sp.hash64("concat('ix:', doc_id)")} % 5"
+      val base = train.filter(expr(s"$bucket <> 0")) // ~80%
+      // new docs (bucket 0) + an unchanged slice (bucket 1): the
+      // re-signed grams must upsert as no-ops, not duplicates
+      val upd = train.filter(expr(s"$bucket <= 1"))
+      val idxDir = Lifecycle.tmpDir("q545idx")
+      WritePipeline.write(grams(base), idxDir, WriteConfig())
+      val ds = new ParquetDataset(s, idxDir)
+      Merge(ds, grams(upd), Seq("g"), "upsert")
+      val idx = s.read.parquet(idxDir).select("g")
+      val evg = ev.select(col("doc_id"), col("source"),
+        explode(expr(Sp.shingles("toks", 3))).as("g")).distinct()
+      val perDoc = evg.join(idx, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("hg"))
+      ev.select("doc_id", "source")
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_eval"),
+          count(col("hg")).as("n_contam"),
+          coalesce(sum("hg"), lit(0L)).as("n_hit_grams"),
+          expr("count(hg) * 1000 div count(1)").as("contam_milli"))
+        .orderBy("source")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q544_packing_sharded" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source,
+         |    CAST(${Du.size(Du.tokens("text"))} AS BIGINT) AS n
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN n > 512 THEN CAST(error('q544: doc wider than the
+         | 512-token window') AS BIGINT) ELSE n END AS n
+         |  FROM d0 WHERE n > 0),
+         |shard AS (
+         |  SELECT source, doc_id // $Shard AS sh,
+         |    list(n ORDER BY doc_id) AS zs
+         |  FROM d GROUP BY 1, 2),
+         |sb AS (
+         |  SELECT source, sh, ${Analytics9.packFold(Du, "zs")} AS stt
+         |  FROM shard),
+         |ps AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shards,
+         |    CAST(SUM(stt[1] + CASE WHEN stt[2] > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_bins
+         |  FROM sb GROUP BY 1),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    list(n ORDER BY doc_id) AS zs
+         |  FROM d GROUP BY 1),
+         |onef AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(stt[1] + CASE WHEN stt[2] > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS n_bins_onefold
+         |  FROM (SELECT source, n_docs, n_tokens,
+         |          ${Analytics9.packFold(Du, "zs")} AS stt FROM g) z)
+         |SELECT source, n_docs, n_tokens, n_shards, n_bins, n_bins_onefold,
+         |  CASE WHEN n_bins < n_bins_onefold OR
+         |    n_bins > n_bins_onefold + n_shards - 1
+         |  THEN CAST(error('q544: shard decomposition law violated') AS BIGINT)
+         |  ELSE CAST(n_bins - n_bins_onefold AS BIGINT) END AS slack_bins
+         |FROM onef JOIN ps USING (source)
+         |ORDER BY source""".stripMargin,
+
+    // the full recompute — identical text to q535's oracle: the
+    // incremental index path must reproduce it bit-for-bit
+    "q545_decontam_incremental" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, ${Du.tokens("text")} AS toks FROM documents),
+         |em AS (SELECT greatest(1, count(*) // 10) AS m FROM documents),
+         |ev AS (SELECT doc_id, source, toks FROM base, em
+         |       WHERE ${Du.hash64("concat('ev:', doc_id)")} % em.m = 0),
+         |evg AS (SELECT DISTINCT doc_id, source,
+         |          unnest(${Du.shingles("toks", 3)}) AS g FROM ev),
+         |trg AS (SELECT DISTINCT unnest(${Du.shingles("toks", 3)}) AS g
+         |        FROM base, em
+         |        WHERE ${Du.hash64("concat('ev:', doc_id)")} % em.m <> 0),
+         |hits AS (SELECT evg.doc_id, evg.g FROM evg
+         |         WHERE EXISTS (SELECT 1 FROM trg WHERE trg.g = evg.g)),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hg
+         |       FROM hits GROUP BY 1)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(COUNT(hg) AS BIGINT) AS n_contam,
+         |  CAST(COALESCE(SUM(hg), 0) AS BIGINT) AS n_hit_grams,
+         |  CAST(COUNT(hg) * 1000 // COUNT(*) AS BIGINT) AS contam_milli
+         |FROM ev LEFT JOIN pd USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin
+  )
+}

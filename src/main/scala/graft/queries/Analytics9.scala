@@ -72,7 +72,7 @@ object Analytics9 {
     * single-element arrays so the fold list unifies with the state
     * type on DuckDB (the hwFold convention). Window = 512 tokens.
     */
-  private def packFold(d: SqlDialect, zs: String): String = {
+  private[graft] def packFold(d: SqlDialect, zs: String): String = {
     def el(a: String, i: Int) =
       if (d.spark) s"element_at($a, $i)" else s"$a[$i]"
     def arr(els: String*) =
@@ -370,6 +370,10 @@ object Analytics9 {
       val afterUs = 600000000L
       val b = l.agg(min(expr("unix_micros(lts)")).as("lo"),
         max(expr("unix_micros(lts)")).as("hi")).head()
+      // loud guard (round-11, advisor): an empty left lane yields NULL
+      // min/max and the getLong below would NPE opaquely
+      require(!b.isNullAt(0),
+        "q541: empty events left lane — no windows to reconcile")
       val (lo, hi) = (b.getLong(0), b.getLong(1) + 1L)
       val edges = (0 to 3).map(k => lo + (hi - lo) * k / 3)
       // the "stream delivered half" lane: even-lid matched pairs
@@ -380,14 +384,16 @@ object Analytics9 {
         .select(col("l.lid"), col("l.lts"), col("l.user_id"),
           col("r.rid"), col("r.rts"))
         .filter(col("lid") % 2 === 0)
+      // through the settled-horizon wrapper (round-11, verdict #3):
+      // the wrapper derives each window's slices and enforces the
+      // settled contract — hi is past the last left event, so every
+      // window is settled at horizon = hi + after (disorder 0 for a
+      // fully-ingested batch)
       val windows = (0 until 3).map { k =>
-        val lw = l.filter(expr("unix_micros(lts)") >= edges(k) &&
-          expr("unix_micros(lts)") < edges(k + 1))
-        val rw = r.filter(expr("unix_micros(rts)") >= edges(k) &&
-          expr("unix_micros(rts)") < edges(k + 1) + afterUs)
-        StreamIngest.reconcileOuterIntervalJoin(half, lw, rw,
+        StreamIngest.reconcileWindow(half, l, r,
           Seq("user_id"), "lts", "rts", "0 seconds", "10 minutes",
-          "lid", "rid")
+          "lid", "rid", edges(k), edges(k + 1),
+          hi + afterUs, "0 seconds")
       }
       windows.reduce(_.unionByName(_))
         .withColumn("ltsu", expr("unix_micros(lts)"))

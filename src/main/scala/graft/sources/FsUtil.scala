@@ -123,11 +123,24 @@ object FsUtil {
     val failAfter = sys.props.get("graft.fs.rename.failAfter").map(_.toInt)
     val staged = listParquet(srcDir)
     if (staged.isEmpty) { deleteRecursively(srcDir); return Nil }
+    val degraded = renameDegraded
+    // probe-only: per-move latency injection (graft.fs.rename.latencyMs)
+    // models an object store's ~10–100 ms per-op round trip, which
+    // local-FS renames can't reproduce — see PromoteProbe / SCALE.md
+    val latencyMs = sys.props.get("graft.fs.rename.latencyMs").map(_.toLong)
+    // Mode-aware pool default (round-11): the capacity probe shows the
+    // pool wins everywhere EXCEPT local degraded copy+delete (pure
+    // page-cache memcpy — 16 threads contend on one disk queue and
+    // lose to serial ~3×). Local atomic rename and latency-bound
+    // (object-store) moves both want the wide pool. The prop override
+    // wins in every mode; the chaos hook still forces 1 so "fails the
+    // (N+1)-th move, N landed" stays deterministic.
+    val defaultThreads = if (degraded && latencyMs.isEmpty) 1 else 16
     val threads =
       if (failAfter.isDefined) 1
       else math.max(1, math.min(staged.size,
-        sys.props.get("graft.fs.promote.threads").map(_.toInt).getOrElse(16)))
-    val degraded = renameDegraded
+        sys.props.get("graft.fs.promote.threads").map(_.toInt)
+          .getOrElse(defaultThreads)))
     // parent dirs first, deduped and serial: cheap, and keeps the
     // concurrent section to pure per-file moves. A failure here means
     // NOTHING moved — same recovery contract as a first-file failure.
@@ -137,10 +150,6 @@ object FsUtil {
     catch { case e: Throwable =>
       throw new PromoteFailedException(Nil, staged, e)
     }
-    // probe-only: per-move latency injection (graft.fs.rename.latencyMs)
-    // models an object store's ~10–100 ms per-op round trip, which
-    // local-FS renames can't reproduce — see PromoteProbe / SCALE.md
-    val latencyMs = sys.props.get("graft.fs.rename.latencyMs").map(_.toLong)
     val landed = new Array[String](staged.size) // slot i = dst path or null
     val firstFailure =
       new java.util.concurrent.atomic.AtomicReference[Throwable]()
@@ -169,9 +178,20 @@ object FsUtil {
       }
       pool.shutdown()
       // promote is metadata I/O; an hour means the store is gone, and
-      // hanging forever would wedge the whole write pipeline
-      if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
-        throw new java.io.IOException("promote thread pool timed out")
+      // hanging forever would wedge the whole write pipeline. A timeout
+      // goes through the SAME recovery contract as any other promote
+      // failure (round-11, advisor): some moves may already have
+      // landed, so the caller needs the exact promoted/remaining
+      // partition — a bare IOException would strand Merge/Maintenance
+      // with no payload.
+      if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) {
+        val promoted = staged.indices.collect {
+          case i if landed(i) != null => landed(i) }
+        val remaining = staged.indices.collect {
+          case i if landed(i) == null => staged(i) }
+        throw new PromoteFailedException(promoted, remaining,
+          new java.io.IOException("promote thread pool timed out"))
+      }
     } finally pool.shutdownNow()
     Option(firstFailure.get()).foreach { e =>
       val promoted = staged.indices.collect {

@@ -188,6 +188,73 @@ object StreamIngest {
     emitted.unionByName(backfill).unionByName(unmatched)
   }
 
+  /** Day-time interval string → microseconds, for the settled-horizon
+    * arithmetic. Month-bearing intervals are refused: a month has no
+    * fixed microsecond width, so "settled" would be undecidable.
+    */
+  private[graft] def intervalMicros(interval: String): Long = {
+    val ci = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(ci.months == 0,
+      s"reconcileWindow needs a day-time interval, got '$interval' " +
+        "(month-bearing intervals have no fixed settled horizon)")
+    ci.days * 86400000000L + ci.microseconds
+  }
+
+  /** The settled-horizon form of [[reconcileOuterIntervalJoin]] — the
+    * contract the raw operator only documents, enforced as code
+    * (round-11): callers hand the FULL ingested lanes plus a window
+    * `[windowStartUs, windowEndUs)` (event-time micros on the left
+    * timestamp), the current reconciliation `horizonUs` (typically the
+    * ingest high-watermark), and a `disorderBound` interval (how late
+    * a right row may still arrive). The wrapper derives the slices the
+    * periodic job must read —
+    *
+    *  - left rows with `leftTs` in the window;
+    *  - right rows with `rightTs` in `[windowStart − before,
+    *    windowEnd + after)` — every possible partner of a windowed
+    *    left row, so the unmatched lane can never false-positive;
+    *
+    * and REFUSES an unsettled window loudly: reconciliation of
+    * `[start, end)` is only emission-complete once every partner of
+    * every windowed left row has arrived, i.e. once
+    * `end − 1 + after + disorderBound < horizon`. Running early would
+    * silently emit rows as "unmatched" whose partner is merely still
+    * in flight — the exact corruption the operator exists to prevent,
+    * so it is an error, not a degraded result. Windows tile the event
+    * axis; the union over a tiling equals the one-shot batch outer
+    * join (the q541 decomposition law, ReconcileJoinSpec).
+    */
+  def reconcileWindow(
+      streamMatched: DataFrame,
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      before: String, after: String,
+      leftId: String, rightId: String,
+      windowStartUs: Long, windowEndUs: Long,
+      horizonUs: Long, disorderBound: String): DataFrame = {
+    require(windowStartUs < windowEndUs,
+      s"reconcileWindow: empty window [$windowStartUs, $windowEndUs)")
+    val beforeUs = intervalMicros(before)
+    val afterUs = intervalMicros(after)
+    val disorderUs = intervalMicros(disorderBound)
+    val settledUpTo = horizonUs - afterUs - disorderUs
+    require(windowEndUs - 1 < settledUpTo,
+      s"reconcileWindow: window [$windowStartUs, $windowEndUs) is not " +
+        s"settled at horizon $horizonUs (after=$after, " +
+        s"disorderBound=$disorderBound settles event time < $settledUpTo); " +
+        "reconciling an unsettled window would mis-emit in-flight pairs " +
+        "as unmatched — run again once the horizon passes")
+    val lw = left.filter(
+      expr(s"unix_micros($leftTs)") >= windowStartUs &&
+        expr(s"unix_micros($leftTs)") < windowEndUs)
+    val rw = right.filter(
+      expr(s"unix_micros($rightTs)") >= windowStartUs - beforeUs &&
+        expr(s"unix_micros($rightTs)") < windowEndUs + afterUs)
+    reconcileOuterIntervalJoin(streamMatched, lw, rw, keys,
+      leftTs, rightTs, before, after, leftId, rightId)
+  }
+
   final case class KeyedEvent(key: Long, value: Double)
   final case class KeyedTotals(key: Long, n: Long, total: Double)
 

@@ -35,7 +35,9 @@ object PromoteProbe {
     }
     if (degraded) sys.props("graft.fs.rename") = "degraded"
     if (args.length > 4) sys.props("graft.fs.rename.latencyMs") = args(4)
-    sys.props("graft.fs.promote.threads") = threads.toString
+    // threads=0 exercises the shipped mode-aware default (round-11)
+    if (threads > 0) sys.props("graft.fs.promote.threads") = threads.toString
+    else sys.props.remove("graft.fs.promote.threads")
     val t0 = System.nanoTime()
     val moved = FsUtil.promote(src, dst)
     val ms = (System.nanoTime() - t0) / 1e6

@@ -40,10 +40,16 @@ object SidecarProbe {
       println(f"sidecar-update $tag files=$nFiles reps=$reps " +
         f"minMs=${walls.min}%.0f medMs=${walls.sorted.apply(reps / 2)}%.0f")
     }
+    // force each path regardless of the shipped thresholds — the
+    // round-11 sweep measures BOTH paths at 256..2048 files to set the
+    // crossover from data instead of a chosen constant
+    sys.props("graft.sidecar.small.files") = (nFiles + 1).toString
+    sys.props("graft.sidecar.small.bytes") = Long.MaxValue.toString
     time("fast-path")
     sys.props("graft.sidecar.small.files") = "0"
     time("distributed")
     sys.props.remove("graft.sidecar.small.files")
+    sys.props.remove("graft.sidecar.small.bytes")
     graft.sources.FsUtil.deleteRecursively(dir)
     spark.stop()
   }

@@ -169,4 +169,70 @@ class ReconcileJoinSpec extends SparkSpecBase {
           s"(missing=${(oracle -- got).take(3)}, extra=${(got -- oracle).take(3)})")
     }
   }
+
+  test("reconcileWindow derives the settled slices itself: a tiling of " +
+    "wrapper calls over the FULL lanes unions to the one-shot outer join") {
+    val (l, r) = mkSides()
+    val oracle = batchOuter(l, r)
+    val trueMatched = l.as("l").join(r.as("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("r.rts") >= col("l.lts") &&
+        col("r.rts") <= col("l.lts") + expr("INTERVAL 10 minutes"), "inner")
+      .select(col("l.lid"), col("l.lts"), col("l.user_id"),
+        col("r.rid"), col("r.rts"))
+    val half = trueMatched.filter(col("lid") % 2 === 0)
+    val b = l.agg(min(expr("unix_micros(lts)")), max(expr("unix_micros(lts)")))
+      .head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1) + 1L)
+    val afterUs = 600000000L
+    val w = 4
+    val edges = (0 to w).map(k => lo + (hi - lo) * k / w)
+    val got = (0 until w).map { k =>
+      StreamIngest.reconcileWindow(half, l, r,
+        Seq("user_id"), "lts", "rts", "0 seconds", "10 minutes",
+        "lid", "rid", edges(k), edges(k + 1),
+        horizonUs = hi + afterUs, disorderBound = "0 seconds")
+    }.reduce(_.unionByName(_))
+      .select("lid", "lts", "user_id", "rid", "rts")
+      .collect().toSet
+    assert(got == oracle, "wrapper tiling != one-shot outer join")
+  }
+
+  test("reconcileWindow REFUSES an unsettled window loudly instead of " +
+    "mis-emitting in-flight pairs as unmatched") {
+    val (l, r) = mkSides()
+    val half = l.limit(0).withColumn("rid", lit(null).cast("long"))
+      .withColumn("rts", lit(null).cast("timestamp"))
+    val b = l.agg(min(expr("unix_micros(lts)")), max(expr("unix_micros(lts)")))
+      .head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1) + 1L)
+    val afterUs = 600000000L
+    // horizon sits exactly at the window end: rows near the end still
+    // have in-flight partners (event time + after + disorder > horizon)
+    val e = intercept[IllegalArgumentException] {
+      StreamIngest.reconcileWindow(half, l, r,
+        Seq("user_id"), "lts", "rts", "0 seconds", "10 minutes",
+        "lid", "rid", lo, hi, horizonUs = hi, disorderBound = "5 minutes")
+    }
+    assert(e.getMessage.contains("not settled"), e.getMessage)
+    // the settled form of the same call must run (guard is exact, not
+    // merely conservative): horizon one past the last in-flight bound
+    val n = StreamIngest.reconcileWindow(half, l, r,
+      Seq("user_id"), "lts", "rts", "0 seconds", "10 minutes",
+      "lid", "rid", lo, hi,
+      horizonUs = hi + afterUs + 300000000L, disorderBound = "5 minutes")
+      .count()
+    assert(n > 0)
+  }
+
+  test("intervalMicros: day-time strings convert exactly; month-bearing " +
+    "intervals are refused (no fixed settled horizon)") {
+    assert(StreamIngest.intervalMicros("10 minutes") == 600000000L)
+    assert(StreamIngest.intervalMicros("2 days") == 172800000000L)
+    assert(StreamIngest.intervalMicros("1 day 30 seconds") == 86430000000L)
+    val e = intercept[IllegalArgumentException] {
+      StreamIngest.intervalMicros("1 month")
+    }
+    assert(e.getMessage.contains("day-time"), e.getMessage)
+  }
 }
