@@ -55,12 +55,20 @@ object StatsSidecar {
 
   /** Fast-path bounds for [[update]]: a sidecar within BOTH limits is
     * reconciled driver-side (one tiny local-relation write) instead of
-    * paying the distributed reconcile's per-call fixed cost. The byte
+    * paying the distributed reconcile's per-call fixed cost. The file
+    * bound is MEASURED, not chosen (round-11 SidecarProbe sweep at
+    * 256/512/1024/2048 files, min of 9 reps): the fast path wins at
+    * every size through 2048 (276–305 ms vs the distributed path's
+    * 409–444 ms fixed cost) with a ~16 µs/file slope, so the wall
+    * crossover extrapolates to ~10⁴ files — far above this bound; the
+    * limit stays 2048 because past it the DRIVER-MEMORY argument (the
+    * reason the distributed path exists) starts to matter before the
+    * wall does. The byte
     * bound guards the shrunk-dataset edge (few live files, huge stale
     * sidecar).
     */
   def SmallSidecarFiles: Int =
-    sys.props.get("graft.sidecar.small.files").map(_.toInt).getOrElse(512)
+    sys.props.get("graft.sidecar.small.files").map(_.toInt).getOrElse(2048)
   def SmallSidecarBytes: Long =
     sys.props.get("graft.sidecar.small.bytes").map(_.toLong)
       .getOrElse(16L * 1024 * 1024)
@@ -239,7 +247,7 @@ object StatsSidecar {
         // reconcile's fixed cost — sidecar scan + left-semi join +
         // footer-RDD union lineage — is ~0.4–1.1 s per call, which
         // dominated the lifecycle write cluster (q104/q107/q108/q112/
-        // q113/q115). A sidecar this small (≤512 files AND ≤16 MB on
+        // q113/q115). A sidecar this small (≤2048 files AND ≤16 MB on
         // disk — the byte guard covers a dataset that SHRANK from a
         // huge listing) is by definition driver-safe: filter retained
         // rows in memory and read the few fresh footers inline. The

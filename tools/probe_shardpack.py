@@ -36,7 +36,7 @@ FROM g
 
 con = duckdb.connect()
 for tag, path in (("1x", f"{SF}/documents.parquet"),
-                  ("10x", f"{P10}/documents/*.parquet")):
+                  ("10x", f"{P10}/documents.parquet/*.parquet")):
     try:
         row = con.execute(Q.format(path=path)).fetchone()
     except Exception as e:  # probe corpus may not be staged
