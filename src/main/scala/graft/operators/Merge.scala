@@ -78,6 +78,15 @@ final class MergeCleanupError(
   * discovery rides on `input_file_name()` so no extra pass over the
   * target is needed; unmatched files are never read past their footer
   * (semi-join probes push the key filter down).
+  *
+  * Source-reads-target rule (round-11, found by the q546 gate): a
+  * `source` whose LINEAGE reads this same dataset (incremental index
+  * maintenance — new values computed from current values) must be
+  * materialized by the caller first (`localCheckpoint(true)` or a
+  * staging write). The swap's `refreshByPath` invalidates cached
+  * plans that depend on the target path, so a merely-cached source
+  * would silently recompute against the half-updated dataset in the
+  * insert-remainder phase and double-apply its own delta.
   */
 object Merge {
 

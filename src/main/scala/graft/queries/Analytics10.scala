@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Merge
+import graft.operators.{Delete, Merge}
 import graft.sources.{ParquetDataset, WriteConfig, WritePipeline}
 
 /** Round-11 inventory. Same determinism contract as
@@ -129,6 +129,66 @@ object Analytics10 {
           coalesce(sum("hg"), lit(0L)).as("n_hit_grams"),
           expr("count(hg) * 1000 div count(1)").as("contam_milli"))
         .orderBy("source")
+    },
+
+    // ---- q546: gram-index retraction (right-to-be-forgotten) --------
+    // The maintenance direction q545 can't express: a train doc is
+    // RETRACTED (takedown/opt-out) and its grams must leave the index
+    // — unless another doc still contributes them. The index therefore
+    // carries doc-presence COUNTS (g, cnt); one delta pass over the
+    // add+retract batch joins ONLY the affected grams (left-semi probe
+    // — never a full index scan), Merge upserts the new counts, and
+    // the zero-count rows leave through the row-level Delete operator
+    // (`cnt = 0` — data-driven, no driver-side key list). A negative
+    // count is a loud invariant failure (retracting a doc that was
+    // never indexed). The gate pins the ENTIRE maintained index
+    // against a full recompute over (train ∪ added) \ retracted: the
+    // per-count histogram plus an order-independent XOR fingerprint of
+    // the 60-bit gram hashes — any lost, kept-too-long, or
+    // double-counted gram breaks the hash.
+    "q546_decontam_retraction" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(Sp.tokens("text")).as("toks"))
+      val emod = math.max(1L, docs.count() / 10L)
+      val evSel = s"${Sp.hash64("concat('ev:', doc_id)")} % $emod = 0"
+      val train = docs.filter(expr(s"NOT ($evSel)"))
+      def dgrams(d: DataFrame): DataFrame = d
+        .select(col("doc_id"), explode(expr(Sp.shingles("toks", 3))).as("g"))
+        .distinct()
+      val bucket = s"${Sp.hash64("concat('ix:', doc_id)")} % 5"
+      val base = train.filter(expr(s"$bucket <> 0"))      // indexed corpus
+      val added = train.filter(expr(s"$bucket = 0"))      // new batch
+      val retracted = train.filter(expr(s"$bucket = 1"))  // takedown batch
+      val idxDir = Lifecycle.tmpDir("q546idx")
+      WritePipeline.write(
+        dgrams(base).groupBy("g").agg(count(lit(1)).as("cnt")),
+        idxDir, WriteConfig())
+      val ds = new ParquetDataset(s, idxDir)
+      val delta = dgrams(added).select(col("g"), lit(1L).as("d"))
+        .unionByName(dgrams(retracted).select(col("g"), lit(-1L).as("d")))
+        .groupBy("g").agg(sum("d").as("d")).filter(col("d") =!= 0)
+      val current = s.read.parquet(idxDir)
+        .join(delta.select("g"), Seq("g"), "left_semi")
+      // materialized (lineage severed) BEFORE the merge: this source
+      // READS the dataset the merge MUTATES, and Merge's mid-swap
+      // refreshByPath invalidates dependent cached plans — a lazy
+      // frame would recompute against the half-updated index and
+      // double-apply the delta (see the Merge scaladoc's
+      // source-reads-target rule)
+      val newCnt = delta.join(current, Seq("g"), "left")
+        .select(col("g"),
+          (coalesce(col("cnt"), lit(0L)) + col("d")).as("cnt"))
+        .withColumn("cnt", expr("CASE WHEN cnt < 0 THEN " +
+          "CAST(raise_error('q546: retraction underflow — doc was never " +
+          "indexed') AS BIGINT) ELSE cnt END"))
+        .localCheckpoint(true)
+      Merge(ds, newCnt, Seq("g"), "upsert")
+      Delete.where(ds, "cnt = 0")
+      s.read.parquet(idxDir)
+        .groupBy("cnt")
+        .agg(count(lit(1)).as("n_grams"),
+          expr(s"bit_xor(${Sp.hash64("g")})").as("gram_xor"))
+        .orderBy("cnt")
     }
   )
 
@@ -197,6 +257,23 @@ object Analytics10 {
          |  CAST(COALESCE(SUM(hg), 0) AS BIGINT) AS n_hit_grams,
          |  CAST(COUNT(hg) * 1000 // COUNT(*) AS BIGINT) AS contam_milli
          |FROM ev LEFT JOIN pd USING (doc_id)
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // full recompute over (train ∪ added) \ retracted — the
+    // retraction-maintained index must reproduce it bit-for-bit
+    "q546_decontam_retraction" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${Du.tokens("text")} AS toks FROM documents),
+         |em AS (SELECT greatest(1, count(*) // 10) AS m FROM documents),
+         |tr AS (SELECT doc_id, toks FROM base, em
+         |       WHERE ${Du.hash64("concat('ev:', doc_id)")} % em.m <> 0
+         |         AND ${Du.hash64("concat('ix:', doc_id)")} % 5 <> 1),
+         |dg AS (SELECT DISTINCT doc_id,
+         |         unnest(${Du.shingles("toks", 3)}) AS g FROM tr),
+         |idx AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM dg GROUP BY g)
+         |SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(bit_xor(${Du.hash64("g")}) AS BIGINT) AS gram_xor
+         |FROM idx GROUP BY cnt ORDER BY cnt""".stripMargin
   )
 }

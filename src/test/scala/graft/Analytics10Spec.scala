@@ -86,4 +86,56 @@ class Analytics10Spec extends SparkSpecBase {
       "merged index key set != full recompute")
     assert(res.sourceCount == grams(upd).count())
   }
+
+  test("retraction-maintained count index == recompute over the post-" +
+    "takedown corpus; retracting an unindexed doc fails loudly") {
+    import org.apache.spark.sql.DataFrame
+    def mk(ids: Seq[Int]): DataFrame = ids.map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${(i * 7 + j * 5) % 25}").mkString(" "))
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    def dgrams(d: DataFrame) = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 2), i -> " +
+        "concat_ws(' ', slice(toks, i, 3)))")).as("g")).distinct()
+    val base = mk(0 until 30)
+    val added = mk(30 until 40)
+    val retractedIds = (0 until 30 by 3)
+    val retracted = mk(retractedIds)
+    val idxDir = tmpDir("a10ret")
+    graft.sources.WritePipeline.write(
+      dgrams(base).groupBy("g").agg(count(lit(1)).as("cnt")),
+      idxDir, graft.sources.WriteConfig())
+    val ds = new ParquetDataset(spark, idxDir)
+    def applyDelta(add: DataFrame, retract: DataFrame): Unit = {
+      val delta = dgrams(add).select(col("g"), lit(1L).as("d"))
+        .unionByName(dgrams(retract).select(col("g"), lit(-1L).as("d")))
+        .groupBy("g").agg(sum("d").as("d")).filter(col("d") =!= 0)
+      val current = spark.read.parquet(idxDir)
+        .join(delta.select("g"), Seq("g"), "left_semi")
+      val newCnt = delta.join(current, Seq("g"), "left")
+        .select(col("g"), (coalesce(col("cnt"), lit(0L)) + col("d")).as("cnt"))
+        .withColumn("cnt", expr("CASE WHEN cnt < 0 THEN " +
+          "CAST(raise_error('retraction underflow') AS BIGINT) " +
+          "ELSE cnt END"))
+        .localCheckpoint(true) // source reads the target — Merge rule
+      Merge(ds, newCnt, Seq("g"), "upsert")
+      graft.operators.Delete.where(ds, "cnt = 0")
+    }
+    applyDelta(added, retracted)
+    val kept = mk(((0 until 30) ++ (30 until 40)).filterNot(retractedIds.contains))
+    val truth = dgrams(kept).groupBy("g").agg(count(lit(1)).as("cnt"))
+    val got = spark.read.parquet(idxDir)
+    assert(got.except(truth).isEmpty && truth.except(got).isEmpty,
+      "maintained index != recompute over post-takedown corpus")
+    assert(got.filter(col("cnt") <= 0).isEmpty, "zero/negative counts kept")
+    // retracting a doc that was never indexed must refuse loudly
+    // (out-of-vocabulary tokens: its grams cannot exist in the index)
+    val foreign = Seq((999L, (0 until 10).map(j => s"zz$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val e = intercept[Exception] {
+      applyDelta(mk(Nil), foreign)
+    }
+    assert(e.getMessage.contains("retraction underflow"), e.getMessage)
+  }
 }
