@@ -119,7 +119,10 @@ object Analytics10 {
       val idx = s.read.parquet(idxDir).select("g")
       val evg = ev.select(col("doc_id"), col("source"),
         explode(expr(Sp.shingles("toks", 3))).as("g")).distinct()
-      val perDoc = evg.join(idx, Seq("g"), "left_semi")
+      // inverted probe (the q535 shape): the panel-bounded eval grams
+      // broadcast to the streamed index scan — no index-side shuffle;
+      // index grams are unique so the inner join is 1:1 with the semi
+      val perDoc = idx.join(broadcast(evg), Seq("g"))
         .groupBy("doc_id").agg(count(lit(1)).as("hg"))
       ev.select("doc_id", "source")
         .join(perDoc, Seq("doc_id"), "left")

@@ -108,9 +108,18 @@ object Analytics9 {
       val ev = docs.filter(expr(evSel))
       val evg = ev.select(col("doc_id"), col("source"),
           explode(expr(Sp.shingles("toks", 3))).as("g")).distinct()
-      val trg = docs.filter(expr(s"NOT ($evSel)"))
-        .select(explode(expr(Sp.shingles("toks", 3))).as("g")).distinct()
-      val hits = evg.join(trg, Seq("g"), "left_semi")
+      // INVERTED probe (round-11, explain-driven): the eval-gram side
+      // is panel-bounded BY CONSTRUCTION, so it broadcasts to the raw
+      // train-gram stream — one scan of the corpus, NO distinct and NO
+      // shuffle on the corpus-sized side (the former
+      // `evg LEFT SEMI distinct(trg)` shuffled the full train-gram
+      // frame twice at 100 TB). Duplicate train occurrences multiply
+      // the inner join, so hits dedup AFTER the probe — a panel-sized
+      // frame, not a corpus-sized one.
+      val trgRaw = docs.filter(expr(s"NOT ($evSel)"))
+        .select(explode(expr(Sp.shingles("toks", 3))).as("g"))
+      val hits = trgRaw.join(broadcast(evg), Seq("g"))
+        .select("doc_id", "g").distinct()
       val perDoc = hits.groupBy("doc_id").agg(count(lit(1)).as("hg"))
       ev.select("doc_id", "source")
         .join(perDoc, Seq("doc_id"), "left")

@@ -198,6 +198,35 @@ class ReconcileJoinSpec extends SparkSpecBase {
     assert(got == oracle, "wrapper tiling != one-shot outer join")
   }
 
+  test("reconcileWindow tiling law holds with a nonzero BEFORE bound: " +
+    "the right slice must reach back before the window start") {
+    val (l, r) = mkSides()
+    // symmetric window: partners up to 5 min BEFORE the left event
+    val cond = l("user_id") === r("user_id") &&
+      r("rts") >= l("lts") - expr("INTERVAL 5 minutes") &&
+      r("rts") <= l("lts") + expr("INTERVAL 10 minutes")
+    val oracle = l.join(r, cond, "left_outer")
+      .select(l("lid"), l("lts"), l("user_id"), r("rid"), r("rts"))
+      .collect().toSet
+    val empty = l.limit(0).withColumn("rid", lit(null).cast("long"))
+      .withColumn("rts", lit(null).cast("timestamp"))
+    val b = l.agg(min(expr("unix_micros(lts)")), max(expr("unix_micros(lts)")))
+      .head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1) + 1L)
+    val edges = (0 to 3).map(k => lo + (hi - lo) * k / 3)
+    val got = (0 until 3).map { k =>
+      StreamIngest.reconcileWindow(empty, l, r,
+        Seq("user_id"), "lts", "rts", "5 minutes", "10 minutes",
+        "lid", "rid", edges(k), edges(k + 1),
+        horizonUs = hi + 600000000L, disorderBound = "0 seconds")
+    }.reduce(_.unionByName(_))
+      .select("lid", "lts", "user_id", "rid", "rts")
+      .collect().toSet
+    assert(got == oracle,
+      "nonzero-before tiling != one-shot outer join " +
+        s"(missing=${(oracle -- got).take(3)}, extra=${(got -- oracle).take(3)})")
+  }
+
   test("reconcileWindow REFUSES an unsettled window loudly instead of " +
     "mis-emitting in-flight pairs as unmatched") {
     val (l, r) = mkSides()
