@@ -183,7 +183,13 @@ object FsUtil {
       // failure (round-11, advisor): some moves may already have
       // landed, so the caller needs the exact promoted/remaining
       // partition — a bare IOException would strand Merge/Maintenance
-      // with no payload.
+      // with no payload. The snapshot races any still-running move by
+      // construction (that is what a timeout means): a move that lands
+      // AFTER the snapshot is reported as `remaining`, which is the
+      // CONSERVATIVE direction — retry/cleanup re-lists the staging
+      // dir, and a file reported staged but actually landed is just
+      // absent from the re-listing (duplicate visibility until
+      // cleanup, never row loss — the promote contract's worst case).
       if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) {
         val promoted = staged.indices.collect {
           case i if landed(i) != null => landed(i) }
