@@ -163,8 +163,15 @@ object Analytics10 {
       val added = train.filter(expr(s"$bucket = 0"))      // new batch
       val retracted = train.filter(expr(s"$bucket = 1"))  // takedown batch
       val idxDir = Lifecycle.tmpDir("q546idx")
+      // key-hash-clustered into few files: the gate's tiny index would
+      // otherwise fragment into one file per shuffle partition, and
+      // since BOTH swap passes (merge rewrite, zero-count delete)
+      // rewrite every affected file, gate wall pays 3× the file count;
+      // clustering on g also means a real deployment's delta touches
+      // only the key ranges it hits
       WritePipeline.write(
-        dgrams(base).groupBy("g").agg(count(lit(1)).as("cnt")),
+        dgrams(base).groupBy("g").agg(count(lit(1)).as("cnt"))
+          .repartition(4, col("g")),
         idxDir, WriteConfig())
       val ds = new ParquetDataset(s, idxDir)
       val delta = dgrams(added).select(col("g"), lit(1L).as("d"))
