@@ -33,14 +33,26 @@ object Bfs {
     *         unreached nodes are absent.
     */
   def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     // persist the deduplicated edges: every round's frontier join
     // reads them, and without the pin the distinct SHUFFLE re-executes
     // once per round (maxHops× the one-time cost); unpersisted before
     // returning — the result is checkpointed, not edge-lineage-bound
     val e = edges.select("src", "dst").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try runPrepared(e, seeds, maxHops)
+    finally { e.unpersist(); () }
+  }
+
+  /** [[run]] over an ALREADY deduplicated-and-persisted edge frame —
+    * for callers that sweep the same graph several times (q507's
+    * double BFS): the edge distinct+pin is paid once across sweeps
+    * instead of per run. The caller owns the persist lifecycle; the
+    * returned frame is checkpointed, so unpersisting after the sweeps
+    * is safe.
+    */
+  def runPrepared(e: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    locally {
       var visited = seeds.select(col("node")).distinct()
         .withColumn("hops", lit(0)).localCheckpoint()
       var frontier = visited
@@ -66,6 +78,6 @@ object Bfs {
         h += 1
       }
       visited
-    } finally { e.unpersist(); () }
+    }
   }
 }

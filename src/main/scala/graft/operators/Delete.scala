@@ -83,21 +83,31 @@ object Delete {
 
     val pred = expr(graft.sources.Sanitize(predicate))
     val tgtF = spark.read.parquet(path).withColumn("__file", input_file_name())
+    // the discovery pass traverses exactly the pred-TRUE rows, which
+    // ARE the deleted rows — observe the count here instead of paying
+    // two more count jobs (affected total minus kept) later
+    val delObs = org.apache.spark.sql.Observation()
     val affectedAbs = tgtF.filter(pred)
+      .observe(delObs, count(lit(1)).as("n"))
       .select("__file").distinct()
       .collect().map(r => FsUtil.stripScheme(r.getString(0)))
+    // a missing metric means the optimizer eliminated the observed
+    // subtree as provably empty (empty-relation propagation) — which
+    // can only happen when zero rows matched
+    val deleted = scala.util.Try(delObs.get("n").asInstanceOf[Long]).getOrElse(0L)
     val affectedRel = affectedAbs.map(f => FsUtil.relativize(path, f)).sorted.toSeq
     val preserved = ds.relFiles.filterNot(affectedRel.contains)
     if (affectedRel.isEmpty) return DeleteResult(0, Nil, preserved)
 
-    // cache the affected slab: the two counts and the rewrite all
-    // traverse it (the Merge intermediates pattern)
+    // single traversal: the staged rewrite below is the only consumer
+    // of the affected slab, so there is nothing left to cache for
     val affected = spark.read.option("basePath", path)
-      .parquet(affectedAbs.toIndexedSeq: _*).cache()
+      .schema(org.apache.spark.sql.types.StructType(
+        tgtF.schema.fields.filterNot(_.name == "__file")))
+      .parquet(affectedAbs.toIndexedSeq: _*)
     try {
       // TRUE deletes; FALSE and NULL survive
       val keep = affected.filter(!coalesce(pred, lit(false)))
-      val deleted = affected.count() - keep.count()
       // Staged rewrite (Maintenance's failure contract): surviving
       // rows land in a tmp dir first, so a mid-write failure leaves
       // the original files — and therefore every row — untouched. A
@@ -137,7 +147,7 @@ object Delete {
       spark.catalog.refreshByPath(path)
       if (ds.stats.nonEmpty) ds.updateStats()
       DeleteResult(deleted, affectedRel, preserved)
-    } finally { affected.unpersist(); () }
+    } finally ()
   }
 
   /** Retention (TTL) delete: remove every row whose `tsCol` is

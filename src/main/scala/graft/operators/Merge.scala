@@ -103,20 +103,32 @@ object Merge {
       if (strategy == "update")
         return MergeResult(src.count(), 0, 0, Nil, Nil, Nil)
       val before = ds.relFiles.toSet
-      ds.write(src, WriteConfig(mode = "append", partitionBy = partCols))
+      // one counted pass: the write's observed row count IS the source
+      // count (post-dedup), so no separate count job re-scans the source
+      val obs = org.apache.spark.sql.Observation()
+      ds.write(src.observe(obs, count(lit(1)).as("n")),
+        WriteConfig(mode = "append", partitionBy = partCols))
+      // missing metric ⇒ the observed subtree was optimized away as
+      // provably empty ⇒ zero rows
+      val n = scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L)
       val after = ds.relFiles
-      return MergeResult(src.count(), src.count(), 0, Nil,
+      return MergeResult(n, n, 0, Nil,
         after.filterNot(before.contains), Nil)
     }
 
-    val ks = effectiveKeys(source.columns.toSeq, ds.df.columns.toSeq, keys)
+    // resolve the target ONCE: every spark.read.parquet pays a driver
+    // footer-inference job, and a merge needs the same schema in four
+    // places (key resolution, range-bounded probe, affected-file read,
+    // insert-remainder read)
+    val tgt0 = ds.df
+    val ks = effectiveKeys(source.columns.toSeq, tgt0.columns.toSeq, keys)
     require(ks.nonEmpty, "no common key columns between source and target")
     val src = dedupLastWins(source, ks).cache()
 
     try strategy match {
-      case "insert" => doInsert(ds, src, ks, partCols)
-      case "update" => doUpdate(ds, src, ks, partCols, insertRemainder = false)
-      case "upsert" => doUpdate(ds, src, ks, partCols, insertRemainder = true)
+      case "insert" => doInsert(ds, src, ks, partCols, tgt0)
+      case "update" => doUpdate(ds, src, ks, partCols, insertRemainder = false, tgt0)
+      case "upsert" => doUpdate(ds, src, ks, partCols, insertRemainder = true, tgt0)
     } finally {
       // a long-lived session runs many merges — don't let per-merge
       // caches accumulate executor memory
@@ -160,35 +172,40 @@ object Merge {
     * `key BETWEEN src.min AND src.max OR key IS NULL` range predicates
     * from the source — at scale this prunes target row groups before
     * the anti-join probe even runs (the ranges push down to parquet).
+    * The same aggregate pass also carries `count(1)` — the merge needs
+    * the post-dedup source count anyway (MergeResult), and folding it
+    * here removes a whole extra pass over the source.
     */
-  private def keyBounds(src: DataFrame, ks: Seq[String]): org.apache.spark.sql.Row = {
-    val aggs = ks.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
-    src.agg(aggs.head, aggs.tail: _*).collect()(0)
+  private def keyBounds(src: DataFrame, ks: Seq[String])
+      : (org.apache.spark.sql.Row, Long) = {
+    val aggs = count(lit(1)).as("__n") +:
+      ks.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (row, row.getLong(0))
   }
 
   /** Bound a target read by the source's key min/max — rows outside
     * the range can never match a source key (null keys keep the
     * isNull arm for `<=>` matches), so every merge-side target scan
     * is safe to range-restrict and the predicates push down to
-    * parquet row groups.
+    * parquet row groups. `row` is the [[keyBounds]] row (count first,
+    * then min/max pairs).
     */
   private def rangeBound(tgt: DataFrame, ks: Seq[String],
                          row: org.apache.spark.sql.Row): DataFrame =
     ks.zipWithIndex.foldLeft(tgt) { case (t, (k, i)) =>
-      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      val (mn, mx) = (row.get(1 + 2 * i), row.get(2 + 2 * i))
       if (mn == null || mx == null) t
       else t.filter(col(k).isNull || col(k).between(lit(mn), lit(mx)))
     }
 
-  private def deltaPrefilter(src: DataFrame, tgt: DataFrame,
-                             ks: Seq[String]): DataFrame =
-    rangeBound(tgt, ks, keyBounds(src, ks))
-
   private def doInsert(ds: ParquetDataset, src: DataFrame,
-                       ks: Seq[String], partCols: Seq[String]): MergeResult = {
+                       ks: Seq[String], partCols: Seq[String],
+                       tgt0: DataFrame): MergeResult = {
     // rename target keys so the join condition is unambiguous; the
     // target read is range-bounded by the source's key min/max
-    val tgtKeys = deltaPrefilter(src, ds.df, ks)
+    val (bounds, srcCount) = keyBounds(src, ks)
+    val tgtKeys = rangeBound(tgt0, ks, bounds)
       .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
     val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
     val newRows = src.join(tgtKeys, cond, "left_anti").cache()
@@ -196,25 +213,26 @@ object Merge {
       val inserted = newRows.count()
       val before = ds.relFiles.toSet
       if (inserted > 0)
-        ds.write(SchemaOps.align(newRows, ds.df.schema),
+        ds.write(SchemaOps.align(newRows, tgt0.schema),
           WriteConfig(mode = "append", partitionBy = partCols))
       val after = ds.relFiles
-      MergeResult(src.count(), inserted, 0, Nil,
+      MergeResult(srcCount, inserted, 0, Nil,
         after.filterNot(before.contains), before.toSeq.sorted)
     } finally newRows.unpersist()
   }
 
   private def doUpdate(ds: ParquetDataset, src: DataFrame,
                        ks: Seq[String], partCols: Seq[String],
-                       insertRemainder: Boolean): MergeResult = {
+                       insertRemainder: Boolean,
+                       tgt0: DataFrame): MergeResult = {
     val spark = ds.spark
     val path = ds.path
     // every target-side scan below is range-bounded by the source's
     // key min/max (the reference's delta pre-filter) — the predicates
     // push down to parquet, so target row groups outside the update's
     // key range are never decoded
-    val bounds = keyBounds(src, ks)
-    val target = spark.read.parquet(path)
+    val (bounds, srcCount) = keyBounds(src, ks)
+    val target = tgt0
     val tgtF = rangeBound(target, ks, bounds).withColumn("__file", input_file_name())
 
     val joinKeysOnly = src.select(ks.map(k => col(k).as(s"__k_$k")): _*).distinct()
@@ -250,18 +268,27 @@ object Merge {
     val beforeAll = allRel.toSet
 
     if (affectedRel.nonEmpty) {
+      // explicit schema: the affected files are a subset of the target
+      // just resolved, so re-inferring their footers is a pure extra
+      // driver job (partition columns ride in via basePath + the
+      // provided schema, exactly as inference would place them)
       val affected = spark.read.option("basePath", path)
+        .schema(target.schema)
         .parquet(affectedAbs.toIndexedSeq: _*)
       // rows whose key is NOT being updated survive as-is
       val keep = affected.join(joinKeysOnly, keyCond(affected), "left_anti")
-      // matched source rows, aligned to the target schema
+      // matched source rows, aligned to the target schema; `updated` is
+      // harvested from an observed metric on the staged write below —
+      // a separate count() would re-run the whole semi-join as its own
+      // job just to throw the rows away
+      val updObs = org.apache.spark.sql.Observation()
       val matchedSrc = src.join(
         affected.select(ks.map(col): _*).distinct().select(
           ks.map(k => col(k).as(s"__k_$k")): _*),
         ks.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _), "left_semi")
-      updated = matchedSrc.count()
-      val newData = SchemaOps.align(keep, ds.df.schema)
-        .unionByName(SchemaOps.align(matchedSrc, ds.df.schema))
+        .observe(updObs, count(lit(1)).as("n"))
+      val newData = SchemaOps.align(keep, target.schema)
+        .unionByName(SchemaOps.align(matchedSrc, target.schema))
       // Staged copy-on-write swap (round-9): the rewrite lands in a
       // `_`-prefixed staging dir (invisible to listings and scans),
       // then promotes file-by-file through the SAME rename-degraded /
@@ -273,6 +300,7 @@ object Merge {
       FsUtil.deleteRecursively(tmp)
       WritePipeline.write(newData, tmp,
         WriteConfig(mode = "append", partitionBy = partCols))
+      updated = scala.util.Try(updObs.get("n").asInstanceOf[Long]).getOrElse(0L)
       try FsUtil.promote(tmp, path)
       catch { case e: FsUtil.PromoteFailedException =>
         throw new PartialMergeError(affectedRel, e.promoted, e.remaining, e)
@@ -286,7 +314,7 @@ object Merge {
       // fault that broke the delete also broke a fresh count/listing,
       // a payload built inside the catch would mask the cleanup error
       // with a secondary exception and lose the recovery details.
-      val sourceCount = src.count() // cached — one cheap job, reused below
+      val sourceCount = srcCount // from the keyBounds pass — no extra job
       val insertedRel = ds.relFiles.filterNot(beforeAll.contains)
       try FsUtil.delete(path, affectedAbs.toIndexedSeq)
       catch { case e: Throwable =>
@@ -310,22 +338,25 @@ object Merge {
 
     if (insertRemainder) {
       // bounded too: target keys outside the source's range can never
-      // anti-match a source row
-      val tgtKeys = rangeBound(spark.read.parquet(path), ks, bounds)
+      // anti-match a source row (explicit schema: the post-promote
+      // files were all aligned to the target schema, so re-inference
+      // would be an extra driver job returning the same answer)
+      val tgtKeys = rangeBound(
+        spark.read.schema(target.schema).parquet(path), ks, bounds)
         .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
       val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
       val newRows = src.join(tgtKeys, cond, "left_anti").cache()
       try {
         insertedCount = newRows.count()
         if (insertedCount > 0)
-          WritePipeline.write(SchemaOps.align(newRows, ds.df.schema), path,
+          WritePipeline.write(SchemaOps.align(newRows, target.schema), path,
             WriteConfig(mode = "append", partitionBy = partCols))
       } finally newRows.unpersist()
     }
 
     if (ds.stats.nonEmpty) ds.updateStats()
     val afterAll = ds.relFiles
-    MergeResult(src.count(), insertedCount, updated,
+    MergeResult(srcCount, insertedCount, updated,
       affectedRel, afterAll.filterNot(beforeAll.contains), preserved)
   }
 }

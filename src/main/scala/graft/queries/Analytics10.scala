@@ -44,7 +44,7 @@ object Analytics10 {
     // — asserted EXACTLY in both engines (next-fit is subadditive
     // under concatenation and a forced close costs at most one bin).
     "q544_packing_sharded" -> { (s, dir) =>
-      val d = Tables.documents(s, dir)
+      val d = Analytics9.corpus(s, dir)
         .select(col("doc_id"), col("source"),
           expr(s"CAST(${Sp.size(Sp.tokens("text"))} AS BIGINT)").as("n"))
         .withColumn("n", expr("CASE WHEN n > 512 THEN " +
@@ -96,8 +96,11 @@ object Analytics10 {
     // only matched index files; the rebuild it replaces scans every
     // train doc.
     "q545_decontam_incremental" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // query-local pin (the q540 pattern): count + base write + merge
+      // each re-traverse the tokenized corpus; released before return
+      val docs = Analytics9.corpus(s, dir)
         .select(col("doc_id"), col("source"), expr(Sp.tokens("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val emod = math.max(1L, docs.count() / 10L)
       // the SAME fixed eval panel as q535 — the oracle equality is
       // only meaningful if both paths score identical docs
@@ -116,6 +119,7 @@ object Analytics10 {
       WritePipeline.write(grams(base), idxDir, WriteConfig())
       val ds = new ParquetDataset(s, idxDir)
       Merge(ds, grams(upd), Seq("g"), "upsert")
+      docs.unpersist() // the probe below re-derives ev lazily; setup reuse is done
       val idx = s.read.parquet(idxDir).select("g")
       val evg = ev.select(col("doc_id"), col("source"),
         explode(expr(Sp.shingles("toks", 3))).as("g")).distinct()
@@ -150,8 +154,12 @@ object Analytics10 {
     // the 60-bit gram hashes — any lost, kept-too-long, or
     // double-counted gram breaks the hash.
     "q546_decontam_retraction" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // query-local pin (the q540 pattern): base write + delta +
+      // checkpointed newCnt each re-traverse the grams; released
+      // after the delta is materialized
+      val docs = Analytics9.corpus(s, dir)
         .select(col("doc_id"), expr(Sp.tokens("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val emod = math.max(1L, docs.count() / 10L)
       val evSel = s"${Sp.hash64("concat('ev:', doc_id)")} % $emod = 0"
       val train = docs.filter(expr(s"NOT ($evSel)"))
@@ -192,6 +200,7 @@ object Analytics10 {
           "CAST(raise_error('q546: retraction underflow — doc was never " +
           "indexed') AS BIGINT) ELSE cnt END"))
         .localCheckpoint(true)
+      docs.unpersist() // newCnt is materialized; nothing re-reads the corpus
       Merge(ds, newCnt, Seq("g"), "upsert")
       Delete.where(ds, "cnt = 0")
       s.read.parquet(idxDir)

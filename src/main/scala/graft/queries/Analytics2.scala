@@ -1316,14 +1316,25 @@ object Analytics2 {
       val slopes = a.join(broadcast(b), col("xa") < col("xb"))
         .select(expr(
           "CASE WHEN yb >= ya THEN (yb - ya) * 1000 div (xb - xa) " +
-            "ELSE -((ya - yb) * 1000 div (xb - xa)) END").as("sl"),
-          col("xa"), col("xb"))
-      val ranked = graft.plans.GlobalOrder.withRowNumber(
-        slopes, Seq(col("sl"), col("xa"), col("xb")), col("sl"),
-        "rn", Some("n"))
-      ranked
-        .filter(expr("rn * 2 >= n AND (rn - 1) * 2 < n"))
-        .select(col("sl").as("slope_milli_per_day"), col("rn"), col("n"))
+            "ELSE -((ya - yb) * 1000 div (xb - xa)) END").as("sl"))
+      // median by counts (round-11 optimization): the lower-median
+      // filter `rn*2 >= n AND (rn-1)*2 < n` selects exactly rank
+      // ceil(n/2), a pure function of n — so the pair frame never
+      // needs per-ROW ranks. Collapse to per-slope counts (map-side
+      // partial agg shrinks the pair stream before it shuffles), run
+      // ONE distributed running sum over the value-sized frame, and
+      // pick the slope whose cumulative count first reaches the
+      // median rank. Plan: the 3-pass rank over the full pair frame
+      // (pin + boundaries + offsets + 64-bucket window) becomes one
+      // grouped aggregate + a running sum over distinct slopes.
+      val bySlope = slopes.groupBy("sl").agg(count(lit(1)).as("c"))
+      val cum = graft.plans.GlobalOrder.withRunningSum(
+        bySlope, Seq(col("sl")), col("sl"), col("c"), "cw")
+      val tot = bySlope.agg(sum("c").as("n"))
+      cum.crossJoin(broadcast(tot))
+        .filter(expr("cw >= (n + 1) div 2 AND cw - c < (n + 1) div 2"))
+        .select(col("sl").as("slope_milli_per_day"),
+          expr("(n + 1) div 2").as("rn"), col("n"))
     },
 
     // Mann–Kendall trend test on the same day frame: S = Σ sign

@@ -29,6 +29,21 @@ object Analytics9 {
   private val Sp = graft.functions.PortableSql.Spark
   private val Du = graft.functions.PortableSql.Duck
 
+  /** Corpus scan spread across the session's parallelism BEFORE any
+    * token/shingle projection (round-11 optimization, guide §2.5
+    * input skew): the test corpus arrives as ONE parquet file (one
+    * scan partition), so every tokenize/explode lane in this family
+    * ran single-threaded — the q542 event-log showed a 3.6–4.8 s
+    * one-task stage per run with 31 cores idle. `Tables.spread` is
+    * size-estimated: at real scale the scan already clears the
+    * session parallelism and this is a no-op; the round-robin
+    * exchange ships only (doc_id, source, text), never derived
+    * token arrays.
+    */
+  private[queries] def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+
   /** Sign-split exact integer division (Spark `div` truncates, DuckDB
     * `//` floors; they agree only on non-negative operands).
     */
@@ -98,7 +113,7 @@ object Analytics9 {
     // distinct-gram semi-join probe, shuffled on the gram key —
     // bucketed, never all-pairs.
     "q535_eval_contamination" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = corpus(s, dir)
         .select(col("doc_id"), col("source"), expr(Sp.tokens("text")).as("toks"))
       val emod = math.max(1L, docs.count() / 10L)
       // hash-bucketed panel (the q84/q100 split convention), NOT plain
@@ -138,7 +153,7 @@ object Analytics9 {
     // a narrow map over the corpus, no shuffle until the per-source
     // rollup.
     "q536_repetition_filter" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      corpus(s, dir)
         .select(col("doc_id"), col("source"), expr(Sp.tokens("text")).as("toks"))
         .filter(expr(s"${Sp.size("toks")} >= 3"))
         .withColumn("milli", expr(dupMilli(Sp)))
@@ -159,7 +174,7 @@ object Analytics9 {
     // division. The regression inputs are VOCAB-sized (one row per
     // distinct token), never token-stream-sized.
     "q537_zipf_slope" -> { (s, dir) =>
-      val tf = Tables.documents(s, dir)
+      val tf = corpus(s, dir)
         .select(col("source"), explode(expr(Sp.tokens("text"))).as("t"))
         .groupBy("source", "t").agg(count(lit(1)).as("f"))
       val ranked = tf.withColumn("rk", row_number().over(
@@ -188,7 +203,7 @@ object Analytics9 {
     // counts first-occurrences <= k — no per-prefix rescan, one pass
     // however many prefixes.
     "q538_heaps_law" -> { (s, dir) =>
-      val d = Tables.documents(s, dir)
+      val d = corpus(s, dir)
         .select(col("doc_id"), col("source"), expr(Sp.tokens("text")).as("toks"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("source").orderBy("doc_id")).cast("long"))
@@ -219,7 +234,7 @@ object Analytics9 {
     // lane is |distinct| x |toks| per doc — doc-bounded, no shuffle).
     "q539_quality_rules" -> { (s, dir) =>
       val stop = "(t = 'the' OR t = 'a' OR t = 'of' OR t = 'to' OR t = 'and')"
-      val d = Tables.documents(s, dir)
+      val d = corpus(s, dir)
         .select(col("source"), expr(Sp.tokens("text")).as("toks"))
         .withColumn("n", expr(s"CAST(${Sp.size("toks")} AS BIGINT)"))
         .filter(col("n") > 0)
@@ -258,9 +273,14 @@ object Analytics9 {
     // difference between an hourly index refresh and a full rebuild;
     // the merge's semi-join probe touches only matched index files.
     "q540_lsh_index_incremental" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // query-local pin: the gate's setup runs MANY driver actions
+      // (count, base write, the merge's bounds/probe/write jobs) and
+      // each would re-tokenize the corpus; released before returning,
+      // so nothing persists across bench runs
+      val docs = corpus(s, dir)
         .select(col("doc_id"), expr(Sp.tokens("text")).as("toks"))
         .filter(expr(s"${Sp.size("toks")} >= 3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def sig(d: DataFrame): DataFrame =
         (0 until 4).map { b =>
           d.select(col("doc_id"), lit(b.toLong).as("band"),
@@ -274,6 +294,7 @@ object Analytics9 {
       // update wave: the new 20% plus re-signs of an unchanged slice
       val upd = docs.filter(col("doc_id") % (tenth * 10) < tenth * 3)
       Merge(ds, sig(upd), Seq("doc_id", "band"), "upsert")
+      docs.unpersist()
       s.read.parquet(idxDir)
         .groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
         .groupBy("band")
@@ -297,7 +318,7 @@ object Analytics9 {
       // grams heavily, so the model join probes the collapsed frame
       // (distinct doc-grams), not the occurrence stream — same math
       // via the count weights, ~3x fewer join rows
-      val bgc = Tables.documents(s, dir)
+      val bgc = corpus(s, dir)
         .select(col("doc_id"), col("source"),
           explode(expr(Sp.shingles(Sp.tokens("text"), 2))).as("g"))
         .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
@@ -337,7 +358,7 @@ object Analytics9 {
     // sharding; the gate keeps one fold per source so the oracle can
     // pin the exact greedy semantics.
     "q543_greedy_packing" -> { (s, dir) =>
-      val d = Tables.documents(s, dir)
+      val d = corpus(s, dir)
         .select(col("doc_id"), col("source"),
           expr(s"CAST(${Sp.size(Sp.tokens("text"))} AS BIGINT)").as("n"))
         .withColumn("n", expr("CASE WHEN n > 512 THEN " +

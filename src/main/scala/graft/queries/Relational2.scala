@@ -265,12 +265,19 @@ object Relational2 {
     // recursive CTEs.
     "q507_diameter_2sweep" -> { (s, d) =>
       val edges = supplyEdges(s, d)
+      // one edge distinct+pin shared by BOTH sweeps (round-11): the
+      // two Bfs runs walk the same graph, and the per-run dedup
+      // shuffle + persist was paid twice; the sweeps' results are
+      // checkpointed, so releasing the pin before returning is safe
+      val e = edges.select(col("src"), col("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val seed = edges.agg(min("src").as("node"))
-      val b1 = graft.operators.Bfs.run(edges, seed, maxHops = 16)
+      val b1 = graft.operators.Bfs.runPrepared(e, seed, maxHops = 16)
       val far1 = b1.orderBy(col("hops").desc, col("node").asc).limit(1)
         .select(col("node").as("far1"), col("hops").cast("long").as("ecc1"))
-      val b2 = graft.operators.Bfs.run(
-        edges, far1.select(col("far1").as("node")), maxHops = 16)
+      val b2 = graft.operators.Bfs.runPrepared(
+        e, far1.select(col("far1").as("node")), maxHops = 16)
+      e.unpersist()
       val far2 = b2.orderBy(col("hops").desc, col("node").asc).limit(1)
         .select(col("node").as("far2"),
           col("hops").cast("long").as("diameter_lb"))

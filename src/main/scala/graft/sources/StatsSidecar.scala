@@ -210,9 +210,21 @@ object StatsSidecar {
     } finally reader.close()
   }
 
+  /** The sidecar's schema is the fixed [[ColStat]] layout, so reads
+    * supply it explicitly: `spark.read.parquet` would otherwise run a
+    * footer-inference job per call, and `ds.stats` is consulted on
+    * every managed write, scan-prune, and maintenance pass.
+    * `asNullable` matches parquet read semantics (Spark reads all
+    * parquet columns as nullable).
+    */
+  private val colStatSchema = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.Encoders.product[ColStat].schema
+      .map(f => f.copy(nullable = true)))
+
   def read(spark: SparkSession, root: String): Option[DataFrame] = {
     val p = sidecarPath(root)
-    if (FsUtil.exists(p)) Some(spark.read.parquet(p)) else None
+    if (FsUtil.exists(p)) Some(spark.read.schema(colStatSchema).parquet(p))
+    else None
   }
 
   /** Reconcile the sidecar with the physical files — physical discovery
@@ -285,6 +297,6 @@ object StatsSidecar {
     df.coalesce(shards).write.mode("overwrite").parquet(tmp)
     FsUtil.deleteRecursively(p)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(p))
-    spark.read.parquet(p)
+    spark.read.schema(colStatSchema).parquet(p)
   }
 }
