@@ -1853,10 +1853,16 @@ object Analytics4 {
       val seeds = Tables.lineitem(s, d)
         .select(col("l_partkey").as("node")).distinct()
         .filter(col("node") % 100 === 0)
-      val hops = graft.operators.Bfs.run(edges, seeds, maxHops = 4)
-      // distinct directed edges — supplyEdges carries lineitem
-      // multiplicity, which must not weight the conflict count
-      val conflicts = edges.distinct()
+      // ONE distinct edge pin shared by the BFS and the conflict
+      // count (round-11, the q507 pattern): supplyEdges carries
+      // lineitem multiplicity, and both consumers need the distinct
+      // directed edges — the per-consumer dedup shuffle ran twice.
+      val e = edges.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hops = graft.operators.Bfs.runPrepared(e, seeds, maxHops = 4)
+      // eager 1-row materialization so the pin can be released before
+      // returning (hops is checkpointed; nothing else reads e)
+      val conflicts = e
         .join(hops.select(col("node").as("src"),
           expr("hops % 2").as("pa")), Seq("src"))
         .join(hops.select(col("node").as("dst"),
@@ -1864,6 +1870,8 @@ object Analytics4 {
         .agg(count(lit(1)).as("n_reached_edges"),
           coalesce(sum(expr("CASE WHEN pa = pb THEN 1 ELSE 0 END")),
             lit(0L)).as("n_conflicts"))
+        .localCheckpoint(true)
+      e.unpersist()
       hops.agg(count(lit(1)).as("n_reached"),
           coalesce(sum(expr("CASE WHEN hops % 2 = 0 THEN 1 ELSE 0 " +
             "END")), lit(0L)).as("n_even"))
