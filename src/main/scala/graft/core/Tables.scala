@@ -221,14 +221,39 @@ object Tables {
         // rest supply the schema and plan with zero jobs. Data is
         // never cached — only the resolved StructType.
         val p = s"$sfDir/$other.parquet"
-        val sch = schemaMemo.getOrElseUpdate(p, spark.read.parquet(p).schema)
-        spark.read.schema(sch).parquet(p)
+        spark.read.schema(memoSchema(spark, p)).parquet(p)
     }
   }
 
-  /** Resolved parquet schemas per immutable input path — see [[load]]. */
-  private val schemaMemo =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  /** Resolved parquet schemas per input path — see [[load]]. Keyed on
+    * (mtime, size) of the path (round-12, advisor): a regenerated
+    * input at the same path gets a fresh inference instead of a
+    * silently stale schema (absent columns reading as all-null). The
+    * stat is a driver-local filesystem call (~µs), never a Spark job —
+    * the memo still removes the per-load footer-INFERENCE job, which
+    * is the expensive part.
+    */
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, ((Long, Long), org.apache.spark.sql.types.StructType)]
+
+  private def statToken(p: String): (Long, Long) = {
+    val path = java.nio.file.Paths.get(p)
+    try (java.nio.file.Files.getLastModifiedTime(path).toMillis,
+      java.nio.file.Files.size(path))
+    catch { case _: Exception => (-1L, -1L) }
+  }
+
+  private def memoSchema(spark: SparkSession, p: String)
+      : org.apache.spark.sql.types.StructType = {
+    val tok = statToken(p)
+    schemaMemo.get(p) match {
+      case Some((t, sch)) if t == tok => sch
+      case _ =>
+        val sch = spark.read.parquet(p).schema
+        schemaMemo.put(p, (tok, sch))
+        sch
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

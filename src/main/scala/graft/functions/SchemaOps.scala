@@ -91,6 +91,24 @@ object SchemaOps {
     })
   }
 
+  /** Deep all-nullable view of a schema — parquet READ semantics
+    * (Spark's file sources expose every inferred column as nullable at
+    * every nesting level). Schemas SUPPLIED to `spark.read.schema(...)`
+    * to skip the footer-inference job must go through this, or the
+    * read-back's nullability (and everything derived from it) would
+    * silently diverge from what inference produced.
+    */
+  def asNullable(st: StructType): StructType = StructType(st.map(f =>
+    f.copy(dataType = nullableType(f.dataType), nullable = true)))
+
+  private def nullableType(dt: DataType): DataType = dt match {
+    case s: StructType => asNullable(s)
+    case ArrayType(e, _) => ArrayType(nullableType(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(nullableType(k), nullableType(v), valueContainsNull = true)
+    case other => other
+  }
+
   /** Null-preserving string→bool with the reference's truthy set. */
   def strToBool(c: Column): Column =
     when(c.isNull, lit(null).cast(BooleanType))

@@ -82,7 +82,10 @@ object Delete {
     if (ds.isEmpty) return DeleteResult(0, Nil, Nil)
 
     val pred = expr(graft.sources.Sanitize(predicate))
-    val tgtF = spark.read.parquet(path).withColumn("__file", input_file_name())
+    // resolve the target through the dataset's schema memo: the bare
+    // spark.read.parquet here paid a footer-inference job per delete
+    val tgt0 = ds.df
+    val tgtF = tgt0.withColumn("__file", input_file_name())
     // the discovery pass traverses exactly the pred-TRUE rows, which
     // ARE the deleted rows — observe the count here instead of paying
     // two more count jobs (affected total minus kept) later
@@ -93,8 +96,9 @@ object Delete {
       .collect().map(r => FsUtil.stripScheme(r.getString(0)))
     // a missing metric means the optimizer eliminated the observed
     // subtree as provably empty (empty-relation propagation) — which
-    // can only happen when zero rows matched
-    val deleted = scala.util.Try(delObs.get("n").asInstanceOf[Long]).getOrElse(0L)
+    // can only happen when zero rows matched (bounded wait — see
+    // ObservedCount)
+    val deleted = ObservedCount(delObs)
     val affectedRel = affectedAbs.map(f => FsUtil.relativize(path, f)).sorted.toSeq
     val preserved = ds.relFiles.filterNot(affectedRel.contains)
     if (affectedRel.isEmpty) return DeleteResult(0, Nil, preserved)
@@ -102,8 +106,7 @@ object Delete {
     // single traversal: the staged rewrite below is the only consumer
     // of the affected slab, so there is nothing left to cache for
     val affected = spark.read.option("basePath", path)
-      .schema(org.apache.spark.sql.types.StructType(
-        tgtF.schema.fields.filterNot(_.name == "__file")))
+      .schema(tgt0.schema)
       .parquet(affectedAbs.toIndexedSeq: _*)
     try {
       // TRUE deletes; FALSE and NULL survive
@@ -145,6 +148,9 @@ object Delete {
               s"Delete.where or Delete.recover completes it: ${e.getMessage}", e)
       }
       spark.catalog.refreshByPath(path)
+      // the rewrite can shrink the unified schema (e.g. the only file
+      // carrying an evolved column was fully deleted)
+      ds.refreshSchema()
       if (ds.stats.nonEmpty) ds.updateStats()
       DeleteResult(deleted, affectedRel, preserved)
     } finally ()

@@ -194,10 +194,16 @@ object Maintenance {
   private def execute(ds: ParquetDataset, plan: CompactPlan,
                       maxRowsPerFile: Long, sortBy: Seq[SortKey]): Unit = {
     val spark = ds.spark
+    // one resolved data schema for every group read (partition values
+    // live in the directory names, not the footers, so the group read
+    // carries only data columns); re-inferring per group is a pure
+    // extra driver job per group. Lazy: an empty plan must not pay it.
+    lazy val dataSchema = StructType(ds.df.schema
+      .filterNot(f => ds.partitionColumns.contains(f.name)))
     plan.groups.foreach { g =>
       val partDir = g.partition.split("@t=")(0)
       val abs = g.files.map(f => s"${ds.path}/$f")
-      var d = spark.read.parquet(abs: _*)
+      var d = spark.read.schema(dataSchema).parquet(abs: _*)
       if (sortBy.nonEmpty) d = d.orderBy(sortBy.map(_.toColumn): _*)
       // coalesce (narrow, no shuffle) down to the target file count;
       // after an orderBy the range partitions are adjacent, so each
@@ -214,7 +220,7 @@ object Maintenance {
       FsUtil.promote(tmp, dst)
       deleteOriginals(ds, abs)
     }
-    if (plan.groups.nonEmpty) spark.catalog.refreshByPath(ds.path)
+    if (plan.groups.nonEmpty) { spark.catalog.refreshByPath(ds.path); ds.refreshSchema() }
     if (plan.groups.nonEmpty && ds.stats.nonEmpty) ds.updateStats()
   }
 
@@ -260,6 +266,7 @@ object Maintenance {
     FsUtil.promote(tmp, ds.path)
     deleteOriginals(ds, old)
     spark.catalog.refreshByPath(ds.path)
+    ds.refreshSchema() // dateparts can add partition columns
     if (ds.stats.nonEmpty) ds.updateStats()
   }
 
@@ -330,9 +337,23 @@ object Maintenance {
     */
   def repairSchema(ds: ParquetDataset, dryRun: Boolean = false): RepairPlan = {
     val spark = ds.spark
-    val perFile: Seq[(String, StructType)] = ds.files.map { f =>
-      f -> spark.read.parquet(f).schema
-    }
+    val files = ds.files
+    // per-file schemas via ONE executor-side footer pass (round-12,
+    // verdict #3): the old per-file spark.read.parquet ran one driver
+    // inference job PER FILE — fine at gate scale, a hazard at 10⁵
+    // files. Files sharing a physical parquet schema resolve to the
+    // same Spark schema under the same session confs, so the driver
+    // pays one inference per DISTINCT fingerprint (usually 1–2), not
+    // per file.
+    val fps = StatsSidecar.schemaFingerprints(spark, files)
+    val sparkSchemaFor: Map[String, StructType] =
+      files.map(fps).distinct.map { fp =>
+        val rep = files.find(f => fps(f) == fp).get
+        fp -> spark.read.parquet(rep).schema
+      }.toMap
+    val perFile: Seq[(String, StructType)] =
+      files.map(f => f -> sparkSchemaFor(fps(f)))
+    val schemaOf = perFile.toMap
     val partCols = ds.partitionColumns.toSet
     val target = SchemaOps.unify(perFile.map(_._2))
     val candidates = perFile.collect { case (f, s) if s != target => f }
@@ -342,7 +363,8 @@ object Maintenance {
 
     candidates.foreach { f =>
       try {
-        val repaired = SchemaOps.align(spark.read.parquet(f), target)
+        val repaired = SchemaOps.align(
+          spark.read.schema(schemaOf(f)).parquet(f), target)
         val tmp = s"${ds.path}/$TmpDir"
         FsUtil.deleteRecursively(tmp)
         repaired.coalesce(1).write.mode("overwrite")
@@ -360,6 +382,7 @@ object Maintenance {
           System.err.println(s"[repair] ${f} left intact: ${e.getMessage}")
       }
     }
+    ds.refreshSchema() // repaired files now carry the unified schema
     if (ds.stats.nonEmpty) ds.updateStats()
     plan
   }
@@ -390,6 +413,7 @@ object Maintenance {
     FsUtil.promote(tmp, ds.path)
     deleteOriginals(ds, old)
     spark.catalog.refreshByPath(ds.path)
+    ds.refreshSchema() // the rewrite's whole point is a schema change
     if (ds.stats.nonEmpty) ds.updateStats()
   }
 
@@ -483,6 +507,7 @@ object Maintenance {
     FsUtil.promote(tmp, ds.path)
     deleteOriginals(ds, old)
     spark.catalog.refreshByPath(ds.path)
+    ds.refreshSchema()
     if (ds.stats.nonEmpty) ds.updateStats()
   }
 

@@ -109,8 +109,8 @@ object Merge {
       ds.write(src.observe(obs, count(lit(1)).as("n")),
         WriteConfig(mode = "append", partitionBy = partCols))
       // missing metric ⇒ the observed subtree was optimized away as
-      // provably empty ⇒ zero rows
-      val n = scala.util.Try(obs.get("n").asInstanceOf[Long]).getOrElse(0L)
+      // provably empty ⇒ zero rows (bounded wait — see ObservedCount)
+      val n = ObservedCount(obs)
       val after = ds.relFiles
       return MergeResult(n, n, 0, Nil,
         after.filterNot(before.contains), Nil)
@@ -208,17 +208,48 @@ object Merge {
     val tgtKeys = rangeBound(tgt0, ks, bounds)
       .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
     val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
-    val newRows = src.join(tgtKeys, cond, "left_anti").cache()
-    try {
-      val inserted = newRows.count()
-      val before = ds.relFiles.toSet
-      if (inserted > 0)
-        ds.write(SchemaOps.align(newRows, tgt0.schema),
-          WriteConfig(mode = "append", partitionBy = partCols))
-      val after = ds.relFiles
-      MergeResult(srcCount, inserted, 0, Nil,
-        after.filterNot(before.contains), before.toSeq.sorted)
-    } finally newRows.unpersist()
+    val newRows = src.join(tgtKeys, cond, "left_anti")
+    val before = ds.relFiles.toSet
+    val inserted =
+      stagedObservedAppend(ds, SchemaOps.align(newRows, tgt0.schema), partCols)
+    val after = ds.relFiles
+    MergeResult(srcCount, inserted, 0, Nil,
+      after.filterNot(before.contains), before.toSeq.sorted)
+  }
+
+  /** Append `data` through a staged observed write (round-12, verdict
+    * #5): ONE traversal of the anti-join remainder yields both the
+    * inserted-row count and the files — the old shape paid a
+    * cache + count() + write (two jobs over the remainder). Zero rows
+    * ⇒ the staging dir is dropped and nothing is promoted (a direct
+    * empty append could land empty part-files in `relFiles`
+    * bookkeeping). A promote failure surfaces as [[PartialMergeError]]
+    * with no affected originals — the insert phase rewrites nothing,
+    * so originals are untouched by construction and `remaining` lists
+    * the still-staged insert files.
+    */
+  private def stagedObservedAppend(ds: ParquetDataset, data: DataFrame,
+                                   partCols: Seq[String],
+                                   refreshStats: Boolean = true): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val tmp = s"${ds.path}/_tmp_merge_ins"
+    FsUtil.deleteRecursively(tmp)
+    // count-preserving by construction: the insert config runs no
+    // dedup/unique stage, so the observed input count IS the written
+    // row count
+    WritePipeline.write(data.observe(obs, count(lit(1)).as("n")), tmp,
+      WriteConfig(mode = "append", partitionBy = partCols))
+    val n = ObservedCount(obs)
+    if (n > 0) {
+      try FsUtil.promote(tmp, ds.path)
+      catch { case e: FsUtil.PromoteFailedException =>
+        throw new PartialMergeError(Nil, e.promoted, e.remaining, e)
+      }
+      ds.spark.catalog.refreshByPath(ds.path)
+      ds.refreshSchema()
+      if (refreshStats && ds.stats.nonEmpty) ds.updateStats()
+    } else FsUtil.deleteRecursively(tmp)
+    n
   }
 
   private def doUpdate(ds: ParquetDataset, src: DataFrame,
@@ -300,7 +331,7 @@ object Merge {
       FsUtil.deleteRecursively(tmp)
       WritePipeline.write(newData, tmp,
         WriteConfig(mode = "append", partitionBy = partCols))
-      updated = scala.util.Try(updObs.get("n").asInstanceOf[Long]).getOrElse(0L)
+      updated = ObservedCount(updObs)
       try FsUtil.promote(tmp, path)
       catch { case e: FsUtil.PromoteFailedException =>
         throw new PartialMergeError(affectedRel, e.promoted, e.remaining, e)
@@ -334,6 +365,7 @@ object Merge {
       // invalidate the cached listing: the files just deleted must not
       // be served to the insert-remainder read below
       spark.catalog.refreshByPath(path)
+      ds.refreshSchema() // the memoized schema pre-dates the swap
     }
 
     if (insertRemainder) {
@@ -345,13 +377,13 @@ object Merge {
         spark.read.schema(target.schema).parquet(path), ks, bounds)
         .select(ks.map(k => col(k).as(s"__t_$k")): _*).distinct()
       val cond = ks.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
-      val newRows = src.join(tgtKeys, cond, "left_anti").cache()
-      try {
-        insertedCount = newRows.count()
-        if (insertedCount > 0)
-          WritePipeline.write(SchemaOps.align(newRows, target.schema), path,
-            WriteConfig(mode = "append", partitionBy = partCols))
-      } finally newRows.unpersist()
+      val newRows = src.join(tgtKeys, cond, "left_anti")
+      // one traversal: observed staged append (see stagedObservedAppend)
+      // instead of the old cache + count() + write pair; the tail below
+      // owns the sidecar refresh, as it always has
+      insertedCount = stagedObservedAppend(ds,
+        SchemaOps.align(newRows, target.schema), partCols,
+        refreshStats = false)
     }
 
     if (ds.stats.nonEmpty) ds.updateStats()

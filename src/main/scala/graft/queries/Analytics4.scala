@@ -1857,7 +1857,11 @@ object Analytics4 {
       // count (round-11, the q507 pattern): supplyEdges carries
       // lineitem multiplicity, and both consumers need the distinct
       // directed edges — the per-consumer dedup shuffle ran twice.
-      val e = edges.distinct()
+      // Projected to (src, dst) BEFORE the distinct (round-12,
+      // advisor): Bfs.runPrepared's contract is a deduplicated
+      // (src, dst) frame, and this call site must not silently break
+      // if supplyEdges ever grows a column.
+      val e = edges.select("src", "dst").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hops = graft.operators.Bfs.runPrepared(e, seeds, maxHops = 4)
       // eager 1-row materialization so the pin can be released before

@@ -39,6 +39,12 @@ object Analytics9 {
     * session parallelism and this is a no-op; the round-robin
     * exchange ships only (doc_id, source, text), never derived
     * token arrays.
+    *
+    * Used by the SINGLE-ACTION token/shingle queries (q535–q539,
+    * q542–q544). The write/merge-bound index gates (q540, q545, q546)
+    * deliberately bypass it — round-12's quiet-box variant matrix
+    * showed the spread exchange costs more than it buys on their
+    * multi-action shapes (numbers at each gate).
     */
   private[queries] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(s, dir)
@@ -273,14 +279,24 @@ object Analytics9 {
     // difference between an hourly index refresh and a full rebuild;
     // the merge's semi-join probe touches only matched index files.
     "q540_lsh_index_incremental" -> { (s, dir) =>
-      // query-local pin: the gate's setup runs MANY driver actions
-      // (count, base write, the merge's bounds/probe/write jobs) and
-      // each would re-tokenize the corpus; released before returning,
-      // so nothing persists across bench runs
-      val docs = corpus(s, dir)
+      // Round-12, verdict #1 (the round-11 number pointing the wrong
+      // way): quiet-box variant matrix, min-of-3 Bench, 2 reps each —
+      //   spread+persist (r11 shape)  5.83 / 5.60 s
+      //   persist only                4.49 / 4.04 s
+      //   neither (r10 shape)         3.96 / 3.57 s   <- shipped
+      // This gate is write/merge-bound: its per-action slices
+      // re-tokenize cheaply under predicate pushdown, while the spread
+      // exchange + 32-block persist + cache bookkeeping cost more than
+      // the 4x band-union re-derivation they save at gate scale. The
+      // corpus()-spread stays for the single-action token/shingle
+      // queries (q535-q539, q542-q544) where r11's plan evidence holds
+      // (q542 4.38->0.92); at 100 TB the scan clears session
+      // parallelism and spread is a no-op anyway, so the gate and the
+      // deployment agree on this shape. Columns are projected BEFORE
+      // tokenize so nothing drags `source`/`text` further than needed.
+      val docs = Tables.documents(s, dir)
         .select(col("doc_id"), expr(Sp.tokens("text")).as("toks"))
         .filter(expr(s"${Sp.size("toks")} >= 3"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def sig(d: DataFrame): DataFrame =
         (0 until 4).map { b =>
           d.select(col("doc_id"), lit(b.toLong).as("band"),
@@ -294,8 +310,9 @@ object Analytics9 {
       // update wave: the new 20% plus re-signs of an unchanged slice
       val upd = docs.filter(col("doc_id") % (tenth * 10) < tenth * 3)
       Merge(ds, sig(upd), Seq("doc_id", "band"), "upsert")
-      docs.unpersist()
-      s.read.parquet(idxDir)
+      // read back with the signature frame's schema (pure metadata —
+      // the footer-inference job the bare read paid is gone)
+      Lifecycle.readAs(s, idxDir, sig(base).schema)
         .groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
         .groupBy("band")
         .agg(sum("bsz").as("n_docs"),

@@ -35,10 +35,36 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
     })
     .getOrElse(Nil)
 
+  /** Resolved schema memo (round-12, verdict #2): every bare
+    * `spark.read.parquet` pays a one-task footer-inference job at plan
+    * time (~35–60 ms + inter-job gap), and lifecycle/merge/maintenance
+    * paths consult [[df]] many times per operation. The first call
+    * infers; later calls supply the remembered schema and plan with
+    * zero jobs. Instance-scoped and dropped by [[refreshSchema]],
+    * which every mutating path (write/delete/merge/maintenance swap)
+    * calls — an EXTERNAL writer mutating the same path must use its
+    * own instance (it already must, for `refreshByPath` reasons).
+    * Metadata only; no data is ever cached here.
+    */
+  @volatile private var schemaMemo: Option[org.apache.spark.sql.types.StructType] = None
+
+  /** Forget the memoized schema — called after every mutation of the
+    * underlying files (the schema can evolve on append, repartition's
+    * dateparts, dtype optimization, schema repair).
+    */
+  def refreshSchema(): Unit = schemaMemo = None
+
   /** The full lazy scan. Partition discovery and row-group pruning are
     * native; this is the entry point for all relational work.
     */
-  def df: DataFrame = spark.read.parquet(path)
+  def df: DataFrame = schemaMemo match {
+    case Some(sc) => spark.read.schema(sc).parquet(path)
+    case None =>
+      val d = spark.read.parquet(path)
+      // inference already yields an all-nullable tree; memoized as-is
+      schemaMemo = Some(d.schema)
+      d
+  }
 
   /** SQL-string filter — the reference's whole predicate-translation
     * subsystem collapses into Catalyst (SURVEY §2.2).
@@ -73,8 +99,15 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
     val chosen = ScanPruner.selectFiles(stats, all, Sanitize(filterSql)).getOrElse(all)
     if (chosen.isEmpty) df.limit(0)
     else if (chosen.size == all.size) df
-    else spark.read.option("basePath", path)
-      .parquet(chosen.map(f => s"$path/$f"): _*)
+    else {
+      // explicit schema (the Merge affected-read pattern): the chosen
+      // files are a subset of the dataset just resolved, so
+      // re-inferring their footers is a pure extra driver job;
+      // partition columns ride in via basePath + the provided schema
+      val sc = schemaMemo.getOrElse(df.schema)
+      spark.read.option("basePath", path).schema(sc)
+        .parquet(chosen.map(f => s"$path/$f"): _*)
+    }
   }
 
   /** Files a scan(filter) would read — the dry-run face of pruning. */
@@ -110,6 +143,7 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
     */
   def write(data: DataFrame, cfg: WriteConfig = WriteConfig()): Unit = {
     WritePipeline.write(data, path, cfg)
+    refreshSchema() // appends can evolve the unified schema
     if (stats.nonEmpty || cfg.mode == "overwrite") updateStats()
   }
 
@@ -119,12 +153,14 @@ final class ParquetDataset(val spark: SparkSession, rawPath: String) {
     FsUtil.delete(path, files)
     FsUtil.deleteRecursively(StatsSidecar.sidecarPath(path))
     spark.catalog.refreshByPath(path)
+    refreshSchema()
   }
 
   def deleteFiles(rel: Seq[String]): Unit = {
     rel.foreach(Sanitize.relPath)
     FsUtil.delete(path, rel.map(f => s"$path/$f"))
     spark.catalog.refreshByPath(path)
+    refreshSchema()
     // keep the sidecar in sync: count()/timeRange()/scan() prefer it, so a
     // stale sidecar would keep serving rows for the files just deleted
     if (stats.nonEmpty) updateStats()

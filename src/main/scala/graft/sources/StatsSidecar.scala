@@ -139,6 +139,31 @@ object StatsSidecar {
     }.collect().toSeq
   }
 
+  /** Per-file physical parquet schema fingerprints (the footer's
+    * MessageType rendered to its canonical string), read on EXECUTORS
+    * like [[collectDF]] — one distributed metadata pass instead of a
+    * driver job per file. Two files with equal fingerprints resolve to
+    * the same Spark schema under the same session confs, so callers
+    * (Maintenance.repairSchema) need only one driver-side schema
+    * resolution per DISTINCT fingerprint. The collect is
+    * file-count-sized — paths and schema strings, never data.
+    */
+  def schemaFingerprints(spark: SparkSession,
+                         absFiles: Seq[String]): Map[String, String] = {
+    if (absFiles.isEmpty) return Map.empty
+    val parts = math.max(1,
+      math.min(absFiles.size, math.max(32, absFiles.size / 64)))
+    spark.sparkContext.parallelize(absFiles, parts).mapPartitions { it =>
+      it.map { f =>
+        val in = HadoopInputFile.fromPath(
+          new HPath("file://" + f), new Configuration())
+        val reader = ParquetFileReader.open(in)
+        try f -> reader.getFooter.getFileMetaData.getSchema.toString
+        finally reader.close()
+      }
+    }.collect().toMap
+  }
+
   private[sources] def readFooter(root: String, absFile: String): Seq[ColStat] = {
     val conf = new Configuration()
     val in = HadoopInputFile.fromPath(new HPath("file://" + absFile), conf)

@@ -56,6 +56,28 @@ class TablesSpec extends SparkSpecBase {
     }
   }
 
+  test("load's schema memo never serves a stale schema for a regenerated path") {
+    // round-12 (advisor): the memo is keyed on the path's (mtime,
+    // size), so an input REGENERATED at the same path with a different
+    // schema must re-infer — a stale memo would read the new column as
+    // absent (all-null) forever. Mirrors the set-similarity memo's
+    // staleness spec.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables-memo-stale").toString
+    val p = s"$dir/orders.parquet"
+    Seq((1L, "a")).toDF("o_orderkey", "o_comment")
+      .write.mode("overwrite").parquet(p)
+    assert(Tables.load(spark, dir, "orders").columns.toSeq ==
+      Seq("o_orderkey", "o_comment"))
+    // regenerate with an EVOLVED schema at the same path
+    Seq((2L, "b", 9L)).toDF("o_orderkey", "o_comment", "o_extra")
+      .write.mode("overwrite").parquet(p)
+    val reread = Tables.load(spark, dir, "orders")
+    assert(reread.columns.contains("o_extra"),
+      "memo served a stale schema after the path was regenerated")
+    assert(reread.select("o_extra").collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("partitionBy's source pin is owned by the memo LRU") {
     import spark.implicits._
     val df = Seq(("x", 1), ("y", 2), ("x", 3)).toDF("cat", "v")
