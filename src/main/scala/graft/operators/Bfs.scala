@@ -33,15 +33,26 @@ object Bfs {
     *         unreached nodes are absent.
     */
   def run(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    // persist the deduplicated edges: every round's frontier join
-    // reads them, and without the pin the distinct SHUFFLE re-executes
-    // once per round (maxHops× the one-time cost); unpersisted before
-    // returning — the result is checkpointed, not edge-lineage-bound
-    val e = edges.select("src", "dst").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = prepare(edges)
     try runPrepared(e, seeds, maxHops)
     finally { e.unpersist(); () }
   }
+
+  /** Dedup + hash-partition on `src` + pin (round-12, guide §2.4
+    * "share one exchange"): the per-round frontier join needs
+    * `src`-clustering, but a pin made straight from `distinct()`
+    * carries (src, dst)-partitioning the planner cannot reuse, so
+    * EVERY round re-shuffled the whole edge frame (event-log: the
+    * round job was ~85 % of q507/q203 wall). Partitioned on `src`
+    * once, each round exchanges only the frontier — the
+    * [[ShortestPath]] edge-layout rule applied here. The caller owns
+    * the persist lifecycle (unpersist after the sweeps; results are
+    * checkpointed).
+    */
+  def prepare(edges: DataFrame): DataFrame =
+    edges.select("src", "dst").distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** [[run]] over an ALREADY deduplicated-and-persisted edge frame —
     * for callers that sweep the same graph several times (q507's

@@ -1857,12 +1857,12 @@ object Analytics4 {
       // count (round-11, the q507 pattern): supplyEdges carries
       // lineitem multiplicity, and both consumers need the distinct
       // directed edges — the per-consumer dedup shuffle ran twice.
-      // Projected to (src, dst) BEFORE the distinct (round-12,
-      // advisor): Bfs.runPrepared's contract is a deduplicated
-      // (src, dst) frame, and this call site must not silently break
-      // if supplyEdges ever grows a column.
-      val e = edges.select("src", "dst").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Via Bfs.prepare (round-12): projects (src, dst) before the
+      // distinct (advisor — the call site must not silently break if
+      // supplyEdges grows a column) and clusters the pin on src so
+      // the BFS rounds AND the conflict join's first probe reuse the
+      // pinned exchange instead of re-shuffling the edge frame.
+      val e = graft.operators.Bfs.prepare(edges)
       val hops = graft.operators.Bfs.runPrepared(e, seeds, maxHops = 4)
       // eager 1-row materialization so the pin can be released before
       // returning (hops is checkpointed; nothing else reads e)

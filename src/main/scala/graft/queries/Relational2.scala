@@ -265,12 +265,13 @@ object Relational2 {
     // recursive CTEs.
     "q507_diameter_2sweep" -> { (s, d) =>
       val edges = supplyEdges(s, d)
-      // one edge distinct+pin shared by BOTH sweeps (round-11): the
-      // two Bfs runs walk the same graph, and the per-run dedup
-      // shuffle + persist was paid twice; the sweeps' results are
-      // checkpointed, so releasing the pin before returning is safe
-      val e = edges.select(col("src"), col("dst")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one edge distinct+src-partitioned pin shared by BOTH sweeps
+      // (round-11 shared pin; round-12 layout — Bfs.prepare clusters
+      // on src so the per-round frontier joins reuse the pinned
+      // exchange instead of re-shuffling the edge frame every hop);
+      // the sweeps' results are checkpointed, so releasing the pin
+      // before returning is safe
+      val e = graft.operators.Bfs.prepare(edges)
       val seed = edges.agg(min("src").as("node"))
       val b1 = graft.operators.Bfs.runPrepared(e, seed, maxHops = 16)
       val far1 = b1.orderBy(col("hops").desc, col("node").asc).limit(1)
